@@ -1,13 +1,251 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{CoreQueries => C, PipelineQueries => P}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry maps a SURVEY §2 operator (or a north-star
+  * pipeline operator) to a query over the TESTDATA tables; `oracleSql`
+  * holds the DuckDB-equivalent SQL for hash comparison. Column names and
+  * types are aligned on both sides (the driver sorts columns by name
+  * before hashing). Graph/sketch queries without an ANSI-SQL equivalent
+  * omit the oracle (rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    C.joinAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 projections / filters / scalar functions
+    "q01_project_filter" -> (C.projectFilter _),
+    "q11_cast_unsigned" -> (C.castUnsigned _),
+    // §2.4 aggregations
+    "q02_agg_group" -> (C.aggGroup _),
+    "q06_group_concat_ordered" -> (C.groupConcatOrdered _),
+    "q07_group_concat_sorted" -> (C.groupConcatSorted _),
+    "q12_distinct" -> (C.distinctSegments _),
+    "q18_rollup" -> (C.rollupAgg _),
+    // §2.3 joins
+    "q03_join_agg" -> (C.joinAgg _),
+    "q04_left_join" -> (C.leftJoinAgg _),
+    "q05_parent_join" -> (C.parentJoin _),
+    "q09_anti_join" -> (C.antiJoin _),
+    "q10_semi_join" -> (C.semiJoin _),
+    // §2.5 sorts / limits / windows
+    "q13_topn" -> (C.topN _),
+    "q14_window_rownum" -> (C.windowRownum _),
+    // §2.7 pivot / reshape
+    "q08_pivot" -> (C.pivotEvents _),
+    // set operators
+    "q15_union_all" -> (C.unionAll _),
+    "q16_intersect" -> (C.intersectKeys _),
+    "q17_except" -> (C.exceptKeys _),
+    // time-bucketed agg (streaming twin)
+    "q19_window_agg" -> (C.windowAgg _),
+    // §2.6 graph stage
+    "q20_topo_depth" -> (C.topoDepth _),
+    "q21_bfs_closure" -> (C.bfsClosure _),
+    "q22_cycle_scan" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      C.cycleNodes(s, d).agg(count(lit(1)).as("n_cycle_nodes"))
+    }),
+    // north-star pipeline: dedup / text / similarity
+    "q23_dedup_exact" -> (P.dedupExact _),
+    "q24_token_stats" -> (P.tokenStats _),
+    "q25_quality" -> (P.quality _),
+    "q26_langid" -> (P.langId _),
+    "q27_fingerprint" -> (P.fingerprints _),
+    "q28_cosine_topk" -> (P.cosineTopK _),
+    "q29_minhash_sig" -> (P.minhashSig _),
+    "q30_minhash_pairs" -> (P.minhashPairs _),
+    "q31_simhash" -> (P.simhash _),
+    "q32_ngram_jaccard" -> (P.ngramJaccard _),
+    "q33_ann_topk" -> (P.annTopK _),
+    "q34_cosine_neardup" -> (P.cosineNearDup _),
+    "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        | round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+        | replace(replace(l_returnflag, chr(13), ''), chr(10), '') AS flag
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(avg(l_discount), 4) AS avg_disc, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q04_left_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q05_parent_join" ->
+      """SELECT n_nationkey, n_name, r_name AS parent_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q06_group_concat_ordered" ->
+      """SELECT o_orderkey, string_agg(n, ';' ORDER BY w, n) AS flags
+        |FROM (SELECT l_orderkey AS o_orderkey, l_returnflag AS n,
+        |        min(l_linenumber) AS w
+        |      FROM lineitem GROUP BY 1, 2) t
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q07_group_concat_sorted" ->
+      """SELECT c_nationkey, string_agg(seg, ',' ORDER BY seg) AS segments
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) t
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q08_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_cast_unsigned" ->
+      """SELECT o_orderkey,
+        | coalesce(try_cast(regexp_extract(o_orderpriority, '^\s*([0-9]+)', 1) AS BIGINT), 0) AS prio_num,
+        | coalesce(try_cast(regexp_extract(o_orderstatus, '^\s*([0-9]+)', 1) AS BIGINT), 0) AS status_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q13_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q15_union_all" ->
+      """SELECT o_orderkey AS k, 'o' AS src FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT l_orderkey AS k, 'l' AS src FROM lineitem WHERE l_quantity > 49
+        |ORDER BY src, k""".stripMargin,
+    "q16_intersect" ->
+      """SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 45
+        |ORDER BY k""".stripMargin,
+    "q17_except" ->
+      """SELECT o_orderkey AS k FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 10
+        |ORDER BY k""".stripMargin,
+    "q18_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q19_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q20_topo_depth" ->
+      """SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS node, 0 AS depth FROM region
+        |UNION ALL
+        |SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS node, 1 AS depth FROM nation
+        |UNION ALL
+        |SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 2 AS depth FROM customer
+        |ORDER BY node""".stripMargin,
+    "q21_bfs_closure" ->
+      """SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS node
+        |FROM region WHERE r_name = 'ASIA'
+        |UNION ALL
+        |SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS node
+        |FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        |UNION ALL
+        |SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        |ORDER BY node""".stripMargin,
+    "q22_cycle_scan" ->
+      """SELECT count(*) AS n_cycle_nodes FROM nation WHERE n_nationkey < 0""",
+    "q23_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q24_token_stats" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ltoks
+        | FROM documents)
+        |SELECT doc_id,
+        | round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS uniq_ratio,
+        | round(CAST(coalesce(list_sum(list_transform(toks, s -> length(s))), 0) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_tok_len,
+        | round(CAST(len(list_filter(ltoks, s -> s IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'))) AS DOUBLE)
+        |   / CAST(greatest(len(ltoks), 1) AS DOUBLE), 4) AS stopword_ratio,
+        | round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+        |  + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q26_langid" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t)
+        |SELECT doc_id, CASE
+        | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        | WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        | WHEN s_fr >= s_pt THEN 'fr'
+        | ELSE 'pt' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |             c.vec_id) AS INTEGER) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+  )
 }

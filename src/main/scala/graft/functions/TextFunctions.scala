@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * surface (BASELINE.json north_star): token counting, quality scoring,
+  * language-ID heuristics, fingerprinting. All are compositions of
+  * built-in codegen'd functions — they run inside whole-stage codegen
+  * and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace-delimited). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-regex token count: splits on word/punct boundaries
+    * the way byte-pair pretokenizers do (letters runs, digit runs,
+    * single punctuation marks each count). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Distinct-token ratio: |set(tokens)| / |tokens| — near-0 means
+    * highly repetitive (low quality). Rounded for oracle stability. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val ts = tokens(text)
+    round(size(array_distinct(ts)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Punctuation character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+        greatest(length(text), lit(1)).cast("double"), 4)
+
+  /** Stopword ratio against a small English stopword list — one of the
+    * standard quality signals; also the core of the n-gram language-ID
+    * heuristic below. */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val sw = filter(ts, t => t.isin(englishStopwords: _*))
+    round(size(sw).cast("double") / greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: blends repetition, token shape
+    * and length signals. Deterministic and mirror-able in ANSI SQL. */
+  def qualityScore(text: Column): Column = {
+    val uniq = size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+    val lenOk = when(length(text).between(20, 20000), lit(1.0)).otherwise(lit(0.5))
+    round(uniq * lit(0.7) + lenOk * lit(0.3), 4)
+  }
+
+  /** Language-ID heuristic: character-n-gram/stopword profile scoring.
+    * With profiles for a fixed language set, returns the argmax language
+    * code. The profiles are tiny built-in lists → the whole classifier
+    * is a codegen'd expression, no UDF, no shuffle.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "pt" -> Seq("o", "a", "de", "que", "e"))
+
+  def langId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    // score per language = count of profile-word hits; argmax via
+    // sort of (score desc, lang asc) structs — fully deterministic.
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct((-size(filter(ts, t => t.isin(words: _*)))).as("negScore"),
+        lit(lang).as("lang"))
+    }
+    sort_array(array(scored: _*)).getItem(0).getField("lang")
+  }
+
+  /** Content fingerprint: md5 of normalized text (lowercase, collapsed
+    * whitespace). Exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (polynomial) hash over whitespace tokens — order-sensitive
+    * document fingerprint, computed as a sequential fold (deterministic;
+    * base 1000003 mod 2^61-1 via Long arithmetic). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + abs(hash(t).cast("long")), lit(2305843009213693951L)))
+}

@@ -1,0 +1,163 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph algorithms over edge DataFrames — the Spark-first
+  * re-expression of the reference's in-memory Python graph stage
+  * (`concepts/src/concept_csv_export.py:407-530`): BFS descendant
+  * closure (G1), cycle detection (G2), topological reordering (O4).
+  *
+  * Design (SURVEY §2.6): edges live in a `DataFrame(src, dst)`; all
+  * three algorithms are driver-orchestrated iterative DataFrame jobs.
+  * Each iteration `localCheckpoint()`s to cut lineage (SURVEY §7.4.4)
+  * — without it the plan doubles per iteration and Catalyst analysis
+  * time explodes. No GraphX/GraphFrames dependency. At cluster scale
+  * the per-iteration shuffle is hash-partitioned on the join key, and
+  * iteration count is bounded by graph diameter, not node count.
+  */
+object GraphOps {
+
+  private def checkpointed(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Longest-path depth layering ("topological rank").
+    *
+    * Given edges `(src, dst)` meaning "src references dst" (dst must
+    * come first — reference semantics `concept_csv_export.py:499-530`),
+    * returns `(node, depth)` where depth(leaf/referent-free) = 0 and
+    * depth(n) = 1 + max(depth(referenced nodes)). Sorting by depth
+    * yields an order where every referenced node precedes its referrer.
+    *
+    * Precondition: acyclic (guard with [[findCycleNodes]]); maxIter
+    * bounds runaway iteration on unexpected cycles.
+    */
+  def topoDepth(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst").cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var depth = checkpointed(nodes.withColumn("depth", lit(0)))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate depth for each src = 1 + max depth of its dsts
+      val cand = e.join(depth, e("dst") === depth("node"))
+        .groupBy(col("src").as("node2"))
+        .agg((max(col("depth")) + 1).as("cand"))
+      val next = checkpointed(
+        depth.join(cand, depth("node") === cand("node2"), "left")
+          .select(col("node"),
+            greatest(col("depth"), coalesce(col("cand"), lit(0))).as("depth")))
+      changed = next.as("n").join(depth.as("o"), Seq("node"))
+        .filter(col("n.depth") =!= col("o.depth")).count()
+      depth = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"topoDepth did not converge in $maxIter iterations — graph is cyclic?")
+    e.unpersist()
+    depth
+  }
+
+  /** BFS reachability closure (G1, `concept_csv_export.py:407-438`):
+    * all nodes reachable from `roots` following `src -> dst` edges,
+    * roots included. Frontier-join loop with visited-set anti-join;
+    * iterations = eccentricity of the root set.
+    */
+  def bfsClosure(edges: DataFrame, roots: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst").cache()
+    var visited = checkpointed(roots.toDF("node").distinct())
+    var frontier = visited
+    var frontierCount = frontier.count()
+    while (frontierCount > 0) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      frontier = checkpointed(next.join(visited, Seq("node"), "left_anti"))
+      frontierCount = frontier.count()
+      if (frontierCount > 0)
+        visited = checkpointed(visited.union(frontier).distinct())
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Cycle reachability set (G2 core, `concept_csv_export.py:457-496`):
+    * iteratively peel nodes whose every outgoing edge points outside
+    * the remaining set; what remains is the set of nodes that can
+    * reach a cycle (a superset of cycle members; every remaining node
+    * has an out-edge within the set). Empty result ⇔ acyclic.
+    */
+  def findCycleNodes(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst").cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var remaining = checkpointed(nodes)
+    var removed = 1L
+    while (removed > 0) {
+      // keep nodes that still have an edge into the remaining set
+      val hasLiveOut = e.join(remaining.withColumnRenamed("node", "dst2"),
+          e("dst") === col("dst2"))
+        .select(col("src").as("node")).distinct()
+      val next = checkpointed(remaining.join(hasLiveOut, Seq("node"), "left_semi"))
+      removed = remaining.count() - next.count()
+      remaining = next
+    }
+    e.unpersist()
+    remaining
+  }
+
+  /** Cycle guard with a human-readable witness (V2): raises
+    * `CycleException` whose message contains an `a --> b --> a` path,
+    * mirroring the reference's error contract
+    * (`concept_csv_export.py:490-496`). The witness reconstruction
+    * collects only the cyclic subgraph (already peeled down — small by
+    * construction), never the full graph.
+    */
+  def detectCycles(edges: DataFrame, witnessLimit: Int = 100000): Unit = {
+    val cyc = findCycleNodes(edges)
+    val n = cyc.count()
+    if (n == 0) return
+    if (n > witnessLimit)
+      throw new CycleException(s"graph contains cycles over $n nodes (witness suppressed)")
+    val cycSet = cyc.collect().map(_.get(0)).toSet
+    val sub = edges.toDF("src", "dst")
+      .filter(col("src").isin(cycSet.toSeq: _*) && col("dst").isin(cycSet.toSeq: _*))
+      .collect().map(r => r.get(0) -> r.get(1))
+    val adj = sub.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    // walk from the smallest node until a repeat — deterministic witness
+    val start = cycSet.map(_.toString).min
+    val startKey = cycSet.find(_.toString == start).get
+    val path = scala.collection.mutable.ArrayBuffer[Any](startKey)
+    var cur = startKey
+    var done = false
+    while (!done) {
+      val nxt = adj(cur).minBy(_.toString)
+      if (path.contains(nxt)) {
+        path += nxt
+        done = true
+      } else { path += nxt; cur = nxt }
+    }
+    val cycleStart = path.indexOf(path.last)
+    val witness = path.drop(cycleStart).mkString(" --> ")
+    throw new CycleException(s"Cycle detected: $witness")
+  }
+
+  /** Topological reorder (O4, `concept_csv_export.py:499-530`): order
+    * rows so that every referenced node precedes its referrers, stable
+    * by `tieBreak` within a depth layer. Returns the input plus an
+    * `__ord` rank column; callers sort by it. Matches the reference's
+    * contract (referrer strictly after all referents —
+    * `test_concept_csv_export.py:33-51`).
+    */
+  def topoOrder(df: DataFrame, keyCol: String, edges: DataFrame): DataFrame = {
+    val depth = topoDepth(edges).withColumnRenamed("node", "__node")
+    df.join(depth, df(keyCol) === col("__node"), "left")
+      .drop("__node")
+      .withColumn("__ord", coalesce(col("depth"), lit(0)))
+      .drop("depth")
+  }
+}
+
+class CycleException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.{MysqlFunctions => M}
+import graft.graph.GraphOps
+
+/** The SURVEY §2 operator inventory expressed as queries over the driver
+  * test tables (TESTDATA.md), one per operator family. Each has a DuckDB
+  * oracle in [[graft.SparkEntry.oracleSql]]; column names/types are kept
+  * oracle-identical (driver sorts columns by name and hash-compares).
+  *
+  * Scale notes per query are inline: dimension joins broadcast, wide
+  * aggregations use map-side partial agg, every query's filter/projection
+  * pushes into the parquet scan.
+  */
+object CoreQueries {
+
+  // P1/P2/P5 — project+alias, filter on flags/predicates, string cleanup
+  def projectFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        M.stripNewlines(col("l_returnflag")).as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // A1/A2 — group by entity + sum/avg/count (TPC-H Q1 shape)
+  def aggGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // J1/J2 — inner equi-joins against dims; broadcast the small sides.
+  // At 100 TB lineitem, part/supplier stay broadcastable dims → no shuffle
+  // of the fact table.
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  // J3/J7 — left outer join preserving unmatched left rows
+  def leftJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  // J10/J12/O2 — parent lookup via (self-)join + order by id. nation→region
+  // models the location/order_type parent self-join shape.
+  def parentJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).as("n")
+      .join(broadcast(Tables.region(s, dir).as("r")),
+        col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("parent_name"))
+      .orderBy("n_nationkey")
+
+  // A3 — MySQL GROUP_CONCAT(DISTINCT … ORDER BY …) with pinned
+  // min-weight-per-name semantics (SURVEY §7.4.1)
+  def groupConcatOrdered(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(M.orderedDistinctConcat(col("l_returnflag"), col("l_linenumber"), ";")
+        .as("flags"))
+      .orderBy("o_orderkey")
+
+  // A4 — unordered distinct group_concat, pinned to sorted-by-value
+  def groupConcatSorted(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(M.sortedDistinctConcat(col("c_mktsegment"), ",").as("segments"))
+      .orderBy("c_nationkey")
+
+  // R1/R2 — pivot: spread a categorical into columns (tags/attributes shape)
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes) // explicit values: no discovery job
+      .count()
+    p.select(col("user_id") +: eventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  // J13 — anti-join (exclude list)
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // semi-join (EXISTS) — completes the join-kind surface
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // P4 — MySQL CAST(AS UNSIGNED): numeric prefix, 0 fallback
+  def castUnsigned(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        M.castUnsigned(col("o_orderpriority")).as("prio_num"),
+        M.castUnsigned(col("o_orderstatus")).as("status_num"))
+      .orderBy("o_orderkey")
+
+  // A5 — distinct
+  def distinctSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment")
+
+  // O1/O3 — order by + limit (top-N). Spark TakeOrderedAndProject:
+  // per-partition top-N then merge — no global sort.
+  def topN(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  // O6 — window: row_number per partition (util's sort-weight shape)
+  def windowRownum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // set operators — union all / intersect / except (G3's union-like op
+  // generalized to the full set-op surface)
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("k"), lit("o").as("src"))
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 49)
+      .select(col("l_orderkey").as("k"), lit("l").as("src"))
+    o.union(l).orderBy("src", "k")
+  }
+
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("k"))
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("k"))
+    o.intersect(l).orderBy("k")
+  }
+
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 10)
+      .select(col("l_orderkey").as("k"))
+    o.except(l).orderBy("k")
+  }
+
+  // grouping sets — rollup over two dims (completes the agg surface)
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // time-bucketed aggregation (batch twin of the streaming windowed agg)
+  def windowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("bucket", "event_type")
+
+  // ---- graph stage (G1/O4) over the region←nation←customer hierarchy ----
+
+  /** Edges "child references parent": customer→nation, nation→region.
+    * Node ids are prefixed strings so the three entity spaces disjoin. */
+  private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(
+      concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+      concat(lit("r"), col("n_regionkey").cast("string")).as("dst"))
+    val c = Tables.customer(s, dir).select(
+      concat(lit("c"), col("c_custkey").cast("string")).as("src"),
+      concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+    n.union(c)
+  }
+
+  // O4 — longest-path topological depth (regions 0, nations 1, customers 2)
+  def topoDepth(s: SparkSession, dir: String): DataFrame =
+    GraphOps.topoDepth(hierarchyEdges(s, dir))
+      .select(col("node"), col("depth"))
+      .orderBy("node")
+
+  // G1 — BFS closure downward from the ASIA region
+  def bfsClosure(s: SparkSession, dir: String): DataFrame = {
+    val down = hierarchyEdges(s, dir).select(col("dst").as("src"), col("src").as("dst"))
+    val root = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .select(concat(lit("r"), col("r_regionkey").cast("string")).as("node"))
+    GraphOps.bfsClosure(down, root).orderBy("node")
+  }
+
+  // G2 — cycle scan: the hierarchy is acyclic ⇒ empty cycle set; the
+  // query returns the (empty) set of cycle-reaching nodes.
+  def cycleNodes(s: SparkSession, dir: String): DataFrame =
+    GraphOps.findCycleNodes(hierarchyEdges(s, dir)).orderBy("node")
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale text corpora: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure DataFrame
+  * pipelines — no driver materialization, no UDFs (everything stays in
+  * whole-stage codegen), shuffles only on group/join keys — so they
+  * scale horizontally: the only skew hazard is hot LSH buckets /
+  * high-document-frequency shingles, which `maxBucket`/`maxDf` caps
+  * bound explicitly.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy on a normalized fingerprint): one row
+    * per distinct content, keeping the minimum id. Single shuffle on
+    * the md5 fingerprint — uniform key distribution by construction. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of `text` (n consecutive whitespace tokens,
+    * space-joined); documents shorter than n tokens yield one shingle =
+    * the whole token sequence. Distinct per document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signatures: `numHashes` independent min-hashes per doc.
+    * Hash family: xxhash64(shingle, seed_i) — deterministic, no stored
+    * random state. Computed as numHashes parallel `min` aggregates over
+    * the exploded shingle set (map-side partial agg ⇒ the shuffle
+    * carries one row per doc, not per shingle).
+    * Returns (idCol, sig array<long>, n_shingles).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; band hash = xxhash64 of the slice.
+    * Returns (idCol, band, bucket) — one row per (doc, band).
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"),
+            b * (size(col("sig")) / bands) + 1,
+            size(col("sig")) / bands), b))))
+      .toDF(idCol, "band", "bucket")
+  }
+
+  /** Candidate pairs from LSH buckets: docs sharing any (band, bucket).
+    * `maxBucket` drops degenerate hot buckets (e.g. empty-text dupes at
+    * 100 TB scale would otherwise produce a quadratic bucket) — dropped
+    * buckets are by definition huge duplicate classes better handled by
+    * [[exact]] first.
+    */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucket)
+    val a = sized.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the true
+    * shingle sets. `candidates(id_a, id_b)`; returns pairs with
+    * `jaccard` ≥ threshold. The shingle sets are joined in (two hash
+    * joins keyed on doc id), intersected with array ops — no UDF.
+    */
+  def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    * pairs → exact-Jaccard verify. */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val cands = lshCandidatePairs(lshBuckets(sigs, idCol, bands), idCol)
+    verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit j, sum +1/-1 for
+    * each token whose xxhash64 has bit j set/clear; bit j of the
+    * fingerprint = sign of the sum. 64 parallel sum-aggregates — one
+    * shuffle, map-side combined. Near-dup pairs then compare by hamming
+    * distance ([[simHashPairs]]).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 4×16-bit chunks (two docs
+    * within hamming distance 3 of each other share at least one exact
+    * chunk), verify with `bit_count(xor) <= maxHamming`. */
+  def simHashPairs(sims: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunked = sims.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF(idCol, "simhash", "chunk", "ckey")
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity via shingle inverted index — no LSH
+    * approximation: pairs sharing ≥1 shingle get their exact Jaccard.
+    * `maxDf` drops stop-shingles (doc frequency above it) before the
+    * pair expansion: at corpus scale a shingle appearing in k docs
+    * produces k² pair rows, so frequent shingles must be excluded from
+    * *candidate generation* (they still count in verification, which
+    * recomputes Jaccard from the full sets).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val rare = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+    val cands = rare.select(col("sh"), col("__id").as("id_a"))
+      .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
+  }
+}
