@@ -16,10 +16,27 @@ object MysqlFunctions {
     * The reference uses this to split PIH codes into "Number" vs "Name"
     * sources (`concepts/src/concept_csv_export.py:299-306`). Spark's own
     * `cast` yields null for non-numeric strings, hence the
-    * regexp-extract + coalesce wrapper.
+    * regexp-extract + coalesce wrapper. `regexp_extract` yields `""` (not
+    * null) on no-match, and Spark 4 ANSI mode throws CAST_INVALID_INPUT
+    * casting `""` to a numeric — hence the `nullif` guard.
     */
   def castUnsigned(c: Column): Column =
-    coalesce(regexp_extract(c, "^\\s*([0-9]+)", 1).cast(LongType), lit(0L))
+    coalesce(nullif(regexp_extract(c, "^\\s*([0-9]+)", 1), lit("")).cast(LongType),
+      lit(0L))
+
+  /** Oracle-parity double rounding, pinned in ONE place (every rounded
+    * double in a query must use this). DuckDB rounds a DOUBLE as
+    * `floor(x * 10^s + 0.5) / 10^s` (half away from zero, computed in
+    * double arithmetic — verified empirically; e.g. 50863.854999999996
+    * rounds to 50863.86 because 50863.854999999996 * 100 lands exactly on
+    * 5086385.5). Spark's `round`/`bround` convert through BigDecimal and
+    * disagree on exactly those boundary products, so we reproduce the
+    * same double-arithmetic formula as a codegen'd expression. */
+  def oracleRound(c: Column, scale: Int): Column = {
+    val p = lit(math.pow(10, scale))
+    when(c < 0, -floor(-c * p + lit(0.5)) / p)
+      .otherwise(floor(c * p + lit(0.5)) / p)
+  }
 
   /** `REPLACE(REPLACE(x,'\r',''),'\n','')` — newline strip applied to
     * descriptions before CSV write (`concept_csv_export.py:318`). */

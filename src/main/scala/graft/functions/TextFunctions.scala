@@ -31,20 +31,20 @@ object TextFunctions {
     * highly repetitive (low quality). Rounded for oracle stability. */
   def uniqueTokenRatio(text: Column): Column = {
     val ts = tokens(text)
-    round(size(array_distinct(ts)).cast("double") /
+    MysqlFunctions.oracleRound(size(array_distinct(ts)).cast("double") /
       greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
   /** Mean token length in characters. */
   def meanTokenLength(text: Column): Column = {
     val ts = tokens(text)
-    round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+    MysqlFunctions.oracleRound(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
   /** Punctuation character ratio over total characters. */
   def punctRatio(text: Column): Column =
-    round(
+    MysqlFunctions.oracleRound(
       (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
         greatest(length(text), lit(1)).cast("double"), 4)
 
@@ -58,7 +58,7 @@ object TextFunctions {
   def stopwordRatio(text: Column): Column = {
     val ts = tokens(lower(text))
     val sw = filter(ts, t => t.isin(englishStopwords: _*))
-    round(size(sw).cast("double") / greatest(size(ts), lit(1)).cast("double"), 4)
+    MysqlFunctions.oracleRound(size(sw).cast("double") / greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
   /** Composite quality score in [0,1]: blends repetition, token shape
@@ -67,7 +67,7 @@ object TextFunctions {
     val uniq = size(array_distinct(tokens(text))).cast("double") /
       greatest(size(tokens(text)), lit(1)).cast("double")
     val lenOk = when(length(text).between(20, 20000), lit(1.0)).otherwise(lit(0.5))
-    round(uniq * lit(0.7) + lenOk * lit(0.3), 4)
+    MysqlFunctions.oracleRound(uniq * lit(0.7) + lenOk * lit(0.3), 4)
   }
 
   /** Language-ID heuristic: character-n-gram/stopword profile scoring.
@@ -99,9 +99,13 @@ object TextFunctions {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling (polynomial) hash over whitespace tokens — order-sensitive
-    * document fingerprint, computed as a sequential fold (deterministic;
-    * base 1000003 mod 2^61-1 via Long arithmetic). */
+    * document fingerprint, computed as a sequential fold (deterministic).
+    * Modulus 2^31-1 keeps every intermediate within Long range under ANSI
+    * mode: acc < 2^31, so acc*1000003 < 2^51 and the added per-token hash
+    * term (< 2^31) cannot overflow before the `pmod` reduction. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + abs(hash(t).cast("long")), lit(2305843009213693951L)))
+      (acc, t) => pmod(
+        acc * lit(1000003L) + pmod(hash(t).cast("long"), lit(2147483647L)),
+        lit(2147483647L)))
 }

@@ -25,7 +25,7 @@ object CoreQueries {
         col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("qty"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        M.oracleRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
         M.stripNewlines(col("l_returnflag")).as("flag"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -34,9 +34,9 @@ object CoreQueries {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        M.oracleRound(sum("l_quantity"), 2).as("sum_qty"),
+        M.oracleRound(sum("l_extendedprice"), 2).as("sum_price"),
+        M.oracleRound(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -49,7 +49,7 @@ object CoreQueries {
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("p_brand")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        M.oracleRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
 
@@ -60,7 +60,7 @@ object CoreQueries {
       .groupBy("c_custkey", "c_name")
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_spend"))
+        M.oracleRound(sum("o_totalprice"), 2).as("total_spend"))
       .orderBy("c_custkey")
 
   // J10/J12/O2 — parent lookup via (self-)join + order by id. nation→region
@@ -131,7 +131,7 @@ object CoreQueries {
   // per-partition top-N then merge — no global sort.
   def topN(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .select(col("o_orderkey"), M.oracleRound(col("o_totalprice"), 2).as("price"))
       .orderBy(col("price").desc, col("o_orderkey"))
       .limit(10)
 
@@ -174,7 +174,7 @@ object CoreQueries {
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), M.oracleRound(sum("o_totalprice"), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
@@ -184,7 +184,7 @@ object CoreQueries {
       .groupBy(
         unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), M.oracleRound(sum("value"), 2).as("total_value"))
       .orderBy("bucket", "event_type")
 
   // ---- graph stage (G1/O4) over the region←nation←customer hierarchy ----

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{MysqlFunctions, TextFunctions}
 
 /** Deduplication operators for large-scale text corpora: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure DataFrame
@@ -97,7 +97,7 @@ object Dedup {
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
+      .withColumn("jaccard", MysqlFunctions.oracleRound(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MysqlFunctions
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a random-
@@ -99,7 +100,7 @@ object Similarity {
     val b = c.select(col("bucket"), col("__id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("cos", MysqlFunctions.oracleRound(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -21,6 +21,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects outright (ILLEGAL_PARQUET_TYPE) unless the legacy nanos-as-
+    * long flag is on. Handle it once at the source: read nanos as long,
+    * then convert to a proper timestamp via exact integer division to
+    * micros (no double round-trip — epoch nanos exceed 2^53 and would
+    * lose precision through a double). Every consumer gets a real
+    * TimestampType column. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -28,7 +46,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = loadEvents(s, d)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
