@@ -1,24 +1,64 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main (driver contract): times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints ONE machine-readable JSON line, also
+  * written to bench_out.json so log noise can't hide it.
+  *
+  * A warm-up pass at the smallest sf dir runs first so the timed pass
+  * measures steady-state query time, not session bring-up + codegen +
+  * JIT of the first query (r1 charged ~25s of warm-up to whichever
+  * query ran first). Failures are recorded per query in "errors" — a
+  * crashed query must never appear as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val times = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(_ != '\n').take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = times.filter { case (n, _) => !errors.contains(n) }
+    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size},""" +
+      s""""sf":${jstr(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
