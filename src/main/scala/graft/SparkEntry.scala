@@ -247,5 +247,84 @@ object SparkEntry {
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Full MinHash signature matrix, reproduced hash-for-hash: the
+    // md5-prefix family is expressible in SQL.
+    "q29_minhash_sig" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks)
+        |SELECT doc_id, CAST(g.i AS INTEGER) AS i,
+        | list_min(list_transform(s, x ->
+        |   CAST(('0x' || substr(md5(g.i || ':' || x), 1, 8)) AS BIGINT))) AS mh
+        |FROM sh, generate_series(0, 63) AS g(i)
+        |ORDER BY doc_id, i""".stripMargin,
+    // Exact brute-force Jaccard >= 0.7 over 3-token shingles: equals the
+    // MinHash-LSH output because banded collision is ~certain at the
+    // planted near-dups' J >= 0.9 (see PipelineQueries.minhashPairs).
+    "q30_minhash_pairs" -> jaccardPairOracle(0.7),
+    "q31_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        | FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, unnest(t) AS tk FROM toks)),
+        |bits AS (
+        | SELECT doc_id, g.i AS i,
+        |  SUM(CASE WHEN (hv >> CAST(g.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM h, generate_series(0, 59) AS g(i) GROUP BY doc_id, g.i)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q32_ngram_jaccard" -> jaccardPairOracle(0.5),
+    "q34_cosine_neardup" ->
+      """SELECT id_a, id_b, cos FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q35_rolling_fingerprint" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT), list_transform(t, x ->
+        |    CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
+        |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rhash
+        |FROM toks ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB brute-force n-gram-Jaccard pair oracle (3-token shingles,
+    * candidates = pairs sharing any shingle — complete for J > 0). */
+  private def jaccardPairOracle(threshold: Double): String =
+    s"""WITH toks AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END AS s
+       | FROM toks),
+       |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+       |cand AS (
+       | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+       | JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       | SELECT ia AS id_a, ib AS id_b,
+       |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |   / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE),
+       |   4) AS jaccard
+       | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 }

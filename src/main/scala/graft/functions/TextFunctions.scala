@@ -98,14 +98,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Integer hash from an md5 hex prefix (`hexDigits` ≤ 15 keeps the
+    * value < 2^60, safely inside a signed Long under ANSI mode).
+    * Marginally slower than xxhash64 but reproducible in ANSI SQL
+    * (`CAST('0x'||substr(md5(x),1,n) AS BIGINT)`), which makes every
+    * sketch built on it verifiable against a SQL oracle — the reason
+    * the MinHash/SimHash/rolling-hash family uses it. */
+  def md5Int(c: Column, hexDigits: Int): Column = {
+    require(hexDigits <= 15, "more than 15 hex digits overflows a signed Long")
+    conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+  }
+
   /** Rolling (polynomial) hash over whitespace tokens — order-sensitive
     * document fingerprint, computed as a sequential fold (deterministic).
     * Modulus 2^31-1 keeps every intermediate within Long range under ANSI
-    * mode: acc < 2^31, so acc*1000003 < 2^51 and the added per-token hash
-    * term (< 2^31) cannot overflow before the `pmod` reduction. */
+    * mode: acc < 2^31 and each md5Int term < 2^32, so acc*1000003 + term
+    * < 2^52 — no overflow before the `pmod` reduction. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(
-        acc * lit(1000003L) + pmod(hash(t).cast("long"), lit(2147483647L)),
-        lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(1000003L) + md5Int(t, 8), lit(2147483647L)))
 }

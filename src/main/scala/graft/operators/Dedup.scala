@@ -34,18 +34,19 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` independent min-hashes per doc.
-    * Hash family: xxhash64(shingle, seed_i) — deterministic, no stored
-    * random state. Computed as numHashes parallel `min` aggregates over
-    * the exploded shingle set (map-side partial agg ⇒ the shuffle
-    * carries one row per doc, not per shingle).
-    * Returns (idCol, sig array<long>, n_shingles).
+    * Hash family: md5Int(seed_i + ":" + shingle) — deterministic, no
+    * stored random state, and reproducible in ANSI SQL so the LSH
+    * pipeline built on it is oracle-verifiable. Computed as numHashes
+    * parallel `min` aggregates over the exploded shingle set (map-side
+    * partial agg ⇒ the shuffle carries one row per doc, not per
+    * shingle). Returns (idCol, sig array<long>).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = df.select(col(idCol),
         explode(shingles(col(textCol), shingleSize)).as("sh"))
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min(TextFunctions.md5Int(concat(lit(i), lit(":"), col("sh")), 8)).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
@@ -73,12 +74,17 @@ object Dedup {
     */
   def lshCandidatePairs(buckets: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucket)
-    val a = sized.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // Hot-bucket cap via groupBy + broadcast anti-join. The r1 version
+    // counted with a Window over every bucket row — a full shuffle+sort
+    // of the exploded set. groupBy.count partial-aggregates map-side,
+    // and the over-cap set is tiny by construction, so it broadcasts.
+    val hot = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val pruned = buckets.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val a = pruned.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -113,20 +119,23 @@ object Dedup {
     verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit j, sum +1/-1 for
-    * each token whose xxhash64 has bit j set/clear; bit j of the
-    * fingerprint = sign of the sum. 64 parallel sum-aggregates — one
-    * shuffle, map-side combined. Near-dup pairs then compare by hamming
-    * distance ([[simHashPairs]]).
+  /** SimHash over whitespace tokens: per bit j, sum +1/-1 for each
+    * token whose hash has bit j set/clear; bit j of the fingerprint =
+    * sign of the sum. `bits` parallel sum-aggregates — one shuffle,
+    * map-side combined. The token hash is a 60-bit md5 prefix (15 hex
+    * digits) so the whole sketch is reproducible in ANSI SQL; near-dup
+    * pairs then compare by hamming distance ([[simHashPairs]]).
+    * Documents with no tokens produce no row (no hash evidence).
     */
+  val simHashBits = 60
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", TextFunctions.md5Int(col("t"), 15))
+    val bitSums = (0 until simHashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(j =>
+    val fp = (0 until simHashBits).map(j =>
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col(idCol), fp.as("simhash"))
@@ -165,9 +174,12 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleSize)).as("sh"))
-    val rare = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
+    // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
+    // the (small) hot set — replaces the r1 Window-count, which
+    // shuffled and sorted every exploded shingle row.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val cands = rare.select(col("sh"), col("__id").as("id_a"))
       .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))

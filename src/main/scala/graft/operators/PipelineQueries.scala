@@ -54,21 +54,25 @@ object PipelineQueries {
       .select(col("doc_id"), T.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id")
 
-  // MinHash signature digest per doc (rows-only check: deterministic
-  // pipeline smoke over signatures without SQL-expressible oracle)
+  // MinHash signature rows (doc_id, hash index, min-hash value). The
+  // md5-prefix hash family makes every value SQL-reproducible, so the
+  // full signature matrix is DuckDB-oracled.
   def minhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignatures(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
+      .orderBy("doc_id", "i")
 
-  // MinHash-LSH near-dup: top candidate pairs by verified Jaccard
+  // MinHash-LSH near-dup, threshold 0.7: candidate pairs from 16-band
+  // LSH, then exact-Jaccard verification. The testdata's planted
+  // near-dups sit at J >= 0.9 (next pairs below 0.3), where a 16-band /
+  // 4-row signature collides with probability 1-(1-0.9^4)^16 ~ 1-4e-8 —
+  // so the LSH output equals the exact J >= 0.7 pair set and the DuckDB
+  // brute-force oracle hash-matches.
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
-    val cands = Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, "doc_id", 16), "doc_id")
-    Dedup.verifyJaccard(cands, docs, "doc_id", "text", 3, 0.0)
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(20)
+    Dedup.minHashNearDup(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .orderBy("id_a", "id_b")
   }
 
   // SimHash fingerprints (rows-only)
@@ -76,12 +80,14 @@ object PipelineQueries {
     Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  // n-gram Jaccard pairs via inverted index (rows-only; top-20)
+  // n-gram Jaccard pairs via inverted index, threshold 0.5. Near-dup
+  // pairs share many doc-specific (df=2) shingles, so the stop-shingle
+  // cap cannot drop a qualifying pair's only candidate shingle — the
+  // output equals the exact J >= 0.5 pair set (DuckDB-oracled).
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.0, maxDf = 50)
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(20)
+        shingleSize = 3, threshold = 0.5, maxDf = 50)
+      .orderBy("id_a", "id_b")
 
   // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -99,10 +105,14 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  // embedding cosine near-dup pairs (rows-only; top-20 by cosine)
+  // embedding cosine similarity join, threshold 0.45 (exact, oracled).
+  // The testdata embeddings have NO high-cosine pairs (max pairwise cos
+  // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or
+  // unable to hold recall; the verifiable semantics is the exact
+  // τ-join. Similarity.cosineNearDupLsh remains the scale path for real
+  // near-dup corpora (threshold >= ~0.85).
   def cosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = -1.0)
-      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-      .limit(20)
+    Similarity.cosineSimJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("id_a", "id_b")
 }
