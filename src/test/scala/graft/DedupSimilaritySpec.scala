@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "short text"),
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val res = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val dupGroup = res.find(_._3 == 2L)
+    assert(dupGroup.exists(_._2 == 1L), "keeps min doc_id of the duplicate pair")
+    assert(res.length == 5) // 6 docs, one exact pair
+  }
+
+  test("shingles: n consecutive tokens; short docs yield one whole-text shingle") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(5L) == Seq("short text"))
+    assert(sh(6L) == Seq(""))
+  }
+
+  test("minHash near-dup pipeline finds the planted pair and only it") {
+    val pairs = Dedup.minHashNearDup(docs.filter(col("doc_id") =!= 4), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("identical docs share identical MinHash signatures") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("ngramJaccardPairs returns exact jaccard for the planted pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 4L)) == 1.0)
+  }
+
+  test("simHash: exact dups identical, near-dups hamming-close, others far") {
+    val sims = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) < hamming(sims(1L), sims(3L)))
+    val pairs = Dedup.simHashPairs(
+      Dedup.simHash(docs, "doc_id", "text"), "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  // --- similarity over synthetic embeddings ---
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+  private lazy val emb = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9, 0.1, 0, 0)),  // close to 0
+    (2L, vec(0, 1, 0, 0)),
+    (3L, vec(0, 0.9, 0.1, 0)),  // close to 2
+    (4L, vec(0, 0, 0, 1))).toDF("vec_id", "embedding")
+
+  test("cosineTopK: nearest neighbor is the planted close vector") {
+    val top1 = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(top1.toSeq == Seq((0L, 1L, 1)))
+  }
+
+  test("cosineSimJoin matches brute-force pairs above threshold") {
+    val got = Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("annTopK multi-probe achieves full recall on a seeded random corpus") {
+    val rng = new scala.util.Random(42)
+    val corpus = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val ann = Similarity.annTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, numPlanes = 6, dim = 16)
+    assert(ann.count() == 20, "every query returns its full top-k")
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ann.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe recall $recall collapsed")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{MysqlFunctions => M, TextFunctions => T}
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("castUnsigned: MySQL CAST AS UNSIGNED semantics (prefix digits, 0 fallback)") {
+    val rows = Seq("123", "123abc", "abc", "", " 42", "12;34", "0", "9x9")
+      .toDF("s")
+      .select(M.castUnsigned(col("s")).as("v")).as[Long].collect().toSeq
+    assert(rows == Seq(123L, 123L, 0L, 0L, 42L, 12L, 0L, 9L))
+  }
+
+  test("castUnsigned: null input yields 0 (oracle coalesce parity)") {
+    val v = Seq[Option[String]](None).toDF("s")
+      .select(M.castUnsigned(col("s")).as("v")).as[Long].head()
+    assert(v == 0L)
+  }
+
+  test("oracleRound: DuckDB double-rounding parity at boundaries") {
+    // values verified against DuckDB round(CAST(x AS DOUBLE), s)
+    val cases = Seq(
+      (2.675, 2, 2.68), (2.665, 2, 2.67), (1.005, 2, 1.0),
+      (50863.854999999996, 2, 50863.86),
+      (-2.675, 2, -2.68), (-2.665, 2, -2.67),
+      (0.86875, 4, 0.8688))
+    cases.foreach { case (x, s, want) =>
+      val got = Seq(x).toDF("x").select(M.oracleRound(col("x"), s)).as[Double].head()
+      assert(got == want, s"oracleRound($x, $s) = $got, want $want")
+    }
+  }
+
+  test("orderedDistinctConcat: distinct names ordered by min weight, ties by name") {
+    val df = Seq(
+      (1, "b", 2.0), (1, "a", 3.0), (1, "b", 9.0), (1, "c", 1.0),
+      (2, "z", 1.0)).toDF("id", "name", "w")
+    val got = df.groupBy("id")
+      .agg(M.orderedDistinctConcat(col("name"), col("w"), ";").as("s"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "c;b;a"), (2, "z")))
+  }
+
+  test("orderedDistinctConcat: null names dropped like GROUP_CONCAT") {
+    val df = Seq((1, Some("x"), 1.0), (1, None, 0.5)).toDF("id", "name", "w")
+    val got = df.groupBy("id")
+      .agg(M.orderedDistinctConcat(col("name"), col("w"), ";").as("s"))
+      .as[(Int, String)].head()
+    assert(got == (1, "x"))
+  }
+
+  test("stripNewlines matches REPLACE(REPLACE(x,'\\r',''),'\\n','')") {
+    val got = Seq("a\r\nb\nc\rd").toDF("s")
+      .select(M.stripNewlines(col("s"))).as[String].head()
+    assert(got == "abcd")
+  }
+
+  test("sortedDistinctConcat: distinct values, sorted, joined") {
+    val got = Seq((1, "b"), (1, "a"), (1, "b")).toDF("id", "v")
+      .groupBy("id").agg(M.sortedDistinctConcat(col("v"), ",").as("s"))
+      .as[(Int, String)].head()
+    assert(got == (1, "a,b"))
+  }
+
+  test("tokens: blank and empty text yield empty arrays") {
+    val got = Seq("", "   ", "a  b\tc").toDF("s")
+      .select(T.tokenCount(col("s"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 3))
+  }
+
+  test("rollingHash: deterministic, order-sensitive, bounded") {
+    val df = Seq("one two three", "three two one", "one two three").toDF("s")
+    val hs = df.select(T.rollingHash(col("s"))).as[Long].collect().toSeq
+    assert(hs(0) == hs(2))
+    assert(hs(0) != hs(1)) // order matters
+    assert(hs.forall(h => h >= 0 && h < 2147483647L))
+    // long repetitive text must not overflow under ANSI mode
+    val long = Seq(("w " * 5000).trim).toDF("s")
+    long.select(T.rollingHash(col("s"))).as[Long].head()
+  }
+
+  test("langId: picks the profile language on clear-cut text") {
+    val got = Seq(
+      "the cat and the dog of the house",
+      "el perro y la casa de la playa que",
+      "der hund und die katze ist das").toDF("s")
+      .select(T.langId(col("s"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de"))
+  }
+}

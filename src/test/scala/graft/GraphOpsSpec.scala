@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{CycleException, GraphOps}
+
+/** Ports of the reference's four unit tests
+  * (`concepts/src/test_concept_csv_export.py:33-103`), which pin the
+  * graph/order semantics: topological reorder invariants, BFS closure
+  * membership, cycle witness message, and the mini end-to-end pipeline.
+  * Fixtures mirror FIXTURES.md §1 — concepts as (key, answers, members)
+  * with `;`-joined referent lists, re-expressed as edge DataFrames.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Edge list (src = referrer, dst = referent) from (key, answers, members). */
+  private def conceptEdges(rows: Seq[(String, String, String)]): DataFrame =
+    rows.toDF("key", "answers", "members")
+      .select(col("key").as("src"),
+        explode(filter(
+          concat(split(col("answers"), ";"), split(col("members"), ";")),
+          r => length(r) > 0)).as("dst"))
+
+  private val reorderFixture = Seq(
+    ("a", "", "b;c"),
+    ("b", "", "d;e"),
+    ("c", "d;e", ""),
+    ("d", "", ""),
+    ("e", "", ""))
+
+  test("move_referring_concepts_down: every referrer sorts after all referents") {
+    val edges = conceptEdges(reorderFixture)
+    val concepts = reorderFixture.map(_._1).toDF("key")
+    val ordered = GraphOps.topoOrder(concepts, "key", edges)
+      .orderBy(col("__ord"), col("key"))
+      .select("key").as[String].collect().toSeq
+    def idx(k: String) = ordered.indexOf(k)
+    assert(idx("a") > idx("b")); assert(idx("a") > idx("c"))
+    assert(idx("b") > idx("d")); assert(idx("b") > idx("e"))
+    assert(idx("c") > idx("d")); assert(idx("c") > idx("e"))
+  }
+
+  test("get_all_concepts_in_tree: BFS closure membership for roots a, b, d") {
+    val edges = conceptEdges(reorderFixture)
+    def tree(root: String): Set[String] =
+      GraphOps.bfsClosure(edges, Seq(root).toDF("node"))
+        .as[String].collect().toSet
+    assert(tree("a") == Set("a", "b", "c", "d", "e"))
+    assert(tree("b") == Set("b", "d", "e"))
+    assert(tree("d") == Set("d"))
+  }
+
+  test("detect_cycles: raises with the c --> d --> f --> c witness") {
+    val edges = conceptEdges(Seq(
+      ("a", "", "b;c"),
+      ("b", "", ""),
+      ("c", "d;e", ""),
+      ("d", "e;f", ""),
+      ("e", "", ""),
+      ("f", "c;e", "")))
+    val e = intercept[CycleException] { GraphOps.detectCycles(edges) }
+    assert(e.getMessage.contains("c --> d --> f --> c"))
+    // only one cycle reported (reference counts one "\n\t" separator)
+    assert(e.getMessage.split("-->").length == 4)
+  }
+
+  test("detect_cycles: acyclic graph passes silently") {
+    GraphOps.detectCycles(conceptEdges(reorderFixture))
+  }
+
+  test("integration: tree-filter, cycle-check, reorder, exclude => [c, a]") {
+    val fixture = Seq(
+      ("a", "", "b"),
+      ("b", "c", ""),
+      ("c", "", ""),
+      ("d", "", ""))
+    val edges = conceptEdges(fixture)
+    val inTree = GraphOps.bfsClosure(edges, Seq("a").toDF("node"))
+    val treeEdges = edges
+      .join(inTree.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+    GraphOps.detectCycles(treeEdges)
+    val ordered = GraphOps.topoOrder(inTree, "node", treeEdges)
+    val excluded = ordered
+      .join(Seq("b").toDF("node"), Seq("node"), "left_anti")
+    val res = excluded.orderBy(col("__ord"), col("node"))
+      .select("node").as[String].collect().toSeq
+    assert(res == Seq("c", "a"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraphOps
+
+/** Property-style tests (SURVEY §5.4) over seeded random graphs:
+  * random DAGs produce a valid topological order; planting a back-edge
+  * makes the cycle detector fire. Deterministic seed — each case is a
+  * handful of Spark jobs, so the case count stays small. */
+class GraphPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** DAG by construction: edges only from higher to lower node index. */
+  private def randomDag(rng: scala.util.Random): List[(String, String)] = {
+    val n = 3 + rng.nextInt(8)
+    List.fill(n * 2) {
+      val a = 1 + rng.nextInt(n)
+      val b = rng.nextInt(a)
+      (s"n$a", s"n$b")
+    }.distinct
+  }
+
+  test("random DAGs: topoDepth yields a valid topological order") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val edges = randomDag(rng)
+      val depth = GraphOps.topoDepth(edges.toDF("src", "dst"))
+        .as[(String, Int)].collect().toMap
+      edges.foreach { case (src, dst) =>
+        assert(depth(src) > depth(dst),
+          s"$src (depth ${depth(src)}) must be deeper than $dst (${depth(dst)}) in $edges")
+      }
+    }
+  }
+
+  test("random DAG plus a planted back-edge: cycle detector fires") {
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val edges = randomDag(rng)
+      val (a, b) = edges.head
+      val cyclic = ((b, a) :: edges).toDF("src", "dst")
+      assert(GraphOps.findCycleNodes(cyclic).count() > 0,
+        s"planted cycle ($b,$a) in $edges not detected")
+    }
+  }
+
+  test("random DAG alone: cycle detector stays silent") {
+    val rng = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val edges = randomDag(rng)
+      assert(GraphOps.findCycleNodes(edges.toDF("src", "dst")).count() == 0,
+        s"false cycle in DAG $edges")
+    }
+  }
+}
