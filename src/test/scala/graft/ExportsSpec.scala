@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.ConceptsConfig
+import graft.exports.{ConceptSetCreator, ConceptsExport, LocationsExport, OrderTypesExport}
+import graft.sink.CsvSink
+import graft.sources.{CsvSource, JdbcSource}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class ExportsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import ExportFixtures._
+
+  private val cfg = ConceptsConfig(
+    locales = Seq("en", "es"),
+    mappingTypes = Seq("SAME-AS", "NARROWER-THAN"),
+    conceptSources = Seq("PIH|Name", "PIH|Number", "CIEL"))
+
+  private def wideByUuid = ConceptsExport.wide(conceptResolver, cfg)
+    .collect().map(r => r.getAs[String]("uuid") -> r).toMap
+
+  test("concepts wide: names pivot per (locale, type); voided names dropped") {
+    val w = wideByUuid
+    assert(w("uuid-2").getAs[String]("Fully specified name:en") == "Weight")
+    assert(w("uuid-2").getAs[String]("Short name:en") == "Wt")
+    assert(w("uuid-2").getAs[String]("Fully specified name:es") == "Peso")
+    assert(w("uuid-4").getAs[String]("Fully specified name:en") == "Yes")
+    assert(w("uuid-2").getAs[String]("Short name:es") == null)
+  }
+
+  test("concepts wide: retired concepts excluded; retired terms dropped") {
+    val w = wideByUuid
+    assert(!w.contains("uuid-6"))
+    // concept 4's only live mapping is CIEL 1065 (term 54 retired)
+    assert(w("uuid-4").getAs[String]("Mappings|SAME-AS|CIEL") == "1065")
+  }
+
+  test("concepts wide: PIH Number/Name cast split in the mappings pivot") {
+    val w = wideByUuid
+    assert(w("uuid-2").getAs[String]("Mappings|SAME-AS|PIH|Number") == "5089")
+    // no-mapping cells are ""/null — the reference coerces NULL to ""
+    // at parse time anyway (concept_csv_export.py:577)
+    assert(Option(w("uuid-2").getAs[String]("Mappings|SAME-AS|PIH|Name"))
+      .forall(_.isEmpty))
+    assert(w("uuid-3").getAs[String]("Mappings|SAME-AS|PIH|Name") == "TEMPERATURE")
+    assert(w("uuid-3").getAs[String]("Mappings|NARROWER-THAN|CIEL") == "124")
+  }
+
+  test("concepts wide: members/answers ordered by sort_weight, retired members dropped") {
+    val w = wideByUuid
+    assert(w("uuid-1").getAs[String]("Members") == "Temperature;Weight")
+    assert(w("uuid-3").getAs[String]("Answers") == "Yes;No")
+  }
+
+  test("concepts wide: description newline-stripped; numeric + complex 1:1 columns") {
+    val w = wideByUuid
+    assert(w("uuid-2").getAs[String]("Description:en") == "Patient weightin kg")
+    assert(w("uuid-2").getAs[Double]("Absolute high") == 300.0)
+    assert(w("uuid-2").getAs[String]("Units") == "kg")
+    assert(w("uuid-2").getAs[Int]("Allow decimals") == 1)
+    assert(w("uuid-7").getAs[String]("Complex data handler") == "ImageHandler")
+  }
+
+  test("concepts: version gates drop precision columns before 1.11 and pick 'precise' before 2.2") {
+    val old = ConceptsExport.wide(conceptResolver, cfg.copy(version = "1.9"))
+    assert(!old.columns.contains("Display precision"))
+    assert(cfg.copy(version = "2.1").allowDecimalColumn == "precise")
+    assert(cfg.copy(version = "2.2").allowDecimalColumn == "allow_decimal")
+  }
+
+  test("concepts pipeline: topological order puts referents before referrers") {
+    val rows = ConceptsExport.pipeline(conceptResolver, cfg)
+      .orderBy(col("__ord"), col("__tie"))
+      .select("uuid").as[String].collect().toSeq
+    def idx(u: String) = rows.indexOf(u)
+    assert(idx("uuid-1") > idx("uuid-2")) // set after members
+    assert(idx("uuid-1") > idx("uuid-3"))
+    assert(idx("uuid-3") > idx("uuid-4")) // question after answers
+    assert(idx("uuid-3") > idx("uuid-5"))
+  }
+
+  test("concepts pipeline: tree filter keeps only the root's closure") {
+    val rows = ConceptsExport.pipeline(conceptResolver,
+        cfg.copy(setName = Some("Vital signs")))
+      .select("uuid").as[String].collect().toSet
+    assert(rows == Set("uuid-1", "uuid-2", "uuid-3", "uuid-4", "uuid-5"))
+  }
+
+  test("concepts: key remap fails loudly for concepts missing the key mapping") {
+    val e = intercept[IllegalStateException] {
+      ConceptsExport.pipeline(conceptResolver,
+        cfg.copy(conceptKeyMapping = Some("CIEL")))
+    }
+    assert(e.getMessage.contains("uuid-7")) // the concept with no mappings
+  }
+
+  test("concepts: key remap takes the first (sorted) SAME-AS code as key") {
+    val noComplex: String => org.apache.spark.sql.DataFrame = {
+      case "concept" => concept.filter(col("concept_id") =!= 7)
+      // give concept 3 a SAME-AS CIEL mapping so every concept has a key
+      case "concept_reference_term" => conceptReferenceTerm.unionByName(
+        Seq((58L, "126", 40L, 0))
+          .toDF("concept_reference_term_id", "code", "concept_source_id", "retired"))
+      case "concept_reference_map" => conceptReferenceMap.unionByName(
+        Seq((3L, 30L, 58L))
+          .toDF("concept_id", "concept_map_type_id", "concept_reference_term_id"))
+      case other => conceptTables(other)
+    }
+    val rows = ConceptsExport.pipeline(noComplex,
+        cfg.copy(conceptKeyMapping = Some("CIEL")))
+    val keys = rows.select("uuid", "_mapping:CIEL").as[(String, String)]
+      .collect().toMap
+    assert(keys("uuid-2") == "5089")
+    assert(keys("uuid-1") == "1114")
+  }
+
+  test("concepts export end-to-end: header contract, pruning, row order, empty Void/Retire") {
+    val out = Files.createTempDirectory("graft-test").resolve("concepts.csv").toString
+    ConceptsExport.export(conceptResolver, cfg, out)
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+    val header = lines.head.split(",", -1).toSeq
+    // fixed leading block (R4)
+    assert(header.take(10) == Seq("uuid", "Void/Retire",
+      "Fully specified name:en", "Short name:en", "Fully specified name:es",
+      "Description:en", "Data class", "Data type", "Answers", "Members"))
+    // all-empty columns pruned (no es SHORT names, no Critical high, no PIH|Name SAME-AS... )
+    assert(!header.contains("Short name:es"))
+    assert(!header.contains("Critical high"))
+    assert(header.contains("Mappings|SAME-AS|CIEL"))
+    // Void/Retire kept but empty on every row
+    val vIdx = header.indexOf("Void/Retire")
+    assert(lines.tail.forall(_.split(",", -1)(vIdx) == ""))
+    // referents precede referrers in the file
+    val uuids = lines.tail.map(_.split(",", -1).head)
+    assert(uuids.indexOf("uuid-1") > uuids.indexOf("uuid-2"))
+    assert(uuids.indexOf("uuid-3") > uuids.indexOf("uuid-5"))
+    assert(uuids.length == 6)
+  }
+
+  test("concepts: stop-character scan flags ';' in codes and names (V1)") {
+    val withStop: String => org.apache.spark.sql.DataFrame = {
+      case "concept_reference_term" =>
+        Seq((90L, "12;34", 40L, 0))
+          .toDF("concept_reference_term_id", "code", "concept_source_id", "retired")
+      case "concept_name" =>
+        Seq((2L, "Weight; in kg", "en", "FULLY_SPECIFIED", 0))
+          .toDF("concept_id", "name", "locale", "concept_name_type", "voided")
+      case other => conceptTables(other)
+    }
+    val hits = ConceptsExport.stopCharacterScan(withStop, cfg)
+      .select("kind").as[String].collect().sorted.toSeq
+    assert(hits == Seq("code", "name"))
+  }
+
+  test("locations export: dynamic Tag|/Attribute| columns, ':' values intact, id order") {
+    val out = Files.createTempDirectory("graft-test").resolve("locations.csv").toString
+    LocationsExport.export(locationResolver, out)
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+    val header = lines.head.split(",", -1).toSeq
+    assert(header == Seq("UUID", "Void/Retire", "Name", "Description", "Parent",
+      "Attribute|Code", "Tag|Admission Location", "Tag|Facility", "Tag|Login Location"))
+    val rows = lines.tail.map(_.split(",", -1).toSeq)
+    assert(rows.map(_.head) == Seq("loc-1", "loc-2", "loc-3", "loc-4", "loc-5"))
+    val byUuid = rows.map(r => r.head -> header.zip(r).toMap).toMap
+    assert(byUuid("loc-2")("Parent") == "Root Hospital")
+    // reference splits on ':' and corrupts this value; we keep it whole
+    assert(byUuid("loc-2")("Attribute|Code") == "\"CA:01\"" ||
+      byUuid("loc-2")("Attribute|Code") == "CA:01")
+    assert(byUuid("loc-2")("Tag|Login Location") == "TRUE")
+    assert(byUuid("loc-1")("Tag|Login Location") == "")
+    assert(byUuid("loc-3")("Void/Retire") == "1")
+    assert(byUuid("loc-4")("Parent") == "Campus")
+  }
+
+  test("order types export: parent uuid self-join, fixed columns, id order") {
+    val out = Files.createTempDirectory("graft-test").resolve("ordertypes.csv").toString
+    OrderTypesExport.export(orderTypeResolver, out)
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+    assert(lines.head.split(",", -1).toSeq == OrderTypesExport.columns)
+    val rows = lines.tail.map(_.split(",", -1).toSeq)
+    assert(rows.map(_.head) == Seq("ot-1", "ot-2"))
+    assert(rows(1)(5) == "ot-1") // Test Order's parent uuid
+    assert(rows(0)(5) == "")     // root has no parent
+  }
+
+  test("concept-set creator: first row is the set, sort weight by input order") {
+    val input = Seq(
+      ("set-uuid", "", "My Set", "x"),
+      ("m1", "", "Member One", "y"),
+      ("m2", "TRUE", "Member Two", "z"),
+      ("m3", "", "Member Three", "w"))
+      .toDF("uuid", "Void/Retire", "Fully specified name:en", "Other")
+    val out = Files.createTempDirectory("graft-test").resolve("sets.csv").toString
+    ConceptSetCreator.export(input, out)
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+    assert(lines.head.split(",", -1).toSeq == Seq("Concept", "Member",
+      "#Fully specified name:en", "Member Type", "Sort Weight", "Void/Retire"))
+    val rows = lines.tail.map(_.split(",", -1).toSeq)
+    assert(rows.map(_(1)) == Seq("m1", "m2", "m3"))
+    assert(rows.map(_(4)) == Seq("1", "2", "3"))
+    assert(rows.forall(_(0) == "set-uuid"))
+    assert(rows.forall(_(3) == "CONCEPT-SET"))
+    assert(rows(1)(5) == "TRUE") // Void/Retire passed through
+    assert(rows(0)(2) == "Member One")
+  }
+
+  test("csv source: exclude keys dedup across files and anti-join (S4/J13)") {
+    val dir = Files.createTempDirectory("graft-test")
+    Files.writeString(dir.resolve("e1.csv"), "Fully specified name:en\nWeight\nYes\n")
+    Files.writeString(dir.resolve("e2.csv"), "Fully specified name:en\nYes\n")
+    val ex = CsvSource.excludeKeys(spark, "Fully specified name:en",
+      Seq(dir.resolve("e1.csv").toString, dir.resolve("e2.csv").toString))
+    assert(ex.count() == 2)
+    val df = Seq("Weight", "Temperature", "Yes").toDF("Fully specified name:en")
+    val kept = CsvSource.applyExcludes(df, "Fully specified name:en", ex)
+      .as[String].collect().toSeq
+    assert(kept == Seq("Temperature"))
+  }
+
+  test("jdbc credentials: parses runtime properties; fails on missing values (S3/V4)") {
+    val p = Files.createTempDirectory("graft-test").resolve("openmrs-runtime.properties")
+    Files.writeString(p, "connection.username=omrs\nconnection.password=secret\n")
+    assert(JdbcSource.credentials(p.toString) == (("omrs", "secret")))
+    val bad = Files.createTempDirectory("graft-test").resolve("bad.properties")
+    Files.writeString(bad, "connection.username=omrs\n")
+    intercept[IllegalArgumentException] { JdbcSource.credentials(bad.toString) }
+  }
+
+  test("csv sink: pruneEmptyColumns treats null and empty string alike, keeps alwaysKeep") {
+    val df = Seq(
+      ("a", "", None: Option[String], "x"),
+      ("b", "", None: Option[String], "")).toDF("k", "empty1", "empty2", "mixed")
+    val pruned = CsvSink.pruneEmptyColumns(df, alwaysKeep = Set("empty1"))
+    assert(pruned.columns.toSeq == Seq("k", "empty1", "mixed"))
+  }
+}
