@@ -52,6 +52,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       C.cycleNodes(s, d).agg(count(lit(1)).as("n_cycle_nodes"))
     }),
+    // §2.2/§2.3/§2.4/§2.7/§2.8 operator shapes added round 2
+    "q36_like_filter" -> (C.likeFilter _),
+    "q37_concat_pairs" -> (C.concatPairs _),
+    "q38_split_first" -> (C.splitFirst _),
+    "q39_null_column" -> (C.nullColumn _),
+    "q40_mapping_pivot" -> (C.mappingPivot _),
+    "q41_join_chain" -> (C.joinChainConcat _),
+    "q42_empty_probe" -> (C.emptyProbe _),
+    "q43_stop_scan" -> (C.stopCharScan _),
+    "q44_set_derive" -> (C.setDerive _),
     // north-star pipeline: dedup / text / similarity
     "q23_dedup_exact" -> (P.dedupExact _),
     "q24_token_stats" -> (P.tokenStats _),
@@ -238,6 +248,78 @@ object SparkEntry {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_like_filter" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+        |WHERE p_type LIKE '%ECO%' AND p_brand LIKE '%1%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q37_concat_pairs" ->
+      """SELECT n_nationkey, n_name || ':' || r_name AS pair
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q38_split_first" ->
+      """SELECT o_orderkey, split_part(flags, ';', 1) AS first_flag FROM (
+        | SELECT o_orderkey, string_agg(n, ';' ORDER BY w, n) AS flags
+        | FROM (SELECT l_orderkey AS o_orderkey, l_returnflag AS n,
+        |         min(l_linenumber) AS w
+        |       FROM lineitem GROUP BY 1, 2) t
+        | GROUP BY o_orderkey) s
+        |ORDER BY o_orderkey""".stripMargin,
+    "q39_null_column" ->
+      """SELECT c_custkey, CAST(NULL AS VARCHAR) AS void_retire
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q40_mapping_pivot" ->
+      """WITH codes AS (
+        | SELECT o_orderkey, 'prio' AS kind, o_orderpriority AS code FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 'status' AS kind, o_orderstatus AS code FROM orders),
+        |tagged AS (
+        | SELECT o_orderkey, kind, code,
+        |  CASE WHEN coalesce(try_cast(regexp_extract(code, '^\s*([0-9]+)', 1) AS BIGINT), 0) <> 0
+        |   THEN 'Number' ELSE 'Name' END AS spec
+        | FROM codes)
+        |SELECT o_orderkey,
+        | coalesce(string_agg(DISTINCT code, ';' ORDER BY code)
+        |   FILTER (WHERE kind = 'prio' AND spec = 'Name'), '') AS "prio|Name",
+        | coalesce(string_agg(DISTINCT code, ';' ORDER BY code)
+        |   FILTER (WHERE kind = 'prio' AND spec = 'Number'), '') AS "prio|Number",
+        | coalesce(string_agg(DISTINCT code, ';' ORDER BY code)
+        |   FILTER (WHERE kind = 'status' AND spec = 'Name'), '') AS "status|Name",
+        | coalesce(string_agg(DISTINCT code, ';' ORDER BY code)
+        |   FILTER (WHERE kind = 'status' AND spec = 'Number'), '') AS "status|Number"
+        |FROM tagged GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q41_join_chain" ->
+      """SELECT o_orderkey, coalesce(string_agg(n, ';' ORDER BY w, n), '') AS members
+        |FROM (SELECT o.o_orderkey, p.p_name AS n, min(l.l_linenumber) AS w
+        |      FROM orders o
+        |      LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |      LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size > 25) p
+        |        ON l.l_partkey = p.p_partkey
+        |      WHERE o.o_totalprice > 400000
+        |      GROUP BY 1, 2) t
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q42_empty_probe" ->
+      """SELECT CAST(max(CASE WHEN c_name IS NOT NULL AND length(c_name) > 0
+        |   THEN 1 ELSE 0 END) AS INTEGER) AS c_name_filled,
+        | CAST(max(CASE WHEN c_mktsegment IS NOT NULL AND length(c_mktsegment) > 0
+        |   THEN 1 ELSE 0 END) AS INTEGER) AS c_mktsegment_filled,
+        | CAST(0 AS INTEGER) AS ghost_filled
+        |FROM customer""".stripMargin,
+    "q43_stop_scan" ->
+      """SELECT kind, id, value FROM (
+        | SELECT 'brand' AS kind, p_partkey AS id, p_brand AS value FROM part
+        |  WHERE p_brand LIKE '%#25%'
+        | UNION ALL
+        | SELECT 'name' AS kind, c_custkey AS id, c_name AS value FROM customer
+        |  WHERE c_name LIKE '%999%') t
+        |ORDER BY kind, id""".stripMargin,
+    "q44_set_derive" ->
+      """WITH idx AS (
+        | SELECT r_name, CAST(row_number() OVER (ORDER BY r_regionkey) AS INTEGER) AS rn
+        | FROM region)
+        |SELECT s.r_name AS concept, m.r_name AS member,
+        | 'CONCEPT-SET' AS member_type, m.rn - 1 AS sort_weight
+        |FROM idx m, (SELECT r_name FROM idx WHERE rn = 1) s
+        |WHERE m.rn > 1 ORDER BY sort_weight""".stripMargin,
     "q28_cosine_topk" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

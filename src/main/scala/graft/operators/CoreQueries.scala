@@ -219,4 +219,117 @@ object CoreQueries {
   // query returns the (empty) set of cycle-reaching nodes.
   def cycleNodes(s: SparkSession, dir: String): DataFrame =
     GraphOps.findCycleNodes(hierarchyEdges(s, dir)).orderBy("node")
+
+  // P3 — LIKE / contains filters (the reference's QA scans use
+  // `LIKE '%;%'`, concept_csv_export.py:198-224)
+  def likeFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_type").like("%ECO%") && col("p_brand").contains("1"))
+      .select("p_partkey", "p_brand", "p_type")
+      .orderBy("p_partkey")
+
+  // P6 — name:value pair concat (location attributes,
+  // location_csv_export.py:114)
+  def concatPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"),
+        concat_ws(":", col("n_name"), col("r_name")).as("pair"))
+      .orderBy("n_nationkey")
+
+  // P9/R5 — split-list first-element access (the `_mapping:<src>` key,
+  // concept_csv_export.py:392-404): first of a ';'-joined ordered list
+  def splitFirst(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(M.orderedDistinctConcat(col("l_returnflag"), col("l_linenumber"), ";")
+        .as("flags"))
+      .select(col("o_orderkey"),
+        element_at(split(col("flags"), ";"), 1).as("first_flag"))
+      .orderBy("o_orderkey")
+
+  // P10 — forced-null column (Void/Retire, concept_csv_export.py:185-187)
+  def nullColumn(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), lit(null).cast("string").as("void_retire"))
+      .orderBy("c_custkey")
+
+  // J5 — the mapping-pivot shape: a code stream with a Number/Name
+  // cast-split discriminator (P4) pivoted into per-(kind|spec) columns
+  // with distinct-sorted concat. Mirrors concept_csv_export.py:292-314
+  // restructured as join-once + pivot (SURVEY §2.3 J5).
+  def mappingPivot(s: SparkSession, dir: String): DataFrame = {
+    val codes = Tables.orders(s, dir).select(col("o_orderkey"),
+      expr("stack(2, 'prio', o_orderpriority, 'status', o_orderstatus) as (kind, code)"))
+    val spec = when(M.castUnsigned(col("code")) =!= 0, lit("Number"))
+      .otherwise(lit("Name"))
+    val headers = Seq("prio|Name", "prio|Number", "status|Name", "status|Number")
+    val p = codes
+      .withColumn("__hdr", concat(col("kind"), lit("|"), spec))
+      .groupBy("o_orderkey")
+      .pivot("__hdr", headers)
+      .agg(M.sortedDistinctConcat(col("code"), ";"))
+    p.select(col("o_orderkey") +:
+        headers.map(h => coalesce(col(s"`$h`"), lit("")).as(h)): _*)
+      .orderBy("o_orderkey")
+  }
+
+  // J8/J9 + A3 — the members/answers 3-level left-join chain: parent →
+  // link (with sort weight) → member (flag-filtered) → member name,
+  // collapsed with the ordered-distinct concat
+  // (concept_csv_export.py:365-376)
+  def joinChainConcat(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    val part = Tables.part(s, dir).filter(col("p_size") > 25)
+      .select("p_partkey", "p_name")
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(part, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(M.orderedDistinctConcat(col("p_name"), col("l_linenumber"), ";")
+        .as("members"))
+      .orderBy("o_orderkey")
+  }
+
+  // A6 — all-empty column probes (the R4 pruning aggregate,
+  // concept_csv_export.py:626-629): one pass, one flag per column
+  def emptyProbe(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.customer(s, dir)
+      .withColumn("ghost", lit(null).cast("string"))
+    val probes = Seq("c_name", "c_mktsegment", "ghost").map(c =>
+      max(when(col(c).isNotNull && length(col(c)) > 0, 1).otherwise(0))
+        .cast("int").as(s"${c}_filled"))
+    df.agg(probes.head, probes.tail: _*)
+  }
+
+  // V1 — stop-character scan shape: union of per-table scans flagging
+  // values containing a delimiter (concept_csv_export.py:193-235)
+  def stopCharScan(s: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(s, dir).filter(col("p_brand").like("%#25%"))
+      .select(lit("brand").as("kind"), col("p_partkey").cast("long").as("id"),
+        col("p_brand").as("value"))
+    val names = Tables.customer(s, dir).filter(col("c_name").like("%999%"))
+      .select(lit("name").as("kind"), col("c_custkey").cast("long").as("id"),
+        col("c_name").as("value"))
+    brands.unionByName(names).orderBy("kind", "id")
+  }
+
+  // R6/O6 — set-CSV derivation shape: first row (by order) defines the
+  // set, remaining rows become members with 1..N sort weights
+  // (concept_set_csv_creator.py:54-77)
+  def setDerive(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("r_regionkey")
+    val idx = Tables.region(s, dir).withColumn("rn", row_number().over(w))
+    val setRow = idx.filter(col("rn") === 1)
+      .select(col("r_name").as("concept"))
+    idx.filter(col("rn") > 1)
+      .crossJoin(broadcast(setRow))
+      .select(col("concept"), col("r_name").as("member"),
+        lit("CONCEPT-SET").as("member_type"),
+        (col("rn") - 1).cast("int").as("sort_weight"))
+      .orderBy("sort_weight")
+  }
 }

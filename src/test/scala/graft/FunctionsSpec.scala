@@ -82,6 +82,14 @@ class FunctionsSpec extends AnyFunSuite {
     long.select(T.rollingHash(col("s"))).as[Long].head()
   }
 
+  test("naming: identifier and filename mangling (P7/P8)") {
+    import graft.functions.Naming
+    assert(Naming.nameTransform("ICD-10-WHO 2nd") == "ICD_10_WHO_2nd")
+    assert(Naming.nameTransform("org.openmrs.module.emrapi") == "org_openmrs_module_emrapi")
+    assert(Naming.nameTransform("PIH|Name") == "PIH_Name")
+    assert(Naming.squishName("Vital signs set") == "Vital-signs-set")
+  }
+
   test("langId: picks the profile language on clear-cut text") {
     val got = Seq(
       "the cat and the dog of the house",
