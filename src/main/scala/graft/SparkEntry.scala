@@ -344,7 +344,8 @@ object SparkEntry {
         | FROM toks)
         |SELECT doc_id, CAST(g.i AS INTEGER) AS i,
         | list_min(list_transform(s, x ->
-        |   CAST(('0x' || substr(md5(g.i || ':' || x), 1, 8)) AS BIGINT))) AS mh
+        |   (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) * (2*g.i + 1)
+        |    + g.i * 40503) % 2147483647)) AS mh
         |FROM sh, generate_series(0, 63) AS g(i)
         |ORDER BY doc_id, i""".stripMargin,
     // Exact brute-force Jaccard >= 0.7 over 3-token shingles: equals the

@@ -34,19 +34,28 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` independent min-hashes per doc.
-    * Hash family: md5Int(seed_i + ":" + shingle) — deterministic, no
-    * stored random state, and reproducible in ANSI SQL so the LSH
-    * pipeline built on it is oracle-verifiable. Computed as numHashes
-    * parallel `min` aggregates over the exploded shingle set (map-side
-    * partial agg ⇒ the shuffle carries one row per doc, not per
-    * shingle). Returns (idCol, sig array<long>).
+    *
+    * Hash family: ONE md5-prefix base hash per shingle, expanded to
+    * numHashes values through the affine universal family
+    * `h_i = (base·(2i+1) + i·40503) mod (2^31-1)` — 64 multiplications
+    * instead of 64 md5 invocations per shingle (the md5-per-seed
+    * variant spent ~160M md5 calls at sf0.1), while staying
+    * deterministic, free of stored random state, and reproducible in
+    * ANSI SQL so the whole LSH pipeline is oracle-verifiable. All
+    * intermediates fit a Long under ANSI: base < 2^32, 2i+1 < 2^8 ⇒
+    * product < 2^40. Computed as numHashes parallel `min` aggregates
+    * over the exploded shingle set (map-side partial agg ⇒ the shuffle
+    * carries one row per doc, not per shingle).
+    * Returns (idCol, sig array<long>).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = df.select(col(idCol),
         explode(shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("__base", TextFunctions.md5Int(col("sh"), 8))
     val minCols = (0 until numHashes).map(i =>
-      min(TextFunctions.md5Int(concat(lit(i), lit(":"), col("sh")), 8)).as(s"h$i"))
+      min(pmod(col("__base") * lit(2L * i + 1) + lit(i * 40503L),
+        lit(2147483647L))).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
@@ -180,10 +189,31 @@ object Dedup {
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // Candidate pairs WITH shared-rare-shingle counts (the groupBy
+    // replaces a same-cost distinct), then an exactness-preserving
+    // count prune before the expensive array_intersect verification:
+    // J >= τ requires |A∩B| >= τ(|A|+|B|)/(1+τ), and |A∩B| is at most
+    // the shared-rare count plus min(hot_A, hot_B) — random co-occurring
+    // pairs (shared count 1-3) fall far below the bound and never reach
+    // the verifier.
     val cands = rare.select(col("sh"), col("__id").as("id_a"))
       .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val hotPerDoc = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("__hot"))
+    val docStats = sizes.join(hotPerDoc, Seq("__id"), "left")
+      .select(col("__id"), col("__sz"), coalesce(col("__hot"), lit(0L)).as("__hot"))
+    val pruned = cands
+      .join(docStats.select(col("__id").as("id_a"), col("__sz").as("__sa"),
+        col("__hot").as("__ha")), Seq("id_a"))
+      .join(docStats.select(col("__id").as("id_b"), col("__sz").as("__sb"),
+        col("__hot").as("__hb")), Seq("id_b"))
+      .filter((col("__c") + least(col("__ha"), col("__hb"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("__sa") + col("__sb")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b")
+    verifyJaccard(pruned, df, idCol, textCol, shingleSize, threshold)
   }
 }

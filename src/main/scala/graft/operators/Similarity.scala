@@ -17,13 +17,36 @@ import graft.functions.MysqlFunctions
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns
+    * (dimension-agnostic; allocates a products array per row). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Unrolled dot product for a KNOWN dimension: a flat 2·dim-term
+    * codegen expression with no intermediate array allocation — the
+    * hot-pair-loop variant (zip_with+aggregate allocates an ArrayData
+    * per pair, which dominates at millions of pairs). Left-to-right
+    * summation order matches [[dot]] and the SQL oracles exactly. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize once (O(d) per vector) so pair similarity is a bare
+    * dot product — no per-pair norm recomputation. MUST be followed by
+    * a [[barrier]] before any pair loop. */
+  def normalized(v: Column): Column = transform(v, x => x / norm(v))
+
+  /** Materialization barrier (one small exchange): forces upstream
+    * projections — the O(d) normalization — to be evaluated once per
+    * row at the shuffle boundary. Without it Catalyst's projection
+    * collapse inlines the `transform` lambda into the per-pair
+    * projection, re-evaluating the normalization for every `getItem`
+    * in the pair loop (measured 5× slowdown on the τ-join at sf0.1). */
+  private def barrier(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (broadcast side); the corpus is
@@ -32,14 +55,14 @@ object Similarity {
     * by neighbor id).
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
+      queries: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(vecCol).cast("array<double>")).as("cvec")))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+      normalized(col(vecCol).cast("array<double>")).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim", dotUnrolled(col("qvec"), col("cvec"), dim))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -76,19 +99,19 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, numPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cvec"))
+    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
+        normalized(col(vecCol).cast("array<double>")).as("cvec")))
       .withColumn("bucket", lshBucket(col("cvec"), numPlanes, dim))
     val probeCols = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
     val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
+        normalized(col(vecCol).cast("array<double>")).as("qvec"))
       .withColumn("bucket0", lshBucket(col("qvec"), numPlanes, dim))
       .withColumn("bucket", explode(array(probeCols.map(col("bucket0").bitwiseXOR(_)): _*)))
       .drop("bucket0")
     val cands = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val scored = cands.withColumn("sim", dotUnrolled(col("qvec"), col("cvec"), dim))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -105,15 +128,15 @@ object Similarity {
     * [[cosineNearDupLsh]] and top-k search through [[annTopK]], which
     * trade exactness for bucket-join pruning. */
   def cosineSimJoin(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val n = corpus.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nvec", transform(col("vec"), x => x / norm(col("vec"))))
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val n = barrier(corpus.select(col(idCol).as("__id"),
+        normalized(col(vecCol).cast("array<double>")).as("nvec")))
     val a = n.select(col("__id").as("id_a"), col("nvec").as("va"))
     val b = n.select(col("__id").as("id_b"), col("nvec").as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", MysqlFunctions.oracleRound(dot(col("va"), col("vb")), 4))
+      .withColumn("cos",
+        MysqlFunctions.oracleRound(dotUnrolled(col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -131,9 +154,8 @@ object Similarity {
   def cosineNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
       dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val c = corpus.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nvec", transform(col("vec"), x => x / norm(col("vec"))))
+    val c = barrier(corpus.select(col(idCol).as("__id"),
+        normalized(col(vecCol).cast("array<double>")).as("nvec")))
     // per-band plane set via distinct seeds; one posexplode row per band
     val bucketArr = array((0 until bands).map(bnd =>
       lshBucket(col("nvec"), planesPerBand, dim, seed = 42L + bnd)): _*)
@@ -149,7 +171,8 @@ object Similarity {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", MysqlFunctions.oracleRound(dot(col("va"), col("vb")), 4))
+      .withColumn("cos",
+        MysqlFunctions.oracleRound(dotUnrolled(col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -79,13 +79,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("cosineTopK: nearest neighbor is the planted close vector") {
     val top1 = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0), k = 1)
+        emb.filter(col("vec_id") === 0), k = 1, dim = 4)
       .as[(Long, Long, Int)].collect()
     assert(top1.toSeq == Seq((0L, 1L, 1)))
   }
 
   test("cosineSimJoin matches brute-force pairs above threshold") {
-    val got = Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.8)
+    val got = Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.8, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
@@ -98,7 +98,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annTopK(corpus, "vec_id", "embedding", queries,
       k = 5, numPlanes = 6, dim = 16)
     assert(ann.count() == 20, "every query returns its full top-k")
-    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries, k = 5)
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, dim = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = ann.select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet
