@@ -76,6 +76,7 @@ object SparkEntry {
     "q33_ann_topk" -> (P.annTopK _),
     "q34_cosine_neardup" -> (P.cosineNearDup _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
+    "q45_media_meta" -> (P.mediaMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,7 +386,26 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rhash
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q45_media_meta" -> q45OracleSql,
   )
+
+  private val q45OracleSql: String =
+    """WITH m AS (
+      | SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |  md5(text) AS h
+      | FROM documents)
+      |SELECT doc_id, nb AS n_bytes,
+      | CAST(ceil(nb / 1024.0) AS INTEGER) AS n_frames,
+      | CAST(CASE WHEN nb > 0
+      |   THEN floor((ceil(nb / 1024.0) - 1) / 4) + 1 ELSE 0 END AS INTEGER)
+      |  AS n_sampled,
+      | CAST(CASE WHEN nb > 0
+      |   THEN CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 1920 + 16 END AS INTEGER)
+      |  AS width,
+      | CAST(CASE WHEN nb > 0
+      |   THEN CAST(('0x' || substr(h, 5, 4)) AS BIGINT) % 1080 + 16 END AS INTEGER)
+      |  AS height
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** DuckDB brute-force n-gram-Jaccard pair oracle (3-token shingles,
     * candidates = pairs sharing any shingle — complete for J > 0). */

@@ -121,23 +121,27 @@ object GraphOps {
     if (n == 0) return
     if (n > witnessLimit)
       throw new CycleException(s"graph contains cycles over $n nodes (witness suppressed)")
-    val cycSet = cyc.collect().map(_.get(0)).toSet
+    // restrict edges to the cyclic subgraph via joins (never an IN-list
+    // expression over a collected set), THEN collect the small remainder
     val sub = edges.toDF("src", "dst")
-      .filter(col("src").isin(cycSet.toSeq: _*) && col("dst").isin(cycSet.toSeq: _*))
+      .join(cyc.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(cyc.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst") // using-column joins reorder: key column first
       .collect().map(r => r.get(0) -> r.get(1))
     val adj = sub.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
-    // walk from the smallest node until a repeat — deterministic witness
-    val start = cycSet.map(_.toString).min
-    val startKey = cycSet.find(_.toString == start).get
+    // walk from the smallest node until a repeat — deterministic witness;
+    // O(1) membership via a set alongside the ordered path
+    val startKey = sub.map(_._1).minBy(_.toString)
     val path = scala.collection.mutable.ArrayBuffer[Any](startKey)
+    val seen = scala.collection.mutable.HashSet[Any](startKey)
     var cur = startKey
     var done = false
     while (!done) {
       val nxt = adj(cur).minBy(_.toString)
-      if (path.contains(nxt)) {
+      if (seen(nxt)) {
         path += nxt
         done = true
-      } else { path += nxt; cur = nxt }
+      } else { path += nxt; seen += nxt; cur = nxt }
     }
     val cycleStart = path.indexOf(path.last)
     val witness = path.drop(cycleStart).mkString(" --> ")

@@ -89,6 +89,15 @@ object PipelineQueries {
         shingleSize = 3, threshold = 0.5, maxDf = 50)
       .orderBy("id_a", "id_b")
 
+  // multimodal metadata extraction: text bytes stand in for an opaque
+  // media payload; schema/chunking/stub-decode plumbing per Multimodal
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+      "doc_id", "media")
+      .orderBy("doc_id")
+
   // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming twins of the batch event operators. The
+  * reference is a batch snapshot tool (SURVEY §2.9 — no streaming
+  * surface), but the engine's `events` table has a natural streaming
+  * shape, and a 100 TB ingest pipeline runs these as continuous jobs:
+  * `readStream` → these transforms → `writeStream`, scaling by state
+  * partitioning on the grouping key with watermark-bounded state.
+  */
+object EventStreams {
+
+  /** Event-time windowed aggregation with a watermark — the streaming
+    * twin of `CoreQueries.windowAgg`. State per (window, event_type);
+    * the watermark bounds how long a window stays open, so state is
+    * O(active windows), not O(stream length). */
+  def windowedAgg(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup: first occurrence per key within the
+    * watermark horizon wins; later duplicates are dropped. The twin of
+    * `Dedup.exact` for continuous ingestion — state is the key set
+    * inside the horizon, evicted by the watermark. */
+  def dedupStream(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double)
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via `mapGroupsWithState` — the custom-
+    * state escape hatch for semantics windowed aggs can't express.
+    * State is one `UserStat` per user, hash-partitioned by key. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserStat(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -229,6 +229,29 @@ class ExportsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JdbcSource.credentials(bad.toString) }
   }
 
+  test("jdbc source: round-trips a table through embedded Derby (S1)") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE concept_class (concept_class_id BIGINT, name VARCHAR(64))")
+      st.execute("INSERT INTO concept_class VALUES (10, 'ConvSet'), (11, 'Misc')")
+      st.close()
+      val cfg = JdbcConfig("jdbc:derby:memory:graftdb", user = "", password = "")
+      val got = JdbcSource.table(spark, cfg, "concept_class")
+        .orderBy("concept_class_id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((10L, "ConvSet"), (11L, "Misc")))
+      // partitioned range read returns the same rows
+      val part = JdbcSource.table(spark, cfg.copy(numPartitions = 2),
+        "concept_class", partitionKey = Some(("concept_class_id", 0L, 20L)))
+      assert(part.rdd.getNumPartitions == 2)
+      assert(part.as[(Long, String)].collect().toSet ==
+        Set((10L, "ConvSet"), (11L, "Misc")))
+    } finally conn.close()
+  }
+
   test("csv sink: pruneEmptyColumns treats null and empty string alike, keeps alwaysKeep") {
     val df = Seq(
       ("a", "", None: Option[String], "x"),

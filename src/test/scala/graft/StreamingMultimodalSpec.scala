@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserStat}
+import java.sql.Timestamp
+
+case class TsEvent(ts: Timestamp, event_type: String, value: Double)
+case class FpDoc(ts: Timestamp, fp: String, doc: String)
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming windowed agg matches the batch twin on the same events") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    input.addData(
+      TsEvent(ts(5), "click", 1.0), TsEvent(ts(10), "click", 2.0),
+      TsEvent(ts(20), "view", 5.0), TsEvent(ts(40), "click", 3.0))
+    val q = EventStreams.windowedAgg(input.toDF(), windowLen = "30 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("winagg")
+        .select(col("bucket"), col("event_type"), col("n"), col("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val bucket0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val bucket30 = Timestamp.valueOf("2024-01-01 10:30:00")
+      assert(got == Set(
+        (bucket0, "click", 2L, 3.0),
+        (bucket0, "view", 1L, 5.0),
+        (bucket30, "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first occurrence per fingerprint") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[FpDoc]
+    input.addData(
+      FpDoc(ts(1), "fpA", "first"), FpDoc(ts(2), "fpA", "dup"),
+      FpDoc(ts(3), "fpB", "other"))
+    val q = EventStreams.dedupStream(input.toDF(), "fp")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("fp", "doc")
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("fpA", "first"), ("fpB", "other")))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running user stats accumulate across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, 10, "click", 1.0), Event(2, 10, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, 10, "click", 4.0), Event(4, 20, "click", 7.0))
+      q.processAllAvailable()
+      val last = spark.table("userstats").as[UserStat].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(last(10L) == UserStat(10L, 3L, 7.0))
+      assert(last(20L) == UserStat(20L, 1L, 7.0))
+    } finally q.stop()
+  }
+
+  test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
+    val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
+    val df = Seq((1L, payload), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    val frames = df.select(col("doc_id"),
+      Multimodal.sampleFrames(col("media"), frameBytes = 1000, stride = 2).as("f"),
+      Multimodal.sampledFrameCount(col("media"), 1000, 2).as("n"))
+      .as[(Long, Seq[Array[Byte]], Int)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    // 2500 bytes -> frames of 1000 at offsets 0,1000,2000; stride 2 keeps 0 and 2000
+    val (f1, n1) = frames(1L)
+    assert(n1 == 2 && f1.length == 2)
+    assert(f1(0).toSeq == payload.slice(0, 1000).toSeq)
+    assert(f1(1).toSeq == payload.slice(2000, 2500).toSeq) // short tail frame
+    val (f2, n2) = frames(2L)
+    assert(n2 == 0 && f2.isEmpty)
+  }
+
+  test("multimodal: stub decode is deterministic and bounded; resize preserves aspect") {
+    val df = Seq((1L, "payload-bytes".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val meta = df.select(Multimodal.fakeDecodeMeta(col("media")).as("m"))
+      .select("m.width", "m.height", "m.channels")
+      .as[(Int, Int, Int)].head()
+    assert(meta._1 >= 16 && meta._1 < 1936)
+    assert(meta._2 >= 16 && meta._2 < 1096)
+    assert(meta._3 >= 1 && meta._3 <= 3)
+    val dims = df.select(Multimodal.resizeDims(lit(1920), lit(1080), 960).as("d"))
+      .select("d.width", "d.height").as[(Int, Int)].head()
+    assert(dims == ((960, 540)))
+  }
+}
