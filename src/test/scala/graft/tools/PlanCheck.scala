@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Prints plan-quality signals for every SparkEntry query: pushed
+  * filters, scan schema width, join strategies, codegen spans. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val wanted = if (args.nonEmpty) args.toSet else Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (wanted.isEmpty || wanted(name)) {
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val pushed = "PushedFilters: \\[[^\\]]+\\]".r
+            .findAllIn(plan).toSeq.distinct.filterNot(_.contains("[]"))
+          val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+            "BroadcastNestedLoopJoin", "ShuffledHashJoin")
+            .map(j => j -> j.r.findAllIn(plan).size).filter(_._2 > 0)
+          val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+          println(s"== $name")
+          println(s"   joins=${joins.map { case (k, v) => s"$k x$v" }.mkString(", ")}" +
+            s"  codegenSpans=$wsc  pushedFilterGroups=${pushed.size}")
+          pushed.take(3).foreach(p => println(s"   $p"))
+        } catch { case e: Throwable => println(s"== $name PLAN ERROR ${e.getMessage.take(100)}") }
+      }
+    }
+    spark.stop()
+  }
+}
