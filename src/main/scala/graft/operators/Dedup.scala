@@ -14,6 +14,14 @@ import graft.functions.{MysqlFunctions, TextFunctions}
   */
 object Dedup {
 
+  /** Materialize a shared intermediate once. Shingling a corpus is a
+    * map-only but expensive projection (tokenize + slice + concat per
+    * doc); the pair pipelines consume it from 4-7 plan positions (hot
+    * set, per-doc sizes, both self-join sides, verification), and
+    * without an explicit materialization Catalyst re-evaluates the
+    * whole projection at every position. */
+  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** Exact dedup (hash-groupBy on a normalized fingerprint): one row
     * per distinct content, keeping the minimum id. Single shuffle on
     * the md5 fingerprint — uniform key distribution by construction. */
@@ -106,8 +114,8 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh"))
+    val sets = materialized(df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh")))
     candidates
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -123,7 +131,11 @@ object Dedup {
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    // signatures feed the hot-bucket count and both self-join sides —
+    // materialize once rather than relying on exchange reuse across
+    // the three subtrees
+    val sigs = materialized(
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes))
     val cands = lshCandidatePairs(lshBuckets(sigs, idCol, bands), idCol)
     verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
   }
@@ -181,8 +193,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val sh = materialized(df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh")))
     // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
     // the (small) hot set — replaces the r1 Window-count, which
     // shuffled and sorted every exploded shingle row.
