@@ -32,6 +32,7 @@ object ExportCli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, domain, opts) finally spark.stop()

@@ -34,6 +34,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pair-loop dot product: the native codegen'd [[graft.expressions.DotProduct]]
+    * when the session has GraftExtensions installed (a single tight
+    * loop), else the unrolled built-in composition — numerically
+    * identical (same left-to-right summation). */
+  def pairDot(df: DataFrame, a: Column, b: Column, dim: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", a, b)
+    else dotUnrolled(a, b, dim)
+
   /** L2-normalize once (O(d) per vector) so pair similarity is a bare
     * dot product — no per-pair norm recomputation. MUST be followed by
     * a [[barrier]] before any pair loop. */
@@ -62,7 +71,7 @@ object Similarity {
       normalized(col(vecCol).cast("array<double>")).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dotUnrolled(col("qvec"), col("cvec"), dim))
+      .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -111,7 +120,7 @@ object Similarity {
     val cands = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.withColumn("sim", dotUnrolled(col("qvec"), col("cvec"), dim))
+    val scored = cands.withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -136,7 +145,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        MysqlFunctions.oracleRound(dotUnrolled(col("va"), col("vb"), dim), 4))
+        MysqlFunctions.oracleRound(pairDot(corpus, col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -172,7 +181,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos",
-        MysqlFunctions.oracleRound(dotUnrolled(col("va"), col("vb"), dim), 4))
+        MysqlFunctions.oracleRound(pairDot(corpus, col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -90,6 +90,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("native graft_dot expression: registered, correct, bit-identical to built-ins") {
+    assert(spark.catalog.functionExists("graft_dot"),
+      "GraftExtensions not installed in the test session")
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(call_function("graft_dot", col("a"), col("b")))
+      .as[Double].head() == 32.0)
+    // SQL surface
+    df.createOrReplaceTempView("graft_dot_v")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM graft_dot_v")
+      .as[Double].head() == 32.0)
+    // bit-for-bit parity with the unrolled composition on random vectors
+    val rng = new scala.util.Random(5)
+    val vecs = Seq.fill(50)((Seq.fill(64)(rng.nextGaussian()),
+      Seq.fill(64)(rng.nextGaussian()))).toDF("a", "b")
+    val pairs = vecs.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      Similarity.dotUnrolled(col("a"), col("b"), 64).as("unrolled"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (n, u) => assert(n == u) }
+    // null input -> null
+    val withNull = Seq((Seq(1.0), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(withNull.select(call_function("graft_dot", col("a"), col("b")))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("annTopK multi-probe achieves full recall on a seeded random corpus") {
     val rng = new scala.util.Random(42)
     val corpus = (0L until 200L).map(i =>
