@@ -150,6 +150,54 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN top-k — the other standard scale path
+    * besides sign-LSH. Index build: a k-means coarse quantizer over the
+    * corpus (`nlist` centroids, deterministic seed) partitions vectors
+    * into posting lists; the corpus shuffles ONCE on centroid id.
+    * Query: probe the `nprobe` nearest centroids (distance to nlist
+    * literal centroid vectors — a codegen'd expression, no driver
+    * loop per query) and rank exactly within the probed lists — each
+    * query touches ~nprobe/nlist of the corpus. Recall follows from
+    * quantization locality: a query's near neighbors land in its
+    * nearby cells. `fit` is the one eager step (index construction,
+    * like any ANN build); at 100 TB train on a sample and `transform`
+    * streams.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(vecCol).cast("array<double>")).as("cvec")))
+    val kmInput = c.withColumn("features", array_to_vector(col("cvec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(kmInput)
+    val assigned = model.transform(kmInput)
+      .select(col("neighbor_id"), col("cvec"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // per-query nprobe nearest centroids: sort (distance², cell) structs
+    val q0 = queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol).cast("array<double>")).as("qvec"))
+    val cellDist = centroids.zipWithIndex.map { case (ctr, i) =>
+      val d = (0 until dim).map(j =>
+        (col("qvec").getItem(j) - lit(ctr(j))) *
+          (col("qvec").getItem(j) - lit(ctr(j)))).reduce(_ + _)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val q = q0.withColumn("cell",
+        explode(slice(sort_array(array(cellDist.toIndexedSeq: _*)), 1, nprobe)
+          .getField("cell")))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Embedding near-duplicate pairs via banded sign-LSH: `bands`
     * independent plane sets of `planesPerBand` bits each; a pair is a
     * candidate when it collides in ANY band (OR-of-bands, like MinHash

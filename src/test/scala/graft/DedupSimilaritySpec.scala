@@ -115,6 +115,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("ivfTopK recovers in-cluster neighbors on planted clusters") {
+    val rng = new scala.util.Random(9)
+    // 10 well-separated clusters of 40 vectors each
+    val centers = Seq.fill(10)(Seq.fill(16)(rng.nextGaussian() * 10))
+    val corpus = centers.zipWithIndex.flatMap { case (ctr, ci) =>
+      (0 until 40).map { j =>
+        (ci * 40L + j, ctr.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0).limit(4)
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, nlist = 10, nprobe = 2, dim = 16)
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, dim = 16)
+    val a = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e = exact.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (a intersect e).size.toDouble / e.size
+    assert(recall >= 0.8, s"IVF recall $recall on planted clusters")
+    assert(ivf.count() == 20)
+  }
+
+  test("salted join and salted agg equal their unsalted twins under a hot key") {
+    import graft.operators.Skew
+    val big = (1L to 3000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", 100L), ("k5", 5L)).toDF("key", "w")
+    val plain = big.join(small, Seq("key")).agg(sum(col("v") * col("w")))
+      .as[Long].head()
+    val salted = Skew.saltedJoin(big, small, "key", saltFactor = 8)
+      .agg(sum(col("v") * col("w"))).as[Long].head()
+    assert(salted == plain)
+    val plainAgg = big.groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    val saltedAgg = Skew.saltedAgg(big, "key", 8,
+        g => g.agg(count(lit(1)).as("pn"), sum("v").as("ps")),
+        g => g.agg(sum("pn").as("n"), sum("ps").as("s")))
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(saltedAgg == plainAgg)
+  }
+
   test("annTopK multi-probe achieves full recall on a seeded random corpus") {
     val rng = new scala.util.Random(42)
     val corpus = (0L until 200L).map(i =>
