@@ -203,6 +203,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(CASE WHEN len(trim(text)) = 0 THEN 0
         |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         | CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q25_quality" ->
@@ -218,6 +219,8 @@ object SparkEntry {
         |   / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS uniq_ratio,
         | round(CAST(coalesce(list_sum(list_transform(toks, s -> length(s))), 0) AS DOUBLE)
         |   / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_tok_len,
+        | round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+        |   / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
         | round(CAST(len(list_filter(ltoks, s -> s IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'))) AS DOUBLE)
         |   / CAST(greatest(len(ltoks), 1) AS DOUBLE), 4) AS stopword_ratio,
         | round((CAST(len(list_distinct(toks)) AS DOUBLE)

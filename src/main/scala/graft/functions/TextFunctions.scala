@@ -19,13 +19,14 @@ object TextFunctions {
   /** Token count (whitespace-delimited). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword-regex token count: splits on word/punct boundaries
-    * the way byte-pair pretokenizers do (letters runs, digit runs,
-    * single punctuation marks each count). */
+  /** BPE-ish subword-regex token count, the way byte-pair pretokenizers
+    * segment: letter runs, digit runs, and single non-space punctuation
+    * marks each count as one token. The pattern is lookaround-free so
+    * it is RE2-compatible (reproducible in the SQL oracle — DuckDB's
+    * regex engine has no lookarounds). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit(bpeishPattern))
 
   /** Distinct-token ratio: |set(tokens)| / |tokens| — near-0 means
     * highly repetitive (low quality). Rounded for oracle stability. */
@@ -43,9 +44,12 @@ object TextFunctions {
   }
 
   /** Punctuation character ratio over total characters. */
+  // Explicit ASCII ranges (= Java's \p{Punct}) so the SQL oracle's RE2
+  // engine matches the same character set.
+  val punctClass = "[!-/:-@\\[-`{-~]"
   def punctRatio(text: Column): Column =
     MysqlFunctions.oracleRound(
-      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
         greatest(length(text), lit(1)).cast("double"), 4)
 
   /** Stopword ratio against a small English stopword list — one of the

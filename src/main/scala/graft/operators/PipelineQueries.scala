@@ -16,11 +16,12 @@ object PipelineQueries {
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("fp")
 
-  // token counting
+  // token counting: whitespace + BPE-ish subword-regex
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         T.tokenCount(col("text")).as("n_tokens"),
+        T.bpeishTokenCount(col("text")).cast("int").as("n_bpe_tokens"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 
@@ -30,6 +31,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         T.uniqueTokenRatio(col("text")).as("uniq_ratio"),
         T.meanTokenLength(col("text")).as("mean_tok_len"),
+        T.punctRatio(col("text")).as("punct_ratio"),
         T.stopwordRatio(col("text")).as("stopword_ratio"),
         T.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
