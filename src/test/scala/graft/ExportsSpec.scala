@@ -252,6 +252,40 @@ class ExportsSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("locations export runs end-to-end against a real JDBC database (S1 + product)") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    val url = "jdbc:derby:memory:graftloc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE location (location_id BIGINT, uuid VARCHAR(64),
+        name VARCHAR(64), description VARCHAR(128), parent_location BIGINT,
+        retired INT)""")
+      st.execute("""INSERT INTO location VALUES
+        (1, 'loc-1', 'Root', 'the root', NULL, 0),
+        (2, 'loc-2', 'Ward', NULL, 1, 0)""")
+      st.execute("CREATE TABLE location_tag_map (location_id BIGINT, location_tag_id BIGINT)")
+      st.execute("INSERT INTO location_tag_map VALUES (2, 60)")
+      st.execute("CREATE TABLE location_tag (location_tag_id BIGINT, name VARCHAR(64))")
+      st.execute("INSERT INTO location_tag VALUES (60, 'Admission')")
+      st.execute("""CREATE TABLE location_attribute (location_id BIGINT,
+        attribute_type_id BIGINT, value_reference VARCHAR(64))""")
+      st.execute("INSERT INTO location_attribute VALUES (2, 70, 'W:1')")
+      st.execute("""CREATE TABLE location_attribute_type
+        (location_attribute_type_id BIGINT, name VARCHAR(64))""")
+      st.execute("INSERT INTO location_attribute_type VALUES (70, 'Code')")
+      st.close()
+      val resolver = JdbcSource.resolver(spark,
+        JdbcConfig("jdbc:derby:memory:graftloc", user = "", password = ""))
+      val out = Files.createTempDirectory("graft-test").resolve("loc_jdbc.csv").toString
+      graft.exports.LocationsExport.export(resolver, out)
+      val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+      assert(lines.head == "UUID,Void/Retire,Name,Description,Parent,Attribute|Code,Tag|Admission")
+      assert(lines(1) == "loc-1,0,Root,the root,,,")
+      assert(lines(2) == "loc-2,0,Ward,,Root,W:1,TRUE")
+    } finally conn.close()
+  }
+
   test("csv sink: pruneEmptyColumns treats null and empty string alike, keeps alwaysKeep") {
     val df = Seq(
       ("a", "", None: Option[String], "x"),
