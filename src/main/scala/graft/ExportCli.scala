@@ -50,7 +50,8 @@ object ExportCli {
             .getOrElse(Seq("full", "short")),
           version = opts.getOrElse("version", "2.3"),
           conceptKeyMapping = opts.get("key-mapping"),
-          setName = opts.get("set-name"))
+          setName = opts.get("set-name"),
+          limit = opts.get("limit").map(_.toInt))
         val warnings = ConceptsExport.stopCharacterScan(tables, cfg).collect()
         if (warnings.nonEmpty) {
           System.err.println(

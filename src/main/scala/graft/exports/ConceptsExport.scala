@@ -214,7 +214,15 @@ object ConceptsExport {
     * cycle guard (G2) → topological order (O4). Returns the export rows
     * plus `__ord`/`__tie` ordering columns. */
   def pipeline(t: String => DataFrame, cfg: ConceptsConfig): DataFrame = {
-    val all = withKeyMapping(wide(t, cfg), cfg)
+    // O3: the reference's optional LIMIT applies to the base query
+    // (ORDER BY is_set LIMIT n, concept_csv_export.py:379-385) BEFORE
+    // the tree/graph stage
+    val widened = cfg.limit match {
+      case Some(n) => wide(t, cfg)
+        .orderBy(col("is_set"), col("concept_id")).limit(n)
+      case None => wide(t, cfg)
+    }
+    val all = withKeyMapping(widened, cfg)
     val e = edges(t, all, cfg)
     val selected = cfg.setName match {
       case None => all

@@ -89,6 +89,13 @@ class ExportsSpec extends AnyFunSuite {
     assert(rows == Set("uuid-1", "uuid-2", "uuid-3", "uuid-4", "uuid-5"))
   }
 
+  test("concepts: limit applies to the is_set-ordered base query (O3)") {
+    val rows = ConceptsExport.pipeline(conceptResolver, cfg.copy(limit = Some(3)))
+      .select("uuid").as[String].collect().toSet
+    // non-sets first (is_set=0, concept_id asc): 2, 3, 4
+    assert(rows == Set("uuid-2", "uuid-3", "uuid-4"))
+  }
+
   test("concepts: key remap fails loudly for concepts missing the key mapping") {
     val e = intercept[IllegalStateException] {
       ConceptsExport.pipeline(conceptResolver,
