@@ -57,14 +57,20 @@ object Dedup {
     * Returns (idCol, sig array<long>).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol),
-        explode(shingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("__base", TextFunctions.md5Int(col("sh"), 8))
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    minHashFromShingleRows(
+      df.select(col(idCol),
+        explode(shingles(col(textCol), shingleSize)).as("sh")),
+      idCol, numHashes)
+
+  /** Signature aggregation over pre-exploded (idCol, sh) rows. */
+  private def minHashFromShingleRows(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val based = sh.withColumn("__base", TextFunctions.md5Int(col("sh"), 8))
     val minCols = (0 until numHashes).map(i =>
       min(pmod(col("__base") * lit(2L * i + 1) + lit(i * 40503L),
         lit(2147483647L))).as(s"h$i"))
-    sh.groupBy(col(idCol))
+    based.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -113,9 +119,17 @@ object Dedup {
     * joins keyed on doc id), intersected with array ops — no UDF.
     */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = materialized(df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh")))
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame =
+    verifyJaccardSets(candidates,
+      materialized(df.select(col(idCol).as("__id"),
+        shingles(col(textCol), shingleSize).as("__sh"))),
+      threshold)
+
+  /** [[verifyJaccard]] over precomputed (materialized) shingle sets
+    * `(__id, __sh array<string>)` — lets pipelines shingle the corpus
+    * exactly once. */
+  def verifyJaccardSets(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     candidates
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -131,13 +145,19 @@ object Dedup {
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    // shingle the corpus ONCE: the array form feeds verification, the
+    // exploded form (a cheap explode of the materialized arrays) feeds
+    // the signature aggregation
+    val sets = materialized(df.select(col(idCol),
+      shingles(col(textCol), shingleSize).as("__sh")))
+    val sh = sets.select(col(idCol), explode(col("__sh")).as("sh"))
     // signatures feed the hot-bucket count and both self-join sides —
     // materialize once rather than relying on exchange reuse across
     // the three subtrees
-    val sigs = materialized(
-      minHashSignatures(df, idCol, textCol, shingleSize, numHashes))
+    val sigs = materialized(minHashFromShingleRows(sh, idCol, numHashes))
     val cands = lshCandidatePairs(lshBuckets(sigs, idCol, bands), idCol)
-    verifyJaccard(cands, df, idCol, textCol, shingleSize, threshold)
+    verifyJaccardSets(cands,
+      sets.withColumnRenamed(idCol, "__id"), threshold)
   }
 
   /** SimHash over whitespace tokens: per bit j, sum +1/-1 for each
@@ -193,8 +213,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    val sh = materialized(df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), shingleSize)).as("sh")))
+    // Shingle the corpus ONCE (the expensive tokenize+slice+concat
+    // projection): the array form feeds per-doc sizes and verification,
+    // the exploded rows (cheap explode of materialized arrays) feed the
+    // inverted index.
+    val sets = materialized(df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh")))
+    val sh = sets.select(col("__id"), explode(col("__sh")).as("sh"))
     // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
     // the (small) hot set — replaces the r1 Window-count, which
     // shuffled and sorted every exploded shingle row.
@@ -212,7 +237,7 @@ object Dedup {
       .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val sizes = sets.select(col("__id"), size(col("__sh")).cast("long").as("__sz"))
     val hotPerDoc = sh.join(broadcast(hot), Seq("sh"), "left_semi")
       .groupBy("__id").agg(count(lit(1)).as("__hot"))
     val docStats = sizes.join(hotPerDoc, Seq("__id"), "left")
@@ -226,6 +251,6 @@ object Dedup {
         lit(threshold / (1.0 + threshold)) *
           (col("__sa") + col("__sb")).cast("double") - lit(1e-9))
       .select("id_a", "id_b")
-    verifyJaccard(pruned, df, idCol, textCol, shingleSize, threshold)
+    verifyJaccardSets(pruned, sets, threshold)
   }
 }

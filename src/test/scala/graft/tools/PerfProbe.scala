@@ -22,6 +22,24 @@ object PerfProbe {
     // warm
     emb.count()
 
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    time("q32 shingle explode only") {
+      docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh")).count()
+    }
+    time("q32 full pipeline") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDf = 50).count()
+    }
+    time("q30 signatures only") {
+      graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text").count()
+    }
+    time("q30 full pipeline") {
+      graft.operators.Dedup.minHashNearDup(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7).count()
+    }
+
     time("simJoin current (normalized)") {
       Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.45).count()
     }
