@@ -62,6 +62,8 @@ object SparkEntry {
     "q42_empty_probe" -> (C.emptyProbe _),
     "q43_stop_scan" -> (C.stopCharScan _),
     "q44_set_derive" -> (C.setDerive _),
+    "q46_window_running" -> (C.windowRunning _),
+    "q47_date_functions" -> (C.dateFunctions _),
     // north-star pipeline: dedup / text / similarity
     "q23_dedup_exact" -> (P.dedupExact _),
     "q24_token_stats" -> (P.tokenStats _),
@@ -324,6 +326,23 @@ object SparkEntry {
         | 'CONCEPT-SET' AS member_type, m.rn - 1 AS sort_weight
         |FROM idx m, (SELECT r_name FROM idx WHERE rn = 1) s
         |WHERE m.rn > 1 ORDER BY sort_weight""".stripMargin,
+    "q46_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+        |  AS running_total,
+        | round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_date_functions" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS d,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_left
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q28_cosine_topk" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

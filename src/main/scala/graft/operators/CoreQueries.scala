@@ -317,6 +317,34 @@ object CoreQueries {
     brands.unionByName(names).orderBy("kind", "id")
   }
 
+  // window functions beyond row_number: running aggregate + lag over an
+  // ordered per-key frame (engine breadth; reference has none — SURVEY
+  // §2.9 — but a complete engine needs the windowed-aggregate surface)
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        M.oracleRound(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        M.oracleRound(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+          .as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // date/time function surface: extraction + arithmetic over timestamps
+  def dateFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_left"))
+      .orderBy("o_orderkey")
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)
