@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_set_derive" -> (C.setDerive _),
     "q46_window_running" -> (C.windowRunning _),
     "q47_date_functions" -> (C.dateFunctions _),
+    "q48_json_agg" -> (C.jsonAgg _),
     // north-star pipeline: dedup / text / similarity
     "q23_dedup_exact" -> (P.dedupExact _),
     "q24_token_stats" -> (P.tokenStats _),
@@ -343,6 +344,11 @@ object SparkEntry {
         | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
         | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_left
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q48_json_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) > 50) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q28_cosine_topk" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -345,6 +345,16 @@ object CoreQueries {
         datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_left"))
       .orderBy("o_orderkey")
 
+  // JSON function surface: path extraction from a JSON string column
+  // feeding typed aggregation (events.props carries {"k": <int>})
+  def jsonAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)
