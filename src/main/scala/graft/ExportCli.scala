@@ -48,6 +48,8 @@ object ExportCli {
             .getOrElse(Seq("en")),
           nameTypes = opts.get("name-types").map(_.split(",").toSeq)
             .getOrElse(Seq("full", "short")),
+          conceptSources = opts.get("sources").map(_.split(",").toSeq)
+            .getOrElse(ConceptsConfig.defaultConceptSources),
           version = opts.getOrElse("version", "2.3"),
           conceptKeyMapping = opts.get("key-mapping"),
           setName = opts.get("set-name"),
