@@ -39,6 +39,45 @@ object EventStreams {
       value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionAgg(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` with an
+    * event-time timeout — the canonical custom-state streaming shape:
+    * per-user state holds the open session's bounds; a session closes
+    * (and is emitted) when the watermark passes its end + `gapMs`.
+    * State is one small struct per ACTIVE user, evicted on timeout —
+    * bounded regardless of stream length. */
+  def sessionize(events: Dataset[TimedEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val times = it.map(_.ts.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionAgg(times.min, times.max, 0L))
+            val next = SessionAgg(math.min(prev.start, times.min),
+              math.max(prev.end, times.max), prev.n + times.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user running totals via `mapGroupsWithState` — the custom-
     * state escape hatch for semantics windowed aggs can't express.
     * State is one `UserStat` per user, hash-partitioned by key. */

@@ -75,6 +75,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions after the gap") {
+    import graft.streaming.EventStreams.{Session, TimedEvent}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session for user 1: 10:00-10:05 (3 events)
+      input.addData(TimedEvent(1, ts(0)), TimedEvent(1, ts(3)), TimedEvent(1, ts(5)))
+      q.processAllAvailable()
+      // a much later event advances the watermark past 10:05 + 10min gap
+      input.addData(TimedEvent(2, Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // one more batch so the timeout fires under the advanced watermark
+      input.addData(TimedEvent(2, Timestamp.valueOf("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect().toSeq
+      assert(got.exists(s => s.user_id == 1 &&
+        s.start_ts == ts(0) && s.end_ts == ts(5) && s.n_events == 3),
+        s"expected user 1 session 10:00-10:05 x3, got $got")
+      // user 2's session is still open (watermark has not passed its gap)
+      assert(!got.exists(_.user_id == 2))
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
     val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
