@@ -377,6 +377,38 @@ object SparkEntry {
         |    + g.i * 40503) % 2147483647)) AS mh
         |FROM sh, generate_series(0, 63) AS g(i)
         |ORDER BY doc_id, i""".stripMargin,
+    // The ANN pipeline reproduced end-to-end: md5-derived hyperplane
+    // weights -> sign buckets -> multi-probe (hamming<=1) candidates ->
+    // exact cosine rank. Possible only because the planes are hash-
+    // derived (a seeded-RNG plane set would not be SQL-expressible).
+    "q33_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (SELECT pp.p AS p, dd.d AS d,
+        |  CAST(('0x' || substr(md5('42:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 - 0.5 AS wt
+        | FROM generate_series(0, 5) AS pp(p), generate_series(0, 63) AS dd(d)),
+        |dots AS (SELECT e.vec_id, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
+        | FROM e, w GROUP BY e.vec_id, w.p),
+        |buck AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        | FROM dots GROUP BY vec_id),
+        |qp AS (SELECT b.vec_id AS query_id,
+        |  xor(b.bucket, CASE WHEN g.i = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE (CAST(1 AS BIGINT) << CAST(g.i - 1 AS INTEGER)) END) AS bucket
+        | FROM buck b, generate_series(0, 6) AS g(i) WHERE b.vec_id < 8),
+        |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+        | FROM qp JOIN buck cb ON cb.bucket = qp.bucket
+        | WHERE cb.vec_id <> qp.query_id),
+        |ranked AS (SELECT c.query_id, c.neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY c.query_id
+        |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+        |             c.neighbor_id) AS INTEGER) AS rnk
+        | FROM cand c
+        | JOIN embeddings qe ON qe.vec_id = c.query_id
+        | JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     // Exact brute-force Jaccard >= 0.7 over 3-token shingles: equals the
     // MinHash-LSH output because banded collision is ~certain at the
     // planted near-dups' J >= 0.9 (see PipelineQueries.minhashPairs).

@@ -79,11 +79,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
-  /** Deterministic random hyperplanes: weight(plane p, dim d) derived
-    * from a seeded RNG — reproducible across runs/sessions. */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(numPlanes, dim)(rng.nextGaussian())
+  /** Deterministic random hyperplanes: weight(plane p, dim d) =
+    * md5("seed:p:d") first-8-hex / 2^32 − 0.5 — a symmetric uniform
+    * (any symmetric distribution gives valid sign-projection LSH), and
+    * unlike a seeded Gaussian RNG it is reproducible in ANSI SQL
+    * (`('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0 - 0.5`), which
+    * makes LSH bucket assignments — and therefore the ANN query output —
+    * oracle-verifiable. */
+  private[operators] def planes(numPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Double]] = {
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
   }
 
   /** Sign-random-projection bucket id: `numPlanes`-bit key where bit p =
