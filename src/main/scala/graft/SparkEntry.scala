@@ -65,6 +65,7 @@ object SparkEntry {
     "q46_window_running" -> (C.windowRunning _),
     "q47_date_functions" -> (C.dateFunctions _),
     "q48_json_agg" -> (C.jsonAgg _),
+    "q49_dup_groups" -> (P.dupGroups _),
     // north-star pipeline: dedup / text / similarity
     "q23_dedup_exact" -> (P.dedupExact _),
     "q24_token_stats" -> (P.tokenStats _),
@@ -435,6 +436,20 @@ object SparkEntry {
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // Connected components over the exact J >= 0.7 pair set via a
+    // recursive CTE: component id = min reachable doc id.
+    "q49_dup_groups" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS group_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "q35_rolling_fingerprint" ->
       """WITH toks AS (
         | SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -148,6 +148,41 @@ object GraphOps {
     throw new CycleException(s"Cycle detected: $witness")
   }
 
+  /** Connected components over an UNDIRECTED edge set (the edges are
+    * symmetrized internally): returns `(node, comp)` where comp is the
+    * minimum node id reachable from `node`. Min-label propagation —
+    * each iteration takes the min of a node's label and its neighbors'
+    * labels — converges in O(component diameter) iterations with a
+    * checkpoint per step. The dedup use case: near-dup PAIRS →
+    * duplicate GROUPS with a canonical representative (keep min,
+    * drop the rest). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    val e = e0.union(e0.select(col("b"), col("a"))).distinct().cache()
+    val nodes = e.select(col("a").as("node")).distinct()
+    var labels = checkpointed(nodes.withColumn("comp", col("node")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = e.join(labels, e("b") === labels("node"))
+        .groupBy(col("a").as("node2"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = checkpointed(
+        labels.join(neighborMin, labels("node") === col("node2"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    e.unpersist()
+    labels
+  }
+
   /** Topological reorder (O4, `concept_csv_export.py:499-530`): order
     * rows so that every referenced node precedes its referrers, stable
     * by `tieBreak` within a depth layer. Returns the input plus an

@@ -91,6 +91,19 @@ object PipelineQueries {
         shingleSize = 3, threshold = 0.5, maxDf = 50)
       .orderBy("id_a", "id_b")
 
+  // duplicate GROUPS: near-dup pairs (MinHash-LSH, J >= 0.7) collapsed
+  // into connected components; group id = the canonical keeper (min
+  // doc_id). The final step of corpus near-dedup: everything with
+  // doc_id != group_id gets dropped.
+  def dupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b")
+    graft.graph.GraphOps.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("comp").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   // multimodal metadata extraction: text bytes stand in for an opaque
   // media payload; schema/chunking/stub-decode plumbing per Multimodal
   def mediaMeta(s: SparkSession, dir: String): DataFrame =

@@ -45,6 +45,16 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chains collapse to min-id groups; singletons separate") {
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3,9} (chain), {5,6}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a", "b")
+    val comps = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 9L).forall(comps(_) == 1L))
+    assert(comps(5L) == 5L && comps(6L) == 5L)
+  }
+
   test("random DAG alone: cycle detector stays silent") {
     val rng = new scala.util.Random(13)
     (1 to 3).foreach { _ =>
