@@ -66,6 +66,7 @@ object SparkEntry {
     "q47_date_functions" -> (C.dateFunctions _),
     "q48_json_agg" -> (C.jsonAgg _),
     "q49_dup_groups" -> (P.dupGroups _),
+    "q50_quantiles" -> (C.quantileStats _),
     // north-star pipeline: dedup / text / similarity
     "q23_dedup_exact" -> (P.dedupExact _),
     "q24_token_stats" -> (P.tokenStats _),
@@ -436,6 +437,11 @@ object SparkEntry {
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q50_quantiles" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Connected components over the exact J >= 0.7 pair set via a
     // recursive CTE: component id = min reachable doc id.
     "q49_dup_groups" ->

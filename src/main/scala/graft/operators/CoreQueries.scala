@@ -355,6 +355,18 @@ object CoreQueries {
         count(when(col("k") > 50, 1)).as("n_high"))
       .orderBy("event_type")
 
+  // exact distinct counts + exact interpolated quantiles (the reference
+  // has no statistics surface; a complete engine needs it — Spark
+  // `percentile` and DuckDB `quantile_cont` share the linear-
+  // interpolation definition, so results are oracle-exact)
+  def quantileStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        M.oracleRound(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        M.oracleRound(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("l_returnflag")
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)
