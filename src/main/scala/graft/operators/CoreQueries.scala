@@ -358,7 +358,12 @@ object CoreQueries {
   // exact distinct counts + exact interpolated quantiles (the reference
   // has no statistics surface; a complete engine needs it — Spark
   // `percentile` and DuckDB `quantile_cont` share the linear-
-  // interpolation definition, so results are oracle-exact)
+  // interpolation definition, so results are oracle-exact).
+  // Scale note: EXACT percentile buffers each group's values in the
+  // aggregation buffer — fine for bounded group counts; at corpus scale
+  // switch to approx_percentile (t-digest, constant memory), which is
+  // deliberately not oracled here because sketch implementations differ
+  // across engines.
   def quantileStats(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")

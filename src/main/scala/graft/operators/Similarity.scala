@@ -102,7 +102,7 @@ object Similarity {
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(numPlanes, dim, seed)
     (0 until numPlanes).map { p =>
-      val plane = array(ps(p).map(lit): _*)
+      val plane = array(ps(p).toIndexedSeq.map(lit): _*)
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
