@@ -44,6 +44,28 @@ object JdbcSource {
     }
   }
 
+  /** Partitioned read with auto-probed bounds: one MIN/MAX query on the
+    * key, then a numPartitions-way range scan. The probe is a single
+    * index-only query on the PK — negligible next to the scan it
+    * parallelizes. Falls back to a plain read when the table is empty
+    * or the key has no range. */
+  def tableAutoPartitioned(spark: SparkSession, cfg: JdbcConfig,
+      name: String, keyCol: String): DataFrame = {
+    val bounds = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("query", s"SELECT MIN($keyCol) AS lo, MAX($keyCol) AS hi FROM $name")
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .load().head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1))
+      table(spark, cfg, name)
+    else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      if (hi > lo) table(spark, cfg, name, Some((keyCol, lo, hi)))
+      else table(spark, cfg, name)
+    }
+  }
+
   /** Table resolver for the export pipelines. */
   def resolver(spark: SparkSession, cfg: JdbcConfig): String => DataFrame =
     name => table(spark, cfg, name)

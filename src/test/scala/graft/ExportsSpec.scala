@@ -256,6 +256,13 @@ class ExportsSpec extends AnyFunSuite {
       assert(part.rdd.getNumPartitions == 2)
       assert(part.as[(Long, String)].collect().toSet ==
         Set((10L, "ConvSet"), (11L, "Misc")))
+      // auto-probed bounds (min/max query) return the same rows; the
+      // partition count is Spark's stride decision (a 2-value range
+      // collapses to one partition)
+      val auto = JdbcSource.tableAutoPartitioned(spark,
+        cfg.copy(numPartitions = 2), "concept_class", "concept_class_id")
+      assert(auto.as[(Long, String)].collect().toSet ==
+        Set((10L, "ConvSet"), (11L, "Misc")))
     } finally conn.close()
   }
 
