@@ -80,6 +80,8 @@ object SparkEntry {
     "q32_ngram_jaccard" -> (P.ngramJaccard _),
     "q33_ann_topk" -> (P.annTopK _),
     "q34_cosine_neardup" -> (P.cosineNearDup _),
+    "q51_cosine_neardup_lsh" -> (P.cosineNearDupLsh _),
+    "q52_quantiles_approx" -> (C.quantileStatsApprox _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -436,6 +438,35 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // The banded sign-LSH near-dup pipeline (the q34 semantics' 100 TB
+    // plan) reproduced end-to-end: 16 bands × 6 md5-derived hyperplanes
+    // (seed 42+band), per-band sign buckets, OR-of-bands candidate
+    // pairs, exact-cosine verification. Like q33, possible only because
+    // the planes are hash-derived. Bucket signs are computed on the raw
+    // vectors — L2 normalization cannot flip sign(v·plane).
+    "q51_cosine_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (SELECT bb.b AS b, pp.p AS p, dd.d AS d,
+        |  CAST(('0x' || substr(md5(CAST(42 + bb.b AS VARCHAR) || ':' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 - 0.5 AS wt
+        | FROM generate_series(0, 15) AS bb(b), generate_series(0, 5) AS pp(p),
+        |      generate_series(0, 63) AS dd(d)),
+        |dots AS (SELECT e.vec_id, w.b, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
+        | FROM e, w GROUP BY e.vec_id, w.b, w.p),
+        |buck AS (SELECT vec_id, b,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        | FROM dots GROUP BY vec_id, b),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM buck x JOIN buck y ON x.b = y.b AND x.bucket = y.bucket
+        | WHERE x.vec_id < y.vec_id)
+        |SELECT id_a, id_b, cos FROM (
+        | SELECT c.id_a, c.id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        | FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+        | JOIN embeddings b ON b.vec_id = c.id_b) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "q50_quantiles" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -71,10 +71,13 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** `SparkSessionExtensions` installer: activate with
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
-  * (or pass to `withExtensions`). Registers `graft_dot`. */
+  * (or pass to `withExtensions`). Registers `graft_dot` and
+  * `graft_lsh_buckets`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.lshBucketsDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -82,4 +85,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** `graft_lsh_buckets(vec, bands, planesPerBand, dim, seed)` — the
+    * non-vector arguments must be foldable literals (they parameterize
+    * the generated code, not per-row inputs). */
+  val lshBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int = {
+          require(children(i).foldable,
+            s"graft_lsh_buckets argument $i must be a literal")
+          children(i).eval().asInstanceOf[Number].intValue
+        }
+        def longArg(i: Int): Long = {
+          require(children(i).foldable,
+            s"graft_lsh_buckets argument $i must be a literal")
+          children(i).eval().asInstanceOf[Number].longValue
+        }
+        LshBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
+      })
 }

@@ -372,6 +372,22 @@ object CoreQueries {
         M.oracleRound(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
       .orderBy("l_returnflag")
 
+  // the 100 TB statistics plan for q50's semantics: approx_percentile
+  // (Greenwald-Khanna, bounded-memory aggregation buffer — the exact
+  // `percentile` buffers every group value) and HyperLogLog++ distinct
+  // counts. Sketch internals differ across engines, so this is a
+  // rows+schema gate (no hash oracle); QuantileSpec asserts the values
+  // against the exact q50 within the sketches' error bounds.
+  def quantileStatsApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("n_parts"),
+        M.oracleRound(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
+          .as("median_qty"),
+        M.oracleRound(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
+          .as("p90_price"))
+      .orderBy("l_returnflag")
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.{MysqlFunctions, TextFunctions}
 
 /** Deduplication operators for large-scale text corpora: exact,
@@ -41,6 +42,26 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Shingle the corpus ONCE, materialized: (idCol, __sh array<string>).
+    * The shared first stage of the whole n-gram family — signatures,
+    * LSH candidates, Jaccard verification, and the inverted-index join
+    * all consume this one checkpoint instead of re-running the
+    * tokenize+slice+concat projection per consumer. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    materialized(df.select(col(idCol),
+      shingles(col(textCol), shingleSize).as("__sh")))
+
+  /** MinHash signatures from pre-shingled sets, materialized —
+    * signatures feed the hot-bucket count and both LSH self-join sides,
+    * so consumers read one checkpoint rather than re-aggregating.
+    * Returns (idCol, sig array<long>). */
+  def minHashSigsFromSets(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    materialized(minHashFromShingleRows(
+      sets.select(col(idCol), explode(col("__sh")).as("sh")),
+      idCol, numHashes))
+
   /** MinHash signatures: `numHashes` independent min-hashes per doc.
     *
     * Hash family: ONE md5-prefix base hash per shingle, expanded to
@@ -58,9 +79,7 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
-    minHashFromShingleRows(
-      df.select(col(idCol),
-        explode(shingles(col(textCol), shingleSize)).as("sh")),
+    minHashSigsFromSets(shingleSets(df, idCol, textCol, shingleSize),
       idCol, numHashes)
 
   /** Signature aggregation over pre-exploded (idCol, sh) rows. */
@@ -140,24 +159,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash-LSH near-dup from precomputed stages ([[shingleSets]] +
+    * [[minHashSigsFromSets]]): bands → candidate pairs → exact-Jaccard
+    * verify. Lets callers share the expensive stages across the whole
+    * query family (signatures, pairs, duplicate groups). */
+  def minHashNearDupFromStages(sets: DataFrame, sigs: DataFrame,
+      idCol: String, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val cands = lshCandidatePairs(lshBuckets(sigs, idCol, bands), idCol)
+    verifyJaccardSets(cands,
+      sets.withColumnRenamed(idCol, "__id"), threshold)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
     * pairs → exact-Jaccard verify. */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    // shingle the corpus ONCE: the array form feeds verification, the
-    // exploded form (a cheap explode of the materialized arrays) feeds
-    // the signature aggregation
-    val sets = materialized(df.select(col(idCol),
-      shingles(col(textCol), shingleSize).as("__sh")))
-    val sh = sets.select(col(idCol), explode(col("__sh")).as("sh"))
-    // signatures feed the hot-bucket count and both self-join sides —
-    // materialize once rather than relying on exchange reuse across
-    // the three subtrees
-    val sigs = materialized(minHashFromShingleRows(sh, idCol, numHashes))
-    val cands = lshCandidatePairs(lshBuckets(sigs, idCol, bands), idCol)
-    verifyJaccardSets(cands,
-      sets.withColumnRenamed(idCol, "__id"), threshold)
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val sigs = minHashSigsFromSets(sets, idCol, numHashes)
+    minHashNearDupFromStages(sets, sigs, idCol, bands, threshold)
   }
 
   /** SimHash over whitespace tokens: per bit j, sum +1/-1 for each
@@ -202,55 +222,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard similarity via shingle inverted index — no LSH
-    * approximation: pairs sharing ≥1 shingle get their exact Jaccard.
-    * `maxDf` drops stop-shingles (doc frequency above it) before the
-    * pair expansion: at corpus scale a shingle appearing in k docs
-    * produces k² pair rows, so frequent shingles must be excluded from
-    * *candidate generation* (they still count in verification, which
-    * recomputes Jaccard from the full sets).
+  /** n-gram Jaccard similarity via a PREFIX-FILTERED shingle inverted
+    * index — no LSH approximation: every pair with J ≥ threshold gets
+    * its exact Jaccard.
+    *
+    * Prefix filtering (the ppjoin family, Xiao et al. "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08): under any
+    * GLOBAL shingle order, a doc A only needs its first
+    * `|A| − ⌈τ'·|A|⌉ + 1` shingles in the index. Proof sketch: J(A,B) ≥
+    * τ' ⟹ |A∩B| ≥ τ'·|A∪B| ≥ ⌈τ'·|A|⌉, and if no common shingle fell
+    * in A's prefix, the intersection would fit in the remaining
+    * ⌈τ'·|A|⌉ − 1 positions — contradiction. Probing the prefix index
+    * with ALL of B's shingles therefore preserves candidate
+    * completeness while indexing only the rarest ~(1−τ') of each doc.
+    * The global order is doc-frequency ascending (ties by shingle), so
+    * prefixes concentrate on df=1 shingles that generate no pairs —
+    * candidate volume collapses vs the full k-per-shingle expansion.
+    *
+    * τ' = threshold − 0.00005: verification compares the 4-dp ROUNDED
+    * Jaccard, so a pair with true J ∈ [τ−5e-5, τ) still passes the
+    * verifier — the prefix bound must admit it too.
+    *
+    * `maxDf` drops stop-shingles (doc frequency above it) from the
+    * index entirely: at corpus scale a shingle appearing in k docs
+    * produces k² pair rows. Hot shingles shrink the effective rare list
+    * but NOT the prefix length — p = |A| − ⌈τ'·|A|⌉ + 1 already equals
+    * |R_A| − (⌈τ'·|A|⌉ − h_A) + 1, i.e. the per-doc hot-count
+    * correction cancels — so completeness holds unless a qualifying
+    * pair's entire intersection is hot-shingles (h ≥ ⌈τ'·|A|⌉ on both
+    * sides), the same caveat the unprefixed index had. Verification
+    * recomputes Jaccard from the FULL sets, hot shingles included.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 100): DataFrame = {
-    // Shingle the corpus ONCE (the expensive tokenize+slice+concat
-    // projection): the array form feeds per-doc sizes and verification,
-    // the exploded rows (cheap explode of materialized arrays) feed the
-    // inverted index.
-    val sets = materialized(df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh")))
+      maxDf: Int = 100): DataFrame =
+    ngramJaccardPairsFromSets(
+      shingleSets(df, idCol, textCol, shingleSize), idCol, threshold, maxDf)
+
+  /** [[ngramJaccardPairs]] over precomputed [[shingleSets]] output. */
+  def ngramJaccardPairsFromSets(shSets: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val tauP = threshold - 0.00005 // rounded-verifier slack (4 dp)
+    val sets = shSets.withColumnRenamed(idCol, "__id")
     val sh = sets.select(col("__id"), explode(col("__sh")).as("sh"))
     // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
-    // the (small) hot set — replaces the r1 Window-count, which
-    // shuffled and sorted every exploded shingle row.
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
+    // the (small) hot set.
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val hot = dfreq.filter(col("__df") > maxDf).select("sh")
     val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    // Candidate pairs WITH shared-rare-shingle counts (the groupBy
-    // replaces a same-cost distinct), then an exactness-preserving
-    // count prune before the expensive array_intersect verification:
-    // J >= τ requires |A∩B| >= τ(|A|+|B|)/(1+τ), and |A∩B| is at most
-    // the shared-rare count plus min(hot_A, hot_B) — random co-occurring
-    // pairs (shared count 1-3) fall far below the bound and never reach
-    // the verifier.
-    val cands = rare.select(col("sh"), col("__id").as("id_a"))
-      .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
     val sizes = sets.select(col("__id"), size(col("__sh")).cast("long").as("__sz"))
-    val hotPerDoc = sh.join(broadcast(hot), Seq("sh"), "left_semi")
-      .groupBy("__id").agg(count(lit(1)).as("__hot"))
-    val docStats = sizes.join(hotPerDoc, Seq("__id"), "left")
-      .select(col("__id"), col("__sz"), coalesce(col("__hot"), lit(0L)).as("__hot"))
-    val pruned = cands
-      .join(docStats.select(col("__id").as("id_a"), col("__sz").as("__sa"),
-        col("__hot").as("__ha")), Seq("id_a"))
-      .join(docStats.select(col("__id").as("id_b"), col("__sz").as("__sb"),
-        col("__hot").as("__hb")), Seq("id_b"))
-      .filter((col("__c") + least(col("__ha"), col("__hb"))).cast("double") >=
-        lit(threshold / (1.0 + threshold)) *
-          (col("__sa") + col("__sb")).cast("double") - lit(1e-9))
-      .select("id_a", "id_b")
-    verifyJaccardSets(pruned, sets, threshold)
+    // Prefix index: rank each doc's rare shingles in the global
+    // (df asc, shingle asc) order; keep rank ≤ |A| − ⌈τ'|A|⌉ + 1.
+    // The 1e-9 guard keeps an exactly-integer τ'|A| from ceiling up
+    // under FP noise (safe direction: longer prefix).
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("sh"))
+    val prefix = rare.join(dfreq, Seq("sh"))
+      .join(sizes, Seq("__id"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <=
+        col("__sz") - ceil(lit(tauP) * col("__sz") - lit(1e-9)) + 1)
+      .select(col("sh"), col("__id"))
+    // Candidates: prefix index ⋈ full rare index (single-sided prefix —
+    // the common-in-prefix shingle may sit in either doc's prefix).
+    val cands = prefix.withColumnRenamed("__id", "__pid")
+      .join(rare.withColumnRenamed("__id", "__fid"), Seq("sh"))
+      .filter(col("__pid") =!= col("__fid"))
+      .select(least(col("__pid"), col("__fid")).as("id_a"),
+        greatest(col("__pid"), col("__fid")).as("id_b"))
+      .distinct()
+    verifyJaccardSets(cands, sets, threshold)
   }
 }

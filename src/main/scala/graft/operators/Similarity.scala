@@ -79,26 +79,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
-  /** Deterministic random hyperplanes: weight(plane p, dim d) =
-    * md5("seed:p:d") first-8-hex / 2^32 − 0.5 — a symmetric uniform
-    * (any symmetric distribution gives valid sign-projection LSH), and
-    * unlike a seeded Gaussian RNG it is reproducible in ANSI SQL
-    * (`('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0 - 0.5`), which
+  /** Deterministic md5-derived random hyperplanes (see
+    * [[graft.expressions.LshPlanes]] — reproducible in ANSI SQL as
+    * `('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0 - 0.5`, which
     * makes LSH bucket assignments — and therefore the ANN query output —
-    * oracle-verifiable. */
+    * oracle-verifiable). */
   private[operators] def planes(numPlanes: Int, dim: Int,
-      seed: Long): Array[Array[Double]] = {
-    Array.tabulate(numPlanes, dim) { (p, d) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.substring(0, 8)
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
-    }
-  }
+      seed: Long): Array[Array[Double]] =
+    graft.expressions.LshPlanes.planes(numPlanes, dim, seed)
 
   /** Sign-random-projection bucket id: `numPlanes`-bit key where bit p =
     * sign(vec · plane_p). Cosine-similar vectors collide with high
-    * probability. */
+    * probability. Built-in composition — [[lshBucketsAll]] is the hot
+    * path. */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(numPlanes, dim, seed)
     (0 until numPlanes).map { p =>
@@ -106,6 +99,21 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** All band buckets in one column (`array<long>`, one bucket per
+    * band; band b uses plane seed `baseSeed + b`): the native codegen'd
+    * [[graft.expressions.LshBuckets]] when GraftExtensions is
+    * installed — one plan node instead of bands·planes·dim literal
+    * leaves (the literal tree cost seconds of optimizer time per query
+    * at 16×6×64) — else the bit-identical built-in composition. */
+  def lshBucketsAll(df: DataFrame, vec: Column, bands: Int,
+      planesPerBand: Int, dim: Int, baseSeed: Long = 42L): Column =
+    if (df.sparkSession.catalog.functionExists("graft_lsh_buckets"))
+      call_function("graft_lsh_buckets", vec,
+        lit(bands), lit(planesPerBand), lit(dim), lit(baseSeed))
+    else
+      array((0 until bands).map(b =>
+        lshBucket(vec, planesPerBand, dim, baseSeed + b)): _*)
 
   /** ANN top-k with **multi-probe**: candidates come from the query's
     * own LSH bucket plus every bucket at hamming distance 1 (each
@@ -120,11 +128,13 @@ object Similarity {
       queries: DataFrame, k: Int, numPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
         normalized(col(vecCol).cast("array<double>")).as("cvec")))
-      .withColumn("bucket", lshBucket(col("cvec"), numPlanes, dim))
+      .withColumn("bucket",
+        element_at(lshBucketsAll(corpus, col("cvec"), 1, numPlanes, dim), 1))
     val probeCols = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
     val q = queries.select(col(idCol).as("query_id"),
         normalized(col(vecCol).cast("array<double>")).as("qvec"))
-      .withColumn("bucket0", lshBucket(col("qvec"), numPlanes, dim))
+      .withColumn("bucket0",
+        element_at(lshBucketsAll(corpus, col("qvec"), 1, numPlanes, dim), 1))
       .withColumn("bucket", explode(array(probeCols.map(col("bucket0").bitwiseXOR(_)): _*)))
       .drop("bucket0")
     val cands = c.join(broadcast(q), Seq("bucket"))
@@ -223,21 +233,28 @@ object Similarity {
       dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
     val c = barrier(corpus.select(col(idCol).as("__id"),
         normalized(col(vecCol).cast("array<double>")).as("nvec")))
-    // per-band plane set via distinct seeds; one posexplode row per band
-    val bucketArr = array((0 until bands).map(bnd =>
-      lshBucket(col("nvec"), planesPerBand, dim, seed = 42L + bnd)): _*)
-    val banded = c.select(col("__id"), col("nvec"),
+    // per-band plane set via distinct seeds (42+band); one posexplode
+    // row per band
+    val bucketArr = lshBucketsAll(corpus, col("nvec"), bands, planesPerBand, dim)
+    // Candidate generation runs on BARE (id, band, bucket) rows — the
+    // bucket self-join and the pair dedup shuffle only ids, never the
+    // dim-sized vectors (carrying both vectors through dropDuplicates
+    // measured ~6× slower at sf0.1). Vectors re-attach to the deduped
+    // pair set via two joins against the (small relative to the pair
+    // set) normalized corpus.
+    val banded = c.select(col("__id"),
       posexplode(bucketArr).as(Seq("band", "bucket")))
     val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket).select("band", "bucket")
     val pruned = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val a = pruned.select(col("band"), col("bucket"),
-      col("__id").as("id_a"), col("nvec").as("va"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("__id").as("id_b"), col("nvec").as("vb"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = pruned.select(col("band"), col("bucket"), col("__id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("__id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(c.select(col("__id").as("id_a"), col("nvec").as("va")), Seq("id_a"))
+      .join(c.select(col("__id").as("id_b"), col("nvec").as("vb")), Seq("id_b"))
       .withColumn("cos",
         MysqlFunctions.oracleRound(pairDot(corpus, col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)

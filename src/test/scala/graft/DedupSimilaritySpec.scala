@@ -136,6 +136,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.count() == 20)
   }
 
+  test("lshBucketsAll: native codegen expression matches built-in composition bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian()))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    assert(spark.catalog.functionExists("graft_lsh_buckets"))
+    val native = vecs.select(col("id"),
+      call_function("graft_lsh_buckets", col("v"),
+        lit(16), lit(6), lit(64), lit(42L)).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // fallback composition: per-band lshBucket over literal planes
+    val composed = vecs.select(col("id"),
+      array((0 until 16).map(b =>
+        Similarity.lshBucket(col("v"), 6, 64, seed = 42L + b)): _*).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == composed)
+  }
+
+  test("cosineNearDupLsh equals the exact τ-join in the near-dup regime") {
+    val rng = new scala.util.Random(11)
+    // 20 clusters of 5 near-identical vectors: in-cluster cos ~0.999,
+    // cross-cluster cos ~0 — the regime banded sign-LSH is built for.
+    // At cos 0.95+ a 6-plane band collides with p ≈ 0.53, so 16 bands
+    // give ~1-6e-6 recall per pair: output must equal the exact join.
+    val corpus = (0 until 20).flatMap { c =>
+      val ctr = Seq.fill(32)(rng.nextGaussian())
+      (0 until 5).map { j =>
+        (c * 5L + j, ctr.map(x => (x + rng.nextGaussian() * 0.01).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDupLsh(corpus, "vec_id", "embedding",
+        threshold = 0.95, bands = 16, planesPerBand = 6, dim = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineSimJoin(corpus, "vec_id", "embedding",
+        threshold = 0.95, dim = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.size == 20 * 10, "every in-cluster pair qualifies")
+  }
+
   test("salted join and salted agg equal their unsalted twins under a hot key") {
     import graft.operators.Skew
     val big = (1L to 3000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
