@@ -12,8 +12,11 @@ import graft.sources.{CsvSource, JdbcSource, JdbcConfig}
   *
   * Usage:
   *   ExportCli concepts   --tables <src> --out <csv> [--locales en,es]
-  *       [--name-types full,short] [--version 2.3] [--key-mapping SRC]
+  *       [--name-types full,short] [--mapping-types SAME-AS,...]
+  *       [--sources PIH|Name,...] [--version 2.3] [--key-mapping SRC]
   *       [--set-name NAME] [--exclude-files a.csv,b.csv]
+  *       (--out defaults to <set-name-with-dashes>.csv when --set-name
+  *        is given)
   *   ExportCli locations  --tables <src> --out <csv>
   *   ExportCli ordertypes --tables <src> --out <csv>
   *   ExportCli conceptset --in <concepts.csv> --out <csv>
@@ -39,7 +42,13 @@ object ExportCli {
   }
 
   def run(spark: SparkSession, domain: String, opts: Map[String, String]): Unit = {
-    val out = opts.getOrElse("out", sys.error("--out required"))
+    // default output name: derived from the set name with spaces
+    // squished to dashes (P8, concept_csv_export.py:594-596) when
+    // --out is omitted on a concepts --set-name export
+    val out = opts.get("out")
+      .orElse(if (domain == "concepts") opts.get("set-name")
+        .map(n => graft.functions.Naming.squishName(n) + ".csv") else None)
+      .getOrElse(sys.error("--out required"))
     def tables = resolver(spark, opts)
     domain match {
       case "concepts" =>
@@ -48,6 +57,8 @@ object ExportCli {
             .getOrElse(Seq("en")),
           nameTypes = opts.get("name-types").map(_.split(",").toSeq)
             .getOrElse(Seq("full", "short")),
+          mappingTypes = opts.get("mapping-types").map(_.split(",").toSeq)
+            .getOrElse(ConceptsConfig.defaultMappingTypes),
           conceptSources = opts.get("sources").map(_.split(",").toSeq)
             .getOrElse(ConceptsConfig.defaultConceptSources),
           version = opts.getOrElse("version", "2.3"),

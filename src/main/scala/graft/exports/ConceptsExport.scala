@@ -182,8 +182,14 @@ object ConceptsExport {
       case None => df
       case Some(src) =>
         val mcol = s"Mappings|SAME-AS|$src"
+        // Materialize ONCE (localCheckpoint) before the eager guard:
+        // the guard scan and every downstream consumer (edge builder,
+        // tree filter, topo sort, ordered CSV write) read the
+        // checkpoint — previously the guard alone re-executed the full
+        // multi-join `wide` plan before the real export ran.
         val out = df.withColumn(cfg.key,
           element_at(split(coalesce(qcol(mcol), lit("")), ";"), 1))
+          .localCheckpoint()
         val bad = out.filter(length(qcol(cfg.key)) === 0)
         val badSample = bad.select("uuid").limit(5).collect().map(_.getString(0))
         if (badSample.nonEmpty)

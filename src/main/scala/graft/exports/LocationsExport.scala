@@ -47,7 +47,11 @@ object LocationsExport {
       .select(col("la.location_id").as("location_id"),
         concat(lit("Attribute|"), col("lat.name")).as("__hdr"),
         col("la.value_reference").as("__val"))
-      .groupBy("location_id").pivot("__hdr").agg(first(col("__val")))
+      // min, not first: a location with multiple rows for one attribute
+      // type must pivot deterministically (MySQL's group_concat-then-
+      // split is effectively last-wins; this project pins every such
+      // choice — same convention as sortedDistinctConcat)
+      .groupBy("location_id").pivot("__hdr").agg(min(col("__val")))
 
     base
       .join(tags, Seq("location_id"), "left")

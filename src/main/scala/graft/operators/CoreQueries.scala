@@ -107,7 +107,10 @@ object CoreQueries {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  // semi-join (EXISTS) — completes the join-kind surface
+  // semi-join (EXISTS) — completes the join-kind surface. Plan audited
+  // (r2 flagged a bench blip): BroadcastHashJoin LeftSemi BuildRight on
+  // a single-column orders scan — pinned by PlanSpec; the r2 timing was
+  // run noise, not a broadcast→shuffle flip.
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")

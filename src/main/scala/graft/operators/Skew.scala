@@ -14,11 +14,22 @@ object Skew {
   /** Salted equi-join: the skewed side gets a pseudo-random salt in
     * [0, saltFactor); the small side is replicated across all salts, so
     * a hot key's rows spread over `saltFactor` reducers instead of one.
-    * Output equals the unsalted join (the salt is dropped).
+    * Output equals the unsalted join (the salt is dropped) — which is
+    * why `joinType` is restricted to the left-preserving kinds: under
+    * right/full outer an UNMATCHED small-side row would surface once
+    * per replica (saltFactor duplicate null-extended rows). Salt the
+    * other input for those.
     */
+  private val leftPreserving =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti", "cross")
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(leftPreserving(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin joinType '$joinType' would duplicate unmatched " +
+        "replicated-side rows; only inner/left/semi/anti/cross are equal " +
+        "to their unsalted twin")
     val salted = skewed.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = small.withColumn("__salt",

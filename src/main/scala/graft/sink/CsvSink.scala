@@ -29,9 +29,11 @@ object CsvSink {
   def pruneEmptyColumns(df: DataFrame, alwaysKeep: Set[String]): DataFrame = {
     val candidates = df.columns.filterNot(alwaysKeep)
     if (candidates.isEmpty) return df
+    // coalesce: max over ZERO rows is null — an empty input must write
+    // a header-only CSV (all candidates pruned), not NPE on getInt.
     val probes: Seq[Column] = candidates.toSeq.map(c =>
-      max(when(qcol(c).isNotNull && length(qcol(c).cast("string")) > 0, 1)
-        .otherwise(0)).as(c))
+      coalesce(max(when(qcol(c).isNotNull && length(qcol(c).cast("string")) > 0, 1)
+        .otherwise(0)), lit(0)).as(c))
     val row = df.agg(probes.head, probes.tail: _*).head()
     val empty = candidates.zipWithIndex.collect {
       case (c, i) if row.getInt(i) == 0 => c

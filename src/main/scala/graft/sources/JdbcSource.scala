@@ -60,7 +60,11 @@ object JdbcSource {
     if (bounds.isNullAt(0) || bounds.isNullAt(1))
       table(spark, cfg, name)
     else {
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // MIN/MAX inherit the key's JDBC type (INT PKs like concept_id
+      // map to IntegerType, BIGINT to LongType) — widen via Number, a
+      // direct getLong would ClassCastException on INT keys.
+      val (lo, hi) = (bounds.getAs[Number](0).longValue,
+        bounds.getAs[Number](1).longValue)
       if (hi > lo) table(spark, cfg, name, Some((keyCol, lo, hi)))
       else table(spark, cfg, name)
     }

@@ -192,6 +192,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         g => g.agg(sum("pn").as("n"), sum("ps").as("s")))
       .orderBy("key").as[(String, Long, Long)].collect().toSeq
     assert(saltedAgg == plainAgg)
+    // right/full outer would emit one null-extended row per salt for
+    // unmatched replicated-side rows — rejected up front
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "key", saltFactor = 8, joinType = "right_outer")
+    }
   }
 
   test("annTopK multi-probe: full row count on random data, high recall on clustered data") {

@@ -307,4 +307,96 @@ class ExportsSpec extends AnyFunSuite {
     val pruned = CsvSink.pruneEmptyColumns(df, alwaysKeep = Set("empty1"))
     assert(pruned.columns.toSeq == Seq("k", "empty1", "mixed"))
   }
+
+  test("csv sink: zero-row input writes a header-only CSV (no NPE on the probe)") {
+    val df = Seq(("a", "b")).toDF("k", "v").filter(col("k") === "nope")
+    val pruned = CsvSink.pruneEmptyColumns(df, alwaysKeep = Set("k"))
+    assert(pruned.columns.toSeq == Seq("k"))
+    val out = Files.createTempDirectory("graft-test").resolve("empty.csv").toString
+    CsvSink.write(pruned, Seq("k"), Seq(col("k")), out)
+    assert(Files.readAllLines(Paths.get(out)).asScala.toSeq == Seq("k"))
+  }
+
+  test("jdbc auto-partitioned bounds work on an INTEGER (non-BIGINT) key") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    val url = "jdbc:derby:memory:graftint;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // INT key: MIN/MAX come back as IntegerType — the reference
+      // schema's PKs (concept_id etc.) are INT, not BIGINT
+      st.execute("CREATE TABLE concept (concept_id INT, uuid VARCHAR(64))")
+      st.execute("INSERT INTO concept VALUES (1, 'u1'), (2, 'u2'), (3, 'u3')")
+      st.close()
+      val cfg = JdbcConfig("jdbc:derby:memory:graftint", user = "", password = "")
+      val auto = JdbcSource.tableAutoPartitioned(spark,
+        cfg.copy(numPartitions = 2), "concept", "concept_id")
+      assert(auto.as[(Int, String)].collect().toSet ==
+        Set((1, "u1"), (2, "u2"), (3, "u3")))
+    } finally conn.close()
+  }
+
+  test("jdbc scan pushes filters down to the database (S1 scale claim)") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    val url = "jdbc:derby:memory:graftpush;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE obs (obs_id BIGINT, voided INT, value_text VARCHAR(64))")
+      st.execute("INSERT INTO obs VALUES (1, 0, 'a'), (2, 1, 'b'), (3, 0, 'c')")
+      st.close()
+      val cfg = JdbcConfig("jdbc:derby:memory:graftpush", user = "", password = "")
+      val filtered = JdbcSource.table(spark, cfg, "obs")
+        .filter(col("voided") === 0).select("obs_id")
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:") &&
+        plan.toLowerCase.contains("equalto(voided,0)"),
+        s"voided filter should push into the JDBC scan, got:\n$plan")
+      assert(filtered.as[Long].collect().toSet == Set(1L, 3L))
+    } finally conn.close()
+  }
+
+  test("concepts: key-remap guard materializes the wide plan once (checkpoint-backed)") {
+    val noComplex: String => org.apache.spark.sql.DataFrame = {
+      case "concept" => concept.filter(col("concept_id") =!= 7)
+      case "concept_reference_term" => conceptReferenceTerm.unionByName(
+        Seq((58L, "126", 40L, 0))
+          .toDF("concept_reference_term_id", "code", "concept_source_id", "retired"))
+      case "concept_reference_map" => conceptReferenceMap.unionByName(
+        Seq((3L, 30L, 58L))
+          .toDF("concept_id", "concept_map_type_id", "concept_reference_term_id"))
+      case other => conceptTables(other)
+    }
+    val kcfg = cfg.copy(conceptKeyMapping = Some("CIEL"))
+    val out = ConceptsExport.withKeyMapping(
+      ConceptsExport.wide(noComplex, kcfg), kcfg)
+    // the guarded frame must be checkpoint-backed: downstream consumers
+    // (edges, tree filter, ordered write) scan the materialized rows
+    // instead of re-executing the multi-join wide plan per consumer
+    assert(out.queryExecution.optimizedPlan.toString.startsWith("LogicalRDD"),
+      s"guarded key-remap output should read a localCheckpoint, got:\n" +
+        out.queryExecution.optimizedPlan.toString.take(500))
+  }
+
+  test("cli: --mapping-types and --set-name default output name round-trip") {
+    assert(graft.functions.Naming.squishName("Vital signs") == "Vital-signs")
+    // mapping-types narrows the pivot headers: NARROWER-THAN dropped.
+    // Fixtures go through the parquet ingress (descriptions carry
+    // embedded newlines, which a header-CSV round-trip can't hold).
+    val tmp = Files.createTempDirectory("graft-cli")
+    val srcDir = tmp.resolve("tables"); Files.createDirectories(srcDir)
+    conceptTables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(srcDir.resolve(name + ".parquet").toString)
+    }
+    val out = tmp.resolve("narrow.csv").toString
+    ExportCli.run(spark, "concepts", Map(
+      "tables" -> s"parquet:$srcDir", "out" -> out,
+      "locales" -> "en,es", "sources" -> "PIH|Name,PIH|Number,CIEL",
+      "mapping-types" -> "SAME-AS"))
+    val header = Files.readAllLines(Paths.get(out)).asScala.head.split(",", -1).toSeq
+    assert(header.exists(_.startsWith("Mappings|SAME-AS|")))
+    assert(!header.exists(_.startsWith("Mappings|NARROWER-THAN|")),
+      "--mapping-types SAME-AS should drop NARROWER-THAN columns")
+  }
 }

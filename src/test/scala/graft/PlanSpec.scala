@@ -35,6 +35,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q10: semi join broadcasts the orders side") {
+    val plan = C.semiJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "left-semi should build a broadcast hash relation on the orders side")
+  }
+
   test("q13: top-N plans TakeOrderedAndProject, not a global sort") {
     val plan = formattedPlan(C.topN(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"))
