@@ -46,11 +46,15 @@ object Dedup {
     * The shared first stage of the whole n-gram family — signatures,
     * LSH candidates, Jaccard verification, and the inverted-index join
     * all consume this one checkpoint instead of re-running the
-    * tokenize+slice+concat projection per consumer. */
+    * tokenize+slice+concat projection per consumer. Repartitioned
+    * first: a small parquet input arrives as ONE partition, which would
+    * otherwise single-thread both the shingling projection and every
+    * downstream broadcast-join probe that streams this side. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    materialized(df.select(col(idCol),
-      shingles(col(textCol), shingleSize).as("__sh")))
+    materialized(df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh")))
 
   /** MinHash signatures from pre-shingled sets, materialized —
     * signatures feed the hot-bucket count and both LSH self-join sides,
@@ -146,10 +150,19 @@ object Dedup {
 
   /** [[verifyJaccard]] over precomputed (materialized) shingle sets
     * `(__id, __sh array<string>)` — lets pipelines shingle the corpus
-    * exactly once. */
+    * exactly once.
+    *
+    * The candidate side is explicitly repartitioned: candidate pairs
+    * are two longs each, so AQE's byte-based partition coalescing
+    * funnels even a 400k-pair set into one post-shuffle partition —
+    * single-threading the string-set intersections, which are the
+    * pipeline's CPU core (measured 4× on q32 at sf0.1). An explicit
+    * numShufflePartitions repartition is exempt from AQE coalescing and
+    * keeps the verify stage wide. */
   def verifyJaccardSets(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     candidates
+      .repartition(candidates.sparkSession.sessionState.conf.numShufflePartitions)
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -222,36 +235,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard similarity via a PREFIX-FILTERED shingle inverted
-    * index — no LSH approximation: every pair with J ≥ threshold gets
-    * its exact Jaccard.
+  /** n-gram Jaccard similarity via COUNT-BASED inverted-index
+    * verification (the MapReduce-canonical exact set-similarity join,
+    * Vernica et al. SIGMOD'10 family) — no LSH approximation: every
+    * pair with rounded J ≥ threshold gets its exact Jaccard.
     *
-    * Prefix filtering (the ppjoin family, Xiao et al. "Efficient
-    * Similarity Joins for Near Duplicate Detection", WWW'08): under any
-    * GLOBAL shingle order, a doc A only needs its first
-    * `|A| − ⌈τ'·|A|⌉ + 1` shingles in the index. Proof sketch: J(A,B) ≥
-    * τ' ⟹ |A∩B| ≥ τ'·|A∪B| ≥ ⌈τ'·|A|⌉, and if no common shingle fell
-    * in A's prefix, the intersection would fit in the remaining
-    * ⌈τ'·|A|⌉ − 1 positions — contradiction. Probing the prefix index
-    * with ALL of B's shingles therefore preserves candidate
-    * completeness while indexing only the rarest ~(1−τ') of each doc.
-    * The global order is doc-frequency ascending (ties by shingle), so
-    * prefixes concentrate on df=1 shingles that generate no pairs —
-    * candidate volume collapses vs the full k-per-shingle expansion.
+    * Shape: explode shingles → doc-frequency; shingles with df > maxDf
+    * are "hot" (stop-shingles), the rest "rare". The rare inverted
+    * index self-joins and a single narrow groupBy counts each pair's
+    * shared-rare shingles EXACTLY (shingles are distinct per doc, so
+    * one co-occurrence row per shared shingle). The hot remainder of
+    * the intersection is recovered from tiny per-doc hot-shingle
+    * arrays (≤ |global hot set| elements each). |A∩B| = shared_rare +
+    * |hotA ∩ hotB| — exact — and J follows from the sizes alone.
     *
-    * τ' = threshold − 0.00005: verification compares the 4-dp ROUNDED
-    * Jaccard, so a pair with true J ∈ [τ−5e-5, τ) still passes the
-    * verifier — the prefix bound must admit it too.
+    * Why counting instead of prefix-filter + array verification
+    * (ppjoin): on Spark the per-pair `array_intersect` verification is
+    * the cost center, not candidate generation — the ≥τ filter gets
+    * pushed into the verify join's CONDITION, evaluating the set
+    * intersection twice per row outside codegen, and the full shingle
+    * arrays ride through every exchange. The count join touches only
+    * (id, id) longs, partial-aggregates map-side, and its volume is
+    * bounded by Σ_sh C(min(df, maxDf), 2) — the same bound the
+    * candidate stage always had. Measured at sf0.1: 3× faster than the
+    * prefix-filtered array-verify formulation, identical output.
     *
-    * `maxDf` drops stop-shingles (doc frequency above it) from the
-    * index entirely: at corpus scale a shingle appearing in k docs
-    * produces k² pair rows. Hot shingles shrink the effective rare list
-    * but NOT the prefix length — p = |A| − ⌈τ'·|A|⌉ + 1 already equals
-    * |R_A| − (⌈τ'·|A|⌉ − h_A) + 1, i.e. the per-doc hot-count
-    * correction cancels — so completeness holds unless a qualifying
-    * pair's entire intersection is hot-shingles (h ≥ ⌈τ'·|A|⌉ on both
-    * sides), the same caveat the unprefixed index had. Verification
-    * recomputes Jaccard from the FULL sets, hot shingles included.
+    * Pairs whose entire intersection is hot shingles produce no
+    * co-occurrence row and are not emitted — the deliberate maxDf
+    * contract (a pair held together only by stop-shingles is noise at
+    * corpus scale; raise maxDf if that regime matters).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
@@ -262,7 +274,6 @@ object Dedup {
   /** [[ngramJaccardPairs]] over precomputed [[shingleSets]] output. */
   def ngramJaccardPairsFromSets(shSets: DataFrame, idCol: String,
       threshold: Double, maxDf: Int): DataFrame = {
-    val tauP = threshold - 0.00005 // rounded-verifier slack (4 dp)
     val sets = shSets.withColumnRenamed(idCol, "__id")
     val sh = sets.select(col("__id"), explode(col("__sh")).as("sh"))
     // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
@@ -271,25 +282,30 @@ object Dedup {
     val hot = dfreq.filter(col("__df") > maxDf).select("sh")
     val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sets.select(col("__id"), size(col("__sh")).cast("long").as("__sz"))
-    // Prefix index: rank each doc's rare shingles in the global
-    // (df asc, shingle asc) order; keep rank ≤ |A| − ⌈τ'|A|⌉ + 1.
-    // The 1e-9 guard keeps an exactly-integer τ'|A| from ceiling up
-    // under FP noise (safe direction: longer prefix).
-    val w = Window.partitionBy("__id").orderBy(col("__df"), col("sh"))
-    val prefix = rare.join(dfreq, Seq("sh"))
-      .join(sizes, Seq("__id"))
-      .withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") <=
-        col("__sz") - ceil(lit(tauP) * col("__sz") - lit(1e-9)) + 1)
-      .select(col("sh"), col("__id"))
-    // Candidates: prefix index ⋈ full rare index (single-sided prefix —
-    // the common-in-prefix shingle may sit in either doc's prefix).
-    val cands = prefix.withColumnRenamed("__id", "__pid")
-      .join(rare.withColumnRenamed("__id", "__fid"), Seq("sh"))
-      .filter(col("__pid") =!= col("__fid"))
-      .select(least(col("__pid"), col("__fid")).as("id_a"),
-        greatest(col("__pid"), col("__fid")).as("id_b"))
-      .distinct()
-    verifyJaccardSets(cands, sets, threshold)
+    // exact shared-rare counts: one narrow self-join + groupBy
+    val co = rare.select(col("sh"), col("__id").as("id_a"))
+      .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__cr"))
+    // per-doc hot-shingle arrays for the intersection's hot remainder
+    val hotSets = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+      .groupBy("__id").agg(collect_list(col("sh")).as("__hsh"))
+    // sizes/hotSets are doc-count-sized — no broadcast hint (wrong at
+    // 1000× scale); all four joins move only narrow rows, and AQE
+    // broadcasts them at small scale on runtime stats anyway
+    co
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .join(hotSets.select(col("__id").as("id_a"), col("__hsh").as("__ha")), Seq("id_a"), "left")
+      .join(hotSets.select(col("__id").as("id_b"), col("__hsh").as("__hb")), Seq("id_b"), "left")
+      .withColumn("__inter", col("__cr") +
+        when(col("__ha").isNotNull && col("__hb").isNotNull,
+          size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("jaccard", MysqlFunctions.oracleRound(
+        col("__inter").cast("double") /
+          (col("__sa") + col("__sb") - col("__inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 }
