@@ -41,17 +41,20 @@ object GraphOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate depth for each src = 1 + max depth of its dsts
+      // candidate depth for each src = 1 + max depth of its dsts. The
+      // change flag rides in the checkpointed frame so convergence is a
+      // trivial filter-count on materialized rows — not a second
+      // old-vs-new join job per iteration.
       val cand = e.join(depth, e("dst") === depth("node"))
         .groupBy(col("src").as("node2"))
         .agg((max(col("depth")) + 1).as("cand"))
       val next = checkpointed(
         depth.join(cand, depth("node") === cand("node2"), "left")
           .select(col("node"),
-            greatest(col("depth"), coalesce(col("cand"), lit(0))).as("depth")))
-      changed = next.as("n").join(depth.as("o"), Seq("node"))
-        .filter(col("n.depth") =!= col("o.depth")).count()
-      depth = next
+            greatest(col("depth"), coalesce(col("cand"), lit(0))).as("depth"),
+            (coalesce(col("cand"), lit(0)) > col("depth")).as("__chg")))
+      changed = next.filter(col("__chg")).count()
+      depth = next.drop("__chg")
       iter += 1
     }
     if (changed > 0)
@@ -94,6 +97,7 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var remaining = checkpointed(nodes)
+    var remainingCount = remaining.count()
     var removed = 1L
     while (removed > 0) {
       // keep nodes that still have an edge into the remaining set
@@ -101,7 +105,9 @@ object GraphOps {
           e("dst") === col("dst2"))
         .select(col("src").as("node")).distinct()
       val next = checkpointed(remaining.join(hasLiveOut, Seq("node"), "left_semi"))
-      removed = remaining.count() - next.count()
+      val nextCount = next.count()
+      removed = remainingCount - nextCount
+      remainingCount = nextCount
       remaining = next
     }
     e.unpersist()
@@ -164,16 +170,18 @@ object GraphOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // change flag computed in-flight (see topoDepth): one job per
+      // iteration, convergence read off the checkpoint
       val neighborMin = e.join(labels, e("b") === labels("node"))
         .groupBy(col("a").as("node2"))
         .agg(min(col("comp")).as("nmin"))
       val next = checkpointed(
         labels.join(neighborMin, labels("node") === col("node2"), "left")
           .select(col("node"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
-      changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            (coalesce(col("nmin"), col("comp")) < col("comp")).as("__chg")))
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       iter += 1
     }
     if (changed > 0)
