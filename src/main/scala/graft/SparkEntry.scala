@@ -444,7 +444,10 @@ object SparkEntry {
     // (seed 42+band), per-band sign buckets, OR-of-bands candidate
     // pairs, exact-cosine verification. Like q33, possible only because
     // the planes are hash-derived. Bucket signs are computed on the raw
-    // vectors — L2 normalization cannot flip sign(v·plane).
+    // vectors — L2 normalization cannot flip sign(v·plane). The Spark
+    // side's hot-bucket cap (maxBucket=1000) is vacuous at gate scale
+    // by construction — no bucket can exceed the 500-vector corpus —
+    // so the oracle need not model it.
     "q51_cosine_neardup_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |w AS (SELECT bb.b AS b, pp.p AS p, dd.d AS d,

@@ -55,6 +55,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs((1L, 4L)) == 1.0)
   }
 
+  test("ngramJaccardPairs counts hot shingles in the intersection (maxDf correction)") {
+    // unigram sets; maxDf=2 makes the common phrase tokens hot (df=3):
+    //   d1 = {common1 common2 a b}, d2 = {common1 common2 a c},
+    //   d3 = {common1 common2 x y}
+    // Pair (1,2) is a candidate via rare "a" (df=2); its TRUE
+    // intersection is {common1, common2, a} = 3 of union 5 → J = 0.6 —
+    // only correct if the two hot shingles are added back. Without the
+    // correction J would read 1/5 = 0.2 and the pair would be lost.
+    val hotDocs = Seq(
+      (1L, "common1 common2 a b"),
+      (2L, "common1 common2 a c"),
+      (3L, "common1 common2 x y")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text",
+        shingleSize = 1, threshold = 0.5, maxDf = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got == Map((1L, 2L) -> 0.6))
+  }
+
+  test("ngramJaccardPairs equals brute force on random corpora (property)") {
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def uniSet(t: String) = t.split("\\s+").toSet
+    val brute = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      sa = uniSet(ta); sb = uniSet(tb)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = math.floor(j * 10000 + 0.5) / 10000
+      if jr >= 0.6 && inter > 0
+    } yield (ia, ib) -> jr).toMap
+    val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 1, threshold = 0.6, maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got == brute)
+  }
+
   test("simHash: exact dups identical, near-dups hamming-close, others far") {
     val sims = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
