@@ -32,7 +32,10 @@ object Bench {
       }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val times = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // sorted order: Map iteration order shifts when queries are added,
+    // which re-attributes lingering cleanup (GC, broadcast/RDD release)
+    // to a different successor query between rounds
+    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

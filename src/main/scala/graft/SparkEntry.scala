@@ -82,6 +82,8 @@ object SparkEntry {
     "q34_cosine_neardup" -> (P.cosineNearDup _),
     "q51_cosine_neardup_lsh" -> (P.cosineNearDupLsh _),
     "q52_quantiles_approx" -> (C.quantileStatsApprox _),
+    "q53_ivf_topk" -> (P.ivfTopK _),
+    "q54_sessionize" -> (C.sessionize _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -471,6 +473,26 @@ object SparkEntry {
         | FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
         | JOIN embeddings b ON b.vec_id = c.id_b) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // Batch sessionization: 30-min-gap sessions via integer-microsecond
+    // window arithmetic — boundary-exact on both engines.
+    "q54_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |b AS (
+        | SELECT user_id, event_id, us, value,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |        > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (
+        | SELECT user_id, us, value,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        | FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round(sum(value), 2) AS session_value,
+        | min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q50_quantiles" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

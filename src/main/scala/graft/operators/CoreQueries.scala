@@ -391,6 +391,30 @@ object CoreQueries {
           .as("p90_price"))
       .orderBy("l_returnflag")
 
+  // batch sessionization: a new session starts when the gap to the
+  // previous event exceeds 30 min — the batch twin of EventStreams'
+  // flatMapGroupsWithState sessionizer, fully window-expressible and
+  // exactly oracle-checkable. Gap arithmetic is integer microseconds
+  // (unix_micros / epoch_us on both sides) so the boundary is exact.
+  // Scale: one shuffle on user_id; both windows share the same
+  // (user_id | ts, event_id) frame, so Spark plans a single sort.
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__brk",
+        when(col("__us") - lag("__us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        M.oracleRound(sum("value"), 2).as("session_value"),
+        min("__us").as("start_us"),
+        max("__us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)

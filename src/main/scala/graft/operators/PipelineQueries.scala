@@ -157,6 +157,18 @@ object PipelineQueries {
         threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  // IVF (inverted-file) ANN — the k-means coarse-quantizer scale path,
+  // rows-gated: the index build is iterative/seeded (not ANSI-SQL-
+  // expressible), so unlike the sign-LSH pipelines there is no hash
+  // oracle; DedupSimilaritySpec pins recall on planted clusters and
+  // the gate checks the top-k row contract.
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   // the 100 TB cosine near-dup plan, oracle-gated: banded sign-LSH
   // candidates (16 bands × 6 md5-derived hyperplanes — OR-of-bands
   // collision) then exact-cosine verification. Because the hyperplanes

@@ -170,44 +170,93 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** The centroid matrix as a tiny broadcastable DataFrame
+    * (cell, ctr array<double>). Distances then come from ONE
+    * `zip_with`/`aggregate` pair over a broadcast cross join — constant
+    * plan size. (The literal-expansion alternative — nlist×dim literal
+    * coordinate leaves per distance expression — cost seconds of
+    * OPTIMIZER time per pass, the same pathology the LshBuckets
+    * expression exists to avoid.) */
+  private def centersDf(spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "ctr")
+  }
+
+  private def sqDistToCtr(vec: Column): Column =
+    aggregate(zip_with(vec, col("ctr"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest cell per corpus row: broadcast cross join against the
+    * centroid table, min by (distance², cell) — ties pinned by cell
+    * index. Returns (neighbor_id, cvec, cell). */
+  private def assignCells(c: DataFrame, ctrs: DataFrame): DataFrame =
+    c.crossJoin(broadcast(ctrs))
+      .withColumn("__d", sqDistToCtr(col("cvec")))
+      .groupBy("neighbor_id")
+      .agg(first(col("cvec")).as("cvec"),
+        min(struct(col("__d"), col("cell"))).getField("cell").as("cell"))
+
   /** IVF (inverted-file) ANN top-k — the other standard scale path
-    * besides sign-LSH. Index build: a k-means coarse quantizer over the
-    * corpus (`nlist` centroids, deterministic seed) partitions vectors
-    * into posting lists; the corpus shuffles ONCE on centroid id.
-    * Query: probe the `nprobe` nearest centroids (distance to nlist
-    * literal centroid vectors — a codegen'd expression, no driver
-    * loop per query) and rank exactly within the probed lists — each
-    * query touches ~nprobe/nlist of the corpus. Recall follows from
-    * quantization locality: a query's near neighbors land in its
-    * nearby cells. `fit` is the one eager step (index construction,
-    * like any ANN build); at 100 TB train on a sample and `transform`
-    * streams.
+    * besides sign-LSH. Index build: a fixed-iteration Lloyd coarse
+    * quantizer over the corpus (`nlist` cells), implemented directly as
+    * DataFrame aggregations: initial centers are the vectors with the
+    * `nlist` smallest md5(seed:id) hashes (deterministic, no stored
+    * random state — the engine's standard derivation), then `iters`
+    * rounds of assign (broadcast cross join against the nlist-row
+    * centroid table) + per-cell mean (dim avg aggregates, map-side
+    * combined; only the nlist×dim centroid matrix ever reaches the
+    * driver — exactly what any k-means reduce collects). A fixed small
+    * `iters` is the IVF norm: the quantizer only has to be
+    * locality-preserving, not converged. The corpus shuffles ONCE on
+    * cell id.
+    *
+    * Query: probe the `nprobe` nearest centroids and rank exactly
+    * within the probed posting lists — each query touches
+    * ~nprobe/nlist of the corpus. At 100 TB fit the quantizer on a
+    * representative sample (each Lloyd round is a full pass over the
+    * fit input), then assign the full corpus with the fitted centroids.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      dim: Int = 64, seed: Long = 42L, iters: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    // materialized once: init scan + iters assign/mean passes + the
+    // final assignment all read this checkpoint
     val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
       normalized(col(vecCol).cast("array<double>")).as("cvec")))
-    val kmInput = c.withColumn("features", array_to_vector(col("cvec")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(kmInput)
-    val assigned = model.transform(kmInput)
-      .select(col("neighbor_id"), col("cvec"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    // per-query nprobe nearest centroids: sort (distance², cell) structs
+      .localCheckpoint()
+    var centers: Array[Array[Double]] = c
+      .withColumn("__h", TextFunctions.md5Int(
+        concat(lit(s"$seed:"), col("neighbor_id").cast("string")), 8))
+      .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
+      .select("cvec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val spark = corpus.sparkSession
+    for (_ <- 0 until iters) {
+      val means = assignCells(c, centersDf(spark, centers))
+        .groupBy("cell")
+        .agg(avg(col("cvec").getItem(0)).as("d0"),
+          (1 until dim).map(j => avg(col("cvec").getItem(j)).as(s"d$j")): _*)
+        .collect()
+        .map(r => r.getAs[Int]("cell") ->
+          Array.tabulate(dim)(j => r.getDouble(j + 1))).toMap
+      // cells that lost every member keep their previous center
+      centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
+    }
+    val ctrs = centersDf(spark, centers)
+    val assigned = assignCells(c, ctrs)
+    // per-query nprobe nearest cells: rank the broadcast-join distances
     val q0 = queries.select(col(idCol).as("query_id"),
       normalized(col(vecCol).cast("array<double>")).as("qvec"))
-    val cellDist = centroids.zipWithIndex.map { case (ctr, i) =>
-      val d = (0 until dim).map(j =>
-        (col("qvec").getItem(j) - lit(ctr(j))) *
-          (col("qvec").getItem(j) - lit(ctr(j)))).reduce(_ + _)
-      struct(d.as("d"), lit(i).as("cell"))
-    }
-    val q = q0.withColumn("cell",
-        explode(slice(sort_array(array(cellDist.toIndexedSeq: _*)), 1, nprobe)
-          .getField("cell")))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("__d"), col("cell"))
+    val q = q0.crossJoin(broadcast(ctrs))
+      .withColumn("__d", sqDistToCtr(col("qvec")))
+      .withColumn("__r", row_number().over(qw))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
