@@ -84,6 +84,7 @@ object SparkEntry {
     "q52_quantiles_approx" -> (C.quantileStatsApprox _),
     "q53_ivf_topk" -> (P.ivfTopK _),
     "q54_sessionize" -> (C.sessionize _),
+    "q55_clean_corpus" -> (P.cleanCorpus _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -512,6 +513,43 @@ object SparkEntry {
         | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS group_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // End-to-end corpus cleaning: exact-dup canonical (min doc_id per
+    // normalized fingerprint) ∧ not a near-dup-group loser (q49's
+    // recursive-CTE components over the J >= 0.7 pair set) ∧ quality
+    // floor — the composite of the independently-oracled q23/q25/q49.
+    "q55_clean_corpus" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |losers AS (
+        | SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+        |keepers AS (
+        | SELECT min(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |scored AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER)
+        |   AS n_tokens,
+        |  round((CAST(len(list_distinct(CASE WHEN len(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS DOUBLE)
+        |    / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1) AS DOUBLE)) * 0.7
+        |   + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
+        |   4) AS quality
+        | FROM documents)
+        |SELECT s.doc_id, s.n_tokens, s.quality FROM scored s
+        |JOIN keepers k ON k.doc_id = s.doc_id
+        |LEFT JOIN losers l ON l.doc_id = s.doc_id
+        |WHERE l.doc_id IS NULL AND s.quality >= 0.5
+        |ORDER BY s.doc_id""".stripMargin),
     "q35_rolling_fingerprint" ->
       """WITH toks AS (
         | SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

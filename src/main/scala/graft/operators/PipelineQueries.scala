@@ -121,6 +121,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // the end-to-end corpus-cleaning pipeline — what the engine exists
+  // for at 100 TB: keep each exact-duplicate class's canonical doc
+  // (min doc_id per normalized fingerprint), drop non-canonical members
+  // of near-dup groups (MinHash-LSH pairs → connected components,
+  // J >= 0.7), and enforce a quality floor. One semi-join + one
+  // anti-join + a codegen'd filter over the shared MinHash stages;
+  // every constituent is independently oracled (q23/q25/q49), and the
+  // composite is exactly DuckDB-oracled too.
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (sets, sigs) = stages(s, dir)
+    val exactKeep = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val nearDupLosers = graft.graph.GraphOps.connectedComponents(
+        Dedup.minHashNearDupFromStages(sets, sigs, "doc_id",
+          bands = 16, threshold = 0.7).select("id_a", "id_b"))
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(T.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
+        T.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
   // multimodal metadata extraction: text bytes stand in for an opaque
   // media payload; schema/chunking/stub-decode plumbing per Multimodal
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
