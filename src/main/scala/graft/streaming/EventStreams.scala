@@ -47,7 +47,10 @@ object EventStreams {
   /** Gap-based sessionization via `flatMapGroupsWithState` with an
     * event-time timeout — the canonical custom-state streaming shape:
     * per-user state holds the open session's bounds; a session closes
-    * (and is emitted) when the watermark passes its end + `gapMs`.
+    * when a LATER event arrives more than `gapMs` after its end
+    * (emitted immediately, matching the batch `CoreQueries.sessionize`
+    * semantics even when both sessions' events share a micro-batch) or
+    * when the watermark passes its end + `gapMs` (event-time timeout).
     * State is one small struct per ACTIVE user, evicted on timeout —
     * bounded regardless of stream length. */
   def sessionize(events: Dataset[TimedEvent], gapMs: Long,
@@ -66,14 +69,29 @@ object EventStreams {
             Iterator.single(Session(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n))
           } else {
-            val times = it.map(_.ts.getTime).toSeq
-            val prev = state.getOption.getOrElse(
-              SessionAgg(times.min, times.max, 0L))
-            val next = SessionAgg(math.min(prev.start, times.min),
-              math.max(prev.end, times.max), prev.n + times.size)
-            state.update(next)
-            state.setTimeoutTimestamp(next.end + gapMs)
-            Iterator.empty
+            // fold the batch's events in time order, closing a session
+            // whenever the next event's gap exceeds gapMs — a single
+            // micro-batch may span several sessions
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            it.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionAgg(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  cur = Some(SessionAgg(t, t, 1))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
           }
       }
   }

@@ -101,6 +101,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize splits sessions on in-batch gaps (batch-twin semantics)") {
+    import graft.streaming.EventStreams.{Session, TimedEvent}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("gapsessions")
+      .outputMode("append").start()
+    try {
+      // one micro-batch carrying TWO sessions for user 1 (35-min gap
+      // between 10:05 and 10:40) — the first must close immediately,
+      // exactly as the batch q54 sessionizer would split them
+      input.addData(
+        TimedEvent(1, Timestamp.valueOf("2024-01-01 10:00:00")),
+        TimedEvent(1, Timestamp.valueOf("2024-01-01 10:05:00")),
+        TimedEvent(1, Timestamp.valueOf("2024-01-01 10:40:00")),
+        TimedEvent(1, Timestamp.valueOf("2024-01-01 10:41:00")))
+      q.processAllAvailable()
+      val got = spark.table("gapsessions").as[Session].collect().toSeq
+      assert(got == Seq(Session(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:05:00"), 2L)),
+        s"expected the first session closed by the in-batch gap, got $got")
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
     val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
