@@ -17,6 +17,17 @@ final case class ConceptsConfig(
     limit: Option[Int] = None) {
 
   require(locales.nonEmpty, "at least one locale required")
+  // --key-mapping reads the `Mappings|SAME-AS|<src>` pivot column; fail
+  // up front (not with an unresolved-column error mid-plan) when the
+  // configured mapping types / sources cannot produce it
+  conceptKeyMapping.foreach { src =>
+    require(mappingTypes.contains("SAME-AS"),
+      s"--key-mapping $src requires mapping type SAME-AS " +
+        s"(got: ${mappingTypes.mkString(", ")})")
+    require(conceptSources.contains(src),
+      s"--key-mapping $src requires '$src' in the concept sources " +
+        s"(got: ${conceptSources.mkString(", ")})")
+  }
   def defaultLocale: String = locales.head
 
   /** Key column used by tree-filter / cycle / reorder / exclude

@@ -287,17 +287,19 @@ object Dedup {
       .join(rare.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__cr"))
-    // per-doc hot-shingle arrays for the intersection's hot remainder
+    // per-doc stats (size + hot-shingle array) combined ONCE at doc
+    // granularity, then joined once per pair side — doc-count-sized, no
+    // broadcast hint (wrong at 1000× scale); the two pair-set joins
+    // move only narrow rows and AQE broadcasts the small side at gate
+    // scale on runtime stats
     val hotSets = sh.join(broadcast(hot), Seq("sh"), "left_semi")
       .groupBy("__id").agg(collect_list(col("sh")).as("__hsh"))
-    // sizes/hotSets are doc-count-sized — no broadcast hint (wrong at
-    // 1000× scale); all four joins move only narrow rows, and AQE
-    // broadcasts them at small scale on runtime stats anyway
+    val docStats = sizes.join(hotSets, Seq("__id"), "left")
     co
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
-      .join(hotSets.select(col("__id").as("id_a"), col("__hsh").as("__ha")), Seq("id_a"), "left")
-      .join(hotSets.select(col("__id").as("id_b"), col("__hsh").as("__hb")), Seq("id_b"), "left")
+      .join(docStats.select(col("__id").as("id_a"), col("__sz").as("__sa"),
+        col("__hsh").as("__ha")), Seq("id_a"))
+      .join(docStats.select(col("__id").as("id_b"), col("__sz").as("__sb"),
+        col("__hsh").as("__hb")), Seq("id_b"))
       .withColumn("__inter", col("__cr") +
         when(col("__ha").isNotNull && col("__hb").isNotNull,
           size(array_intersect(col("__ha"), col("__hb"))).cast("long"))

@@ -13,10 +13,15 @@ object PipelineQueries {
 
   /** Shared MinHash-family stages per (session, sf dir): the shingle
     * sets and 64-hash signature matrix are each localCheckpointed once
-    * and reused by q29/q30/q32/q49 — the gate queries measure pipeline
-    * cost, not four re-shinglings of the same corpus. Results are
-    * identical to per-query recomputation (the stages are
-    * deterministic); the cache only pins the two small checkpoints. */
+    * and reused by q29/q30/q32/q49/q55 — the gate queries measure
+    * pipeline cost, not five re-shinglings of the same corpus. Results
+    * are identical to per-query recomputation (the stages are
+    * deterministic); the cache only pins the two small checkpoints.
+    * CONTRACT: a memo, not a cache with invalidation — it assumes the
+    * driver contract's immutable sf dirs. A session that rewrites a
+    * dir's parquet in place must not expect these queries to observe
+    * the new data; there is deliberately no staleness check on the
+    * read path. */
   private val mhStages =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def stages(s: SparkSession, dir: String): (DataFrame, DataFrame) =

@@ -96,7 +96,14 @@ object Similarity {
     val ps = planes(numPlanes, dim, seed)
     (0 until numPlanes).map { p =>
       val plane = array(ps(p).toIndexedSeq.map(lit): _*)
-      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      // coalesce per term: zip_with null-pads when vec.length != dim,
+      // and a bare product would null the whole dot (bucket 0 in every
+      // band) — the native LshBuckets expression and the SQL oracles
+      // both PARTIAL-SUM over the common prefix instead; keep the
+      // fallback bit-identical for malformed-length vectors too
+      val d = aggregate(zip_with(vec, plane, (x, y) => coalesce(x * y, lit(0.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 

@@ -41,58 +41,57 @@ object EventStreams {
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionAgg(start: Long, end: Long, n: Long)
+  final case class SessionsState(sessions: Seq[SessionAgg])
   final case class Session(user_id: Long, start_ts: java.sql.Timestamp,
       end_ts: java.sql.Timestamp, n_events: Long)
 
   /** Gap-based sessionization via `flatMapGroupsWithState` with an
-    * event-time timeout — the canonical custom-state streaming shape:
-    * per-user state holds the open session's bounds; a session closes
-    * when a LATER event arrives more than `gapMs` after its end
-    * (emitted immediately, matching the batch `CoreQueries.sessionize`
-    * semantics even when both sessions' events share a micro-batch) or
-    * when the watermark passes its end + `gapMs` (event-time timeout).
-    * State is one small struct per ACTIVE user, evicted on timeout —
-    * bounded regardless of stream length. */
+    * event-time timeout — the canonical custom-state streaming shape.
+    * Per-user state holds EVERY unfinalized session (a micro-batch may
+    * span several; an admissible late event may extend or even BRIDGE
+    * two of them, so none can be finalized early). A session is emitted
+    * only once the watermark passes its end + `gapMs` — at that point
+    * no admissible event can touch it, so the output matches the batch
+    * `CoreQueries.sessionize` on the same data regardless of batch
+    * boundaries or (in-watermark) disorder. State is the per-user list
+    * of sessions inside the gap horizon, finalized away as the
+    * watermark advances — bounded regardless of stream length. */
   def sessionize(events: Dataset[TimedEvent], gapMs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
+    def emit(uid: Long, s: SessionAgg): Session =
+      Session(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n)
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAgg, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, it: Iterator[TimedEvent], state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(uid, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
-          } else {
-            // fold the batch's events in time order, closing a session
-            // whenever the next event's gap exceeds gapMs — a single
-            // micro-batch may span several sessions
-            val closed = scala.collection.mutable.ArrayBuffer[Session]()
-            var cur = state.getOption
-            it.map(_.ts.getTime).toSeq.sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionAgg(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed += Session(uid, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
-                  cur = Some(SessionAgg(t, t, 1))
-                case None =>
-                  cur = Some(SessionAgg(t, t, 1))
-              }
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // fold new events into the session list: an event merges every
+          // session within gapMs of it (possibly bridging two), else
+          // opens its own
+          var sessions = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          it.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            val (near, far) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.end + gapMs)
+            val merged = near.foldLeft(SessionAgg(t, t, 1L)) { (acc, s) =>
+              SessionAgg(math.min(acc.start, s.start),
+                math.max(acc.end, s.end), acc.n + s.n)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.iterator
+            sessions = merged +: far
           }
+          // finalize sessions the watermark has passed — no admissible
+          // event can extend them any more
+          val (done, live) = sessions.partition(s => s.end + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(live))
+            state.setTimeoutTimestamp(live.map(_.end).min + gapMs)
+          }
+          done.sortBy(s => (s.start, s.end)).iterator.map(emit(uid, _))
       }
   }
 

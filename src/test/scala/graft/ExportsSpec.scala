@@ -378,6 +378,17 @@ class ExportsSpec extends AnyFunSuite {
         out.queryExecution.optimizedPlan.toString.take(500))
   }
 
+  test("config: key mapping validates SAME-AS and source membership up front") {
+    intercept[IllegalArgumentException] {
+      ConceptsConfig(mappingTypes = Seq("NARROWER-THAN"),
+        conceptKeyMapping = Some("CIEL"))
+    }
+    intercept[IllegalArgumentException] {
+      ConceptsConfig(conceptSources = Seq("PIH|Name"),
+        conceptKeyMapping = Some("CIEL"))
+    }
+  }
+
   test("cli: --mapping-types and --set-name default output name round-trip") {
     assert(graft.functions.Naming.squishName("Vital signs") == "Vital-signs")
     // mapping-types narrows the pivot headers: NARROWER-THAN dropped.

@@ -126,6 +126,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize holds sessions open under the watermark so late events can extend them") {
+    import graft.streaming.EventStreams.{Session, TimedEvent}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("latesessions")
+      .outputMode("append").start()
+    try {
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 10:00:00")),
+        TimedEvent(1, Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // 10:20 is late (watermark is 10:00) but admissible: it must join
+      // the FIRST session, which therefore cannot have been emitted yet
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("latesessions").isEmpty,
+        "no session may finalize before the watermark passes its gap")
+      // advance the watermark to 12:00 — both sessions finalize
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("latesessions").as[Session].collect().toSeq
+        .sortBy(_.start_ts.getTime)
+      assert(got == Seq(
+        Session(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          Timestamp.valueOf("2024-01-01 10:20:00"), 3L),
+        Session(1L, Timestamp.valueOf("2024-01-01 11:00:00"),
+          Timestamp.valueOf("2024-01-01 11:00:00"), 1L)),
+        s"late event must extend the still-open first session, got $got")
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
     val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
