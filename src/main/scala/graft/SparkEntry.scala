@@ -85,6 +85,7 @@ object SparkEntry {
     "q53_ivf_topk" -> (P.ivfTopK _),
     "q54_sessionize" -> (C.sessionize _),
     "q55_clean_corpus" -> (P.cleanCorpus _),
+    "q56_tfidf_top" -> (P.tfidfTop _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -562,6 +563,29 @@ object SparkEntry {
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rhash
         |FROM toks ORDER BY doc_id""".stripMargin,
     "q45_media_meta" -> q45OracleSql,
+    // smoothed TF-IDF, per-doc top-5 by (rounded score desc, term) —
+    // the rounded ranking key makes last-ulp ln() differences between
+    // engines unable to flip ranks
+    "q56_tfidf_top" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, term,
+        |  round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+        | FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        | SELECT doc_id, term, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        | FROM scored)
+        |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
   )
 
   private val q45OracleSql: String =

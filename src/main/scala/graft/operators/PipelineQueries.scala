@@ -153,6 +153,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // corpus-level TF-IDF: top-5 terms per document (smoothed idf,
+  // deterministic rounded-score ranking — exactly DuckDB-oracled)
+  def tfidfTop(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rnk")
+
   // multimodal metadata extraction: text bytes stand in for an opaque
   // media payload; schema/chunking/stub-decode plumbing per Multimodal
   def mediaMeta(s: SparkSession, dir: String): DataFrame =

@@ -98,4 +98,16 @@ class FunctionsSpec extends AnyFunSuite {
       .select(T.langId(col("s"))).as[String].collect().toSeq
     assert(got == Seq("en", "es", "de"))
   }
+
+  test("tfidfTopTerms: smoothed idf, hand-computed weights, deterministic ranks") {
+    import graft.operators.TextCorpus
+    // N=2; df(a)=2 → idf 1.0; df(b)=df(c)=1 → idf ln(1.5)+1 ≈ 1.4055
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextCorpus.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 2.0, 1), (1L, "b", 1.4055, 2),
+      (2L, "c", 1.4055, 1), (2L, "a", 1.0, 2)))
+  }
 }
