@@ -86,6 +86,7 @@ object SparkEntry {
     "q54_sessionize" -> (C.sessionize _),
     "q55_clean_corpus" -> (P.cleanCorpus _),
     "q56_tfidf_top" -> (P.tfidfTop _),
+    "q57_bm25" -> (P.bm25 _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -586,6 +587,35 @@ object SparkEntry {
         | FROM scored)
         |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY doc_id, rnk""".stripMargin,
+    // Okapi BM25 (k1=1.2, b=0.75, non-negative idf) for the fixed query
+    // {join, hash, scan, filter}; per-doc scores ranked by the ROUNDED
+    // value (ties by doc_id). The k1+1 factor is written as the same
+    // 1.2+1.0 addition on both engines so the constant folds to the
+    // identical double.
+    "q57_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('join', 'hash', 'scan', 'filter') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  round(SUM(ln((n.n - df + 0.5) / (df + 0.5) + 1.0)
+        |    * tf * (1.2 + 1.0)
+        |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+        | FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id,
+        |      n, avgdl
+        | GROUP BY tf.doc_id),
+        |r AS (SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        | FROM sc)
+        |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -159,6 +159,13 @@ object PipelineQueries {
     TextCorpus.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rnk")
 
+  // BM25 retrieval ranking against a fixed term query (top-20 docs) —
+  // the rounded-score ranking makes it exactly DuckDB-oracled
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
+        queryTerms = Seq("join", "hash", "scan", "filter"), k = 20)
+      .orderBy("rnk")
+
   // multimodal metadata extraction: text bytes stand in for an opaque
   // media payload; schema/chunking/stub-decode plumbing per Multimodal
   def mediaMeta(s: SparkSession, dir: String): DataFrame =

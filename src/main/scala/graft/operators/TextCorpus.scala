@@ -43,4 +43,48 @@ object TextCorpus {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tfidf"), col("rnk"))
   }
+
+  /** Top-k documents for a term query by Okapi BM25:
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))` with
+    * `idf = ln((N−df+0.5)/(df+0.5) + 1)` (the non-negative variant) —
+    * the standard retrieval scorer, used in data curation to rank a
+    * corpus against a high-quality reference query. Ranking compares
+    * the 4-dp ROUNDED score (ties by doc id) so the ranking is
+    * deterministic and engine-portable.
+    *
+    * Scale shape: term filter pushes into the exploded token stream
+    * before any aggregation (only query-term rows shuffle), per-doc
+    * lengths aggregate map-side, N/avgdl are broadcast 1-row
+    * aggregates, final top-k is a TakeOrdered — nothing
+    * vocabulary-sized or doc² anywhere.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val avgdl = dl.agg(avg("__dl").as("__avgdl"))
+    val idf = log((col("__n") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val scored = tf.join(dfreq, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .withColumn("__s", idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(MysqlFunctions.oracleRound(sum("__s"), 4).as("score"))
+    // TakeOrdered top-k first (per-partition top-k + merge, no global
+    // sort), then number the k survivors — the rank window only ever
+    // sees k rows
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("score"), col("rnk"))
+  }
 }

@@ -110,4 +110,20 @@ class FunctionsSpec extends AnyFunSuite {
       (1L, "a", 2.0, 1), (1L, "b", 1.4055, 2),
       (2L, "c", 1.4055, 1), (2L, "a", 1.0, 2)))
   }
+
+  test("bm25Rank: more/denser query-term matches rank higher; non-matching docs absent") {
+    import graft.operators.TextCorpus
+    val docs = Seq(
+      (1L, "join hash join scan extra words here making it longer"),
+      (2L, "join other words"),
+      (3L, "nothing relevant at all"),
+      (4L, "join hash scan")).toDF("doc_id", "text")
+    val got = TextCorpus.bm25Rank(docs, "doc_id", "text",
+        queryTerms = Seq("join", "hash", "scan"), k = 10)
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+    assert(got.map(_._1) == Seq(4L, 1L, 2L),
+      s"short all-term doc first, then long multi-term, then single-term; got $got")
+    assert(!got.exists(_._1 == 3L), "doc without query terms must not appear")
+    assert(got.map(_._3) == Seq(1, 2, 3))
+  }
 }
