@@ -160,6 +160,56 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals batch gap-splitting on random batched, disordered streams") {
+    import graft.streaming.EventStreams.{Session, TimedEvent}
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(31)
+    val gapMs = 30L * 60 * 1000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 30 events over 4 hours for 3 users, delivered in RANDOM order
+    // across random batch splits — all admissible under a 10h watermark
+    // delay, so streaming must reproduce the batch gap-split exactly
+    val events = Seq.fill(30)(TimedEvent(1L + rng.nextInt(3),
+      new Timestamp(base + rng.nextInt(4 * 60) * 60000L)))
+    def referenceSessions(evs: Seq[TimedEvent]): Set[(Long, Long, Long, Long)] =
+      evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+          case ((s, e, n) :: rest, t) =>
+            if (t - e <= gapMs) (s, math.max(e, t), n + 1) :: rest
+            else (t, t, 1L) :: (s, e, n) :: rest
+          case (Nil, t) => List((t, t, 1L))
+        }.map { case (s, e, n) => (uid, s, e, n) }
+      }.toSet
+    val input = MemoryStream[TimedEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMs,
+        watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("propsessions")
+      .outputMode("append").start()
+    try {
+      val shuffled = rng.shuffle(events)
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rng.nextInt(10))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        rest = tail
+      }
+      // sentinel advances the watermark far past every real session
+      input.addData(TimedEvent(999L, new Timestamp(base + 1000L * 60 * 60000)))
+      q.processAllAvailable()
+      input.addData(TimedEvent(999L, new Timestamp(base + 1001L * 60 * 60000)))
+      q.processAllAvailable()
+      val got = spark.table("propsessions").as[Session].collect().toSeq
+        .filter(_.user_id != 999L)
+        .map(s => (s.user_id, s.start_ts.getTime, s.end_ts.getTime, s.n_events))
+        .toSet
+      assert(got == referenceSessions(events),
+        s"streaming sessions diverge from the batch reference:\n got $got\n " +
+          s"want ${referenceSessions(events)}")
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
     val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
