@@ -29,13 +29,9 @@ object ExportCli {
 
   def main(args: Array[String]): Unit = {
     val (domain, opts) = parse(args)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-export-$domain")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    val spark = GraftSession.builder(s"graft-export-$domain",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]"),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, domain, opts) finally spark.stop()

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession builder pre-configured the way
+  * the engine expects — GraftExtensions registered (native `graft_dot`
+  * and `graft_lsh_buckets`; every operator falls back to bit-identical
+  * built-in compositions without them, just slower), UTC session time
+  * (the oracle/export contract), and shuffle parallelism sized to the
+  * worker count instead of Spark's default 200 (right for local and
+  * small-cluster runs; raise it with the cluster).
+  *
+  * `Bench`/`Verify`/`ExportCli` all build their sessions here, so the
+  * configuration the gates validate is the configuration users get.
+  */
+object GraftSession {
+
+  def builder(appName: String, master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+
+  /** The harness default: local master with `SPARK_GRAFT_CPUS` threads
+    * (32 if unset) and matching shuffle partitions, UI off. */
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(appName, s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
