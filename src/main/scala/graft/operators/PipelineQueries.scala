@@ -31,6 +31,17 @@ object PipelineQueries {
       (sets, sigs)
     })
 
+  /** Shared L2-normalized embedding corpus per (session, sf dir) —
+    * the similarity family's analogue of [[stages]]: q28/q33/q34/q51/
+    * q53 consume one materialized normalization (bit-identical to the
+    * inline computation each op would otherwise repeat; same
+    * immutable-dir memo contract as [[stages]]). */
+  private val embStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def normEmb(s: SparkSession, dir: String): DataFrame =
+    embStage.getOrElseUpdate((s, dir),
+      Similarity.normalizeCorpus(Tables.embeddings(s, dir), "vec_id", "embedding"))
+
   // exact dedup — hash-groupBy on normalized fingerprint
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -177,17 +188,17 @@ object PipelineQueries {
 
   // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = normEmb(s, dir)
     Similarity.cosineTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5)
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
       .orderBy("query_id", "rnk")
   }
 
   // LSH-bucketed ANN (scale path; rows-only)
   def annTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = normEmb(s, dir)
     Similarity.annTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5)
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
       .orderBy("query_id", "rnk")
   }
 
@@ -198,8 +209,8 @@ object PipelineQueries {
   // τ-join. The scale path (Similarity.cosineNearDupLsh) is gated
   // separately as q51 with a pipeline-reproducing oracle.
   def cosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineSimJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45)
+    Similarity.cosineSimJoin(normEmb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, preNormalized = true)
       .orderBy("id_a", "id_b")
 
   // IVF (inverted-file) ANN — the k-means coarse-quantizer scale path,
@@ -208,9 +219,9 @@ object PipelineQueries {
   // oracle; DedupSimilaritySpec pins recall on planted clusters and
   // the gate checks the top-k row contract.
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = normEmb(s, dir)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5)
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
       .orderBy("query_id", "rnk")
   }
 
@@ -222,7 +233,7 @@ object PipelineQueries {
   // q33), so the bucket-join plan itself is hash-verified, not just a
   // lucky-recall subset of the exact τ-join.
   def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45, bands = 16, planesPerBand = 6)
+    Similarity.cosineNearDupLsh(normEmb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, bands = 16, planesPerBand = 6, preNormalized = true)
       .orderBy("id_a", "id_b")
 }

@@ -57,6 +57,30 @@ object Similarity {
   private def barrier(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** L2-normalize + materialize a corpus ONCE for the whole similarity
+    * family: returns (idCol, vecCol as normalized array<double>),
+    * localCheckpointed. Pass the result to any op here with
+    * `preNormalized = true` — the values are the SAME normalization
+    * expression the ops would compute inline, just materialized, so
+    * results (and the SQL oracles) are bit-identical. The flag then
+    * applies to BOTH corpus and query inputs: re-normalizing an
+    * already-normalized vector divides by a norm of 1±ulp and would
+    * NOT be bit-identical. */
+  def normalizeCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    barrier(df.select(col(idCol),
+      normalized(col(vecCol).cast("array<double>")).as(vecCol)))
+      .localCheckpoint()
+
+  /** Corpus prep shared by the ops: rename + (unless pre-normalized)
+    * normalize behind a barrier. */
+  private def prep(corpus: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, preNormalized: Boolean): DataFrame =
+    if (preNormalized)
+      corpus.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+    else
+      barrier(corpus.select(col(idCol).as(idAs),
+        normalized(col(vecCol).cast("array<double>")).as(vecAs)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (broadcast side); the corpus is
     * scanned once, then a per-query top-k window runs on the
@@ -64,11 +88,10 @@ object Similarity {
     * by neighbor id).
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, dim: Int = 64): DataFrame = {
-    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
-      normalized(col(vecCol).cast("array<double>")).as("cvec")))
-    val q = queries.select(col(idCol).as("query_id"),
-      normalized(col(vecCol).cast("array<double>")).as("qvec"))
+      queries: DataFrame, k: Int, dim: Int = 64,
+      preNormalized: Boolean = false): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
+    val q = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
@@ -132,14 +155,13 @@ object Similarity {
     * per query.
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, numPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
-        normalized(col(vecCol).cast("array<double>")).as("cvec")))
+      queries: DataFrame, k: Int, numPlanes: Int = 6, dim: Int = 64,
+      preNormalized: Boolean = false): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
       .withColumn("bucket",
         element_at(lshBucketsAll(corpus, col("cvec"), 1, numPlanes, dim), 1))
     val probeCols = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
-    val q = queries.select(col(idCol).as("query_id"),
-        normalized(col(vecCol).cast("array<double>")).as("qvec"))
+    val q = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
       .withColumn("bucket0",
         element_at(lshBucketsAll(corpus, col("qvec"), 1, numPlanes, dim), 1))
       .withColumn("bucket", explode(array(probeCols.map(col("bucket0").bitwiseXOR(_)): _*)))
@@ -164,9 +186,9 @@ object Similarity {
     * [[cosineNearDupLsh]] and top-k search through [[annTopK]], which
     * trade exactness for bucket-join pruning. */
   def cosineSimJoin(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
-    val n = barrier(corpus.select(col(idCol).as("__id"),
-        normalized(col(vecCol).cast("array<double>")).as("nvec")))
+      threshold: Double, dim: Int = 64,
+      preNormalized: Boolean = false): DataFrame = {
+    val n = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
     val a = n.select(col("__id").as("id_a"), col("nvec").as("va"))
     val b = n.select(col("__id").as("id_b"), col("nvec").as("vb"))
     a.crossJoin(b)
@@ -227,13 +249,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      dim: Int = 64, seed: Long = 42L, iters: Int = 3): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, iters: Int = 3,
+      preNormalized: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions
     // materialized once: init scan + iters assign/mean passes + the
-    // final assignment all read this checkpoint
-    val c = barrier(corpus.select(col(idCol).as("neighbor_id"),
-      normalized(col(vecCol).cast("array<double>")).as("cvec")))
-      .localCheckpoint()
+    // final assignment all read this checkpoint (a pre-normalized
+    // corpus IS the checkpoint — no second materialization)
+    val c =
+      if (preNormalized)
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      else
+        barrier(corpus.select(col(idCol).as("neighbor_id"),
+          normalized(col(vecCol).cast("array<double>")).as("cvec")))
+          .localCheckpoint()
     var centers: Array[Array[Double]] = c
       .withColumn("__h", TextFunctions.md5Int(
         concat(lit(s"$seed:"), col("neighbor_id").cast("string")), 8))
@@ -255,8 +283,7 @@ object Similarity {
     val ctrs = centersDf(spark, centers)
     val assigned = assignCells(c, ctrs)
     // per-query nprobe nearest cells: rank the broadcast-join distances
-    val q0 = queries.select(col(idCol).as("query_id"),
-      normalized(col(vecCol).cast("array<double>")).as("qvec"))
+    val q0 = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
     val qw = Window.partitionBy("query_id")
       .orderBy(col("__d"), col("cell"))
     val q = q0.crossJoin(broadcast(ctrs))
@@ -286,9 +313,9 @@ object Similarity {
     * cannot prune a low-similarity join without losing recall. */
   def cosineNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
-      dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val c = barrier(corpus.select(col(idCol).as("__id"),
-        normalized(col(vecCol).cast("array<double>")).as("nvec")))
+      dim: Int = 64, maxBucket: Int = 1000,
+      preNormalized: Boolean = false): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
     // per-band plane set via distinct seeds (42+band); one posexplode
     // row per band
     val bucketArr = lshBucketsAll(corpus, col("nvec"), bands, planesPerBand, dim)

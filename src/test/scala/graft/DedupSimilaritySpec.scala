@@ -217,6 +217,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.size == 20 * 10, "every in-cluster pair qualifies")
   }
 
+  test("preNormalized corpus path is bit-identical to inline normalization") {
+    val rng = new scala.util.Random(23)
+    val emb2 = (0L until 100L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val norm = Similarity.normalizeCorpus(emb2, "vec_id", "embedding")
+    val inline = Similarity.cosineSimJoin(emb2, "vec_id", "embedding",
+        threshold = -1.0, dim = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val pre = Similarity.cosineSimJoin(norm, "vec_id", "embedding",
+        threshold = -1.0, dim = 16, preNormalized = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pre == inline, "every pair cosine must match bit-for-bit")
+    val annInline = Similarity.annTopK(emb2, "vec_id", "embedding",
+        emb2.filter(col("vec_id") < 4), k = 5, numPlanes = 6, dim = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    val annPre = Similarity.annTopK(norm, "vec_id", "embedding",
+        norm.filter(col("vec_id") < 4), k = 5, numPlanes = 6, dim = 16,
+        preNormalized = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(annPre == annInline, "bucket assignments and ranks must match")
+  }
+
   test("salted join and salted agg equal their unsalted twins under a hot key") {
     import graft.operators.Skew
     val big = (1L to 3000L).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
