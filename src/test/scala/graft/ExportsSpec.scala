@@ -378,6 +378,26 @@ class ExportsSpec extends AnyFunSuite {
         out.queryExecution.optimizedPlan.toString.take(500))
   }
 
+  test("cli: csv ingress resolves <dir>/<table>.csv with header + inferred schema") {
+    val tmp = Files.createTempDirectory("graft-cli-csv")
+    val srcDir = tmp.resolve("tables"); Files.createDirectories(srcDir)
+    locationTables.foreach { case (name, df) =>
+      val d = srcDir.resolve(name + ".csv.d")
+      df.coalesce(1).write.option("header", "true").mode("overwrite")
+        .csv(d.toString)
+      val part = Files.list(d).iterator.asScala
+        .find(_.toString.endsWith(".csv")).get
+      Files.move(part, srcDir.resolve(name + ".csv"))
+    }
+    val out = tmp.resolve("locations.csv").toString
+    ExportCli.run(spark, "locations",
+      Map("tables" -> s"csv:$srcDir", "out" -> out))
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toSeq
+    assert(lines.head.startsWith("UUID,Void/Retire,Name,Description,Parent"))
+    assert(lines.tail.map(_.split(",", -1).head) ==
+      Seq("loc-1", "loc-2", "loc-3", "loc-4", "loc-5"))
+  }
+
   test("config: key mapping validates SAME-AS and source membership up front") {
     intercept[IllegalArgumentException] {
       ConceptsConfig(mappingTypes = Seq("NARROWER-THAN"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CoreQueries => C}
+import graft.operators.{CoreQueries => C, PipelineQueries => P}
 
 /** Plan-property regression tests: the scale behavior lives in the
   * physical plan, so pin it — filters must reach the parquet scan,
@@ -50,6 +50,26 @@ class PlanSpec extends AnyFunSuite {
     val plan = formattedPlan(C.antiJoin(spark, dir))
     assert(plan.contains("LeftAnti"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("q51: banded near-dup candidates come from a bucket hash join, never a cartesian") {
+    val plan = P.cosineNearDupLsh(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the scale path must stay a (band,bucket)-keyed join")
+  }
+
+  test("q54: both session windows share a single sort") {
+    val plan = C.sessionize(spark, dir).queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(plan).size == 2)
+    // one sort feeds both windows; the only other sort is the output order
+    assert("Sort \\[".r.findAllIn(plan).size <= 2,
+      s"lag + running-sum must not plan separate sorts:\n$plan")
+  }
+
+  test("q57: BM25 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = formattedPlan(P.bm25(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
   }
 
   test("q08: pivot with explicit values skips the value-discovery job") {
