@@ -24,9 +24,9 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
 
   /** The harness default: local master with `SPARK_GRAFT_CPUS` threads
-    * (32 if unset) and matching shuffle partitions, UI off. */
-  def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    * (`defaultCpus` if unset) and matching shuffle partitions, UI off. */
+  def local(appName: String, defaultCpus: String = "32"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = builder(appName, s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -6,7 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val spark = GraftSession.local("graft-verify")
+    // verify hosts are small; keep the pre-consolidation default of 4
+    // threads unless SPARK_GRAFT_CPUS says otherwise
+    val spark = GraftSession.local("graft-verify", defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -155,12 +155,20 @@ object PipelineQueries {
           bands = 16, threshold = 0.7).select("id_a", "id_b"))
       .filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
-    docs
+    // score once, materialized: FilterExec and ProjectExec each
+    // evaluate their own trees (pushdown re-substitutes the full
+    // expression), so filtering on qualityScore(text) directly would
+    // re-tokenize every surviving doc several times — the checkpoint
+    // holds the narrow (id, n_tokens, quality) projection and the
+    // filter reads computed values
+    val scored = docs.select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
+    scored
+      .filter(col("quality") >= 0.5)
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .filter(T.qualityScore(col("text")) >= 0.5)
-      .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
-        T.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

@@ -83,13 +83,19 @@ object EventStreams {
             }
             sessions = merged +: far
           }
-          // finalize sessions the watermark has passed — no admissible
-          // event can extend them any more
-          val (done, live) = sessions.partition(s => s.end + gapMs <= wm)
+          // finalize sessions the watermark has STRICTLY passed: an
+          // event at exactly t == wm is still admissible (Spark's late
+          // filter drops only t < wm) and t == end + gapMs still merges
+          // under the batch gap rule, so `<=` here would emit a session
+          // a boundary event can legally rejoin
+          val (done, live) = sessions.partition(s => s.end + gapMs < wm)
           if (live.isEmpty) state.remove()
           else {
             state.update(SessionsState(live))
-            state.setTimeoutTimestamp(live.map(_.end).min + gapMs)
+            // a live session may sit exactly AT the watermark; Spark
+            // rejects timeout timestamps <= current watermark
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.end).min + gapMs, wm + 1))
           }
           done.sortBy(s => (s.start, s.end)).iterator.map(emit(uid, _))
       }

@@ -160,6 +160,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize watermark boundary: t == wm is dropped by the engine; in-watermark late events still merge") {
+    import graft.streaming.EventStreams.{Session, TimedEvent}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    // gap 30min, delay 30min. After the 11:00 batch the watermark is
+    // 10:30 — exactly [10:00]'s end + gap. Empirically (pinned here)
+    // Spark's stateful late filter drops an event AT the watermark
+    // (admissibility is t > wm), so finalizing with a strict
+    // `end + gap < wm` can never lose a mergeable event: any admitted
+    // event has t > wm >= end + gap, i.e. beyond the batch gap rule.
+    // The 10:31 event (inside the watermark) must still merge with
+    // 11:00; the 10:30 event (at the watermark) is dropped.
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("boundarysessions")
+      .outputMode("append").start()
+    try {
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+      input.addData(TimedEvent(1, Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // flush everything
+      input.addData(TimedEvent(2, Timestamp.valueOf("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData(TimedEvent(2, Timestamp.valueOf("2024-01-01 20:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("boundarysessions").as[Session].collect().toSeq
+        .filter(_.user_id == 1).sortBy(_.start_ts.getTime)
+      assert(got == Seq(
+        Session(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        Session(1L, Timestamp.valueOf("2024-01-01 10:31:00"),
+          Timestamp.valueOf("2024-01-01 11:00:00"), 2L)),
+        s"10:31 merges late; 10:30 (== wm) is engine-dropped; got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch gap-splitting on random batched, disordered streams") {
     import graft.streaming.EventStreams.{Session, TimedEvent}
     implicit val sql = spark.sqlContext
