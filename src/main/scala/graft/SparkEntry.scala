@@ -87,6 +87,11 @@ object SparkEntry {
     "q55_clean_corpus" -> (P.cleanCorpus _),
     "q56_tfidf_top" -> (P.tfidfTop _),
     "q57_bm25" -> (P.bm25 _),
+    "q58_quantiles_dist" -> (C.quantileStatsDist _),
+    "q59_hash_split" -> (P.hashSplit _),
+    "q60_domain_cap" -> (P.domainCap _),
+    "q61_decontaminate" -> (P.decontaminate _),
+    "q62_vocab_top" -> (P.vocabTop _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -476,6 +481,19 @@ object SparkEntry {
         | FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
         | JOIN embeddings b ON b.vec_id = c.id_b) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // The IVF-ANN pipeline reproduced end-to-end, like q33/q51: md5-
+    // derived init centers, three UNROLLED Lloyd assign/mean rounds
+    // (the iteration count is a fixed constant, so "iterative" does not
+    // mean "not SQL-expressible" — it unrolls), final cell assignment,
+    // nprobe-cell probe ranking, exact top-k inside the probed posting
+    // lists. Centroids are quantized to 6 decimals after every mean
+    // step ON BOTH SIDES (Similarity.roundCoord6 / round(avg,6)), so
+    // the only unordered float reduction in the pipeline — the per-cell
+    // mean — cannot drift the engines apart; all distances and dots
+    // fold in index order over identical values (list_sum/list_transform
+    // here, zip_with/aggregate in Spark), keeping the comparison exact.
+    "q53_ivf_topk" -> ivfOracle(nlist = 16, nprobe = 4, iters = 3,
+      dim = 64, k = 5, seed = 42, queryMax = 8),
     // Batch sessionization: 30-min-gap sessions via integer-microsecond
     // window arithmetic — boundary-exact on both engines.
     "q54_sessionize" ->
@@ -616,6 +634,74 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
         | FROM sc)
         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // Distributed exact quantile (per-(group,value) count histogram +
+    // interpolation) — same semantics as q50, so the same oracle text
+    // minus the distinct-count column.
+    "q58_quantiles_dist" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Deterministic 80/10/10 split by md5 hash bucket — a pure function
+    // of doc_id, so the oracle reproduces every assignment.
+    "q59_hash_split" ->
+      """SELECT doc_id, CAST(b AS INTEGER) AS bucket,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // Per-source quota cap ranked by the q25 quality formula (rounded
+    // before ranking — rank comparisons never see last-ulp differences).
+    "q60_domain_cap" ->
+      """WITH t AS (
+        | SELECT doc_id, source, text,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id, source,
+        | round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+        |  + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
+        |  4) AS quality
+        | FROM t)
+        |SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+        | FROM q) t2
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Benchmark decontamination: distinct-3-gram overlap counts between
+    // each corpus doc (id >= 20) and the eval stand-in set (id < 20).
+    // Shingle arrays are distinct per doc, so count(*) = distinct overlap.
+    "q61_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
+        |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM corp c JOIN bench b USING (sh1)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // Corpus vocabulary head (Zipf table): top-100 tokens by (count
+    // desc, term) — count ties pinned lexicographically.
+    "q62_vocab_top" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |r AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rnk
+        | FROM c)
+        |SELECT term, n, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
   )
 
   private val q45OracleSql: String =
@@ -659,4 +745,70 @@ object SparkEntry {
        |   4) AS jaccard
        | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs — one
+    * assign(d)/argmin(a)/mean(m)/centroid(c) quadruple per Lloyd round.
+    * `e.v` is the L2-normalized corpus (index-order fold, bit-identical
+    * to Spark's zip_with/aggregate normalization); `c0` holds the
+    * md5-ranked init vectors; each `c{k}` carries forward the previous
+    * center for cells that lost every member (Spark keeps them too). */
+  private def ivfOracle(nlist: Int, nprobe: Int, iters: Int, dim: Int,
+      k: Int, seed: Int, queryMax: Int): String = {
+    val d1 = dim + 1
+    def sqd(vec: String, tbl: String): String =
+      s"list_sum(list_transform(range(1, $d1), i -> ($vec[i]-$tbl.ctr[i])*($vec[i]-$tbl.ctr[i])))"
+    val iterCtes = (1 to iters).map { kk =>
+      val j = kk - 1
+      s"""d$kk AS (
+         | SELECT e.vec_id, c.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |   ${sqd("e.v", "c")}, c.cell) AS r
+         | FROM e, c$j c),
+         |a$kk AS (SELECT vec_id, cell FROM d$kk WHERE r = 1),
+         |m$kk AS (
+         | SELECT a.cell, d.i AS di, round(avg(e.v[d.i]), 6) AS w
+         | FROM a$kk a JOIN e USING (vec_id), generate_series(1, $dim) AS d(i)
+         | GROUP BY a.cell, d.i),
+         |c$kk AS (
+         | SELECT c$j.cell, coalesce(m.ctr, c$j.ctr) AS ctr
+         | FROM c$j LEFT JOIN (SELECT cell, list(w ORDER BY di) AS ctr
+         |   FROM m$kk GROUP BY cell) m USING (cell)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |init AS (
+       | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
+       | FROM (SELECT vec_id, v,
+       |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
+       |       FROM e)
+       | ORDER BY h, vec_id LIMIT $nlist),
+       |c0 AS (SELECT cell, v AS ctr FROM init),
+       |$iterCtes
+       |af AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${sqd("e.v", "c")}, c.cell) AS r
+       |  FROM e, c$iters c) t WHERE r = 1),
+       |probes AS (
+       | SELECT query_id, qv, cell FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${sqd("e.v", "c")}, c.cell) AS r
+       |  FROM e, c$iters c WHERE e.vec_id < $queryMax) t WHERE r <= $nprobe),
+       |scored AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_sum(list_transform(range(1, $d1), i -> p.qv[i] * ce.v[i])) AS sim
+       | FROM probes p JOIN af a USING (cell) JOIN e ce ON ce.vec_id = a.vec_id
+       | WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       | FROM scored) t
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 }

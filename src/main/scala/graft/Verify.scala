@@ -5,12 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev loop —
+    // the driver always calls with exactly (sfDir, outDir))
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).headOption.map(_.split(',').toSet)
     // verify hosts are small; keep the pre-consolidation default of 4
     // threads unless SPARK_GRAFT_CPUS says otherwise
     val spark = GraftSession.local("graft-verify", defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

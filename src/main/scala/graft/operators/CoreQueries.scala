@@ -391,6 +391,53 @@ object CoreQueries {
           .as("p90_price"))
       .orderBy("l_returnflag")
 
+  // The 100 TB EXACT-quantile plan for q50's semantics — the third leg
+  // of the statistics family: q50 is exact-but-buffering (per-group
+  // value arrays in the agg buffer), q52 is bounded-memory-but-sketch
+  // (no hash oracle possible), this is BOTH exact and bounded:
+  // distribute a per-(group,value) count histogram (one shuffle,
+  // map-side combined, state = O(distinct values) spread across
+  // executors — never a per-group buffer), locate the two values
+  // covering positions floor(h)/floor(h)+1 at h=(n-1)·p with
+  // cumulative-count windows, and interpolate lower+(h-⌊h⌋)·(upper-
+  // lower) — the same definition `percentile`/quantile_cont use, so
+  // unlike q52 this IS hash-oracled.
+  def quantileStatsDist(s: SparkSession, dir: String): DataFrame = {
+    // unpivot the two (column, percentile) targets into (g, m, v) rows
+    // so one histogram pipeline serves both quantiles
+    val unpivot = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), explode(array(
+        struct(lit("qty").as("m"), col("l_quantity").cast("double").as("v")),
+        struct(lit("price").as("m"), col("l_extendedprice").cast("double").as("v"))))
+        .as("mv"))
+      .select(col("g"), col("mv.m").as("m"), col("mv.v").as("v"))
+    val hist = unpivot.groupBy("g", "m", "v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g", "m").orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g", "m")))
+    // value v covers sorted 0-based positions [cum-cnt, cum-1]; pick the
+    // covering values for i0=⌊h⌋ and i0+1 via conditional aggregation
+    val p = when(col("m") === "qty", lit(0.5)).otherwise(lit(0.9))
+    val h = (col("n") - lit(1)).cast("double") * p
+    val i0 = floor(h)
+    val picked = cum.groupBy("g", "m").agg(
+      max(when(col("cum") - col("cnt") <= i0 && i0 < col("cum"), col("v"))).as("v0"),
+      max(when(col("cum") - col("cnt") <= i0 + 1 && i0 + 1 < col("cum"), col("v"))).as("v1"),
+      max(col("n")).as("n"))
+    val h2 = (col("n") - lit(1)).cast("double") *
+      when(col("m") === "qty", lit(0.5)).otherwise(lit(0.9))
+    val frac = h2 - floor(h2)
+    val quant = M.oracleRound(
+      col("v0") + frac * (coalesce(col("v1"), col("v0")) - col("v0")), 4)
+    picked.withColumn("q", quant)
+      .groupBy("g")
+      .agg(max(when(col("m") === "qty", col("q"))).as("median_qty"),
+        max(when(col("m") === "price", col("q"))).as("p90_price"))
+      .select(col("g").as("l_returnflag"), col("median_qty"), col("p90_price"))
+      .orderBy("l_returnflag")
+  }
+
   // batch sessionization: a new session starts when the gap to the
   // previous event exceeds 30 min — the batch twin of EventStreams'
   // flatMapGroupsWithState sessionizer, fully window-expressible and

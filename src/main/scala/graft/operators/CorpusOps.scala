@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Corpus curation operators a large-scale training-data pipeline needs
+  * around the dedup/similarity core: deterministic dataset splitting,
+  * per-domain quota capping, and benchmark decontamination. All are
+  * single-shuffle (or shuffle-free) DataFrame compositions of codegen'd
+  * built-ins; the only driver-side data ever materialized is nothing —
+  * every operator here stays fully distributed.
+  */
+object CorpusOps {
+
+  /** Deterministic hash bucket in [0, buckets): md5 prefix of
+    * `salt:id` — the engine's standard hash derivation (SQL-reproducible,
+    * so split assignments are oracle-verifiable and STABLE across runs,
+    * reshuffles, and engine versions — the property that matters for
+    * train/test splits: a document's split must never depend on
+    * partitioning or arrival order). */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(TextFunctions.md5Int(concat(lit(s"$salt:"), id.cast("string")), 8),
+      lit(buckets.toLong)).cast("int")
+
+  /** Train/val/test split assignment by deterministic hash bucket:
+    * bucket < trainPct → "train", < trainPct+valPct → "val", else
+    * "test". Per-row projection, no shuffle — at 100 TB this is a free
+    * column on the scan. Fractions are in integer percent so bucket
+    * boundaries are exact (no float threshold ambiguity). */
+  def hashSplit(df: DataFrame, idCol: String, salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(idCol), salt, 100)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Per-domain quota cap (the RefinedWeb/C4-style source balancer):
+    * keep the `cap` best documents per domain by (score desc, id asc).
+    * One shuffle on the domain key; the rank window streams each
+    * domain's partition. Scores are expected PRE-ROUNDED (the engine's
+    * rounded-score ranking convention — rank comparisons must not
+    * depend on last-ulp score differences). At 100 TB a skewed domain
+    * is the hot key — cap the skew upstream with a per-domain count +
+    * broadcast filter if one domain dominates the corpus. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      score: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("score").desc, col(idCol))
+    df.select(col(idCol), col(domainCol), score.as("score"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Benchmark decontamination: count, per corpus document, the n-gram
+    * shingles it shares with a benchmark/eval set — the standard
+    * "did the training set leak the test set" scan (n-gram overlap, as
+    * in GPT-3/PaLM contamination analyses). Returns one row per
+    * CONTAMINATED document: (id, n_overlap).
+    *
+    * Scale shape: the benchmark side is tiny (an eval set), so its
+    * distinct-shingle set broadcasts; the corpus streams through one
+    * explode + broadcast hash-semi-join + per-doc count (map-side
+    * combined) — no shuffle of the corpus text, no pair join. Shingle
+    * arrays are distinct per document ([[Dedup.shingles]]), so
+    * count(*) after the join IS the distinct-overlap count.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      .join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

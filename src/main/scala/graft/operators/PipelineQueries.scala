@@ -222,10 +222,13 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
 
   // IVF (inverted-file) ANN — the k-means coarse-quantizer scale path,
-  // rows-gated: the index build is iterative/seeded (not ANSI-SQL-
-  // expressible), so unlike the sign-LSH pipelines there is no hash
-  // oracle; DedupSimilaritySpec pins recall on planted clusters and
-  // the gate checks the top-k row contract.
+  // hash-oracled end-to-end like the sign-LSH pipelines: the Lloyd
+  // build uses md5-derived init and a FIXED iteration count, so the
+  // whole index build unrolls into the DuckDB oracle's chained CTEs
+  // (centroids quantized to 6 decimals per round on both sides — see
+  // Similarity.roundCoord6 — so the one unordered float reduction, the
+  // per-cell mean, cannot drift the engines apart). DedupSimilaritySpec
+  // additionally pins recall on planted clusters.
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -244,4 +247,37 @@ object PipelineQueries {
     Similarity.cosineNearDupLsh(normEmb(s, dir), "vec_id", "embedding",
         threshold = 0.45, bands = 16, planesPerBand = 6, preNormalized = true)
       .orderBy("id_a", "id_b")
+
+  // deterministic train/val/test split (80/10/10) by md5 hash bucket —
+  // split membership is a pure function of doc_id (stable across runs,
+  // partitionings, and engines; exactly oracled)
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  // per-source quota cap: keep the 10 best docs per source by (rounded
+  // quality desc, doc_id) — the source-balancing step of corpus curation
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.domainCap(
+      Tables.documents(s, dir)
+        .withColumn("quality", T.qualityScore(col("text"))),
+      "doc_id", "source", col("quality"), cap = 10)
+      .select(col("doc_id"), col("source"), col("score").as("quality"), col("rk"))
+      .orderBy("source", "rk")
+
+  // benchmark decontamination: docs 0..19 stand in for an eval set;
+  // count each remaining corpus doc's 3-token-shingle overlap with it
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusOps.decontaminate(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
+  def vocabTop(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)
+      .orderBy("rnk")
 }

@@ -227,6 +227,21 @@ object Similarity {
       .agg(first(col("cvec")).as("cvec"),
         min(struct(col("__d"), col("cell"))).getField("cell").as("cell"))
 
+  /** DuckDB-parity rounding of a driver-side centroid coordinate —
+    * the same double-arithmetic half-away-from-zero formula as
+    * [[MysqlFunctions.oracleRound]], applied at scale 6. Centroids are
+    * quantized to 6 decimals after every Lloyd mean step so the
+    * cross-engine float drift of an unordered mean (Spark sums in
+    * partition order, an oracle in scan order — ulp-level differences)
+    * is absorbed before the next assignment pass; every downstream
+    * distance/dot is then computed over IDENTICAL coordinate values in
+    * identical fold order in both engines, making the whole IVF
+    * pipeline hash-oracle-able (q53). A 1e-6 quantization is far below
+    * any clustering-relevant resolution. */
+  private def roundCoord6(x: Double): Double =
+    if (x < 0) -math.floor(-x * 1e6 + 0.5) / 1e6
+    else math.floor(x * 1e6 + 0.5) / 1e6
+
   /** IVF (inverted-file) ANN top-k — the other standard scale path
     * besides sign-LSH. Index build: a fixed-iteration Lloyd coarse
     * quantizer over the corpus (`nlist` cells), implemented directly as
@@ -236,10 +251,14 @@ object Similarity {
     * rounds of assign (broadcast cross join against the nlist-row
     * centroid table) + per-cell mean (dim avg aggregates, map-side
     * combined; only the nlist×dim centroid matrix ever reaches the
-    * driver — exactly what any k-means reduce collects). A fixed small
+    * driver — exactly what any k-means reduce collects), each mean
+    * quantized via [[roundCoord6]]. A fixed small
     * `iters` is the IVF norm: the quantizer only has to be
     * locality-preserving, not converged. The corpus shuffles ONCE on
-    * cell id.
+    * cell id. Because init is hash-derived and `iters` is fixed, the
+    * ENTIRE build unrolls into ANSI SQL — q53's DuckDB oracle
+    * reproduces init, all three assign/mean rounds, the final
+    * assignment, the probe ranking, and the top-k, hash-for-hash.
     *
     * Query: probe the `nprobe` nearest centroids and rank exactly
     * within the probed posting lists — each query touches
@@ -276,7 +295,7 @@ object Similarity {
           (1 until dim).map(j => avg(col("cvec").getItem(j)).as(s"d$j")): _*)
         .collect()
         .map(r => r.getAs[Int]("cell") ->
-          Array.tabulate(dim)(j => r.getDouble(j + 1))).toMap
+          Array.tabulate(dim)(j => roundCoord6(r.getDouble(j + 1)))).toMap
       // cells that lost every member keep their previous center
       centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
     }

@@ -87,4 +87,21 @@ object TextCorpus {
         row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
       .select(col(idCol), col("score"), col("rnk"))
   }
+
+  /** Corpus vocabulary head: the k most frequent (lowercased,
+    * whitespace) tokens with counts and ranks — the Zipf-head table
+    * every tokenizer/filter design step starts from.
+    *
+    * Scale shape: explode → per-term count (map-side combined, one
+    * shuffle on term), then TakeOrdered top-k; the rank window runs on
+    * the k survivors only. Vocabulary never sits on one node.
+    */
+  def vocabTopTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("term")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("int"))
+  }
 }

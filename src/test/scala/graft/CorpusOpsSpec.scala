@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, TextCorpus, CoreQueries => C}
+
+/** Corpus-curation operators (round-4 surface): deterministic hash
+  * split, per-domain quota cap, benchmark decontamination, vocabulary
+  * head — plus the distributed exact quantile's equivalence to Spark's
+  * own buffering `percentile`. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hashSplit is a pure function of id: stable across partitionings, ~80/10/10") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val a = CorpusOps.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = CorpusOps.hashSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split assignment must not depend on partitioning")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
+    assert(math.abs(frac("train") - 0.80) < 0.15)
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("domainCap keeps at most `cap` rows per domain, best-score-first") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7),
+      (4L, "b", 0.5), (5L, "b", 0.5)).toDF("id", "dom", "sc")
+    val out = CorpusOps.domainCap(df, "id", "dom", col("sc"), cap = 2)
+      .select("id", "dom", "rk").as[(Long, String, Int)].collect().toSet
+    // domain a: top-2 by score; domain b: score tie broken by id
+    assert(out == Set((1L, "a", 1), (2L, "a", 2), (4L, "b", 1), (5L, "b", 2)))
+  }
+
+  test("decontaminate counts distinct shared shingles; clean docs are absent") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma", "beta gamma delta"
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "alpha beta gamma")                // shares exactly one shingle
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("vocabTopTerms ranks by count desc then term asc") {
+    val df = Seq("b b b a a c", "a c", "").toDF("text")
+    val out = TextCorpus.vocabTopTerms(df, "text", k = 10)
+      .select("term", "n", "rnk").as[(String, Long, Int)].collect().toList
+    // counts: a=3, b=3, c=2, ""=1 (empty doc contributes no tokens)
+    assert(out == List(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
+
+  test("distributed histogram quantile equals Spark's exact percentile (q58 == q50)") {
+    val exact = C.quantileStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val dist = C.quantileStatsDist(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(dist == exact,
+      "histogram interpolation must reproduce percentile() exactly")
+  }
+}

@@ -72,6 +72,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q61: decontamination broadcasts the benchmark shingle set") {
+    val plan = P.decontaminate(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-set side must broadcast — the corpus side must not shuffle its text")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q62: vocabulary head plans TakeOrderedAndProject over the term counts") {
+    val plan = formattedPlan(P.vocabTop(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q59: hash split is shuffle-free (pure per-row projection)") {
+    val plan = P.hashSplit(spark, dir).queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort
+    assert(!plan.contains("hashpartitioning"),
+      s"split assignment must not shuffle:\n$plan")
+  }
+
   test("q08: pivot with explicit values skips the value-discovery job") {
     import org.apache.spark.sql.functions._
     // same base for both variants so reads/listing cost is identical
