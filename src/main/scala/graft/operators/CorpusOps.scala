@@ -70,12 +70,23 @@ object CorpusOps {
     * count(*) after the join IS the distinct-overlap count.
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3): DataFrame = {
-    val benchSh = bench
-      .select(explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      textCol: String, shingleSize: Int = 3): DataFrame =
+    decontaminateFromSets(
+      corpus.select(col(idCol), Dedup.shingles(col(textCol), shingleSize).as("__sh")),
+      bench.select(Dedup.shingles(col(textCol), shingleSize).as("__sh")),
+      idCol)
+
+  /** [[decontaminate]] over pre-shingled `(id, __sh array<string>)`
+    * rows — lets a pipeline reuse one materialized shingle stage across
+    * dedup AND decontamination instead of re-tokenizing the corpus
+    * (the [[Dedup.shingleSets]] contract). */
+  def decontaminateFromSets(corpusSets: DataFrame, benchSets: DataFrame,
+      idCol: String): DataFrame = {
+    val benchSh = benchSets
+      .select(explode(col("__sh")).as("__sh"))
       .distinct()
-    corpus
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+    corpusSets
+      .select(col(idCol), explode(col("__sh")).as("__sh"))
       .join(broadcast(benchSh), Seq("__sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

@@ -267,12 +267,14 @@ object PipelineQueries {
       .orderBy("source", "rk")
 
   // benchmark decontamination: docs 0..19 stand in for an eval set;
-  // count each remaining corpus doc's 3-token-shingle overlap with it
+  // count each remaining corpus doc's 3-token-shingle overlap with it.
+  // Reuses the shared materialized shingle stage (same arrays the
+  // MinHash family reads) instead of re-tokenizing the corpus.
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    CorpusOps.decontaminate(
-        docs.filter(col("doc_id") >= 20),
-        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    val sets = stages(s, dir)._1
+    CorpusOps.decontaminateFromSets(
+        sets.filter(col("doc_id") >= 20),
+        sets.filter(col("doc_id") < 20), "doc_id")
       .orderBy("doc_id")
   }
 

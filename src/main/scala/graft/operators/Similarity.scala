@@ -199,33 +199,30 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** The centroid matrix as a tiny broadcastable DataFrame
-    * (cell, ctr array<double>). Distances then come from ONE
-    * `zip_with`/`aggregate` pair over a broadcast cross join — constant
-    * plan size. (The literal-expansion alternative — nlist×dim literal
-    * coordinate leaves per distance expression — cost seconds of
-    * OPTIMIZER time per pass, the same pathology the LshBuckets
-    * expression exists to avoid.) */
-  private def centersDf(spark: org.apache.spark.sql.SparkSession,
-      centers: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "ctr")
-  }
+  /** The centroid matrix as ONE nested-array literal (a single
+    * `Literal` of `array<array<double>>` ArrayData — NOT nlist×dim
+    * expression leaves, which cost seconds of optimizer time per pass;
+    * the same pathology the LshBuckets expression exists to avoid).
+    * Distances come from per-row `transform` over this literal, so cell
+    * assignment is a MAP-ONLY projection: no cross join, no shuffle of
+    * the corpus — at cluster scale the whole assign pass rides the
+    * scan. */
+  private def centersLit(centers: Array[Array[Double]]): Column =
+    typedlit[Seq[Seq[Double]]](centers.map(_.toIndexedSeq).toIndexedSeq)
 
-  private def sqDistToCtr(vec: Column): Column =
-    aggregate(zip_with(vec, col("ctr"), (x, y) => (x - y) * (x - y)),
+  private def sqDist(vec: Column, ctr: Column): Column =
+    aggregate(zip_with(vec, ctr, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Nearest cell per corpus row: broadcast cross join against the
-    * centroid table, min by (distance², cell) — ties pinned by cell
-    * index. Returns (neighbor_id, cvec, cell). */
-  private def assignCells(c: DataFrame, ctrs: DataFrame): DataFrame =
-    c.crossJoin(broadcast(ctrs))
-      .withColumn("__d", sqDistToCtr(col("cvec")))
-      .groupBy("neighbor_id")
-      .agg(first(col("cvec")).as("cvec"),
-        min(struct(col("__d"), col("cell"))).getField("cell").as("cell"))
+  /** Nearest cell per corpus row: per-row distance array against the
+    * centroid literal, argmin = first position of the min — ties pinned
+    * by cell index (array_position returns the FIRST match, equal to
+    * min-by-(distance², cell)). Adds `cell` as a projected column. */
+  private def assignCells(c: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    val dists = transform(centersLit(centers), ctr => sqDist(col("cvec"), ctr))
+    c.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
 
   /** DuckDB-parity rounding of a driver-side centroid coordinate —
     * the same double-arithmetic half-away-from-zero formula as
@@ -248,14 +245,15 @@ object Similarity {
     * DataFrame aggregations: initial centers are the vectors with the
     * `nlist` smallest md5(seed:id) hashes (deterministic, no stored
     * random state — the engine's standard derivation), then `iters`
-    * rounds of assign (broadcast cross join against the nlist-row
-    * centroid table) + per-cell mean (dim avg aggregates, map-side
-    * combined; only the nlist×dim centroid matrix ever reaches the
-    * driver — exactly what any k-means reduce collects), each mean
-    * quantized via [[roundCoord6]]. A fixed small
+    * rounds of assign (a MAP-ONLY projection against the single
+    * centroid-matrix literal — see [[assignCells]]; the corpus never
+    * shuffles for assignment) + per-cell mean (dim avg aggregates,
+    * map-side combined down to nlist rows; only the nlist×dim centroid
+    * matrix ever reaches the driver — exactly what any k-means reduce
+    * collects), each mean quantized via [[roundCoord6]]. A fixed small
     * `iters` is the IVF norm: the quantizer only has to be
-    * locality-preserving, not converged. The corpus shuffles ONCE on
-    * cell id. Because init is hash-derived and `iters` is fixed, the
+    * locality-preserving, not converged.
+    * Because init is hash-derived and `iters` is fixed, the
     * ENTIRE build unrolls into ANSI SQL — q53's DuckDB oracle
     * reproduces init, all three assign/mean rounds, the final
     * assignment, the probe ranking, and the top-k, hash-for-hash.
@@ -287,9 +285,8 @@ object Similarity {
       .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
       .select("cvec").collect()
       .map(_.getSeq[Double](0).toArray)
-    val spark = corpus.sparkSession
     for (_ <- 0 until iters) {
-      val means = assignCells(c, centersDf(spark, centers))
+      val means = assignCells(c, centers)
         .groupBy("cell")
         .agg(avg(col("cvec").getItem(0)).as("d0"),
           (1 until dim).map(j => avg(col("cvec").getItem(j)).as(s"d$j")): _*)
@@ -299,17 +296,17 @@ object Similarity {
       // cells that lost every member keep their previous center
       centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
     }
-    val ctrs = centersDf(spark, centers)
-    val assigned = assignCells(c, ctrs)
-    // per-query nprobe nearest cells: rank the broadcast-join distances
+    val assigned = assignCells(c, centers)
+    // per-query nprobe nearest cells, map-only like the assignment:
+    // (distance², cell) structs sort in natural struct order — distance
+    // first, ties by cell index — and the nprobe head explodes into
+    // probe rows (no window, no join)
     val q0 = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
-    val qw = Window.partitionBy("query_id")
-      .orderBy(col("__d"), col("cell"))
-    val q = q0.crossJoin(broadcast(ctrs))
-      .withColumn("__d", sqDistToCtr(col("qvec")))
-      .withColumn("__r", row_number().over(qw))
-      .filter(col("__r") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    val probeStructs = transform(centersLit(centers),
+      (ctr, i) => struct(sqDist(col("qvec"), ctr).as("d"), i.cast("int").as("cell")))
+    val q = q0
+      .withColumn("__probe", explode(slice(array_sort(probeStructs), 1, nprobe)))
+      .select(col("query_id"), col("qvec"), col("__probe.cell").as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
