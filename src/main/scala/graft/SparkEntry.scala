@@ -92,6 +92,9 @@ object SparkEntry {
     "q60_domain_cap" -> (P.domainCap _),
     "q61_decontaminate" -> (P.decontaminate _),
     "q62_vocab_top" -> (P.vocabTop _),
+    "q63_asof_join" -> (C.asofClickView _),
+    "q64_fuzzy_match" -> (P.fuzzyParts _),
+    "q65_window_funcs" -> (C.windowFuncs _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -702,6 +705,40 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rnk
         | FROM c)
         |SELECT term, n, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // Backward as-of join — DuckDB has the operator natively (ASOF LEFT
+    // JOIN, same left.t >= right.t / equal-time-matches contract as the
+    // union+window implementation), so the oracle is direct.
+    "q63_asof_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |clicks AS (
+        | SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |views AS (
+        | SELECT user_id, us, max(event_id) AS view_event_id
+        | FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT c.event_id, c.user_id, c.us, v.view_event_id, v.us AS view_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.us >= v.us
+        |ORDER BY c.event_id""".stripMargin,
+    // Blocked edit-distance matching over distinct names; levenshtein
+    // is integer-exact on both engines.
+    "q64_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        | CAST(levenshtein(a.name, c.name) AS INTEGER) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |WHERE levenshtein(a.name, c.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q65_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume,
+        | round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -462,6 +462,41 @@ object CoreQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Backward as-of join over the event stream: for each click, the
+  // user's most recent view at or before it (point-in-time join — the
+  // operator Spark's built-in joins lack; see operators/AsofJoin).
+  // The view side is deduped to one row per (user, time) upstream, per
+  // the operator's determinism contract.
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "us").agg(max("event_id").as("view_event_id"))
+    AsofJoin.asofBackward(clicks, views, Seq("user_id"), "us", "us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("asof.view_event_id").as("view_event_id"),
+        col("asof.us").as("view_us"))
+      .orderBy("event_id")
+  }
+
+  // Ranking-window breadth: ntile / percent_rank / cume_dist / lead
+  // over a deterministic (price, key) order; the fractional ranks are
+  // exact rationals computed identically on both engines, rounded to
+  // the engine's 4-dp ranking convention anyway.
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      M.oracleRound(percent_rank().over(w), 4).as("pct_rank"),
+      M.oracleRound(cume_dist().over(w), 4).as("cume"),
+      M.oracleRound(coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+        .as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // R6/O6 — set-CSV derivation shape: first row (by order) defines the
   // set, remaining rows become members with 1..N sort weights
   // (concept_set_csv_creator.py:54-77)

@@ -80,6 +80,29 @@ object CorpusOps {
     * rows — lets a pipeline reuse one materialized shingle stage across
     * dedup AND decontamination instead of re-tokenizing the corpus
     * (the [[Dedup.shingleSets]] contract). */
+  /** Blocked fuzzy matching over the DISTINCT values of a string
+    * column — entity-resolution-style near-key detection (name/title
+    * variants that exact dedup misses). Classic blocking: a cheap key
+    * (e.g. last token, phonetic code, length band) gates the pair
+    * space, then `levenshtein` verifies within blocks. Operating on
+    * distinct values first is the load-bearing scale move: the pair
+    * stage sees |distinct| rows, not |corpus|, and edit distance is
+    * integer-exact so the whole operator is oracle-verifiable.
+    * At 100 TB the block histogram is the skew check — a degenerate
+    * block (everything one key) needs a second blocking key, same as
+    * any ER pipeline. */
+  def fuzzyPairs(df: DataFrame, nameCol: String,
+      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+      .withColumn("__blk", blockKey(col("name")))
+    names.select(col("__blk"), col("name").as("name_a"))
+      .join(names.select(col("__blk"), col("name").as("name_b")), Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+  }
+
   def decontaminateFromSets(corpusSets: DataFrame, benchSets: DataFrame,
       idCol: String): DataFrame = {
     val benchSh = benchSets

@@ -289,4 +289,12 @@ object PipelineQueries {
   def vocabTop(s: SparkSession, dir: String): DataFrame =
     TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)
       .orderBy("rnk")
+
+  // entity-resolution shape: distinct part names, blocked on the last
+  // token, verified by edit distance <= 3 — near-key variants that
+  // exact dedup misses
+  def fuzzyParts(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.fuzzyPairs(Tables.part(s, dir), "p_name",
+        n => element_at(split(n, " "), -1), maxDist = 3)
+      .orderBy("name_a", "name_b")
 }

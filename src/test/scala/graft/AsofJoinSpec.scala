@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsofJoin, CorpusOps}
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"),
+    (2L, 50L, "l50")).toDF("k", "t", "lv")
+  private lazy val right = Seq(
+    (1L, 10L, "r10"), (1L, 15L, "r15"),
+    (2L, 99L, "r99")).toDF("k", "t", "rv")
+
+  test("asofBackward: latest right at-or-before, equal time matches, no-match is null") {
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t")
+      .select(col("k"), col("t"), col("asof.rv"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some("r10")),  // equal time matches (>= contract)
+      (1L, 20L, Some("r15")),  // latest of the two prior rights
+      (1L, 5L, None),          // nothing at or before
+      (2L, 50L, None)))        // right exists but only in the future
+  }
+
+  test("asofBackward carries the WHOLE right row and preserves left columns") {
+    val row = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t")
+      .filter(col("t") === 20)
+      .select(col("lv"), col("asof.k"), col("asof.t"), col("asof.rv"))
+      .as[(String, Long, Long, String)].head()
+    assert(row == ("l20", 1L, 15L, "r15"))
+  }
+
+  test("fuzzyPairs: blocked edit-distance pairs over distinct names") {
+    val df = Seq("red widget", "blue widget", "red widget", "red bolt")
+      .toDF("nm")
+    val out = CorpusOps.fuzzyPairs(df, "nm",
+        n => element_at(split(n, " "), -1), maxDist = 4)
+      .as[(String, String, Int)].collect().toSet
+    // only the widget block pairs; lev(blue,red)=4; bolt is alone
+    assert(out == Set(("blue widget", "red widget", 4)))
+  }
+}

@@ -84,6 +84,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q63: as-of join plans as union+window — no join operator, one key shuffle") {
+    val plan = C.asofClickView(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"as-of must be the window formulation, not a range/banded join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("q59: hash split is shuffle-free (pure per-row projection)") {
     val plan = P.hashSplit(spark, dir).queryExecution.executedPlan.toString
     // the only exchange allowed is the final presentation sort
