@@ -95,6 +95,7 @@ object SparkEntry {
     "q63_asof_join" -> (C.asofClickView _),
     "q64_fuzzy_match" -> (P.fuzzyParts _),
     "q65_window_funcs" -> (C.windowFuncs _),
+    "q66_range_join" -> (C.rangeClickView _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -739,6 +740,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Range join: the oracle states the semantics directly as the
+    // inequality join the banded plan is equivalent to.
+    "q66_range_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        | c.us - v.us AS gap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -480,6 +480,23 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // Banded range join: every (click, view) pair of the same user
+  // within 30 minutes of each other — the time-window join written as
+  // a bucket hash join (see operators/RangeJoin), not the nested-loop
+  // plan a bare inequality join would get.
+  def rangeClickView(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("us").as("vus"))
+    RangeJoin.bandedRangeJoin(clicks, views, Seq("user_id"),
+        "us", "vus", maxGap = 1800000000L)
+      .select(col("click_id"), col("match.view_id").as("view_id"),
+        col("user_id"), (col("us") - col("match.vus")).as("gap_us"))
+      .orderBy("click_id", "view_id")
+  }
+
   // Ranking-window breadth: ntile / percent_rank / cume_dist / lead
   // over a deterministic (price, key) order; the fractional ranks are
   // exact rationals computed identically on both engines, rounded to

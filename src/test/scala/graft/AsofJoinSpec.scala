@@ -34,6 +34,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(row == ("l20", 1L, 15L, "r15"))
   }
 
+  test("bandedRangeJoin: inclusive boundary, cross-bucket pairs, no duplicates") {
+    import graft.operators.RangeJoin
+    val l = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 150L, "x"), (1L, 199L, "y"), (2L, 201L, "z"))
+      .toDF("k", "rt", "rv")
+    val out = RangeJoin.bandedRangeJoin(l, r, Seq("k"), "t", "rt", maxGap = 100L)
+      .select(col("lv"), col("match.rv")).as[(String, String)].collect().toList
+    // (a,x) 50, (a,y) 99, (b,y) 51; (b,x) gap exactly 100 — inclusive,
+    // and x sits in bucket 1 while b sits in bucket 2 (cross-bucket);
+    // (c,z) gap 101 — excluded; nothing appears twice
+    assert(out.sorted ==
+      List(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+  }
+
   test("fuzzyPairs: blocked edit-distance pairs over distinct names") {
     val df = Seq("red widget", "blue widget", "red widget", "red bolt")
       .toDF("nm")

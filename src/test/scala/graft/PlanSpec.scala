@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("q66: range join is a bucket HASH join, never a nested loop") {
+    val plan = C.rangeClickView(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banded range join must plan as an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"))
+  }
+
   test("q59: hash split is shuffle-free (pure per-row projection)") {
     val plan = P.hashSplit(spark, dir).queryExecution.executedPlan.toString
     // the only exchange allowed is the final presentation sort
