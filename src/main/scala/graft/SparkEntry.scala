@@ -96,6 +96,7 @@ object SparkEntry {
     "q64_fuzzy_match" -> (P.fuzzyParts _),
     "q65_window_funcs" -> (C.windowFuncs _),
     "q66_range_join" -> (C.rangeClickView _),
+    "q67_stats_moments" -> (C.statsMoments _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -751,6 +752,13 @@ object SparkEntry {
         |JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+    "q67_stats_moments" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -462,6 +462,22 @@ object CoreQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Second-moment statistics: sample stddev/variance and pairwise
+  // correlation/covariance per group — single-pass merge aggregates on
+  // both engines (Spark and DuckDB both use numerically-stable merge
+  // formulas; 4-dp rounding absorbs their ulp-level disagreement).
+  def statsMoments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        M.oracleRound(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        M.oracleRound(var_samp(col("l_quantity")), 4).as("var_qty"),
+        M.oracleRound(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qp"),
+        M.oracleRound(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qp"))
+      .orderBy("l_returnflag")
+
   // Backward as-of join over the event stream: for each click, the
   // user's most recent view at or before it (point-in-time join — the
   // operator Spark's built-in joins lack; see operators/AsofJoin).

@@ -101,6 +101,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * `RangeJoin.bandedRangeJoin` (q66): every (left, right) pair of the
+    * same key whose event times are within `gap` of each other. This is
+    * Structured Streaming's NATIVE time-range join: both sides are
+    * watermarked, the join condition carries the time bound, and Spark
+    * derives the state-retention window from watermark + bound — each
+    * side buffers only `gap + watermark` of history per key. The batch
+    * banding trick is unnecessary here; the streaming engine's
+    * symmetric hash join already keys state by the equi-column. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol), col("event_id").as("left_id"), col("ts").as("lts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("__rk"), col("event_id").as("right_id"),
+        col("ts").as("rts"))
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL $gap") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $gap"))
+      .select(col(keyCol), col("left_id"), col("right_id"),
+        col("lts"), col("rts"))
+  }
+
   /** Per-user running totals via `mapGroupsWithState` — the custom-
     * state escape hatch for semantics windowed aggs can't express.
     * State is one `UserStat` per user, hash-partitioned by key. */

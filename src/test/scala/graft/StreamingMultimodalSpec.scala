@@ -10,6 +10,7 @@ import java.sql.Timestamp
 
 case class TsEvent(ts: Timestamp, event_type: String, value: Double)
 case class FpDoc(ts: Timestamp, fp: String, doc: String)
+case class KeyedEvent(user_id: Long, event_id: Long, ts: Timestamp)
 
 class StreamingMultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -37,6 +38,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         (bucket0, "click", 2L, 3.0),
         (bucket0, "view", 1L, 5.0),
         (bucket30, "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the gap, across batches") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[KeyedEvent]
+    val views = MemoryStream[KeyedEvent]
+    clicks.addData(KeyedEvent(1L, 10L, ts(30)))
+    views.addData(
+      KeyedEvent(1L, 20L, ts(10)),   // 20 min before — within 30m gap
+      KeyedEvent(1L, 21L, ts(45)),   // 15 min after — within
+      KeyedEvent(2L, 22L, ts(31)))   // other user — excluded
+    val q = EventStreams.intervalJoin(clicks.toDF(), views.toDF(), "user_id")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: a view just outside the gap never joins
+      views.addData(KeyedEvent(1L, 23L, Timestamp.valueOf("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivjoin").select("left_id", "right_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 20L), (10L, 21L)))
     } finally q.stop()
   }
 
