@@ -97,6 +97,7 @@ object SparkEntry {
     "q65_window_funcs" -> (C.windowFuncs _),
     "q66_range_join" -> (C.rangeClickView _),
     "q67_stats_moments" -> (C.statsMoments _),
+    "q68_cube" -> (C.cubeAgg _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -759,6 +760,12 @@ object SparkEntry {
         | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q68_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 
   private val q45OracleSql: String =

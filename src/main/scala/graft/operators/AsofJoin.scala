@@ -37,6 +37,12 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       asofCol: String = "asof"): DataFrame = {
+    val reserved = Set("__t", "__side", "__rp", "__lp")
+    require(!left.columns.exists(c => reserved(c) || c == asofCol) &&
+      !right.columns.exists(reserved),
+      s"asofBackward reserves ${reserved.mkString("/")} and '$asofCol'")
+    require(keys.forall(left.columns.contains) && keys.forall(right.columns.contains),
+      s"keys ${keys.mkString(",")} must exist on both sides")
     val rPayload = struct(right.columns.map(col).toIndexedSeq: _*)
     val lPayload = struct(left.columns.map(col).toIndexedSeq: _*)
     val rType = right.select(rPayload.as("p")).schema.head.dataType

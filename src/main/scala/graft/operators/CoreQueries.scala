@@ -181,6 +181,19 @@ object CoreQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  // CUBE + grouping_id: all four levels of the (returnflag, linestatus)
+  // lattice in one pass — the multidimensional reporting shape the
+  // rollup's linear hierarchy (q18) doesn't cover. grouping_id uses the
+  // SQL-standard bitmask (first cube column = MSB) on both engines.
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        M.oracleRound(sum("l_quantity"), 2).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // time-bucketed aggregation (batch twin of the streaming windowed agg)
   def windowAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

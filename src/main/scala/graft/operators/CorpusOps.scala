@@ -31,6 +31,8 @@ object CorpusOps {
     * boundaries are exact (no float threshold ambiguity). */
   def hashSplit(df: DataFrame, idCol: String, salt: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percents must be non-negative and sum to <= 100")
     val b = hashBucket(col(idCol), salt, 100)
     df.withColumn("bucket", b)
       .withColumn("split",
@@ -93,7 +95,9 @@ object CorpusOps {
     * any ER pipeline. */
   def fuzzyPairs(df: DataFrame, nameCol: String,
       blockKey: Column => Column, maxDist: Int): DataFrame = {
-    val names = df.select(col(nameCol).as("name")).distinct()
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
       .withColumn("__blk", blockKey(col("name")))
     names.select(col("__blk"), col("name").as("name_a"))
       .join(names.select(col("__blk"), col("name").as("name_b")), Seq("__blk"))

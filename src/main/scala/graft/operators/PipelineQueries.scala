@@ -47,6 +47,17 @@ object PipelineQueries {
         .localCheckpoint()
     })
 
+  /** Shared connected components over [[nearDupPairs]] — q49 reports
+    * them, q55 drops the non-canonical members; the min-label fixpoint
+    * (an iterative multi-job computation) runs once per (session, dir). */
+  private val ccStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def dupComponents(s: SparkSession, dir: String): DataFrame =
+    ccStage.getOrElseUpdate((s, dir),
+      graft.graph.GraphOps.connectedComponents(
+          nearDupPairs(s, dir).select("id_a", "id_b"))
+        .localCheckpoint())
+
   /** Shared L2-normalized embedding corpus per (session, sf dir) —
     * the similarity family's analogue of [[stages]]: q28/q33/q34/q51/
     * q53 consume one materialized normalization (bit-identical to the
@@ -141,8 +152,7 @@ object PipelineQueries {
   // doc_id). The final step of corpus near-dedup: everything with
   // doc_id != group_id gets dropped.
   def dupGroups(s: SparkSession, dir: String): DataFrame =
-    graft.graph.GraphOps.connectedComponents(
-        nearDupPairs(s, dir).select("id_a", "id_b"))
+    dupComponents(s, dir)
       .select(col("node").as("doc_id"), col("comp").as("group_id"))
       .orderBy("doc_id")
 
@@ -158,8 +168,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val exactKeep = Dedup.exact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val nearDupLosers = graft.graph.GraphOps.connectedComponents(
-        nearDupPairs(s, dir).select("id_a", "id_b"))
+    val nearDupLosers = dupComponents(s, dir)
       .filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
     // score once, materialized: FilterExec and ProjectExec each

@@ -28,6 +28,10 @@ object RangeJoin {
       leftTime: String, rightTime: String, maxGap: Long,
       matchCol: String = "match"): DataFrame = {
     require(maxGap > 0, "maxGap must be positive")
+    val reserved = Set("__b", "__rt")
+    require(!left.columns.exists(c => reserved(c) || c == matchCol) &&
+      !right.columns.exists(reserved),
+      s"bandedRangeJoin reserves __b/__rt and '$matchCol'")
     val keyCols = keys.map(col)
     val rPayload = struct(right.columns.map(col).toIndexedSeq: _*)
     // Spark's `/` promotes to double; that is exact here — epoch-micro
