@@ -98,6 +98,8 @@ object SparkEntry {
     "q66_range_join" -> (C.rangeClickView _),
     "q67_stats_moments" -> (C.statsMoments _),
     "q68_cube" -> (C.cubeAgg _),
+    "q69_stratified_sample" -> (P.stratifiedByLang _),
+    "q70_seq_pack" -> (P.seqPack _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -766,6 +768,39 @@ object SparkEntry {
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // Exact per-stratum quota sample: ⌈n·20/100⌉ smallest md5 ranks per
+    // language; the quota is computed in integer arithmetic on both
+    // sides (the float form n*0.2 is not exactly ⌈⌉ at representability
+    // boundaries).
+    "q69_stratified_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    CAST(('0x' || substr(md5('sample:' || doc_id), 1, 8)) AS BIGINT),
+        |    doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT doc_id, lang FROM t
+        |WHERE rn <= CAST(floor((n * 20 + 99) / 100) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    // Sequence packing: the oracle states the semantics as ONE global
+    // cumulative sum; the Spark side computes the identical integers
+    // with a two-level (bucketed) prefix sum so no window is global.
+    "q70_seq_pack" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        | CAST(floor(start_off / 512.0) AS BIGINT) AS block
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -82,6 +82,59 @@ object CorpusOps {
     * rows — lets a pipeline reuse one materialized shingle stage across
     * dedup AND decontamination instead of re-tokenizing the corpus
     * (the [[Dedup.shingleSets]] contract). */
+  /** Deterministic stratified sample: within each stratum, keep the
+    * `pct`% of rows with the smallest md5(salt:id) ranks (quota =
+    * ⌈n·pct/100⌉, integer-exact). The per-language / per-source
+    * subsampler of corpus curation — like [[hashSplit]] the membership
+    * is a pure function of (id, stratum population), reproducible on
+    * any engine; unlike a Bernoulli `sample()` the quota is EXACT per
+    * stratum, and unlike `sampleBy` it is seed-stable across Spark
+    * versions. One shuffle on the stratum key. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pct: Int, salt: String = "sample"): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
+    val h = TextFunctions.md5Int(concat(lit(s"$salt:"), col(idCol).cast("string")), 8)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    val n = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      // ⌈n·pct/100⌉ in exact integer arithmetic (the float form
+      // n*0.01*pct is NOT exactly ⌈⌉ at representability boundaries)
+      .filter(col("__rn") <= floor((col("__n") * pct + 99) / lit(100)).cast("long"))
+      .drop("__rn", "__n")
+  }
+
+  /** GPT-style sequence packing: concatenate documents in id order and
+    * chunk the token stream into fixed `blockTokens` blocks — each doc
+    * gets its starting offset and starting block (docs may straddle
+    * blocks; the consumer slices). The packing is a PREFIX SUM, and the
+    * global window that computes one naively is a single-partition
+    * scale-killer — so this uses the two-level formulation: per-bucket
+    * token totals (tiny aggregate), a running offset over the bucket
+    * totals (window over #buckets rows, bounded by construction), and
+    * a within-bucket cumulative window. Identical integers to the
+    * global cumsum, but every big window is keyed. */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      blockTokens: Long, bucketSize: Long = 1024L): DataFrame = {
+    require(blockTokens > 0 && bucketSize > 0)
+    val base = df.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("__bkt", floor(col(idCol) / lit(bucketSize)).cast("long"))
+    val bucketTotals = base.groupBy("__bkt")
+      .agg(sum("n_tokens").as("__btotal"))
+      .withColumn("__boff",
+        coalesce(sum("__btotal").over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bkt", "__boff")
+    val win = Window.partitionBy("__bkt").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(bucketTotals, Seq("__bkt"))
+      .withColumn("start_off",
+        col("__boff") + coalesce(sum("n_tokens").over(win), lit(0L)))
+      .withColumn("block", floor(col("start_off") / lit(blockTokens)).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("start_off"), col("block"))
+  }
+
   /** Blocked fuzzy matching over the DISTINCT values of a string
     * column — entity-resolution-style near-key detection (name/title
     * variants that exact dedup misses). Classic blocking: a cheap key

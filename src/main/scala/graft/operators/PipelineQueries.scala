@@ -299,6 +299,22 @@ object PipelineQueries {
     TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)
       .orderBy("rnk")
 
+  // deterministic 20% stratified sample per language — exact per-
+  // stratum quota, membership a pure function of (doc_id, stratum size)
+  def stratifiedByLang(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        pct = 20)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  // GPT-style sequence packing: concat docs in id order, chunk the
+  // token stream into 512-token blocks (two-level prefix sum — no
+  // global single-partition window)
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(Tables.documents(s, dir), "doc_id",
+        T.tokenCount(col("text")), blockTokens = 512L)
+      .orderBy("doc_id")
+
   // entity-resolution shape: distinct part names, blocked on the last
   // token, verified by edit distance <= 3 — near-key variants that
   // exact dedup misses

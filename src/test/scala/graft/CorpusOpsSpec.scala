@@ -55,6 +55,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == List(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
   }
 
+  test("stratifiedSample: exact ceil quota per stratum, stable across partitionings") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = CorpusOps.stratifiedSample(docs, "doc_id", "lang", pct = 20)
+    val got = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    for ((lang, n) <- totals)
+      assert(got(lang) == (n * 20 + 99) / 100,
+        s"$lang: quota must be ceil(20% of $n)")
+    val again = CorpusOps.stratifiedSample(docs.repartition(5), "doc_id", "lang", pct = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("packSequences: bucketed prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((0L, 100), (1L, 400), (2L, 200), (3L, 50), (5L, 900), (8L, 10))
+      .toDF("id", "tok")
+    val packed = CorpusOps.packSequences(df, "id", col("tok"),
+        blockTokens = 512L, bucketSize = 2L)
+      .select("id", "start_off", "block").as[(Long, Long, Long)].collect().toSet
+    val naive = df.withColumn("start_off",
+        coalesce(sum(col("tok").cast("long")).over(
+          Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("block", floor(col("start_off") / lit(512L)).cast("long"))
+      .select("id", "start_off", "block").as[(Long, Long, Long)].collect().toSet
+    assert(packed == naive)
+  }
+
   test("distributed histogram quantile equals Spark's exact percentile (q58 == q50)") {
     val exact = C.quantileStats(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
