@@ -100,6 +100,8 @@ object SparkEntry {
     "q68_cube" -> (C.cubeAgg _),
     "q69_stratified_sample" -> (P.stratifiedByLang _),
     "q70_seq_pack" -> (P.seqPack _),
+    "q71_moving_window" -> (C.movingWindow _),
+    "q72_histogram" -> (C.charHistogram _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -801,6 +803,23 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_off,
         | CAST(floor(start_off / 512.0) AS BIGINT) AS block
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q71_moving_window" ->
+      """SELECT event_id, user_id, us,
+        | round(sum(value) OVER w, 2) AS trail_30m,
+        | count(*) OVER w AS n_30m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // DuckDB has no width_bucket; the oracle spells out the same
+    // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
+    // at-or-above-range -> n+1).
+    "q72_histogram" ->
+      """SELECT CASE WHEN n_chars < 0 THEN 0
+        |  WHEN n_chars >= 2000 THEN 21
+        |  ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) + 1
+        | END AS bucket, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -526,6 +526,32 @@ object CoreQueries {
       .orderBy("click_id", "view_id")
   }
 
+  // Time-based moving aggregate: per-user 30-minute trailing event sum
+  // via a RANGE frame over integer microseconds (value-based framing —
+  // the complement of q46's row-based frames). A RANGE frame spans
+  // ties and gaps correctly where ROWS cannot.
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("us"),
+        M.oracleRound(sum("value").over(w), 2).as("trail_30m"),
+        count(lit(1)).over(w).as("n_30m"))
+      .orderBy("event_id")
+  }
+
+  // Fixed-width histogram: token-length distribution of the corpus in
+  // 20 buckets over [0, 2000) — the length-profile every data-quality
+  // report starts with. width_bucket has identical bucket arithmetic
+  // on both engines.
+  def charHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(width_bucket(col("n_chars").cast("double"),
+        lit(0.0), lit(2000.0), lit(20)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   // Ranking-window breadth: ntile / percent_rank / cume_dist / lead
   // over a deterministic (price, key) order; the fractional ranks are
   // exact rationals computed identically on both engines, rounded to
