@@ -6,11 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 
 /** Corpus curation operators a large-scale training-data pipeline needs
-  * around the dedup/similarity core: deterministic dataset splitting,
-  * per-domain quota capping, and benchmark decontamination. All are
-  * single-shuffle (or shuffle-free) DataFrame compositions of codegen'd
-  * built-ins; the only driver-side data ever materialized is nothing —
-  * every operator here stays fully distributed.
+  * around the dedup/similarity core: deterministic dataset splitting and
+  * stratified sampling, per-domain quota capping, benchmark
+  * decontamination, sequence packing, and blocked fuzzy matching. All
+  * are single-shuffle (or shuffle-free) DataFrame compositions of
+  * codegen'd built-ins; nothing is ever collected to the driver —
+  * every operator stays fully distributed.
   */
 object CorpusOps {
 
@@ -78,10 +79,6 @@ object CorpusOps {
       bench.select(Dedup.shingles(col(textCol), shingleSize).as("__sh")),
       idCol)
 
-  /** [[decontaminate]] over pre-shingled `(id, __sh array<string>)`
-    * rows — lets a pipeline reuse one materialized shingle stage across
-    * dedup AND decontamination instead of re-tokenizing the corpus
-    * (the [[Dedup.shingleSets]] contract). */
   /** Deterministic stratified sample: within each stratum, keep the
     * `pct`% of rows with the smallest md5(salt:id) ranks (quota =
     * ⌈n·pct/100⌉, integer-exact). The per-language / per-source
@@ -160,6 +157,10 @@ object CorpusOps {
       .select("name_a", "name_b", "dist")
   }
 
+  /** [[decontaminate]] over pre-shingled `(id, __sh array<string>)`
+    * rows — lets a pipeline reuse one materialized shingle stage across
+    * dedup AND decontamination instead of re-tokenizing the corpus
+    * (the [[Dedup.shingleSets]] contract). */
   def decontaminateFromSets(corpusSets: DataFrame, benchSets: DataFrame,
       idCol: String): DataFrame = {
     val benchSh = benchSets
