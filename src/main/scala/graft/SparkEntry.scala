@@ -102,6 +102,7 @@ object SparkEntry {
     "q70_seq_pack" -> (P.seqPack _),
     "q71_moving_window" -> (C.movingWindow _),
     "q72_histogram" -> (C.charHistogram _),
+    "q73_pagerank" -> (C.pageRankQuery _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -811,6 +812,11 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // Fixed-iteration PageRank unrolled like q53: per-iteration 6-dp
+    // rank rounding re-pins the one unordered float sum each step, so
+    // three chained contribution/update CTE pairs reproduce the Spark
+    // fixpoint hash-for-hash.
+    "q73_pagerank" -> pageRankOracle(iters = 3),
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).
@@ -863,6 +869,36 @@ object SparkEntry {
        |   4) AS jaccard
        | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** q73's oracle: GraphOps.pageRank over the bidirectional
+    * part<->supplier graph, one contribution/update CTE pair per
+    * iteration. */
+  private def pageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val j = k - 1
+      s"""c$k AS (
+         | SELECT e.dst AS node, sum(p.pr / o.od) AS m
+         | FROM e JOIN p$j p ON p.node = e.src JOIN od o ON o.src = e.src
+         | GROUP BY e.dst),
+         |p$k AS (
+         | SELECT nodes.node,
+         |  round((1.0 - 0.85) / n.n + 0.85 * coalesce(c.m, 0.0), 6) AS pr
+         | FROM nodes LEFT JOIN c$k c USING (node), n),""".stripMargin
+    }.mkString("\n")
+    s"""WITH pairs AS (
+       | SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |  's' || CAST(l_suppkey AS VARCHAR) AS sp
+       | FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |      UNION SELECT sp, p FROM pairs),
+       |nodes AS (SELECT DISTINCT node FROM
+       | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
+       |$iterCtes
+       |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
 
   /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs — one
     * assign(d)/argmin(a)/mean(m)/centroid(c) quadruple per Lloyd round.

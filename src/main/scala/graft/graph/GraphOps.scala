@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph algorithms over edge DataFrames — the Spark-first
@@ -189,6 +189,48 @@ object GraphOps {
         s"connectedComponents did not converge in $maxIter iterations")
     e.unpersist()
     labels
+  }
+
+  /** Fixed-iteration PageRank over a DIRECTED edge set — the classic
+    * link-quality signal of web-corpus curation (host/URL ranking as a
+    * keep/drop feature). `pr' = (1-d)/N + d·Σ_in pr/outdeg`, iterated a
+    * fixed `iters` times from the uniform vector; ranks are ROUNDED to
+    * 6 decimals after every iteration (the q53-centroid trick:
+    * the per-node contribution sum is the one unordered float
+    * reduction, and rounding re-pins it each step, which is what lets a
+    * fixed-iteration run unroll into an exact SQL oracle). Dangling
+    * mass is NOT redistributed — feed a graph where every node has an
+    * out-edge (symmetrize if needed) or accept the simplified variant.
+    *
+    * Scale shape: each iteration is one (edges ⋈ ranks) hash join +
+    * a map-side-combined per-dst sum + a left join back to the node
+    * set, checkpointed per step like every fixpoint here. N is the one
+    * driver-side scalar (a count — what any PageRank reduce collects).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct().cache()
+    val nodes = checkpointed(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val n = nodes.count()
+    val round6 = (c: Column) =>
+      graft.functions.MysqlFunctions.oracleRound(c, 6)
+    var pr = checkpointed(nodes.withColumn("pr", round6(lit(1.0) / n)))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(pr, e("src") === pr("node"))
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("__node"))
+        .agg(sum(col("pr") / col("__od")).as("__m"))
+      pr = checkpointed(
+        nodes.join(contrib, nodes("node") === col("__node"), "left")
+          .select(col("node"),
+            round6(lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("__m"), lit(0.0))).as("pr")))
+    }
+    e.unpersist()
+    pr
   }
 
   /** Topological reorder (O4, `concept_csv_export.py:499-530`): order

@@ -475,6 +475,21 @@ object CoreQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Fixed-iteration PageRank over the bidirectional part<->supplier
+  // graph (prefixed string node ids, the q20 pattern) — the link-
+  // quality signal of web-corpus curation, exactly oracled because
+  // ranks re-round to 6dp every iteration (see GraphOps.pageRank).
+  def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    GraphOps.pageRank(edges, iters = 3)
+      .orderBy("node")
+  }
+
   // Second-moment statistics: sample stddev/variance and pairwise
   // correlation/covariance per group — single-pass merge aggregates on
   // both engines (Spark and DuckDB both use numerically-stable merge
