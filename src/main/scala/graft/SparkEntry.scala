@@ -461,20 +461,32 @@ object SparkEntry {
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     // The banded sign-LSH near-dup pipeline (the q34 semantics' 100 TB
-    // plan) reproduced end-to-end: 16 bands × 6 md5-derived hyperplanes
+    // plan) reproduced end-to-end IN ITS DESIGN REGIME (τ=0.85): the
+    // corpus is the embeddings plus md5-derived planted near-dup copies
+    // (PipelineQueries.plantedNormEmb — the testdata has no natural
+    // high-cosine pairs), then 16 bands × 8 md5-derived hyperplanes
     // (seed 42+band), per-band sign buckets, OR-of-bands candidate
     // pairs, exact-cosine verification. Like q33, possible only because
-    // the planes are hash-derived. Bucket signs are computed on the raw
-    // vectors — L2 normalization cannot flip sign(v·plane). The Spark
-    // side's hot-bucket cap (maxBucket=1000) is vacuous at gate scale
-    // by construction — no bucket can exceed the 500-vector corpus —
-    // so the oracle need not model it.
+    // planes AND planted noise are hash-derived. Bucket signs are
+    // computed on the raw vectors — L2 normalization cannot flip
+    // sign(v·plane). The Spark side's hot-bucket cap (maxBucket=1000)
+    // is vacuous at gate scale by construction — no bucket can exceed
+    // the 540-vector corpus — so the oracle need not model it.
     "q51_cosine_neardup_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |plant AS (
+        | SELECT vec_id + 100000 AS vec_id, nv AS v FROM (
+        |  SELECT vec_id,
+        |   list_transform(range(1, 65), i -> v[i] * (1.0 +
+        |     (0.5 + CAST(vec_id % 8 AS DOUBLE) * 0.3) *
+        |     (CAST(('0x' || substr(md5('plant:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       / 4294967296.0 - 0.5))) AS nv
+        |  FROM base WHERE vec_id < 40) t),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
         |w AS (SELECT bb.b AS b, pp.p AS p, dd.d AS d,
         |  CAST(('0x' || substr(md5(CAST(42 + bb.b AS VARCHAR) || ':' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
         |    / 4294967296.0 - 0.5 AS wt
-        | FROM generate_series(0, 15) AS bb(b), generate_series(0, 5) AS pp(p),
+        | FROM generate_series(0, 15) AS bb(b), generate_series(0, 7) AS pp(p),
         |      generate_series(0, 63) AS dd(d)),
         |dots AS (SELECT e.vec_id, w.b, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
         | FROM e, w GROUP BY e.vec_id, w.b, w.p),
@@ -487,11 +499,10 @@ object SparkEntry {
         | WHERE x.vec_id < y.vec_id)
         |SELECT id_a, id_b, cos FROM (
         | SELECT c.id_a, c.id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
-        | FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
-        | JOIN embeddings b ON b.vec_id = c.id_b) t
-        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        | FROM cand c JOIN e a ON a.vec_id = c.id_a
+        | JOIN e b ON b.vec_id = c.id_b) t
+        |WHERE cos >= 0.85 ORDER BY id_a, id_b""".stripMargin,
     // The IVF-ANN pipeline reproduced end-to-end, like q33/q51: md5-
     // derived init centers, three UNROLLED Lloyd assign/mean rounds
     // (the iteration count is a fixed constant, so "iterative" does not
@@ -798,8 +809,9 @@ object SparkEntry {
         | FROM documents),
         |c AS (
         | SELECT doc_id, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
         | FROM t)
         |SELECT doc_id, n_tokens, start_off,
         | CAST(floor(start_off / 512.0) AS BIGINT) AS block
@@ -874,6 +886,9 @@ object SparkEntry {
     * part<->supplier graph, one contribution/update CTE pair per
     * iteration. */
   private def pageRankOracle(iters: Int): String = {
+    // NB: comma BETWEEN blocks, never trailing — the final SELECT
+    // follows the last block directly (r4's q73 bug: a trailing comma
+    // here is a DuckDB parse error).
     val iterCtes = (1 to iters).map { k =>
       val j = k - 1
       s"""c$k AS (
@@ -883,8 +898,8 @@ object SparkEntry {
          |p$k AS (
          | SELECT nodes.node,
          |  round((1.0 - 0.85) / n.n + 0.85 * coalesce(c.m, 0.0), 6) AS pr
-         | FROM nodes LEFT JOIN c$k c USING (node), n),""".stripMargin
-    }.mkString("\n")
+         | FROM nodes LEFT JOIN c$k c USING (node), n)""".stripMargin
+    }.mkString(",\n")
     s"""WITH pairs AS (
        | SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
        |  's' || CAST(l_suppkey AS VARCHAR) AS sp

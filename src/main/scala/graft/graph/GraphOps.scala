@@ -199,37 +199,67 @@ object GraphOps {
     * the per-node contribution sum is the one unordered float
     * reduction, and rounding re-pins it each step, which is what lets a
     * fixed-iteration run unroll into an exact SQL oracle). Dangling
-    * mass is NOT redistributed — feed a graph where every node has an
-    * out-edge (symmetrize if needed) or accept the simplified variant.
+    * mass is NOT redistributed by default — feed a graph where every
+    * node has an out-edge (symmetrize if needed), or pass
+    * `redistributeDangling = true` for the standard correction: the
+    * rank held by out-edge-free nodes is returned to every node
+    * uniformly each step (`+ d·m_dangling/N`), keeping total mass at 1.
     *
-    * Scale shape: each iteration is one (edges ⋈ ranks) hash join +
-    * a map-side-combined per-dst sum + a left join back to the node
-    * set, checkpointed per step like every fixpoint here. N is the one
-    * driver-side scalar (a count — what any PageRank reduce collects).
+    * Scale shape: out-degree is static, so it is folded into the edge
+    * set ONCE up front (each edge row carries its source's degree —
+    * r4 re-derived it from the edge cache every iteration, an extra
+    * groupBy+join per step). Each iteration is then one
+    * (edges ⋈ ranks) hash join + a map-side-combined per-dst sum + a
+    * left join back to the node set, checkpointed per step like every
+    * fixpoint here. The dangling correction, when on, adds a 1-row
+    * aggregate broadcast back per step. N is the one driver-side
+    * scalar (a count — what any PageRank reduce collects).
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.toDF("src", "dst").distinct().cache()
     val nodes = checkpointed(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    // static per-edge degree: (src, dst, __od) materialized once.
+    // NB: the per-iteration sum stays `pr / __od` (integer divisor) —
+    // NOT a precomputed 1/od weight — so every division is the exact
+    // operation the SQL oracle performs (a premultiplied reciprocal
+    // differs by ulps, which 6-dp re-pinning need not absorb at a
+    // rounding boundary).
+    val ew = checkpointed(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__od")), "src"))
+    val srcNodes =
+      if (redistributeDangling)
+        checkpointed(e.select(col("src").as("node")).distinct())
+      else null
+    e.unpersist()
     val n = nodes.count()
     val round6 = (c: Column) =>
       graft.functions.MysqlFunctions.oracleRound(c, 6)
     var pr = checkpointed(nodes.withColumn("pr", round6(lit(1.0) / n)))
     for (_ <- 0 until iters) {
-      val contrib = e.join(pr, e("src") === pr("node"))
-        .join(outdeg, "src")
+      val contrib = ew.join(pr, ew("src") === pr("node"))
         .groupBy(col("dst").as("__node"))
         .agg(sum(col("pr") / col("__od")).as("__m"))
-      pr = checkpointed(
-        nodes.join(contrib, nodes("node") === col("__node"), "left")
-          .select(col("node"),
+      val joined = nodes.join(contrib, nodes("node") === col("__node"), "left")
+      val next =
+        if (redistributeDangling) {
+          // mass parked on out-edge-free nodes this step: one anti-join
+          // + 1-row aggregate, broadcast onto every node row
+          val dangling = pr.join(srcNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              round6(lit((1.0 - damping) / n) + lit(damping) *
+                (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("pr"))
+        } else
+          joined.select(col("node"),
             round6(lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("__m"), lit(0.0))).as("pr")))
+              lit(damping) * coalesce(col("__m"), lit(0.0))).as("pr"))
+      pr = checkpointed(next)
     }
-    e.unpersist()
     pr
   }
 
