@@ -103,6 +103,7 @@ object SparkEntry {
     "q71_moving_window" -> (C.movingWindow _),
     "q72_histogram" -> (C.charHistogram _),
     "q73_pagerank" -> (C.pageRankQuery _),
+    "q74_seq_pack_spans" -> (P.seqPackSpans _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -815,6 +816,29 @@ object SparkEntry {
         | FROM t)
         |SELECT doc_id, n_tokens, start_off,
         | CAST(floor(start_off / 512.0) AS BIGINT) AS block
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q70's packing with the block-SPAN metadata: exclusive end offset
+    // and the block count each doc straddles, all from the same cumsum
+    // (n_blocks = last block − first block + 1; an empty doc touches 0).
+    "q74_seq_pack_spans" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        | CAST(floor(start_off / 512.0) AS BIGINT) AS block,
+        | start_off + n_tokens AS end_off,
+        | CAST(CASE WHEN n_tokens = 0 THEN 0
+        |  ELSE floor((start_off + n_tokens - 1) / 512.0)
+        |   - floor(start_off / 512.0) + 1 END AS BIGINT) AS n_blocks
         |FROM c ORDER BY doc_id""".stripMargin,
     "q71_moving_window" ->
       """SELECT event_id, user_id, us,

@@ -103,14 +103,20 @@ object CorpusOps {
 
   /** GPT-style sequence packing: concatenate documents in id order and
     * chunk the token stream into fixed `blockTokens` blocks — each doc
-    * gets its starting offset and starting block (docs may straddle
-    * blocks; the consumer slices). The packing is a PREFIX SUM, and the
-    * global window that computes one naively is a single-partition
+    * gets its starting offset, its block SPAN (`start_off`/`end_off`/
+    * first `block`/`n_blocks`), so a consumer can slice its bytes out
+    * of the packed stream without recomputing any prefix sum (docs may
+    * straddle blocks). The packing is a PREFIX SUM, and the global
+    * window that computes one naively is a single-partition
     * scale-killer — so this uses the two-level formulation: per-bucket
     * token totals (tiny aggregate), a running offset over the bucket
     * totals (window over #buckets rows, bounded by construction), and
     * a within-bucket cumulative window. Identical integers to the
-    * global cumsum, but every big window is keyed. */
+    * global cumsum, but every big window is keyed.
+    *
+    * Span semantics: `end_off` is exclusive (`start_off + n_tokens`);
+    * `n_blocks` = blocks the doc's tokens touch — `0` for an empty doc
+    * (it occupies no token, hence no block). */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       blockTokens: Long, bucketSize: Long = 1024L): DataFrame = {
     require(blockTokens > 0 && bucketSize > 0)
@@ -129,7 +135,13 @@ object CorpusOps {
       .withColumn("start_off",
         col("__boff") + coalesce(sum("n_tokens").over(win), lit(0L)))
       .withColumn("block", floor(col("start_off") / lit(blockTokens)).cast("long"))
-      .select(col(idCol), col("n_tokens"), col("start_off"), col("block"))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .withColumn("n_blocks",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(floor((col("end_off") - 1L) / lit(blockTokens)).cast("long")
+            - col("block") + 1L))
+      .select(col(idCol), col("n_tokens"), col("start_off"), col("block"),
+        col("end_off"), col("n_blocks"))
   }
 
   /** Blocked fuzzy matching over the DISTINCT values of a string

@@ -348,8 +348,19 @@ object PipelineQueries {
 
   // GPT-style sequence packing: concat docs in id order, chunk the
   // token stream into 512-token blocks (two-level prefix sum — no
-  // global single-partition window)
+  // global single-partition window). q70 keeps the original offset
+  // schema; q74 gates the full block-span metadata (end_off/n_blocks).
   def seqPack(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(Tables.documents(s, dir), "doc_id",
+        T.tokenCount(col("text")), blockTokens = 512L)
+      .select("doc_id", "n_tokens", "start_off", "block")
+      .orderBy("doc_id")
+
+  // the block-SPAN view of the same packing: exclusive end offset and
+  // the number of 512-token blocks each doc straddles — what a training
+  // dataloader needs to slice a doc out of the packed stream without
+  // recomputing any prefix sum
+  def seqPackSpans(s: SparkSession, dir: String): DataFrame =
     CorpusOps.packSequences(Tables.documents(s, dir), "doc_id",
         T.tokenCount(col("text")), blockTokens = 512L)
       .orderBy("doc_id")

@@ -85,6 +85,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(packed == naive)
   }
 
+  test("packSequences: block spans cover straddles exactly; empty docs touch zero blocks") {
+    val df = Seq((0L, 100), (1L, 400), (2L, 200), (3L, 50), (5L, 900),
+      (8L, 10), (9L, 0)).toDF("id", "tok")
+    val byId = CorpusOps.packSequences(df, "id", col("tok"),
+        blockTokens = 512L, bucketSize = 2L)
+      .select("id", "start_off", "end_off", "block", "n_blocks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // cumsum: 0:[0,100) 1:[100,500) 2:[500,700) 3:[700,750) 5:[750,1650)
+    // 8:[1650,1660) 9:[1660,1660) — blocks are 512 tokens wide
+    assert(byId(1L) == ((100L, 500L, 0L, 1L)))   // inside block 0
+    assert(byId(2L) == ((500L, 700L, 0L, 2L)))   // straddles 0 -> 1
+    assert(byId(5L) == ((750L, 1650L, 1L, 3L)))  // spans blocks 1..3
+    assert(byId(9L) == ((1660L, 1660L, 3L, 0L))) // empty doc: no block
+    assert(byId.size == 7)
+  }
+
   test("distributed histogram quantile equals Spark's exact percentile (q58 == q50)") {
     val exact = C.quantileStats(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap

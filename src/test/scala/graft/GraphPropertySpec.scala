@@ -55,6 +55,28 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(comps(5L) == 5L && comps(6L) == 5L)
   }
 
+  test("pageRank: dangling mass leaks by default, is conserved with redistribution, and the flag is a no-op without dangling nodes") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // node 4 has no out-edge: it receives rank but contributes nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val leaky = GraphOps.pageRank(edges, iters = 5)
+      .agg(sum("pr")).as[Double].head()
+    assert(leaky < 0.9, s"default variant should lose dangling mass, total $leaky")
+    val conserved = GraphOps.pageRank(edges, iters = 5,
+        redistributeDangling = true)
+      .agg(sum("pr")).as[Double].head()
+    assert(math.abs(conserved - 1.0) < 1e-4,
+      s"redistribution should conserve total rank, got $conserved")
+    // on a graph with full out-degree coverage the dangling term is an
+    // exact 0.0 — the flag must not change a single rank
+    val sym = edges.union(edges.select(col("dst"), col("src")))
+    val base = GraphOps.pageRank(sym, iters = 3)
+      .as[(Long, Double)].collect().toSet
+    val flagged = GraphOps.pageRank(sym, iters = 3, redistributeDangling = true)
+      .as[(Long, Double)].collect().toSet
+    assert(base == flagged)
+  }
+
   test("random DAG alone: cycle detector stays silent") {
     val rng = new scala.util.Random(13)
     (1 to 3).foreach { _ =>

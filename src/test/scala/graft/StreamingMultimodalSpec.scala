@@ -64,6 +64,56 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch banded range join on random disordered streams") {
+    import graft.operators.RangeJoin
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randEvents(idBase: Long, n: Int): Seq[KeyedEvent] =
+      Seq.tabulate(n)(i => KeyedEvent(1L + rng.nextInt(3), idBase + i,
+        new Timestamp(base + rng.nextInt(120) * 60000L)))
+    val lefts = randEvents(100L, 25)
+    val rights = randEvents(500L, 25)
+    val gapSec = 30L * 60
+    // batch reference: the SAME pair semantics via the banded range
+    // join (|lt − rt| ≤ gap, equi-key) over epoch seconds
+    val lDf = lefts.toDF().select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("lt"))
+    val rDf = rights.toDF().select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("rt"))
+    val want = RangeJoin.bandedRangeJoin(lDf, rDf, Seq("user_id"),
+        "lt", "rt", maxGap = gapSec)
+      .select(col("event_id"), col("match.event_id").as("rid"))
+      .as[(Long, Long)].collect().toSet
+    // streaming twin, fed in random order across random batch splits —
+    // everything admissible under a 10h watermark, so the inner join
+    // must surface exactly the batch pair set
+    val lIn = MemoryStream[KeyedEvent]
+    val rIn = MemoryStream[KeyedEvent]
+    val q = EventStreams.intervalJoin(lIn.toDF(), rIn.toDF(), "user_id",
+        gap = "30 minutes", watermark = "10 hours")
+      .writeStream.format("memory").queryName("ivprop")
+      .outputMode("append").start()
+    try {
+      var lRest = rng.shuffle(lefts)
+      var rRest = rng.shuffle(rights)
+      while (lRest.nonEmpty || rRest.nonEmpty) {
+        val (lb, lTail) = lRest.splitAt(math.min(1 + rng.nextInt(8), lRest.size))
+        val (rb, rTail) = rRest.splitAt(math.min(1 + rng.nextInt(8), rRest.size))
+        if (lb.nonEmpty) lIn.addData(lb: _*)
+        if (rb.nonEmpty) rIn.addData(rb: _*)
+        q.processAllAvailable()
+        lRest = lTail
+        rRest = rTail
+      }
+      val got = spark.table("ivprop").select("left_id", "right_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"streaming pairs diverge from the batch range join:\n got ${got.size}" +
+          s" pairs, want ${want.size};\n missing ${want -- got}\n extra ${got -- want}")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per fingerprint") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[FpDoc]
