@@ -925,8 +925,7 @@ object SparkEntry {
          | FROM nodes LEFT JOIN c$k c USING (node), n)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (
-       | SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
-       |  's' || CAST(l_suppkey AS VARCHAR) AS sp
+       | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
        | FROM lineitem),
        |e AS (SELECT p AS src, sp AS dst FROM pairs
        |      UNION SELECT sp, p FROM pairs),

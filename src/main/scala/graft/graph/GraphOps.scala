@@ -217,8 +217,14 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85,
-      redistributeDangling: Boolean = false): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct().cache()
+      redistributeDangling: Boolean = false,
+      assumeDistinct: Boolean = false): DataFrame = {
+    // `assumeDistinct` skips the edge dedup shuffle — pass it when the
+    // edge set is distinct by construction (e.g. a symmetrized union of
+    // a distinct pair set); duplicate edges would double-count
+    // contributions, so only assert what the construction guarantees
+    val e0 = edges.toDF("src", "dst")
+    val e = (if (assumeDistinct) e0 else e0.distinct()).cache()
     val nodes = checkpointed(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())

