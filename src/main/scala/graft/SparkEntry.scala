@@ -104,6 +104,8 @@ object SparkEntry {
     "q72_histogram" -> (C.charHistogram _),
     "q73_pagerank" -> (C.pageRankQuery _),
     "q74_seq_pack_spans" -> (P.seqPackSpans _),
+    "q75_semantic_dedup" -> (P.semanticDedup _),
+    "q78_resample_ffill" -> (C.resampleEvents _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -517,6 +519,34 @@ object SparkEntry {
     // here, zip_with/aggregate in Spark), keeping the comparison exact.
     "q53_ivf_topk" -> ivfOracle(nlist = 16, nprobe = 4, iters = 3,
       dim = 64, k = 5, seed = 42, queryMax = 8),
+    // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
+    // end over the q51 planted corpus: quantizer fit, final cell
+    // assignment, in-cell pair join, exact-cosine verification.
+    "q75_semantic_dedup" -> semDedupOracle(nlist = 16, iters = 3,
+      dim = 64, seed = 42, threshold = 0.8),
+    // Forward-fill resampling onto an absolute 6h grid: per-user
+    // generate_series + ASOF join (the q63-proven DuckDB twin of
+    // TimeSeries.resampleForwardFill). Grid start = ceil(min/step)·step
+    // via the same exact double-floor arithmetic as the Spark side.
+    "q78_resample_ffill" ->
+      """WITH e0 AS (
+        | SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |e AS (
+        | SELECT user_id, us, max(event_id) AS event_id,
+        |  max_by(value, event_id) AS value
+        | FROM e0 GROUP BY user_id, us),
+        |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM e GROUP BY user_id),
+        |g AS (
+        | SELECT user_id, unnest(generate_series(g0, hi, 21600000000)) AS grid_t
+        | FROM (SELECT user_id, hi,
+        |        CAST(floor((lo + 21600000000 - 1) / 21600000000.0) AS BIGINT)
+        |         * 21600000000 AS g0
+        |       FROM b) t
+        | WHERE g0 <= hi)
+        |SELECT g.user_id, g.grid_t, e.event_id AS last_event_id,
+        | e.us AS last_us, e.value AS last_value
+        |FROM g ASOF JOIN e ON g.user_id = e.user_id AND e.us <= g.grid_t
+        |ORDER BY g.user_id, g.grid_t""".stripMargin,
     // Batch sessionization: 30-min-gap sessions via integer-microsecond
     // window arithmetic — boundary-exact on both engines.
     "q54_sessionize" ->
@@ -938,23 +968,26 @@ object SparkEntry {
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }
 
-  /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs — one
-    * assign(d)/argmin(a)/mean(m)/centroid(c) quadruple per Lloyd round.
-    * `e.v` is the L2-normalized corpus (index-order fold, bit-identical
-    * to Spark's zip_with/aggregate normalization); `c0` holds the
-    * md5-ranked init vectors; each `c{k}` carries forward the previous
-    * center for cells that lost every member (Spark keeps them too). */
-  private def ivfOracle(nlist: Int, nprobe: Int, iters: Int, dim: Int,
-      k: Int, seed: Int, queryMax: Int): String = {
-    val d1 = dim + 1
-    def sqd(vec: String, tbl: String): String =
-      s"list_sum(list_transform(range(1, $d1), i -> ($vec[i]-$tbl.ctr[i])*($vec[i]-$tbl.ctr[i])))"
+  /** Squared L2 distance between a vector expression and a centroid
+    * table's `ctr`, as an index-order list fold. */
+  private def sqdExpr(vec: String, tbl: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($vec[i]-$tbl.ctr[i])*($vec[i]-$tbl.ctr[i])))"
+
+  /** Shared Lloyd-build CTE chain — `init`/`c0`/`c1..cN`/`af`(final
+    * assignment) over a caller-provided normalized-corpus CTE
+    * `e(vec_id, v)` — one assign(d)/argmin(a)/mean(m)/centroid(c)
+    * quadruple per round; `c0` holds the md5-ranked init vectors; each
+    * `c{k}` carries forward the previous center for cells that lost
+    * every member (Spark keeps them too). Used by q53 (ivfOracle) and
+    * q75 (semantic dedup). Callers append their own CTEs/tail after a
+    * comma. */
+  private def ivfBuildCtes(nlist: Int, iters: Int, dim: Int, seed: Int): String = {
     val iterCtes = (1 to iters).map { kk =>
       val j = kk - 1
       s"""d$kk AS (
          | SELECT e.vec_id, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |   ${sqd("e.v", "c")}, c.cell) AS r
+         |   ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
          | FROM e, c$j c),
          |a$kk AS (SELECT vec_id, cell FROM d$kk WHERE r = 1),
          |m$kk AS (
@@ -966,13 +999,7 @@ object SparkEntry {
          | FROM c$j LEFT JOIN (SELECT cell, list(w ORDER BY di) AS ctr
          |   FROM m$kk GROUP BY cell) m USING (cell)),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (
-       | SELECT vec_id,
-       |  list_transform(CAST(embedding AS DOUBLE[]),
-       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-       |                                         y -> y*y)))) AS v
-       | FROM embeddings),
-       |init AS (
+    s"""init AS (
        | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
        | FROM (SELECT vec_id, v,
        |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
@@ -984,17 +1011,32 @@ object SparkEntry {
        | SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |    ${sqd("e.v", "c")}, c.cell) AS r
-       |  FROM e, c$iters c) t WHERE r = 1),
+       |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
+       |  FROM e, c$iters c) t WHERE r = 1)""".stripMargin
+  }
+
+  /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs (see
+    * [[ivfBuildCtes]]). `e.v` is the L2-normalized corpus (index-order
+    * fold, bit-identical to Spark's zip_with/aggregate
+    * normalization). */
+  private def ivfOracle(nlist: Int, nprobe: Int, iters: Int, dim: Int,
+      k: Int, seed: Int, queryMax: Int): String = {
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |${ivfBuildCtes(nlist, iters, dim, seed)},
        |probes AS (
        | SELECT query_id, qv, cell FROM (
        |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |    ${sqd("e.v", "c")}, c.cell) AS r
+       |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
        |  FROM e, c$iters c WHERE e.vec_id < $queryMax) t WHERE r <= $nprobe),
        |scored AS (
        | SELECT p.query_id, a.vec_id AS neighbor_id,
-       |  list_sum(list_transform(range(1, $d1), i -> p.qv[i] * ce.v[i])) AS sim
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> p.qv[i] * ce.v[i])) AS sim
        | FROM probes p JOIN af a USING (cell) JOIN e ce ON ce.vec_id = a.vec_id
        | WHERE a.vec_id <> p.query_id)
        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -1002,5 +1044,38 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
        | FROM scored) t
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q75's oracle: Similarity.semanticNearDupPairs — the SemDeDup
+    * recipe over the q51 planted near-dup corpus. The corpus CTEs
+    * rebuild the planted vectors (md5-derived noise, identical to
+    * q51's) and normalize them into `e(vec_id, v)`; [[ivfBuildCtes]]
+    * reproduces the quantizer fit + final assignment; the tail joins
+    * in-cell pairs and verifies exact cosine ≥ threshold. */
+  private def semDedupOracle(nlist: Int, iters: Int, dim: Int, seed: Int,
+      threshold: Double): String = {
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |plant AS (
+       | SELECT vec_id + 100000 AS vec_id, nv AS v FROM (
+       |  SELECT vec_id,
+       |   list_transform(range(1, ${dim + 1}), i -> v[i] * (1.0 +
+       |     (0.5 + CAST(vec_id % 8 AS DOUBLE) * 0.3) *
+       |     (CAST(('0x' || substr(md5('plant:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+       |       / 4294967296.0 - 0.5))) AS nv
+       |  FROM base WHERE vec_id < 40) t),
+       |eraw AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+       |e AS (
+       | SELECT vec_id,
+       |  list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
+       | FROM eraw),
+       |${ivfBuildCtes(nlist, iters, dim, seed)}
+       |SELECT id_a, id_b, cos FROM (
+       | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(list_sum(list_transform(range(1, ${dim + 1}),
+       |    i -> ex.v[i] * ey.v[i])), 4) AS cos
+       | FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       | JOIN e ex ON ex.vec_id = x.vec_id
+       | JOIN e ey ON ey.vec_id = y.vec_id) t
+       |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -530,6 +530,26 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // Fixed-grid forward-fill resample of the event stream: each user's
+  // latest event state at every absolute 6-hour grid instant inside
+  // their span — grid generation is a distributed sequence+explode,
+  // the fill is the as-of join's one keyed window (see
+  // operators/TimeSeries). Events deduped to one row per (user, µs)
+  // upstream per the as-of determinism contract.
+  def resampleEvents(s: SparkSession, dir: String): DataFrame = {
+    val stepUs = 21600000000L // 6 hours
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max("event_id").as("event_id"),
+        max_by(col("value"), col("event_id")).as("value"))
+    TimeSeries.resampleForwardFill(ev, Seq("user_id"), "us", stepUs)
+      .select(col("user_id"), col("grid_t"),
+        col("state.event_id").as("last_event_id"),
+        col("state.us").as("last_us"),
+        col("state.value").as("last_value"))
+      .orderBy("user_id", "grid_t")
+  }
+
   // Banded range join: every (click, view) pair of the same user
   // within 30 minutes of each other — the time-window join written as
   // a bucket hash join (see operators/RangeJoin), not the nested-loop

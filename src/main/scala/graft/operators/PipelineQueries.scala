@@ -303,6 +303,17 @@ object PipelineQueries {
         threshold = 0.85, bands = 16, planesPerBand = 8, preNormalized = true)
       .orderBy("id_a", "id_b")
 
+  // SemDeDup-style semantic dedup pairs: coarse-quantizer (Lloyd) cell
+  // blocking + exact-cosine verification within cells, over the q51
+  // planted near-dup corpus. Fit init/means are md5-derived and
+  // 6dp-quantized (q53's trick), so the DuckDB oracle reproduces the
+  // quantizer, the cell assignment, and every verified pair exactly.
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairs(plantedNormEmb(s, dir), "vec_id",
+        "embedding", threshold = 0.8, nlist = 16, iters = 3,
+        preNormalized = true)
+      .orderBy("id_a", "id_b")
+
   // deterministic train/val/test split (80/10/10) by md5 hash bucket —
   // split membership is a pure function of doc_id (stable across runs,
   // partitionings, and engines; exactly oracled)

@@ -218,10 +218,42 @@ object Similarity {
     * centroid literal, argmin = first position of the min — ties pinned
     * by cell index (array_position returns the FIRST match, equal to
     * min-by-(distance², cell)). Adds `cell` as a projected column. */
-  private def assignCells(c: DataFrame, centers: Array[Array[Double]]): DataFrame = {
-    val dists = transform(centersLit(centers), ctr => sqDist(col("cvec"), ctr))
+  private def assignCells(c: DataFrame, vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    val dists = transform(centersLit(centers), ctr => sqDist(col(vecCol), ctr))
     c.withColumn("cell",
       (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** Fixed-iteration Lloyd coarse quantizer fit, shared by [[ivfTopK]]
+    * and [[semanticNearDupPairs]]: init = the `nlist` vectors with the
+    * smallest md5(seed:id) hashes, then `iters` rounds of map-only
+    * assignment + per-cell mean (quantized to 6 decimals per round —
+    * see [[roundCoord6]]). Only the nlist×dim centroid matrix reaches
+    * the driver (what any k-means reduce collects); cells that lose
+    * every member keep their previous center. At 100 TB fit on a
+    * representative sample — each round is one pass over the fit
+    * input. */
+  def fitQuantizer(c: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, dim: Int, seed: Long, iters: Int): Array[Array[Double]] = {
+    import graft.functions.TextFunctions
+    var centers: Array[Array[Double]] = c
+      .withColumn("__h", TextFunctions.md5Int(
+        concat(lit(s"$seed:"), col(idCol).cast("string")), 8))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = assignCells(c, vecCol, centers)
+        .groupBy("cell")
+        .agg(avg(col(vecCol).getItem(0)).as("d0"),
+          (1 until dim).map(j => avg(col(vecCol).getItem(j)).as(s"d$j")): _*)
+        .collect()
+        .map(r => r.getAs[Int]("cell") ->
+          Array.tabulate(dim)(j => roundCoord6(r.getDouble(j + 1)))).toMap
+      centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
+    }
+    centers
   }
 
   /** DuckDB-parity rounding of a driver-side centroid coordinate —
@@ -268,7 +300,6 @@ object Similarity {
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       dim: Int = 64, seed: Long = 42L, iters: Int = 3,
       preNormalized: Boolean = false): DataFrame = {
-    import graft.functions.TextFunctions
     // materialized once: init scan + iters assign/mean passes + the
     // final assignment all read this checkpoint (a pre-normalized
     // corpus IS the checkpoint — no second materialization)
@@ -279,24 +310,8 @@ object Similarity {
         barrier(corpus.select(col(idCol).as("neighbor_id"),
           normalized(col(vecCol).cast("array<double>")).as("cvec")))
           .localCheckpoint()
-    var centers: Array[Array[Double]] = c
-      .withColumn("__h", TextFunctions.md5Int(
-        concat(lit(s"$seed:"), col("neighbor_id").cast("string")), 8))
-      .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
-      .select("cvec").collect()
-      .map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until iters) {
-      val means = assignCells(c, centers)
-        .groupBy("cell")
-        .agg(avg(col("cvec").getItem(0)).as("d0"),
-          (1 until dim).map(j => avg(col("cvec").getItem(j)).as(s"d$j")): _*)
-        .collect()
-        .map(r => r.getAs[Int]("cell") ->
-          Array.tabulate(dim)(j => roundCoord6(r.getDouble(j + 1)))).toMap
-      // cells that lost every member keep their previous center
-      centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
-    }
-    val assigned = assignCells(c, centers)
+    val centers = fitQuantizer(c, "neighbor_id", "cvec", nlist, dim, seed, iters)
+    val assigned = assignCells(c, "cvec", centers)
     // per-query nprobe nearest cells, map-only like the assignment:
     // (distance², cell) structs sort in natural struct order — distance
     // first, ties by cell index — and the nprobe head explodes into
@@ -354,6 +369,41 @@ object Similarity {
     pairs
       .join(c.select(col("__id").as("id_a"), col("nvec").as("va")), Seq("id_a"))
       .join(c.select(col("__id").as("id_b"), col("nvec").as("vb")), Seq("id_b"))
+      .withColumn("cos",
+        MysqlFunctions.oracleRound(pairDot(corpus, col("va"), col("vb"), dim), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public
+    * arXiv 2303.09540): block the corpus by the SAME fixed-iteration
+    * Lloyd coarse quantizer [[ivfTopK]] uses ([[fitQuantizer]]), then
+    * verify exact cosine ≥ threshold WITHIN each cell — the standard
+    * "cluster, then prune within cluster" semantic-dedup recipe.
+    * Pair volume is Σ_cell |N_c|²/2 instead of N²/2; recall misses are
+    * exactly the cross-cell pairs (the documented SemDeDup trade-off —
+    * raise nlist for smaller cells, or run [[cosineNearDupLsh]] for
+    * hash-blocked recall instead). Because init/means are md5-derived
+    * and 6-dp-quantized like q53, the whole pipeline — fit, assignment,
+    * in-cell pairs, cosines — unrolls into an exact SQL oracle.
+    * Downstream: feed the pairs to `GraphOps.connectedComponents` and
+    * keep each component's min id, as q55 does with MinHash pairs. */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, dim: Int = 64, seed: Long = 42L,
+      iters: Int = 3, preNormalized: Boolean = false): DataFrame = {
+    val c =
+      if (preNormalized)
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("nvec"))
+      else
+        barrier(corpus.select(col(idCol).as("__id"),
+          normalized(col(vecCol).cast("array<double>")).as("nvec")))
+          .localCheckpoint()
+    val centers = fitQuantizer(c, "__id", "nvec", nlist, dim, seed, iters)
+    val assigned = assignCells(c, "nvec", centers)
+    assigned.select(col("cell"), col("__id").as("id_a"), col("nvec").as("va"))
+      .join(assigned.select(col("cell"), col("__id").as("id_b"),
+        col("nvec").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         MysqlFunctions.oracleRound(pairDot(corpus, col("va"), col("vb"), dim), 4))
       .filter(col("cos") >= threshold)

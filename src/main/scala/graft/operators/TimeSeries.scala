@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — resampling an irregular event stream
+  * onto a fixed grid, the standard preprocessing step for training
+  * sequence models on telemetry/market/clickstream data (and the
+  * gap-filling query every warehouse grows eventually).
+  *
+  * Composed from operators the engine already has: the grid is a
+  * per-key `sequence` + `explode` (rows are generated distributed,
+  * proportional to each key's own span — no driver-side calendar), and
+  * the fill is [[AsofJoin.asofBackward]] — ONE keyed shuffle + sort,
+  * no per-grid-point probe. At 100 TB both stages scale like any keyed
+  * window: a hot key is one sorted partition, and the grid size is
+  * span/step rows per key, independent of event count.
+  */
+object TimeSeries {
+
+  /** Resample each key's events onto a `stepUs`-spaced grid with
+    * forward fill (last observation carried forward): grid points are
+    * the multiples of `stepUs` inside each key's [min, max] time span,
+    * and each point carries the latest right row at or before it as
+    * the struct column `stateCol`. Times are integral epoch
+    * microseconds ([[RangeJoin]]'s contract). Grid alignment to
+    * absolute epoch multiples (not each key's own min) keeps grids
+    * comparable across keys — every key's 06:00 bucket is the same
+    * instant.
+    *
+    * By construction every grid point has at least one event at or
+    * before it (the grid starts at ⌈min/step⌉·step), so `stateCol`
+    * is never null. The events side must be unique per (keys, time) —
+    * [[AsofJoin.asofBackward]]'s determinism contract; dedupe upstream.
+    */
+  def resampleForwardFill(events: DataFrame, keys: Seq[String],
+      timeCol: String, stepUs: Long,
+      stateCol: String = "state"): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val keyCols = keys.map(col)
+    // ceil(lo/step)·step via exact double floor — epoch-µs < 2^53, so
+    // the division is exact to well below one step (RangeJoin's
+    // integral-time analysis)
+    val bounds = events.groupBy(keyCols: _*)
+      .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+      .withColumn("__g0",
+        floor((col("__lo") + lit(stepUs) - 1) / lit(stepUs.toDouble))
+          .cast("long") * stepUs)
+      // a key whose whole span sits inside one step gap has no grid point
+      .filter(col("__g0") <= col("__hi"))
+    val grid = bounds.select(
+      keyCols :+ explode(sequence(col("__g0"), col("__hi"), lit(stepUs)))
+        .as("grid_t"): _*)
+    AsofJoin.asofBackward(grid, events, keys, "grid_t", timeCol, stateCol)
+  }
+}

@@ -49,6 +49,29 @@ class AsofJoinSpec extends AnyFunSuite {
       List(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
   }
 
+  test("resampleForwardFill: absolute-aligned grid, forward fill, span-less keys dropped") {
+    import graft.operators.TimeSeries
+    val events = Seq(
+      (1L, 100L, "a"), (1L, 250L, "b"), (1L, 700L, "c"),
+      (2L, 50L, "x")) // span [50,50]: no multiple of 200 inside -> no grid
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(events, Seq("k"), "t", stepUs = 200L)
+      .select(col("k"), col("grid_t"), col("state.v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 200L, "a"),  // last event at-or-before 200 is t=100
+      (1L, 400L, "b"),
+      (1L, 600L, "b"))) // 700 > hi-grid point 600; key 2 has no grid row
+  }
+
+  test("resampleForwardFill: a grid point at an event time takes that event (>= contract)") {
+    import graft.operators.TimeSeries
+    val events = Seq((1L, 200L, "on-grid"), (1L, 399L, "later")).toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(events, Seq("k"), "t", stepUs = 200L)
+      .select(col("grid_t"), col("state.v")).as[(Long, String)].collect().toSet
+    assert(out == Set((200L, "on-grid")))
+  }
+
   test("fuzzyPairs: blocked edit-distance pairs over distinct names") {
     val df = Seq("red widget", "blue widget", "red widget", "red bolt")
       .toDF("nm")

@@ -217,6 +217,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.size == 20 * 10, "every in-cluster pair qualifies")
   }
 
+  test("semanticNearDupPairs: finds in-cluster near-dups via cell blocking; subset of the exact join") {
+    val rng = new scala.util.Random(17)
+    // 8 well-separated clusters of 6 near-identical vectors — with
+    // nlist=8 the quantizer separates them, so every in-cluster pair
+    // shares a cell and SemDeDup must equal the exact τ-join
+    val corpus = (0 until 8).flatMap { c =>
+      val ctr = Seq.fill(32)(rng.nextGaussian() * 5)
+      (0 until 6).map { j =>
+        (c * 6L + j, ctr.map(x => (x + rng.nextGaussian() * 0.02).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val sem = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.95, nlist = 8, dim = 32, iters = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineSimJoin(corpus, "vec_id", "embedding",
+        threshold = 0.95, dim = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), "cell blocking must never invent a pair")
+    assert(exact.size == 8 * 15, "every in-cluster pair qualifies")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"well-separated planted clusters should mostly share cells, recall $recall")
+  }
+
   test("preNormalized corpus path is bit-identical to inline normalization") {
     val rng = new scala.util.Random(23)
     val emb2 = (0L until 100L).map(i =>
