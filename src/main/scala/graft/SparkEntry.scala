@@ -105,7 +105,12 @@ object SparkEntry {
     "q73_pagerank" -> (C.pageRankQuery _),
     "q74_seq_pack_spans" -> (P.seqPackSpans _),
     "q75_semantic_dedup" -> (P.semanticDedup _),
+    "q76_repetition" -> (P.repetition _),
+    "q77_fluency" -> (P.fluency _),
     "q78_resample_ffill" -> (C.resampleEvents _),
+    "q79_unpivot" -> (C.unpivotParts _),
+    "q80_grouping_sets" -> (C.groupingSetsAgg _),
+    "q81_weighted_sample" -> (P.weightedSampleDocs _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -524,6 +529,76 @@ object SparkEntry {
     // assignment, in-cell pair join, exact-cosine verification.
     "q75_semantic_dedup" -> semDedupOracle(nlist = 16, iters = 3,
       dim = 64, seed = 42, threshold = 0.8),
+    // Gopher-style repetition signals: top-token fraction via the
+    // two-level word count, duplicated-3-gram fraction over the doc's
+    // 3-gram MULTISET (list_transform over index ranges — the q32
+    // shingle construction without the dedup).
+    "q76_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents),
+        |top AS (
+        | SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+        |  SELECT doc_id, tk, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tk FROM toks) u
+        |  GROUP BY doc_id, tk) cc
+        | GROUP BY doc_id),
+        |g AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |   THEN list_transform(generate_series(1, len(t)-2),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE CAST([] AS VARCHAR[]) END AS gr
+        | FROM toks)
+        |SELECT g.doc_id,
+        | coalesce(round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 4), 0.0)
+        |  AS top_token_frac,
+        | CASE WHEN len(gr) = 0 THEN 0.0
+        |  ELSE round(CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE)
+        |        / CAST(len(gr) AS DOUBLE), 4) END AS dup_3gram_frac
+        |FROM g LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CCNet-style unigram fluency: corpus unigram model (lowercased
+    // tokens), per-doc mean log10 probability, NULL for empty docs.
+    "q77_fluency" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |p AS (
+        | SELECT doc_id, round(avg(log10(CAST(c AS DOUBLE) / n.n)), 4) AS fluency
+        | FROM toks JOIN f USING (term), n GROUP BY doc_id)
+        |SELECT d.doc_id, p.fluency
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Unpivot spelled as the naive UNION-ALL-of-selects (one scan per
+    // attribute); the Spark side is a single-scan Expand.
+    "q79_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        | SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part) t
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "q80_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // Deterministic weighted sampling: md5 coin < min(1, n_tokens/100)
+    // — membership is a pure function of doc_id on both engines.
+    "q81_weighted_sample" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  least(greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE)
+        |     / 100.0, 0.0), 1.0) AS weight,
+        |  CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        | FROM documents)
+        |SELECT doc_id, weight FROM t WHERE u < weight ORDER BY doc_id""".stripMargin,
     // Forward-fill resampling onto an absolute 6h grid: per-user
     // generate_series + ASOF join (the q63-proven DuckDB twin of
     // TimeSeries.resampleForwardFill). Grid start = ceil(min/step)·step

@@ -194,6 +194,34 @@ object CoreQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  // Explicit GROUPING SETS — the third grouping-lattice shape next to
+  // ROLLUP (q18) and CUBE (q68): per-flag totals, per-status totals,
+  // and the grand total, WITHOUT the (flag,status) cross cells a cube
+  // would also compute. One Expand + one aggregation, same as cube.
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        M.oracleRound(sum("l_quantity"), 2).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  // Unpivot (melt): wide numeric attributes to long (attr, val) rows —
+  // Spark's native unpivot is ONE scan with an Expand (each input row
+  // fans out to #value-columns output rows); the naive
+  // UNION-ALL-of-selects the oracle spells out scans the table once
+  // per attribute. Value columns unify to double (unpivot's
+  // common-type contract).
+  def unpivotParts(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "attr", "val")
+      .orderBy("p_partkey", "attr")
+
   // time-bucketed aggregation (batch twin of the streaming windowed agg)
   def windowAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

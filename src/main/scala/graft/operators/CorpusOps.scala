@@ -101,6 +101,27 @@ object CorpusOps {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic weighted (importance) sampling: keep a row with
+    * probability `weight` (clamped to [0, 1]) — the quality-proportional
+    * downsampler of DCLM/RedPajama-style curation, where high-scoring
+    * documents survive and low-scoring ones thin out. The coin is
+    * md5-derived (`md5(salt:id)/2^32 < weight`), so membership is a
+    * pure function of (id, weight): stable across runs, partitionings,
+    * and engines, and exactly reproducible in SQL — a Bernoulli
+    * `rand()` sample is none of those. Per-row projection + filter, no
+    * shuffle; at 100 TB it rides the scan like [[hashSplit]].
+    * Expects `weight` PRE-ROUNDED if it comes from float arithmetic
+    * (the rounded-score convention: membership must not flip on
+    * last-ulp weight differences between engines). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      salt: String = "wsample"): DataFrame = {
+    val u = TextFunctions.md5Int(
+      concat(lit(s"$salt:"), col(idCol).cast("string")), 8)
+      .cast("double") / lit(4294967296.0)
+    df.withColumn("weight", least(greatest(weight, lit(0.0)), lit(1.0)))
+      .filter(u < col("weight"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order and
     * chunk the token stream into fixed `blockTokens` blocks — each doc
     * gets its starting offset, its block SPAN (`start_off`/`end_off`/

@@ -344,6 +344,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Gopher-style repetition signals: most-frequent-token fraction +
+  // duplicated-3-gram fraction per doc (the boilerplate/loop filters)
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // CCNet-style fluency proxy: per-doc mean unigram log10-probability
+  // under the corpus's own unigram model (null for empty docs)
+  def fluency(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.fluencyScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // quality-proportional deterministic downsample: keep doc with
+  // probability min(1, n_tokens/100) on an md5 coin — importance
+  // sampling whose membership is a pure function of doc_id
+  def weightedSampleDocs(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.weightedSample(
+        Tables.documents(s, dir).withColumn("__w",
+          least(lit(1.0), T.tokenCount(col("text")).cast("double") / lit(100.0))),
+        "doc_id", col("__w"))
+      .select(col("doc_id"), col("weight"))
+      .orderBy("doc_id")
+
   // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
   def vocabTop(s: SparkSession, dir: String): DataFrame =
     TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)

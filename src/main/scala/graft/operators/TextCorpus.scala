@@ -88,6 +88,70 @@ object TextCorpus {
       .select(col(idCol), col("score"), col("rnk"))
   }
 
+  /** Gopher/C4-style repetition signals per document — the filters
+    * that catch boilerplate and degenerate generation loops (Rae et
+    * al. 2021 §A1.1, public arXiv 2112.11446):
+    * `top_token_frac` = occurrences of the most frequent token /
+    * token count (0 for an empty doc), and `dup_3gram_frac` =
+    * duplicated 3-gram fraction `(n − distinct)/n` over the doc's
+    * 3-gram MULTISET (0 when fewer than one 3-gram).
+    *
+    * Scale shape: the top-token stage is explode → (doc,token) count →
+    * per-doc max/sum, both map-side combined and keyed by doc — the
+    * standard two-level word-count; the 3-gram stage is a pure per-row
+    * higher-order-function projection (transform/array_distinct), no
+    * shuffle at all. An empty-doc row survives via the left join. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val top = toks.select(col(idCol), explode(col("__t")).as("__tk"))
+      .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").as("__mx"), sum("__c").as("__tot"))
+    val grams = toks.withColumn("__g",
+      when(size(col("__t")) >= 3,
+        transform(sequence(lit(1), size(col("__t")) - 2),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol),
+        when(size(col("__g")) === 0, lit(0.0))
+          .otherwise(MysqlFunctions.oracleRound(
+            (size(col("__g")) - size(array_distinct(col("__g")))).cast("double")
+              / size(col("__g")).cast("double"), 4))
+          .as("dup_3gram_frac"))
+    grams.join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(MysqlFunctions.oracleRound(
+          col("__mx").cast("double") / col("__tot").cast("double"), 4),
+          lit(0.0)).as("top_token_frac"),
+        col("dup_3gram_frac"))
+  }
+
+  /** Unigram log-probability fluency score — the oracle-able stand-in
+    * for the LM-perplexity quality signal of CCNet-style curation
+    * (Wenzek et al. 2019, public arXiv 1911.00359): score(d) = mean
+    * over d's tokens of log10(corpusFreq(token)/corpusTokens), rounded
+    * to 4 dp. Gibberish and rare-token soup score low; common fluent
+    * text scores high. NULL for an empty document (no tokens to
+    * average — kept, not dropped, so the caller decides).
+    *
+    * Scale shape: one explode, a vocab-keyed count (map-side combined —
+    * never broadcast blindly: at corpus scale the vocabulary is big;
+    * AQE may still broadcast it from runtime stats), corpus size as a
+    * broadcast 1-row aggregate, one doc-keyed mean. */
+  def fluencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+    val n = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val perDoc = toks.join(freq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(MysqlFunctions.oracleRound(
+        avg(log10(col("__c").cast("double") / col("__n"))), 4).as("fluency"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Corpus vocabulary head: the k most frequent (lowercased,
     * whitespace) tokens with counts and ranks — the Zipf-head table
     * every tokenizer/filter design step starts from.

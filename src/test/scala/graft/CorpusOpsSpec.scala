@@ -70,6 +70,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("repetitionStats: top-token and duplicated-3-gram fractions on hand cases") {
+    val docs = Seq(
+      (1L, "a a a b"),  // top 3/4; grams {a a a, a a b} distinct -> 0
+      (2L, "a a a a"),  // top 1.0; grams {a a a}x2 -> dup 1/2
+      (3L, "x y"),      // no 3-grams -> 0; top 1/2
+      (4L, ""))         // empty -> both 0
+      .toDF("doc_id", "text")
+    val got = TextCorpus.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.75, 0.0)))
+    assert(got(2L) == ((1.0, 0.5)))
+    assert(got(3L) == ((0.5, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+  }
+
+  test("fluencyScore: mean unigram log10 prob; empty doc is null; case-folded") {
+    val docs = Seq((1L, "a A b"), (2L, "B"), (3L, "")).toDF("doc_id", "text")
+    // corpus tokens (lowered): a a b b -> N=4, p(a)=p(b)=0.5
+    val got = TextCorpus.fluencyScore(docs, "doc_id", "text")
+      .as[(Long, Option[Double])].collect().toMap
+    val l = math.floor(math.log10(0.5) * 1e4 - 0.5) / 1e4 // round-half-away at -0.30103
+    assert(got(1L).contains(-0.301) || got(1L).contains(l))
+    assert(got(2L) == got(1L), "single-token doc has the same mean")
+    assert(got(3L).isEmpty, "empty doc has no tokens to average")
+  }
+
+  test("weightedSample: w=1 keeps all, w=0 keeps none, deterministic, clamped") {
+    val df = (0L until 200L).toDF("id")
+    assert(CorpusOps.weightedSample(df, "id", lit(1.0)).count() == 200)
+    assert(CorpusOps.weightedSample(df, "id", lit(0.0)).count() == 0)
+    assert(CorpusOps.weightedSample(df, "id", lit(5.0)).count() == 200,
+      "weights clamp to 1")
+    val a = CorpusOps.weightedSample(df, "id", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    val b = CorpusOps.weightedSample(df.repartition(7), "id", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "membership is a pure function of id")
+    assert(a.size > 30 && a.size < 90, s"~30% expected, got ${a.size}")
+  }
+
   test("packSequences: bucketed prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq((0L, 100), (1L, 400), (2L, 200), (3L, 50), (5L, 900), (8L, 10))
