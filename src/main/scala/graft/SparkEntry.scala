@@ -111,6 +111,9 @@ object SparkEntry {
     "q79_unpivot" -> (C.unpivotParts _),
     "q80_grouping_sets" -> (C.groupingSetsAgg _),
     "q81_weighted_sample" -> (P.weightedSampleDocs _),
+    "q82_semantic_decon" -> (P.semanticDecon _),
+    "q83_mixture_rates" -> (P.mixturePlan _),
+    "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
   )
@@ -529,6 +532,47 @@ object SparkEntry {
     // assignment, in-cell pair join, exact-cosine verification.
     "q75_semantic_dedup" -> semDedupOracle(nlist = 16, iters = 3,
       dim = 64, seed = 42, threshold = 0.8),
+    "q82_semantic_decon" -> semDeconOracle(dim = 64, threshold = 0.8),
+    // Mixture planner: keep_rate ∝ target/actual tokens, binding
+    // domain pinned to 1.0; target pcts are md5-derived per domain.
+    "q83_mixture_rates" ->
+      """WITH tok AS (
+        | SELECT source AS domain,
+        |  sum(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT))
+        |   AS n_tokens
+        | FROM documents GROUP BY 1),
+        |tt AS (
+        | SELECT domain,
+        |  CAST(CAST(('0x' || substr(md5('mix:' || domain), 1, 8)) AS BIGINT) % 9 + 1
+        |   AS INTEGER) AS target_pct
+        | FROM tok),
+        |j AS (
+        | SELECT tok.domain, n_tokens, target_pct,
+        |  CAST(target_pct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ratio
+        | FROM tok JOIN tt USING (domain)),
+        |m AS (SELECT max(ratio) AS mx FROM j),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM tok)
+        |SELECT domain, n_tokens,
+        | round(100.0 * CAST(n_tokens AS DOUBLE) / tot.tot, 4) AS actual_pct,
+        | target_pct, round(ratio / m.mx, 6) AS keep_rate
+        |FROM j, m, tot ORDER BY domain""".stripMargin,
+    // Exact-percentile trim: q58 proved the engine's histogram
+    // interpolation hash-equals quantile_cont at 4 dp, so the rounded
+    // bounds — and therefore the trim filter — are identical.
+    "q84_percentile_trim" ->
+      """WITH b AS (
+        | SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        | FROM lineitem),
+        |q AS (
+        | SELECT g, round(quantile_cont(v, 0.05), 4) AS lo,
+        |  round(quantile_cont(v, 0.95), 4) AS hi
+        | FROM b GROUP BY g)
+        |SELECT b.g AS l_returnflag, count(*) AS n_kept,
+        | round(sum(v), 2) AS sum_kept, q.lo, q.hi
+        |FROM b JOIN q USING (g) WHERE v >= lo AND v <= hi
+        |GROUP BY b.g, q.lo, q.hi
+        |ORDER BY l_returnflag""".stripMargin,
     // Gopher-style repetition signals: top-token fraction via the
     // two-level word count, duplicated-3-gram fraction over the doc's
     // 3-gram MULTISET (list_transform over index ranges — the q32
@@ -1127,9 +1171,11 @@ object SparkEntry {
     * q51's) and normalize them into `e(vec_id, v)`; [[ivfBuildCtes]]
     * reproduces the quantizer fit + final assignment; the tail joins
     * in-cell pairs and verifies exact cosine ≥ threshold. */
-  private def semDedupOracle(nlist: Int, iters: Int, dim: Int, seed: Int,
-      threshold: Double): String = {
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The q51/q75/q82 planted near-dup corpus as CTEs `base`/`plant`/
+    * `eraw` (raw doubles) + `e` (L2-normalized) — the md5-derived
+    * perturbed copies PipelineQueries.plantedNormEmb builds. */
+  private def plantedCorpusCtes(dim: Int): String =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |plant AS (
        | SELECT vec_id + 100000 AS vec_id, nv AS v FROM (
        |  SELECT vec_id,
@@ -1142,7 +1188,11 @@ object SparkEntry {
        |e AS (
        | SELECT vec_id,
        |  list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
-       | FROM eraw),
+       | FROM eraw)""".stripMargin
+
+  private def semDedupOracle(nlist: Int, iters: Int, dim: Int, seed: Int,
+      threshold: Double): String = {
+    s"""WITH ${plantedCorpusCtes(dim)},
        |${ivfBuildCtes(nlist, iters, dim, seed)}
        |SELECT id_a, id_b, cos FROM (
        | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -1152,5 +1202,27 @@ object SparkEntry {
        | JOIN e ex ON ex.vec_id = x.vec_id
        | JOIN e ey ON ey.vec_id = y.vec_id) t
        |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q82's oracle: Similarity.semanticDecontaminate over the planted
+    * corpus — bench = originals with vec_id < 20, corpus = everything
+    * else (including their planted copies); per corpus vector the max
+    * cosine to any bench vector, ties pinned to the smallest bench id
+    * (the Spark side's first-array-position contract). */
+  private def semDeconOracle(dim: Int, threshold: Double): String = {
+    s"""WITH ${plantedCorpusCtes(dim)},
+       |c AS (SELECT * FROM e WHERE vec_id >= 20),
+       |b AS (SELECT * FROM e WHERE vec_id < 20),
+       |s AS (
+       | SELECT c.vec_id, b.vec_id AS bench_id,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> c.v[i] * b.v[i])) AS sim
+       | FROM c, b),
+       |r AS (
+       | SELECT vec_id, bench_id, sim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+       | FROM s)
+       |SELECT vec_id, bench_id, round(sim, 4) AS best_cos
+       |FROM r WHERE rn = 1 AND round(sim, 4) >= $threshold
+       |ORDER BY vec_id""".stripMargin
   }
 }

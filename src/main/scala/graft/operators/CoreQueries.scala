@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -476,6 +476,48 @@ object CoreQueries {
       .agg(max(when(col("m") === "qty", col("q"))).as("median_qty"),
         max(when(col("m") === "price", col("q"))).as("p90_price"))
       .select(col("g").as("l_returnflag"), col("median_qty"), col("p90_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // Exact-percentile outlier trim: keep rows whose price sits inside
+  // the [p05, p95] band of their group, bounds computed with the q58
+  // bounded-memory value-histogram interpolation (NO per-group buffer)
+  // and 4-dp-rounded before the comparison — q58 proves the rounded
+  // bounds hash-equal quantile_cont, so the trim filter is identical
+  // on both engines. The standard "drop length/price outliers before
+  // training stats" curation step, exact at any group size.
+  def percentileTrim(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+    val cum = base.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+    def pick(p: Double) = {
+      val h = (col("n") - lit(1)).cast("double") * p
+      val i0 = floor(h)
+      (max(when(col("cum") - col("cnt") <= i0 && i0 < col("cum"), col("v"))),
+        max(when(col("cum") - col("cnt") <= i0 + 1 && i0 + 1 < col("cum"), col("v"))))
+    }
+    val (lo0, lo1) = pick(0.05)
+    val (hi0, hi1) = pick(0.95)
+    val picked = cum.groupBy("g").agg(lo0.as("lo0"), lo1.as("lo1"),
+      hi0.as("hi0"), hi1.as("hi1"), max("n").as("n"))
+    def interp(p: Double, v0: Column, v1: Column) = {
+      val h = (col("n") - lit(1)).cast("double") * p
+      val frac = h - floor(h)
+      M.oracleRound(v0 + frac * (coalesce(v1, v0) - v0), 4)
+    }
+    val bounds = picked.select(col("g"),
+      interp(0.05, col("lo0"), col("lo1")).as("lo"),
+      interp(0.95, col("hi0"), col("hi1")).as("hi"))
+    base.join(bounds, Seq("g"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("g", "lo", "hi")
+      .agg(count(lit(1)).as("n_kept"),
+        M.oracleRound(sum("v"), 2).as("sum_kept"))
+      .select(col("g").as("l_returnflag"), col("n_kept"), col("sum_kept"),
+        col("lo"), col("hi"))
       .orderBy("l_returnflag")
   }
 

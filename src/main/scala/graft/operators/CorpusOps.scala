@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.TextFunctions
+import graft.functions.{MysqlFunctions, TextFunctions}
 
 /** Corpus curation operators a large-scale training-data pipeline needs
   * around the dedup/similarity core: deterministic dataset splitting and
@@ -99,6 +99,39 @@ object CorpusOps {
       // n*0.01*pct is NOT exactly ⌈⌉ at representability boundaries)
       .filter(col("__rn") <= floor((col("__n") * pct + 99) / lit(100)).cast("long"))
       .drop("__rn", "__n")
+  }
+
+  /** Domain-mixture planner: given per-row domain + token count and a
+    * target mixture `target(domain, target_pct)`, compute each
+    * domain's actual token share and the per-domain KEEP RATE that
+    * realizes the target mixture by pure downsampling — `rate_d ∝
+    * target_d / tokens_d`, normalized so the binding domain (the one
+    * already at or under target) keeps rate 1.0 and everything else
+    * thins proportionally. Feed the rates to [[weightedSample]] (join
+    * on domain) to execute the plan deterministically. The standard
+    * mixture-balancing step of multi-source pretraining corpora
+    * (C4/Pile-style source weighting).
+    *
+    * Scale shape: one domain-keyed aggregate (map-side combined), two
+    * broadcast 1-row aggregates (max ratio, total) — the mixture table
+    * is domain-count-sized, never data-sized. */
+  def mixtureRates(df: DataFrame, domainCol: String, tokens: Column,
+      target: DataFrame): DataFrame = {
+    val tok = df.select(col(domainCol).as("domain"), tokens.cast("long").as("__tk"))
+      .groupBy("domain").agg(sum("__tk").as("n_tokens"))
+    val joined = tok.join(target, Seq("domain"))
+      .withColumn("__ratio",
+        col("target_pct").cast("double") / col("n_tokens").cast("double"))
+    val mx = joined.agg(max("__ratio").as("__mx"))
+    val tot = tok.agg(sum("n_tokens").cast("double").as("__tot"))
+    joined.crossJoin(broadcast(mx)).crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_tokens"),
+        MysqlFunctions.oracleRound(
+          lit(100.0) * col("n_tokens").cast("double") / col("__tot"), 4)
+          .as("actual_pct"),
+        col("target_pct"),
+        MysqlFunctions.oracleRound(col("__ratio") / col("__mx"), 6)
+          .as("keep_rate"))
   }
 
   /** Deterministic weighted (importance) sampling: keep a row with

@@ -314,6 +314,19 @@ object PipelineQueries {
         preNormalized = true)
       .orderBy("id_a", "id_b")
 
+  // Embedding-space decontamination: max cosine from each corpus
+  // vector (incl. planted copies) to the bench set (originals < 20) —
+  // the paraphrase-catching analogue of q61's n-gram overlap scan.
+  // Map-only: the bench ships as one nested-array literal, the corpus
+  // never shuffles.
+  def semanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val emb = plantedNormEmb(s, dir)
+    Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.8, preNormalized = true)
+      .orderBy("vec_id")
+  }
+
   // deterministic train/val/test split (80/10/10) by md5 hash bucket —
   // split membership is a pure function of doc_id (stable across runs,
   // partitionings, and engines; exactly oracled)
@@ -366,6 +379,19 @@ object PipelineQueries {
         "doc_id", col("__w"))
       .select(col("doc_id"), col("weight"))
       .orderBy("doc_id")
+
+  // Domain-mixture plan: per-source token shares + the downsampling
+  // keep-rates that realize an md5-derived target mixture (deterministic
+  // stand-in for a curated source-weighting table)
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val target = docs.select(col("source").as("domain")).distinct()
+      .withColumn("target_pct",
+        (pmod(T.md5Int(concat(lit("mix:"), col("domain")), 8), lit(9L)) + 1)
+          .cast("int"))
+    CorpusOps.mixtureRates(docs, "source", T.tokenCount(col("text")), target)
+      .orderBy("domain")
+  }
 
   // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
   def vocabTop(s: SparkSession, dir: String): DataFrame =

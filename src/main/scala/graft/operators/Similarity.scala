@@ -375,6 +375,40 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic (embedding-space) decontamination: for each corpus
+    * vector, its maximum cosine to ANY benchmark vector plus the
+    * closest benchmark id — the embedding-space analogue of the n-gram
+    * decontamination scan (`CorpusOps.decontaminate`), catching
+    * paraphrased eval leakage that token overlap misses.
+    *
+    * Scale shape: the benchmark side is an eval set (small), so it
+    * ships as ONE nested-array literal exactly like [[ivfTopK]]'s
+    * centroid matrix — the corpus pass is then a MAP-ONLY projection
+    * (per-row `transform` + `array_max`): no join, no shuffle, no
+    * corpus movement at all. Returns only rows with best ≥ threshold:
+    * (id, closest bench id, best cosine rounded 4dp). Ties on the max
+    * pin to the smallest bench index (array_position takes the first
+    * match; the bench literal is sorted by bench id). */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      preNormalized: Boolean = false): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
+    val b = prep(bench, idCol, vecCol, "__bid", "bvec", preNormalized)
+    val rows = b.orderBy("__bid").collect()
+    val benchIds = rows.map(_.getLong(0))
+    val benchMat = rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val sims = transform(typedlit[Seq[Seq[Double]]](benchMat),
+      bv => dot(col("nvec"), bv))
+    c.withColumn("__sims", sims)
+      .withColumn("best_cos",
+        MysqlFunctions.oracleRound(array_max(col("__sims")), 4))
+      .withColumn("bench_id",
+        element_at(typedlit[Seq[Long]](benchIds.toIndexedSeq),
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .filter(col("best_cos") >= threshold)
+      .select(col("__id").as(idCol), col("bench_id"), col("best_cos"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public
     * arXiv 2303.09540): block the corpus by the SAME fixed-iteration
     * Lloyd coarse quantizer [[ivfTopK]] uses ([[fitQuantizer]]), then

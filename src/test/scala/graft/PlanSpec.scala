@@ -107,6 +107,37 @@ class PlanSpec extends AnyFunSuite {
       s"split assignment must not shuffle:\n$plan")
   }
 
+  test("q81: weighted sample is shuffle-free (md5 coin rides the scan)") {
+    val plan = P.weightedSampleDocs(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"weighted sampling must not shuffle:\n$plan")
+  }
+
+  test("q82: semantic decon is map-only — bench literal, no join, no shuffle") {
+    val plan = P.semanticDecon(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"bench set must ship as a literal, not a join side:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"the corpus must not shuffle for decon:\n$plan")
+  }
+
+  test("q78: resample is grid-explode + ONE window — no join operator") {
+    val plan = C.resampleEvents(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"forward fill must be the as-of window formulation:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("Window"),
+      s"expected sequence-explode + window:\n$plan")
+  }
+
+  test("q79: native unpivot is a single-scan Expand, not a union of scans") {
+    val plan = formattedPlan(C.unpivotParts(spark, dir))
+    assert(plan.contains("Expand"), s"unpivot should plan an Expand:\n$plan")
+    // each physical node appears once in the tree and once in the
+    // details listing — one scan node = exactly one "(n) Scan parquet"
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"unpivot must scan the table once:\n$plan")
+  }
+
   test("q08: pivot with explicit values skips the value-discovery job") {
     import org.apache.spark.sql.functions._
     // same base for both variants so reads/listing cost is identical
