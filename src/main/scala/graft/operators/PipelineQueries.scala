@@ -393,6 +393,15 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  // Exact shared-substring dup pairs via winnowing fingerprints
+  // (50-char windows, winnow window 10): every reported pair provably
+  // shares an exact 50-char run; any shared run >= 59 chars is
+  // guaranteed caught. The character-level complement of the
+  // token-level MinHash/Jaccard family.
+  def substringDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
   def vocabTop(s: SparkSession, dir: String): DataFrame =
     TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)

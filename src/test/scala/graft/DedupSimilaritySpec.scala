@@ -217,6 +217,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.size == 20 * 10, "every in-cluster pair qualifies")
   }
 
+  test("winnowedDupPairs: guaranteed catch at >= gram+window-1 shared chars; no false pairs") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(29)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(59) // gram 50 + window 10 - 1: the guarantee length
+    val docs = Seq(
+      (1L, rand(100) + shared + rand(80)),   // shares the 59-char run...
+      (2L, rand(60) + shared + rand(120)),   // ...at a different offset
+      (3L, rand(200)),                       // unrelated
+      (4L, rand(30)))                        // too short to window
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"must catch exactly the planted shared-substring pair, got $pairs")
+  }
+
   test("semanticNearDupPairs: finds in-cluster near-dups via cell blocking; subset of the exact join") {
     val rng = new scala.util.Random(17)
     // 8 well-separated clusters of 6 near-identical vectors — with
