@@ -109,10 +109,17 @@ object EventStreams {
     * derives the state-retention window from watermark + bound — each
     * side buffers only `gap + watermark` of history per key. The batch
     * banding trick is unnecessary here; the streaming engine's
-    * symmetric hash join already keys state by the equi-column. */
+    * symmetric hash join already keys state by the equi-column.
+    *
+    * `joinType` supports the watermark-gated outer variants too
+    * ("left_outer"/"right_outer"/"full_outer"): an unmatched row emits
+    * null-extended ONLY once the watermark proves no in-gap partner
+    * can still arrive — the streaming analogue of the batch outer
+    * range join, with the emission delay that correctness requires. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       gap: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol), col("event_id").as("left_id"), col("ts").as("lts"))
     val r = right.withWatermark("ts", watermark)
@@ -121,9 +128,12 @@ object EventStreams {
     l.join(r,
       col(keyCol) === col("__rk") &&
         col("rts") >= col("lts") - expr(s"INTERVAL $gap") &&
-        col("rts") <= col("lts") + expr(s"INTERVAL $gap"))
-      .select(col(keyCol), col("left_id"), col("right_id"),
-        col("lts"), col("rts"))
+        col("rts") <= col("lts") + expr(s"INTERVAL $gap"),
+      joinType)
+      // coalesce: under right/full outer the left key is null on
+      // unmatched right rows (identity for inner/left)
+      .select(coalesce(col(keyCol), col("__rk")).as(keyCol),
+        col("left_id"), col("right_id"), col("lts"), col("rts"))
   }
 
   /** Per-user running totals via `mapGroupsWithState` — the custom-

@@ -64,6 +64,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-extends an unmatched left only after the watermark proves no partner can arrive") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[KeyedEvent]
+    val views = MemoryStream[KeyedEvent]
+    val q = EventStreams.intervalJoin(clicks.toDF(), views.toDF(), "user_id",
+        gap = "30 minutes", watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ivouter")
+      .outputMode("append").start()
+    try {
+      clicks.addData(KeyedEvent(1L, 10L, ts(0)))  // will stay unmatched
+      clicks.addData(KeyedEvent(2L, 11L, ts(5)))  // will match
+      views.addData(KeyedEvent(2L, 20L, ts(10)))
+      q.processAllAvailable()
+      val matched = spark.table("ivouter")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(matched == Set((11L, Some(20L))),
+        s"only the matched pair may emit before the watermark, got $matched")
+      // advance both watermarks far past 10:00 + gap + delay
+      clicks.addData(KeyedEvent(9L, 90L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      views.addData(KeyedEvent(9L, 91L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      clicks.addData(KeyedEvent(9L, 92L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      views.addData(KeyedEvent(9L, 93L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("ivouter")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(all.contains((10L, None)),
+        s"the unmatched left must null-extend once the watermark passes, got $all")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch banded range join on random disordered streams") {
     import graft.operators.RangeJoin
     implicit val sql = spark.sqlContext
