@@ -228,14 +228,18 @@ object GraphOps {
     val nodes = checkpointed(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    // static per-edge degree: (src, dst, __od) materialized once.
+    // static per-edge degree: (src, dst, __od) materialized once,
+    // HASH-PARTITIONED ON src — the iteration join's key — so each
+    // round shuffles only the node-sized rank frame to meet it, never
+    // the edge set (localCheckpoint preserves the partitioning).
     // NB: the per-iteration sum stays `pr / __od` (integer divisor) —
     // NOT a precomputed 1/od weight — so every division is the exact
     // operation the SQL oracle performs (a premultiplied reciprocal
     // differs by ulps, which 6-dp re-pinning need not absorb at a
     // rounding boundary).
     val ew = checkpointed(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("__od")), "src"))
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__od")), "src")
+        .repartition(col("src")))
     val srcNodes =
       if (redistributeDangling)
         checkpointed(e.select(col("src").as("node")).distinct())

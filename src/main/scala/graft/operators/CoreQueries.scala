@@ -555,9 +555,12 @@ object CoreQueries {
   // strings (r4 used 'p123'/'s45' labels; encoding the ids halved the
   // query's wall time at sf0.1).
   def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: both symmetrizing union arms read the distinct pair
+    // set — without it the scan+dedup runs once per arm
     val pairs = Tables.lineitem(s, dir)
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
       .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
     // the two union arms are disjoint (even vs odd src) and `pairs` is
