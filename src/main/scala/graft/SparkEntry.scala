@@ -114,6 +114,8 @@ object SparkEntry {
     "q82_semantic_decon" -> (P.semanticDecon _),
     "q83_mixture_rates" -> (P.mixturePlan _),
     "q85_substring_dups" -> (P.substringDups _),
+    "q86_upsert" -> (C.upsertOrders _),
+    "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
@@ -584,6 +586,39 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM fp a JOIN fp b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // Upsert checked against the DIRECT statement of the merged result
+    // — not a mirror of the window formulation.
+    "q86_upsert" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 37 = 0 THEN 'U' ELSE o_orderstatus END
+        |  AS o_orderstatus,
+        | CASE WHEN o_orderkey % 37 = 0 THEN round(o_totalprice + 10.0, 2)
+        |  ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Gaps-and-islands change intervals; valid_to = next run's start
+    // (lead over the run counter — deterministic even at shared
+    // boundary timestamps), null for the open run.
+    "q87_change_intervals" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |b AS (
+        | SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        | SELECT user_id, event_type, us,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        | FROM b),
+        |r AS (
+        | SELECT user_id, grp, min(event_type) AS event_type,
+        |  min(us) AS valid_from, count(*) AS n_rows
+        | FROM g GROUP BY user_id, grp)
+        |SELECT user_id, event_type, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+        | n_rows
+        |FROM r ORDER BY user_id, valid_from""".stripMargin,
     // Exact-percentile trim: q58 proved the engine's histogram
     // interpolation hash-equals quantile_cont at 4 dp, so the rounded
     // bounds — and therefore the trim filter — are identical.

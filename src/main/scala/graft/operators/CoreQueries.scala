@@ -521,6 +521,37 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  // Latest-version-wins upsert (batch MERGE): refresh the orders
+  // snapshot with a derived update batch (every 37th key changes
+  // status + price). One union + one keyed window — no outer join,
+  // no per-column coalesce. The oracle states the merged RESULT
+  // directly (a CASE over the key), so it checks the merge semantics
+  // independently instead of mirroring the window formulation.
+  def upsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = Tables.orders(s, dir)
+      .select(cols.map(col): _*).withColumn("__v", lit(0))
+    val updates = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        M.oracleRound(col("o_totalprice") + lit(10.0), 2).as("o_totalprice"))
+      .withColumn("__v", lit(1))
+    MergeOps.upsert(base, updates, Seq("o_orderkey"), "__v")
+      .select(cols.map(col): _*)
+      .orderBy("o_orderkey")
+  }
+
+  // SCD2-style change intervals: collapse each user's consecutive
+  // same-event-type runs into [valid_from, valid_to) validity ranges
+  // (gaps-and-islands; valid_to null for the open run)
+  def eventIntervals(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    MergeOps.changeIntervals(e, Seq("user_id"), "us", "event_type", "event_id")
+      .orderBy("user_id", "valid_from")
+  }
+
   // batch sessionization: a new session starts when the gap to the
   // previous event exceeds 30 min — the batch twin of EventStreams'
   // flatMapGroupsWithState sessionizer, fully window-expressible and

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch MERGE / temporal-table operators — the warehouse maintenance
+  * surface around the analytics core: latest-version-wins upsert (what
+  * `MERGE INTO` does for a snapshot refresh) and change-interval
+  * historization (SCD2-style validity ranges from an event log).
+  * Both are single-keyed-window formulations: no join against the
+  * update set, no per-key loop — at cluster scale they behave like any
+  * keyed window (a hot key is one sorted partition).
+  */
+object MergeOps {
+
+  /** Latest-version-wins upsert: union `base` and `updates` (same
+    * schema), keep the highest-`versionCol` row per key — the batch
+    * MERGE of a snapshot refresh, as one union + one keyed window
+    * instead of the outer-join + coalesce-each-column formulation
+    * (which re-shuffles both sides and breaks on schema drift).
+    * CONTRACT: (keys, version) unique across the union — equal
+    * versions for one key have no defined winner; version your update
+    * batches. Inserts (keys only in `updates`) pass through; deletes
+    * are out of scope (model them as tombstone rows upstream). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(base.columns.toSet == updates.columns.toSet,
+      s"upsert needs identical schemas, got ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    require(keys.forall(base.columns.contains) && base.columns.contains(versionCol),
+      "keys and versionCol must exist")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Change-interval historization (gaps-and-islands): collapse each
+    * key's consecutive runs of an equal `valueCol` into validity
+    * intervals `[valid_from, valid_to)` with a row count — the SCD2
+    * "effective from/to" table derived from an event log. `valid_to`
+    * is the next interval's start, null for the still-open run.
+    * Ties at one timestamp order by `tieBreak` so run boundaries are
+    * deterministic. Two keyed windows + one aggregate, all on the same
+    * key partitioning. */
+  def changeIntervals(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(timeCol), col(tieBreak))
+    val run = Window.partitionBy(keyCols: _*)
+      .orderBy(col(timeCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = df
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(w).isNull ||
+          lag(col(valueCol), 1).over(w) =!= col(valueCol), 1).otherwise(0))
+      .withColumn("__grp", sum("__chg").over(run))
+      .groupBy(keyCols :+ col("__grp"): _*)
+      .agg(min(col(valueCol)).as(valueCol), // all equal within a run
+        min(col(timeCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    // next-run lookup orders by the run counter, not valid_from: __grp
+    // is strictly increasing along each key's timeline by construction,
+    // so the ordering stays deterministic even if two adjacent runs
+    // share a boundary timestamp
+    val nxt = Window.partitionBy(keyCols: _*).orderBy(col("__grp"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(nxt))
+      .select(keyCols ++ Seq(col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_rows")): _*)
+  }
+}

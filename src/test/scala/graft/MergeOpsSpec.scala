@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MergeOps
+
+class MergeOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert: updates win by version, inserts pass through, untouched rows survive") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
+      .toDF("k", "v", "ver")
+    val updates = Seq((2L, "B2", 1), (9L, "new", 1)).toDF("k", "v", "ver")
+    val out = MergeOps.upsert(base, updates, Seq("k"), "ver")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("upsert: chained versions — the highest wins") {
+    val base = Seq((1L, "v0", 0)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "v1", 1), (1L, "v2", 2)).toDF("k", "v", "ver")
+    val out = MergeOps.upsert(base, updates, Seq("k"), "ver")
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("v2"))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val upd = Seq((1L, "a", 1)).toDF("k", "v", "ver")
+    intercept[IllegalArgumentException] {
+      MergeOps.upsert(base, upd, Seq("k"), "ver")
+    }
+  }
+
+  test("changeIntervals: runs collapse, valid_to chains to the next run, open run is null") {
+    val e = Seq(
+      (1L, 1L, "on", 100L), (1L, 2L, "on", 200L), (1L, 3L, "off", 300L),
+      (1L, 4L, "on", 400L),
+      (2L, 5L, "x", 50L))
+      .toDF("user_id", "event_id", "state", "t")
+    val out = MergeOps.changeIntervals(e, Seq("user_id"), "t", "state", "event_id")
+      .select("user_id", "state", "valid_from", "valid_to", "n_rows")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+    assert(out == Set(
+      (1L, "on", 100L, Some(300L), 2L),
+      (1L, "off", 300L, Some(400L), 1L),
+      (1L, "on", 400L, None, 1L),
+      (2L, "x", 50L, None, 1L)))
+  }
+
+  test("changeIntervals: equal timestamps order by the tie-break, so runs are deterministic") {
+    // two events at t=100 with different states: event_id order decides
+    // the run sequence (a=first, b=second)
+    val e = Seq((1L, 1L, "a", 100L), (1L, 2L, "b", 100L), (1L, 3L, "b", 200L))
+      .toDF("user_id", "event_id", "state", "t")
+    val out = MergeOps.changeIntervals(e, Seq("user_id"), "t", "state", "event_id")
+      .select("state", "valid_from", "valid_to", "n_rows")
+      .as[(String, Long, Option[Long], Long)].collect().toSet
+    assert(out == Set(("a", 100L, Some(100L), 1L), ("b", 100L, None, 2L)))
+  }
+}
