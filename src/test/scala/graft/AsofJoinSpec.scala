@@ -49,6 +49,49 @@ class AsofJoinSpec extends AnyFunSuite {
       List(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
   }
 
+  test("asofBackward equals the brute-force latest-at-or-before on random data") {
+    val rng = new scala.util.Random(53)
+    val lefts = Seq.tabulate(150)(i =>
+      (i.toLong, 1L + rng.nextInt(4), rng.nextInt(1000).toLong))
+    val rights = Seq.fill(200)((1L + rng.nextInt(4), rng.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+    val lDf = lefts.toDF("lid", "k", "t")
+    val rDf = rights.toDF("k", "t", "rv")
+    val got = AsofJoin.asofBackward(lDf, rDf, Seq("k"), "t", "t")
+      .select(col("lid"), col("asof.rv"))
+      .as[(Long, Option[String])].collect().toMap
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (lid, k, lt) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= lt)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == want,
+        s"left $lid (k=$k, t=$lt): got ${got(lid)}, want $want")
+    }
+  }
+
+  test("bandedRangeJoin equals the brute-force inequality join on random data") {
+    import graft.operators.RangeJoin
+    val rng = new scala.util.Random(59)
+    val lefts = Seq.tabulate(120)(i =>
+      (100L + i, 1L + rng.nextInt(3), rng.nextInt(5000).toLong))
+    val rights = Seq.tabulate(120)(i =>
+      (500L + i, 1L + rng.nextInt(3), rng.nextInt(5000).toLong))
+    val gap = 137L // deliberately not a divisor of anything
+    val got = RangeJoin.bandedRangeJoin(
+        lefts.toDF("lid", "k", "lt"), rights.toDF("rid", "k", "rt"),
+        Seq("k"), "lt", "rt", maxGap = gap)
+      .select(col("lid"), col("match.rid"))
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lid, lk, lt) <- lefts
+      (rid, rk, rt) <- rights
+      if lk == rk && math.abs(lt - rt) <= gap
+    } yield (lid, rid)).toSet
+    assert(got == want,
+      s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("resampleForwardFill: absolute-aligned grid, forward fill, span-less keys dropped") {
     import graft.operators.TimeSeries
     val events = Seq(

@@ -33,6 +33,20 @@ class MergeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert equals the per-key max-version reference on random batches") {
+    val rng = new scala.util.Random(61)
+    val base = (1L to 50L).map(k => (k, s"base$k", 0))
+    val updates = (1L to 50L).filter(_ => rng.nextBoolean()).flatMap { k =>
+      (1 to 1 + rng.nextInt(3)).map(v => (k, s"u$k-$v", v))
+    }
+    val got = MergeOps.upsert(base.toDF("k", "v", "ver"),
+        updates.toDF("k", "v", "ver"), Seq("k"), "ver")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    val want = base.map(r => r._1 -> r._2).toMap ++
+      updates.groupBy(_._1).view.mapValues(_.maxBy(_._3)._2).toMap
+    assert(got == want)
+  }
+
   test("changeIntervals: runs collapse, valid_to chains to the next run, open run is null") {
     val e = Seq(
       (1L, 1L, "on", 100L), (1L, 2L, "on", 200L), (1L, 3L, "off", 300L),
