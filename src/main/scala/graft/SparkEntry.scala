@@ -115,6 +115,7 @@ object SparkEntry {
     "q83_mixture_rates" -> (P.mixturePlan _),
     "q85_substring_dups" -> (P.substringDups _),
     "q86_upsert" -> (C.upsertOrders _),
+    "q88_salted_join" -> (C.saltedJoinQuery _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -595,6 +596,12 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 37 = 0 THEN round(o_totalprice + 10.0, 2)
         |  ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Salted join == plain join (the salt must be invisible in the
+    // output); the oracle IS the plain join.
+    "q88_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Gaps-and-islands change intervals; valid_to = next run's start
     // (lead over the run counter — deterministic even at shared
     // boundary timestamps), null for the open run.

@@ -521,6 +521,20 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  // Salted skew join, output-gated: the salt spreads each (hot) order
+  // key over 8 reducers and is dropped before output, so the result
+  // must equal the PLAIN join — which is exactly what the oracle
+  // states. The q86 pattern: the oracle checks the semantics
+  // independently, not the formulation.
+  def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,
