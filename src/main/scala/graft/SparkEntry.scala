@@ -573,7 +573,7 @@ object SparkEntry {
         |w AS (
         | SELECT doc_id, i, substr(text, i, 50) AS win,
         |  CAST(('0x' || substr(md5(substr(text, i, 50)), 1, 10)) AS BIGINT)
-        |    * 1048576 + i AS enc
+        |    * 8388608 + i AS enc
         | FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 49)) AS i
         |       FROM d) t),
         |m AS (

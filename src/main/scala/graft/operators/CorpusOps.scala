@@ -117,6 +117,9 @@ object CorpusOps {
     * is domain-count-sized, never data-sized. */
   def mixtureRates(df: DataFrame, domainCol: String, tokens: Column,
       target: DataFrame): DataFrame = {
+    require(target.columns.contains("domain") &&
+      target.columns.contains("target_pct"),
+      s"target needs (domain, target_pct), got ${target.columns.toSeq}")
     val tok = df.select(col(domainCol).as("domain"), tokens.cast("long").as("__tk"))
       .groupBy("domain").agg(sum("__tk").as("n_tokens"))
     val joined = tok.join(target, Seq("domain"))

@@ -260,7 +260,10 @@ object Dedup {
     * the pair join — the same hot-key cap as [[ngramJaccardPairsFromSets]]
     * (vacuous at gate scale: the testdata's hottest window spans 3
     * docs, so the oracle need not model it). Contract: documents
-    * ≤ 2^20 chars (position packs into the low 20 bits). */
+    * ≤ 2^23 chars (8 MiB of text; the position packs into the low 23
+    * bits and the 40-bit hash above it fills the long exactly —
+    * (2^40−1)·2^23 + 2^23−1 = 2^63−1). Chunk longer documents
+    * upstream. */
   def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
       gram: Int = 50, window: Int = 10, maxDf: Int = 1000): DataFrame = {
     require(gram > 0 && window > 0)
@@ -280,7 +283,7 @@ object Dedup {
         col("__txt"))
       .select(col("__id"), col("i"),
         (TextFunctions.md5Int(substr(col("__txt"), col("i"), lit(gram)), 10)
-          * lit(1048576L) + col("i")).as("enc")))
+          * lit(8388608L) + col("i")).as("enc")))
     val sel = wins
       .withColumn("__m", min(col("enc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__id")
@@ -288,7 +291,7 @@ object Dedup {
       .select(col("__id").as("__sid"), col("__m")).distinct()
     val fp = docs.join(sel, col("__id") === col("__sid"))
       .select(col("__id"),
-        substr(col("__txt"), pmod(col("__m"), lit(1048576L)).cast("int"),
+        substr(col("__txt"), pmod(col("__m"), lit(8388608L)).cast("int"),
           lit(gram)).as("win"))
       .distinct()
     val hot = fp.groupBy("win").agg(count(lit(1)).as("__df"))

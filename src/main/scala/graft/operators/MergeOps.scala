@@ -43,7 +43,10 @@ object MergeOps {
     * is the next interval's start, null for the still-open run.
     * Ties at one timestamp order by `tieBreak` so run boundaries are
     * deterministic. Two keyed windows + one aggregate, all on the same
-    * key partitioning. */
+    * key partitioning. CONTRACT: `valueCol` non-null — a null value
+    * never compares unequal to its neighbor (`lag <> v` is null), so
+    * null rows would silently extend the preceding run; encode "no
+    * value" as a sentinel upstream. */
   def changeIntervals(df: DataFrame, keys: Seq[String], timeCol: String,
       valueCol: String, tieBreak: String): DataFrame = {
     val keyCols = keys.map(col)

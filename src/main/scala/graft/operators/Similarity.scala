@@ -395,7 +395,9 @@ object Similarity {
     val c = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
     val b = prep(bench, idCol, vecCol, "__bid", "bvec", preNormalized)
     val rows = b.orderBy("__bid").collect()
-    val benchIds = rows.map(_.getLong(0))
+    // widen via Number: an INT id column would ClassCastException on a
+    // direct getLong (the JdbcSource bounds-probe lesson)
+    val benchIds = rows.map(_.getAs[Number](0).longValue)
     val benchMat = rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val sims = transform(typedlit[Seq[Seq[Double]]](benchMat),
       bv => dot(col("nvec"), bv))
