@@ -116,6 +116,8 @@ object SparkEntry {
     "q85_substring_dups" -> (P.substringDups _),
     "q86_upsert" -> (C.upsertOrders _),
     "q88_salted_join" -> (C.saltedJoinQuery _),
+    "q89_windowed_distinct" -> (C.windowedDistinct _),
+    "q90_zscore" -> (C.zscoreNorm _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -601,6 +603,29 @@ object SparkEntry {
     "q88_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Windowed distinct count: Spark composes size(collect_set) over
+    // the frame; DuckDB runs its native DISTINCT window aggregate —
+    // independent formulations, same exact semantics (RANGE frames
+    // include peers on both engines).
+    "q89_windowed_distinct" ->
+      """SELECT event_id, user_id, us, event_type,
+        | CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY us
+        |   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS INTEGER)
+        |  AS n_types_30m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    // Z-score against 4dp-PINNED group stats (both engines normalize
+    // against identical mean/sd — no unordered-sum ulp leakage).
+    "q90_zscore" ->
+      """WITH s AS (
+        | SELECT l_returnflag, round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mu,
+        |  round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        | round((CAST(l_quantity AS DOUBLE) - mu) / sd, 4) AS z_qty
+        |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Gaps-and-islands change intervals; valid_to = next run's start
     // (lead over the run counter — deterministic even at shared

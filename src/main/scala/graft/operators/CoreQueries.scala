@@ -521,6 +521,42 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  // Windowed DISTINCT count — a native feature Spark's window
+  // aggregates LACK (`count(DISTINCT) OVER` is unsupported): composed
+  // as size(collect_set) over the same RANGE frame, which is exact and
+  // stays a single keyed window. State is the per-frame distinct set —
+  // fine for bounded-cardinality columns (event types); for unbounded
+  // ones switch to approx_count_distinct over the frame.
+  def windowedDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-1800000000L, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("n_types_30m",
+        size(collect_set(col("event_type")).over(w)))
+      .orderBy("event_id")
+  }
+
+  // Per-group z-score normalization (feature scaling): stats via
+  // groupBy + broadcast join back — NOT a per-group window, which
+  // would sort each group single-partition at scale. The group mean
+  // and stddev are PINNED to 4 dp before the residual is computed, so
+  // both engines normalize against identical stats (the q58
+  // rounded-bounds convention).
+  def zscoreNorm(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("q"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(M.oracleRound(avg("q"), 4).as("__mu"),
+        M.oracleRound(stddev_samp(col("q")), 4).as("__sd"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        M.oracleRound((col("q") - col("__mu")) / col("__sd"), 4).as("z_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // Salted skew join, output-gated: the salt spreads each (hot) order
   // key over 8 reducers and is dropped before output, so the result
   // must equal the PLAIN join — which is exactly what the oracle
