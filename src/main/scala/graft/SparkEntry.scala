@@ -490,23 +490,14 @@ object SparkEntry {
     // is vacuous at gate scale by construction — no bucket can exceed
     // the 540-vector corpus — so the oracle need not model it.
     "q51_cosine_neardup_lsh" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |plant AS (
-        | SELECT vec_id + 100000 AS vec_id, nv AS v FROM (
-        |  SELECT vec_id,
-        |   list_transform(range(1, 65), i -> v[i] * (1.0 +
-        |     (0.5 + CAST(vec_id % 8 AS DOUBLE) * 0.3) *
-        |     (CAST(('0x' || substr(md5('plant:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
-        |       / 4294967296.0 - 0.5))) AS nv
-        |  FROM base WHERE vec_id < 40) t),
-        |e AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+      (s"""WITH ${plantedCorpusCtes(64)},
         |w AS (SELECT bb.b AS b, pp.p AS p, dd.d AS d,
         |  CAST(('0x' || substr(md5(CAST(42 + bb.b AS VARCHAR) || ':' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
         |    / 4294967296.0 - 0.5 AS wt
         | FROM generate_series(0, 15) AS bb(b), generate_series(0, 7) AS pp(p),
         |      generate_series(0, 63) AS dd(d)),
-        |dots AS (SELECT e.vec_id, w.b, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
-        | FROM e, w GROUP BY e.vec_id, w.b, w.p),
+        |dots AS (SELECT eraw.vec_id, w.b, w.p, SUM(eraw.v[w.d + 1] * w.wt) AS s
+        | FROM eraw, w GROUP BY eraw.vec_id, w.b, w.p),
         |buck AS (SELECT vec_id, b,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
         |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
@@ -517,9 +508,9 @@ object SparkEntry {
         |SELECT id_a, id_b, cos FROM (
         | SELECT c.id_a, c.id_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
-        | FROM cand c JOIN e a ON a.vec_id = c.id_a
-        | JOIN e b ON b.vec_id = c.id_b) t
-        |WHERE cos >= 0.85 ORDER BY id_a, id_b""".stripMargin,
+        | FROM cand c JOIN eraw a ON a.vec_id = c.id_a
+        | JOIN eraw b ON b.vec_id = c.id_b) t
+        |WHERE cos >= 0.85 ORDER BY id_a, id_b""".stripMargin),
     // The IVF-ANN pipeline reproduced end-to-end, like q33/q51: md5-
     // derived init centers, three UNROLLED Lloyd assign/mean rounds
     // (the iteration count is a fixed constant, so "iterative" does not
@@ -1259,12 +1250,6 @@ object SparkEntry {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** q75's oracle: Similarity.semanticNearDupPairs — the SemDeDup
-    * recipe over the q51 planted near-dup corpus. The corpus CTEs
-    * rebuild the planted vectors (md5-derived noise, identical to
-    * q51's) and normalize them into `e(vec_id, v)`; [[ivfBuildCtes]]
-    * reproduces the quantizer fit + final assignment; the tail joins
-    * in-cell pairs and verifies exact cosine ≥ threshold. */
   /** The q51/q75/q82 planted near-dup corpus as CTEs `base`/`plant`/
     * `eraw` (raw doubles) + `e` (L2-normalized) — the md5-derived
     * perturbed copies PipelineQueries.plantedNormEmb builds. */
@@ -1284,6 +1269,11 @@ object SparkEntry {
        |  list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
        | FROM eraw)""".stripMargin
 
+  /** q75's oracle: Similarity.semanticNearDupPairs — the SemDeDup
+    * recipe over the q51 planted near-dup corpus ([[plantedCorpusCtes]]
+    * provides the normalized `e(vec_id, v)`); [[ivfBuildCtes]]
+    * reproduces the quantizer fit + final assignment; the tail joins
+    * in-cell pairs and verifies exact cosine ≥ threshold. */
   private def semDedupOracle(nlist: Int, iters: Int, dim: Int, seed: Int,
       threshold: Double): String = {
     s"""WITH ${plantedCorpusCtes(dim)},

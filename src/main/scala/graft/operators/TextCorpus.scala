@@ -103,7 +103,11 @@ object TextCorpus {
     * shuffle at all. An empty-doc row survives via the left join. */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // materialized: both the top-token aggregate and the 3-gram
+    // projection read the tokenization — without the checkpoint the
+    // tokenize runs once per consumer (the Dedup.shingleSets pattern)
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .localCheckpoint()
     val top = toks.select(col(idCol), explode(col("__t")).as("__tk"))
       .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max("__c").as("__mx"), sum("__c").as("__tot"))
@@ -140,8 +144,11 @@ object TextCorpus {
     * AQE may still broadcast it from runtime stats), corpus size as a
     * broadcast 1-row aggregate, one doc-keyed mean. */
   def fluencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialized: the frequency table, the corpus total, and the
+    // per-doc join all read this explode — one tokenize pass, not three
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .localCheckpoint()
     val freq = toks.groupBy("term").agg(count(lit(1)).as("__c"))
     val n = toks.agg(count(lit(1)).cast("double").as("__n"))
     val perDoc = toks.join(freq, Seq("term"))
