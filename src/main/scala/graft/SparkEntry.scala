@@ -118,6 +118,8 @@ object SparkEntry {
     "q88_salted_join" -> (C.saltedJoinQuery _),
     "q89_windowed_distinct" -> (C.windowedDistinct _),
     "q90_zscore" -> (C.zscoreNorm _),
+    "q91_snapshot_diff" -> (C.snapshotDiffOrders _),
+    "q92_triangles" -> (C.triangleQuery _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -618,6 +620,34 @@ object SparkEntry {
         | round((CAST(l_quantity AS DOUBLE) - mu) / sd, 4) AS z_qty
         |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Snapshot diff: the oracle derives the change classes straight
+    // from the key arithmetic — delete (%41), update (%37 surviving),
+    // insert (shifted %43 copies) — independent of the join.
+    "q91_snapshot_diff" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, 'delete' AS change FROM orders
+        | WHERE o_orderkey % 41 = 0
+        | UNION ALL
+        | SELECT o_orderkey, 'update' FROM orders
+        | WHERE o_orderkey % 37 = 0 AND o_orderkey % 41 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, 'insert' FROM orders
+        | WHERE o_orderkey % 43 = 0) t
+        |ORDER BY o_orderkey, change""".stripMargin,
+    // Triangle counts via the ordered-triple (x<y<z) three-way
+    // self-join — an independent formulation of the Spark side's
+    // degree-ordered wedge algorithm; identical triangle set.
+    "q92_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM pp x JOIN pp y
+        |       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        | SELECT unnest([x, y, z]) AS node FROM tri) t
+        |GROUP BY node ORDER BY node""".stripMargin,
     // Gaps-and-islands change intervals; valid_to = next run's start
     // (lead over the run counter — deterministic even at shared
     // boundary timestamps), null for the open run.

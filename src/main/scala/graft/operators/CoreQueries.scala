@@ -602,6 +602,44 @@ object CoreQueries {
       .orderBy("user_id", "valid_from")
   }
 
+  // Snapshot diff (CDC shape): old = orders; new = orders with every
+  // 41st key deleted, every surviving 37th key updated (q86's change),
+  // and a shifted copy of every 43rd key inserted. The diff must
+  // classify exactly those keys — the oracle states the three classes
+  // directly from the key arithmetic, independent of the join
+  // formulation.
+  def snapshotDiffOrders(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val old = Tables.orders(s, dir).select(cols.map(col): _*)
+    val updated = old.filter(col("o_orderkey") % 41 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 37 === 0, lit("U"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 37 === 0,
+          M.oracleRound(col("o_totalprice") + lit(10.0), 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val inserted = old.filter(col("o_orderkey") % 43 === 0)
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    MergeOps.snapshotDiff(old, updated.unionByName(inserted), Seq("o_orderkey"))
+      .orderBy("o_orderkey", "change")
+  }
+
+  // Per-node triangle counts over the part co-occurrence graph (parts
+  // sharing an order) — the degree-ordered wedge algorithm; the oracle
+  // counts the same triangles via the independent ordered-triple
+  // (x<y<z) three-way self-join formulation.
+  def triangleQuery(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    GraphOps.triangleCounts(co).orderBy("node")
+  }
+
   // batch sessionization: a new session starts when the gap to the
   // previous event exceeds 30 min — the batch twin of EventStreams'
   // flatMapGroupsWithState sessionizer, fully window-expressible and

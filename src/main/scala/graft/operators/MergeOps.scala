@@ -36,6 +36,37 @@ object MergeOps {
       .drop("__rn")
   }
 
+  /** Snapshot diff — the CDC primitive between two versions of a keyed
+    * table: classify every key as `insert` (new only), `delete` (old
+    * only), or `update` (present in both, any non-key column differs
+    * under null-safe comparison); unchanged keys are dropped. One full
+    * outer join on the keys; value comparison is a codegen'd
+    * column-wise `<=>` chain, no serialization of whole rows. The
+    * output is what an incremental pipeline ships instead of the full
+    * snapshot. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.toSet == newDf.columns.toSet,
+      s"snapshotDiff needs identical schemas, got ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    require(keys.forall(oldDf.columns.contains), s"keys $keys must exist")
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__in_o"): _*)
+    val n = newDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__in_n"): _*)
+    val differs = valueCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_o").isNull, lit("insert"))
+          .when(col("__in_n").isNull, lit("delete"))
+          .when(differs, lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Change-interval historization (gaps-and-islands): collapse each
     * key's consecutive runs of an equal `valueCol` into validity
     * intervals `[valid_from, valid_to)` with a row count — the SCD2

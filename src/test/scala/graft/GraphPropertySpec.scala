@@ -77,6 +77,35 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(base == flagged)
   }
 
+  test("triangleCounts: K4 gives 3 per node, a chordless square gives none; direction/duplication-insensitive") {
+    import org.apache.spark.sql.functions.col
+    // K4 on 1..4 (each node in C(3,2)=3 triangles) + square 10-11-12-13
+    // with no diagonal (no triangles) — edges fed with mixed direction
+    // and a duplicate
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val square = Seq((10L, 11L), (12L, 11L), (12L, 13L), (13L, 10L), (10L, 13L))
+    val got = GraphOps.triangleCounts((k4 ++ square).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"square nodes must report no triangles, got $got")
+  }
+
+  test("triangleCounts equals the brute-force triple count on a random graph") {
+    val rng = new scala.util.Random(43)
+    val edges = Seq.fill(120)((1L + rng.nextInt(15), 1L + rng.nextInt(15)))
+      .filter(e => e._1 != e._2).distinct
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = (for {
+      x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+      if canon((x, y)) && canon((y, z)) && canon((x, z))
+    } yield Seq(x, y, z)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"got $got, want $want")
+  }
+
   test("random DAG alone: cycle detector stays silent") {
     val rng = new scala.util.Random(13)
     (1 to 3).foreach { _ =>

@@ -47,6 +47,21 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("snapshotDiff classifies insert/delete/update, drops unchanged, null-safe compare") {
+    val old = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "v", "x")
+    val nw = Seq((1L, Some("a"), 1.0),            // unchanged -> dropped
+      (2L, Some("B"), 2.0),                        // update (value)
+      (3L, Some("c"), 3.0),                        // update (null -> value)
+      (9L, Some("i"), 9.0))                        // insert; 4 deleted
+      .toDF("k", "v", "x")
+    val got = MergeOps.snapshotDiff(old, nw, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "update"), (3L, "update"),
+      (4L, "delete"), (9L, "insert")))
+  }
+
   test("changeIntervals: runs collapse, valid_to chains to the next run, open run is null") {
     val e = Seq(
       (1L, 1L, "on", 100L), (1L, 2L, "on", 200L), (1L, 3L, "off", 300L),
