@@ -638,7 +638,8 @@ object SparkEntry {
     // self-join — an independent formulation of the Spark side's
     // degree-ordered wedge algorithm; identical triangle set.
     "q92_triangles" ->
-      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |      WHERE l_orderkey % 10 = 0),
         |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         |      FROM pp x JOIN pp y
         |       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),

@@ -628,9 +628,14 @@ object CoreQueries {
   // Per-node triangle counts over the part co-occurrence graph (parts
   // sharing an order) — the degree-ordered wedge algorithm; the oracle
   // counts the same triangles via the independent ordered-triple
-  // (x<y<z) three-way self-join formulation.
+  // (x<y<z) three-way self-join formulation. The gate samples every
+  // 10th order: co-occurrence cliques densify the graph quadratically
+  // in parts-per-order, and the full sf0.1 graph spends the whole
+  // bench budget on wedge volume without exercising anything the
+  // sampled graph doesn't.
   def triangleQuery(s: SparkSession, dir: String): DataFrame = {
     val pp = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
