@@ -120,6 +120,7 @@ object SparkEntry {
     "q90_zscore" -> (C.zscoreNorm _),
     "q91_snapshot_diff" -> (C.snapshotDiffOrders _),
     "q92_triangles" -> (C.triangleQuery _),
+    "q93_label_prop" -> (C.lpaQuery _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -1118,6 +1119,7 @@ object SparkEntry {
     // three chained contribution/update CTE pairs reproduce the Spark
     // fixpoint hash-for-hash.
     "q73_pagerank" -> pageRankOracle(iters = 3),
+    "q93_label_prop" -> lpaOracle(iters = 2),
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).
@@ -1248,6 +1250,37 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
        |  FROM e, c$iters c) t WHERE r = 1)""".stripMargin
+  }
+
+  /** q93's oracle: GraphOps.labelPropagation unrolled — one
+    * count/top-1/relabel CTE triple per iteration over the q92-sampled
+    * symmetrized part<->supplier graph. Pure integer labels: no
+    * rounding pins anywhere (unlike q73's rank re-rounding). */
+  private def lpaOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val j = k - 1
+      s"""c$k AS (
+         | SELECT e.src AS n, l.label, count(*) AS c
+         | FROM e JOIN l$j l ON l.node = e.dst GROUP BY 1, 2),
+         |s$k AS (
+         | SELECT n, label, row_number() OVER (PARTITION BY n
+         |   ORDER BY c DESC, label) AS rn
+         | FROM c$k),
+         |l$k AS (
+         | SELECT l$j.node, coalesce(s.label, l$j.label) AS label
+         | FROM l$j LEFT JOIN (SELECT n, label FROM s$k WHERE rn = 1) s
+         |  ON s.n = l$j.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       | FROM lineitem WHERE l_orderkey % 10 = 0),
+       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |      UNION SELECT sp, p FROM pairs),
+       |nodes AS (SELECT DISTINCT node FROM
+       | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$iterCtes
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
   }
 
   /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs (see

@@ -273,6 +273,49 @@ object GraphOps {
     pr
   }
 
+  /** Synchronous label propagation (fixed iterations) — the cheap
+    * community-detection signal of graph-based corpus curation
+    * (mirror/spam clusters, host communities; Raghavan et al. 2007,
+    * public arXiv 0709.2938). Every node starts labeled with itself;
+    * each round it adopts the most frequent label among its
+    * OUT-neighbors, ties broken by smallest label — all-integer
+    * arithmetic, so unlike PageRank the unrolled SQL oracle needs no
+    * rounding re-pin at all. Synchronous update with a fixed `iters`
+    * (the deterministic variant — asynchronous/random-order LPA is not
+    * reproducible); a node with no out-edges keeps its label. Feed a
+    * symmetrized edge set for undirected semantics.
+    *
+    * Scale shape per iteration: one (edges ⋈ labels) hash join, a
+    * map-side-combined (node, label) count, one per-node top-1 window,
+    * and a node-sized left join back — checkpointed per step like
+    * every fixpoint here. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val e = (if (assumeDistinct) e0 else e0.distinct()).cache()
+    val nodes = checkpointed(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    var labels = checkpointed(nodes.withColumn("label", col("node")))
+    for (_ <- 0 until iters) {
+      val counts = e.join(labels, e("dst") === labels("node"))
+        .groupBy(e("src").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val top = counts
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("n")
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("__rn") === 1)
+        .select(col("n"), col("label").as("__new"))
+      labels = checkpointed(
+        labels.join(top, labels("node") === col("n"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("label")).as("label")))
+    }
+    e.unpersist()
+    labels
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge set — the local
     * clustering signal (dense co-occurrence neighborhoods vs link
     * farms) of web-graph curation. Uses the degree-ordered wedge

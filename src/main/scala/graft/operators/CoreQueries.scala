@@ -645,6 +645,21 @@ object CoreQueries {
     GraphOps.triangleCounts(co).orderBy("node")
   }
 
+  // Label-propagation communities over the (sampled, q92-style)
+  // symmetrized part<->supplier graph — all-integer label arithmetic,
+  // so the unrolled 2-iteration oracle is exact with no rounding pins.
+  def lpaQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    GraphOps.labelPropagation(edges, iters = 2, assumeDistinct = true)
+      .orderBy("node")
+  }
+
   // batch sessionization: a new session starts when the gap to the
   // previous event exceeds 30 min — the batch twin of EventStreams'
   // flatMapGroupsWithState sessionizer, fully window-expressible and

@@ -77,6 +77,20 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(base == flagged)
   }
 
+  test("labelPropagation: cliques converge to their min label; out-edge-free nodes keep theirs") {
+    val clique = (base: Long) => for {
+      a <- base until base + 3; b <- base until base + 3 if a != b
+    } yield (a, b) // both directions
+    val edges = (clique(1L) ++ clique(10L) :+ ((21L, 20L))).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L),
+      s"clique 1-3 must converge to label 1, got $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L, "no out-edges: label kept")
+    assert(got(21L) == 20L, "sole neighbor's label adopted")
+  }
+
   test("triangleCounts: K4 gives 3 per node, a chordless square gives none; direction/duplication-insensitive") {
     import org.apache.spark.sql.functions.col
     // K4 on 1..4 (each node in C(3,2)=3 triangles) + square 10-11-12-13
