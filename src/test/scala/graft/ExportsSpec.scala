@@ -266,6 +266,28 @@ class ExportsSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("jdbc sink: batched write lands rows an independent JDBC read sees; connection cap narrows partitions") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    import graft.sink.JdbcSink
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement()
+        .execute("CREATE TABLE scores (doc_id BIGINT, score DOUBLE)")
+      val cfg = JdbcConfig("jdbc:derby:memory:graftsink", user = "", password = "",
+        numPartitions = 2)
+      val df = (1L to 100L).map(i => (i, i * 0.5)).toDF("doc_id", "score")
+        .repartition(16) // wider than the cap — the sink must narrow it
+      JdbcSink.write(df, cfg, "scores", batchSize = 25)
+      val back = JdbcSource.table(spark, cfg, "scores")
+        .as[(Long, Double)].collect().toSet
+      assert(back == (1L to 100L).map(i => (i, i * 0.5)).toSet)
+      // appending again doubles the rows (mode contract)
+      JdbcSink.write(df, cfg, "scores")
+      assert(JdbcSource.table(spark, cfg, "scores").count() == 200)
+    } finally conn.close()
+  }
+
   test("locations export runs end-to-end against a real JDBC database (S1 + product)") {
     import graft.sources.{JdbcConfig, JdbcSource}
     val url = "jdbc:derby:memory:graftloc;create=true"
