@@ -121,6 +121,7 @@ object SparkEntry {
     "q91_snapshot_diff" -> (C.snapshotDiffOrders _),
     "q92_triangles" -> (C.triangleQuery _),
     "q93_label_prop" -> (C.lpaQuery _),
+    "q94_concurrency" -> (C.sessionConcurrency _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -786,23 +787,25 @@ object SparkEntry {
     // Batch sessionization: 30-min-gap sessions via integer-microsecond
     // window arithmetic — boundary-exact on both engines.
     "q54_sessionize" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
-        |b AS (
-        | SELECT user_id, event_id, us, value,
-        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |        > 1800000000 THEN 1 ELSE 0 END AS brk
-        | FROM e),
-        |s AS (
-        | SELECT user_id, us, value,
-        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-        | FROM b)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | round(sum(value), 2) AS session_value,
-        | min(us) AS start_us, max(us) AS end_us
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+      (s"""WITH $sessionCtes
+        |SELECT user_id, session_id, n_events, session_value,
+        | start_us, end_us
+        |FROM sess ORDER BY user_id, session_id""".stripMargin),
+    // Session concurrency timeline: +1 at start, -1 at end+1 (inclusive
+    // endpoints), global running count. DuckDB runs the naive global
+    // cumsum; Spark's two-level bucketed prefix sum must produce the
+    // identical integers (the q70 equivalence). CAST: windowed
+    // sum(BIGINT) is HUGEINT in DuckDB — the q70 lesson.
+    "q94_concurrency" ->
+      (s"""WITH $sessionCtes,
+        |deltas AS (
+        | SELECT start_us AS us, 1 AS d FROM sess
+        | UNION ALL SELECT end_us + 1, -1 FROM sess),
+        |agg AS (SELECT us, CAST(sum(d) AS BIGINT) AS delta
+        |        FROM deltas GROUP BY us)
+        |SELECT us, CAST(sum(delta) OVER (ORDER BY us
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active
+        |FROM agg ORDER BY us""".stripMargin),
     "q50_quantiles" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -1251,6 +1254,28 @@ object SparkEntry {
        |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
        |  FROM e, c$iters c) t WHERE r = 1)""".stripMargin
   }
+
+  /** q54/q94 shared session CTEs: 30-min-gap sessionization down to
+    * one `sess(user_id, session_id, n_events, session_value, start_us,
+    * end_us)` row per session. */
+  private val sessionCtes: String =
+    """e AS (
+      | SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |b AS (
+      | SELECT user_id, event_id, us, value,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |        > 1800000000 THEN 1 ELSE 0 END AS brk
+      | FROM e),
+      |s AS (
+      | SELECT user_id, us, value,
+      |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+      | FROM b),
+      |sess AS (
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS session_value,
+      |  min(us) AS start_us, max(us) AS end_us
+      | FROM s GROUP BY user_id, session_id)""".stripMargin
 
   /** q93's oracle: GraphOps.labelPropagation unrolled — one
     * count/top-1/relabel CTE triple per iteration over the q92-sampled

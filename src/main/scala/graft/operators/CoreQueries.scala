@@ -571,6 +571,14 @@ object CoreQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // Concurrency timeline over the q54 sessions: +1/-1 boundary sweep,
+  // global running count via the two-level prefix sum (no
+  // single-partition window) — peak-load analytics composed from the
+  // sessionizer's output.
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.concurrencySweep(sessionize(s, dir), "start_us", "end_us")
+      .orderBy("us")
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,

@@ -33,6 +33,42 @@ object TimeSeries {
     * is never null. The events side must be unique per (keys, time) —
     * [[AsofJoin.asofBackward]]'s determinism contract; dedupe upstream.
     */
+  /** Interval concurrency sweep: how many intervals are active at each
+    * instant the count changes — the classic +1/−1 boundary sweep
+    * (peak concurrent sessions, active connections, load timeline).
+    * Endpoints are inclusive: an interval contributes +1 at `start`
+    * and −1 at `end + 1`. Returns `(us, n_active)` — one row per
+    * distinct boundary instant, `n_active` = concurrency AFTER
+    * applying that instant's deltas.
+    *
+    * The running count is a GLOBAL prefix sum — the single-partition
+    * window trap — so it uses the packSequences two-level formulation:
+    * per-time-bucket delta totals (tiny aggregate), a running offset
+    * over the bucket totals (window over #buckets rows, bounded by
+    * timeline/bucketUs), and a within-bucket cumulative window.
+    * Identical integers to the naive global cumsum. */
+  def concurrencySweep(intervals: DataFrame, startCol: String,
+      endCol: String, bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervals.select(col(startCol).as("us"), lit(1L).as("d"))
+      .unionAll(intervals.select((col(endCol) + 1L).as("us"), lit(-1L).as("d")))
+      .groupBy("us").agg(sum("d").as("delta"))
+      .withColumn("__bkt", floor(col("us") / lit(bucketUs)).cast("long"))
+    val bucketTotals = deltas.groupBy("__bkt")
+      .agg(sum("delta").as("__btotal"))
+      .withColumn("__boff",
+        coalesce(sum("__btotal").over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bkt", "__boff")
+    val win = Window.partitionBy("__bkt").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(bucketTotals, Seq("__bkt"))
+      .withColumn("n_active", col("__boff") + sum("delta").over(win))
+      .select(col("us"), col("n_active"))
+  }
+
   def resampleForwardFill(events: DataFrame, keys: Seq[String],
       timeCol: String, stepUs: Long,
       stateCol: String = "state"): DataFrame = {

@@ -115,6 +115,19 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == Set((200L, "on-grid")))
   }
 
+  test("concurrencySweep: inclusive endpoints, merged boundaries, bucketed cumsum equals naive") {
+    import graft.operators.TimeSeries
+    val iv = Seq((0L, 10L), (5L, 15L), (20L, 30L), (31L, 40L))
+      .toDF("s", "e")
+    // tiny bucket forces the two-level path across many buckets
+    val got = TimeSeries.concurrencySweep(iv, "s", "e", bucketUs = 7L)
+      .as[(Long, Long)].collect().toMap
+    // deltas: 0:+1 5:+1 11:-1 16:-1 20:+1 31:(-1+1)=0 41:-1
+    assert(got == Map(0L -> 1L, 5L -> 2L, 11L -> 1L, 16L -> 0L,
+      20L -> 1L, 31L -> 1L, 41L -> 0L),
+      s"adjacent end+1/start must merge to a net-zero delta row, got $got")
+  }
+
   test("fuzzyPairs: blocked edit-distance pairs over distinct names") {
     val df = Seq("red widget", "blue widget", "red widget", "red bolt")
       .toDF("nm")
