@@ -122,6 +122,7 @@ object SparkEntry {
     "q92_triangles" -> (C.triangleQuery _),
     "q93_label_prop" -> (C.lpaQuery _),
     "q94_concurrency" -> (C.sessionConcurrency _),
+    "q95_fk_orphans" -> (C.fkOrphans _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -621,6 +622,12 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, l.l_returnflag,
         | round((CAST(l_quantity AS DOUBLE) - mu) / sd, 4) AS z_qty
         |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // FK audit vs a halved parent: orphans are exactly the odd-key
+    // child rows — stated directly, independent of the anti-join.
+    "q95_fk_orphans" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 2 <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Snapshot diff: the oracle derives the change classes straight
     // from the key arithmetic — delete (%41), update (%37 surviving),

@@ -571,6 +571,18 @@ object CoreQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // Referential-integrity audit: lineitem orderkeys checked against a
+  // HALVED orders side (even keys only), so exactly the odd-key rows
+  // come back as orphans — the oracle states that key arithmetic
+  // directly, independent of the anti-join formulation.
+  def fkOrphans(s: SparkSession, dir: String): DataFrame =
+    Quality.fkViolations(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0),
+        Seq("l_orderkey"), Seq("o_orderkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // Concurrency timeline over the q54 sessions: +1/-1 boundary sweep,
   // global running count via the two-level prefix sum (no
   // single-partition window) — peak-load analytics composed from the

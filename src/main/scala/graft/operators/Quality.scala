@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators — the validation layer a pipeline runs
+  * BEFORE trusting a snapshot: key-uniqueness and referential-integrity
+  * checks as plain distributed queries (violations come back as rows,
+  * not booleans, so the caller can quarantine them), and zero-extra-pass
+  * metric observation riding an existing action.
+  */
+object Quality {
+
+  /** Rows whose `keys` occur more than once: (keys..., n_rows). Empty
+    * result = the uniqueness constraint holds. One keyed aggregate —
+    * the violating key set is usually tiny, the scan is the cost. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"keys $keys must exist in ${df.columns.toSeq}")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+  }
+
+  /** Referential-integrity violations: child rows whose `childKeys`
+    * have no match in `parent`'s `parentKeys` (null child keys are NOT
+    * violations — SQL FK semantics). Returns the orphan child rows.
+    * A broadcast-able parent side makes this a map-side anti-join; a
+    * big parent is a plain shuffled anti-join — either way no
+    * pair-wise work. */
+  def fkViolations(child: DataFrame, parent: DataFrame,
+      childKeys: Seq[String], parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      "childKeys and parentKeys must be non-empty and same length")
+    val p = parent.select(parentKeys.zip(childKeys)
+      .map { case (pc, cc) => col(pc).as(s"__p_$cc") }: _*).distinct()
+    val cond = childKeys.map(c => col(c) === col(s"__p_$c")).reduce(_ && _)
+    child
+      .filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      .join(p, cond, "left_anti")
+  }
+
+  /** Attach an [[Observation]] computing row count plus per-column
+    * null counts to `df` — metrics ride whatever action the caller
+    * runs next (NO extra scan, unlike a separate validation query).
+    * Read them after the action: `obs.get("n_rows")` etc. */
+  def observed(df: DataFrame, nullCols: Seq[String],
+      name: String = "graft_quality"): (DataFrame, Observation) = {
+    require(nullCols.forall(df.columns.contains),
+      s"columns $nullCols must exist")
+    val obs = Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"n_null_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}

@@ -70,6 +70,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("Quality: duplicate keys surface with counts; null FKs are not orphans; observe rides the action") {
+    import graft.operators.Quality
+    val dups = Quality.duplicateKeys(
+        Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"), Seq("k"))
+      .as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)))
+    val child = Seq((Some(1L), "x"), (Some(9L), "orphan"), (None, "null-fk"))
+      .toDF("fk", "v")
+    val parent = Seq(1L, 2L).toDF("id")
+    val orphans = Quality.fkViolations(child, parent, Seq("fk"), Seq("id"))
+      .select("v").as[String].collect().toSeq
+    assert(orphans == Seq("orphan"), "null FK must not count as a violation")
+    val (obsDf, obs) = Quality.observed(child, Seq("fk"))
+    assert(obsDf.count() == 3)
+    assert(obs.get("n_rows") == 3L && obs.get("n_null_fk") == 1L)
+  }
+
   test("repetitionStats: top-token and duplicated-3-gram fractions on hand cases") {
     val docs = Seq(
       (1L, "a a a b"),  // top 3/4; grams {a a a, a a b} distinct -> 0
