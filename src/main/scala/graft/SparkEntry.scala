@@ -123,6 +123,8 @@ object SparkEntry {
     "q93_label_prop" -> (C.lpaQuery _),
     "q94_concurrency" -> (C.sessionConcurrency _),
     "q95_fk_orphans" -> (C.fkOrphans _),
+    "q96_funnel" -> (C.funnelViewClick _),
+    "q97_canonical_keep" -> (P.canonicalKeep _),
     "q87_change_intervals" -> (C.eventIntervals _),
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
@@ -623,6 +625,50 @@ object SparkEntry {
         | round((CAST(l_quantity AS DOUBLE) - mu) / sd, 4) AS z_qty
         |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // View->click funnel: first view, first click at-or-after it.
+    "q96_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |tv AS (SELECT user_id, min(us) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(us) AS t_click
+        |       FROM e JOIN tv USING (user_id)
+        |       WHERE event_type = 'click' AND us >= t_view
+        |       GROUP BY e.user_id)
+        |SELECT tv.user_id, t_view, t_click
+        |FROM tv LEFT JOIN tc USING (user_id) ORDER BY user_id""".stripMargin,
+    // Quality-canonical keeper per near-dup component: q49's recursive
+    // components + q60's quality formula, argmax (quality, id) per
+    // group.
+    "q97_canonical_keep" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS group_id
+        |         FROM reach GROUP BY src),
+        |tq AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        | round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+        |  + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
+        |  4) AS quality
+        | FROM tq)
+        |SELECT group_id, doc_id AS keep_id, quality FROM (
+        | SELECT c.group_id, c.doc_id, q.quality,
+        |  row_number() OVER (PARTITION BY c.group_id
+        |    ORDER BY q.quality DESC, c.doc_id) AS rn
+        | FROM comp c JOIN q USING (doc_id)) t
+        |WHERE rn = 1 ORDER BY group_id""".stripMargin),
     // FK audit vs a halved parent: orphans are exactly the odd-key
     // child rows — stated directly, independent of the anti-join.
     "q95_fk_orphans" ->

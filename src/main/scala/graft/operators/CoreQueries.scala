@@ -571,6 +571,25 @@ object CoreQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // Two-step funnel (view -> click): per user, the first view and the
+  // first click AT OR AFTER it — order-dependent conversion, the shape
+  // product analytics runs constantly. Two keyed min-aggregates + one
+  // join; no window, no per-user sort.
+  def funnelViewClick(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val tv = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val tc = e.filter(col("event_type") === "click")
+      .join(tv, Seq("user_id"))
+      .filter(col("us") >= col("t_view"))
+      .groupBy("user_id").agg(min("us").as("t_click"))
+    tv.join(tc, Seq("user_id"), "left")
+      .select("user_id", "t_view", "t_click")
+      .orderBy("user_id")
+  }
+
   // Referential-integrity audit: lineitem orderkeys checked against a
   // HALVED orders side (even keys only), so exactly the odd-key rows
   // come back as orphans — the oracle states that key arithmetic

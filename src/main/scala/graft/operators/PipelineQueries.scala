@@ -402,6 +402,26 @@ object PipelineQueries {
     Dedup.winnowedDupPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  // Quality-canonical representative per near-dup group: instead of
+  // q49/q55's keep-min-id rule, keep each component's HIGHEST-quality
+  // member (ties by id) — the curation best practice (the kept
+  // duplicate should be the best copy, not the oldest). Rides the
+  // shared components stage; quality scores are pre-rounded 4 dp so
+  // the argmax is engine-exact.
+  def canonicalKeep(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("quality").desc, col("keep_id"))
+    dupComponents(s, dir)
+      .select(col("node").as("keep_id"), col("comp").as("group_id"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("keep_id"),
+          T.qualityScore(col("text")).as("quality")), Seq("keep_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("group_id", "keep_id", "quality")
+      .orderBy("group_id")
+  }
+
   // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
   def vocabTop(s: SparkSession, dir: String): DataFrame =
     TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)
