@@ -676,11 +676,14 @@ object CoreQueries {
     val pp = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // no .distinct() here: triangleCounts canonicalizes and dedups the
+    // edge set itself — a pre-dedup would shuffle the densest
+    // intermediate twice
     val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
         Seq("l_orderkey"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
     GraphOps.triangleCounts(co).orderBy("node")
   }
 

@@ -32,6 +32,10 @@ object Quality {
       childKeys: Seq[String], parentKeys: Seq[String]): DataFrame = {
     require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
       "childKeys and parentKeys must be non-empty and same length")
+    require(childKeys.forall(child.columns.contains) &&
+      parentKeys.forall(parent.columns.contains),
+      s"keys must exist: $childKeys in ${child.columns.toSeq}, " +
+        s"$parentKeys in ${parent.columns.toSeq}")
     val p = parent.select(parentKeys.zip(childKeys)
       .map { case (pc, cc) => col(pc).as(s"__p_$cc") }: _*).distinct()
     val cond = childKeys.map(c => col(c) === col(s"__p_$c")).reduce(_ && _)

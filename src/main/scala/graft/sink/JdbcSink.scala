@@ -20,20 +20,20 @@ object JdbcSink {
 
   /** Write `df` into `table`. `mode` is Spark's SaveMode name
     * ("append" into an existing table — the safe default against a
-    * production schema — or "overwrite" to let Spark re-create it). */
+    * production schema — or "overwrite" to let Spark re-create it).
+    * The connection cap is the writer's own `numPartitions` option —
+    * Spark coalesces wider frames down to it before opening
+    * connections. */
   def write(df: DataFrame, cfg: JdbcConfig, table: String,
       mode: String = "append", batchSize: Int = 1000): Unit = {
     require(batchSize > 0, "batchSize must be positive")
-    val capped =
-      if (df.rdd.getNumPartitions > cfg.numPartitions)
-        df.coalesce(cfg.numPartitions)
-      else df
-    capped.write.format("jdbc")
+    df.write.format("jdbc")
       .option("url", cfg.url)
       .option("dbtable", table)
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("batchsize", batchSize)
+      .option("numPartitions", cfg.numPartitions)
       .mode(mode)
       .save()
   }
