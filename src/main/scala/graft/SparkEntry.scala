@@ -542,9 +542,9 @@ object SparkEntry {
     "q83_mixture_rates" ->
       """WITH tok AS (
         | SELECT source AS domain,
-        |  sum(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |  CAST(sum(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT))
-        |   AS n_tokens
+        |   AS BIGINT) AS n_tokens
         | FROM documents GROUP BY 1),
         |tt AS (
         | SELECT domain,
@@ -863,6 +863,19 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Sketch internals are engine-specific, so q52 emits deterministic
+    // facts instead of raw sketch values: the exact statistics plus
+    // booleans proving each sketch landed inside its published error
+    // bound (GK rank error ≤ n/10000 bracketed by exact percentiles at
+    // p±0.001; HLL++ rsd 0.05 within a 3σ 15 % band). The oracle
+    // states the exact values and `true` directly — fully hash-gated.
+    "q52_quantiles_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | true AS median_in_bound, true AS p90_in_bound,
+        | true AS ndv_in_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Connected components over the exact J >= 0.7 pair set via a
     // recursive CTE: component id = min reachable doc id.

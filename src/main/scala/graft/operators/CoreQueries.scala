@@ -419,17 +419,38 @@ object CoreQueries {
   // the 100 TB statistics plan for q50's semantics: approx_percentile
   // (Greenwald-Khanna, bounded-memory aggregation buffer — the exact
   // `percentile` buffers every group value) and HyperLogLog++ distinct
-  // counts. Sketch internals differ across engines, so this is a
-  // rows+schema gate (no hash oracle); QuantileSpec asserts the values
-  // against the exact q50 within the sketches' error bounds.
+  // counts. Sketch INTERNALS differ across engines, so the sketch
+  // values themselves can't be hash-oracled — instead the query emits
+  // deterministic facts: the exact statistics plus `*_in_bound`
+  // booleans PROVING each sketch landed inside its published error
+  // bound, so the oracle states the exact values and `true` directly
+  // and the row is fully hash-gated. The brackets are deterministic,
+  // not empirical: GK with accuracy 10000 guarantees rank error
+  // ≤ n/10000, and the exact interpolated percentiles at p ± 0.001
+  // bracket every value whose rank is within (n-1)/1000 ≥ n/10000 of
+  // target (n ≥ 2; monotone in rank). HLL++ at default rsd 0.05 gets
+  // a 3σ relative band of 15 %.
   def quantileStatsApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("n_parts"),
-        M.oracleRound(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
-          .as("median_qty"),
-        M.oracleRound(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
-          .as("p90_price"))
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        M.oracleRound(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        M.oracleRound(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        approx_count_distinct("l_partkey").as("__ndv_est"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("__mq_est"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__pp_est"),
+        expr("percentile(l_quantity, 0.499)").as("__mq_lo"),
+        expr("percentile(l_quantity, 0.501)").as("__mq_hi"),
+        expr("percentile(l_extendedprice, 0.899)").as("__pp_lo"),
+        expr("percentile(l_extendedprice, 0.901)").as("__pp_hi"))
+      .select(col("l_returnflag"), col("n_parts"),
+        col("median_qty"), col("p90_price"),
+        (col("__mq_est") >= col("__mq_lo") &&
+          col("__mq_est") <= col("__mq_hi")).as("median_in_bound"),
+        (col("__pp_est") >= col("__pp_lo") &&
+          col("__pp_est") <= col("__pp_hi")).as("p90_in_bound"),
+        (abs(col("__ndv_est").cast("double") / col("n_parts") - 1.0)
+          <= 0.15).as("ndv_in_bound"))
       .orderBy("l_returnflag")
 
   // The 100 TB EXACT-quantile plan for q50's semantics — the third leg

@@ -259,37 +259,67 @@ object Dedup {
     * fingerprints (df > maxDf docs) via a broadcast anti-join before
     * the pair join — the same hot-key cap as [[ngramJaccardPairsFromSets]]
     * (vacuous at gate scale: the testdata's hottest window spans 3
-    * docs, so the oracle need not model it). Contract: documents
-    * ≤ 2^23 chars (8 MiB of text; the position packs into the low 23
-    * bits and the 40-bit hash above it fills the long exactly —
-    * (2^40−1)·2^23 + 2^23−1 = 2^63−1). Chunk longer documents
-    * upstream. */
+    * docs, so the oracle need not model it). Documents of any length
+    * are accepted: the position packs into the low 23 bits of the
+    * encoded long ((2^40−1)·2^23 + 2^23−1 = 2^63−1), so docs longer
+    * than `maxChunkChars` (≤ 2^23 chars) are split into overlapping
+    * chunks inline — overlap `gram+window−2` chars, so every
+    * `gram+window−1`-char span (the winnowing guarantee unit) lies
+    * whole inside some chunk and NO cross-chunk run is lost; selected
+    * fingerprints dedupe on (doc, window text) across chunks. Docs
+    * within budget stay exactly one chunk (k = 0, substr = identity),
+    * so the common path is byte-identical to the unchunked plan. */
   def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
-      gram: Int = 50, window: Int = 10, maxDf: Int = 1000): DataFrame = {
+      gram: Int = 50, window: Int = 10, maxDf: Int = 1000,
+      maxChunkChars: Int = 8388608): DataFrame = {
     require(gram > 0 && window > 0)
-    // Window stage carries ONLY (id, i, enc) — 24 bytes/row, the
-    // 50-char window string is folded straight into the hash and never
-    // materialized for the full explode (measured ~2× on the whole
-    // operator at sf0.1); the ~2/window-density SELECTED positions
-    // recover their text with one substr against the doc-count-sized
-    // documents side.
-    val docs = df
+    require(maxChunkChars <= 8388608 && maxChunkChars >= gram + window,
+      "chunk must fit the 23-bit position field and hold a full window")
+    // chunk start stride: capacity minus the overlap that protects
+    // boundary-crossing runs
+    val step = (maxChunkChars - (gram + window - 2)).toLong
+    val docs0 = df
       .select(col(idCol).as("__id"), col(textCol).as("__txt"))
       .filter(length(col("__txt")) >= gram)
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val wins = materialized(docs
-      .select(col("__id"),
+    // kmax = ceil((len − capacity)/step) chunks past the first are
+    // needed so the last chunk reaches the end; len ≤ capacity ⇒ 0.
+    val kmax = greatest(lit(0L),
+      ceil((length(col("__txt")).cast("long") - maxChunkChars)
+        .cast("double") / step).cast("long"))
+    val docs = docs0
+      .select(col("__id"), explode(sequence(lit(0L), kmax)).as("__c"),
+        col("__txt"))
+      .select(col("__id"), col("__c"),
+        substr(col("__txt"), (col("__c") * step + 1L).cast("int"),
+          lit(maxChunkChars)).as("__txt"))
+      .filter(length(col("__txt")) >= gram)
+    // Window stage carries ONLY (id, chunk, i, enc) — the 50-char
+    // window string is folded straight into the hash and never
+    // materialized for the full explode (measured ~2× on the whole
+    // operator at sf0.1); the ~2/window-density SELECTED positions
+    // recover their text with one substr against the doc-count-sized
+    // documents side. NOT materialized: this O(total-chars) stage has
+    // exactly ONE consumer (the rolling-min window below), whose
+    // partitionBy shuffle already writes the stage once — a
+    // localCheckpoint here double-writes the suite's largest
+    // intermediate for nothing (measured: q85 14.0 s with it, see
+    // BENCH notes r6).
+    val wins = docs
+      .select(col("__id"), col("__c"),
         explode(sequence(lit(1), length(col("__txt")) - (gram - 1))).as("i"),
         col("__txt"))
-      .select(col("__id"), col("i"),
+      .select(col("__id"), col("__c"), col("i"),
         (TextFunctions.md5Int(substr(col("__txt"), col("i"), lit(gram)), 10)
-          * lit(8388608L) + col("i")).as("enc")))
+          * lit(8388608L) + col("i")).as("enc"))
     val sel = wins
       .withColumn("__m", min(col("enc")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__id")
+        org.apache.spark.sql.expressions.Window.partitionBy("__id", "__c")
           .orderBy("i").rowsBetween(0, window - 1)))
-      .select(col("__id").as("__sid"), col("__m")).distinct()
-    val fp = docs.join(sel, col("__id") === col("__sid"))
+      .select(col("__id").as("__sid"), col("__c").as("__sc"), col("__m"))
+      .distinct()
+    val fp = docs.join(sel,
+        col("__id") === col("__sid") && col("__c") === col("__sc"))
       .select(col("__id"),
         substr(col("__txt"), pmod(col("__m"), lit(8388608L)).cast("int"),
           lit(gram)).as("win"))

@@ -18,21 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Resample each key's events onto a `stepUs`-spaced grid with
-    * forward fill (last observation carried forward): grid points are
-    * the multiples of `stepUs` inside each key's [min, max] time span,
-    * and each point carries the latest right row at or before it as
-    * the struct column `stateCol`. Times are integral epoch
-    * microseconds ([[RangeJoin]]'s contract). Grid alignment to
-    * absolute epoch multiples (not each key's own min) keeps grids
-    * comparable across keys — every key's 06:00 bucket is the same
-    * instant.
-    *
-    * By construction every grid point has at least one event at or
-    * before it (the grid starts at ⌈min/step⌉·step), so `stateCol`
-    * is never null. The events side must be unique per (keys, time) —
-    * [[AsofJoin.asofBackward]]'s determinism contract; dedupe upstream.
-    */
   /** Interval concurrency sweep: how many intervals are active at each
     * instant the count changes — the classic +1/−1 boundary sweep
     * (peak concurrent sessions, active connections, load timeline).
@@ -69,6 +54,21 @@ object TimeSeries {
       .select(col("us"), col("n_active"))
   }
 
+  /** Resample each key's events onto a `stepUs`-spaced grid with
+    * forward fill (last observation carried forward): grid points are
+    * the multiples of `stepUs` inside each key's [min, max] time span,
+    * and each point carries the latest right row at or before it as
+    * the struct column `stateCol`. Times are integral epoch
+    * microseconds ([[RangeJoin]]'s contract). Grid alignment to
+    * absolute epoch multiples (not each key's own min) keeps grids
+    * comparable across keys — every key's 06:00 bucket is the same
+    * instant.
+    *
+    * By construction every grid point has at least one event at or
+    * before it (the grid starts at ⌈min/step⌉·step), so `stateCol`
+    * is never null. The events side must be unique per (keys, time) —
+    * [[AsofJoin.asofBackward]]'s determinism contract; dedupe upstream.
+    */
   def resampleForwardFill(events: DataFrame, keys: Seq[String],
       timeCol: String, stepUs: Long,
       stateCol: String = "state"): DataFrame = {

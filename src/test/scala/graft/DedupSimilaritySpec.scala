@@ -234,6 +234,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"must catch exactly the planted shared-substring pair, got $pairs")
   }
 
+  test("winnowedDupPairs: chunking preserves the guarantee across chunk boundaries") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(31)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(59) // the gram+window-1 guarantee unit
+    // "oversize" docs relative to a 1000-char chunk budget: doc 1 is
+    // 5000 chars with the shared run planted ON a chunk boundary
+    // (chunk stride = 1000-58 = 942; boundary at 1884 — the run spans
+    // [1860, 1919), crossing it), doc 2 carries the run mid-doc, doc 3
+    // is oversize noise. The overlap contract says no cross-chunk run
+    // is lost.
+    val doc1 = rand(1860) + shared + rand(5000 - 1860 - 59)
+    val docs = Seq(
+      (1L, doc1),
+      (2L, rand(500) + shared + rand(3000)),
+      (3L, rand(4000)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedDupPairs(docs, "doc_id", "text",
+        maxChunkChars = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"chunked run must catch exactly the planted pair, got $pairs")
+    // single-chunk path (budget >= doc length) is byte-identical to the
+    // unchunked plan's answer
+    val one = Dedup.winnowedDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(one == Set((1L, 2L)))
+  }
+
   test("semanticNearDupPairs: finds in-cluster near-dups via cell blocking; subset of the exact join") {
     val rng = new scala.util.Random(17)
     // 8 well-separated clusters of 6 near-identical vectors — with

@@ -3,30 +3,29 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CoreQueries => C}
 
-/** q52 (approx statistics — the 100 TB plan for q50's semantics) vs the
-  * exact q50: HyperLogLog++ distinct counts within the sketch's rsd,
-  * Greenwald-Khanna percentiles within a tight value tolerance (at
-  * accuracy=10000 and test-sized groups the rank error is ≤ 1 rank). */
+/** q52 (approx statistics — the 100 TB plan for q50's semantics) emits
+  * deterministic facts: the exact statistics plus booleans proving each
+  * sketch (HLL++ distinct count, Greenwald-Khanna percentiles at
+  * accuracy 10000) landed inside its published error bound. The spec
+  * pins both halves: exact columns equal q50's, and every `*_in_bound`
+  * flag is true. */
 class QuantileSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx quantiles/distinct track the exact statistics within sketch bounds") {
-    def toMap(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = toMap(C.quantileStats(spark, dir))
-    val approx = toMap(C.quantileStatsApprox(spark, dir))
-    assert(approx.keySet == exact.keySet)
-    for (flag <- exact.keys) {
-      val (en, emed, ep90) = exact(flag)
-      val (an, amed, ap90) = approx(flag)
-      assert(math.abs(an - en).toDouble / en <= 0.10,
-        s"$flag: HLL++ distinct $an vs exact $en")
-      assert(math.abs(amed - emed) / emed <= 0.01,
-        s"$flag: approx median $amed vs exact $emed")
-      assert(math.abs(ap90 - ep90) / ep90 <= 0.01,
-        s"$flag: approx p90 $ap90 vs exact $ep90")
+  test("q52 emits exact stats plus all-true sketch-bound proofs") {
+    val exact = C.quantileStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val rows = C.quantileStatsApprox(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      val flag = r.getString(0)
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == exact(flag),
+        s"$flag: exact columns diverge from q50")
+      for ((name, idx) <- Seq("median_in_bound" -> 4, "p90_in_bound" -> 5,
+          "ndv_in_bound" -> 6))
+        assert(r.getBoolean(idx), s"$flag: $name is false — sketch outside bound")
     }
   }
 }

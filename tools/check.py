@@ -21,6 +21,17 @@ def norm(v):
         return round(v, 9)
     return v
 
+def family(dtype):
+    """Collapse dtypes to families so int32 vs int64 (benign width) passes
+    but int vs float FAILS — the DuckDB sum(BIGINT)->HUGEINT->float64
+    class that shipped red in r4 (q70) and r5 (q83) while the value
+    compare stayed green (5 == 5.0 in Python)."""
+    s = str(dtype)
+    if "int" in s: return "int"
+    if "float" in s or "double" in s: return "float"
+    if "bool" in s: return "bool"
+    return s
+
 fails = []
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
@@ -39,6 +50,12 @@ for name in sorted(os.listdir(outdir)):
     if list(got.columns) != list(exp.columns):
         ok = False
         print(f"{name:28s} SCHEMA MISMATCH spark={list(got.columns)} oracle={list(exp.columns)}")
+    elif [family(t) for t in got.dtypes] != [family(t) for t in exp.dtypes]:
+        ok = False
+        bad = [(c, str(a), str(b)) for c, a, b in
+               zip(got.columns, got.dtypes, exp.dtypes)
+               if family(a) != family(b)]
+        print(f"{name:28s} TYPE MISMATCH (col, spark, oracle): {bad}")
     elif len(got) != len(exp):
         ok = False
         print(f"{name:28s} ROWCOUNT spark={len(got)} oracle={len(exp)}")
