@@ -16,10 +16,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // dev loop: SPARK_GRAFT_ONLY=q56_tfidf_top,q85_substring_dups times
+    // the named queries in isolation (drift attribution — the driver
+    // always runs the full map)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = GraftSession.local("graft-bench")
 
     if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
@@ -27,7 +33,7 @@ object Bench {
     // sorted order: Map iteration order shifts when queries are added,
     // which re-attributes lingering cleanup (GC, broadcast/RDD release)
     // to a different successor query between rounds
-    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val times = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -69,6 +69,20 @@ object PipelineQueries {
     embStage.getOrElseUpdate((s, dir),
       Similarity.normalizeCorpus(Tables.embeddings(s, dir), "vec_id", "embedding"))
 
+  /** Shared lowercased token stream per (session, sf dir) — ONE
+    * tokenize+explode pass (localCheckpointed) feeding the corpus-text
+    * family q56/q57/q62/q77 instead of four independent ones (same
+    * immutable-dir memo contract as [[stages]]; r5 flagged the family's
+    * repeated explode as the suspected q56 bench drift — the isolated
+    * timing cleared the query, but the shared stage removes the
+    * repeated work regardless). */
+  private val tokStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lowerToks(s: SparkSession, dir: String): DataFrame =
+    tokStage.getOrElseUpdate((s, dir),
+      TextCorpus.lowerToks(Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint())
+
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
     * embeddings plus, for each `vec_id < 40`, a copy at `vec_id +
     * 100000` whose components are scaled by `(1 + s·eps)` with
@@ -224,14 +238,15 @@ object PipelineQueries {
   // corpus-level TF-IDF: top-5 terms per document (smoothed idf,
   // deterministic rounded-score ranking — exactly DuckDB-oracled)
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+    TextCorpus.tfidfFromToks(Tables.documents(s, dir), lowerToks(s, dir),
+        "doc_id", k = 5)
       .orderBy("doc_id", "rnk")
 
   // BM25 retrieval ranking against a fixed term query (top-20 docs) —
   // the rounded-score ranking makes it exactly DuckDB-oracled
   def bm25(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
-        queryTerms = Seq("join", "hash", "scan", "filter"), k = 20)
+    TextCorpus.bm25FromToks(Tables.documents(s, dir), lowerToks(s, dir),
+        "doc_id", queryTerms = Seq("join", "hash", "scan", "filter"), k = 20)
       .orderBy("rnk")
 
   // multimodal metadata extraction: text bytes stand in for an opaque
@@ -366,7 +381,8 @@ object PipelineQueries {
   // CCNet-style fluency proxy: per-doc mean unigram log10-probability
   // under the corpus's own unigram model (null for empty docs)
   def fluency(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.fluencyScore(Tables.documents(s, dir), "doc_id", "text")
+    TextCorpus.fluencyFromToks(Tables.documents(s, dir), lowerToks(s, dir),
+        "doc_id")
       .orderBy("doc_id")
 
   // quality-proportional deterministic downsample: keep doc with
@@ -424,7 +440,7 @@ object PipelineQueries {
 
   // corpus vocabulary head: top-100 tokens by frequency (Zipf table)
   def vocabTop(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.vocabTopTerms(Tables.documents(s, dir), "text", k = 100)
+    TextCorpus.vocabTopFromToks(lowerToks(s, dir), k = 100)
       .orderBy("rnk")
 
   // deterministic 20% stratified sample per language — exact per-

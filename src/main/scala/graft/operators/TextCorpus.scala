@@ -26,9 +26,15 @@ object TextCorpus {
     * vocabulary-sized on one node.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    tfidfFromToks(df, lowerToks(df, idCol, textCol), idCol, k)
+
+  /** [[tfidfTopTerms]] over a pre-built `(idCol, term)` token stream —
+    * the shared-stage entry: the tfidf/bm25/vocab/fluency family reads
+    * ONE tokenize+explode pass (localCheckpointed by the caller, the
+    * MinHash-family pattern) instead of four. */
+  def tfidfFromToks(df: DataFrame, toks: DataFrame, idCol: String,
       k: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -60,9 +66,14 @@ object TextCorpus {
     */
   def bm25Rank(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25FromToks(df, lowerToks(df, idCol, textCol), idCol, queryTerms, k, k1, b)
+
+  /** [[bm25Rank]] over a pre-built `(idCol, term)` token stream (see
+    * [[tfidfFromToks]]). */
+  def bm25FromToks(df: DataFrame, toks: DataFrame, idCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -143,12 +154,15 @@ object TextCorpus {
     * never broadcast blindly: at corpus scale the vocabulary is big;
     * AQE may still broadcast it from runtime stats), corpus size as a
     * broadcast 1-row aggregate, one doc-keyed mean. */
-  def fluencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def fluencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // materialized: the frequency table, the corpus total, and the
     // per-doc join all read this explode — one tokenize pass, not three
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-      .localCheckpoint()
+    fluencyFromToks(df, lowerToks(df, idCol, textCol).localCheckpoint(), idCol)
+
+  /** [[fluencyScore]] over a pre-built `(idCol, term)` token stream.
+    * The stream is read from three plan positions — pass a materialized
+    * (localCheckpointed) stage or the tokenize re-runs per consumer. */
+  def fluencyFromToks(df: DataFrame, toks: DataFrame, idCol: String): DataFrame = {
     val freq = toks.groupBy("term").agg(count(lit(1)).as("__c"))
     val n = toks.agg(count(lit(1)).cast("double").as("__n"))
     val perDoc = toks.join(freq, Seq("term"))
@@ -167,12 +181,22 @@ object TextCorpus {
     * shuffle on term), then TakeOrdered top-k; the rank window runs on
     * the k survivors only. Vocabulary never sits on one node.
     */
-  def vocabTopTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val counts = df
-      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
+  def vocabTopTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabTopFromToks(
+      df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term")), k)
+
+  /** [[vocabTopTerms]] over a pre-built token stream (any extra
+    * columns beside `term` are ignored). */
+  def vocabTopFromToks(toks: DataFrame, k: Int): DataFrame = {
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
     counts.orderBy(col("n").desc, col("term")).limit(k)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("int"))
   }
+
+  /** The family's canonical token stream: lowercased whitespace/BPE-ish
+    * tokens, one row per (doc, token occurrence). */
+  def lowerToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
 }
