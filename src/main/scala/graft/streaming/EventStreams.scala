@@ -136,6 +136,141 @@ object EventStreams {
         col("left_id"), col("right_id"), col("lts"), col("rts"))
   }
 
+  final case class TypedEvent(event_id: Long, user_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+  final case class BufEvent(t: Long, id: Long, typ: String, emitted: Boolean)
+  final case class DistinctBuf(events: Seq[BufEvent])
+  final case class WindowedDistinct(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, n_types: Int)
+
+  /** Streaming twin of the batch windowed-DISTINCT count (q89): for
+    * every event, the number of distinct event types this user emitted
+    * in the trailing `windowMs` (inclusive both ends — the batch RANGE
+    * frame's `[t−W, t]`). A row is emitted only once the watermark
+    * STRICTLY passes its event time — from then on no admissible event
+    * (t ≥ wm, the conservative reading of the late filter) can land
+    * inside its window, so the count is final and batch-equal
+    * regardless of batch boundaries or in-watermark disorder.
+    *
+    * State per user: the events inside the `windowMs + watermark`
+    * horizon (emitted rows stay as window MEMBERS until they age past
+    * `wm − windowMs`) — bounded regardless of stream length. */
+  def windowedDistinctStream(events: Dataset[TypedEvent], windowMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[WindowedDistinct] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DistinctBuf, WindowedDistinct](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[DistinctBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+            it.map(e => BufEvent(e.ts.getTime, e.event_id, e.event_type,
+              emitted = false))
+          val out = buf.filter(e => !e.emitted && e.t < wm)
+            .sortBy(e => (e.t, e.id))
+            .map { e =>
+              val n = buf.iterator
+                .filter(o => o.t >= e.t - windowMs && o.t <= e.t)
+                .map(_.typ).toSet.size
+              WindowedDistinct(e.id, uid, new java.sql.Timestamp(e.t), n)
+            }
+          val emittedIds = out.map(_.event_id).toSet
+          buf = buf
+            .map(e => if (emittedIds(e.id)) e.copy(emitted = true) else e)
+            // members age out once no pending/future event (t ≥ wm)
+            // can reach back to them; pending rows are always kept
+            .filter(e => !e.emitted || e.t >= wm - windowMs)
+          if (buf.isEmpty) state.remove()
+          else {
+            state.update(DistinctBuf(buf))
+            val pending = buf.filter(!_.emitted)
+            // wake when the oldest pending row can finalize; with no
+            // pending rows, wake when the last member ages out
+            val target =
+              if (pending.nonEmpty) pending.map(_.t).min
+              else buf.map(_.t).max + windowMs
+            state.setTimeoutTimestamp(math.max(target, wm) + 1)
+          }
+          out.iterator
+      }
+  }
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class FunnelState(minView: Long, hasView: Boolean,
+      clicks: Seq[Long], emitted: Boolean)
+  final case class Conversion(user_id: Long, t_view: java.sql.Timestamp,
+      t_click: java.sql.Timestamp)
+
+  /** Streaming twin of the batch two-step funnel (q96): per user, the
+    * first `viewType` event and the first `clickType` event at or
+    * after it. A conversion row is emitted (append, once per user)
+    * when the watermark strictly passes BOTH times — before that a
+    * late-but-admissible earlier view could lower `t_view` and widen
+    * the eligible-click set, so neither time is final.
+    *
+    * Boundary vs the batch gate: the batch query also reports
+    * viewed-but-never-converted users (null `t_click`); a stream can
+    * only prove "never" at end-of-stream, so this twin emits
+    * conversions only — the deliberate streaming surface.
+    *
+    * State per user before conversion: first-view candidate + the
+    * click times still able to become the first eligible click (at or
+    * after the current first view, or inside the watermark where a
+    * future view could still precede them) — bounded by the watermark
+    * horizon. After conversion: a 3-field tombstone (O(converted
+    * users), the batch output's own cardinality). */
+  def funnelStream(events: Dataset[FunnelEvent],
+      viewType: String = "view", clickType: String = "click",
+      watermarkDelay: String = "0 seconds"): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(e => e.event_type == viewType || e.event_type == clickType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse(FunnelState(Long.MaxValue, hasView = false,
+              Seq.empty, emitted = false))
+          if (st.emitted) Iterator.empty
+          else {
+            val evs = it.toSeq
+            val minView = (evs.filter(_.event_type == viewType)
+              .map(_.ts.getTime) ++ (if (st.hasView) Seq(st.minView) else Nil))
+              .minOption
+            // a click stays live while it could yet be the first
+            // eligible one: at/after the current first view, or not yet
+            // below the watermark (an admissible future view at t ≥ wm
+            // could still precede it)
+            val clicks = (st.clicks ++ evs.filter(_.event_type == clickType)
+              .map(_.ts.getTime))
+              .filter(c => minView.exists(c >= _) || c >= wm)
+            val tClick = minView.flatMap(v => clicks.filter(_ >= v).minOption)
+            if (minView.exists(_ < wm) && tClick.exists(_ < wm)) {
+              state.update(FunnelState(minView.get, hasView = true,
+                Seq.empty, emitted = true))
+              Iterator.single(Conversion(uid,
+                new java.sql.Timestamp(minView.get),
+                new java.sql.Timestamp(tClick.get)))
+            } else {
+              state.update(FunnelState(minView.getOrElse(Long.MaxValue),
+                minView.isDefined, clicks, emitted = false))
+              // wake once the candidate pair can finalize
+              tClick.foreach(t =>
+                state.setTimeoutTimestamp(math.max(t, wm) + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Per-user running totals via `mapGroupsWithState` — the custom-
     * state escape hatch for semantics windowed aggs can't express.
     * State is one `UserStat` per user, hash-partitioned by key. */

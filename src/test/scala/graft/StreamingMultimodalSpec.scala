@@ -358,6 +358,159 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct finalizes exact trailing-window type counts") {
+    import graft.streaming.EventStreams.{TypedEvent, WindowedDistinct}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = EventStreams.windowedDistinctStream(input.toDS(),
+        windowMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("windistinct")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TypedEvent(1L, 1L, "view", ts(0)),
+        TypedEvent(2L, 1L, "click", ts(10)),
+        TypedEvent(3L, 1L, "view", ts(50)))   // [10:20,10:50] sees only itself
+      q.processAllAvailable()
+      // sentinel advances the watermark; second batch fires the timeout
+      input.addData(TypedEvent(90L, 9L, "view", Timestamp.valueOf("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData(TypedEvent(91L, 9L, "view", Timestamp.valueOf("2024-01-01 20:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("windistinct").as[WindowedDistinct].collect()
+        .filter(_.user_id == 1L).map(e => e.event_id -> e.n_types).toMap
+      assert(got == Map(1L -> 1, 2L -> 2, 3L -> 1),
+        s"trailing 30m distinct-type counts must match the batch frame, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming windowed distinct equals the batch RANGE frame on random batched, disordered streams") {
+    import graft.streaming.EventStreams.{TypedEvent, WindowedDistinct}
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(37)
+    val winMs = 30L * 60 * 1000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Array("view", "click", "purchase")
+    val events = (1 to 40).map(i => TypedEvent(i.toLong, 1L + rng.nextInt(3),
+      types(rng.nextInt(3)), new Timestamp(base + rng.nextInt(3 * 60) * 60000L)))
+    // the batch q89 semantics: distinct types over same-user events
+    // with t' in [t − W, t]
+    def reference(evs: Seq[TypedEvent]): Map[Long, Int] =
+      evs.map { e =>
+        e.event_id -> evs.filter(o => o.user_id == e.user_id &&
+          o.ts.getTime >= e.ts.getTime - winMs &&
+          o.ts.getTime <= e.ts.getTime).map(_.event_type).distinct.size
+      }.toMap
+    val input = MemoryStream[TypedEvent]
+    val q = EventStreams.windowedDistinctStream(input.toDS(), winMs,
+        watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("windistinctprop")
+      .outputMode("append").start()
+    try {
+      var rest = rng.shuffle(events)
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rng.nextInt(10))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        rest = tail
+      }
+      input.addData(TypedEvent(900L, 9L, "view", new Timestamp(base + 1000L * 3600000)))
+      q.processAllAvailable()
+      input.addData(TypedEvent(901L, 9L, "view", new Timestamp(base + 1001L * 3600000)))
+      q.processAllAvailable()
+      val got = spark.table("windistinctprop").as[WindowedDistinct].collect()
+        .filter(_.user_id != 9L).map(e => e.event_id -> e.n_types).toMap
+      assert(got == reference(events),
+        s"streaming counts diverge from the batch frame:\n got $got\n want ${reference(events)}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel emits first-view/first-eligible-click once both finalize; late earlier view rewrites the pair") {
+    import graft.streaming.EventStreams.{Conversion, FunnelEvent}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(input.toDS(),
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // user 1: click BEFORE the first view is ineligible; converts at 10:20
+      input.addData(
+        FunnelEvent(1L, "click", ts(5)),
+        FunnelEvent(1L, "view", ts(10)),
+        FunnelEvent(1L, "click", ts(20)),
+        // user 2: view then a LATER batch delivers an EARLIER view and a
+        // click between them
+        FunnelEvent(2L, "view", ts(30)),
+        // user 3: click only — never converts
+        FunnelEvent(3L, "click", ts(15)))
+      q.processAllAvailable()
+      // admissible late events under the 2h delay: user 2's true first
+      // view at 10:02 and a click at 10:07 (>= 10:02, < 10:30)
+      input.addData(
+        FunnelEvent(2L, "view", ts(2)),
+        FunnelEvent(2L, "click", ts(7)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").isEmpty,
+        "nothing may emit before the watermark passes the candidate pairs")
+      input.addData(FunnelEvent(9L, "view", Timestamp.valueOf("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(9L, "view", Timestamp.valueOf("2024-01-02 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[Conversion].collect()
+        .map(c => (c.user_id, c.t_view, c.t_click)).toSet
+      assert(got == Set(
+        (1L, ts(10), ts(20)),
+        (2L, ts(2), ts(7))),
+        s"conversions must use the final first view and first eligible click, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming funnel equals the batch first-touch pairs on random batched, disordered streams") {
+    import graft.streaming.EventStreams.{Conversion, FunnelEvent}
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (1 to 60).map { _ =>
+      FunnelEvent(1L + rng.nextInt(6),
+        if (rng.nextBoolean()) "view" else "click",
+        new Timestamp(base + rng.nextInt(4 * 60) * 60000L))
+    }
+    // batch q96 semantics restricted to converted users
+    def reference(evs: Seq[FunnelEvent]): Set[(Long, Long, Long)] =
+      evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+        val tv = es.filter(_.event_type == "view").map(_.ts.getTime)
+          .minOption
+        tv.flatMap { v =>
+          es.filter(e => e.event_type == "click" && e.ts.getTime >= v)
+            .map(_.ts.getTime).minOption.map(c => (uid, v, c))
+        }
+      }.toSet
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(input.toDS(),
+        watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("funnelprop")
+      .outputMode("append").start()
+    try {
+      var rest = rng.shuffle(events)
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rng.nextInt(12))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        rest = tail
+      }
+      input.addData(FunnelEvent(99L, "view", new Timestamp(base + 1000L * 3600000)))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99L, "view", new Timestamp(base + 1001L * 3600000)))
+      q.processAllAvailable()
+      val got = spark.table("funnelprop").as[Conversion].collect()
+        .filter(_.user_id != 99L)
+        .map(c => (c.user_id, c.t_view.getTime, c.t_click.getTime)).toSet
+      assert(got == reference(events),
+        s"streaming conversions diverge:\n got $got\n want ${reference(events)}")
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling slices exact byte ranges, metadata-only planning agrees") {
     val payload = Array.tabulate[Byte](2500)(i => (i % 120).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
