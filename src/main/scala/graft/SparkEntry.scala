@@ -129,6 +129,10 @@ object SparkEntry {
     "q84_percentile_trim" -> (C.percentileTrim _),
     "q35_rolling_fingerprint" -> (P.rollingFingerprint _),
     "q45_media_meta" -> (P.mediaMeta _),
+    "q98_bigram_pmi" -> (P.bigramPmiTop _),
+    "q99_chunk_plan" -> (P.chunkPlanDocs _),
+    "q100_incr_dedup" -> (P.incrementalDedup _),
+    "q101_fluency_buckets" -> (P.fluencyBuckets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1198,6 +1202,91 @@ object SparkEntry {
         |  ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) + 1
         | END AS bucket, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Bigram PMI collocations: the q56 tokenization, bigrams via the
+    // q85-style generate_series index, pmi = ln((c_ab/M)/((c1/N)(c2/N)))
+    // with the identical division order on both sides, ranked on the
+    // 4-dp ROUNDED score (ties by the pair).
+    "q98_bigram_pmi" ->
+      """WITH t AS (
+        | SELECT CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |toks AS (SELECT unnest(a) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |bg AS (
+        | SELECT a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM bg),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        | SELECT w1, w2, c_ab,
+        |  round(ln((c_ab / m.m) / ((u1.c / n.n) * (u2.c / n.n))), 4) AS pmi
+        | FROM cab JOIN uni u1 ON cab.w1 = u1.w JOIN uni u2 ON cab.w2 = u2.w, n, m)
+        |SELECT w1, w2, c_ab, pmi,
+        | CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rnk
+        |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+    // Context-window chunk plan: pure token-count arithmetic (stride =
+    // 32 − 8 = 24), so the oracle restates it with generate_series.
+    "q99_chunk_plan" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n,
+        |  unnest(generate_series(0,
+        |    CAST(greatest(0, ceil((n - 32) / 24.0)) AS BIGINT))) AS k
+        | FROM t WHERE n > 0)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        | CAST(k * 24 AS BIGINT) AS start_tok,
+        | CAST(least(32, n - k * 24) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Incremental dedup: the md5-derived quarter is the incoming batch,
+    // the rest the reference; the oracle reproduces split, fingerprints
+    // and the min-id batch-canonical rule directly.
+    "q100_incr_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
+        |   AS is_inc
+        | FROM documents),
+        |ref AS (SELECT DISTINCT fp FROM d WHERE NOT is_inc),
+        |inc AS (SELECT doc_id, fp FROM d WHERE is_inc),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM inc GROUP BY 1)
+        |SELECT i.doc_id, i.fp,
+        | CASE WHEN r.fp IS NOT NULL THEN 'dup_of_ref'
+        |      WHEN i.doc_id <> k.keep THEN 'dup_in_batch'
+        |      ELSE 'new' END AS status
+        |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+    // Fluency quartile buckets over the q77 scores: bounds 4-dp-pinned
+    // (quantile_cont ≡ percentile, the q50-proven pair; 0.25/0.75 are
+    // exact binary fractions so the rank positions match to the bit).
+    "q101_fluency_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |p AS (
+        | SELECT doc_id, round(avg(log10(CAST(c AS DOUBLE) / n.n)), 4) AS fluency
+        | FROM toks JOIN f USING (term), n GROUP BY doc_id),
+        |b AS (SELECT round(quantile_cont(fluency, 0.25), 4) AS b1,
+        |             round(quantile_cont(fluency, 0.75), 4) AS b2 FROM p)
+        |SELECT d.doc_id, p.fluency,
+        | CASE WHEN p.fluency IS NULL THEN 'empty'
+        |      WHEN p.fluency <= b.b1 THEN 'tail'
+        |      WHEN p.fluency <= b.b2 THEN 'middle'
+        |      ELSE 'head' END AS bucket
+        |FROM documents d LEFT JOIN p USING (doc_id), b
+        |ORDER BY d.doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -241,4 +241,35 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Context-window chunk plan: split each document's token stream into
+    * training chunks of `maxTokens` with `overlap` tokens carried
+    * between consecutive chunks (stride = maxTokens − overlap) — the
+    * sliding-window long-document treatment every context-bounded
+    * trainer applies before [[packSequences]]-style batching. Emits one
+    * row per chunk: `(id, chunk_id, start_tok, n_chunk_tokens)` —
+    * chunk k covers tokens `[k·stride, k·stride + n_chunk_tokens)`,
+    * the last chunk is the (possibly short) tail, and a document
+    * shorter than `maxTokens` is exactly one chunk. Empty documents
+    * produce no chunks.
+    *
+    * Scale shape: a per-row token count + sequence/explode — map-only,
+    * O(chunks) output rows, no shuffle; at 100 TB this is a free
+    * column on the scan feeding the actual slice step. */
+  def chunkPlan(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      "need maxTokens > overlap >= 0 for a positive stride")
+    val stride = (maxTokens - overlap).toLong
+    val n = TextFunctions.tokenCount(col(textCol)).cast("long")
+    // chunks past the first needed so the last chunk reaches the end
+    val kmax = greatest(lit(0L),
+      ceil((n - maxTokens).cast("double") / stride).cast("long"))
+    df.select(col(idCol), n.as("__n"), explode(sequence(lit(0L), kmax)).as("k"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("k").cast("int").as("chunk_id"),
+        (col("k") * stride).as("start_tok"),
+        least(lit(maxTokens.toLong), col("__n") - col("k") * stride)
+          .as("n_chunk_tokens"))
+  }
 }

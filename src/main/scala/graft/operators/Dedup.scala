@@ -333,6 +333,34 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental exact dedup: classify an incoming batch against an
+    * already-ingested reference corpus — the steady-state shape of a
+    * production pipeline, where each day's crawl dedups against the
+    * accumulated corpus rather than re-deduping everything. Status per
+    * incoming row: `dup_of_ref` (fingerprint already in the reference),
+    * `dup_in_batch` (first occurrence of this fingerprint inside the
+    * batch wins — min id), else `new`.
+    *
+    * Scale shape: two shuffles on the md5 fingerprint (reference
+    * distinct + batch min-id aggregate), then fingerprint-keyed joins —
+    * uniform keys by construction; the reference side carries ONE
+    * column (the fingerprint), never its text. */
+  def dedupAgainstReference(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val inc = incoming.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val ref = reference
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct().withColumn("__inref", lit(1))
+    val keep = inc.groupBy("fp").agg(min(col(idCol)).as("__keep"))
+    inc.join(ref, Seq("fp"), "left")
+      .join(keep, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        when(col("__inref").isNotNull, lit("dup_of_ref"))
+          .when(col(idCol) =!= col("__keep"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** n-gram Jaccard similarity via COUNT-BASED inverted-index
     * verification (the MapReduce-canonical exact set-similarity join,
     * Vernica et al. SIGMOD'10 family) — no LSH approximation: every

@@ -477,4 +477,55 @@ object PipelineQueries {
     CorpusOps.fuzzyPairs(Tables.part(s, dir), "p_name",
         n => element_at(split(n, " "), -1), maxDist = 3)
       .orderBy("name_a", "name_b")
+
+  // top-30 bigram collocations by 4-dp-rounded PMI with a count-5
+  // floor — the phrase-vocabulary design table
+  def bigramPmiTop(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bigramPmi(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 30)
+      .orderBy("rnk")
+
+  // context-window chunk plan: 32-token chunks, 8-token overlap (sized
+  // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
+  // the production default is 128/16) — one row per training chunk
+  def chunkPlanDocs(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkPlan(Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  // incremental dedup: the md5-derived quarter of the corpus plays the
+  // incoming batch, the rest the accumulated reference — each incoming
+  // doc classified dup_of_ref / dup_in_batch / new. The split is a pure
+  // function of doc_id, so the oracle reproduces it exactly.
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isInc = pmod(T.md5Int(concat(lit("inc:"),
+      col("doc_id").cast("string")), 8), lit(4L)) === 0
+    Dedup.dedupAgainstReference(
+        d.filter(isInc), d.filter(!isInc), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // CCNet-style corpus partition by fluency quartiles: head (top
+  // quarter), middle, tail (bottom quarter), empty docs bucketed apart.
+  // Bounds are 4-dp-pinned exact percentiles (the q84 rounded-bounds
+  // convention), computed over the shared token stage's fluency scores;
+  // at corpus scale swap the buffering percentile for the q58
+  // bounded-memory histogram interpolation — same rounded values.
+  def fluencyBuckets(s: SparkSession, dir: String): DataFrame = {
+    val f = TextCorpus.fluencyFromToks(Tables.documents(s, dir),
+      lowerToks(s, dir), "doc_id")
+    val bounds = f.filter(col("fluency").isNotNull)
+      .agg(graft.functions.MysqlFunctions.oracleRound(
+          expr("percentile(fluency, 0.25)"), 4).as("__b1"),
+        graft.functions.MysqlFunctions.oracleRound(
+          expr("percentile(fluency, 0.75)"), 4).as("__b2"))
+    f.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("fluency"),
+        when(col("fluency").isNull, lit("empty"))
+          .when(col("fluency") <= col("__b1"), lit("tail"))
+          .when(col("fluency") <= col("__b2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy("doc_id")
+  }
 }

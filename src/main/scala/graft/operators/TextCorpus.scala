@@ -199,4 +199,45 @@ object TextCorpus {
   def lowerToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * `pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab) = c_ab/M`
+    * (bigram count over total bigrams) and unigram `p(w) = c_w/N` —
+    * the standard collocation extractor (Church & Hanks 1990) a
+    * tokenizer/phrase-vocab design step runs over a corpus. A
+    * `minCount` floor drops the unstable low-count tail (raw PMI is
+    * maximal for hapax pairs); ranking compares the 4-dp ROUNDED score
+    * (ties by the pair itself) so the top-k is deterministic and
+    * engine-portable.
+    *
+    * Scale shape: the bigram build is a per-row HOF projection +
+    * explode (O(tokens), map-only), pair and unigram counts are
+    * map-side-combined keyed aggregates, N/M are broadcast 1-row
+    * aggregates, and the final top-k is a TakeOrdered — nothing
+    * vocabulary² anywhere. */
+  def bigramPmi(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val arrs = df.select(TextFunctions.tokens(lower(col(textCol))).as("a"))
+    val toks = arrs.select(explode(col("a")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val bg = arrs.filter(size(col("a")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+        i => struct(element_at(col("a"), i).as("w1"),
+          element_at(col("a"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val m = bg.agg(count(lit(1)).cast("double").as("__m"))
+    val scored = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .withColumn("pmi", MysqlFunctions.oracleRound(
+        log((col("c_ab") / col("__m")) /
+          ((col("__c1") / col("__n")) * (col("__c2") / col("__n")))), 4))
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("int"))
+      .select("w1", "w2", "c_ab", "pmi", "rnk")
+  }
 }

@@ -168,4 +168,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dist == exact,
       "histogram interpolation must reproduce percentile() exactly")
   }
+
+  test("chunkPlan: full coverage with the promised overlap, exact boundaries, empty docs dropped") {
+    // stride = 10 − 3 = 7; docs: 0 tokens (no chunks), 5 (one short),
+    // 10 (exactly one), 11 (two: tail of 4), 24 (three: 0-10, 7-17, 14-24)
+    val docs = Seq(
+      (0L, ""),
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (4L, (1 to 24).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkPlan(docs, "doc_id", "text",
+        maxTokens = 10, overlap = 3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 0L, 5L),
+      (2L, 0, 0L, 10L),
+      (3L, 0, 0L, 10L), (3L, 1, 7L, 4L),
+      (4L, 0, 0L, 10L), (4L, 1, 7L, 10L), (4L, 2, 14L, 10L)), s"got $got")
+    // invariants on every doc: chunks tile [0, n) with overlap ≥ 3
+    // between consecutive chunks and the last chunk ending exactly at n
+    for ((id, n) <- Seq(1L -> 5L, 2L -> 10L, 3L -> 11L, 4L -> 24L)) {
+      val ch = got.filter(_._1 == id).toSeq.sortBy(_._2)
+      assert(ch.head._3 == 0L && ch.last._3 + ch.last._4 == n)
+      for (Seq(a, b) <- ch.sliding(2) if ch.size > 1)
+        assert(a._3 + a._4 - b._3 == 3L, s"doc $id overlap")
+    }
+  }
+
+  test("dedupAgainstReference classifies ref-dups, batch-dups and new docs") {
+    import graft.operators.Dedup
+    val reference = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "  ALPHA   beta "),  // normalizes onto ref fingerprint
+      (2L, "epsilon zeta"),     // new, and canonical of its batch group
+      (3L, "epsilon  ZETA"),    // batch-dup of 2
+      (4L, "eta theta"))        // new
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstReference(incoming, reference, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "dup_of_ref", 2L -> "new",
+      3L -> "dup_in_batch", 4L -> "new"), s"got $got")
+  }
 }
