@@ -121,6 +121,16 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must not shuffle for decon:\n$plan")
   }
 
+  test("q99: chunk plan is map-only — explode rides the scan, no join, no shuffle") {
+    val plan = graft.operators.CorpusOps.chunkPlan(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("hashpartitioning"),
+      s"chunking must be a per-row projection + explode:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected a sequence-explode Generate:\n$plan")
+  }
+
   test("q78: resample is grid-explode + ONE window — no join operator") {
     val plan = C.resampleEvents(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"),
