@@ -453,15 +453,54 @@ object CoreQueries {
           <= 0.15).as("ndv_in_bound"))
       .orderBy("l_returnflag")
 
+  /** Per-group cumulative counts over a `(groups..., v, cnt)` value
+    * histogram WITHOUT a per-group single-partition sort: the q70/q94
+    * two-level prefix sum, applied to the statistics family. A few
+    * huge groups are the norm for quantile targets (q58/q84 have 3),
+    * so `sum(cnt) OVER (PARTITION BY g ORDER BY v)` would sort each
+    * group on one executor — the skew bottleneck at 100 TB. Instead:
+    * value-range-bucket each group (any monotone-in-v bucketing
+    * preserves the cum order, so the float width only steers
+    * parallelism, never the result), aggregate per-bucket totals,
+    * running-offset the ≤ `buckets`-row totals per group (tiny
+    * window), and cumsum within (group, bucket) partitions. Integer
+    * sums — identical to the naive global window, bit for bit. Adds
+    * `cum` (inclusive cumulative count in v-order) and `n` (group
+    * total). */
+  private def bucketedCumCounts(hist: DataFrame, groups: Seq[String],
+      buckets: Int = 256): DataFrame = {
+    val g = groups.map(col)
+    val stats = hist.groupBy(g: _*)
+      .agg(min("v").as("__lo"), max("v").as("__hi"),
+        sum("cnt").as("n"))
+    val bkt = least(lit(buckets - 1), greatest(lit(0),
+      floor((col("v") - col("__lo")) * buckets /
+        (col("__hi") - col("__lo") + lit(1e-9))).cast("int")))
+    val withB = hist.join(broadcast(stats), groups).withColumn("__bkt", bkt)
+    val boff = withB.groupBy(g :+ col("__bkt"): _*)
+      .agg(sum("cnt").as("__btot"))
+      .withColumn("__boff", coalesce(
+        sum("__btot").over(Window.partitionBy(groups.map(col): _*)
+          .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(g :+ col("__bkt") :+ col("__boff"): _*)
+    withB.join(boff, groups :+ "__bkt")
+      .withColumn("cum", col("__boff") + sum("cnt").over(
+        Window.partitionBy(g :+ col("__bkt"): _*).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__lo", "__hi", "__bkt", "__boff")
+  }
+
   // The 100 TB EXACT-quantile plan for q50's semantics — the third leg
   // of the statistics family: q50 is exact-but-buffering (per-group
   // value arrays in the agg buffer), q52 is bounded-memory-but-sketch
-  // (no hash oracle possible), this is BOTH exact and bounded:
-  // distribute a per-(group,value) count histogram (one shuffle,
-  // map-side combined, state = O(distinct values) spread across
-  // executors — never a per-group buffer), locate the two values
-  // covering positions floor(h)/floor(h)+1 at h=(n-1)·p with
-  // cumulative-count windows, and interpolate lower+(h-⌊h⌋)·(upper-
+  // (sketch values proven in-bound, not restated), this is BOTH exact
+  // and bounded: distribute a per-(group,value) count histogram (one
+  // shuffle, map-side combined, state = O(distinct values) spread
+  // across executors — never a per-group buffer), locate the two
+  // values covering positions floor(h)/floor(h)+1 at h=(n-1)·p with
+  // the bucketed cumulative counts (no per-group sort — see
+  // [[bucketedCumCounts]]), and interpolate lower+(h-⌊h⌋)·(upper-
   // lower) — the same definition `percentile`/quantile_cont use, so
   // unlike q52 this IS hash-oracled.
   def quantileStatsDist(s: SparkSession, dir: String): DataFrame = {
@@ -474,10 +513,7 @@ object CoreQueries {
         .as("mv"))
       .select(col("g"), col("mv.m").as("m"), col("mv.v").as("v"))
     val hist = unpivot.groupBy("g", "m", "v").agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum("cnt").over(
-        Window.partitionBy("g", "m").orderBy("v")))
-      .withColumn("n", sum("cnt").over(Window.partitionBy("g", "m")))
+    val cum = bucketedCumCounts(hist, Seq("g", "m"))
     // value v covers sorted 0-based positions [cum-cnt, cum-1]; pick the
     // covering values for i0=⌊h⌋ and i0+1 via conditional aggregation
     val p = when(col("m") === "qty", lit(0.5)).otherwise(lit(0.9))
@@ -511,9 +547,10 @@ object CoreQueries {
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("v"))
-    val cum = base.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("v")))
-      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+    // bucketed two-level cumulative counts — no 3-partition sort (the
+    // [[bucketedCumCounts]] scale note)
+    val cum = bucketedCumCounts(
+      base.groupBy("g", "v").agg(count(lit(1)).as("cnt")), Seq("g"))
     def pick(p: Double) = {
       val h = (col("n") - lit(1)).cast("double") * p
       val i0 = floor(h)
