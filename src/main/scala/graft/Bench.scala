@@ -24,10 +24,16 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = GraftSession.local("graft-bench")
 
-    if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir)
+    if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      // drop the warm-up pass's shared-stage checkpoints so they don't
+      // pin executor storage through the timed pass (r5/r6 saw ~1 s
+      // cross-query attribution noise from lingering blocks + GC)
+      graft.operators.PipelineQueries.clearSharedStages()
+      System.gc()
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // sorted order: Map iteration order shifts when queries are added,

@@ -133,6 +133,7 @@ object SparkEntry {
     "q99_chunk_plan" -> (P.chunkPlanDocs _),
     "q100_incr_dedup" -> (P.incrementalDedup _),
     "q101_fluency_buckets" -> (P.fluencyBuckets _),
+    "q102_substring_keep" -> (P.substringKeep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -573,24 +574,36 @@ object SparkEntry {
     // Spark side's maxDf boilerplate cap is vacuous at gate scale
     // (hottest window spans 3 docs), so the oracle need not model it.
     "q85_substring_dups" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 50),
-        |w AS (
-        | SELECT doc_id, i, substr(text, i, 50) AS win,
-        |  CAST(('0x' || substr(md5(substr(text, i, 50)), 1, 10)) AS BIGINT)
-        |    * 8388608 + i AS enc
-        | FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 49)) AS i
-        |       FROM d) t),
-        |m AS (
-        | SELECT doc_id, min(enc) OVER (PARTITION BY doc_id ORDER BY i
-        |   ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel
-        | FROM w),
-        |selpos AS (SELECT DISTINCT doc_id, sel FROM m),
-        |fp AS (
-        | SELECT DISTINCT w.doc_id, w.win
-        | FROM selpos s JOIN w ON w.doc_id = s.doc_id AND w.enc = s.sel)
+      s"""WITH $winnowPairCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM fp a JOIN fp b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // Substring-dup canonical keepers: q49-style recursive-CTE
+    // components over the winnowing pair set, each component keeping
+    // its LONGEST member (superstring candidate; ties by id).
+    "q102_substring_keep" ->
+      s"""WITH RECURSIVE $winnowPairCtes,
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM fp a JOIN fp b ON a.win = b.win AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS group_id
+        |         FROM reach GROUP BY src),
+        |ranked AS (
+        | SELECT c.group_id, c.doc_id,
+        |  CAST(len(dd.text) AS INTEGER) AS keep_chars,
+        |  row_number() OVER (PARTITION BY c.group_id
+        |    ORDER BY len(dd.text) DESC, c.doc_id) AS rn
+        | FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id)
+        |SELECT group_id, doc_id AS keep_id, keep_chars
+        |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin,
     // Upsert checked against the DIRECT statement of the merged result
     // — not a mirror of the window formulation.
     "q86_upsert" ->
@@ -1334,6 +1347,26 @@ object SparkEntry {
   /** q73's oracle: GraphOps.pageRank over the bidirectional
     * part<->supplier graph, one contribution/update CTE pair per
     * iteration. */
+  /** The winnowing fingerprint CTE block (selected-window `fp` table),
+    * shared by the q85 pair report and q102's component keepers —
+    * emitted WITHOUT the leading WITH so callers can prepend RECURSIVE. */
+  private val winnowPairCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 50),
+      |w AS (
+      | SELECT doc_id, i, substr(text, i, 50) AS win,
+      |  CAST(('0x' || substr(md5(substr(text, i, 50)), 1, 10)) AS BIGINT)
+      |    * 8388608 + i AS enc
+      | FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 49)) AS i
+      |       FROM d) t),
+      |m AS (
+      | SELECT doc_id, min(enc) OVER (PARTITION BY doc_id ORDER BY i
+      |   ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel
+      | FROM w),
+      |selpos AS (SELECT DISTINCT doc_id, sel FROM m),
+      |fp AS (
+      | SELECT DISTINCT w.doc_id, w.win
+      | FROM selpos s JOIN w ON w.doc_id = s.doc_id AND w.enc = s.sel)""".stripMargin
+
   private def pageRankOracle(iters: Int): String = {
     // NB: comma BETWEEN blocks, never trailing — the final SELECT
     // follows the last block directly (r4's q73 bug: a trailing comma

@@ -83,6 +83,17 @@ object PipelineQueries {
       TextCorpus.lowerToks(Tables.documents(s, dir), "doc_id", "text")
         .localCheckpoint())
 
+  /** Drop every shared-stage memo entry. Bench hygiene: the warm-up
+    * pass at the small sf dir leaves its localCheckpoint blocks pinned
+    * through the whole timed pass otherwise; clearing the references
+    * lets the ContextCleaner free them. Timed-dir stages are rebuilt
+    * by the first timed consumer exactly as before. */
+  def clearSharedStages(): Unit = {
+    mhStages.clear(); pairStage.clear(); ccStage.clear()
+    embStage.clear(); plantStage.clear(); tokStage.clear()
+    winStage.clear()
+  }
+
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
     * embeddings plus, for each `vec_id < 40`, a copy at `vec_id +
     * 100000` whose components are scaled by `(1 + s·eps)` with
@@ -409,14 +420,45 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Shared winnowing pair stage per (session, sf dir) — q85 reports
+    * it, q102 collapses it to canonical keepers. The pair set is tiny
+    * (near-dups), so the checkpoint pins KBs while saving the suite's
+    * most expensive pipeline from running twice (same immutable-dir
+    * memo contract as [[stages]]). */
+  private val winStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def winPairs(s: SparkSession, dir: String): DataFrame =
+    winStage.getOrElseUpdate((s, dir),
+      Dedup.winnowedDupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint())
+
   // Exact shared-substring dup pairs via winnowing fingerprints
   // (50-char windows, winnow window 10): every reported pair provably
   // shares an exact 50-char run; any shared run >= 59 chars is
   // guaranteed caught. The character-level complement of the
   // token-level MinHash/Jaccard family.
   def substringDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowedDupPairs(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("id_a", "id_b")
+    winPairs(s, dir).orderBy("id_a", "id_b")
+
+  // Canonical keeper per substring-dup component: the LONGEST copy
+  // wins (ties by id) — for exact-substring duplication the longer
+  // document is the superstring candidate, so dropping the others
+  // loses no text (contrast q97's quality rule for token-level
+  // near-dups). Rides the shared winnowing pair stage.
+  def substringKeep(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("keep_chars").desc, col("keep_id"))
+    graft.graph.GraphOps.connectedComponents(
+        winPairs(s, dir).select("id_a", "id_b"))
+      .select(col("node").as("keep_id"), col("comp").as("group_id"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("keep_id"),
+          length(col("text")).as("keep_chars")), Seq("keep_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("group_id", "keep_id", "keep_chars")
+      .orderBy("group_id")
+  }
 
   // Quality-canonical representative per near-dup group: instead of
   // q49/q55's keep-min-id rule, keep each component's HIGHEST-quality
