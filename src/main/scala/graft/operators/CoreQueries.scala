@@ -467,7 +467,7 @@ object CoreQueries {
     * sums — identical to the naive global window, bit for bit. Adds
     * `cum` (inclusive cumulative count in v-order) and `n` (group
     * total). */
-  private def bucketedCumCounts(hist: DataFrame, groups: Seq[String],
+  private[graft] def bucketedCumCounts(hist: DataFrame, groups: Seq[String],
       buckets: Int = 256): DataFrame = {
     val g = groups.map(col)
     val stats = hist.groupBy(g: _*)

@@ -197,6 +197,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedCumCounts equals the naive per-group window on adversarial data") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(43)
+    // adversarial mix: a constant-value group (hi == lo), a one-row
+    // group, a dense cluster (most values in one bucket), and a
+    // uniform group — cnt weights > 1 throughout
+    val rows =
+      Seq.fill(200)(("const", 7.25, 1L + rng.nextInt(3))) ++
+      Seq(("single", -3.0, 5L)) ++
+      Seq.tabulate(300)(i => ("dense", if (i < 290) 1e-7 * i else i.toDouble,
+        1L + rng.nextInt(2))) ++
+      Seq.tabulate(500)(_ => ("uniform", rng.nextDouble() * 1e6 - 5e5,
+        1L + rng.nextInt(4)))
+    val hist = rows.toDF("g", "v", "cnt")
+      .groupBy("g", "v").agg(sum("cnt").as("cnt"))
+    val naive = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+      .select("g", "v", "cnt", "cum", "n")
+      .as[(String, Double, Long, Long, Long)].collect().toSet
+    val bucketed = graft.operators.CoreQueries
+      .bucketedCumCounts(hist, Seq("g"))
+      .select("g", "v", "cnt", "cum", "n")
+      .as[(String, Double, Long, Long, Long)].collect().toSet
+    assert(bucketed == naive,
+      "two-level bucketed cumulative counts must be bit-identical to the global window")
+  }
+
   test("dedupAgainstReference classifies ref-dups, batch-dups and new docs") {
     import graft.operators.Dedup
     val reference = Seq((100L, "alpha beta"), (101L, "gamma delta"))
