@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.FileFormats
+
+/** JSONL/ORC interchange: schema-pinned single-pass reads, lossless
+  * round-trips, explicit corrupt-row policy. */
+class FileFormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  test("JSONL round-trip is lossless under an explicit schema") {
+    val src = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val path = "/tmp/graft_jsonl_rt"
+    FileFormats.writeJsonl(src, path)
+    val back = FileFormats.readJsonl(spark, path, ordersSchema)
+    assert(back.schema == ordersSchema)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      src.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("JSONL corrupt-row policy: DROPMALFORMED drops, PERMISSIVE captures, FAILFAST throws") {
+    val path = "/tmp/graft_jsonl_bad"
+    val lines = Seq(
+      """{"o_orderkey": 1, "o_orderstatus": "O", "o_totalprice": 10.5}""",
+      """not json at all""",
+      """{"o_orderkey": 2, "o_orderstatus": "F", "o_totalprice": 20.0}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/part.jsonl"),
+      lines.mkString("\n").getBytes)
+    val dropped = FileFormats.readJsonl(spark, path, ordersSchema,
+      mode = "DROPMALFORMED")
+    assert(dropped.count() == 2)
+    val permissiveSchema = ordersSchema.add("_corrupt_record", StringType)
+    // Spark disallows querying only _corrupt_record from the raw scan;
+    // cache the parsed rows first (the documented pattern)
+    val kept = FileFormats.readJsonl(spark, path, permissiveSchema,
+      mode = "PERMISSIVE").cache()
+    assert(kept.count() == 3)
+    assert(kept.filter(col("_corrupt_record").isNotNull).count() == 1)
+    kept.unpersist()
+    val failfast = FileFormats.readJsonl(spark, path, ordersSchema)
+    assertThrows[org.apache.spark.SparkException](failfast.count())
+  }
+
+  test("ORC round-trip preserves schema and data, including arrays") {
+    val src = Seq(
+      (1L, "alpha", Seq(1.0, 2.0)),
+      (2L, "beta", Seq.empty[Double]))
+      .toDF("id", "name", "vec")
+    val path = "/tmp/graft_orc_rt"
+    FileFormats.writeOrc(src, path)
+    val back = FileFormats.readOrc(spark, path)
+    assert(back.schema("vec").dataType == ArrayType(DoubleType))
+    assert(back.as[(Long, String, Seq[Double])].collect().toSet ==
+      src.as[(Long, String, Seq[Double])].collect().toSet)
+  }
+}
