@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketsDescriptor)
+    ext.injectFunction(GraftExtensions.md5PrefixLongDescriptor)
   }
 }
 
@@ -104,5 +105,17 @@ object GraftExtensions {
           children(i).eval().asInstanceOf[Number].longValue
         }
         LshBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
+      })
+
+  /** `graft_md5_long(str, hexDigits)` — hexDigits must be a foldable
+    * literal (it parameterizes the generated code). */
+  val md5PrefixLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_long"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable,
+          "graft_md5_long hexDigits must be a literal")
+        Md5PrefixLong(children.head,
+          children(1).eval().asInstanceOf[Number].intValue)
       })
 }

@@ -107,10 +107,20 @@ object TextFunctions {
     * Marginally slower than xxhash64 but reproducible in ANSI SQL
     * (`CAST('0x'||substr(md5(x),1,n) AS BIGINT)`), which makes every
     * sketch built on it verifiable against a SQL oracle — the reason
-    * the MinHash/SimHash/rolling-hash family uses it. */
+    * the MinHash/SimHash/rolling-hash family uses it.
+    *
+    * Uses the native [[graft.expressions.Md5PrefixLong]] when the
+    * active session has GraftExtensions (digest → shift, no hex-string
+    * materialization or base re-parse on the hottest per-row path);
+    * bit-identical built-in fallback otherwise (property-tested). */
   def md5Int(c: Column, hexDigits: Int): Column = {
     require(hexDigits <= 15, "more than 15 hex digits overflows a signed Long")
-    conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s =>
+        try s.catalog.functionExists("graft_md5_long")
+        catch { case _: Throwable => false })
+    if (native) call_function("graft_md5_long", c, lit(hexDigits))
+    else conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
   }
 
   /** Rolling (polynomial) hash over whitespace tokens — order-sensitive

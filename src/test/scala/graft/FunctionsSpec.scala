@@ -126,4 +126,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L), "doc without query terms must not appear")
     assert(got.map(_._3) == Seq(1, 2, 3))
   }
+
+  test("native graft_md5_long is bit-identical to the conv(substring(md5)) composition") {
+    assert(spark.catalog.functionExists("graft_md5_long"),
+      "TestSpark must install GraftExtensions")
+    val rng = new scala.util.Random(47)
+    val strs = Seq("", " ", "a", "inc:123", "räksmörgås £µ€ 漢字",
+      "\n\t;|", "0" * 500) ++
+      Seq.fill(200)(rng.alphanumeric.take(1 + rng.nextInt(60)).mkString) ++
+      Seq.fill(50)(Seq.fill(1 + rng.nextInt(20))(
+        (0x20 + rng.nextInt(0x2500)).toChar).mkString)
+    for (digits <- Seq(1, 8, 10, 15)) {
+      val fallback = conv(substring(md5(col("s")), 1, digits), 16, 10)
+        .cast("long")
+      val mismatches = strs.toDF("s")
+        .select(col("s"),
+          call_function("graft_md5_long", col("s"), lit(digits)).as("n"),
+          fallback.as("f"))
+        .filter(col("n") =!= col("f") || col("n").isNull =!= col("f").isNull)
+        .count()
+      assert(mismatches == 0, s"digits=$digits")
+    }
+  }
 }
