@@ -32,6 +32,7 @@ object Bench {
       // pin executor storage through the timed pass (r5/r6 saw ~1 s
       // cross-query attribution noise from lingering blocks + GC)
       graft.operators.PipelineQueries.clearSharedStages()
+      graft.operators.CoreQueries.clearSharedStages()
       System.gc()
     }
 

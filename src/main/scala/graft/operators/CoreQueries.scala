@@ -660,12 +660,26 @@ object CoreQueries {
         Seq("l_orderkey"), Seq("o_orderkey"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Shared sessionization stage per (session, sf dir): q54 reports it,
+    * q94 sweeps it — one keyed sort + aggregate instead of two (the
+    * PipelineQueries shared-stage memo contract: immutable sf dirs,
+    * no staleness check). */
+  private val sessionStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sessionsShared(s: SparkSession, dir: String): DataFrame =
+    sessionStage.getOrElseUpdate((s, dir),
+      sessionizePipeline(s, dir).localCheckpoint())
+
+  /** Drop the shared-stage memo (Bench warm-up hygiene — see
+    * [[graft.operators.PipelineQueries.clearSharedStages]]). */
+  def clearSharedStages(): Unit = sessionStage.clear()
+
   // Concurrency timeline over the q54 sessions: +1/-1 boundary sweep,
   // global running count via the two-level prefix sum (no
   // single-partition window) — peak-load analytics composed from the
-  // sessionizer's output.
+  // sessionizer's output. Rides the shared sessions stage.
   def sessionConcurrency(s: SparkSession, dir: String): DataFrame =
-    TimeSeries.concurrencySweep(sessionize(s, dir), "start_us", "end_us")
+    TimeSeries.concurrencySweep(sessionsShared(s, dir), "start_us", "end_us")
       .orderBy("us")
 
   // Latest-version-wins upsert (batch MERGE): refresh the orders
@@ -767,7 +781,10 @@ object CoreQueries {
   // (unix_micros / epoch_us on both sides) so the boundary is exact.
   // Scale: one shuffle on user_id; both windows share the same
   // (user_id | ts, event_id) frame, so Spark plans a single sort.
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionsShared(s, dir).orderBy("user_id", "session_id")
+
+  private[graft] def sessionizePipeline(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("__us", unix_micros(col("ts")))
@@ -781,7 +798,6 @@ object CoreQueries {
         M.oracleRound(sum("value"), 2).as("session_value"),
         min("__us").as("start_us"),
         max("__us").as("end_us"))
-      .orderBy("user_id", "session_id")
   }
 
   // Fixed-iteration PageRank over the bidirectional part<->supplier
