@@ -230,7 +230,7 @@ object EventStreams {
     import org.apache.spark.sql.streaming.OutputMode
     events
       .withWatermark("ts", watermarkDelay)
-      .filter(e => e.event_type == viewType || e.event_type == clickType)
+      .filter(col("event_type").isin(viewType, clickType))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
