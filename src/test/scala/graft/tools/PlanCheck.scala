@@ -9,6 +9,11 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // static plans: AQE wraps everything in AdaptiveSparkPlan and
+      // withholds codegen ids until execution — for plan INSPECTION the
+      // non-adaptive plan is the readable one (production sessions keep
+      // AQE on; GraftSession does not set this)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
@@ -16,13 +21,21 @@ object PlanCheck {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (wanted.isEmpty || wanted(name)) {
         try {
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          // formatted mode — the AQE plan's bare toString hides codegen
+          // spans and scan details on Spark 4
+          val df = fn(spark, dir)
+          val out = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+          val plan = out.toString
           val pushed = "PushedFilters: \\[[^\\]]+\\]".r
             .findAllIn(plan).toSeq.distinct.filterNot(_.contains("[]"))
           val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
             "BroadcastNestedLoopJoin", "ShuffledHashJoin")
             .map(j => j -> j.r.findAllIn(plan).size).filter(_._2 > 0)
-          val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+          // formatted mode annotates operators with [codegen id : N];
+          // distinct ids = whole-stage spans
+          val wsc = "codegen id : (\\d+)".r
+            .findAllMatchIn(plan).map(_.group(1)).toSet.size
           println(s"== $name")
           println(s"   joins=${joins.map { case (k, v) => s"$k x$v" }.mkString(", ")}" +
             s"  codegenSpans=$wsc  pushedFilterGroups=${pushed.size}")
