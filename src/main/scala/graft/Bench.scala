@@ -36,18 +36,45 @@ object Bench {
       System.gc()
     }
 
+    // Per-query shuffle/spill attribution (APPROXIMATE: listener events
+    // are async; a 100 ms post-query drain catches them in practice).
+    // Written to bench_metrics.json only — the driver's stdout contract
+    // is untouched, and timings are taken BEFORE the drain sleep.
+    val shuffleAgg = new java.util.concurrent.atomic.AtomicLongArray(3)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleAgg.addAndGet(0, m.shuffleReadMetrics.totalBytesRead)
+            shuffleAgg.addAndGet(1, m.shuffleWriteMetrics.bytesWritten)
+            shuffleAgg.addAndGet(2, m.diskBytesSpilled)
+          }
+        }
+      })
+    def snapMetrics(): (Long, Long, Long) =
+      (shuffleAgg.get(0), shuffleAgg.get(1), shuffleAgg.get(2))
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     // sorted order: Map iteration order shifts when queries are added,
     // which re-attributes lingering cleanup (GC, broadcast/RDD release)
     // to a different successor query between rounds
     val times = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = snapMetrics()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .takeWhile(_ != '\n').take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100)
+      val after = snapMetrics()
+      shuffles(name) = (after._1 - before._1, after._2 - before._2,
+        after._3 - before._3)
+      name -> sec
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -66,6 +93,15 @@ object Bench {
       s""""sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // plan-quality side channel: per-query shuffle read/write + spill
+    // (MB, approximate attribution — see listener note above)
+    val mb = (b: Long) => b / 1048576.0
+    val metricsJson = shuffles.map { case (k, (r, w, sp)) =>
+      s"""${jstr(k)}:{"sec":${times.toMap.getOrElse(k, 0.0)},""" +
+      s""""shuffleReadMB":${mb(r)},"shuffleWriteMB":${mb(w)},""" +
+      s""""spillMB":${mb(sp)}}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get("bench_metrics.json"), metricsJson + "\n")
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
     spark.stop()
