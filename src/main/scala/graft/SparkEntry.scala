@@ -134,6 +134,7 @@ object SparkEntry {
     "q100_incr_dedup" -> (P.incrementalDedup _),
     "q101_fluency_buckets" -> (P.fluencyBuckets _),
     "q102_substring_keep" -> (P.substringKeep _),
+    "q103_incr_neardup" -> (P.incrementalNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1277,6 +1278,40 @@ object SparkEntry {
         |      ELSE 'new' END AS status
         |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
         |ORDER BY doc_id""".stripMargin,
+    // Incremental near-dup: the exact J >= 0.7 pair set RESTRICTED to
+    // pairs crossing the q100 md5 batch/reference split (the engine's
+    // cross-side LSH banding is recall-complete here — the same
+    // signatures/banding catch every exact pair in the intra-corpus
+    // q30 gate at both sf scales, and this is a subset of those pairs).
+    "q103_incr_neardup" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |sp AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
+        |   AS is_inc
+        | FROM documents),
+        |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+        | JOIN ex b ON a.sh1 = b.sh1
+        | JOIN sp pa ON pa.doc_id = a.doc_id AND pa.is_inc
+        | JOIN sp pb ON pb.doc_id = b.doc_id AND NOT pb.is_inc
+        | GROUP BY 1, 2)
+        |SELECT inc_id, ref_id, jaccard FROM (
+        | SELECT ia AS inc_id, ib AS ref_id,
+        |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |   / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE),
+        |   4) AS jaccard
+        | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
+        |WHERE jaccard >= 0.7 ORDER BY inc_id, ref_id""".stripMargin,
     // Fluency quartile buckets over the q77 scores: bounds 4-dp-pinned
     // (quantile_cont ≡ percentile, the q50-proven pair; 0.25/0.75 are
     // exact binary fractions so the rank positions match to the bit).

@@ -192,6 +192,44 @@ object Dedup {
     minHashNearDupFromStages(sets, sigs, idCol, bands, threshold)
   }
 
+  /** Cross-corpus MinHash near-dup: verified `J ≥ threshold` pairs
+    * between an incoming batch and a reference corpus — the NEAR-dup
+    * leg of incremental ingestion beside [[dedupAgainstReference]]'s
+    * exact leg (each day's crawl is checked against the accumulated
+    * corpus, not re-deduped with it). LSH banding blocks ONLY across
+    * the two sides: no intra-batch or intra-reference candidate is
+    * generated or verified, so the pruned pair space is |inc|×|ref|,
+    * not (|inc|+|ref|)². The hot-bucket quadratic guard counts the
+    * COMBINED bucket population ([[lshCandidatePairs]]'s cap).
+    * Contract: ids unique across both inputs. Returns
+    * `(inc_id, ref_id, jaccard)`. */
+  def nearDupAgainstReference(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val incSets = shingleSets(incoming, idCol, textCol, shingleSize)
+    val refSets = shingleSets(reference, idCol, textCol, shingleSize)
+    val incB = lshBuckets(
+      minHashSigsFromSets(incSets, idCol, numHashes), idCol, bands)
+    val refB = lshBuckets(
+      minHashSigsFromSets(refSets, idCol, numHashes), idCol, bands)
+    val hot = incB.unionAll(refB).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val cands = incB.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(refB.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        .select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardSets(cands,
+        incSets.withColumnRenamed(idCol, "__id")
+          .unionAll(refSets.withColumnRenamed(idCol, "__id")), threshold)
+      .select(col("id_a").as("inc_id"), col("id_b").as("ref_id"),
+        col("jaccard"))
+  }
+
   /** SimHash over whitespace tokens: per bit j, sum +1/-1 for each
     * token whose hash has bit j set/clear; bit j of the fingerprint =
     * sign of the sum. `bits` parallel sum-aggregates — one shuffle,

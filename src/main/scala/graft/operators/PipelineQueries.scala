@@ -548,6 +548,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // incremental NEAR-dup: the q100 md5 split, but verified J >= 0.7
+  // MinHash near-dups across the batch/reference boundary — LSH
+  // banding generates only cross-side candidates (no intra-side pairs)
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isInc = pmod(T.md5Int(concat(lit("inc:"),
+      col("doc_id").cast("string")), 8), lit(4L)) === 0
+    Dedup.nearDupAgainstReference(
+        d.filter(isInc), d.filter(!isInc), "doc_id", "text")
+      .orderBy("inc_id", "ref_id")
+  }
+
   // CCNet-style corpus partition by fluency quartiles: head (top
   // quarter), middle, tail (bottom quarter), empty docs bucketed apart.
   // Bounds are 4-dp-pinned exact percentiles (the q84 rounded-bounds

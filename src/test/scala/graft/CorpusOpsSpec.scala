@@ -225,6 +225,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       "two-level bucketed cumulative counts must be bit-identical to the global window")
   }
 
+  test("nearDupAgainstReference reports only cross-side pairs above threshold") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base.replace("tonight", "today") // one token differs — J well above 0.7
+    val incoming = Seq(
+      (1L, base),                 // near-dups ref 100
+      (2L, base + " extra"),      // near-dups ref 100 AND doc 1 — but intra pair must not appear
+      (3L, "completely different words about query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, near),
+      (101L, "unrelated reference text with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainstReference(incoming, reference, "doc_id", "text")
+      .select("inc_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 100L)), s"planted cross pair missing: $got")
+    assert(got.forall { case (i, r) => i < 100L && r >= 100L },
+      s"only cross-side pairs may be reported, got $got")
+    assert(!got.exists(_._1 == 3L), "unrelated doc must not pair")
+  }
+
   test("dedupAgainstReference classifies ref-dups, batch-dups and new docs") {
     import graft.operators.Dedup
     val reference = Seq((100L, "alpha beta"), (101L, "gamma delta"))
