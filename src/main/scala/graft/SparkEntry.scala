@@ -135,7 +135,42 @@ object SparkEntry {
     "q101_fluency_buckets" -> (P.fluencyBuckets _),
     "q102_substring_keep" -> (P.substringKeep _),
     "q103_incr_neardup" -> (P.incrementalNearDup _),
+    "q104_incr_neardup_stages" -> (P.incrementalNearDupStages _),
   )
+
+  /** Shared q103/q104 oracle: both queries compute the same verified
+    * cross-side J >= 0.7 pair set — q104 differs only in WHERE the
+    * reference stages come from (persisted parquet vs recompute), which
+    * is invisible to the result. */
+  private val incrNearDupOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  ELSE [array_to_string(t, ' ')] END AS s
+      | FROM toks),
+      |sp AS (
+      | SELECT doc_id,
+      |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
+      |   AS is_inc
+      | FROM documents),
+      |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+      |cand AS (
+      | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+      | JOIN ex b ON a.sh1 = b.sh1
+      | JOIN sp pa ON pa.doc_id = a.doc_id AND pa.is_inc
+      | JOIN sp pb ON pb.doc_id = b.doc_id AND NOT pb.is_inc
+      | GROUP BY 1, 2)
+      |SELECT inc_id, ref_id, jaccard FROM (
+      | SELECT ia AS inc_id, ib AS ref_id,
+      |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |   / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE),
+      |   4) AS jaccard
+      | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
+      |WHERE jaccard >= 0.7 ORDER BY inc_id, ref_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1283,35 +1318,16 @@ object SparkEntry {
     // cross-side LSH banding is recall-complete here — the same
     // signatures/banding catch every exact pair in the intra-corpus
     // q30 gate at both sf scales, and this is a subset of those pairs).
-    "q103_incr_neardup" ->
-      """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        | FROM documents),
-        |sh AS (
-        | SELECT doc_id, CASE WHEN len(t) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |  ELSE [array_to_string(t, ' ')] END AS s
-        | FROM toks),
-        |sp AS (
-        | SELECT doc_id,
-        |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
-        |   AS is_inc
-        | FROM documents),
-        |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
-        |cand AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
-        | JOIN ex b ON a.sh1 = b.sh1
-        | JOIN sp pa ON pa.doc_id = a.doc_id AND pa.is_inc
-        | JOIN sp pb ON pb.doc_id = b.doc_id AND NOT pb.is_inc
-        | GROUP BY 1, 2)
-        |SELECT inc_id, ref_id, jaccard FROM (
-        | SELECT ia AS inc_id, ib AS ref_id,
-        |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-        |   / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE),
-        |   4) AS jaccard
-        | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib) t
-        |WHERE jaccard >= 0.7 ORDER BY inc_id, ref_id""".stripMargin,
+    // VALIDITY ENVELOPE (not modeled by the oracle, both vacuous on the
+    // committed testdata): (a) 16-band/4-row banding has a ~1.2 %
+    // per-pair miss probability at exactly J = 0.7 — every gate pair
+    // sits high on the S-curve where it is ≈ 0; (b) the maxBucket=1000
+    // hot-bucket cap drops no bucket here (hottest combined bucket
+    // spans far fewer docs). Regenerating the corpus or raising the
+    // gate scale requires re-checking both, exactly as documented for
+    // q85's maxDf.
+    "q103_incr_neardup" -> incrNearDupOracle,
+    "q104_incr_neardup_stages" -> incrNearDupOracle,
     // Fluency quartile buckets over the q77 scores: bounds 4-dp-pinned
     // (quantile_cont ≡ percentile, the q50-proven pair; 0.25/0.75 are
     // exact binary fractions so the rank positions match to the bit).

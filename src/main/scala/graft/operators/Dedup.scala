@@ -209,10 +209,35 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val incSets = shingleSets(incoming, idCol, textCol, shingleSize)
     val refSets = shingleSets(reference, idCol, textCol, shingleSize)
-    val incB = lshBuckets(
-      minHashSigsFromSets(incSets, idCol, numHashes), idCol, bands)
-    val refB = lshBuckets(
-      minHashSigsFromSets(refSets, idCol, numHashes), idCol, bands)
+    nearDupAgainstReferenceFromStages(
+      incSets, minHashSigsFromSets(incSets, idCol, numHashes),
+      refSets, minHashSigsFromSets(refSets, idCol, numHashes),
+      idCol, bands, threshold, maxBucket)
+  }
+
+  /** [[nearDupAgainstReference]] over PRECOMPUTED stages — the
+    * steady-state incremental form: the accumulated reference corpus's
+    * shingle sets and MinHash signatures are computed ONCE at ingestion
+    * time and persisted (e.g. via `ParquetSink`); each day's batch
+    * shingles/signs only ITSELF and joins against the persisted stage
+    * tables. The convenience wrapper above re-derives all four stages
+    * per call — at 100 TB accumulated reference with a 100 GB daily
+    * batch that re-hashes ~99.9 % unchanged data, so this overload is
+    * the at-scale entry point (the batch analogue is
+    * [[minHashNearDupFromStages]]). The reference TEXT is never an
+    * input: a plan built from persisted stages provably cannot read it
+    * (asserted in PlanSpec).
+    *
+    * `incSets`/`refSets`: `(idCol, __sh array<string>)` as produced by
+    * [[shingleSets]]; `incSigs`/`refSigs`: `(idCol, sig array<long>)`
+    * as produced by [[minHashSigsFromSets]] — both round-trip parquet
+    * losslessly. Contract: ids unique across both inputs. */
+  def nearDupAgainstReferenceFromStages(incSets: DataFrame,
+      incSigs: DataFrame, refSets: DataFrame, refSigs: DataFrame,
+      idCol: String, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val incB = lshBuckets(incSigs, idCol, bands)
+    val refB = lshBuckets(refSigs, idCol, bands)
     val hot = incB.unionAll(refB).groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
@@ -384,11 +409,21 @@ object Dedup {
     * uniform keys by construction; the reference side carries ONE
     * column (the fingerprint), never its text. */
   def dedupAgainstReference(incoming: DataFrame, reference: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    dedupAgainstReferenceFps(incoming, idCol, textCol,
+      reference.select(TextFunctions.fingerprint(col(textCol)).as("fp")))
+
+  /** [[dedupAgainstReference]] over a PRECOMPUTED reference fingerprint
+    * table `(fp string)` — the steady-state incremental form: the
+    * accumulated corpus's fingerprints are persisted once at ingestion
+    * (a single md5 per document — tiny) and each day's batch joins
+    * against that table instead of re-fingerprinting the whole corpus
+    * per call. Need not be pre-distinct (distinct applied here). */
+  def dedupAgainstReferenceFps(incoming: DataFrame, idCol: String,
+      textCol: String, refFps: DataFrame): DataFrame = {
     val inc = incoming.select(col(idCol),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
-    val ref = reference
-      .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val ref = refFps.select(col("fp"))
       .distinct().withColumn("__inref", lit(1))
     val keep = inc.groupBy("fp").agg(min(col(idCol)).as("__keep"))
     inc.join(ref, Seq("fp"), "left")

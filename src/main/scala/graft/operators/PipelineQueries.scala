@@ -91,7 +91,7 @@ object PipelineQueries {
   def clearSharedStages(): Unit = {
     mhStages.clear(); pairStage.clear(); ccStage.clear()
     embStage.clear(); plantStage.clear(); tokStage.clear()
-    winStage.clear()
+    winStage.clear(); refStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -535,16 +535,20 @@ object PipelineQueries {
         maxTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_id")
 
-  // incremental dedup: the md5-derived quarter of the corpus plays the
-  // incoming batch, the rest the accumulated reference — each incoming
-  // doc classified dup_of_ref / dup_in_batch / new. The split is a pure
-  // function of doc_id, so the oracle reproduces it exactly.
+  /** The q100/q103/q104 batch-vs-reference split: an md5-derived
+    * quarter of the corpus plays the incoming batch, the rest the
+    * accumulated reference — a pure function of doc_id, so the oracle
+    * reproduces it exactly. */
+  private def incMask: Column =
+    pmod(T.md5Int(concat(lit("inc:"),
+      col("doc_id").cast("string")), 8), lit(4L)) === 0
+
+  // incremental dedup: each incoming doc classified dup_of_ref /
+  // dup_in_batch / new against the accumulated reference.
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val isInc = pmod(T.md5Int(concat(lit("inc:"),
-      col("doc_id").cast("string")), 8), lit(4L)) === 0
     Dedup.dedupAgainstReference(
-        d.filter(isInc), d.filter(!isInc), "doc_id", "text")
+        d.filter(incMask), d.filter(!incMask), "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -553,10 +557,45 @@ object PipelineQueries {
   // banding generates only cross-side candidates (no intra-side pairs)
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val isInc = pmod(T.md5Int(concat(lit("inc:"),
-      col("doc_id").cast("string")), 8), lit(4L)) === 0
     Dedup.nearDupAgainstReference(
-        d.filter(isInc), d.filter(!isInc), "doc_id", "text")
+        d.filter(incMask), d.filter(!incMask), "doc_id", "text")
+      .orderBy("inc_id", "ref_id")
+  }
+
+  /** Persisted reference stages for the incremental near-dup family:
+    * the reference side of the [[incMask]] split has its shingle sets
+    * and MinHash signatures written to parquet ONCE per (session, sf
+    * dir) and read back — the persisted-stage contract of
+    * [[Dedup.nearDupAgainstReferenceFromStages]]. The read-back
+    * DataFrames scan only the stage parquet: the reference TEXT is
+    * unreachable from a plan built on them (asserted in PlanSpec).
+    * Same immutable-dir memo contract as [[stages]]. */
+  private val refStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def persistedRefStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    refStage.getOrElseUpdate((s, dir), {
+      val ref = Tables.documents(s, dir).filter(!incMask)
+      val sets = Dedup.shingleSets(ref, "doc_id", "text", 3)
+      val sigs = Dedup.minHashSigsFromSets(sets, "doc_id", 64)
+      val base = java.nio.file.Files.createTempDirectory("graft_refstage_")
+      val setsP = base.resolve("sets").toString
+      val sigsP = base.resolve("sigs").toString
+      sets.write.mode("overwrite").parquet(setsP)
+      sigs.write.mode("overwrite").parquet(sigsP)
+      (s.read.parquet(setsP), s.read.parquet(sigsP))
+    })
+
+  // incremental near-dup, persisted-stage form: identical output to
+  // q103, but the reference side consumes persisted (sets, sigs)
+  // parquet — the accumulated corpus is never re-shingled per batch,
+  // the steady-state shape of daily ingestion at 100 TB.
+  def incrementalNearDupStages(s: SparkSession, dir: String): DataFrame = {
+    val (refSets, refSigs) = persistedRefStages(s, dir)
+    val inc = Tables.documents(s, dir).filter(incMask)
+    val incSets = Dedup.shingleSets(inc, "doc_id", "text", 3)
+    val incSigs = Dedup.minHashSigsFromSets(incSets, "doc_id", 64)
+    Dedup.nearDupAgainstReferenceFromStages(
+        incSets, incSigs, refSets, refSigs, "doc_id")
       .orderBy("inc_id", "ref_id")
   }
 

@@ -151,6 +151,56 @@ class PlanSpec extends AnyFunSuite {
       s"unpivot must scan the table once:\n$plan")
   }
 
+  test("q104: persisted-stage incremental near-dup never reads the reference text") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // Persist the reference stages, then build the FromStages plan with
+    // the read-back parquet DataFrames UNCHECKPOINTED — every scan in
+    // the plan is visible, so the assertion is on the real file set:
+    // the reference documents table (and its text column) must appear
+    // nowhere; the only parquet scans are the two stage tables.
+    val ref = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+    val inc = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1).limit(50)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft_planspec_ref_")
+    Dedup.shingleSets(ref, "doc_id", "text", 3)
+      .write.parquet(base.resolve("sets").toString)
+    Dedup.minHashSigsFromSets(
+        spark.read.parquet(base.resolve("sets").toString), "doc_id", 64)
+      .write.parquet(base.resolve("sigs").toString)
+    val refSets = spark.read.parquet(base.resolve("sets").toString)
+    val refSigs = spark.read.parquet(base.resolve("sigs").toString)
+    val incSets = Dedup.shingleSets(inc, "doc_id", "text", 3)
+    val incSigs = Dedup.minHashSigsFromSets(incSets, "doc_id", 64)
+    val out = Dedup.nearDupAgainstReferenceFromStages(
+      incSets, incSigs, refSets, refSigs, "doc_id")
+    val plan = formattedPlan(out)
+    assert(!plan.contains("documents.parquet"),
+      s"reference side must consume ONLY the persisted stages:\n$plan")
+    assert(plan.contains("sets") && plan.contains("sigs"),
+      s"expected scans of the persisted stage parquet:\n$plan")
+    // and the persisted path is result-identical to the recompute path
+    val expect = Dedup.nearDupAgainstReference(inc, ref, "doc_id", "text")
+    assert(out.orderBy("inc_id", "ref_id").collect().toSeq ==
+      expect.orderBy("inc_id", "ref_id").collect().toSeq)
+  }
+
+  test("q100: fingerprint-table incremental dedup matches the recompute path") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val d = graft.sources.Tables.documents(spark, dir)
+    val inc = d.filter(col("doc_id") % 2 === 1)
+    val ref = d.filter(col("doc_id") % 2 === 0)
+    val fps = ref.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val viaFps = Dedup.dedupAgainstReferenceFps(inc, "doc_id", "text", fps)
+    val direct = Dedup.dedupAgainstReference(inc, ref, "doc_id", "text")
+    assert(viaFps.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+  }
+
   test("q08: pivot with explicit values skips the value-discovery job") {
     import org.apache.spark.sql.functions._
     // same base for both variants so reads/listing cost is identical
