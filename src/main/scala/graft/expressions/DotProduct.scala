@@ -85,7 +85,11 @@ object GraftExtensions {
   val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot takes exactly 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      })
 
   /** `graft_lsh_buckets(vec, bands, planesPerBand, dim, seed)` — the
     * non-vector arguments must be foldable literals (they parameterize
@@ -94,14 +98,20 @@ object GraftExtensions {
     (FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"graft_lsh_buckets takes exactly 5 arguments, got ${children.length}")
         def intArg(i: Int): Int = {
           require(children(i).foldable,
             s"graft_lsh_buckets argument $i must be a literal")
+          require(children(i).eval().isInstanceOf[Number],
+            s"graft_lsh_buckets argument $i must be a numeric literal")
           children(i).eval().asInstanceOf[Number].intValue
         }
         def longArg(i: Int): Long = {
           require(children(i).foldable,
             s"graft_lsh_buckets argument $i must be a literal")
+          require(children(i).eval().isInstanceOf[Number],
+            s"graft_lsh_buckets argument $i must be a numeric literal")
           children(i).eval().asInstanceOf[Number].longValue
         }
         LshBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
@@ -113,8 +123,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_long"),
       (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_md5_long takes exactly 2 arguments, got ${children.length}")
         require(children(1).foldable,
           "graft_md5_long hexDigits must be a literal")
+        require(children(1).eval().isInstanceOf[Number],
+          "graft_md5_long hexDigits must be a numeric literal")
         Md5PrefixLong(children.head,
           children(1).eval().asInstanceOf[Number].intValue)
       })

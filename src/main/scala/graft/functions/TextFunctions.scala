@@ -112,7 +112,18 @@ object TextFunctions {
     * Uses the native [[graft.expressions.Md5PrefixLong]] when the
     * active session has GraftExtensions (digest → shift, no hex-string
     * materialization or base re-parse on the hottest per-row path);
-    * bit-identical built-in fallback otherwise (property-tested). */
+    * bit-identical built-in fallback otherwise (property-tested).
+    *
+    * ACTIVE-SESSION DEPENDENCY: native-vs-fallback resolves from
+    * `SparkSession.getActiveSession` at Column-CONSTRUCTION time, not
+    * analysis time. A Column built while a GraftExtensions session is
+    * active but analyzed against a session WITHOUT the extension
+    * (multi-session tests, thread-local drift) fails analysis with
+    * "undefined function graft_md5_long"; the reverse direction
+    * silently takes the slower-but-identical fallback. Single-session
+    * processes (every driver-contract main) never hit either case;
+    * multi-session callers should construct columns on the thread whose
+    * active session will analyze them. */
   def md5Int(c: Column, hexDigits: Int): Column = {
     require(hexDigits <= 15, "more than 15 hex digits overflows a signed Long")
     val native = org.apache.spark.sql.SparkSession.getActiveSession

@@ -416,20 +416,31 @@ object CoreQueries {
         M.oracleRound(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
       .orderBy("l_returnflag")
 
-  // the 100 TB statistics plan for q50's semantics: approx_percentile
-  // (Greenwald-Khanna, bounded-memory aggregation buffer — the exact
-  // `percentile` buffers every group value) and HyperLogLog++ distinct
-  // counts. Sketch INTERNALS differ across engines, so the sketch
-  // values themselves can't be hash-oracled — instead the query emits
-  // deterministic facts: the exact statistics plus `*_in_bound`
-  // booleans PROVING each sketch landed inside its published error
-  // bound, so the oracle states the exact values and `true` directly
-  // and the row is fully hash-gated. The brackets are deterministic,
-  // not empirical: GK with accuracy 10000 guarantees rank error
-  // ≤ n/10000, and the exact interpolated percentiles at p ± 0.001
-  // bracket every value whose rank is within (n-1)/1000 ≥ n/10000 of
-  // target (n ≥ 2; monotone in rank). HLL++ at default rsd 0.05 gets
-  // a 3σ relative band of 15 %.
+  // the bounded-memory-SKETCH statistics demonstrator for q50's
+  // semantics: approx_percentile (Greenwald-Khanna) and HyperLogLog++
+  // distinct counts. Sketch INTERNALS differ across engines, so the
+  // sketch values themselves can't be hash-oracled — instead the query
+  // emits deterministic facts: the exact statistics plus `*_in_bound`
+  // booleans PROVING each sketch landed inside its error bound, so the
+  // oracle states the exact values and `true` directly and the row is
+  // fully hash-gated. NOTE this oracle-verifiable FORM trades away the
+  // bounded-memory property the sketches exist for: the exact
+  // percentile()/countDistinct columns buffer every group value and
+  // shuffle all distinct partkeys — they are the PROOF scaffolding, not
+  // the at-scale plan. The at-scale exact plan is q58's histogram
+  // interpolation (bounded memory AND hash-oracled); a pure production
+  // sketch query is this one minus the exact columns.
+  // Bracket validity: GK at accuracy 10000 guarantees rank error
+  // ≤ n/10000; the exact interpolated percentiles at p ± 0.001 cover a
+  // (n-1)/1000-rank band, which dominates the GK error PLUS the ≤ ~1
+  // rank definitional offset between approx_percentile's nearest-rank
+  // target (ceil(p·n)) and percentile's interpolated target ((n-1)·p)
+  // only once (n-1)/1000 ≥ n/10000 + 1, i.e. n ≳ 1100 with distinct
+  // values — NOT for all n ≥ 2 (counterexample n=2, {0,100}: estimate
+  // 0 or 100, bracket [49.9, 50.1]). Gate groups carry n ≈ 2000+;
+  // shrinking the groups below ~1100 needs a rank-based bracket
+  // (exact order statistics at ceil(pn) ± (1+εn)) instead. HLL++ at
+  // default rsd 0.05 gets a 3σ relative band of 15 %.
   def quantileStatsApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")

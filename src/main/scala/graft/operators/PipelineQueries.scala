@@ -69,18 +69,31 @@ object PipelineQueries {
     embStage.getOrElseUpdate((s, dir),
       Similarity.normalizeCorpus(Tables.embeddings(s, dir), "vec_id", "embedding"))
 
-  /** Shared lowercased token stream per (session, sf dir) — ONE
-    * tokenize+explode pass (localCheckpointed) feeding the corpus-text
-    * family q56/q57/q62/q77 instead of four independent ones (same
-    * immutable-dir memo contract as [[stages]]; r5 flagged the family's
-    * repeated explode as the suspected q56 bench drift — the isolated
-    * timing cleared the query, but the shared stage removes the
-    * repeated work regardless). */
+  /** Shared lowercased token-ARRAY stage per (session, sf dir) — THE
+    * one tokenize pass over the corpus text. Two shapes derive from
+    * it: [[lowerToks]] (the exploded `(doc_id, term)` stream the
+    * tfidf/bm25/vocab/fluency legs consume) and the positional arrays
+    * the bigram-PMI leg needs — so q56/q57/q62/q77/q98/q101 share ONE
+    * regex tokenization of the corpus instead of q98 re-tokenizing
+    * (r6 verdict's "second full tokenize pass at 100 TB" note). Same
+    * immutable-dir memo contract as [[stages]]. */
+  private val tokArrStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def tokenArrays(s: SparkSession, dir: String): DataFrame =
+    tokArrStage.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.tokens(lower(col("text"))).as("a"))
+        .localCheckpoint())
+
+  /** Shared exploded token stream, derived from [[tokenArrays]] —
+    * checkpointed itself because its consumers read it from several
+    * plan positions and the explode is the corpus-sized step. */
   private val tokStage =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def lowerToks(s: SparkSession, dir: String): DataFrame =
     tokStage.getOrElseUpdate((s, dir),
-      TextCorpus.lowerToks(Tables.documents(s, dir), "doc_id", "text")
+      tokenArrays(s, dir)
+        .select(col("doc_id"), explode(col("a")).as("term"))
         .localCheckpoint())
 
   /** Drop every shared-stage memo entry. Bench hygiene: the warm-up
@@ -91,7 +104,7 @@ object PipelineQueries {
   def clearSharedStages(): Unit = {
     mhStages.clear(); pairStage.clear(); ccStage.clear()
     embStage.clear(); plantStage.clear(); tokStage.clear()
-    winStage.clear(); refStage.clear()
+    winStage.clear(); refStage.clear(); tokArrStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -521,9 +534,10 @@ object PipelineQueries {
       .orderBy("name_a", "name_b")
 
   // top-30 bigram collocations by 4-dp-rounded PMI with a count-5
-  // floor — the phrase-vocabulary design table
+  // floor — the phrase-vocabulary design table; consumes the shared
+  // token-array stage (one tokenize pass family-wide)
   def bigramPmiTop(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.bigramPmi(Tables.documents(s, dir), "text",
+    TextCorpus.bigramPmiFromArrs(tokenArrays(s, dir),
         minCount = 5L, k = 30)
       .orderBy("rnk")
 

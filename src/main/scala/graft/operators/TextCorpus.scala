@@ -216,8 +216,19 @@ object TextCorpus {
     * aggregates, and the final top-k is a TakeOrdered — nothing
     * vocabulary² anywhere. */
   def bigramPmi(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame =
+    bigramPmiFromArrs(
+      df.select(TextFunctions.tokens(lower(col(textCol))).as("a")),
+      minCount, k)
+
+  /** [[bigramPmi]] over a pre-built token-ARRAY stage `(…, a
+    * array<string>)` — the positional form of the family's shared
+    * tokenize: bigrams need in-order arrays, not the exploded `(id,
+    * term)` stream the tfidf/bm25/fluency legs consume, so the shared
+    * stage is the array and BOTH shapes derive from it (the exploded
+    * stream is `explode(a)`). One tokenize pass family-wide. */
+  def bigramPmiFromArrs(arrs: DataFrame, minCount: Long,
       k: Int): DataFrame = {
-    val arrs = df.select(TextFunctions.tokens(lower(col(textCol))).as("a"))
     val toks = arrs.select(explode(col("a")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val n = toks.agg(count(lit(1)).cast("double").as("__n"))

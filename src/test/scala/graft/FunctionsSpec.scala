@@ -148,4 +148,19 @@ class FunctionsSpec extends AnyFunSuite {
       assert(mismatches == 0, s"digits=$digits")
     }
   }
+
+  test("native function descriptors reject wrong arity / non-numeric literals cleanly") {
+    // wrong-number-of-arguments must be a proper error, not an
+    // IndexOutOfBounds deep in the descriptor
+    for (bad <- Seq("graft_md5_long('x')", "graft_md5_long('x', 8, 9)",
+        "graft_dot(array(1.0d))", "graft_md5_long('x', 'notanumber')")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("argument") || msg.contains("literal"),
+        s"$bad should fail with an argument-count/type message, got: $msg")
+    }
+  }
 }
