@@ -136,6 +136,7 @@ object SparkEntry {
     "q102_substring_keep" -> (P.substringKeep _),
     "q103_incr_neardup" -> (P.incrementalNearDup _),
     "q104_incr_neardup_stages" -> (P.incrementalNearDupStages _),
+    "q105_wav_decode" -> (P.wavDecode _),
   )
 
   /** Shared q103/q104 oracle: both queries compute the same verified
@@ -1328,6 +1329,23 @@ object SparkEntry {
     // q85's maxDf.
     "q103_incr_neardup" -> incrNearDupOracle,
     "q104_incr_neardup_stages" -> incrNearDupOracle,
+    // Real WAV decode: the engine BUILDS canonical RIFF bytes from
+    // doc_id-derived parameters and re-reads them by parsing the
+    // header; the oracle restates the parameters directly — a parser
+    // or writer bug (offset, endianness, block align) breaks the
+    // round-trip and goes red. duration = n*1000.0/rate with the same
+    // operation order (exact-integer doubles in, identical IEEE out).
+    "q105_wav_decode" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        | CAST(16 AS INTEGER) AS bits,
+        | CAST(doc_id % 997 + 1 AS BIGINT) AS n_samples,
+        | round((doc_id % 997 + 1) * 1000.0 /
+        |   (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 ELSE 44100 END), 4) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Fluency quartile buckets over the q77 scores: bounds 4-dp-pinned
     // (quantile_cont ≡ percentile, the q50-proven pair; 0.25/0.75 are
     // exact binary fractions so the rank positions match to the bit).

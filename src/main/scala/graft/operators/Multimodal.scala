@@ -2,14 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.MysqlFunctions
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns plus typed metadata, processed without ever
   * materializing a payload on the driver.
   *
-  * The actual codecs (JPEG decode, resampling, video demux) are NOT
-  * available in this environment, so the pixel/sample-level step is a
-  * clearly-marked deterministic STUB (`fakeDecodeMeta`) — everything
+  * The image/video codecs (JPEG decode, resampling, video demux) are
+  * NOT available in this environment, so the pixel-level step for
+  * those modalities is a clearly-marked deterministic STUB
+  * (`fakeDecodeMeta`). The AUDIO modality has a REAL decode:
+  * [[wavMeta]] parses the RIFF/WAVE header with pure byte arithmetic
+  * (gate query q105) — no dependency needed. Everything
   * Spark-side is real and is the part that matters at 100 TB: the
   * schema contract, bytewise chunking/frame sampling as codegen'd
   * expressions, metadata extraction, and the rule that payload bytes
@@ -64,6 +68,87 @@ object Multimodal {
     val nFrames = ceil(length(media).cast("double") / frameBytes).cast("int")
     when(nFrames > 0, floor((nFrames - 1).cast("double") / stride).cast("int") + 1)
       .otherwise(lit(0))
+  }
+
+  // ---- WAV (RIFF) — a REAL public-format decode, no dependencies ----
+  // Layout per the public RIFF/WAVE spec ("Multimedia Programming
+  // Interface and Data Specifications 1.0", IBM/Microsoft 1991),
+  // canonical 44-byte header: "RIFF" + riffSize(LE32) + "WAVE" +
+  // "fmt " + 16(LE32) + format(LE16) + channels(LE16) + rate(LE32) +
+  // byteRate(LE32) + blockAlign(LE16) + bits(LE16) + "data" +
+  // dataSize(LE32) + payload.
+
+  /** Little-endian unsigned integer read from `nbytes` (≤ 7) bytes of
+    * a binary column at 1-based `offset` — pure byte arithmetic over
+    * the hex encoding: `hex()` emits two digits per byte in storage
+    * order, so reversing the byte PAIRS yields the big-endian digit
+    * string `conv()` parses. Codegen'd built-ins end to end. */
+  def leUInt(bin: Column, offset: Int, nbytes: Int): Column = {
+    require(nbytes >= 1 && nbytes <= 7, "must fit a signed Long")
+    val h = hex(substring(bin, offset, nbytes))
+    val be = concat((nbytes to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(be, 16, 10).cast("long")
+  }
+
+  /** Little-endian fixed-width hex encoding of a non-negative integer
+    * value — the writer inverse of [[leUInt]]. */
+  private def leHex(v: Column, nbytes: Int): Column = {
+    val be = lpad(hex(v.cast("long")), nbytes * 2, "0")
+    concat((nbytes to 1 by -1).map(i =>
+      substring(be, (i - 1) * 2 + 1, 2)): _*)
+  }
+
+  /** Deterministic 16-bit PCM WAV bytes: canonical RIFF header +
+    * silent payload, built entirely from codegen'd hex arithmetic and
+    * one `unhex`. The HEADER is bit-exact per the spec (it round-trips
+    * through any conformant reader — [[wavMeta]] or `javax.sound`);
+    * only the payload CONTENT is synthetic (silence), standing in for
+    * real capture data the test environment doesn't have. */
+  def wavBytes(sampleRate: Column, channels: Column,
+      nSamples: Column): Column = {
+    val bits = 16
+    val blockAlign = channels * lit(bits / 8)
+    val dataSize = (nSamples * blockAlign).cast("long")
+    val byteRate = (sampleRate * blockAlign).cast("long")
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + 36, 4), lit("57415645"), // RIFF…WAVE
+      lit("666D7420"), leHex(lit(16), 4), leHex(lit(1), 2),      // fmt , PCM
+      leHex(channels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(bits), 2),
+      lit("64617461"), leHex(dataSize, 4),                        // data
+      repeat(lit("00"), dataSize.cast("int"))))
+  }
+
+  /** REAL WAV decode — validates the four RIFF/WAVE/fmt/data magics
+    * and reads channel count, sample rate, bit depth and data-chunk
+    * byte length straight out of the header bytes, deriving sample
+    * count and duration. NULL (whole struct) for non-WAV payloads.
+    * Assumes the canonical chunk order ([[wavBytes]]'s layout and the
+    * overwhelmingly common one); exotic chunk orders would need a
+    * chunk-walk fold, out of scope. This replaces the r4-r6 stub for
+    * the audio modality: the parse is real byte arithmetic, executes
+    * inside whole-stage codegen, and needs no external codec. */
+  def wavMeta(media: Column): Column = {
+    val isWav = decode(substring(media, 1, 4), "UTF-8") === "RIFF" &&
+      decode(substring(media, 9, 4), "UTF-8") === "WAVE" &&
+      decode(substring(media, 13, 4), "UTF-8") === "fmt " &&
+      decode(substring(media, 37, 4), "UTF-8") === "data"
+    val channels = leUInt(media, 23, 2)
+    val rate = leUInt(media, 25, 4)
+    val bits = leUInt(media, 35, 2)
+    val dataSize = leUInt(media, 41, 4)
+    // exact integer quotient (blockAlign divides dataSize by
+    // construction); `/` is double division in Spark, so cast back
+    val nSamples = (dataSize / (channels * (bits / lit(8)))).cast("long")
+    when(isWav && length(media) >= 44, struct(
+      channels.cast("int").as("channels"),
+      rate.cast("int").as("sample_rate"),
+      bits.cast("int").as("bits"),
+      nSamples.as("n_samples"),
+      MysqlFunctions.oracleRound(
+        nSamples.cast("double") * lit(1000.0) / rate.cast("double"), 4)
+        .as("duration_ms")))
   }
 
   /** Metadata extraction over a media table: one row per document with

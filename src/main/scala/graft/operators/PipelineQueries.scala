@@ -282,6 +282,30 @@ object PipelineQueries {
       "doc_id", "media")
       .orderBy("doc_id")
 
+  // REAL multimodal decode: deterministic 16-bit PCM WAV bytes are
+  // BUILT per doc (rate/channels/length are pure functions of doc_id),
+  // then the engine recovers every parameter by PARSING the RIFF
+  // header bytes — the decode is real byte arithmetic (and is
+  // independently validated against javax.sound-written files in the
+  // spec); only the payload content is synthetic silence. The oracle
+  // restates the generation parameters, so any header-layout or
+  // endianness bug in the parser goes red.
+  def wavDecode(s: SparkSession, dir: String): DataFrame = {
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val n = (pmod(col("doc_id"), lit(997)) + 1).cast("int")
+    val meta = Multimodal.wavMeta(Multimodal.wavBytes(rate, channels, n))
+    Tables.documents(s, dir).select(col("doc_id"),
+        meta.getField("channels").as("channels"),
+        meta.getField("sample_rate").as("sample_rate"),
+        meta.getField("bits").as("bits"),
+        meta.getField("n_samples").as("n_samples"),
+        meta.getField("duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)

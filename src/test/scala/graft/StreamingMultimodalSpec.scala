@@ -529,6 +529,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(n2 == 0 && f2.isEmpty)
   }
 
+  test("multimodal: wavMeta parses javax.sound-written WAV files (independent writer)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // an INDEPENDENT RIFF writer (the JDK's) — if our parser's offsets,
+    // endianness or block-align math were wrong, these would not agree
+    def jdkWav(rate: Float, channels: Int, nSamples: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nSamples * channels * 2)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val cases = Seq((8000f, 1, 1), (16000f, 2, 500), (44100f, 2, 44100),
+      (22050f, 1, 997))
+    val rows = cases.zipWithIndex.map { case ((r, c, n), i) =>
+      (i.toLong, jdkWav(r, c, n), r.toInt, c, n.toLong)
+    }.toDF("id", "media", "rate", "channels", "n")
+    val got = rows.select(col("id"), col("rate"), col("channels"), col("n"),
+        Multimodal.wavMeta(col("media")).as("m"))
+      .select(col("id"),
+        (col("m.channels") === col("channels") &&
+         col("m.sample_rate") === col("rate") &&
+         col("m.bits") === lit(16) &&
+         col("m.n_samples") === col("n")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.values.forall(identity), s"parse disagreed with the JDK writer: $got")
+    // and our own writer round-trips through the JDK reader
+    val ours = TestSpark.spark.range(1).select(
+        Multimodal.wavBytes(lit(22050), lit(2), lit(1234)).as("w"))
+      .as[Array[Byte]].head()
+    val aff = AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(ours))
+    assert(aff.getFormat.getSampleRate == 22050f)
+    assert(aff.getFormat.getChannels == 2)
+    assert(aff.getFormat.getSampleSizeInBits == 16)
+    assert(aff.getFrameLength == 1234)
+    // non-WAV payloads decode to NULL, not garbage
+    val nul = Seq((1L, "not a riff file at all".getBytes("UTF-8")))
+      .toDF("id", "media")
+      .select(Multimodal.wavMeta(col("media")).isNull.as("isnull"))
+      .as[Boolean].head()
+    assert(nul)
+  }
+
   test("multimodal: stub decode is deterministic and bounded; resize preserves aspect") {
     val df = Seq((1L, "payload-bytes".getBytes("UTF-8"))).toDF("doc_id", "media")
     val meta = df.select(Multimodal.fakeDecodeMeta(col("media")).as("m"))
