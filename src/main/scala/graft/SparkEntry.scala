@@ -137,7 +137,54 @@ object SparkEntry {
     "q103_incr_neardup" -> (P.incrementalNearDup _),
     "q104_incr_neardup_stages" -> (P.incrementalNearDupStages _),
     "q105_wav_decode" -> (P.wavDecode _),
+    "q106_ann_recall" -> (P.annRecall _),
   )
+
+  /** q28's exact brute-force cosine top-5 — also the ground-truth leg
+    * of the q106 recall gate. */
+  private val exactTopKOracle: String =
+    """SELECT query_id, neighbor_id, rnk FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |             c.vec_id) AS INTEGER) AS rnk
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** q33's ANN pipeline reproduced end-to-end: md5-derived hyperplane
+    * weights -> sign buckets -> multi-probe (hamming<=1) candidates ->
+    * exact cosine rank. Possible only because the planes are hash-
+    * derived (a seeded-RNG plane set would not be SQL-expressible).
+    * Also the approximate leg of the q106 recall gate. */
+  private val signLshTopKOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT pp.p AS p, dd.d AS d,
+      |  CAST(('0x' || substr(md5('42:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+      |    / 4294967296.0 - 0.5 AS wt
+      | FROM generate_series(0, 5) AS pp(p), generate_series(0, 63) AS dd(d)),
+      |dots AS (SELECT e.vec_id, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
+      | FROM e, w GROUP BY e.vec_id, w.p),
+      |buck AS (SELECT vec_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+      |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      | FROM dots GROUP BY vec_id),
+      |qp AS (SELECT b.vec_id AS query_id,
+      |  xor(b.bucket, CASE WHEN g.i = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE (CAST(1 AS BIGINT) << CAST(g.i - 1 AS INTEGER)) END) AS bucket
+      | FROM buck b, generate_series(0, 6) AS g(i) WHERE b.vec_id < 8),
+      |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+      | FROM qp JOIN buck cb ON cb.bucket = qp.bucket
+      | WHERE cb.vec_id <> qp.query_id),
+      |ranked AS (SELECT c.query_id, c.neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY c.query_id
+      |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+      |             c.neighbor_id) AS INTEGER) AS rnk
+      | FROM cand c
+      | JOIN embeddings qe ON qe.vec_id = c.query_id
+      | JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 
   /** Shared q103/q104 oracle: both queries compute the same verified
     * cross-side J >= 0.7 pair set — q104 differs only in WHERE the
@@ -440,15 +487,7 @@ object SparkEntry {
         | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
         | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) > 50) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q28_cosine_topk" ->
-      """SELECT query_id, neighbor_id, rnk FROM (
-        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-        |             c.vec_id) AS INTEGER) AS rnk
-        | FROM embeddings q, embeddings c
-        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
-        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q28_cosine_topk" -> exactTopKOracle,
     // Full MinHash signature matrix, reproduced hash-for-hash: the
     // md5-prefix family is expressible in SQL.
     "q29_minhash_sig" ->
@@ -472,34 +511,7 @@ object SparkEntry {
     // weights -> sign buckets -> multi-probe (hamming<=1) candidates ->
     // exact cosine rank. Possible only because the planes are hash-
     // derived (a seeded-RNG plane set would not be SQL-expressible).
-    "q33_ann_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |w AS (SELECT pp.p AS p, dd.d AS d,
-        |  CAST(('0x' || substr(md5('42:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
-        |    / 4294967296.0 - 0.5 AS wt
-        | FROM generate_series(0, 5) AS pp(p), generate_series(0, 63) AS dd(d)),
-        |dots AS (SELECT e.vec_id, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
-        | FROM e, w GROUP BY e.vec_id, w.p),
-        |buck AS (SELECT vec_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-        | FROM dots GROUP BY vec_id),
-        |qp AS (SELECT b.vec_id AS query_id,
-        |  xor(b.bucket, CASE WHEN g.i = 0 THEN CAST(0 AS BIGINT)
-        |    ELSE (CAST(1 AS BIGINT) << CAST(g.i - 1 AS INTEGER)) END) AS bucket
-        | FROM buck b, generate_series(0, 6) AS g(i) WHERE b.vec_id < 8),
-        |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
-        | FROM qp JOIN buck cb ON cb.bucket = qp.bucket
-        | WHERE cb.vec_id <> qp.query_id),
-        |ranked AS (SELECT c.query_id, c.neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY c.query_id
-        |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
-        |             c.neighbor_id) AS INTEGER) AS rnk
-        | FROM cand c
-        | JOIN embeddings qe ON qe.vec_id = c.query_id
-        | JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+    "q33_ann_topk" -> signLshTopKOracle,
     // Exact brute-force Jaccard >= 0.7 over 3-token shingles: equals the
     // MinHash-LSH output because banded collision is ~certain at the
     // planted near-dups' J >= 0.9 (see PipelineQueries.minhashPairs).
@@ -573,6 +585,27 @@ object SparkEntry {
     // here, zip_with/aggregate in Spark), keeping the comparison exact.
     "q53_ivf_topk" -> ivfOracle(nlist = 16, nprobe = 4, iters = 3,
       dim = 64, k = 5, seed = 42, queryMax = 8),
+    // Retrieval-QUALITY gate: recall@5 of the two approximate paths
+    // against the exact top-5. The oracle RECOMPUTES all three legs
+    // (the q28/q33/q53 gate SQL, nested as CTEs — DuckDB allows a WITH
+    // inside a CTE body) and derives the same counts, so the row stays
+    // valid under testdata regeneration — no pinned recall literals.
+    "q106_ann_recall" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ann AS (
+         |$signLshTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), hits AS (
+         | SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM exact JOIN ann USING (query_id, neighbor_id)) AS ann_hits,
+         |  (SELECT count(*) FROM exact JOIN ivf USING (query_id, neighbor_id)) AS ivf_hits)
+         |SELECT CAST(5 AS INTEGER) AS k, n_exact, ann_hits, ivf_hits,
+         | round(CAST(ann_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ann_recall,
+         | round(CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ivf_recall
+         |FROM hits""".stripMargin,
     // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
     // end over the q51 planted corpus: quantizer fit, final cell
     // assignment, in-cell pair join, exact-cosine verification.
