@@ -56,6 +56,24 @@ object Bench {
     def snapMetrics(): (Long, Long, Long) =
       (shuffleAgg.get(0), shuffleAgg.get(1), shuffleAgg.get(2))
 
+    // Machine-load calibration: median-of-3 of a FIXED-COST trivial
+    // query (q12 — one distinct over 15k rows, byte-identical across
+    // rounds) timed before the pass. Any consumer comparing bench
+    // totals across runs/boxes can normalize by this — r6's driver run
+    // read as a fake 2x regression purely because the machine was
+    // loaded (the same trivial queries inflated 7-15x); with the
+    // calibration field that state is detectable from the artifact
+    // alone (builder-box median is ~0.2 s; a calibration of 1 s+ means
+    // the run is contention-dominated and per-query times are noise).
+    val calibration = SparkEntry.queries.get("q12_distinct").map { fn =>
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (runs.sorted.apply(1), runs)
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     // sorted order: Map iteration order shifts when queries are added,
@@ -87,9 +105,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val calJson = calibration.map { case (med, runs) =>
+      s""""calibration":{"query":"q12_distinct","medianSec":$med,""" +
+      s""""runs":[${runs.mkString(",")}]},"""
+    }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size},""" +
+      s"""$calJson"errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size},""" +
       s""""sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
