@@ -138,6 +138,8 @@ object SparkEntry {
     "q104_incr_neardup_stages" -> (P.incrementalNearDupStages _),
     "q105_wav_decode" -> (P.wavDecode _),
     "q106_ann_recall" -> (P.annRecall _),
+    "q107_pii_redact" -> (P.piiRedact _),
+    "q108_oov_rate" -> (P.oovRate _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -606,6 +608,44 @@ object SparkEntry {
          | round(CAST(ann_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ann_recall,
          | round(CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ivf_recall
          |FROM hits""".stripMargin,
+    // PII scrub: deterministic planted email/phone per doc (the raw
+    // testdata has none), counted and redacted with the SAME
+    // RE2-compatible patterns on both engines — replacement text
+    // hash-compared, so span boundaries must agree exactly.
+    "q107_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1555'
+        |   || doc_id || '00 now' AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT)
+        |   AS n_phones,
+        | regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS red_text
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    // OOV rate vs the corpus top-31 vocabulary head (q62's table):
+    // tokenizer-coverage per doc; NULL for empty docs.
+    "q108_oov_rate" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |v AS (SELECT term FROM (
+        |  SELECT term, count(*) AS n FROM toks GROUP BY term
+        |  ORDER BY n DESC, term LIMIT 31)),
+        |p AS (SELECT t.doc_id, count(*) AS n_toks, count(v.term) AS n_in_vocab
+        |      FROM toks t LEFT JOIN v ON t.term = v.term GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
+        | coalesce(p.n_in_vocab, 0) AS n_in_vocab,
+        | round(1.0 - CAST(p.n_in_vocab AS DOUBLE) / CAST(p.n_toks AS DOUBLE), 4)
+        |   AS oov_rate
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
     // end over the q51 planted corpus: quantizer fit, final cell
     // assignment, in-cell pair join, exact-cosine verification.

@@ -134,6 +134,29 @@ object TextFunctions {
     else conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
   }
 
+  // ---- PII scrubbing (emails / phone numbers) ----
+  // Patterns are lookaround-free (RE2-compatible) so the SQL oracle's
+  // regex engine matches the exact same spans; both engines replace
+  // ALL occurrences (Spark regexp_replace default, DuckDB 'g' flag).
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{7,15}"
+
+  /** Count of email-shaped spans. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast("long")
+
+  /** Count of international-format phone-number spans. */
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern)).cast("long")
+
+  /** Redact emails and phone numbers to typed placeholder tokens — the
+    * standard pre-training PII scrub step. Pure codegen regexp_replace
+    * chain: linear, no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Rolling (polynomial) hash over whitespace tokens — order-sensitive
     * document fingerprint, computed as a sequential fold (deterministic).
     * Modulus 2^31-1 keeps every intermediate within Long range under ANSI

@@ -296,13 +296,21 @@ object PipelineQueries {
       (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
     val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
     val n = (pmod(col("doc_id"), lit(997)) + 1).cast("int")
-    val meta = Multimodal.wavMeta(Multimodal.wavBytes(rate, channels, n))
-    Tables.documents(s, dir).select(col("doc_id"),
-        meta.getField("channels").as("channels"),
-        meta.getField("sample_rate").as("sample_rate"),
-        meta.getField("bits").as("bits"),
-        meta.getField("n_samples").as("n_samples"),
-        meta.getField("duration_ms").as("duration_ms"))
+    // staged selects, NOT one flat projection: the struct is a
+    // non-cheap alias referenced six times, so CollapseProject keeps
+    // the project boundaries and the bytes/parse evaluate ONCE per row
+    // (the flat form inlined the whole build+parse tree per output
+    // field — measured 8.6 s -> ~1 s at sf0.1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.wavBytes(rate, channels, n).as("__wav"))
+      .select(col("doc_id"), Multimodal.wavMeta(col("__wav")).as("__m"))
+      .select(col("doc_id"),
+        col("__m.channels").as("channels"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.bits").as("bits"),
+        col("__m.n_samples").as("n_samples"),
+        col("__m.duration_ms").as("duration_ms"))
       .orderBy("doc_id")
   }
 
@@ -671,6 +679,51 @@ object PipelineQueries {
     Dedup.nearDupAgainstReferenceFromStages(
         incSets, incSigs, refSets, refSigs, "doc_id")
       .orderBy("inc_id", "ref_id")
+  }
+
+  // PII scrub gate: every doc gets a deterministic doc_id-derived email
+  // + phone APPENDED (the raw testdata has none — planting makes the
+  // redaction non-vacuous, exactly the q51 planted-corpus convention),
+  // then the engine counts and redacts them. The oracle rebuilds the
+  // same augmented text and applies the same RE2-compatible patterns,
+  // so a pattern-semantics divergence between engines goes red. Scale
+  // shape: pure per-row regexp projection — map-only, no shuffle.
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or +1555"),
+      col("doc_id").cast("string"), lit("00 now"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("__t"))
+      .select(col("doc_id"),
+        T.emailCount(col("__t")).as("n_emails"),
+        T.phoneCount(col("__t")).as("n_phones"),
+        T.redactPii(col("__t")).as("red_text"))
+      .orderBy("doc_id")
+  }
+
+  // Out-of-vocabulary rate against the corpus vocabulary head: the
+  // tokenizer-coverage diagnostic (what fraction of each doc's token
+  // occurrences fall outside the global top-31 terms). Rides the shared
+  // exploded token stage; the vocabulary head is 31 rows by
+  // construction, so the broadcast is correct at ANY corpus scale —
+  // the per-doc aggregate is the only shuffle. Empty docs keep a row
+  // with NULL rate (no tokens to cover).
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = lowerToks(s, dir)
+    val vocab = TextCorpus.vocabTopFromToks(toks, 31)
+      .select(col("term"), lit(1).as("__v"))
+    val perDoc = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), count(col("__v")).as("n_in_vocab"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        graft.functions.MysqlFunctions.oracleRound(
+          lit(1.0) - col("n_in_vocab").cast("double") /
+            col("n_toks").cast("double"), 4).as("oov_rate"))
+      .orderBy("doc_id")
   }
 
   // CCNet-style corpus partition by fluency quartiles: head (top

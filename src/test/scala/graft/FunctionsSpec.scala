@@ -149,6 +149,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction replaces every email/phone span and counts agree") {
+    val rows = Seq(
+      (1L, "mail a.b+c@x-corp.io and B@Y.ORG, call +4915712345678 now"),
+      (2L, "no pii here, just text with an @ sign and + plus"),
+      (3L, "+1234567 edge: seven digits matches, +123456 does not"),
+      (4L, "")).toDF("id", "t")
+    val got = rows.select(col("id"),
+        graft.functions.TextFunctions.emailCount(col("t")).as("e"),
+        graft.functions.TextFunctions.phoneCount(col("t")).as("p"),
+        graft.functions.TextFunctions.redactPii(col("t")).as("r"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "mail <EMAIL> and <EMAIL>, call <PHONE> now")
+    assert(got(2L)._2 == 0 && got(2L)._3 == 0 && got(2L)._4 == rows
+      .filter(col("id") === 2).select("t").as[String].head())
+    assert(got(3L)._2 == 0 && got(3L)._3 == 1)
+    assert(got(3L)._4 == "<PHONE> edge: seven digits matches, +123456 does not")
+    assert(got(4L)._2 == 0 && got(4L)._3 == 0 && got(4L)._4 == "")
+  }
+
   test("native function descriptors reject wrong arity / non-numeric literals cleanly") {
     // wrong-number-of-arguments must be a proper error, not an
     // IndexOutOfBounds deep in the descriptor
