@@ -151,6 +151,18 @@ class PlanSpec extends AnyFunSuite {
       s"unpivot must scan the table once:\n$plan")
   }
 
+  test("q107: PII redaction is map-only — regexp chain rides the scan, no join, no shuffle") {
+    val plan = P.piiRedact(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("hashpartitioning"),
+      s"redaction must be a per-row projection:\n$plan")
+  }
+
+  test("q108: OOV rate broadcasts the constant-size vocabulary head") {
+    val plan = P.oovRate(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 31-row vocab side must broadcast:\n$plan")
+  }
+
   test("q104: persisted-stage incremental near-dup never reads the reference text") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
