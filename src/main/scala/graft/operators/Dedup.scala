@@ -255,6 +255,37 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Day-close maintenance for the persisted incremental stages:
+    * tomorrow's reference (sets, sigs) = today's plus the batch rows
+    * that were ACCEPTED (classified `new` — duplicate rows must not
+    * enter the reference, or every later batch re-matches them). Pure
+    * unionAll + one semi-join per stage: the batch stages were already
+    * computed for the dedup itself, so closing the loop re-hashes
+    * NOTHING — write the outputs back over the persisted tables (e.g.
+    * `ParquetSink`) and the [[nearDupAgainstReferenceFromStages]] /
+    * [[dedupAgainstReferenceFps]] contract is complete. Stage rows are
+    * per-doc deterministic, so the merged tables are row-identical to
+    * recomputing from scratch over (reference ∪ accepted) — property-
+    * tested in DedupSimilaritySpec. */
+  def mergedReferenceStages(refSets: DataFrame, refSigs: DataFrame,
+      incSets: DataFrame, incSigs: DataFrame, idCol: String,
+      acceptedIds: DataFrame): (DataFrame, DataFrame) = {
+    val ids = acceptedIds.select(col(idCol))
+    (refSets.unionAll(incSets.join(ids, Seq(idCol), "left_semi")),
+      refSigs.unionAll(incSigs.join(ids, Seq(idCol), "left_semi")))
+  }
+
+  /** The exact-dedup leg's maintenance twin: tomorrow's reference
+    * fingerprint table = today's plus the accepted batch fingerprints
+    * (one md5 per accepted doc — the only re-hash, unavoidable and
+    * tiny). Distinct applied so the table never grows duplicate rows. */
+  def mergedReferenceFps(refFps: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, acceptedIds: DataFrame): DataFrame =
+    refFps.select(col("fp")).unionAll(
+      incoming.join(acceptedIds.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(TextFunctions.fingerprint(col(textCol)).as("fp")))
+      .distinct()
+
   /** SimHash over whitespace tokens: per bit j, sum +1/-1 for each
     * token whose hash has bit j set/clear; bit j of the fingerprint =
     * sign of the sum. `bits` parallel sum-aggregates — one shuffle,

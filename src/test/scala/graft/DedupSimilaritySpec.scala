@@ -97,6 +97,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("merged reference stages are row-identical to recomputing over (ref ∪ accepted)") {
+    val rng = new scala.util.Random(7)
+    def doc() = Seq.fill(6 + rng.nextInt(12))(
+      "w" + rng.nextInt(30)).mkString(" ")
+    val refDocs = (0L until 40L).map(i => (i, doc()))
+    val incDocs = (100L until 130L).map(i => (i, doc()))
+    val ref = refDocs.toDF("doc_id", "text")
+    val inc = incDocs.toDF("doc_id", "text")
+    val refSets = Dedup.shingleSets(ref, "doc_id", "text", 3)
+    val refSigs = Dedup.minHashSigsFromSets(refSets, "doc_id", 64)
+    val incSets = Dedup.shingleSets(inc, "doc_id", "text", 3)
+    val incSigs = Dedup.minHashSigsFromSets(incSets, "doc_id", 64)
+    // accept an arbitrary deterministic subset of the batch
+    val accepted = inc.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val (mSets, mSigs) = Dedup.mergedReferenceStages(
+      refSets, refSigs, incSets, incSigs, "doc_id", accepted)
+    val unionDocs = ref.unionAll(inc.filter(col("doc_id") % 3 =!= 0))
+    val fSets = Dedup.shingleSets(unionDocs, "doc_id", "text", 3)
+    val fSigs = Dedup.minHashSigsFromSets(fSets, "doc_id", 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String])].collect().toMap
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Long])].collect().toMap
+    assert(rows(mSets) == rows(fSets))
+    assert(sigRows(mSigs) == sigRows(fSigs))
+    // fingerprint leg: merged table == from-scratch distinct fps
+    val refFps = ref.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val mFps = Dedup.mergedReferenceFps(refFps, inc, "doc_id", "text", accepted)
+    val fFps = unionDocs.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+    assert(mFps.as[String].collect().sorted.toSeq ==
+      fFps.as[String].collect().sorted.toSeq)
+  }
+
   test("simHash: exact dups identical, near-dups hamming-close, others far") {
     val sims = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
