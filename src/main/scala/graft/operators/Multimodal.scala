@@ -151,6 +151,67 @@ object Multimodal {
         .as("duration_ms")))
   }
 
+  /** [[leUInt]] at a DYNAMIC (Column) 1-based offset. */
+  private def leUIntAt(bin: Column, offset: Column, nbytes: Int): Column = {
+    val h = hex(substr(bin, offset.cast("int"), lit(nbytes)))
+    val be = concat((nbytes to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(be, 16, 10).cast("long")
+  }
+
+  /** [[wavMeta]] generalized to NON-canonical chunk orders: walks up
+    * to `maxChunks` RIFF chunks (id + LE32 size, data padded to even —
+    * per the spec's chunk grammar) to locate `fmt ` and `data` wherever
+    * they sit, e.g. behind a `LIST`/`INFO` metadata chunk, then reads
+    * the same fields relative to the found offsets. Returns `df` with
+    * a struct column `out` (NULL when the magics fail or either chunk
+    * is beyond the walk). A DataFrame (not Column) API on purpose: the
+    * walk is STAGED across projections so each step's offset/size is
+    * evaluated once — a single nested expression would re-embed the
+    * offset tree exponentially per level (a flat 6-level build OOM'd
+    * codegen), the q105 duplication lesson applied at operator shape. */
+  def withWavMetaChunked(df: DataFrame, mediaCol: String, out: String,
+      maxChunks: Int = 6): DataFrame = {
+    val media = col(mediaCol)
+    var cur = df
+      .withColumn("__wmc_off", lit(13L))
+      .withColumn("__wmc_fmt", lit(null).cast("long"))
+      .withColumn("__wmc_dat", lit(null).cast("long"))
+    for (_ <- 0 until maxChunks) {
+      cur = cur
+        .withColumn("__wmc_id",
+          decode(substr(media, col("__wmc_off").cast("int"), lit(4)), "UTF-8"))
+        .withColumn("__wmc_sz", leUIntAt(media, col("__wmc_off") + 4, 4))
+        .withColumn("__wmc_fmt", coalesce(col("__wmc_fmt"),
+          when(col("__wmc_id") === "fmt ", col("__wmc_off"))))
+        .withColumn("__wmc_dat", coalesce(col("__wmc_dat"),
+          when(col("__wmc_id") === "data", col("__wmc_off"))))
+        .withColumn("__wmc_off", col("__wmc_off") + 8 + col("__wmc_sz")
+          + pmod(col("__wmc_sz"), lit(2L)))
+    }
+    val isRiff = decode(substring(media, 1, 4), "UTF-8") === "RIFF" &&
+      decode(substring(media, 9, 4), "UTF-8") === "WAVE"
+    val staged = cur
+      .withColumn("__wmc_ch", leUIntAt(media, col("__wmc_fmt") + 10, 2))
+      .withColumn("__wmc_rate", leUIntAt(media, col("__wmc_fmt") + 12, 4))
+      .withColumn("__wmc_bits", leUIntAt(media, col("__wmc_fmt") + 22, 2))
+      .withColumn("__wmc_dsz", leUIntAt(media, col("__wmc_dat") + 4, 4))
+      .withColumn("__wmc_n", (col("__wmc_dsz") /
+        (col("__wmc_ch") * (col("__wmc_bits") / lit(8)))).cast("long"))
+    staged
+      .withColumn(out,
+        when(isRiff && col("__wmc_fmt").isNotNull && col("__wmc_dat").isNotNull,
+          struct(
+            col("__wmc_ch").cast("int").as("channels"),
+            col("__wmc_rate").cast("int").as("sample_rate"),
+            col("__wmc_bits").cast("int").as("bits"),
+            col("__wmc_n").as("n_samples"),
+            MysqlFunctions.oracleRound(col("__wmc_n").cast("double")
+              * lit(1000.0) / col("__wmc_rate").cast("double"), 4)
+              .as("duration_ms"))))
+      .drop(staged.columns.filter(_.startsWith("__wmc_")): _*)
+  }
+
   /** Metadata extraction over a media table: one row per document with
     * payload size, frame plan, and stub-decoded dimensions. The only
     * stage that touches payload bytes; everything downstream can run

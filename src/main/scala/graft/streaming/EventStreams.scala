@@ -35,6 +35,41 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming twin of `Dedup.dedupAgainstReferenceFps` — continuous
+    * ingestion against a STATIC accumulated-reference fingerprint
+    * table (the q100/q104 contract's always-on form): each arriving
+    * doc is fingerprinted; in-stream duplicates inside the watermark
+    * horizon are DROPPED by the dedup state (the streaming analogue of
+    * the batch `dup_in_batch` rows — emitting them would need a
+    * stream-stream self join after a stateful op, deliberately out of
+    * contract), and each surviving canonical is classified
+    * `dup_of_ref` / `new` by a stream-static left join (Spark
+    * broadcasts or re-reads the static side per micro-batch, no
+    * stream-side shuffle of text). The reference text is never read
+    * (fingerprint table only), matching the batch plan's contract.
+    * Day-close maintenance (merging accepted fingerprints back) stays
+    * a batch job (`Dedup.mergedReferenceFps`) — the standard lambda
+    * split.
+    *
+    * `docs` needs (ts, idCol, textCol). Output: (ts, idCol, fp,
+    * status) — one row per canonical. Batch-parity is property-tested
+    * against `dedupAgainstReferenceFps` in StreamingMultimodalSpec. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String,
+      textCol: String, refFps: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fped = docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+    // first-in-stream occurrence per fingerprint survives this; the
+    // survivors then split ref-dup vs new on the static table
+    fped.dropDuplicatesWithinWatermark("fp")
+      .join(refFps.select(col("fp"), lit(1).as("__inref")), Seq("fp"), "left")
+      .select(col("ts"), col(idCol), col("fp"),
+        when(col("__inref").isNotNull, lit("dup_of_ref"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)

@@ -9,6 +9,7 @@ import graft.streaming.EventStreams.{Event, UserStat}
 import java.sql.Timestamp
 
 case class TsEvent(ts: Timestamp, event_type: String, value: Double)
+case class TsDoc(ts: Timestamp, doc_id: Long, text: String)
 case class FpDoc(ts: Timestamp, fp: String, doc: String)
 case class KeyedEvent(user_id: Long, event_id: Long, ts: Timestamp)
 
@@ -161,6 +162,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       val got = spark.table("dedup").select("fp", "doc")
         .as[(String, String)].collect().toSet
       assert(got == Set(("fpA", "first"), ("fpB", "other")))
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup classifies canonicals against the static reference, batch-parity") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    // reference corpus (static side) — only its FINGERPRINTS are given
+    // to the stream, per the q104 persisted-stage contract
+    val refDocs = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val refFps = refDocs.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      TsDoc(ts(1), 1L, "Alpha  beta GAMMA"), // normalized dup of ref 100
+      TsDoc(ts(2), 2L, "zeta eta"),          // new
+      TsDoc(ts(3), 3L, "zeta eta"),          // in-stream dup -> dropped
+      TsDoc(ts(4), 4L, "theta iota"))        // new
+    val input = MemoryStream[TsDoc]
+    input.addData(batch: _*)
+    val q = EventStreams.incrementalDedupStream(
+        input.toDF(), "doc_id", "text", refFps)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("incdedup").select("doc_id", "status")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "dup_of_ref", 2L -> "new", 4L -> "new"),
+        s"got $got")
+      // parity: the batch path on the same data, restricted to the
+      // canonicals the stream emits, classifies identically
+      val batchRes = Dedup.dedupAgainstReferenceFps(
+          batch.toDF().select(col("doc_id"), col("text")),
+          "doc_id", "text", refFps)
+        .filter(col("status") =!= "dup_in_batch")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(batchRes == got)
     } finally q.stop()
   }
 
@@ -571,6 +609,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .select(Multimodal.wavMeta(col("media")).isNull.as("isnull"))
       .as[Boolean].head()
     assert(nul)
+  }
+
+  test("multimodal: chunk-walk WAV parser handles non-canonical chunk orders") {
+    // build a canonical file with our writer, then splice a LIST/INFO
+    // metadata chunk BETWEEN fmt and data — the layout wavMeta's
+    // canonical fast path rejects but real encoders emit
+    val base = TestSpark.spark.range(1).select(
+        Multimodal.wavBytes(lit(44100), lit(2), lit(321)).as("w"))
+      .as[Array[Byte]].head()
+    val info = "INFOsoft".getBytes("US-ASCII") // 8 bytes of LIST payload
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 0, 0) ++ info // LE32 size = 8
+    val spliced = base.slice(0, 36) ++ list ++ base.slice(36, base.length)
+    // riff size field is now stale; the chunk walk never reads it
+    val rows = Seq((1L, base), (2L, spliced),
+      (3L, "garbage".getBytes("UTF-8"))).toDF("id", "media")
+    val got = Multimodal.withWavMetaChunked(rows, "media", "m")
+      .withColumn("c", Multimodal.wavMeta(col("media")))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.n_samples"), col("m.duration_ms"), col("c").isNull.as("canonNull"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // canonical file: chunked == canonical parser
+    assert(got(1L) == ((1L, Some(2), Some(44100), Some(321L),
+      Some(7.2789), false)))
+    // spliced file: canonical parser rejects, chunk walk succeeds
+    assert(got(2L) == ((2L, Some(2), Some(44100), Some(321L),
+      Some(7.2789), true)))
+    // garbage: both NULL
+    assert(got(3L)._2.isEmpty && got(3L)._6)
   }
 
   test("multimodal: stub decode is deterministic and bounded; resize preserves aspect") {
