@@ -140,6 +140,7 @@ object SparkEntry {
     "q106_ann_recall" -> (P.annRecall _),
     "q107_pii_redact" -> (P.piiRedact _),
     "q108_oov_rate" -> (P.oovRate _),
+    "q109_quantize_int8" -> (P.quantizeEmb _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -646,6 +647,25 @@ object SparkEntry {
         |   AS oov_rate
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // int8 quantization: codes via literal floor(+0.5) (engine-
+    // portable, unlike round()'s negative-half semantics), per-vector
+    // reconstruction errors folded in index order (list_sum /
+    // aggregate — the q53 convention), stats rounded.
+    "q109_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> floor(x / scale + 0.5)) AS q FROM s),
+        |r AS (SELECT vec_id, scale,
+        |  list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * scale))
+        |    AS err
+        | FROM c)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | round(list_max(err), 8) AS max_abs_err,
+        | round(list_sum(list_transform(err, x -> x * x)) / len(err), 8) AS mse
+        |FROM r ORDER BY vec_id""".stripMargin,
     // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
     // end over the q51 planted corpus: quantizer fit, final cell
     // assignment, in-cell pair join, exact-cosine verification.

@@ -366,6 +366,28 @@ object PipelineQueries {
           .as("ivf_recall"))
   }
 
+  // int8 embedding quantization gate: per-vector scale +
+  // reconstruction-error stats. Codes are literal floor(+0.5) — no
+  // round() builtin, whose negative-half semantics differ between
+  // engines — and the error fold runs in index order on both sides,
+  // so every row hash-oracles. Map-only (the operator is the 4x
+  // storage cut an ANN corpus takes before indexing at 100 TB).
+  def quantizeEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.int8Quantize(emb, "vec_id", "v", keepVec = true)
+      .withColumn("__err", zip_with(col("v"), col("codes"),
+        (x, c) => abs(x - c * col("scale"))))
+      .select(col("vec_id"),
+        graft.functions.MysqlFunctions.oracleRound(col("scale"), 6).as("scale"),
+        graft.functions.MysqlFunctions.oracleRound(
+          array_max(col("__err")), 8).as("max_abs_err"),
+        graft.functions.MysqlFunctions.oracleRound(
+          aggregate(col("__err"), lit(0.0), (a, e) => a + e * e)
+            / size(col("v")), 8).as("mse"))
+      .orderBy("vec_id")
+  }
+
   // embedding cosine similarity join, threshold 0.45 (exact, oracled).
   // The testdata embeddings have NO high-cosine pairs (max pairwise cos
   // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or

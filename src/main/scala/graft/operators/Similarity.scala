@@ -445,4 +445,33 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Per-vector symmetric int8 quantization — the 4× storage/bandwidth
+    * cut an embedding corpus takes before indexing at 100 TB (the IVF
+    * cell assignment and candidate scans read codes; only the final
+    * re-rank touches floats). scale = max|x|/127, code_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127] — literal floor(+0.5), no
+    * round() builtin, so the codes are bit-identical on any engine
+    * (Spark round is HALF_UP away from zero, DuckDB's is
+    * floor(+0.5) — they disagree on negative halves). A zero vector
+    * quantizes to zero codes with scale 0 (no division). Staged
+    * projections: scale is referenced per element, so it must be a
+    * bound column, not an inline tree (the q105 duplication lesson).
+    * Returns (idCol, scale, codes array<int>) — plus the original
+    * vector when `keepVec` (for reconstruction-error checks); map-only,
+    * no shuffle. */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
+      keepVec: Boolean = false): DataFrame = {
+    val v = col(vecCol)
+    val codes = when(col("__scale") === 0,
+        transform(col("__v"), _ => lit(0)))
+      .otherwise(transform(col("__v"),
+        x => floor(x / col("__scale") + lit(0.5)).cast("int")))
+    val base = df.select(col(idCol), v.as("__v"))
+      .withColumn("__scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+    val out = Seq(col(idCol), col("__scale").as("scale"), codes.as("codes")) ++
+      (if (keepVec) Seq(col("__v").as(vecCol)) else Nil)
+    base.select(out: _*)
+  }
 }

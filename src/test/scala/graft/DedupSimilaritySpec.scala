@@ -156,6 +156,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     (3L, vec(0, 0.9, 0.1, 0)),  // close to 2
     (4L, vec(0, 0, 0, 1))).toDF("vec_id", "embedding")
 
+  test("int8 quantization: codes bounded, zero vector safe, reconstruction within scale/2") {
+    val df = Seq((1L, Seq(0.5, -1.27, 0.0, 1.27)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val got = Similarity.int8Quantize(df, "id", "v", keepVec = true)
+      .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, c1, v1) = got(1L)
+    assert(math.abs(s1 - 0.01) < 1e-12)
+    assert(c1 == Seq(50, -127, 0, 127))
+    assert(c1.forall(c => c >= -127 && c <= 127))
+    // reconstruction error bounded by scale/2 (+ ulp slack)
+    assert(v1.zip(c1).forall { case (x, c) =>
+      math.abs(x - c * s1) <= s1 / 2 + 1e-12 })
+    val (_, s2, c2, _) = got(2L)
+    assert(s2 == 0.0 && c2 == Seq(0, 0, 0, 0))
+  }
+
   test("cosineTopK: nearest neighbor is the planted close vector") {
     val top1 = Similarity.cosineTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") === 0), k = 1, dim = 4)
