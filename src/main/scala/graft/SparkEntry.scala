@@ -141,6 +141,7 @@ object SparkEntry {
     "q107_pii_redact" -> (P.piiRedact _),
     "q108_oov_rate" -> (P.oovRate _),
     "q109_quantize_int8" -> (P.quantizeEmb _),
+    "q110_ann_recall_planted" -> (P.annRecallPlanted _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -666,6 +667,10 @@ object SparkEntry {
         | round(list_max(err), 8) AS max_abs_err,
         | round(list_sum(list_transform(err, x -> x * x)) / len(err), 8) AS mse
         |FROM r ORDER BY vec_id""".stripMargin,
+    // Design-regime recall: the q106 construction on the planted
+    // corpus (queries = the 40 planted originals, true neighbors
+    // headed by their cos 0.82-0.99 copies).
+    "q110_ann_recall_planted" -> plantedRecallOracle,
     // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
     // end over the q51 planted corpus: quantizer fit, final cell
     // assignment, in-cell pair join, exact-cosine verification.
@@ -1688,6 +1693,78 @@ object SparkEntry {
        | FROM scored) t
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** q110's oracle — the q106 recall construction transplanted onto
+    * the planted near-dup corpus: planted CTEs, the Lloyd build, the
+    * nprobe probe/scan (q53's machinery with queryMax=40), the exact
+    * top-5, and the 6-plane hamming<=1 sign-LSH leg (q33's machinery,
+    * dots on the NORMALIZED corpus — Spark's annTopK(preNormalized)
+    * hashes the same normalized vectors, so the sign computations see
+    * identical values). No pinned recall literals. */
+  private def plantedRecallOracle: String =
+    s"""WITH ${plantedCorpusCtes(64)},
+       |${ivfBuildCtes(16, 3, 64, 42)},
+       |probes AS (
+       | SELECT query_id, qv, cell FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${sqdExpr("e.v", "c", 64)}, c.cell) AS r
+       |  FROM e, c3 c WHERE e.vec_id < 40) t WHERE r <= 4),
+       |ivf_s AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_sum(list_transform(range(1, 65), i -> p.qv[i] * ce.v[i])) AS sim
+       | FROM probes p JOIN af a USING (cell) JOIN e ce ON ce.vec_id = a.vec_id
+       | WHERE a.vec_id <> p.query_id),
+       |ivf AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       | FROM ivf_s) t WHERE rnk <= 5),
+       |exact AS (SELECT query_id, neighbor_id, rnk FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |   list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) DESC,
+       |   c.vec_id) AS rnk
+       | FROM e q, e c WHERE q.vec_id < 40 AND c.vec_id <> q.vec_id) t
+       | WHERE rnk <= 5),
+       |w AS (SELECT pp.p AS p, dd.d AS d,
+       |  CAST(('0x' || substr(md5('42:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+       |    / 4294967296.0 - 0.5 AS wt
+       | FROM generate_series(0, 5) AS pp(p), generate_series(0, 63) AS dd(d)),
+       |dots AS (SELECT e.vec_id, w.p, SUM(e.v[w.d + 1] * w.wt) AS s
+       | FROM e, w GROUP BY e.vec_id, w.p),
+       |buck AS (SELECT vec_id,
+       |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       | FROM dots GROUP BY vec_id),
+       |qp AS (SELECT b.vec_id AS query_id,
+       |  xor(b.bucket, CASE WHEN g.i = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE (CAST(1 AS BIGINT) << CAST(g.i - 1 AS INTEGER)) END) AS bucket
+       | FROM buck b, generate_series(0, 6) AS g(i) WHERE b.vec_id < 40),
+       |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+       | FROM qp JOIN buck cb ON cb.bucket = qp.bucket
+       | WHERE cb.vec_id <> qp.query_id),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       | SELECT c.query_id, c.neighbor_id,
+       |  row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |   list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) DESC,
+       |   c.neighbor_id) AS rnk
+       | FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+       | JOIN e ne ON ne.vec_id = c.neighbor_id) t WHERE rnk <= 5),
+       |e1 AS (SELECT query_id, neighbor_id FROM exact WHERE rnk = 1),
+       |hits AS (
+       | SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM exact JOIN ann USING (query_id, neighbor_id)) AS ann_hits,
+       |  (SELECT count(*) FROM exact JOIN ivf USING (query_id, neighbor_id)) AS ivf_hits,
+       |  (SELECT count(DISTINCT query_id) FROM exact) AS n_queries,
+       |  (SELECT count(*) FROM e1 JOIN ann USING (query_id, neighbor_id)) AS ann_hits1,
+       |  (SELECT count(*) FROM e1 JOIN ivf USING (query_id, neighbor_id)) AS ivf_hits1)
+       |SELECT CAST(5 AS INTEGER) AS k, n_exact, ann_hits, ivf_hits,
+       | round(CAST(ann_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ann_recall,
+       | round(CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ivf_recall,
+       | n_queries, ann_hits1, ivf_hits1,
+       | round(CAST(ann_hits1 AS DOUBLE) / CAST(n_queries AS DOUBLE), 4) AS ann_recall_top1,
+       | round(CAST(ivf_hits1 AS DOUBLE) / CAST(n_queries AS DOUBLE), 4) AS ivf_recall_top1
+       |FROM hits""".stripMargin
 
   /** The q51/q75/q82 planted near-dup corpus as CTEs `base`/`plant`/
     * `eraw` (raw doubles) + `e` (L2-normalized) — the md5-derived

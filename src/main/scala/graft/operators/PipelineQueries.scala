@@ -346,24 +346,64 @@ object PipelineQueries {
   // clusters in DedupSimilaritySpec. All three legs ride the shared
   // normalized-embedding stage; the joins move 40-pair frames
   // (k × |queries|), so the gate costs nothing beyond the legs.
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallRow(cosineTopK(s, dir), annTopK(s, dir), ivfTopK(s, dir), k = 5)
+
+  /** recall@k overlap row from three (query_id, neighbor_id, …) top-k
+    * frames — the shared tail of q106/q110. With `withTop1`, adds
+    * recall@1 (the rank-1 exact neighbor found anywhere in the
+    * approximate top-k — on the planted corpus that neighbor is
+    * always the planted copy, so this IS the find-the-duplicate
+    * rate). */
+  private def recallRow(exactDf: DataFrame, annDf: DataFrame,
+      ivfDf: DataFrame, k: Int, withTop1: Boolean = false): DataFrame = {
     def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
-    val exact = pairs(cosineTopK(s, dir))
-    val ann = pairs(annTopK(s, dir)).withColumn("__a", lit(1))
-    val ivf = pairs(ivfTopK(s, dir)).withColumn("__i", lit(1))
-    exact
-      .join(ann, Seq("query_id", "neighbor_id"), "left")
-      .join(ivf, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("ann_hits"),
-        count(col("__i")).as("ivf_hits"))
-      .select(lit(5).as("k"), col("n_exact"), col("ann_hits"),
-        col("ivf_hits"),
-        graft.functions.MysqlFunctions.oracleRound(
-          col("ann_hits").cast("double") / col("n_exact").cast("double"), 4)
-          .as("ann_recall"),
-        graft.functions.MysqlFunctions.oracleRound(
-          col("ivf_hits").cast("double") / col("n_exact").cast("double"), 4)
-          .as("ivf_recall"))
+    val joined = exactDf.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .join(pairs(annDf).withColumn("__a", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(pairs(ivfDf).withColumn("__i", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+    val base = Seq(count(lit(1)).as("n_exact"),
+      count(col("__a")).as("ann_hits"), count(col("__i")).as("ivf_hits"))
+    val top1 = Seq(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(when(col("rnk") === 1, col("__a"))).as("ann_hits1"),
+      count(when(col("rnk") === 1, col("__i"))).as("ivf_hits1"))
+    val agged = joined.agg((base ++ (if (withTop1) top1 else Nil)).head,
+      (base ++ (if (withTop1) top1 else Nil)).tail: _*)
+    def rate(h: String, n: String) = graft.functions.MysqlFunctions.oracleRound(
+      col(h).cast("double") / col(n).cast("double"), 4)
+    val cols = Seq(lit(k).as("k"), col("n_exact"), col("ann_hits"),
+      col("ivf_hits"), rate("ann_hits", "n_exact").as("ann_recall"),
+      rate("ivf_hits", "n_exact").as("ivf_recall")) ++
+      (if (withTop1) Seq(col("n_queries"), col("ann_hits1"), col("ivf_hits1"),
+        rate("ann_hits1", "n_queries").as("ann_recall_top1"),
+        rate("ivf_hits1", "n_queries").as("ivf_recall_top1")) else Nil)
+    agged.select(cols: _*)
+  }
+
+  // The DESIGN-REGIME complement to q106: recall over the q51 planted
+  // near-dup corpus with the 40 planted ORIGINALS as queries — each
+  // query's exact rank-1 neighbor is always its md5-derived copy (cos
+  // 0.82-0.99 vs bulk <= ~0.51), so recall@1 IS the find-the-duplicate
+  // rate the indexes exist for. At sf0.01: IVF 39/40 (0.975), sign-LSH
+  // 31/40 (0.775 — the amplitude-8 high-noise copies flip hyperplane
+  // signs; raising planes/probes trades candidate volume for the
+  // tail). The recall@5 columns are lower by construction: ranks 2-5
+  // are near-uniform bulk neighbors (q106's floor regime). Oracle
+  // recomposes the planted corpus + all three pipelines (the q51/q53
+  // CTE machinery) — no pinned literals.
+  def annRecallPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = plantedNormEmb(s, dir)
+    val queries = emb.filter(col("vec_id") < 40)
+    recallRow(
+      Similarity.cosineTopK(emb, "vec_id", "embedding", queries, k = 5,
+        preNormalized = true),
+      Similarity.annTopK(emb, "vec_id", "embedding", queries, k = 5,
+        preNormalized = true),
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 5,
+        preNormalized = true),
+      k = 5, withTop1 = true)
   }
 
   // int8 embedding quantization gate: per-vector scale +
