@@ -142,6 +142,7 @@ object SparkEntry {
     "q108_oov_rate" -> (P.oovRate _),
     "q109_quantize_int8" -> (P.quantizeEmb _),
     "q110_ann_recall_planted" -> (P.annRecallPlanted _),
+    "q111_incr_dedup_fps" -> (P.incrementalDedupFps _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -189,6 +190,25 @@ object SparkEntry {
       | JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
       |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Shared q100/q111 oracle: incremental exact dedup — q111 differs
+    * only in consuming a persisted reference fingerprint table. */
+  private val incrDedupOracle: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
+      |   AS is_inc
+      | FROM documents),
+      |ref AS (SELECT DISTINCT fp FROM d WHERE NOT is_inc),
+      |inc AS (SELECT doc_id, fp FROM d WHERE is_inc),
+      |k AS (SELECT fp, min(doc_id) AS keep FROM inc GROUP BY 1)
+      |SELECT i.doc_id, i.fp,
+      | CASE WHEN r.fp IS NOT NULL THEN 'dup_of_ref'
+      |      WHEN i.doc_id <> k.keep THEN 'dup_in_batch'
+      |      ELSE 'new' END AS status
+      |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared q103/q104 oracle: both queries compute the same verified
     * cross-side J >= 0.7 pair set — q104 differs only in WHERE the
@@ -1395,23 +1415,11 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // Incremental dedup: the md5-derived quarter is the incoming batch,
     // the rest the reference; the oracle reproduces split, fingerprints
-    // and the min-id batch-canonical rule directly.
-    "q100_incr_dedup" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  CAST(('0x' || substr(md5('inc:' || doc_id), 1, 8)) AS BIGINT) % 4 = 0
-        |   AS is_inc
-        | FROM documents),
-        |ref AS (SELECT DISTINCT fp FROM d WHERE NOT is_inc),
-        |inc AS (SELECT doc_id, fp FROM d WHERE is_inc),
-        |k AS (SELECT fp, min(doc_id) AS keep FROM inc GROUP BY 1)
-        |SELECT i.doc_id, i.fp,
-        | CASE WHEN r.fp IS NOT NULL THEN 'dup_of_ref'
-        |      WHEN i.doc_id <> k.keep THEN 'dup_in_batch'
-        |      ELSE 'new' END AS status
-        |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
-        |ORDER BY doc_id""".stripMargin,
+    // and the min-id batch-canonical rule directly. q111 is the
+    // persisted-fingerprint form — same result by construction (the
+    // stage source is invisible to the output), same oracle.
+    "q100_incr_dedup" -> incrDedupOracle,
+    "q111_incr_dedup_fps" -> incrDedupOracle,
     // Incremental near-dup: the exact J >= 0.7 pair set RESTRICTED to
     // pairs crossing the q100 md5 batch/reference split (the engine's
     // cross-side LSH banding is recall-complete here — the same

@@ -105,6 +105,7 @@ object PipelineQueries {
     mhStages.clear(); pairStage.clear(); ccStage.clear()
     embStage.clear(); plantStage.clear(); tokStage.clear()
     winStage.clear(); refStage.clear(); tokArrStage.clear()
+    refFpStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -728,6 +729,32 @@ object PipelineQueries {
       sigs.write.mode("overwrite").parquet(sigsP)
       (s.read.parquet(setsP), s.read.parquet(sigsP))
     })
+
+  /** Persisted reference FINGERPRINT table (the exact-dedup leg's
+    * stage): one md5 per reference doc, written to parquet once per
+    * (session, sf dir) and read back — [[persistedRefStages]]'s tiny
+    * sibling. */
+  private val refFpStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def persistedRefFps(s: SparkSession, dir: String): DataFrame =
+    refFpStage.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_reffp_")
+        .resolve("fps").toString
+      Tables.documents(s, dir).filter(!incMask)
+        .select(T.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    })
+
+  // incremental exact dedup, persisted-fingerprint form: identical
+  // output to q100, but the reference side consumes the persisted fp
+  // parquet — the accumulated corpus's text is never re-read per
+  // batch (q104's pattern on the exact leg).
+  def incrementalDedupFps(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAgainstReferenceFps(
+        Tables.documents(s, dir).filter(incMask), "doc_id", "text",
+        persistedRefFps(s, dir))
+      .orderBy("doc_id")
 
   // incremental near-dup, persisted-stage form: identical output to
   // q103, but the reference side consumes persisted (sets, sigs)
