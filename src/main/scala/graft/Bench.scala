@@ -65,13 +65,20 @@ object Bench {
     // calibration field that state is detectable from the artifact
     // alone (builder-box median is ~0.2 s; a calibration of 1 s+ means
     // the run is contention-dominated and per-query times are noise).
-    val calibration = SparkEntry.queries.get("q12_distinct").map { fn =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (runs.sorted.apply(1), runs)
+    // Guarded: a calibration failure must not abort the bench before
+    // the per-query loop records anything (its own try/catch contract).
+    // Known side effect: q12's own timed entry gets three extra warm
+    // runs and reads slightly fast — compare q12 across rounds via the
+    // calibration field itself, not its timed entry.
+    val calibration = SparkEntry.queries.get("q12_distinct").flatMap { fn =>
+      try {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some((runs.sorted.apply(1), runs))
+      } catch { case _: Throwable => None }
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -671,14 +671,19 @@ object SparkEntry {
     // int8 quantization: codes via literal floor(+0.5) (engine-
     // portable, unlike round()'s negative-half semantics), per-vector
     // reconstruction errors folded in index order (list_sum /
-    // aggregate — the q53 convention), stats rounded.
+    // aggregate — the q53 convention), stats rounded. The scale=0
+    // CASE mirrors the engine's zero-vector guard exactly, so a
+    // regenerated corpus containing an all-zero vector stays green
+    // (the q85-maxDf envelope convention, pre-empted here).
     "q109_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
         |s AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
         |c AS (SELECT vec_id, v, scale,
-        |  list_transform(v, x -> floor(x / scale + 0.5)) AS q FROM s),
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |       ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+        | FROM s),
         |r AS (SELECT vec_id, scale,
         |  list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * scale))
         |    AS err

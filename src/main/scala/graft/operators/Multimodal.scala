@@ -83,18 +83,19 @@ object Multimodal {
     * the hex encoding: `hex()` emits two digits per byte in storage
     * order, so reversing the byte PAIRS yields the big-endian digit
     * string `conv()` parses. Codegen'd built-ins end to end. */
-  def leUInt(bin: Column, offset: Int, nbytes: Int): Column = {
-    require(nbytes >= 1 && nbytes <= 7, "must fit a signed Long")
-    val h = hex(substring(bin, offset, nbytes))
-    val be = concat((nbytes to 1 by -1).map(i =>
-      substring(h, (i - 1) * 2 + 1, 2)): _*)
-    conv(be, 16, 10).cast("long")
-  }
+  def leUInt(bin: Column, offset: Int, nbytes: Int): Column =
+    leUIntAt(bin, lit(offset), nbytes)
 
   /** Little-endian fixed-width hex encoding of a non-negative integer
-    * value — the writer inverse of [[leUInt]]. */
+    * value — the writer inverse of [[leUInt]]. Raises (rather than
+    * silently truncating the low nibbles) when the value doesn't fit
+    * the field: lpad would otherwise KEEP the leftmost digits of an
+    * over-wide hex string, corrupting the header with no error. */
   private def leHex(v: Column, nbytes: Int): Column = {
-    val be = lpad(hex(v.cast("long")), nbytes * 2, "0")
+    val h = hex(v.cast("long"))
+    val be = when(length(h) <= nbytes * 2, lpad(h, nbytes * 2, "0"))
+      .otherwise(raise_error(concat(
+        lit(s"leHex overflow: value needs more than $nbytes bytes: "), h)))
     concat((nbytes to 1 by -1).map(i =>
       substring(be, (i - 1) * 2 + 1, 2)): _*)
   }
@@ -129,11 +130,19 @@ object Multimodal {
     * chunk-walk fold, out of scope. This replaces the r4-r6 stub for
     * the audio modality: the parse is real byte arithmetic, executes
     * inside whole-stage codegen, and needs no external codec. */
+  /** Byte-level magic comparison — NEVER decode(…, 'UTF-8') on
+    * arbitrary binary: Spark 4's strict coding-error action throws
+    * MALFORMED_CHARACTER_CODING on invalid UTF-8 (any JPEG/PNG row
+    * would crash the query) instead of failing the comparison. */
+  private def magicAt(bin: Column, offset: Column, magic: String): Column =
+    substr(bin, offset.cast("int"), lit(4)) ===
+      lit(magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
   def wavMeta(media: Column): Column = {
-    val isWav = decode(substring(media, 1, 4), "UTF-8") === "RIFF" &&
-      decode(substring(media, 9, 4), "UTF-8") === "WAVE" &&
-      decode(substring(media, 13, 4), "UTF-8") === "fmt " &&
-      decode(substring(media, 37, 4), "UTF-8") === "data"
+    val isWav = magicAt(media, lit(1), "RIFF") &&
+      magicAt(media, lit(9), "WAVE") &&
+      magicAt(media, lit(13), "fmt ") &&
+      magicAt(media, lit(37), "data")
     val channels = leUInt(media, 23, 2)
     val rate = leUInt(media, 25, 4)
     val bits = leUInt(media, 35, 2)
@@ -179,18 +188,16 @@ object Multimodal {
       .withColumn("__wmc_dat", lit(null).cast("long"))
     for (_ <- 0 until maxChunks) {
       cur = cur
-        .withColumn("__wmc_id",
-          decode(substr(media, col("__wmc_off").cast("int"), lit(4)), "UTF-8"))
         .withColumn("__wmc_sz", leUIntAt(media, col("__wmc_off") + 4, 4))
         .withColumn("__wmc_fmt", coalesce(col("__wmc_fmt"),
-          when(col("__wmc_id") === "fmt ", col("__wmc_off"))))
+          when(magicAt(media, col("__wmc_off"), "fmt "), col("__wmc_off"))))
         .withColumn("__wmc_dat", coalesce(col("__wmc_dat"),
-          when(col("__wmc_id") === "data", col("__wmc_off"))))
+          when(magicAt(media, col("__wmc_off"), "data"), col("__wmc_off"))))
         .withColumn("__wmc_off", col("__wmc_off") + 8 + col("__wmc_sz")
           + pmod(col("__wmc_sz"), lit(2L)))
     }
-    val isRiff = decode(substring(media, 1, 4), "UTF-8") === "RIFF" &&
-      decode(substring(media, 9, 4), "UTF-8") === "WAVE"
+    val isRiff = magicAt(media, lit(1), "RIFF") &&
+      magicAt(media, lit(9), "WAVE")
     val staged = cur
       .withColumn("__wmc_ch", leUIntAt(media, col("__wmc_fmt") + 10, 2))
       .withColumn("__wmc_rate", leUIntAt(media, col("__wmc_fmt") + 12, 4))

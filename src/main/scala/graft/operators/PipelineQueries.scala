@@ -715,6 +715,30 @@ object PipelineQueries {
     * DataFrames scan only the stage parquet: the reference TEXT is
     * unreachable from a plan built on them (asserted in PlanSpec).
     * Same immutable-dir memo contract as [[stages]]. */
+  /** Temp dirs holding the persisted-stage parquet for this JVM —
+    * recursively deleted at shutdown (the stage writes are corpus-
+    * scale; without cleanup every bench/test invocation would leave a
+    * fresh copy in the system temp dir). */
+  private val tmpStageDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpStageDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+  }
+  private def newStageDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpStageDirs.add(p)
+    p
+  }
+
   private val refStage =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def persistedRefStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -722,7 +746,7 @@ object PipelineQueries {
       val ref = Tables.documents(s, dir).filter(!incMask)
       val sets = Dedup.shingleSets(ref, "doc_id", "text", 3)
       val sigs = Dedup.minHashSigsFromSets(sets, "doc_id", 64)
-      val base = java.nio.file.Files.createTempDirectory("graft_refstage_")
+      val base = newStageDir("graft_refstage_")
       val setsP = base.resolve("sets").toString
       val sigsP = base.resolve("sigs").toString
       sets.write.mode("overwrite").parquet(setsP)
@@ -738,8 +762,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def persistedRefFps(s: SparkSession, dir: String): DataFrame =
     refFpStage.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft_reffp_")
-        .resolve("fps").toString
+      val p = newStageDir("graft_reffp_").resolve("fps").toString
       Tables.documents(s, dir).filter(!incMask)
         .select(T.fingerprint(col("text")).as("fp")).distinct()
         .write.mode("overwrite").parquet(p)

@@ -63,8 +63,12 @@ object EventStreams {
       .withWatermark("ts", watermark)
     // first-in-stream occurrence per fingerprint survives this; the
     // survivors then split ref-dup vs new on the static table
+    // distinct on the static side mirrors the batch twin's contract
+    // ("need not be pre-distinct") — a duplicated reference fingerprint
+    // would otherwise multiply matching canonicals through the join
     fped.dropDuplicatesWithinWatermark("fp")
-      .join(refFps.select(col("fp"), lit(1).as("__inref")), Seq("fp"), "left")
+      .join(refFps.select(col("fp")).distinct().withColumn("__inref", lit(1)),
+        Seq("fp"), "left")
       .select(col("ts"), col(idCol), col("fp"),
         when(col("__inref").isNotNull, lit("dup_of_ref"))
           .otherwise(lit("new")).as("status"))

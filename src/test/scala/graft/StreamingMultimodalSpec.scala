@@ -603,12 +603,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(aff.getFormat.getChannels == 2)
     assert(aff.getFormat.getSampleSizeInBits == 16)
     assert(aff.getFrameLength == 1234)
-    // non-WAV payloads decode to NULL, not garbage
-    val nul = Seq((1L, "not a riff file at all".getBytes("UTF-8")))
+    // non-WAV payloads decode to NULL, not garbage — including
+    // payloads that are INVALID UTF-8 (a JPEG header: decoding these
+    // as strings would throw MALFORMED_CHARACTER_CODING on Spark 4,
+    // which is why the magics compare as bytes)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII")
+    val nul = Seq((1L, "not a riff file at all".getBytes("UTF-8")),
+        (2L, jpeg), (3L, Array[Byte](0x80.toByte, 0xFE.toByte)))
       .toDF("id", "media")
       .select(Multimodal.wavMeta(col("media")).isNull.as("isnull"))
-      .as[Boolean].head()
-    assert(nul)
+      .as[Boolean].collect()
+    assert(nul.forall(identity))
+    // the chunk walk handles invalid-UTF-8 payloads the same way
+    val nulC = Multimodal.withWavMetaChunked(
+        Seq((1L, jpeg)).toDF("id", "media"), "media", "m")
+      .select(col("m").isNull.as("isnull")).as[Boolean].head()
+    assert(nulC)
   }
 
   test("multimodal: chunk-walk WAV parser handles non-canonical chunk orders") {
