@@ -143,6 +143,7 @@ object SparkEntry {
     "q109_quantize_int8" -> (P.quantizeEmb _),
     "q110_ann_recall_planted" -> (P.annRecallPlanted _),
     "q111_incr_dedup_fps" -> (P.incrementalDedupFps _),
+    "q112_quantized_topk" -> (P.quantizedTopK _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -696,6 +697,41 @@ object SparkEntry {
     // corpus (queries = the 40 planted originals, true neighbors
     // headed by their cos 0.82-0.99 copies).
     "q110_ann_recall_planted" -> plantedRecallOracle,
+    // Quantized-scan top-k: int8 codes (the q109 floor(+0.5) recipe on
+    // the NORMALIZED vectors), stage-1 cut by the exact INTEGER dot
+    // scaled by the two float scales (one multiplication each side —
+    // no float fold anywhere in the cut), float re-rank of the
+    // k*refine=100 survivors (the q33 ranked-tail convention).
+    "q112_quantized_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                         y -> y*y)))) AS v
+        | FROM embeddings),
+        |z AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |qz AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+        |  END AS q
+        | FROM z),
+        |a AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |  qq.scale * cc.scale * CAST(list_sum(list_transform(range(1, 65),
+        |    i -> qq.q[i] * cc.q[i])) AS DOUBLE) AS asim
+        | FROM qz qq, qz cc
+        | WHERE qq.vec_id < 8 AND cc.vec_id <> qq.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, neighbor_id) AS ar
+        |  FROM a) t WHERE ar <= 100),
+        |r AS (SELECT c.query_id, c.neighbor_id,
+        |  row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |   list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) DESC,
+        |   c.neighbor_id) AS rnk
+        | FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+        | JOIN e ne ON ne.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // SemDeDup (cluster-then-prune semantic dedup) reproduced end-to-
     // end over the q51 planted corpus: quantizer fit, final cell
     // assignment, in-cell pair join, exact-cosine verification.

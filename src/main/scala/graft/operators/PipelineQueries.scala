@@ -429,6 +429,18 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  // quantized-scan top-k gate: the q33/q53 alternative whose stage-1
+  // cut is INTEGER arithmetic (exactly engine-reproducible — no float
+  // fold-order dependence in the candidate set), float re-rank on the
+  // survivors. Same corpus/queries as q28, so recall is directly
+  // comparable (refine=20 recovers the exact top-5 here).
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    Similarity.quantizedTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+      .orderBy("query_id", "rnk")
+  }
+
   // embedding cosine similarity join, threshold 0.45 (exact, oracled).
   // The testdata embeddings have NO high-cosine pairs (max pairwise cos
   // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or

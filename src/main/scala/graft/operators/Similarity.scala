@@ -460,6 +460,47 @@ object Similarity {
     * Returns (idCol, scale, codes array<int>) — plus the original
     * vector when `keepVec` (for reconstruction-error checks); map-only,
     * no shuffle. */
+  /** Two-stage quantized top-k (the ScaNN-style scan shape): stage 1
+    * ranks ALL candidates by the INT8 approximate similarity
+    * `scale_q · scale_c · Σ code_q[i]·code_c[i]` — the scan reads ¼
+    * the bytes of the float corpus, and the integer dot is EXACT and
+    * fold-order-independent (no float-summation drift, so the
+    * candidate cut reproduces bit-for-bit on any engine); stage 2
+    * re-ranks the surviving `k·refine` candidates per query with the
+    * exact float dot and keeps top-k. At 100 TB the stage-1 scan is
+    * the memory-bandwidth cost center — codes-only is the point;
+    * compose with IVF cell blocking ([[ivfTopK]]'s build) when even
+    * the quantized full scan is too much. Quantization happens on the
+    * (normalized) vectors the cosine ranking uses. */
+  def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, refine: Int = 20, dim: Int = 64,
+      preNormalized: Boolean = false): DataFrame = {
+    val c = int8Quantize(
+      prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized),
+      "neighbor_id", "cvec", keepVec = true)
+      .withColumnRenamed("scale", "cscale").withColumnRenamed("codes", "ccodes")
+    val q = int8Quantize(
+      prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized),
+      "query_id", "qvec", keepVec = true)
+      .withColumnRenamed("scale", "qscale").withColumnRenamed("codes", "qcodes")
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", col("qscale") * col("cscale") *
+        aggregate(zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val cands = approx.withColumn("__ar", row_number().over(wa))
+      .filter(col("__ar") <= k * refine)
+    val scored = cands.withColumn("sim",
+      pairDot(corpus, col("qvec"), col("cvec"), dim))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)
