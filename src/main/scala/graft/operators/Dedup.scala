@@ -85,6 +85,28 @@ object Dedup {
     minHashSigsFromSets(shingleSets(df, idCol, textCol, shingleSize),
       idCol, numHashes)
 
+  /** ROW-WISE MinHash signature: the same affine family as
+    * [[minHashSigsFromSets]] computed as `numHashes` `array_min`s over
+    * the row's shingle array — a pure map-only expression, no explode,
+    * no aggregation, value-identical to the exploded-agg form
+    * (property-tested). The streaming near-dup path needs this shape
+    * (a stateful streaming aggregation would otherwise hold per-doc
+    * state to the watermark); batch callers prefer
+    * [[minHashSigsFromSets]], whose exploded aggregate shares the
+    * shingle rows with the df/hot-set stages. */
+  def minHashSigRow(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, sh =>
+        pmod(TextFunctions.md5Int(sh, 8) * lit(2L * i + 1) + lit(i * 40503L),
+          lit(2147483647L))))): _*)
+
+  /** Band → bucket hashes of a signature array (the [[lshBuckets]]
+    * banding as a Column): element b = xxhash64(slice b, seed b). */
+  def bandBuckets(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * (size(sig) / bands) + 1,
+        size(sig) / bands), b))
+
   /** Signature aggregation over pre-exploded (idCol, sh) rows. */
   private def minHashFromShingleRows(sh: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
@@ -102,14 +124,9 @@ object Dedup {
     * numHashes/bands rows each; band hash = xxhash64 of the slice.
     * Returns (idCol, band, bucket) — one row per (doc, band).
     */
-  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    sigs.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"),
-            b * (size(col("sig")) / bands) + 1,
-            size(col("sig")) / bands), b))))
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(bandBuckets(col("sig"), bands)))
       .toDF(idCol, "band", "bucket")
-  }
 
   /** Candidate pairs from LSH buckets: docs sharing any (band, bucket).
     * `maxBucket` drops degenerate hot buckets (e.g. empty-text dupes at

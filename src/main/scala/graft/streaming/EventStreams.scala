@@ -74,6 +74,53 @@ object EventStreams {
           .otherwise(lit("new")).as("status"))
   }
 
+  /** Streaming NEAR-dup against a static reference — the q104
+    * persisted-stage contract's always-on form, and the near-dup
+    * sibling of [[incrementalDedupStream]]: each arriving doc is
+    * shingled and MinHash-signed PER ROW (`Dedup.minHashSigRow` — a
+    * map-only expression, so the whole pipeline needs NO stateful
+    * streaming aggregation), its LSH band hashes join the persisted
+    * reference buckets (stream-static), and surviving candidates are
+    * exact-Jaccard-verified against the persisted reference shingle
+    * sets (stream-static again; the incoming shingle array rides the
+    * row). The only stateful op is the candidate de-dup within the
+    * watermark (a doc colliding with the same reference doc in
+    * several bands). The hot-bucket cap is NOT applied on the stream
+    * side (the reference buckets are static — cap them when
+    * persisting); documented boundary vs the batch plan.
+    *
+    * `docs` needs (ts, idCol, textCol); `refSets`/`refSigs` are the
+    * persisted stage tables ([[graft.operators.Dedup.shingleSets]] /
+    * `minHashSigsFromSets` output). Returns append rows
+    * `(ts, idCol, ref_id, jaccard)` with jaccard ≥ threshold. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      refSets: DataFrame, refSigs: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val refB = Dedup.lshBuckets(
+      refSigs.withColumnRenamed(idCol, "__rid"), "__rid", bands)
+    val inc = docs.withWatermark("ts", watermark)
+      .withColumn("__sh", Dedup.shingles(col(textCol), shingleSize))
+      .withColumn("__sig", Dedup.minHashSigRow(col("__sh"), numHashes))
+      .select(col("ts"), col(idCol), col("__sh"),
+        posexplode(Dedup.bandBuckets(col("__sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = inc.join(refB, Seq("band", "bucket"))
+      .dropDuplicatesWithinWatermark(idCol, "__rid")
+    cands
+      .join(refSets.select(col(idCol).as("__rid"), col("__sh").as("__rsh")),
+        Seq("__rid"))
+      .withColumn("__inter", size(array_intersect(col("__sh"), col("__rsh"))))
+      .withColumn("jaccard", graft.functions.MysqlFunctions.oracleRound(
+        col("__inter").cast("double") /
+          (size(col("__sh")) + size(col("__rsh")) - col("__inter")).cast("double"),
+        4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ts"), col(idCol), col("__rid").as("ref_id"), col("jaccard"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)

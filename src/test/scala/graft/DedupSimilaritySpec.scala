@@ -97,6 +97,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("row-wise MinHash signature equals the exploded-aggregate signature (property)") {
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 60L).map(i => (i,
+      Seq.fill(1 + rng.nextInt(25))("t" + rng.nextInt(40)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val agg = Dedup.minHashSigsFromSets(sets, "doc_id", 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val row = sets.select(col("doc_id"),
+        Dedup.minHashSigRow(col("__sh"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(row == agg)
+  }
+
   test("merged reference stages are row-identical to recomputing over (ref ∪ accepted)") {
     val rng = new scala.util.Random(7)
     def doc() = Seq.fill(6 + rng.nextInt(12))(

@@ -202,6 +202,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup against persisted reference stages equals the batch FromStages pairs") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val refDocs = Seq(
+      (100L, base),
+      (101L, "completely different words nothing shared here at all ok"),
+      (102L, base + " lambda"))
+      .toDF("doc_id", "text")
+    val refSets = Dedup.shingleSets(refDocs, "doc_id", "text", 3)
+    val refSigs = Dedup.minHashSigsFromSets(refSets, "doc_id", 64)
+    val batch = Seq(
+      TsDoc(ts(1), 1L, base),                       // J=1.0 with 100, high with 102
+      TsDoc(ts(2), 2L, "unrelated text entirely his own thing indeed"),
+      TsDoc(ts(3), 3L, base + " lambda"))           // J=1.0 with 102
+    val input = MemoryStream[TsDoc]
+    input.addData(batch: _*)
+    val q = EventStreams.nearDupStream(
+        input.toDF(), "doc_id", "text", refSets, refSigs)
+      .writeStream.format("memory").queryName("neardupstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("neardupstream")
+        .select("doc_id", "ref_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = Dedup.nearDupAgainstReferenceFromStages(
+          Dedup.shingleSets(batch.toDF().select(col("doc_id"), col("text")),
+            "doc_id", "text", 3),
+          Dedup.minHashSigsFromSets(
+            Dedup.shingleSets(batch.toDF().select(col("doc_id"), col("text")),
+              "doc_id", "text", 3), "doc_id", 64),
+          refSets, refSigs, "doc_id")
+        .select(col("inc_id"), col("ref_id"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expect, s"stream=$got batch=$expect")
+      assert(got.nonEmpty && got.exists(_._1 == 1L) && got.exists(_._1 == 3L))
+      assert(!got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user stats accumulate across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
