@@ -144,6 +144,7 @@ object SparkEntry {
     "q110_ann_recall_planted" -> (P.annRecallPlanted _),
     "q111_incr_dedup_fps" -> (P.incrementalDedupFps _),
     "q112_quantized_topk" -> (P.quantizedTopK _),
+    "q113_wav_chunked" -> (P.wavDecodeChunked _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1484,6 +1485,27 @@ object SparkEntry {
     // operation order (exact-integer doubles in, identical IEEE out).
     "q105_wav_decode" ->
       """SELECT doc_id,
+        | CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        | CAST(16 AS INTEGER) AS bits,
+        | CAST(doc_id % 997 + 1 AS BIGINT) AS n_samples,
+        | round((doc_id % 997 + 1) * 1000.0 /
+        |   (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 ELSE 44100 END), 4) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Non-canonical WAV layouts: same parameter round-trip as q105 but
+    // the writer splices a JUNK chunk (odd lengths exercise RIFF's
+    // pad-to-even rule) before fmt or between fmt and data, and the
+    // CHUNK-WALK parser recovers the fields. canonical_rejects = TRUE
+    // pins that the fixed-offset parser really rejects every layout —
+    // i.e. the walk is doing work, not riding the canonical path.
+    "q113_wav_chunked" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'junk_first' ELSE 'junk_mid' END
+        |   AS layout,
+        | CAST(doc_id % 37 + 1 AS BIGINT) AS junk_len,
+        | TRUE AS canonical_rejects,
         | CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
         | CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |      WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,

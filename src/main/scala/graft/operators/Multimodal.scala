@@ -121,6 +121,40 @@ object Multimodal {
       repeat(lit("00"), dataSize.cast("int"))))
   }
 
+  /** Deterministic NON-canonical WAV bytes: the same audio parameters
+    * as [[wavBytes]] but with a `JUNK` padding chunk (a real chunk id
+    * from the RIFF spec's chunk grammar; odd `junkLen`s exercise the
+    * pad-to-even rule) spliced either BEFORE `fmt ` (`junkFirst`) or
+    * between `fmt ` and `data`. Still a conformant RIFF file — the
+    * riff size field accounts for the extra chunk — but a layout the
+    * canonical fixed-offset [[wavMeta]] rejects, which is exactly what
+    * gates [[withWavMetaChunked]] (q113). */
+  def wavBytesChunked(sampleRate: Column, channels: Column,
+      nSamples: Column, junkLen: Column, junkFirst: Column): Column = {
+    val bits = 16
+    val blockAlign = channels * lit(bits / 8)
+    val dataSize = (nSamples * blockAlign).cast("long")
+    val byteRate = (sampleRate * blockAlign).cast("long")
+    val junkPadded = (junkLen + pmod(junkLen, lit(2))).cast("long")
+    val junkHex = concat(lit("4A554E4B"), leHex(junkLen, 4),      // JUNK
+      repeat(lit("00"), junkPadded.cast("int")))
+    val fmtHex = concat(
+      lit("666D7420"), leHex(lit(16), 4), leHex(lit(1), 2),       // fmt , PCM
+      leHex(channels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(bits), 2))
+    val dataHex = concat(lit("64617461"), leHex(dataSize, 4),     // data
+      repeat(lit("00"), dataSize.cast("int")))
+    // riff size = WAVE form type + every chunk at (8 + padded size);
+    // fmt (16) and data (blockAlign multiple) are always even
+    val riffSize = lit(4L) + (lit(8L) + junkPadded) + lit(8L + 16L) +
+      (lit(8L) + dataSize)
+    unhex(concat(
+      lit("52494646"), leHex(riffSize, 4), lit("57415645"),       // RIFF…WAVE
+      when(junkFirst, concat(junkHex, fmtHex))
+        .otherwise(concat(fmtHex, junkHex)),
+      dataHex))
+  }
+
   /** REAL WAV decode — validates the four RIFF/WAVE/fmt/data magics
     * and reads channel count, sample rate, bit depth and data-chunk
     * byte length straight out of the header bytes, deriving sample

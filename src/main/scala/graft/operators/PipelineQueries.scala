@@ -315,6 +315,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // NON-canonical WAV decode: the writer splices a JUNK padding chunk
+  // (doc-varying length, odd half the time — the pad-to-even rule is
+  // live) before `fmt ` or between `fmt ` and `data`. Still conformant
+  // RIFF, but the canonical fixed-offset q105 parser REJECTS it
+  // (canonical_rejects pins that for every row) while the chunk WALK
+  // recovers every parameter. Same staged-select shape as q105: the
+  // built bytes and the walk each evaluate once per row.
+  def wavDecodeChunked(s: SparkSession, dir: String): DataFrame = {
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val n = (pmod(col("doc_id"), lit(997)) + 1).cast("int")
+    val junkLen = pmod(col("doc_id"), lit(37L)) + 1
+    val junkFirst = pmod(col("doc_id"), lit(3)) === 0
+    val built = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.wavBytesChunked(rate, channels, n, junkLen, junkFirst)
+          .as("__wav"))
+    Multimodal.withWavMetaChunked(built, "__wav", "__m")
+      .select(col("doc_id"),
+        when(junkFirst, lit("junk_first")).otherwise(lit("junk_mid"))
+          .as("layout"),
+        junkLen.as("junk_len"),
+        Multimodal.wavMeta(col("__wav")).isNull.as("canonical_rejects"),
+        col("__m.channels").as("channels"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.bits").as("bits"),
+        col("__m.n_samples").as("n_samples"),
+        col("__m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)

@@ -693,6 +693,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got(3L)._2.isEmpty && got(3L)._6)
   }
 
+  test("multimodal: wavBytesChunked round-trips through the walk, never the canonical parser") {
+    import org.apache.spark.sql.functions.pmod
+    // doc-varying junk length (1..5 covers odd -> pad-to-even) and
+    // position (every 3rd file junk-first)
+    val rows = TestSpark.spark.range(12).select(
+      col("id"),
+      Multimodal.wavBytesChunked(lit(16000), lit(2),
+        (col("id") + 1).cast("int"),
+        pmod(col("id"), lit(5L)) + 1, pmod(col("id"), lit(3)) === 0)
+        .as("media"))
+    val got = Multimodal.withWavMetaChunked(rows, "media", "m")
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.n_samples"),
+        Multimodal.wavMeta(col("media")).isNull.as("canonNull"))
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(got.length == 12)
+    got.foreach { case (id, ch, rate, n, canonNull) =>
+      assert(ch == 2 && rate == 16000 && n == id + 1,
+        s"walk mis-parsed id=$id: ($ch, $rate, $n)")
+      assert(canonNull, s"canonical parser unexpectedly accepted id=$id")
+    }
+    // the JDK's WAV reader — an independent conformant consumer — still
+    // accepts both non-canonical layouts (it walks chunks too)
+    import javax.sound.sampled.AudioSystem
+    for (junkFirst <- Seq(true, false)) {
+      val bytes = TestSpark.spark.range(1).select(
+          Multimodal.wavBytesChunked(lit(22050), lit(1), lit(77),
+            lit(9L), lit(junkFirst)).as("w"))
+        .as[Array[Byte]].head()
+      val aff = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(aff.getFormat.getSampleRate == 22050f, s"junkFirst=$junkFirst")
+      assert(aff.getFormat.getChannels == 1)
+      assert(aff.getFrameLength == 77, s"junkFirst=$junkFirst")
+    }
+  }
+
   test("multimodal: stub decode is deterministic and bounded; resize preserves aspect") {
     val df = Seq((1L, "payload-bytes".getBytes("UTF-8"))).toDF("doc_id", "media")
     val meta = df.select(Multimodal.fakeDecodeMeta(col("media")).as("m"))
