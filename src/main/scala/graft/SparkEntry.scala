@@ -145,6 +145,7 @@ object SparkEntry {
     "q111_incr_dedup_fps" -> (P.incrementalDedupFps _),
     "q112_quantized_topk" -> (P.quantizedTopK _),
     "q113_wav_chunked" -> (P.wavDecodeChunked _),
+    "q114_bloom_decon" -> (P.bloomDecontaminate _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -211,6 +212,27 @@ object SparkEntry {
       |      ELSE 'new' END AS status
       |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
       |ORDER BY doc_id""".stripMargin
+
+  /** Shared q61/q114 oracle: both queries compute the same distinct-
+    * 3-gram overlap counts — q114 differs only in HOW non-overlapping
+    * docs are skipped (Bloom prefilter + verify join vs full explode +
+    * broadcast join), which is invisible to the result (no false
+    * negatives; false positives die in the verify join). */
+  private val deconOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  ELSE [array_to_string(t, ' ')] END AS s
+      | FROM toks),
+      |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
+      |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20)
+      |SELECT c.doc_id, count(*) AS n_overlap
+      |FROM corp c JOIN bench b USING (sh1)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   /** Shared q103/q104 oracle: both queries compute the same verified
     * cross-side J >= 0.7 pair set — q104 differs only in WHERE the
@@ -1246,21 +1268,13 @@ object SparkEntry {
     // Benchmark decontamination: distinct-3-gram overlap counts between
     // each corpus doc (id >= 20) and the eval stand-in set (id < 20).
     // Shingle arrays are distinct per doc, so count(*) = distinct overlap.
-    "q61_decontaminate" ->
-      """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        | FROM documents),
-        |sh AS (
-        | SELECT doc_id, CASE WHEN len(t) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |  ELSE [array_to_string(t, ' ')] END AS s
-        | FROM toks),
-        |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
-        |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20)
-        |SELECT c.doc_id, count(*) AS n_overlap
-        |FROM corp c JOIN bench b USING (sh1)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q61_decontaminate" -> deconOracle,
+    // Bloom-prefiltered twin of q61 (build the bench filter, probe
+    // in-scan, verify-join candidates only): Bloom filters have no
+    // false negatives and false-positive docs contribute zero rows to
+    // the inner overlap join, so the result is PROVABLY row-identical
+    // to the plain scan — same oracle, the q103/q104 twin convention.
+    "q114_bloom_decon" -> deconOracle,
     // Corpus vocabulary head (Zipf table): top-100 tokens by (count
     // desc, term) — count ties pinned lexicographically.
     "q62_vocab_top" ->

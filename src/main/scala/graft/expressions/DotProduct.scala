@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketsDescriptor)
     ext.injectFunction(GraftExtensions.md5PrefixLongDescriptor)
+    ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
   }
 }
 
@@ -131,5 +132,28 @@ object GraftExtensions {
           "graft_md5_long hexDigits must be a numeric literal")
         Md5PrefixLong(children.head,
           children(1).eval().asInstanceOf[Number].intValue)
+      })
+
+  /** `graft_bloom_contains(filter, hash)` — probe a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (as built by
+    * `Dataset.stat.bloomFilter` over a LONG column) with a long key.
+    * Wraps the predicate Spark's own runtime-filter rewrite uses
+    * (`BloomFilterMightContain`, codegen'd: one deserialize per task,
+    * then bit probes), exposed as a function so a USER-level plan can
+    * carry a pre-built filter as a broadcast-sized literal — the
+    * 100 TB decontamination prefilter shape (q114). The filter
+    * argument must be a foldable binary (the expression's own
+    * contract); the key must be the same hash family the filter was
+    * built over (the engine uses `xxhash64`). */
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_bloom_contains takes exactly 2 arguments, got ${children.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
       })
 }

@@ -15,6 +15,16 @@ import graft.functions.{MysqlFunctions, TextFunctions}
   */
 object CorpusOps {
 
+  /** Ships Bloom-filter BYTES to executors and deserializes once per
+    * JVM (`@transient lazy`) — the no-extensions fallback probe for
+    * [[bloomDecontaminateFromSets]]. */
+  private class BloomProbe(bytes: Array[Byte])
+      extends (Long => Boolean) with Serializable {
+    @transient private lazy val bf = org.apache.spark.util.sketch
+      .BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    def apply(h: Long): Boolean = bf.mightContainLong(h)
+  }
+
   /** Deterministic hash bucket in [0, buckets): md5 prefix of
     * `salt:id` — the engine's standard hash derivation (SQL-reproducible,
     * so split assignments are oracle-verifiable and STABLE across runs,
@@ -238,6 +248,70 @@ object CorpusOps {
     corpusSets
       .select(col(idCol), explode(col("__sh")).as("__sh"))
       .join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** [[decontaminateFromSets]] at the 100 TB shape: a BLOOM-PREFILTERED
+    * scan. The plain form broadcasts the benchmark's distinct-shingle
+    * SET and explodes every corpus document into the overlap join — at
+    * petabyte scale the explode of the whole corpus is the cost, and a
+    * large eval suite's shingle set can outgrow a broadcast join. Here
+    * the bench shingles fold into a Bloom filter (`stat.bloomFilter`, a
+    * distributed aggregate; ~1.2 bytes/item at fpp 1e-2 — still
+    * broadcastable when the set itself is not), the corpus is probed
+    * IN-SCAN (`exists` over the shingle array, each probe a codegen'd
+    * `BloomFilterMightContain` bit test), and only CANDIDATE documents
+    * — ones with at least one probable hit — reach the explode and the
+    * exact verify join that discards the false positives. Bloom filters
+    * have no false NEGATIVES, and FP documents contribute zero rows to
+    * the inner overlap join, so the result is row-identical to
+    * [[decontaminateFromSets]] — which is what the q114 oracle states.
+    * The verify join is a plain shuffle join (not broadcast): its left
+    * side is only the candidates' shingles, and the right side is
+    * assumed too large to broadcast (the regime this operator exists
+    * for).
+    *
+    * `expectedItems` sizes the filter (a capacity ESTIMATE, ≥ the
+    * bench's distinct-shingle count for `fpp` to hold; overshooting
+    * costs filter bytes, undershooting degrades fpp — never
+    * correctness). Probe path: native `graft_bloom_contains` when the
+    * active session has GraftExtensions; a deserialized-once UDF
+    * closure otherwise (same filter bytes, same bits).
+    * `forceFallbackProbe` pins the UDF path (test hook — the paths are
+    * asserted row-identical in CorpusOpsSpec). */
+  def bloomDecontaminateFromSets(corpusSets: DataFrame,
+      benchSets: DataFrame, idCol: String, expectedItems: Long,
+      fpp: Double = 0.01, forceFallbackProbe: Boolean = false): DataFrame = {
+    val benchSh = benchSets
+      .select(explode(col("__sh")).as("__sh"))
+      .distinct()
+    val bf = benchSh.select(xxhash64(col("__sh")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val native = !forceFallbackProbe &&
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(s =>
+          try s.catalog.functionExists("graft_bloom_contains")
+          catch { case _: Throwable => false })
+    val probe: Column => Column =
+      if (native) h => call_function("graft_bloom_contains", lit(bytes), h)
+      else {
+        // fallback: the same filter bytes probed through a
+        // deserialized-once-per-executor closure (bit-identical
+        // decisions)
+        val f = udf(new BloomProbe(bytes): Long => Boolean)
+        h => f(h)
+      }
+    val candidates = corpusSets
+      .filter(exists(col("__sh"), sh => probe(xxhash64(sh))))
+    candidates
+      .select(col(idCol), explode(col("__sh")).as("__sh"))
+      .join(benchSh, Seq("__sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }

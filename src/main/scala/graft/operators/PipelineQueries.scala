@@ -572,6 +572,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q61's scan at the 100 TB shape: bench shingles folded into a Bloom
+  // filter probed in-scan, exact verify join only for candidate docs.
+  // No false negatives + FPs die in the inner join => row-identical to
+  // q61, and the oracle IS q61's (the q103/q104 twin convention).
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sets = stages(s, dir)._1
+    CorpusOps.bloomDecontaminateFromSets(
+        sets.filter(col("doc_id") >= 20),
+        sets.filter(col("doc_id") < 20), "doc_id",
+        expectedItems = 100000L)
+      .orderBy("doc_id")
+  }
+
   // Gopher-style repetition signals: most-frequent-token fraction +
   // duplicated-3-gram fraction per doc (the boilerplate/loop filters)
   def repetition(s: SparkSession, dir: String): DataFrame =

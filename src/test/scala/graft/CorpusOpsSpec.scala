@@ -47,6 +47,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("bloomDecontaminate is row-identical to the plain scan (both probe paths) and narrows") {
+    import graft.operators.{Dedup, PipelineQueries}
+    import graft.sources.Tables
+    // real corpus slice: bench = docs < 20, corpus = the rest (q61's split)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__sh"))
+      .localCheckpoint()
+    val bench = sets.filter(col("doc_id") < 20)
+    val corpus = sets.filter(col("doc_id") >= 20)
+    val plain = CorpusOps.decontaminateFromSets(corpus, bench, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(plain.nonEmpty, "fixture must have overlap or the test is vacuous")
+    // native (codegen'd BloomFilterMightContain) path — the gate shape
+    assert(spark.catalog.functionExists("graft_bloom_contains"))
+    val bloom = CorpusOps.bloomDecontaminateFromSets(
+        corpus, bench, "doc_id", expectedItems = 10000L)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == plain, "bloom-prefiltered result diverged from the exact scan")
+    // fallback (no-extensions UDF) path: same filter bytes, same rows
+    val fb = CorpusOps.bloomDecontaminateFromSets(
+        corpus, bench, "doc_id", expectedItems = 10000L,
+        forceFallbackProbe = true)
+      .as[(Long, Long)].collect().toMap
+    assert(fb == plain, "fallback probe diverged from the native probe")
+    // the split must leave clean docs, else narrowing is unobservable
+    assert(plain.size < corpus.count(),
+      "split leaves no clean docs; narrowing unobservable")
+  }
+
   test("vocabTopTerms ranks by count desc then term asc") {
     val df = Seq("b b b a a c", "a c", "").toDF("text")
     val out = TextCorpus.vocabTopTerms(df, "text", k = 10)
