@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.lshBucketsDescriptor)
     ext.injectFunction(GraftExtensions.md5PrefixLongDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
+    ext.injectFunction(GraftExtensions.winnowSelectDescriptor)
   }
 }
 
@@ -155,5 +156,24 @@ object GraftExtensions {
           s"graft_bloom_contains takes exactly 2 arguments, got ${children.length}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      })
+
+  /** `graft_winnow(text, gram, window)` — gram and window must be
+    * foldable numeric literals (they parameterize the generated
+    * code). */
+  val winnowSelectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_winnow takes exactly 3 arguments, got ${children.length}")
+        def intArg(i: Int): Int = {
+          require(children(i).foldable,
+            s"graft_winnow argument $i must be a literal")
+          require(children(i).eval().isInstanceOf[Number],
+            s"graft_winnow argument $i must be a numeric literal")
+          children(i).eval().asInstanceOf[Number].intValue
+        }
+        WinnowSelect(children.head, intArg(1), intArg(2))
       })
 }

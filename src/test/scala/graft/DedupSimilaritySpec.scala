@@ -331,6 +331,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(one == Set((1L, 2L)))
   }
 
+  test("winnowedDupPairs: native one-pass winnow is row-identical to the builtin composition") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    assert(spark.catalog.functionExists("graft_winnow"))
+    val rng = new scala.util.Random(37)
+    def rand(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(80)
+    val docs = Seq(
+      (1L, rand(300) + shared + rand(200)),
+      (2L, shared + rand(400)),
+      (3L, rand(700)),
+      (4L, rand(120) + shared.take(60) + rand(40)),
+      (5L, "héllo wörld " * 50 + shared),  // multibyte: substring path
+      (6L, rand(55)))                      // barely windows
+      .toDF("doc_id", "text")
+    def run(builtin: Boolean) =
+      Dedup.winnowedDupPairs(docs, "doc_id", "text",
+          forceBuiltinWinnow = builtin)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run(false) == run(true),
+      "native winnow diverged from the builtin composition on pairs")
+    // and at the raw selection level: the expression's encodings equal
+    // the builtin hash+window-min+distinct per document (sets — the
+    // builtin path loses order in its distinct)
+    val sel = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.call_function("graft_winnow",
+          col("text"), lit(50), lit(10))).as("m"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val builtinSel = docs
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 49)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        (TextFunctions.md5Int(substr(col("text"), col("i"), lit(50)), 10)
+          * lit(8388608L) + col("i")).as("enc"))
+      .withColumn("m", min(col("enc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy("i").rowsBetween(0, 9)))
+      .select(col("doc_id"), col("m")).distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(sel == builtinSel,
+      "selected fingerprint encodings diverged from the SQL composition")
+  }
+
   test("semanticNearDupPairs: finds in-cluster near-dups via cell blocking; subset of the exact join") {
     val rng = new scala.util.Random(17)
     // 8 well-separated clusters of 6 near-identical vectors — with
