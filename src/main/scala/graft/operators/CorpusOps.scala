@@ -25,6 +25,38 @@ object CorpusOps {
     def apply(h: Long): Boolean = bf.mightContainLong(h)
   }
 
+  /** Fold a distinct-shingle frame (`__sh` string column) into a Bloom
+    * filter NOW (a distributed aggregate collected to its ~1.2 B/item
+    * serialized form) and return the probe: shingle Column → boolean
+    * Column. Native codegen'd `graft_bloom_contains` when the active
+    * session has GraftExtensions, the [[BloomProbe]] UDF closure
+    * otherwise — same bytes, same bits. Shared by the batch
+    * [[bloomDecontaminateFromSets]] and the streaming
+    * `EventStreams.deconStream` (where the filter is built once at
+    * plan-build against the static bench side). */
+  private[graft] def shingleBloomProbe(benchSh: DataFrame,
+      expectedItems: Long, fpp: Double,
+      forceFallbackProbe: Boolean = false): Column => Column = {
+    val bf = benchSh.select(xxhash64(col("__sh")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val native = !forceFallbackProbe &&
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(s =>
+          try s.catalog.functionExists("graft_bloom_contains")
+          catch { case _: Throwable => false })
+    if (native)
+      sh => call_function("graft_bloom_contains", lit(bytes), xxhash64(sh))
+    else {
+      val f = udf(new BloomProbe(bytes): Long => Boolean)
+      sh => f(xxhash64(sh))
+    }
+  }
+
   /** Deterministic hash bucket in [0, buckets): md5 prefix of
     * `salt:id` — the engine's standard hash derivation (SQL-reproducible,
     * so split assignments are oracle-verifiable and STABLE across runs,
@@ -286,29 +318,10 @@ object CorpusOps {
     val benchSh = benchSets
       .select(explode(col("__sh")).as("__sh"))
       .distinct()
-    val bf = benchSh.select(xxhash64(col("__sh")).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    val bytes = {
-      val os = new java.io.ByteArrayOutputStream()
-      bf.writeTo(os)
-      os.toByteArray
-    }
-    val native = !forceFallbackProbe &&
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(s =>
-          try s.catalog.functionExists("graft_bloom_contains")
-          catch { case _: Throwable => false })
-    val probe: Column => Column =
-      if (native) h => call_function("graft_bloom_contains", lit(bytes), h)
-      else {
-        // fallback: the same filter bytes probed through a
-        // deserialized-once-per-executor closure (bit-identical
-        // decisions)
-        val f = udf(new BloomProbe(bytes): Long => Boolean)
-        h => f(h)
-      }
+    val probe = shingleBloomProbe(benchSh, expectedItems, fpp,
+      forceFallbackProbe)
     val candidates = corpusSets
-      .filter(exists(col("__sh"), sh => probe(xxhash64(sh))))
+      .filter(exists(col("__sh"), probe))
     candidates
       .select(col(idCol), explode(col("__sh")).as("__sh"))
       .join(benchSh, Seq("__sh"))

@@ -121,6 +121,42 @@ object EventStreams {
       .select(col("ts"), col(idCol), col("__rid").as("ref_id"), col("jaccard"))
   }
 
+  /** Streaming twin of `CorpusOps.bloomDecontaminateFromSets` —
+    * continuous benchmark decontamination against a STATIC bench
+    * shingle-set table (the q61/q114 scan's always-on form). The bench
+    * shingles fold into a Bloom filter ONCE at plan build; each
+    * arriving doc is probed IN-SCAN (`exists` over its shingle array)
+    * and only CANDIDATE docs explode into the stream-static verify
+    * join and the per-doc overlap count. That count is the one
+    * stateful op — a watermark-finalized streaming aggregation keyed
+    * (ts, id) whose state holds candidate docs only, which is the
+    * prefilter's point: state scales with CONTAMINATED throughput, not
+    * total throughput. Append mode: a doc's row finalizes when the
+    * watermark passes its ts (the windowed-twin contract). Bloom false
+    * positives cost a wasted explode but contribute zero joined rows,
+    * so emitted counts are exactly the batch scan's — batch-parity is
+    * property-tested in StreamingMultimodalSpec.
+    *
+    * `docs` needs (ts, idCol, textCol); `benchSets` is the
+    * `Dedup.shingleSets` shape (`__sh` array column). Output:
+    * (ts, idCol, n_overlap) — one row per contaminated doc. */
+  def deconStream(docs: DataFrame, benchSets: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      expectedItems: Long = 100000L, fpp: Double = 0.01,
+      watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CorpusOps, Dedup}
+    val benchSh = benchSets.select(explode(col("__sh")).as("__sh")).distinct()
+    val probe = CorpusOps.shingleBloomProbe(benchSh, expectedItems, fpp)
+    docs.withWatermark("ts", watermark)
+      .withColumn("__sh", Dedup.shingles(col(textCol), shingleSize))
+      .filter(exists(col("__sh"), probe))
+      .select(col("ts"), col(idCol), explode(col("__sh")).as("__sh"))
+      .join(benchSh, Seq("__sh"))
+      .groupBy(col("ts"), col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)

@@ -243,6 +243,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination equals the batch scan, finalized by the watermark") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.{CorpusOps, Dedup}
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val benchSets = Dedup.shingleSets(bench, "doc_id", "text", 3)
+    val batch = Seq(
+      TsDoc(ts(1), 1L, "alpha beta gamma delta zeta"), // 2 shared shingles
+      TsDoc(ts(2), 2L, "nothing in common here at all"), // clean
+      TsDoc(ts(3), 3L, "x alpha beta gamma y"))        // 1 shared shingle
+    val input = MemoryStream[TsDoc]
+    input.addData(batch: _*)
+    val q = EventStreams.deconStream(
+        input.toDF(), benchSets, "doc_id", "text")
+      .writeStream.format("memory").queryName("deconstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future CLEAN sentinel advances the watermark so the real
+      // docs' aggregation groups finalize (append mode emits nothing
+      // for the sentinel itself: the prefilter drops it in-scan)
+      input.addData(TsDoc(ts(500), 99L, "sentinel advances the clock"))
+      q.processAllAvailable()
+      input.addData(TsDoc(ts(600), 98L, "and once more for the tick"))
+      q.processAllAvailable()
+      val got = spark.table("deconstream").select("doc_id", "n_overlap")
+        .as[(Long, Long)].collect().toMap
+      val expect = CorpusOps.decontaminateFromSets(
+          Dedup.shingleSets(batch.toDF().select(col("doc_id"), col("text")),
+            "doc_id", "text", 3),
+          benchSets, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"stream=$got batch=$expect")
+      assert(got.keySet == Set(1L, 3L) && !got.contains(2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user stats accumulate across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
