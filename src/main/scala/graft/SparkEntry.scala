@@ -146,6 +146,7 @@ object SparkEntry {
     "q112_quantized_topk" -> (P.quantizedTopK _),
     "q113_wav_chunked" -> (P.wavDecodeChunked _),
     "q114_bloom_decon" -> (P.bloomDecontaminate _),
+    "q115_curation_funnel" -> (P.curationFunnel _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1529,6 +1530,117 @@ object SparkEntry {
         |   (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |    WHEN 2 THEN 22050 ELSE 44100 END), 4) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The whole curation recipe, verified end-to-end: per-stage
+    // survivor docs+tokens through lang → quality → exact canonical →
+    // near-dup canonical → decontamination → split. Recomposes the
+    // constituent oracles' CTEs verbatim (q49's recursive components,
+    // q23's keepers, q61's overlap scan, q26's lang scores, q25/q55's
+    // quality, q59's bucket) — no pinned literals, so a drift in ANY
+    // constituent shows up here too.
+    "q115_curation_funnel" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |losers AS (
+        | SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+        |keepers AS (
+        | SELECT min(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
+        |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20),
+        |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (sh1)),
+        |lt AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+        | FROM documents),
+        |ls AS (SELECT doc_id,
+        | len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(ltoks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(ltoks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM lt),
+        |langp AS (SELECT doc_id, CASE
+        | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        | WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        | WHEN s_fr >= s_pt THEN 'fr'
+        | ELSE 'pt' END AS lang_pred FROM ls),
+        |scored AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        |  round((CAST(len(list_distinct(CASE WHEN len(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS DOUBLE)
+        |    / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1) AS DOUBLE)) * 0.7
+        |   + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
+        |   4) AS quality
+        | FROM documents),
+        |flags AS (
+        | SELECT d.doc_id, s2.n_tokens,
+        |  (l.lang_pred = 'en') AS p1,
+        |  (s2.quality >= 0.5) AS p2,
+        |  (k.doc_id IS NOT NULL) AS p3,
+        |  (lo.doc_id IS NULL) AS p4,
+        |  (ct.doc_id IS NULL) AS p5,
+        |  CAST(('0x' || substr(md5('split:' || d.doc_id), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents d
+        | JOIN scored s2 USING (doc_id)
+        | JOIN langp l USING (doc_id)
+        | LEFT JOIN keepers k ON k.doc_id = d.doc_id
+        | LEFT JOIN losers lo ON lo.doc_id = d.doc_id
+        | LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+        | WHERE d.doc_id >= 20),
+        |agg AS (SELECT
+        |  count(*) AS d0,
+        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,
+        |  count(*) FILTER (WHERE p1) AS d1,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1), 0) AS BIGINT) AS t1,
+        |  count(*) FILTER (WHERE p1 AND p2) AS d2,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2), 0) AS BIGINT) AS t2,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3) AS d3,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3), 0) AS BIGINT) AS t3,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4) AS d4,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3 AND p4), 0) AS BIGINT) AS t4,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5) AS d5,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5), 0) AS BIGINT) AS t5,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b < 80) AS d6,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b < 80), 0) AS BIGINT) AS t6,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b >= 80 AND b < 90) AS d7,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b >= 80 AND b < 90), 0) AS BIGINT) AS t7,
+        |  count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b >= 90) AS d8,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5 AND b >= 90), 0) AS BIGINT) AS t8
+        | FROM flags)
+        |SELECT stage_id, stage, n_docs, n_tokens FROM (
+        | SELECT 0 AS stage_id, 'corpus' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+        | UNION ALL SELECT 1, 'lang_en', d1, t1 FROM agg
+        | UNION ALL SELECT 2, 'quality', d2, t2 FROM agg
+        | UNION ALL SELECT 3, 'exact_canonical', d3, t3 FROM agg
+        | UNION ALL SELECT 4, 'near_dup_canonical', d4, t4 FROM agg
+        | UNION ALL SELECT 5, 'decontaminated', d5, t5 FROM agg
+        | UNION ALL SELECT 6, 'train', d6, t6 FROM agg
+        | UNION ALL SELECT 7, 'val', d7, t7 FROM agg
+        | UNION ALL SELECT 8, 'test', d8, t8 FROM agg) f
+        |ORDER BY stage_id""".stripMargin),
     // Fluency quartile buckets over the q77 scores: bounds 4-dp-pinned
     // (quantile_cont ≡ percentile, the q50-proven pair; 0.25/0.75 are
     // exact binary fractions so the rank positions match to the bit).

@@ -260,6 +260,66 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // The WHOLE curation recipe as one declarative plan: per-stage
+  // survivor stats (docs + tokens) through lang filter → quality floor
+  // → exact-dedup canonical → near-dup canonical → decontamination →
+  // train/val/test split. Every predicate is the corresponding gate
+  // query's (q26/q25+q55/q23/q49/q61/q59), computed GLOBALLY and
+  // intersected as AND-prefixes (the q55 convention), so the oracle
+  // recomposes their CTEs verbatim. Scale shape: the predicates are
+  // per-row projections plus three id-keyed flag joins riding the
+  // shared shingle/component stages; the funnel itself is ONE
+  // conditional aggregation over the corpus (map-side combined to a
+  // single row) unpivoted to 9 rows — at 100 TB this adds one scan
+  // over what the constituent stages already pay.
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sets = stages(s, dir)._1
+    val exactKeep = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(1).as("__keep"))
+    val losers = dupComponents(s, dir)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"), lit(1).as("__loser"))
+    val contam = CorpusOps.decontaminateFromSets(
+        sets.filter(col("doc_id") >= 20), sets.filter(col("doc_id") < 20),
+        "doc_id")
+      .select(col("doc_id"), lit(1).as("__contam"))
+    val flags = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.langId(col("text")).as("__lang"),
+        T.qualityScore(col("text")).as("__q"))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("__b", CorpusOps.hashBucket(col("doc_id"), "split", 100))
+    val c1 = col("__lang") === "en"
+    val c2 = c1 && col("__q") >= 0.5
+    val c3 = c2 && col("__keep").isNotNull
+    val c4 = c3 && col("__loser").isNull
+    val c5 = c4 && col("__contam").isNull
+    val stageDefs: Seq[(Int, String, Column)] = Seq(
+      (0, "corpus", lit(true)),
+      (1, "lang_en", c1),
+      (2, "quality", c2),
+      (3, "exact_canonical", c3),
+      (4, "near_dup_canonical", c4),
+      (5, "decontaminated", c5),
+      (6, "train", c5 && col("__b") < 80),
+      (7, "val", c5 && col("__b") >= 80 && col("__b") < 90),
+      (8, "test", c5 && col("__b") >= 90))
+    val aggCols = stageDefs.flatMap { case (i, _, c) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+      sum(when(c, col("n_tokens")).otherwise(0L)).as(s"t$i")) }
+    val rows = stageDefs.map { case (i, name, _) =>
+      struct(lit(i).as("stage_id"), lit(name).as("stage"),
+        col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens")) }
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select("r.stage_id", "r.stage", "r.n_docs", "r.n_tokens")
+      .orderBy("stage_id")
+  }
+
   // corpus-level TF-IDF: top-5 terms per document (smoothed idf,
   // deterministic rounded-score ranking — exactly DuckDB-oracled)
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
