@@ -84,6 +84,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Is native function `name` registered in the ACTIVE session? The
+    * one shared probe for every native-vs-fallback split (md5Int,
+    * winnow, bloom). CAVEAT (applies to every caller): this resolves
+    * at Column-CONSTRUCTION time against the thread's active session,
+    * not at analysis time — a Column built while an extension session
+    * is active but analyzed against a session without the extension
+    * fails analysis with "undefined function"; the reverse silently
+    * takes the slower bit-identical fallback. Single-session processes
+    * (every driver-contract main) never hit either case; multi-session
+    * callers should construct columns on the thread whose active
+    * session will analyze them. */
+  def hasFunction(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s =>
+        try s.catalog.functionExists(name)
+        catch { case _: Throwable => false })
+
   val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -63,7 +63,13 @@ object WinnowSelect {
 
   /** Distinct clipped-sliding-window minima of the position encodings
     * (first-occurrence order). Public + static-shaped so generated
-    * code can call it. */
+    * code can call it.
+    *
+    * Memory is O(window) + O(selected): hashing is FUSED into the
+    * forward walk and the monotonic deque is a `window`-slot ring of
+    * (index, encoding) pairs — never an O(chunk) buffer, which at the
+    * 2^23-char chunk bound would have transiently allocated ~100 MB
+    * per in-flight row. */
   def select(t: UTF8String, gram: Int, window: Int): ArrayData = {
     val n = t.numChars - gram + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
@@ -73,9 +79,7 @@ object WinnowSelect {
     // (character positions), matching substr() exactly
     val ascii = t.numBytes == t.numChars
     val bytes = if (ascii) t.getBytes else null
-    val enc = new Array[Long](n)
-    var i = 0
-    while (i < n) {
+    def encAt(i: Int): Long = {
       md.reset()
       val h =
         if (ascii) { md.update(bytes, i, gram); md.digest() }
@@ -85,34 +89,45 @@ object WinnowSelect {
       while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
       // 10 hex digits = leading 40 bits; encode position 1-based in
       // the low 23-bit field (the winnowedDupPairs contract)
-      enc(i) = (v >>> 24) * 8388608L + (i + 1)
-      i += 1
+      (v >>> 24) * 8388608L + (i + 1)
     }
     // monotonic deque over forward windows [i, i+window-1] clipped at
-    // the tail — every index pushed once, popped once
-    val dq = new Array[Int](n)
+    // the tail: a circular ring of at most `window` (index, enc) pairs
+    val dqi = new Array[Int](window)
+    val dqv = new Array[Long](window)
     var head = 0
-    var tail = 0
-    def push(j: Int): Unit = {
-      while (tail > head && enc(dq(tail - 1)) >= enc(j)) tail -= 1
-      dq(tail) = j
-      tail += 1
+    var cnt = 0
+    def pushBack(j: Int, v: Long): Unit = {
+      while (cnt > 0 && dqv((head + cnt - 1) % window) >= v) cnt -= 1
+      dqi((head + cnt) % window) = j
+      dqv((head + cnt) % window) = v
+      cnt += 1
     }
-    var j = 0
-    while (j < window - 1 && j < n) { push(j); j += 1 }
+    def dropFrontBefore(i: Int): Unit =
+      while (dqi(head) < i) { head = (head + 1) % window; cnt -= 1 }
     val out = new scala.collection.mutable.ArrayBuffer[Long]
     var last = Long.MinValue
     val seen = new java.util.HashSet[java.lang.Long]
-    i = 0
-    while (i < n) {
-      val incoming = i + window - 1
-      if (incoming < n) push(incoming)
-      while (dq(head) < i) head += 1
-      val m = enc(dq(head))
+    def emit(m: Long): Unit = {
       // runs of the same minimum dominate; the cheap `last` check
       // short-circuits the set for them
       if (m != last && seen.add(m)) out += m
       last = m
+    }
+    var j = 0
+    while (j < n) {
+      pushBack(j, encAt(j))
+      if (j >= window - 1) {          // full window [j-window+1, j]
+        dropFrontBefore(j - window + 1)
+        emit(dqv(head))
+      }
+      j += 1
+    }
+    // tail windows [i, n-1] for i past the last full-window start
+    var i = math.max(0, n - window + 1)
+    while (i < n) {
+      dropFrontBefore(i)
+      emit(dqv(head))
       i += 1
     }
     new GenericArrayData(out.toArray)

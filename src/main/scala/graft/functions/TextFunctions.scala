@@ -114,23 +114,14 @@ object TextFunctions {
     * materialization or base re-parse on the hottest per-row path);
     * bit-identical built-in fallback otherwise (property-tested).
     *
-    * ACTIVE-SESSION DEPENDENCY: native-vs-fallback resolves from
-    * `SparkSession.getActiveSession` at Column-CONSTRUCTION time, not
-    * analysis time. A Column built while a GraftExtensions session is
-    * active but analyzed against a session WITHOUT the extension
-    * (multi-session tests, thread-local drift) fails analysis with
-    * "undefined function graft_md5_long"; the reverse direction
-    * silently takes the slower-but-identical fallback. Single-session
-    * processes (every driver-contract main) never hit either case;
-    * multi-session callers should construct columns on the thread whose
-    * active session will analyze them. */
+    * ACTIVE-SESSION DEPENDENCY: native-vs-fallback resolves at
+    * Column-CONSTRUCTION time via `GraftExtensions.hasFunction` — see
+    * its caveat for the multi-session hazard (single-session processes,
+    * i.e. every driver-contract main, never hit it). */
   def md5Int(c: Column, hexDigits: Int): Column = {
     require(hexDigits <= 15, "more than 15 hex digits overflows a signed Long")
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(s =>
-        try s.catalog.functionExists("graft_md5_long")
-        catch { case _: Throwable => false })
-    if (native) call_function("graft_md5_long", c, lit(hexDigits))
+    if (graft.expressions.GraftExtensions.hasFunction("graft_md5_long"))
+      call_function("graft_md5_long", c, lit(hexDigits))
     else conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
   }
 

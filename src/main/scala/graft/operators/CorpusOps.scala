@@ -45,10 +45,7 @@ object CorpusOps {
       os.toByteArray
     }
     val native = !forceFallbackProbe &&
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(s =>
-          try s.catalog.functionExists("graft_bloom_contains")
-          catch { case _: Throwable => false })
+      graft.expressions.GraftExtensions.hasFunction("graft_bloom_contains")
     if (native)
       sh => call_function("graft_bloom_contains", lit(bytes), xxhash64(sh))
     else {
@@ -315,9 +312,13 @@ object CorpusOps {
   def bloomDecontaminateFromSets(corpusSets: DataFrame,
       benchSets: DataFrame, idCol: String, expectedItems: Long,
       fpp: Double = 0.01, forceFallbackProbe: Boolean = false): DataFrame = {
+    // materialized once: the Bloom build (an action at operator
+    // construction) and the verify join otherwise each pay the bench
+    // explode+distinct shuffle
     val benchSh = benchSets
       .select(explode(col("__sh")).as("__sh"))
       .distinct()
+      .localCheckpoint()
     val probe = shingleBloomProbe(benchSh, expectedItems, fpp,
       forceFallbackProbe)
     val candidates = corpusSets

@@ -414,10 +414,7 @@ object Dedup {
           lit(maxChunkChars)).as("__txt"))
       .filter(length(col("__txt")) >= gram)
     val native = !forceBuiltinWinnow &&
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(s =>
-          try s.catalog.functionExists("graft_winnow")
-          catch { case _: Throwable => false })
+      graft.expressions.GraftExtensions.hasFunction("graft_winnow")
     val fp = if (native) {
       // One-pass native winnow ([[graft.expressions.WinnowSelect]]):
       // the per-position hash, clipped rolling min and distinct all

@@ -236,13 +236,24 @@ object PipelineQueries {
   // anti-join + a codegen'd filter over the shared MinHash stages;
   // every constituent is independently oracled (q23/q25/q49), and the
   // composite is exactly DuckDB-oracled too.
-  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val exactKeep = Dedup.exact(docs, "doc_id", "text")
+  /** q23's canonical keepers (min doc_id per normalized fingerprint)
+    * as a one-column id frame — the exact-dedup gate shared by q55 and
+    * the q115 funnel (one definition, so the gates cannot drift). */
+  private def exactKeepers(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val nearDupLosers = dupComponents(s, dir)
+
+  /** q49's near-dup-component losers (non-minimum members) as a
+    * one-column id frame — shared by q55 and the q115 funnel. */
+  private def nearDupLosers(s: SparkSession, dir: String): DataFrame =
+    dupComponents(s, dir)
       .filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
+
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactKeep = exactKeepers(s, dir)
+    val nearDupLosers0 = nearDupLosers(s, dir)
     // score once, materialized: FilterExec and ProjectExec each
     // evaluate their own trees (pushdown re-substitutes the full
     // expression), so filtering on qualityScore(text) directly would
@@ -256,7 +267,7 @@ object PipelineQueries {
     scored
       .filter(col("quality") >= 0.5)
       .join(exactKeep, Seq("doc_id"), "left_semi")
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(nearDupLosers0, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -275,11 +286,8 @@ object PipelineQueries {
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sets = stages(s, dir)._1
-    val exactKeep = Dedup.exact(docs, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"), lit(1).as("__keep"))
-    val losers = dupComponents(s, dir)
-      .filter(col("node") =!= col("comp"))
-      .select(col("node").as("doc_id"), lit(1).as("__loser"))
+    val exactKeep = exactKeepers(s, dir).withColumn("__keep", lit(1))
+    val losers = nearDupLosers(s, dir).withColumn("__loser", lit(1))
     val contam = CorpusOps.decontaminateFromSets(
         sets.filter(col("doc_id") >= 20), sets.filter(col("doc_id") < 20),
         "doc_id")

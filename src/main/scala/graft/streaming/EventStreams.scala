@@ -146,7 +146,11 @@ object EventStreams {
       watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.operators.{CorpusOps, Dedup}
-    val benchSh = benchSets.select(explode(col("__sh")).as("__sh")).distinct()
+    // static side materialized once at plan build: the Bloom build and
+    // every micro-batch's verify join read the checkpointed distinct
+    // instead of re-running the bench explode+distinct
+    val benchSh = benchSets.select(explode(col("__sh")).as("__sh"))
+      .distinct().localCheckpoint()
     val probe = CorpusOps.shingleBloomProbe(benchSh, expectedItems, fpp)
     docs.withWatermark("ts", watermark)
       .withColumn("__sh", Dedup.shingles(col(textCol), shingleSize))
