@@ -147,6 +147,7 @@ object SparkEntry {
     "q113_wav_chunked" -> (P.wavDecodeChunked _),
     "q114_bloom_decon" -> (P.bloomDecontaminate _),
     "q115_curation_funnel" -> (P.curationFunnel _),
+    "q116_pq_topk" -> (P.pqTopKQuery _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -213,6 +214,92 @@ object SparkEntry {
       |      ELSE 'new' END AS status
       |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
       |ORDER BY doc_id""".stripMargin
+
+  /** q116's oracle: Similarity.pqTopK unrolled — the per-subspace
+    * Lloyd build over `es(vec_id, s, sv)` (shared md5-ranked init
+    * vectors sliced per subspace, means 6-dp-rounded per round, lost
+    * cells carried forward), final per-subspace code assignment, the
+    * ADC scan (per-(query, neighbor, s) centroid-dot terms summed in
+    * subspace order via `list(t ORDER BY s)` — the exact fold order of
+    * the engine's left reduce), the k·refine cut and the exact float
+    * re-rank. All float folds index/subspace-ordered like the engine's,
+    * so ranks match hash-for-hash (the q53 ivfOracle construction,
+    * generalized to m codebooks). */
+  private def pqOracle(m: Int, ksub: Int, dsub: Int, iters: Int,
+      seed: Int, k: Int, refine: Int, queryMax: Int): String = {
+    val dim = m * dsub
+    def sl(v: String, s: String) =
+      s"list_slice($v, $s*$dsub + 1, ($s+1)*$dsub)"
+    val sqd =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> (es.sv[i]-c.ctr[i])*(es.sv[i]-c.ctr[i])))"
+    val iterCtes = (1 to iters).map { kk =>
+      val j = kk - 1
+      s"""d$kk AS (
+         | SELECT es.vec_id, es.s, c.cell,
+         |  row_number() OVER (PARTITION BY es.vec_id, es.s ORDER BY
+         |   $sqd, c.cell) AS r
+         | FROM es JOIN c$j c ON c.s = es.s),
+         |a$kk AS (SELECT vec_id, s, cell FROM d$kk WHERE r = 1),
+         |m$kk AS (
+         | SELECT a.s, a.cell, d.i AS di, round(avg(es.sv[d.i]), 6) AS w
+         | FROM a$kk a JOIN es ON es.vec_id = a.vec_id AND es.s = a.s,
+         |  generate_series(1, $dsub) AS d(i)
+         | GROUP BY a.s, a.cell, d.i),
+         |c$kk AS (
+         | SELECT c$j.s, c$j.cell, coalesce(mm.ctr, c$j.ctr) AS ctr
+         | FROM c$j LEFT JOIN (SELECT s, cell, list(w ORDER BY di) AS ctr
+         |   FROM m$kk GROUP BY s, cell) mm
+         |  ON mm.s = c$j.s AND mm.cell = c$j.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |es AS (
+       | SELECT vec_id, ss.s AS s, ${sl("v", "ss.s")} AS sv
+       | FROM e, generate_series(0, ${m - 1}) AS ss(s)),
+       |init AS (
+       | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
+       | FROM (SELECT vec_id, v,
+       |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
+       |       FROM e)
+       | ORDER BY h, vec_id LIMIT $ksub),
+       |c0 AS (
+       | SELECT ss.s AS s, init.cell, ${sl("init.v", "ss.s")} AS ctr
+       | FROM init, generate_series(0, ${m - 1}) AS ss(s)),
+       |$iterCtes,
+       |af AS (
+       | SELECT vec_id, s, cell FROM (
+       |  SELECT es.vec_id, es.s, c.cell,
+       |   row_number() OVER (PARTITION BY es.vec_id, es.s ORDER BY
+       |    $sqd, c.cell) AS r
+       |  FROM es JOIN c$iters c ON c.s = es.s) t WHERE r = 1),
+       |terms AS (
+       | SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.s,
+       |  list_sum(list_transform(range(1, ${dsub + 1}),
+       |   i -> ${sl("q.v", "a.s")}[i] * c.ctr[i])) AS t
+       | FROM (SELECT vec_id, v FROM e WHERE vec_id < $queryMax) q,
+       |  af a JOIN c$iters c ON c.s = a.s AND c.cell = a.cell
+       | WHERE a.vec_id <> q.vec_id),
+       |adc AS (
+       | SELECT query_id, neighbor_id, list_sum(list(t ORDER BY s)) AS asim
+       | FROM terms GROUP BY query_id, neighbor_id),
+       |cand AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, neighbor_id) AS ar
+       |  FROM adc) t WHERE ar <= ${k * refine})
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       | SELECT c2.query_id, c2.neighbor_id,
+       |  row_number() OVER (PARTITION BY c2.query_id ORDER BY
+       |   list_sum(list_transform(range(1, ${dim + 1}), i -> qe.v[i] * ne.v[i])) DESC,
+       |   c2.neighbor_id) AS rnk
+       | FROM cand c2 JOIN e qe ON qe.vec_id = c2.query_id
+       |  JOIN e ne ON ne.vec_id = c2.neighbor_id) t
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Shared q61/q114 oracle: both queries compute the same distinct-
     * 3-gram overlap counts — q114 differs only in HOW non-overlapping
@@ -1509,6 +1596,10 @@ object SparkEntry {
         |   (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |    WHEN 2 THEN 22050 ELSE 44100 END), 4) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PQ/ADC: the full product-quantization pipeline recomposed in SQL
+    // (per-subspace Lloyd + codes + LUT scan + re-rank) — see pqOracle.
+    "q116_pq_topk" -> pqOracle(m = 8, ksub = 16, dsub = 8, iters = 3,
+      seed = 4242, k = 5, refine = 20, queryMax = 8),
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

@@ -542,6 +542,17 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // PQ/ADC two-stage top-k (8 sub-codebooks × 16 centroids → 64×
+  // compression in stage 1; exact re-rank of k·refine survivors). The
+  // oracle recomposes the whole pipeline — shared-init Lloyd per
+  // subspace, codes, LUT scan, re-rank — in SQL, q53-style.
+  def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    Similarity.pqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+      .orderBy("query_id", "rnk")
+  }
+
   // embedding cosine similarity join, threshold 0.45 (exact, oracled).
   // The testdata embeddings have NO high-cosine pairs (max pairwise cos
   // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or

@@ -501,6 +501,148 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Per-subspace PQ codebooks: an m × ksub × dsub centroid tensor,
+    * trained like [[fitQuantizer]] but for all m subspaces in ONE
+    * aggregation per Lloyd round (each row explodes into m
+    * (subspace, cell, subvector) rows; per-(s, cell) means are
+    * map-side combined, and only the m·ksub·dsub tensor reaches the
+    * driver). Init = every subspace's slice of the SAME ksub
+    * md5-ranked vectors (one ranking, m slices — deterministic, no
+    * stored random state); means re-quantized to 6 decimals per round
+    * ([[roundCoord6]]) so the whole build unrolls into ANSI SQL
+    * exactly like the IVF build. Cells that lose every member keep
+    * their previous center (both engines). */
+  private def fitCodebooks(c: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dsub: Int, seed: Long,
+      iters: Int): Array[Array[Array[Double]]] = {
+    import graft.functions.TextFunctions
+    val initDocs: Array[Array[Double]] = c
+      .withColumn("__h", TextFunctions.md5Int(
+        concat(lit(s"$seed:"), col(idCol).cast("string")), 8))
+      .orderBy(col("__h"), col(idCol)).limit(ksub)
+      .select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books = Array.tabulate(m)(s =>
+      initDocs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    // the (s, sv) explode is iteration-invariant — materialize it once
+    // and re-assign against it each round instead of re-exploding
+    val sub = c.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          slice(col(vecCol), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("r"))
+      .select(col("r.s").as("s"), col("r.sv").as("sv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = assignSubCells(sub, books)
+        .groupBy("s", "cell")
+        .agg(avg(col("sv").getItem(0)).as("d0"),
+          (1 until dsub).map(j => avg(col("sv").getItem(j)).as(s"d$j")): _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          Array.tabulate(dsub)(j => roundCoord6(r.getDouble(j + 2)))).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(ksub)(cc =>
+        means.getOrElse((s, cc), books(s)(cc))))
+    }
+    books
+  }
+
+  /** All m sub-codebooks as ONE nested literal (m × ksub × dsub) so a
+    * subspace-generic expression can `element_at` into it by the `s`
+    * column — one literal node in the tree instead of m unrolled
+    * centroid arrays (the [[centersLit]] rationale, one level up). */
+  private def booksLit(books: Array[Array[Array[Double]]]): Column =
+    typedlit[Seq[Seq[Seq[Double]]]](
+      books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+
+  /** Nearest sub-codebook cell per exploded (s, sv) row —
+    * [[assignCells]]'s argmin/tie rule (first position of the min
+    * distance² = min by (distance², cell)), with the distance array
+    * STAGED in its own projection so it is computed once per row (the
+    * CollapseProject boundary: a non-cheap alias referenced twice). */
+  private def assignSubCells(sub: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    sub.withColumn("__d",
+        transform(element_at(booksLit(books), col("s") + 1),
+          ctr => sqDist(col("sv"), ctr)))
+      .withColumn("cell",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+
+  /** Per-row PQ code array: for each subspace s, the argmin cell of the
+    * row's dsub-slice against `books(s)` — a subspace-generic lambda
+    * over one [[booksLit]] literal, so the tree stays small at any m. */
+  private def pqCodes(vec: Column, books: Array[Array[Array[Double]]],
+      m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(vec, s * dsub + 1, lit(dsub))
+      val dists = transform(element_at(booksLit(books), s + 1),
+        ctr => sqDist(sv, ctr))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+
+  /** Product-quantization top-k with an asymmetric-distance (ADC)
+    * stage-1 scan + exact re-rank — the third standard quantized-scan
+    * shape next to [[quantizedTopK]]'s scalar int8 (4×) and
+    * [[ivfTopK]]'s cell blocking: m sub-codebooks of ksub centroids
+    * code each vector as m SMALL INTS (64×-compressed at the defaults:
+    * 8 codes vs 64 doubles), and a query scores a candidate as
+    * `Σ_s lut[s][code_s]` where the per-query lookup table
+    * `lut[s][c] = ⟨q_s, books[s][c]⟩` is computed ONCE per query row
+    * from the centroid literals (m·ksub dsub-dim dots on the broadcast
+    * side), so the per-candidate cost is m array lookups + m−1 adds
+    * over the codes-only corpus — the memory-bandwidth point of PQ at
+    * 100 TB. Stage 2 re-ranks the k·refine survivors with the exact
+    * float dot (q112's pattern). Every float fold is index/subspace
+    *-ordered identically to the SQL oracle, and the codebooks are
+    * 6-dp-quantized per Lloyd round, so the ENTIRE pipeline — build,
+    * encode, ADC scan, re-rank — is hash-oracle-able (q116). At
+    * 100 TB fit the codebooks on a representative sample, as with
+    * [[ivfTopK]]'s quantizer. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+      refine: Int = 20, dim: Int = 64, seed: Long = 4242L, iters: Int = 3,
+      preNormalized: Boolean = false): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val dsub = dim / m
+    val c =
+      if (preNormalized)
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      else
+        barrier(corpus.select(col(idCol).as("neighbor_id"),
+          normalized(col(vecCol).cast("array<double>")).as("cvec")))
+          .localCheckpoint()
+    val books = fitCodebooks(c, "neighbor_id", "cvec", m, ksub, dsub,
+      seed, iters)
+    val coded = c.withColumn("codes", pqCodes(col("cvec"), books, m, dsub))
+    val q0 = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
+    // per-query ADC table: lut[s·ksub + c] = ⟨q_s, books[s][c]⟩, each
+    // dot an index-ordered fold (the oracle's list_sum order; the 0.0
+    // seed is exact — 0.0 + x ≡ x — so values match the unrolled form)
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+      val qs = slice(col("qvec"), s * dsub + 1, lit(dsub))
+      transform(element_at(booksLit(books), s + 1), ctr =>
+        aggregate(zip_with(qs, ctr, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+    }))
+    val q = q0.withColumn("__lut", lut)
+    val approx = coded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", (0 until m).map(s =>
+        element_at(col("__lut"),
+          element_at(col("codes"), s + 1) + lit(s * ksub) + 1))
+        .reduce(_ + _))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val cands = approx.withColumn("__ar", row_number().over(wa))
+      .filter(col("__ar") <= k * refine)
+    val scored = cands.withColumn("sim",
+      pairDot(corpus, col("qvec"), col("cvec"), dim))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)

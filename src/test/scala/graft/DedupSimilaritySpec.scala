@@ -246,6 +246,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.count() == 20)
   }
 
+  test("pqTopK: ADC scan + re-rank recovers exact top-k on planted clusters") {
+    val rng = new scala.util.Random(11)
+    val centers = Seq.fill(8)(Seq.fill(16)(rng.nextGaussian() * 10))
+    val corpus = centers.zipWithIndex.flatMap { case (ctr, ci) =>
+      (0 until 40).map { j =>
+        (ci * 40L + j, ctr.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0).limit(4)
+    val pq = Similarity.pqTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, m = 4, ksub = 8, refine = 10, dim = 16)
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, dim = 16)
+    val a = pq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e = exact.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (a intersect e).size.toDouble / e.size
+    assert(recall >= 0.8, s"PQ recall $recall on planted clusters")
+    assert(pq.count() == 20)
+    // rnk is a dense per-query 1..k ranking
+    val ranks = pq.groupBy("query_id").agg(collect_list("rnk").as("r"))
+      .select("r").as[Seq[Int]].collect()
+    ranks.foreach(r => assert(r.sorted == (1 to 5), s"ranks $r"))
+  }
+
   test("lshBucketsAll: native codegen expression matches built-in composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian()))
