@@ -148,6 +148,7 @@ object SparkEntry {
     "q114_bloom_decon" -> (P.bloomDecontaminate _),
     "q115_curation_funnel" -> (P.curationFunnel _),
     "q116_pq_topk" -> (P.pqTopKQuery _),
+    "q117_ivfpq_topk" -> (P.ivfPqTopKQuery _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -215,74 +216,77 @@ object SparkEntry {
       |FROM inc i LEFT JOIN ref r USING (fp) JOIN k USING (fp)
       |ORDER BY doc_id""".stripMargin
 
-  /** q116's oracle: Similarity.pqTopK unrolled — the per-subspace
-    * Lloyd build over `es(vec_id, s, sv)` (shared md5-ranked init
-    * vectors sliced per subspace, means 6-dp-rounded per round, lost
-    * cells carried forward), final per-subspace code assignment, the
-    * ADC scan (per-(query, neighbor, s) centroid-dot terms summed in
-    * subspace order via `list(t ORDER BY s)` — the exact fold order of
-    * the engine's left reduce), the k·refine cut and the exact float
-    * re-rank. All float folds index/subspace-ordered like the engine's,
-    * so ranks match hash-for-hash (the q53 ivfOracle construction,
-    * generalized to m codebooks). */
-  private def pqOracle(m: Int, ksub: Int, dsub: Int, iters: Int,
-      seed: Int, k: Int, refine: Int, queryMax: Int): String = {
-    val dim = m * dsub
+  /** Per-subspace PQ codebook build as chained CTEs over a caller-
+    * provided normalized-corpus CTE `e(vec_id, v)` — the
+    * [[ivfBuildCtes]] construction generalized to m codebooks:
+    * `es(vec_id, s, sv)` slices every vector per subspace, `pinit`/
+    * `pc0` slice the SAME ksub md5-ranked init vectors, one
+    * pd/pa/pm/pc quadruple per Lloyd round (means 6-dp-rounded, lost
+    * cells carried forward), `paf` the final per-subspace code
+    * assignment. All CTE names are p-prefixed so the coarse
+    * [[ivfBuildCtes]] (init/c0../af) can live in the same WITH —
+    * q117 chains both. Callers append their own tail after a comma. */
+  private def pqBuildCtes(m: Int, ksub: Int, dsub: Int, iters: Int,
+      seed: Int): String = {
     def sl(v: String, s: String) =
       s"list_slice($v, $s*$dsub + 1, ($s+1)*$dsub)"
     val sqd =
       s"list_sum(list_transform(range(1, ${dsub + 1}), i -> (es.sv[i]-c.ctr[i])*(es.sv[i]-c.ctr[i])))"
     val iterCtes = (1 to iters).map { kk =>
       val j = kk - 1
-      s"""d$kk AS (
+      s"""pd$kk AS (
          | SELECT es.vec_id, es.s, c.cell,
          |  row_number() OVER (PARTITION BY es.vec_id, es.s ORDER BY
          |   $sqd, c.cell) AS r
-         | FROM es JOIN c$j c ON c.s = es.s),
-         |a$kk AS (SELECT vec_id, s, cell FROM d$kk WHERE r = 1),
-         |m$kk AS (
+         | FROM es JOIN pc$j c ON c.s = es.s),
+         |pa$kk AS (SELECT vec_id, s, cell FROM pd$kk WHERE r = 1),
+         |pm$kk AS (
          | SELECT a.s, a.cell, d.i AS di, round(avg(es.sv[d.i]), 6) AS w
-         | FROM a$kk a JOIN es ON es.vec_id = a.vec_id AND es.s = a.s,
+         | FROM pa$kk a JOIN es ON es.vec_id = a.vec_id AND es.s = a.s,
          |  generate_series(1, $dsub) AS d(i)
          | GROUP BY a.s, a.cell, d.i),
-         |c$kk AS (
-         | SELECT c$j.s, c$j.cell, coalesce(mm.ctr, c$j.ctr) AS ctr
-         | FROM c$j LEFT JOIN (SELECT s, cell, list(w ORDER BY di) AS ctr
-         |   FROM m$kk GROUP BY s, cell) mm
-         |  ON mm.s = c$j.s AND mm.cell = c$j.cell)""".stripMargin
+         |pc$kk AS (
+         | SELECT pc$j.s, pc$j.cell, coalesce(mm.ctr, pc$j.ctr) AS ctr
+         | FROM pc$j LEFT JOIN (SELECT s, cell, list(w ORDER BY di) AS ctr
+         |   FROM pm$kk GROUP BY s, cell) mm
+         |  ON mm.s = pc$j.s AND mm.cell = pc$j.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       | SELECT vec_id,
-       |  list_transform(CAST(embedding AS DOUBLE[]),
-       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-       |                                         y -> y*y)))) AS v
-       | FROM embeddings),
-       |es AS (
+    s"""es AS (
        | SELECT vec_id, ss.s AS s, ${sl("v", "ss.s")} AS sv
        | FROM e, generate_series(0, ${m - 1}) AS ss(s)),
-       |init AS (
+       |pinit AS (
        | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
        | FROM (SELECT vec_id, v,
        |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
        |       FROM e)
        | ORDER BY h, vec_id LIMIT $ksub),
-       |c0 AS (
-       | SELECT ss.s AS s, init.cell, ${sl("init.v", "ss.s")} AS ctr
-       | FROM init, generate_series(0, ${m - 1}) AS ss(s)),
+       |pc0 AS (
+       | SELECT ss.s AS s, pinit.cell, ${sl("pinit.v", "ss.s")} AS ctr
+       | FROM pinit, generate_series(0, ${m - 1}) AS ss(s)),
        |$iterCtes,
-       |af AS (
+       |paf AS (
        | SELECT vec_id, s, cell FROM (
        |  SELECT es.vec_id, es.s, c.cell,
        |   row_number() OVER (PARTITION BY es.vec_id, es.s ORDER BY
        |    $sqd, c.cell) AS r
-       |  FROM es JOIN c$iters c ON c.s = es.s) t WHERE r = 1),
-       |terms AS (
-       | SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.s,
+       |  FROM es JOIN pc$iters c ON c.s = es.s) t WHERE r = 1)""".stripMargin
+  }
+
+  /** Shared ADC + exact-re-rank oracle tail over a candidate CTE
+    * `cpairs(query_id, neighbor_id)`: per-(query, neighbor, s)
+    * centroid-dot terms summed in subspace order via
+    * `list(t ORDER BY s)` — the exact fold order of the engine's left
+    * reduce — then the k·refine cut and the exact float re-rank. */
+  private def adcTailSql(m: Int, ksub: Int, dsub: Int, iters: Int,
+      k: Int, refine: Int): String = {
+    val dim = m * dsub
+    s"""terms AS (
+       | SELECT cp.query_id, cp.neighbor_id, a.s,
        |  list_sum(list_transform(range(1, ${dsub + 1}),
-       |   i -> ${sl("q.v", "a.s")}[i] * c.ctr[i])) AS t
-       | FROM (SELECT vec_id, v FROM e WHERE vec_id < $queryMax) q,
-       |  af a JOIN c$iters c ON c.s = a.s AND c.cell = a.cell
-       | WHERE a.vec_id <> q.vec_id),
+       |   i -> list_slice(qe.v, a.s*$dsub + 1, (a.s+1)*$dsub)[i] * c.ctr[i])) AS t
+       | FROM cpairs cp JOIN e qe ON qe.vec_id = cp.query_id
+       |  JOIN paf a ON a.vec_id = cp.neighbor_id
+       |  JOIN pc$iters c ON c.s = a.s AND c.cell = a.cell),
        |adc AS (
        | SELECT query_id, neighbor_id, list_sum(list(t ORDER BY s)) AS asim
        | FROM terms GROUP BY query_id, neighbor_id),
@@ -299,6 +303,56 @@ object SparkEntry {
        | FROM cand c2 JOIN e qe ON qe.vec_id = c2.query_id
        |  JOIN e ne ON ne.vec_id = c2.neighbor_id) t
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q116's oracle: Similarity.pqTopK unrolled — [[pqBuildCtes]] +
+    * the all-candidates ADC scan + [[adcTailSql]]. All float folds
+    * index/subspace-ordered like the engine's, so ranks match
+    * hash-for-hash (the q53 ivfOracle construction, generalized to m
+    * codebooks). */
+  private def pqOracle(m: Int, ksub: Int, dsub: Int, iters: Int,
+      seed: Int, k: Int, refine: Int, queryMax: Int): String =
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |${pqBuildCtes(m, ksub, dsub, iters, seed)},
+       |cpairs AS (
+       | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       | FROM (SELECT vec_id FROM e WHERE vec_id < $queryMax) q, e n
+       | WHERE n.vec_id <> q.vec_id),
+       |${adcTailSql(m, ksub, dsub, iters, k, refine)}""".stripMargin
+
+  /** q117's oracle: Similarity.ivfPqTopK unrolled — BOTH Lloyd builds
+    * ([[ivfBuildCtes]] coarse cells + [[pqBuildCtes]] codebooks) in
+    * one WITH, the q53-style nprobe probe restricting candidates to
+    * the probed posting lists, then the same ADC + re-rank tail as
+    * q116. */
+  private def ivfPqOracle(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      dsub: Int, iters: Int, coarseSeed: Int, pqSeed: Int, k: Int,
+      refine: Int, queryMax: Int): String = {
+    val dim = m * dsub
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |${ivfBuildCtes(nlist, iters, dim, coarseSeed)},
+       |${pqBuildCtes(m, ksub, dsub, iters, pqSeed)},
+       |probes AS (
+       | SELECT query_id, cell FROM (
+       |  SELECT e.vec_id AS query_id, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
+       |  FROM e, c$iters c WHERE e.vec_id < $queryMax) t WHERE r <= $nprobe),
+       |cpairs AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN af a USING (cell)
+       | WHERE a.vec_id <> p.query_id),
+       |${adcTailSql(m, ksub, dsub, iters, k, refine)}""".stripMargin
   }
 
   /** Shared q61/q114 oracle: both queries compute the same distinct-
@@ -1600,6 +1654,10 @@ object SparkEntry {
     // (per-subspace Lloyd + codes + LUT scan + re-rank) — see pqOracle.
     "q116_pq_topk" -> pqOracle(m = 8, ksub = 16, dsub = 8, iters = 3,
       seed = 4242, k = 5, refine = 20, queryMax = 8),
+    // IVF-PQ: both Lloyd builds chained + probe-restricted ADC + re-rank
+    "q117_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
+      ksub = 16, dsub = 8, iters = 3, coarseSeed = 42, pqSeed = 4242,
+      k = 5, refine = 20, queryMax = 8),
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

@@ -69,6 +69,24 @@ object PipelineQueries {
     embStage.getOrElseUpdate((s, dir),
       Similarity.normalizeCorpus(Tables.embeddings(s, dir), "vec_id", "embedding"))
 
+  /** Driver-side fit memos over [[normEmb]]: the q53-parameter coarse
+    * centroids and the q116-parameter PQ codebooks, each a few KB of
+    * deterministic doubles. q53/q116/q117 share one Lloyd build each
+    * instead of refitting per query — the "fit once, assign many"
+    * contract the operators already document for 100 TB. */
+  private val coarseFitStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Double]]]
+  private def coarseCenters(s: SparkSession, dir: String): Array[Array[Double]] =
+    coarseFitStage.getOrElseUpdate((s, dir),
+      Similarity.fitQuantizer(normEmb(s, dir), "vec_id", "embedding",
+        nlist = 16, dim = 64, seed = 42L, iters = 3))
+  private val pqFitStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqFitStage.getOrElseUpdate((s, dir),
+      Similarity.fitCodebooks(normEmb(s, dir), "vec_id", "embedding",
+        m = 8, ksub = 16, dsub = 8, seed = 4242L, iters = 3))
+
   /** Shared lowercased token-ARRAY stage per (session, sf dir) — THE
     * one tokenize pass over the corpus text. Two shapes derive from
     * it: [[lowerToks]] (the exploded `(doc_id, term)` stream the
@@ -105,7 +123,7 @@ object PipelineQueries {
     mhStages.clear(); pairStage.clear(); ccStage.clear()
     embStage.clear(); plantStage.clear(); tokStage.clear()
     winStage.clear(); refStage.clear(); tokArrStage.clear()
-    refFpStage.clear()
+    refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -549,7 +567,23 @@ object PipelineQueries {
   def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     Similarity.pqTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
+        fittedBooks = Some(pqBooks(s, dir)))
+      .orderBy("query_id", "rnk")
+  }
+
+  // IVF-PQ: the composed cluster-scale ANN (coarse cells cut the scan
+  // to nprobe/nlist of the corpus, ADC over m-byte codes cuts the
+  // per-candidate bytes 64×, exact re-rank of the survivors). Shares
+  // the q53 coarse fit and the q116 codebooks via the driver-side fit
+  // memos; the oracle chains BOTH Lloyd builds' CTEs plus probe, ADC
+  // and re-rank.
+  def ivfPqTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
+        fittedCenters = Some(coarseCenters(s, dir)),
+        fittedBooks = Some(pqBooks(s, dir)))
       .orderBy("query_id", "rnk")
   }
 
@@ -575,7 +609,8 @@ object PipelineQueries {
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
+        fittedCenters = Some(coarseCenters(s, dir)))
       .orderBy("query_id", "rnk")
   }
 

@@ -299,7 +299,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       dim: Int = 64, seed: Long = 42L, iters: Int = 3,
-      preNormalized: Boolean = false): DataFrame = {
+      preNormalized: Boolean = false,
+      fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
     // materialized once: init scan + iters assign/mean passes + the
     // final assignment all read this checkpoint (a pre-normalized
     // corpus IS the checkpoint — no second materialization)
@@ -310,7 +311,8 @@ object Similarity {
         barrier(corpus.select(col(idCol).as("neighbor_id"),
           normalized(col(vecCol).cast("array<double>")).as("cvec")))
           .localCheckpoint()
-    val centers = fitQuantizer(c, "neighbor_id", "cvec", nlist, dim, seed, iters)
+    val centers = fittedCenters.getOrElse(
+      fitQuantizer(c, "neighbor_id", "cvec", nlist, dim, seed, iters))
     val assigned = assignCells(c, "cvec", centers)
     // per-query nprobe nearest cells, map-only like the assignment:
     // (distance², cell) structs sort in natural struct order — distance
@@ -512,7 +514,7 @@ object Similarity {
     * ([[roundCoord6]]) so the whole build unrolls into ANSI SQL
     * exactly like the IVF build. Cells that lose every member keep
     * their previous center (both engines). */
-  private def fitCodebooks(c: DataFrame, idCol: String, vecCol: String,
+  def fitCodebooks(c: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, dsub: Int, seed: Long,
       iters: Int): Array[Array[Array[Double]]] = {
     import graft.functions.TextFunctions
@@ -579,6 +581,27 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
 
+  /** Per-query ADC lookup table: lut[s·ksub + c] = ⟨q_s, books[s][c]⟩,
+    * each dot an index-ordered fold (the oracle's list_sum order; the
+    * 0.0 seed is exact — 0.0 + x ≡ x — so values match an unrolled
+    * left reduce bit-for-bit). */
+  private def adcLut(qvec: Column, books: Array[Array[Array[Double]]],
+      m: Int, dsub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+      val qs = slice(qvec, s * dsub + 1, lit(dsub))
+      transform(element_at(booksLit(books), s + 1), ctr =>
+        aggregate(zip_with(qs, ctr, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+    }))
+
+  /** ADC approximate score: Σ_s lut[s·ksub + codes[s]] — m array
+    * lookups + m−1 adds per candidate, summed in subspace order (the
+    * oracle's `list_sum(list(t ORDER BY s))`). */
+  private def adcSim(lut: Column, codes: Column, m: Int, ksub: Int): Column =
+    (0 until m).map(s =>
+      element_at(lut, element_at(codes, s + 1) + lit(s * ksub) + 1))
+      .reduce(_ + _)
+
   /** Product-quantization top-k with an asymmetric-distance (ADC)
     * stage-1 scan + exact re-rank — the third standard quantized-scan
     * shape next to [[quantizedTopK]]'s scalar int8 (4×) and
@@ -600,7 +623,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
       refine: Int = 20, dim: Int = 64, seed: Long = 4242L, iters: Int = 3,
-      preNormalized: Boolean = false): DataFrame = {
+      preNormalized: Boolean = false,
+      fittedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
     val dsub = dim / m
     val c =
@@ -610,26 +634,78 @@ object Similarity {
         barrier(corpus.select(col(idCol).as("neighbor_id"),
           normalized(col(vecCol).cast("array<double>")).as("cvec")))
           .localCheckpoint()
-    val books = fitCodebooks(c, "neighbor_id", "cvec", m, ksub, dsub,
-      seed, iters)
+    val books = fittedBooks.getOrElse(
+      fitCodebooks(c, "neighbor_id", "cvec", m, ksub, dsub, seed, iters))
     val coded = c.withColumn("codes", pqCodes(col("cvec"), books, m, dsub))
     val q0 = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
-    // per-query ADC table: lut[s·ksub + c] = ⟨q_s, books[s][c]⟩, each
-    // dot an index-ordered fold (the oracle's list_sum order; the 0.0
-    // seed is exact — 0.0 + x ≡ x — so values match the unrolled form)
-    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), s => {
-      val qs = slice(col("qvec"), s * dsub + 1, lit(dsub))
-      transform(element_at(booksLit(books), s + 1), ctr =>
-        aggregate(zip_with(qs, ctr, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-    }))
-    val q = q0.withColumn("__lut", lut)
+    val q = q0.withColumn("__lut", adcLut(col("qvec"), books, m, dsub))
     val approx = coded.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("asim", (0 until m).map(s =>
-        element_at(col("__lut"),
-          element_at(col("codes"), s + 1) + lit(s * ksub) + 1))
-        .reduce(_ + _))
+      .withColumn("asim", adcSim(col("__lut"), col("codes"), m, ksub))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val cands = approx.withColumn("__ar", row_number().over(wa))
+      .filter(col("__ar") <= k * refine)
+    val scored = cands.withColumn("sim",
+      pairDot(corpus, col("qvec"), col("cvec"), dim))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** IVF-PQ top-k — the composed cluster-scale ANN shape (the IVFADC
+    * system of Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 33(1), 2011, §V — here without
+    * residual encoding, i.e. codebooks trained on the raw normalized
+    * vectors): [[ivfTopK]]'s coarse quantizer cuts the stage-1 scan to
+    * ~nprobe/nlist of the corpus, and within the probed cells
+    * [[pqTopK]]'s ADC scoring reads only the m-byte code arrays — at
+    * the defaults each candidate costs 8 lookup-adds against the
+    * per-query LUT instead of a 64-double dot, and the scanned bytes
+    * drop 64×. Stage 2 re-ranks the k·refine ADC survivors with the
+    * exact float dot. Both Lloyd builds are md5-derived/6-dp-quantized,
+    * so the ENTIRE composed pipeline — coarse build, PQ build, encode,
+    * probe, ADC, re-rank — unrolls into chained SQL CTEs and is
+    * hash-oracled end-to-end (q117). Pass `fittedCenters`/
+    * `fittedBooks` to reuse fits across queries (fit once on a
+    * representative sample at 100 TB, as with [[fitQuantizer]]). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, refine: Int = 20, dim: Int = 64,
+      coarseSeed: Long = 42L, pqSeed: Long = 4242L, iters: Int = 3,
+      preNormalized: Boolean = false,
+      fittedCenters: Option[Array[Array[Double]]] = None,
+      fittedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val dsub = dim / m
+    val c =
+      if (preNormalized)
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      else
+        barrier(corpus.select(col(idCol).as("neighbor_id"),
+          normalized(col(vecCol).cast("array<double>")).as("cvec")))
+          .localCheckpoint()
+    val centers = fittedCenters.getOrElse(
+      fitQuantizer(c, "neighbor_id", "cvec", nlist, dim, coarseSeed, iters))
+    val books = fittedBooks.getOrElse(
+      fitCodebooks(c, "neighbor_id", "cvec", m, ksub, dsub, pqSeed, iters))
+    val coded = assignCells(c, "cvec", centers)
+      .withColumn("codes", pqCodes(col("cvec"), books, m, dsub))
+    // query side: nprobe nearest cells (q53's map-only struct-sort
+    // probe) + the per-query ADC LUT, exploded to one row per probe
+    val q0 = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
+    val probeStructs = transform(centersLit(centers),
+      (ctr, i) => struct(sqDist(col("qvec"), ctr).as("d"), i.cast("int").as("cell")))
+    val q = q0
+      .withColumn("__lut", adcLut(col("qvec"), books, m, dsub))
+      .withColumn("__probe", explode(slice(array_sort(probeStructs), 1, nprobe)))
+      .select(col("query_id"), col("qvec"), col("__lut"),
+        col("__probe.cell").as("cell"))
+    val approx = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", adcSim(col("__lut"), col("codes"), m, ksub))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("asim").desc, col("neighbor_id"))
     val cands = approx.withColumn("__ar", row_number().over(wa))

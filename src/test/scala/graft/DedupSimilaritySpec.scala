@@ -270,6 +270,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ranks.foreach(r => assert(r.sorted == (1 to 5), s"ranks $r"))
   }
 
+  test("ivfPqTopK: composed coarse-probe + ADC recovers exact top-k; fitted reuse matches refit") {
+    val rng = new scala.util.Random(13)
+    val centers = Seq.fill(8)(Seq.fill(16)(rng.nextGaussian() * 10))
+    val corpus = centers.zipWithIndex.flatMap { case (ctr, ci) =>
+      (0 until 40).map { j =>
+        (ci * 40L + j, ctr.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0).limit(4)
+    val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, refine = 10, dim = 16)
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", queries,
+      k = 5, dim = 16)
+    val a = ivfpq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e = exact.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (a intersect e).size.toDouble / e.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall on planted clusters")
+    assert(ivfpq.count() == 20)
+    // passing pre-fitted centers/books must reproduce the refit result
+    val norm = Similarity.normalizeCorpus(corpus, "vec_id", "embedding")
+    val fc = Similarity.fitQuantizer(norm, "vec_id", "embedding",
+      nlist = 8, dim = 16, seed = 42L, iters = 3)
+    val fb = Similarity.fitCodebooks(norm, "vec_id", "embedding",
+      m = 4, ksub = 8, dsub = 4, seed = 4242L, iters = 3)
+    val viaFitted = Similarity.ivfPqTopK(norm, "vec_id", "embedding",
+      norm.join(queries.select("vec_id"), "vec_id"),
+      k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, refine = 10, dim = 16,
+      preNormalized = true, fittedCenters = Some(fc), fittedBooks = Some(fb))
+    val f = viaFitted.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val base = ivfpq.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(f == base, "fitted-reuse path diverged from refit path")
+  }
+
   test("lshBucketsAll: native codegen expression matches built-in composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian()))
