@@ -149,6 +149,7 @@ object SparkEntry {
     "q115_curation_funnel" -> (P.curationFunnel _),
     "q116_pq_topk" -> (P.pqTopKQuery _),
     "q117_ivfpq_topk" -> (P.ivfPqTopKQuery _),
+    "q118_bigram_lm" -> (P.bigramLm _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1658,6 +1659,30 @@ object SparkEntry {
     "q117_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
       ksub = 16, dsub = 8, iters = 3, coarseSeed = 42, pqSeed = 4242,
       k = 5, refine = 20, queryMax = 8),
+    // Bigram LM: add-0.5-smoothed P(w2|w1), per-doc mean log10 over
+    // bigram occurrences; exact-integer count inputs, the q77 log10/
+    // avg/round-4 determinism pattern
+    "q118_bigram_lm" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |toks AS (SELECT unnest(a) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        |bg AS (
+        | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |p AS (
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((cab.c_ab + 0.5) / (u.c + 0.5 * v.v))), 4) AS avg_logp
+        | FROM bg JOIN cab USING (w1, w2) JOIN uni u ON u.w = bg.w1, v
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id, p.n_bigrams, p.avg_logp
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

@@ -844,6 +844,14 @@ object PipelineQueries {
         minCount = 5L, k = 30)
       .orderBy("rnk")
 
+  // add-0.5-smoothed bigram LM per-doc score — the conditional-
+  // probability upgrade of q77's unigram fluency (word order now
+  // matters); rides the shared token-array stage
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bigramLogProbFromArrs(Tables.documents(s, dir),
+        tokenArrays(s, dir), "doc_id", addK = 0.5)
+      .orderBy("doc_id")
+
   // context-window chunk plan: 32-token chunks, 8-token overlap (sized
   // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
   // the production default is 128/16) — one row per training chunk

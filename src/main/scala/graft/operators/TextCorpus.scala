@@ -251,4 +251,58 @@ object TextCorpus {
         .over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("int"))
       .select("w1", "w2", "c_ab", "pmi", "rnk")
   }
+
+  /** Add-k-smoothed bigram language-model score per document — the
+    * real conditional-probability form of the LM-perplexity quality
+    * signal ([[fluencyScore]] is the order-blind unigram stand-in):
+    * `avg_logp(d) = mean over d's bigram occurrences of
+    * log10 P(w2|w1)` with `P(w2|w1) = (c(w1w2)+k) / (c(w1)+k·V)`
+    * (Laplace/add-k smoothing, V = corpus vocabulary size) — the
+    * textbook bigram LM (Jurafsky & Martin ch. 3), trained on the
+    * corpus itself as CCNet-style curation does with its reference LM
+    * (Wenzek et al., arXiv 1911.00359). Perplexity is
+    * `10^(−avg_logp)`; word-salad scores low where the unigram score
+    * cannot see it (all-common-words in random order). 4-dp-rounded;
+    * NULL for documents with <2 tokens (no bigram to score — kept, the
+    * [[fluencyScore]] convention).
+    *
+    * Scale shape: the bigram build is a per-row HOF projection +
+    * explode (map-only over the shared token-ARRAY stage); train
+    * counts are map-side-combined keyed aggregates (never broadcast —
+    * the bigram vocabulary is corpus-sized); scoring joins the bigram
+    * stream to its count tables keyed on (w1,w2) then w1 (skewed by
+    * stop-pairs — AQE's skew handling applies), V is a broadcast 1-row
+    * aggregate, and the per-doc mean is one doc-keyed aggregate. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame =
+    bigramLogProbFromArrs(df,
+      df.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("a")).localCheckpoint(),
+      idCol, addK)
+
+  /** [[bigramLogProb]] over a pre-built token-ARRAY stage `(idCol, a
+    * array<string>)` — pass a materialized stage: the arrays are read
+    * from two plan positions (the scoring stream and the train
+    * counts). */
+  def bigramLogProbFromArrs(df: DataFrame, arrs: DataFrame, idCol: String,
+      addK: Double): DataFrame = {
+    val toks = arrs.select(explode(col("a")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("__c1"))
+    val v = toks.agg(countDistinct(col("w")).cast("double").as("__v"))
+    val bg = arrs.filter(size(col("a")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("a")) - 1),
+        i => struct(element_at(col("a"), i).as("w1"),
+          element_at(col("a"), i + 1).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cab"))
+    val perDoc = bg.join(cab, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("__c1")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("__l", log10(
+        (col("__cab") + lit(addK)) / (col("__c1") + lit(addK) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        MysqlFunctions.oracleRound(avg(col("__l")), 4).as("avg_logp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
 }

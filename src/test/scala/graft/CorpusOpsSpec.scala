@@ -290,4 +290,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "dup_of_ref", 2L -> "new",
       3L -> "dup_in_batch", 4L -> "new"), s"got $got")
   }
+
+  test("bigramLogProb: word order matters, short docs NULL, n_bigrams = len-1") {
+    import graft.operators.TextCorpus
+    // a corpus dominated by one fluent phrase; doc 10 repeats the
+    // phrase in order, doc 11 uses the SAME words scrambled (unigram
+    // distribution identical), doc 12 is too short to score
+    val phrase = "the quick brown fox jumps"
+    val docs = ((0L until 10L).map(i => (i, phrase)) ++
+      Seq((10L, phrase + " " + phrase),
+        (11L, "jumps the fox quick brown jumps brown the quick fox"),
+        (12L, "solo"))).toDF("doc_id", "text")
+    val got = TextCorpus.bigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(12L) == ((None, None)), "short doc must be NULL")
+    assert(got(10L)._1.contains(9L) && got(11L)._1.contains(9L))
+    // in-order phrase text scores strictly higher than the scramble
+    assert(got(10L)._2.get > got(11L)._2.get + 0.5,
+      s"order-sensitivity: ${got(10L)._2} vs ${got(11L)._2}")
+    // the pure phrase docs score highest of all scored docs
+    assert(got(0L)._2.get >= got(10L)._2.get)
+  }
 }
