@@ -150,6 +150,7 @@ object SparkEntry {
     "q116_pq_topk" -> (P.pqTopKQuery _),
     "q117_ivfpq_topk" -> (P.ivfPqTopKQuery _),
     "q118_bigram_lm" -> (P.bigramLm _),
+    "q119_cluster_cap" -> (P.clusterCap _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1683,6 +1684,25 @@ object SparkEntry {
         | GROUP BY bg.doc_id)
         |SELECT d.doc_id, p.n_bigrams, p.avg_logp
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Diversity cap: the q53 coarse build's final assignment + a
+    // per-cell md5-rank cap (two-level pruned in the engine — the
+    // prune keeps a superset, the final rank is what the oracle states)
+    "q119_cluster_cap" ->
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                         y -> y*y)))) AS v
+         | FROM embeddings),
+         |${ivfBuildCtes(16, 3, 64, 42)},
+         |h AS (
+         | SELECT vec_id, cell,
+         |  CAST(('0x' || substr(md5('divcap:' || vec_id), 1, 8)) AS BIGINT) AS hh
+         | FROM af)
+         |SELECT vec_id, cell, CAST(r AS INTEGER) AS r FROM (
+         | SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS r
+         | FROM h) t WHERE r <= 20 ORDER BY vec_id""".stripMargin,
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

@@ -587,6 +587,15 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // diversity-capped sampling: at most 20 vectors per coarse cell by
+  // md5 rank — cluster-balanced subsampling over the shared coarse fit
+  def clusterCap(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    Similarity.clusterCapSample(emb, "vec_id", "embedding", cap = 20,
+        preNormalized = true, fittedCenters = Some(coarseCenters(s, dir)))
+      .orderBy("vec_id")
+  }
+
   // embedding cosine similarity join, threshold 0.45 (exact, oracled).
   // The testdata embeddings have NO high-cosine pairs (max pairwise cos
   // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or

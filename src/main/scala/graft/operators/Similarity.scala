@@ -719,6 +719,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Diversity-capped sampling: keep at most `cap` vectors per
+    * semantic cluster (the coarse-quantizer cells of [[ivfTopK]]),
+    * chosen by deterministic md5(salt:id) rank — the cluster-balanced
+    * subsampling step of embedding-aware curation (the selection side
+    * of SemDeDup-style pruning, arXiv 2303.09540: cap the
+    * over-represented semantic regions instead of keeping the corpus'
+    * natural cluster skew). Membership is a pure function of
+    * (id, cell population) — reproducible on any engine, like
+    * [[graft.operators.CorpusOps.stratifiedSample]].
+    *
+    * Scale shape: cell assignment is the map-only centroid-literal
+    * projection; the per-cell rank would be an nlist-partition window
+    * (a skew hazard — nlist is small by design), so it runs TWO-LEVEL:
+    * a local top-cap within md5-derived shards (any superset of the
+    * true top-cap survives the prune; ≤ cap·shards rows per cell
+    * continue), then the exact rank over the survivors. */
+  def clusterCapSample(corpus: DataFrame, idCol: String, vecCol: String,
+      cap: Int, nlist: Int = 16, dim: Int = 64, seed: Long = 42L,
+      iters: Int = 3, salt: String = "divcap",
+      preNormalized: Boolean = false,
+      fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.TextFunctions
+    val c =
+      if (preNormalized)
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      else
+        barrier(corpus.select(col(idCol).as("neighbor_id"),
+          normalized(col(vecCol).cast("array<double>")).as("cvec")))
+          .localCheckpoint()
+    val centers = fittedCenters.getOrElse(
+      fitQuantizer(c, "neighbor_id", "cvec", nlist, dim, seed, iters))
+    val assigned = assignCells(c, "cvec", centers)
+      .withColumn("__h", TextFunctions.md5Int(
+        concat(lit(s"$salt:"), col("neighbor_id").cast("string")), 8))
+    val shards = c.sparkSession.sessionState.conf.numShufflePartitions
+    val wLocal = Window.partitionBy(col("cell"), pmod(col("__h"), lit(shards)))
+      .orderBy(col("__h"), col("neighbor_id"))
+    val pruned = assigned.withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= cap)
+    val w = Window.partitionBy("cell").orderBy(col("__h"), col("neighbor_id"))
+    pruned.withColumn("r", row_number().over(w).cast("int"))
+      .filter(col("r") <= cap)
+      .select(col("neighbor_id").as(idCol), col("cell"), col("r"))
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)

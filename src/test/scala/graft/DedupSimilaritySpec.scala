@@ -305,6 +305,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f == base, "fitted-reuse path diverged from refit path")
   }
 
+  test("clusterCapSample: two-level prune equals the naive per-cell window, cap respected") {
+    val rng = new scala.util.Random(17)
+    // skewed clusters: one dominant cluster (200), three small ones
+    val centers = Seq.fill(4)(Seq.fill(16)(rng.nextGaussian() * 10))
+    val sizes = Seq(200, 30, 10, 3)
+    val corpus = centers.zip(sizes).zipWithIndex.flatMap { case ((ctr, n), ci) =>
+      (0 until n).map { j =>
+        (ci * 1000L + j, ctr.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.clusterCapSample(corpus, "vec_id", "embedding",
+      cap = 25, nlist = 4, dim = 16)
+      .select("vec_id", "cell", "r").as[(Long, Int, Int)].collect()
+    // cap respected per cell; small cells keep everything
+    val perCell = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 25), s"cap violated: $perCell")
+    assert(got.length ==
+      perCell.values.sum && perCell.values.sum <= 25 + 25 + 10 + 3 + 25)
+    // equals the naive single-window reference computed driver-side
+    val norm = Similarity.normalizeCorpus(corpus, "vec_id", "embedding")
+    val fc = Similarity.fitQuantizer(norm, "vec_id", "embedding",
+      nlist = 4, dim = 16, seed = 42L, iters = 3)
+    val all = Similarity.clusterCapSample(norm, "vec_id", "embedding",
+      cap = Int.MaxValue, nlist = 4, dim = 16, preNormalized = true,
+      fittedCenters = Some(fc))
+      .select("vec_id", "cell", "r").as[(Long, Int, Int)].collect()
+    val naive = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(_._3).take(25)
+    }.toSet
+    assert(got.toSet == naive, "two-level prune diverged from naive window")
+  }
+
   test("lshBucketsAll: native codegen expression matches built-in composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian()))
