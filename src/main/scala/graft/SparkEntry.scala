@@ -151,6 +151,7 @@ object SparkEntry {
     "q117_ivfpq_topk" -> (P.ivfPqTopKQuery _),
     "q118_bigram_lm" -> (P.bigramLm _),
     "q119_cluster_cap" -> (P.clusterCap _),
+    "q120_jl_distortion" -> (P.jlDistortion _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1703,6 +1704,34 @@ object SparkEntry {
          | SELECT vec_id, cell,
          |  row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS r
          | FROM h) t WHERE r <= 20 ORDER BY vec_id""".stripMargin,
+    // JL audit: md5-parity ±1 signs × 1/√16 (= 0.25 exactly), squared-
+    // distance ratios 4-dp-rounded, avg over the ROUNDED ratios
+    "q120_jl_distortion" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                         y -> y*y)))) AS v
+        | FROM embeddings),
+        |s AS (SELECT vec_id, v FROM e WHERE vec_id < 32),
+        |p AS (
+        | SELECT vec_id,
+        |  list_transform(range(0, 16), j ->
+        |   list_sum(list_transform(range(1, 65), i -> v[i] *
+        |    (CASE WHEN CAST(('0x' || substr(md5('jl:' || j || ':' || (i - 1)), 1, 8))
+        |            AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END))) * 0.25) AS pv
+        | FROM s),
+        |pr AS (
+        | SELECT round(
+        |   list_sum(list_transform(range(1, 17),
+        |     k -> (pa.pv[k] - pb.pv[k]) * (pa.pv[k] - pb.pv[k])))
+        |   / list_sum(list_transform(range(1, 65),
+        |     k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))), 4) AS ratio
+        | FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |  JOIN p pa ON pa.vec_id = a.vec_id
+        |  JOIN p pb ON pb.vec_id = b.vec_id)
+        |SELECT count(*) AS n_pairs, round(avg(ratio), 4) AS avg_ratio,
+        | min(ratio) AS min_ratio, max(ratio) AS max_ratio FROM pr""".stripMargin,
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

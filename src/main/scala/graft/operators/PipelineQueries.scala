@@ -596,6 +596,13 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  // JL distortion audit: 64→16 sign projection, squared-distance
+  // ratios over the 496 pairs of vec_id < 32 — proves the projection
+  // preserves geometry before any re-index (ratios concentrate ~1)
+  def jlDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistortionAudit(normEmb(s, dir), "vec_id", "embedding",
+      outDim = 16, sampleMax = 32L, preNormalized = true)
+
   // embedding cosine similarity join, threshold 0.45 (exact, oracled).
   // The testdata embeddings have NO high-cosine pairs (max pairwise cos
   // ~ 0.51), so an LSH-pruned near-dup here would be either vacuous or

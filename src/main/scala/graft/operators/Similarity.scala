@@ -764,6 +764,82 @@ object Similarity {
       .select(col("neighbor_id").as(idCol), col("cell"), col("r"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProject]] — the
+    * [[graft.expressions.LshBuckets.planes]] md5 derivation reduced to
+    * its parity bit, reproducible in ANSI SQL as
+    * `CASE WHEN ('0x'||substr(md5('salt:j:i'),1,8))::BIGINT % 2 = 0
+    * THEN 1.0 ELSE -1.0 END`. */
+  private def jlSigns(outDim: Int, dim: Int,
+      salt: String): Array[Array[Double]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions
+    * with ±1 signs scaled by 1/√outDim — the database-friendly JL
+    * family (Achlioptas, JCSS 66(4) 2003: random-sign entries satisfy
+    * the JL lemma with the same guarantees as Gaussians). The cheap
+    * pre-ANN dimensionality cut: pairwise distances are preserved to
+    * (1±ε) w.h.p., so downstream LSH/IVF/PQ index a 4×-smaller vector.
+    * Signs are md5-derived (no stored random state), the per-output
+    * dot is an index-ordered fold over ONE nested sign literal
+    * (subspace-generic lambda — the [[booksLit]] tree-size lesson), so
+    * projections are bit-identical to the SQL restatement and
+    * hash-oracle-able (q120). Map-only: at 100 TB the projection rides
+    * the scan, no shuffle. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int = 64, salt: String = "jl",
+      preNormalized: Boolean = false): DataFrame = {
+    val base = prep(df, idCol, vecCol, idCol, "__v", preNormalized)
+    base.select(col(idCol), jlProjExpr(col("__v"), outDim, dim, salt).as("proj"))
+  }
+
+  private def jlProjExpr(vec: Column, outDim: Int, dim: Int,
+      salt: String): Column = {
+    val signs = jlSigns(outDim, dim, salt)
+    val signsLit = typedlit[Seq[Seq[Double]]](
+      signs.map(_.toIndexedSeq).toIndexedSeq)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(zip_with(vec, element_at(signsLit, j + 1), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x) * lit(scale))
+  }
+
+  /** JL distortion audit — the verifiable FACTS of [[randomProject]]:
+    * over all pairs of the first `sampleMax` vectors, the ratio of
+    * projected to original squared distance (4-dp rounded), summarized
+    * as one row (n_pairs, avg/min/max ratio). The JL lemma says these
+    * ratios concentrate near 1; the audit is how a pipeline PROVES its
+    * projection didn't wreck geometry before re-indexing. Pairs are
+    * |sample|², so keep `sampleMax` bounded (the audit is a sample
+    * statistic, not a corpus pass; vectors are assumed distinct —
+    * identical pair → 0/0 NaN, as in the SQL restatement). */
+  def jlDistortionAudit(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, sampleMax: Long, dim: Int = 64, salt: String = "jl",
+      preNormalized: Boolean = false): DataFrame = {
+    import graft.functions.MysqlFunctions.oracleRound
+    val base = prep(df, idCol, vecCol, "__id", "__v", preNormalized)
+      .filter(col("__id") < sampleMax)
+      .withColumn("__p", jlProjExpr(col("__v"), outDim, dim, salt))
+    val a = base.select(col("__id").as("ia"), col("__v").as("va"),
+      col("__p").as("pa"))
+    val b = base.select(col("__id").as("ib"), col("__v").as("vb"),
+      col("__p").as("pb"))
+    def sq(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, w) => (u - w) * (u - w)),
+        lit(0.0), (acc, e) => acc + e)
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("ratio",
+        oracleRound(sq(col("pa"), col("pb")) / sq(col("va"), col("vb")), 4))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      oracleRound(avg(col("ratio")), 4).as("avg_ratio"),
+      min(col("ratio")).as("min_ratio"),
+      max(col("ratio")).as("max_ratio"))
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)

@@ -337,6 +337,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSet == naive, "two-level prune diverged from naive window")
   }
 
+  test("randomProject: JL distortion concentrates near 1, tighter at higher outDim") {
+    val rng = new scala.util.Random(19)
+    val corpus = (0L until 64L).map(i =>
+      (i, Seq.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def audit(outDim: Int) =
+      Similarity.jlDistortionAudit(corpus, "vec_id", "embedding",
+        outDim = outDim, sampleMax = 64L)
+        .as[(Long, Double, Double, Double)].head()
+    val (n16, avg16, min16, max16) = audit(16)
+    assert(n16 == 64L * 63 / 2)
+    assert(avg16 > 0.8 && avg16 < 1.2, s"avg ratio $avg16")
+    assert(min16 > 0.0 && max16 < 4.0, s"range $min16..$max16")
+    val (_, avg32, min32, max32) = audit(32)
+    assert(avg32 > 0.85 && avg32 < 1.15, s"avg ratio $avg32")
+    // more output dims -> tighter concentration (JL epsilon shrinks)
+    assert(max32 - min32 < max16 - min16,
+      s"spread should tighten: d'=32 [$min32,$max32] vs d'=16 [$min16,$max16]")
+    // projection output shape: outDim entries per vector
+    val proj = Similarity.randomProject(corpus, "vec_id", "embedding", 16)
+    assert(proj.select(size(col("proj"))).distinct().as[Int].collect()
+      .toSeq == Seq(16))
+  }
+
   test("lshBucketsAll: native codegen expression matches built-in composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian()))
