@@ -152,6 +152,8 @@ object SparkEntry {
     "q118_bigram_lm" -> (P.bigramLm _),
     "q119_cluster_cap" -> (P.clusterCap _),
     "q120_jl_distortion" -> (P.jlDistortion _),
+    "q121_time_decay" -> (C.timeDecayed _),
+    "q122_event_transitions" -> (C.eventTransitions _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1732,6 +1734,34 @@ object SparkEntry {
         |  JOIN p pb ON pb.vec_id = b.vec_id)
         |SELECT count(*) AS n_pairs, round(avg(ratio), 4) AS avg_ratio,
         | min(ratio) AS min_ratio, max(ratio) AS max_ratio FROM pr""".stripMargin,
+    // Half-life decay anchored at each user's latest event: weights in
+    // (0,1], pow(2, exact-integer-delta / literal) on both sides
+    "q121_time_decay" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT user_id, max(us) AS mx FROM e GROUP BY 1),
+        |w AS (
+        | SELECT e.user_id, e.value,
+        |  pow(2.0, CAST(e.us - mx.mx AS DOUBLE) / 604800000000.0) AS w
+        | FROM e JOIN mx USING (user_id))
+        |SELECT user_id, count(*) AS n_events,
+        | round(sum(value * w), 4) AS decayed_sum,
+        | round(sum(value * w) / sum(value), 4) AS freshness
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Markov transitions: lag pairs per user (time, event_id order),
+    // integer counts, float division of exact integers — no pins
+    "q122_event_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY us, event_id) AS from_type, event_type AS to_type
+        | FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 4) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

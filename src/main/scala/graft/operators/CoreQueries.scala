@@ -693,6 +693,34 @@ object CoreQueries {
     TimeSeries.concurrencySweep(sessionsShared(s, dir), "start_us", "end_us")
       .orderBy("us")
 
+  // Recency-weighted per-user activity (7-day half-life): the
+  // feature-store freshness signal over the raw event stream
+  def timeDecayed(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.timeDecayedSum(
+        Tables.events(s, dir).withColumn("__us", unix_micros(col("ts"))),
+        "user_id", "__us", "value", halfLifeUs = 7L * 86400L * 1000000L)
+      .orderBy("user_id")
+
+  // Event-type Markov transition matrix: per-user consecutive pairs
+  // (ordered by time, ties by event_id — the q54 ordering), counts +
+  // row-normalized probabilities. Integer counts and exact integer
+  // division inputs, so every cell hash-oracles with no float pins.
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
+    counts.join(totals, Seq("from_type"))
+      .withColumn("p", M.oracleRound(col("n") / col("__tot"), 4))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,

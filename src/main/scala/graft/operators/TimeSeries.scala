@@ -89,4 +89,33 @@ object TimeSeries {
         .as("grid_t"): _*)
     AsofJoin.asofBackward(grid, events, keys, "grid_t", timeCol, stateCol)
   }
+
+  /** Half-life time-decayed aggregation per key — the feature-store
+    * "recency-weighted activity" signal (each event's value weighted
+    * by `2^(−age/halfLife)`, age measured from the key's LATEST
+    * event): `decayed_sum = Σ value·w` and `freshness = Σ value·w / Σ
+    * value` (1 = all activity just happened, → 0 = all of it is many
+    * half-lives old). Anchoring at the per-key max keeps every weight
+    * in (0, 1] — no overflowing `2^(t/h)` terms — and makes the
+    * result a pure function of the key's own history.
+    *
+    * Scale shape: two aggregations on the SAME key (the max-anchor
+    * pass and the weighted sum), so the second groupBy reuses the
+    * join's hash partitioning — one shuffle of the events, no window,
+    * no per-key buffering. */
+  def timeDecayedSum(events: DataFrame, keyCol: String, tsUsCol: String,
+      valCol: String, halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    import graft.functions.MysqlFunctions.oracleRound
+    val mx = events.groupBy(keyCol).agg(max(col(tsUsCol)).as("__mx"))
+    events.select(col(keyCol), col(tsUsCol), col(valCol))
+      .join(mx, Seq(keyCol))
+      .withColumn("__w", pow(lit(2.0),
+        (col(tsUsCol) - col("__mx")).cast("double") / lit(halfLifeUs.toDouble)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        oracleRound(sum(col(valCol) * col("__w")), 4).as("decayed_sum"),
+        oracleRound(sum(col(valCol) * col("__w")) / sum(col(valCol)), 4)
+          .as("freshness"))
+  }
 }

@@ -137,4 +137,20 @@ class AsofJoinSpec extends AnyFunSuite {
     // only the widget block pairs; lev(blue,red)=4; bolt is alone
     assert(out == Set(("blue widget", "red widget", 4)))
   }
+
+  test("timeDecayedSum: max-anchored half-life weights, freshness semantics") {
+    import graft.operators.TimeSeries
+    val h = 100L
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 100L, 10.0), (1L, 200L, 10.0), // 2,1,0 half-lives old
+      (2L, 500L, 4.0), (2L, 500L, 6.0))                   // all at the anchor
+      .toDF("user_id", "us", "value")
+    val got = TimeSeries.timeDecayedSum(ev, "user_id", "us", "value", h)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // user 1: 10*2^-2 + 10*2^-1 + 10*2^0 = 17.5; freshness 17.5/30
+    assert(got(1L) == ((3L, 17.5, 0.5833)), s"got ${got(1L)}")
+    // simultaneous events: every weight is 2^0 = 1 -> freshness exactly 1
+    assert(got(2L) == ((2L, 10.0, 1.0)), s"got ${got(2L)}")
+  }
 }
