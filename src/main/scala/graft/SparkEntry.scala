@@ -154,6 +154,7 @@ object SparkEntry {
     "q120_jl_distortion" -> (P.jlDistortion _),
     "q121_time_decay" -> (C.timeDecayed _),
     "q122_event_transitions" -> (C.eventTransitions _),
+    "q123_zorder_audit" -> (C.zorderAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1762,6 +1763,39 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 4) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // Z-order audit: the Morton interleave restated bit-by-bit, then
+    // the same min/max bucket arithmetic — exact integers throughout
+    "q123_zorder_audit" -> {
+      val zv = (0 until 16).flatMap(b => Seq(
+        s"(((pq >> $b) & 1) << ${2 * b})",
+        s"(((sq >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH l AS (
+         | SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk
+         | FROM lineitem),
+         |mx AS (SELECT max(ok) AS mx, max(pk) AS mxp, max(sk) AS mxs FROM l),
+         |q AS (SELECT pk, sk,
+         |       CAST(floor(pk * 65536.0 / (mx.mxp + 1)) AS BIGINT) AS pq,
+         |       CAST(floor(sk * 65536.0 / (mx.mxs + 1)) AS BIGINT) AS sq
+         |      FROM l, mx),
+         |zb AS (SELECT pk, sk, ($zv) >> 24 AS bkt FROM q),
+         |nb AS (SELECT pk, sk,
+         |        CAST(floor(ok * 256.0 / (mx.mx + 1)) AS BIGINT) AS bkt
+         |       FROM l, mx),
+         |zs AS (SELECT bkt, min(pk) AS minp, max(pk) AS maxp,
+         |        min(sk) AS mins, max(sk) AS maxs FROM zb GROUP BY 1),
+         |ns AS (SELECT bkt, min(pk) AS minp, max(pk) AS maxp,
+         |        min(sk) AS mins, max(sk) AS maxs FROM nb GROUP BY 1)
+         |SELECT layout, n_buckets, buckets_hit_x, buckets_hit_y FROM (
+         | SELECT 'natural' AS layout, count(*) AS n_buckets,
+         |  count(*) FILTER (minp <= 500 AND maxp >= 500) AS buckets_hit_x,
+         |  count(*) FILTER (mins <= 50 AND maxs >= 50) AS buckets_hit_y
+         | FROM ns
+         | UNION ALL
+         | SELECT 'zorder', count(*),
+         |  count(*) FILTER (minp <= 500 AND maxp >= 500),
+         |  count(*) FILTER (mins <= 50 AND maxs >= 50)
+         | FROM zs) t ORDER BY layout""".stripMargin
+    },
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's
     // pad-to-even rule) before fmt or between fmt and data, and the

@@ -721,6 +721,19 @@ object CoreQueries {
       .orderBy("from_type", "to_type")
   }
 
+  // Z-order layout audit: bucket lineitem into 256 quadtree cells of
+  // the (partkey, suppkey) Morton key vs 256 contiguous orderkey
+  // ranges, and count buckets a point predicate could touch given
+  // per-bucket min/max — the file-skip arithmetic behind OPTIMIZE
+  // ZORDER, proven with exact integers
+  def zorderAudit(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderPruningAudit(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        "l_orderkey", "l_partkey", "l_suppkey",
+        cells = 256, predX = 500L, predY = 50L)
+      .orderBy("layout")
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,

@@ -291,6 +291,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "dup_in_batch", 4L -> "new"), s"got $got")
   }
 
+  test("zValue: Morton interleave on known bit patterns; audit beats natural on a grid") {
+    import graft.operators.Layout
+    // interleave(0b11, 0b00)=0b0101=5, interleave(0b00, 0b11)=0b1010=10,
+    // interleave(0b11, 0b11)=0b1111=15, and bit 4 of x lands at bit 8
+    val pat = Seq((3L, 0L, 5L), (0L, 3L, 10L), (3L, 3L, 15L), (16L, 0L, 256L))
+      .toDF("x", "y", "want")
+    val bad = pat.withColumn("got", Layout.zValue(col("x"), col("y")))
+      .filter(col("got") =!= col("want")).count()
+    assert(bad == 0L)
+    // 64x64 uniform grid in natural row-major order: a z-order layout
+    // with 16 cells must touch ~sqrt(16)=4 cells per point predicate,
+    // the natural row-major layout keeps x-locality but scans every
+    // bucket for a y predicate
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong * 64 + y, x.toLong, y.toLong))).toDF("rid", "x", "y")
+    val audit = Layout.zorderPruningAudit(grid, "rid", "x", "y",
+      cells = 16, predX = 10L, predY = 20L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(audit("natural") == ((16L, 1L, 16L)),
+      s"row-major: x-pruned, y-unpruned — got ${audit("natural")}")
+    assert(audit("zorder") == ((16L, 4L, 4L)),
+      s"zorder: both ~sqrt(cells) — got ${audit("zorder")}")
+  }
+
   test("bigramLogProb: word order matters, short docs NULL, n_bigrams = len-1") {
     import graft.operators.TextCorpus
     // a corpus dominated by one fluent phrase; doc 10 repeats the
