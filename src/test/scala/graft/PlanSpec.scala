@@ -213,6 +213,27 @@ class PlanSpec extends AnyFunSuite {
       direct.orderBy("doc_id").collect().toSeq)
   }
 
+  test("q120: JL projection is map-only — sign matrix is a literal, no join, no shuffle") {
+    val plan = graft.operators.Similarity.randomProject(
+        graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding",
+        outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the sign matrix must ship as a literal, not a join side:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"projection must ride the scan:\n$plan")
+  }
+
+  test("q123: z-value is a pure bitwise projection — no shuffle before the bucket agg") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.sources.Tables.lineitem(spark, dir)
+      .select(graft.operators.Layout.zValue(
+        col("l_partkey"), col("l_suppkey")).as("zv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Join"),
+      s"z-key must be computable in-scan:\n$plan")
+  }
+
   test("q08: pivot with explicit values skips the value-discovery job") {
     import org.apache.spark.sql.functions._
     // same base for both variants so reads/listing cost is identical
