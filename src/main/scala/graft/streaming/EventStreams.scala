@@ -324,6 +324,64 @@ object EventStreams {
       }
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, ts: java.sql.Timestamp)
+  final case class TransEvent(t: Long, id: Long, typ: String)
+  final case class TransState(pending: Seq[TransEvent], lastT: Long,
+      lastId: Long, lastTyp: String, hasLast: Boolean)
+
+  /** Streaming twin of the batch Markov-transition pairs (q122): per
+    * user, one append row per consecutive event pair (prev_type →
+    * type) in (time, event_id) order; downstream counts/normalizes
+    * exactly as the batch matrix does. A pair (a, b) is emitted only
+    * once the watermark STRICTLY passes b's time: an admissible late
+    * event has t ≥ wm > b.t, so nothing can still insert between a
+    * and b (the q89 finalization argument applied to adjacency), and
+    * the in-watermark buffer is replayed in sorted order, so
+    * disordered arrival within the delay is invisible.
+    *
+    * State per user: the pending events inside the watermark horizon
+    * plus ONE finalized last event (the adjacency anchor for the next
+    * arrival — O(users) tombstone, like the funnel twin's). */
+  def transitionStream(events: Dataset[TypedEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(
+            TransState(Seq.empty, 0L, 0L, "", hasLast = false))
+          val pending = st0.pending ++
+            it.map(e => TransEvent(e.ts.getTime, e.event_id, e.event_type))
+          val (ready, rest) = pending.partition(_.t < wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = st0
+          ready.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (last.hasLast)
+              out += Transition(uid, last.lastTyp, e.typ,
+                new java.sql.Timestamp(e.t))
+            last = last.copy(lastT = e.t, lastId = e.id, lastTyp = e.typ,
+              hasLast = true)
+          }
+          val next = last.copy(pending = rest)
+          if (rest.isEmpty && !next.hasLast) state.remove()
+          else {
+            state.update(next)
+            // wake when the oldest pending pair can finalize; the
+            // bare anchor needs no timeout — it only matters when a
+            // successor arrives
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(rest.map(_.t).min, wm) + 1)
+          }
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   final case class FunnelState(minView: Long, hasView: Boolean,

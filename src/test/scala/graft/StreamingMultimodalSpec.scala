@@ -541,6 +541,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch lag pairs on random batched, disordered streams") {
+    import graft.streaming.EventStreams.{Transition, TypedEvent}
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Array("view", "click", "purchase", "error")
+    val events = (1 to 50).map(i => TypedEvent(i.toLong, 1L + rng.nextInt(3),
+      types(rng.nextInt(4)), new Timestamp(base + rng.nextInt(3 * 60) * 60000L)))
+    // the batch q122 semantics: per-user consecutive pairs in (t, id) order
+    def reference(evs: Seq[TypedEvent]): Map[(Long, String, String), Int] =
+      evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2)
+          .collect { case Seq(a, b) => (u, a.event_type, b.event_type) }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val input = MemoryStream[TypedEvent]
+    val q = EventStreams.transitionStream(input.toDS(),
+        watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      var rest = rng.shuffle(events)
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rng.nextInt(10))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        rest = tail
+      }
+      input.addData(TypedEvent(900L, 9L, "view", new Timestamp(base + 1000L * 3600000)))
+      q.processAllAvailable()
+      input.addData(TypedEvent(901L, 9L, "view", new Timestamp(base + 1001L * 3600000)))
+      q.processAllAvailable()
+      val got = spark.table("transitions").as[Transition].collect()
+        .filter(_.user_id != 9L)
+        .groupBy(t => (t.user_id, t.from_type, t.to_type))
+        .view.mapValues(_.length).toMap
+      assert(got == reference(events),
+        s"streaming transitions diverge from batch lag pairs:\n got $got\n " +
+          s"want ${reference(events)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits first-view/first-eligible-click once both finalize; late earlier view rewrites the pair") {
     import graft.streaming.EventStreams.{Conversion, FunnelEvent}
     implicit val sql = spark.sqlContext
