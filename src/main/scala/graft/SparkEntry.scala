@@ -155,6 +155,7 @@ object SparkEntry {
     "q121_time_decay" -> (C.timeDecayed _),
     "q122_event_transitions" -> (C.eventTransitions _),
     "q123_zorder_audit" -> (C.zorderAudit _),
+    "q124_kcore" -> (C.kCoreQuery _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1795,6 +1796,24 @@ object SparkEntry {
          |  count(*) FILTER (minp <= 500 AND maxp >= 500),
          |  count(*) FILTER (mins <= 50 AND maxs >= 50)
          | FROM zs) t ORDER BY layout""".stripMargin
+    },
+    // k-core: one alive/filter CTE pair per peel round — all-integer
+    "q124_kcore" -> {
+      val peels = (1 to 4).map { i =>
+        val j = i - 1
+        s"""a$i AS (SELECT src AS node FROM e$j GROUP BY src HAVING count(*) >= 4),
+           |e$i AS (SELECT e$j.src, e$j.dst FROM e$j
+           |        JOIN a$i s ON s.node = e$j.src
+           |        JOIN a$i t ON t.node = e$j.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+         | FROM lineitem WHERE l_orderkey % 10 = 0),
+         |e0 AS (SELECT p AS src, sp AS dst FROM pairs
+         |       UNION ALL SELECT sp, p FROM pairs),
+         |$peels
+         |SELECT src AS node, count(*) AS deg FROM e4
+         |GROUP BY src ORDER BY node""".stripMargin
     },
     // Non-canonical WAV layouts: same parameter round-trip as q105 but
     // the writer splices a JUNK chunk (odd lengths exercise RIFF's

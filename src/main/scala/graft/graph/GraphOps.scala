@@ -368,6 +368,35 @@ object GraphOps {
       .withColumn("__ord", coalesce(col("depth"), lit(0)))
       .drop("depth")
   }
+
+  /** k-core peel, `iters` rounds over a SYMMETRIZED edge set: each
+    * round drops every node whose current degree is < k, then the
+    * edges touching it (Seidman's k-core, Network s 5(3) 1983 — the
+    * standard "dense part of the graph" extraction of web-graph and
+    * co-occurrence curation). Returns the nodes still alive after
+    * `iters` peels with their degree in the surviving subgraph. A
+    * fixed `iters` is the engine's fixpoint convention (q73/q93): the
+    * result is "the graph after N peels" — deterministic, all-integer,
+    * so the whole peel unrolls into chained CTEs; peeling converges
+    * once no round removes a node (fixpoint spec-checked).
+    *
+    * Scale shape per round: one map-side-combined degree count + two
+    * semi joins (src-alive, dst-alive), checkpointed per step like
+    * every fixpoint here. */
+  def kCorePeel(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var e = checkpointed(edges.toDF("src", "dst"))
+    for (_ <- 0 until iters) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("__n"))
+      e = checkpointed(
+        e.join(alive.withColumnRenamed("__n", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("__n", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
 }
 
 class CycleException(msg: String) extends RuntimeException(msg)

@@ -826,6 +826,20 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  // k-core (k=4, 4 peels) over the q93 symmetrized part<->supplier
+  // graph: the dense-subgraph extraction, all-integer, unrolled into
+  // chained CTEs like every graph fixpoint here
+  def kCoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    GraphOps.kCorePeel(edges, k = 4, iters = 4).orderBy("node")
+  }
+
   // batch sessionization: a new session starts when the gap to the
   // previous event exceeds 30 min — the batch twin of EventStreams'
   // flatMapGroupsWithState sessionizer, fully window-expressible and

@@ -89,4 +89,24 @@ class GraphOpsSpec extends AnyFunSuite {
       .select("node").as[String].collect().toSeq
     assert(res == Seq("c", "a"))
   }
+
+  test("kCorePeel: clique survives, tail peels away transitively, peeling reaches fixpoint") {
+    // 6-clique (degree 5 each) + a chain 10-11-12 hanging off node 0:
+    // chain nodes have degree <= 2 < 4 and peel off over two rounds;
+    // node 0 then still has degree 5 inside the clique
+    val clique = for (a <- 0L to 5L; b <- 0L to 5L if a != b) yield (a, b)
+    val chain = Seq((0L, 10L), (10L, 0L), (10L, 11L), (11L, 10L),
+      (11L, 12L), (12L, 11L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val got = GraphOps.kCorePeel(edges, k = 4, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 5L).map(_ -> 5L).toMap,
+      s"only the 6-clique survives a 4-core peel, got $got")
+    // fixpoint: an extra round changes nothing
+    val more = GraphOps.kCorePeel(edges, k = 4, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got, "peeling must be at fixpoint")
+    // k above the clique degree empties the graph
+    assert(GraphOps.kCorePeel(edges, k = 6, iters = 3).count() == 0L)
+  }
 }
