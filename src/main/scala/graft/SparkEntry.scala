@@ -156,6 +156,7 @@ object SparkEntry {
     "q122_event_transitions" -> (C.eventTransitions _),
     "q123_zorder_audit" -> (C.zorderAudit _),
     "q124_kcore" -> (C.kCoreQuery _),
+    "q125_rrf_fusion" -> (P.rrfFusion _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -803,6 +804,34 @@ object SparkEntry {
          | round(CAST(ann_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ann_recall,
          | round(CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS ivf_recall
          |FROM hits""".stripMargin,
+    // RRF fusion: the three leg CTEs recomposed (q106's construction),
+    // candidate union, terms added in the engine's fixed leg order
+    // (exact + ann + ivf), 6-dp round BEFORE ranking, neighbor ties
+    "q125_rrf_fusion" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ann AS (
+         |$signLshTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), u AS (
+         | SELECT query_id, neighbor_id FROM exact
+         | UNION SELECT query_id, neighbor_id FROM ann
+         | UNION SELECT query_id, neighbor_id FROM ivf),
+         |sc AS (
+         | SELECT u.query_id, u.neighbor_id,
+         |  round(coalesce(CAST(1 AS DOUBLE) / (60 + e.rnk), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + a.rnk), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + i.rnk), 0), 6) AS score
+         | FROM u LEFT JOIN exact e USING (query_id, neighbor_id)
+         |  LEFT JOIN ann a USING (query_id, neighbor_id)
+         |  LEFT JOIN ivf i USING (query_id, neighbor_id))
+         |SELECT query_id, neighbor_id, score, CAST(rnk AS INTEGER) AS rnk FROM (
+         | SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rnk
+         | FROM sc) t WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // PII scrub: deterministic planted email/phone per doc (the raw
     // testdata has none), counted and redacted with the SAME
     // RE2-compatible patterns on both engines — replacement text

@@ -587,6 +587,14 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // reciprocal-rank fusion of the exact/sign-LSH/IVF top-5 rankings —
+  // hybrid retrieval's standard rank-only merge; all three legs ride
+  // the shared normalized-embedding stage and fit memos
+  def rrfFusion(s: SparkSession, dir: String): DataFrame =
+    Similarity.rrfFuse(
+        Seq(cosineTopK(s, dir), annTopK(s, dir), ivfTopK(s, dir)), k = 5)
+      .orderBy("query_id", "rnk")
+
   // diversity-capped sampling: at most 20 vectors per coarse cell by
   // md5 rank — cluster-balanced subsampling over the shared coarse fit
   def clusterCap(s: SparkSession, dir: String): DataFrame = {

@@ -840,6 +840,39 @@ object Similarity {
       max(col("ratio")).as("max_ratio"))
   }
 
+  /** Reciprocal-rank fusion of top-k rankings (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): `score(q, n) = Σ_legs 1/(rrfK + rank)`,
+    * the standard way hybrid retrieval merges rankers with
+    * incomparable scores (exact / LSH / IVF here; BM25 + vectors in a
+    * search stack) using only RANKS. Each leg is a `(query_id,
+    * neighbor_id, rnk)` frame; a missing candidate contributes 0. The
+    * fused score is a sum of exact-integer-input divisions added in
+    * FIXED leg order (a left-join chain off the candidate union, terms
+    * in declaration order), then 6-dp-rounded before ranking — so the
+    * fusion hash-oracles (q125). Legs are top-k frames (k·|queries|
+    * rows), so every join here moves tiny frames regardless of corpus
+    * scale. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "need at least one ranking")
+    import graft.functions.MysqlFunctions.oracleRound
+    val keyed = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("neighbor_id"), col("rnk").as(s"__r$i"))
+    }
+    val u = keyed.map(_.select("query_id", "neighbor_id"))
+      .reduce(_ unionAll _).distinct()
+    val joined = keyed.foldLeft(u)((acc, l) =>
+      acc.join(l, Seq("query_id", "neighbor_id"), "left"))
+    val score = keyed.indices.map(i =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    joined.withColumn("score", oracleRound(score, 6))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)

@@ -337,6 +337,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSet == naive, "two-level prune diverged from naive window")
   }
 
+  test("rrfFuse: hand-computed fusion scores, missing-leg zeros, tie by neighbor") {
+    def leg(rows: (Long, Long, Int)*) = rows.toDF("query_id", "neighbor_id", "rnk")
+    // leg A ranks n1 > n2; leg B ranks n2 > n3; n1 and n3 appear once
+    val fused = Similarity.rrfFuse(Seq(
+      leg((1L, 101L, 1), (1L, 102L, 2)),
+      leg((1L, 102L, 1), (1L, 103L, 2))), k = 3, rrfK = 60)
+      .orderBy("rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // 102: 1/62 + 1/61 = 0.032522; 101: 1/61 = 0.016393; 103: 1/62 = 0.016129
+    assert(fused.map(r => (r._2, r._3, r._4)) == Seq(
+      (102L, 0.032522, 1), (101L, 0.016393, 2), (103L, 0.016129, 3)),
+      s"got $fused")
+    // equal single-leg ranks tie -> neighbor id breaks deterministically
+    val tied = Similarity.rrfFuse(Seq(
+      leg((1L, 5L, 1), (1L, 3L, 1))), k = 2)  // impossible as one leg, but
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect()  // exercises the tie rule
+    assert(tied.map(_._2).toSeq == Seq(3L, 5L))
+  }
+
   test("randomProject: JL distortion concentrates near 1, tighter at higher outDim") {
     val rng = new scala.util.Random(19)
     val corpus = (0L until 64L).map(i =>
