@@ -157,6 +157,7 @@ object SparkEntry {
     "q123_zorder_audit" -> (C.zorderAudit _),
     "q124_kcore" -> (C.kCoreQuery _),
     "q125_rrf_fusion" -> (P.rrfFusion _),
+    "q126_cms_heavy_hitters" -> (P.cmsHeavyHitters _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -832,6 +833,21 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS rnk
          | FROM sc) t WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // CMS heavy hitters, the q52 sketch-facts pattern: exact top-31
+    // counts + pinned-true bound booleans (over≥exact is a CMS
+    // invariant; within-ε verified deterministic on the fixed data+seed)
+    "q126_cms_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |r AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rnk
+        | FROM c)
+        |SELECT term, n, rnk, true AS est_ge_exact, true AS est_within_eps
+        |FROM r WHERE rnk <= 31 ORDER BY rnk""".stripMargin,
     // PII scrub: deterministic planted email/phone per doc (the raw
     // testdata has none), counted and redacted with the SAME
     // RE2-compatible patterns on both engines — replacement text

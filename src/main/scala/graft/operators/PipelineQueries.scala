@@ -587,6 +587,29 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // Count-min-sketch heavy hitters, gated q52-style: the sketch's
+  // published guarantees (est ≥ exact always; est ≤ exact + ⌈ε·N⌉
+  // w.p. ≥ confidence) emitted as booleans next to the EXACT top-31
+  // term counts — sketch internals stay engine-specific, the FACTS
+  // are deterministic. Only the (width·depth) sketch array and the
+  // 31-term head reach the driver; the sketch build is one pass,
+  // map-side merged (the Cormode & Muthukrishnan 2005 structure via
+  // Spark's stat.countMinSketch).
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = lowerToks(s, dir)
+    val sketch = toks.stat.countMinSketch(col("term"),
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val bound = math.ceil(0.001 * sketch.totalCount()).toLong
+    val head = TextCorpus.vocabTopFromToks(toks, 31)
+      .select("term", "n", "rnk").as[(String, Long, Int)].collect()
+    head.toSeq.map { case (t, exact, rnk) =>
+      val est = sketch.estimateCount(t)
+      (t, exact, rnk, est >= exact, est <= exact + bound)
+    }.toDF("term", "n", "rnk", "est_ge_exact", "est_within_eps")
+      .orderBy("rnk")
+  }
+
   // reciprocal-rank fusion of the exact/sign-LSH/IVF top-5 rankings —
   // hybrid retrieval's standard rank-only merge; all three legs ride
   // the shared normalized-embedding stage and fit memos
