@@ -158,6 +158,7 @@ object SparkEntry {
     "q124_kcore" -> (C.kCoreQuery _),
     "q125_rrf_fusion" -> (P.rrfFusion _),
     "q126_cms_heavy_hitters" -> (P.cmsHeavyHitters _),
+    "q127_split_leakage" -> (P.splitLeakage _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -848,6 +849,24 @@ object SparkEntry {
         | FROM c)
         |SELECT term, n, rnk, true AS est_ge_exact, true AS est_within_eps
         |FROM r WHERE rnk <= 31 ORDER BY rnk""".stripMargin,
+    // Split-leakage audit: the exact J>=0.5 pair oracle (q32's,
+    // nested whole as a CTE) classified by the q59 split formula
+    "q127_split_leakage" ->
+      s"""WITH jp AS (
+         |${jaccardPairOracle(0.5)}
+         |), sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |   ELSE 'test' END AS split
+         | FROM (SELECT doc_id,
+         |   CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS b
+         |  FROM documents) t)
+         |SELECT pair_class, count(*) AS n_pairs FROM (
+         | SELECT CASE WHEN x.split = y.split THEN 'within_' || x.split
+         |   ELSE 'cross_split' END AS pair_class
+         | FROM jp JOIN sp x ON x.doc_id = jp.id_a
+         |  JOIN sp y ON y.doc_id = jp.id_b) t
+         |GROUP BY pair_class ORDER BY pair_class""".stripMargin,
     // PII scrub: deterministic planted email/phone per doc (the raw
     // testdata has none), counted and redacted with the SAME
     // RE2-compatible patterns on both engines — replacement text

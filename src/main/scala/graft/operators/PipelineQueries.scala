@@ -587,6 +587,30 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // Split-hygiene audit: near-dup pairs (the exact J≥0.5 n-gram set,
+  // q32's operator) classified against the q59 train/val/test hash
+  // split — a random split leaks near-duplicates across train/eval,
+  // and this is the query that proves (and counts) it before anyone
+  // trains. Rides the shared shingle stage; the pair set is the
+  // audit's cost, the classification is a tiny join.
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1, "doc_id",
+        threshold = 0.5, maxDf = 50)
+      .select("id_a", "id_b")
+    val split = CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+        Seq("id_b"))
+      .withColumn("pair_class",
+        when(col("__sa") === col("__sb"), concat(lit("within_"), col("__sa")))
+          .otherwise(lit("cross_split")))
+      .groupBy("pair_class").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("pair_class")
+  }
+
   // Count-min-sketch heavy hitters, gated q52-style: the sketch's
   // published guarantees (est ≥ exact always; est ≤ exact + ⌈ε·N⌉
   // w.p. ≥ confidence) emitted as booleans next to the EXACT top-31
