@@ -159,6 +159,7 @@ object SparkEntry {
     "q125_rrf_fusion" -> (P.rrfFusion _),
     "q126_cms_heavy_hitters" -> (P.cmsHeavyHitters _),
     "q127_split_leakage" -> (P.splitLeakage _),
+    "q128_k_anonymity" -> (C.kAnonymity _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -867,6 +868,14 @@ object SparkEntry {
          | FROM jp JOIN sp x ON x.doc_id = jp.id_a
          |  JOIN sp y ON y.doc_id = jp.id_b) t
          |GROUP BY pair_class ORDER BY pair_class""".stripMargin,
+    // k-anonymity/l-diversity: all-integer group facts + flags
+    "q128_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        | count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l,
+        | count(*) < 8 AS k_violation,
+        | count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3 AS l_violation
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // PII scrub: deterministic planted email/phone per doc (the raw
     // testdata has none), counted and redacted with the SAME
     // RE2-compatible patterns on both engines — replacement text

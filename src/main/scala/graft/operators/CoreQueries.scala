@@ -734,6 +734,16 @@ object CoreQueries {
         cells = 256, predX = 500L, predY = 50L)
       .orderBy("layout")
 
+  // k-anonymity / l-diversity release gate over (nation, segment)
+  // quasi-identifiers with the account-balance kilobucket as the
+  // sensitive attribute — all-integer group facts + violation flags
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Quality.kAnonymityAudit(
+        Tables.customer(s, dir).withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 8L, minL = 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,

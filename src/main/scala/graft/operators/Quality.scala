@@ -58,4 +58,25 @@ object Quality {
         .as(s"n_null_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns
+    * (Sweeney 2002 / Machanavajjhala et al. 2007 — the release-gate
+    * check a dataset passes before leaving its enclave): one row per
+    * quasi-identifier group with its population `n`, the number of
+    * distinct sensitive values `l`, and the two violation flags
+    * (`n < k` — the group is re-identifiable; `l < minL` — the group
+    * leaks its sensitive value even when anonymous). Violations come
+    * back as rows, not booleans, the [[duplicateKeys]] contract.
+    * One keyed aggregate; group count is bounded by the
+    * quasi-identifier domain product, not the table. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, minL: Long): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.forall(df.columns.contains),
+      s"quasi columns $quasiCols must exist in ${df.columns.toSeq}")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l"))
+      .withColumn("k_violation", col("n") < k)
+      .withColumn("l_violation", col("l") < minL)
+  }
 }
