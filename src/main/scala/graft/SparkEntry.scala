@@ -160,6 +160,7 @@ object SparkEntry {
     "q126_cms_heavy_hitters" -> (P.cmsHeavyHitters _),
     "q127_split_leakage" -> (P.splitLeakage _),
     "q128_k_anonymity" -> (C.kAnonymity _),
+    "q129_quantile_norm" -> (C.quantileNorm _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -868,6 +869,13 @@ object SparkEntry {
          | FROM jp JOIN sp x ON x.doc_id = jp.id_a
          |  JOIN sp y ON y.doc_id = jp.id_b) t
          |GROUP BY pair_class ORDER BY pair_class""".stripMargin,
+    // Quantile normalization: the oracle says what the op MEANS (one
+    // cume_dist window); the engine computes it via the two-level
+    // bucketed cumulative counts — integer counts, identical result
+    "q129_quantile_norm" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+        | round(cume_dist() OVER (ORDER BY l_extendedprice), 4) AS q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // k-anonymity/l-diversity: all-integer group facts + flags
     "q128_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

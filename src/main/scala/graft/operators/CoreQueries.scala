@@ -734,6 +734,40 @@ object CoreQueries {
         cells = 256, predX = 500L, predY = 50L)
       .orderBy("layout")
 
+  /** Empirical-CDF (quantile/rank) normalization of a column — the
+    * rank-transform feature scaling (maps each value to `#{v' ≤ v}/n`,
+    * i.e. SQL's `cume_dist`): outlier-immune, distribution-free, the
+    * standard preprocessing for heavy-tailed features. A global
+    * `cume_dist()` window would sort the table on one executor; this
+    * rides [[bucketedCumCounts]] instead — per-VALUE histogram (one
+    * map-side-combined shuffle), the two-level bucketed cumulative
+    * count over the ≤ |distinct| histogram rows, and a value-keyed
+    * join back. Integer counts → `__cd` is bit-identical to the
+    * naive window. */
+  private[graft] def quantileNormalize(df: DataFrame,
+      valueCol: String): DataFrame = {
+    val hist = df.select(col(valueCol).as("v"))
+      .groupBy(lit(1).as("__g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = bucketedCumCounts(hist, Seq("__g"))
+      .select(col("v").as(valueCol),
+        (col("cum").cast("double") / col("n")).as("__cd"))
+    df.join(cum, Seq(valueCol))
+  }
+
+  // q129: quantile normalization of l_extendedprice over the whole
+  // table — every row gets its empirical CDF position, 4-dp rounded
+  // (the oracle's cume_dist window restated via the two-level plan)
+  def quantileNorm(s: SparkSession, dir: String): DataFrame =
+    quantileNormalize(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"),
+        M.oracleRound(col("__cd"), 4).as("q"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // k-anonymity / l-diversity release gate over (nation, segment)
   // quasi-identifiers with the account-balance kilobucket as the
   // sensitive attribute — all-integer group facts + violation flags

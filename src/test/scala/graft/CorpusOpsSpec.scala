@@ -116,6 +116,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(obs.get("n_rows") == 3L && obs.get("n_null_fk") == 1L)
   }
 
+  test("quantileNormalize equals the naive cume_dist window, ties included") {
+    import graft.operators.CoreQueries
+    val rng = new scala.util.Random(23)
+    // heavy ties + outliers — the rank transform's home turf
+    val df = (1 to 500).map(i =>
+      (i.toLong, math.floor(rng.nextGaussian() * 3).toDouble +
+        (if (i % 50 == 0) 1000.0 else 0.0))).toDF("id", "x")
+    val got = CoreQueries.quantileNormalize(df, "x")
+      .select(col("id"), col("__cd")).as[(Long, Double)].collect().toMap
+    val naive = df.withColumn("cd",
+        org.apache.spark.sql.functions.cume_dist().over(
+          org.apache.spark.sql.expressions.Window.orderBy("x")))
+      .select(col("id"), col("cd")).as[(Long, Double)].collect().toMap
+    assert(got.size == 500 && naive.forall { case (id, cd) => got(id) == cd },
+      "two-level CDF must equal the naive window bit-for-bit")
+  }
+
+  test("kAnonymityAudit: population and diversity flags per quasi group") {
+    import graft.operators.Quality
+    val rows = Seq(
+      // group (1, a): 3 rows, sensitive {10, 20} -> k-violation at k=4
+      (1, "a", 10L), (1, "a", 20L), (1, "a", 10L),
+      // group (2, b): 4 rows but every sensitive identical -> l-violation
+      (2, "b", 7L), (2, "b", 7L), (2, "b", 7L), (2, "b", 7L),
+      // group (3, c): 4 rows, 3 distinct -> clean
+      (3, "c", 1L), (3, "c", 2L), (3, "c", 3L), (3, "c", 1L))
+      .toDF("q1", "q2", "s")
+    val got = Quality.kAnonymityAudit(rows, Seq("q1", "q2"), "s",
+        k = 4L, minL = 2L)
+      .as[(Int, String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got((1, "a")) == ((3L, 2L, true, false)))
+    assert(got((2, "b")) == ((4L, 1L, false, true)))
+    assert(got((3, "c")) == ((4L, 3L, false, false)))
+  }
+
   test("repetitionStats: top-token and duplicated-3-gram fractions on hand cases") {
     val docs = Seq(
       (1L, "a a a b"),  // top 3/4; grams {a a a, a a b} distinct -> 0
