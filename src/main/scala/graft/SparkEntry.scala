@@ -161,6 +161,7 @@ object SparkEntry {
     "q127_split_leakage" -> (P.splitLeakage _),
     "q128_k_anonymity" -> (C.kAnonymity _),
     "q129_quantile_norm" -> (C.quantileNorm _),
+    "q130_ppm_decode" -> (P.ppmDecode _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -876,6 +877,31 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
         | round(cume_dist() OVER (ORDER BY l_extendedprice), 4) AS q
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // PPM decode: the oracle restates the generator's closed form —
+    // dims from doc_id, pixel bytes from the md5 formula — per channel
+    "q130_ppm_decode" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(2 + doc_id % 5 AS BIGINT) AS w,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS h
+        | FROM documents),
+        |px0 AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p
+        | FROM dims),
+        |px AS (
+        | SELECT doc_id, w, h,
+        |  CAST(('0x' || substr(md5('ppm:' || doc_id || ':' || (3*p)), 1, 8))
+        |    AS BIGINT) % 256 AS r,
+        |  CAST(('0x' || substr(md5('ppm:' || doc_id || ':' || (3*p + 1)), 1, 8))
+        |    AS BIGINT) % 256 AS g,
+        |  CAST(('0x' || substr(md5('ppm:' || doc_id || ':' || (3*p + 2)), 1, 8))
+        |    AS BIGINT) % 256 AS b
+        | FROM px0)
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        | CAST(max(h) AS INTEGER) AS height, CAST(255 AS INTEGER) AS maxval,
+        | CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+        | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        | round(avg(b), 4) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // k-anonymity/l-diversity: all-integer group facts + flags
     "q128_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.MysqlFunctions
+import graft.functions.{MysqlFunctions, TextFunctions}
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns plus typed metadata, processed without ever
@@ -251,6 +251,92 @@ object Multimodal {
               * lit(1000.0) / col("__wmc_rate").cast("double"), 4)
               .as("duration_ms"))))
       .drop(staged.columns.filter(_.startsWith("__wmc_")): _*)
+  }
+
+  /** Deterministic binary PPM (P6) bytes: the ASCII header
+    * `P6\n<w> <h>\n255\n` (netpbm spec layout — single-space/newline
+    * separators, no comments) + w·h·3 payload bytes whose values are
+    * md5-derived per (doc, byte index) — reproducible in ANSI SQL like
+    * every hash-derived constant here, so the image CONTENT (not just
+    * the header) is oracle-checkable. The image modality's analogue of
+    * [[wavBytes]]. */
+  def ppmBytes(width: Column, height: Column, docId: Column): Column = {
+    val nb = (width * height * 3).cast("int")
+    val payloadHex = array_join(transform(sequence(lit(0), nb - 1), i =>
+      lpad(hex(pmod(TextFunctions.md5Int(concat(lit("ppm:"),
+        docId.cast("string"), lit(":"), i.cast("string")), 8),
+        lit(256))), 2, "0")), "")
+    unhex(concat(hex(concat(lit("P6\n"), width.cast("string"), lit(" "),
+      height.cast("string"), lit("\n255\n"))), payloadHex))
+  }
+
+  /** REAL PPM (P6) decode + per-channel statistics: validates the
+    * magic, parses the VARIABLE-WIDTH decimal width/height/maxval
+    * fields digit-by-digit (up to 4 digits each — the staged-walk
+    * shape of [[withWavMetaChunked]]: each digit step is its own
+    * projection so the offset tree is evaluated once per stage, never
+    * re-embedded), checks the payload length, and computes the mean of
+    * each RGB channel straight from the payload bytes. Returns `df`
+    * with a struct column `out` (NULL for non-P6 payloads or length
+    * mismatches). Statistics read w·h·3 single bytes through the hex
+    * path — fine for thumbnail-scale payloads (the gate's); megapixel
+    * images want a binary-slice `mapPartitions` instead, the
+    * documented boundary. */
+  def withPpmMeta(df: DataFrame, mediaCol: String, out: String,
+      maxDigits: Int = 4): DataFrame = {
+    val media = col(mediaCol)
+    def byteAt(off: Column) = leUIntAt(media, off, 1)
+    // parse one decimal field at __pm_off, staged one digit per step
+    def parseField(in: DataFrame, valCol: String): DataFrame = {
+      var cur = in.withColumn(valCol, lit(0L))
+        .withColumn("__pm_done", lit(false))
+      for (_ <- 0 until maxDigits) {
+        cur = cur
+          .withColumn("__pm_b", byteAt(col("__pm_off")))
+          .withColumn("__pm_d",
+            !col("__pm_done") && col("__pm_b") >= 48 && col("__pm_b") <= 57)
+          .withColumn(valCol,
+            when(col("__pm_d"), col(valCol) * 10 + (col("__pm_b") - 48))
+              .otherwise(col(valCol)))
+          .withColumn("__pm_off",
+            when(col("__pm_d"), col("__pm_off") + 1).otherwise(col("__pm_off")))
+          .withColumn("__pm_done", col("__pm_done") || !col("__pm_d"))
+      }
+      cur.drop("__pm_b", "__pm_d", "__pm_done")
+    }
+    val isP6 = substr(media, lit(1), lit(3)) ===
+      lit("P6\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var cur = df.withColumn("__pm_off", lit(4L))
+    cur = parseField(cur, "__pm_w")
+    cur = cur.withColumn("__pm_sep1", byteAt(col("__pm_off")) === 32)
+      .withColumn("__pm_off", col("__pm_off") + 1)
+    cur = parseField(cur, "__pm_h")
+    cur = cur.withColumn("__pm_sep2", byteAt(col("__pm_off")) === 10)
+      .withColumn("__pm_off", col("__pm_off") + 1)
+    cur = parseField(cur, "__pm_mx")
+    cur = cur.withColumn("__pm_sep3", byteAt(col("__pm_off")) === 10)
+      .withColumn("__pm_off", col("__pm_off") + 1)
+    val npix = (col("__pm_w") * col("__pm_h")).cast("int")
+    val valid = isP6 && col("__pm_sep1") && col("__pm_sep2") &&
+      col("__pm_sep3") && col("__pm_w") > 0 && col("__pm_h") > 0 &&
+      length(media) === col("__pm_off") - 1 + col("__pm_w") * col("__pm_h") * 3
+    def chanMean(c: Int) = MysqlFunctions.oracleRound(
+      aggregate(transform(sequence(lit(0), npix - 1), p =>
+        leUIntAt(media, col("__pm_off") + p.cast("long") * 3 + c, 1)
+          .cast("double")),
+        lit(0.0), (acc, x) => acc + x) /
+        (col("__pm_w") * col("__pm_h")).cast("double"), 4)
+    val staged = cur
+    staged
+      .withColumn(out, when(valid, struct(
+        col("__pm_w").cast("int").as("width"),
+        col("__pm_h").cast("int").as("height"),
+        col("__pm_mx").cast("int").as("maxval"),
+        (col("__pm_w") * col("__pm_h")).as("n_pixels"),
+        chanMean(0).as("mean_r"),
+        chanMean(1).as("mean_g"),
+        chanMean(2).as("mean_b"))))
+      .drop(staged.columns.filter(_.startsWith("__pm_")): _*)
   }
 
   /** Metadata extraction over a media table: one row per document with

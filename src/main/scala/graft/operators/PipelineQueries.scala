@@ -401,6 +401,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // REAL image decode: deterministic PPM (P6) bytes are BUILT per doc
+  // (dims pure functions of doc_id, pixel bytes md5-derived), then the
+  // engine recovers dims/maxval by PARSING the variable-width ASCII
+  // header digit-by-digit AND computes per-channel means straight
+  // from the payload bytes. The oracle restates the generator's
+  // closed form — a parse-offset or channel-interleave bug goes red
+  // on the means, not just the header fields.
+  def ppmDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
+    val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
+    val withMeta = Multimodal.withPpmMeta(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.ppmBytes(w, h, col("doc_id")).as("__ppm")),
+      "__ppm", "__m")
+    withMeta.select(col("doc_id"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.maxval").as("maxval"),
+        col("__m.n_pixels").as("n_pixels"),
+        col("__m.mean_r").as("mean_r"),
+        col("__m.mean_g").as("mean_g"),
+        col("__m.mean_b").as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

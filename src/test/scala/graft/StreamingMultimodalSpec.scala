@@ -771,6 +771,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got(3L)._2.isEmpty && got(3L)._6)
   }
 
+  test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
+    // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
+    val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 128.toByte, 255.toByte, 1, 2, 3))
+    val handDf = Seq((1L, hand),
+      (2L, "P5\n2 1\n255\n abc".getBytes("US-ASCII")),   // wrong magic
+      (3L, "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](9))) // short
+      .toDF("id", "media")
+    val got = Multimodal.withPpmMeta(handDf, "media", "m")
+      .select(col("id"), col("m.width"), col("m.height"), col("m.maxval"),
+        col("m.mean_r"), col("m.mean_g"), col("m.mean_b"),
+        col("m").isNull.as("bad"))
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Double],
+        Option[Double], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val ok = got(1L)
+    assert(ok._2.contains(2) && ok._3.contains(1) && ok._4.contains(255))
+    assert(ok._5.contains(0.5) && ok._6.contains(65.0) && ok._7.contains(129.0),
+      s"channel means: $ok")
+    assert(got(2L)._8 && got(3L)._8, "bad magic / short payload must be NULL")
+    // generator round-trip at multi-digit dims (width 12 = 2-digit parse)
+    val gen = TestSpark.spark.range(1).select(col("id"),
+      Multimodal.ppmBytes(lit(12), lit(3), col("id")).as("media"))
+    val g = Multimodal.withPpmMeta(gen, "media", "m")
+      .select(col("m.width"), col("m.height"), col("m.n_pixels"))
+      .as[(Int, Int, Long)].head()
+    assert(g == ((12, 3, 36L)), s"got $g")
+  }
+
   test("multimodal: wavBytesChunked round-trips through the walk, never the canonical parser") {
     import org.apache.spark.sql.functions.pmod
     // doc-varying junk length (1..5 covers odd -> pad-to-even) and
