@@ -162,6 +162,8 @@ object SparkEntry {
     "q128_k_anonymity" -> (C.kAnonymity _),
     "q129_quantile_norm" -> (C.quantileNorm _),
     "q130_ppm_decode" -> (P.ppmDecode _),
+    "q131_benford" -> (C.benford _),
+    "q132_fd_audit" -> (C.fdChecks _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -902,6 +904,31 @@ object SparkEntry {
         | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
         | round(avg(b), 4) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Benford: integer-cents leading digit (engine-identical string),
+    // exact counts, log10 expectation rounded on both sides
+    "q131_benford" ->
+      """WITH d AS (
+        | SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+        |SELECT digit, n, round(n / t.t, 4) AS obs_freq,
+        | round(log10(1.0 + 1.0 / digit), 4) AS benford_freq
+        |FROM c, t ORDER BY digit""".stripMargin,
+    // FD audit: grouped distinct-dependent counts, integer verdicts
+    "q132_fd_audit" ->
+      """SELECT fd, n_groups, n_violating, n_violating = 0 AS holds FROM (
+        | SELECT 'nation_region' AS fd, count(*) AS n_groups,
+        |  count(*) FILTER (nd > 1) AS n_violating
+        | FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+        |       FROM nation GROUP BY 1) g
+        | UNION ALL
+        | SELECT 'cust_priority', count(*),
+        |  count(*) FILTER (nd > 1)
+        | FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        |       FROM orders GROUP BY 1) g2) t
+        |ORDER BY fd""".stripMargin,
     // k-anonymity/l-diversity: all-integer group facts + flags
     "q128_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

@@ -768,6 +768,22 @@ object CoreQueries {
         M.oracleRound(col("__cd"), 4).as("q"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  // Benford leading-digit audit of extended price — the fraud/data-
+  // quality screen; integer-cents leading digit, exact counts
+  def benford(s: SparkSession, dir: String): DataFrame =
+    Quality.benfordAudit(Tables.lineitem(s, dir), "l_extendedprice")
+      .orderBy("digit")
+
+  // FD audit: one held dependency (nation → region, the schema truth)
+  // and one violated candidate (customer → order priority) — verdicts
+  // + violation counts, all-integer
+  def fdChecks(s: SparkSession, dir: String): DataFrame =
+    Quality.fdAudit(Tables.nation(s, dir), "nation_region",
+        "n_nationkey", "n_regionkey")
+      .unionAll(Quality.fdAudit(Tables.orders(s, dir), "cust_priority",
+        "o_custkey", "o_orderpriority"))
+      .orderBy("fd")
+
   // k-anonymity / l-diversity release gate over (nation, segment)
   // quasi-identifiers with the account-balance kilobucket as the
   // sensitive attribute — all-integer group facts + violation flags

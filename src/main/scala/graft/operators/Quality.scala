@@ -59,6 +59,45 @@ object Quality {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** Benford's-law leading-digit audit of a positive 2-decimal money
+    * column (Benford 1938; Nigrini's fraud-screening standard): one
+    * row per digit 1-9 with the observed count/frequency and the
+    * Benford expectation log10(1+1/d). Naturally-grown magnitudes
+    * track the curve; fabricated or truncated data doesn't. The
+    * leading digit comes from the INTEGER cents string — scaling by
+    * 100 never changes the leading digit, and integer-to-string is
+    * engine-identical where double formatting is not. One map-side
+    * combined 9-group aggregate. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    import graft.functions.MysqlFunctions.oracleRound
+    val cents = round(col(valueCol) * 100).cast("long")
+    val d = substring(cents.cast("string"), 1, 1).cast("int")
+    val n = df.filter(col(valueCol) > 0)
+      .select(d.as("digit")).groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = n.agg(sum("n").cast("double").as("__t"))
+    n.crossJoin(broadcast(tot))
+      .withColumn("obs_freq", oracleRound(col("n") / col("__t"), 4))
+      .withColumn("benford_freq", oracleRound(
+        log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .select("digit", "n", "obs_freq", "benford_freq")
+  }
+
+  /** Functional-dependency audit: does `det → dep` hold? One row per
+    * candidate FD with the group count, the number of determinant
+    * groups carrying more than one distinct dependent value, and the
+    * verdict — the schema-profiling primitive behind key discovery
+    * and denormalization checks. One keyed aggregate per FD. */
+  def fdAudit(df: DataFrame, fdName: String, det: String,
+      dep: String): DataFrame = {
+    df.groupBy(col(det))
+      .agg(countDistinct(col(dep)).as("__nd"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("__nd") > 1, 1)).as("n_violating"))
+      .select(lit(fdName).as("fd"), col("n_groups"), col("n_violating"),
+        (col("n_violating") === 0).as("holds"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns
     * (Sweeney 2002 / Machanavajjhala et al. 2007 — the release-gate
     * check a dataset passes before leaving its enclave): one row per

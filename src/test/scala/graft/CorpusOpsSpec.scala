@@ -116,6 +116,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(obs.get("n_rows") == 3L && obs.get("n_null_fk") == 1L)
   }
 
+  test("benfordAudit and fdAudit on hand-built data") {
+    import graft.operators.Quality
+    // values 10.00-19.99 and one 900.00: digit 1 dominates; zero rows drop
+    val vals = ((0 until 40).map(i => 10.0 + i * 0.25) ++ Seq(900.0, 0.0))
+      .toDF("x")
+    val b = Quality.benfordAudit(vals, "x")
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(b(1)._2 == 40L && b(9)._2 == 1L && b.size == 2)
+    assert(b(1)._3 == 0.9756 && b(1)._4 == 0.301)
+    val fd = Seq((1, "a"), (1, "a"), (2, "b"), (2, "c")).toDF("k", "v")
+    val held = Quality.fdAudit(fd.filter(col("k") === 1), "held", "k", "v")
+      .as[(String, Long, Long, Boolean)].head()
+    val broken = Quality.fdAudit(fd, "broken", "k", "v")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(held == (("held", 1L, 0L, true)))
+    assert(broken == (("broken", 2L, 1L, false)))
+  }
+
   test("quantileNormalize equals the naive cume_dist window, ties included") {
     import graft.operators.CoreQueries
     val rng = new scala.util.Random(23)
