@@ -860,8 +860,10 @@ object Similarity {
     }
     val u = keyed.map(_.select("query_id", "neighbor_id"))
       .reduce(_ unionAll _).distinct()
+    // legs are k·|queries| frames — always broadcastable by
+    // construction, so the whole fusion chain is broadcast hash joins
     val joined = keyed.foldLeft(u)((acc, l) =>
-      acc.join(l, Seq("query_id", "neighbor_id"), "left"))
+      acc.join(broadcast(l), Seq("query_id", "neighbor_id"), "left"))
     val score = keyed.indices.map(i =>
       coalesce(lit(1.0) / (lit(rrfK) + col(s"__r$i")), lit(0.0)))
       .reduce(_ + _)
