@@ -504,10 +504,12 @@ object PipelineQueries {
   private def recallRow(exactDf: DataFrame, annDf: DataFrame,
       ivfDf: DataFrame, k: Int, withTop1: Boolean = false): DataFrame = {
     def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+    // every leg is a k·|queries| frame — broadcast so the overlap
+    // joins never sort-merge (the rrfFuse rationale)
     val joined = exactDf.select(col("query_id"), col("neighbor_id"), col("rnk"))
-      .join(pairs(annDf).withColumn("__a", lit(1)),
+      .join(broadcast(pairs(annDf).withColumn("__a", lit(1))),
         Seq("query_id", "neighbor_id"), "left")
-      .join(pairs(ivfDf).withColumn("__i", lit(1)),
+      .join(broadcast(pairs(ivfDf).withColumn("__i", lit(1))),
         Seq("query_id", "neighbor_id"), "left")
     val base = Seq(count(lit(1)).as("n_exact"),
       count(col("__a")).as("ann_hits"), count(col("__i")).as("ivf_hits"))
