@@ -164,6 +164,7 @@ object SparkEntry {
     "q130_ppm_decode" -> (P.ppmDecode _),
     "q131_benford" -> (C.benford _),
     "q132_fd_audit" -> (C.fdChecks _),
+    "q133_dist_shift" -> (P.distributionShift _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -904,6 +905,38 @@ object SparkEntry {
         | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
         | round(avg(b), 4) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Distribution shift: q59 split + token counts + smoothed KL/JS
+    "q133_dist_shift" ->
+      """WITH sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |   CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents) t),
+        |toks AS (
+        | SELECT d.doc_id, unnest(CASE WHEN len(trim(lower(d.text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(d.text)), '\s+') END) AS term
+        | FROM documents d),
+        |c AS (
+        | SELECT term,
+        |  count(*) FILTER (sp.split = 'train') AS ct,
+        |  count(*) FILTER (sp.split = 'val') AS cv
+        | FROM toks JOIN sp USING (doc_id) GROUP BY term),
+        |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+        |        CAST(sum(cv) AS DOUBLE) AS nv,
+        |        CAST(count(*) AS DOUBLE) AS vs FROM c),
+        |pq AS (
+        | SELECT (ct + 0.5) / (tot.nt + 0.5 * tot.vs) AS p,
+        |  (cv + 0.5) / (tot.nv + 0.5 * tot.vs) AS q
+        | FROM c, tot)
+        |SELECT count(*) AS n_terms,
+        | round(sum(p * ln(p / q)), 4) AS kl_pq,
+        | round(sum(q * ln(q / p)), 4) AS kl_qp,
+        | round(sum(p * ln(p / ((p + q) * 0.5))) * 0.5
+        |     + sum(q * ln(q / ((p + q) * 0.5))) * 0.5, 4) AS js
+        |FROM pq""".stripMargin,
     // Benford: integer-cents leading digit (engine-identical string),
     // exact counts, log10 expectation rounded on both sides
     "q131_benford" ->

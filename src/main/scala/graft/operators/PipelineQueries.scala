@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{TextFunctions => T}
+import graft.functions.{MysqlFunctions => M}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables — the extension surface
@@ -613,6 +614,36 @@ object PipelineQueries {
         fittedCenters = Some(coarseCenters(s, dir)),
         fittedBooks = Some(pqBooks(s, dir)))
       .orderBy("query_id", "rnk")
+  }
+
+  // Distribution-shift audit between the train and val splits: add-½-
+  // smoothed unigram distributions, KL both directions + Jensen-
+  // Shannon — the "did my split (or my new crawl) change the language"
+  // check run before/after every corpus refresh. Exact integer counts
+  // in, 4-dp divergences out; rides the shared token stage and the
+  // q59 split formula. Vocabulary-keyed aggregate + broadcast 1-row
+  // totals — nothing vocabulary² anywhere.
+  def distributionShift(s: SparkSession, dir: String): DataFrame = {
+    val split = CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"))
+    val counts = lowerToks(s, dir).join(split, Seq("doc_id"))
+      .groupBy("term").agg(
+        count(when(col("split") === "train", 1)).as("ct"),
+        count(when(col("split") === "val", 1)).as("cv"))
+    val tot = counts.agg(sum("ct").cast("double").as("__nt"),
+      sum("cv").cast("double").as("__nv"),
+      count(lit(1)).cast("double").as("__vs"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ct") + 0.5) / (col("__nt") + col("__vs") * 0.5))
+      .withColumn("q", (col("cv") + 0.5) / (col("__nv") + col("__vs") * 0.5))
+      .withColumn("m", (col("p") + col("q")) * 0.5)
+    terms.agg(
+      count(lit(1)).as("n_terms"),
+      M.oracleRound(sum(col("p") * log(col("p") / col("q"))), 4).as("kl_pq"),
+      M.oracleRound(sum(col("q") * log(col("q") / col("p"))), 4).as("kl_qp"),
+      M.oracleRound(
+        sum(col("p") * log(col("p") / col("m"))) * 0.5 +
+        sum(col("q") * log(col("q") / col("m"))) * 0.5, 4).as("js"))
   }
 
   // Split-hygiene audit: near-dup pairs (the exact J≥0.5 n-gram set,
