@@ -165,6 +165,7 @@ object SparkEntry {
     "q131_benford" -> (C.benford _),
     "q132_fd_audit" -> (C.fdChecks _),
     "q133_dist_shift" -> (P.distributionShift _),
+    "q134_wav_signal" -> (P.wavSignal _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -937,6 +938,24 @@ object SparkEntry {
         | round(sum(p * ln(p / ((p + q) * 0.5))) * 0.5
         |     + sum(q * ln(q / ((p + q) * 0.5))) * 0.5, 4) AS js
         |FROM pq""".stripMargin,
+    // PCM signal stats: the generator's closed form — int16 samples
+    // from the md5 formula — peak/RMS over exact integer squares
+    "q134_wav_signal" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 97 + 4 AS BIGINT) AS n FROM documents),
+        |sm0 AS (
+        | SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM dims),
+        |sm AS (
+        | SELECT doc_id, n,
+        |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM (SELECT doc_id, n,
+        |   CAST(('0x' || substr(md5('pcm:' || doc_id || ':' || j), 1, 8))
+        |     AS BIGINT) % 65536 AS u
+        |  FROM sm0) t)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        | CAST(max(abs(s)) AS BIGINT) AS peak,
+        | round(sqrt(CAST(sum(s*s) AS DOUBLE) / max(n)), 4) AS rms
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Benford: integer-cents leading digit (engine-identical string),
     // exact counts, log10 expectation rounded on both sides
     "q131_benford" ->

@@ -253,6 +253,59 @@ object Multimodal {
       .drop(staged.columns.filter(_.startsWith("__wmc_")): _*)
   }
 
+  /** [[wavBytes]] with NON-SILENT payload: each 16-bit PCM sample is
+    * an md5-derived int16 (`md5('pcm:doc:j') % 65536 − 32768`, j = the
+    * flat sample index), little-endian like the format demands — so
+    * the audio CONTENT, not just the header, is oracle-checkable, the
+    * [[ppmBytes]] move applied to the audio modality. */
+  def wavBytesPcm(sampleRate: Column, channels: Column,
+      nSamples: Column, docId: Column): Column = {
+    val bits = 16
+    val blockAlign = channels * lit(bits / 8)
+    val dataSize = (nSamples * blockAlign).cast("long")
+    val byteRate = (sampleRate * blockAlign).cast("long")
+    val nVals = (nSamples * channels).cast("int")
+    // sample as its UNSIGNED 16-bit pattern (two's complement) — what
+    // leHex needs; signedness is re-derived by the reader
+    val payloadHex = array_join(transform(sequence(lit(0), nVals - 1), j =>
+      leHex(pmod(TextFunctions.md5Int(concat(lit("pcm:"),
+        docId.cast("string"), lit(":"), j.cast("string")), 8),
+        lit(65536)), 2)), "")
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + 36, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16), 4), leHex(lit(1), 2),
+      leHex(channels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(bits), 2),
+      lit("64617461"), leHex(dataSize, 4), payloadHex))
+  }
+
+  /** REAL signal statistics over a canonical 16-bit PCM WAV payload:
+    * decodes every sample (little-endian two's complement — value ≥
+    * 2¹⁵ folds to value − 2¹⁶) and emits peak |amplitude| and RMS —
+    * actual DSP arithmetic on the decoded samples, not metadata.
+    * NULL struct for non-canonical/non-16-bit payloads. Sample sums
+    * are exact (squares < 2³⁰, counts bounded) so the stats carry no
+    * fold-order dependence. Per-sample reads go through the hex path —
+    * fine at clip scale (the gate's); hour-long audio wants a
+    * binary-slice `mapPartitions`, the [[withPpmMeta]] boundary. */
+  def wavSignalStats(media: Column): Column = {
+    val meta = wavMeta(media)
+    val nVals = (meta.getField("n_samples") *
+      meta.getField("channels")).cast("int")
+    val signed = (j: Column) => {
+      val raw = leUIntAt(media, lit(45L) + j.cast("long") * 2, 2)
+      raw - when(raw >= 32768, lit(65536L)).otherwise(lit(0L))
+    }
+    val samples = transform(sequence(lit(0), nVals - 1), j => signed(j))
+    when(meta.isNotNull && meta.getField("bits") === 16, struct(
+      meta.getField("n_samples").as("n_samples"),
+      aggregate(samples, lit(0L), (acc, s) => greatest(acc, abs(s)))
+        .as("peak"),
+      MysqlFunctions.oracleRound(
+        sqrt(aggregate(samples, lit(0.0), (acc, s) => acc + s * s)
+          / nVals.cast("double")), 4).as("rms")))
+  }
+
   /** Deterministic binary PPM (P6) bytes: the ASCII header
     * `P6\n<w> <h>\n255\n` (netpbm spec layout — single-space/newline
     * separators, no comments) + w·h·3 payload bytes whose values are

@@ -428,6 +428,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // REAL audio signal stats: md5-derived (non-silent) 16-bit PCM is
+  // BUILT per doc, then peak/RMS are computed by DECODING every
+  // little-endian two's-complement sample from the payload bytes —
+  // the q130 content-verification move for audio. Oracle restates the
+  // generator's closed form; a sign-fold or endianness bug goes red.
+  def wavSignal(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Multimodal.wavBytesPcm(lit(16000), lit(1),
+        (pmod(col("doc_id"), lit(97)) + 4).cast("int"), col("doc_id"))
+        .as("__wav"))
+      .select(col("doc_id"), Multimodal.wavSignalStats(col("__wav")).as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_samples").as("n_samples"),
+        col("__s.peak").as("peak"),
+        col("__s.rms").as("rms"))
+      .orderBy("doc_id")
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

@@ -771,6 +771,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got(3L)._2.isEmpty && got(3L)._6)
   }
 
+  test("multimodal: wavSignalStats matches a JVM-side decode of the same bytes") {
+    import javax.sound.sampled.AudioSystem
+    // engine builds non-silent PCM; decode the SAME bytes on the JVM
+    // (via the JDK's conformant reader) and recompute peak/RMS
+    val rows = TestSpark.spark.range(6).select(col("id"),
+      Multimodal.wavBytesPcm(lit(8000), lit(1),
+        (pmod(col("id"), lit(37)) + 3).cast("int"), col("id")).as("media"))
+    val engine = rows
+      .select(col("id"), col("media"),
+        Multimodal.wavSignalStats(col("media")).as("s"))
+      .select(col("id"), col("media"), col("s.n_samples"),
+        col("s.peak"), col("s.rms"))
+    val got = engine.as[(Long, Array[Byte], Long, Long, Double)].collect()
+    got.foreach { case (id, bytes, n, peak, rms) =>
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = in.readAllBytes()
+      val samples = buf.grouped(2).map(p =>
+        ((p(1) << 8) | (p(0) & 0xFF)).toShort.toInt).toArray
+      assert(samples.length == n, s"id=$id sample count")
+      assert(samples.map(math.abs).max.toLong == peak, s"id=$id peak")
+      val jvmRms = math.floor(math.sqrt(
+        samples.map(s => s.toDouble * s).sum / samples.length) * 1e4 + 0.5) / 1e4
+      assert(jvmRms == rms, s"id=$id rms: jvm $jvmRms vs engine $rms")
+    }
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
