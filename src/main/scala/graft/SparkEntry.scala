@@ -166,6 +166,7 @@ object SparkEntry {
     "q132_fd_audit" -> (C.fdChecks _),
     "q133_dist_shift" -> (P.distributionShift _),
     "q134_wav_signal" -> (P.wavSignal _),
+    "q135_avi_meta" -> (P.aviDecode _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -938,6 +939,21 @@ object SparkEntry {
         | round(sum(p * ln(p / ((p + q) * 0.5))) * 0.5
         |     + sum(q * ln(q / ((p + q) * 0.5))) * 0.5, 4) AS js
         |FROM pq""".stripMargin,
+    // AVI main header: the generator's closed form per doc_id
+    "q135_avi_meta" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST((doc_id % 16) * 8 + 160 AS INTEGER) AS width,
+        |  CAST((doc_id % 9) * 8 + 120 AS INTEGER) AS height,
+        |  CAST(doc_id % 240 + 1 AS BIGINT) AS n_frames,
+        |  CAST(1 AS INTEGER) AS streams,
+        |  CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |   ELSE 16667 END AS us
+        | FROM documents)
+        |SELECT doc_id, width, height, n_frames, streams,
+        | round(1000000.0 / us, 4) AS fps,
+        | round(CAST(n_frames * us AS DOUBLE) / 1000.0, 4) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     // PCM signal stats: the generator's closed form — int16 samples
     // from the md5 formula — peak/RMS over exact integer squares
     "q134_wav_signal" ->

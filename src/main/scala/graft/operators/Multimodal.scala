@@ -306,6 +306,61 @@ object Multimodal {
           / nVals.cast("double")), 4).as("rms")))
   }
 
+  /** Deterministic minimal AVI bytes — the VIDEO container is RIFF
+    * like WAV, so the same hex-arithmetic writer applies: `RIFF size
+    * 'AVI '` + a canonical `LIST hdrl` whose FIRST child is the
+    * 56-byte `avih` main header (the spec mandates avih first:
+    * dwMicroSecPerFrame, dwTotalFrames, dwStreams, dwWidth, dwHeight
+    * among its 14 LE32 fields) + an empty `LIST movi`. Frame DATA
+    * stays synthetic (no codec in this environment — the documented
+    * boundary); the container grammar and header arithmetic are
+    * real. */
+  def aviBytes(width: Column, height: Column, nFrames: Column,
+      usPerFrame: Column): Column = {
+    val avihHex = concat(
+      leHex(usPerFrame, 4), leHex(lit(0), 4), leHex(lit(0), 4),
+      leHex(lit(0), 4), leHex(nFrames, 4), leHex(lit(0), 4),
+      leHex(lit(1), 4), leHex(lit(0), 4), leHex(width, 4),
+      leHex(height, 4), lit("0" * 32))
+    // hdrl LIST payload = 'hdrl' + avih chunk (8 + 56); movi LIST
+    // payload = just its form type
+    unhex(concat(
+      lit("52494646"), leHex(lit(4 + 8 + 68 + 8 + 4), 4), lit("41564920"),
+      lit("4C495354"), leHex(lit(68), 4), lit("6864726C"),
+      lit("61766968"), leHex(lit(56), 4), avihHex,
+      lit("4C495354"), leHex(lit(4), 4), lit("6D6F7669")))
+  }
+
+  /** REAL AVI main-header decode (canonical layout — LIST hdrl first,
+    * avih its first child, as the spec mandates; exotic orders would
+    * reuse the [[withWavMetaChunked]] walk): validates the four
+    * RIFF/AVI /LIST-hdrl/avih magics and reads frame timing, frame
+    * count, stream count and dimensions straight from the avih bytes,
+    * deriving fps and duration. NULL struct otherwise. Completes the
+    * modality triangle: WAV (audio), PPM (image), AVI (video) all
+    * parse with the same codegen'd byte arithmetic. */
+  def aviMeta(media: Column): Column = {
+    val ok = magicAt(media, lit(1), "RIFF") &&
+      magicAt(media, lit(9), "AVI ") &&
+      magicAt(media, lit(13), "LIST") &&
+      magicAt(media, lit(21), "hdrl") &&
+      magicAt(media, lit(25), "avih")
+    val usPer = leUInt(media, 33, 4)
+    val frames = leUInt(media, 33 + 16, 4)
+    val streams = leUInt(media, 33 + 24, 4)
+    val width = leUInt(media, 33 + 32, 4)
+    val height = leUInt(media, 33 + 36, 4)
+    when(ok && length(media) >= 44, struct(
+      width.cast("int").as("width"),
+      height.cast("int").as("height"),
+      frames.as("n_frames"),
+      streams.cast("int").as("streams"),
+      MysqlFunctions.oracleRound(
+        lit(1000000.0) / usPer.cast("double"), 4).as("fps"),
+      MysqlFunctions.oracleRound(
+        (frames * usPer).cast("double") / lit(1000.0), 4).as("duration_ms")))
+  }
+
   /** Deterministic binary PPM (P6) bytes: the ASCII header
     * `P6\n<w> <h>\n255\n` (netpbm spec layout — single-space/newline
     * separators, no comments) + w·h·3 payload bytes whose values are

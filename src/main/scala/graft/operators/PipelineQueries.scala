@@ -445,6 +445,30 @@ object PipelineQueries {
         col("__s.rms").as("rms"))
       .orderBy("doc_id")
 
+  // REAL video-container decode: minimal canonical AVI bytes built
+  // per doc, every avih field recovered by parsing the RIFF/LIST
+  // grammar — the modality triangle's third leg (frame DATA stays
+  // synthetic: no codec here, the documented boundary)
+  def aviDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = ((pmod(col("doc_id"), lit(16)) * 8) + 160).cast("int")
+    val h = ((pmod(col("doc_id"), lit(9)) * 8) + 120).cast("int")
+    val frames = (pmod(col("doc_id"), lit(240)) + 1).cast("int")
+    val usPer = element_at(
+      array(lit(33333), lit(40000), lit(16667)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.aviBytes(w, h, frames, usPer).as("__avi"))
+      .select(col("doc_id"), Multimodal.aviMeta(col("__avi")).as("__m"))
+      .select(col("doc_id"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.n_frames").as("n_frames"),
+        col("__m.streams").as("streams"),
+        col("__m.fps").as("fps"),
+        col("__m.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

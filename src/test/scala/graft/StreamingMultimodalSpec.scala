@@ -798,6 +798,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: AVI bytes match a hand-assembled reference; parsers discriminate formats") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assemble the minimal canonical AVI for one parameter set
+    def le32(v: Int) = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    val hand = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 68 + 8 + 4) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(68) ++ "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(120) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(320) ++ le32(240) ++ new Array[Byte](16) ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "movi".getBytes("US-ASCII")
+    val gen = TestSpark.spark.range(1).select(
+      Multimodal.aviBytes(lit(320), lit(240), lit(120), lit(33333)).as("b"))
+      .as[Array[Byte]].head()
+    assert(gen.toSeq == hand.toSeq, "generator must be byte-identical to the spec layout")
+    // parse recovers every field; and the WAV parser REJECTS AVI bytes
+    // (and vice versa) — the magic checks discriminate RIFF form types
+    val both = Seq((1L, gen),
+      (2L, TestSpark.spark.range(1).select(Multimodal.wavBytes(
+        lit(8000), lit(1), lit(4)).as("b")).as[Array[Byte]].head()))
+      .toDF("id", "media")
+    val got = both.select(col("id"),
+        Multimodal.aviMeta(col("media")).as("a"),
+        Multimodal.wavMeta(col("media")).as("w"))
+      .select(col("id"), col("a.width"), col("a.n_frames"), col("a.fps"),
+        col("a").isNull.as("aNull"), col("w").isNull.as("wNull"))
+      .as[(Long, Option[Int], Option[Long], Option[Double], Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2.contains(320) && got(1L)._3.contains(120L) &&
+      got(1L)._4.contains(30.0003) && got(1L)._6, s"avi row: ${got(1L)}")
+    assert(got(2L)._5 && !got(2L)._6, s"wav row: ${got(2L)}")
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
