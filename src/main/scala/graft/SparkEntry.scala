@@ -167,6 +167,7 @@ object SparkEntry {
     "q133_dist_shift" -> (P.distributionShift _),
     "q134_wav_signal" -> (P.wavSignal _),
     "q135_avi_meta" -> (P.aviDecode _),
+    "q136_profile" -> (C.profileOrders _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -939,6 +940,24 @@ object SparkEntry {
         | round(sum(p * ln(p / ((p + q) * 0.5))) * 0.5
         |     + sum(q * ln(q / ((p + q) * 0.5))) * 0.5, 4) AS js
         |FROM pq""".stripMargin,
+    // Table profile: per-column facts, one SELECT per column unioned
+    "q136_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           | count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+           | CAST(min($c) AS DOUBLE) AS min_num,
+           | CAST(max($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count($c), count(*) - count($c), count(DISTINCT $c),
+           | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           | min(CAST($c AS VARCHAR)), max(CAST($c AS VARCHAR))
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), str("o_orderdate"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // AVI main header: the generator's closed form per doc_id
     "q135_avi_meta" ->
       """WITH p AS (

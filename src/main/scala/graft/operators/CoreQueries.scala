@@ -768,6 +768,14 @@ object CoreQueries {
         M.oracleRound(col("__cd"), 4).as("q"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  // One-pass profile of the orders table: per-column null/distinct/
+  // min/max facts from a single scan — the DESCRIBE every platform ships
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    Quality.profileTable(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name")
+
   // Benford leading-digit audit of extended price — the fraud/data-
   // quality screen; integer-cents leading digit, exact counts
   def benford(s: SparkSession, dir: String): DataFrame =

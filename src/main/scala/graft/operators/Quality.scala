@@ -59,6 +59,48 @@ object Quality {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** One-pass table profile — the DESCRIBE-style column summary every
+    * data platform ships: per column, non-null/null counts, exact
+    * distinct count, and min/max (numeric columns as doubles; other
+    * types lexicographically as strings — ISO dates sort
+    * chronologically). ONE scan for all columns: a single wide
+    * aggregate (Spark plans the multi-column exact distincts via one
+    * Expand) exploded into per-column rows. At corpus scale swap the
+    * exact distincts for approx_count_distinct — the q52 trade,
+    * documented there. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"columns $cols must exist in ${df.columns.toSeq}")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"))
+      val mm = df.schema(c).dataType match {
+        case _: NumericType => Seq(
+          min(col(c)).cast("double").as(s"__mn_$c"),
+          max(col(c)).cast("double").as(s"__mx_$c"),
+          lit(null).cast("string").as(s"__mns_$c"),
+          lit(null).cast("string").as(s"__mxs_$c"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"__mn_$c"),
+          lit(null).cast("double").as(s"__mx_$c"),
+          min(col(c).cast("string")).as(s"__mns_$c"),
+          max(col(c).cast("string")).as(s"__mxs_$c"))
+      }
+      base ++ mm
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n_nonnull"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        col(s"__mns_$c").as("min_str"), col(s"__mxs_$c").as("max_str"))): _*))
+        .as("r"))
+      .select("r.*")
+  }
+
   /** Benford's-law leading-digit audit of a positive 2-decimal money
     * column (Benford 1938; Nigrini's fraud-screening standard): one
     * row per digit 1-9 with the observed count/frequency and the

@@ -116,6 +116,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(obs.get("n_rows") == 3L && obs.get("n_null_fk") == 1L)
   }
 
+  test("profileTable: one-pass per-column facts with null and dtype dispatch") {
+    import graft.operators.Quality
+    val df = Seq((Some(1L), Some("a")), (Some(2L), None),
+      (None, Some("b")), (Some(2L), Some("a"))).toDF("k", "v")
+    val got = Quality.profileTable(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 3L, 1L, 2L, Some(1.0), Some(2.0), None, None)))
+    assert(got("v") == (("v", 3L, 1L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
   test("benfordAudit and fdAudit on hand-built data") {
     import graft.operators.Quality
     // values 10.00-19.99 and one 900.00: digit 1 dominates; zero rows drop
