@@ -116,11 +116,12 @@ object WinnowSelect {
     }
     var j = 0
     while (j < n) {
+      // evict the stale front BEFORE inserting: with strictly
+      // increasing encodings the deque holds `window` live entries at
+      // step j, and push-first would wrap the ring onto its own head
+      if (j >= window) dropFrontBefore(j - window + 1)
       pushBack(j, encAt(j))
-      if (j >= window - 1) {          // full window [j-window+1, j]
-        dropFrontBefore(j - window + 1)
-        emit(dqv(head))
-      }
+      if (j >= window - 1) emit(dqv(head)) // full window [j-window+1, j]
       j += 1
     }
     // tail windows [i, n-1] for i past the last full-window start

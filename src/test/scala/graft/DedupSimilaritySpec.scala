@@ -512,6 +512,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "selected fingerprint encodings diverged from the SQL composition")
   }
 
+  test("WinnowSelect: deque ring survives window+1 strictly-increasing encodings (overflow regression)") {
+    import graft.expressions.WinnowSelect
+    import org.apache.spark.unsafe.types.UTF8String
+    // Naive reference: same encoding, O(n*window) clipped sliding min,
+    // distinct in first-occurrence order — no deque to overflow.
+    def encode(t: String, gram: Int): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to t.length - gram).map { i =>
+        md.reset()
+        val h = md.digest(t.substring(i, i + gram).getBytes("UTF-8"))
+        var v = 0L
+        for (k <- 0 until 8) v = (v << 8) | (h(k) & 0xffL)
+        (v >>> 24) * 8388608L + (i + 1)
+      }.toArray
+    }
+    def naive(t: String, gram: Int, window: Int): Seq[Long] = {
+      val enc = encode(t, gram)
+      if (enc.isEmpty) return Seq.empty
+      val seen = new scala.collection.mutable.LinkedHashSet[Long]
+      for (i <- enc.indices)
+        seen += enc.slice(i, math.min(i + window, enc.length)).min
+      seen.toSeq
+    }
+    val rng = new scala.util.Random(101)
+    val gram = 2; val window = 3
+    var sawIncreasingRun = false
+    for (_ <- 0 until 200) {
+      val t = Seq.fill(40 + rng.nextInt(160))(
+        ('a' + rng.nextInt(26)).toChar).mkString
+      val enc = encode(t, gram)
+      // the overflow trigger: window+1 consecutive strictly-increasing
+      // encodings (deque holds `window` live entries at push time)
+      sawIncreasingRun ||= enc.sliding(window + 1).exists(w =>
+        w.length == window + 1 && w.sliding(2).forall(p => p(0) < p(1)))
+      val got = WinnowSelect.select(UTF8String.fromString(t), gram, window)
+        .toLongArray().toSeq
+      assert(got == naive(t, gram, window),
+        s"winnow diverged from naive sliding min on: $t")
+    }
+    assert(sawIncreasingRun,
+      "corpus never exercised the window+1 increasing-run overflow path")
+  }
+
   test("semanticNearDupPairs: finds in-cluster near-dups via cell blocking; subset of the exact join") {
     val rng = new scala.util.Random(17)
     // 8 well-separated clusters of 6 near-identical vectors — with
