@@ -168,6 +168,9 @@ object SparkEntry {
     "q134_wav_signal" -> (P.wavSignal _),
     "q135_avi_meta" -> (P.aviDecode _),
     "q136_profile" -> (C.profileOrders _),
+    "q137_ivf_topk_persist" -> (P.ivfTopKPersist _),
+    "q138_pq_topk_persist" -> (P.pqTopKPersist _),
+    "q139_ivfpq_topk_persist" -> (P.ivfPqTopKPersist _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1886,6 +1889,18 @@ object SparkEntry {
     "q117_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
       ksub = 16, dsub = 8, iters = 3, coarseSeed = 42, pqSeed = 4242,
       k = 5, refine = 20, queryMax = 8),
+    // q137/q138/q139: persisted-fit twins — same results as
+    // q53/q116/q117 by the bit-exact parquet round-trip of the fit
+    // tensors, so the oracles are the SAME parameterized SQL (the
+    // q103/q104 twin convention): a round-trip that altered one
+    // coordinate would flip the assignment of some vector and go red.
+    "q137_ivf_topk_persist" -> ivfOracle(nlist = 16, nprobe = 4,
+      iters = 3, dim = 64, k = 5, seed = 42, queryMax = 8),
+    "q138_pq_topk_persist" -> pqOracle(m = 8, ksub = 16, dsub = 8,
+      iters = 3, seed = 4242, k = 5, refine = 20, queryMax = 8),
+    "q139_ivfpq_topk_persist" -> ivfPqOracle(nlist = 16, nprobe = 4,
+      m = 8, ksub = 16, dsub = 8, iters = 3, coarseSeed = 42,
+      pqSeed = 4242, k = 5, refine = 20, queryMax = 8),
     // Bigram LM: add-0.5-smoothed P(w2|w1), per-doc mean log10 over
     // bigram occurrences; exact-integer count inputs, the q77 log10/
     // avg/round-4 determinism pattern

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.MysqlFunctions
@@ -546,6 +546,73 @@ object Similarity {
         means.getOrElse((s, cc), books(s)(cc))))
     }
     books
+  }
+
+  /** Persist fitted ANN stages to parquet — the cross-session index
+    * contract. At 100 TB an IVF/PQ index is fit ONCE (each Lloyd round
+    * is a full pass over the fit sample) and then reused for months of
+    * assign/build/query sessions; a fit that lives only in a
+    * driver-side memo dies with the JVM and forces every new session
+    * to refit from the corpus. This is the similarity family's
+    * analogue of the dedup family's persisted reference stages
+    * ([[Dedup.nearDupAgainstReferenceFromStages]]): write the tiny
+    * deterministic fit tensors (nlist×dim coarse centers as
+    * `(cell int, coord array<double>)` under `<dir>/centers`,
+    * m×ksub×dsub PQ codebooks as `(s int, cell int, coord
+    * array<double>)` under `<dir>/books`), read them back with
+    * [[fitStagesFromParquet]], and pass them as `fittedCenters`/
+    * `fittedBooks` — the consuming plan provably cannot scan the
+    * corpus for fitting (asserted in PlanSpec). Coordinates are
+    * [[roundCoord6]]-quantized doubles, which round-trip parquet
+    * bit-exactly, so a query plan built on the read-back fit is
+    * IDENTICAL to one built in the fitting session. */
+  def writeFitStages(spark: SparkSession, dir: String,
+      centers: Option[Array[Array[Double]]],
+      books: Option[Array[Array[Array[Double]]]]): Unit = {
+    import spark.implicits._
+    centers.foreach { cs =>
+      cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "coord")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    }
+    books.foreach { bs =>
+      (for (s <- bs.indices; cc <- bs(s).indices)
+        yield (s, cc, bs(s)(cc).toSeq)).toDF("s", "cell", "coord")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    }
+  }
+
+  /** Read back what [[writeFitStages]] wrote (absent stage → None).
+    * Only the fit tensors are collected — a few KB, exactly what the
+    * fitting reduce collected — never corpus rows; the parquet scan is
+    * of the stage dir alone. */
+  def fitStagesFromParquet(spark: SparkSession, dir: String):
+      (Option[Array[Array[Double]]], Option[Array[Array[Array[Double]]]]) = {
+    def exists(p: String) =
+      new java.io.File(new java.net.URI(s"file:$p").getPath).exists() ||
+        new java.io.File(p).exists()
+    val centers =
+      if (!exists(s"$dir/centers")) None
+      else Some {
+        val rows = spark.read.parquet(s"$dir/centers")
+          .select("cell", "coord").collect()
+        val out = new Array[Array[Double]](rows.length)
+        rows.foreach(r => out(r.getInt(0)) = r.getSeq[Double](1).toArray)
+        out
+      }
+    val books =
+      if (!exists(s"$dir/books")) None
+      else Some {
+        val rows = spark.read.parquet(s"$dir/books")
+          .select("s", "cell", "coord").collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val ksub = rows.map(_.getInt(1)).max + 1
+        val out = Array.ofDim[Array[Double]](m, ksub)
+        rows.foreach(r =>
+          out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+        out
+      }
+    (centers, books)
   }
 
   /** All m sub-codebooks as ONE nested literal (m × ksub × dsub) so a

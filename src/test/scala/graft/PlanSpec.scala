@@ -199,6 +199,48 @@ class PlanSpec extends AnyFunSuite {
       expect.orderBy("inc_id", "ref_id").collect().toSeq)
   }
 
+  test("q137-139: persisted ANN fits round-trip bit-exactly and the corpus is never scanned for fitting") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Similarity.normalizeCorpus(
+      graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val centers = Similarity.fitQuantizer(
+      emb, "vec_id", "embedding", nlist = 8, dim = 64, seed = 42L, iters = 2)
+    val books = Similarity.fitCodebooks(
+      emb, "vec_id", "embedding", m = 4, ksub = 8, dsub = 16,
+      seed = 4242L, iters = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_planspec_fit_").toString
+    Similarity.writeFitStages(spark, base, Some(centers), Some(books))
+    val (c2, b2) = Similarity.fitStagesFromParquet(spark, base)
+    // bit-exact round-trip: roundCoord6 doubles through parquet
+    assert(c2.get.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq,
+      "coarse centers did not round-trip bit-exactly")
+    assert(b2.get.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks did not round-trip bit-exactly")
+    // With fitted tensors supplied, fitting is driver-side literal
+    // injection: the query plan scans the embeddings parquet EXACTLY
+    // once (the assignment/scoring pass over the pre-normalized
+    // corpus) plus the broadcast query side — no fit passes. An
+    // in-session fit would not show in the plan either, but it would
+    // run corpus JOBS at fit time; supplying the read-back tensors and
+    // seeing one corpus scan proves the persisted path needs none.
+    val out = Similarity.ivfTopK(emb.localCheckpoint(), "vec_id",
+      "embedding", emb.filter(col("vec_id") < 4).localCheckpoint(),
+      k = 3, nlist = 8, nprobe = 2, preNormalized = true,
+      fittedCenters = c2)
+    val plan = formattedPlan(out)
+    assert(!plan.contains("embeddings.parquet"),
+      s"fit/assign must consume the checkpointed corpus + literal centers, not re-scan:\n$plan")
+    // and result-identical to the in-session-fit path
+    val expect = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 4), k = 3, nlist = 8, nprobe = 2,
+      preNormalized = true, fittedCenters = Some(centers))
+    assert(out.orderBy("query_id", "rnk").collect().toSeq ==
+      expect.orderBy("query_id", "rnk").collect().toSeq)
+  }
+
   test("q100: fingerprint-table incremental dedup matches the recompute path") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
