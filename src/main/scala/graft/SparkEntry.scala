@@ -171,6 +171,7 @@ object SparkEntry {
     "q137_ivf_topk_persist" -> (P.ivfTopKPersist _),
     "q138_pq_topk_persist" -> (P.pqTopKPersist _),
     "q139_ivfpq_topk_persist" -> (P.ivfPqTopKPersist _),
+    "q140_avi_frames" -> (P.aviFrames _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -976,6 +977,51 @@ object SparkEntry {
         | round(1000000.0 / us, 4) AS fps,
         | round(CAST(n_frames * us AS DOUBLE) / 1000.0, 4) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // DIB video frames: the generator's closed form — frame pixel
+    // byte at raster index (row·stride + col·3 + channel) is
+    // md5('avi:doc:frame:index') % 256; stride is the DIB DWORD-padded
+    // row width; per-frame per-channel means + strh-derived fps
+    "q140_avi_frames" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS w,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS h,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS nf,
+        |  CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |   ELSE 16667 END AS us
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, w, h, nf, us,
+        |  w*3 + (4 - (w*3) % 4) % 4 AS stride
+        | FROM p),
+        |fr AS (
+        | SELECT doc_id, w, h, nf, us, stride,
+        |  unnest(generate_series(0, nf - 1)) AS f
+        | FROM g),
+        |px0 AS (
+        | SELECT doc_id, w, h, nf, us, stride, f,
+        |  unnest(generate_series(0, w*h - 1)) AS pix
+        | FROM fr),
+        |px AS (
+        | SELECT doc_id, w, h, nf, us, f,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 0)), 1, 8)) AS BIGINT)
+        |    % 256 AS b,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 1)), 1, 8)) AS BIGINT)
+        |    % 256 AS g,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 2)), 1, 8)) AS BIGINT)
+        |    % 256 AS r
+        | FROM px0)
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        | CAST(max(h) AS INTEGER) AS height,
+        | CAST(max(nf) AS BIGINT) AS n_frames,
+        | round(1000000.0 / max(us), 4) AS fps,
+        | CAST(f AS INTEGER) AS frame,
+        | round(avg(b), 4) AS mean_b, round(avg(g), 4) AS mean_g,
+        | round(avg(r), 4) AS mean_r
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
     // PCM signal stats: the generator's closed form — int16 samples
     // from the md5 formula — peak/RMS over exact integer squares
     "q134_wav_signal" ->

@@ -491,6 +491,41 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // REAL video frame content: AVI with uncompressed-DIB '00db' frames
+  // is BUILT per doc (dims/frame-count pure functions of doc_id, pixel
+  // bytes md5-derived), then the engine parses the full stream grammar
+  // (strh/strf govern the layout) and decodes every frame's
+  // DWORD-padded BGR raster into per-channel means. Widths 2..5 make
+  // row padding live (strides 8/12/12/16). The oracle restates the
+  // generator's closed form — a stride, channel-order, or chunk-offset
+  // bug goes red on the means. fakeDecodeMeta is no longer the only
+  // pixel path for video.
+  def aviFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+    val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
+    val frames = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val usPer = element_at(
+      array(lit(33333), lit(40000), lit(16667)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val dec = Multimodal.withAviFrameMeans(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.aviBytesDib(w, h, frames, usPer, col("doc_id"))
+            .as("__avi")),
+      "__avi", "__m")
+    dec.select(col("doc_id"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.n_frames").as("n_frames"), col("__m.fps").as("fps"),
+        explode(col("__m.frames")).as("__f"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_frames"), col("fps"),
+        col("__f.frame").as("frame"),
+        col("__f.mean_b").as("mean_b"),
+        col("__f.mean_g").as("mean_g"),
+        col("__f.mean_r").as("mean_r"))
+      .orderBy("doc_id", "frame")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

@@ -832,6 +832,70 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got(2L)._5 && !got(2L)._6, s"wav row: ${got(2L)}")
   }
 
+  test("multimodal: DIB frame means match an independent JVM-side demux+decode of the same bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // engine builds DIB-frame AVIs; an INDEPENDENT plain-Scala RIFF
+    // walker demuxes the SAME bytes and recomputes the per-frame
+    // channel means (the q134 JDK-reader move — no shared code with
+    // the engine's hex-path decoder)
+    val rows = TestSpark.spark.range(9).select(col("id"),
+      Multimodal.aviBytesDib(
+        (pmod(col("id"), lit(4)) + 2).cast("int"),
+        (pmod(col("id"), lit(3)) + 2).cast("int"),
+        (pmod(col("id"), lit(3)) + 1).cast("int"),
+        lit(40000), col("id")).as("media"))
+    val dec = Multimodal.withAviFrameMeans(rows, "media", "m")
+      .select(col("id"), col("media"), col("m"))
+      .as[(Long, Array[Byte], Option[(Int, Int, Long, Double,
+        Seq[(Int, Double, Double, Double)])])]
+      .collect()
+    assert(dec.length == 9 && dec.forall(_._3.isDefined),
+      "every generated AVI must parse")
+    def le32(b: Array[Byte], off: Int): Int = ByteBuffer
+      .wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    dec.foreach { case (id, bytes, Some((w, h, nf, fps, frames))) =>
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+      // strf BITMAPINFOHEADER governs the frame layout
+      assert(new String(bytes, 164, 4, "US-ASCII") == "strf")
+      val bw = le32(bytes, 176); val bh = le32(bytes, 180)
+      assert(bw == w && bh == h, s"id=$id strf dims")
+      val stride = (bw * 3 + 3) / 4 * 4
+      val fsize = stride * bh
+      val step = 8 + fsize + fsize % 2
+      assert(le32(bytes, 216) == 4 + nf.toInt * step, s"id=$id movi size")
+      assert(fps == math.floor(1000000.0 / 40000 * 1e4 + 0.5) / 1e4)
+      (0 until nf.toInt).foreach { f =>
+        val chunk = 224 + f * step
+        assert(new String(bytes, chunk, 4, "US-ASCII") == "00db" &&
+          le32(bytes, chunk + 4) == fsize, s"id=$id frame $f chunk")
+        def mean(c: Int): Double = {
+          val s = (for (r <- 0 until bh; col <- 0 until bw)
+            yield (bytes(chunk + 8 + r * stride + col * 3 + c) & 0xFF)
+              .toDouble).sum
+          math.floor(s / (bw * bh) * 1e4 + 0.5) / 1e4
+        }
+        val got = frames(f)
+        assert(got._1 == f && got._2 == mean(0) && got._3 == mean(1) &&
+          got._4 == mean(2), s"id=$id frame $f means: $got")
+        // row padding bytes (when stride > 3w) must be zero
+        if (stride > bw * 3)
+          (0 until bh).foreach(r =>
+            (bw * 3 until stride).foreach(p =>
+              assert(bytes(chunk + 8 + r * stride + p) == 0)))
+      }
+    }
+    // and the q135 container parser agrees on the shared header fields
+    val metas = Multimodal.withAviFrameMeans(rows, "media", "m")
+      .select(col("id"), col("m.width"), col("m.n_frames"),
+        Multimodal.aviMeta(col("media")).as("a"))
+      .select(col("id"), col("width"), col("n_frames"),
+        col("a.width"), col("a.n_frames"))
+      .as[(Long, Int, Long, Int, Long)].collect()
+    metas.foreach { case (id, w1, f1, w2, f2) =>
+      assert(w1 == w2 && f1 == f2, s"id=$id: frame decoder vs avih disagree") }
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
