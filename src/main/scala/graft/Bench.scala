@@ -81,12 +81,34 @@ object Bench {
       } catch { case _: Throwable => None }
     }
 
+    // MID-SUITE re-calibration: the start-only probe cannot see
+    // contention that arrives mid-run (r7's driver run calibrated
+    // clean at 0.14 and then went 2.5× slow in the back half — a judge
+    // had to re-measure by hand to adjudicate). One q12 run every
+    // `calEvery` queries timestamps machine load ACROSS the pass, so a
+    // contaminated segment is identifiable from the artifact alone:
+    // segment sec >> the start median means every query timed in that
+    // segment is load-inflated, not regressed. Probe runs sit between
+    // the per-query metric snapshots, so their shuffle bytes are never
+    // attributed to any query.
+    val calEvery = 25
+    val segCal = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    def calProbe(): Option[Double] =
+      SparkEntry.queries.get("q12_distinct").flatMap { fn =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     // sorted order: Map iteration order shifts when queries are added,
     // which re-attributes lingering cleanup (GC, broadcast/RDD release)
     // to a different successor query between rounds
-    val times = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val times = queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
       val before = snapMetrics()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -99,8 +121,11 @@ object Bench {
       val after = snapMetrics()
       shuffles(name) = (after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
+      if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
+        calProbe().foreach(s => segCal += ((i + 1, s)))
       name -> sec
     }
+    calProbe().foreach(s => segCal += ((queries.size, s)))
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -113,8 +138,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val calJson = calibration.map { case (med, runs) =>
+      val segs = segCal.map { case (n, s) => s"""{"afterQuery":$n,"sec":$s}""" }
+        .mkString("[", ",", "]")
       s""""calibration":{"query":"q12_distinct","medianSec":$med,""" +
-      s""""runs":[${runs.mkString(",")}]},"""
+      s""""runs":[${runs.mkString(",")}],"segments":$segs},"""
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -172,6 +172,8 @@ object SparkEntry {
     "q138_pq_topk_persist" -> (P.pqTopKPersist _),
     "q139_ivfpq_topk_persist" -> (P.ivfPqTopKPersist _),
     "q140_avi_frames" -> (P.aviFrames _),
+    "q141_mg_heavy_hitters" -> (P.mgHeavyHitters _),
+    "q142_profile_approx" -> (C.profileOrdersApprox _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -862,6 +864,22 @@ object SparkEntry {
         | FROM c)
         |SELECT term, n, rnk, true AS est_ge_exact, true AS est_within_eps
         |FROM r WHERE rnk <= 31 ORDER BY rnk""".stripMargin,
+    // Misra-Gries: q126's exact facts with WORST-CASE-certain booleans
+    // (capture, two-sided estimate bound, summary size) — all theorem-
+    // guaranteed true for any stream/merge order, hence oracle-able
+    "q141_mg_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |r AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rnk
+        | FROM c)
+        |SELECT term, n, rnk, true AS captured_if_frequent,
+        | true AS est_le_exact, true AS est_ge_lower, true AS summary_le_k
+        |FROM r WHERE rnk <= 31 ORDER BY rnk""".stripMargin,
     // Split-leakage audit: the exact J>=0.5 pair oracle (q32's,
     // nested whole as a CTE) classified by the q59 split formula
     "q127_split_leakage" ->
@@ -955,6 +973,28 @@ object SparkEntry {
            |FROM orders""".stripMargin
       def str(c: String) =
         s"""SELECT '$c', count($c), count(*) - count($c), count(DISTINCT $c),
+           | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           | min(CAST($c AS VARCHAR)), max(CAST($c AS VARCHAR))
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), str("o_orderdate"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // Approx-profiler twin: q136's exact facts + the HLL++ in-bound
+    // boolean (the estimate itself stays engine-specific; the PROOF
+    // that it sits inside ±3·rsd of exact is the gated fact)
+    "q142_profile_approx" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           | count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+           | true AS ndv_in_bound,
+           | CAST(min($c) AS DOUBLE) AS min_num,
+           | CAST(max($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count($c), count(*) - count($c), count(DISTINCT $c),
+           | true,
            | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            | min(CAST($c AS VARCHAR)), max(CAST($c AS VARCHAR))
            |FROM orders""".stripMargin

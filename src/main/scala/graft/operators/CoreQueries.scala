@@ -776,6 +776,30 @@ object CoreQueries {
           "o_orderdate", "o_orderpriority"))
       .orderBy("col_name")
 
+  // q136's corpus-scale twin gated q52-style: the approx profiler's
+  // exact facts (counts, min/max) hash-compare directly, and its HLL++
+  // ndv estimate is proven in-bound against the exact distinct — the
+  // boolean is the gated fact, the estimate itself stays
+  // engine-specific. The operator under test (profileTableApprox) is
+  // the Expand-free single-scan path a user runs at 100 TB; only the
+  // gate's proof joins the exact profile in.
+  def profileOrdersApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val rsd = 0.05
+    val approx = Quality.profileTableApprox(Tables.orders(s, dir), cols, rsd)
+    val exact = Quality.profileTable(Tables.orders(s, dir), cols)
+      .select(col("col_name"), col("ndv").as("__ndv_exact"))
+    approx.join(exact, Seq("col_name"))
+      .withColumn("ndv_in_bound",
+        abs(col("ndv_approx") - col("__ndv_exact")) <=
+          greatest(ceil(col("__ndv_exact") * (3 * rsd)), lit(2L)))
+      .select(col("col_name"), col("n_nonnull"), col("n_null"),
+        col("__ndv_exact").as("ndv"), col("ndv_in_bound"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
   // Benford leading-digit audit of extended price — the fraud/data-
   // quality screen; integer-cents leading digit, exact counts
   def benford(s: SparkSession, dir: String): DataFrame =

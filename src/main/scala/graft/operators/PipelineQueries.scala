@@ -821,6 +821,35 @@ object PipelineQueries {
       .orderBy("rnk")
   }
 
+  // Misra-Gries heavy hitters — q126's DETERMINISTIC companion: same
+  // exact top-31 facts, but the guarantees proven are worst-case
+  // certainties (est ≤ exact always; est ≥ exact − ⌊N/(k+1)⌋ always;
+  // every term with n > ⌊N/(k+1)⌋ necessarily IN the k-counter
+  // summary; summary never exceeds k entries), not a confidence bound.
+  // Per-partition bounded-state fold + mergeable-summaries merge; the
+  // emitted booleans are invariant to stream and merge order, so the
+  // row is exactly oracle-able like q52/q126.
+  def mgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = lowerToks(s, dir)
+    val k = 64
+    val summary = TextCorpus.misraGries(toks, "term", k)
+    val n = toks.count()
+    val bound = n / (k + 1)
+    val head = TextCorpus.vocabTopFromToks(toks, 31)
+      .select("term", "n", "rnk").as[(String, Long, Int)].collect()
+    head.toSeq.map { case (t, exact, rnk) =>
+      val est = summary.getOrElse(t, 0L)
+      (t, exact, rnk,
+        exact <= bound || summary.contains(t),
+        est <= exact,
+        est >= exact - bound,
+        summary.size <= k)
+    }.toDF("term", "n", "rnk", "captured_if_frequent", "est_le_exact",
+        "est_ge_lower", "summary_le_k")
+      .orderBy("rnk")
+  }
+
   // reciprocal-rank fusion of the exact/sign-LSH/IVF top-5 rankings —
   // hybrid retrieval's standard rank-only merge; all three legs ride
   // the shared normalized-embedding stage and fit memos

@@ -101,6 +101,53 @@ object Quality {
       .select("r.*")
   }
 
+  /** [[profileTable]]'s CORPUS-SCALE twin: identical per-column facts
+    * except the distinct count comes from `approx_count_distinct`
+    * (HyperLogLog++, Heule et al. EDBT'13; `rsd` relative standard
+    * deviation) — ONE scan and NO Expand. The exact profiler's
+    * multi-column `countDistinct` makes Catalyst multiply the scan by
+    * the column count through an Expand (fine at gate scale, a
+    * column-count× read amplification at 100 TB); the HLL++ sketches
+    * for every column ride the same single aggregate pass, registers
+    * merge commutatively (order-free, deterministic for a fixed
+    * input), and only sketch-sized state reaches the driver. The gate
+    * (q142) emits the exact facts plus a q52-style boolean proving
+    * each column's estimate sits inside the sketch's ±3·rsd band —
+    * the path a user actually runs at 100 TB, oracle-proven. */
+  def profileTableApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"columns $cols must exist in ${df.columns.toSeq}")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__ndv_$c"))
+      val mm = df.schema(c).dataType match {
+        case _: NumericType => Seq(
+          min(col(c)).cast("double").as(s"__mn_$c"),
+          max(col(c)).cast("double").as(s"__mx_$c"),
+          lit(null).cast("string").as(s"__mns_$c"),
+          lit(null).cast("string").as(s"__mxs_$c"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"__mn_$c"),
+          lit(null).cast("double").as(s"__mx_$c"),
+          min(col(c).cast("string")).as(s"__mns_$c"),
+          max(col(c).cast("string")).as(s"__mxs_$c"))
+      }
+      base ++ mm
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n_nonnull"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__ndv_$c").as("ndv_approx"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        col(s"__mns_$c").as("min_str"), col(s"__mxs_$c").as("max_str"))): _*))
+        .as("r"))
+      .select("r.*")
+  }
+
   /** Benford's-law leading-digit audit of a positive 2-decimal money
     * column (Benford 1938; Nigrini's fraud-screening standard): one
     * row per digit 1-9 with the observed count/frequency and the

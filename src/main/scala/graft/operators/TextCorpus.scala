@@ -200,6 +200,65 @@ object TextCorpus {
     df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
 
+  /** Misra-Gries heavy-hitter summary — the DETERMINISTIC-guarantee
+    * companion to the probabilistic count-min sketch (q126): k
+    * counters, and for EVERY term `exact - ⌊N/(k+1)⌋ ≤ estimate ≤
+    * exact`, with every term of frequency > ⌊N/(k+1)⌋ guaranteed
+    * present (Misra & Gries '82). No failure probability, no seed.
+    *
+    * Scale shape: one pass, bounded state — each partition folds its
+    * rows through a k-counter MG summary (`mapPartitions`: genuinely
+    * imperative bounded-state streaming, the documented last-resort
+    * case), so only ≤ k (term, count) pairs per partition reach the
+    * merge. Summaries MERGE by counter addition followed by
+    * subtracting the (k+1)-th largest merged count and dropping
+    * non-positives — the mergeable-summaries construction (Agarwal,
+    * Cormode, Huang, Phillips, Wei, Yi, PODS'12), which preserves the
+    * N/(k+1) bound for any merge tree. The merge happens driver-side
+    * over the ≤ partitions·k collected pairs in ascending partition-id
+    * order (deterministic given the input's partitioning; the EMITTED
+    * gate facts are theorem-guaranteed booleans, invariant to stream
+    * and merge order). */
+  def misraGries(toks: DataFrame, termCol: String, k: Int): Map[String, Long] = {
+    require(k > 0, "k must be positive")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val partial = toks.select(col(termCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          m.get(t) match {
+            case Some(c) => m(t) = c + 1
+            case None if m.size < k => m(t) = 1L
+            case None =>
+              // decrement-all: each of the k counters and the unmatched
+              // arrival together pay one unit — ≤ N/(k+1) such events
+              val dead = List.newBuilder[String]
+              m.foreach { case (key, c) =>
+                if (c == 1L) dead += key else m(key) = c - 1 }
+              dead.result().foreach(m.remove)
+          }
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        m.iterator.map { case (t, c) => (pid, t, c) }
+      }.collect()
+    def mergeTwo(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count (ties by term — any
+        // consistent rule works; the bound is order-free)
+        val cut = sum.toSeq.sortBy { case (t, c) => (-c, t) }.apply(k)._2
+        sum.iterator.collect {
+          case (t, c) if c > cut => t -> (c - cut) }.toMap
+      }
+    }
+    partial.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map { case (_, t, c) => t -> c }.toMap)
+      .foldLeft(Map.empty[String, Long])(mergeTwo)
+  }
+
   /** Top-k bigram collocations by pointwise mutual information —
     * `pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab) = c_ab/M`
     * (bigram count over total bigrams) and unigram `p(w) = c_w/N` —

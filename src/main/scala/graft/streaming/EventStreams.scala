@@ -52,8 +52,20 @@ object EventStreams {
     * split.
     *
     * `docs` needs (ts, idCol, textCol). Output: (ts, idCol, fp,
-    * status) — one row per canonical. Batch-parity is property-tested
-    * against `dedupAgainstReferenceFps` in StreamingMultimodalSpec. */
+    * status) — one row per canonical. CANONICAL RULE: the canonical
+    * per fingerprint is the FIRST PROCESSING-ORDER arrival
+    * (`dropDuplicatesWithinWatermark` keeps whatever it saw first),
+    * NOT the batch twin's min(doc_id) — under disordered arrival the
+    * two paths intentionally keep a different representative of the
+    * same duplicate group (the group membership and the
+    * dup_of_ref/new classification agree; only WHICH id represents
+    * the group differs). A min-id streaming canonical would have to
+    * buffer every group until its watermark closed — trading the
+    * zero-latency emit for no semantic gain downstream, since
+    * canonicals are interchangeable group representatives. Both the
+    * in-order parity (ids equal) and the disordered contract (same
+    * groups, first-arrival representative) are pinned in
+    * StreamingMultimodalSpec. */
   def incrementalDedupStream(docs: DataFrame, idCol: String,
       textCol: String, refFps: DataFrame,
       watermark: String = "1 hour"): DataFrame = {
@@ -453,6 +465,47 @@ object EventStreams {
             }
           }
       }
+  }
+
+  /** Streaming twin of the batch half-life time-decay (q121,
+    * `TimeSeries.timeDecayedSum`) under a FIXED-ANCHOR contract: the
+    * batch operator anchors each key's weights at the key's LATEST
+    * event — an anchor that MOVES whenever a later event arrives, so
+    * no emitted value could ever finalize (one straggler rescales the
+    * key's whole history). The streaming contract instead pins the
+    * anchor at each tumbling window's END — fixed a priori, not
+    * data-dependent — and emits per (key, window): `n_events`,
+    * `decayed_sum = Σ value·2^((t−end)/h)` and `freshness` (weights in
+    * (2^(−len/h), 1] since end − t < window length).
+    *
+    * Finalization argument: each row's weight is a pure function of
+    * its OWN timestamp and the window's fixed end, so the aggregate is
+    * a plain associative windowed sum — in-watermark late arrivals
+    * fold in exactly; when the watermark strictly passes the window
+    * end, no admissible event can still join the window and the row is
+    * final. State = the open (key, window) partial sums inside the
+    * watermark horizon (no per-event buffering — contrast
+    * [[windowedDistinctStream]], whose per-row outputs need window
+    * MEMBERS retained). Batch parity over the same fixed-anchor
+    * formula is property-tested on randomized disordered batches. */
+  def timeDecayStream(events: DataFrame, keyCol: String, valCol: String,
+      halfLifeUs: Long, windowLen: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    import graft.functions.MysqlFunctions.oracleRound
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__win", window(col("ts"), windowLen))
+      .withColumn("__w", pow(lit(2.0),
+        (unix_micros(col("ts")) - unix_micros(col("__win.end")))
+          .cast("double") / lit(halfLifeUs.toDouble)))
+      .groupBy(col("__win"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        oracleRound(sum(col(valCol) * col("__w")), 4).as("decayed_sum"),
+        oracleRound(sum(col(valCol) * col("__w")) / sum(col(valCol)), 4)
+          .as("freshness"))
+      .select(col("__win.start").as("bucket"), col(keyCol),
+        col("n_events"), col("decayed_sum"), col("freshness"))
   }
 
   /** Per-user running totals via `mapGroupsWithState` — the custom-

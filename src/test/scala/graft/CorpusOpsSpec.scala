@@ -403,4 +403,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the pure phrase docs score highest of all scored docs
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
+
+  test("misraGries: worst-case guarantees hold for EVERY term, any partitioning, decrements live") {
+    // Zipf-ish stream with a long tail: term_i appears ~1000/i times
+    // for i in 1..50, plus 2000 singletons — with k=8 the counters are
+    // under constant eviction pressure (decrement path exercised on
+    // most arrivals), which is exactly where a broken implementation
+    // inflates estimates or drops a guaranteed-frequent term.
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"t$i")) ++
+      (1 to 2000).map(i => s"rare$i")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (k <- Seq(8, 64); parts <- Seq(1, 7, 32)) {
+      val toks = rows.toDF("term").repartition(parts)
+      val mg = TextCorpus.misraGries(toks, "term", k)
+      val bound = n / (k + 1)
+      assert(mg.size <= k, s"k=$k parts=$parts: summary size ${mg.size}")
+      // two-sided bound for EVERY term (absent => estimate 0)
+      exact.foreach { case (t, f) =>
+        val est = mg.getOrElse(t, 0L)
+        assert(est <= f, s"k=$k parts=$parts $t: est $est > exact $f")
+        assert(est >= f - bound,
+          s"k=$k parts=$parts $t: est $est < ${f - bound}")
+      }
+      // guaranteed capture of everything above the threshold
+      exact.filter(_._2 > bound).foreach { case (t, f) =>
+        assert(mg.contains(t),
+          s"k=$k parts=$parts: frequent $t (n=$f > $bound) not captured")
+      }
+      // sanity: with k=8 the eviction pressure actually bit (some mass
+      // was decremented away, otherwise the test exercises nothing)
+      if (k == 8)
+        assert(mg.values.sum < exact.filterKeys(mg.contains).values.sum,
+          s"parts=$parts: no decrement ever fired — stream not adversarial")
+    }
+  }
 }

@@ -241,6 +241,22 @@ class PlanSpec extends AnyFunSuite {
       expect.orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("q142: approx profiler is ONE scan with NO Expand (the exact profiler's read amplification)") {
+    import graft.operators.Quality
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val approx = Quality.profileTableApprox(
+      graft.sources.Tables.orders(spark, dir), cols)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must not Expand the scan:\n$plan")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(formattedPlan(approx)).size == 1,
+      "approx profile must scan the table exactly once")
+    // the exact path DOES Expand — the contrast this twin exists for
+    val exact = Quality.profileTable(
+      graft.sources.Tables.orders(spark, dir), cols)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("q100: fingerprint-table incremental dedup matches the recompute path") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

@@ -202,6 +202,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup under DISORDERED arrival: first-arrival canonical, same groups as batch") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    // the documented contract: the streaming canonical is the first
+    // PROCESSING-ORDER arrival, the batch canonical is min(doc_id) —
+    // under disordered arrival the REPRESENTATIVE differs while group
+    // membership and classification agree
+    val refFps = Seq((100L, "ref text"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val input = MemoryStream[TsDoc]
+    // doc 3 (the HIGHER id of the dup group) arrives first; doc 1
+    // arrives later in a later batch — processing order ≠ id order
+    input.addData(TsDoc(ts(3), 3L, "same words here"))
+    val q = EventStreams.incrementalDedupStream(
+        input.toDF(), "doc_id", "text", refFps)
+      .writeStream.format("memory").queryName("incdedupdisord")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(TsDoc(ts(1), 1L, "same  WORDS here"), // same fp as 3
+        TsDoc(ts(2), 2L, "ref TEXT"))                     // dup of ref
+      q.processAllAvailable()
+      val got = spark.table("incdedupdisord").select("doc_id", "status")
+        .as[(Long, String)].collect().toMap
+      // first-arrival canonical: 3 (not min-id 1) represents the group
+      assert(got == Map(3L -> "new", 2L -> "dup_of_ref"), s"got $got")
+      // batch on the same docs keeps min-id 1 — different representative,
+      // same group structure (exactly one canonical for the {1,3} group)
+      // and same classification of it
+      val batchRes = Dedup.dedupAgainstReferenceFps(
+          Seq((3L, "same words here"), (1L, "same  WORDS here"),
+            (2L, "ref TEXT")).toDF("doc_id", "text"),
+          "doc_id", "text", refFps)
+        .filter(col("status") =!= "dup_in_batch")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(batchRes == Map(1L -> "new", 2L -> "dup_of_ref"))
+      assert(batchRes.values.toSeq.sorted == got.values.toSeq.sorted,
+        "group structure/classification must agree; only the representative differs")
+    } finally q.stop()
+  }
+
   test("streaming near-dup against persisted reference stages equals the batch FromStages pairs") {
     implicit val sql = spark.sqlContext
     import graft.operators.Dedup
@@ -665,6 +707,63 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         .map(c => (c.user_id, c.t_view.getTime, c.t_click.getTime)).toSet
       assert(got == reference(events),
         s"streaming conversions diverge:\n got $got\n want ${reference(events)}")
+    } finally q.stop()
+  }
+
+  test("streaming time-decay equals the batch fixed-anchor formula on random batched, disordered streams") {
+    implicit val sql = spark.sqlContext
+    val rng = new scala.util.Random(53)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val halfLifeUs = 20L * 60 * 1000000 // 20 min
+    val winMs = 60L * 60 * 1000
+    // 3 users × ~2.5h of events at random minute offsets
+    val events = (1 to 60).map(i => (1L + rng.nextInt(3),
+      new Timestamp(base + rng.nextInt(150) * 60000L),
+      1.0 + rng.nextInt(5)))
+    // batch reference: the SAME fixed-anchor contract — per (user,
+    // tumbling hour), weights anchored at the window END (the contract
+    // deliberately differs from q121's moving per-key-max anchor — a
+    // max anchor could never finalize under late data)
+    def reference: Map[(Long, Long), (Long, Double, Double)] =
+      events.groupBy { case (u, ts, _) => (u, ts.getTime / winMs) }
+        .map { case ((u, w), evs) =>
+          val endUs = (w + 1) * winMs * 1000
+          val wsum = evs.map { case (_, ts, v) =>
+            v * math.pow(2.0, (ts.getTime * 1000 - endUs) / halfLifeUs.toDouble)
+          }.sum
+          val vsum = evs.map(_._3).sum
+          def r4(x: Double) = if (x < 0) -math.floor(-x * 1e4 + 0.5) / 1e4
+            else math.floor(x * 1e4 + 0.5) / 1e4
+          (u, w * winMs) -> (evs.size.toLong, r4(wsum), r4(wsum / vsum))
+        }
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.timeDecayStream(
+        input.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "value", halfLifeUs,
+        windowLen = "1 hour", watermark = "10 hours")
+      .writeStream.format("memory").queryName("timedecayprop")
+      .outputMode("append").start()
+    try {
+      var rest = rng.shuffle(events)
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rng.nextInt(12))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        rest = tail
+      }
+      // push the watermark far past every window so all rows finalize
+      input.addData((9L, new Timestamp(base + 1000L * 3600000), 1.0))
+      q.processAllAvailable()
+      input.addData((9L, new Timestamp(base + 1001L * 3600000), 1.0))
+      q.processAllAvailable()
+      // compare keyed on (user, bucket start ms)
+      val gotMap = spark.table("timedecayprop")
+        .as[(Timestamp, Long, Long, Double, Double)].collect()
+        .filter(_._2 != 9L)
+        .map { case (b, u, n, d, f) => (u, b.getTime) -> (n, d, f) }.toMap
+      val want = reference.map { case ((u, ms), v) => (u, ms) -> v }
+      assert(gotMap == want,
+        s"streaming time-decay diverges:\n got $gotMap\n want $want")
     } finally q.stop()
   }
 
