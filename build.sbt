@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// scale-slope gate: times the heaviest queries at sf0.01 and sf0.1 and
+// fails on super-linear growth (see graft.Scaling / SCALING.md)
+addCommandAlias("scaling", "runMain graft.Scaling")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

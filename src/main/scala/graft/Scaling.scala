@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Scale-slope harness: times a set of queries at TWO scale factors
+  * (default sf0.01 → sf0.1, a 10× row ratio) and reports the growth
+  * ratio per query, failing loudly when any query grows super-linearly
+  * in rows. A single-sf bench cannot see the quadratic-blowup class —
+  * an operator that is fast at sf0.1 but O(n²) in a candidate-pair
+  * stage is a 100 TB landmine that only a slope can catch.
+  *
+  * Method:
+  *   - one warm pass at the low dir (codegen + JIT + shared fit
+  *     stages), then per dir: one warm run, then median-of-3 timed
+  *     runs. Shared-stage memos are keyed by (session, dir), so both
+  *     dirs coexist; warm timing measures the steady-state scan path,
+  *     matching the committed-bench semantics (fit memos warm via
+  *     suite order there, via the warm run here).
+  *   - the slope is tHi/tLo against the actual row ratio of the four
+  *     extension tables (≈10× between sf0.01 and sf0.1). Linear work
+  *     with any fixed per-query overhead gives slope < rowRatio;
+  *     O(n log n) adds ~10 % at these sizes. The gate flags
+  *     slope > rowRatio × 1.4 (= 14 at 10×): comfortably above
+  *     sort/log noise, far below the ~100× a quadratic stage shows.
+  *   - a q12 calibration probe runs per dir (same contract as Bench):
+  *     probes differing by >2× across dirs mean machine load moved
+  *     mid-run and the slopes are noise — the run refuses to gate.
+  *
+  * Output: `scaling_out.json` (machine-readable) and `SCALING.md` (the
+  * committed slope table). Non-zero exit iff a query gates superlinear
+  * on a calibration-clean run. Dev loop:
+  *   SPARK_GRAFT_SLOPE_QUERIES=q93_label_prop,q92_triangles \
+  *     sbt "runMain graft.Scaling"
+  */
+object Scaling {
+  private val SlopeTolerance = 1.4
+
+  def main(args: Array[String]): Unit = {
+    val loDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_LO", "/root/testdata/sf0.01")
+    val hiDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_HI", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val topN = sys.env.get("SPARK_GRAFT_SLOPE_TOP").map(_.toInt).getOrElse(10)
+
+    // Query set: explicit env list, else the N heaviest per the
+    // committed bench_metrics.json (hand-rolled parse — no JSON dep).
+    val names: Seq[String] = sys.env.get("SPARK_GRAFT_SLOPE_QUERIES") match {
+      case Some(s) => s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      case None =>
+        val metricsPath = Paths.get("bench_metrics.json")
+        require(Files.exists(metricsPath),
+          "bench_metrics.json not found and SPARK_GRAFT_SLOPE_QUERIES unset")
+        val txt = Files.readString(metricsPath)
+        val entry = """"(q[^"]+)":\{"sec":([0-9.Ee+-]+)""".r
+        entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          .sortBy(-_._2).take(topN).map(_._1)
+    }
+    val queries = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val missing = names.toSet -- queries.map(_._1).toSet
+    if (missing.nonEmpty)
+      System.err.println(s"[scaling] unknown queries skipped: ${missing.mkString(",")}")
+
+    val spark = GraftSession.local("graft-scaling")
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Double =
+      (1 to 3).map(_ => runOnce(fn, dir)).sorted.apply(1)
+
+    // warm pass (codegen/JIT) at the smallest dir, then drop its blocks
+    if (Files.isDirectory(Paths.get(warmDir))) {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      graft.operators.PipelineQueries.clearSharedStages()
+      graft.operators.CoreQueries.clearSharedStages()
+      System.gc()
+    }
+
+    val cal = SparkEntry.queries.get("q12_distinct")
+    def calProbe(dir: String): Double =
+      cal.map(fn => (1 to 3).map(_ => runOnce(fn, dir)).sorted.apply(1)).getOrElse(0.0)
+
+    // actual row ratio of the extension tables (the slope denominator)
+    val ratioTables = Seq("documents", "embeddings", "events", "lineitem")
+    def rows(dir: String): Map[String, Long] = ratioTables.map { t =>
+      // through Tables.events, not raw spark.read — ts is TIMESTAMP(NANOS)
+      t -> (if (t == "events") graft.sources.Tables.events(spark, dir)
+            else graft.sources.Tables.load(spark, dir, t)).count()
+    }.toMap
+    val (loRows, hiRows) = (rows(loDir), rows(hiDir))
+    val rowRatio = ratioTables.map(t => hiRows(t).toDouble / loRows(t)).sum / ratioTables.size
+
+    val calLo = calProbe(loDir)
+    val results = queries.map { case (name, fn) =>
+      val tLo = try { runOnce(fn, loDir); median3(fn, loDir) }
+                catch { case e: Throwable => System.err.println(s"[scaling] $name@lo: ${e.getMessage}"); -1.0 }
+      val tHi = try { runOnce(fn, hiDir); median3(fn, hiDir) }
+                catch { case e: Throwable => System.err.println(s"[scaling] $name@hi: ${e.getMessage}"); -1.0 }
+      (name, tLo, tHi)
+    }
+    val calHi = calProbe(hiDir)
+    val calClean = calLo > 0 && calHi > 0 &&
+      math.max(calLo, calHi) / math.min(calLo, calHi) < 2.0
+
+    val gate = rowRatio * SlopeTolerance
+    val rowsJson = ratioTables.map(t => s""""$t":{"lo":${loRows(t)},"hi":${hiRows(t)}}""").mkString("{", ",", "}")
+    val qJson = results.map { case (n, lo, hi) =>
+      val slope = if (lo > 0 && hi > 0) hi / lo else -1.0
+      s""""$n":{"loSec":$lo,"hiSec":$hi,"slope":$slope,"superlinear":${slope > gate}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"loDir":"$loDir","hiDir":"$hiDir","rowRatio":$rowRatio,"slopeGate":$gate,""" +
+      s""""calibration":{"lo":$calLo,"hi":$calHi,"clean":$calClean},""" +
+      s""""tables":$rowsJson,"queries":$qJson}"""
+    Files.writeString(Paths.get("scaling_out.json"), json + "\n")
+    println(json)
+
+    val md = new StringBuilder
+    md ++= "# SCALING — slope table (sf0.01 → sf0.1)\n\n"
+    md ++= s"Row ratio ${f"$rowRatio%.2f"}× (${ratioTables.mkString(", ")}); "
+    md ++= s"gate = ratio × $SlopeTolerance = ${f"$gate%.1f"}. Slope = median-of-3 warm "
+    md ++= "time at sf0.1 / sf0.01. Linear work + fixed overhead ⇒ slope < ratio; "
+    md ++= "O(n log n) ≈ ratio × 1.1; a quadratic stage ≈ ratio². Calibration = "
+    md ++= s"q12 median-of-3 per dir (lo ${f"$calLo%.3f"} s, hi ${f"$calHi%.3f"} s, " +
+      s"clean=$calClean — slopes gate only on a clean run).\n\n"
+    md ++= "| query | sf0.01 s | sf0.1 s | slope | verdict |\n"
+    md ++= "|---|---|---|---|---|\n"
+    results.foreach { case (n, lo, hi) =>
+      val slope = if (lo > 0 && hi > 0) hi / lo else -1.0
+      val verdict = if (slope < 0) "ERR" else if (slope > gate) "SUPERLINEAR" else "linear-ok"
+      md ++= f"| $n | $lo%.3f | $hi%.3f | $slope%.2f | $verdict |%n"
+    }
+    Files.writeString(Paths.get("SCALING.md"), md.toString)
+
+    spark.stop()
+    val bad = results.filter { case (_, lo, hi) => lo > 0 && hi > 0 && hi / lo > gate }
+    if (bad.nonEmpty && calClean) {
+      System.err.println(s"[scaling] SUPERLINEAR: ${bad.map(_._1).mkString(",")}")
+      sys.exit(1)
+    }
+  }
+}
