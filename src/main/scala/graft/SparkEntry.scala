@@ -174,6 +174,9 @@ object SparkEntry {
     "q140_avi_frames" -> (P.aviFrames _),
     "q141_mg_heavy_hitters" -> (P.mgHeavyHitters _),
     "q142_profile_approx" -> (C.profileOrdersApprox _),
+    "q143_sorted_neighborhood" -> (P.sortedNeighborhood _),
+    "q144_skew_audit" -> (C.skewAudit _),
+    "q145_png_decode" -> (P.pngDecode _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -930,6 +933,33 @@ object SparkEntry {
         | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
         | round(avg(b), 4) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PNG decode: the oracle restates the generator's md5 closed form
+    // (pixel byte i of doc d = md5Int('png:d:i', 8) % 256) — the
+    // Spark side actually round-trips deflate + PNG filters + CRC.
+    "q145_png_decode" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 9 + 5 AS BIGINT) AS h
+        | FROM documents),
+        |px0 AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p
+        | FROM dims),
+        |px AS (
+        | SELECT doc_id, w, h,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p)), 1, 8))
+        |    AS BIGINT) % 256 AS r,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p + 1)), 1, 8))
+        |    AS BIGINT) % 256 AS g,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p + 2)), 1, 8))
+        |    AS BIGINT) % 256 AS b
+        | FROM px0)
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        | CAST(max(h) AS INTEGER) AS height,
+        | CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
+        | CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+        | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        | round(avg(b), 4) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Distribution shift: q59 split + token counts + smoothed KL/JS
     "q133_dist_shift" ->
       """WITH sp AS (
@@ -1001,6 +1031,45 @@ object SparkEntry {
       Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
         num("o_totalprice"), str("o_orderdate"), str("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // Sorted-neighborhood dedup: global rank over the normalized
+    // 40-char prefix key, in-window (w=5) pairs verified by exact
+    // levenshtein ≤ 4. DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default.
+    "q143_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS key
+        | FROM documents),
+        |r AS (SELECT doc_id, key,
+        |  row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+        |SELECT least(a.doc_id, b.doc_id) AS id_a,
+        | greatest(a.doc_id, b.doc_id) AS id_b,
+        | CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.key, b.key) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Join-key skew audit: rank-formula Gini over per-key counts
+    // (2·Σi·cᵢ − (n+1)·Σcᵢ)/(n·Σcᵢ) with ranks ascending by (count,
+    // key); DuckDB sums promote to HUGEINT, so the exported integer
+    // facts are CAST back to BIGINT and gini divides as DOUBLE.
+    // Hot-key test is the division-free 5·c·n ≥ 6·total (≥1.2× mean).
+    "q144_skew_audit" -> {
+      def leg(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key_name, n_keys, total_rows, min_cnt,
+           |  max_cnt, hot_keys, gini FROM (
+           | WITH c AS (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1),
+           | r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+           | g AS (SELECT count(*) AS n, sum(c) AS tot,
+           |        sum(CAST(i AS HUGEINT) * c) AS s FROM r)
+           | SELECT n AS n_keys, CAST(tot AS BIGINT) AS total_rows,
+           |  (SELECT min(c) FROM c) AS min_cnt,
+           |  (SELECT max(c) FROM c) AS max_cnt,
+           |  (SELECT count(*) FROM c, g WHERE 5*c.c*g.n >= 6*g.tot) AS hot_keys,
+           |  round(CAST(2*s - (CAST(n AS HUGEINT) + 1)*tot AS DOUBLE)
+           |        / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+           | FROM g) t""".stripMargin
+      leg("events", "user_id") + "\nUNION ALL\n" +
+        leg("lineitem", "l_orderkey") + "\nORDER BY key_name"
     },
     // AVI main header: the generator's closed form per doc_id
     "q135_avi_meta" ->

@@ -80,6 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md5PrefixLongDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
     ext.injectFunction(GraftExtensions.winnowSelectDescriptor)
+    ext.injectFunction(GraftExtensions.pngBytesDescriptor)
+    ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
   }
 }
 
@@ -193,5 +195,27 @@ object GraftExtensions {
           children(i).eval().asInstanceOf[Number].intValue
         }
         WinnowSelect(children.head, intArg(1), intArg(2))
+      })
+
+  /** `graft_png_bytes(width, height, docId)` — real 8-bit RGB PNG
+    * payload with md5-derived pixels (see [[PngBytes]]). */
+  val pngBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_png_bytes"),
+      new ExpressionInfo(classOf[PngBytes].getName, "graft_png_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_png_bytes takes exactly 3 arguments, got ${children.length}")
+        PngBytes(children(0), children(1), children(2))
+      })
+
+  /** `graft_png_decode(binary)` — full PNG decode (chunk walk + CRC +
+    * inflate + un-filter) → stats struct, NULL if non-conforming. */
+  val pngDecodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_png_decode"),
+      new ExpressionInfo(classOf[PngDecode].getName, "graft_png_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_png_decode takes exactly 1 argument, got ${children.length}")
+        PngDecode(children.head)
       })
 }

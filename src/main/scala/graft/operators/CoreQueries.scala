@@ -800,6 +800,15 @@ object CoreQueries {
       .orderBy("col_name")
   }
 
+  // Join-key skew audit over the two hottest join keys (events.user_id,
+  // lineitem.l_orderkey): cardinality, multiplicity extremes, ≥1.2×-mean
+  // hot-key count, and histogram-exact Gini — the salting decision input
+  def skewAudit(s: SparkSession, dir: String): DataFrame =
+    Quality.keySkewAudit(Tables.events(s, dir), "user_id", "events.user_id")
+      .unionAll(Quality.keySkewAudit(Tables.lineitem(s, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .orderBy("key_name")
+
   // Benford leading-digit audit of extended price — the fraud/data-
   // quality screen; integer-cents leading digit, exact counts
   def benford(s: SparkSession, dir: String): DataFrame =

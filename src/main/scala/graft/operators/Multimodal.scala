@@ -8,14 +8,18 @@ import graft.functions.{MysqlFunctions, TextFunctions}
   * `BinaryType` columns plus typed metadata, processed without ever
   * materializing a payload on the driver.
   *
-  * COMPRESSED codecs (JPEG, H.264, …) are NOT available in this
-  * environment, so decode of compressed payloads is a clearly-marked
-  * deterministic STUB (`fakeDecodeMeta`) — the one remaining boundary.
+  * LOSSY codec libraries (JPEG, H.264, …) are NOT available in this
+  * environment, so decode of lossy payloads is a clearly-marked
+  * deterministic STUB (`fakeDecodeMeta`) — the remaining boundary.
   * Every UNCOMPRESSED public format has a REAL decode with pure byte
   * arithmetic, content included: WAV header + PCM samples
   * (q105/q113/q134), PPM pixels (q130), AVI container (q135) and
   * uncompressed-DIB video frame pixels ([[withAviFrameMeans]], q140) —
-  * no dependency needed. Everything
+  * no dependency needed. COMPRESSED lossless decode is real too: PNG
+  * (zlib-DEFLATE IDAT, CRC-checked chunk walk, all five scanline
+  * filters) via [[graft.expressions.PngDecode]] on the JDK's zlib
+  * (q145) — the expression layer, since no builtin column composition
+  * can express inflate. Everything
   * Spark-side is real and is the part that matters at 100 TB: the
   * schema contract, bytewise chunking/frame sampling as codegen'd
   * expressions, metadata extraction, and the rule that payload bytes

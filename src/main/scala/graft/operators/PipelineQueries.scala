@@ -260,6 +260,16 @@ object PipelineQueries {
         threshold = 0.5, maxDf = 50)
       .orderBy("id_a", "id_b")
 
+  // Sorted-neighborhood near-dup pairs over the normalized-prefix key
+  // (window 5, edit distance ≤ 4): the O(n·w) blocking alternative to
+  // LSH for prefix-similar variants. Key = first 40 chars of the q23
+  // fingerprint normalization (lower + trim + collapsed whitespace).
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id",
+        substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 40),
+        window = 5, maxDist = 4)
+      .orderBy("id_a", "id_b")
+
   // duplicate GROUPS: near-dup pairs (MinHash-LSH, J >= 0.7) collapsed
   // into connected components; group id = the canonical keeper (min
   // doc_id). The final step of corpus near-dedup: everything with
@@ -431,6 +441,33 @@ object PipelineQueries {
   // from the payload bytes. The oracle restates the generator's
   // closed form — a parse-offset or channel-interleave bug goes red
   // on the means, not just the header fields.
+  // REAL compressed-image decode: a spec-complete PNG (zlib IDAT split
+  // across chunks, per-row filter cycling through all five types, CRC
+  // everywhere) is BUILT per doc, then fully DECODED — chunk walk, CRC
+  // verify, inflate, un-filter — into per-channel means. The oracle
+  // restates the generator's md5 closed form; any encode/filter/
+  // inflate/offset bug goes red on the means. n_idat is real but
+  // deflate-length-dependent, so the gate projects it out.
+  def pngDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(12)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(9)) + 5).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_png_bytes", w, h, col("doc_id")).as("__png"))
+      .select(col("doc_id"),
+        call_function("graft_png_decode", col("__png")).as("__m"))
+      .select(col("doc_id"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.bit_depth").as("bit_depth"),
+        col("__m.color_type").as("color_type"),
+        col("__m.n_pixels").as("n_pixels"),
+        col("__m.mean_r").as("mean_r"),
+        col("__m.mean_g").as("mean_g"),
+        col("__m.mean_b").as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   def ppmDecode(s: SparkSession, dir: String): DataFrame = {
     val w = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
     val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")

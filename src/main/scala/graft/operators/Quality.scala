@@ -187,6 +187,53 @@ object Quality {
         (col("n_violating") === 0).as("holds"))
   }
 
+  /** Join-key skew audit — the pre-shuffle decision check a 100 TB
+    * pipeline runs BEFORE keying a join or aggregation: per-key count
+    * distribution facts (key cardinality, min/max multiplicity, the
+    * number of hot keys at ≥ 1.2× the mean, and the Gini coefficient
+    * of the count distribution). Gini ≈ 0 → uniform keys, hash
+    * partitioning is safe; Gini → 1 → a salted join or AQE skew
+    * handling is mandatory.
+    *
+    * Scale shape: the only corpus-sized step is the per-key count.
+    * Everything after runs on the count-of-counts histogram (one row
+    * per distinct multiplicity — O(√N) rows at worst), ranked with the
+    * two-level [[CoreQueries.bucketedCumCounts]] rather than a global
+    * window. Gini comes integer-exact from the histogram: the block of
+    * `m` keys at multiplicity `v` occupies ranks `(cum−m, cum]`, so
+    * Σ rank·count over the block is `v·(m·(cum−m) + m(m+1)/2)`; with
+    * ranks ascending by count, `G = (2·Σ i·cᵢ − (n+1)·Σcᵢ)/(n·Σcᵢ)`.
+    * Products are computed in decimal(38,0) — rows × keys exceeds a
+    * signed long well before 100 TB. The hot-key test is the integer
+    * inequality `5·v·n ≥ 6·total` (count ≥ 1.2× mean, no division). */
+  def keySkewAudit(df: DataFrame, keyCol: String, name: String): DataFrame = {
+    import graft.functions.MysqlFunctions.oracleRound
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cnts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("v"))
+    val hist = cnts.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("__g", lit(0))
+    val blocks = CoreQueries.bucketedCumCounts(hist, Seq("__g"))
+      .withColumn("__sr",
+        expr("cnt * (cum - cnt) + (cnt * (cnt + 1)) div 2"))
+    val tots = blocks.agg(
+      sum("cnt").as("n"),
+      sum(dec(col("v")) * dec(col("cnt"))).as("tot"),
+      sum(dec(col("v")) * dec(col("__sr"))).as("s"),
+      min("v").as("min_cnt"), max("v").as("max_cnt"))
+    val hot = hist.crossJoin(broadcast(tots.select(col("n"), col("tot"))))
+      .filter(dec(lit(5)) * dec(col("v")) * dec(col("n")) >=
+        dec(lit(6)) * col("tot"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("hot_keys"))
+    tots.crossJoin(broadcast(hot))
+      .select(lit(name).as("key_name"), col("n").as("n_keys"),
+        col("tot").cast("long").as("total_rows"),
+        col("min_cnt"), col("max_cnt"), col("hot_keys"),
+        oracleRound((dec(lit(2)) * col("s") -
+            (dec(col("n")) + dec(lit(1))) * col("tot")).cast("double") /
+          (col("n").cast("double") * col("tot").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns
     * (Sweeney 2002 / Machanavajjhala et al. 2007 — the release-gate
     * check a dataset passes before leaving its enclave): one row per
