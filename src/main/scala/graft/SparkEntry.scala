@@ -177,6 +177,8 @@ object SparkEntry {
     "q143_sorted_neighborhood" -> (P.sortedNeighborhood _),
     "q144_skew_audit" -> (C.skewAudit _),
     "q145_png_decode" -> (P.pngDecode _),
+    "q146_index_staleness" -> (P.indexStaleness _),
+    "q147_containment_pairs" -> (P.containmentFragments _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -960,6 +962,95 @@ object SparkEntry {
         | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
         | round(avg(b), 4) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Index-staleness audit over the q53/q137 Lloyd fit: the oracle
+    // re-runs the shared ivfBuildCtes chain, computes each vector's
+    // assigned cell AND its squared distance (the min-distance row of
+    // the assignment ranking), splits on the label>=5 "new arrivals"
+    // slice, and recomposes the per-cell occupancy/distortion facts
+    // plus the total-variation drift verdict. Empty cells survive via
+    // the generate_series left join (the engine's range(nlist) fill).
+    "q146_index_staleness" ->
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                         y -> y*y)))) AS v
+         | FROM embeddings),
+         |${ivfBuildCtes(16, 3, 64, 42)},
+         |asg AS (
+         | SELECT vec_id, cell, sqd FROM (
+         |  SELECT e.vec_id, c.cell, ${sqdExpr("e.v", "c", 64)} AS sqd,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${sqdExpr("e.v", "c", 64)}, c.cell) AS r
+         |  FROM e, c3 c) t WHERE r = 1),
+         |lab AS (SELECT vec_id, (label >= 5) AS isnew FROM embeddings),
+         |j AS (SELECT a.cell, a.sqd, l.isnew
+         |      FROM asg a JOIN lab l USING (vec_id)),
+         |pc0 AS (
+         | SELECT cell, count(*) AS n_fit,
+         |  count(*) FILTER (WHERE isnew) AS n_new,
+         |  sum(CASE WHEN isnew THEN sqd END) AS sumd
+         | FROM j GROUP BY cell),
+         |cells AS (SELECT CAST(g.i AS INTEGER) AS cell
+         |          FROM generate_series(0, 15) AS g(i)),
+         |pc AS (
+         | SELECT cells.cell, CAST(coalesce(pc0.n_fit, 0) AS BIGINT) AS n_fit,
+         |  CAST(coalesce(pc0.n_new, 0) AS BIGINT) AS n_new, pc0.sumd AS sumd
+         | FROM cells LEFT JOIN pc0 USING (cell)),
+         |tot AS (SELECT CAST(sum(n_fit) AS BIGINT) AS n_all,
+         |        CAST(sum(n_new) AS BIGINT) AS n_new_tot FROM pc),
+         |sh AS (SELECT cell, n_fit, n_new, sumd,
+         |  CAST(n_fit AS DOUBLE) / n_all AS sf_x,
+         |  CAST(n_new AS DOUBLE) / n_new_tot AS sn_x
+         | FROM pc, tot),
+         |g AS (SELECT round(CAST(0.5 AS DOUBLE) * sum(abs(sn_x - sf_x)), 4) AS tvd
+         |      FROM sh)
+         |SELECT cell, n_fit, n_new,
+         | round(sf_x, 4) AS share_fit, round(sn_x, 4) AS share_new,
+         | CASE WHEN n_new > 0 THEN round(sumd / n_new, 4)
+         |  ELSE CAST(0 AS DOUBLE) END AS mean_sqdist_new,
+         | g.tvd AS tvd, (g.tvd >= CAST(0.05 AS DOUBLE)) AS refit_needed
+         |FROM sh, g ORDER BY cell""".stripMargin,
+    // Containment near-dups over the planted fragment corpus: the
+    // q32 shingle/candidate CTEs on documents ∪ prefix fragments, the
+    // asymmetric |A∩B|/|A| scores, and the max-containment filter on
+    // the ROUNDED values (the engine filters rounded columns too).
+    "q147_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |toksb AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM base),
+        |frag AS (
+        | SELECT doc_id + 200000 AS doc_id,
+        |  array_to_string(t[1:(len(t)+1)//2], ' ') AS text
+        | FROM toksb WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL SELECT doc_id, text FROM frag),
+        |toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM corpus),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+        | JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sc AS (
+        | SELECT ia AS id_a, ib AS id_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+        |  CAST(len(x.s) AS DOUBLE) AS sa, CAST(len(y.s) AS DOUBLE) AS sb
+        | FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib)
+        |SELECT id_a, id_b,
+        | round(inter/sa, 4) AS cont_a, round(inter/sb, 4) AS cont_b,
+        | round(inter/(sa+sb-inter), 4) AS jaccard
+        |FROM sc
+        |WHERE greatest(round(inter/sa, 4), round(inter/sb, 4))
+        |      >= CAST(0.8 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
     // Distribution shift: q59 split + token counts + smoothed KL/JS
     "q133_dist_shift" ->
       """WITH sp AS (

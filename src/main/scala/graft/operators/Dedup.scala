@@ -550,7 +550,21 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] over precomputed [[shingleSets]] output. */
   def ngramJaccardPairsFromSets(shSets: DataFrame, idCol: String,
-      threshold: Double, maxDf: Int): DataFrame = {
+      threshold: Double, maxDf: Int): DataFrame =
+    pairOverlapFromSets(shSets, idCol, maxDf)
+      .withColumn("jaccard", MysqlFunctions.oracleRound(
+        col("__inter").cast("double") /
+          (col("__sa") + col("__sb") - col("__inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Exact shingle-set overlap per candidate pair — the shared tail of
+    * the n-gram family: returns `(id_a, id_b, __inter, __sa, __sb)`
+    * (intersection size + both set sizes) for every pair sharing at
+    * least one sub-`maxDf` shingle. [[ngramJaccardPairsFromSets]] and
+    * [[containmentPairsFromSets]] are both one projection over this. */
+  private def pairOverlapFromSets(shSets: DataFrame, idCol: String,
+      maxDf: Int): DataFrame = {
     val sets = shSets.withColumnRenamed(idCol, "__id")
     val sh = sets.select(col("__id"), explode(col("__sh")).as("sh"))
     // Stop-shingle cap: groupBy doc-frequency + broadcast anti-join of
@@ -581,12 +595,43 @@ object Dedup {
         when(col("__ha").isNotNull && col("__hb").isNotNull,
           size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
         .otherwise(lit(0L)))
+  }
+
+  /** Shingle-containment pairs — the ASYMMETRIC near-dup score Jaccard
+    * misses: `cont_a = |S_a ∩ S_b| / |S_a|` (how much of a is inside
+    * b) and symmetrically `cont_b`. A short document wholly embedded
+    * in a long one scores `cont ≈ 1` while its Jaccard is only
+    * `|small|/|large|` — the sub-document duplication mode (quoted
+    * articles, concatenated crawls, prefix-truncated re-uploads) that
+    * a resemblance threshold never surfaces (Broder 1997's
+    * resemblance-vs-containment distinction). Emits every candidate
+    * pair with `max(cont_a, cont_b) ≥ threshold` plus its Jaccard, so
+    * the caller sees exactly which keeps/drops a Jaccard pipeline
+    * would have made differently.
+    *
+    * Scale shape: identical to [[ngramJaccardPairsFromSets]] — the
+    * inverted-index candidate join + one overlap aggregate
+    * ([[pairOverlapFromSets]], shared code), then a map-only score
+    * projection; the asymmetric score costs nothing extra. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame =
+    containmentPairsFromSets(shingleSets(df, idCol, textCol, shingleSize),
+      idCol, threshold, maxDf)
+
+  /** [[containmentPairs]] over precomputed [[shingleSets]] output. */
+  def containmentPairsFromSets(shSets: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int): DataFrame =
+    pairOverlapFromSets(shSets, idCol, maxDf)
+      .withColumn("cont_a", MysqlFunctions.oracleRound(
+        col("__inter").cast("double") / col("__sa").cast("double"), 4))
+      .withColumn("cont_b", MysqlFunctions.oracleRound(
+        col("__inter").cast("double") / col("__sb").cast("double"), 4))
       .withColumn("jaccard", MysqlFunctions.oracleRound(
         col("__inter").cast("double") /
           (col("__sa") + col("__sb") - col("__inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b", "jaccard")
 
   /** Sorted-neighborhood dedup (Hernández & Stolfo SIGMOD'95): sort the
     * corpus by a cheap normalized key, slide a fixed window of `window`

@@ -270,6 +270,27 @@ object PipelineQueries {
         window = 5, maxDist = 4)
       .orderBy("id_a", "id_b")
 
+  // q147: containment near-dups over a planted fragment corpus — every
+  // 7th document contributes a prefix fragment (first ⌈n/2⌉ tokens,
+  // id + 200000) whose shingles are a strict subset of its original's:
+  // containment(frag→orig) = 1.0 while Jaccard sits near |frag|/|orig|
+  // ≈ 0.5, i.e. exactly the sub-document duplication a resemblance
+  // threshold never catches (the corpus itself has no natural
+  // containment-only pairs — measured: every natural max-containment
+  // ≥ 0.5 pair is also Jaccard ≥ 0.7). The jaccard column on each
+  // emitted pair shows what the resemblance pipeline would have said.
+  def containmentFragments(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val frags = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("__t", T.tokens(col("text")))
+      .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        concat_ws(" ", slice(col("__t"), lit(1),
+          floor((size(col("__t")) + lit(1)) / lit(2)).cast("int"))).as("text"))
+    Dedup.containmentPairs(d.unionByName(frags), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDf = 100)
+      .orderBy("id_a", "id_b")
+  }
+
   // duplicate GROUPS: near-dup pairs (MinHash-LSH, J >= 0.7) collapsed
   // into connected components; group id = the canonical keeper (min
   // doc_id). The final step of corpus near-dedup: everything with
@@ -779,6 +800,25 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
         fittedCenters = Some(ctrs), fittedBooks = Some(books))
       .orderBy("query_id", "rnk")
+  }
+
+  // q146: index-staleness audit over the PERSISTED coarse fit — the
+  // other half of the q137-q139 contract: once an index is fit-once/
+  // reuse-for-months, something must measure when the corpus has
+  // drifted away from it. "New arrivals" = the label ≥ 5 slice (the
+  // labels cluster the synthetic embeddings, so the slice's cell
+  // occupancy genuinely shifts — a class-mix change, the real drift
+  // mode); the audit compares per-cell occupancy shares and the new
+  // slice's quantization distortion, and verdicts refit via the
+  // total-variation distance. One corpus scan, map-only assignment
+  // against the persisted centroid literal.
+  def indexStaleness(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), (col("label") >= 5).as("is_new"))
+    val c = normEmb(s, dir).join(lab, Seq("vec_id"))
+    Similarity.indexStalenessAudit(c, "vec_id", "embedding", "is_new",
+      centers = persistedFits(s, dir)._1, tvdThreshold = 0.05,
+      preNormalized = true)
   }
 
   // Distribution-shift audit between the train and val splits: add-½-

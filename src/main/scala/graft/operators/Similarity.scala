@@ -615,6 +615,82 @@ object Similarity {
     (centers, books)
   }
 
+  /** Index-staleness audit against a fitted coarse quantizer — the
+    * index-ops check a 100 TB ANN deployment runs before deciding to
+    * refit (the persisted-fit contract's other half: [[writeFitStages]]
+    * makes the fit reusable for months, this measures when the corpus
+    * has drifted away from it). The corpus (with a boolean `newCol`
+    * marking the post-fit arrivals) is assigned to the fitted cells,
+    * then per cell: the full-corpus occupancy (`n_fit`, `share_fit` —
+    * what the fitted index was balanced for), the new-slice occupancy
+    * (`n_new`, `share_new`), and the new slice's quantization
+    * distortion (`mean_sqdist_new`, 0 for a cell no new row lands in).
+    * Appended to every row: the total-variation distance between the
+    * two occupancy distributions (`tvd = ½·Σ|share_new − share_fit|`,
+    * the standard drift statistic) and the verdict
+    * `refit_needed = tvd ≥ threshold`. Shares and distortions are
+    * 4-dp rounded (the [[roundCoord6]] rationale at output scale);
+    * counts are exact integers.
+    *
+    * Scale shape: assignment is the [[assignCells]] map-only
+    * projection against the centroid literal — the whole audit is ONE
+    * corpus scan into a cell-keyed aggregate (map-side combined to
+    * nlist rows), the empty-cell fill is a left join from an
+    * nlist-row range, and the totals/TVD are aggregates OVER the
+    * nlist-row result (the per-cell exchange is reused, not the
+    * scan — at cluster scale everything after the first aggregate is
+    * driver-trivial). Nothing corpus-sized shuffles and only nlist
+    * rows reach the driver. */
+  def indexStalenessAudit(corpus: DataFrame, idCol: String, vecCol: String,
+      newCol: String, centers: Array[Array[Double]],
+      tvdThreshold: Double, preNormalized: Boolean = false): DataFrame = {
+    val nlist = centers.length
+    val c0 =
+      if (preNormalized)
+        corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+          col(newCol).cast("boolean").as("__new"))
+      else
+        barrier(corpus.select(col(idCol).as("vid"),
+          normalized(col(vecCol).cast("array<double>")).as("cvec"),
+          col(newCol).cast("boolean").as("__new")))
+    // distance array staged in its own projection: argmin and min both
+    // read it (CollapseProject keeps a non-cheap alias referenced >1×)
+    val asg = c0
+      .withColumn("__d", transform(centersLit(centers), ctr => sqDist(col("cvec"), ctr)))
+      .select(
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
+        array_min(col("__d")).as("sqd"),
+        col("__new"))
+    val perCell = asg.groupBy("cell").agg(
+      count(lit(1)).as("n_fit"),
+      sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("__new"), col("sqd"))).as("__sumd"))
+    val cells = corpus.sparkSession.range(nlist.toLong)
+      .select(col("id").cast("int").as("cell"))
+    val filled = cells.join(perCell, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("__sumd"))
+    // totals from the nlist-row aggregate, NOT a second corpus pass
+    val tot = perCell.agg(sum("n_fit").as("__n_all"), sum("n_new").as("__n_new_tot"))
+    val sh = filled.crossJoin(broadcast(tot))
+      .withColumn("__sf", col("n_fit").cast("double") / col("__n_all"))
+      .withColumn("__sn", col("n_new").cast("double") / col("__n_new_tot"))
+    val tvd = sh.agg(MysqlFunctions.oracleRound(
+      lit(0.5) * sum(abs(col("__sn") - col("__sf"))), 4).as("tvd"))
+    sh.crossJoin(broadcast(tvd))
+      .select(col("cell"), col("n_fit"), col("n_new"),
+        MysqlFunctions.oracleRound(col("__sf"), 4).as("share_fit"),
+        MysqlFunctions.oracleRound(col("__sn"), 4).as("share_new"),
+        when(col("n_new") > 0,
+          MysqlFunctions.oracleRound(col("__sumd") / col("n_new"), 4))
+          .otherwise(lit(0.0)).as("mean_sqdist_new"),
+        col("tvd"),
+        (col("tvd") >= lit(tvdThreshold)).as("refit_needed"))
+      .orderBy("cell")
+  }
+
   /** All m sub-codebooks as ONE nested literal (m × ksub × dsub) so a
     * subspace-generic expression can `element_at` into it by the `s`
     * column — one literal node in the tree instead of m unrolled

@@ -653,4 +653,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (approxC intersect exactC).size.toDouble / exactC.size
     assert(recall >= 0.8, s"multi-probe recall $recall on clustered corpus")
   }
+
+  test("containmentPairs: a strict prefix fragment scores cont 1.0 at sub-threshold jaccard") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f g h i j"), // strict prefix of 1: contained, J ≈ 8/18
+      (3L, "z y x w v u t s r q p o n m")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDf = 100)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      "only the containment pair surfaces")
+    val (_, _, contA, contB, j) = pairs.head
+    assert(math.max(contA, contB) == 1.0, "the fragment is wholly contained")
+    assert(j < 0.8, "jaccard alone would have missed the pair")
+  }
+
+  test("indexStalenessAudit: empty cells survive with zero counts; uniform slice has ~zero TVD") {
+    // two tight clusters + one far-off center nothing is assigned to
+    val centers = Array(Array(0.0, 1.0), Array(1.0, 0.0), Array(100.0, 100.0))
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(0.01 * i, 1.0) else Seq(1.0, 0.01 * i)
+      (i, base, i >= 20) // "new" = second half of ids — same cell mix
+    }.toDF("vec_id", "embedding", "is_new")
+    val out = Similarity.indexStalenessAudit(vecs, "vec_id", "embedding",
+        "is_new", centers, tvdThreshold = 0.3)
+      .as[(Int, Long, Long, Double, Double, Double, Double, Boolean)].collect()
+    assert(out.length == 3, "one row per fitted cell, empty ones included")
+    val empty = out.find(_._1 == 2).get
+    assert(empty._2 == 0L && empty._3 == 0L && empty._6 == 0.0,
+      "unoccupied cell reports zero counts and zero distortion")
+    assert(out.map(_._2).sum == 40L)
+    // the id-parity construction puts the same cell mix in both eras
+    assert(out.head._7 <= 0.06, s"near-uniform slice TVD ${out.head._7}")
+    assert(!out.head._8, "no refit verdict on an undrifted corpus")
+  }
 }
