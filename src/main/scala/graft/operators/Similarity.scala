@@ -661,10 +661,15 @@ object Similarity {
         (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
         array_min(col("__d")).as("sqd"),
         col("__new"))
+    // materialized: nlist rows, but FOUR consumers downstream (fill,
+    // totals, TVD, final projection) — without the checkpoint each one
+    // re-derives the aggregate and the corpus is scanned 8× (caught by
+    // PlanSpec); with it the corpus feeds exactly one eager pass
     val perCell = asg.groupBy("cell").agg(
       count(lit(1)).as("n_fit"),
       sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"),
       sum(when(col("__new"), col("sqd"))).as("__sumd"))
+      .localCheckpoint()
     val cells = corpus.sparkSession.range(nlist.toLong)
       .select(col("id").cast("int").as("cell"))
     val filled = cells.join(perCell, Seq("cell"), "left")

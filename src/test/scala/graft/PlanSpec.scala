@@ -241,6 +241,28 @@ class PlanSpec extends AnyFunSuite {
       expect.orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("q146: staleness audit consumes literal centers — corpus scanned once, no fit pass") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Similarity.normalizeCorpus(
+      graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val centers = Similarity.fitQuantizer(
+      emb, "vec_id", "embedding", nlist = 8, dim = 64, seed = 42L, iters = 2)
+    val flagged = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("is_new", col("vec_id") % 2 === 1)
+    val out = Similarity.indexStalenessAudit(flagged, "vec_id", "embedding",
+      "is_new", centers, tvdThreshold = 0.3)
+    val plan = formattedPlan(out)
+    // fitted centers ride as a literal and the corpus feeds exactly
+    // one eager pass into the nlist-row per-cell checkpoint — so the
+    // RESULT plan must be corpus-free: no parquet scan anywhere, only
+    // nlist-row joins over the materialized aggregate (without the
+    // checkpoint the four downstream consumers re-derived the
+    // aggregate and the plan scanned the corpus 8×)
+    assert(!plan.contains("embeddings.parquet"),
+      s"post-aggregate plan must never rescan the corpus:\n$plan")
+  }
+
   test("q142: approx profiler is ONE scan with NO Expand (the exact profiler's read amplification)") {
     import graft.operators.Quality
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
