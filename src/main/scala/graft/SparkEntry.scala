@@ -179,6 +179,8 @@ object SparkEntry {
     "q145_png_decode" -> (P.pngDecode _),
     "q146_index_staleness" -> (P.indexStaleness _),
     "q147_containment_pairs" -> (P.containmentFragments _),
+    "q148_epoch_shards" -> (P.epochShards _),
+    "q149_novelty_score" -> (P.noveltyScore _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1051,6 +1053,48 @@ object SparkEntry {
         |WHERE greatest(round(inter/sa, 4), round(inter/sb, 4))
         |      >= CAST(0.8 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+    // Novelty: the q29/q32 shingle CTEs + the q59 split, one
+    // vocabulary left join — novel = absent from the train slice.
+    "q149_novelty_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |sp AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents),
+        |ex AS (
+        | SELECT s.doc_id, unnest(s.s) AS sh1, (sp.b < 80) AS isref
+        | FROM sh s JOIN sp USING (doc_id)),
+        |ref AS (SELECT DISTINCT sh1 FROM ex WHERE isref),
+        |sc AS (
+        | SELECT e.doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (WHERE r.sh1 IS NULL) AS n_novel
+        | FROM ex e LEFT JOIN ref r ON e.sh1 = r.sh1
+        | WHERE NOT e.isref GROUP BY e.doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        | round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // Epoch shards: the per-epoch md5 permutation rank, sharded
+    // round-robin — rank/shard/pos all restated directly in SQL.
+    "q148_epoch_shards" ->
+      """WITH h AS (
+        | SELECT d.doc_id, e.i AS epoch,
+        |  CAST(('0x' || substr(md5('epoch' || e.i || ':' || d.doc_id), 1, 8))
+        |    AS BIGINT) AS hv
+        | FROM documents d, generate_series(0, 1) AS e(i)),
+        |r AS (
+        | SELECT doc_id, epoch,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id) - 1 AS rnk
+        | FROM h)
+        |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        | CAST(rnk % 8 AS INTEGER) AS shard, CAST(rnk // 8 AS BIGINT) AS pos
+        |FROM r ORDER BY epoch, doc_id""".stripMargin,
     // Distribution shift: q59 split + token counts + smoothed KL/JS
     "q133_dist_shift" ->
       """WITH sp AS (

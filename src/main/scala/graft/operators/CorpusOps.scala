@@ -360,4 +360,46 @@ object CorpusOps {
         least(lit(maxTokens.toLong), col("__n") - col("k") * stride)
           .as("n_chunk_tokens"))
   }
+
+  /** Deterministic per-epoch training order + shard assignment — the
+    * data-order step of a training run: epoch e's order is the corpus
+    * ranked by `md5(<salt><e>:<id>)` (an independent pseudorandom
+    * permutation per epoch, the engine's standard hash derivation — no
+    * stored RNG state, any row's placement is recomputable from its id
+    * alone), shard = rank mod `shards` (round-robin over the shuffled
+    * order, so shard sizes differ by at most 1 and each shard is an
+    * unbiased subsample of the epoch order), pos = rank div `shards`
+    * (the row's position within its shard's read sequence).
+    *
+    * Scale shape: the global per-epoch rank uses the two-level
+    * bucket-offset pattern (the q58/q143 machinery): bucket = the
+    * hash's top 8 bits (order-preserving BETWEEN buckets), per-bucket
+    * counts cumulated in a (epochs×256)-row window, local rank
+    * windowed per (epoch, bucket) — no executor ever sorts the whole
+    * epoch, no single-partition window. Everything else is map-only
+    * arithmetic on the rank. */
+  def epochShards(df: DataFrame, idCol: String, epochs: Int, shards: Int,
+      salt: String = "epoch"): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    val e = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__hv", TextFunctions.md5Int(
+        concat(lit(salt), col("epoch").cast("string"), lit(":"),
+          col(idCol).cast("string")), 8))
+    val bucketed = e.withColumn("__bkt", shiftright(col("__hv"), 24).cast("int"))
+    val boff = bucketed.groupBy("epoch", "__bkt")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.partitionBy("epoch").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "__bkt", "__off")
+    val local = Window.partitionBy("epoch", "__bkt")
+      .orderBy(col("__hv"), col(idCol))
+    val s = shards.toLong
+    bucketed.join(boff, Seq("epoch", "__bkt"))
+      .withColumn("__rnk", col("__off") + row_number().over(local) - 1)
+      .select(col(idCol), col("epoch").cast("int").as("epoch"),
+        pmod(col("__rnk"), lit(s)).cast("int").as("shard"),
+        ((col("__rnk") - pmod(col("__rnk"), lit(s))) / s).cast("long").as("pos"))
+  }
 }

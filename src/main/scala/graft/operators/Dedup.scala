@@ -619,6 +619,40 @@ object Dedup {
     containmentPairsFromSets(shingleSets(df, idCol, textCol, shingleSize),
       idCol, threshold, maxDf)
 
+  /** Per-document n-gram NOVELTY against a reference slice — the
+    * data-valuation score of selection pipelines ("does this incoming
+    * document add anything the corpus hasn't seen?"): for every
+    * non-reference document, the fraction of its distinct shingles
+    * absent from the reference slice's shingle vocabulary.
+    * High novelty = new information worth keeping; novelty ≈ 0 = the
+    * document restates what the corpus already holds (the selection
+    * complement of the dedup family: dedup finds the SAME text,
+    * novelty quantifies how much is NEW).
+    *
+    * Input is [[shingleSets]] output with an extra boolean `refCol`
+    * marking the reference slice. Returns (idCol, n_shingles, n_novel,
+    * novelty 4-dp) for the non-reference docs.
+    *
+    * Scale shape: one explode + a distinct on the reference shingles
+    * (map-side combined) + ONE shingle-keyed left join + a doc-keyed
+    * count aggregate — the inverted-index shape; nothing doc² or
+    * vocabulary-sized on one node, and the reference vocabulary is
+    * never collected. */
+  def noveltyFromSets(shSets: DataFrame, idCol: String,
+      refCol: String): DataFrame = {
+    val ex = shSets.select(col(idCol), col(refCol).cast("boolean").as("__ref"),
+      explode(col("__sh")).as("sh"))
+    val refSh = ex.filter(col("__ref")).select("sh").distinct()
+      .withColumn("__seen", lit(1))
+    ex.filter(!col("__ref"))
+      .join(refSh, Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", MysqlFunctions.oracleRound(
+        col("n_novel").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
   /** [[containmentPairs]] over precomputed [[shingleSets]] output. */
   def containmentPairsFromSets(shSets: DataFrame, idCol: String,
       threshold: Double, maxDf: Int): DataFrame =

@@ -1028,6 +1028,29 @@ object PipelineQueries {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  // q149: n-gram novelty of the val/test docs against the train
+  // slice's shingle vocabulary — the data-valuation score of a
+  // selection pipeline, riding the SHARED shingle stage (no second
+  // tokenize) and the q59 split derivation. One shingle-keyed left
+  // join; the reference vocabulary never leaves the executors.
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val split = CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), (col("split") === "train").as("is_ref"))
+    Dedup.noveltyFromSets(stages(s, dir)._1.join(split, Seq("doc_id")),
+        "doc_id", "is_ref")
+      .orderBy("doc_id")
+  }
+
+  // q148: two epochs of deterministic training order over 8 shards —
+  // every (doc, epoch) lands at a reproducible (shard, pos) with no
+  // stored RNG state, shard sizes within 1, per-epoch orders
+  // independent. The permutation rank is the two-level bucket-offset
+  // rank (no single-partition window).
+  def epochShards(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.epochShards(Tables.documents(s, dir), "doc_id",
+        epochs = 2, shards = 8)
+      .orderBy("epoch", "doc_id")
+
   // per-source quota cap: keep the 10 best docs per source by (rounded
   // quality desc, doc_id) — the source-balancing step of corpus curation
   def domainCap(s: SparkSession, dir: String): DataFrame =

@@ -438,4 +438,29 @@ class CorpusOpsSpec extends AnyFunSuite {
           s"parts=$parts: no decrement ever fired — stream not adversarial")
     }
   }
+
+  test("epochShards: per-epoch bijection onto 0..N-1, balanced shards, independent epoch orders") {
+    import org.apache.spark.sql.functions._
+    val n = 103 // deliberately not a multiple of the shard count
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val out = CorpusOps.epochShards(docs, "doc_id", epochs = 2, shards = 8)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.length == 2 * n)
+    for (e <- 0 to 1) {
+      val ep = out.filter(_._2 == e)
+      // (shard, pos) ↔ global rank shard+8·pos must be a bijection
+      val ranks = ep.map { case (_, _, sh, pos) => sh + 8L * pos }.sorted
+      assert(ranks.toSeq == (0L until n.toLong).toSeq,
+        s"epoch $e ranks are not a permutation of 0..${n - 1}")
+      // round-robin ⇒ shard sizes within 1
+      val sizes = ep.groupBy(_._3).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"epoch $e shard sizes $sizes")
+    }
+    // different epochs = different permutations (103! makes a chance
+    // collision of the two full orders impossible)
+    val byEpoch = out.groupBy(_._2).map { case (e, rows) =>
+      e -> rows.sortBy(_._1).map(r => (r._3, r._4)).toSeq
+    }
+    assert(byEpoch(0) != byEpoch(1), "epoch orders must be independent")
+  }
 }

@@ -71,6 +71,13 @@ for name in sorted(os.listdir(outdir)):
     else:
         fails.append(name)
 
+# an oracle with no output dir means the query ERRORED inside Verify
+# (it logs and continues) — that must be a red row, not a silent skip
+have = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracle) - have):
+    print(f"{name:28s} MISSING OUTPUT (query errored in Verify?)")
+    fails.append(name)
+
 print()
 print(f"FAILED: {fails}" if fails else "ALL GREEN")
 sys.exit(1 if fails else 0)
