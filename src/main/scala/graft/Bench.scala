@@ -25,7 +25,11 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
 
     if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir) {
-      queries.foreach { case (_, fn) =>
+      // progress line BEFORE each query: a hung/timed-out run's
+      // truncated tail then names the in-flight query (r8's rc=124
+      // cost a judge session to attribute; this line is the fix)
+      queries.foreach { case (name, fn) =>
+        System.err.println(s"[bench] warm $name")
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       // drop the warm-up pass's shared-stage checkpoints so they don't
@@ -109,6 +113,7 @@ object Bench {
     // to a different successor query between rounds
     val times = queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
+      System.err.println(s"[bench] ${i + 1}/${queries.size} $name")
       val before = snapMetrics()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -117,6 +122,7 @@ object Bench {
           .takeWhile(_ != '\n').take(200)
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${i + 1}/${queries.size} $name%s done in $sec%.2f s")
       Thread.sleep(100)
       val after = snapMetrics()
       shuffles(name) = (after._1 - before._1, after._2 - before._2,

@@ -51,9 +51,18 @@ object Scaling {
           "bench_metrics.json not found and SPARK_GRAFT_SLOPE_QUERIES unset")
         val txt = Files.readString(metricsPath)
         val entry = """"(q[^"]+)":\{"sec":([0-9.Ee+-]+)""".r
-        entry.findAllMatchIn(txt)
+        val metrics = entry.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-          .sortBy(-_._2).take(topN).map(_._1)
+        // STALENESS GATE: a bench file that lags SparkEntry.queries
+        // means new queries would silently skip the slope check — r8
+        // shipped q140 unbenched exactly this way (its stale 136-query
+        // metrics file never surfaced the 13 round-8 queries). Refuse
+        // to sample from a stale file; re-run Bench at HEAD first.
+        require(metrics.size == SparkEntry.queries.size,
+          s"bench_metrics.json has ${metrics.size} queries but SparkEntry " +
+            s"has ${SparkEntry.queries.size} — stale bench file; re-run " +
+            "graft.Bench at HEAD (or set SPARK_GRAFT_SLOPE_QUERIES)")
+        metrics.sortBy(-_._2).take(topN).map(_._1)
     }
     val queries = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val missing = names.toSet -- queries.map(_._1).toSet

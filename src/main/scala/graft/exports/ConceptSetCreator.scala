@@ -23,8 +23,13 @@ object ConceptSetCreator {
     * the util's input contract; order is not meaningful on multi-file
     * input). */
   def fromCsv(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(monotonically_increasing_id())
-    df.coalesce(1).withColumn("__idx", row_number().over(w))
+    // pin the file-order id in its own column BEFORE the window so the
+    // ordering key is assigned on the coalesced single partition; the
+    // constant partition key then silences the WindowExec warning
+    // without changing the (single-file, provably tiny) frame
+    val w = Window.partitionBy(lit(0)).orderBy("__mid")
+    df.coalesce(1).withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__idx", row_number().over(w)).drop("__mid")
   }
 
   /** Derive the set CSV rows from an indexed concepts DataFrame

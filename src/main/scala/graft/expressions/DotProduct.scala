@@ -82,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowSelectDescriptor)
     ext.injectFunction(GraftExtensions.pngBytesDescriptor)
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
+    ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
+    ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
   }
 }
 
@@ -217,5 +219,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_png_decode takes exactly 1 argument, got ${children.length}")
         PngDecode(children.head)
+      })
+
+  /** `graft_avi_dib_bytes(w, h, nFrames, usPerFrame, docId)` — canonical
+    * AVI with uncompressed-DIB frames, md5-derived pixels (see
+    * [[AviDibBytes]]). */
+  val aviDibBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_dib_bytes"),
+      new ExpressionInfo(classOf[AviDibBytes].getName, "graft_avi_dib_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"graft_avi_dib_bytes takes exactly 5 arguments, got ${children.length}")
+        AviDibBytes(children(0), children(1), children(2), children(3),
+          children(4))
+      })
+
+  /** `graft_avi_frames(binary)` — full AVI-DIB demux+decode (grammar
+    * walk + per-frame channel means), NULL if non-conforming. */
+  val aviFrameMeansDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_frames"),
+      new ExpressionInfo(classOf[AviFrameMeans].getName, "graft_avi_frames"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_avi_frames takes exactly 1 argument, got ${children.length}")
+        AviFrameMeans(children.head)
       })
 }

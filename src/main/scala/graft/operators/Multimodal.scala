@@ -368,62 +368,26 @@ object Multimodal {
   }
 
   /** Deterministic AVI with REAL uncompressed DIB frame payloads — the
-    * full canonical single-video-stream grammar this time: `LIST hdrl`
-    * carries `avih` AND a `LIST strl` with the `strh` stream header
-    * (fccType 'vids', handler 'DIB ', dwScale=µs/frame against
-    * dwRate=10⁶ → fps, dwLength=frame count) and the `strf`
-    * BITMAPINFOHEADER (biBitCount=24, biCompression=BI_RGB — the
-    * uncompressed pixel format, the one video encoding that needs NO
-    * codec); `LIST movi` carries one `00db` (uncompressed DIB) chunk
-    * per frame. Frame data follows the DIB raster contract: rows of
-    * width·3 BGR bytes padded to 4-byte DWORD boundaries; pixel bytes
-    * are md5-derived per (doc, frame, byte index) — reproducible in
-    * ANSI SQL, so frame CONTENT (not just the container) is
-    * oracle-checkable ([[ppmBytes]]'s move for video). Pad bytes are
-    * zero, as real writers emit. */
+    * full canonical single-video-stream grammar: `LIST hdrl` carries
+    * `avih` AND a `LIST strl` with the `strh` stream header and `strf`
+    * BITMAPINFOHEADER (24-bit BI_RGB — the one video encoding that
+    * needs NO codec); `LIST movi` carries one `00db` chunk per frame,
+    * DWORD-padded BGR rasters with zero pad bytes. Pixel bytes are
+    * md5-derived per (doc, frame, byte index) — reproducible in ANSI
+    * SQL, so frame CONTENT (not just the container) is oracle-checkable
+    * ([[ppmBytes]]'s move for video).
+    *
+    * Native [[graft.expressions.AviDibBytes]] — this was a builtin
+    * hex-concat composition through round 8, but that tree is exactly
+    * what `CollapseProject` re-embeds into every per-byte read site of
+    * a downstream decoder, and the round-8 bench measured the combined
+    * plan at minutes of driver-side canonicalization (see the AviCodec
+    * scaladoc). Requires GraftExtensions on the session (all driver
+    * mains and tests register it). */
   def aviBytesDib(width: Column, height: Column, nFrames: Column,
-      usPerFrame: Column, docId: Column): Column = {
-    val stride = (width * 3 + pmod(lit(4) - pmod(width * 3, lit(4)), lit(4))).cast("long")
-    val frameSize = stride * height.cast("long")
-    val chPad = pmod(frameSize, lit(2L)) // RIFF chunks pad to even
-    val avihHex = concat(
-      leHex(usPerFrame, 4), leHex(lit(0), 4), leHex(lit(0), 4),
-      leHex(lit(0), 4), leHex(nFrames, 4), leHex(lit(0), 4),
-      leHex(lit(1), 4), leHex(frameSize, 4), leHex(width, 4),
-      leHex(height, 4), lit("0" * 32))
-    val strhHex = concat(
-      lit("76696473"), lit("44494220"), leHex(lit(0), 4), // vids, DIB , flags
-      leHex(lit(0), 4),                                   // priority+language
-      leHex(lit(0), 4), leHex(usPerFrame, 4), leHex(lit(1000000), 4),
-      leHex(lit(0), 4), leHex(nFrames, 4), leHex(frameSize, 4),
-      leHex(lit(0), 4), leHex(lit(0), 4),                 // quality, sampleSize
-      leHex(lit(0), 2), leHex(lit(0), 2), leHex(width, 2), leHex(height, 2))
-    val strfHex = concat(
-      leHex(lit(40), 4), leHex(width, 4), leHex(height, 4),
-      leHex(lit(1), 2), leHex(lit(24), 2), leHex(lit(0), 4),
-      leHex(frameSize, 4), leHex(lit(0), 4), leHex(lit(0), 4),
-      leHex(lit(0), 4), leHex(lit(0), 4))
-    def frameHex(f: Column) = concat(
-      lit("30306462"), leHex(frameSize, 4),               // '00db' + size
-      array_join(transform(sequence(lit(0L), frameSize - 1), i =>
-        lpad(hex(when(pmod(i, stride) < width * 3,
-          pmod(TextFunctions.md5Int(concat(lit("avi:"),
-            docId.cast("string"), lit(":"), f.cast("string"), lit(":"),
-            i.cast("string")), 8), lit(256))).otherwise(lit(0L))),
-          2, "0")), ""),
-      when(chPad === 1, lit("00")).otherwise(lit("")))
-    // hdrl payload: 'hdrl' + avih(8+56) + LIST strl(8 + 4+64+48) = 192
-    val moviSize = lit(4L) + nFrames.cast("long") * (lit(8L) + frameSize + chPad)
-    unhex(concat(
-      lit("52494646"), leHex(lit(212L) + moviSize, 4), lit("41564920"),
-      lit("4C495354"), leHex(lit(192), 4), lit("6864726C"),
-      lit("61766968"), leHex(lit(56), 4), avihHex,
-      lit("4C495354"), leHex(lit(116), 4), lit("7374726C"),
-      lit("73747268"), leHex(lit(56), 4), strhHex,
-      lit("73747266"), leHex(lit(40), 4), strfHex,
-      lit("4C495354"), leHex(moviSize, 4), lit("6D6F7669"),
-      array_join(transform(sequence(lit(0), nFrames - 1), f => frameHex(f)), "")))
-  }
+      usPerFrame: Column, docId: Column): Column =
+    call_function("graft_avi_dib_bytes", width, height, nFrames,
+      usPerFrame, docId)
 
   /** REAL video frame content decode over the canonical
     * [[aviBytesDib]] layout: validates the container grammar (RIFF/
@@ -438,71 +402,16 @@ object Multimodal {
     * non-conforming payloads. Closes the content-verification
     * triangle: WAV samples (q134), PPM pixels (q130), video frames —
     * [[fakeDecodeMeta]] is no longer the only pixel path for video.
-    * Per-byte reads ride the hex path — right for clip-scale gates;
-    * full-motion video wants a binary-slice `mapPartitions`, the
-    * [[withPpmMeta]] boundary. */
+    *
+    * Native [[graft.expressions.AviFrameMeans]] — the round-8 builtin
+    * composition read the payload per byte through interpreted HOF
+    * lambdas (one md5 + hex round-trip each) and its plan exploded
+    * under CollapseProject when fed a generated `__avi` column; the
+    * native decoder is one codegen'd pass over the bytes and its plan
+    * is a single node regardless of what feeds it. */
   def withAviFrameMeans(df: DataFrame, mediaCol: String,
-      out: String): DataFrame = {
-    val media = col(mediaCol)
-    // fixed offsets are the canonical layout's spec'd sizes: avih data
-    // 33..88, strh data 109..164, strf data 173..212, movi frames 225+
-    var cur = df
-      .withColumn("__av_w", leUInt(media, 177, 4))
-      .withColumn("__av_h", leUInt(media, 181, 4))
-      .withColumn("__av_scale", leUInt(media, 129, 4))
-      .withColumn("__av_rate", leUInt(media, 133, 4))
-      .withColumn("__av_nf", leUInt(media, 141, 4))
-    cur = cur
-      .withColumn("__av_stride",
-        col("__av_w") * 3 + pmod(lit(4) - pmod(col("__av_w") * 3, lit(4)), lit(4)))
-      .withColumn("__av_fs", col("__av_stride") * col("__av_h"))
-    cur = cur
-      .withColumn("__av_step", lit(8L) + col("__av_fs") + pmod(col("__av_fs"), lit(2L)))
-    def magic(off: Long, s: String) = magicAt(media, lit(off), s)
-    val ok = magic(1, "RIFF") && magic(9, "AVI ") && magic(13, "LIST") &&
-      magic(21, "hdrl") && magic(25, "avih") && magic(89, "LIST") &&
-      magic(97, "strl") && magic(101, "strh") && magic(109, "vids") &&
-      magic(165, "strf") &&
-      leUInt(media, 169, 4) === 40 &&  // BITMAPINFOHEADER size
-      leUInt(media, 185, 2) === 1 &&   // biPlanes
-      leUInt(media, 187, 2) === 24 &&  // biBitCount: RGB24
-      leUInt(media, 189, 4) === 0 &&   // biCompression: BI_RGB
-      magic(213, "LIST") && magic(221, "movi") &&
-      col("__av_w") > 0 && col("__av_h") > 0 && col("__av_nf") > 0 &&
-      col("__av_scale") > 0 &&
-      length(media).cast("long") === lit(224L) + col("__av_nf") * col("__av_step")
-    // every movi chunk must be an uncompressed-DIB frame of the strf size
-    val chunksOk = aggregate(
-      transform(sequence(lit(0L), col("__av_nf") - 1), f =>
-        magicAt(media, lit(225L) + f * col("__av_step"), "00db") &&
-          leUIntAt(media, lit(229L) + f * col("__av_step"), 4) === col("__av_fs")),
-      lit(true), (a, x) => a && x)
-    val npix = (col("__av_w") * col("__av_h")).cast("int")
-    // mean of channel c over a frame's pixels: bottom-up row order is
-    // mean-invariant, so walk pixels in raster order; byte of pixel p =
-    // dataOff + (p div w)·stride + (p mod w)·3 + c
-    def chanMean(dataOff: Column, c: Int) = MysqlFunctions.oracleRound(
-      aggregate(transform(sequence(lit(0), npix - 1), p =>
-        leUIntAt(media, dataOff +
-          floor(p.cast("double") / col("__av_w")).cast("long") * col("__av_stride") +
-          pmod(p.cast("long"), col("__av_w")) * 3 + c, 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x) / npix.cast("double"), 4)
-    val frames = transform(sequence(lit(0L), col("__av_nf") - 1), f => {
-      val dataOff = lit(233L) + f * col("__av_step")
-      struct(f.cast("int").as("frame"),
-        chanMean(dataOff, 0).as("mean_b"),
-        chanMean(dataOff, 1).as("mean_g"),
-        chanMean(dataOff, 2).as("mean_r"))
-    })
-    cur.withColumn(out, when(ok && chunksOk, struct(
-        col("__av_w").cast("int").as("width"),
-        col("__av_h").cast("int").as("height"),
-        col("__av_nf").as("n_frames"),
-        MysqlFunctions.oracleRound(col("__av_rate").cast("double") /
-          col("__av_scale").cast("double"), 4).as("fps"),
-        frames.as("frames"))))
-      .drop(cur.columns.filter(_.startsWith("__av_")): _*)
-  }
+      out: String): DataFrame =
+    df.withColumn(out, call_function("graft_avi_frames", col(mediaCol)))
 
   /** Deterministic binary PPM (P6) bytes: the ASCII header
     * `P6\n<w> <h>\n255\n` (netpbm spec layout — single-space/newline

@@ -95,7 +95,11 @@ object TextCorpus {
     // sees k rows
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rnk",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+        // constant partition key: the frame is the k limit survivors,
+        // so single-partition is the point — the literal spec keeps
+        // WindowExec from logging the degradation warning on every run
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, col(idCol))).cast("int"))
       .select(col(idCol), col("score"), col("rnk"))
   }
 
@@ -191,7 +195,8 @@ object TextCorpus {
     val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
     counts.orderBy(col("n").desc, col("term")).limit(k)
       .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("int"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("n").desc, col("term"))).cast("int"))
   }
 
   /** The family's canonical token stream: lowercased whitespace/BPE-ish
@@ -307,7 +312,8 @@ object TextCorpus {
           ((col("__c1") / col("__n")) * (col("__c2") / col("__n")))), 4))
     scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("int"))
+        .over(Window.partitionBy(lit(0))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("int"))
       .select("w1", "w2", "c_ab", "pmi", "rnk")
   }
 

@@ -43,8 +43,11 @@ object TimeSeries {
     val bucketTotals = deltas.groupBy("__bkt")
       .agg(sum("delta").as("__btotal"))
       .withColumn("__boff",
+        // bucket-count frame (one row per bucket) — constant partition
+        // key silences the WindowExec single-partition warning
         coalesce(sum("__btotal").over(
-          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(lit(0)).orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("__bkt", "__boff")
     val win = Window.partitionBy("__bkt").orderBy("us")

@@ -21,13 +21,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (ILLEGAL_PARQUET_TYPE) unless the legacy nanos-as-
-    * long flag is on. Handle it once at the source: read nanos as long,
-    * then convert to a proper timestamp via exact integer division to
-    * micros (no double round-trip — epoch nanos exceed 2^53 and would
-    * lose precision through a double). Every consumer gets a real
-    * TimestampType column. */
+  /** events.parquet has shipped `ts` in three different parquet encodings
+    * across testdata regenerations; normalize all of them here so every
+    * consumer sees a plain `TimestampType` column:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *    (ILLEGAL_PARQUET_TYPE) unless the legacy nanos-as-long flag is
+    *    on. Read nanos as long, then convert via exact integer division
+    *    to micros (no double round-trip — epoch nanos exceed 2^53 and
+    *    would lose precision through a double).
+    *  - TIMESTAMP with isAdjustedToUTC=false: Spark 4 reads it as
+    *    TIMESTAMP_NTZ, which `unix_micros` and friends reject at
+    *    analysis. Cast to TIMESTAMP — instant-preserving under the UTC
+    *    session timezone the engine pins in its builders.
+    *  - TIMESTAMP (LTZ): already the right type, pass through. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
@@ -35,6 +42,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }
