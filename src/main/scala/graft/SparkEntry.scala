@@ -181,6 +181,7 @@ object SparkEntry {
     "q147_containment_pairs" -> (P.containmentFragments _),
     "q148_epoch_shards" -> (P.epochShards _),
     "q149_novelty_score" -> (P.noveltyScore _),
+    "q150_avi_interleaved" -> (P.aviInterleaved _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1266,6 +1267,75 @@ object SparkEntry {
         | round(avg(b), 4) AS mean_b, round(avg(g), 4) AS mean_g,
         | round(avg(r), 4) AS mean_r
         |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
+    // Interleaved two-stream AVI: q140's pixel closed form + a
+    // per-frame PCM closed form (q134's int16 convention keyed per
+    // frame), joined per (doc, frame) — both decoded signals checked
+    "q150_avi_interleaved" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS w,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS h,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS nf,
+        |  CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |   ELSE 16667 END AS us,
+        |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |  CAST(2 + doc_id % 5 AS BIGINT) AS spf
+        | FROM documents),
+        |g AS (
+        | SELECT *, w*3 + (4 - (w*3) % 4) % 4 AS stride FROM p),
+        |fr AS (
+        | SELECT doc_id, w, h, nf, us, rate, spf, stride,
+        |  unnest(generate_series(0, nf - 1)) AS f
+        | FROM g),
+        |px0 AS (
+        | SELECT doc_id, w, stride, f,
+        |  unnest(generate_series(0, w*h - 1)) AS pix
+        | FROM fr),
+        |px AS (
+        | SELECT doc_id, f,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 0)), 1, 8)) AS BIGINT)
+        |    % 256 AS b,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 1)), 1, 8)) AS BIGINT)
+        |    % 256 AS g,
+        |  CAST(('0x' || substr(md5('avi:' || doc_id || ':' || f || ':' ||
+        |    ((pix // w) * stride + (pix % w) * 3 + 2)), 1, 8)) AS BIGINT)
+        |    % 256 AS r
+        | FROM px0),
+        |pxa AS (
+        | SELECT doc_id, f, round(avg(b), 4) AS mean_b,
+        |  round(avg(g), 4) AS mean_g, round(avg(r), 4) AS mean_r
+        | FROM px GROUP BY doc_id, f),
+        |sm0 AS (
+        | SELECT doc_id, f, spf,
+        |  unnest(generate_series(0, spf - 1)) AS j
+        | FROM fr),
+        |sm AS (
+        | SELECT doc_id, f, spf,
+        |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM (SELECT doc_id, f, spf,
+        |   CAST(('0x' || substr(md5('avipcm:' || doc_id || ':' || f ||
+        |     ':' || j), 1, 8)) AS BIGINT) % 65536 AS u
+        |  FROM sm0) t),
+        |sma AS (
+        | SELECT doc_id, f, CAST(max(spf) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  round(sqrt(CAST(sum(s*s) AS DOUBLE) / max(spf)), 4) AS rms
+        | FROM sm GROUP BY doc_id, f)
+        |SELECT fr.doc_id, CAST(fr.w AS INTEGER) AS width,
+        | CAST(fr.h AS INTEGER) AS height,
+        | CAST(fr.nf AS BIGINT) AS n_frames,
+        | round(1000000.0 / fr.us, 4) AS fps,
+        | CAST(fr.rate AS BIGINT) AS sample_rate,
+        | CAST(fr.f AS INTEGER) AS frame,
+        | pxa.mean_b, pxa.mean_g, pxa.mean_r,
+        | sma.n_samples, sma.rms, sma.peak
+        |FROM fr
+        | JOIN pxa ON fr.doc_id = pxa.doc_id AND fr.f = pxa.f
+        | JOIN sma ON fr.doc_id = sma.doc_id AND fr.f = sma.f
+        |ORDER BY fr.doc_id, frame""".stripMargin,
     // PCM signal stats: the generator's closed form — int16 samples
     // from the md5 formula — peak/RMS over exact integer squares
     "q134_wav_signal" ->

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuinaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuinaryExpression, SeptenaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -90,7 +90,7 @@ object AviDibBytes {
   /** md5-derived pixel byte — first 8 hex digits of
     * md5("avi:id:f:i") as an unsigned int, mod 256
     * (`TextFunctions.md5Int(s, 8) % 256`, the ppmBytes convention). */
-  private def pixelByte(id: Long, f: Int, i: Int): Byte = {
+  private[expressions] def pixelByte(id: Long, f: Int, i: Int): Byte = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s"avi:$id:$f:$i".getBytes("UTF-8"))
@@ -271,5 +271,305 @@ object AviFrameMeans {
     }
     new GenericInternalRow(Array[Any](wi, hi, nf,
       round4(rate.toDouble / scale.toDouble), new GenericArrayData(frames)))
+  }
+}
+
+/** Two-stream INTERLEAVED AVI — the container grammar real capture
+  * files actually use: `LIST hdrl` carries `avih` plus TWO `LIST strl`
+  * blocks (video 'vids'/'DIB ' with its BITMAPINFOHEADER, audio
+  * 'auds'/PCM with its 16-byte PCMWAVEFORMAT — wFormatTag=1, mono,
+  * 16-bit, nBlockAlign=2), and `LIST movi` alternates one `00db` DIB
+  * frame with one `01wb` PCM chunk per frame interval (the stream
+  * number in the chunk fourcc IS the demux key). Closed forms: pixel
+  * bytes keep [[AviDibBytes]]'s `md5("avi:<id>:<f>:<i>")` convention
+  * verbatim; audio samples are int16 LE from
+  * `md5("avipcm:<id>:<f>:<j>") % 65536` two's-complemented — the
+  * q134 PCM convention keyed per frame — so BOTH decoded signals are
+  * oracle-checkable in ANSI SQL.
+  *
+  * [[AviInterleavedDecode]] demuxes by walking the alternating chunk
+  * grammar (validating every fourcc, both stream headers, the
+  * PCMWAVEFORMAT consistency rules avgBytes=2·rate and
+  * dwLength=nf·samplesPerFrame, and the exact total length), then
+  * decodes per interval: per-channel pixel means from the DIB raster
+  * AND RMS/peak from the PCM samples. One codegen'd static call, plan
+  * size O(1) — born on the layer q140's postmortem mandates for
+  * generator-fed byte decoders.
+  */
+case class AviInterleavedBytes(w: Expression, h: Expression,
+    nFrames: Expression, usPerFrame: Expression, sampleRate: Expression,
+    samplesPerFrame: Expression, docId: Expression)
+    extends SeptenaryExpression {
+
+  override def children: Seq[Expression] =
+    Seq(w, h, nFrames, usPerFrame, sampleRate, samplesPerFrame, docId)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(w, h, nFrames, usPerFrame, sampleRate, samplesPerFrame)
+        .forall(_.dataType.isInstanceOf[IntegerType]) &&
+        docId.dataType.isInstanceOf[LongType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_avi_av_bytes requires (int w, int h, int nFrames, " +
+        "int usPerFrame, int sampleRate, int samplesPerFrame, long docId), " +
+        s"got ${children.map(_.dataType).mkString(", ")}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avi_av_bytes"
+
+  override def nullSafeEval(wv: Any, hv: Any, nf: Any, us: Any,
+      rate: Any, spf: Any, id: Option[Any]): Any =
+    AviInterleavedBytes.build(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      nf.asInstanceOf[Int], us.asInstanceOf[Int], rate.asInstanceOf[Int],
+      spf.asInstanceOf[Int], id.get.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (wv, hv, nf, us, rate, spf, id) =>
+      s"${ev.value} = graft.expressions.AviInterleavedBytes.build(" +
+        s"$wv, $hv, $nf, $us, $rate, $spf, ${id.get});")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AviInterleavedBytes =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
+      newChildren(4), newChildren(5), newChildren(6))
+}
+
+object AviInterleavedBytes {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** int16 PCM sample as its unsigned two's-complement bit pattern:
+    * `md5Int("avipcm:id:f:j", 8) % 65536` — the q134 "pcm:" closed
+    * form, keyed per (doc, frame, sample-in-frame). */
+  private[expressions] def sampleBits(id: Long, f: Int, j: Int): Int = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s"avipcm:$id:$f:$j".getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % 65536L).toInt
+  }
+
+  /** Public + static-shaped so generated code can call it. */
+  def build(w: Int, h: Int, nf: Int, us: Int, rate: Int, spf: Int,
+      id: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && nf > 0 && us > 0 && rate > 0 && spf > 0,
+      s"avi params out of range: ${w}x$h, $nf frames, $us us, $rate Hz, $spf spf")
+    val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
+    val fs = stride * h
+    val ab = 2 * spf
+    require((fs.toLong + ab) * nf <= (1 << 22),
+      s"avi payload out of range: ($fs+$ab) x $nf frames")
+    val vstep = 8 + fs + (fs & 1)
+    val astep = 8 + ab + (ab & 1)
+    val moviSize = 4 + nf * (vstep + astep)
+    val b = new Array[Byte](320 + moviSize)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le(off: Int, v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    ascii(0, "RIFF"); le(4, 312L + moviSize, 4); ascii(8, "AVI ")
+    // hdrl payload: 'hdrl' + avih(64) + video strl(124) + audio strl(100)
+    ascii(12, "LIST"); le(16, 292, 4); ascii(20, "hdrl")
+    ascii(24, "avih"); le(28, 56, 4)
+    le(32, us, 4); le(48, nf, 4); le(56, 2, 4) // TWO streams
+    le(60, fs, 4); le(64, w, 4); le(68, h, 4)
+    // video strl — byte-identical layout to AviDibBytes
+    ascii(88, "LIST"); le(92, 116, 4); ascii(96, "strl")
+    ascii(100, "strh"); le(104, 56, 4)
+    ascii(108, "vids"); ascii(112, "DIB ")
+    le(128, us, 4); le(132, 1000000, 4); le(140, nf, 4); le(144, fs, 4)
+    le(160, w, 2); le(162, h, 2)
+    ascii(164, "strf"); le(168, 40, 4)
+    le(172, 40, 4); le(176, w, 4); le(180, h, 4)
+    le(184, 1, 2); le(186, 24, 2); le(192, fs, 4)
+    // audio strl: strh 'auds' (scale=1, rate=Hz, length=total samples,
+    // sampleSize=2) + strf PCMWAVEFORMAT (16 bytes)
+    ascii(212, "LIST"); le(216, 92, 4); ascii(220, "strl")
+    ascii(224, "strh"); le(228, 56, 4)
+    ascii(232, "auds")
+    le(252, 1, 4); le(256, rate, 4); le(264, nf.toLong * spf, 4)
+    le(268, ab, 4); le(276, 2, 4)
+    ascii(288, "strf"); le(292, 16, 4)
+    le(296, 1, 2); le(298, 1, 2); le(300, rate, 4)
+    le(304, 2L * rate, 4); le(308, 2, 2); le(310, 16, 2)
+    ascii(312, "LIST"); le(316, moviSize, 4); ascii(320, "movi")
+    var f = 0
+    while (f < nf) {
+      val voff = 324 + f * (vstep + astep)
+      ascii(voff, "00db"); le(voff + 4, fs, 4)
+      var i = 0
+      while (i < fs) {
+        if (i % stride < w * 3) b(voff + 8 + i) = AviDibBytes.pixelByte(id, f, i)
+        i += 1
+      }
+      val aoff = voff + vstep
+      ascii(aoff, "01wb"); le(aoff + 4, ab, 4)
+      var j = 0
+      while (j < spf) {
+        val bits = sampleBits(id, f, j)
+        b(aoff + 8 + 2 * j) = (bits & 0xff).toByte
+        b(aoff + 8 + 2 * j + 1) = ((bits >> 8) & 0xff).toByte
+        j += 1
+      }
+      f += 1
+    }
+    b
+  }
+}
+
+case class AviInterleavedDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_avi_av_decode requires a binary input, got $t")
+  }
+  override def dataType: DataType = AviInterleavedDecode.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_av_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    AviInterleavedDecode.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.expressions.AviInterleavedDecode.decode($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AviInterleavedDecode = copy(child = newChild)
+}
+
+object AviInterleavedDecode {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("fps", DoubleType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("frames", ArrayType(frameSchema, containsNull = false),
+      nullable = false)))
+
+  private def round4(x: Double): Double =
+    math.floor(x * 1e4 + 0.5) / 1e4
+
+  private def leU(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  private def magic(b: Array[Byte], off: Int, s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if ((b(off + i) & 0xff) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Full two-stream demux+decode → stats row, or null for any
+    * non-conforming payload. Public + static-shaped so generated code
+    * can call it. */
+  def decode(avi: Array[Byte]): InternalRow = {
+    if (avi == null || avi.length < 324) return null
+    if (!(magic(avi, 0, "RIFF") && magic(avi, 8, "AVI ") &&
+        magic(avi, 12, "LIST") && magic(avi, 20, "hdrl") &&
+        magic(avi, 24, "avih") && magic(avi, 88, "LIST") &&
+        magic(avi, 96, "strl") && magic(avi, 100, "strh") &&
+        magic(avi, 108, "vids") && magic(avi, 164, "strf") &&
+        magic(avi, 212, "LIST") && magic(avi, 220, "strl") &&
+        magic(avi, 224, "strh") && magic(avi, 232, "auds") &&
+        magic(avi, 288, "strf") && magic(avi, 312, "LIST") &&
+        magic(avi, 320, "movi"))) return null
+    if (leU(avi, 168, 4) != 40) return null   // BITMAPINFOHEADER size
+    if (leU(avi, 184, 2) != 1) return null    // biPlanes
+    if (leU(avi, 186, 2) != 24) return null   // biBitCount: RGB24
+    if (leU(avi, 188, 4) != 0) return null    // biCompression: BI_RGB
+    if (leU(avi, 292, 4) != 16) return null   // PCMWAVEFORMAT size
+    if (leU(avi, 296, 2) != 1) return null    // wFormatTag: PCM
+    if (leU(avi, 298, 2) != 1) return null    // mono
+    if (leU(avi, 308, 2) != 2) return null    // nBlockAlign
+    if (leU(avi, 310, 2) != 16) return null   // 16-bit
+    val w = leU(avi, 176, 4)
+    val h = leU(avi, 180, 4)
+    val scale = leU(avi, 128, 4)
+    val vrate = leU(avi, 132, 4)
+    val nf = leU(avi, 140, 4)
+    val arate = leU(avi, 300, 4)
+    if (w <= 0 || h <= 0 || nf <= 0 || scale <= 0 || arate <= 0) return null
+    // audio stream-header / format cross-checks
+    if (leU(avi, 252, 4) != 1) return null          // strh dwScale
+    if (leU(avi, 256, 4) != arate) return null      // strh dwRate == strf rate
+    if (leU(avi, 304, 4) != 2 * arate) return null  // avgBytes = 2·rate
+    val totalSamples = leU(avi, 264, 4)             // strh dwLength
+    if (totalSamples <= 0 || totalSamples % nf != 0) return null
+    val spf = (totalSamples / nf).toInt
+    val ab = 2 * spf
+    val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
+    val fs = stride * h
+    val vstep = 8 + fs + fs % 2
+    val astep = 8 + ab + (ab & 1)
+    if (avi.length.toLong != 324L + nf * (vstep + astep)) return null
+    val wi = w.toInt
+    val hi = h.toInt
+    val stridei = stride.toInt
+    val npix = (wi * hi).toDouble
+    val frames = new Array[Any](nf.toInt)
+    var f = 0
+    while (f < nf) {
+      val voff = 324 + f * (vstep + astep).toInt
+      if (!magic(avi, voff, "00db") || leU(avi, voff + 4, 4) != fs) return null
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var r = 0
+      while (r < hi) {
+        var base = voff + 8 + r * stridei
+        var x = 0
+        while (x < wi) {
+          sb += avi(base) & 0xff
+          sg += avi(base + 1) & 0xff
+          sr += avi(base + 2) & 0xff
+          base += 3
+          x += 1
+        }
+        r += 1
+      }
+      val aoff = voff + vstep.toInt
+      if (!magic(avi, aoff, "01wb") || leU(avi, aoff + 4, 4) != ab) return null
+      var sumSq = 0L; var peak = 0L
+      var j = 0
+      while (j < spf) {
+        val lo = avi(aoff + 8 + 2 * j) & 0xff
+        val hiB = avi(aoff + 8 + 2 * j + 1)
+        val s = (hiB << 8) | lo // sign carried by the high byte
+        sumSq += s.toLong * s
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        j += 1
+      }
+      frames(f) = new GenericInternalRow(Array[Any](f,
+        round4(sb / npix), round4(sg / npix), round4(sr / npix),
+        spf.toLong, round4(math.sqrt(sumSq.toDouble / spf)), peak))
+      f += 1
+    }
+    new GenericInternalRow(Array[Any](wi, hi, nf,
+      round4(vrate.toDouble / scale.toDouble), arate,
+      new GenericArrayData(frames)))
   }
 }

@@ -84,6 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
     ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
+    ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
+    ext.injectFunction(GraftExtensions.aviInterleavedDecodeDescriptor)
   }
 }
 
@@ -243,5 +245,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_avi_frames takes exactly 1 argument, got ${children.length}")
         AviFrameMeans(children.head)
+      })
+
+  /** `graft_avi_av_bytes(w, h, nFrames, usPerFrame, sampleRate,
+    * samplesPerFrame, docId)` — two-stream interleaved AVI (DIB video
+    * + PCM audio), md5-derived content (see [[AviInterleavedBytes]]). */
+  val aviInterleavedBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_av_bytes"),
+      new ExpressionInfo(classOf[AviInterleavedBytes].getName, "graft_avi_av_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 7,
+          s"graft_avi_av_bytes takes exactly 7 arguments, got ${children.length}")
+        AviInterleavedBytes(children(0), children(1), children(2),
+          children(3), children(4), children(5), children(6))
+      })
+
+  /** `graft_avi_av_decode(binary)` — two-stream AVI demux+decode
+    * (frame means + per-chunk PCM rms/peak), NULL if non-conforming. */
+  val aviInterleavedDecodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_av_decode"),
+      new ExpressionInfo(classOf[AviInterleavedDecode].getName, "graft_avi_av_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_avi_av_decode takes exactly 1 argument, got ${children.length}")
+        AviInterleavedDecode(children.head)
       })
 }

@@ -389,6 +389,29 @@ object Multimodal {
     call_function("graft_avi_dib_bytes", width, height, nFrames,
       usPerFrame, docId)
 
+  /** Two-stream INTERLEAVED AVI: DIB video ('00db') alternating with
+    * 16-bit mono PCM audio ('01wb') per frame interval — the capture-
+    * file grammar with two `LIST strl` stream headers. Pixel bytes
+    * keep [[aviBytesDib]]'s closed form; audio samples the q134 PCM
+    * convention keyed per (doc, frame, sample). Native
+    * [[graft.expressions.AviInterleavedBytes]]. */
+  def aviBytesInterleaved(width: Column, height: Column, nFrames: Column,
+      usPerFrame: Column, sampleRate: Column, samplesPerFrame: Column,
+      docId: Column): Column =
+    call_function("graft_avi_av_bytes", width, height, nFrames,
+      usPerFrame, sampleRate, samplesPerFrame, docId)
+
+  /** Demux+decode of the two-stream interleaved AVI: adds `out` =
+    * struct(width, height, n_frames, fps, sample_rate, frames
+    * array<struct(frame, mean_b, mean_g, mean_r, n_samples, rms,
+    * peak)>) — per-frame-interval VIDEO channel means AND AUDIO
+    * rms/peak from one walk of the alternating chunk grammar; NULL
+    * for non-conforming payloads. Native
+    * [[graft.expressions.AviInterleavedDecode]]. */
+  def withAviAvDecode(df: DataFrame, mediaCol: String,
+      out: String): DataFrame =
+    df.withColumn(out, call_function("graft_avi_av_decode", col(mediaCol)))
+
   /** REAL video frame content decode over the canonical
     * [[aviBytesDib]] layout: validates the container grammar (RIFF/
     * AVI /hdrl/avih + strl/strh 'vids' + strf BITMAPINFOHEADER with

@@ -584,6 +584,51 @@ object PipelineQueries {
       .orderBy("doc_id", "frame")
   }
 
+  // INTERLEAVED two-stream AVI: the capture-file grammar — avih
+  // declares TWO streams, hdrl carries a video strl (DIB 24-bit
+  // BI_RGB) AND an audio strl ('auds' + 16-byte PCMWAVEFORMAT:
+  // PCM/mono/16-bit), movi alternates '00db' frame rasters with
+  // '01wb' PCM chunks (the chunk fourcc's stream number is the demux
+  // key). One native walk decodes BOTH signals per frame interval:
+  // pixel channel means (q140's closed form verbatim) and audio
+  // rms/peak (q134's int16 convention keyed per frame). The oracle
+  // restates both closed forms and joins them per (doc, frame) — a
+  // demux bug (chunk misalignment, stream swap, stride error) goes
+  // red on either signal.
+  def aviInterleaved(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+    val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
+    val frames = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val usPer = element_at(
+      array(lit(33333), lit(40000), lit(16667)),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100)),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val spf = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
+    val dec = Multimodal.withAviAvDecode(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.aviBytesInterleaved(w, h, frames, usPer, rate, spf,
+            col("doc_id")).as("__avi")),
+      "__avi", "__m")
+    dec.select(col("doc_id"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.n_frames").as("n_frames"), col("__m.fps").as("fps"),
+        col("__m.sample_rate").as("sample_rate"),
+        explode(col("__m.frames")).as("__f"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_frames"), col("fps"), col("sample_rate"),
+        col("__f.frame").as("frame"),
+        col("__f.mean_b").as("mean_b"),
+        col("__f.mean_g").as("mean_g"),
+        col("__f.mean_r").as("mean_r"),
+        col("__f.n_samples").as("n_samples"),
+        col("__f.rms").as("rms"),
+        col("__f.peak").as("peak"))
+      .orderBy("doc_id", "frame")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

@@ -995,6 +995,86 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(w1 == w2 && f1 == f2, s"id=$id: frame decoder vs avih disagree") }
   }
 
+  test("multimodal: interleaved A/V decode matches an independent JVM-side demux of both streams") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // engine builds two-stream AVIs; an INDEPENDENT plain-Scala walker
+    // demuxes the SAME bytes by the alternating chunk fourccs and
+    // recomputes frame means AND audio rms/peak — no shared code with
+    // the native decoder
+    val rows = TestSpark.spark.range(12).select(col("id"),
+      Multimodal.aviBytesInterleaved(
+        (pmod(col("id"), lit(4)) + 2).cast("int"),
+        (pmod(col("id"), lit(3)) + 2).cast("int"),
+        (pmod(col("id"), lit(3)) + 1).cast("int"),
+        lit(40000), lit(16000),
+        (pmod(col("id"), lit(5)) + 2).cast("int"),
+        col("id")).as("media"))
+    val dec = Multimodal.withAviAvDecode(rows, "media", "m")
+      .select(col("id"), col("media"), col("m"))
+      .as[(Long, Array[Byte], Option[(Int, Int, Long, Double, Long,
+        Seq[(Int, Double, Double, Double, Long, Double, Long)])])]
+      .collect()
+    assert(dec.length == 12 && dec.forall(_._3.isDefined),
+      "every generated two-stream AVI must parse")
+    def le32(b: Array[Byte], off: Int): Int = ByteBuffer
+      .wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    def le16s(b: Array[Byte], off: Int): Short = ByteBuffer
+      .wrap(b, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort()
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    dec.foreach { case (id, bytes, Some((w, h, nf, fps, rate, frames))) =>
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+      // avih declares two streams; both strl headers present
+      assert(le32(bytes, 56 + 0) == 2, s"id=$id stream count")
+      assert(new String(bytes, 232, 4, "US-ASCII") == "auds")
+      assert(le16s(bytes, 296) == 1 && le16s(bytes, 298) == 1 &&
+        le16s(bytes, 310) == 16, s"id=$id PCMWAVEFORMAT")
+      assert(rate == 16000 && le32(bytes, 300) == 16000)
+      val bw = le32(bytes, 176); val bh = le32(bytes, 180)
+      assert(bw == w && bh == h, s"id=$id strf dims")
+      val stride = (bw * 3 + 3) / 4 * 4
+      val fsize = stride * bh
+      val spf = (le32(bytes, 264) / nf).toInt
+      val ab = 2 * spf
+      val vstep = 8 + fsize + fsize % 2
+      val astep = 8 + ab + ab % 2
+      assert(bytes.length == 324 + nf.toInt * (vstep + astep), s"id=$id length")
+      assert(fps == r4(1000000.0 / 40000))
+      (0 until nf.toInt).foreach { f =>
+        val voff = 324 + f * (vstep + astep)
+        assert(new String(bytes, voff, 4, "US-ASCII") == "00db" &&
+          le32(bytes, voff + 4) == fsize, s"id=$id frame $f video chunk")
+        def mean(c: Int): Double = r4(
+          (for (r <- 0 until bh; col <- 0 until bw)
+            yield (bytes(voff + 8 + r * stride + col * 3 + c) & 0xFF)
+              .toDouble).sum / (bw * bh))
+        val aoff = voff + vstep
+        assert(new String(bytes, aoff, 4, "US-ASCII") == "01wb" &&
+          le32(bytes, aoff + 4) == ab, s"id=$id frame $f audio chunk")
+        val samples = (0 until spf).map(j => le16s(bytes, aoff + 8 + 2 * j).toLong)
+        val rms = r4(math.sqrt(samples.map(s => s * s).sum.toDouble / spf))
+        val peak = samples.map(math.abs).max
+        val got = frames(f)
+        assert(got._1 == f && got._2 == mean(0) && got._3 == mean(1) &&
+          got._4 == mean(2), s"id=$id frame $f video: $got")
+        assert(got._5 == spf && got._6 == rms && got._7 == peak,
+          s"id=$id frame $f audio: $got vs ($spf, $rms, $peak)")
+      }
+    }
+    // rejects: a single-stream q140 payload must NOT parse as
+    // interleaved (audio strl absent), and vice versa
+    val single = TestSpark.spark.range(3).select(col("id"),
+      Multimodal.aviBytesDib(lit(2), lit(2), lit(1), lit(40000), col("id"))
+        .as("media"))
+    val crossA = Multimodal.withAviAvDecode(single, "media", "m")
+      .select(col("m").isNull).as[Boolean].collect()
+    assert(crossA.forall(identity), "single-stream AVI must not demux as A/V")
+    val crossB = Multimodal.withAviFrameMeans(
+        rows.select(col("id"), col("media")), "media", "m")
+      .select(col("m").isNull).as[Boolean].collect()
+    assert(crossB.forall(identity), "two-stream AVI must not parse as single-stream")
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
