@@ -182,6 +182,8 @@ object SparkEntry {
     "q148_epoch_shards" -> (P.epochShards _),
     "q149_novelty_score" -> (P.noveltyScore _),
     "q150_avi_interleaved" -> (P.aviInterleaved _),
+    "q151_bigram_lm_persist" -> (P.bigramLmPersist _),
+    "q152_vocab_growth" -> (P.vocabGrowth _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2264,6 +2266,58 @@ object SparkEntry {
     // Bigram LM: add-0.5-smoothed P(w2|w1), per-doc mean log10 over
     // bigram occurrences; exact-integer count inputs, the q77 log10/
     // avg/round-4 determinism pattern
+    // Heaps'-law vocabulary growth: bucketed first-occurrence counts
+    // with running totals; local exponent from the neighbor row only
+    // (no cross-bucket float summation — bit-stable on both sides)
+    "q152_vocab_growth" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |bkt AS (
+        | SELECT doc_id // 50 AS bkt, CAST(sum(len(a)) AS BIGINT) AS n_tokens
+        | FROM t GROUP BY 1),
+        |fo AS (
+        | SELECT min(doc_id) // 50 AS bkt
+        | FROM (SELECT doc_id, unnest(a) AS w FROM t) tok GROUP BY w),
+        |nt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS new_terms
+        | FROM fo GROUP BY 1),
+        |j AS (
+        | SELECT b.bkt, b.n_tokens,
+        |  CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+        |  CAST(sum(b.n_tokens) OVER (ORDER BY b.bkt) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY b.bkt) AS BIGINT)
+        |    AS cum_vocab
+        | FROM bkt b LEFT JOIN nt USING (bkt))
+        |SELECT bkt, n_tokens, new_terms, cum_tokens, cum_vocab,
+        | round((log10(CAST(cum_vocab AS DOUBLE)) -
+        |   log10(CAST(lag(cum_vocab) OVER (ORDER BY bkt) AS DOUBLE))) /
+        |  (log10(CAST(cum_tokens AS DOUBLE)) -
+        |   log10(CAST(lag(cum_tokens) OVER (ORDER BY bkt) AS DOUBLE))), 4)
+        |  AS beta
+        |FROM j ORDER BY bkt""".stripMargin,
+    "q151_bigram_lm_persist" ->  // q118's persisted twin: integer counts round-trip parquet exactly
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |toks AS (SELECT unnest(a) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        |bg AS (
+        | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |p AS (
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((cab.c_ab + 0.5) / (u.c + 0.5 * v.v))), 4) AS avg_logp
+        | FROM bg JOIN cab USING (w1, w2) JOIN uni u ON u.w = bg.w1, v
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id, p.n_bigrams, p.avg_logp
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q118_bigram_lm" ->
       """WITH t AS (
         | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0

@@ -1284,6 +1284,44 @@ object PipelineQueries {
         tokenArrays(s, dir), "doc_id", addK = 0.5)
       .orderBy("doc_id")
 
+  /** Persisted bigram-LM stage per (session, sf dir): counts written
+    * to parquet once via [[TextCorpus.writeLmStages]], read back via
+    * [[TextCorpus.lmStagesFromParquet]] — the q137–q139 fit-once/
+    * reuse-for-months contract extended to the TEXT family. Unlike the
+    * ANN tensors the LM count tables are vocabulary-sized, so they
+    * stay DataFrames end-to-end: the contract here is "the scoring
+    * plan joins parquet-backed counts and re-aggregates NOTHING from
+    * the reference corpus" (PlanSpec pins exactly one Aggregate — the
+    * per-doc scorer). */
+  private val persistedLmStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Double)]
+  private def persistedLm(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, Double) =
+    persistedLmStage.getOrElseUpdate((s, dir), {
+      val base = newStageDir("graft_lmfit_").toString
+      TextCorpus.writeLmStages(s, base, tokenArrays(s, dir), "doc_id")
+      TextCorpus.lmStagesFromParquet(s, base)
+    })
+
+  // q118's persisted twin: scores the corpus against the READ-BACK
+  // count tables — integer counts round-trip exactly, so q118's
+  // oracle holds verbatim; a fresh session holding the LM parquet
+  // never re-aggregates the reference corpus
+  def bigramLmPersist(s: SparkSession, dir: String): DataFrame = {
+    val (uni, cab, v) = persistedLm(s, dir)
+    TextCorpus.bigramLogProbFromModel(Tables.documents(s, dir),
+        tokenArrays(s, dir), "doc_id", addK = 0.5, uni, cab, v)
+      .orderBy("doc_id")
+  }
+
+  // Heaps'-law vocabulary-growth audit over the shared token-array
+  // stage: 50-doc buckets (10 buckets at sf0.01, 100 at sf0.1 — the
+  // bucket count scales with the corpus, the per-bucket table stays
+  // tiny), running vocab/token totals + the local Heaps exponent
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.vocabGrowth(tokenArrays(s, dir), "doc_id", bucketSize = 50)
+      .orderBy("bkt")
+
   // context-window chunk plan: 32-token chunks, 8-token overlap (sized
   // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
   // the production default is 128/16) — one row per training chunk

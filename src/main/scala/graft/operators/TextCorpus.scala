@@ -354,20 +354,117 @@ object TextCorpus {
     val toks = arrs.select(explode(col("a")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("__c1"))
     val v = toks.agg(countDistinct(col("w")).cast("double").as("__v"))
-    val bg = arrs.filter(size(col("a")) >= 2)
+      .head().getDouble(0)
+    bigramLogProbFromModel(df, arrs, idCol, addK, uni,
+      docBigrams(arrs, idCol).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("__cab")), v)
+  }
+
+  /** The `(doc, w1, w2)` adjacent-pair stream of a token-array stage —
+    * shared by in-session LM fitting, persisted-LM fitting and doc
+    * scoring (one extraction shape, three consumers). */
+  private def docBigrams(arrs: DataFrame, idCol: String): DataFrame =
+    arrs.filter(size(col("a")) >= 2)
       .select(col(idCol), explode(transform(sequence(lit(1), size(col("a")) - 1),
         i => struct(element_at(col("a"), i).as("w1"),
           element_at(col("a"), i + 1).as("w2")))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cab"))
-    val perDoc = bg.join(cab, Seq("w1", "w2"))
-      .join(uni.select(col("w").as("w1"), col("__c1")), Seq("w1"))
-      .crossJoin(broadcast(v))
+
+  /** [[bigramLogProbFromArrs]] against a SUPPLIED model — `uni`
+    * `(w, __c1)`, `cab` `(w1, w2, __cab)`, `vocab` = |V| — instead of
+    * counts derived in-plan. Left joins with zero-count backoff: a
+    * bigram or head word absent from the model scores
+    * `addK / (addK·V)` = 1/V, the add-k prior, so the scorer is
+    * well-defined on docs the model never saw; on the fit corpus
+    * itself every pair matches and the result is bit-identical to the
+    * in-session path (q118's oracle holds verbatim). */
+  def bigramLogProbFromModel(df: DataFrame, arrs: DataFrame, idCol: String,
+      addK: Double, uni: DataFrame, cab: DataFrame,
+      vocab: Double): DataFrame = {
+    val bg = docBigrams(arrs, idCol)
+    val perDoc = bg.join(cab, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("__c1")), Seq("w1"), "left")
       .withColumn("__l", log10(
-        (col("__cab") + lit(addK)) / (col("__c1") + lit(addK) * col("__v"))))
+        (coalesce(col("__cab"), lit(0L)) + lit(addK)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(addK) * lit(vocab))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         MysqlFunctions.oracleRound(avg(col("__l")), 4).as("avg_logp"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
+  /** Persist a fitted add-k bigram LM — unigram counts, bigram counts,
+    * vocab size — as three parquet stages under `base`. The text-family
+    * twin of `Similarity.writeFitStages`: the LM is fit ONCE over the
+    * reference corpus and every later scoring session reads the count
+    * tables back instead of re-aggregating the corpus. Counts are
+    * integers, so the round-trip is exact by construction (no float
+    * pinning needed). Unlike the ANN tensors (nlist×dim, driver-sized),
+    * LM counts scale with the vocabulary — they stay DataFrames
+    * end-to-end and are never collected. */
+  def writeLmStages(spark: org.apache.spark.sql.SparkSession, base: String,
+      arrs: DataFrame, idCol: String): Unit = {
+    val toks = arrs.select(explode(col("a")).as("w"))
+    toks.groupBy("w").agg(count(lit(1)).as("__c1"))
+      .write.mode("overwrite").parquet(s"$base/lm_uni")
+    docBigrams(arrs, idCol).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("__cab"))
+      .write.mode("overwrite").parquet(s"$base/lm_bigram")
+    toks.agg(countDistinct(col("w")).cast("double").as("v"))
+      .write.mode("overwrite").parquet(s"$base/lm_meta")
+  }
+
+  /** Read back what [[writeLmStages]] wrote: `(uni, cab, vocabSize)`.
+    * Only the one-row meta is collected; the count tables stay
+    * DataFrames (vocabulary-sized — join them, never materialize). */
+  def lmStagesFromParquet(spark: org.apache.spark.sql.SparkSession,
+      base: String): (DataFrame, DataFrame, Double) =
+    (spark.read.parquet(s"$base/lm_uni"),
+      spark.read.parquet(s"$base/lm_bigram"),
+      spark.read.parquet(s"$base/lm_meta").head().getDouble(0))
+
+  /** Heaps'-law vocabulary-growth audit (Heaps 1978; the V(n) ≈ K·n^β
+    * empirical law every tokenizer/vocab design consults): walk the
+    * corpus in `idCol` order in buckets of `bucketSize` docs and emit,
+    * per bucket, token throughput and NEW-vocabulary arrivals, their
+    * running totals, and the local Heaps exponent
+    * β = Δlog₁₀V / Δlog₁₀n between consecutive buckets. A corpus
+    * whose β collapses early is repetitive (dedup/boilerplate
+    * signal); one whose β stays near 1 is ID-like noise (garbage
+    * signal) — the two tails the audit exists to catch.
+    *
+    * Scale shape: "first occurrence of each term" is ONE groupBy(term)
+    * over the token stream (the only corpus-sized shuffle), bucketed
+    * BEFORE any running sum — the windows then run on the nbuckets-row
+    * bucket table under a constant partition key (the established
+    * two-level pattern; no corpus-sized window anywhere). β is
+    * computed per row from its neighbor via lag — no cross-bucket
+    * float summation, so the oracle reproduces it bit-for-bit.
+    * Precondition: every bucket holds ≥1 token (empty buckets would
+    * zero Δlog n; the gate corpus' 10..99-token docs guarantee it). */
+  def vocabGrowth(arrs: DataFrame, idCol: String,
+      bucketSize: Int): DataFrame = {
+    require(bucketSize > 0)
+    val toks = arrs.select(col(idCol), explode(col("a")).as("w"))
+    val bkt = arrs
+      .select(floor(col(idCol) / bucketSize).cast("long").as("bkt"),
+        size(col("a")).cast("long").as("__n"))
+      .groupBy("bkt").agg(sum("__n").as("n_tokens"))
+    val firsts = toks.groupBy("w").agg(min(col(idCol)).as("__first"))
+      .select(floor(col("__first") / bucketSize).cast("long").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("new_terms"))
+    val w = Window.partitionBy(lit(0)).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagW = Window.partitionBy(lit(0)).orderBy("bkt")
+    bkt.join(firsts, Seq("bkt"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_terms").over(w))
+      .withColumn("beta", MysqlFunctions.oracleRound(
+        (log10(col("cum_vocab")) - log10(lag(col("cum_vocab"), 1).over(lagW))) /
+          (log10(col("cum_tokens")) - log10(lag(col("cum_tokens"), 1).over(lagW))),
+        4))
+      .select("bkt", "n_tokens", "new_terms", "cum_tokens", "cum_vocab",
+        "beta")
   }
 }

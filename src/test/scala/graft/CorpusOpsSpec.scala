@@ -404,6 +404,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
 
+  test("vocabGrowth: exact first-occurrence accounting, running totals, Heaps tails") {
+    import graft.operators.TextCorpus
+    import graft.functions.{TextFunctions => T}
+    // bucketSize 2 → 3 buckets. Bucket 0 introduces {a,b,c,d}; bucket 1
+    // repeats only known words (ZERO new terms — the repetitive-corpus
+    // tail, local beta = 0); bucket 2 introduces all-new words (the
+    // ID-noise tail, local beta near 1).
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a d"),
+      (2L, "a b c d"), (3L, "b c"),
+      (4L, "e f g"), (5L, "h i")).toDF("doc_id", "text")
+    val arrs = docs.select(col("doc_id"),
+      T.tokens(lower(col("text"))).as("a"))
+    val got = TextCorpus.vocabGrowth(arrs, "doc_id", bucketSize = 2)
+      .orderBy("bkt")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_._2).toSeq == Seq(5L, 6L, 5L), "bucket token counts")
+    assert(got.map(_._3).toSeq == Seq(4L, 0L, 5L), "new-term arrivals")
+    assert(got.map(_._4).toSeq == Seq(5L, 11L, 16L), "running tokens")
+    assert(got.map(_._5).toSeq == Seq(4L, 4L, 9L), "running vocab")
+    assert(got(0)._6.isEmpty, "first bucket has no neighbor - beta null")
+    assert(got(1)._6.contains(0.0), "no new vocab - local beta exactly 0")
+    // bucket 2: beta = (log 9 - log 4)/(log 16 - log 11) ~ 2.16 - the
+    // audit flags super-unit growth (pure-novelty tail) loudly
+    assert(got(2)._6.exists(b => b > 1.0),
+      s"all-new bucket must show super-unit local beta: ${got(2)._6}")
+    // invariant: final cum_vocab equals the corpus' distinct term count
+    val distinct = arrs.select(explode(col("a"))).distinct().count()
+    assert(got.last._5 == distinct)
+  }
+
   test("misraGries: worst-case guarantees hold for EVERY term, any partitioning, decrements live") {
     // Zipf-ish stream with a long tail: term_i appears ~1000/i times
     // for i in 1..50, plus 2000 singletons — with k=8 the counters are

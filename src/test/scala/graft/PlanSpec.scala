@@ -241,6 +241,42 @@ class PlanSpec extends AnyFunSuite {
       expect.orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("q151: persisted-LM scoring joins parquet counts — exactly one Aggregate, no refit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextCorpus
+    val arrs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("a"))
+      .localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_planspec_lm_").toString
+    TextCorpus.writeLmStages(spark, base, arrs, "doc_id")
+    val (uni, cab, v) = TextCorpus.lmStagesFromParquet(spark, base)
+    val scored = TextCorpus.bigramLogProbFromModel(
+      graft.sources.Tables.documents(spark, dir), arrs, "doc_id",
+      addK = 0.5, uni, cab, v)
+    // the q118 in-session path fits in-plan: unigram + bigram count
+    // aggregates feed the scorer. The persisted path must hold EXACTLY
+    // one Aggregate — the per-doc scorer — with both count tables
+    // arriving as parquet scans; a second Aggregate means the plan is
+    // re-fitting from the corpus.
+    val aggs = scored.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1,
+      s"persisted-LM scoring must not re-aggregate the corpus, found ${aggs.size} Aggregates")
+    val plan = formattedPlan(scored)
+    assert("lm_uni".r.findAllIn(plan).nonEmpty &&
+      "lm_bigram".r.findAllIn(plan).nonEmpty,
+      s"count tables must come from the persisted stage parquet:\n$plan")
+    // and result-identical to the in-session-fit path on the fit corpus
+    val expect = TextCorpus.bigramLogProbFromArrs(
+      graft.sources.Tables.documents(spark, dir), arrs, "doc_id", addK = 0.5)
+    assert(scored.orderBy("doc_id").collect().toSeq ==
+      expect.orderBy("doc_id").collect().toSeq,
+      "persisted-LM scores must be bit-identical to the in-session fit")
+  }
+
   test("q146: staleness audit consumes literal centers — corpus scanned once, no fit pass") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
