@@ -184,6 +184,8 @@ object SparkEntry {
     "q150_avi_interleaved" -> (P.aviInterleaved _),
     "q151_bigram_lm_persist" -> (P.bigramLmPersist _),
     "q152_vocab_growth" -> (P.vocabGrowth _),
+    "q153_kmv_overlap" -> (P.kmvOverlap _),
+    "q154_matryoshka_recall" -> (P.matryoshkaRecall _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -197,6 +199,20 @@ object SparkEntry {
       | FROM embeddings q, embeddings c
       | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** q154's truncated leg: exact top-5 by PREFIX cosine over the first
+    * `d` dims — cosine is scale-invariant, so ranking list slices IS
+    * ranking the re-normalized Matryoshka truncations. */
+  private def truncTopKOracle(d: Int): String =
+    s"""SELECT query_id, neighbor_id, rnk FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(q.embedding[1:$d],
+       |               c.embedding[1:$d]) DESC,
+       |             c.vec_id) AS INTEGER) AS rnk
+       | FROM embeddings q, embeddings c
+       | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+       |WHERE rnk <= 5""".stripMargin
 
   /** q33's ANN pipeline reproduced end-to-end: md5-derived hyperplane
     * weights -> sign buckets -> multi-probe (hamming<=1) candidates ->
@@ -2266,6 +2282,78 @@ object SparkEntry {
     // Bigram LM: add-0.5-smoothed P(w2|w1), per-doc mean log10 over
     // bigram occurrences; exact-integer count inputs, the q77 log10/
     // avg/round-4 determinism pattern
+    // KMV sketch set algebra: every sketch is a deterministic k-row
+    // ascending head over md5 hashes, so the estimates themselves have
+    // a closed form — estimate AND exact truth both checked
+    "q153_kmv_overlap" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |tri AS (
+        | SELECT doc_id,
+        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] ||
+        |   ' ' || a[CAST(i AS INTEGER) + 2] AS w
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i
+        |       FROM t WHERE len(a) >= 3) x),
+        |sided AS (
+        | SELECT DISTINCT
+        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+        |    % 100 < 50 AS sa,
+        |  CAST(('0x' || substr(md5('kmv:' || w), 1, 15)) AS BIGINT) AS h
+        | FROM tri),
+        |flags AS (
+        | SELECT h, max(CASE WHEN sa THEN 1 ELSE 0 END) AS ina,
+        |  max(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS inb
+        | FROM sided GROUP BY h),
+        |sa_ AS (
+        | SELECT count(*) AS c, max(h) / 1152921504606846976.0 AS xk
+        | FROM (SELECT h FROM flags WHERE ina = 1 ORDER BY h LIMIT 256) s),
+        |sb_ AS (
+        | SELECT count(*) AS c, max(h) / 1152921504606846976.0 AS xk
+        | FROM (SELECT h FROM flags WHERE inb = 1 ORDER BY h LIMIT 256) s),
+        |su_ AS (
+        | SELECT count(*) AS c, max(h) / 1152921504606846976.0 AS xk,
+        |  sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS rho
+        | FROM (SELECT h, ina, inb FROM flags ORDER BY h LIMIT 256) s),
+        |ex AS (
+        | SELECT CAST(sum(ina) AS BIGINT) AS n_a,
+        |  CAST(sum(inb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(ina * inb) AS BIGINT) AS n_intersect
+        | FROM flags)
+        |SELECT CAST(256 AS INTEGER) AS k,
+        | round(CASE WHEN sa_.c < 256 THEN CAST(sa_.c AS DOUBLE)
+        |  ELSE 255.0 / sa_.xk END, 4) AS est_a,
+        | round(CASE WHEN sb_.c < 256 THEN CAST(sb_.c AS DOUBLE)
+        |  ELSE 255.0 / sb_.xk END, 4) AS est_b,
+        | round(CASE WHEN su_.c < 256 THEN CAST(su_.c AS DOUBLE)
+        |  ELSE 255.0 / su_.xk END, 4) AS est_union,
+        | round(CAST(su_.rho AS DOUBLE) / su_.c, 4) AS est_jaccard,
+        | round((CAST(su_.rho AS DOUBLE) / su_.c) *
+        |  (CASE WHEN su_.c < 256 THEN CAST(su_.c AS DOUBLE)
+        |   ELSE 255.0 / su_.xk END), 4) AS est_intersect,
+        | ex.n_a, ex.n_b, ex.n_union, ex.n_intersect
+        |FROM sa_, sb_, su_, ex""".stripMargin,
+    // Matryoshka truncation recall: both truncated legs are the exact
+    // machinery on list slices — a rank disagreement is a prefix-norm
+    // or tie-break bug, not index noise
+    "q154_matryoshka_recall" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), m16 AS (
+         |${truncTopKOracle(16)}
+         |), m32 AS (
+         |${truncTopKOracle(32)}
+         |), hits AS (
+         | SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM exact JOIN m16 USING (query_id, neighbor_id)) AS m16_hits,
+         |  (SELECT count(*) FROM exact JOIN m32 USING (query_id, neighbor_id)) AS m32_hits)
+         |SELECT CAST(5 AS INTEGER) AS k, n_exact, m16_hits, m32_hits,
+         | round(CAST(m16_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS m16_recall,
+         | round(CAST(m32_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS m32_recall
+         |FROM hits""".stripMargin,
     // Heaps'-law vocabulary growth: bucketed first-occurrence counts
     // with running totals; local exponent from the neighbor row only
     // (no cross-bucket float summation — bit-stable on both sides)

@@ -697,6 +697,44 @@ object PipelineQueries {
   def annRecall(s: SparkSession, dir: String): DataFrame =
     recallRow(cosineTopK(s, dir), annTopK(s, dir), ivfTopK(s, dir), k = 5)
 
+  // Matryoshka-representation truncation gate (Kusupati et al.
+  // NeurIPS'22, arXiv 2205.13147): rank by PREFIX cosine at d'=16 and
+  // d'=32 dims against the full 64-dim exact top-5 — the "how many
+  // dims can retrieval drop" design table. Cosine is scale-invariant,
+  // so prefix cosine = cosine of the re-normalized truncation (the MRL
+  // serving trick: store 64, scan 16, re-rank survivors at 64 — a 4×
+  // scan-bandwidth cut BEFORE the q109/q112 byte tricks, and
+  // composable with them). Shares the exact leg's machinery; the
+  // truncated corpora are map-only slices of the embeddings scan. On
+  // NEAR-UNIFORM testdata (the q106 caveat) this is the honest floor:
+  // prefix dims carry ~d'/64 of the signal, so recall@5 sits near the
+  // coverage baseline — the gate's value is pinning the HONEST number
+  // next to the same-machinery q106/q110 so drift in either shows.
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    def trunc(d: Int) = {
+      val sliced = Tables.embeddings(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      Similarity.cosineTopK(sliced, "vec_id", "embedding",
+        sliced.filter(col("vec_id") < 8), k = 5, dim = d)
+    }
+    def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+    val joined = cosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(pairs(trunc(16)).withColumn("__m16", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(pairs(trunc(32)).withColumn("__m32", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+    joined.agg(
+        lit(5).as("k"),
+        count(lit(1)).as("n_exact"),
+        count(col("__m16")).as("m16_hits"),
+        count(col("__m32")).as("m32_hits"))
+      .withColumn("m16_recall", M.oracleRound(
+        col("m16_hits").cast("double") / col("n_exact").cast("double"), 4))
+      .withColumn("m32_recall", M.oracleRound(
+        col("m32_hits").cast("double") / col("n_exact").cast("double"), 4))
+  }
+
   /** recall@k overlap row from three (query_id, neighbor_id, …) top-k
     * frames — the shared tail of q106/q110. With `withTop1`, adds
     * recall@1 (the rank-1 exact neighbor found anywhere in the
@@ -1312,6 +1350,27 @@ object PipelineQueries {
     TextCorpus.bigramLogProbFromModel(Tables.documents(s, dir),
         tokenArrays(s, dir), "doc_id", addK = 0.5, uni, cab, v)
       .orderBy("doc_id")
+  }
+
+  // KMV sketch split-overlap: the two md5-split halves of the corpus
+  // (bucket < 50 vs >= 50 of the q59 convention) compared on distinct
+  // word TRIGRAMS — per-side estimates, union, Jaccard and
+  // intersection from three 256-row sketches, with the exact counts
+  // pinned in the same row. Trigrams, not unigrams: the gate corpus'
+  // unigram vocabulary (~31 terms) is smaller than k, which would
+  // leave every sketch degenerate-exact; the ~30k-trigram universe
+  // exercises the (k−1)/x_k estimator and a genuinely fractional
+  // Jaccard. Rides the shared token-array stage.
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenArrays(s, dir)
+      .filter(size(col("a")) >= 3)
+      .select((CorpusOps.hashBucket(col("doc_id"), "split", 100) < 50)
+          .as("side_a"),
+        explode(transform(sequence(lit(1), size(col("a")) - 2), i =>
+          concat_ws(" ", element_at(col("a"), i),
+            element_at(col("a"), i + 1), element_at(col("a"), i + 2))))
+          .as("term"))
+    TextCorpus.kmvSplitOverlap(toks, "side_a", "term", k = 256)
   }
 
   // Heaps'-law vocabulary-growth audit over the shared token-array

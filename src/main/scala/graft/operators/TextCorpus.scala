@@ -423,6 +423,75 @@ object TextCorpus {
       spark.read.parquet(s"$base/lm_bigram"),
       spark.read.parquet(s"$base/lm_meta").head().getDouble(0))
 
+  /** KMV (k-minimum-values) distinct sketch with set operations
+    * (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07 — the
+    * unbiased (k−1)/x_k estimator; the theta-sketch family's
+    * construction): estimate the distinct-term count of each corpus
+    * side, their union, their Jaccard overlap and intersection size
+    * from three k-row sketches. `toks` = `(sideA: boolean, term)`;
+    * terms are hashed with the md5Int convention so every sketch —
+    * and therefore every estimate — has an ANSI-SQL closed form
+    * (the reason this is not `approx_count_distinct`: HLL registers
+    * can't estimate INTERSECTIONS and aren't oracle-stable; KMV set
+    * algebra does both).
+    *
+    * Method: one groupBy(hash) pass flags each distinct hash with its
+    * side membership (the only vocabulary-sized shuffle); each sketch
+    * is then a k-row ascending TakeOrdered over the flagged table
+    * (per-partition top-k + merge — no global sort). est = (k−1)/x_k
+    * with x_k = k-th smallest hash normalized to [0,1); a side with
+    * fewer than k distinct hashes IS its own exact count (the KMV
+    * degenerate rule). Jaccard = ρ/|sketch(union)| where ρ counts
+    * union-sketch members present in BOTH sides (membership rides the
+    * flags — no re-probe of the big table); intersection =
+    * Jaccard · est(union). Exact counts ride the same flags aggregate
+    * for free, so the output row pins estimate AND truth side by side.
+    *
+    * 100 TB shape: the flags table is vocabulary-sized but the
+    * estimator only ever materializes k rows of it at the driver-free
+    * TakeOrdered boundary; merging pre-built per-shard sketches
+    * (union of k-sets, re-take k smallest) is associative — the
+    * mergeable-summaries property the PODS'12 framing proved — so the
+    * sketch distributes exactly like the q126/q141 heavy hitters. */
+  def kmvSplitOverlap(toks: DataFrame, sideACol: String, termCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 for the (k-1)/x_k estimator")
+    val twoPow60 = 1152921504606846976.0 // md5Int(·,15) < 2^60
+    val hashed = toks.select(col(sideACol).as("__a"),
+      TextFunctions.md5Int(concat(lit("kmv:"), col(termCol)), 15).as("__h"))
+      .distinct()
+    val flags = hashed.groupBy("__h").agg(
+      max(when(col("__a"), 1L).otherwise(0L)).as("__ina"),
+      max(when(!col("__a"), 1L).otherwise(0L)).as("__inb"))
+    def est(cnt: Column, xk: Column): Column =
+      when(cnt < k, cnt.cast("double")).otherwise(lit(k - 1.0) / xk)
+    def sideEst(flag: String, out: String) =
+      flags.filter(col(flag) === 1L).orderBy("__h").limit(k)
+        .agg(count(lit(1)).as("c"), (max(col("__h")) / twoPow60).as("xk"))
+        .select(est(col("c"), col("xk")).as(out))
+    val sa = sideEst("__ina", "__ea")
+    val sb = sideEst("__inb", "__eb")
+    val su = flags.orderBy("__h").limit(k)
+      .agg(count(lit(1)).as("c"), (max(col("__h")) / twoPow60).as("xk"),
+        sum(when(col("__ina") === 1L && col("__inb") === 1L, 1L)
+          .otherwise(0L)).as("rho"))
+      .select(est(col("c"), col("xk")).as("__eu"),
+        (col("rho").cast("double") / col("c").cast("double")).as("__ej"))
+    val ex = flags.agg(
+      sum("__ina").as("n_a"), sum("__inb").as("n_b"),
+      count(lit(1)).as("n_union"),
+      sum(col("__ina") * col("__inb")).as("n_intersect"))
+    sa.crossJoin(sb).crossJoin(su).crossJoin(ex)
+      .select(lit(k).as("k"),
+        MysqlFunctions.oracleRound(col("__ea"), 4).as("est_a"),
+        MysqlFunctions.oracleRound(col("__eb"), 4).as("est_b"),
+        MysqlFunctions.oracleRound(col("__eu"), 4).as("est_union"),
+        MysqlFunctions.oracleRound(col("__ej"), 4).as("est_jaccard"),
+        MysqlFunctions.oracleRound(col("__ej") * col("__eu"), 4)
+          .as("est_intersect"),
+        col("n_a"), col("n_b"), col("n_union"), col("n_intersect"))
+  }
+
   /** Heaps'-law vocabulary-growth audit (Heaps 1978; the V(n) ≈ K·n^β
     * empirical law every tokenizer/vocab design consults): walk the
     * corpus in `idCol` order in buckets of `bucketSize` docs and emit,

@@ -404,6 +404,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
 
+  test("kmvSplitOverlap: degenerate-exact under k, estimator in stderr bounds over k, partition-invariant") {
+    import graft.operators.TextCorpus
+    // universe: side A holds terms 0..5999, side B 4000..9999 —
+    // exact overlap 2000, union 10000, jaccard 0.2
+    val terms = ((0 until 6000).map(i => (true, s"t$i")) ++
+      (4000 until 10000).map(i => (false, s"t$i")))
+    val base = terms.toDF("side_a", "term")
+    val got = TextCorpus.kmvSplitOverlap(base, "side_a", "term", k = 256)
+      .as[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+      .head()
+    val (_, estA, estB, estU, estJ, estI, nA, nB, nU, nI) = got
+    assert((nA, nB, nU, nI) == ((6000L, 6000L, 10000L, 2000L)),
+      "exact counts ride the flags aggregate")
+    // KMV stderr ~ 1/sqrt(k-2) ~ 6.3%; assert 4 sigma
+    def within(est: Double, truth: Double, sigmas: Double = 4.0): Boolean =
+      math.abs(est - truth) <= sigmas * truth / math.sqrt(254.0)
+    assert(within(estA, 6000) && within(estB, 6000) && within(estU, 10000),
+      s"distinct estimates out of bounds: $estA $estB $estU")
+    assert(math.abs(estJ - 0.2) < 0.1, s"jaccard estimate: $estJ")
+    assert(within(estI, 2000, sigmas = 8.0), s"intersect estimate: $estI")
+    // degenerate rule: k above the universe size -> estimates ARE exact
+    val small = TextCorpus.kmvSplitOverlap(base, "side_a", "term", k = 20000)
+      .as[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+      .head()
+    assert(small._2 == 6000.0 && small._4 == 10000.0 && small._6 == 2000.0,
+      s"sub-k sketches must be exact: $small")
+    // sketches are order statistics: any partitioning yields the row
+    val re = TextCorpus.kmvSplitOverlap(base.repartition(13), "side_a",
+      "term", k = 256)
+      .as[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+      .head()
+    assert(re == got, "sketch must be partitioning-invariant")
+  }
+
   test("vocabGrowth: exact first-occurrence accounting, running totals, Heaps tails") {
     import graft.operators.TextCorpus
     import graft.functions.{TextFunctions => T}
