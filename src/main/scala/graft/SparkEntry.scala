@@ -186,6 +186,7 @@ object SparkEntry {
     "q152_vocab_growth" -> (P.vocabGrowth _),
     "q153_kmv_overlap" -> (P.kmvOverlap _),
     "q154_matryoshka_recall" -> (P.matryoshkaRecall _),
+    "q155_kmv_windows" -> (C.kmvWindows _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2336,6 +2337,27 @@ object SparkEntry {
         |   ELSE 255.0 / su_.xk END), 4) AS est_intersect,
         | ex.n_a, ex.n_b, ex.n_union, ex.n_intersect
         |FROM sa_, sb_, su_, ex""".stripMargin,
+    // KMV windowed distinct: the Aggregator's k-min sketch restated as
+    // a per-day rank over distinct hashes — estimate AND exact checked
+    "q155_kmv_windows" ->
+      """WITH e AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+        |  CAST(('0x' || substr(md5('kmvu:' || user_id), 1, 15)) AS BIGINT) AS h
+        | FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT DISTINCT day, h FROM e),
+        |rk AS (SELECT day, h,
+        |  row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM d),
+        |sk AS (SELECT day, count(*) AS c,
+        |  max(h) / 1152921504606846976.0 AS xk
+        | FROM rk WHERE rn <= 32 GROUP BY day),
+        |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM e GROUP BY day)
+        |SELECT ex.day,
+        | round(CASE WHEN sk.c < 32 THEN CAST(sk.c AS DOUBLE)
+        |  ELSE 31.0 / sk.xk END, 4) AS est_users,
+        | ex.n_users, ex.n_events
+        |FROM ex JOIN sk USING (day) ORDER BY day""".stripMargin,
     // Matryoshka truncation recall: both truncated legs are the exact
     // machinery on list slices — a rank disagreement is a prefix-norm
     // or tie-break bug, not index noise

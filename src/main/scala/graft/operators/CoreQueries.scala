@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.{MysqlFunctions => M}
+import graft.functions.{TextFunctions => T}
 import graft.graph.GraphOps
 
 /** The SURVEY §2 operator inventory expressed as queries over the driver
@@ -605,6 +606,33 @@ object CoreQueries {
       .withColumn("n_types_30m",
         size(collect_set(col("event_type")).over(w)))
       .orderBy("event_id")
+  }
+
+  // KMV-estimated distinct users per event-time day — q89's scale
+  // escape hatch made concrete: the exact windowed-distinct carries the
+  // full distinct SET as state; the [[graft.functions.KmvDistinctAgg]]
+  // typed Aggregator carries k=32 longs per group regardless of
+  // cardinality (and, being a mergeable Aggregator, combines map-side
+  // and — the reason it lives in this family — runs unchanged under a
+  // watermarked STREAMING window: see EventStreams.kmvWindowStream).
+  // md5-hashed inputs give the ESTIMATE a SQL closed form, so the
+  // oracle checks the sketch's output, not just the exact truth pinned
+  // beside it.
+  def kmvWindows(s: SparkSession, dir: String): DataFrame = {
+    val est = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvDistinctAgg(32), org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts"), col("user_id"),
+        T.md5Int(concat(lit("kmvu:"), col("user_id").cast("string")), 15)
+          .as("__h"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(M.oracleRound(est(col("__h")), 4).as("est_users"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("day"),
+        col("est_users"), col("n_users"), col("n_events"))
+      .orderBy("day")
   }
 
   // Per-group z-score normalization (feature scaling): stats via

@@ -26,6 +26,35 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming KMV distinct estimation per event-time window — the
+    * twin of `CoreQueries.kmvWindows`, and the reason that aggregate is
+    * a typed [[graft.functions.KmvDistinctAgg]] rather than a
+    * composition: a mergeable Aggregator runs UNCHANGED under a
+    * watermarked streaming window with per-window state of exactly k
+    * longs (an exact `collect_set`/`countDistinct` would buffer every
+    * distinct key per open window — unbounded in the key cardinality;
+    * Spark rejects countDistinct in streaming for precisely that
+    * reason, so the sketch IS the streaming form of the query).
+    * In-watermark disorder commutes because the k-set union is
+    * order-independent (the q141 merge argument) — the disordered
+    * batch-parity spec pins it. `hashCol` must carry the md5-derived
+    * 60-bit hashes of the tracked key (the closed-form convention). */
+  def kmvWindowStream(events: DataFrame, hashCol: String, k: Int,
+      watermark: String = "1 hour",
+      windowLen: String = "1 day"): DataFrame = {
+    val est = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvDistinctAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.MysqlFunctions.oracleRound(
+          est(col(hashCol)), 4).as("est_keys"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("date").as("day"),
+        col("est_keys"), col("n_events"))
+  }
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon wins; later duplicates are dropped. The twin of
     * `Dedup.exact` for continuous ingestion — state is the key set

@@ -42,6 +42,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV windowed distinct matches the batch sketch under disorder, k-long state") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.{TextFunctions => T}
+    // 60 users over two days, each user's events arriving OUT of order
+    // across batches; k=8 < per-day distinct so the estimator path is
+    // live. Hashes ride the md5 closed-form convention.
+    def ev(day: Int, minute: Int, uid: Long) = KeyedEvent(uid, uid,
+      Timestamp.valueOf(f"2024-01-0$day 10:$minute%02d:00"))
+    val events = (0L until 30L).flatMap(u =>
+      Seq(ev(1, (u % 50).toInt, u), ev(2, (u % 50).toInt, u + 15)))
+    val withHash = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("ts"),
+      T.md5Int(concat(lit("kmvu:"), col("user_id").cast("string")), 15)
+        .as("__h"))
+    // batch reference over the same rows
+    val batch = EventStreams.kmvWindowStream(
+      withHash(events.toDF()), "__h", k = 8, windowLen = "1 day")
+    // the streaming side sees the rows SHUFFLED and split across
+    // batches — within-watermark disorder must not change any sketch
+    val shuffled = scala.util.Random.shuffle(events.toVector)
+    val input = MemoryStream[KeyedEvent]
+    val q = EventStreams.kmvWindowStream(withHash(input.toDF()), "__h",
+        k = 8, watermark = "2 days", windowLen = "1 day")
+      .writeStream.format("memory").queryName("kmvwin")
+      .outputMode("complete").start()
+    try {
+      shuffled.grouped(17).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val got = spark.table("kmvwin")
+        .as[(java.sql.Date, Double, Long)].collect().toSet
+      val expect = batch.as[(java.sql.Date, Double, Long)].collect().toSet
+      assert(got == expect, s"stream/batch sketch divergence: $got vs $expect")
+      // estimator path genuinely live and in KMV stderr range
+      expect.foreach { case (_, est, _) =>
+        assert(est != 30.0 && est > 10 && est < 90,
+          s"per-day estimate should be a genuine k=8 estimate near 30: $est")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the gap, across batches") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[KeyedEvent]
