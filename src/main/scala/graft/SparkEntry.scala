@@ -187,6 +187,7 @@ object SparkEntry {
     "q153_kmv_overlap" -> (P.kmvOverlap _),
     "q154_matryoshka_recall" -> (P.matryoshkaRecall _),
     "q155_kmv_windows" -> (C.kmvWindows _),
+    "q156_weighted_reservoir" -> (P.weightedReservoir _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2337,6 +2338,23 @@ object SparkEntry {
         |   ELSE 255.0 / su_.xk END), 4) AS est_intersect,
         | ex.n_a, ex.n_b, ex.n_union, ex.n_intersect
         |FROM sa_, sb_, su_, ex""".stripMargin,
+    // Efraimidis-Spirakis: the 10-dp-pinned ln(u)/w key makes the
+    // whole sample (membership AND order) a SQL closed form
+    "q156_weighted_reservoir" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id, CAST(len(a) AS BIGINT) AS w,
+        |  round(ln((CAST(('0x' || substr(md5('esample:' || doc_id), 1, 8))
+        |     AS BIGINT) + 1) / 4294967296.0) / len(a), 10) AS es_key
+        | FROM t WHERE len(a) >= 1)
+        |SELECT doc_id, w, es_key,
+        | CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER)
+        |  AS rnk
+        |FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     // KMV windowed distinct: the Aggregator's k-min sketch restated as
     // a per-day rank over distinct hashes — estimate AND exact checked
     "q155_kmv_windows" ->

@@ -197,6 +197,44 @@ object CorpusOps {
       .filter(u < col("weight"))
   }
 
+  /** Fixed-size weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis (IPL 2006): key_i = u_i^(1/w_i) with u_i uniform, take
+    * the n largest keys; the result is distributed exactly as
+    * sequential weighted draws without replacement. The fixed-SIZE
+    * complement of [[weightedSample]]'s Bernoulli thinning (which
+    * cannot hit a target count): mixture builders that need "exactly n
+    * docs, weight-proportional" use this one.
+    *
+    * Determinism: u is md5-derived (`(md5Int(salt:id, 8)+1)/2^32` —
+    * the +1 keeps u in (0,1], so ln is finite), and ranking by
+    * u^(1/w) is order-equivalent to ranking by ln(u)/w (monotone:
+    * ln u < 0), which skips the pow/exp round-trip; the key is PINNED
+    * to 10 dp (the rounded-score convention) with id tie-break, so
+    * sample membership cannot flip on last-ulp float differences
+    * between engines — the whole pipeline has an ANSI-SQL closed form.
+    *
+    * 100 TB shape: per-row key projection on the scan + one
+    * `TakeOrdered` top-n (per-partition heads + merge — no global
+    * sort, no shuffle of the corpus); n rows reach the driver side
+    * only if the caller collects. Weights must be ≥ 1 and integral
+    * (token counts, byte sizes) — float weights would re-introduce
+    * the cross-engine ulp hazard inside the key. */
+  def weightedReservoir(df: DataFrame, idCol: String, weight: Column,
+      n: Int, salt: String = "esample"): DataFrame = {
+    val u = (TextFunctions.md5Int(
+        concat(lit(s"$salt:"), col(idCol).cast("string")), 8) + 1L)
+      .cast("double") / lit(4294967296.0)
+    val key = MysqlFunctions.oracleRound(log(u) / weight.cast("double"), 10)
+    val ranked = df.withColumn("w", weight.cast("long"))
+      .filter(col("w") >= 1L)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(idCol)).limit(n)
+    ranked.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("es_key").desc, col(idCol)))
+        .cast("int"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order and
     * chunk the token stream into fixed `blockTokens` blocks — each doc
     * gets its starting offset, its block SPAN (`start_off`/`end_off`/

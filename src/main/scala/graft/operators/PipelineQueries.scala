@@ -1373,6 +1373,19 @@ object PipelineQueries {
     TextCorpus.kmvSplitOverlap(toks, "side_a", "term", k = 256)
   }
 
+  // Efraimidis-Spirakis fixed-size weighted sample: exactly 100 docs,
+  // token-count-proportional, without replacement — the q81 Bernoulli
+  // sampler cannot hit a target count; this one is the mixture
+  // builder's "exactly n" primitive. Weight = token count (integral,
+  // no float-weight hazard); rides the shared token-array stage.
+  def weightedReservoir(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenArrays(s, dir)
+      .select(col("doc_id"), size(col("a")).as("__w"))
+    CorpusOps.weightedReservoir(base, "doc_id", col("__w"), n = 100)
+      .select(col("doc_id"), col("w"), col("es_key"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   // Heaps'-law vocabulary-growth audit over the shared token-array
   // stage: 50-doc buckets (10 buckets at sf0.01, 100 at sf0.1 — the
   // bucket count scales with the corpus, the per-bucket table stays

@@ -404,6 +404,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
 
+  test("weightedReservoir: exact-n E-S sample, heavy weights dominate, monotone in weight, partition-invariant") {
+    import graft.operators.CorpusOps
+    val df = (0L until 1000L).map(i => (i, if (i == 7L) 10000L else 1L))
+      .toDF("doc_id", "wt")
+    val got = CorpusOps.weightedReservoir(df, "doc_id", col("wt"), n = 100)
+      .select("doc_id", "w", "es_key", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 100 && got.map(_._4).sorted.toSeq == (1 to 100),
+      "exactly n rows, dense ranks")
+    assert(got.map(_._1).distinct.length == 100, "without replacement")
+    // a 10000x-weight doc has key u^(1/10000) ~ 1: it must head the sample
+    assert(got.minBy(_._4)._1 == 7L, "heavy doc must rank first")
+    // raising a doc's weight can only improve its rank (key = ln(u)/w
+    // rises toward 0); doc 500 boosted from 1 -> 50
+    val rank500 = got.find(_._1 == 500L).map(_._4)
+    val boosted = CorpusOps.weightedReservoir(
+        df.withColumn("wt", when(col("doc_id") === 500L, 50L).otherwise(col("wt"))),
+        "doc_id", col("wt"), n = 100)
+      .select("doc_id", "rnk").as[(Long, Int)].collect()
+      .find(_._1 == 500L).map(_._2)
+    assert(boosted.isDefined &&
+      rank500.forall(r => boosted.get <= r),
+      s"monotone-in-weight violated: $rank500 -> $boosted")
+    // order statistics over deterministic keys: partitioning-invariant
+    val re = CorpusOps.weightedReservoir(df.repartition(13), "doc_id",
+        col("wt"), n = 100)
+      .select("doc_id", "w", "es_key", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(re.sortBy(_._4).toSeq == got.sortBy(_._4).toSeq,
+      "sample must be partitioning-invariant")
+  }
+
   test("kmvSplitOverlap: degenerate-exact under k, estimator in stderr bounds over k, partition-invariant") {
     import graft.operators.TextCorpus
     // universe: side A holds terms 0..5999, side B 4000..9999 —
