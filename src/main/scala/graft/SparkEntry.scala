@@ -188,6 +188,7 @@ object SparkEntry {
     "q154_matryoshka_recall" -> (P.matryoshkaRecall _),
     "q155_kmv_windows" -> (C.kmvWindows _),
     "q156_weighted_reservoir" -> (P.weightedReservoir _),
+    "q157_tar_shards" -> (P.tarShards _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2338,6 +2339,27 @@ object SparkEntry {
         |   ELSE 255.0 / su_.xk END), 4) AS est_intersect,
         | ex.n_a, ex.n_b, ex.n_union, ex.n_intersect
         |FROM sa_, sb_, su_, ex""".stripMargin,
+    // USTAR shard round-trip: names/sizes/order are pure functions of
+    // the docs, shard length has a closed form, payload md5 = md5(text)
+    "q157_tar_shards" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  doc_id || '.txt' AS name,
+        |  CAST(strlen(text) AS BIGINT) AS sz, md5(text) AS payload_md5
+        | FROM documents),
+        |o AS (
+        | SELECT shard, doc_id, name, sz, payload_md5,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |   AS INTEGER) AS idx
+        | FROM m),
+        |s AS (
+        | SELECT shard, CAST(count(*) AS INTEGER) AS n_entries,
+        |  CAST(sum(512 * (1 + CAST(ceil(sz / 512.0) AS BIGINT))) + 1024
+        |   AS BIGINT) AS tar_len
+        | FROM o GROUP BY shard)
+        |SELECT o.shard, s.n_entries, s.tar_len, o.idx, o.name,
+        | o.sz AS size, o.payload_md5
+        |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
     // Efraimidis-Spirakis: the 10-dp-pinned ln(u)/w key makes the
     // whole sample (membership AND order) a SQL closed form
     "q156_weighted_reservoir" ->

@@ -86,6 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedDecodeDescriptor)
+    ext.injectFunction(GraftExtensions.tarBytesDescriptor)
+    ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
   }
 }
 
@@ -269,5 +271,27 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_avi_av_decode takes exactly 1 argument, got ${children.length}")
         AviInterleavedDecode(children.head)
+      })
+
+  /** `graft_tar_bytes(array<struct<doc_id, text>>)` — USTAR shard of
+    * one member file per doc (see [[TarBytes]]). */
+  val tarBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_tar_bytes"),
+      new ExpressionInfo(classOf[TarBytes].getName, "graft_tar_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_tar_bytes takes exactly 1 argument, got ${children.length}")
+        TarBytes(children.head)
+      })
+
+  /** `graft_tar_entries(binary)` — USTAR walk (checksum/magic/padding
+    * verified) → entry metadata + payload digests, NULL if corrupt. */
+  val tarEntriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_tar_entries"),
+      new ExpressionInfo(classOf[TarEntries].getName, "graft_tar_entries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_tar_entries takes exactly 1 argument, got ${children.length}")
+        TarEntries(children.head)
       })
 }

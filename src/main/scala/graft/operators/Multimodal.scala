@@ -401,6 +401,20 @@ object Multimodal {
     call_function("graft_avi_av_bytes", width, height, nFrames,
       usPerFrame, sampleRate, samplesPerFrame, docId)
 
+  /** WebDataset-style USTAR shard of one member per doc — `members`
+    * must be the shard's ordered `array<struct<doc_id, text>>`.
+    * Native [[graft.expressions.TarBytes]]; real `tar` reads the
+    * output (spec-driven). */
+  def tarBytes(members: Column): Column =
+    call_function("graft_tar_bytes", members)
+
+  /** USTAR archive walk: `struct(n_entries, tar_len, entries
+    * array<struct<idx, name, size, payload_md5>>)`, checksums and
+    * padding verified, NULL for any corrupt byte. Native
+    * [[graft.expressions.TarEntries]]. */
+  def tarEntries(tar: Column): Column =
+    call_function("graft_tar_entries", tar)
+
   /** Demux+decode of the two-stream interleaved AVI: adds `out` =
     * struct(width, height, n_frames, fps, sample_rate, frames
     * array<struct(frame, mean_b, mean_g, mean_r, n_samples, rms,

@@ -629,6 +629,36 @@ object PipelineQueries {
       .orderBy("doc_id", "frame")
   }
 
+  // WebDataset-style tar shards: 50-doc shards built as REAL USTAR
+  // archives (the training-data lake's standard multimodal container —
+  // tar members consumed sequentially, object-store-friendly), then
+  // walked back by the checksum-verifying native decoder. The round
+  // trip pins the whole contract: shard length has a closed form
+  // (Σ 512·(1+⌈size/512⌉) + 1024), member names/sizes/order are pure
+  // functions of the docs, and payload md5 equals md5(text) — so the
+  // oracle checks CONTENT straight off the documents table. Shard
+  // state = collect_list of its ≤50 members (the documented
+  // bounded-by-shard-size case); shards scale out, members don't.
+  def tarShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(s, dir)
+      .select((col("doc_id") / 50).cast("long").as("shard"),
+        struct(col("doc_id"), col("text")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .select(col("shard"), Multimodal.tarBytes(col("members")).as("__tar"))
+    shards
+      .select(col("shard"), Multimodal.tarEntries(col("__tar")).as("__t"))
+      .select(col("shard"),
+        col("__t.n_entries").as("n_entries"),
+        col("__t.tar_len").as("tar_len"),
+        explode(col("__t.entries")).as("__e"))
+      .select(col("shard"), col("n_entries"), col("tar_len"),
+        col("__e.idx").as("idx"), col("__e.name").as("name"),
+        col("__e.size").as("size"),
+        col("__e.payload_md5").as("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

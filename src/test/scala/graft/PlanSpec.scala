@@ -241,6 +241,28 @@ class PlanSpec extends AnyFunSuite {
       expect.orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("q153/q156: sketch heads plan TakeOrderedAndProject, never a global sort") {
+    // each KMV sketch and the E-S sample is an orderBy+limit over a
+    // corpus-sized table — the plan must take per-partition heads +
+    // merge (TakeOrderedAndProject), not sort the table globally
+    val p153 = P.kmvOverlap(spark, dir).queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(p153).size >= 3,
+      s"three KMV sketches must each be a TakeOrdered:\n$p153")
+    val p156 = P.weightedReservoir(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p156.contains("TakeOrderedAndProject"),
+      s"E-S top-n must be a TakeOrdered:\n$p156")
+  }
+
+  test("q155: typed KMV aggregate runs partial (map-side) + final — the merge path is live") {
+    val plan = C.kmvWindows(spark, dir).queryExecution.executedPlan.toString
+    // typed Aggregator with an array buffer plans ObjectHashAggregate;
+    // partial + final proves map-side sketch combine actually runs
+    // (the mergeable-summaries property, not just a single-node fold)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
   test("q151: persisted-LM scoring joins parquet counts — exactly one Aggregate, no refit") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextCorpus

@@ -1116,6 +1116,56 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(crossB.forall(identity), "two-stream AVI must not parse as single-stream")
   }
 
+  test("multimodal: USTAR shards read by REAL tar; walker round-trips; corruption rejected") {
+    import java.nio.file.Files
+    import sys.process._
+    // doc mix: empty payload, sub-block, exactly-one-block-crossing
+    val docs = Seq((0L, "hello world"), (1L, ""), (7L, "x" * 600),
+      (12L, "tar shard members"))
+    val bytes = docs.toDF("doc_id", "text")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("members"))
+      .select(Multimodal.tarBytes(col("members")).as("t"))
+      .as[Array[Byte]].head()
+    // REAL tar accepts the archive: listing order and extracted content
+    val f = Files.createTempFile("graft_shard", ".tar")
+    Files.write(f, bytes)
+    val listed = Seq("tar", "-tf", f.toString).!!.trim.split("\n").toSeq
+    assert(listed == Seq("0.txt", "1.txt", "7.txt", "12.txt"),
+      s"GNU tar must list the members in doc order: $listed")
+    // stripLineEnd: sys.process's !! re-joins captured lines with a
+    // trailing newline; the payload itself has none
+    assert(Seq("tar", "-xOf", f.toString, "7.txt").!!.stripLineEnd == "x" * 600,
+      "GNU tar must extract the exact payload")
+    // native walker round-trip: counts, sizes, closed-form length, md5s
+    val walked = Seq(("s", bytes)).toDF("k", "t")
+      .select(Multimodal.tarEntries(col("t")).as("w"))
+      .select(col("w.n_entries"), col("w.tar_len"),
+        col("w.entries"))
+      .as[(Int, Long, Seq[(Int, String, Long, String)])].head()
+    assert(walked._1 == 4 && walked._2 == bytes.length)
+    val expectLen = docs.map(d => 512 * (1 + (d._2.length + 511) / 512)).sum + 1024
+    assert(walked._2 == expectLen, "closed-form shard length")
+    walked._3.zip(docs).foreach { case ((idx, name, size, md5hex), (id, text)) =>
+      assert(name == s"$id.txt" && size == text.length,
+        s"entry $idx: $name/$size")
+      val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      assert(md5hex == expectMd5, s"entry $idx payload digest")
+    }
+    // corruption: a flipped header byte breaks the checksum -> NULL;
+    // a nonzero pad byte breaks the padding contract -> NULL
+    def walkOf(b: Array[Byte]) = Seq(("s", b)).toDF("k", "t")
+      .select(Multimodal.tarEntries(col("t")).isNull).as[Boolean].head()
+    val badHeader = bytes.clone(); badHeader(0) = 'Z'.toByte
+    assert(walkOf(badHeader), "checksum-violating header must reject")
+    // 7.txt's first pad byte: 0.txt (512 hdr + 512 payload), 1.txt
+    // (512 hdr + 0), then 7.txt 512 hdr + 600 payload bytes
+    val off7pad = (512 + 512) + (512 + 0) + 512 + 600
+    val badPad2 = bytes.clone(); badPad2(off7pad) = 1
+    assert(walkOf(badPad2), "nonzero payload padding must reject")
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
