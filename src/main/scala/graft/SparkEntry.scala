@@ -189,6 +189,7 @@ object SparkEntry {
     "q155_kmv_windows" -> (C.kmvWindows _),
     "q156_weighted_reservoir" -> (P.weightedReservoir _),
     "q157_tar_shards" -> (P.tarShards _),
+    "q158_targz_shards" -> (P.tarGzShards _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2359,6 +2360,25 @@ object SparkEntry {
         | FROM o GROUP BY shard)
         |SELECT o.shard, s.n_entries, s.tar_len, o.idx, o.name,
         | o.sz AS size, o.payload_md5
+        |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
+    // GZIP-member shards: only the CONTENT view is oracle-stable —
+    // the walker's inflated digests restate md5(text)/strlen(text)
+    "q158_targz_shards" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  doc_id || '.txt.gz' AS name,
+        |  CAST(strlen(text) AS BIGINT) AS content_size,
+        |  md5(text) AS content_md5
+        | FROM documents),
+        |o AS (
+        | SELECT shard, doc_id, name, content_size, content_md5,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |   AS INTEGER) AS idx
+        | FROM m),
+        |s AS (SELECT shard, CAST(count(*) AS INTEGER) AS n_entries
+        | FROM o GROUP BY shard)
+        |SELECT o.shard, s.n_entries, o.idx, o.name, o.content_size,
+        | o.content_md5
         |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
     // Efraimidis-Spirakis: the 10-dp-pinned ln(u)/w key makes the
     // whole sample (membership AND order) a SQL closed form

@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedDecodeDescriptor)
     ext.injectFunction(GraftExtensions.tarBytesDescriptor)
+    ext.injectFunction(GraftExtensions.tarGzBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
   }
 }
@@ -281,7 +282,19 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1,
           s"graft_tar_bytes takes exactly 1 argument, got ${children.length}")
-        TarBytes(children.head)
+        TarBytes(children.head, gzipMembers = false)
+      })
+
+  /** `graft_targz_bytes(array<struct<doc_id, text>>)` — USTAR shard
+    * with per-member GZIP payloads, the WebDataset `.gz` convention
+    * (see [[TarBytes]]). */
+  val tarGzBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_targz_bytes"),
+      new ExpressionInfo(classOf[TarBytes].getName, "graft_targz_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_targz_bytes takes exactly 1 argument, got ${children.length}")
+        TarBytes(children.head, gzipMembers = true)
       })
 
   /** `graft_tar_entries(binary)` — USTAR walk (checksum/magic/padding

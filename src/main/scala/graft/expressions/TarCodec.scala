@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF-8 text payload equals `md5(text)` in both engines, so member
   * CONTENT is oracle-checkable straight off the documents table.
   */
-case class TarBytes(child: Expression) extends UnaryExpression {
+case class TarBytes(child: Expression, gzipMembers: Boolean)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StructType(Array(
@@ -48,14 +49,15 @@ case class TarBytes(child: Expression) extends UnaryExpression {
       s"graft_tar_bytes requires array<struct<long, string>>, got $t")
   }
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "graft_tar_bytes"
+  override def prettyName: String =
+    if (gzipMembers) "graft_targz_bytes" else "graft_tar_bytes"
 
   override def nullSafeEval(input: Any): Any =
-    TarBytes.build(input.asInstanceOf[ArrayData])
+    TarBytes.build(input.asInstanceOf[ArrayData], gzipMembers)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.TarBytes.build($c);")
+      s"${ev.value} = graft.expressions.TarBytes.build($c, $gzipMembers);")
 
   override protected def withNewChildInternal(newChild: Expression): TarBytes =
     copy(child = newChild)
@@ -64,8 +66,15 @@ case class TarBytes(child: Expression) extends UnaryExpression {
 object TarBytes {
   private val Block = 512
 
+  private def gzip(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray // JDK header: MTIME 0, no name — deterministic
+  }
+
   /** Public + static-shaped so generated code can call it. */
-  def build(members: ArrayData): Array[Byte] = {
+  def build(members: ArrayData, gzipMembers: Boolean): Array[Byte] = {
     val n = members.numElements()
     var total = 2 * Block
     val payloads = new Array[Array[Byte]](n)
@@ -73,8 +82,10 @@ object TarBytes {
     var i = 0
     while (i < n) {
       val row = members.getStruct(i, 2)
-      names(i) = row.getLong(0).toString + ".txt"
-      payloads(i) = row.getUTF8String(1).toString.getBytes("UTF-8")
+      val raw = row.getUTF8String(1).toString.getBytes("UTF-8")
+      names(i) = row.getLong(0).toString +
+        (if (gzipMembers) ".txt.gz" else ".txt")
+      payloads(i) = if (gzipMembers) gzip(raw) else raw
       total += Block + ((payloads(i).length + Block - 1) / Block) * Block
       i += 1
     }
@@ -143,7 +154,13 @@ object TarEntries {
     StructField("idx", IntegerType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
-    StructField("payload_md5", StringType, nullable = false)))
+    StructField("payload_md5", StringType, nullable = false),
+    // CONTENT view: for `.gz` members the member bytes are inflated
+    // (GZIP CRC verified) and digested — compressed bytes have no SQL
+    // closed form but the content does; for plain members these equal
+    // (size, payload_md5)
+    StructField("content_size", LongType, nullable = false),
+    StructField("content_md5", StringType, nullable = false)))
 
   val schema: StructType = StructType(Seq(
     StructField("n_entries", IntegerType, nullable = false),
@@ -214,8 +231,29 @@ object TarEntries {
         // NUL padding after the payload, as the builder (and spec) emit
         if (!allZero(tar, pos + Block + size.toInt, (padded - size).toInt))
           return null
+        val (contentSize, contentHex) =
+          if (name.endsWith(".gz")) {
+            val inflated = try {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(tar, pos + Block, size.toInt))
+              val bos = new java.io.ByteArrayOutputStream(size.toInt * 2 + 64)
+              val buf = new Array[Byte](4096)
+              var read = 0
+              var totalOut = 0L
+              while ({ read = in.read(buf); read >= 0 }) {
+                totalOut += read
+                if (totalOut > (1 << 26)) return null // decompression bomb
+                bos.write(buf, 0, read)
+              }
+              bos.toByteArray
+            } catch { case _: java.io.IOException => return null } // bad CRC/stream
+            md.reset()
+            (inflated.length.toLong,
+              md.digest(inflated).map(b => f"${b & 0xff}%02x").mkString)
+          } else (size, hex)
         entries += new GenericInternalRow(Array[Any](entries.length,
-          UTF8String.fromString(name), size, UTF8String.fromString(hex)))
+          UTF8String.fromString(name), size, UTF8String.fromString(hex),
+          contentSize, UTF8String.fromString(contentHex)))
         pos += Block + padded.toInt
       }
     }

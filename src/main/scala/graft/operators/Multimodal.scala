@@ -408,6 +408,13 @@ object Multimodal {
   def tarBytes(members: Column): Column =
     call_function("graft_tar_bytes", members)
 
+  /** [[tarBytes]] with per-member GZIP payloads (`<doc_id>.txt.gz`) —
+    * the WebDataset `.gz` member convention. Compressed bytes have no
+    * SQL closed form; the walker's `content_*` fields (inflated,
+    * CRC-checked) do. */
+  def tarBytesGz(members: Column): Column =
+    call_function("graft_targz_bytes", members)
+
   /** USTAR archive walk: `struct(n_entries, tar_len, entries
     * array<struct<idx, name, size, payload_md5>>)`, checksums and
     * padding verified, NULL for any corrupt byte. Native

@@ -659,6 +659,32 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  // q157's compressed twin: GZIP members (the WebDataset `.gz`
+  // convention). Compressed member bytes have NO SQL closed form
+  // (deflate output is implementation-defined), so the gate emits only
+  // the CONTENT view: the walker inflates each member (GZIP CRC
+  // verified) and digests the decompressed bytes — content_md5 =
+  // md5(text) and content_size = strlen(text) again check straight
+  // off the documents table; a compression, inflation, or CRC bug
+  // goes red. Same shard shape as q157.
+  def tarGzShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(s, dir)
+      .select((col("doc_id") / 50).cast("long").as("shard"),
+        struct(col("doc_id"), col("text")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .select(col("shard"), Multimodal.tarBytesGz(col("members")).as("__tar"))
+    shards
+      .select(col("shard"), Multimodal.tarEntries(col("__tar")).as("__t"))
+      .select(col("shard"), col("__t.n_entries").as("n_entries"),
+        explode(col("__t.entries")).as("__e"))
+      .select(col("shard"), col("n_entries"),
+        col("__e.idx").as("idx"), col("__e.name").as("name"),
+        col("__e.content_size").as("content_size"),
+        col("__e.content_md5").as("content_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // NON-canonical WAV decode: the writer splices a JUNK padding chunk
   // (doc-varying length, odd half the time — the pad-to-even rule is
   // live) before `fmt ` or between `fmt ` and `data`. Still conformant

@@ -1142,16 +1142,19 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .select(Multimodal.tarEntries(col("t")).as("w"))
       .select(col("w.n_entries"), col("w.tar_len"),
         col("w.entries"))
-      .as[(Int, Long, Seq[(Int, String, Long, String)])].head()
+      .as[(Int, Long, Seq[(Int, String, Long, String, Long, String)])].head()
     assert(walked._1 == 4 && walked._2 == bytes.length)
     val expectLen = docs.map(d => 512 * (1 + (d._2.length + 511) / 512)).sum + 1024
     assert(walked._2 == expectLen, "closed-form shard length")
-    walked._3.zip(docs).foreach { case ((idx, name, size, md5hex), (id, text)) =>
-      assert(name == s"$id.txt" && size == text.length,
-        s"entry $idx: $name/$size")
-      val expectMd5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      assert(md5hex == expectMd5, s"entry $idx payload digest")
+    walked._3.zip(docs).foreach {
+      case ((idx, name, size, md5hex, csize, cmd5), (id, text)) =>
+        assert(name == s"$id.txt" && size == text.length,
+          s"entry $idx: $name/$size")
+        val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        assert(md5hex == expectMd5, s"entry $idx payload digest")
+        // plain members: content view == payload view
+        assert(csize == size && cmd5 == md5hex, s"entry $idx content view")
     }
     // corruption: a flipped header byte breaks the checksum -> NULL;
     // a nonzero pad byte breaks the padding contract -> NULL
@@ -1164,6 +1167,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val off7pad = (512 + 512) + (512 + 0) + 512 + 600
     val badPad2 = bytes.clone(); badPad2(off7pad) = 1
     assert(walkOf(badPad2), "nonzero payload padding must reject")
+
+    // GZIP-member twin: real tar + zcat round-trips the content; the
+    // walker's content view matches the original text; a flipped
+    // payload byte breaks the GZIP CRC -> NULL
+    val gzBytes = docs.toDF("doc_id", "text")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("members"))
+      .select(Multimodal.tarBytesGz(col("members")).as("t"))
+      .as[Array[Byte]].head()
+    val fz = Files.createTempFile("graft_shard_gz", ".tar")
+    Files.write(fz, gzBytes)
+    assert(Seq("tar", "-tf", fz.toString).!!.trim.split("\n").toSeq ==
+      Seq("0.txt.gz", "1.txt.gz", "7.txt.gz", "12.txt.gz"))
+    val viaTar = (Seq("tar", "-xOf", fz.toString, "7.txt.gz") #| Seq("zcat")).!!
+    assert(viaTar.stripLineEnd == "x" * 600,
+      "tar | zcat must recover the original text")
+    val gzWalk = Seq(("s", gzBytes)).toDF("k", "t")
+      .select(Multimodal.tarEntries(col("t")).as("w"))
+      .select(col("w.entries"))
+      .as[Seq[(Int, String, Long, String, Long, String)]].head()
+    gzWalk.zip(docs).foreach {
+      case ((idx, name, size, _, csize, cmd5), (id, text)) =>
+        assert(name == s"$id.txt.gz", s"entry $idx name")
+        assert(csize == text.length, s"entry $idx inflated size")
+        val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        assert(cmd5 == expectMd5, s"entry $idx content digest")
+    }
+    // the 600-byte run must genuinely compress
+    assert(gzWalk.find(_._2 == "7.txt.gz").get._3 < 600,
+      "repetitive member should deflate below its content size")
+    // flip one byte inside the first member's gzip payload (after its
+    // 10-byte gzip header, inside the deflate stream)
+    val badGz = gzBytes.clone(); badGz(512 + 14) = (badGz(512 + 14) ^ 0x7).toByte
+    assert(walkOf(badGz), "GZIP CRC violation must reject")
   }
 
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
