@@ -190,6 +190,7 @@ object SparkEntry {
     "q156_weighted_reservoir" -> (P.weightedReservoir _),
     "q157_tar_shards" -> (P.tarShards _),
     "q158_targz_shards" -> (P.tarGzShards _),
+    "q159_cdc_chunks" -> (P.cdcChunkDedup _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2361,6 +2362,50 @@ object SparkEntry {
         |SELECT o.shard, s.n_entries, s.tar_len, o.idx, o.name,
         | o.sz AS size, o.payload_md5
         |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
+    // CDC chunking: the stateless cut rule (every qualifying window
+    // cuts) is the SQL-expressible contract — cuts, chunk digests and
+    // the cross-doc dup profile all restate in plain CTEs
+    "q159_cdc_chunks" ->
+      """WITH docs AS (
+        | SELECT doc_id, text, length(text) AS n FROM documents),
+        |cuts AS (
+        | SELECT doc_id, i + 7 AS cutpos
+        | FROM (SELECT doc_id, text,
+        |    unnest(generate_series(1, n - 7)) AS i
+        |   FROM docs WHERE n >= 8) t
+        | WHERE CAST(('0x' || substr(md5('cdc:' ||
+        |    substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT)
+        |   % 64 = 0),
+        |marks AS (
+        | SELECT DISTINCT doc_id, cutpos FROM (
+        |  SELECT doc_id, cutpos FROM cuts
+        |  UNION ALL SELECT doc_id, n FROM docs WHERE n > 0) u),
+        |chunks AS (
+        | SELECT doc_id,
+        |  coalesce(lag(cutpos) OVER (PARTITION BY doc_id ORDER BY cutpos), 0)
+        |    + 1 AS off,
+        |  cutpos AS chend
+        | FROM marks),
+        |withmd5 AS (
+        | SELECT c.doc_id, c.chend - c.off + 1 AS len,
+        |  md5(substr(d.text, CAST(c.off AS INTEGER),
+        |    CAST(c.chend - c.off + 1 AS INTEGER))) AS h
+        | FROM chunks c JOIN docs d USING (doc_id)),
+        |mult AS (
+        | SELECT h, count(DISTINCT doc_id) AS docs FROM withmd5 GROUP BY h),
+        |per AS (
+        | SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN m.docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN m.docs > 1 THEN w.len ELSE 0 END) AS BIGINT)
+        |    AS dup_chars
+        | FROM withmd5 w JOIN mult m USING (h) GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(per.n_chunks, 0) AS n_chunks,
+        | coalesce(per.n_dup_chunks, 0) AS n_dup_chunks,
+        | coalesce(per.dup_chars, 0) AS dup_chars
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // GZIP-member shards: only the CONTENT view is oracle-stable —
     // the walker's inflated digests restate md5(text)/strlen(text)
     "q158_targz_shards" ->

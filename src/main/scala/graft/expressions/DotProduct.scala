@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tarBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarGzBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
+    ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
   }
 }
 
@@ -306,5 +307,24 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_tar_entries takes exactly 1 argument, got ${children.length}")
         TarEntries(children.head)
+      })
+
+  /** `graft_cdc_chunks(text, window, mask)` — content-defined chunk
+    * list (see [[CdcChunks]]); window and mask must be literals (they
+    * parameterize the generated code). */
+  val cdcChunksDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_cdc_chunks takes exactly 3 arguments, got ${children.length}")
+        def intArg(i: Int): Int = {
+          require(children(i).foldable,
+            s"graft_cdc_chunks argument $i must be a literal")
+          require(children(i).eval().isInstanceOf[Number],
+            s"graft_cdc_chunks argument $i must be a numeric literal")
+          children(i).eval().asInstanceOf[Number].intValue
+        }
+        CdcChunks(children.head, intArg(1), intArg(2))
       })
 }

@@ -1442,6 +1442,37 @@ object PipelineQueries {
       .orderBy("rnk")
   }
 
+  // Content-defined chunk dedup audit: each doc cut at content-local
+  // boundaries (8-char window, mask 64 → ~64-char expected chunks),
+  // then chunk digests matched ACROSS docs — the chunk-level dup
+  // profile that survives prepended-header re-uploads where fixed
+  // blocking would not. Scale shape: chunking is a map-only native
+  // expression on the scan; the only shuffle is the groupBy(digest)
+  // multiplicity count, joined back to the k·|docs| chunk stream.
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("graft_cdc_chunks", col("text"),
+          lit(8), lit(64))).as("__c"))
+      .select(col("doc_id"), col("__c.len").as("__len"),
+        col("__c.chunk_md5").as("__md5"))
+    val multiplicity = ch.groupBy("__md5")
+      .agg(countDistinct("doc_id").as("__docs"))
+    val perDoc = ch.join(multiplicity, Seq("__md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__docs") > 1, col("__len").cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   // Heaps'-law vocabulary-growth audit over the shared token-array
   // stage: 50-doc buckets (10 buckets at sf0.01, 100 at sf0.1 — the
   // bucket count scales with the corpus, the per-bucket table stays

@@ -404,6 +404,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
 
+  test("cdcChunks: contiguous cover, short-text edges, digests survive a prepended preamble") {
+    def chunksOf(texts: Seq[(Long, String)]) = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(call_function("graft_cdc_chunks", col("text"),
+          lit(8), lit(64))).as("c"))
+      .select(col("doc_id"), col("c.off"), col("c.len"), col("c.chunk_md5"))
+      .as[(Long, Int, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // deterministic 640-char text with enough hash variety to cut
+    val text = (0 until 20).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdctest:$i".getBytes).map(b => f"${b & 0xff}%02x").mkString)
+      .mkString
+    val base = chunksOf(Seq((1L, text)))
+    assert(base.nonEmpty)
+    // chunks tile the text exactly: offsets contiguous, lens sum to length
+    assert(base.head._2 == 1 && base.map(_._3).sum == text.length)
+    base.sliding(2).foreach {
+      case Seq((_, o1, l1, _), (_, o2, _, _)) => assert(o2 == o1 + l1)
+      case _ => ()
+    }
+    // mask 64 with an 8-char window: expect ~len/64 chunks, loosely
+    assert(base.length >= 3 && base.length <= 40, s"${base.length} chunks")
+    // content-locality: prepending shifts offsets but every chunk
+    // digest EXCEPT the first survives (the fixed-blocking contrast:
+    // there every digest would change)
+    val shifted = chunksOf(Seq((1L, "PREAMBLE-" + text)))
+    val surviving = base.drop(1).map(_._4).toSet
+    assert(surviving.subsetOf(shifted.map(_._4).toSet),
+      "all post-edit chunk digests must survive a prepend")
+    // short-text edges: under-window text is one whole chunk; empty none
+    assert(chunksOf(Seq((2L, "abc"))) ==
+      Seq((2L, 1, 3, java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString)))
+    assert(chunksOf(Seq((3L, ""))).isEmpty)
+  }
+
   test("weightedReservoir: exact-n E-S sample, heavy weights dominate, monotone in weight, partition-invariant") {
     import graft.operators.CorpusOps
     val df = (0L until 1000L).map(i => (i, if (i == 7L) 10000L else 1L))
