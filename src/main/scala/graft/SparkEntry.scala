@@ -191,6 +191,8 @@ object SparkEntry {
     "q157_tar_shards" -> (P.tarShards _),
     "q158_targz_shards" -> (P.tarGzShards _),
     "q159_cdc_chunks" -> (P.cdcChunkDedup _),
+    "q160_bpe_merges" -> (P.bpeMerges _),
+    "q161_dp_release" -> (C.dpRelease _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -204,6 +206,37 @@ object SparkEntry {
       | FROM embeddings q, embeddings c
       | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** q160's BPE merge rounds unrolled as a CTE chain: each round
+    * re-derives adjacent-pair counts from the previous round's corpus,
+    * elects the (count DESC, pair ASC) max, and rewrites with
+    * `replace` — whose left-to-right non-overlapping semantics DuckDB
+    * and Spark share, so repeated runs ("aaaa" → two symbols) agree.
+    * Merge symbols are chr(0xE000+r); binary string order over them
+    * matches Spark's UTF8String comparison. */
+  private def bpeOracle(rounds: Int): String = {
+    val ctes = Seq("t0 AS (SELECT text AS t FROM documents)") ++
+      (0 until rounds).flatMap { r =>
+        Seq(
+          s"""p$r AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             | FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
+             |   FROM t$r WHERE length(t) >= 2) x
+             | GROUP BY pair)""".stripMargin,
+          s"b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)",
+          s"""t${r + 1} AS (SELECT replace(t, (SELECT pair FROM b$r),
+             | chr(${0xE000 + r})) AS t FROM t$r)""".stripMargin)
+      }
+    val legs = (0 until rounds).map { r =>
+      s"""SELECT $r AS round, ascii(substr(pair, 1, 1)) AS c1,
+         | ascii(substr(pair, 2, 1)) AS c2, cnt,
+         | (SELECT CAST(sum(length(t)) AS BIGINT) FROM t${r + 1})
+         |   AS corpus_chars_after FROM b$r""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT * FROM (" + legs.mkString(" UNION ALL ") +
+      ") z ORDER BY round"
+  }
 
   /** q154's truncated leg: exact top-5 by PREFIX cosine over the first
     * `d` dims — cosine is scale-invariant, so ranking list slices IS
@@ -2362,6 +2395,36 @@ object SparkEntry {
         |SELECT o.shard, s.n_entries, s.tar_len, o.idx, o.name,
         | o.sz AS size, o.payload_md5
         |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
+    // BPE vocabulary learning: the merge elections and the rewritten
+    // corpus restate round-by-round as an unrolled CTE chain
+    "q160_bpe_merges" -> bpeOracle(6),
+    // ε-DP Laplace release: inverse-CDF noise at an md5 uniform is a
+    // closed form, so the whole release (noise, post-processing,
+    // utility audit) restates in SQL across the ε ladder
+    "q161_dp_release" ->
+      """WITH counts AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_true
+        | FROM documents GROUP BY source),
+        |eps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |  CAST(4.0 AS DOUBLE)]) AS eps),
+        |x AS (
+        | SELECT c.source, e.eps, c.n_true,
+        |  (CAST(('0x' || substr(md5('dp:' || CAST(e.eps AS VARCHAR)
+        |     || ':' || c.source), 1, 8)) AS BIGINT) + 0.5)
+        |   / 4294967296.0 - 0.5 AS cen
+        | FROM counts c CROSS JOIN eps e),
+        |n AS (
+        | SELECT source, eps, n_true,
+        |  round((-1.0 / eps) * sign(cen) * ln(1 - 2 * abs(cen)), 10)
+        |   AS noise
+        | FROM x)
+        |SELECT source, eps, n_true, noise,
+        | round(n_true + noise, 10) AS n_noisy,
+        | greatest(CAST(0 AS BIGINT),
+        |   CAST(floor(round(n_true + noise, 10) + 0.5) AS BIGINT))
+        |  AS n_released,
+        | round(abs(noise), 10) AS abs_err
+        |FROM n ORDER BY source, eps""".stripMargin,
     // CDC chunking: the stateless cut rule (every qualifying window
     // cuts) is the SQL-expressible contract — cuts, chunk digests and
     // the cross-doc dup profile all restate in plain CTEs

@@ -863,6 +863,13 @@ object CoreQueries {
         Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 8L, minL = 3L)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  // q161: ε-DP per-source document counts across an ε ladder —
+  // deterministic inverse-CDF Laplace noise so the release is exact
+  def dpRelease(s: SparkSession, dir: String): DataFrame =
+    Quality.dpCountRelease(Tables.documents(s, dir), "source",
+        epsilons = Seq(0.25, 1.0, 4.0))
+      .orderBy("source", "eps")
+
   // Latest-version-wins upsert (batch MERGE): refresh the orders
   // snapshot with a derived update batch (every 37th key changes
   // status + price). One union + one keyed window — no outer join,

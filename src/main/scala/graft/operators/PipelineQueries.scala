@@ -1481,6 +1481,11 @@ object PipelineQueries {
     TextCorpus.vocabGrowth(tokenArrays(s, dir), "doc_id", bucketSize = 50)
       .orderBy("bkt")
 
+  // q160: char-level BPE vocabulary learning — 6 merge rounds over the
+  // raw documents text, the tokenizer-training op of the pipeline
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bpeMerges(Tables.documents(s, dir), "text", rounds = 6)
+
   // context-window chunk plan: 32-token chunks, 8-token overlap (sized
   // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
   // the production default is 128/16) — one row per training chunk

@@ -254,4 +254,53 @@ object Quality {
       .withColumn("k_violation", col("n") < k)
       .withColumn("l_violation", col("l") < minL)
   }
+
+  /** ε-differentially-private count release (Dwork TCC'06 Laplace
+    * mechanism) with DETERMINISTIC noise: the Laplace draw comes from
+    * inverting the CDF at an md5-derived uniform,
+    * `noise = -(Δ/ε)·sign(u−½)·ln(1−2|u−½|)` with
+    * `u = (md5_64("dp:ε:group")+½)/2³²` — so the released table is a
+    * pure function of (group, ε) and the release itself is
+    * oracle-checkable, the property every other stochastic operator
+    * in this engine pins the same way (q81/q156's md5-uniform
+    * convention). A production deployment would swap the salt for a
+    * secret per-release nonce; NOTHING else changes — the mechanism,
+    * sensitivity accounting and post-processing are the real thing.
+    * Unit sensitivity (Δ=1): disjoint groups, each row in exactly one
+    * count. Released value is post-processed (round to integer, clamp
+    * at 0) which DP composes with for free. One row per (group, ε)
+    * across the ε ladder, so the utility-vs-budget tradeoff is
+    * visible in the gate: `n_true` is carried ONLY for the utility
+    * audit (`abs_err`) — a real release drops it.
+    *
+    * Scale shape: one map-side-combined groupBy(group) count — the
+    * only shuffle — then a broadcast-size cross join with the ε
+    * ladder and per-row closed-form noise; no window, no driver
+    * state. At 100 TB the released histogram is |groups| rows.
+    */
+  def dpCountRelease(df: DataFrame, groupCol: String,
+      epsilons: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_true"))
+    val ladder = epsilons.toDF("eps")
+    val u = (graft.functions.TextFunctions.md5Int(
+        concat(lit("dp:"), col("eps").cast("string"), lit(":"),
+          col(groupCol).cast("string")), 8).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val noise = graft.functions.MysqlFunctions.oracleRound(
+      (lit(-1.0) / col("eps")) * signum(centered) *
+        log(lit(1.0) - lit(2.0) * abs(centered)), 10)
+    counts.crossJoin(broadcast(ladder))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy", graft.functions.MysqlFunctions.oracleRound(
+        col("n_true") + col("noise"), 10))
+      .withColumn("n_released",
+        greatest(lit(0L), floor(col("n_noisy") + lit(0.5)).cast("long")))
+      .withColumn("abs_err", graft.functions.MysqlFunctions.oracleRound(
+        abs(col("noise")), 10))
+      .select(col(groupCol), col("eps"), col("n_true"), col("noise"),
+        col("n_noisy"), col("n_released"), col("abs_err"))
+  }
 }

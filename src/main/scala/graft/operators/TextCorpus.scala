@@ -536,4 +536,66 @@ object TextCorpus {
       .select("bkt", "n_tokens", "new_terms", "cum_tokens", "cum_vocab",
         "beta")
   }
+
+  /** Byte-pair-encoding vocabulary learning (Sennrich ACL'16; the
+    * GPT-2 byte-level variant operates on the raw character stream,
+    * which is what this does): `rounds` merge rounds, each round
+    * (1) counting every ADJACENT character pair in the current corpus
+    * (overlapping positions counted — the standard convention),
+    * (2) electing the most frequent pair (ties broken by binary
+    * string order, so the election is deterministic and
+    * engine-portable), and (3) rewriting every non-overlapping
+    * left-to-right occurrence to a fresh single symbol from the
+    * Unicode private-use area (U+E000+r) — exactly `replace`'s
+    * semantics in both Spark and ANSI SQL, and exactly BPE's greedy
+    * merge on repeated runs ("aaaa" + merge "aa" → two symbols).
+    * Merged symbols participate in later rounds' pairs, so the merge
+    * table is the real BPE vocabulary prefix.
+    *
+    * Scale shape: each round is ONE corpus scan whose pair counts
+    * hash-aggregate map-side into at most |Σ|² keys (the alphabet is
+    * bounded, so the post-partial shuffle is tiny regardless of corpus
+    * size), plus one TakeOrdered(1) election — the only driver state
+    * is one (pair, count) row per round, the bounded-fit-tensor
+    * contract the ANN fits use. The corpus is never materialized
+    * between rounds: round r's text is the original scan under a
+    * chain of r codegen'd `StringReplace`s, so column pruning and
+    * the pushdown reach the parquet scan in every round. The extra
+    * per-round length scan (`corpus_chars_after`) shares that chain;
+    * at production scale it would fold into the next round's pair
+    * pass. Per-round cost is O(corpus); total O(rounds · corpus) —
+    * the same shape every BPE trainer has.
+    *
+    * Returns one row per merge round: `(round, c1, c2, cnt,
+    * corpus_chars_after)` with the elected pair as two Unicode
+    * codepoints (PUA symbols from earlier rounds included), its
+    * adjacent-position count, and the corpus character total after
+    * the rewrite.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long)]
+    var cur: Column = col(textCol)
+    for (r <- 0 until rounds) {
+      val pairs = df.select(cur.as("__t"))
+        .filter(length(col("__t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val bp = best.getString(0)
+      val sym = (0xE000 + r).toChar.toString
+      cur = replace(cur, lit(bp), lit(sym))
+      val charsAfter = df.select(sum(length(cur)).cast("long").as("__c"))
+        .collect()(0).getLong(0)
+      out += ((r, bp.charAt(0).toInt, bp.charAt(1).toInt,
+        best.getLong(1), charsAfter))
+    }
+    out.toSeq
+      .toDF("round", "c1", "c2", "cnt", "corpus_chars_after")
+      .orderBy("round")
+  }
 }
