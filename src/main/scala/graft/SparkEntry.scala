@@ -193,6 +193,7 @@ object SparkEntry {
     "q159_cdc_chunks" -> (P.cdcChunkDedup _),
     "q160_bpe_merges" -> (P.bpeMerges _),
     "q161_dp_release" -> (C.dpRelease _),
+    "q162_pca_power" -> (P.pcaTop _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -236,6 +237,58 @@ object SparkEntry {
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT * FROM (" + legs.mkString(" UNION ALL ") +
       ") z ORDER BY round"
+  }
+
+  /** q162's integer power iteration unrolled: every intermediate is an
+    * exact BIGINT (fixed-point coordinates, exact covariance
+    * numerator, L∞ renormalization by an integer divisor), so the CTE
+    * chain reproduces the engine bit-for-bit — the floordivs go
+    * through double division of exact integers on BOTH sides, which
+    * is correctly rounded and therefore identical. */
+  private def pcaOracle(dims: Int, iters: Int, kq: Long): String = {
+    val k2 = kq * kq
+    val head =
+      s"""q AS MATERIALIZED (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(floor(x * $kq + 0.5) AS BIGINT)) AS qa FROM embeddings),
+         |d AS (SELECT unnest(generate_series(0, ${dims - 1})) AS i),
+         |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |sij AS (SELECT di.i AS i, dj.i AS j,
+         |  CAST(sum(qa[di.i + 1] * qa[dj.i + 1]) AS BIGINT) AS sp
+         | FROM q CROSS JOIN d di CROSS JOIN d dj GROUP BY di.i, dj.i),
+         |si AS (SELECT d.i AS i, CAST(sum(qa[d.i + 1]) AS BIGINT) AS s
+         | FROM q CROSS JOIN d GROUP BY d.i),
+         |c AS MATERIALIZED (SELECT sij.i, sij.j,
+         |  CAST(floor(CAST((SELECT n FROM cnt) * sij.sp - a.s * b.s
+         |    AS DOUBLE) / (SELECT n FROM cnt)) AS BIGINT) AS c
+         | FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j),
+         |v0 AS MATERIALIZED (SELECT i, CAST($kq AS BIGINT) AS q FROM d)""".stripMargin
+    val steps = (0 until iters).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT c.i AS i, CAST(sum(c.c * v.q) AS BIGINT)
+         |  AS s FROM c JOIN v$r v ON v.i = c.j GROUP BY c.i),
+         |d$r AS (SELECT CAST(floor(CAST(max(abs(s)) AS DOUBLE) / $kq)
+         |   AS BIGINT) + 1 AS dd FROM s$r),
+         |v${r + 1} AS MATERIALIZED (SELECT i, CAST(floor(CAST(s AS DOUBLE)
+         |  / (SELECT dd FROM d$r)) AS BIGINT) AS q FROM s$r)""".stripMargin
+    }
+    val tail =
+      s"""sf AS (SELECT c.i AS i, CAST(sum(c.c * v.q) AS BIGINT) AS s
+         | FROM c JOIN v$iters v ON v.i = c.j GROUP BY c.i),
+         |istar AS (SELECT i FROM v$iters ORDER BY abs(q) DESC, i LIMIT 1),
+         |lam AS (SELECT CAST(sf.s AS DOUBLE) / CAST(v.q AS DOUBLE)
+         |   / (SELECT n FROM cnt) / $k2.0 AS eig
+         | FROM sf JOIN v$iters v USING (i)
+         | WHERE sf.i = (SELECT i FROM istar)),
+         |tr AS (SELECT CAST(sum(CASE WHEN i = j THEN c END) AS DOUBLE)
+         |   / (SELECT n FROM cnt) / $k2.0 AS trace FROM c),
+         |mq AS (SELECT CAST(max(abs(q)) AS BIGINT) AS m FROM v$iters)
+         |SELECT CAST(v.i AS INTEGER) AS dim,
+         | round(CAST(v.q AS DOUBLE) / CAST((SELECT m FROM mq) AS DOUBLE), 6)
+         |  AS loading,
+         | round((SELECT eig FROM lam), 10) AS eigval,
+         | round((SELECT eig FROM lam) / (SELECT trace FROM tr), 6)
+         |  AS explained
+         |FROM v$iters v ORDER BY dim""".stripMargin
+    "WITH " + (Seq(head) ++ steps).mkString(",\n") + ",\n" + tail
   }
 
   /** q154's truncated leg: exact top-5 by PREFIX cosine over the first
@@ -2398,6 +2451,9 @@ object SparkEntry {
     // BPE vocabulary learning: the merge elections and the rewritten
     // corpus restate round-by-round as an unrolled CTE chain
     "q160_bpe_merges" -> bpeOracle(6),
+    // PCA by integer power iteration: exact fixed-point covariance +
+    // L∞-renormalized rounds unroll to bit-identical CTEs
+    "q162_pca_power" -> pcaOracle(64, 8, 10000L),
     // ε-DP Laplace release: inverse-CDF noise at an md5 uniform is a
     // closed form, so the whole release (noise, post-processing,
     // utility audit) restates in SQL across the ε ladder

@@ -1486,6 +1486,12 @@ object PipelineQueries {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     TextCorpus.bpeMerges(Tables.documents(s, dir), "text", rounds = 6)
 
+  // q162: top principal component of the embedding cloud — integer
+  // power iteration on the exact fixed-point covariance
+  def pcaTop(s: SparkSession, dir: String): DataFrame =
+    Spectral.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
+      dims = 64, iters = 8)
+
   // context-window chunk plan: 32-token chunks, 8-token overlap (sized
   // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
   // the production default is 128/16) — one row per training chunk
