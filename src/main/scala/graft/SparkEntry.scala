@@ -194,6 +194,7 @@ object SparkEntry {
     "q160_bpe_merges" -> (P.bpeMerges _),
     "q161_dp_release" -> (C.dpRelease _),
     "q162_pca_power" -> (P.pcaTop _),
+    "q163_html_extract" -> (P.htmlExtract _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2454,6 +2455,55 @@ object SparkEntry {
     // PCA by integer power iteration: exact fixed-point covariance +
     // L∞-renormalized rounds unroll to bit-identical CTEs
     "q162_pca_power" -> pcaOracle(64, 8, 10000L),
+    // HTML boilerplate removal: generation and the RE2-safe extraction
+    // regexes restate verbatim (DuckDB regexp_replace needs the 'g'
+    // flag Spark applies implicitly)
+    "q163_html_extract" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  '<body><div class="nav"><a href="/">home</a> <a href="/a">about</a></div>'
+        |  || array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(w) / 10.0) AS INTEGER) - 1),
+        |    i -> CASE WHEN CAST(('0x' || substr(md5('blk:' || doc_id
+        |        || ':' || i), 1, 8)) AS BIGINT) % 3 = 0
+        |      THEN '<div class="m">' || array_to_string(list_transform(
+        |        list_slice(w, i * 10 + 1, i * 10 + 10),
+        |        x -> '<a href="#' || x || '">' || x || '</a>'), '')
+        |        || '</div>'
+        |      ELSE '<p>' || array_to_string(
+        |        list_slice(w, i * 10 + 1, i * 10 + 10), ' ') || '</p>'
+        |      END), '')
+        |  || '</body>' AS html
+        | FROM w),
+        |spl AS (SELECT doc_id,
+        |  string_split_regex(html, '</p>|</div>') AS l FROM h),
+        |p0 AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(l))) AS pos, l FROM spl),
+        |p AS (SELECT doc_id, pos, l[CAST(pos AS INTEGER)] AS raw,
+        |  regexp_replace(l[CAST(pos AS INTEGER)], '<[^>]*>', '', 'g')
+        |   AS vis FROM p0),
+        |b AS (SELECT doc_id, pos, vis, strlen(vis) AS nv,
+        |  coalesce(list_sum(list_transform(
+        |    regexp_extract_all(raw, '<a [^>]*>([^<]*)</a>', 1),
+        |    s -> strlen(s))), 0) AS lc
+        | FROM p WHERE strlen(vis) > 0),
+        |k AS (SELECT doc_id, pos, vis, nv,
+        |  (CAST(lc AS DOUBLE) / CAST(nv AS DOUBLE)) <= 0.5 AS keep
+        | FROM b)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN keep THEN nv ELSE 0 END) AS BIGINT)
+        |  AS kept_chars,
+        | CAST(sum(nv) AS BIGINT) AS total_chars,
+        | md5(coalesce(string_agg(vis, ' ' ORDER BY pos)
+        |   FILTER (WHERE keep), '')) AS main_md5,
+        | round(1.0 - CAST(sum(CASE WHEN keep THEN nv ELSE 0 END)
+        |    AS DOUBLE) / CAST(sum(nv) AS DOUBLE), 6) AS boiler_frac
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ε-DP Laplace release: inverse-CDF noise at an md5 uniform is a
     // closed form, so the whole release (noise, post-processing,
     // utility audit) restates in SQL across the ε ladder

@@ -1492,6 +1492,14 @@ object PipelineQueries {
     Spectral.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
       dims = 64, iters = 8)
 
+  // q163: HTML wrap + link-density boilerplate removal — the web-corpus
+  // text-extraction stage; the extractor sees ONLY the html column
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    Html.extractMain(
+        Html.htmlFromDocs(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id")
+      .orderBy("doc_id")
+
   // context-window chunk plan: 32-token chunks, 8-token overlap (sized
   // so the gate corpus — 10..99-token docs — genuinely multi-chunks;
   // the production default is 128/16) — one row per training chunk
