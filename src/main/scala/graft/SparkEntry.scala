@@ -195,6 +195,7 @@ object SparkEntry {
     "q161_dp_release" -> (C.dpRelease _),
     "q162_pca_power" -> (P.pcaTop _),
     "q163_html_extract" -> (P.htmlExtract _),
+    "q164_bpe_encode" -> (P.bpeEncode _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -216,29 +217,55 @@ object SparkEntry {
     * and Spark share, so repeated runs ("aaaa" → two symbols) agree.
     * Merge symbols are chr(0xE000+r); binary string order over them
     * matches Spark's UTF8String comparison. */
-  private def bpeOracle(rounds: Int): String = {
-    val ctes = Seq("t0 AS (SELECT text AS t FROM documents)") ++
+  private def bpeCtes(rounds: Int): String = {
+    val ctes = Seq(
+      "t0 AS MATERIALIZED (SELECT doc_id, text AS t FROM documents)") ++
       (0 until rounds).flatMap { r =>
         Seq(
-          s"""p$r AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,
-             |  CAST(count(*) AS BIGINT) AS cnt
+          s"""p$r AS MATERIALIZED (SELECT substr(t, CAST(i AS INTEGER), 2)
+             |  AS pair, CAST(count(*) AS BIGINT) AS cnt
              | FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
              |   FROM t$r WHERE length(t) >= 2) x
              | GROUP BY pair)""".stripMargin,
-          s"b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)",
-          s"""t${r + 1} AS (SELECT replace(t, (SELECT pair FROM b$r),
-             | chr(${0xE000 + r})) AS t FROM t$r)""".stripMargin)
+          s"""b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
+             | ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin,
+          s"""t${r + 1} AS MATERIALIZED (SELECT doc_id,
+             | replace(t, (SELECT pair FROM b$r),
+             |  chr(${0xE000 + r})) AS t FROM t$r)""".stripMargin)
       }
+    "WITH " + ctes.mkString(",\n")
+  }
+
+  private def bpeOracle(rounds: Int): String = {
     val legs = (0 until rounds).map { r =>
       s"""SELECT $r AS round, ascii(substr(pair, 1, 1)) AS c1,
          | ascii(substr(pair, 2, 1)) AS c2, cnt,
          | (SELECT CAST(sum(length(t)) AS BIGINT) FROM t${r + 1})
          |   AS corpus_chars_after FROM b$r""".stripMargin
     }
-    "WITH " + ctes.mkString(",\n") +
+    bpeCtes(rounds) +
       "\nSELECT * FROM (" + legs.mkString(" UNION ALL ") +
       ") z ORDER BY round"
   }
+
+  /** q164's encode tail over the same fit chain: per-doc symbol counts
+    * on the fully-merged text (length() = characters — the PUA merge
+    * symbols are 3 UTF-8 bytes, so strlen would be wrong). */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeCtes(rounds) +
+      s"""
+         |SELECT a.doc_id,
+         | CAST(length(a.t) AS BIGINT) AS n_chars,
+         | CAST(len(string_split_regex(trim(a.t), '\\s+')) AS BIGINT)
+         |  AS n_words,
+         | CAST(length(b.t) AS BIGINT) AS n_tokens,
+         | round(CAST(length(a.t) AS DOUBLE) / CAST(length(b.t) AS DOUBLE), 6)
+         |  AS compression,
+         | round(CAST(length(b.t) AS DOUBLE)
+         |   / CAST(len(string_split_regex(trim(a.t), '\\s+')) AS DOUBLE), 6)
+         |  AS fertility
+         |FROM t0 a JOIN t$rounds b USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin
 
   /** q162's integer power iteration unrolled: every intermediate is an
     * exact BIGINT (fixed-point coordinates, exact covariance
@@ -2452,6 +2479,8 @@ object SparkEntry {
     // BPE vocabulary learning: the merge elections and the rewritten
     // corpus restate round-by-round as an unrolled CTE chain
     "q160_bpe_merges" -> bpeOracle(6),
+    // BPE apply/fertility: same fit chain, per-doc encode tail
+    "q164_bpe_encode" -> bpeEncodeOracle(6),
     // PCA by integer power iteration: exact fixed-point covariance +
     // L∞-renormalized rounds unroll to bit-identical CTEs
     "q162_pca_power" -> pcaOracle(64, 8, 10000L),

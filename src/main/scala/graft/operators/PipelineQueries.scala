@@ -1486,6 +1486,13 @@ object PipelineQueries {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     TextCorpus.bpeMerges(Tables.documents(s, dir), "text", rounds = 6)
 
+  // q164: tokenizer apply — encode with the learned merges, report
+  // per-doc compression and fertility
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        rounds = 6)
+      .orderBy("doc_id")
+
   // q162: top principal component of the embedding cloud — integer
   // power iteration on the exact fixed-point covariance
   def pcaTop(s: SparkSession, dir: String): DataFrame =

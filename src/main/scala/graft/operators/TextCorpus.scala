@@ -575,6 +575,16 @@ object TextCorpus {
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeFit(df, textCol, rounds)._1
+      .toDF("round", "c1", "c2", "cnt", "corpus_chars_after")
+      .orderBy("round")
+  }
+
+  /** The fit loop shared by [[bpeMerges]] and [[bpeEncode]]: returns
+    * the merge table rows and the final rewrite chain (the original
+    * text column under `rounds` chained codegen'd replaces). */
+  private def bpeFit(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, Int, Int, Long, Long)], Column) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long)]
     var cur: Column = col(textCol)
     for (r <- 0 until rounds) {
@@ -594,8 +604,32 @@ object TextCorpus {
       out += ((r, bp.charAt(0).toInt, bp.charAt(1).toInt,
         best.getLong(1), charsAfter))
     }
-    out.toSeq
-      .toDF("round", "c1", "c2", "cnt", "corpus_chars_after")
-      .orderBy("round")
+    (out.toSeq, cur)
+  }
+
+  /** Tokenizer APPLY for the [[bpeMerges]] fit — the fertility audit
+    * every tokenizer change ships with: encode each document with the
+    * learned merge chain and report its symbol count against raw
+    * characters and whitespace words. `compression` = chars/symbol
+    * (higher = the vocabulary covers the corpus better);
+    * `fertility` = symbols/word (lower = fewer tokens per word, the
+    * number LM training cost scales with).
+    *
+    * Scale shape: the fit is [[bpeFit]] (one bounded-alphabet
+    * aggregate per round); the encode pass is ONE scan — the merge
+    * chain is `rounds` chained codegen'd `replace`s on the original
+    * column, so the apply step adds no shuffle at all.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, encoded) = bpeFit(df, textCol, rounds)
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_words"),
+        length(encoded).cast("long").as("n_tokens"))
+      .withColumn("compression", MysqlFunctions.oracleRound(
+        col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("fertility", MysqlFunctions.oracleRound(
+        col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
   }
 }

@@ -638,6 +638,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byEps(0.25) > byEps(1.0) && byEps(1.0) > byEps(4.0))
   }
 
+  test("bpeEncode: per-doc token counts equal an independent JVM replay of the merges") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val merges = TextCorpus.bpeMerges(docs, "text", rounds = 4)
+      .collect().map(r => (r.getInt(1).toChar.toString + r.getInt(2).toChar,
+        (0xE000 + r.getInt(0)).toChar.toString))
+    val enc = TextCorpus.bpeEncode(docs, "doc_id", "text", rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val texts = docs.select("doc_id", "text")
+      .as[(Long, String)].collect()
+    for ((id, t) <- texts) {
+      val encoded = merges.foldLeft(t) { case (s, (p, sym)) =>
+        s.replace(p, sym)
+      }
+      assert(enc(id) == ((t.length.toLong, encoded.length.toLong)), s"doc $id")
+    }
+    // compression must be strictly > 1 somewhere (merges fired)
+    assert(texts.exists { case (id, t) => enc(id)._2 < t.length })
+  }
+
   test("bpeMerges: hand-checked elections, greedy-run rewrite, PUA chaining") {
     // round 0: pairs aa:3 (overlapping counted), ab:2 -> merge aa->E000
     //   "aaab" -> "ab" (greedy left-to-right), "aab" -> "b"
