@@ -196,6 +196,8 @@ object SparkEntry {
     "q162_pca_power" -> (P.pcaTop _),
     "q163_html_extract" -> (P.htmlExtract _),
     "q164_bpe_encode" -> (P.bpeEncode _),
+    "q165_phrase_search" -> (P.phraseSearch _),
+    "q166_zipf_fit" -> (P.zipfFit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2481,6 +2483,57 @@ object SparkEntry {
     "q160_bpe_merges" -> bpeOracle(6),
     // BPE apply/fertility: same fit chain, per-doc encode tail
     "q164_bpe_encode" -> bpeEncodeOracle(6),
+    // phrase probe: bigram election + consecutive-position scan both
+    // restate over the split arrays
+    "q165_phrase_search" ->
+      """WITH a AS MATERIALIZED (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+        |  AS a FROM documents),
+        |b0 AS MATERIALIZED (
+        | SELECT doc_id, unnest(generate_series(1, len(a) - 1)) AS i, a
+        | FROM a WHERE len(a) >= 2),
+        |pr AS (SELECT a[CAST(i AS INTEGER)] AS w1,
+        |  a[CAST(i AS INTEGER) + 1] AS w2 FROM b0),
+        |bi AS (SELECT w1, w2, count(*) AS cnt FROM pr GROUP BY w1, w2),
+        |best AS MATERIALIZED (
+        | SELECT w1, w2 FROM bi ORDER BY cnt DESC, w1, w2 LIMIT 1),
+        |occ AS (SELECT b0.doc_id, i - 1 AS pos0 FROM b0, best
+        | WHERE a[CAST(i AS INTEGER)] = best.w1
+        |  AND a[CAST(i AS INTEGER) + 1] = best.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        | CAST(min(pos0) AS BIGINT) AS first_pos,
+        | (SELECT w1 FROM best) AS w1, (SELECT w2 FROM best) AS w2
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Zipf fit: fixed-point regression sums are exact integers; the
+    // slope/intercept/R2 ratios evaluate in the same IEEE sequence
+    "q166_zipf_fit" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100),
+        |r AS (SELECT cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM top),
+        |q AS (SELECT CAST(floor(ln(rnk) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(ln(cnt) * 1000000.0 + 0.5) AS BIGINT) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy FROM q),
+        |f AS (SELECT n, sx, sy,
+        |  CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |  CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS denx,
+        |  CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny
+        | FROM s)
+        |SELECT n AS n_terms,
+        | round(num / denx, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - (num / denx) * sx) / n / 1000000.0, 6)
+        |  AS intercept,
+        | round(num * num / (denx * deny), 6) AS r2
+        |FROM f""".stripMargin,
     // PCA by integer power iteration: exact fixed-point covariance +
     // L∞-renormalized rounds unroll to bit-identical CTEs
     "q162_pca_power" -> pcaOracle(64, 8, 10000L),

@@ -1493,6 +1493,15 @@ object PipelineQueries {
         rounds = 6)
       .orderBy("doc_id")
 
+  // q165: consecutive-bigram phrase probe at the corpus' top bigram
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.phraseSearch(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // q166: Zipf rank-frequency slope over the top-100 vocabulary head
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.zipfFit(lowerToks(s, dir), topK = 100)
+
   // q162: top principal component of the embedding cloud — integer
   // power iteration on the exact fixed-point covariance
   def pcaTop(s: SparkSession, dir: String): DataFrame =

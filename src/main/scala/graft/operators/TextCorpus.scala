@@ -620,6 +620,90 @@ object TextCorpus {
     * chain is `rounds` chained codegen'd `replace`s on the original
     * column, so the apply step adds no shuffle at all.
     */
+  /** Positional phrase search: elect the corpus' most frequent word
+    * bigram (count DESC, words ASC — deterministic) and emit every
+    * document containing it as a CONSECUTIVE phrase, with match count
+    * and first 0-based word position. The classic positional-index
+    * probe, done Spark-first: bigram counting and phrase probing both
+    * ride the per-row token array (map-only pair generation, map-side
+    * combined counts) — no positional-postings self-join exists
+    * anywhere in the plan. A term-partitioned postings table is the
+    * right layout when queries arrive dynamically; for a known
+    * phrase, scanning the token arrays IS the minimal plan (one
+    * corpus scan + a 1-row election), and overlapping matches are
+    * counted exactly like the postings adjacency join would.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = df.select(col(idCol),
+      TextFunctions.tokens(lower(trim(col(textCol)))).as("a"))
+    val best = arr.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(1).collect()(0)
+    val (w1, w2) = (best.getString(0), best.getString(1))
+    arr.filter(size(col("a")) >= 2)
+      .select(col(idCol), filter(expr("sequence(0, size(a) - 2)"),
+        i => element_at(col("a"), (i + lit(1)).cast("int")) === lit(w1) &&
+          element_at(col("a"), (i + lit(2)).cast("int")) === lit(w2))
+        .as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col(idCol),
+        size(col("hits")).cast("long").as("n_matches"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"),
+        lit(w1).as("w1"), lit(w2).as("w2"))
+  }
+
+  /** Zipf rank–frequency fit over the vocabulary head: least-squares
+    * slope of ln(count) on ln(rank) for the top `topK` terms — the
+    * corpus-health diagnostic next to [[vocabGrowth]]'s Heaps law
+    * (natural corpora sit near slope −1; synthetic/templated text
+    * shows up flat). All regression sums run over FIXED-POINT
+    * quantized coordinates (`floor(ln·10⁶+0.5)` longs), so the sums
+    * are exact integers — order-independent, engine-portable — and
+    * the slope/intercept/R² are ratios of exact integers evaluated in
+    * an identical IEEE sequence both sides (the q162 discipline).
+    *
+    * Scale shape: one map-side-combined term count (the only
+    * corpus-sized shuffle), a TakeOrdered head, and a 100-row
+    * aggregate. Nothing vocabulary-sized leaves the executors.
+    */
+  def zipfFit(toks: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val ranked = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+    val q = ranked.select(
+      floor(log(col("rnk").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("y"))
+    q.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n").cast("double") * col("sxy")
+        - col("sx").cast("double") * col("sy"))
+      .withColumn("denx", col("n").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("deny", col("n").cast("double") * col("syy")
+        - col("sy").cast("double") * col("sy"))
+      .withColumn("slope_raw", col("num") / col("denx"))
+      .select(col("n").as("n_terms"),
+        MysqlFunctions.oracleRound(col("slope_raw"), 6).as("slope"),
+        MysqlFunctions.oracleRound(
+          (col("sy").cast("double") - col("slope_raw") * col("sx"))
+            / col("n") / lit(1e6), 6).as("intercept"),
+        MysqlFunctions.oracleRound(
+          col("num") * col("num") / (col("denx") * col("deny")), 6)
+          .as("r2"))
+  }
+
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val (_, encoded) = bpeFit(df, textCol, rounds)

@@ -638,6 +638,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byEps(0.25) > byEps(1.0) && byEps(1.0) > byEps(4.0))
   }
 
+  test("phraseSearch: deterministic election, overlapping consecutive matches, position base") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // (a,b)@0,2  (b,a)@1,3
+      (2L, "b a b"),       // (a,b)@1    (b,a)@0
+      (3L, "c c c")        // no a/b
+    ).toDF("doc_id", "text")
+    // counts: (a,b)=3, (b,a)=3, (c,c)=2 -> tie broken by w1 asc: (a,b)
+    val out = TextCorpus.phraseSearch(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq((1L, 2L, 0L, "a", "b"), (2L, 1L, 1L, "a", "b")))
+    // partition invariance
+    val re = TextCorpus.phraseSearch(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("zipfFit: exact power-law corpus fits slope -1 with r2 ~ 1") {
+    // term k appears round(1000/k) times, k = 1..50 -> ln cnt = ln 1000 - ln k
+    val toks = (1 to 50).flatMap(k =>
+      Seq.fill(math.round(1000.0 / k).toInt)(f"t$k%03d"))
+      .map(Tuple1(_)).toDF("term")
+    val out = TextCorpus.zipfFit(toks, topK = 50).collect()(0)
+    val (n, slope, r2) = (out.getLong(0), out.getDouble(1), out.getDouble(3))
+    assert(n == 50L)
+    assert(math.abs(slope + 1.0) < 0.01, s"slope=$slope")
+    assert(r2 > 0.999, s"r2=$r2")
+    // determinism across partitionings
+    val re = TextCorpus.zipfFit(toks.repartition(7), topK = 50).collect()(0)
+    assert(out.toSeq == re.toSeq)
+  }
+
   test("bpeEncode: per-doc token counts equal an independent JVM replay of the merges") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val merges = TextCorpus.bpeMerges(docs, "text", rounds = 4)
