@@ -198,6 +198,10 @@ object SparkEntry {
     "q164_bpe_encode" -> (P.bpeEncode _),
     "q165_phrase_search" -> (P.phraseSearch _),
     "q166_zipf_fit" -> (P.zipfFit _),
+    "q167_hll_distinct" -> (P.hllBigrams _),
+    "q168_blocklist_scan" -> (P.blocklistScan _),
+    "q169_char_entropy" -> (P.charEntropy _),
+    "q172_gopher_rules" -> (P.gopherRules _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2534,6 +2538,126 @@ object SparkEntry {
         |  AS intercept,
         | round(num * num / (denx * deny), 6) AS r2
         |FROM f""".stripMargin,
+    // HyperLogLog: register construction is pure integer arithmetic on
+    // the shared md5 hash (bucket = h mod 64, rank via minimal-width
+    // bin()), the indicator sum stays a 2^55-scaled BIGINT, and only
+    // the final alpha*m^2/Z ratio runs in doubles — so the ESTIMATE
+    // reproduces bit-for-bit, not just the exact count
+    "q167_hll_distinct" ->
+      """WITH d0 AS (SELECT lang,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |g AS (SELECT lang, a, unnest(generate_series(1, len(a) - 1)) AS i
+        | FROM d0 WHERE len(a) >= 2),
+        |bgs AS (SELECT lang,
+        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS bg
+        | FROM g),
+        |h AS (SELECT lang, bg,
+        |  CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS hv FROM bgs),
+        |r AS (SELECT lang, hv % 64 AS bucket, hv >> 6 AS w FROM h),
+        |reg AS (SELECT lang, bucket,
+        |  max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        | FROM r GROUP BY lang, bucket),
+        |z AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER)) AS BIGINT)
+        |    AS z_regs
+        | FROM reg GROUP BY lang),
+        |ex AS (SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) AS n_exact
+        | FROM bgs GROUP BY lang),
+        |f AS (SELECT z.lang, CAST(64 - nb AS BIGINT) AS v_zero,
+        |  z_regs + CAST(64 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 55)
+        |    AS z_scaled, n_exact
+        | FROM z JOIN ex ON z.lang = ex.lang),
+        |e1 AS (SELECT lang, v_zero, z_scaled, n_exact,
+        |  CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |    * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(z_scaled AS DOUBLE) AS est_raw
+        | FROM f),
+        |e2 AS (SELECT lang, v_zero, z_scaled, n_exact,
+        |  CASE WHEN est_raw <= 160.0 AND v_zero > 0
+        |    THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE est_raw END AS eu
+        | FROM e1)
+        |SELECT lang, v_zero, z_scaled, n_exact, round(eu, 4) AS est,
+        | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
+        |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
+        |FROM e2 ORDER BY lang""".stripMargin,
+    // blocklist: corpus-derived top-8 df terms (len >= 4), tiered
+    // drop/flag/keep policy; zero-hit docs reattach via left join
+    "q168_blocklist_scan" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        | WHERE length(term) >= 4 GROUP BY term),
+        |bl AS MATERIALIZED (
+        | SELECT term FROM dfq ORDER BY df DESC, term LIMIT 8),
+        |h AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT t.term) AS BIGINT) AS n_hit_terms
+        | FROM toks t JOIN bl ON t.term = bl.term GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        | coalesce(h.n_hit_terms, 0) AS n_hit_terms,
+        | CASE WHEN coalesce(h.n_hit_terms, 0) >= 3 THEN 'drop'
+        |   WHEN coalesce(h.n_hit_terms, 0) >= 1 THEN 'flag'
+        |   ELSE 'keep' END AS action
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // char entropy: 26 length-diff probes (map-only both sides), each
+    // c*ln(c) term fixed-point quantized so the sum is an exact BIGINT
+    "q169_char_entropy" -> {
+      val cnts = ('a' to 'z').map(c =>
+        s"length(t) - length(replace(t, '$c', ''))").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |c AS (SELECT doc_id, [$cnts] AS cnts FROM b),
+         |s AS (SELECT doc_id,
+         |  CAST(list_sum(cnts) AS BIGINT) AS n_letters,
+         |  CAST(len(list_filter(cnts, x -> x > 0)) AS BIGINT)
+         |    AS n_distinct_letters,
+         |  CAST(list_sum(list_transform(cnts, x -> CASE WHEN x > 0
+         |    THEN CAST(floor(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END)) AS BIGINT) AS s_fp,
+         |  CAST(list_max(cnts) AS BIGINT) AS max_cnt
+         | FROM c)
+         |SELECT doc_id, n_letters, n_distinct_letters,
+         | CASE WHEN n_letters = 0 THEN 0.0 ELSE round(
+         |   (ln(CAST(n_letters AS DOUBLE)) - CAST(s_fp AS DOUBLE)
+         |     / 1000000.0 / CAST(n_letters AS DOUBLE)) / ln(2.0), 6)
+         |  END AS entropy_bits,
+         | CASE WHEN n_letters = 0 THEN 0.0 ELSE round(
+         |   CAST(max_cnt AS DOUBLE) / CAST(n_letters AS DOUBLE), 6)
+         |  END AS max_letter_frac
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    // Gopher rules: every ratio threshold restated as integer
+    // cross-multiplication, so all five predicates are exact
+    "q172_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(a) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(a, w -> length(w))), 0)
+        |    AS BIGINT) AS sum_len,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(a),
+        |    t -> len(list_filter(a, x -> x = t)))), 0) AS BIGINT)
+        |    AS mode_cnt,
+        |  CAST(len(list_filter(a, x -> regexp_matches(x, '^[a-z]+$')))
+        |    AS BIGINT) AS n_alpha,
+        |  list_contains(a, 'the') OR list_contains(a, 'a') AS r3_stopword
+        | FROM b)
+        |SELECT doc_id, n_words, sum_len, mode_cnt,
+        | (n_words >= 20 AND n_words <= 400) AS r1_count,
+        | (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS r2_wordlen,
+        | r3_stopword,
+        | (mode_cnt * 4 <= n_words) AS r4_dominance,
+        | (n_alpha * 5 >= n_words * 4) AS r5_alpha,
+        | ((n_words >= 20 AND n_words <= 400)
+        |   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+        |   AND r3_stopword AND (mode_cnt * 4 <= n_words)
+        |   AND (n_alpha * 5 >= n_words * 4)) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     // PCA by integer power iteration: exact fixed-point covariance +
     // L∞-renormalized rounds unroll to bit-identical CTEs
     "q162_pca_power" -> pcaOracle(64, 8, 10000L),

@@ -122,7 +122,8 @@ object PipelineQueries {
   private def tokenArrays(s: SparkSession, dir: String): DataFrame =
     tokArrStage.getOrElseUpdate((s, dir),
       Tables.documents(s, dir)
-        .select(col("doc_id"), T.tokens(lower(col("text"))).as("a"))
+        .select(col("doc_id"), col("lang"),
+          T.tokens(lower(col("text"))).as("a"))
         .localCheckpoint())
 
   /** Shared exploded token stream, derived from [[tokenArrays]] —
@@ -1501,6 +1502,33 @@ object PipelineQueries {
   // q166: Zipf rank-frequency slope over the top-100 vocabulary head
   def zipfFit(s: SparkSession, dir: String): DataFrame =
     TextCorpus.zipfFit(lowerToks(s, dir), topK = 100)
+
+  // q167: per-language HyperLogLog distinct-BIGRAM estimate (p=6 so the
+  // ~1.6k-bigram space exercises the raw-estimate regime, not just
+  // linear counting); bigrams from the ONE shared tokenize stage
+  def hllBigrams(s: SparkSession, dir: String): DataFrame = {
+    val bg = tokenArrays(s, dir).filter(size(col("a")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("a")) - 1),
+          i => concat(element_at(col("a"), i), lit(" "),
+            element_at(col("a"), i + 1)))).as("bg"))
+    TextCorpus.hllDistinct(bg, "lang", "bg", p = 6)
+  }
+
+  // q168: tiered blocklist scan — corpus-derived top-8 df terms of
+  // length >= 4; broadcast list join, hit-only shuffle
+  def blocklistScan(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.blocklistScan(Tables.documents(s, dir), lowerToks(s, dir),
+      "doc_id", k = 8, minLen = 4)
+
+  // q169: map-only character-entropy quality signal
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+
+  // q172: Gopher/MassiveText composite quality rules, zero-shuffle
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+      minWords = 20, maxWords = 400)
 
   // q162: top principal component of the embedding cloud — integer
   // power iteration on the exact fixed-point covariance

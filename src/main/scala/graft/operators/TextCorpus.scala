@@ -716,4 +716,206 @@ object TextCorpus {
       .withColumn("fertility", MysqlFunctions.oracleRound(
         col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
   }
+
+  /** HyperLogLog distinct-count estimate per key (Flajolet et al. 2007),
+    * built on the engine's universal md5 hash so the DuckDB oracle
+    * reproduces the ESTIMATE bit-for-bit, not just the exact count.
+    *
+    * Register construction is fully integer-exact: the 60-bit
+    * `md5Int(item, 15)` splits into `bucket = h mod m` and
+    * `w = h div m`; the rank is `maxBits + 1 - bitlen(w)` with
+    * `bitlen` via `length(bin(w))` (minimal-width binary string in
+    * both Spark and DuckDB — no float log2 at power-of-two
+    * boundaries). The indicator sum is kept scaled by `2^(maxBits+1)`
+    * so it stays an exact BIGINT (`shiftleft`); only the final
+    * alpha·m²/Z ratio and the small-range linear-counting correction
+    * `m·ln(m/V)` touch doubles, in an identical IEEE sequence on both
+    * engines (the q166 fixed-point discipline).
+    *
+    * Scale shape — THE distinct-count architecture at 100 TB: the only
+    * corpus-sized step is a (key, bucket)-keyed max that map-side
+    * combines down to ≤ m rows per key per partition, then an m-row
+    * aggregate per key. Registers are mergeable (pointwise max), so
+    * per-shard register tables union and re-max without touching raw
+    * items — unlike `count(distinct)` which shuffles every distinct
+    * item. The gate query also emits the exact count purely as the
+    * oracle's recall check (q106 pattern); at scale you would drop it.
+    *
+    * p=6 (m=64) in the gate so the synthetic corpus' ~1.6 k-bigram
+    * cardinality genuinely exercises the raw-estimate regime, not just
+    * linear counting; alphaFor matches the published constants.
+    */
+  def hllDistinct(pairs: DataFrame, keyCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL precision $p outside [4,14]")
+    val m = 1 << p
+    val maxBits = 60 - p                 // bits left in w after the bucket
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = TextFunctions.md5Int(col(itemCol), 15)
+    // h is non-negative, m a power of two: bucket/rest via exact bit ops
+    // (a double-typed `/` would lose bits above 2^53)
+    val hashed = pairs.select(col(keyCol),
+      pmod(h, lit(m.toLong)).as("bucket"),
+      shiftright(h, p).as("w"))
+    val withRho = hashed.withColumn("rho",
+      when(col("w") === 0, lit(maxBits + 1))
+        .otherwise(lit(maxBits + 1) - length(bin(col("w")))).cast("int"))
+    val regs = withRho.groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val z = regs.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("nb"),
+      sum(call_function("shiftleft", lit(1L),
+        lit(maxBits + 1) - col("rho"))).as("z_regs"))
+    val exact = pairs.groupBy(col(keyCol))
+      .agg(countDistinct(col(itemCol)).as("n_exact"))
+    val scaleF = math.pow(2.0, (maxBits + 1).toDouble)   // exact in double
+    z.join(exact, Seq(keyCol))
+      .withColumn("v_zero", lit(m.toLong) - col("nb"))
+      .withColumn("z_scaled",
+        col("z_regs") + col("v_zero") * shiftleft(lit(1L), maxBits + 1))
+      .withColumn("est_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(scaleF)
+          / col("z_scaled").cast("double"))
+      .withColumn("est_unrounded",
+        when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("est_raw")))
+      .withColumn("est", MysqlFunctions.oracleRound(col("est_unrounded"), 4))
+      .withColumn("rel_err", MysqlFunctions.oracleRound(
+        (col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6))
+      .select(col(keyCol), col("v_zero"), col("z_scaled"),
+        col("n_exact"), col("est"), col("rel_err"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Blocklist scan — the banned-term filtering stage of a web-corpus
+    * pipeline, with the list itself DERIVED from the corpus so the gate
+    * is self-contained: the top `k` terms by document frequency among
+    * terms of length ≥ `minLen` (df desc, term asc — deterministic).
+    * Per document: total blocklisted occurrences, distinct blocklisted
+    * terms hit, and the policy action (`drop` ≥ 3 distinct hits,
+    * `flag` ≥ 1, else `keep`) — the CCNet/RefinedWeb-style tiered
+    * policy rather than a binary filter.
+    *
+    * Scale shape: df is one map-side-combined term count; the k-row
+    * list broadcast-joins against the token stream (Spark plans a
+    * BroadcastHashJoin — no shuffle of the corpus), and the per-doc
+    * rollup shuffles only the HIT tokens, a k-term-bounded subset.
+    * Documents with zero hits never leave the map side — the final
+    * left join reattaches them with `keep`. In production the list is
+    * a provided table; the derivation here stands in for the lookup.
+    */
+  def blocklistScan(df: DataFrame, toks: DataFrame, idCol: String,
+      k: Int, minLen: Int): DataFrame = {
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(length(col("term")) >= minLen)
+      .orderBy(col("df").desc, col("term").asc).limit(k)
+      .select(col("term"))
+    val hits = toks.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast("long").as("n_hits"),
+        countDistinct(col("term")).as("n_hit_terms"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits", "n_hit_terms"))
+      .withColumn("action",
+        when(col("n_hit_terms") >= 3, lit("drop"))
+          .when(col("n_hit_terms") >= 1, lit("flag"))
+          .otherwise(lit("keep")))
+      .orderBy(col(idCol))
+  }
+
+  /** Character-entropy quality signal — Shannon entropy (bits) of the
+    * document's letter distribution over the fixed a–z alphabet, the
+    * cheap gibberish/templating detector that needs no model (low
+    * entropy ⇒ repeated few letters ⇒ boilerplate or degenerate text).
+    *
+    * Per-letter counts come from 26 `length(text) − length(replace())`
+    * probes — a pure projection, NO explode: the naive per-char
+    * explode+groupBy shape multiplies the corpus ~500× through a
+    * (doc, char) shuffle, while a bounded alphabet makes entropy
+    * map-only (zero shuffles; one WholeStageCodegen span — the q172
+    * discipline). Entropy itself follows the fixed-point contract:
+    * each c·ln(c) term quantized to an exact `floor(·10⁶+.5)` long and
+    * summed in fixed a–z order, so the sum is order-independent and
+    * engine-exact; only the final `ln(T) − S/10⁶/T)/ln 2` ratio runs
+    * in doubles, in an identical IEEE sequence both sides.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val cnts = array(('a' to 'z').map { ch =>
+      (length(t) - length(regexp_replace(t, ch.toString, ""))).cast("long")
+    }: _*)
+    val base = df.select(col(idCol), cnts.as("cnts"))
+      .withColumn("n_letters", aggregate(col("cnts"), lit(0L), (a, x) => a + x))
+      .withColumn("n_distinct_letters",
+        size(filter(col("cnts"), x => x > 0)).cast("long"))
+      .withColumn("s_fp", aggregate(col("cnts"), lit(0L), (a, x) =>
+        a + when(x > 0,
+          floor(x.cast("double") * log(x.cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")).otherwise(lit(0L))))
+      .withColumn("max_cnt", coalesce(array_max(col("cnts")), lit(0L)))
+    base.select(col(idCol), col("n_letters"), col("n_distinct_letters"),
+        when(col("n_letters") === 0, lit(0.0))
+          .otherwise(MysqlFunctions.oracleRound(
+            (log(col("n_letters").cast("double"))
+              - col("s_fp").cast("double") / lit(1e6)
+                / col("n_letters").cast("double"))
+              / log(lit(2.0)), 6)).as("entropy_bits"),
+        when(col("n_letters") === 0, lit(0.0))
+          .otherwise(MysqlFunctions.oracleRound(
+            col("max_cnt").cast("double") / col("n_letters").cast("double"),
+            6)).as("max_letter_frac"))
+      .orderBy(col(idCol))
+  }
+
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1, the
+    * MassiveText filter family) — each rule a deterministic predicate
+    * over one document, all five evaluated in a single map-only
+    * projection with ZERO shuffles: quality filtering at 100 TB is
+    * embarrassingly parallel and the plan must say so (one
+    * WholeStageCodegen span over the scan; verified in the spec).
+    *
+    * Ratio rules compare via integer cross-multiplication
+    * (`mean ≥ 3 ⇔ sum ≥ 3n`), so every predicate is EXACT integer
+    * arithmetic — no float thresholds to drift between engines. The
+    * top-term dominance count (repetition signal) is a bounded-
+    * vocabulary higher-order-function fold over the token array —
+    * O(distinct·len) per row, map-side, instead of the explode +
+    * (doc,term) shuffle a naive mode computation would cost.
+    *
+    * Rules: r1 word count in [minWords,maxWords]; r2 mean word length
+    * in [3,10]; r3 contains a stopword; r4 top-term fraction ≤ 1/4;
+    * r5 alphabetic-word fraction ≥ 4/5. keep = all five.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int): DataFrame = {
+    val a = TextFunctions.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), a.as("a"))
+      .withColumn("n_words", size(col("a")).cast("long"))
+      .withColumn("sum_len", aggregate(col("a"), lit(0L),
+        (acc, x) => acc + length(x).cast("long")))
+      .withColumn("mode_cnt", coalesce(array_max(transform(
+        array_distinct(col("a")),
+        t => size(filter(col("a"), x => x === t)).cast("long"))), lit(0L)))
+      .withColumn("n_alpha", size(filter(col("a"),
+        x => x.rlike("^[a-z]+$"))).cast("long"))
+    base.select(col(idCol), col("n_words"), col("sum_len"), col("mode_cnt"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r1_count"),
+        (col("sum_len") >= lit(3L) * col("n_words") &&
+          col("sum_len") <= lit(10L) * col("n_words")).as("r2_wordlen"),
+        (array_contains(col("a"), "the") || array_contains(col("a"), "a"))
+          .as("r3_stopword"),
+        (col("mode_cnt") * 4 <= col("n_words")).as("r4_dominance"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("r5_alpha"))
+      .withColumn("keep", col("r1_count") && col("r2_wordlen") &&
+        col("r3_stopword") && col("r4_dominance") && col("r5_alpha"))
+      .orderBy(col(idCol))
+  }
 }

@@ -726,4 +726,107 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
+
+  test("hllDistinct: estimate within the m=64 error band, multiset- and partition-invariant") {
+    val items = (1 to 2000).map(i => ("k", s"item-$i"))
+    val df = items.toDF("key", "item")
+    val r = TextCorpus.hllDistinct(df, "key", "item", p = 6).collect()(0)
+    val est = r.getAs[Double]("est")
+    val exact = r.getAs[Long]("n_exact")
+    assert(exact == 2000L)
+    // 1.04/sqrt(64) = 13% stderr; allow 3 sigma
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.39, s"est $est too far from 2000")
+
+    // HLL is a multiset sketch: duplicating every item changes nothing
+    val dup = (items ++ items).toDF("key", "item")
+    val r2 = TextCorpus.hllDistinct(dup, "key", "item", p = 6).collect()(0)
+    assert(r2.getAs[Double]("est") == est &&
+      r2.getAs[Long]("z_scaled") == r.getAs[Long]("z_scaled"))
+
+    // register max is associative/commutative: partitioning-invariant
+    val r3 = TextCorpus.hllDistinct(df.repartition(13), "key", "item", p = 6)
+      .collect()(0)
+    assert(r3.getAs[Double]("est") == est)
+
+    // small-cardinality key exercises the linear-counting regime
+    val small = (1 to 30).map(i => ("s", s"x-$i")).toDF("key", "item")
+    val rs = TextCorpus.hllDistinct(small, "key", "item", p = 6).collect()(0)
+    assert(rs.getAs[Long]("v_zero") > 0)
+    assert(math.abs(rs.getAs[Double]("est") - 30.0) < 12.0)
+  }
+
+  test("blocklistScan: df-ranked list, tiered action policy, zero-hit docs keep") {
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc"),
+      (3L, "aaaa bbbb"), (4L, "aaaa zz"), (5L, "qq zz")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+    // df: aaaa=4 bbbb=3 cccc=2 dddd=1; k=2 -> blocklist {aaaa,bbbb}
+    val out = TextCorpus.blocklistScan(docs, toks, "doc_id", k = 2, minLen = 4)
+      .select("doc_id", "n_hits", "n_hit_terms", "action")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // short terms (zz, qq) can never enter the list, so doc 5 is clean
+    assert(out == Seq(
+      (1L, 2L, 2L, "flag"), (2L, 2L, 2L, "flag"), (3L, 2L, 2L, "flag"),
+      (4L, 1L, 1L, "flag"), (5L, 0L, 0L, "keep")))
+
+    // list join must broadcast: the corpus-side token stream is never
+    // shuffled for the membership probe
+    val plan = TextCorpus.blocklistScan(docs, toks, "doc_id", 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("charEntropy: exact bits on uniform/degenerate alphabets, map-only plan") {
+    val docs = Seq(
+      (1L, "abcd"),          // uniform over 4 letters -> exactly 2 bits
+      (2L, "aaaa"),          // single letter -> 0 bits
+      (3L, "aabb"),          // uniform over 2 -> 1 bit
+      (4L, "")               // empty -> 0 by convention
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_letters", "n_distinct_letters", "entropy_bits",
+        "max_letter_frac")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 4L, 2.0, 0.25)))
+    assert(out(1) == ((2L, 4L, 1L, 0.0, 1.0)))
+    assert(out(2) == ((3L, 4L, 2L, 1.0, 0.5)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0, 0.0)))
+
+    // the 100 TB claim: a pure projection — no Exchange anywhere
+    val plan = TextCorpus.charEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      plan.take(2000))
+  }
+
+  test("gopherRules: each rule flips at its boundary; plan has no corpus shuffle") {
+    val the20 = (("the " * 19) + "cat").trim         // 20 words, has stopword
+    val docs = Seq(
+      (1L, the20),                                    // r1 lower bound pass
+      (2L, "the " * 10),                              // 10 words: r1 fail
+      (3L, ("ab " * 30).trim),                        // no stopword: r3 fail; mean len 2: r2 fail
+      (4L, (("x1 " * 10) + ("the cat sat on mat " * 4)).trim) // digits: r5 30 words 10 non-alpha -> 20*5=100 >= 120? fail
+    ).toDF("doc_id", "text")
+    val m = TextCorpus.gopherRules(docs, "doc_id", "text", 20, 400)
+      .select("doc_id", "r1_count", "r2_wordlen", "r3_stopword",
+        "r4_dominance", "r5_alpha", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6, t._7)).toMap
+    // doc 1: 20 words with "the"x19 — passes r1/r2/r3 but the mode
+    // dominance rule (19*4 > 20) kills it
+    assert(m(1L)._1 && m(1L)._2 && m(1L)._3 && !m(1L)._4 && !m(1L)._6)
+    // doc 2: 10 words — below the count floor
+    assert(!m(2L)._1 && !m(2L)._6)
+    // doc 3: no stopword and mean word length 2 (< 3)
+    assert(!m(3L)._3 && !m(3L)._2 && !m(3L)._6)
+    // doc 4: 10 of 30 words contain a digit — alpha fraction 2/3 < 4/5
+    assert(!m(4L)._5 && !m(4L)._6)
+
+    // zero-shuffle claim: quality filtering is embarrassingly parallel
+    val plan = TextCorpus.gopherRules(docs, "doc_id", "text", 20, 400)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
 }
