@@ -201,6 +201,7 @@ object SparkEntry {
     "q167_hll_distinct" -> (P.hllBigrams _),
     "q168_blocklist_scan" -> (P.blocklistScan _),
     "q169_char_entropy" -> (P.charEntropy _),
+    "q171_prefix_filter_join" -> (P.prefixFilterPairs _),
     "q172_gopher_rules" -> (P.gopherRules _),
   )
 
@@ -2629,6 +2630,41 @@ object SparkEntry {
          |  END AS max_letter_frac
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // prefix-filter join: the rarest-first order restates as
+    // list(term ORDER BY df, term), prefix length and the tau gate as
+    // exact integer arithmetic; candidates then exact-verified
+    "q171_prefix_filter_join" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |g AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        | FROM d0 WHERE len(a) >= 2),
+        |toks AS (SELECT DISTINCT doc_id,
+        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS term
+        | FROM g),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks
+        | GROUP BY term),
+        |tj AS (SELECT t.doc_id, t.term, d.df FROM toks t
+        | JOIN dfreq d ON t.term = d.term),
+        |sets AS (SELECT doc_id, list(term ORDER BY df, term) AS l,
+        |  CAST(count(*) AS BIGINT) AS s FROM tj GROUP BY doc_id),
+        |pref AS (SELECT doc_id,
+        |  unnest(l[1 : CAST(s - ((8 * s + 9) // 10) + 1 AS INTEGER)]) AS term
+        | FROM sets),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM pref a JOIN pref b
+        |  ON a.term = b.term AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+        | FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+        | JOIN toks tb ON tb.doc_id = c.id_b AND tb.term = ta.term
+        | GROUP BY c.id_a, c.id_b),
+        |v AS (SELECT i.id_a, i.id_b, i.inter, sa.s + sb.s - i.inter AS uni
+        | FROM inter i JOIN sets sa ON sa.doc_id = i.id_a
+        | JOIN sets sb ON sb.doc_id = i.id_b)
+        |SELECT id_a, id_b, inter, uni,
+        | round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jac
+        |FROM v WHERE inter * 10 >= 8 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
     // Gopher rules: every ratio threshold restated as integer
     // cross-multiplication, so all five predicates are exact
     "q172_gopher_rules" ->

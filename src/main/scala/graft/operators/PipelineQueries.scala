@@ -1482,16 +1482,31 @@ object PipelineQueries {
     TextCorpus.vocabGrowth(tokenArrays(s, dir), "doc_id", bucketSize = 50)
       .orderBy("bkt")
 
+  /** Shared 6-round BPE fit per (session, sf dir) — the fit is 12
+    * corpus scans (pair election + post-rewrite length per round), by
+    * far the heaviest stage in the tokenizer family; q160 and q164
+    * consume ONE fit instead of re-training (r9 bench: the two queries
+    * were 24 s of the 176 s suite, fit duplication being half of it).
+    * The memo holds only the bounded merge table + the rewrite Column
+    * (driver-side values, no pinned executor blocks), so it needs no
+    * clearSharedStages hook. */
+  private val bpeFitStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, Int, Int, Long, Long)],
+      org.apache.spark.sql.Column)]
+  private def bpeFit6(s: SparkSession, dir: String) =
+    bpeFitStage.getOrElseUpdate((s, dir),
+      TextCorpus.bpeFit(Tables.documents(s, dir), "text", rounds = 6))
+
   // q160: char-level BPE vocabulary learning — 6 merge rounds over the
   // raw documents text, the tokenizer-training op of the pipeline
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.bpeMerges(Tables.documents(s, dir), "text", rounds = 6)
+    TextCorpus.bpeMergesFromFit(s, bpeFit6(s, dir))
 
   // q164: tokenizer apply — encode with the learned merges, report
   // per-doc compression and fertility
   def bpeEncode(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
-        rounds = 6)
+    TextCorpus.bpeEncodeFromFit(Tables.documents(s, dir), "doc_id", "text",
+        bpeFit6(s, dir))
       .orderBy("doc_id")
 
   // q165: consecutive-bigram phrase probe at the corpus' top bigram
@@ -1503,17 +1518,33 @@ object PipelineQueries {
   def zipfFit(s: SparkSession, dir: String): DataFrame =
     TextCorpus.zipfFit(lowerToks(s, dir), topK = 100)
 
-  // q167: per-language HyperLogLog distinct-BIGRAM estimate (p=6 so the
-  // ~1.6k-bigram space exercises the raw-estimate regime, not just
-  // linear counting); bigrams from the ONE shared tokenize stage
-  def hllBigrams(s: SparkSession, dir: String): DataFrame = {
-    val bg = tokenArrays(s, dir).filter(size(col("a")) >= 2)
-      .select(col("lang"),
+  /** Word-bigram stream off the shared tokenize stage — map-only HOF
+    * pair generation, consumed by the HLL (q167) and prefix-filter
+    * (q171) legs. Not checkpointed: regenerating from the cached token
+    * arrays is a pure projection. */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    tokenArrays(s, dir).filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(col("a")) - 1),
           i => concat(element_at(col("a"), i), lit(" "),
             element_at(col("a"), i + 1)))).as("bg"))
-    TextCorpus.hllDistinct(bg, "lang", "bg", p = 6)
-  }
+
+  // q167: per-language HyperLogLog distinct-BIGRAM estimate (p=6 so the
+  // ~1.6k-bigram space exercises the raw-estimate regime, not just
+  // linear counting); bigrams from the ONE shared tokenize stage
+  def hllBigrams(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.hllDistinct(bigramStream(s, dir).select("lang", "bg"),
+      "lang", "bg", p = 6)
+
+  // q171: EXACT Jaccard >= 0.8 set-similarity join over distinct-bigram
+  // sets by rarest-first prefix filtering — the deterministic
+  // complement to the MinHash-LSH probabilistic pair finder
+  def prefixFilterPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJoin(
+        bigramStream(s, dir).select(col("doc_id"), col("bg").as("term"))
+          .distinct(),
+        "doc_id", tauNum = 8, tauDen = 10)
+      .orderBy("id_a", "id_b")
 
   // q168: tiered blocklist scan — corpus-derived top-8 df terms of
   // length >= 4; broadcast list join, hit-only shuffle

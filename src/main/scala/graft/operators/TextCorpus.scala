@@ -572,18 +572,25 @@ object TextCorpus {
     * adjacent-position count, and the corpus character total after
     * the rewrite.
     */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = df.sparkSession
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergesFromFit(df.sparkSession, bpeFit(df, textCol, rounds))
+
+  /** [[bpeMerges]]' output shape from an already-computed fit — the
+    * fit-once/consume-twice seam: q160 (merge table) and q164 (encode
+    * audit) share ONE `rounds × 2`-scan fit via the caller's memo
+    * instead of each re-running it (the persisted-ANN-fit contract,
+    * applied to the tokenizer). */
+  def bpeMergesFromFit(spark: org.apache.spark.sql.SparkSession,
+      fit: (Seq[(Int, Int, Int, Long, Long)], Column)): DataFrame = {
     import spark.implicits._
-    bpeFit(df, textCol, rounds)._1
-      .toDF("round", "c1", "c2", "cnt", "corpus_chars_after")
+    fit._1.toDF("round", "c1", "c2", "cnt", "corpus_chars_after")
       .orderBy("round")
   }
 
   /** The fit loop shared by [[bpeMerges]] and [[bpeEncode]]: returns
     * the merge table rows and the final rewrite chain (the original
     * text column under `rounds` chained codegen'd replaces). */
-  private def bpeFit(df: DataFrame, textCol: String, rounds: Int)
+  private[graft] def bpeFit(df: DataFrame, textCol: String, rounds: Int)
       : (Seq[(Int, Int, Int, Long, Long)], Column) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long)]
     var cur: Column = col(textCol)
@@ -705,8 +712,14 @@ object TextCorpus {
   }
 
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val (_, encoded) = bpeFit(df, textCol, rounds)
+      rounds: Int): DataFrame =
+    bpeEncodeFromFit(df, idCol, textCol, bpeFit(df, textCol, rounds))
+
+  /** [[bpeEncode]] from an already-computed fit (see
+    * [[bpeMergesFromFit]] for the sharing contract). */
+  def bpeEncodeFromFit(df: DataFrame, idCol: String, textCol: String,
+      fit: (Seq[(Int, Int, Int, Long, Long)], Column)): DataFrame = {
+    val encoded = fit._2
     df.select(col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_words"),

@@ -688,4 +688,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.head._7 <= 0.06, s"near-uniform slice TVD ${out.head._7}")
     assert(!out.head._8, "no refit verdict on an undrifted corpus")
   }
+
+  test("prefixFilterJoin: complete vs naive all-pairs, exact tau boundary, pruning live") {
+    // token sets with a known Jaccard structure
+    def toks(id: Long, ts: Seq[String]) = ts.map(t => (id, t))
+    val data = (
+      toks(1L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")) ++
+      toks(2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "k")) ++ // J(1,2)=9/11
+      toks(3L, Seq("a", "b", "c", "d", "e", "f", "g", "h")) ++           // J(1,3)=8/10=0.8 boundary
+      toks(4L, Seq("x", "y", "z")) ++                                     // disjoint
+      toks(5L, Seq("a", "b", "c", "d", "e", "f", "g", "h"))               // J(3,5)=1
+    ).toDF("doc_id", "term")
+    val out = Dedup.prefixFilterJoin(data, "doc_id", tauNum = 8, tauDen = 10)
+      .select("id_a", "id_b", "inter", "uni", "jac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .sortBy(p => (p._1, p._2)).toSeq
+    // naive ground truth: all pairs with J >= 0.8 — the >= boundary
+    // pairs at exactly 8/10 MUST be included (exact integer gate)
+    assert(out.map(p => (p._1, p._2)) == Seq(
+      (1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L)))
+    val m = out.map(p => (p._1, p._2) -> (p._3, p._4, p._5)).toMap
+    assert(m((1L, 3L)) == ((8L, 10L, 0.8)))
+    assert(m((3L, 5L)) == ((8L, 8L, 1.0)))
+    assert(m((1L, 2L)) == ((9L, 11L, 0.818182)))
+
+    // completeness on a randomized corpus: prefix filtering must find
+    // EXACTLY the pairs a brute-force all-pairs verify finds
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map { i =>
+      val base = (0 until 12).map(j => s"t${(i % 4) * 3 + j % 9}")
+      val noise = if (rnd.nextBoolean()) Seq(s"n${rnd.nextInt(5)}") else Nil
+      (i, (base ++ noise).distinct)
+    }
+    val toksDf = docs.flatMap { case (i, ts) => ts.map(t => (i, t)) }
+      .toDF("doc_id", "term")
+    val got = Dedup.prefixFilterJoin(toksDf, "doc_id", 8, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      ia = sets(a).toSet.intersect(sets(b).toSet).size
+      un = sets(a).size + sets(b).size - ia
+      if ia * 10 >= un * 8
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+
+    // partition invariance
+    val got13 = Dedup.prefixFilterJoin(toksDf.repartition(13), "doc_id", 8, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got13 == got)
+  }
 }
