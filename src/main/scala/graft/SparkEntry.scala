@@ -201,6 +201,7 @@ object SparkEntry {
     "q167_hll_distinct" -> (P.hllBigrams _),
     "q168_blocklist_scan" -> (P.blocklistScan _),
     "q169_char_entropy" -> (P.charEntropy _),
+    "q170_ndcg_eval" -> (P.ndcgEval _),
     "q171_prefix_filter_join" -> (P.prefixFilterPairs _),
     "q172_gopher_rules" -> (P.gopherRules _),
   )
@@ -2630,6 +2631,34 @@ object SparkEntry {
          |  END AS max_letter_frac
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // NDCG@5: exact + IVF leg CTEs recomposed (q106's construction);
+    // every DCG term and the IDCG normalizer fixed-point quantized so
+    // per-query sums are exact integers
+    "q170_ndcg_eval" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), t AS (
+         | SELECT i.query_id, i.rnk,
+         |  CAST(coalesce(6 - e.rnk, 0) AS DOUBLE) AS rel
+         | FROM ivf i LEFT JOIN exact e USING (query_id, neighbor_id)),
+         |d AS (
+         | SELECT query_id,
+         |  CAST(sum(CAST(floor(rel / (ln(CAST(rnk AS DOUBLE) + 1.0)
+         |    / ln(2.0)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_fp,
+         |  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rel_found
+         | FROM t GROUP BY query_id),
+         |i0 AS (
+         | SELECT CAST(sum(CAST(floor(CAST(6 - p AS DOUBLE)
+         |    / (ln(CAST(p AS DOUBLE) + 1.0) / ln(2.0)) * 1000000.0 + 0.5)
+         |   AS BIGINT)) AS BIGINT) AS idcg_fp
+         | FROM (SELECT unnest(generate_series(1, 5)) AS p))
+         |SELECT query_id, n_rel_found, dcg_fp, idcg_fp,
+         | round(CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE), 6) AS ndcg
+         |FROM d, i0 ORDER BY query_id""".stripMargin,
     // prefix-filter join: the rarest-first order restates as
     // list(term ORDER BY df, term), prefix length and the tau gate as
     // exact integer arithmetic; candidates then exact-verified

@@ -1536,6 +1536,25 @@ object PipelineQueries {
     TextCorpus.hllDistinct(bigramStream(s, dir).select("lang", "bg"),
       "lang", "bg", p = 6)
 
+  /** q170: NDCG@5 of the IVF leg against the exact cosine top-5 — the
+    * GRADED retrieval-quality gate next to q106's binary recall:
+    * recall@k treats rank-1 and rank-5 hits alike, NDCG charges the
+    * approximate index for returning the right neighbors in the wrong
+    * ORDER (rel = 6 − exact_rank, position discount 1/log2(p+1)).
+    * Every DCG term is fixed-point quantized (`floor(·10⁶+.5)` longs)
+    * so the per-query sums are exact integers both sides — including
+    * the IDCG normalizer, computed from a 5-row range through the SAME
+    * column expression rather than a driver-side constant (any
+    * engine/oracle ln() divergence then shows up as a hash mismatch
+    * instead of hiding in a baked literal). Scale: both legs are the
+    * shared pipelines; the join moves k·|queries| rows.
+    */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame =
+    Similarity.ndcgAtK(s,
+        cosineTopK(s, dir).select("query_id", "neighbor_id", "rnk"),
+        ivfTopK(s, dir).select("query_id", "neighbor_id", "rnk"), k = 5)
+      .orderBy("query_id")
+
   // q171: EXACT Jaccard >= 0.8 set-similarity join over distinct-bigram
   // sets by rarest-first prefix filtering — the deterministic
   // complement to the MinHash-LSH probabilistic pair finder

@@ -1037,4 +1037,43 @@ object Similarity {
       (if (keepVec) Seq(col("__v").as(vecCol)) else Nil)
     base.select(out: _*)
   }
+
+  /** NDCG@k of an approximate retrieval leg against an exact one —
+    * the GRADED quality gate next to [[topKRecall]]-style binary
+    * recall: the approximate index is charged for returning the right
+    * neighbors in the wrong ORDER (rel = k+1 − exact_rank, position
+    * discount 1/log₂(p+1), Järvelin & Kekäläinen TOIS'02).
+    *
+    * Both inputs are `(query_id, neighbor_id, rnk)` top-k frames.
+    * Every DCG term is fixed-point quantized (`floor(·10⁶+.5)` longs)
+    * so per-query sums are exact integers; the IDCG normalizer runs
+    * through the SAME column expression over a k-row range rather
+    * than a driver-side constant — an engine/oracle `ln` divergence
+    * then surfaces as a hash mismatch instead of hiding in a baked
+    * literal. Scale: one broadcast join and one aggregate over
+    * k·|queries| rows; the heavy lifting happened in the legs.
+    */
+  def ndcgAtK(s: SparkSession, exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    def termFp(rel: Column, p: Column): Column =
+      floor(rel / (log(p + lit(1.0)) / log(lit(2.0))) * lit(1e6) + lit(0.5))
+        .cast("long")
+    val terms = approx.join(
+        broadcast(exact.withColumnRenamed("rnk", "erank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(lit(k + 1) - col("erank"), lit(0))
+        .cast("double"))
+    val dcg = terms.groupBy("query_id").agg(
+      sum(termFp(col("rel"), col("rnk").cast("double"))).as("dcg_fp"),
+      count(when(col("erank").isNotNull, 1)).as("n_rel_found"))
+    val idcg = s.range(1, k + 1)
+      .select((lit(k + 1) - col("id")).cast("double").as("rel"),
+        col("id").cast("double").as("p"))
+      .agg(sum(termFp(col("rel"), col("p"))).as("idcg_fp"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("query_id"), col("n_rel_found"), col("dcg_fp"),
+        col("idcg_fp"),
+        MysqlFunctions.oracleRound(col("dcg_fp").cast("double")
+          / col("idcg_fp").cast("double"), 6).as("ndcg"))
+  }
 }

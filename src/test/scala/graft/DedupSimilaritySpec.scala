@@ -738,4 +738,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got13 == got)
   }
+
+  test("ndcgAtK: 1.0 on identical lists, reversal and misses discount correctly") {
+    def leg(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    val exact = (leg(1L, Seq(10L, 11L, 12L, 13L, 14L)) ++
+      leg(2L, Seq(20L, 21L, 22L, 23L, 24L)) ++
+      leg(3L, Seq(30L, 31L, 32L, 33L, 34L)))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val approx = (leg(1L, Seq(10L, 11L, 12L, 13L, 14L)) ++   // identical
+      leg(2L, Seq(24L, 23L, 22L, 21L, 20L)) ++               // reversed
+      leg(3L, Seq(90L, 91L, 92L, 93L, 94L)))                 // all misses
+      .toDF("query_id", "neighbor_id", "rnk")
+    val out = Similarity.ndcgAtK(spark, exact, approx, k = 5)
+      .select("query_id", "n_rel_found", "ndcg")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 5L, 1.0)), "perfect ranking must score exactly 1")
+    assert(out(2) == ((3L, 0L, 0.0)), "zero overlap must score exactly 0")
+    // reversed: right set, wrong order — strictly between 0 and 1
+    assert(out(1)._2 == 5L && out(1)._3 > 0.6 && out(1)._3 < 1.0,
+      s"reversed list scored ${out(1)._3}")
+  }
 }
