@@ -204,6 +204,7 @@ object SparkEntry {
     "q170_ndcg_eval" -> (P.ndcgEval _),
     "q171_prefix_filter_join" -> (P.prefixFilterPairs _),
     "q172_gopher_rules" -> (P.gopherRules _),
+    "q173_hll_windows" -> (C.hllWindows _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2903,6 +2904,41 @@ object SparkEntry {
         |  ELSE 31.0 / sk.xk END, 4) AS est_users,
         | ex.n_users, ex.n_events
         |FROM ex JOIN sk USING (day) ORDER BY day""".stripMargin,
+    // HLL windowed distinct: the Aggregator's registers restated as a
+    // per-(day, bucket) max — q167's closed form, grouped by window;
+    // estimate AND exact checked
+    "q173_hll_windows" ->
+      """WITH e AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+        |  CAST(('0x' || substr(md5('hllu:' || user_id), 1, 15)) AS BIGINT) AS h
+        | FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT day, h % 64 AS bucket, h >> 6 AS w FROM e),
+        |reg AS (SELECT day, bucket,
+        |  max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        | FROM r GROUP BY day, bucket),
+        |z AS (SELECT day, CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER)) AS BIGINT)
+        |    AS z_regs
+        | FROM reg GROUP BY day),
+        |f AS (SELECT day, CAST(64 - nb AS BIGINT) AS v_zero,
+        |  z_regs + CAST(64 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 55)
+        |    AS z_scaled
+        | FROM z),
+        |e1 AS (SELECT day, v_zero,
+        |  CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |    * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(z_scaled AS DOUBLE) AS est_raw
+        | FROM f),
+        |e2 AS (SELECT day,
+        |  CASE WHEN est_raw <= 160.0 AND v_zero > 0
+        |    THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE est_raw END AS eu
+        | FROM e1),
+        |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM e GROUP BY day)
+        |SELECT ex.day, round(e2.eu, 4) AS est_users, ex.n_users, ex.n_events
+        |FROM ex JOIN e2 USING (day) ORDER BY day""".stripMargin,
     // Matryoshka truncation recall: both truncated legs are the exact
     // machinery on list slices — a rank disagreement is a prefix-norm
     // or tie-break bug, not index noise

@@ -635,6 +635,32 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  // HLL-estimated distinct users per event-time day — q155's KMV
+  // sibling at CONSTANT state: 64 register bytes per window vs k=32
+  // longs, and the estimate error is uniform in cardinality. The
+  // typed [[graft.functions.HllDistinctAgg]] buffer matches the
+  // relational register pipeline (q167) bit-for-bit, so ONE oracle
+  // closed form gates both execution layers; mergeability makes the
+  // same aggregate run unchanged under a watermarked streaming
+  // window (EventStreams.hllWindowStream).
+  def hllWindows(s: SparkSession, dir: String): DataFrame = {
+    val est = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HllDistinctAgg(6),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts"), col("user_id"),
+        T.md5Int(concat(lit("hllu:"), col("user_id").cast("string")), 15)
+          .as("__h"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(M.oracleRound(est(col("__h")), 4).as("est_users"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("day"),
+        col("est_users"), col("n_users"), col("n_events"))
+      .orderBy("day")
+  }
+
   // Per-group z-score normalization (feature scaling): stats via
   // groupBy + broadcast join back — NOT a per-group window, which
   // would sort each group single-partition at scale. The group mean

@@ -55,6 +55,28 @@ object EventStreams {
         col("est_keys"), col("n_events"))
   }
 
+  /** Streaming twin of `CoreQueries.hllWindows` — the same
+    * [[graft.functions.HllDistinctAgg]] mergeable Aggregator under a
+    * watermarked window. State per open window is m = 2^p register
+    * BYTES (64 at p=6), constant in both stream length and key
+    * cardinality — the strictly-bounded end of the windowed-distinct
+    * spectrum (exact `collect_set` → KMV k-longs → HLL m-bytes). */
+  def hllWindowStream(events: DataFrame, hashCol: String, p: Int,
+      watermark: String = "1 hour",
+      windowLen: String = "1 day"): DataFrame = {
+    val est = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HllDistinctAgg(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.MysqlFunctions.oracleRound(
+          est(col(hashCol)), 4).as("est_keys"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("date").as("day"),
+        col("est_keys"), col("n_events"))
+  }
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon wins; later duplicates are dropped. The twin of
     * `Dedup.exact` for continuous ingestion — state is the key set

@@ -753,6 +753,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rs = TextCorpus.hllDistinct(small, "key", "item", p = 6).collect()(0)
     assert(rs.getAs[Long]("v_zero") > 0)
     assert(math.abs(rs.getAs[Double]("est") - 30.0) < 12.0)
+
+    // the typed Aggregator is the SAME sketch: identical estimate from
+    // identical registers, on both regimes (raw + linear counting)
+    import graft.functions.{TextFunctions => T}
+    for (src <- Seq(df, small)) {
+      val relational = TextCorpus.hllDistinct(src, "key", "item", p = 6)
+        .collect()(0).getAs[Double]("est")
+      val agg = org.apache.spark.sql.functions.udaf(
+        new graft.functions.HllDistinctAgg(6),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val typed = src
+        .select(T.md5Int(col("item"), 15).as("__h"))
+        .agg(graft.functions.MysqlFunctions.oracleRound(
+          agg(col("__h")), 4).as("est"))
+        .collect()(0).getAs[Double]("est")
+      assert(typed == relational,
+        s"Aggregator/relational HLL divergence: $typed vs $relational")
+    }
   }
 
   test("blocklistScan: df-ranked list, tiered action policy, zero-hit docs keep") {

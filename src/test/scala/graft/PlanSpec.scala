@@ -263,6 +263,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q173: typed HLL aggregate runs partial (map-side) + final — register merge is live") {
+    val plan = C.hllWindows(spark, dir).queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
   test("q151: persisted-LM scoring joins parquet counts — exactly one Aggregate, no refit") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextCorpus

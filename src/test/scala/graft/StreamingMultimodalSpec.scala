@@ -83,6 +83,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL windowed distinct matches batch registers under disorder, m-byte state") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.{TextFunctions => T}
+    def ev(day: Int, minute: Int, uid: Long) = KeyedEvent(uid, uid,
+      Timestamp.valueOf(f"2024-01-0$day 10:$minute%02d:00"))
+    // 500 users/day so p=6 runs the raw-estimate regime, not linear
+    val events = (0L until 500L).flatMap(u =>
+      Seq(ev(1, (u % 50).toInt, u), ev(2, (u % 50).toInt, u + 250)))
+    val withHash = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("ts"),
+      T.md5Int(concat(lit("hllu:"), col("user_id").cast("string")), 15)
+        .as("__h"))
+    val batch = EventStreams.hllWindowStream(
+      withHash(events.toDF()), "__h", p = 6, windowLen = "1 day")
+    val shuffled = scala.util.Random.shuffle(events.toVector)
+    val input = MemoryStream[KeyedEvent]
+    val q = EventStreams.hllWindowStream(withHash(input.toDF()), "__h",
+        p = 6, watermark = "2 days", windowLen = "1 day")
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode("complete").start()
+    try {
+      shuffled.grouped(97).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val got = spark.table("hllwin")
+        .as[(java.sql.Date, Double, Long)].collect().toSet
+      val expect = batch.as[(java.sql.Date, Double, Long)].collect().toSet
+      assert(got == expect, s"stream/batch register divergence: $got vs $expect")
+      // raw-estimate regime, within ~3 sigma of 500 at m=64 (13% stderr)
+      expect.foreach { case (_, est, _) =>
+        assert(est > 300 && est < 750,
+          s"per-day estimate should be near 500: $est")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the gap, across batches") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[KeyedEvent]
