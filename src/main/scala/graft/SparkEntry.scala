@@ -205,6 +205,7 @@ object SparkEntry {
     "q171_prefix_filter_join" -> (P.prefixFilterPairs _),
     "q172_gopher_rules" -> (P.gopherRules _),
     "q173_hll_windows" -> (C.hllWindows _),
+    "q174_hll_shard_union" -> (P.hllShardUnion _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2585,6 +2586,45 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // shard-union HLL: the engine reads ONLY persisted registers; the
+    // oracle recomputes per-shard AND merged estimates from raw text —
+    // equality is the mergeability proof
+    "q174_hll_shard_union" ->
+      """WITH d0 AS (SELECT source,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |g AS (SELECT source, a, unnest(generate_series(1, len(a) - 1)) AS i
+        | FROM d0 WHERE len(a) >= 2),
+        |bgs AS (SELECT source,
+        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS bg
+        | FROM g),
+        |keyed AS (
+        | SELECT source, bg FROM bgs
+        | UNION ALL SELECT '__all__' AS source, bg FROM bgs),
+        |h AS (SELECT source, CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT)
+        |  AS hv FROM keyed),
+        |r AS (SELECT source, hv % 64 AS bucket, hv >> 6 AS w FROM h),
+        |reg AS (SELECT source, bucket,
+        |  max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        | FROM r GROUP BY source, bucket),
+        |z AS (SELECT source, CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER)) AS BIGINT)
+        |    AS z_regs
+        | FROM reg GROUP BY source),
+        |f AS (SELECT source, CAST(64 - nb AS BIGINT) AS v_zero,
+        |  z_regs + CAST(64 - nb AS BIGINT) * (CAST(1 AS BIGINT) << 55)
+        |    AS z_scaled
+        | FROM z),
+        |e1 AS (SELECT source, v_zero, z_scaled,
+        |  CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |    * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(z_scaled AS DOUBLE) AS est_raw
+        | FROM f)
+        |SELECT source, v_zero, z_scaled,
+        | round(CASE WHEN est_raw <= 160.0 AND v_zero > 0
+        |   THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |   ELSE est_raw END, 4) AS est
+        |FROM e1 ORDER BY source""".stripMargin,
     // blocklist: corpus-derived top-8 df terms (len >= 4), tiered
     // drop/flag/keep policy; zero-hit docs reattach via left join
     "q168_blocklist_scan" ->

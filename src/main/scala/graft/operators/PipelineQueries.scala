@@ -122,7 +122,7 @@ object PipelineQueries {
   private def tokenArrays(s: SparkSession, dir: String): DataFrame =
     tokArrStage.getOrElseUpdate((s, dir),
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), col("source"),
           T.tokens(lower(col("text"))).as("a"))
         .localCheckpoint())
 
@@ -146,6 +146,7 @@ object PipelineQueries {
     mhStages.clear(); pairStage.clear(); ccStage.clear()
     embStage.clear(); plantStage.clear(); tokStage.clear()
     winStage.clear(); refStage.clear(); tokArrStage.clear()
+    hllRegStage.clear()
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
     persistedFitStage.clear()
   }
@@ -1524,7 +1525,7 @@ object PipelineQueries {
     * arrays is a pure projection. */
   private def bigramStream(s: SparkSession, dir: String): DataFrame =
     tokenArrays(s, dir).filter(size(col("a")) >= 2)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         explode(transform(sequence(lit(1), size(col("a")) - 1),
           i => concat(element_at(col("a"), i), lit(" "),
             element_at(col("a"), i + 1)))).as("bg"))
@@ -1554,6 +1555,41 @@ object PipelineQueries {
         cosineTopK(s, dir).select("query_id", "neighbor_id", "rnk"),
         ivfTopK(s, dir).select("query_id", "neighbor_id", "rnk"), k = 5)
       .orderBy("query_id")
+
+  /** Persisted per-SHARD HLL register tables (shard = `source`) — the
+    * nightly-sketch contract: each shard's `(source, bucket, rho)`
+    * rows are written to parquet ONCE; any later distinct-count union
+    * merges register tables by pointwise max without re-reading a
+    * byte of corpus text. 64 rows per shard regardless of shard size
+    * — the sketch-persistence economics that make cross-shard
+    * cardinality questions free at 100 TB. */
+  private val hllRegStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def persistedHllRegs(s: SparkSession, dir: String): DataFrame =
+    hllRegStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_hllreg_").resolve("regs").toString
+      TextCorpus.hllRegisters(bigramStream(s, dir).select("source", "bg"),
+          "source", "bg", p = 6)
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    })
+
+  // q174: cross-shard distinct-count union FROM PERSISTED REGISTERS
+  // ONLY — per-shard estimates plus the '__all__' merged row, the
+  // merge a pointwise bucket max (mergeability is the theorem; the
+  // oracle recomputing every number from raw text is the proof). The
+  // documents table appears NOWHERE in this plan (PlanSpec-pinned).
+  def hllShardUnion(s: SparkSession, dir: String): DataFrame = {
+    val regs = persistedHllRegs(s, dir)
+    val perShard = TextCorpus.hllEstimate(regs, "source", p = 6)
+    val merged = TextCorpus.hllEstimate(
+      regs.groupBy("bucket").agg(max("rho").as("rho"))
+        .withColumn("source", lit("__all__")),
+      "source", p = 6)
+    perShard.unionByName(merged)
+      .select("source", "v_zero", "z_scaled", "est")
+      .orderBy("source")
+  }
 
   // q171: EXACT Jaccard >= 0.8 set-similarity join over distinct-bigram
   // sets by rarest-first prefix filtering — the deterministic

@@ -760,15 +760,30 @@ object TextCorpus {
     */
   def hllDistinct(pairs: DataFrame, keyCol: String, itemCol: String,
       p: Int): DataFrame = {
+    val exact = pairs.groupBy(col(keyCol))
+      .agg(countDistinct(col(itemCol)).as("n_exact"))
+    hllEstimate(hllRegisters(pairs, keyCol, itemCol, p), keyCol, p)
+      .join(exact, Seq(keyCol))
+      .withColumn("rel_err", MysqlFunctions.oracleRound(
+        (col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6))
+      .select(col(keyCol), col("v_zero"), col("z_scaled"),
+        col("n_exact"), col("est"), col("rel_err"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Per-key HLL register table `(key, bucket, rho)` — the MERGEABLE,
+    * PERSISTABLE sketch state (union of corpora = pointwise register
+    * max): written nightly per shard, it answers any future
+    * distinct-count union without re-reading a byte of corpus
+    * (q174's contract; the [[hllDistinct]] gate consumes it inline).
+    * Only occupied buckets appear — absent rows are rho=0, the
+    * convention [[hllEstimate]] reconstructs. */
+  def hllRegisters(pairs: DataFrame, keyCol: String, itemCol: String,
+      p: Int): DataFrame = {
     require(p >= 4 && p <= 14, s"HLL precision $p outside [4,14]")
     val m = 1 << p
     val maxBits = 60 - p                 // bits left in w after the bucket
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
     val h = TextFunctions.md5Int(col(itemCol), 15)
     // h is non-negative, m a power of two: bucket/rest via exact bit ops
     // (a double-typed `/` would lose bits above 2^53)
@@ -778,16 +793,29 @@ object TextCorpus {
     val withRho = hashed.withColumn("rho",
       when(col("w") === 0, lit(maxBits + 1))
         .otherwise(lit(maxBits + 1) - length(bin(col("w")))).cast("int"))
-    val regs = withRho.groupBy(col(keyCol), col("bucket"))
+    withRho.groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("rho"))
-    val z = regs.groupBy(col(keyCol)).agg(
-      count(lit(1)).cast("long").as("nb"),
-      sum(call_function("shiftleft", lit(1L),
-        lit(maxBits + 1) - col("rho"))).as("z_regs"))
-    val exact = pairs.groupBy(col(keyCol))
-      .agg(countDistinct(col(itemCol)).as("n_exact"))
+  }
+
+  /** Cardinality estimate from an [[hllRegisters]] table: the exact
+    * 2^(maxBits+1)-scaled BIGINT indicator sum, then the alpha·m²/Z
+    * ratio with the V-zero linear-counting branch in one fixed IEEE
+    * sequence (shared with [[graft.functions.HllDistinctAgg]].finish
+    * and the oracle SQL). */
+  def hllEstimate(regs: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val maxBits = 60 - p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     val scaleF = math.pow(2.0, (maxBits + 1).toDouble)   // exact in double
-    z.join(exact, Seq(keyCol))
+    regs.groupBy(col(keyCol)).agg(
+        count(lit(1)).cast("long").as("nb"),
+        sum(call_function("shiftleft", lit(1L),
+          lit(maxBits + 1) - col("rho"))).as("z_regs"))
       .withColumn("v_zero", lit(m.toLong) - col("nb"))
       .withColumn("z_scaled",
         col("z_regs") + col("v_zero") * shiftleft(lit(1L), maxBits + 1))
@@ -798,13 +826,8 @@ object TextCorpus {
         when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
           .otherwise(col("est_raw")))
-      .withColumn("est", MysqlFunctions.oracleRound(col("est_unrounded"), 4))
-      .withColumn("rel_err", MysqlFunctions.oracleRound(
-        (col("est") - col("n_exact").cast("double"))
-          / col("n_exact").cast("double"), 6))
       .select(col(keyCol), col("v_zero"), col("z_scaled"),
-        col("n_exact"), col("est"), col("rel_err"))
-      .orderBy(col(keyCol))
+        MysqlFunctions.oracleRound(col("est_unrounded"), 4).as("est"))
   }
 
   /** Blocklist scan — the banned-term filtering stage of a web-corpus

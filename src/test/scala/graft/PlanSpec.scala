@@ -269,6 +269,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q174: shard-union estimate reads ONLY persisted registers — no corpus in the plan") {
+    val df = P.hllShardUnion(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"register merge must never re-read corpus text:\n${plan.take(3000)}")
+    assert(plan.contains("graft_hllreg_"),
+      s"expected a persisted-register parquet scan:\n${plan.take(3000)}")
+    // and the merged row really is the pointwise-max union: its
+    // registers dominate every shard's
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows.contains("__all__") && rows.size >= 2)
+    // z_scaled decreases as registers grow: the union's indicator sum
+    // must be <= every shard's (more/higher registers => smaller Z)
+    rows.filter(_._1 != "__all__").foreach { case (src, z) =>
+      assert(rows("__all__") <= z, s"union Z must dominate shard $src")
+    }
+  }
+
   test("q151: persisted-LM scoring joins parquet counts — exactly one Aggregate, no refit") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextCorpus
