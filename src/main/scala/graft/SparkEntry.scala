@@ -206,6 +206,7 @@ object SparkEntry {
     "q172_gopher_rules" -> (P.gopherRules _),
     "q173_hll_windows" -> (C.hllWindows _),
     "q174_hll_shard_union" -> (P.hllShardUnion _),
+    "q176_bpe_roundtrip" -> (P.bpeRoundtrip _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -256,6 +257,26 @@ object SparkEntry {
     bpeCtes(rounds) +
       "\nSELECT * FROM (" + legs.mkString(" UNION ALL ") +
       ") z ORDER BY round"
+  }
+
+  /** q176's round-trip tail: expand merge symbols in REVERSE round
+    * order (chr(0xE000+r) → its elected pair, r = rounds−1 … 0), then
+    * compare against the original text per document. */
+  private def bpeRoundtripOracle(rounds: Int): String = {
+    val decodes = (rounds - 1 to 0 by -1).map { r =>
+      val prev = if (r == rounds - 1) s"t$rounds" else s"dec${r + 1}"
+      s"""dec$r AS MATERIALIZED (SELECT doc_id,
+         | replace(t, chr(${0xE000 + r}), (SELECT pair FROM b$r)) AS t
+         | FROM $prev)""".stripMargin
+    }
+    bpeCtes(rounds) + ",\n" + decodes.mkString(",\n") +
+      s"""
+         |SELECT o.doc_id,
+         | CAST(length(o.t) AS BIGINT) AS n_chars,
+         | CAST(length(e.t) AS BIGINT) AS n_tokens,
+         | (d.t = o.t) AS ok
+         |FROM t0 o JOIN t$rounds e USING (doc_id)
+         |JOIN dec0 d USING (doc_id) ORDER BY o.doc_id""".stripMargin
   }
 
   /** q164's encode tail over the same fit chain: per-doc symbol counts
@@ -2491,6 +2512,9 @@ object SparkEntry {
     "q160_bpe_merges" -> bpeOracle(6),
     // BPE apply/fertility: same fit chain, per-doc encode tail
     "q164_bpe_encode" -> bpeEncodeOracle(6),
+    // BPE round-trip: decode CTEs expand the merge chain in reverse;
+    // ok must be TRUE per doc (PUA symbols can't occur in input)
+    "q176_bpe_roundtrip" -> bpeRoundtripOracle(6),
     // phrase probe: bigram election + consecutive-position scan both
     // restate over the split arrays
     "q165_phrase_search" ->

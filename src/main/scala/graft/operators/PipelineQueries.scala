@@ -1510,6 +1510,14 @@ object PipelineQueries {
         bpeFit6(s, dir))
       .orderBy("doc_id")
 
+  // q176: tokenizer round-trip audit on the SHARED fit — per-doc
+  // decode(encode(x)) == x booleans; 2*rounds chained replaces, no
+  // shuffle beyond the output sort
+  def bpeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bpeRoundtrip(Tables.documents(s, dir), "doc_id", "text",
+        bpeFit6(s, dir))
+      .orderBy("doc_id")
+
   // q165: consecutive-bigram phrase probe at the corpus' top bigram
   def phraseSearch(s: SparkSession, dir: String): DataFrame =
     TextCorpus.phraseSearch(Tables.documents(s, dir), "doc_id", "text")

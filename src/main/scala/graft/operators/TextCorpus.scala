@@ -730,6 +730,32 @@ object TextCorpus {
         col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
   }
 
+  /** Tokenizer round-trip audit over a [[bpeFit]] merge chain — the
+    * invariant every tokenizer change must ship with: expanding the
+    * merge symbols in REVERSE merge order reconstructs the original
+    * text exactly (later-round pairs may contain earlier symbols;
+    * reverse expansion resolves the nesting). Losslessness holds by
+    * construction — the PUA symbols cannot occur in input text — so a
+    * FALSE `ok` is a real defect (symbol collision or a non-greedy
+    * rewrite divergence), which is exactly why the audit emits per-doc
+    * booleans instead of asserting silently. Scale: encode and decode
+    * are one chain of 2·rounds codegen'd `replace`s over the single
+    * corpus scan — zero shuffles (map-only), like q172.
+    */
+  def bpeRoundtrip(df: DataFrame, idCol: String, textCol: String,
+      fit: (Seq[(Int, Int, Int, Long, Long)], Column)): DataFrame = {
+    val encoded = fit._2
+    val decoded = fit._1.reverse.foldLeft(encoded) { case (c, row) =>
+      val sym = (0xE000 + row._1).toChar.toString
+      val pair = "" + row._2.toChar + row._3.toChar
+      replace(c, lit(sym), lit(pair))
+    }
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      length(encoded).cast("long").as("n_tokens"),
+      (decoded === col(textCol)).as("ok"))
+  }
+
   /** HyperLogLog distinct-count estimate per key (Flajolet et al. 2007),
     * built on the engine's universal md5 hash so the DuckDB oracle
     * reproduces the ESTIMATE bit-for-bit, not just the exact count.

@@ -727,6 +727,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("bpeRoundtrip: reverse expansion reconstructs exactly, incl. nested PUA symbols") {
+    import graft.operators.TextCorpus
+    // "ababab": round 0 merges ab -> E000, round 1 merges (E000,E000)
+    // -> E001 whose pair CONTAINS an earlier symbol — the nesting case
+    val docs = Seq((1L, "ababab"), (2L, "aa"), (3L, ""), (4L, "xyz"))
+      .toDF("doc_id", "text")
+    val fit = TextCorpus.bpeFit(docs, "text", rounds = 2)
+    val out = TextCorpus.bpeRoundtrip(docs, "doc_id", "text", fit)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.forall(_._4), s"round-trip must be lossless: $out")
+    // round 1 elects (E000,E000) cnt 2 — E001's pair contains an
+    // earlier symbol, so decode MUST expand in reverse order
+    assert(out(0) == ((1L, 6L, 2L, true)))
+    assert(out(1) == ((2L, 2L, 2L, true)))
+    assert(out(2) == ((3L, 0L, 0L, true)))
+  }
+
   test("hllDistinct: estimate within the m=64 error band, multiset- and partition-invariant") {
     val items = (1 to 2000).map(i => ("k", s"item-$i"))
     val df = items.toDF("key", "item")
