@@ -207,6 +207,8 @@ object SparkEntry {
     "q173_hll_windows" -> (C.hllWindows _),
     "q174_hll_shard_union" -> (P.hllShardUnion _),
     "q176_bpe_roundtrip" -> (P.bpeRoundtrip _),
+    "q177_retention_cohorts" -> (C.retentionCohorts _),
+    "q178_source_gini" -> (P.sourceGini _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2610,6 +2612,51 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // retention cohorts: first-activity-day cohorting, distinct
+    // (cohort, offset, user) activity, exact integer offsets
+    "q177_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        | WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        | FROM f GROUP BY cohort_day),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |  date_diff('day', f.cohort_day, e.d) AS off
+        | FROM e JOIN f USING (user_id)
+        | WHERE date_diff('day', f.cohort_day, e.d) <= 14),
+        |r AS (SELECT cohort_day, off,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        | FROM a GROUP BY cohort_day, off)
+        |SELECT r.cohort_day, CAST(r.off AS INTEGER) AS day_offset, r.n_active,
+        | sz.n_cohort,
+        | round(CAST(r.n_active AS DOUBLE) / CAST(sz.n_cohort AS DOUBLE), 6)
+        |  AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // source Gini: exact sorted-formula sums as BIGINTs, one ratio
+    "q178_source_gini" ->
+      """WITH a AS (SELECT source,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+        |   AS nt
+        | FROM documents),
+        |m AS (SELECT source, CAST(sum(nt) AS BIGINT) AS mass FROM a
+        | GROUP BY source),
+        |rk AS (SELECT source, mass,
+        |  row_number() OVER (ORDER BY mass, source) AS i FROM m),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(mass) AS BIGINT) AS total_tokens,
+        |  CAST(sum(i * mass) AS BIGINT) AS wsum,
+        |  CAST(max(mass) AS BIGINT) AS max_mass FROM rk)
+        |SELECT n_sources, total_tokens,
+        | round(2.0 * CAST(wsum AS DOUBLE)
+        |   / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+        |   - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE), 6)
+        |  AS gini,
+        | round(CAST(max_mass AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |  AS top_share
+        |FROM s""".stripMargin,
     // shard-union HLL: the engine reads ONLY persisted registers; the
     // oracle recomputes per-shard AND merged estimates from raw text —
     // equality is the mergeability proof

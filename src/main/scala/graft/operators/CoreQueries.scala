@@ -635,6 +635,36 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  // Retention cohort matrix — THE product-analytics table: users
+  // cohorted by first-activity day, retention = fraction of the
+  // cohort active again at day offset d (0..14). Two user-keyed
+  // aggregates (first day, then distinct (cohort, offset, user)) and
+  // two tiny keyed joins — no window over users, no per-user sort;
+  // at 100 TB the only corpus-sized shuffles are the two user-keyed
+  // exchanges, and AQE coalesces the cohort-day frames (≤ days ×
+  // offsets rows) for free.
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .where(col("day_offset") <= 14)
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("n_cohort"),
+        M.oracleRound(col("n_active").cast("double")
+          / col("n_cohort").cast("double"), 6).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // HLL-estimated distinct users per event-time day — q155's KMV
   // sibling at CONSTANT state: 64 register bytes per window vs k=32
   // longs, and the estimate error is uniform in cardinality. The

@@ -1510,6 +1510,11 @@ object PipelineQueries {
         bpeFit6(s, dir))
       .orderBy("doc_id")
 
+  // q178: Gini of token mass across sources off the shared tokenize
+  // stage — the mixture-inequality audit
+  def sourceGini(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.sourceGini(tokenArrays(s, dir), "source", "a")
+
   // q176: tokenizer round-trip audit on the SHARED fit — per-doc
   // decode(encode(x)) == x booleans; 2*rounds chained replaces, no
   // shuffle beyond the output sort

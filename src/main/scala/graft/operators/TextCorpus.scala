@@ -730,6 +730,42 @@ object TextCorpus {
         col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
   }
 
+  /** Source-concentration audit: Gini coefficient of token mass across
+    * corpus sources — the mixture-inequality diagnostic next to q83's
+    * mixture rates (a training mix dominated by one crawl shows up as
+    * G → 1 long before a per-source table is eyeballed). Exact sorted
+    * formula G = 2·Σ(i·mᵢ)/(n·S) − (n+1)/n over masses ascending
+    * (ties by source name): every sum is an exact BIGINT, the final
+    * ratio one fixed IEEE sequence (q166 discipline).
+    *
+    * Scale shape: ONE map-side-combined per-source aggregate is the
+    * only corpus-sized step; the rank/prefix work happens on the
+    * n_sources-row frame (explicitly coalesced to one partition — the
+    * frame is the number of DISTINCT SOURCES, bounded and tiny, which
+    * is why a window here is legal where q143 had to bucket). */
+  def sourceGini(arrs: DataFrame, srcCol: String, tokArrCol: String)
+      : DataFrame = {
+    val masses = arrs.groupBy(col(srcCol))
+      .agg(sum(size(col(tokArrCol))).cast("long").as("mass"))
+      .coalesce(1)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("mass").asc, col(srcCol).asc)
+    masses.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum("mass").as("total_tokens"),
+        sum(col("i") * col("mass")).as("wsum"),
+        max("mass").as("max_mass"))
+      .select(col("n_sources"), col("total_tokens"),
+        MysqlFunctions.oracleRound(
+          lit(2.0) * col("wsum").cast("double")
+            / (col("n_sources").cast("double")
+              * col("total_tokens").cast("double"))
+            - (col("n_sources") + lit(1L)).cast("double")
+              / col("n_sources").cast("double"), 6).as("gini"),
+        MysqlFunctions.oracleRound(col("max_mass").cast("double")
+          / col("total_tokens").cast("double"), 6).as("top_share"))
+  }
+
   /** Tokenizer round-trip audit over a [[bpeFit]] merge chain — the
     * invariant every tokenizer change must ship with: expanding the
     * merge symbols in REVERSE merge order reconstructs the original

@@ -727,6 +727,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("sourceGini: 0 on equal masses, (n-1)/n fully concentrated, deterministic ties") {
+    import graft.operators.TextCorpus
+    def arrs(rows: (String, Int)*) = rows.zipWithIndex.map {
+      case ((src, n), i) => (i.toLong, src, Seq.fill(n)("w"))
+    }.toDF("doc_id", "source", "a")
+    // four sources, equal 10-token mass -> Gini exactly 0
+    val eq = TextCorpus.sourceGini(
+      arrs("a" -> 10, "b" -> 10, "c" -> 10, "d" -> 10), "source", "a")
+      .as[(Long, Long, Double, Double)].collect()(0)
+    assert(eq == ((4L, 40L, 0.0, 0.25)))
+    // all mass in one source -> (n-1)/n = 0.75
+    val conc = TextCorpus.sourceGini(
+      arrs("a" -> 0, "b" -> 0, "c" -> 0, "d" -> 40), "source", "a")
+      .as[(Long, Long, Double, Double)].collect()(0)
+    assert(conc == ((4L, 40L, 0.75, 1.0)))
+  }
+
+  test("retentionCohorts: hand-checked cohort matrix on a 3-user timeline") {
+    import java.sql.Timestamp
+    import graft.operators.{CoreQueries => CQ}
+    // write a tiny events parquet and point the loader at it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ret_").toString
+    def ev(id: Long, day: Int, uid: Long) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), uid, "view", 1.0, "{}")
+    Seq(
+      ev(1, 1, 100L), ev(2, 1, 100L),  // u100 cohort d1, active d1
+      ev(3, 3, 100L),                  // u100 back at offset 2
+      ev(4, 1, 200L), ev(5, 2, 200L),  // u200 cohort d1, offsets 0,1
+      ev(6, 2, 300L)                   // u300 cohort d2, offset 0
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = CQ.retentionCohorts(spark, tmp)
+      .select("cohort_day", "day_offset", "n_active", "n_cohort", "retention")
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(out == Seq(
+      (d1, 0, 2L, 2L, 1.0),   // both d1 users active on day 0
+      (d1, 1, 1L, 2L, 0.5),   // only u200 back next day
+      (d1, 2, 1L, 2L, 0.5),   // only u100 back at offset 2
+      (d2, 0, 1L, 1L, 1.0)))
+  }
+
   test("bpeRoundtrip: reverse expansion reconstructs exactly, incl. nested PUA symbols") {
     import graft.operators.TextCorpus
     // "ababab": round 0 merges ab -> E000, round 1 merges (E000,E000)
