@@ -209,6 +209,7 @@ object SparkEntry {
     "q176_bpe_roundtrip" -> (P.bpeRoundtrip _),
     "q177_retention_cohorts" -> (C.retentionCohorts _),
     "q178_source_gini" -> (P.sourceGini _),
+    "q179_lsh_collision_audit" -> (P.lshCollisionAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2612,6 +2613,64 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // LSH collision S-curve: variant generation, shingles, the q29
+    // signature family and band-slice equality all replayed; p_theory
+    // by the same repeated-squaring multiplication chain
+    "q179_lsh_collision_audit" ->
+      """WITH tk AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents),
+        |var AS (SELECT doc_id + 10000 AS doc_id,
+        |  array_to_string(list_transform(list_filter(
+        |    generate_series(1, len(t)),
+        |    i -> (CAST(('0x' || substr(md5('keep:'
+        |        || CAST(tk.doc_id AS VARCHAR) || ':'
+        |        || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10)
+        |      < 4 + tk.doc_id % 7),
+        |    i -> t[CAST(i AS INTEGER)]), ' ') AS text
+        | FROM tk),
+        |corpus AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id, text FROM var),
+        |tk2 AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM corpus),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM tk2),
+        |mh AS (SELECT doc_id, g.i AS i,
+        |  list_min(list_transform(s, x ->
+        |    (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) * (2*g.i + 1)
+        |     + g.i * 40503) % 2147483647)) AS mh
+        | FROM sh, generate_series(0, 63) AS g(i)),
+        |sg AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh
+        | GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, a.s AS sa, b.s AS sb
+        | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+        | WHERE a.doc_id < 10000),
+        |ps AS (SELECT ga.doc_id AS id_a, ga.sig AS siga, gb.sig AS sigb
+        | FROM sg ga JOIN sg gb ON gb.doc_id = ga.doc_id + 10000
+        | WHERE ga.doc_id < 10000),
+        |jj AS (SELECT p.id_a, CAST(4 + p.id_a % 7 AS BIGINT) AS keep_lvl,
+        |  CAST(len(sa) AS BIGINT) AS n_sh_a, CAST(len(sb) AS BIGINT) AS n_sh_b,
+        |  round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |    / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE),
+        |    4) AS jaccard,
+        |  CAST(len(list_filter(generate_series(0, 15), b ->
+        |    siga[4*b + 1] = sigb[4*b + 1] AND siga[4*b + 2] = sigb[4*b + 2]
+        |    AND siga[4*b + 3] = sigb[4*b + 3]
+        |    AND siga[4*b + 4] = sigb[4*b + 4])) AS BIGINT) AS n_hit_bands
+        | FROM p JOIN ps ON p.id_a = ps.id_a),
+        |sq AS (SELECT *,
+        |  (1.0 - (jaccard*jaccard)*(jaccard*jaccard)) AS y FROM jj),
+        |sq2 AS (SELECT *, (y*y)*(y*y) AS y4 FROM sq),
+        |sq3 AS (SELECT *, (y4*y4)*(y4*y4) AS y16 FROM sq2)
+        |SELECT id_a, keep_lvl, n_sh_a, n_sh_b, jaccard, n_hit_bands,
+        | (n_hit_bands > 0) AS collided, round(1.0 - y16, 6) AS p_theory
+        |FROM sq3 ORDER BY id_a""".stripMargin,
     // retention cohorts: first-activity-day cohorting, distinct
     // (cohort, offset, user) activity, exact integer offsets
     "q177_retention_cohorts" ->

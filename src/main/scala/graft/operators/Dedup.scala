@@ -721,6 +721,90 @@ object Dedup {
         greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
   }
 
+  /** LSH design audit: the banded-MinHash collision S-curve measured
+    * against theory on a PLANTED variable-similarity corpus — the
+    * "will my banding catch J=0.6 pairs?" question answered with data
+    * before a production run, the same design-regime discipline as
+    * q51. Each document gets ONE variant keeping token i iff
+    * `md5('keep:'+id+':'+i) mod 10 < 4 + id mod 7` (keep levels
+    * 0.4…1.0 → pair Jaccards spread over the whole S-curve, all
+    * md5-derived so the oracle replays generation exactly). For each
+    * (doc, variant) pair: exact shingle Jaccard, how many of the 16
+    * bands' 4-row signature slices matched, whether the pair would
+    * surface as an LSH candidate, and the theoretical collision
+    * probability 1−(1−J⁴)¹⁶ — expanded as repeated squaring
+    * (multiplications only, no libm pow) so both engines compute the
+    * identical IEEE value.
+    *
+    * Scale shape: variant generation is map-only; signatures ride the
+    * standard shingle/signature stages; the pair frame is LINEAR in
+    * corpus size (each doc joins exactly its own variant — no pair
+    * blowup, band membership checked by direct slice comparison
+    * rather than a bucket self-join).
+    */
+  def lshCollisionAudit(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    // p_theory below unrolls (1-j^4)^16 as exact repeated squaring;
+    // generalizing needs a pow() both engines compute identically
+    require(bands == 16 && rowsPerBand == 4,
+      "collision audit is pinned to the 16x4 production banding")
+    val numHashes = bands * rowsPerBand
+    val t = TextFunctions.tokens(trim(col(textCol)))
+    val keepLvl = lit(4L) + pmod(col(idCol), lit(7L))
+    val keptIdx = filter(sequence(lit(1), size(col("__t"))), i =>
+      pmod(TextFunctions.md5Int(concat(lit("keep:"),
+        col(idCol).cast("string"), lit(":"), i.cast("string")), 8),
+        lit(10L)) < keepLvl)
+    // NB: the +10000 rename happens in its OWN projection — putting it
+    // in the same select as the keep predicate lets Spark's lateral
+    // column alias resolution bind the predicate's idCol reference to
+    // the renamed value (observed: doc 0 hashed as 'keep:10000:i' at
+    // level 8), silently changing every variant
+    val variants = docs.select(col(idCol), t.as("__t"))
+      .select(col(idCol),
+        array_join(transform(keptIdx, i =>
+          element_at(col("__t"), i.cast("int"))), " ").as(textCol))
+      .select((col(idCol) + lit(10000L)).as(idCol), col(textCol))
+    val corpus = docs.select(col(idCol), col(textCol)).unionByName(variants)
+    val sets = shingleSets(corpus, idCol, textCol, 3)
+    val sigs = minHashSigsFromSets(sets, idCol, numHashes)
+    val pairSets = sets.filter(col(idCol) < 10000)
+      .select(col(idCol).as("id_a"), col("__sh").as("__sa"))
+      .join(sets.filter(col(idCol) >= 10000)
+        .select((col(idCol) - lit(10000L)).as("id_a"), col("__sh").as("__sb")),
+        Seq("id_a"))
+    val pairSigs = sigs.filter(col(idCol) < 10000)
+      .select(col(idCol).as("id_a"), col("sig").as("__ga"))
+      .join(sigs.filter(col(idCol) >= 10000)
+        .select((col(idCol) - lit(10000L)).as("id_a"), col("sig").as("__gb")),
+        Seq("id_a"))
+    val bandHit = filter(sequence(lit(0), lit(bands - 1)), b =>
+      (1 to rowsPerBand).map(i =>
+        element_at(col("__ga"), (b * rowsPerBand + i).cast("int")) ===
+          element_at(col("__gb"), (b * rowsPerBand + i).cast("int")))
+        .reduce(_ && _))
+    val j = col("__inter").cast("double") / col("__uni").cast("double")
+    val jr = MysqlFunctions.oracleRound(j, 4)
+    // 1 - (1 - j^4)^16 by exact repeated squaring (bands=16, rows=4)
+    val j2 = jr * jr; val j4 = j2 * j2
+    val y = lit(1.0) - j4
+    val y2 = y * y; val y4 = y2 * y2; val y8 = y4 * y4; val y16 = y8 * y8
+    pairSets.join(pairSigs, Seq("id_a"))
+      .withColumn("keep_lvl", lit(4L) + pmod(col("id_a"), lit(7L)))
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__uni", (size(col("__sa")) + size(col("__sb"))).cast("long")
+        - col("__inter"))
+      .withColumn("n_hit_bands", size(bandHit).cast("long"))
+      .select(col("id_a"), col("keep_lvl"),
+        size(col("__sa")).cast("long").as("n_sh_a"),
+        size(col("__sb")).cast("long").as("n_sh_b"),
+        jr.as("jaccard"),
+        col("n_hit_bands"),
+        (col("n_hit_bands") > 0).as("collided"),
+        MysqlFunctions.oracleRound(lit(1.0) - y16, 6).as("p_theory"))
+  }
+
   /** EXACT set-similarity join by prefix filtering (Chaudhuri et al.
     * ICDE'06; the candidate-generation core of PPJoin, Xiao et al.
     * WWW'08) — every pair with set-Jaccard ≥ tauNum/tauDen, no

@@ -1510,6 +1510,14 @@ object PipelineQueries {
         bpeFit6(s, dir))
       .orderBy("doc_id")
 
+  // q179: banded-LSH collision S-curve vs theory on planted
+  // variable-J pairs — the dedup-design audit (q51's design-regime
+  // discipline applied to the MinHash family)
+  def lshCollisionAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCollisionAudit(Tables.documents(s, dir), "doc_id", "text",
+        bands = 16, rowsPerBand = 4)
+      .orderBy("id_a")
+
   // q178: Gini of token mass across sources off the shared tokenize
   // stage — the mixture-inequality audit
   def sourceGini(s: SparkSession, dir: String): DataFrame =

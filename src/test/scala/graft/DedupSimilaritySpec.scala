@@ -739,6 +739,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("lshCollisionAudit: S-curve tracks theory, exact-copy pairs always collide") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.lshCollisionAudit(docs, "doc_id", "text",
+        bands = 16, rowsPerBand = 4)
+      .select("id_a", "keep_lvl", "jaccard", "n_hit_bands", "collided",
+        "p_theory")
+      .as[(Long, Long, Double, Long, Boolean, Double)].collect().toSeq
+    assert(out.size == docs.count())
+    // keep level 10 => variant is an exact copy: J = 1, all 16 bands hit
+    val copies = out.filter(_._2 == 10L)
+    assert(copies.nonEmpty &&
+      copies.forall(p => p._3 == 1.0 && p._4 == 16L && p._5))
+    // S-curve brackets: high-J pairs always collide, low-J almost never
+    val hi = out.filter(_._3 >= 0.7)
+    assert(hi.nonEmpty && hi.forall(_._5), "J >= 0.7 must always collide")
+    val lo = out.filter(_._3 <= 0.1)
+    val loRate = lo.count(_._5).toDouble / lo.size
+    assert(lo.nonEmpty && loRate < 0.05, s"J <= 0.1 collision rate $loRate")
+    // mid-band: the empirical rate must be within the binomial noise of
+    // the mean theoretical probability (the audit's whole point)
+    val mid = out.filter(p => p._3 >= 0.3 && p._3 <= 0.6)
+    val emp = mid.count(_._5).toDouble / mid.size
+    val theo = mid.map(_._6).sum / mid.size
+    assert(mid.size >= 30 && math.abs(emp - theo) < 0.15,
+      s"mid-band empirical $emp vs theory $theo over ${mid.size} pairs")
+  }
+
   test("ndcgAtK: 1.0 on identical lists, reversal and misses discount correctly") {
     def leg(q: Long, ids: Seq[Long]) =
       ids.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
