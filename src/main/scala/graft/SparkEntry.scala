@@ -210,6 +210,7 @@ object SparkEntry {
     "q177_retention_cohorts" -> (C.retentionCohorts _),
     "q178_source_gini" -> (P.sourceGini _),
     "q179_lsh_collision_audit" -> (P.lshCollisionAudit _),
+    "q180_grouped_topk" -> (C.groupedTopK _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2613,6 +2614,15 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // grouped top-k: the mergeable aggregate must reproduce the plain
+    // window's answer exactly (ties by doc_id)
+    "q180_grouped_topk" ->
+      """SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars FROM (
+        | SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
     // LSH collision S-curve: variant generation, shingles, the q29
     // signature family and band-slice equality all replayed; p_theory
     // by the same repeated-squaring multiplication chain

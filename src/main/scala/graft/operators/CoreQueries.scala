@@ -635,6 +635,28 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  // Grouped top-k WITHOUT a window — the [[graft.functions.TopKAgg]]
+  // mergeable aggregate keeps k (score, id) pairs per group and
+  // combines map-side, shipping k rows per group across the wire
+  // where `row_number() OVER` shuffles and sorts every row of every
+  // group. Gated against the window form's exact answer (ties pinned
+  // by id); PlanSpec pins partial+final ObjectHashAggregate and the
+  // ABSENCE of WindowExec/global sort over the corpus.
+  def groupedTopK(s: SparkSession, dir: String): DataFrame = {
+    val top3 = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(top3(col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("n_chars"))
+      .orderBy("lang", "rnk")
+  }
+
   // Retention cohort matrix — THE product-analytics table: users
   // cohorted by first-activity day, retention = fraction of the
   // cohort active again at day offset d (0..14). Two user-keyed

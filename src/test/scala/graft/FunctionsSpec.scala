@@ -183,4 +183,31 @@ class FunctionsSpec extends AnyFunSuite {
         s"$bad should fail with an argument-count/type message, got: $msg")
     }
   }
+
+  test("TopKAgg equals the window form on adversarial ties, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties: scores drawn from just 4 values across 3 groups
+    val rows = (0L until 400L).map(i =>
+      (s"g${i % 3}", rnd.nextInt(4).toDouble, i))
+    val df = rows.toDF("g", "s", "id")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAgg(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    def run(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy("g").agg(topk(col("s"), col("id")).as("t"))
+        .select(col("g"), posexplode(col("t")))
+        .select(col("g"), col("pos"), col("col._1").as("s"),
+          col("col._2").as("id"))
+        .as[(String, Int, Double, Long)].collect().toSet
+    val got = run(df)
+    // naive truth: sort by (s desc, id asc), take 5 per group
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex
+        .map { case ((_, s, id), p) => (g, p, s, id) }
+    }.toSet
+    assert(got == want)
+    assert(run(df.repartition(17)) == want, "partitioning must not matter")
+  }
 }

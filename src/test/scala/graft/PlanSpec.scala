@@ -269,6 +269,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q180: grouped top-k is a mergeable aggregate — no WindowExec, partial+final live") {
+    val plan = C.groupedTopK(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-k per group must not plan a window sort:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
   test("q174: shard-union estimate reads ONLY persisted registers — no corpus in the plan") {
     val df = P.hllShardUnion(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
