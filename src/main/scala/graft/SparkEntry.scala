@@ -211,6 +211,7 @@ object SparkEntry {
     "q178_source_gini" -> (P.sourceGini _),
     "q179_lsh_collision_audit" -> (P.lshCollisionAudit _),
     "q180_grouped_topk" -> (C.groupedTopK _),
+    "q181_bloom_join" -> (C.bloomJoin _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2614,6 +2615,15 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // bloom join: the runtime filter changes the PLAN, never the
+    // answer — the oracle is the plain join semantics (q88 pattern)
+    "q181_bloom_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 400000""".stripMargin,
     // grouped top-k: the mergeable aggregate must reproduce the plain
     // window's answer exactly (ties by doc_id)
     "q180_grouped_topk" ->

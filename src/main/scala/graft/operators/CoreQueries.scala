@@ -635,6 +635,43 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  // Runtime bloom-filter join pruning — Spark's row-level runtime
+  // filter (SPARK-32268): a bloom filter built from the SELECTIVE
+  // side's join keys is pushed into the big side's scan filter, so
+  // lineitem rows for non-qualifying orders are dropped BEFORE the
+  // join shuffle — at 100 TB that is the difference between shuffling
+  // the whole fact table and shuffling the ~6 % that can match. The
+  // gate runs in a child session (shared context, own conf): broadcast
+  // disabled to force the shuffle join the feature exists for, and the
+  // size thresholds lowered because the defaults (10 GB application
+  // side) are tuned for real clusters, not test-scale parquet — the
+  // 100 TB deployment keeps the defaults and gets this plan exactly
+  // when it pays. Output aggregates are exact integers (counts +
+  // integer-valued quantity sums), so the oracle is a plain join.
+  // PlanSpec pins the bloom probe in the lineitem scan.
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    val ord = Tables.orders(s2, dir)
+      .where(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(s2, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   // Grouped top-k WITHOUT a window — the [[graft.functions.TopKAgg]]
   // mergeable aggregate keeps k (score, id) pairs per group and
   // combines map-side, shipping k rows per group across the wire

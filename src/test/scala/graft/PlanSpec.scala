@@ -269,6 +269,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q181: runtime bloom filter probes the lineitem scan before the join shuffle") {
+    val df = C.bloomJoin(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("bloom"),
+      s"expected an injected bloom runtime filter:\n${plan.take(3000)}")
+    // and it answers identically to the plain-conf join
+    import org.apache.spark.sql.functions._
+    val ord = graft.sources.Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+      .collect()(0)
+    val got = df.collect()(0)
+    assert(got.getLong(0) == plain.getLong(0) &&
+      got.getLong(2) == plain.getLong(1))
+  }
+
   test("q180: grouped top-k is a mergeable aggregate — no WindowExec, partial+final live") {
     val plan = C.groupedTopK(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
