@@ -212,6 +212,7 @@ object SparkEntry {
     "q179_lsh_collision_audit" -> (P.lshCollisionAudit _),
     "q180_grouped_topk" -> (C.groupedTopK _),
     "q181_bloom_join" -> (C.bloomJoin _),
+    "q182_gif_decode" -> (P.gifDecode _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1137,6 +1138,32 @@ object SparkEntry {
         | CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
         | round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
         | round(avg(b), 4) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // GIF decode: the oracle restates the generator's md5 index closed
+    // form INCLUDING the digest of the whole index stream — the Spark
+    // side actually round-trips a from-scratch LZW
+    "q182_gif_decode" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 11 + 4 AS BIGINT) AS h
+        | FROM documents),
+        |px0 AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p
+        | FROM dims),
+        |px AS (
+        | SELECT doc_id, w, h, p,
+        |  CAST(('0x' || substr(md5('gif:' || doc_id || ':' || p), 1, 8))
+        |    AS BIGINT) % 4 AS v
+        | FROM px0)
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        | CAST(max(h) AS INTEGER) AS height,
+        | CAST(4 AS INTEGER) AS gct_size,
+        | CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        | CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        | CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        | CAST(sum(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        | md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS idx_md5
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Index-staleness audit over the q53/q137 Lloyd fit: the oracle
     // re-runs the shared ivfBuildCtes chain, computes each vector's
@@ -2854,26 +2881,28 @@ object SparkEntry {
     // list(term ORDER BY df, term), prefix length and the tau gate as
     // exact integer arithmetic; candidates then exact-verified
     "q171_prefix_filter_join" ->
-      """WITH d0 AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
-        | FROM documents WHERE len(trim(lower(text))) > 0),
-        |g AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
-        | FROM d0 WHERE len(a) >= 2),
-        |toks AS (SELECT DISTINCT doc_id,
-        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS term
-        | FROM g),
+      """WITH tk AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        | FROM documents),
+        |toks AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END) AS term
+        | FROM tk),
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks
         | GROUP BY term),
         |tj AS (SELECT t.doc_id, t.term, d.df FROM toks t
         | JOIN dfreq d ON t.term = d.term),
         |sets AS (SELECT doc_id, list(term ORDER BY df, term) AS l,
         |  CAST(count(*) AS BIGINT) AS s FROM tj GROUP BY doc_id),
-        |pref AS (SELECT doc_id,
+        |pref AS (SELECT doc_id, s,
         |  unnest(l[1 : CAST(s - ((8 * s + 9) // 10) + 1 AS INTEGER)]) AS term
         | FROM sets),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         | FROM pref a JOIN pref b
-        |  ON a.term = b.term AND a.doc_id < b.doc_id),
+        |  ON a.term = b.term AND a.doc_id < b.doc_id
+        |  AND a.s * 10 >= 8 * b.s AND b.s * 10 >= 8 * a.s),
         |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
         | FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
         | JOIN toks tb ON tb.doc_id = c.id_b AND tb.term = ta.term

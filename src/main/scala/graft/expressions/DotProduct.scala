@@ -82,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowSelectDescriptor)
     ext.injectFunction(GraftExtensions.pngBytesDescriptor)
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
+    ext.injectFunction(GraftExtensions.gifBytesDescriptor)
+    ext.injectFunction(GraftExtensions.gifDecodeDescriptor)
     ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
@@ -225,6 +227,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_png_decode takes exactly 1 argument, got ${children.length}")
         PngDecode(children.head)
+      })
+
+  /** `graft_gif_bytes(width, height, docId)` — real GIF87a with a
+    * from-scratch LZW compressor, md5-derived palette indices (see
+    * [[GifBytes]]). */
+  val gifBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gif_bytes"),
+      new ExpressionInfo(classOf[GifBytes].getName, "graft_gif_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_gif_bytes takes exactly 3 arguments, got ${children.length}")
+        GifBytes(children(0), children(1), children(2))
+      })
+
+  /** `graft_gif_decode(binary)` — strict GIF87a walk + LZW decode →
+    * index-histogram struct, NULL if non-conforming. */
+  val gifDecodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gif_decode"),
+      new ExpressionInfo(classOf[GifDecode].getName, "graft_gif_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_gif_decode takes exactly 1 argument, got ${children.length}")
+        GifDecode(children.head)
       })
 
   /** `graft_avi_dib_bytes(w, h, nFrames, usPerFrame, docId)` — canonical

@@ -846,11 +846,17 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("term")))).as("l"),
         count(lit(1)).as("s"))
     val prefLen = s"int(s - ((s * $tauNum + ${tauDen - 1}) div $tauDen) + 1)"
-    val pref = sets.select(col(idCol).as("__id"),
+    val pref = sets.select(col(idCol).as("__id"), col("s"),
       explode(expr(s"transform(slice(l, 1, $prefLen), x -> x.term)"))
         .as("term"))
+    // size filter (the prefix filter's standard companion): J ≥ τ
+    // forces τ·|B| ≤ |A| ≤ |B|/τ, checked by integer cross-multiply on
+    // the sizes already riding the prefix rows — it prunes candidates
+    // BEFORE the distinct/verify stages ever see them
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.term") === col("b.term") && col("a.__id") < col("b.__id"))
+        col("a.term") === col("b.term") && col("a.__id") < col("b.__id") &&
+          col("a.s") * tauDen >= col("b.s") * tauNum &&
+          col("b.s") * tauDen >= col("a.s") * tauNum)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     val termSets = sets.select(col(idCol).as("__id"),

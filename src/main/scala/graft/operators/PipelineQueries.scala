@@ -491,6 +491,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q182: real GIF87a round-trip — generator carries a from-scratch
+  // LZW compressor (the first non-JDK compression in the family),
+  // decoder walks the structure strictly and LZW-decodes; the oracle
+  // restates the md5 index closed form including the full index-stream
+  // digest, so a single mis-decoded pixel anywhere goes red. Dims up
+  // to 16x14 exercise multiple code-width growths; both expressions
+  // native (the q140 lesson: per-byte builtin compositions blow up).
+  def gifDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(13)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(11)) + 4).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_gif_bytes", w, h, col("doc_id")).as("__gif"))
+      .select(col("doc_id"),
+        call_function("graft_gif_decode", col("__gif")).as("__m"))
+      .select(col("doc_id"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.gct_size").as("gct_size"),
+        col("__m.n_pixels").as("n_pixels"),
+        col("__m.c0").as("c0"), col("__m.c1").as("c1"),
+        col("__m.c2").as("c2"), col("__m.c3").as("c3"),
+        col("__m.idx_md5").as("idx_md5"))
+      .orderBy("doc_id")
+  }
+
   def ppmDecode(s: SparkSession, dir: String): DataFrame = {
     val w = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
     val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
@@ -1612,13 +1638,19 @@ object PipelineQueries {
       .orderBy("source")
   }
 
-  // q171: EXACT Jaccard >= 0.8 set-similarity join over distinct-bigram
-  // sets by rarest-first prefix filtering — the deterministic
-  // complement to the MinHash-LSH probabilistic pair finder
+  // q171: EXACT Jaccard >= 0.8 set-similarity join over the SHARED
+  // 3-gram shingle sets by rarest-first prefix filtering + size
+  // filter — the deterministic complement to the MinHash-LSH
+  // probabilistic pair finder, riding the same stage q29/q30 use.
+  // On the trigram space the prefixes are genuinely rare: ~0.35 % of
+  // the sf0.1 pair space survives candidates (bigram sets over this
+  // corpus' 40-word vocabulary were df-dense — candidates ~35 % and a
+  // 67 s bench entry; term-space sparsity is WHERE this algorithm's
+  // pruning comes from, so feed it the sparse shingle space)
   def prefixFilterPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterJoin(
-        bigramStream(s, dir).select(col("doc_id"), col("bg").as("term"))
-          .distinct(),
+        stages(s, dir)._1.select(col("doc_id"),
+          explode(col("__sh")).as("term")),
         "doc_id", tauNum = 8, tauDen = 10)
       .orderBy("id_a", "id_b")
 
