@@ -213,6 +213,7 @@ object SparkEntry {
     "q180_grouped_topk" -> (C.groupedTopK _),
     "q181_bloom_join" -> (C.bloomJoin _),
     "q182_gif_decode" -> (P.gifDecode _),
+    "q183_asof_native" -> (C.asofClickViewNative _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2225,6 +2226,20 @@ object SparkEntry {
     // JOIN, same left.t >= right.t / equal-time-matches contract as the
     // union+window implementation), so the oracle is direct.
     "q63_asof_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |clicks AS (
+        | SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |views AS (
+        | SELECT user_id, us, max(event_id) AS view_event_id
+        | FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT c.event_id, c.user_id, c.us, v.view_event_id, v.us AS view_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.us >= v.us
+        |ORDER BY c.event_id""".stripMargin,
+    // the native custom-operator as-of (AsofJoinExec) must answer
+    // exactly like the composition: the q63 oracle verbatim
+    "q183_asof_native" ->
       """WITH e AS (
         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         |clicks AS (

@@ -92,6 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tarGzBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
+    // §7.3(c): whole-operator strategy for the native as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
 }
 

@@ -1175,6 +1175,26 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // q183: the SAME point-in-time semantics as q63, executed by the
+  // custom Catalyst operator ([[graft.plans.AsofJoinNode]] ->
+  // AsofStrategy -> AsofJoinExec): one hash shuffle + sort per side
+  // from EnsureRequirements, then a single zipPartitions merge pass —
+  // no union row inflation, no window state. Gated against q63's
+  // exact oracle; PlanSpec pins AsofJoinExec in the physical plan.
+  def asofClickViewNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("r_user_id"), col("us").as("r_us"))
+      .agg(max("event_id").as("view_event_id"))
+    graft.plans.AsofNative.asofBackward(clicks, views,
+        "user_id", "us", "r_user_id", "r_us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("view_event_id"), col("r_us").as("view_us"))
+      .orderBy("event_id")
+  }
+
   // Fixed-grid forward-fill resample of the event stream: each user's
   // latest event state at every absolute 6-hour grid instant inside
   // their span — grid generation is a distributed sequence+explode,

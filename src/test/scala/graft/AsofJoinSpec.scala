@@ -153,4 +153,67 @@ class AsofJoinSpec extends AnyFunSuite {
     // simultaneous events: every weight is 2^0 = 1 -> freshness exactly 1
     assert(got(2L) == ((2L, 10.0, 1.0)), s"got ${got(2L)}")
   }
+
+  test("native AsofJoinExec is row-identical to the composition on adversarial data") {
+    // same generator as the composition's brute-force test, plus
+    // deliberate edge rows: equal times, key gaps, right-only keys,
+    // left-only keys, and duplicated left timestamps
+    val rng = new scala.util.Random(83)
+    val lefts = Seq.tabulate(300)(i =>
+      (i.toLong, 1L + rng.nextInt(6), rng.nextInt(500).toLong)) ++
+      Seq((900L, 99L, 10L), (901L, 99L, 10L))       // left-only key, dup t
+    val rights = Seq.fill(300)((1L + rng.nextInt(6), rng.nextInt(500).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) } ++
+      Seq((98L, 1L, 7777L))                          // right-only key
+    val lDf = lefts.toDF("lid", "k", "t")
+    val rDf = rights.toDF("rk", "rt", "rv")
+    val native = graft.plans.AsofNative
+      .asofBackward(lDf, rDf, "k", "t", "rk", "rt")
+      .select(col("lid"), col("rv"), col("rt"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+
+    val comp = AsofJoin.asofBackward(lDf,
+        rDf.withColumnRenamed("rk", "k").withColumnRenamed("rt", "t"),
+        Seq("k"), "t", "t")
+      .select(col("lid"), col("asof.rv"), col("asof.t"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(native == comp,
+      s"diff=${(native.toSet -- comp.toSet).take(5)} / ${(comp.toSet -- native.toSet).take(5)}")
+
+    // the physical plan really is the custom operator: one exec node,
+    // both children shuffled+sorted by EnsureRequirements
+    val plan = graft.plans.AsofNative
+      .asofBackward(lDf, rDf, "k", "t", "rk", "rt")
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsofJoin"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly one shuffle per side:\n${plan.take(2000)}")
+  }
+
+  test("native as-of: empty sides and null keys/times follow SQL semantics") {
+    val l = Seq((1L, Option(5L), Option(10L)), (2L, None, Option(10L)),
+      (3L, Option(5L), None)).toDF("lid", "k", "t")
+    val r = Seq((Option(5L), Option(8L), 42L), (None, Option(1L), 43L),
+      (Option(5L), None, 44L)).toDF("rk", "rt", "rv")
+    val out = graft.plans.AsofNative
+      .asofBackward(l, r, "k", "t", "rk", "rt")
+      .select(col("lid"), col("rv"))
+      .as[(Long, Option[Long])].collect().toMap
+    // only the fully-non-null pairing matches; null key/time rows on
+    // either side never join (the documented contract)
+    assert(out == Map(1L -> Some(42L), 2L -> None, 3L -> None))
+
+    val empty = l.where(lit(false))
+    val outE = graft.plans.AsofNative
+      .asofBackward(empty, r, "k", "t", "rk", "rt").count()
+    assert(outE == 0L)
+    val outR = graft.plans.AsofNative
+      .asofBackward(l, r.where(lit(false)), "k", "t", "rk", "rt")
+      .select(col("lid"), col("rv"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(outR == Map(1L -> None, 2L -> None, 3L -> None))
+  }
 }

@@ -269,6 +269,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q183: the custom as-of strategy plans AsofJoinExec, one shuffle+sort per side") {
+    val plan = C.asofClickViewNative(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(2500))
+    assert(!plan.contains("Window"),
+      s"native as-of must not fall back to the window composition:\n${plan.take(2500)}")
+  }
+
   test("q181: runtime bloom filter probes the lineitem scan before the join shuffle") {
     val df = C.bloomJoin(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
