@@ -214,6 +214,7 @@ object SparkEntry {
     "q181_bloom_join" -> (C.bloomJoin _),
     "q182_gif_decode" -> (P.gifDecode _),
     "q183_asof_native" -> (C.asofClickViewNative _),
+    "q184_waterfill_caps" -> (P.waterfillCaps _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2755,6 +2756,38 @@ object SparkEntry {
         |  AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // waterfilling: source selection entirely on the integer side of
+    // the divide (P_k + (n-k)*m_k <= B), one ratio for the cap level
+    "q184_waterfill_caps" ->
+      """WITH a AS (SELECT source,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+        |   AS nt
+        | FROM documents),
+        |m AS (SELECT source, CAST(sum(nt) AS BIGINT) AS mass FROM a
+        | GROUP BY source),
+        |rk AS (SELECT source, mass,
+        |  CAST(row_number() OVER (ORDER BY mass, source) AS BIGINT) AS j,
+        |  CAST(sum(mass) OVER (ORDER BY mass, source
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+        |  CAST(count(*) OVER () AS BIGINT) AS n,
+        |  CAST(sum(mass) OVER () AS BIGINT) AS total
+        | FROM m),
+        |rb AS (SELECT *, (total * 1) // 2 AS budget FROM rk),
+        |kr AS (SELECT max(CASE WHEN pk + (n - j) * mass <= budget
+        |    THEN j ELSE 0 END) AS k,
+        |  max(n) AS n, max(budget) AS budget, max(total) AS total FROM rb),
+        |sv AS (SELECT kr.k, kr.n, kr.budget, kr.total,
+        |  coalesce(rb2.pk, 0) AS p_k,
+        |  CASE WHEN kr.k = kr.n THEN CAST(kr.total AS DOUBLE)
+        |   ELSE CAST(kr.budget - coalesce(rb2.pk, 0) AS DOUBLE)
+        |     / CAST(kr.n - kr.k AS DOUBLE) END AS cap_raw
+        | FROM kr LEFT JOIN rb rb2 ON rb2.j = kr.k)
+        |SELECT rb.source, rb.mass, sv.budget,
+        | round(sv.cap_raw, 6) AS cap,
+        | (CAST(rb.mass AS DOUBLE) > sv.cap_raw) AS capped,
+        | round(least(CAST(rb.mass AS DOUBLE), sv.cap_raw), 6) AS alloc
+        |FROM rb, sv ORDER BY rb.source""".stripMargin,
     // source Gini: exact sorted-formula sums as BIGINTs, one ratio
     "q178_source_gini" ->
       """WITH a AS (SELECT source,

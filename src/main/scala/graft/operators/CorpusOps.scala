@@ -443,4 +443,68 @@ object CorpusOps {
         pmod(col("__rnk"), lit(s)).cast("int").as("shard"),
         ((col("__rnk") - pmod(col("__rnk"), lit(s))) / s).cast("long").as("pos"))
   }
+
+  /** Waterfilling cap solve — the mixture PLANNER next to
+    * [[mixtureRates]]' descriptive table: given per-source token
+    * masses and a token budget `B`, find the level `C` such that
+    * `Σ min(massᵢ, C) = B` — small sources contribute fully, large
+    * ones are capped at a COMMON level (max-min fair allocation; the
+    * standard shape of "downsample the big crawls, keep the long
+    * tail" mixture design, e.g. the Pile's per-set caps).
+    *
+    * Exact solve, no iteration: sort masses ascending, take k = the
+    * largest count of fully-kept smallest sources with
+    * `P_k + (n−k)·m_k ≤ B` (all sums exact BIGINTs), then
+    * `C = (B − P_k)/(n−k)` — one double division of exact integers
+    * (k = n degenerates to no capping). Every comparison on the
+    * integer side of the divide, so source selection cannot drift
+    * between engines; only C and the allocations are rounded ratios.
+    *
+    * Scale shape: ONE map-side-combined per-source aggregate is the
+    * corpus-sized step; the sort/prefix work runs on the
+    * n_sources-row frame, coalesced to one partition (the q178
+    * bounded-frame contract).
+    */
+  def waterfillCaps(arrs: DataFrame, srcCol: String, tokArrCol: String,
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    val masses = arrs.groupBy(col(srcCol))
+      .agg(sum(size(col(tokArrCol))).cast("long").as("mass"))
+      .coalesce(1)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("mass").asc, col(srcCol).asc)
+    val ranked = masses
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("pk", sum("mass").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(0))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total", sum("mass").over(
+        Window.partitionBy(lit(0))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("budget",
+        expr(s"(total * $budgetNum) div $budgetDen"))
+    // k = max j with P_j + (n-j)*m_j <= B; k = 0 when none qualifies
+    val kRow = ranked
+      .withColumn("ok",
+        col("pk") + (col("n") - col("j")) * col("mass") <= col("budget"))
+      .agg(max(when(col("ok"), col("j")).otherwise(lit(0L))).as("k"),
+        max("n").as("n"), max("budget").as("budget"), max("total").as("total"))
+    val pkOfK = ranked.select(col("j").as("k"), col("pk").as("p_k"))
+    val solved = kRow.join(pkOfK, Seq("k"), "left")
+      .na.fill(0L, Seq("p_k"))
+      .withColumn("cap_raw",
+        when(col("k") === col("n"), col("total").cast("double"))
+          .otherwise((col("budget") - col("p_k")).cast("double")
+            / (col("n") - col("k")).cast("double")))
+    ranked.crossJoin(broadcast(solved.select(
+        col("budget").as("b_budget"), col("cap_raw"))))
+      .select(col(srcCol), col("mass"),
+        col("b_budget").as("budget"),
+        MysqlFunctions.oracleRound(col("cap_raw"), 6).as("cap"),
+        (col("mass").cast("double") > col("cap_raw")).as("capped"),
+        MysqlFunctions.oracleRound(
+          least(col("mass").cast("double"), col("cap_raw")), 6).as("alloc"))
+      .orderBy(col(srcCol))
+  }
 }

@@ -1549,6 +1549,12 @@ object PipelineQueries {
   def sourceGini(s: SparkSession, dir: String): DataFrame =
     TextCorpus.sourceGini(tokenArrays(s, dir), "source", "a")
 
+  // q184: waterfilling cap solve at budget = half the corpus —
+  // q178's diagnostic turned into the mixture PLANNER
+  def waterfillCaps(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.waterfillCaps(tokenArrays(s, dir), "source", "a",
+      budgetNum = 1, budgetDen = 2)
+
   // q176: tokenizer round-trip audit on the SHARED fit — per-doc
   // decode(encode(x)) == x booleans; 2*rounds chained replaces, no
   // shuffle beyond the output sort

@@ -727,6 +727,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("waterfillCaps: hand-checked level, conservation, no-cap degenerate") {
+    def arrs(rows: (String, Int)*) = rows.zipWithIndex.map {
+      case ((src, n), i) => (i.toLong, src, Seq.fill(n)("w"))
+    }.toDF("doc_id", "source", "a")
+    val df = arrs("a" -> 10, "b" -> 10, "c" -> 100, "d" -> 100)
+    // B = 220/2 = 110; k = 2 smallest kept fully, C = (110-20)/2 = 45
+    val out = CorpusOps.waterfillCaps(df, "source", "a", 1, 2)
+      .select("source", "mass", "budget", "cap", "capped", "alloc")
+      .as[(String, Long, Long, Double, Boolean, Double)].collect().toSeq
+    assert(out.map(_._4).distinct == Seq(45.0))
+    assert(out.map(t => (t._1, t._2, t._5, t._6)) == Seq(
+      ("a", 10L, false, 10.0), ("b", 10L, false, 10.0),
+      ("c", 100L, true, 45.0), ("d", 100L, true, 45.0)))
+    // allocations conserve the budget exactly
+    assert(out.map(_._6).sum == out.head._3.toDouble)
+    // full budget -> nobody capped, alloc = mass
+    val full = CorpusOps.waterfillCaps(df, "source", "a", 1, 1)
+      .select("source", "capped", "alloc")
+      .as[(String, Boolean, Double)].collect().toSeq
+    assert(full.forall(t => !t._2))
+    assert(full.map(_._3) == Seq(10.0, 10.0, 100.0, 100.0))
+  }
+
   test("sourceGini: 0 on equal masses, (n-1)/n fully concentrated, deterministic ties") {
     import graft.operators.TextCorpus
     def arrs(rows: (String, Int)*) = rows.zipWithIndex.map {
