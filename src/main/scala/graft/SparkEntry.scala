@@ -215,6 +215,8 @@ object SparkEntry {
     "q182_gif_decode" -> (P.gifDecode _),
     "q183_asof_native" -> (C.asofClickViewNative _),
     "q184_waterfill_caps" -> (P.waterfillCaps _),
+    "q185_groupkfold" -> (P.groupKFold _),
+    "q186_lsh_design" -> (P.lshDesign _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -265,6 +267,37 @@ object SparkEntry {
     bpeCtes(rounds) +
       "\nSELECT * FROM (" + legs.mkString(" UNION ALL ") +
       ") z ORDER BY round"
+  }
+
+  /** q186's oracle: the same 7 banding legs with powers as repeated-
+    * squaring multiplication text (value-identical to the engine's
+    * fold of Column squarings). */
+  private def lshDesignOracle(totalHashes: Int, tauGrid: Int): String = {
+    def sq(x: String, k: Int): String =
+      (0 until k).foldLeft(x)((s, _) => s"($s * $s)")
+    def log2(x: Int): Int = Integer.numberOfTrailingZeros(x)
+    val legs = (0 to log2(totalHashes)).map { i =>
+      val r = 1 << i
+      val b = totalHashes / r
+      val p = s"(1.0 - ${sq(s"(1.0 - ${sq("j", log2(r))})", log2(b))})"
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         | CAST($r AS INTEGER) AS rows_per_band,
+         | CAST(sum(CASE WHEN g < $tauGrid
+         |   THEN CAST(floor($p * 1000000.0 + 0.5) AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS fp_fp,
+         | CAST(sum(CASE WHEN g >= $tauGrid
+         |   THEN CAST(floor((1.0 - $p) * 1000000.0 + 0.5) AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS fn_fp
+         |FROM jj""".stripMargin
+    }
+    s"""WITH gr AS (SELECT unnest(generate_series(1, 99)) AS g),
+       |jj AS (SELECT g, CAST(g AS DOUBLE) / 100.0 AS j FROM gr),
+       |t AS (${legs.mkString("\nUNION ALL\n")}),
+       |t2 AS (SELECT bands, rows_per_band, fp_fp, fn_fp,
+       |  fp_fp + fn_fp AS total_fp FROM t)
+       |SELECT bands, rows_per_band, fp_fp, fn_fp, total_fp,
+       | (total_fp = (SELECT min(total_fp) FROM t2)) AS is_best
+       |FROM t2 ORDER BY bands""".stripMargin
   }
 
   /** q176's round-trip tail: expand merge symbols in REVERSE round
@@ -2756,6 +2789,29 @@ object SparkEntry {
         |  AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // GroupKFold audit: fold = md5(group) mod k restates directly
+    "q185_groupkfold" ->
+      """WITH a AS (SELECT source,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+        |   AS nt
+        | FROM documents),
+        |b AS (SELECT source, nt,
+        |  CAST(('0x' || substr(md5('fold:' || source), 1, 15)) AS BIGINT) % 5
+        |    AS fold
+        | FROM a),
+        |pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        | FROM b GROUP BY fold),
+        |t AS (SELECT CAST(sum(nt) AS BIGINT) AS t_tokens FROM b)
+        |SELECT pf.fold, pf.n_docs, pf.n_groups, pf.n_tokens,
+        | round(CAST(pf.n_tokens AS DOUBLE) / CAST(t.t_tokens AS DOUBLE), 6)
+        |  AS token_share
+        |FROM pf, t ORDER BY pf.fold""".stripMargin,
+    // LSH design table: 7 banding legs, powers by the same repeated-
+    // squaring text, tau on the integer grid index — all-BIGINT output
+    "q186_lsh_design" -> lshDesignOracle(64, 80),
     // waterfilling: source selection entirely on the integer side of
     // the divide (P_k + (n-k)*m_k <= B), one ratio for the cap level
     "q184_waterfill_caps" ->

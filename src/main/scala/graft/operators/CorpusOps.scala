@@ -444,6 +444,37 @@ object CorpusOps {
         ((col("__rnk") - pmod(col("__rnk"), lit(s))) / s).cast("long").as("pos"))
   }
 
+  /** Group-aware K-fold assignment + audit (scikit-learn's GroupKFold
+    * contract, hash-deterministic): fold = md5(group) mod k, so EVERY
+    * row of a group lands in one fold BY CONSTRUCTION — the split that
+    * actually prevents leakage when near-duplicates cluster inside
+    * groups (q127 shows the doc-level hash split leaking exactly
+    * those). Emits the per-fold audit: docs, distinct groups, token
+    * mass and its share — the balance numbers a group split trades
+    * against leakage (group sizes vary, so shares drift from 1/k; the
+    * audit is where that drift becomes visible).
+    *
+    * Scale: fold assignment is a pure projection on the group column;
+    * the audit is one (fold)-keyed aggregate with distinct-group
+    * counting — nothing group-count² anywhere. */
+  def groupKFoldAudit(arrs: DataFrame, groupCol: String,
+      tokArrCol: String, k: Int): DataFrame = {
+    val fold = pmod(TextFunctions.md5Int(
+      concat(lit("fold:"), col(groupCol)), 15), lit(k.toLong))
+    val base = arrs.select(col(groupCol), fold.as("fold"),
+      size(col(tokArrCol)).cast("long").as("nt"))
+    val perFold = base.groupBy("fold").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(groupCol)).as("n_groups"),
+      sum("nt").as("n_tokens"))
+    val total = base.agg(sum("nt").as("t_tokens"))
+    perFold.crossJoin(broadcast(total))
+      .select(col("fold"), col("n_docs"), col("n_groups"), col("n_tokens"),
+        MysqlFunctions.oracleRound(col("n_tokens").cast("double")
+          / col("t_tokens").cast("double"), 6).as("token_share"))
+      .orderBy("fold")
+  }
+
   /** Waterfilling cap solve — the mixture PLANNER next to
     * [[mixtureRates]]' descriptive table: given per-source token
     * masses and a token budget `B`, find the level `C` such that

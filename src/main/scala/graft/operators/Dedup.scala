@@ -805,6 +805,56 @@ object Dedup {
         MysqlFunctions.oracleRound(lit(1.0) - y16, 6).as("p_theory"))
   }
 
+  /** LSH parameter design table — q179's S-curve audit turned into the
+    * DESIGNER: for every banding (b, r) with b·r = `totalHashes` (both
+    * powers of two), integrate the collision curve 1−(1−Jʳ)ᵇ over a
+    * J grid and report the false-positive mass below τ and the
+    * false-negative mass at or above it. The (b, r) minimizing their
+    * sum is the banding to deploy at that τ — the table every
+    * MinHash-LSH rollout should be read off, computed by the engine
+    * itself.
+    *
+    * Determinism discipline: powers by EXACT repeated squaring (r and
+    * b are powers of two — multiplications only, no libm pow), the τ
+    * threshold compared on the INTEGER grid index, every grid point
+    * quantized `floor(·10⁶+.5)` before summation — the entire output
+    * is BIGINTs, no float column at all. Driver-free: the grid is a
+    * range × 7-config frame, map-only.
+    */
+  def lshDesignTable(totalHashes: Int, tauGrid: Int): DataFrame = {
+    require(Integer.bitCount(totalHashes) == 1, "totalHashes must be 2^k")
+    val spark = org.apache.spark.sql.SparkSession.active
+    def log2(x: Int): Int = Integer.numberOfTrailingZeros(x)
+    def sq(c: Column, k: Int): Column =
+      (0 until k).foldLeft(c)((x, _) => x * x)
+    val legs = (0 to log2(totalHashes)).map { i =>
+      val r = 1 << i
+      val b = totalHashes / r
+      val grid = spark.range(1, 100)
+        .select(col("id").cast("int").as("g"),
+          (col("id").cast("double") / lit(100.0)).as("j"))
+      val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), log2(r)), log2(b))
+      grid.select(col("g"), p.as("p"))
+        .agg(
+          sum(when(col("g") < tauGrid,
+            floor(col("p") * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))).as("fp_fp"),
+          sum(when(col("g") >= tauGrid,
+            floor((lit(1.0) - col("p")) * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))).as("fn_fp"))
+        .select(lit(b).cast("int").as("bands"),
+          lit(r).cast("int").as("rows_per_band"),
+          col("fp_fp"), col("fn_fp"),
+          (col("fp_fp") + col("fn_fp")).as("total_fp"))
+    }
+    val table = legs.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    table.coalesce(1)
+      .withColumn("is_best",
+        col("total_fp") === min("total_fp").over(w))
+      .orderBy("bands")
+  }
+
   /** EXACT set-similarity join by prefix filtering (Chaudhuri et al.
     * ICDE'06; the candidate-generation core of PPJoin, Xiao et al.
     * WWW'08) — every pair with set-Jaccard ≥ tauNum/tauDen, no

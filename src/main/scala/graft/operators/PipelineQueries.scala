@@ -1555,6 +1555,16 @@ object PipelineQueries {
     CorpusOps.waterfillCaps(tokenArrays(s, dir), "source", "a",
       budgetNum = 1, budgetDen = 2)
 
+  // q185: group-aware 5-fold split audit keyed by source — the
+  // leakage-proof-by-construction split next to q59/q127
+  def groupKFold(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.groupKFoldAudit(tokenArrays(s, dir), "source", "a", k = 5)
+
+  // q186: LSH banding design table at tau = 0.80 over 64 hashes —
+  // q179's measured S-curve turned into the designer
+  def lshDesign(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshDesignTable(totalHashes = 64, tauGrid = 80)
+
   // q176: tokenizer round-trip audit on the SHARED fit — per-doc
   // decode(encode(x)) == x booleans; 2*rounds chained replaces, no
   // shuffle beyond the output sort

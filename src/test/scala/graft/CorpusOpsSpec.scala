@@ -727,6 +727,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("groupKFoldAudit: groups never span folds, shares sum to 1") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val arrs = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokens(lower(col("text"))).as("a"))
+    val out = CorpusOps.groupKFoldAudit(arrs, "source", "a", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1).forall(f => f >= 0 && f < 5))
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4)
+    // the leakage guarantee: per-group fold assignment is a FUNCTION
+    // of the group — distinct (source, fold) pairs == distinct sources
+    val fold = pmod(graft.functions.TextFunctions.md5Int(
+      concat(lit("fold:"), col("source")), 15), lit(5L))
+    val pairs = arrs.select(col("source"), fold.as("f")).distinct().count()
+    val groups = arrs.select("source").distinct().count()
+    assert(pairs == groups, "a source must land in exactly one fold")
+    assert(out.map(_._3).sum == groups, "fold group counts partition sources")
+  }
+
+  test("lshDesignTable: boundary bandings, b*r invariant, a unique argmin at tau=0.8") {
+    import graft.operators.Dedup
+    val t = Dedup.lshDesignTable(totalHashes = 64, tauGrid = 80)
+      .as[(Int, Int, Long, Long, Long, Boolean)].collect().toSeq
+    assert(t.size == 7 && t.forall(r => r._1 * r._2 == 64))
+    // one band of 64 rows: collides only on near-exact sets -> no FP
+    val and64 = t.find(_._2 == 64).get
+    assert(and64._3 == 0L && and64._4 > 0L)
+    // 64 bands of 1 row: collides almost always -> no FN
+    val or64 = t.find(_._2 == 1).get
+    assert(or64._4 == 0L && or64._3 > 0L)
+    assert(t.count(_._6) == 1, "tau=0.8 has a unique best banding here")
+    val best = t.find(_._6).get
+    assert(best._5 == t.map(_._5).min)
+  }
+
   test("waterfillCaps: hand-checked level, conservation, no-cap degenerate") {
     def arrs(rows: (String, Int)*) = rows.zipWithIndex.map {
       case ((src, n), i) => (i.toLong, src, Seq.fill(n)("w"))
