@@ -217,6 +217,7 @@ object SparkEntry {
     "q184_waterfill_caps" -> (P.waterfillCaps _),
     "q185_groupkfold" -> (P.groupKFold _),
     "q186_lsh_design" -> (P.lshDesign _),
+    "q187_asof_forward" -> (C.asofClickNextView _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2270,6 +2271,20 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.us, v.view_event_id, v.us AS view_us
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.us >= v.us
+        |ORDER BY c.event_id""".stripMargin,
+    // forward as-of: DuckDB's ASOF with the inequality flipped —
+    // earliest view at-or-after each click
+    "q187_asof_forward" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |clicks AS (
+        | SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |views AS (
+        | SELECT user_id, us, max(event_id) AS view_event_id
+        | FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT c.event_id, c.user_id, c.us, v.view_event_id, v.us AS view_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.us <= v.us
         |ORDER BY c.event_id""".stripMargin,
     // the native custom-operator as-of (AsofJoinExec) must answer
     // exactly like the composition: the q63 oracle verbatim

@@ -62,4 +62,40 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(col("__lp.*"), col(asofCol))
   }
+
+  /** Forward as-of join — the mirror: for each left row, the EARLIEST
+    * right row at or after its time, per key (next-touch attribution,
+    * time-to-next-event). Same union+window architecture with the
+    * frame reversed: left orders BEFORE right at equal times (so an
+    * equal-time right matches — the `left.t <= right.t` contract
+    * DuckDB's forward ASOF shares) and the first non-null right
+    * payload in the current-row→unbounded-following frame wins. Same
+    * one-shuffle/one-sort scale shape and the same right-side
+    * uniqueness contract as [[asofBackward]]. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      asofCol: String = "asof"): DataFrame = {
+    val reserved = Set("__t", "__side", "__rp", "__lp")
+    require(!left.columns.exists(c => reserved(c) || c == asofCol) &&
+      !right.columns.exists(reserved),
+      s"asofForward reserves ${reserved.mkString("/")} and '$asofCol'")
+    val rPayload = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lPayload = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rType = right.select(rPayload.as("p")).schema.head.dataType
+    val lType = left.select(lPayload.as("p")).schema.head.dataType
+    val keyCols = keys.map(col)
+    val lTagged = left.select(keyCols ++ Seq(
+      col(leftTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(rType).as("__rp"), lPayload.as("__lp")): _*)
+    val rTagged = right.select(keyCols ++ Seq(
+      col(rightTime).as("__t"), lit(1).as("__side"),
+      rPayload.as("__rp"), lit(null).cast(lType).as("__lp")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .withColumn(asofCol, first(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__lp.*"), col(asofCol))
+  }
 }

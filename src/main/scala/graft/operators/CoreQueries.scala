@@ -1175,6 +1175,22 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // q187: forward as-of — each click's NEXT view at-or-after (the
+  // next-touch attribution mirror of q63); same union+window shape
+  // with the frame reversed
+  def asofClickNextView(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "us").agg(max("event_id").as("view_event_id"))
+    AsofJoin.asofForward(clicks, views, Seq("user_id"), "us", "us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("asof.view_event_id").as("view_event_id"),
+        col("asof.us").as("view_us"))
+      .orderBy("event_id")
+  }
+
   // q183: the SAME point-in-time semantics as q63, executed by the
   // custom Catalyst operator ([[graft.plans.AsofJoinNode]] ->
   // AsofStrategy -> AsofJoinExec): one hash shuffle + sort per side

@@ -49,6 +49,33 @@ class AsofJoinSpec extends AnyFunSuite {
       List(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
   }
 
+  test("asofForward: earliest right at-or-after, equal time matches, brute-force parity") {
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "t", "t")
+      .select(col("k"), col("t"), col("asof.rv"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some("r10")),  // equal time matches (<= contract)
+      (1L, 20L, None),         // nothing at or after
+      (1L, 5L, Some("r10")),   // earliest of the two later rights
+      (2L, 50L, Some("r99"))))
+    // brute-force parity on random data
+    val rng = new scala.util.Random(59)
+    val lefts = Seq.tabulate(150)(i =>
+      (i.toLong, 1L + rng.nextInt(4), rng.nextInt(1000).toLong))
+    val rights = Seq.fill(200)((1L + rng.nextInt(4), rng.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+    val got = AsofJoin.asofForward(lefts.toDF("lid", "k", "t"),
+        rights.toDF("k", "t", "rv"), Seq("k"), "t", "t")
+      .select(col("lid"), col("asof.rv"))
+      .as[(Long, Option[String])].collect().toMap
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (lid, k, lt) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 >= lt).sortBy(_._2).headOption.map(_._3)
+      assert(got(lid) == want, s"left $lid (k=$k, t=$lt)")
+    }
+  }
+
   test("asofBackward equals the brute-force latest-at-or-before on random data") {
     val rng = new scala.util.Random(53)
     val lefts = Seq.tabulate(150)(i =>
