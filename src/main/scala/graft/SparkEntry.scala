@@ -218,6 +218,7 @@ object SparkEntry {
     "q185_groupkfold" -> (P.groupKFold _),
     "q186_lsh_design" -> (P.lshDesign _),
     "q187_asof_forward" -> (C.asofClickNextView _),
+    "q188_hll_pair_overlap" -> (P.hllPairOverlap _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2804,6 +2805,77 @@ object SparkEntry {
         |  AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // HLL set algebra: per-source and pair-union registers (pointwise
+    // max) through the same estimator, inclusion-exclusion on the
+    // rounded estimates; exact counts as the recall check
+    "q188_hll_pair_overlap" ->
+      """WITH d0 AS (SELECT source,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |g AS (SELECT source, a, unnest(generate_series(1, len(a) - 1)) AS i
+        | FROM d0 WHERE len(a) >= 2),
+        |bgs AS (SELECT source,
+        |  a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS bg
+        | FROM g),
+        |h AS (SELECT source, bg,
+        |  CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS hv FROM bgs),
+        |r AS (SELECT source, hv % 64 AS bucket, hv >> 6 AS w FROM h),
+        |reg AS (SELECT source, bucket,
+        |  max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        | FROM r GROUP BY source, bucket),
+        |srcs AS (SELECT DISTINCT source FROM reg),
+        |pr AS (SELECT x.source AS sa, y.source AS sb FROM srcs x
+        | JOIN srcs y ON x.source < y.source),
+        |ureg AS (SELECT sa, sb, bucket, max(rho) AS rho FROM (
+        |  SELECT pr.sa, pr.sb, r2.bucket, r2.rho FROM pr
+        |   JOIN reg r2 ON r2.source = pr.sa
+        |  UNION ALL
+        |  SELECT pr.sa, pr.sb, r2.bucket, r2.rho FROM pr
+        |   JOIN reg r2 ON r2.source = pr.sb) u
+        | GROUP BY sa, sb, bucket),
+        |es AS (SELECT source, round(CASE WHEN er <= 160.0 AND vz > 0
+        |    THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE er END, 4) AS est
+        | FROM (SELECT source, CAST(64 - nb AS BIGINT) AS vz,
+        |   CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |     * CAST(36028797018963968 AS DOUBLE)
+        |     / CAST(z_regs + CAST(64 - nb AS BIGINT)
+        |       * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS er
+        |  FROM (SELECT source, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+        |      AS BIGINT) AS z_regs
+        |   FROM reg GROUP BY source) z) t),
+        |euu AS (SELECT sa, sb, round(CASE WHEN er <= 160.0 AND vz > 0
+        |    THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE er END, 4) AS est
+        | FROM (SELECT sa, sb, CAST(64 - nb AS BIGINT) AS vz,
+        |   CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |     * CAST(36028797018963968 AS DOUBLE)
+        |     / CAST(z_regs + CAST(64 - nb AS BIGINT)
+        |       * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS er
+        |  FROM (SELECT sa, sb, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+        |      AS BIGINT) AS z_regs
+        |   FROM ureg GROUP BY sa, sb) z) t),
+        |ex AS (SELECT DISTINCT source, bg FROM bgs),
+        |en AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ex
+        | GROUP BY source),
+        |ei AS (SELECT a.source AS sa, b.source AS sb,
+        |  CAST(count(*) AS BIGINT) AS n_inter
+        | FROM ex a JOIN ex b ON a.bg = b.bg AND a.source < b.source
+        | GROUP BY a.source, b.source)
+        |SELECT pr.sa, pr.sb, ea.est AS est_a, eb.est AS est_b,
+        | euu.est AS est_union,
+        | round(ea.est + eb.est - euu.est, 4) AS est_inter,
+        | na.n + nb2.n - ei.n_inter AS n_union, ei.n_inter,
+        | round((round(ea.est + eb.est - euu.est, 4)
+        |    - CAST(ei.n_inter AS DOUBLE)) / CAST(ei.n_inter AS DOUBLE), 6)
+        |  AS rel_err
+        |FROM pr JOIN es ea ON ea.source = pr.sa
+        | JOIN es eb ON eb.source = pr.sb
+        | JOIN euu ON euu.sa = pr.sa AND euu.sb = pr.sb
+        | JOIN ei ON ei.sa = pr.sa AND ei.sb = pr.sb
+        | JOIN en na ON na.source = pr.sa
+        | JOIN en nb2 ON nb2.source = pr.sb
+        |ORDER BY pr.sa, pr.sb""".stripMargin,
     // GroupKFold audit: fold = md5(group) mod k restates directly
     "q185_groupkfold" ->
       """WITH a AS (SELECT source,

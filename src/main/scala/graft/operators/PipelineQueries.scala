@@ -1654,6 +1654,56 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q188: pairwise cross-source distinct-bigram overlap estimated
+    * FROM PERSISTED REGISTERS ONLY — HLL set algebra over the q174
+    * stage: |A∪B| by pointwise register max, |A∩B| by
+    * inclusion–exclusion on the rounded estimates. "Which crawls
+    * duplicate each other" answered for every source pair with zero
+    * corpus bytes read on the estimate path (two equi-joins of the
+    * 64-row-per-source register table); the exact counts ride along
+    * purely as the gate's recall check (q167 pattern — at scale you
+    * drop them, and the sketches are the only state you keep). */
+  def hllPairOverlap(s: SparkSession, dir: String): DataFrame = {
+    val regs = persistedHllRegs(s, dir)
+    val srcs = regs.select("source").distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"))
+    val uniRegs = pairs.join(regs, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("bucket"), col("rho"))
+      .unionByName(pairs.join(regs, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("bucket"), col("rho")))
+      .groupBy("sa", "sb", "bucket").agg(max("rho").as("rho"))
+    val estU = TextCorpus.hllEstimateKeys(uniRegs, Seq("sa", "sb"), p = 6)
+      .select(col("sa"), col("sb"), col("est").as("est_union"))
+    val perSrc = TextCorpus.hllEstimate(regs, "source", p = 6)
+      .select(col("source"), col("est"))
+    // exact legs (gate-only): distinct bigram sets per source
+    val ex = bigramStream(s, dir).select("source", "bg").distinct()
+    val exN = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    val exInter = ex.as("a").join(ex.as("b"),
+        col("a.bg") === col("b.bg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    estU
+      .join(perSrc.select(col("source").as("sa"), col("est").as("est_a")),
+        Seq("sa"))
+      .join(perSrc.select(col("source").as("sb"), col("est").as("est_b")),
+        Seq("sb"))
+      .join(exInter, Seq("sa", "sb"))
+      .join(exN.select(col("source").as("sa"), col("n").as("n_a")), Seq("sa"))
+      .join(exN.select(col("source").as("sb"), col("n").as("n_b")), Seq("sb"))
+      .withColumn("est_inter", M.oracleRound(
+        col("est_a") + col("est_b") - col("est_union"), 4))
+      .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        col("n_inter"),
+        M.oracleRound((col("est_inter") - col("n_inter").cast("double"))
+          / col("n_inter").cast("double"), 6).as("rel_err"))
+      .orderBy("sa", "sb")
+  }
+
   // q171: EXACT Jaccard >= 0.8 set-similarity join over the SHARED
   // 3-gram shingle sets by rarest-first prefix filtering + size
   // filter — the deterministic complement to the MinHash-LSH

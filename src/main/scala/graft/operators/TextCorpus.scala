@@ -864,7 +864,14 @@ object TextCorpus {
     * ratio with the V-zero linear-counting branch in one fixed IEEE
     * sequence (shared with [[graft.functions.HllDistinctAgg]].finish
     * and the oracle SQL). */
-  def hllEstimate(regs: DataFrame, keyCol: String, p: Int): DataFrame = {
+  def hllEstimate(regs: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllEstimateKeys(regs, Seq(keyCol), p)
+
+  /** [[hllEstimate]] grouped by a multi-column key — the set-algebra
+    * consumers (q188's pairwise unions) key registers by (src_a,
+    * src_b). */
+  def hllEstimateKeys(regs: DataFrame, keyCols: Seq[String], p: Int)
+      : DataFrame = {
     val m = 1 << p
     val maxBits = 60 - p
     val alpha = m match {
@@ -874,7 +881,7 @@ object TextCorpus {
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
     val scaleF = math.pow(2.0, (maxBits + 1).toDouble)   // exact in double
-    regs.groupBy(col(keyCol)).agg(
+    regs.groupBy(keyCols.map(col): _*).agg(
         count(lit(1)).cast("long").as("nb"),
         sum(call_function("shiftleft", lit(1L),
           lit(maxBits + 1) - col("rho"))).as("z_regs"))
@@ -888,8 +895,8 @@ object TextCorpus {
         when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
           .otherwise(col("est_raw")))
-      .select(col(keyCol), col("v_zero"), col("z_scaled"),
-        MysqlFunctions.oracleRound(col("est_unrounded"), 4).as("est"))
+      .select(keyCols.map(col) ++ Seq(col("v_zero"), col("z_scaled"),
+        MysqlFunctions.oracleRound(col("est_unrounded"), 4).as("est")): _*)
   }
 
   /** Blocklist scan — the banned-term filtering stage of a web-corpus

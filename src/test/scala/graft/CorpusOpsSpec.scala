@@ -727,6 +727,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("hllPairOverlap: union estimate dominates both sides, exact bounds hold") {
+    import graft.operators.PipelineQueries
+    val out = PipelineQueries.hllPairOverlap(spark, dir)
+      .select("sa", "sb", "est_a", "est_b", "est_union", "est_inter",
+        "n_union", "n_inter")
+      .as[(String, String, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { p =>
+      // register domination => the union estimate can never fall below
+      // either side's (monotone in every register)
+      assert(p._5 >= math.max(p._3, p._4) - 1e-9,
+        s"union est ${p._5} below sides (${p._3}, ${p._4}) for ${p._1}/${p._2}")
+      // exact sanity: intersection bounded by union
+      assert(p._8 <= p._7)
+      // inclusion-exclusion identity on the rounded estimates
+      assert(math.abs((p._3 + p._4 - p._5) - p._6) < 1e-3)
+    }
+  }
+
   test("groupKFoldAudit: groups never span folds, shares sum to 1") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val arrs = docs.select(col("doc_id"), col("source"),
