@@ -219,6 +219,7 @@ object SparkEntry {
     "q186_lsh_design" -> (P.lshDesign _),
     "q187_asof_forward" -> (C.asofClickNextView _),
     "q188_hll_pair_overlap" -> (P.hllPairOverlap _),
+    "q189_dedup_attrition" -> (P.dedupAttrition _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2805,6 +2806,29 @@ object SparkEntry {
         |  AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // attrition curve: q32's pair CTE at the 0.30 floor, ten integer
+    // grid aggregates on floor(J*1e4+.5) longs
+    "q189_dedup_attrition" ->
+      s"""WITH pairs0 AS (
+         |${jaccardPairOracle(0.3)}
+         |),
+         |pairs AS (SELECT id_a, id_b,
+         |  CAST(floor(jaccard * 10000.0 + 0.5) AS BIGINT) AS jq FROM pairs0),
+         |grid AS (SELECT CAST(g * 5 AS INTEGER) AS tau_pct
+         | FROM (SELECT unnest(generate_series(10, 19)) AS g)),
+         |np AS (SELECT grid.tau_pct, CAST(count(p.jq) AS BIGINT) AS n_pairs
+         | FROM grid LEFT JOIN pairs p ON p.jq >= grid.tau_pct * 100
+         | GROUP BY grid.tau_pct),
+         |nd AS (SELECT tau_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         | FROM (SELECT grid.tau_pct, p.id_a AS d FROM grid
+         |    JOIN pairs p ON p.jq >= grid.tau_pct * 100
+         |   UNION
+         |   SELECT grid.tau_pct, p.id_b AS d FROM grid
+         |    JOIN pairs p ON p.jq >= grid.tau_pct * 100) u
+         | GROUP BY tau_pct)
+         |SELECT np.tau_pct, np.n_pairs, coalesce(nd.n_docs, 0) AS n_docs
+         |FROM np LEFT JOIN nd ON nd.tau_pct = np.tau_pct
+         |ORDER BY np.tau_pct""".stripMargin,
     // HLL set algebra: per-source and pair-union registers (pointwise
     // max) through the same estimator, inclusion-exclusion on the
     // rounded estimates; exact counts as the recall check

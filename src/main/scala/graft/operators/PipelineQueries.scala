@@ -1654,6 +1654,34 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q189: dedup attrition curve — the threshold DESIGN TABLE for the
+    * near-dup family: for each τ on a 0.50…0.95 grid, how many pairs
+    * qualify and how many distinct documents they touch. ONE pair
+    * computation at the 0.30 floor (the shared shingle stage + the
+    * q32 inverted-index join), then ten grid aggregates over the
+    * bounded pair frame — never ten pair joins. The threshold compare
+    * runs on `floor(J·10⁴+.5)` longs against integer grid points, so
+    * a 4-dp-rounded Jaccard can never straddle a grid line
+    * differently between engines. On THIS corpus the curve is flat
+    * until 0.90 — the bimodality (planted dups ≥ 0.9, background
+    * < 0.3) read directly off the table. */
+  def dedupAttrition(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1,
+        "doc_id", threshold = 0.3, maxDf = 50)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long").as("jq"))
+    val grid = s.range(10, 20).select((col("id") * 5).cast("int").as("tau_pct"))
+    val nPairs = grid.join(pairs, pairs("jq") >= grid("tau_pct") * 100, "left")
+      .groupBy("tau_pct").agg(count(col("jq")).as("n_pairs"))
+    val nDocs = grid.join(pairs, pairs("jq") >= grid("tau_pct") * 100)
+      .select(col("tau_pct"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy("tau_pct").agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("tau_pct"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("tau_pct")
+  }
+
   /** q188: pairwise cross-source distinct-bigram overlap estimated
     * FROM PERSISTED REGISTERS ONLY — HLL set algebra over the q174
     * stage: |A∪B| by pointwise register max, |A∩B| by
