@@ -220,6 +220,7 @@ object SparkEntry {
     "q187_asof_forward" -> (C.asofClickNextView _),
     "q188_hll_pair_overlap" -> (P.hllPairOverlap _),
     "q189_dedup_attrition" -> (P.dedupAttrition _),
+    "q190_gif_resize" -> (P.gifResize _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1197,6 +1198,34 @@ object SparkEntry {
         | CAST(max(h) AS INTEGER) AS height,
         | CAST(4 AS INTEGER) AS gct_size,
         | CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        | CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        | CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        | CAST(sum(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        | md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS idx_md5
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // GIF resize: the NN remap is integer-exact, so the RESIZED raster
+    // digest restates from the source md5 closed form directly
+    "q190_gif_resize" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 11 + 4 AS BIGINT) AS h,
+        |  CAST((doc_id % 13 + 4) // 2 + 1 AS BIGINT) AS w2,
+        |  CAST((doc_id % 11 + 4) // 2 + 1 AS BIGINT) AS h2
+        | FROM documents),
+        |px0 AS (
+        | SELECT doc_id, w, h, w2, h2,
+        |  unnest(generate_series(0, w2*h2 - 1)) AS p
+        | FROM dims),
+        |px AS (
+        | SELECT doc_id, w2, h2, p,
+        |  CAST(('0x' || substr(md5('gif:' || doc_id || ':' ||
+        |    (((p // w2) * h // h2) * w + ((p % w2) * w // w2))), 1, 8))
+        |    AS BIGINT) % 4 AS v
+        | FROM px0)
+        |SELECT doc_id, CAST(max(w2) AS INTEGER) AS width,
+        | CAST(max(h2) AS INTEGER) AS height,
+        | CAST(max(w2) * max(h2) AS BIGINT) AS n_pixels,
         | CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
         | CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         | CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,

@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
     ext.injectFunction(GraftExtensions.gifBytesDescriptor)
     ext.injectFunction(GraftExtensions.gifDecodeDescriptor)
+    ext.injectFunction(GraftExtensions.gifResizeDescriptor)
     ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
@@ -252,6 +253,17 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_gif_decode takes exactly 1 argument, got ${children.length}")
         GifDecode(children.head)
+      })
+
+  /** `graft_gif_resize(binary, w2, h2)` — decode + nearest-neighbor
+    * resample → the same stats struct as decode (see [[GifResize]]). */
+  val gifResizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gif_resize"),
+      new ExpressionInfo(classOf[GifResize].getName, "graft_gif_resize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_gif_resize takes exactly 3 arguments, got ${children.length}")
+        GifResize(children(0), children(1), children(2))
       })
 
   /** `graft_avi_dib_bytes(w, h, nFrames, usPerFrame, docId)` — canonical

@@ -225,6 +225,39 @@ object GifDecode {
   /** Full decode → stats row, or null for any non-conforming payload.
     * Public + static-shaped so generated code can call it. */
   def decode(gif: Array[Byte]): InternalRow = {
+    val d = decodeIndices(gif)
+    if (d == null) null
+    else statsRow(d._1, d._2, d._3, d._4)
+  }
+
+  /** Histogram + index-stream digest row over a raster — shared by
+    * [[decode]] and [[GifResize]] so both emit the same facts. */
+  private[expressions] def statsRow(w: Int, h: Int, gctSize: Int,
+      idx: Array[Byte]): InternalRow = {
+    val n = idx.length
+    val counts = new Array[Long](4)
+    val sb = new java.lang.StringBuilder(n * 2)
+    var i = 0
+    while (i < n) {
+      val v = idx(i) & 0xff
+      if (v > 3) return null
+      counts(v) += 1
+      if (i > 0) sb.append(',')
+      sb.append(v)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(sb.toString.getBytes("UTF-8"))
+    val hex = dig.map(b => f"${b & 0xff}%02x").mkString
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](w, h, gctSize, n.toLong, counts(0), counts(1), counts(2),
+        counts(3), UTF8String.fromString(hex)))
+  }
+
+  /** Structure walk + LZW decode → (w, h, gctSize, indices), null on
+    * any non-conforming payload. */
+  private[expressions] def decodeIndices(gif: Array[Byte])
+      : (Int, Int, Int, Array[Byte]) = {
     if (gif == null || gif.length < 13 + 12 + 10 + 1 + 2) return null
     if (new String(gif, 0, 6, "US-ASCII") != "GIF87a") return null
     def le16(off: Int): Int = (gif(off) & 0xff) | ((gif(off + 1) & 0xff) << 8)
@@ -310,22 +343,64 @@ object GifDecode {
       }
     }
     if (out != n) return null                      // exact pixel count
-    val counts = new Array[Long](4)
-    val sb = new java.lang.StringBuilder(n * 2)
-    var i = 0
-    while (i < n) {
-      val v = idx(i) & 0xff
-      if (v > 3) return null
-      counts(v) += 1
-      if (i > 0) sb.append(',')
-      sb.append(v)
-      i += 1
+    (w, h, gctSize, idx)
+  }
+}
+
+/** Nearest-neighbor resize of a decoded GIF raster —
+  * `graft_gif_resize(binary, w2, h2)`: decode (full structure walk +
+  * LZW), then sample `src(⌊x·w/w2⌋, ⌊y·h/h2⌋)` for each destination
+  * pixel — the integer-exact NN mapping whose output therefore has the
+  * same md5 closed form as the source indices under an index remap, so
+  * the RESIZED raster digest is oracle-verifiable end-to-end. The
+  * image-pipeline stage (decode → resample → re-featurize) on opaque
+  * binary columns, all native, one row in/one struct out. */
+case class GifResize(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType.isInstanceOf[BinaryType] &&
+        Seq(second, third).forall(_.dataType.isInstanceOf[IntegerType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_gif_resize requires (binary, int w2, int h2), got " +
+        Seq(first, second, third).map(_.dataType).mkString(", "))
+  override def dataType: DataType = GifDecode.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_resize"
+
+  override def nullSafeEval(g: Any, w2: Any, h2: Any): Any =
+    GifResize.resize(g.asInstanceOf[Array[Byte]],
+      w2.asInstanceOf[Int], h2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, w2, h2) => s"""
+       |${ev.value} = graft.expressions.GifResize.resize($g, $w2, $h2);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): GifResize = copy(f, s, t)
+}
+
+object GifResize {
+  /** Public + static-shaped so generated code can call it. */
+  def resize(gif: Array[Byte], w2: Int, h2: Int): InternalRow = {
+    if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > (1 << 20)) return null
+    val d = GifDecode.decodeIndices(gif)
+    if (d == null) return null
+    val (w, h, gctSize, idx) = d
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * h / h2).toInt
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * w / w2).toInt
+        out(y * w2 + x) = idx(sy * w + sx)
+        x += 1
+      }
+      y += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(sb.toString.getBytes("UTF-8"))
-    val hex = dig.map(b => f"${b & 0xff}%02x").mkString
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](w, h, gctSize, n.toLong, counts(0), counts(1), counts(2),
-        counts(3), UTF8String.fromString(hex)))
+    GifDecode.statsRow(w2, h2, gctSize, out)
   }
 }

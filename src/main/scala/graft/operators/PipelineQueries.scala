@@ -517,6 +517,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q190: image pipeline stage — decode + nearest-neighbor HALVE of
+  // the q182 GIFs (resize to (w div 2)+1 x (h div 2)+1); the resized
+  // raster's index digest has the source's md5 closed form under the
+  // integer NN remap, so the whole decode->resample path is
+  // hash-verified, not just its means
+  def gifResize(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(13)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(11)) + 4).cast("int")
+    val w2 = (pmod(col("doc_id"), lit(13)).cast("int") + 4) / 2 + 1
+    val h2 = (pmod(col("doc_id"), lit(11)).cast("int") + 4) / 2 + 1
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_gif_bytes", w, h, col("doc_id")).as("__gif"),
+        w2.cast("int").as("__w2"), h2.cast("int").as("__h2"))
+      .select(col("doc_id"),
+        call_function("graft_gif_resize", col("__gif"), col("__w2"),
+          col("__h2")).as("__m"))
+      .select(col("doc_id"),
+        col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        col("__m.n_pixels").as("n_pixels"),
+        col("__m.c0").as("c0"), col("__m.c1").as("c1"),
+        col("__m.c2").as("c2"), col("__m.c3").as("c3"),
+        col("__m.idx_md5").as("idx_md5"))
+      .orderBy("doc_id")
+  }
+
   def ppmDecode(s: SparkSession, dir: String): DataFrame = {
     val w = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
     val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")

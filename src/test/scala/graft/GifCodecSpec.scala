@@ -80,6 +80,36 @@ class GifCodecSpec extends AnyFunSuite {
     assert(mismatches == 0, s"$mismatches pixel mismatches vs ImageIO")
   }
 
+  test("resize: identity equals decode, NN picks exact pixels, corrupt rejects") {
+    import graft.expressions.GifResize
+    val (w, h, id) = (12, 10, 5L)
+    val gif = GifBytes.build(w, h, id)
+    // identity resize must reproduce decode verbatim (same struct)
+    val dec = GifDecode.decode(gif)
+    val same = GifResize.resize(gif, w, h)
+    assert(same != null && same.getString(8) == dec.getString(8) &&
+      (0 to 7).forall(i => same.get(i, GifDecode.schema(i).dataType) ==
+        dec.get(i, GifDecode.schema(i).dataType)))
+    // exact NN semantics: dst(x,y) = src(x*w/w2, y*h/h2)
+    val (w2, h2) = (5, 4)
+    val out = GifResize.resize(gif, w2, h2)
+    assert(out != null && out.getInt(0) == w2 && out.getInt(1) == h2 &&
+      out.getLong(3) == w2.toLong * h2)
+    val src = closedFormIdx(id, w * h)
+    val want = (0 until h2).flatMap(y => (0 until w2).map { x =>
+      src((y * h / h2) * w + (x * w / w2))
+    })
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(want.mkString(",").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(out.getString(8) == hex)
+    for (k <- 0 to 3) assert(out.getLong(4 + k) == want.count(_ == k).toLong)
+    // corrupt input and absurd dims reject
+    assert(GifResize.resize(gif.take(10), 2, 2) == null)
+    assert(GifResize.resize(gif, 0, 5) == null)
+    assert(GifResize.resize(gif, 1 << 12, 1 << 12) == null)
+  }
+
   test("rejection: truncation, bad magic, missing trailer, junk") {
     val gif = GifBytes.build(9, 9, 1L)
     assert(GifDecode.decode(gif.take(gif.length - 1)) == null,
