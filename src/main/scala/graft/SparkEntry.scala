@@ -221,6 +221,7 @@ object SparkEntry {
     "q188_hll_pair_overlap" -> (P.hllPairOverlap _),
     "q189_dedup_attrition" -> (P.dedupAttrition _),
     "q190_gif_resize" -> (P.gifResize _),
+    "q191_wav_decimate" -> (P.wavDecimate _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1620,6 +1621,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
         | CAST(max(abs(s)) AS BIGINT) AS peak,
         | round(sqrt(CAST(sum(s*s) AS DOUBLE) / max(n)), 4) AS rms
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // audio decimation: the q134 closed form at stride 4
+    "q191_wav_decimate" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 97 + 4 AS BIGINT) AS n FROM documents),
+        |d2 AS (SELECT doc_id, n, (n + 3) // 4 AS n_out FROM dims),
+        |sm0 AS (
+        | SELECT doc_id, n, n_out, unnest(generate_series(0, n_out - 1)) AS k
+        | FROM d2),
+        |sm AS (
+        | SELECT doc_id, n, n_out,
+        |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM (SELECT doc_id, n, n_out,
+        |   CAST(('0x' || substr(md5('pcm:' || doc_id || ':' || (k * 4)), 1, 8))
+        |     AS BIGINT) % 65536 AS u
+        |  FROM sm0) t)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_in,
+        | CAST(max(n_out) AS BIGINT) AS n_out,
+        | CAST(max(abs(s)) AS BIGINT) AS peak,
+        | round(sqrt(CAST(sum(s*s) AS DOUBLE) / max(n_out)), 4) AS rms
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Benford: integer-cents leading digit (engine-identical string),
     // exact counts, log10 expectation rounded on both sides

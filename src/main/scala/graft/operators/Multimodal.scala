@@ -312,6 +312,39 @@ object Multimodal {
           / nVals.cast("double")), 4).as("rms")))
   }
 
+  /** Strided decimation stats over a canonical 16-bit mono PCM WAV —
+    * the audio twin of the q190 image resize: keep every `factor`-th
+    * sample and re-featurize (n_out, peak, rms over the SURVIVING
+    * samples). Plain subsampling, aliasing and all — the stage this
+    * models is the strided-read plumbing of a resample pipeline (a
+    * production resampler low-pass-filters first; that filter is one
+    * more HOF over the same sample reads). Mono only: the flat index
+    * IS the sample index, so the strided closed form
+    * `md5('pcm:doc:(j·factor)')` restates in SQL verbatim. Same
+    * exactness discipline as [[wavSignalStats]] (integer peak,
+    * exact square sums). */
+  def wavDecimatedStats(media: Column, factor: Int): Column = {
+    require(factor >= 1, "decimation factor must be >= 1")
+    val meta = wavMeta(media)
+    val nVals = (meta.getField("n_samples") *
+      meta.getField("channels")).cast("int")
+    val nOut = ((nVals + lit(factor - 1)) / lit(factor)).cast("int")
+    val signed = (j: Column) => {
+      val raw = leUIntAt(media, lit(45L) + j.cast("long") * 2, 2)
+      raw - when(raw >= 32768, lit(65536L)).otherwise(lit(0L))
+    }
+    val samples = transform(sequence(lit(0), nOut - 1),
+      j => signed(j * lit(factor)))
+    when(meta.isNotNull && meta.getField("bits") === 16 &&
+      meta.getField("channels") === 1, struct(
+      nOut.cast("long").as("n_out"),
+      aggregate(samples, lit(0L), (acc, s) => greatest(acc, abs(s)))
+        .as("peak"),
+      MysqlFunctions.oracleRound(
+        sqrt(aggregate(samples, lit(0.0), (acc, s) => acc + s * s)
+          / nOut.cast("double")), 4).as("rms")))
+  }
+
   /** Deterministic minimal AVI bytes — the VIDEO container is RIFF
     * like WAV, so the same hex-arithmetic writer applies: `RIFF size
     * 'AVI '` + a canonical `LIST hdrl` whose FIRST child is the

@@ -580,6 +580,23 @@ object PipelineQueries {
         col("__s.rms").as("rms"))
       .orderBy("doc_id")
 
+  // q191: audio decimation — keep every 4th PCM sample of the q134
+  // clips and re-featurize; the strided md5 closed form restates in
+  // SQL verbatim (the q190 resize, audio modality)
+  def wavDecimate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Multimodal.wavBytesPcm(lit(16000), lit(1),
+        (pmod(col("doc_id"), lit(97)) + 4).cast("int"), col("doc_id"))
+        .as("__wav"))
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(97)) + 4).as("n_in"),
+        Multimodal.wavDecimatedStats(col("__wav"), factor = 4).as("__s"))
+      .select(col("doc_id"), col("n_in"),
+        col("__s.n_out").as("n_out"),
+        col("__s.peak").as("peak"),
+        col("__s.rms").as("rms"))
+      .orderBy("doc_id")
+
   // REAL video-container decode: minimal canonical AVI bytes built
   // per doc, every avih field recovered by parsing the RIFF/LIST
   // grammar — the modality triangle's third leg (frame DATA stays

@@ -974,6 +974,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: wavDecimatedStats picks exactly every k-th sample; factor 1 == full stats") {
+    import javax.sound.sampled.AudioSystem
+    val rows = TestSpark.spark.range(5).select(col("id"),
+      Multimodal.wavBytesPcm(lit(8000), lit(1),
+        (pmod(col("id"), lit(37)) + 5).cast("int"), col("id")).as("media"))
+    val got = rows.select(col("id"), col("media"),
+        Multimodal.wavDecimatedStats(col("media"), factor = 4).as("d"),
+        Multimodal.wavDecimatedStats(col("media"), factor = 1).as("f"),
+        Multimodal.wavSignalStats(col("media")).as("s"))
+      .select(col("id"), col("media"), col("d.n_out"), col("d.peak"),
+        col("d.rms"), col("f.peak"), col("f.rms"), col("s.peak"),
+        col("s.rms"))
+      .as[(Long, Array[Byte], Long, Long, Double, Long, Double, Long, Double)]
+      .collect()
+    got.foreach { case (id, bytes, nOut, peak, rms, fPeak, fRms, sPeak, sRms) =>
+      // factor 1 must equal the full-signal stats exactly
+      assert(fPeak == sPeak && fRms == sRms, s"id=$id identity decimation")
+      // independent JVM decode, stride 4
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val all = in.readAllBytes().grouped(2).map(p =>
+        ((p(1) << 8) | (p(0) & 0xFF)).toShort.toInt).toArray
+      val dec = all.indices.filter(_ % 4 == 0).map(all)
+      assert(dec.size.toLong == nOut, s"id=$id n_out")
+      assert(dec.map(math.abs).max.toLong == peak, s"id=$id peak")
+      val jvmRms = math.floor(math.sqrt(
+        dec.map(s => s.toDouble * s).sum / dec.size) * 1e4 + 0.5) / 1e4
+      assert(jvmRms == rms, s"id=$id rms")
+    }
+  }
+
   test("multimodal: AVI bytes match a hand-assembled reference; parsers discriminate formats") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-assemble the minimal canonical AVI for one parameter set
