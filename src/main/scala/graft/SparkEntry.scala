@@ -222,6 +222,7 @@ object SparkEntry {
     "q189_dedup_attrition" -> (P.dedupAttrition _),
     "q190_gif_resize" -> (P.gifResize _),
     "q191_wav_decimate" -> (P.wavDecimate _),
+    "q192_filtered_ann" -> (P.filteredAnnRecall _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -1622,6 +1623,45 @@ object SparkEntry {
         | CAST(max(abs(s)) AS BIGINT) AS peak,
         | round(sqrt(CAST(sum(s*s) AS DOUBLE) / max(n)), 4) AS rms
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // filtered ANN: exact pre-filter truth vs IVF oversample +
+    // post-filter (q53's CTE chain at k=25, label joined, renumbered)
+    "q192_filtered_ann" ->
+      s"""WITH exactf AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |              c.vec_id) AS rnk
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label < 5) t
+         | WHERE rnk <= 5),
+         |ivf25 AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 25,
+               seed = 42, queryMax = 8)}
+         |),
+         |ivff AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT i.query_id, i.neighbor_id,
+         |   row_number() OVER (PARTITION BY i.query_id ORDER BY i.rnk)
+         |     AS new_rnk
+         |  FROM ivf25 i JOIN embeddings em ON em.vec_id = i.neighbor_id
+         |  WHERE em.label < 5) t
+         | WHERE new_rnk <= 5),
+         |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         | FROM exactf GROUP BY query_id),
+         |ni AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ivf
+         | FROM ivff GROUP BY query_id),
+         |nh AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM exactf e JOIN ivff i
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         | GROUP BY e.query_id)
+         |SELECT ne.query_id, ne.n_exact, coalesce(ni.n_ivf, 0) AS n_ivf,
+         | coalesce(nh.n_hits, 0) AS n_hits,
+         | round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE)
+         |   / CAST(ne.n_exact AS DOUBLE), 4) AS recall
+         |FROM ne LEFT JOIN ni ON ni.query_id = ne.query_id
+         | LEFT JOIN nh ON nh.query_id = ne.query_id
+         |ORDER BY ne.query_id""".stripMargin,
     // audio decimation: the q134 closed form at stride 4
     "q191_wav_decimate" ->
       """WITH dims AS (

@@ -1698,6 +1698,52 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q192: FILTERED vector search — the metadata-predicate regime
+    * every vector store faces (WHERE label < 5 AND nearest-neighbor):
+    * the exact leg PRE-filters the corpus and scans the survivors;
+    * the IVF leg cannot pre-filter (cells are built label-blind), so
+    * it oversamples its probes (k·5 candidates) and POST-filters —
+    * and the gate emits per query how many of the k slots the
+    * post-filter actually filled plus recall vs the exact filtered
+    * truth. The table IS the design lesson: post-filter recall decays
+    * with predicate selectivity, which is why production filtered-ANN
+    * either over-provisions nprobe/k or builds label-partitioned
+    * indexes. Both legs ride the shared normalized-embedding stage
+    * and the q53 persisted coarse fit. */
+  def filteredAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val corpusF = emb.join(labels.where(col("label") < 5), Seq("vec_id"))
+      .select("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(corpusF, "vec_id", "embedding",
+      queries, k = 5, preNormalized = true)
+    val ivf25 = Similarity.ivfTopK(emb, "vec_id", "embedding", queries,
+      k = 25, preNormalized = true,
+      fittedCenters = Some(coarseCenters(s, dir)))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rnk")
+    val ivfF = ivf25
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .where(col("label") < 5)
+      .withColumn("new_rnk", row_number().over(wq))
+      .where(col("new_rnk") <= 5)
+      .select("query_id", "neighbor_id")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ivfF, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(ivfF.groupBy("query_id").agg(count(lit(1)).as("n_ivf")),
+        Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_ivf", "n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_ivf"), col("n_hits"),
+        M.oracleRound(col("n_hits").cast("double")
+          / col("n_exact").cast("double"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** q189: dedup attrition curve — the threshold DESIGN TABLE for the
     * near-dup family: for each τ on a 0.50…0.95 grid, how many pairs
     * qualify and how many distinct documents they touch. ONE pair
