@@ -223,6 +223,7 @@ object SparkEntry {
     "q190_gif_resize" -> (P.gifResize _),
     "q191_wav_decimate" -> (P.wavDecimate _),
     "q192_filtered_ann" -> (P.filteredAnnRecall _),
+    "q193_bucketed_join" -> (C.bucketedJoin _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2798,6 +2799,14 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // bucketed join: the layout changes the PLAN, never the answer
+    "q193_bucketed_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     // bloom join: the runtime filter changes the PLAN, never the
     // answer — the oracle is the plain join semantics (q88 pattern)
     "q181_bloom_join" ->

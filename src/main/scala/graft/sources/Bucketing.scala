@@ -15,15 +15,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted table. */
+  /** Persist `df` as a bucketed, per-bucket-sorted table. Drops any
+    * previous incarnation INCLUDING an orphaned warehouse directory —
+    * a managed-table location left by an earlier session has no
+    * catalog entry in this one, and `saveAsTable` refuses the reused
+    * location outright (LOCATION_ALREADY_EXISTS). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

@@ -269,6 +269,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate pair:\n$plan")
   }
 
+  test("q193: bucketed layout joins with zero join-side exchanges") {
+    val plan = C.bucketedJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-aligned SMJ must not shuffle either side:\n${plan.take(3000)}")
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n${plan.take(3000)}")
+  }
+
   test("q183: the custom as-of strategy plans AsofJoinExec, one shuffle+sort per side") {
     val plan = C.asofClickViewNative(spark, dir)
       .queryExecution.executedPlan.toString
