@@ -224,6 +224,7 @@ object SparkEntry {
     "q191_wav_decimate" -> (P.wavDecimate _),
     "q192_filtered_ann" -> (P.filteredAnnRecall _),
     "q193_bucketed_join" -> (C.bucketedJoin _),
+    "q194_bootstrap_ci" -> (P.bootstrapCI _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2799,6 +2800,42 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // Poisson bootstrap: integer-threshold Poisson(1) weights, exact
+    // integer replicate sums, order-statistic CI on rounded means
+    "q194_bootstrap_ci" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS x
+        | FROM documents),
+        |rep AS (SELECT id, x, unnest(generate_series(0, 199)) AS b
+        | FROM base),
+        |u AS (SELECT b, x,
+        |  CAST(('0x' || substr(md5('boot:' || b || ':' || id), 1, 8))
+        |    AS BIGINT) % 1000000 AS u
+        | FROM rep),
+        |wgt AS (SELECT b, x,
+        |  (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 735759 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 919699 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 981012 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 996340 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 999406 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN u >= 999917 THEN 1 ELSE 0 END) AS w
+        | FROM u),
+        |means AS (SELECT b,
+        |  round(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS m
+        | FROM wgt GROUP BY b HAVING sum(w) > 0),
+        |rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r
+        | FROM means),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |   AS mean_all
+        | FROM base)
+        |SELECT ov.n_docs, CAST(200 AS INTEGER) AS n_reps, ov.mean_all,
+        | (SELECT m FROM rk WHERE r = 5) AS ci_lo,
+        | (SELECT m FROM rk WHERE r = 196) AS ci_hi
+        |FROM ov""".stripMargin,
     // bucketed join: the layout changes the PLAN, never the answer
     "q193_bucketed_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

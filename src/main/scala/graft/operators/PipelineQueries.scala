@@ -1698,6 +1698,12 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // q194: Poisson-bootstrap 95% CI for mean tokens/doc, B = 200
+  // replicates in ONE corpus pass
+  def bootstrapCI(s: SparkSession, dir: String): DataFrame =
+    Quality.poissonBootstrapCI(Tables.documents(s, dir), "doc_id",
+      T.tokenCount(col("text")), reps = 200)
+
   /** q192: FILTERED vector search — the metadata-predicate regime
     * every vector store faces (WHERE label < 5 AND nearest-neighbor):
     * the exact leg PRE-filters the corpus and scans the survivors;

@@ -303,4 +303,54 @@ object Quality {
       .select(col(groupCol), col("eps"), col("n_true"), col("noise"),
         col("n_noisy"), col("n_released"), col("abs_err"))
   }
+
+  /** Poisson-bootstrap confidence interval for a corpus mean — the
+    * ONE-PASS bootstrap (Chamandy et al., Google 2012 "Estimating
+    * uncertainty for massive data streams"): instead of drawing B
+    * resamples of N rows (B corpus shuffles), every row carries a
+    * Poisson(1) WEIGHT per replicate, so all B replicate sums
+    * accumulate in a single scan with map-side combine — the only
+    * shuffle is B combiner rows per partition. Weights come from the
+    * md5-derived micro-uniform through the Poisson(1) inverse CDF as
+    * INTEGER threshold comparisons (the CDF constants quantized to
+    * 10⁻⁶, so weight assignment is exact on both engines); replicate
+    * means are ratios of exact integer sums; the CI bounds are exact
+    * order statistics of the B means (rank ⌈α·B⌉ and B+1−⌈α·B⌉ on
+    * the ROUNDED means — no interpolation, engine-portable).
+    */
+  def poissonBootstrapCI(df: DataFrame, idCol: String,
+      value: org.apache.spark.sql.Column, reps: Int): DataFrame = {
+    import graft.functions.{MysqlFunctions => M, TextFunctions => T}
+    // Poisson(1) CDF at k = 0..6, quantized to micro-units
+    val thresholds = Seq(367879L, 735759L, 919699L, 981012L,
+      996340L, 999406L, 999917L)
+    val base = df.select(col(idCol).as("__id"), value.cast("long").as("__x"))
+    val rep = base.select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("__u", pmod(T.md5Int(concat(lit("boot:"), col("b"),
+        lit(":"), col("__id").cast("string")), 8), lit(1000000L)))
+      .withColumn("__w", thresholds.map(t =>
+        when(col("__u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val means = rep.groupBy("b").agg(
+        sum(col("__w") * col("__x")).as("__sx"), sum("__w").as("__sw"))
+      .where(col("__sw") > 0)
+      .select(col("b"), M.oracleRound(
+        col("__sx").cast("double") / col("__sw").cast("double"), 6)
+        .as("m"))
+      .coalesce(1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .orderBy(col("m").asc, col("b").asc)
+    val loRank = math.ceil(0.025 * reps).toLong
+    val hiRank = reps + 1 - loRank
+    val ranked = means.withColumn("r", row_number().over(w))
+    val overall = base.agg(count(lit(1)).as("n_docs"),
+      M.oracleRound(sum("__x").cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_all"))
+    overall.crossJoin(broadcast(
+        ranked.where(col("r") === loRank).select(col("m").as("ci_lo"))))
+      .crossJoin(broadcast(
+        ranked.where(col("r") === hiRank).select(col("m").as("ci_hi"))))
+      .select(col("n_docs"), lit(reps).cast("int").as("n_reps"),
+        col("mean_all"), col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -727,6 +727,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(one.map(_.toSeq) == many.map(_.toSeq))
   }
 
+  test("poissonBootstrapCI: brackets the mean, collapses on constants, sane width") {
+    import graft.operators.Quality
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = Quality.poissonBootstrapCI(docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), reps = 200)
+      .as[(Long, Int, Double, Double, Double)].collect()(0)
+    val (n, reps, mean, lo, hi) = out
+    assert(n == 500L && reps == 200)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo > 0.5 && hi - lo < 20.0,
+      s"95% CI width ${hi - lo} implausible for n=500 token counts")
+    // a constant column has zero sampling variance: CI degenerates to
+    // the constant exactly, at any replicate weighting
+    val const = Quality.poissonBootstrapCI(docs, "doc_id", lit(7L), reps = 50)
+      .as[(Long, Int, Double, Double, Double)].collect()(0)
+    assert(const._3 == 7.0 && const._4 == 7.0 && const._5 == 7.0)
+  }
+
   test("hllPairOverlap: union estimate dominates both sides, exact bounds hold") {
     import graft.operators.PipelineQueries
     val out = PipelineQueries.hllPairOverlap(spark, dir)
