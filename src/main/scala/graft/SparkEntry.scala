@@ -225,6 +225,7 @@ object SparkEntry {
     "q192_filtered_ann" -> (P.filteredAnnRecall _),
     "q193_bucketed_join" -> (C.bucketedJoin _),
     "q194_bootstrap_ci" -> (P.bootstrapCI _),
+    "q195_burst_detect" -> (C.burstDetect _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2800,6 +2801,24 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // burst detection: trailing-frame stats pinned to 4dp before the
+    // 3-sigma compare
+    "q195_burst_detect" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |s AS (SELECT event_type, day, n,
+        |  CAST(count(n) OVER w AS BIGINT) AS n_base,
+        |  round(avg(n) OVER w, 4) AS base_mean,
+        |  round(coalesce(stddev_samp(n) OVER w, 0.0), 4) AS base_sd
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, n_base, base_mean, base_sd,
+        | (CAST(n AS DOUBLE) > base_mean + 3.0 * base_sd) AS burst
+        |FROM s WHERE n_base >= 3
+        |ORDER BY event_type, day""".stripMargin,
     // Poisson bootstrap: integer-threshold Poisson(1) weights, exact
     // integer replicate sums, order-statistic CI on rounded means
     "q194_bootstrap_ci" ->

@@ -771,6 +771,32 @@ object CoreQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // q195: burst detection — per (event_type, day) count against the
+  // TRAILING 7-day baseline (prior days only, never the current one):
+  // burst when n > mean + 3sd on 4-dp-PINNED baseline stats (the q90
+  // rounded-stats discipline, applied to a trailing frame instead of
+  // a group global). The window runs on the (type, day) COUNT table —
+  // bounded at types x days rows — never on raw events; the only
+  // corpus-sized step is the keyed count.
+  def burstDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_base", count(col("n")).over(w))
+      .withColumn("base_mean", M.oracleRound(avg(col("n")).over(w), 4))
+      .withColumn("base_sd",
+        M.oracleRound(coalesce(stddev_samp(col("n")).over(w), lit(0.0)), 4))
+      .where(col("n_base") >= 3)
+      .select(col("event_type"), col("day"), col("n"), col("n_base"),
+        col("base_mean"), col("base_sd"),
+        (col("n").cast("double") > col("base_mean")
+          + lit(3.0) * col("base_sd")).as("burst"))
+      .orderBy("event_type", "day")
+  }
+
   // HLL-estimated distinct users per event-time day — q155's KMV
   // sibling at CONSTANT state: 64 register bytes per window vs k=32
   // longs, and the estimate error is uniform in cardinality. The
