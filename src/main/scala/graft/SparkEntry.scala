@@ -226,6 +226,7 @@ object SparkEntry {
     "q193_bucketed_join" -> (C.bucketedJoin _),
     "q194_bootstrap_ci" -> (P.bootstrapCI _),
     "q195_burst_detect" -> (C.burstDetect _),
+    "q196_jsonl_roundtrip" -> (P.jsonlRoundtrip _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2801,6 +2802,15 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // JSONL round-trip: the oracle reads the PARQUET truth — equality
+    // proves the export+re-ingest moved every byte
+    "q196_jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // burst detection: trailing-frame stats pinned to 4dp before the
     // 3-sigma compare
     "q195_burst_detect" ->

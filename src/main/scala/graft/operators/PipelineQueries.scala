@@ -1704,6 +1704,37 @@ object PipelineQueries {
     Quality.poissonBootstrapCI(Tables.documents(s, dir), "doc_id",
       T.tokenCount(col("text")), reps = 200)
 
+  /** Documents exported to JSONL once per (session, sf dir) — the raw
+    * interchange drop the q196 gate re-ingests. */
+  private val jsonlStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedJsonl(s: SparkSession, dir: String): String =
+    jsonlStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_jsonl_").resolve("docs").toString
+      graft.sources.FileFormats.writeJsonl(Tables.documents(s, dir), p,
+        maxPartitions = 8)
+      p
+    })
+
+  // q196: JSONL round-trip — export the corpus to JSONL, re-ingest
+  // with the PINNED schema (single-pass, FAILFAST), and prove content
+  // identity against the parquet truth: per-lang counts, exact char
+  // sums, and an order-independent content digest (sum of per-doc
+  // md5Int(text) — any flipped byte anywhere moves it). This puts the
+  // JSONL ingress on the oracle-gated surface, not just in specs.
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(s, dir).schema
+    graft.sources.FileFormats
+      .readJsonl(s, persistedJsonl(s, dir), schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(T.md5Int(col("text"), 8)).as("content_sum"))
+      .orderBy("lang")
+  }
+
   /** q192: FILTERED vector search — the metadata-predicate regime
     * every vector store faces (WHERE label < 5 AND nearest-neighbor):
     * the exact leg PRE-filters the corpus and scans the survivors;
