@@ -227,6 +227,8 @@ object SparkEntry {
     "q194_bootstrap_ci" -> (P.bootstrapCI _),
     "q195_burst_detect" -> (C.burstDetect _),
     "q196_jsonl_roundtrip" -> (P.jsonlRoundtrip _),
+    "q197_orc_roundtrip" -> (P.orcRoundtrip _),
+    "q198_nfc_audit" -> (P.nfcAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2802,6 +2804,37 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // NFC audit: DuckDB's utf8proc nfc_normalize vs the engine's JDK
+    // Normalizer — the digest of the NORMALIZED text only matches if
+    // both compose identically; chr() picks the planted combining
+    // marks by code point
+    "q198_nfc_audit" ->
+      """WITH r AS (
+        | SELECT lang,
+        |  text || CASE WHEN doc_id % 4 = 0 THEN ''
+        |    WHEN doc_id % 3 = 0 THEN ' e' || chr(769)
+        |    WHEN doc_id % 3 = 1 THEN ' A' || chr(778)
+        |    ELSE ' n' || chr(771) END AS raw
+        | FROM documents),
+        |n AS (SELECT lang, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN raw = norm THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_denorm,
+        | CAST(sum(length(raw)) AS BIGINT) AS sum_len_raw,
+        | CAST(sum(length(norm)) AS BIGINT) AS sum_len_nfc,
+        | CAST(sum(CAST(('0x' || substr(md5(norm), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    // ORC round-trip: parquet-truth oracle; the WHERE mirrors the
+    // predicate the engine pushes into the ORC scan
+    "q197_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM documents WHERE n_chars >= 120
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // JSONL round-trip: the oracle reads the PARQUET truth — equality
     // proves the export+re-ingest moved every byte
     "q196_jsonl_roundtrip" ->

@@ -93,6 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tarGzBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.isNfcDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
@@ -166,6 +168,28 @@ object GraftExtensions {
           "graft_md5_long hexDigits must be a numeric literal")
         Md5PrefixLong(children.head,
           children(1).eval().asInstanceOf[Number].intValue)
+      })
+
+  /** `graft_nfc(str)` — Unicode NFC canonical composition (see
+    * [[NfcNormalize]]). */
+  val nfcNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_nfc takes exactly 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
+      })
+
+  /** `graft_is_nfc(str)` — quick-check NFC membership (see
+    * [[IsNfc]]). */
+  val isNfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_is_nfc"),
+      new ExpressionInfo(classOf[IsNfc].getName, "graft_is_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_is_nfc takes exactly 1 argument, got ${children.length}")
+        IsNfc(children.head)
       })
 
   /** `graft_bloom_contains(filter, hash)` — probe a serialized

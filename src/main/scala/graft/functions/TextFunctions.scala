@@ -125,6 +125,31 @@ object TextFunctions {
     else conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
   }
 
+  // ---- Unicode normalization ----
+
+  /** NFC canonical composition via the native
+    * [[graft.expressions.NfcNormalize]]; UDF fallback (same JDK
+    * Normalizer, non-codegen) when the session lacks GraftExtensions —
+    * the same documented fallback pattern as the Bloom probe. Shares
+    * md5Int's active-session caveat. */
+  def nfc(c: Column): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_nfc"))
+      call_function("graft_nfc", c)
+    else udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      .apply(c)
+
+  /** True iff already NFC (native quick-check; UDF fallback). */
+  def isNfc(c: Column): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_is_nfc"))
+      call_function("graft_is_nfc", c)
+    else udf((s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(java.text.Normalizer
+        .isNormalized(s, java.text.Normalizer.Form.NFC)))
+      .apply(c)
+
   // ---- PII scrubbing (emails / phone numbers) ----
   // Patterns are lookaround-free (RE2-compatible) so the SQL oracle's
   // regex engine matches the exact same spans; both engines replace

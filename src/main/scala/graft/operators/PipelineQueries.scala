@@ -1716,6 +1716,69 @@ object PipelineQueries {
       p
     })
 
+  /** Documents exported to ORC once per (session, sf dir) — the
+    * warehouse-interop drop the q197 gate re-ingests. */
+  private val orcStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedOrc(s: SparkSession, dir: String): String =
+    orcStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_orc_").resolve("docs").toString
+      graft.sources.FileFormats.writeOrc(Tables.documents(s, dir), p,
+        maxPartitions = 8)
+      p
+    })
+
+  // q197: ORC round-trip — q196's columnar twin, gating what ORC adds
+  // over JSONL: the read is SELECTIVE (n_chars >= 120) and the
+  // predicate must reach the ORC scan as a pushed filter
+  // (PlanSpec-pinned), so at 100 TB the format skips whole stripes by
+  // min/max stats instead of deserializing every row the way a JSONL
+  // re-ingest must. Same order-independent content digest as q196:
+  // equality against the parquet truth proves export + re-ingest +
+  // pushdown returned exactly the rows the predicate names.
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileFormats.readOrc(s, persistedOrc(s, dir))
+      .where(col("n_chars") >= 120)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(T.md5Int(col("text"), 8)).as("content_sum"))
+      .orderBy("lang")
+
+  // q198: Unicode NFC normalization audit — a crawl mixes precomposed
+  // ("é") and decomposed ("e"+U+0301) encodings of the same text, and
+  // every downstream equality (exact dedup, shingles, join keys)
+  // silently splits on the difference. The gate plants deterministic
+  // decomposed suffixes (doc_id-selected combining pairs é/Å/ñ on 3 of
+  // every 4 docs), runs the native graft_nfc / graft_is_nfc
+  // expressions, and emits per lang: how many docs the quick-check
+  // flags, the code-point shrink from composition, and a content
+  // digest of the NORMALIZED text — which only matches DuckDB's
+  // utf8proc-based nfc_normalize if both engines compose identically.
+  // One zero-shuffle projection + one aggregate; at 100 TB this is the
+  // ingestion scan guard, not a separate job.
+  def nfcAudit(s: SparkSession, dir: String): DataFrame = {
+    // decomposed base+combining pairs; NFC composes each to ONE
+    // code point (\u00e9 \u00c5 \u00f1)
+    val marks = Seq(" e\u0301", " A\u030A", " n\u0303")
+    val suffix = when(col("doc_id") % 4 === 0, lit(""))
+      .otherwise(element_at(array(marks.map(lit): _*),
+        (col("doc_id") % 3 + 1).cast("int")))
+    Tables.documents(s, dir)
+      .select(col("lang"), concat(col("text"), suffix).as("raw"))
+      .select(col("lang"), col("raw"), T.nfc(col("raw")).as("norm"),
+        T.isNfc(col("raw")).as("was_nfc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("was_nfc"), 0L).otherwise(1L)).as("n_denorm"),
+        sum(length(col("raw"))).as("sum_len_raw"),
+        sum(length(col("norm"))).as("sum_len_nfc"),
+        sum(T.md5Int(col("norm"), 8)).as("content_sum"))
+      .orderBy("lang")
+  }
+
   // q196: JSONL round-trip — export the corpus to JSONL, re-ingest
   // with the PINNED schema (single-pass, FAILFAST), and prove content
   // identity against the parquet truth: per-lang counts, exact char

@@ -53,6 +53,22 @@ class FileFormatsSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](failfast.count())
   }
 
+  test("q197 pushes its predicate into the ORC scan and matches the parquet truth") {
+    val gate = SparkEntry.queries("q197_orc_roundtrip")(spark, dir)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,120)]"),
+      s"ORC scan must carry the pushed predicate; plan was:\n$plan")
+    val truth = graft.sources.Tables.documents(spark, dir)
+      .where(col("n_chars") >= 120)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+      .as[(String, Long, Long)].collect().toSeq
+    val got = gate.select(col("lang"), col("n_docs"), col("sum_chars"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == truth)
+  }
+
   test("ORC round-trip preserves schema and data, including arrays") {
     val src = Seq(
       (1L, "alpha", Seq(1.0, 2.0)),

@@ -149,6 +149,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_nfc / graft_is_nfc agree with the JDK Normalizer on planted and random text") {
+    assert(spark.catalog.functionExists("graft_nfc"))
+    assert(spark.catalog.functionExists("graft_is_nfc"))
+    import java.text.Normalizer
+    val rng = new scala.util.Random(53)
+    val strs = Seq("", "plain ascii",
+      "caf\u00e9 precomposed", "cafe\u0301 decomposed",
+      "A\u030A n\u0303 multi", "\u00c5 already",
+      "mixed caf\u00e9 and e\u0301",
+      "s\u0323\u0307 ordered marks", "s\u0307\u0323 reordered marks") ++
+      Seq.fill(100)(Seq.fill(1 + rng.nextInt(16))(
+        (0x20 + rng.nextInt(0x2500)).toChar).mkString)
+    val got = strs.toDF("s")
+      .select(col("s"), call_function("graft_nfc", col("s")).as("n"),
+        call_function("graft_is_nfc", col("s")).as("q"))
+      .as[(String, String, Boolean)].collect()
+    got.foreach { case (s, n, q) =>
+      assert(n == Normalizer.normalize(s, Normalizer.Form.NFC),
+        s"nfc mismatch for ${s.map(_.toInt.toHexString)}")
+      assert(q == Normalizer.isNormalized(s, Normalizer.Form.NFC),
+        s"is_nfc mismatch for ${s.map(_.toInt.toHexString)}")
+      assert(q == (n == s), "quick-check must agree with normalize-identity")
+    }
+    // TextFunctions wrappers (native path under TestSpark) row-identical
+    val plain = strs.toDF("s").select(col("s"),
+      graft.functions.TextFunctions.nfc(col("s")).as("n"),
+      graft.functions.TextFunctions.isNfc(col("s")).as("q"))
+      .as[(String, String, Boolean)].collect()
+    assert(plain.toSeq == got.toSeq)
+  }
+
   test("PII redaction replaces every email/phone span and counts agree") {
     val rows = Seq(
       (1L, "mail a.b+c@x-corp.io and B@Y.ORG, call +4915712345678 now"),
