@@ -229,6 +229,7 @@ object SparkEntry {
     "q196_jsonl_roundtrip" -> (P.jsonlRoundtrip _),
     "q197_orc_roundtrip" -> (P.orcRoundtrip _),
     "q198_nfc_audit" -> (P.nfcAudit _),
+    "q199_qdigest_quantiles" -> (P.qdigestQuantiles _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2804,6 +2805,22 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // q-digest quantiles, the q52 sketch-facts pattern: exact stats +
+    // all-true bound proofs; sketch internals stay engine-specific
+    "q199_qdigest_quantiles" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS v
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(quantile_cont(v, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(v, 0.9), 4) AS p90_exact,
+        | round(quantile_cont(v, 0.99), 4) AS p99_exact,
+        | true AS p50_in_bound, true AS p90_in_bound,
+        | true AS p99_in_bound, true AS size_bounded
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // NFC audit: DuckDB's utf8proc nfc_normalize vs the engine's JDK
     // Normalizer — the digest of the NORMALIZED text only matches if
     // both compose identically; chr() picks the planted combining

@@ -1779,6 +1779,64 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  // q199: q-digest quantile sketch — the quantile member of the sketch
+  // family ([[graft.functions.QDigestAgg]]), gated q52-style: the
+  // sketch's internals are merge-order-dependent, so the gate emits
+  // the EXACT per-lang token-count quantiles (percentile ≡ DuckDB
+  // quantile_cont — q50-proven parity) plus booleans proving each
+  // sketch answer's TRUE rank (computed exactly in-plan against the
+  // token frame) sits within the published ±log2(U)/σ·n bound, and
+  // that the digest stayed ≤ 6σ entries. All-integer rank arithmetic
+  // (ceil-division targets, ceil-division bound) — no float compare.
+  // Three tiny frames (sketch row, exact row, rank row per lang)
+  // broadcast-joined; the token scan is the only corpus pass.
+  def qdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val sigma = 1600
+    val logU = 16 // ε = logU/σ = 1% rank error
+    val sk = udaf(new graft.functions.QDigestAgg(sigma, logU,
+      Seq(0.5, 0.9, 0.99)), org.apache.spark.sql.Encoders.scalaLong)
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), T.tokenCount(col("text")).cast("long").as("v"))
+    val agg = tok.groupBy("lang")
+      .agg(sk(col("v")).as("d"), count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        col("d")(0).as("e50"), col("d")(1).as("e90"), col("d")(2).as("e99"),
+        col("d")(4).as("sk_size"))
+    val exact = tok.groupBy("lang").agg(
+      M.oracleRound(expr("percentile(v, 0.5D)"), 4).as("p50_exact"),
+      M.oracleRound(expr("percentile(v, 0.9D)"), 4).as("p90_exact"),
+      M.oracleRound(expr("percentile(v, 0.99D)"), 4).as("p99_exact"))
+    // exact rank bracket of each estimate: values <= est occupy sorted
+    // 1-based ranks (lo, hi]
+    val ranks = tok
+      .join(broadcast(agg.select("lang", "e50", "e90", "e99")), Seq("lang"))
+      .groupBy("lang").agg(
+        sum(when(col("v") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("v") < col("e90"), 1L).otherwise(0L)).as("lo90"),
+        sum(when(col("v") <= col("e90"), 1L).otherwise(0L)).as("hi90"),
+        sum(when(col("v") < col("e99"), 1L).otherwise(0L)).as("lo99"),
+        sum(when(col("v") <= col("e99"), 1L).otherwise(0L)).as("hi99"))
+    // positive-only ceil division; the double divide is exact far past
+    // any corpus size (products < 2^53) and the cast truncates = floor
+    def ceilDiv(num: Column, den: Long): Column =
+      ((num + den - 1L) / den).cast("long")
+    val bnd = ceilDiv(col("n_docs") * logU, sigma.toLong)
+    def inBound(pNum: Long, pDen: Long, lo: String, hi: String): Column = {
+      val target = ceilDiv(col("n_docs") * pNum, pDen)
+      (col(lo) <= target - 1L + bnd) && (col(hi) >= target - bnd)
+    }
+    agg.join(broadcast(exact), Seq("lang"))
+      .join(broadcast(ranks), Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        inBound(1, 2, "lo50", "hi50").as("p50_in_bound"),
+        inBound(9, 10, "lo90", "hi90").as("p90_in_bound"),
+        inBound(99, 100, "lo99", "hi99").as("p99_in_bound"),
+        (col("sk_size") <= 6L * sigma).as("size_bounded"))
+      .orderBy("lang")
+  }
+
   // q196: JSONL round-trip — export the corpus to JSONL, re-ingest
   // with the PINNED schema (single-pass, FAILFAST), and prove content
   // identity against the parquet truth: per-lang counts, exact char

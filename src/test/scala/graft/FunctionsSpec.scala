@@ -180,6 +180,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plain.toSeq == got.toSeq)
   }
 
+  test("QDigestAgg: rank error within log2(U)/sigma under random partitioning and merge order") {
+    val sigma = 50
+    val logU = 10 // tight sigma + small universe forces real compression
+    val ps = Seq(0.5, 0.9, 0.99)
+    val agg = new graft.functions.QDigestAgg(sigma, logU, ps)
+    val rng = new scala.util.Random(7)
+    // skewed mixture: heavy mass at small values + uniform tail
+    val values = Array.fill(20000)(
+      if (rng.nextInt(3) == 0) rng.nextInt(1 << logU).toLong
+      else rng.nextInt(40).toLong)
+    for (trial <- 0 until 5) {
+      val r2 = new scala.util.Random(trial)
+      val nParts = 1 + r2.nextInt(12)
+      val parts = values.groupBy(_ => r2.nextInt(nParts)).values.toArray
+      var bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      while (bufs.length > 1) { // merge in random pair order
+        val i = r2.nextInt(bufs.length)
+        val j0 = r2.nextInt(bufs.length - 1)
+        val j = if (j0 >= i) j0 + 1 else j0
+        val merged = agg.merge(bufs(i), bufs(j))
+        bufs = bufs.zipWithIndex.collect {
+          case (b, k) if k != i && k != j => b } :+ merged
+      }
+      val out = agg.finish(bufs.head)
+      val n = values.length.toLong
+      assert(out(ps.length) == n, "n must be conserved through merges")
+      assert(out(ps.length + 1) <= 6L * sigma, "size must stay bounded")
+      val bound = (logU * n + sigma - 1) / sigma
+      ps.zipWithIndex.foreach { case (p, k) =>
+        val est = out(k)
+        val target = math.ceil(p * n).toLong
+        val lo = values.count(_ < est).toLong
+        val hi = values.count(_ <= est).toLong
+        assert(lo <= target - 1 + bound && hi >= target - bound,
+          s"trial=$trial p=$p est=$est target=$target lo=$lo hi=$hi bound=$bound")
+      }
+    }
+    // uncompressed regime: answers are the exact upper-rank values
+    val small = Array.tabulate(100)(i => i.toLong)
+    val loose = new graft.functions.QDigestAgg(100000, logU, ps)
+    val exact = loose.finish(small.foldLeft(loose.zero)(loose.reduce))
+    assert(exact.take(3).toSeq == Seq(49L, 89L, 98L),
+      s"exact-regime quantiles off: ${exact.toSeq}")
+  }
+
   test("PII redaction replaces every email/phone span and counts agree") {
     val rows = Seq(
       (1L, "mail a.b+c@x-corp.io and B@Y.ORG, call +4915712345678 now"),
