@@ -230,6 +230,7 @@ object SparkEntry {
     "q197_orc_roundtrip" -> (P.orcRoundtrip _),
     "q198_nfc_audit" -> (P.nfcAudit _),
     "q199_qdigest_quantiles" -> (P.qdigestQuantiles _),
+    "q200_goertzel_tones" -> (P.goertzelTones _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2805,6 +2806,48 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // Goertzel: the recursive CTE replays the exact integer recurrence
+    // (fixed-point literal coefficients, power-of-two floor division)
+    // over the md5 closed-form PCM samples, state for all 4 bins in
+    // one walk; bins named a/b/c/e (d collides with nothing but stay
+    // clear of reserved-ish names)
+    "q200_goertzel_tones" ->
+      """WITH RECURSIVE g AS (
+        | SELECT doc_id, 0 AS j,
+        |  CAST(0 AS BIGINT) AS a1, CAST(0 AS BIGINT) AS a2,
+        |  CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2,
+        |  CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
+        |  CAST(0 AS BIGINT) AS e1, CAST(0 AS BIGINT) AS e2
+        | FROM documents WHERE doc_id % 97 >= 12
+        | UNION ALL
+        | SELECT doc_id, j + 1,
+        |  x + CAST(floor(CAST(30274 * a1 AS DOUBLE) / 16384) AS BIGINT) - a2, a1,
+        |  x + CAST(floor(CAST(23170 * b1 AS DOUBLE) / 16384) AS BIGINT) - b2, b1,
+        |  x + CAST(floor(CAST(12540 * c1 AS DOUBLE) / 16384) AS BIGINT) - c2, c1,
+        |  x - e2, e1
+        | FROM (
+        |  SELECT doc_id, j, a1, a2, b1, b2, c1, c2, e1, e2,
+        |   u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS x
+        |  FROM (
+        |   SELECT doc_id, j, a1, a2, b1, b2, c1, c2, e1, e2,
+        |    CAST(('0x' || substr(md5('pcm:' || doc_id || ':' || j), 1, 8))
+        |      AS BIGINT) % 65536 AS u
+        |   FROM g WHERE j < 16) s0) s1)
+        |,pw AS (
+        | SELECT doc_id,
+        |  a1*a1 + a2*a2
+        |   - CAST(floor(CAST(30274 * a1 * a2 AS DOUBLE) / 16384) AS BIGINT) AS p1,
+        |  b1*b1 + b2*b2
+        |   - CAST(floor(CAST(23170 * b1 * b2 AS DOUBLE) / 16384) AS BIGINT) AS p2,
+        |  c1*c1 + c2*c2
+        |   - CAST(floor(CAST(12540 * c1 * c2 AS DOUBLE) / 16384) AS BIGINT) AS p3,
+        |  e1*e1 + e2*e2 AS p4
+        | FROM g WHERE j = 16)
+        |SELECT doc_id, p1, p2, p3, p4,
+        | CAST(CASE WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 1
+        |  WHEN p2 >= p3 AND p2 >= p4 THEN 2
+        |  WHEN p3 >= p4 THEN 3 ELSE 4 END AS INTEGER) AS dominant_bin
+        |FROM pw ORDER BY doc_id""".stripMargin,
     // q-digest quantiles, the q52 sketch-facts pattern: exact stats +
     // all-true bound proofs; sketch internals stay engine-specific
     "q199_qdigest_quantiles" ->

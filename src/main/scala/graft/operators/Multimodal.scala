@@ -345,6 +345,47 @@ object Multimodal {
           / nOut.cast("double")), 4).as("rms")))
   }
 
+  /** Fixed-point Goertzel tone powers over the FIRST `n` samples of a
+    * canonical 16-bit mono PCM WAV — single-bin spectral analysis, the
+    * classic DTMF/pilot-tone detector and the cheapest real frequency-
+    * domain audio feature (one multiply-add per sample per bin vs a
+    * full FFT; the standard pre-filter for "does this clip contain the
+    * calibration tone" style corpus triage). For each (bin k, fixed-
+    * point coefficient c = round(2·cos(2πk/n)·2¹⁴)) the recurrence
+    * `s_j = x_j + ⌊c·s_{j−1}/2¹⁴⌋ − s_{j−2}` runs inside one
+    * `aggregate` HOF (left-to-right, deterministic) with a two-long
+    * struct state, and the bin power is `s₁² + s₂² − ⌊c·s₁·s₂/2¹⁴⌋`.
+    * ALL-INTEGER state: coefficients are precomputed literals (no
+    * in-plan cos — cross-engine libm rounding could flip the fixed
+    * point), and the ⌊·/2¹⁴⌋ steps divide by a power of two, exact in
+    * doubles, so DuckDB's recursive-CTE restatement reproduces every
+    * intermediate bit. The caller fixes `n` so the coefficient set is
+    * one literal table, not per-row trigonometry. */
+  def wavGoertzel(media: Column, n: Int, coeffs: Seq[(Int, Long)]): Column = {
+    require(n >= 2 && coeffs.nonEmpty)
+    val meta = wavMeta(media)
+    val signed = (j: Column) => {
+      val raw = leUIntAt(media, lit(45L) + j.cast("long") * 2, 2)
+      raw - when(raw >= 32768, lit(65536L)).otherwise(lit(0L))
+    }
+    val samples = transform(sequence(lit(0), lit(n - 1)), j => signed(j))
+    val step = (c: Long) => (acc: Column, x: Column) => struct(
+      (x + floor(acc.getField("s1") * lit(c) / lit(16384.0)).cast("long")
+        - acc.getField("s2")).as("s1"),
+      acc.getField("s1").as("s2"))
+    val powers = coeffs.map { case (k, c) =>
+      val st = aggregate(samples,
+        struct(lit(0L).as("s1"), lit(0L).as("s2")), step(c))
+      (st.getField("s1") * st.getField("s1")
+        + st.getField("s2") * st.getField("s2")
+        - floor(st.getField("s1") * st.getField("s2") * lit(c)
+          / lit(16384.0)).cast("long")).as(s"p$k")
+    }
+    when(meta.isNotNull && meta.getField("bits") === 16 &&
+      meta.getField("channels") === 1 &&
+      meta.getField("n_samples") >= n, struct(powers: _*))
+  }
+
   /** Deterministic minimal AVI bytes — the VIDEO container is RIFF
     * like WAV, so the same hex-arithmetic writer applies: `RIFF size
     * 'AVI '` + a canonical `LIST hdrl` whose FIRST child is the

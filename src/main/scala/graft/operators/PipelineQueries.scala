@@ -580,6 +580,32 @@ object PipelineQueries {
         col("__s.rms").as("rms"))
       .orderBy("doc_id")
 
+  // q200: Goertzel tone powers over the first 16 samples of the q134
+  // clips (docs long enough only) — 4 fixed-point bins, coefficients
+  // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same
+  // tie-break CASE both engines state; the recursive-CTE oracle
+  // replays every integer recurrence step
+  def goertzelTones(s: SparkSession, dir: String): DataFrame = {
+    val coeffs = Seq(1 -> 30274L, 2 -> 23170L, 3 -> 12540L, 4 -> 0L)
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(97)) >= 12)
+      .select(col("doc_id"), Multimodal.wavBytesPcm(lit(16000), lit(1),
+        (pmod(col("doc_id"), lit(97)) + 4).cast("int"), col("doc_id"))
+        .as("__wav"))
+      .select(col("doc_id"),
+        Multimodal.wavGoertzel(col("__wav"), 16, coeffs).as("__g"))
+      .select(col("doc_id"),
+        col("__g.p1").as("p1"), col("__g.p2").as("p2"),
+        col("__g.p3").as("p3"), col("__g.p4").as("p4"))
+      .withColumn("dominant_bin",
+        when(col("p1") >= col("p2") && col("p1") >= col("p3")
+          && col("p1") >= col("p4"), 1)
+          .when(col("p2") >= col("p3") && col("p2") >= col("p4"), 2)
+          .when(col("p3") >= col("p4"), 3)
+          .otherwise(4))
+      .orderBy("doc_id")
+  }
+
   // q191: audio decimation — keep every 4th PCM sample of the q134
   // clips and re-featurize; the strided md5 closed form restates in
   // SQL verbatim (the q190 resize, audio modality)
