@@ -231,6 +231,7 @@ object SparkEntry {
     "q198_nfc_audit" -> (P.nfcAudit _),
     "q199_qdigest_quantiles" -> (P.qdigestQuantiles _),
     "q200_goertzel_tones" -> (P.goertzelTones _),
+    "q201_kcenter_coreset" -> (P.kcenterGate _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2806,6 +2807,8 @@ object SparkEntry {
         | round((round(eu, 4) - CAST(n_exact AS DOUBLE))
         |   / CAST(n_exact AS DOUBLE), 6) AS rel_err
         |FROM e2 ORDER BY lang""".stripMargin,
+    // k-center coreset: chained-CTE greedy replay, rank-only compare
+    "q201_kcenter_coreset" -> kcenterOracle(8),
     // Goertzel: the recursive CTE replays the exact integer recurrence
     // (fixed-point literal coefficients, power-of-two floor division)
     // over the md5 closed-form PCM samples, state for all 4 bins in
@@ -4197,6 +4200,41 @@ object SparkEntry {
        |l0 AS (SELECT node, node AS label FROM nodes),
        |$iterCtes
        |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** q201's oracle: greedy k-center unrolled into chained CTEs — p_t
+    * picks the argmin-max-similarity candidate (ties by vec_id), d_t
+    * updates the running max incrementally; the exact mirror of the
+    * engine's per-round incremental scan. */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p1 AS (SELECT vec_id AS id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (
+        | SELECT e.vec_id, e.v,
+        |  list_cosine_similarity(e.v, (SELECT v FROM p1)) AS ms
+        | FROM e WHERE e.vec_id <> (SELECT id FROM p1)),
+        |""".stripMargin)
+    for (t <- 2 to k) {
+      sb.append(s"p$t AS (SELECT vec_id AS id, v FROM d${t - 1}" +
+        " ORDER BY ms ASC, vec_id LIMIT 1)")
+      if (t < k)
+        sb.append(",\n" +
+          s"""d$t AS (
+             | SELECT c.vec_id, c.v,
+             |  greatest(c.ms,
+             |   list_cosine_similarity(c.v, (SELECT v FROM p$t))) AS ms
+             | FROM d${t - 1} c WHERE c.vec_id <> (SELECT id FROM p$t)),
+             |""".stripMargin)
+      else sb.append("\n")
+    }
+    sb.append((1 to k).map(t =>
+      s"SELECT $t AS rnd, (SELECT id FROM p$t) AS vec_id")
+      .mkString(" UNION ALL "))
+    sb.append(" ORDER BY rnd")
+    sb.toString
   }
 
   /** q53's oracle: Similarity.ivfTopK unrolled into chained CTEs (see

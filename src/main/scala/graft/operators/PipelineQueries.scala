@@ -1863,6 +1863,12 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  // q201: greedy k-center coreset over the embedding corpus — see
+  // [[Similarity.kcenterCoreset]]; rank-only output, chained-CTE oracle
+  def kcenterGate(s: SparkSession, dir: String): DataFrame =
+    Similarity.kcenterCoreset(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8)
+
   // q196: JSONL round-trip — export the corpus to JSONL, re-ingest
   // with the PINNED schema (single-pass, FAILFAST), and prove content
   // identity against the parquet truth: per-lang counts, exact char

@@ -1076,4 +1076,55 @@ object Similarity {
         MysqlFunctions.oracleRound(col("dcg_fp").cast("double")
           / col("idcg_fp").cast("double"), 6).as("ndcg"))
   }
+
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal) over
+    * the embedding column — DIVERSE-subset selection, the geometric
+    * complement of [[clusterCapSample]]'s frequency capping: data-
+    * pruning pipelines (SemDeDup→prototypicality→coverage lineages)
+    * keep a small set that COVERS the embedding space, and greedy
+    * k-center is the standard 2-approximation for it. Deterministic:
+    * seed = min vec_id, then k−1 rounds of "pick the candidate whose
+    * max cosine similarity to the chosen set is LOWEST" (farthest
+    * under cosine distance), ties by vec_id.
+    *
+    * Scale shape: the chosen set stays on the driver (k rows — the
+    * same bounded-fit contract as the IVF codebooks), and each round
+    * is ONE map-only pass over candidates keeping a running
+    * max-similarity column (`greatest(ms, cos(vec, new_center))` —
+    * incremental, so round t costs O(n·d), not O(n·t·d)) followed by a
+    * TakeOrdered(1) argmin — no shuffle, no per-round full sort. k
+    * bounded rounds ⇒ k scans; `localCheckpoint` flattens the lineage
+    * the same way the PageRank/LPA loops do. Output is rank-only
+    * (round, vec_id) — float similarity values never leave the plan,
+    * so the gate hashes argmin DECISIONS, which the chained-CTE oracle
+    * replays with `list_cosine_similarity`. */
+  def kcenterCoreset(emb0: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val s = emb0.sparkSession
+    val emb = emb0.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    def vlit(v: Seq[Double]): Column = array(v.map(lit): _*)
+    val picks = scala.collection.mutable.ArrayBuffer(first.getLong(0))
+    var cand = emb.filter(col("vec_id") =!= first.getLong(0))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), vlit(first.getSeq[Double](1))).as("ms"))
+      .localCheckpoint()
+    for (_ <- 2 to k) {
+      val r = cand.orderBy(col("ms").asc, col("vec_id").asc).limit(1)
+        .select("vec_id", "embedding").collect()(0)
+      picks += r.getLong(0)
+      cand = cand.filter(col("vec_id") =!= r.getLong(0))
+        .select(col("vec_id"), col("embedding"),
+          greatest(col("ms"),
+            cosine(col("embedding"), vlit(r.getSeq[Double](1)))).as("ms"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    picks.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1, id) }
+      .toDF("rnd", "vec_id")
+      .orderBy("rnd")
+  }
 }

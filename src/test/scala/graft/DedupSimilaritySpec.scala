@@ -786,4 +786,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(1)._2 == 5L && out(1)._3 > 0.6 && out(1)._3 < 1.0,
       s"reversed list scored ${out(1)._3}")
   }
+
+  test("kcenterCoreset matches a brute-force Gonzalez greedy on random vectors") {
+    val rng = new scala.util.Random(11)
+    val dim = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextDouble() * 2 - 1)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 6
+    // brute-force greedy: seed min id, then argmin of max-sim, ties by id
+    var chosen = List(vecs.minBy(_._1))
+    var cand = vecs.filterNot(_._1 == chosen.head._1)
+    for (_ <- 2 to k) {
+      val pick = cand.map { case (id, v) =>
+        (id, v, chosen.map(c => cos(v, c._2)).max)
+      }.minBy { case (id, _, ms) => (ms, id) }
+      chosen = chosen :+ ((pick._1, pick._2))
+      cand = cand.filterNot(_._1 == pick._1)
+    }
+    val want = chosen.map(_._1).zipWithIndex.map { case (id, i) => (i + 1, id) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kcenterCoreset(df, "vec_id", "embedding", k)
+      .as[(Int, Long)].collect().toList
+    assert(got == want, s"got $got want $want")
+  }
 }
