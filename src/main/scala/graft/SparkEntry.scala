@@ -232,6 +232,7 @@ object SparkEntry {
     "q199_qdigest_quantiles" -> (P.qdigestQuantiles _),
     "q200_goertzel_tones" -> (P.goertzelTones _),
     "q201_kcenter_coreset" -> (P.kcenterGate _),
+    "q202_multi_match" -> (P.multiMatchScan _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2809,6 +2810,20 @@ object SparkEntry {
         |FROM e2 ORDER BY lang""".stripMargin,
     // k-center coreset: chained-CTE greedy replay, rank-only compare
     "q201_kcenter_coreset" -> kcenterOracle(8),
+    // Aho-Corasick counts re-derived by brute-force position scan —
+    // overlapping occurrences, unlike replace-based counting
+    "q202_multi_match" ->
+      """WITH pats(p) AS (VALUES ('a'), ('an'), ('scan'), ('in'),
+        |  ('join'), ('ta'), ('data'), ('batch batch'), ('rde')),
+        |m AS (
+        | SELECT d.doc_id, p.p AS pattern,
+        |  CAST(len(list_filter(
+        |    generate_series(1, greatest(0, length(d.text) - length(p.p) + 1)),
+        |    j -> substr(d.text, CAST(j AS INTEGER), length(p.p)) = p.p))
+        |   AS BIGINT) AS n_occ
+        | FROM documents d, pats p)
+        |SELECT doc_id, pattern, n_occ FROM m WHERE n_occ > 0
+        |ORDER BY doc_id, pattern""".stripMargin,
     // Goertzel: the recursive CTE replays the exact integer recurrence
     // (fixed-point literal coefficients, power-of-two floor division)
     // over the md5 closed-form PCM samples, state for all 4 bins in

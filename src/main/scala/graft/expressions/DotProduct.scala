@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.isNfcDescriptor)
+    ext.injectFunction(GraftExtensions.acCountsDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
@@ -190,6 +191,24 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_is_nfc takes exactly 1 argument, got ${children.length}")
         IsNfc(children.head)
+      })
+
+  /** `graft_ac_counts(text, patterns)` — Aho-Corasick all-occurrence
+    * counts; `patterns` must be a foldable array of string literals
+    * (it parameterizes the automaton built at plan time). */
+  val acCountsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ac_counts"),
+      new ExpressionInfo(classOf[MultiPatternCounts].getName, "graft_ac_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_ac_counts takes exactly 2 arguments, got ${children.length}")
+        require(children(1).foldable,
+          "graft_ac_counts patterns must be a literal array")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until arr.numElements).map(i =>
+          arr.getUTF8String(i).toString)
+        MultiPatternCounts(children.head, pats)
       })
 
   /** `graft_bloom_contains(filter, hash)` — probe a serialized

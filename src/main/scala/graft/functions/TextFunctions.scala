@@ -150,6 +150,26 @@ object TextFunctions {
         .isNormalized(s, java.text.Normalizer.Form.NFC)))
       .apply(c)
 
+  // ---- Multi-pattern (blocklist) scanning ----
+
+  /** All-occurrence match counts (overlaps included) for a FIXED
+    * pattern list, index-aligned array<long>. Native Aho-Corasick
+    * ([[graft.expressions.MultiPatternCounts]], one pass over the text
+    * regardless of pattern count) when the session has GraftExtensions;
+    * bit-identical per-pattern position-scan composition otherwise
+    * (O(chars·patterns) — the gap IS the operator's reason to exist).
+    * Shares md5Int's active-session caveat. */
+  def multiMatchCounts(c: Column, patterns: Seq[String]): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_ac_counts"))
+      call_function("graft_ac_counts", c,
+        array(patterns.map(lit): _*))
+    else array(patterns.map { p =>
+      val plen = p.length
+      when(length(c) < plen, lit(0L))
+        .otherwise(size(filter(sequence(lit(1), length(c) - plen + 1),
+          j => c.substr(j, lit(plen)) === lit(p))).cast("long"))
+    }: _*)
+
   // ---- PII scrubbing (emails / phone numbers) ----
   // Patterns are lookaround-free (RE2-compatible) so the SQL oracle's
   // regex engine matches the exact same spans; both engines replace

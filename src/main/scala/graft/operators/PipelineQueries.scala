@@ -1869,6 +1869,32 @@ object PipelineQueries {
     Similarity.kcenterCoreset(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 8)
 
+  /** q202's pattern table — chosen to exercise the automaton's hard
+    * cases: patterns that are substrings of other patterns (a/an/scan,
+    * in/join, ta/data), a self-overlapping multi-word ("batch batch"
+    * matches TWICE in "batch batch batch" — dictionary-suffix
+    * counting, where non-overlapping replace-based counts get 1), and
+    * a cross-word fragment (rde in "order"). */
+  private val acPatterns =
+    Seq("a", "an", "scan", "in", "join", "ta", "data", "batch batch", "rde")
+
+  // q202: Aho-Corasick multi-pattern scan — ONE pass over the corpus
+  // counting every pattern simultaneously, overlaps included; the
+  // 100 TB blocklist shape (10k terms ≠ 10k regexp passes). Output is
+  // the sparse (doc, pattern, n_occ) frame; the oracle recounts by
+  // brute-force position scan per pattern.
+  def multiMatchScan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(T.multiMatchCounts(col("text"), acPatterns))
+          .as(Seq("pidx", "n_occ")))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"),
+        element_at(array(acPatterns.map(lit): _*), col("pidx") + 1)
+          .as("pattern"),
+        col("n_occ"))
+      .orderBy("doc_id", "pattern")
+
   // q196: JSONL round-trip — export the corpus to JSONL, re-ingest
   // with the PINNED schema (single-pass, FAILFAST), and prove content
   // identity against the parquet truth: per-lang counts, exact char

@@ -225,6 +225,43 @@ class FunctionsSpec extends AnyFunSuite {
       s"exact-regime quantiles off: ${exact.toSeq}")
   }
 
+  test("native graft_ac_counts equals brute-force overlap counts and the HOF fallback") {
+    assert(spark.catalog.functionExists("graft_ac_counts"))
+    val pats = Seq("a", "aa", "ab", "aba", "bab", "abab", "b")
+    def brute(s: String, p: String): Long =
+      (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length))
+        .toLong
+    val rng = new scala.util.Random(29)
+    val strs = Seq("", "a", "aaa", "ababab", "bbbb", "abba", "xyz") ++
+      Seq.fill(200)(Seq.fill(rng.nextInt(30))(
+        "ab" (rng.nextInt(2))).mkString) ++
+      Seq.fill(50)(Seq.fill(rng.nextInt(30))(
+        "abx" (rng.nextInt(3))).mkString)
+    // direct automaton
+    val ac = new graft.expressions.AcAutomaton(pats.toArray)
+    strs.foreach { s =>
+      val got = ac.countAll(s).toSeq
+      val want = pats.map(p => brute(s, p))
+      assert(got == want, s"countAll($s): got $got want $want")
+    }
+    // expression (codegen path) and composition fallback, row-identical
+    val df = strs.toDF("s").select(col("s"),
+      call_function("graft_ac_counts", col("s"),
+        array(pats.map(lit): _*)).as("n"),
+      array(pats.map { p =>
+        when(length(col("s")) < p.length, lit(0L))
+          .otherwise(size(filter(
+            sequence(lit(1), length(col("s")) - p.length + 1),
+            j => col("s").substr(j, lit(p.length)) === lit(p)))
+            .cast("long"))
+      }: _*).as("f"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    df.foreach { case (s, n, f) =>
+      assert(n == pats.map(p => brute(s, p)), s"expr mismatch on $s")
+      assert(n == f, s"fallback mismatch on $s")
+    }
+  }
+
   test("PII redaction replaces every email/phone span and counts agree") {
     val rows = Seq(
       (1L, "mail a.b+c@x-corp.io and B@Y.ORG, call +4915712345678 now"),
