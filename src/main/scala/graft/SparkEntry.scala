@@ -233,6 +233,12 @@ object SparkEntry {
     "q200_goertzel_tones" -> (P.goertzelTones _),
     "q201_kcenter_coreset" -> (P.kcenterGate _),
     "q202_multi_match" -> (P.multiMatchScan _),
+    "q203_mojibake_audit" -> (P.mojibakeAudit _),
+    "q204_xml_roundtrip" -> (P.xmlRoundtrip _),
+    "q205_cdc_apply" -> (C.cdcApplyEvents _),
+    "q206_mutual_knn" -> (P.mutualKnn _),
+    "q207_feature_hashing" -> (P.featureHashing _),
+    "q208_rbo_eval" -> (P.rboEval _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2915,6 +2921,128 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // JSONL round-trip: the oracle reads the PARQUET truth — equality
     // proves the export+re-ingest moved every byte
+    // mojibake audit: oracle re-plants the damage with chr() code
+    // points and recounts by the same replace-length arithmetic; the
+    // digest of the REPAIRED text proves the cleanse byte-identical
+    "q203_mojibake_audit" ->
+      """WITH r AS (
+        | SELECT lang, text || CASE CAST(doc_id % 5 AS INTEGER)
+        |   WHEN 1 THEN ' caf' || chr(195) || chr(169)
+        |   WHEN 2 THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+        |   WHEN 3 THEN ' data' || chr(65533)
+        |   ELSE '' END AS raw
+        | FROM documents),
+        |c AS (
+        | SELECT lang, raw,
+        |  CAST((length(raw) - length(replace(raw,
+        |    chr(195) || chr(169), ''))) / 2 AS BIGINT) AS n_lat,
+        |  CAST((length(raw) - length(replace(raw,
+        |    chr(226) || chr(8364) || chr(8482), ''))) / 3 AS BIGINT) AS n_sm,
+        |  CAST(length(raw) - length(replace(raw, chr(65533), ''))
+        |    AS BIGINT) AS n_re,
+        |  replace(replace(replace(raw, chr(195) || chr(169), ''),
+        |    chr(226) || chr(8364) || chr(8482), ''), chr(65533), '') AS clean
+        | FROM r)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN n_lat + n_sm + n_re > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged,
+        | CAST(sum(n_lat) AS BIGINT) AS n_latin1,
+        | CAST(sum(n_sm) AS BIGINT) AS n_smartquote,
+        | CAST(sum(n_re) AS BIGINT) AS n_replacement,
+        | CAST(sum(CAST(('0x' || substr(md5(clean), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum_clean
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // XML round-trip: parquet-truth oracle, q196's shape — the gate's
+    // value is that the Spark side went through entity escaping and
+    // rowTag record splitting and must land on the same digests
+    "q204_xml_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // CDC compaction: last-writer-wins restated declaratively via
+    // QUALIFY over the same (us, event_id) total order; tombstone
+    // survivors filtered AFTER picking the last row per key
+    "q205_cdc_apply" ->
+      """WITH log AS (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        | FROM events),
+        |last AS (
+        | SELECT * FROM log
+        | QUALIFY row_number() OVER (PARTITION BY user_id
+        |   ORDER BY us DESC, event_id DESC) = 1)
+        |SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_type, round(value, 4) AS last_value, us
+        |FROM last WHERE op <> 'D' ORDER BY user_id""".stripMargin,
+    // mutual kNN: full self-kNN both directions, reciprocal join —
+    // the oracle's rankings come from DuckDB's own cosine
+    "q206_mutual_knn" ->
+      """WITH r AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |             c.vec_id) AS INTEGER) AS rnk
+        | FROM embeddings q, embeddings c WHERE c.vec_id <> q.vec_id),
+        |t AS (SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5)
+        |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+        | f.rnk AS rnk_ab, b.rnk AS rnk_ba
+        |FROM t f JOIN t b
+        |  ON f.query_id = b.neighbor_id AND f.neighbor_id = b.query_id
+        |WHERE f.query_id < f.neighbor_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // feature hashing: md5-prefix bucket parity (the md5Int contract);
+    // (n_tokens DESC, bucket) is a total order so LIMIT 20 is exact
+    "q207_feature_hashing" ->
+      """WITH tok AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+        |       FROM tok GROUP BY token),
+        |b AS (
+        | SELECT CAST(('0x' || substr(md5(token), 1, 3)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_occ) AS BIGINT) AS n_occ
+        | FROM tf GROUP BY 1)
+        |SELECT bucket, n_tokens, n_occ FROM b
+        |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
+    // RBO: both rankings recomputed in DuckDB (full cosine vs 32-dim
+    // prefix slice), shared pairs weighted by the SAME integer
+    // nano-unit table the engine uses (interpolated below) — integer
+    // sums, so the compare is FP-order-independent
+    "q208_rbo_eval" ->
+      (s"""WITH full_r AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |             c.vec_id) AS rnk_full
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |pre_r AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding[1:32],
+        |                                    c.embedding[1:32]) DESC,
+        |             c.vec_id) AS rnk_prefix
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |j AS (
+        | SELECT f.query_id,
+        |  CAST(greatest(f.rnk_full, p.rnk_prefix) AS INTEGER) AS m
+        | FROM full_r f JOIN pre_r p
+        |   USING (query_id, neighbor_id)
+        | WHERE f.rnk_full <= ${graft.operators.PipelineQueries.rboK}
+        |   AND p.rnk_prefix <= ${graft.operators.PipelineQueries.rboK}),
+        |w(m, w_nano) AS (VALUES ${
+          graft.operators.PipelineQueries.rboNanoWeights.zipWithIndex
+            .map { case (wn, i) => s"(${i + 1}, CAST($wn AS BIGINT))" }
+            .mkString(", ")})
+        |SELECT j.query_id, CAST(count(*) AS BIGINT) AS n_shared,
+        | CAST(sum(w.w_nano) AS BIGINT) AS rbo_nanos
+        |FROM j JOIN w ON j.m = w.m
+        |GROUP BY j.query_id ORDER BY query_id""".stripMargin),
     "q196_jsonl_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,

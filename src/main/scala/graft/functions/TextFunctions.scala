@@ -97,6 +97,17 @@ object TextFunctions {
     sort_array(array(scored: _*)).getItem(0).getField("lang")
   }
 
+  /** Occurrence count of a LITERAL marker substring via replace-length
+    * arithmetic — no regex engine, so the count is reproducible
+    * verbatim in ANSI SQL (`(length(s) - length(replace(s, m, ''))) /
+    * length(m)`) and stays inside whole-stage codegen. Overlapping
+    * occurrences count non-overlapping-greedy, same as SQL replace. */
+  def occurrences(c: Column, marker: String): Column = {
+    require(marker.nonEmpty, "marker must be non-empty")
+    ((length(c) - length(replace(c, lit(marker)))) / lit(marker.length))
+      .cast("long")
+  }
+
   /** Content fingerprint: md5 of normalized text (lowercase, collapsed
     * whitespace). Exact-dup detection key. */
   def fingerprint(text: Column): Column =

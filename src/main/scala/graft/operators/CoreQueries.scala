@@ -1078,6 +1078,26 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q205: CDC log compaction — replay the events stream as a keyed
+  // change log (every 10th event_id a tombstone, the rest upserts;
+  // total order (ts, event_id)) into the final per-user snapshot via
+  // [[MergeOps.cdcApply]]. A user whose LAST entry is a tombstone
+  // vanishes; a tombstone followed by a later upsert re-inserts. The
+  // oracle restates last-writer-wins declaratively (QUALIFY over the
+  // same total order), independent of the window formulation.
+  def cdcApplyEvents(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"),
+        when(pmod(col("event_id"), lit(10)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+    MergeOps.cdcApply(log, Seq("user_id"), Seq("us", "event_id"), "op")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        M.oracleRound(col("value"), 4).as("last_value"), col("us"))
+      .orderBy("user_id")
+  }
+
   // SCD2-style change intervals: collapse each user's consecutive
   // same-event-type runs into [valid_from, valid_to) validity ranges
   // (gaps-and-islands; valid_to null for the open run)

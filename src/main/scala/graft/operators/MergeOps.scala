@@ -67,6 +67,33 @@ object MergeOps {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** CDC log compaction with tombstones: reduce an ordered change log
+    * (each row an upsert or a delete for one key) to the final
+    * snapshot — what `MERGE INTO` with `WHEN MATCHED AND op='D' THEN
+    * DELETE` computes, and the operation every CDC-fed lakehouse table
+    * replays on compaction. Last writer wins per key under
+    * (`orderCols`) ascending — the caller supplies a total order
+    * (e.g. `(ts, event_id)`); equal full order keys have no defined
+    * winner. A key whose LAST entry is a tombstone (`opCol ===
+    * deleteOp`) is dropped entirely; earlier tombstones are simply
+    * superseded (re-insert after delete works).
+    *
+    * Shape: ONE shuffle by key + one keyed window — no join against
+    * the base snapshot (compaction unions base+log upstream if a base
+    * exists, exactly like [[upsert]]). At 100 TB the log partitions by
+    * key like any keyed window; a hot key is one sorted partition. */
+  def cdcApply(log: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    require((keys ++ orderCols :+ opCol).forall(log.columns.contains),
+      "keys, orderCols and opCol must exist")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
   /** Change-interval historization (gaps-and-islands): collapse each
     * key's consecutive runs of an equal `valueCol` into validity
     * intervals `[valid_from, valid_to)` with a row count — the SCD2

@@ -2271,4 +2271,157 @@ object PipelineQueries {
           .otherwise(lit("head")).as("bucket"))
       .orderBy("doc_id")
   }
+
+  /** q203's planted encoding damage, keyed by doc_id % 5: the classic
+    * UTF-8-read-as-Latin-1 digraph (é → "Ã©"), the UTF-8-read-as-
+    * cp1252 right-quote ("’" → "â€™"), and a bare U+FFFD replacement
+    * char (a decoder already gave up upstream). */
+  private[operators] val mojibakeSuffixes: Seq[String] = Seq(
+    " caf\u00c3\u00a9", " don\u00e2\u20ac\u2122t", " data\ufffd")
+  private[operators] val mojibakeMarkers: Seq[String] =
+    Seq("\u00c3\u00a9", "\u00e2\u20ac\u2122", "\ufffd")
+
+  // q203: mojibake / encoding-damage audit — the ftfy-class ingestion
+  // check every crawl pipeline runs before tokenization (double-encoded
+  // UTF-8 and decoder replacement chars poison vocabularies and dedup
+  // keys). Plants damage deterministically (the q198 planting pattern),
+  // counts each damage class by literal replace-arithmetic (no regex,
+  // fully codegen'd, SQL-mirrorable), strips it, and digests the
+  // REPAIRED text so the oracle proves the cleanse byte-identical.
+  // One zero-shuffle projection + one aggregate — at 100 TB this rides
+  // the ingestion scan like the NFC guard.
+  def mojibakeAudit(s: SparkSession, dir: String): DataFrame = {
+    val suffix = when(pmod(col("doc_id"), lit(5)) === 1, lit(mojibakeSuffixes(0)))
+      .when(pmod(col("doc_id"), lit(5)) === 2, lit(mojibakeSuffixes(1)))
+      .when(pmod(col("doc_id"), lit(5)) === 3, lit(mojibakeSuffixes(2)))
+      .otherwise(lit(""))
+    val Seq(latin1, smart, repl) = mojibakeMarkers
+    val cleaned = mojibakeMarkers.foldLeft(col("raw")) {
+      (c, m) => replace(c, lit(m))
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"), concat(col("text"), suffix).as("raw"))
+      .select(col("lang"),
+        T.occurrences(col("raw"), latin1).as("n_lat"),
+        T.occurrences(col("raw"), smart).as("n_sm"),
+        T.occurrences(col("raw"), repl).as("n_re"),
+        cleaned.as("clean"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_lat") + col("n_sm") + col("n_re") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("n_lat")).as("n_latin1"),
+        sum(col("n_sm")).as("n_smartquote"),
+        sum(col("n_re")).as("n_replacement"),
+        sum(T.md5Int(col("clean"), 8)).as("content_sum_clean"))
+      .orderBy("lang")
+  }
+
+  /** Documents exported to XML once per (session, sf dir) — the
+    * markup-interchange drop the q204 gate re-ingests. */
+  private val xmlStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedXml(s: SparkSession, dir: String): String =
+    xmlStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_xml_").resolve("docs").toString
+      graft.sources.FileFormats.writeXml(Tables.documents(s, dir), p,
+        rowTag = "doc", rootTag = "docs", maxPartitions = 8)
+      p
+    })
+
+  // q204: XML round-trip — the third interchange gate beside JSONL
+  // (q196) and ORC (q197), covering what XML adds: entity escaping
+  // (&amp;/&lt; must survive the round trip — the content digest
+  // proves it) and row-tag record splitting (the reader scans for
+  // <doc> boundaries, which is the only reason XML parallelizes at
+  // all). Pinned schema, FAILFAST, per-lang counts + exact char sums
+  // + order-independent content digest against the parquet truth.
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(s, dir).schema
+    graft.sources.FileFormats
+      .readXml(s, persistedXml(s, dir), schema, rowTag = "doc")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(T.md5Int(col("text"), 8)).as("content_sum"))
+      .orderBy("lang")
+  }
+
+  // q207: hashing-trick (feature-hashing) collision audit — the
+  // fixed-width vectorizer every streaming/OOV-safe featurizer uses
+  // (Weinberger et al. ICML'09): token → md5-derived bucket in
+  // [0, 4096). The gate emits the 20 most collided buckets (distinct
+  // tokens sharing the bucket, total occurrences) — the table that
+  // tells you whether the hash width is eating your features. Shape:
+  // one shuffle by token (the tf aggregate), then a 4096-row bucket
+  // aggregate with map-side partials and a top-k — at 100 TB the
+  // token aggregate is the only corpus-sized stage and it partial-
+  // aggregates before the shuffle.
+  def featureHashing(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    tf.groupBy(T.md5Int(col("token"), 3).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_occ")).as("n_occ"))
+      .orderBy(col("n_tokens").desc, col("bucket"))
+      .limit(20)
+  }
+
+  // q206: mutual-kNN near-dup pairs over the embedding corpus — the
+  // reciprocal-rank filter ([[Similarity.mutualTopK]]) on a full
+  // self-kNN frame (k=5). Corpus-as-queries is the honest regime for
+  // the filter (every id has its own top-k list to vote with); the
+  // brute-force leg is the sf-scale stand-in for the IVF/LSH candidate
+  // legs, which feed the identical join at 100 TB.
+  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    Similarity.mutualTopK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", emb,
+          k = 5, preNormalized = true))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q208's rank-weight table: RBO@k (Webber et al. TOIS'10) in exact
+    * integer nano-units. A pair shared at ranks (ra, rb) contributes
+    * w(max(ra,rb)) where w(m) = (1-p)·Σ_{d=m..k} p^(d-1)/d; summing
+    * longs instead of doubles makes the gate independent of FP
+    * summation order on both engines. */
+  private[graft] val rboK = 20
+  private[graft] val rboNanoWeights: Seq[Long] = {
+    val p = 0.9
+    val terms = (1 to rboK).map(d => math.pow(p, d - 1) / d)
+    (1 to rboK).map(m =>
+      math.round((1 - p) * terms.drop(m - 1).sum * 1e9))
+  }
+
+  // q208: rank-biased overlap between the full-precision cosine
+  // ranking and the 32-dim Matryoshka-prefix ranking (same machinery
+  // as q154) — the top-weighted rank-agreement metric for comparing a
+  // cheap index's ordering against the exact one, complementing q170's
+  // relevance-based nDCG (RBO needs no judgments, only the two lists).
+  // The two k-NN legs dominate; the RBO join moves k·|queries| rows.
+  def rboEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      queries, k = rboK, preNormalized = true)
+    val sliced = Tables.embeddings(s, dir).select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val prefix = Similarity.cosineTopK(sliced, "vec_id", "embedding",
+      sliced.filter(col("vec_id") < 8), k = rboK, dim = 32)
+    val w = array(rboNanoWeights.map(lit): _*)
+    exact.withColumnRenamed("rnk", "rnk_full")
+      .join(prefix.withColumnRenamed("rnk", "rnk_prefix"),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        element_at(w, greatest(col("rnk_full"), col("rnk_prefix")))
+          .as("w_nano"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("w_nano")).as("rbo_nanos"))
+      .orderBy("query_id")
+  }
 }

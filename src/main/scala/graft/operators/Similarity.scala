@@ -102,6 +102,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Mutual (reciprocal) top-k filter over a k-NN frame: keep the
+    * unordered pairs where EACH side ranks the other within its own
+    * top-k — the standard high-precision near-dup/bitext filter
+    * (reciprocal rank is much stronger evidence than one-sided rank:
+    * a hub vector appears in thousands of top-k lists, but its own
+    * list holds only k entries, so hubs are demoted automatically).
+    *
+    * Input is any `(query_id, neighbor_id, rnk)` frame where every id
+    * appears as a query (e.g. [[cosineTopK]] with `queries = corpus`,
+    * or the IVF/LSH candidate legs at scale). The filter itself is a
+    * self-join of that k·n-row frame on the reversed pair — tiny
+    * relative to the k-NN computation, and shape-independent of how
+    * the k-NN frame was produced: at 100 TB the brute-force leg is
+    * replaced by an index leg and this join is unchanged. */
+  def mutualTopK(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"))
+    val rev = topk.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"), col("rnk").as("rnk_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "rnk_ab", "rnk_ba")
+  }
+
   /** Deterministic md5-derived random hyperplanes (see
     * [[graft.expressions.LshPlanes]] — reproducible in ANSI SQL as
     * `('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0 - 0.5`, which

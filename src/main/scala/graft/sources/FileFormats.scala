@@ -33,6 +33,25 @@ object FileFormats {
     df
   }
 
+  /** XML ingress (Spark 4 built-in XML source). Same explicit-schema
+    * contract as [[readJsonl]] — inference would burn a second full
+    * pass and widen types on dirty rows — plus the `rowTag` that tells
+    * the splitter which element starts a record (XML files are only
+    * splittable because the reader scans for the row tag). */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String, mode: String = "FAILFAST"): DataFrame =
+    spark.read.format("xml").schema(schema)
+      .option("rowTag", rowTag).option("mode", mode).load(path)
+
+  /** XML egress with the partition-count cap; `rowTag`/`rootTag` name
+    * the record and document elements. */
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      rootTag: String, maxPartitions: Int = 200): DataFrame = {
+    df.coalesce(maxPartitions).write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+    df
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

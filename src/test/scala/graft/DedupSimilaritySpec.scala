@@ -814,4 +814,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Int, Long)].collect().toList
     assert(got == want, s"got $got want $want")
   }
+
+  test("mutualTopK keeps only reciprocal pairs and demotes hubs") {
+    import spark.implicits._
+    // hand-built k-NN frame (k=2): 1↔2 reciprocal at ranks (1,2);
+    // 9 is a hub — in everyone's list, but its own list ranks only 1
+    // and 2, so (3,9)/(4,9) must NOT survive; (1,9) does (rank 1 both)
+    val topk = Seq(
+      (1L, 2L, 1), (1L, 9L, 2),
+      (2L, 9L, 1), (2L, 1L, 2),
+      (3L, 9L, 1), (3L, 1L, 2),
+      (4L, 9L, 1), (4L, 2L, 2),
+      (9L, 1L, 1), (9L, 2L, 2))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val got = Similarity.mutualTopK(topk)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1, 2), (1L, 9L, 2, 1), (2L, 9L, 1, 2)))
+  }
 }

@@ -69,6 +69,24 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("XML round-trip survives entity escaping: & < > quotes and newlines") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("body", StringType)))
+    val src = Seq(
+      (1L, "plain text"),
+      (2L, "a & b < c > d \"quoted\" 'single'"),
+      (3L, "<doc>looks like markup</doc>"),
+      (4L, "line one\nline two"))
+      .toDF("id", "body")
+    val path = "/tmp/graft_xml_rt"
+    FileFormats.writeXml(src, path, rowTag = "doc", rootTag = "docs")
+    val back = FileFormats.readXml(spark, path, schema, rowTag = "doc")
+    assert(back.schema == schema)
+    assert(back.as[(Long, String)].collect().toSet ==
+      src.as[(Long, String)].collect().toSet)
+  }
+
   test("ORC round-trip preserves schema and data, including arrays") {
     val src = Seq(
       (1L, "alpha", Seq(1.0, 2.0)),

@@ -323,4 +323,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == want)
     assert(run(df.repartition(17)) == want, "partitioning must not matter")
   }
+
+  test("occurrences: literal counts, non-overlapping greedy, null-safe, empty marker rejected") {
+    import spark.implicits._
+    val df = Seq(
+      ("abcabcab", "abc", 2L),   // plain repeats
+      ("aaaa", "aa", 2L),        // overlapping input counts greedily: 2 not 3
+      ("no hit", "zzz", 0L),
+      ("", "x", 0L))
+      .toDF("s", "m", "want")
+    df.collect() // materialize before per-row markers
+    val got = df.as[(String, String, Long)].collect().map { case (s, m, want) =>
+      val n = Seq(s).toDF("s")
+        .select(graft.functions.TextFunctions.occurrences(col("s"), m))
+        .as[Long].head()
+      (n, want)
+    }
+    got.foreach { case (n, want) => assert(n == want) }
+    assert(Seq("x").toDF("s")
+      .select(graft.functions.TextFunctions.occurrences(lit(null.asInstanceOf[String]), "m"))
+      .as[Option[Long]].head().isEmpty, "null input stays null")
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.occurrences(col("s"), "")
+    }
+  }
+
+  test("RBO nano-weight table: positive, decreasing, and sums to (1 - p^k) for identical lists") {
+    val w = graft.operators.PipelineQueries.rboNanoWeights
+    assert(w.size == graft.operators.PipelineQueries.rboK)
+    assert(w.forall(_ > 0L))
+    assert(w == w.sorted.reverse, "deeper shared ranks must weigh less")
+    // two identical top-k lists share every pair at m = d, so the gate's
+    // integer sum must equal the closed form (1-p)·Σ p^(d-1)·(d terms
+    // telescoped) = 1 - p^k, here in nano-units with rounding slack
+    val wantNanos = math.round((1 - math.pow(0.9, 20)) * 1e9)
+    assert(math.abs(w.sum - wantNanos) <= w.size, s"got ${w.sum}, want ~$wantNanos")
+  }
 }

@@ -88,4 +88,36 @@ class MergeOpsSpec extends AnyFunSuite {
       .as[(String, Long, Option[Long], Long)].collect().toSet
     assert(out == Set(("a", 100L, Some(100L), 1L), ("b", 100L, None, 2L)))
   }
+
+  test("cdcApply: last writer wins, trailing tombstone drops the key, re-insert after delete survives") {
+    val log = Seq(
+      // key 1: plain upsert chain — last value wins
+      (1L, 10L, "v1", "U"), (1L, 20L, "v2", "U"),
+      // key 2: upsert then tombstone — key vanishes
+      (2L, 10L, "x", "U"), (2L, 20L, "x", "D"),
+      // key 3: delete then later re-insert — survives with the new value
+      (3L, 10L, "old", "D"), (3L, 20L, "back", "U"),
+      // key 4: tombstone only — vanishes (no prior state needed)
+      (4L, 10L, "", "D"))
+      .toDF("k", "seq", "v", "op")
+    val out = MergeOps.cdcApply(log, Seq("k"), Seq("seq"), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "v2", 3L -> "back"))
+  }
+
+  test("cdcApply: order columns break same-timestamp ties deterministically") {
+    val log = Seq(
+      (1L, 100L, 1L, "a", "U"), (1L, 100L, 2L, "b", "U"))
+      .toDF("k", "ts", "seq", "v", "op")
+    val out = MergeOps.cdcApply(log, Seq("k"), Seq("ts", "seq"), "op")
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("b"))
+  }
+
+  test("cdcApply rejects missing columns") {
+    val log = Seq((1L, 1L, "U")).toDF("k", "seq", "op")
+    intercept[IllegalArgumentException] {
+      MergeOps.cdcApply(log, Seq("k"), Seq("nope"), "op")
+    }
+  }
 }
