@@ -239,6 +239,10 @@ object SparkEntry {
     "q206_mutual_knn" -> (P.mutualKnn _),
     "q207_feature_hashing" -> (P.featureHashing _),
     "q208_rbo_eval" -> (P.rboEval _),
+    "q209_boilerplate_strip" -> (P.boilerplateStrip _),
+    "q210_rendezvous_shards" -> (P.rendezvousShards _),
+    "q211_partition_prune" -> (P.partitionPrune _),
+    "q212_parquet_codec" -> (P.parquetCodec _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2921,6 +2925,95 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // JSONL round-trip: the oracle reads the PARQUET truth — equality
     // proves the export+re-ingest moved every byte
+    // boilerplate: oracle re-plants the header/footer, recounts df by
+    // (source, segment), and applies the same integer-cross-multiplied
+    // threshold; segment splitting via literal string_split
+    "q209_boilerplate_strip" ->
+      """WITH p AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 <> 0
+        |   THEN 'always read ' || source || ' daily | ' || text
+        |   ELSE text END
+        |  || CASE WHEN doc_id % 4 = 0
+        |   THEN ' | copyright ' || source ELSE '' END AS t
+        | FROM documents),
+        |seg AS (
+        | SELECT doc_id, source, unnest(string_split(t, ' | ')) AS s
+        | FROM p),
+        |df AS (SELECT source, s, CAST(count(*) AS BIGINT) AS df
+        |       FROM seg GROUP BY 1, 2),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |j AS (
+        | SELECT g.doc_id, g.source, g.s, d.df, n.n_docs,
+        |  d.df * 2 > n.n_docs AS is_boiler
+        | FROM seg g
+        | JOIN df d ON g.source = d.source AND g.s = d.s
+        | JOIN nd n ON g.source = n.source)
+        |SELECT source, max(n_docs) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_segments,
+        | CAST(count(DISTINCT CASE WHEN is_boiler THEN s END) AS BIGINT)
+        |   AS n_boiler,
+        | CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN is_boiler THEN NULL ELSE
+        |   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) END) AS BIGINT)
+        |   AS kept_content_sum
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // rendezvous: argmax of md5(key:shard) replayed via QUALIFY with
+    // the pinned (score DESC, shard DESC) tie order; mod-N inline
+    "q210_rendezvous_shards" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |sc AS (
+        | SELECT doc_id, s.sh,
+        |  CAST(('0x' || substr(md5(doc_id || ':' || s.sh), 1, 8))
+        |    AS BIGINT) AS score
+        | FROM ids, (SELECT unnest(generate_series(0, 8)) AS sh) s),
+        |a8 AS (
+        | SELECT doc_id, sh FROM sc WHERE sh < 8
+        | QUALIFY row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, sh DESC) = 1),
+        |a9 AS (
+        | SELECT doc_id, sh FROM sc
+        | QUALIFY row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, sh DESC) = 1),
+        |hrw AS (
+        | SELECT 'rendezvous' AS scheme,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN a8.sh <> a9.sh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved
+        | FROM a8 JOIN a9 USING (doc_id)),
+        |m AS (
+        | SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved
+        | FROM ids),
+        |u AS (SELECT * FROM hrw UNION ALL SELECT * FROM m)
+        |SELECT scheme, n_total, n_moved,
+        | round(n_moved * 1.0 / n_total, 4) AS moved_pct
+        |FROM u ORDER BY scheme""".stripMargin,
+    // partition pruning: unpartitioned parquet truth with the same
+    // predicate — hive layout must round-trip content exactly
+    "q211_partition_prune" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM documents WHERE lang = 'en' AND n_chars >= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // codec audit: one row per codec from VALUES; content digests from
+    // the parquet truth; size booleans asserted true (the engine
+    // computed them from its own metadata listing)
+    "q212_parquet_codec" ->
+      """WITH c(codec) AS (VALUES ('none'), ('snappy'), ('zstd')),
+        |t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS content_sum
+        | FROM documents)
+        |SELECT c.codec, t.n_docs, t.content_sum,
+        | true AS smaller_than_none
+        |FROM c, t ORDER BY c.codec""".stripMargin,
     // mojibake audit: oracle re-plants the damage with chr() code
     // points and recounts by the same replace-length arithmetic; the
     // digest of the REPAIRED text proves the cleanse byte-identical

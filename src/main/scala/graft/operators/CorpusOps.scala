@@ -538,4 +538,60 @@ object CorpusOps {
           least(col("mass").cast("double"), col("cap_raw")), 6).as("alloc"))
       .orderBy(col(srcCol))
   }
+
+  /** Cross-document boilerplate detection (the CCNet/RefinedWeb
+    * paragraph-dedup step): split each document into segments on
+    * `sepRegex`, count each segment's document frequency WITHIN its
+    * group (site/domain/source — boilerplate is a per-site phenomenon:
+    * the same nav header on every page of one site), and mark segments
+    * whose df exceeds `num/den` of the group's documents. Downstream
+    * drops `is_boiler` segments and rejoins — headers, footers, cookie
+    * banners, nav menus vanish without any hand-written pattern list.
+    *
+    * Returns the segment-level frame `(idCol, groupCol, segment, df,
+    * n_docs, is_boiler)`. The threshold compare is integer cross-
+    * multiplication (df·den > n_docs·num) — no FP, so the SQL oracle
+    * agrees exactly at the boundary.
+    *
+    * Shape: one shuffle keyed (group, segment) for the df aggregate
+    * (map-side partials collapse the repeats — boilerplate is BY
+    * DEFINITION high-multiplicity, so partial aggregation eats it),
+    * one join back to the segment frame on the same key (co-
+    * partitioned — Catalyst reuses the exchange), and a broadcast of
+    * the per-group doc counts. No global structure: each group's
+    * boilerplate is decided from that group's rows alone, so the
+    * operator scales with the largest SITE, not the corpus. */
+  def segmentBoilerplate(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, sepRegex: String = " \\| ",
+      num: Long = 1L, den: Long = 2L): DataFrame = {
+    require(num > 0 && den > 0, "threshold num/den must be positive")
+    val seg = docs.select(col(idCol), col(groupCol),
+      explode(split(col(textCol), sepRegex)).as("segment"))
+    val df = seg.groupBy(col(groupCol), col("segment"))
+      .agg(count(lit(1)).as("df"))
+    val nd = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    seg.join(df, Seq(groupCol, "segment"))
+      .join(broadcast(nd), Seq(groupCol))
+      .withColumn("is_boiler", col("df") * den > col("n_docs") * num)
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: owner(x) =
+    * argmax over shards of hash(x, shard) — the sharding scheme whose
+    * reshard movement is provably 1/(N+1) of keys when a shard is
+    * added (only keys whose NEW shard wins move), vs mod-N's
+    * (N)/(N+1). Map-only: N md5 evaluations per row folded into one
+    * codegen'd sort-of-structs argmax (the langId trick), no shuffle,
+    * no coordination — which is why HRW is the sharding of stateless
+    * router fleets. Ties (never in practice with a 60-bit hash) break
+    * toward the higher shard id, pinned in the SQL oracle. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val scored = (0 until nShards).map { sh =>
+      struct((-TextFunctions.md5Int(
+          concat(key.cast("string"), lit(":"), lit(sh)), 8)).as("negScore"),
+        lit(-sh).as("negShard"))
+    }
+    (-sort_array(array(scored: _*)).getItem(0).getField("negShard"))
+      .cast("int")
+  }
 }

@@ -2397,6 +2397,139 @@ object PipelineQueries {
       math.round((1 - p) * terms.drop(m - 1).sum * 1e9))
   }
 
+  /** q209's planted boilerplate: a per-source header on 2/3 of docs
+    * (df well over the 1/2 threshold) and a per-source footer on 1/4
+    * (under it — must NOT be flagged); base text segments are unique
+    * (df 1). ' | ' never occurs in the synthetic text, so it is a safe
+    * segment separator. */
+  private def plantedSegments(s: SparkSession, dir: String): DataFrame = {
+    val header = concat(lit("always read "), col("source"), lit(" daily"))
+    val footer = concat(lit("copyright "), col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(header, lit(" | "))).otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" | "), footer)).otherwise(lit(""))).as("text"))
+  }
+
+  // q209: cross-document boilerplate strip — CCNet/RefinedWeb's
+  // paragraph-dedup step ([[CorpusOps.segmentBoilerplate]]): segments
+  // whose within-source document frequency clears 1/2 are boilerplate;
+  // the gate proves detection hits EXACTLY the planted header (the
+  // 1/4-df footer and unique body segments survive) and digests the
+  // kept segments so the cleanse is content-verified. Integer
+  // cross-multiplied threshold — exact at the boundary on both engines.
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.segmentBoilerplate(plantedSegments(s, dir),
+        "doc_id", "source", "text")
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        countDistinct(when(col("is_boiler"), col("segment"))).as("n_boiler"),
+        sum(when(!col("is_boiler"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("is_boiler"), T.md5Int(col("segment"), 8)))
+          .as("kept_content_sum"))
+      .orderBy("source")
+
+  // q210: rendezvous (HRW) vs mod-N reshard movement — the sharding
+  // design table: adding a 9th shard moves ~1/9 of keys under HRW
+  // ([[CorpusOps.rendezvousShard]], map-only argmax of per-shard
+  // hashes) but ~8/9 under mod-N. Both assignments are md5-derived, so
+  // the oracle replays them bit-exactly; the gate emits the measured
+  // movement next to each scheme. At 100 TB this is the difference
+  // between rebalancing one shard's worth of state and rebalancing
+  // the whole fleet.
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select("doc_id")
+    val hrw = ids.select(
+        CorpusOps.rendezvousShard(col("doc_id"), 8).as("s8"),
+        CorpusOps.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("rendezvous").as("scheme"), col("n_total"), col("n_moved"))
+    val modn = ids.select(pmod(col("doc_id"), lit(8)).as("s8"),
+        pmod(col("doc_id"), lit(9)).as("s9"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_total"), col("n_moved"))
+    hrw.unionByName(modn)
+      .select(col("scheme"), col("n_total"), col("n_moved"),
+        M.oracleRound(col("n_moved").cast("double") /
+          col("n_total").cast("double"), 4).as("moved_pct"))
+      .orderBy("scheme")
+  }
+
+  /** Documents written once per (session, sf dir) PARTITIONED BY lang —
+    * the hive-layout drop the q211 gate prunes against. */
+  private val partStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedPartitioned(s: SparkSession, dir: String): String =
+    partStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_part_").resolve("docs").toString
+      Tables.documents(s, dir).write.mode("overwrite")
+        .partitionBy("lang").parquet(p)
+      p
+    })
+
+  // q211: partition-pruning gate — the 100 TB table-layout contract:
+  // a lang-partitioned write, then a lang-filtered read whose filter
+  // must become a PARTITION filter (directory pruning — the scan never
+  // opens the other langs' files; PlanSpec pins partitionFilters
+  // non-empty) while n_chars pushes down as a data filter. The oracle
+  // recomputes from the unpartitioned truth — proving the hive layout
+  // round-trips content exactly (partition values leave the data file
+  // and come back from directory names).
+  def partitionPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(persistedPartitioned(s, dir))
+      .filter(col("lang") === "en" && col("n_chars") >= 100)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(T.md5Int(col("text"), 8)).as("content_sum"))
+      .orderBy("source")
+
+  /** Documents written once per (session, sf dir, codec); returns
+    * (path, total bytes from a driver-side metadata listing). */
+  private val codecStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, Long)]
+  private def persistedCodec(s: SparkSession, dir: String,
+      codec: String): (String, Long) =
+    codecStage.getOrElseUpdate((s, dir, codec), {
+      val p = newStageDir(s"graft_codec_${codec}_").resolve("docs").toString
+      Tables.documents(s, dir).coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(p)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      (p, bytes)
+    })
+
+  // q212: parquet codec audit — at 100 TB the compression codec IS a
+  // capacity decision (storage + scan bandwidth both scale with it).
+  // Write the same corpus uncompressed / snappy / zstd, prove every
+  // variant round-trips bit-identical content (per-codec digest vs the
+  // parquet truth), and assert each compressed drop is actually
+  // smaller than the uncompressed one (driver-side METADATA listing —
+  // no data moves through the driver). zstd-vs-snappy order is data-
+  // dependent, so it is reported via the boolean against 'none' only.
+  def parquetCodec(s: SparkSession, dir: String): DataFrame = {
+    val (_, noneBytes) = persistedCodec(s, dir, "none")
+    val perCodec = Seq("none", "snappy", "zstd").map { c =>
+      val (p, bytes) = persistedCodec(s, dir, c)
+      s.read.parquet(p)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.md5Int(col("text"), 8)).as("content_sum"))
+        .select(lit(c).as("codec"), col("n_docs"), col("content_sum"),
+          lit(c == "none" || bytes < noneBytes).as("smaller_than_none"))
+    }
+    perCodec.reduce(_ unionByName _).orderBy("codec")
+  }
+
   // q208: rank-biased overlap between the full-precision cosine
   // ranking and the 32-dim Matryoshka-prefix ranking (same machinery
   // as q154) — the top-weighted rank-agreement metric for comparing a

@@ -1003,4 +1003,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("segmentBoilerplate: exact threshold boundary, per-group isolation") {
+    // group g1: 4 docs; "hdr" in 3 of 4 (df*2=6 > 4 → boiler),
+    // "half" in exactly 2 of 4 (df*2=4 > 4 is FALSE → kept: strict >)
+    // group g2: "hdr" appears once — same text, different group → kept
+    val docs = Seq(
+      (1L, "g1", "hdr | half | a"),
+      (2L, "g1", "hdr | half | b"),
+      (3L, "g1", "hdr | c"),
+      (4L, "g1", "d"),
+      (5L, "g2", "hdr | e"),
+      (6L, "g2", "f"))
+      .toDF("id", "grp", "text")
+    val out = CorpusOps.segmentBoilerplate(docs, "id", "grp", "text")
+      .select("grp", "segment", "is_boiler")
+      .as[(String, String, Boolean)].collect().toSet
+    val boiler = out.filter(_._3).map(t => (t._1, t._2))
+    assert(boiler == Set(("g1", "hdr")),
+      s"only g1's hdr clears the strict >1/2 threshold; got $out")
+  }
+
+  test("rendezvousShard: in range, deterministic, and HRW-stable — movers go ONLY to the new shard") {
+    val ids = (0L until 3000L).toDF("k")
+    val a = ids.select(col("k"),
+        CorpusOps.rendezvousShard(col("k"), 8).as("s8"),
+        CorpusOps.rendezvousShard(col("k"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect()
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0 && r._3 < 9))
+    // the HRW theorem: adding shard 8 can only steal keys for itself —
+    // any key whose assignment changed must now be on the new shard
+    val movers = a.filter(r => r._2 != r._3)
+    assert(movers.nonEmpty && movers.forall(_._3 == 8),
+      s"${movers.count(_._3 != 8)} keys moved to an OLD shard")
+    // movement is ~1/9 of keys (binomial; generous 3-sigma band)
+    val frac = movers.length.toDouble / a.length
+    assert(frac > 0.08 && frac < 0.15, s"moved fraction $frac far from 1/9")
+  }
 }

@@ -87,6 +87,21 @@ class FileFormatsSpec extends AnyFunSuite {
       src.as[(Long, String)].collect().toSet)
   }
 
+  test("q211 prunes lang partitions at the scan and pushes the n_chars data filter") {
+    val gate = SparkEntry.queries("q211_partition_prune")(spark, dir)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions (directory-level), plan was:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(n_chars,100)"),
+      s"n_chars filter must push into the data scan; plan was:\n$plan")
+    // pruning must not change content: gate totals = unpartitioned truth
+    val truth = graft.sources.Tables.documents(spark, dir)
+      .where(col("lang") === "en" && col("n_chars") >= 100)
+      .agg(count(lit(1)), sum("n_chars")).as[(Long, Long)].head()
+    val got = gate.agg(sum("n_docs"), sum("sum_chars")).as[(Long, Long)].head()
+    assert(got == truth)
+  }
+
   test("ORC round-trip preserves schema and data, including arrays") {
     val src = Seq(
       (1L, "alpha", Seq(1.0, 2.0)),
