@@ -243,6 +243,11 @@ object SparkEntry {
     "q210_rendezvous_shards" -> (P.rendezvousShards _),
     "q211_partition_prune" -> (P.partitionPrune _),
     "q212_parquet_codec" -> (P.parquetCodec _),
+    "q213_copurchase_pairs" -> (C.copurchasePairs _),
+    "q214_seasonal_mase" -> (C.seasonalMase _),
+    "q215_hard_negatives" -> (P.hardNegatives _),
+    "q216_schema_merge" -> (P.schemaMerge _),
+    "q217_moment_shards" -> (P.momentShards _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2925,6 +2930,70 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // JSONL round-trip: the oracle reads the PARQUET truth — equality
     // proves the export+re-ingest moved every byte
+    // co-purchase: support-counted part pairs, total-order top-20
+    "q213_copurchase_pairs" ->
+      """WITH p AS (
+        | SELECT l1.l_partkey AS p1, l2.l_partkey AS p2
+        | FROM lineitem l1 JOIN lineitem l2
+        |   ON l1.l_orderkey = l2.l_orderkey
+        |  AND l1.l_partkey < l2.l_partkey)
+        |SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM p GROUP BY p1, p2 HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+    // seasonal MASE: lag windows over PRESENT days only (both engines
+    // window the same date-ordered rows, so gaps are handled alike)
+    "q214_seasonal_mase" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |l AS (
+        | SELECT event_type, n,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+        |  lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+        | FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | round(avg(abs(n - f1)), 4) AS mae1,
+        | round(avg(abs(n - f7)), 4) AS mae7,
+        | round(avg(abs(n - f7)) / avg(abs(n - f1)), 4) AS mase
+        |FROM l WHERE f7 IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // hard negatives: q28's oracle with the different-label predicate
+    "q215_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |             c.vec_id) AS INTEGER) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 8 AND c.label <> q.label) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // schema merge: v1/v2 membership restated from the doc_id parity
+    // that built the drops; null-filled n_chars contributes 0
+    "q216_schema_merge" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_v2,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |   AS BIGINT) AS sum_chars_v2,
+        | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // moment shards: the merged row's variance computed DIRECTLY from
+    // the raw values — the engine's shard-merge algebra must land on it
+    "q217_moment_shards" ->
+      """WITH s AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(n_chars), 4) AS mean,
+        |  round(var_pop(n_chars), 4) AS var
+        | FROM documents GROUP BY source),
+        |m AS (
+        | SELECT '__merged' AS source, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(n_chars), 4) AS mean,
+        |  round(var_pop(n_chars), 4) AS var
+        | FROM documents)
+        |SELECT * FROM s UNION ALL SELECT * FROM m
+        |ORDER BY source""".stripMargin,
     // boilerplate: oracle re-plants the header/footer, recounts df by
     // (source, segment), and applies the same integer-cross-multiplied
     // threshold; segment splitting via literal string_split

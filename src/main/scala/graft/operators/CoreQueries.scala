@@ -1078,6 +1078,53 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q213: market-basket co-purchase pairs — the a-priori support-count
+  // primitive: parts bought together in one order, support >= 2,
+  // top-20 by support. Shape: one self-join co-partitioned on
+  // l_orderkey (Catalyst reuses the exchange — ONE shuffle builds both
+  // sides), pair explosion bounded by order SIZE squared (TPC-H max 7
+  // lines/order), then a pair-keyed count with map-side partials and a
+  // total-order top-k. At 100 TB the hazard is basket skew, not data
+  // volume — a 10k-line basket would explode quadratically; cap basket
+  // size upstream (the df-cap lesson from the shingle index).
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val l2 = li.select(col("l_orderkey"),
+      col("l_partkey").as("l_partkey2"))
+    li.join(l2, Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("l_partkey2"))
+      .groupBy(col("l_partkey").as("p1"), col("l_partkey2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  // q214: seasonal-naive forecast skill (MASE, Hyndman & Koehler '06)
+  // per event_type over the daily count series: seasonal lag-7
+  // forecast MAE scaled by the naive lag-1 MAE — the standard "is
+  // there weekly seasonality worth modeling" screen, and the
+  // denominator convention that makes error comparable across series.
+  // One date-keyed aggregate + two lag windows per event_type key —
+  // tiny frames (days × types) after the first aggregate.
+  def seasonalMase(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("f1", lag(col("n"), 1).over(w))
+      .withColumn("f7", lag(col("n"), 7).over(w))
+      .filter(col("f7").isNotNull) // score both on the same eval days
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        M.oracleRound(avg(abs(col("n") - col("f1"))), 4).as("mae1"),
+        M.oracleRound(avg(abs(col("n") - col("f7"))), 4).as("mae7"),
+        M.oracleRound(avg(abs(col("n") - col("f7"))) /
+          avg(abs(col("n") - col("f1"))), 4).as("mase"))
+      .orderBy("event_type")
+  }
+
   // q205: CDC log compaction — replay the events stream as a keyed
   // change log (every 10th event_id a tombstone, the rest upserts;
   // total order (ts, event_id)) into the final per-user snapshot via

@@ -2530,6 +2530,102 @@ object PipelineQueries {
     perCodec.reduce(_ unionByName _).orderBy("codec")
   }
 
+  // q215: hard-negative mining — for each query, the top-k most
+  // cosine-similar vectors with a DIFFERENT label: the negatives that
+  // actually move a contrastive loss (random negatives are trivially
+  // separable; the hard ones sit at the decision boundary). Same
+  // broadcast-queries × corpus scan shape as q28 with the label
+  // predicate fused into the scan; at 100 TB the exact leg swaps for
+  // the IVF candidates leg with label post-filter (q192's oversampling
+  // lesson applies).
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir)
+    val labels = Tables.embeddings(s, dir).select("vec_id", "label")
+    val corpus = emb.join(labels, "vec_id")
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("label"))
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim", Similarity.pairDot(emb, col("qvec"), col("cvec"), 64))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Two schema-evolution drops under one root, written once per
+    * (session, sf dir): v1 = even doc_ids without `n_chars` or
+    * `version`; v2 = odd doc_ids with both added. */
+  private val evoStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedEvolved(s: SparkSession, dir: String): String =
+    evoStage.getOrElseUpdate((s, dir), {
+      val root = newStageDir("graft_evo_").resolve("docs").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").parquet(s"$root/drop=v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          col("n_chars"), lit(2).as("version"))
+        .write.mode("overwrite").parquet(s"$root/drop=v2")
+      root
+    })
+
+  // q216: schema-merge gate — the lakehouse schema-evolution contract:
+  // an old drop without `n_chars`/`version` and a new drop with both,
+  // read under ONE schema via mergeSchema (a FOOTER-only union of the
+  // drops' schemas — no data pass); old rows surface the added columns
+  // as NULL, and the aggregate proves both content identity and the
+  // null-fill semantics. At 100 TB this is how a year of drops with
+  // three schema versions reads as one table without a rewrite.
+  def schemaMerge(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true")
+      .parquet(persistedEvolved(s, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("version").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_v2"),
+        sum(T.md5Int(col("text"), 8)).as("content_sum"))
+      .orderBy("lang")
+
+  // q217: sharded second-moment merge (Chan et al. '79 pairwise
+  // update, the parallel-variance algebra inside every distributed
+  // var_pop) — per-source moment shards (n, mean, M2) merged into the
+  // global variance WITHOUT touching the rows again: M2_tot = Σ M2_i
+  // + Σ n_i·mean_i² − n·mean²; the oracle computes the merged row's
+  // variance DIRECTLY from the raw values, so the gate proves the
+  // merge algebra exact (to the 4-dp pin). This is the q174 persisted-
+  // registers story for plain statistics: shard once, merge forever.
+  def momentShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        avg(col("n_chars")).as("mean_raw"),
+        (var_pop(col("n_chars")) * count(lit(1))).as("m2_raw"))
+    val merged = shards.agg(
+        sum(col("n")).as("n"),
+        (sum(col("n") * col("mean_raw")) / sum(col("n"))).as("mean_m"),
+        sum(col("m2_raw")).as("m2_sum"),
+        sum(col("n") * col("mean_raw") * col("mean_raw")).as("nm2"))
+      .select(lit("__merged").as("source"), col("n"),
+        M.oracleRound(col("mean_m"), 4).as("mean"),
+        M.oracleRound(
+          (col("m2_sum") + col("nm2") -
+            col("n") * col("mean_m") * col("mean_m")) / col("n"), 4)
+          .as("var"))
+    shards.select(col("source"), col("n"),
+        M.oracleRound(col("mean_raw"), 4).as("mean"),
+        M.oracleRound(col("m2_raw") / col("n"), 4).as("var"))
+      .unionByName(merged)
+      .orderBy("source")
+  }
+
   // q208: rank-biased overlap between the full-precision cosine
   // ranking and the 32-dim Matryoshka-prefix ranking (same machinery
   // as q154) — the top-weighted rank-agreement metric for comparing a

@@ -1024,6 +1024,84 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"only g1's hdr clears the strict >1/2 threshold; got $out")
   }
 
+  test("seasonal MASE: hand-built series — perfect weekly pattern scores mase 0") {
+    // 21 days, exact period-7 pattern: f7 errors are all 0, f1 errors
+    // aren't → mase = 0; a second type with a flat series after day 1
+    // has mae1 = mae7 = 0 edge avoided by construction (values vary)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def day(d: Int) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    val rows = for {
+      d <- 0 until 21
+      i <- 0 until (1 + (d % 7)) // daily count cycles 1..7 weekly
+    } yield (d.toLong * 100 + i, day(d), 1L, "periodic", 0.0, "{}")
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val daily = events.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val out = daily
+      .withColumn("f1", lag(col("n"), 1).over(w))
+      .withColumn("f7", lag(col("n"), 7).over(w))
+      .filter(col("f7").isNotNull)
+      .groupBy("event_type")
+      .agg(avg(abs(col("n") - col("f7"))).as("mae7"),
+        avg(abs(col("n") - col("f1"))).as("mae1"))
+      .as[(String, Double, Double)].head()
+    assert(out._2 == 0.0, s"period-7 series must have zero seasonal error: $out")
+    assert(out._3 > 0.0)
+  }
+
+  test("hard negatives exclude same-label vectors even when they are the nearest") {
+    // vec 0 (label 0) has an IDENTICAL twin vec 1 with the SAME label
+    // (cos 1.0 — nearest possible) and a far vector 2 with another
+    // label; the twin must not appear
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val norm = graft.operators.Similarity.normalizeCorpus(emb, "vec_id", "embedding")
+    val corpus = norm.join(emb.select("vec_id", "label"), "vec_id")
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val got = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("label"))
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim",
+        graft.operators.Similarity.pairDot(norm, col("qvec"), col("cvec"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(got == Set((3L, 1), (2L, 2)),
+      s"same-label twin must be excluded, hardest negative first: $got")
+  }
+
+  test("moment-shard merge equals direct variance on random partitions") {
+    val rng = new scala.util.Random(17)
+    val vals = (1 to 500).map(_ => (s"g${rng.nextInt(7)}", rng.nextInt(1000).toLong))
+    val df = vals.toDF("g", "v")
+    val shards = df.groupBy("g").agg(count(lit(1)).as("n"),
+      avg(col("v")).as("mean"), (var_pop(col("v")) * count(lit(1))).as("m2"))
+    val merged = shards.agg(
+        sum(col("n")).as("n"),
+        (sum(col("n") * col("mean")) / sum(col("n"))).as("mm"),
+        sum(col("m2")).as("m2s"),
+        sum(col("n") * col("mean") * col("mean")).as("nm2"))
+      .select(((col("m2s") + col("nm2") - col("n") * col("mm") * col("mm"))
+        / col("n")).as("var"))
+      .as[Double].head()
+    val direct = df.agg(var_pop(col("v"))).as[Double].head()
+    assert(math.abs(merged - direct) < 1e-6,
+      s"merge algebra drifted: merged=$merged direct=$direct")
+  }
+
   test("rendezvousShard: in range, deterministic, and HRW-stable — movers go ONLY to the new shard") {
     val ids = (0L until 3000L).toDF("k")
     val a = ids.select(col("k"),
