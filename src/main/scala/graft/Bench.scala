@@ -127,8 +127,19 @@ object Bench {
       val after = snapMetrics()
       shuffles(name) = (after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
-      if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
+      if ((i + 1) % calEvery == 0 && i + 1 < queries.size) {
+        // periodic GC so the ContextCleaner actually releases dead
+        // broadcast/RDD/checkpoint blocks mid-pass: cleanup is
+        // weak-reference-driven, and in an 8g single-JVM suite the
+        // old gen can hold hundreds of dead blocks for minutes —
+        // measured r9: heavy queries ran 2-3x their isolated cost in
+        // the back half of a 201-query pass without this (q84 8.6s
+        // suite vs 3.3s isolated). The GC sits OUTSIDE every
+        // per-query timing window, adjacent to the calibration probe
+        // it also stabilizes.
+        System.gc()
         calProbe().foreach(s => segCal += ((i + 1, s)))
+      }
       name -> sec
     }
     calProbe().foreach(s => segCal += ((queries.size, s)))

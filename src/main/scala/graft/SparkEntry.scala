@@ -248,6 +248,11 @@ object SparkEntry {
     "q215_hard_negatives" -> (P.hardNegatives _),
     "q216_schema_merge" -> (P.schemaMerge _),
     "q217_moment_shards" -> (P.momentShards _),
+    "q218_url_canonical" -> (P.urlCanonical _),
+    "q219_mad_outliers" -> (C.madOutliers _),
+    "q220_temporal_split" -> (C.temporalSplit _),
+    "q221_calibration_bins" -> (P.calibrationBins _),
+    "q222_ks_stat" -> (P.ksStat _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2930,6 +2935,132 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // JSONL round-trip: the oracle reads the PARQUET truth — equality
     // proves the export+re-ingest moved every byte
+    // URL canonicalization: the oracle replants and re-canonicalizes
+    // with DuckDB's own string/list functions (split_part/list_sort/
+    // list_filter), so the digest only matches if both engines land on
+    // byte-identical canonical forms
+    "q218_url_canonical" ->
+      """WITH u AS (
+        | SELECT doc_id, lang,
+        |  'https://WWW.' || upper(source) || '.Example.COM:443/' || lang
+        |   || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '?utm_source=feed&utm_ref=' || CAST(doc_id % 7 AS VARCHAR)
+        |   || '&b=2&a=1#frag' AS url
+        | FROM documents),
+        |p AS (
+        | SELECT lang, url,
+        |  split_part(split_part(url, '#', 1), '?', 1) AS pre,
+        |  split_part(split_part(url, '#', 1), '?', 2) AS q
+        | FROM u),
+        |p2 AS (
+        | SELECT lang, url, q, substr(pre, 9) AS rest,
+        |  split_part(substr(pre, 9), '/', 1) AS hostport
+        | FROM p),
+        |c AS (
+        | SELECT lang, url,
+        |  'https://' || regexp_replace(lower(hostport), ':443$', '')
+        |   || substr(rest, length(hostport) + 1) || '?'
+        |   || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        x -> NOT starts_with(x, 'utm_'))), '&') AS canon
+        | FROM p2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+        | CAST(count(DISTINCT canon) AS BIGINT) AS n_canon_distinct,
+        | CAST(sum(CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS canon_sum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // MAD outliers: median/MAD via quantile_cont (percentile parity),
+    // both 4-dp-pinned BEFORE the modified-z compare
+    "q219_mad_outliers" ->
+      """WITH li AS (
+        | SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+        | FROM lineitem),
+        |med AS (
+        | SELECT l_returnflag, round(quantile_cont(q, 0.5), 4) AS med
+        | FROM li GROUP BY 1),
+        |mad AS (
+        | SELECT li.l_returnflag,
+        |  round(quantile_cont(abs(q - med), 0.5), 4) AS mad
+        | FROM li JOIN med USING (l_returnflag)
+        | GROUP BY li.l_returnflag)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | max(med) AS med, max(mad) AS mad,
+        | CAST(sum(CASE WHEN abs(0.6745 * (q - med) / mad) > 3.5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM li JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    // temporal split: membership flags per user, leak = shared with a
+    // LATER split
+    "q220_temporal_split" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  CASE WHEN CAST(ts AS DATE) < DATE '2024-01-20' THEN '1_train'
+        |       WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN '2_val'
+        |       ELSE '3_test' END AS split
+        | FROM events),
+        |ps AS (
+        | SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM e GROUP BY 1),
+        |m AS (
+        | SELECT user_id,
+        |  max(CASE WHEN split = '1_train' THEN 1 ELSE 0 END) AS t,
+        |  max(CASE WHEN split = '2_val' THEN 1 ELSE 0 END) AS v,
+        |  max(CASE WHEN split = '3_test' THEN 1 ELSE 0 END) AS x
+        | FROM e GROUP BY 1),
+        |lk AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN t = 1 AND (v = 1 OR x = 1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tl,
+        |  CAST(sum(CASE WHEN v = 1 AND x = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vl
+        | FROM m),
+        |lv(split, n_leaked_users) AS (
+        | SELECT '1_train', tl FROM lk
+        | UNION ALL SELECT '2_val', vl FROM lk
+        | UNION ALL SELECT '3_test', CAST(0 AS BIGINT))
+        |SELECT ps.split, n_events, n_users, n_leaked_users
+        |FROM ps JOIN lv ON ps.split = lv.split
+        |ORDER BY ps.split""".stripMargin,
+    // calibration: md5-derived scores, exact bin arithmetic, globals
+    // repeated per row (one result shape)
+    "q221_calibration_bins" ->
+      """WITH s AS (
+        | SELECT CAST(('0x' || substr(md5('cal:' || vec_id), 1, 4))
+        |   AS BIGINT) / 65536.0 AS score,
+        |  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS pos
+        | FROM embeddings),
+        |b AS (
+        | SELECT CAST(floor(score * 10) AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  avg(score) AS conf_raw, avg(pos) AS acc_raw,
+        |  sum((score - pos) * (score - pos)) AS sqerr
+        | FROM s GROUP BY 1),
+        |g AS (
+        | SELECT round(sum(sqerr) / sum(n), 4) AS brier,
+        |  round(sum(n * abs(acc_raw - conf_raw)) / sum(n), 4) AS ece
+        | FROM b)
+        |SELECT bin, n, round(conf_raw, 4) AS mean_score,
+        | round(acc_raw, 4) AS frac_pos, brier, ece
+        |FROM b, g ORDER BY bin""".stripMargin,
+    // KS: integer-exact numerator over the distinct value grid
+    "q222_ks_stat" ->
+      """WITH v AS (
+        | SELECT n_chars,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1),
+        |c AS (
+        | SELECT ca, cb,
+        |  sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  sum(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cumb
+        | FROM v),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM v)
+        |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+        | CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS BIGINT) AS d_num,
+        | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
+        |   / (t.n_a * t.n_b), 4) AS ks
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
     // co-purchase: support-counted part pairs, total-order top-20
     "q213_copurchase_pairs" ->
       """WITH p AS (

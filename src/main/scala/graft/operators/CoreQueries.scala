@@ -1078,6 +1078,67 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q219: MAD robust outliers (Iglewicz–Hoaglin modified z, |z|>3.5) —
+  // q90's robust twin: median/MAD instead of mean/stddev, so a 1%
+  // contamination cannot drag the threshold the way it drags a z-score
+  // (50% breakdown vs 0%). Median and MAD are 4-dp-pinned BEFORE the
+  // z compute (both engines score against identical constants — no
+  // FP-boundary flips). Two grouped aggregates + one broadcast join;
+  // the exact percentile swaps for the q58 histogram interpolation at
+  // corpus scale, same rounded values.
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+    val med = li.groupBy("l_returnflag")
+      .agg(M.oracleRound(expr("percentile(q, 0.5D)"), 4).as("med"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(M.oracleRound(expr("percentile(abs(q - med), 0.5D)"), 4).as("mad"))
+    li.join(broadcast(med), "l_returnflag")
+      .join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(abs(lit(0.6745) * (col("q") - col("med")) / col("mad"))
+          > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  // q220: temporal train/val/test split + entity-leakage audit — the
+  // time-based split every forecasting/recsys pipeline uses (random
+  // splits leak the future), with the number temporal splits must
+  // surface: how many ENTITIES (users) span a split boundary — their
+  // later rows are answer-leaks for user-level features. Split by day
+  // cutoffs; per split: events, distinct users, and users shared with
+  // any LATER split. One scan + three distinct-user frames joined
+  // small.
+  def temporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      when(to_date(col("ts")) < lit("2024-01-20"), "1_train")
+        .when(to_date(col("ts")) < lit("2024-01-25"), "2_val")
+        .otherwise("3_test").as("split"))
+    val perSplit = e.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+    // one user-keyed membership aggregate feeds every leak count —
+    // no per-pair distinct joins, fully in-plan
+    val member = e.groupBy("user_id").agg(
+      max(when(col("split") === "1_train", 1).otherwise(0)).as("t"),
+      max(when(col("split") === "2_val", 1).otherwise(0)).as("v"),
+      max(when(col("split") === "3_test", 1).otherwise(0)).as("x"))
+    val leak = member.agg(
+        sum(when(col("t") === 1 && (col("v") === 1 || col("x") === 1), 1L)
+          .otherwise(0L)).as("1_train"),
+        sum(when(col("v") === 1 && col("x") === 1, 1L).otherwise(0L))
+          .as("2_val"),
+        lit(0L).as("3_test"))
+      .select(expr("stack(3, '1_train', `1_train`, '2_val', `2_val`, " +
+        "'3_test', `3_test`) as (split, n_leaked_users)"))
+    perSplit.join(broadcast(leak), "split")
+      .select("split", "n_events", "n_users", "n_leaked_users")
+      .orderBy("split")
+  }
+
   // q213: market-basket co-purchase pairs — the a-priori support-count
   // primitive: parts bought together in one order, support >= 2,
   // top-20 by support. Shape: one self-join co-partitioned on

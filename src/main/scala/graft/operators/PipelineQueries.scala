@@ -2626,6 +2626,111 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q218's planted URLs — every canonicalization hazard in one
+    * string: uppercase host, explicit default port, utm_* tracking
+    * params, unsorted surviving params, and a fragment. The path
+    * folds doc_id to %50 so canonical dedup actually collapses
+    * something (the utm_ref param is what keeps the RAW urls
+    * distinct). */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      concat(lit("https://WWW."), upper(col("source")),
+        lit(".Example.COM:443/"), col("lang"), lit("/doc/"),
+        pmod(col("doc_id"), lit(50)),
+        lit("?utm_source=feed&utm_ref="), pmod(col("doc_id"), lit(7)),
+        lit("&b=2&a=1#frag")).as("url"))
+
+  // q218: URL canonicalization + dedup — the crawl-frontier primitive
+  // (two fetches of the same resource differ only in tracking params /
+  // host case / default port / fragment): lowercase the authority,
+  // strip the https default port and the fragment, drop utm_* params,
+  // SORT the survivors. All codegen'd string/array built-ins, map-only
+  // until the per-lang distinct counts — at 100 TB this runs inside
+  // the fetch-log scan, and the n_raw vs n_canon gap is the fraction
+  // of refetches the frontier would have wasted.
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val base = substring_index(col("url"), "#", 1)      // drop fragment
+    val pre = substring_index(base, "?", 1)             // scheme://authority/path
+    val q = substring_index(base, "?", -1)              // raw query string
+    val rest = pre.substr(lit(9), length(pre))          // authority/path
+    val hostport = substring_index(rest, "/", 1)
+    val path = rest.substr(length(hostport) + 1, length(rest))
+    val canonHost = regexp_replace(lower(hostport), ":443$", "")
+    val keptParams = array_join(
+      sort_array(filter(split(q, "&"), p => !p.startsWith("utm_"))), "&")
+    plantedUrls(s, dir)
+      .select(col("lang"), col("url"),
+        concat(lit("https://"), canonHost, path, lit("?"), keptParams)
+          .as("canon"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        countDistinct(col("canon")).as("n_canon_distinct"),
+        sum(T.md5Int(col("canon"), 8)).as("canon_sum"))
+      .orderBy("lang")
+  }
+
+  // q221: calibration-bin audit (reliability diagram + Brier + ECE) —
+  // the eval table every scored-filter pipeline ships: a deterministic
+  // md5-derived score in [0,1) against the label<5 positive class,
+  // 10 equal-width bins, per-bin confidence vs accuracy, and the
+  // global Brier/ECE repeated on each row (one result shape). One
+  // keyed aggregate over a map-only projection.
+  def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(
+      (T.md5Int(concat(lit("cal:"), col("vec_id")), 4).cast("double") /
+        lit(65536.0)).as("score"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("pos"))
+    val binned = scored
+      .groupBy(floor(col("score") * 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("score")).as("conf_raw"),
+        avg(col("pos")).as("acc_raw"),
+        sum((col("score") - col("pos")) * (col("score") - col("pos")))
+          .as("sqerr"))
+    val globals = binned.agg(
+      M.oracleRound(sum(col("sqerr")) / sum(col("n")), 4).as("brier"),
+      M.oracleRound(
+        sum(col("n") * abs(col("acc_raw") - col("conf_raw"))) /
+          sum(col("n")), 4).as("ece"))
+    binned.crossJoin(broadcast(globals))
+      .select(col("bin"), col("n"),
+        M.oracleRound(col("conf_raw"), 4).as("mean_score"),
+        M.oracleRound(col("acc_raw"), 4).as("frac_pos"),
+        col("brier"), col("ece"))
+      .orderBy("bin")
+  }
+
+  // q222: exact two-sample Kolmogorov–Smirnov distance between the
+  // en and fr n_chars distributions — the distribution-compare member
+  // beside q133's KL/JS (KS needs no binning or smoothing and has the
+  // DKW bound). Integer-exact: D = max |cumA·nB − cumB·nA| / (nA·nB),
+  // computed over the DISTINCT value grid (ties collapse first), so
+  // the max is over a few hundred rows and the one ordered window runs
+  // on a value-collapsed frame, not the corpus.
+  def ksStat(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(s, dir)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("cb"))
+    val tot = vals.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the ordered window runs on the value-collapsed frame (hundreds
+    // of rows) — single partition is the CONTRACT, not an accident
+    vals.coalesce(1)
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        M.oracleRound(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("ks"))
+  }
+
   // q208: rank-biased overlap between the full-precision cosine
   // ranking and the 32-dim Matryoshka-prefix ranking (same machinery
   // as q154) — the top-weighted rank-agreement metric for comparing a

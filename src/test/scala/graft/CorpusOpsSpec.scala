@@ -1102,6 +1102,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"merge algebra drifted: merged=$merged direct=$direct")
   }
 
+  test("URL canonicalization collapses tracking variants and nothing else") {
+    // q218's gate at sf0.001: raw URLs are all distinct (utm_ref
+    // varies) but canonical forms collapse to the (lang, doc_id%50)
+    // grid — and the canonical count must be strictly smaller
+    val out = SparkEntry.queries("q218_url_canonical")(spark,
+        "/root/testdata/sf0.001")
+      .select("n_urls", "n_raw_distinct", "n_canon_distinct")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, raw, canon) =>
+      assert(raw == n, "utm_ref keeps every raw URL distinct")
+      assert(canon < raw, "canonicalization must collapse tracking variants")
+    }
+  }
+
+  test("KS statistic: 0 on identical samples, 1 on disjoint supports (hand-built)") {
+    def ks(a: Seq[Long], b: Seq[Long]): Double = {
+      val vals = (a.map((_, 1L, 0L)) ++ b.map((_, 0L, 1L)))
+        .toDF("v", "ca", "cb")
+        .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val na = a.size.toLong; val nb = b.size.toLong
+      vals.coalesce(1)
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .agg(max(abs(col("cuma") * nb - col("cumb") * na)).as("d"))
+        .as[Long].head().toDouble / (na * nb)
+    }
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0.0)
+    assert(ks(Seq(1L, 2L), Seq(10L, 11L)) == 1.0)
+    // shifted uniform: D = 0.5 exactly (half the mass separated)
+    assert(ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)) == 0.5)
+  }
+
   test("rendezvousShard: in range, deterministic, and HRW-stable — movers go ONLY to the new shard") {
     val ids = (0L until 3000L).toDF("k")
     val a = ids.select(col("k"),
