@@ -96,6 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.isNfcDescriptor)
     ext.injectFunction(GraftExtensions.acCountsDescriptor)
+    ext.injectFunction(GraftExtensions.pairCountsDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
@@ -209,6 +210,17 @@ object GraftExtensions {
         val pats = (0 until arr.numElements).map(i =>
           arr.getUTF8String(i).toString)
         MultiPatternCounts(children.head, pats)
+      })
+
+  /** `graft_pair_counts(str)` — per-row adjacent-character-pair count
+    * map (see [[PairCounts]], the BPE-fit inner loop). */
+  val pairCountsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pair_counts"),
+      new ExpressionInfo(classOf[PairCounts].getName, "graft_pair_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_pair_counts takes exactly 1 argument, got ${children.length}")
+        PairCounts(children.head)
       })
 
   /** `graft_bloom_contains(filter, hash)` — probe a serialized

@@ -348,6 +348,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_pair_counts equals the HOF composition, overlaps and repeats included") {
+    import spark.implicits._
+    val texts = Seq("abcabcab", "aaaa", "xy", "x", "", "batch batch batch",
+      "aa") ++ // PUA merge symbols, the BPE round case
+      (1 to 50).map(i => s"doc $i " * (i % 7 + 1))
+    val df = texts.toDF("t")
+    val native = df
+      .select(explode(call_function("graft_pair_counts", col("t")))
+        .as(Seq("pair", "c")))
+      .groupBy("pair").agg(sum(col("c").cast("long")).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val hof = df.filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(native == hof)
+  }
+
   test("RBO nano-weight table: positive, decreasing, and sums to (1 - p^k) for identical lists") {
     val w = graft.operators.PipelineQueries.rboNanoWeights
     assert(w.size == graft.operators.PipelineQueries.rboK)
