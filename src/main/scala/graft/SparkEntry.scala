@@ -253,6 +253,10 @@ object SparkEntry {
     "q220_temporal_split" -> (C.temporalSplit _),
     "q221_calibration_bins" -> (P.calibrationBins _),
     "q222_ks_stat" -> (P.ksStat _),
+    "q223_golden_record" -> (C.goldenRecordCustomers _),
+    "q224_item_cf" -> (C.itemCf _),
+    "q225_ab_cuped" -> (C.abCuped _),
+    "q226_woe_iv" -> (P.woeIv _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3061,6 +3065,123 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // entity resolution: the oracle independently re-runs
+    // block+match+components (q49's recursive-CTE reachability) and
+    // the survivorship policy — identical golden records required,
+    // incidental matches included
+    "q223_golden_record" ->
+      """WITH RECURSIVE recs AS (
+        | SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |  c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_name || 'X', c_nationkey,
+        |  c_acctbal + 1.0, c_mktsegment
+        | FROM customer WHERE c_custkey % 10 = 0),
+        |pairs AS (
+        | SELECT a.id AS ia, b.id AS ib FROM recs a JOIN recs b
+        |   ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+        |  AND levenshtein(a.name, b.name) <= 1
+        |  AND abs(a.bal - b.bal) <= 2.0),
+        |edges AS (
+        | SELECT ia AS a, ib AS b FROM pairs
+        | UNION ALL SELECT ib, ia FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS id, min(dst) AS cluster
+        |         FROM reach GROUP BY src),
+        |lab AS (
+        | SELECT recs.*, coalesce(comp.cluster, recs.id) AS cluster
+        | FROM recs LEFT JOIN comp ON recs.id = comp.id),
+        |m AS (SELECT cluster, name, count(*) AS cnt
+        |      FROM lab GROUP BY 1, 2),
+        |best AS (
+        | SELECT cluster, name FROM m
+        | QUALIFY row_number() OVER (PARTITION BY cluster
+        |   ORDER BY cnt DESC, name) = 1),
+        |g AS (
+        | SELECT cluster, CAST(min(id) AS BIGINT) AS rec_id,
+        |  CAST(count(*) AS BIGINT) AS n_members, max(bal) AS acctbal
+        | FROM lab GROUP BY 1)
+        |SELECT g.rec_id, g.n_members, best.name AS name, g.acctbal
+        |FROM g JOIN best ON g.cluster = best.cluster
+        |ORDER BY g.rec_id""".stripMargin,
+    // item-item CF: distinct interactions, user-keyed pair join,
+    // cosine re-derived from the same counts
+    "q224_item_cf" ->
+      """WITH ui AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS item
+        | FROM events),
+        |n AS (SELECT item, CAST(count(*) AS BIGINT) AS n_u
+        |      FROM ui GROUP BY 1),
+        |p AS (
+        | SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS cooc
+        | FROM ui a JOIN ui b
+        |   ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2)
+        |SELECT item_a, item_b, cooc,
+        | round(cooc / sqrt(CAST(na.n_u * nb.n_u AS DOUBLE)), 4) AS cos
+        |FROM p JOIN n na ON p.item_a = na.item
+        |       JOIN n nb ON p.item_b = nb.item
+        |ORDER BY cos DESC, item_a, item_b LIMIT 20""".stripMargin,
+    // A/B + CUPED: theta and xbar 6-dp-pinned, Welch t on raw and
+    // adjusted user metrics
+    "q225_ab_cuped" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+        |    THEN value END), 0.0) AS y,
+        |  coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |    THEN value END), 0.0) AS x,
+        |  CAST(user_id % 2 AS INTEGER) AS variant
+        | FROM events GROUP BY user_id),
+        |f AS (
+        | SELECT round(covar_samp(x, y) / var_samp(x), 6) AS theta,
+        |  round(avg(x), 6) AS xbar FROM per),
+        |adj AS (
+        | SELECT variant, y, y - f.theta * (x - f.xbar) AS ya
+        | FROM per, f),
+        |v AS (
+        | SELECT variant, CAST(count(*) AS BIGINT) AS n, avg(y) AS my,
+        |  var_samp(y) AS vy, avg(ya) AS mya, var_samp(ya) AS vya
+        | FROM adj GROUP BY 1),
+        |a AS (SELECT * FROM v WHERE variant = 0),
+        |b AS (SELECT * FROM v WHERE variant = 1)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        | round(a.my, 4) AS mean_a, round(b.my, 4) AS mean_b,
+        | round((a.my - b.my) / sqrt(a.vy / a.n + b.vy / b.n), 4) AS t_raw,
+        | round((a.mya - b.mya) / sqrt(a.vya / a.n + b.vya / b.n), 4)
+        |   AS t_cuped,
+        | round((1.0 - (a.vya + b.vya) / (a.vy + b.vy)) * 100.0, 4)
+        |   AS var_red_pct
+        |FROM a, b""".stripMargin,
+    // WOE/IV: ntile over the pinned (n_chars, doc_id) order, add-0.5
+    // smoothing, IV from the 4-dp-pinned WOE values
+    "q226_woe_iv" ->
+      """WITH d AS (
+        | SELECT n_chars, doc_id,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+        | FROM documents),
+        |b AS (
+        | SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+        | FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM b),
+        |r AS (
+        | SELECT bin, n, n_pos, n_neg,
+        |  (n_pos + 0.5) / (t.tp + 5.0) AS p,
+        |  (n_neg + 0.5) / (t.tn + 5.0) AS q
+        | FROM b, t),
+        |r2 AS (SELECT bin, n, n_pos, n_neg, p, q,
+        |       round(ln(p / q), 4) AS woe FROM r),
+        |i AS (SELECT round(sum((p - q) * woe), 4) AS iv FROM r2)
+        |SELECT bin, n, n_pos, n_neg, woe, iv FROM r2, i
+        |ORDER BY bin""".stripMargin,
     // co-purchase: support-counted part pairs, total-order top-20
     "q213_copurchase_pairs" ->
       """WITH p AS (

@@ -1078,6 +1078,129 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q223: end-to-end entity resolution — the MDM pipeline: plant
+  // perturbed duplicates (every 10th customer gets a copy with a
+  // 1-edit name, +1.00 balance, shifted key), then generic
+  // block → match → cluster → survive: blocking on
+  // (nation, segment) bounds the pair space to block², the match rule
+  // (levenshtein ≤ 1 ∧ |Δbal| ≤ 2) runs only inside blocks,
+  // [[graft.graph.GraphOps.connectedComponents]] closes match chains,
+  // and [[MergeOps.goldenRecord]] applies the pinned survivorship
+  // policy. The engine does NOT use the planting arithmetic — the
+  // oracle independently re-runs blocking+matching+components (the
+  // q49 recursive-CTE pattern) and must land on identical golden
+  // records, incidental original-vs-original matches included. At
+  // 100 TB the blocking key IS the scale design (block² pair cost);
+  // the q60 cap lesson applies to oversized blocks.
+  def goldenRecordCustomers(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select("c_custkey", "c_name",
+      "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dups = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("X")).as("c_name"),
+        col("c_nationkey"), (col("c_acctbal") + 1.0).as("c_acctbal"),
+        col("c_mktsegment"))
+    val recs = base.unionByName(dups)
+    val left = recs.select(col("c_custkey").as("id_a"),
+      col("c_name").as("na"), col("c_nationkey"), col("c_mktsegment"),
+      col("c_acctbal").as("ba"))
+    val right = recs.select(col("c_custkey").as("id_b"),
+      col("c_name").as("nb"), col("c_nationkey"), col("c_mktsegment"),
+      col("c_acctbal").as("bb"))
+    val pairs = left.join(right, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("na"), col("nb")) <= 1 &&
+        abs(col("ba") - col("bb")) <= 2.0)
+      .select("id_a", "id_b")
+    val comp = GraphOps.connectedComponents(pairs)
+      .select(col("node"), col("comp"))
+    val labeled = recs
+      .join(comp, recs("c_custkey") === comp("node"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("c_custkey")))
+    MergeOps.goldenRecord(labeled, "cluster", "c_custkey",
+        "c_name", "c_acctbal")
+      .select(col("rec_id"), col("n_members"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy("rec_id")
+  }
+
+  // q224: item-item collaborative filtering (implicit-feedback cosine,
+  // the classic "users who touched i also touched j" sweep): distinct
+  // (user, item) interactions from the event props, item pairs via a
+  // user-keyed self-join, cosine = cooc / √(nᵢ·nⱼ). Shape: the
+  // self-join is co-partitioned on user_id (one shuffle builds both
+  // sides) and pair explosion is bounded by per-user DISTINCT items —
+  // which the item vocabulary caps at 100 here; at 100 TB the cap is a
+  // policy (drop power-users beyond k items — the q60 domain-cap
+  // lesson), because one 10⁶-item user is a 10¹²-pair bomb.
+  def itemCf(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+    val nU = ui.groupBy("item").agg(count(lit(1)).as("n_u"))
+    val b = ui.select(col("user_id"), col("item").as("item_b"))
+    val pairs = ui.join(b, Seq("user_id"))
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+    pairs
+      .join(broadcast(nU.select(col("item").as("item_a"), col("n_u").as("n_a"))), "item_a")
+      .join(broadcast(nU.select(col("item").as("item_b"), col("n_u").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("cooc"),
+        M.oracleRound(col("cooc").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  // q225: A/B test with CUPED variance reduction (Deng et al.
+  // WSDM'13): user-level experiment metric y (value sum after the
+  // cutoff) against the pre-period covariate x (value sum before),
+  // variant = user_id parity. Welch t on raw y, then on the CUPED
+  // adjustment y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) pooled —
+  // the free sensitivity win every experimentation platform ships.
+  // θ and x̄ are 6-dp-pinned so both engines adjust with identical
+  // constants. One user-keyed aggregate + two tiny global aggregates.
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-15")
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(to_date(col("ts")) >= cut, col("value"))),
+          lit(0.0)).as("y"),
+        coalesce(sum(when(to_date(col("ts")) < cut, col("value"))),
+          lit(0.0)).as("x"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    val fit = per.agg(
+      M.oracleRound(covar_samp(col("x"), col("y")) / var_samp(col("x")), 6)
+        .as("theta"),
+      M.oracleRound(avg(col("x")), 6).as("xbar"))
+    val adj = per.crossJoin(broadcast(fit))
+      .withColumn("ya", col("y") - col("theta") * (col("x") - col("xbar")))
+    val byV = adj.groupBy("variant")
+      .agg(count(lit(1)).as("n"), avg(col("y")).as("my"),
+        var_samp(col("y")).as("vy"), avg(col("ya")).as("mya"),
+        var_samp(col("ya")).as("vya"))
+    val a = byV.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("my").as("my_a"), col("vy").as("vy_a"),
+        col("mya").as("mya_a"), col("vya").as("vya_a"))
+    val bb = byV.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("my").as("my_b"), col("vy").as("vy_b"),
+        col("mya").as("mya_b"), col("vya").as("vya_b"))
+    a.crossJoin(bb).select(
+      col("n_a"), col("n_b"),
+      M.oracleRound(col("my_a"), 4).as("mean_a"),
+      M.oracleRound(col("my_b"), 4).as("mean_b"),
+      M.oracleRound((col("my_a") - col("my_b")) /
+        sqrt(col("vy_a") / col("n_a") + col("vy_b") / col("n_b")), 4)
+        .as("t_raw"),
+      M.oracleRound((col("mya_a") - col("mya_b")) /
+        sqrt(col("vya_a") / col("n_a") + col("vya_b") / col("n_b")), 4)
+        .as("t_cuped"),
+      M.oracleRound((lit(1.0) - (col("vya_a") + col("vya_b")) /
+        (col("vy_a") + col("vy_b"))) * 100.0, 4).as("var_red_pct"))
+  }
+
   // q219: MAD robust outliers (Iglewicz–Hoaglin modified z, |z|>3.5) —
   // q90's robust twin: median/MAD instead of mean/stddev, so a 1%
   // contamination cannot drag the threshold the way it drags a z-score

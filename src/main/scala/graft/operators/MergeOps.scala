@@ -94,6 +94,33 @@ object MergeOps {
       .drop("__rn")
   }
 
+  /** Golden-record consolidation — the survivorship step of entity
+    * resolution (after blocking+matching produced pairs and connected
+    * components produced cluster labels): per cluster emit one record
+    * with the pinned survivorship policy `rec_id = min(id)`,
+    * `nameCol = modal value` (ties to the lexicographically smallest —
+    * deterministic, engine-portable), `valCol = max`. Two keyed
+    * aggregates on the cluster key (the mode needs its own
+    * (cluster, name) count) + one same-key join — no per-cluster
+    * loops, scales with the largest CLUSTER like any keyed window. */
+  def goldenRecord(labeled: DataFrame, clusterCol: String, idCol: String,
+      nameCol: String, valCol: String): DataFrame = {
+    require(Seq(clusterCol, idCol, nameCol, valCol)
+      .forall(labeled.columns.contains), "all columns must exist")
+    val mode = labeled.groupBy(col(clusterCol), col(nameCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col("__cnt").desc, col(nameCol))
+    val best = mode.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(clusterCol), col(nameCol))
+    labeled.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("rec_id"),
+        count(lit(1)).as("n_members"),
+        max(col(valCol)).as(valCol))
+      .join(best, Seq(clusterCol))
+  }
+
   /** Change-interval historization (gaps-and-islands): collapse each
     * key's consecutive runs of an equal `valueCol` into validity
     * intervals `[valid_from, valid_to)` with a row count — the SCD2

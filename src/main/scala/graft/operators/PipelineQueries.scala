@@ -2701,6 +2701,39 @@ object PipelineQueries {
       .orderBy("bin")
   }
 
+  // q226: WOE / Information Value feature-binning audit (the credit-
+  // scoring table, equally standard for "is this feature worth
+  // keeping" in any binary-label pipeline): equi-depth deciles of
+  // n_chars via ntile over the PINNED (n_chars, doc_id) order, label
+  // = lang='en', add-0.5 smoothed per-bin WOE and the global IV
+  // repeated per row. The ntile window runs single-partition BY
+  // CONTRACT (rank over the whole frame is the operator); at corpus
+  // scale the deciles come from the q58 histogram bounds and the bin
+  // assignment becomes a map-only range lookup — same table.
+  def woeIv(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_chars", "doc_id")
+    val binned = Tables.documents(s, dir)
+      .select(col("n_chars"), col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .coalesce(1)
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+    val tot = binned.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+    val rated = binned.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_pos") + 0.5) / (col("tp") + 5.0))
+      .withColumn("q", (col("n_neg") + 0.5) / (col("tn") + 5.0))
+      .withColumn("woe", M.oracleRound(log(col("p") / col("q")), 4))
+    val iv = rated.agg(M.oracleRound(
+      sum((col("p") - col("q")) * col("woe")), 4).as("iv"))
+    rated.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv"))
+      .orderBy("bin")
+  }
+
   // q222: exact two-sample Kolmogorov–Smirnov distance between the
   // en and fr n_chars distributions — the distribution-compare member
   // beside q133's KL/JS (KS needs no binning or smoothing and has the

@@ -228,6 +228,42 @@ object EventStreams {
       value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class CdcChange(key: Long, seq: Long, op: String, value: Double)
+  final case class CdcState(seq: Long, op: String, value: Double)
+  final case class CdcSnapshot(key: Long, last_seq: Long, value: Double,
+      live: Boolean)
+
+  /** Streaming CDC compaction — the streaming twin of
+    * [[graft.operators.MergeOps.cdcApply]]: one `mapGroupsWithState`
+    * row per key holding the highest-`seq` change seen so far; every
+    * micro-batch that touches a key re-emits its current compacted
+    * state (update semantics — the downstream sink upserts). The
+    * winner is decided by SEQ compare, not arrival order, so
+    * out-of-order and cross-batch-straggler changes land exactly where
+    * the batch replay would put them (last WRITER wins, not last
+    * arriver) — the parity the spec pins. Tombstones stay in state as
+    * `live=false` rather than being removed: dropping the state row
+    * would forget the delete's seq and let an older straggler
+    * resurrect the key. State is one row per key ever touched — the
+    * minimal CDC materialization; a production variant ages out
+    * tombstones past the replay horizon with an event-time timeout. */
+  def cdcCompactStream(changes: Dataset[CdcChange]): Dataset[CdcSnapshot] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[CdcState, CdcSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          val incoming = it.maxBy(_.seq)
+          val winner = state.getOption match {
+            case Some(s) if s.seq > incoming.seq =>
+              CdcState(s.seq, s.op, s.value)
+            case _ => CdcState(incoming.seq, incoming.op, incoming.value)
+          }
+          state.update(winner)
+          CdcSnapshot(key, winner.seq, winner.value, winner.op != "D")
+      }
+  }
+
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionAgg(start: Long, end: Long, n: Long)
   final case class SessionsState(sessions: Seq[SessionAgg])

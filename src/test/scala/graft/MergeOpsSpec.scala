@@ -114,6 +114,19 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(out == Seq("b"))
   }
 
+  test("goldenRecord: modal name wins, ties break to the smallest, min id + max value survive") {
+    val labeled = Seq(
+      // cluster 1: "bob" appears twice vs "bobby" once → bob wins
+      (1L, 1L, "bobby", 10.0), (1L, 2L, "bob", 5.0), (1L, 3L, "bob", 7.0),
+      // cluster 9: 1-1 tie "ann" vs "anne" → lexicographically smaller "ann"
+      (9L, 9L, "anne", 1.0), (9L, 11L, "ann", 2.0))
+      .toDF("cluster", "id", "name", "bal")
+    val got = MergeOps.goldenRecord(labeled, "cluster", "id", "name", "bal")
+      .select("rec_id", "n_members", "name", "bal")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got == Set((1L, 3L, "bob", 10.0), (9L, 2L, "ann", 2.0)))
+  }
+
   test("cdcApply rejects missing columns") {
     val log = Seq((1L, 1L, "U")).toDF("k", "seq", "op")
     intercept[IllegalArgumentException] {

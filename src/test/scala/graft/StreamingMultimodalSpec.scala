@@ -417,6 +417,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction equals batch cdcApply across out-of-order micro-batches") {
+    import graft.streaming.EventStreams.{CdcChange, CdcSnapshot}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val q = EventStreams.cdcCompactStream(input.toDS())
+      .writeStream.format("memory").queryName("cdcsnap")
+      .outputMode("update").start()
+    val batches = Seq(
+      // batch 1: keys 1..3 upsert; key 4 tombstone arrives FIRST
+      Seq(CdcChange(1, 10, "U", 1.0), CdcChange(2, 10, "U", 2.0),
+        CdcChange(3, 10, "U", 3.0), CdcChange(4, 20, "D", 0.0)),
+      // batch 2: key 1 newer upsert; key 2 tombstone; key 4's OLDER
+      // upsert straggles in — must NOT resurrect (seq 15 < 20)
+      Seq(CdcChange(1, 20, "U", 1.5), CdcChange(2, 20, "D", 0.0),
+        CdcChange(4, 15, "U", 4.0)),
+      // batch 3: key 2 re-insert after delete; key 1 stale straggler
+      Seq(CdcChange(2, 30, "U", 2.5), CdcChange(1, 5, "U", 9.9)))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("cdcsnap").as[CdcSnapshot].collect()
+        .groupBy(_.key).map { case (k, rows) =>
+          k -> rows.maxBy(_.last_seq)
+        }
+      val live = got.collect { case (k, s) if s.live => k -> s.value }
+      // batch replay over the SAME changes
+      val log = batches.flatten
+        .toDF("user_id", "seq", "op", "value")
+      val batch = graft.operators.MergeOps
+        .cdcApply(log, Seq("user_id"), Seq("seq"), "op")
+        .select("user_id", "value")
+        .as[(Long, Double)].collect().toMap
+      assert(live == batch,
+        s"stream $live must equal batch replay $batch")
+      assert(got(4L).live == false, "stale straggler must not resurrect a tombstoned key")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions after the gap") {
     import graft.streaming.EventStreams.{Session, TimedEvent}
     implicit val sql = spark.sqlContext
