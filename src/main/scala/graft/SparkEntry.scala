@@ -257,6 +257,10 @@ object SparkEntry {
     "q224_item_cf" -> (C.itemCf _),
     "q225_ab_cuped" -> (C.abCuped _),
     "q226_woe_iv" -> (P.woeIv _),
+    "q227_data_contract" -> (C.dataContract _),
+    "q228_rollup_merge" -> (P.rollupMerge _),
+    "q229_matched_att" -> (C.matchedAtt _),
+    "q230_bloom_design" -> (P.bloomDesign _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3065,6 +3069,87 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // data contract: every rule recounted in one SQL aggregate
+    "q227_data_contract" ->
+      """WITH a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shipdate_not_null,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+        |  CAST(sum(CASE WHEN l_orderkey <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS orderkey_positive,
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS price_positive,
+        |  CAST(sum(CASE WHEN NOT (l_linenumber BETWEEN 1 AND 7)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS linenumber_range
+        | FROM lineitem),
+        |u AS (
+        | SELECT n_checked, 'quantity_range' AS rule,
+        |  quantity_range AS n_violations FROM a
+        | UNION ALL SELECT n_checked, 'discount_range', discount_range FROM a
+        | UNION ALL SELECT n_checked, 'shipdate_not_null', shipdate_not_null FROM a
+        | UNION ALL SELECT n_checked, 'returnflag_domain', returnflag_domain FROM a
+        | UNION ALL SELECT n_checked, 'orderkey_positive', orderkey_positive FROM a
+        | UNION ALL SELECT n_checked, 'price_positive', price_positive FROM a
+        | UNION ALL SELECT n_checked, 'linenumber_range', linenumber_range FROM a)
+        |SELECT rule, n_checked, n_violations,
+        | n_violations = 0 AS pass
+        |FROM u ORDER BY rule""".stripMargin,
+    // rollup merge: full recompute from the raw events — incremental
+    // base+delta must land on it exactly
+    "q228_rollup_merge" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // matched ATT: same per-user frame as q225, decile CEM bins,
+    // treated-mass-weighted gap over two-armed bins only
+    "q229_matched_att" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+        |    THEN value END), 0.0) AS y,
+        |  coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |    THEN value END), 0.0) AS x
+        | FROM events GROUP BY user_id),
+        |b0 AS (
+        | SELECT user_id, y, x, CAST(user_id % 2 AS INTEGER) AS treated,
+        |  ntile(10) OVER (ORDER BY x, user_id) AS bin
+        | FROM per),
+        |b AS (
+        | SELECT bin,
+        |  CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_t,
+        |  CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c,
+        |  avg(CASE WHEN treated = 1 THEN y END) AS mt,
+        |  avg(CASE WHEN treated = 0 THEN y END) AS mc
+        | FROM b0 GROUP BY 1),
+        |att AS (
+        | SELECT round(sum(n_t * (mt - mc)) / sum(n_t), 4) AS att
+        | FROM b WHERE n_t > 0 AND n_c > 0)
+        |SELECT bin, n_t, n_c, round(mt, 4) AS mean_t,
+        | round(mc, 4) AS mean_c, round(mt - mc, 4) AS gap, att.att
+        |FROM b, att ORDER BY bin""".stripMargin,
+    // bloom design: the closed form re-evaluated with DuckDB's own
+    // ln/exp/pow — cross-checks the engine's math functions
+    "q230_bloom_design" ->
+      """WITH b(bits_per_key) AS (
+        | VALUES (4), (8), (10), (12), (16), (20)),
+        |k AS (
+        | SELECT bits_per_key,
+        |  CAST(round(ln(2.0) * bits_per_key) AS INTEGER) AS k
+        | FROM b)
+        |SELECT bits_per_key, k,
+        | round(pow(1.0 - exp(-k / CAST(bits_per_key AS DOUBLE)), k), 6)
+        |   AS fpp,
+        | CAST(bits_per_key AS BIGINT) * 125000000 AS bytes_per_1e9_keys
+        |FROM k ORDER BY bits_per_key""".stripMargin,
     // entity resolution: the oracle independently re-runs
     // block+match+components (q49's recursive-CTE reachability) and
     // the survivorship policy — identical golden records required,

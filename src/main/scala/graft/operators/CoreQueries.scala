@@ -1078,6 +1078,72 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q227: declarative data-contract validation (the expectations
+  // suite every ingestion boundary runs): a pinned rule table over
+  // lineitem, ALL rules evaluated in ONE scan (each rule is a
+  // conditional sum in the same aggregate — never a scan per rule),
+  // unpivoted to the (rule, n_checked, n_violations, pass) report.
+  // At 100 TB the single-pass property is the operator: 10 rules must
+  // not cost 10 scans.
+  def dataContract(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def viol(name: String, bad: Column): (String, Column) =
+      name -> sum(when(bad, 1L).otherwise(0L))
+    val rules = Seq(
+      viol("quantity_range", !col("l_quantity").between(1.0, 50.0)),
+      viol("discount_range", !col("l_discount").between(0.0, 0.1)),
+      viol("shipdate_not_null", col("l_shipdate").isNull),
+      viol("returnflag_domain", !col("l_returnflag").isin("R", "A", "N")),
+      viol("orderkey_positive", col("l_orderkey") <= 0),
+      viol("price_positive", col("l_extendedprice") <= 0.0),
+      viol("linenumber_range", !col("l_linenumber").between(1, 7)))
+    val aggCols = count(lit(1)).as("n_checked") +:
+      rules.map { case (n, c) => c.as(n) }
+    val agg = li.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = rules.map { case (n, _) => s"'$n', `$n`" }
+      .mkString(s"stack(${rules.size}, ", ", ", ") as (rule, n_violations)")
+    agg.select(col("n_checked"), expr(stackExpr))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
+  // q229: quantile-matched treatment-effect estimate (coarsened exact
+  // matching on the pre-period covariate — q225's causal sibling for
+  // OBSERVATIONAL data): users binned by pre-period deciles (pinned
+  // (x, user_id) ntile order), within-bin treated-vs-control gap,
+  // ATT = Σ bins gap weighted by treated mass. Bins missing either
+  // arm drop out of the estimate (the CEM pruning rule — documented,
+  // deterministic). One user aggregate + one 10-row table.
+  def matchedAtt(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-15")
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(to_date(col("ts")) >= cut, col("value"))),
+          lit(0.0)).as("y"),
+        coalesce(sum(when(to_date(col("ts")) < cut, col("value"))),
+          lit(0.0)).as("x"))
+      .withColumn("treated", pmod(col("user_id"), lit(2)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x", "user_id")
+    val binned = per.coalesce(1).withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+        avg(when(col("treated") === 1, col("y"))).as("mt_raw"),
+        avg(when(col("treated") === 0, col("y"))).as("mc_raw"))
+    val usable = binned.filter(col("n_t") > 0 && col("n_c") > 0)
+    val att = usable.agg(M.oracleRound(
+      sum(col("n_t") * (col("mt_raw") - col("mc_raw"))) / sum(col("n_t")),
+      4).as("att"))
+    binned.crossJoin(broadcast(att))
+      .select(col("bin"), col("n_t"), col("n_c"),
+        M.oracleRound(col("mt_raw"), 4).as("mean_t"),
+        M.oracleRound(col("mc_raw"), 4).as("mean_c"),
+        M.oracleRound(col("mt_raw") - col("mc_raw"), 4).as("gap"),
+        col("att"))
+      .orderBy("bin")
+  }
+
   // q223: end-to-end entity resolution — the MDM pipeline: plant
   // perturbed duplicates (every 10th customer gets a copy with a
   // 1-edit name, +1.00 balance, shifted key), then generic

@@ -2701,6 +2701,67 @@ object PipelineQueries {
       .orderBy("bin")
   }
 
+  /** q228's persisted daily rollup, written once per (session, sf
+    * dir): the (day, event_type) counts/sums EXCLUDING the planted
+    * late-arrival slice (event_id % 97 == 0) — the state of the
+    * materialized view before the stragglers show up. */
+  private val rollupStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def persistedRollup(s: SparkSession, dir: String): String =
+    rollupStage.getOrElseUpdate((s, dir), {
+      val p = newStageDir("graft_rollup_").resolve("daily").toString
+      Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(97)) =!= 0)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+      p
+    })
+
+  // q228: incremental rollup maintenance — the materialized-view
+  // pattern: a PERSISTED daily rollup plus the late-arrival delta
+  // (aggregated to the same grain) merged by summing per key; the
+  // oracle recomputes the rollup from scratch, so the gate proves
+  // merged-incremental == full-recompute. The additive-merge algebra
+  // is why count/sum (and the q174 HLL registers, q217 moments)
+  // maintain incrementally while median cannot. At 100 TB the nightly
+  // job reads yesterday's rollup + the delta — never the history.
+  def rollupMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(persistedRollup(s, dir))
+    val delta = Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(97)) === 0)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    base.unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"),
+        M.oracleRound(sum(col("sum_value")), 4).as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  // q230: Bloom-filter sizing design table (q186's genre, for the
+  // decon/join prefilters the engine ships at q114/q181): for each
+  // bits-per-key budget, the integer-optimal hash count
+  // k = round(ln2·m/n) and the resulting FPP (1 − e^(−kn/m))^k —
+  // computed IN-PLAN with the engine's exp/ln so the oracle
+  // cross-checks the engine's math functions, not a driver constant.
+  // The table says what q114's 1%-FPP filter costs per key (~9.6
+  // bits) — the number that decides whether the filter fits in
+  // executor memory at 10¹¹ keys.
+  def bloomDesign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(4, 8, 10, 12, 16, 20).toDF("bits_per_key")
+      .withColumn("k",
+        round(log(lit(2.0)) * col("bits_per_key")).cast("int"))
+      .withColumn("fpp", M.oracleRound(
+        pow(lit(1.0) - exp(-col("k") / col("bits_per_key").cast("double")),
+          col("k")), 6))
+      .withColumn("bytes_per_1e9_keys",
+        col("bits_per_key").cast("long") * 125000000L)
+      .orderBy("bits_per_key")
+  }
+
   // q226: WOE / Information Value feature-binning audit (the credit-
   // scoring table, equally standard for "is this feature worth
   // keeping" in any binary-label pipeline): equi-depth deciles of

@@ -1102,6 +1102,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"merge algebra drifted: merged=$merged direct=$direct")
   }
 
+  test("q227 evaluates all contract rules in ONE lineitem scan") {
+    val gate = SparkEntry.queries("q227_data_contract")(spark,
+      "/root/testdata/sf0.001")
+    val plan = gate.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"7 rules must share one scan, found $scans:\n${plan.take(1500)}")
+  }
+
+  test("q228 reads the PERSISTED rollup, not a recompute of the base history") {
+    val gate = SparkEntry.queries("q228_rollup_merge")(spark,
+      "/root/testdata/sf0.001")
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rollup_"),
+      s"base side must come from the persisted rollup:\n${plan.take(1500)}")
+    // and the merge must equal the from-scratch recompute
+    val truth = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    val got = gate.select("day", "event_type", "n")
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(got == truth)
+  }
+
   test("URL canonicalization collapses tracking variants and nothing else") {
     // q218's gate at sf0.001: raw URLs are all distinct (utm_ref
     // varies) but canonical forms collapse to the (lang, doc_id%50)
