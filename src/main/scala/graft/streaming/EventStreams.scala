@@ -264,6 +264,53 @@ object EventStreams {
       }
   }
 
+  final case class MgState(counters: Map[String, Long], n: Long)
+  final case class MgTop(key: String, term: String, est: Long,
+      n_stream: Long)
+
+  /** Streaming Misra-Gries heavy hitters per key — the streaming twin
+    * of [[graft.operators.TextCorpus.misraGries]] (q141): k counters
+    * per key held in `mapGroupsWithState`, each micro-batch folded
+    * through the sequential MG update (match → increment, room →
+    * insert, else decrement-all). Sequential MG across batches is the
+    * merge-free case of the mergeable-summaries construction, so the
+    * deterministic guarantee survives ANY batch slicing: every term
+    * with frequency > ⌊N/(k+1)⌋ is present, and every estimate sits in
+    * [exact − ⌊N/(k+1)⌋, exact] — the property the spec pins (MG state
+    * is arrival-order-dependent, so state equality with a batch run is
+    * NOT the contract; the bound is). Emits the key's full current
+    * summary each touched batch (update semantics); state is ≤ k
+    * counters per key — bounded forever. */
+  def mgHeavyHitterStream(terms: Dataset[(String, String)], k: Int)
+      : Dataset[MgTop] = {
+    require(k > 0, "k must be positive")
+    import terms.sparkSession.implicits._
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgTop](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String)],
+         state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          state.getOption.foreach(_.counters.foreach { case (t, c) => m(t) = c })
+          it.foreach { case (_, t) =>
+            n += 1
+            m.get(t) match {
+              case Some(c) => m(t) = c + 1
+              case None if m.size < k => m(t) = 1L
+              case None =>
+                val dead = List.newBuilder[String]
+                m.foreach { case (key2, c) =>
+                  if (c == 1L) dead += key2 else m(key2) = c - 1 }
+                dead.result().foreach(m.remove)
+            }
+          }
+          state.update(MgState(m.toMap, n))
+          m.iterator.map { case (t, c) => MgTop(key, t, c, n) }
+      }
+  }
+
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionAgg(start: Long, end: Long, n: Long)
   final case class SessionsState(sessions: Seq[SessionAgg])

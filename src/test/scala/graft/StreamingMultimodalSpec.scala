@@ -454,6 +454,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries keeps the deterministic bound across any batch slicing") {
+    import graft.streaming.EventStreams.MgTop
+    implicit val sql = spark.sqlContext
+    val k = 4
+    // skewed stream: 'hot' 40%, 'warm' 25%, tail spread thin — sliced
+    // into 3 uneven micro-batches
+    val all = Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 35).map(i => s"tail${i % 12}")
+    val rng = new scala.util.Random(7)
+    val shuffled = rng.shuffle(all).map(t => ("g", t))
+    val batches = Seq(shuffled.take(20), shuffled.slice(20, 70),
+      shuffled.drop(70))
+    val input = MemoryStream[(String, String)]
+    val q = EventStreams.mgHeavyHitterStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("mgstream")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val n = all.size.toLong
+      val bound = n / (k + 1)
+      val last = spark.table("mgstream").as[MgTop].collect()
+        .filter(_.n_stream == n).map(r => r.term -> r.est).toMap
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // every term above the threshold must be present...
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        assert(last.contains(t), s"heavy hitter $t missing from $last")
+      }
+      // ...and every estimate within [exact - bound, exact]
+      last.foreach { case (t, est) =>
+        val ex = exact(t)
+        assert(est <= ex && est >= ex - bound,
+          s"$t est=$est outside [${ex - bound}, $ex]")
+      }
+      assert(last.size <= k)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions after the gap") {
     import graft.streaming.EventStreams.{Session, TimedEvent}
     implicit val sql = spark.sqlContext
