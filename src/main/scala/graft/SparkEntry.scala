@@ -261,6 +261,9 @@ object SparkEntry {
     "q228_rollup_merge" -> (P.rollupMerge _),
     "q229_matched_att" -> (C.matchedAtt _),
     "q230_bloom_design" -> (P.bloomDesign _),
+    "q231_watermark_design" -> (P.watermarkDesign _),
+    "q232_neyman_alloc" -> (P.neymanAlloc _),
+    "q233_psi_drift" -> (P.psiDrift _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3069,6 +3072,105 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // watermark design: the integer delay plant replayed verbatim;
+    // percentiles via the proven quantile_cont parity, 4-dp pinned
+    "q231_watermark_design" ->
+      """WITH d AS (
+        | SELECT (CAST(('0x' || substr(md5('lag:' || event_id), 1, 8))
+        |   AS BIGINT) % 4096) AS h
+        | FROM events),
+        |dl AS (SELECT (h * h * h) // 64 AS delay_us FROM d),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  round(quantile_cont(delay_us, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(delay_us, 0.99), 4) AS p99_us,
+        |  CAST(max(delay_us) AS BIGINT) AS max_us
+        | FROM dl),
+        |c(watermark_s) AS (VALUES (CAST(30 AS BIGINT)), (120), (600), (1200)),
+        |dr AS (
+        | SELECT c.watermark_s,
+        |  CAST(sum(CASE WHEN dl.delay_us > c.watermark_s * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        | FROM dl, c GROUP BY c.watermark_s)
+        |SELECT dr.watermark_s, st.n_events, dr.n_dropped,
+        | round(dr.n_dropped * 1e6 / st.n_events, 2) AS drop_ppm,
+        | st.p50_us, st.p99_us, st.max_us
+        |FROM dr, st ORDER BY dr.watermark_s""".stripMargin,
+    // Neyman allocation: per-stratum sigma 4-dp-pinned, shares and
+    // the variance ratio re-derived from the same pinned constants
+    "q232_neyman_alloc" ->
+      """WITH strata AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |  round(stddev_samp(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS DOUBLE)), 4) AS sigma
+        | FROM documents GROUP BY source),
+        |t AS (
+        | SELECT sum(n_h) AS n_total, sum(n_h * sigma) AS mass,
+        |  sum(n_h * sigma * sigma) AS m2
+        | FROM strata)
+        |SELECT source, n_h, sigma,
+        | round(1000.0 * n_h * sigma / t.mass, 2) AS alloc_neyman,
+        | round(1000.0 * n_h / t.n_total, 2) AS alloc_prop,
+        | round((t.mass / t.n_total) * (t.mass / t.n_total)
+        |   / (t.m2 / t.n_total), 4) AS var_ratio
+        |FROM strata, t ORDER BY source""".stripMargin,
+    // PSI: train-side decile edges 4-dp-pinned, both splits binned
+    // against them, per-bin terms 6-dp-pinned before the sum
+    "q233_psi_drift" ->
+      """WITH w AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+        |    % 100 AS b
+        | FROM documents),
+        |sp AS (
+        | SELECT n_chars, CASE WHEN b < 80 THEN 'train'
+        |  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        | FROM w),
+        |f AS (SELECT * FROM sp WHERE split IN ('train', 'val')),
+        |e AS (
+        | SELECT round(quantile_cont(n_chars, 0.1), 4) AS e1,
+        |  round(quantile_cont(n_chars, 0.2), 4) AS e2,
+        |  round(quantile_cont(n_chars, 0.3), 4) AS e3,
+        |  round(quantile_cont(n_chars, 0.4), 4) AS e4,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS e5,
+        |  round(quantile_cont(n_chars, 0.6), 4) AS e6,
+        |  round(quantile_cont(n_chars, 0.7), 4) AS e7,
+        |  round(quantile_cont(n_chars, 0.8), 4) AS e8,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS e9
+        | FROM f WHERE split = 'train'),
+        |bn AS (
+        | SELECT split,
+        |  CAST(CASE WHEN n_chars > e.e1 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e2 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e3 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e4 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e5 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e6 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e7 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e8 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_chars > e.e9 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS bin
+        | FROM f, e),
+        |b AS (
+        | SELECT bin,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_t,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_v
+        | FROM bn GROUP BY 1),
+        |t AS (SELECT sum(n_t) AS tt, sum(n_v) AS tv FROM b),
+        |r AS (
+        | SELECT bin, n_t, n_v,
+        |  (n_t + 0.5) / (t.tt + 5.0) AS pt,
+        |  (n_v + 0.5) / (t.tv + 5.0) AS pv
+        | FROM b, t),
+        |r2 AS (
+        | SELECT bin, n_t, n_v,
+        |  round((pv - pt) * ln(pv / pt), 6) AS term
+        | FROM r),
+        |i AS (SELECT round(sum(term), 6) AS psi FROM r2)
+        |SELECT bin, n_t, n_v, term, psi FROM r2, i ORDER BY bin""".stripMargin,
     // data contract: every rule recounted in one SQL aggregate
     "q227_data_contract" ->
       """WITH a AS (

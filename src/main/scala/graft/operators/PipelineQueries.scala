@@ -2762,6 +2762,112 @@ object PipelineQueries {
       .orderBy("bits_per_key")
   }
 
+  // q231: watermark-delay design table — the number that sets every
+  // streaming operator's state bound: plant a deterministic heavy-tail
+  // arrival delay (cubed md5 residue, all-integer — no FP in the
+  // plant), then for each candidate watermark report how many events
+  // a late-filter at that delay would drop, next to the delay
+  // distribution's exact percentiles. The 0.1%-drop row IS the
+  // watermark the q54/q66 streaming twins should run with. One scan +
+  // a 4-row design table; the percentile swaps for the q58 histogram
+  // at corpus scale.
+  def watermarkDesign(s: SparkSession, dir: String): DataFrame = {
+    val delayUs = (pmod(T.md5Int(concat(lit("lag:"), col("event_id")), 8),
+      lit(4096L)) * pmod(T.md5Int(concat(lit("lag:"), col("event_id")), 8),
+      lit(4096L)) * pmod(T.md5Int(concat(lit("lag:"), col("event_id")), 8),
+      lit(4096L)) / lit(64L)).cast("long")
+    val delays = Tables.events(s, dir)
+      .select(delayUs.as("delay_us"))
+    val stats = delays.agg(count(lit(1)).as("n_events"),
+      M.oracleRound(expr("percentile(delay_us, 0.5D)"), 4).as("p50_us"),
+      M.oracleRound(expr("percentile(delay_us, 0.99D)"), 4).as("p99_us"),
+      max(col("delay_us")).as("max_us"))
+    import s.implicits._
+    val candidates = Seq(30L, 120L, 600L, 1200L)
+      .toDF("watermark_s")
+    candidates.crossJoin(broadcast(stats))
+      .join(
+        delays.crossJoin(broadcast(candidates))
+          .groupBy("watermark_s")
+          .agg(sum(when(col("delay_us") > col("watermark_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_dropped")),
+        Seq("watermark_s"))
+      .select(col("watermark_s"), col("n_events"), col("n_dropped"),
+        M.oracleRound(col("n_dropped").cast("double") * 1e6 /
+          col("n_events").cast("double"), 2).as("drop_ppm"),
+        col("p50_us"), col("p99_us"), col("max_us"))
+      .orderBy("watermark_s")
+  }
+
+  // q232: Neyman optimal sampling allocation across sources (Neyman
+  // '34 — the survey-sampling design every stratified curation budget
+  // should use instead of proportional): n_h ∝ N_h·σ_h, next to the
+  // proportional allocation and the standard-error ratio the optimal
+  // design buys. Per-stratum moments are one keyed aggregate; σ is
+  // 4-dp-pinned before the shares so both engines allocate from
+  // identical constants. Degenerate σ=0 strata get the proportional
+  // share (documented; Neyman assigns them zero and a real survey
+  // still wants a floor).
+  def neymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000.0
+    val strata = Tables.documents(s, dir)
+      .select(col("source"), T.tokenCount(col("text")).cast("double").as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"),
+        M.oracleRound(stddev_samp(col("v")), 4).as("sigma"))
+    val tot = strata.agg(sum(col("n_h")).as("n_total"),
+      sum(col("n_h") * col("sigma")).as("mass"),
+      sum(col("n_h") * col("sigma") * col("sigma")).as("m2"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"), col("sigma"),
+        M.oracleRound(lit(budget) * col("n_h") * col("sigma") / col("mass"), 2)
+          .as("alloc_neyman"),
+        M.oracleRound(lit(budget) * col("n_h") / col("n_total"), 2)
+          .as("alloc_prop"),
+        // Var_neyman/Var_prop = (Σ Wh σh)² / Σ Wh σh² (same n cancels)
+        M.oracleRound((col("mass") / col("n_total")) *
+          (col("mass") / col("n_total")) / (col("m2") / col("n_total")), 4)
+          .as("var_ratio"))
+      .orderBy("source")
+  }
+
+  // q233: PSI drift between the q59 train and val splits over decile
+  // bins of n_chars — THE industry drift gate (scorecard monitoring):
+  // bin edges from the TRAIN side's exact percentiles (4-dp-pinned),
+  // both splits binned against those edges, PSI = Σ (pv−pt)·ln(pv/pt)
+  // with add-0.5 smoothing. Complements q133 (token KL) and q222
+  // (binless KS) on the numeric-feature axis. Two aggregates over one
+  // scan + a 10-row table.
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = Tables.documents(s, dir)
+      .withColumn("bucket", CorpusOps.hashBucket(col("doc_id"), "split", 100))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .filter(col("split").isin("train", "val"))
+    val edgeCols = (1 to 9).map(d =>
+      M.oracleRound(expr(s"percentile(n_chars, 0.${d}D)"), 4).as(s"e$d"))
+    val edges = withSplit.filter(col("split") === "train")
+      .agg(edgeCols.head, edgeCols.tail: _*)
+    val binned = withSplit.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (1 to 9).foldLeft(lit(0)) { (acc, d) =>
+          acc + when(col("n_chars") > col(s"e$d"), 1).otherwise(0)
+        })
+      .groupBy("bin")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_v"))
+    val tots = binned.agg(sum(col("n_t")).as("tt"), sum(col("n_v")).as("tv"))
+    val rated = binned.crossJoin(broadcast(tots))
+      .withColumn("pt", (col("n_t") + 0.5) / (col("tt") + 5.0))
+      .withColumn("pv", (col("n_v") + 0.5) / (col("tv") + 5.0))
+      .withColumn("term", M.oracleRound(
+        (col("pv") - col("pt")) * log(col("pv") / col("pt")), 6))
+    val psi = rated.agg(M.oracleRound(sum(col("term")), 6).as("psi"))
+    rated.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_t"), col("n_v"), col("term"), col("psi"))
+      .orderBy("bin")
+  }
+
   // q226: WOE / Information Value feature-binning audit (the credit-
   // scoring table, equally standard for "is this feature worth
   // keeping" in any binary-label pipeline): equi-depth deciles of
