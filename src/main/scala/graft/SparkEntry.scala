@@ -264,6 +264,9 @@ object SparkEntry {
     "q231_watermark_design" -> (P.watermarkDesign _),
     "q232_neyman_alloc" -> (P.neymanAlloc _),
     "q233_psi_drift" -> (P.psiDrift _),
+    "q234_salt_planner" -> (C.saltPlanner _),
+    "q235_attribution_credit" -> (C.attributionCredit _),
+    "q236_auc_separation" -> (P.aucSeparation _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3072,6 +3075,85 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // salt planner: all-integer ceil divisions replayed with //
+    "q234_salt_planner" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total,
+        |      CAST(max(n) AS BIGINT) AS before_max FROM c),
+        |p AS (
+        | SELECT c.user_id, c.n, (t.total + 31) // 32 AS target,
+        |  t.before_max
+        | FROM c, t),
+        |p2 AS (
+        | SELECT user_id, n, target, before_max,
+        |  (n + target - 1) // target AS salt
+        | FROM p)
+        |SELECT user_id, n, CAST(target AS BIGINT) AS target,
+        | CAST(salt AS BIGINT) AS salt,
+        | CAST((n + salt - 1) // salt AS BIGINT) AS after_rows,
+        | before_max
+        |FROM p2 ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    // U-shaped attribution: running purchase count = segment id,
+    // same window restatement
+    "q235_attribution_credit" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        | FROM events),
+        |tch AS (
+        | SELECT user_id, event_type, seg, us, event_id
+        | FROM e WHERE event_type <> 'purchase'),
+        |cv AS (SELECT user_id, seg FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT t.user_id, t.event_type, t.seg, t.us, t.event_id
+        | FROM tch t JOIN cv USING (user_id, seg)),
+        |r AS (
+        | SELECT event_type,
+        |  row_number() OVER (PARTITION BY user_id, seg
+        |    ORDER BY us, event_id) AS p,
+        |  count(*) OVER (PARTITION BY user_id, seg) AS n
+        | FROM j),
+        |cr AS (
+        | SELECT event_type,
+        |  CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+        |   WHEN p = 1 OR p = n THEN 0.4
+        |   ELSE 0.2 / (n - 2) END AS credit
+        | FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        | round(sum(credit), 4) AS total_credit
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // AUC: exact Mann-Whitney with (min+max)/2 tied ranks over the
+    // 4-dp score groups
+    "q236_auc_separation" ->
+      """WITH emb AS (
+        | SELECT vec_id, embedding, label FROM embeddings
+        | WHERE vec_id < 50),
+        |p AS (
+        | SELECT round(list_cosine_similarity(a.embedding, b.embedding), 4)
+        |   AS score,
+        |  a.label = b.label AS pos
+        | FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+        |g AS (
+        | SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        | FROM p GROUP BY 1),
+        |r AS (
+        | SELECT n, n_pos,
+        |  sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS c
+        | FROM g),
+        |a2 AS (
+        | SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+        |  CAST(sum(n) - sum(n_pos) AS BIGINT) AS nn,
+        |  sum((2 * c - n + 1) / 2.0 * n_pos) AS rank_sum
+        | FROM r)
+        |SELECT np AS n_pos, nn AS n_neg,
+        | round((rank_sum - np * (np + 1) / 2.0)
+        |   / CAST(np * nn AS DOUBLE), 6) AS auc
+        |FROM a2""".stripMargin,
     // watermark design: the integer delay plant replayed verbatim;
     // percentiles via the proven quantile_cont parity, 4-dp pinned
     "q231_watermark_design" ->

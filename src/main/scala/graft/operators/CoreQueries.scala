@@ -1078,6 +1078,67 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q234: salt-factor planner — q144 DETECTS skew, q88 EXECUTES the
+  // salted join, this PLANS it: per hot key, the smallest salt that
+  // brings its partition share under the uniform task target
+  // T = ⌈total/parallelism⌉ (salt = ⌈n/T⌉, residual = ⌈n/salt⌉), all
+  // integer ceil-division — no FP thresholds. The table is what an
+  // AQE-less 100 TB job computes in a cheap pre-pass before choosing
+  // per-key explosion factors.
+  def saltPlanner(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      max(col("n")).as("before_max"))
+    def ceilDiv(a: Column, b: Column): Column = (a + b - 1L) / b
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target", ceilDiv(col("total"), lit(32L)).cast("long"))
+      .withColumn("salt", ceilDiv(col("n"), col("target")).cast("long"))
+      .withColumn("after_rows", ceilDiv(col("n"), col("salt")).cast("long"))
+      .select(col("user_id"), col("n"), col("target"), col("salt"),
+        col("after_rows"), col("before_max"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+  }
+
+  // q235: position-based (U-shaped) attribution — the credit model
+  // between last-touch (q63's as-of) and Markov removal: each
+  // purchase's preceding touch segment gets 40/20/40 first/middle/last
+  // credit (n=1 → 1.0, n=2 → 0.5/0.5); segments with no later purchase
+  // stay unconverted and earn nothing. Two keyed windows on the same
+  // (user, time) sort + one aggregate — the segment id is a running
+  // purchase count, so conversion assignment is a plain equi-join, not
+  // a per-conversion scan.
+  def attributionCredit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("purchases_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type"),
+        col("purchases_before").as("seg"), col("us"), col("event_id"))
+    val conversions = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("purchases_before").as("seg"))
+    val segW = Window.partitionBy("user_id", "seg").orderBy("us", "event_id")
+    val credited = touches.join(conversions, Seq("user_id", "seg"))
+      .withColumn("p", row_number().over(segW))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("user_id", "seg")))
+      .withColumn("credit",
+        when(col("n") === 1, 1.0)
+          .when(col("n") === 2, 0.5)
+          .when(col("p") === 1 || col("p") === col("n"), 0.4)
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+    credited.groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        M.oracleRound(sum(col("credit")), 4).as("total_credit"))
+      .orderBy("event_type")
+  }
+
   // q227: declarative data-contract validation (the expectations
   // suite every ingestion boundary runs): a pinned rule table over
   // lineitem, ALL rules evaluated in ONE scan (each rule is a

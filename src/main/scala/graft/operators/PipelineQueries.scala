@@ -2762,6 +2762,48 @@ object PipelineQueries {
       .orderBy("bits_per_key")
   }
 
+  // q236: embedding-separation AUC — exact Mann–Whitney over the
+  // bounded pair sample (vec_id < 50): score = 4-dp cosine, positive =
+  // same-label pair; AUC from average ranks per tied score group
+  // ((min+max)/2 — exact rational on integer ranks), so the statistic
+  // is deterministic to the last digit. THE one-number answer to "do
+  // same-label vectors actually sit closer", run before trusting any
+  // label-blocked ANN design (q192). Pair frame is (50·49/2) rows —
+  // the sample bound is the scale policy, as everywhere in the eval
+  // family.
+  def aucSeparation(s: SparkSession, dir: String): DataFrame = {
+    val emb = normEmb(s, dir).join(
+      Tables.embeddings(s, dir).select("vec_id", "label"), "vec_id")
+      .filter(col("vec_id") < 50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      col("label").as("la"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      col("label").as("lb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
+      .select(M.oracleRound(
+          Similarity.pairDot(emb, col("va"), col("vb"), 64), 4).as("score"),
+        (col("la") === col("lb")).as("pos"))
+    // average rank per tied score group from the cumulative counts:
+    // ranks occupied by a group of size n ending at cumulative c are
+    // (c-n+1)..c, so avg = (2c - n + 1) / 2
+    val grouped = pairs.groupBy("score")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = grouped.coalesce(1)
+      .withColumn("c", sum("n").over(w))
+      .withColumn("avg_rank",
+        (col("c") * 2 - col("n") + 1).cast("double") / 2.0)
+    ranked.agg(
+        sum(col("n_pos")).as("np"),
+        (sum(col("n")) - sum(col("n_pos"))).as("nn"),
+        sum(col("avg_rank") * col("n_pos")).as("rank_sum"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        M.oracleRound((col("rank_sum") - col("np") * (col("np") + 1) / 2.0) /
+          (col("np") * col("nn")).cast("double"), 6).as("auc"))
+  }
+
   // q231: watermark-delay design table — the number that sets every
   // streaming operator's state bound: plant a deterministic heavy-tail
   // arrival delay (cubed md5 residue, all-integer — no FP in the
