@@ -267,6 +267,9 @@ object SparkEntry {
     "q234_salt_planner" -> (C.saltPlanner _),
     "q235_attribution_credit" -> (C.attributionCredit _),
     "q236_auc_separation" -> (P.aucSeparation _),
+    "q237_chi2_independence" -> (P.chi2Independence _),
+    "q238_clustering_coeff" -> (C.clusteringCoeff _),
+    "q239_acf_daily" -> (C.acfDaily _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3075,6 +3078,84 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // chi2: full R×C grid incl. zero-observed cells, marginal-derived
+    // expectations
+    "q237_chi2_independence" ->
+      """WITH obs AS (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        | FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+        |c AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+        |n AS (
+        | SELECT sum(o) AS n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS c
+        | FROM obs),
+        |g AS (
+        | SELECT coalesce(obs.o, 0) AS o,
+        |  CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+        |    / CAST(n.n AS DOUBLE) AS e
+        | FROM r CROSS JOIN c
+        | LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
+        | CROSS JOIN n),
+        |s AS (SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2 FROM g)
+        |SELECT CAST(n.n AS BIGINT) AS n, n.r, n.c,
+        | (n.r - 1) * (n.c - 1) AS dof, s.chi2,
+        | round(sqrt(s.chi2 / CAST(n.n * least(n.r - 1, n.c - 1) AS DOUBLE)),
+        |   4) AS cramers_v
+        |FROM n, s""".stripMargin,
+    // clustering coefficient: q92's triangle CTE + degrees off the
+    // canonical edge set
+    "q238_clustering_coeff" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |      WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM pp x JOIN pp y
+        |       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+        | GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT unnest([x, y, z]) AS node FROM tri) t GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(tc.n_triangles, 0) AS n_triangles,
+        | round(coalesce(tc.n_triangles, 0) * 2.0
+        |   / (d.deg * (d.deg - 1)), 4) AS cc
+        |FROM deg d LEFT JOIN tc USING (node)
+        |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
+    // ACF: 6-dp-pinned mean, biased normalization, lags from the same
+    // ordered day frame
+    "q239_acf_daily" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |m AS (SELECT round(avg(x), 6) AS m FROM daily),
+        |d AS (
+        | SELECT day, x - m.m AS d,
+        |  lag(x - m.m, 1) OVER (ORDER BY day) AS d1,
+        |  lag(x - m.m, 2) OVER (ORDER BY day) AS d2,
+        |  lag(x - m.m, 3) OVER (ORDER BY day) AS d3,
+        |  lag(x - m.m, 4) OVER (ORDER BY day) AS d4,
+        |  lag(x - m.m, 5) OVER (ORDER BY day) AS d5,
+        |  lag(x - m.m, 6) OVER (ORDER BY day) AS d6,
+        |  lag(x - m.m, 7) OVER (ORDER BY day) AS d7
+        | FROM daily, m),
+        |a AS (
+        | SELECT sum(d * d) AS den,
+        |  sum(d * d1) AS num1, sum(d * d2) AS num2, sum(d * d3) AS num3,
+        |  sum(d * d4) AS num4, sum(d * d5) AS num5, sum(d * d6) AS num6,
+        |  sum(d * d7) AS num7
+        | FROM d),
+        |u(lag_k, num) AS (
+        | SELECT 1, num1 FROM a UNION ALL SELECT 2, num2 FROM a
+        | UNION ALL SELECT 3, num3 FROM a UNION ALL SELECT 4, num4 FROM a
+        | UNION ALL SELECT 5, num5 FROM a UNION ALL SELECT 6, num6 FROM a
+        | UNION ALL SELECT 7, num7 FROM a)
+        |SELECT u.lag_k, round(u.num / a.den, 4) AS acf
+        |FROM u, a ORDER BY u.lag_k""".stripMargin,
     // salt planner: all-integer ceil divisions replayed with //
     "q234_salt_planner" ->
       """WITH c AS (

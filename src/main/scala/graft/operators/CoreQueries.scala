@@ -1078,6 +1078,63 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q238: local clustering coefficient over the q92 co-purchase graph
+  // — cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)), the community-vs-link-farm
+  // signal next to the raw triangle counts: same degree-ordered wedge
+  // machinery ([[GraphOps.triangleCounts]], O(Σ outdeg⁺²) not
+  // O(Σ deg²)), one extra degree aggregate over the canonical edge
+  // set, nodes with deg ≥ 2 only (cc undefined below).
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val canon = co.distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = GraphOps.triangleCounts(co)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        M.oracleRound(col("n_triangles").cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)).cast("double"), 4).as("cc"))
+      .orderBy("node")
+  }
+
+  // q239: autocorrelation function of the global daily event-count
+  // series at lags 1..7 — the seasonality screen that DECIDES q214's
+  // lag-7 forecast (a weekly cycle shows as an acf(7) spike). Mean
+  // 6-dp-pinned, standard biased-normalization ACF (denominator = full
+  // Σ dev², every lag comparable). The series frame is days-sized —
+  // the ordered window runs single-partition BY CONTRACT; at corpus
+  // scale only the first aggregate sees the events.
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val m = daily.agg(M.oracleRound(avg(col("x")), 6).as("m"))
+    val w = Window.orderBy("day")
+    var dev = daily.coalesce(1).crossJoin(broadcast(m))
+      .withColumn("d", col("x") - col("m"))
+    for (k <- 1 to 7)
+      dev = dev.withColumn(s"d$k", lag(col("d"), k).over(w))
+    val agg = dev.agg(
+      sum(col("d") * col("d")).as("den"),
+      (1 to 7).map(k => sum(col("d") * col(s"d$k")).as(s"num$k")): _*)
+    val stackExpr = (1 to 7).map(k => s"$k, `num$k`")
+      .mkString("stack(7, ", ", ", ") as (lag_k, num)")
+    agg.select(col("den"), expr(stackExpr))
+      .select(col("lag_k"),
+        M.oracleRound(col("num") / col("den"), 4).as("acf"))
+      .orderBy("lag_k")
+  }
+
   // q234: salt-factor planner — q144 DETECTS skew, q88 EXECUTES the
   // salted join, this PLANS it: per hot key, the smallest salt that
   // brings its partition share under the uniform task target

@@ -2762,6 +2762,42 @@ object PipelineQueries {
       .orderBy("bits_per_key")
   }
 
+  // q237: Pearson chi-square independence test of (lang × source) +
+  // Cramér's V — "is the language mix independent of the source"
+  // (a dependence here means per-source language filters are load-
+  // bearing). Expected counts from the marginals over the FULL R×C
+  // cell grid (zero-observed cells still contribute their expectation
+  // — the classic chi2 bug is dropping them); dof = (R−1)(C−1). Two
+  // keyed aggregates + a 100-cell grid join — nothing corpus-sized
+  // after the first groupBy.
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = obs.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val cols = obs.groupBy("source").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    val cells = rows.crossJoin(cols)
+      .join(obs, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) /
+        col("e"))
+    cells.agg(max(col("n")).as("n"), max(col("r")).as("r"),
+        max(col("c")).as("c"),
+        M.oracleRound(sum(col("term")), 4).as("chi2"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("chi2"),
+        M.oracleRound(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 4)
+          .as("cramers_v"))
+  }
+
   // q236: embedding-separation AUC — exact Mann–Whitney over the
   // bounded pair sample (vec_id < 50): score = 4-dp cosine, positive =
   // same-label pair; AUC from average ranks per tied score group
