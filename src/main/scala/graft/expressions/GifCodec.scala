@@ -143,6 +143,14 @@ object GifBytes {
       i += 1
     }
     packer.put(cur, codeSize)
+    // the decoder adds a dictionary entry for this FINAL data code too
+    // (it cannot know no more data follows) and applies early-change
+    // width growth when that entry lands exactly on 2^cs — so EOI must
+    // be written at the GROWN width or the decoder reads it desynced.
+    // (Found at sf0.1: exactly 2 of 5000 streams ended on the
+    // boundary — ids 1144/4290, both 4x4 — and decoded to null;
+    // regression-pinned in GifCodecSpec.)
+    if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
     packer.put(Eoi, codeSize)
     packer.finish()
   }

@@ -110,6 +110,30 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifResize.resize(gif, 1 << 12, 1 << 12) == null)
   }
 
+  test("early-change tail boundary: EOI written at the grown width (sf0.1 regression)") {
+    // ids 1144/4290 at 4x4 end their LZW stream with the dictionary
+    // landing EXACTLY on 2^codeSize after the final data code — the
+    // decoder (ours AND every standard one) grows the width before
+    // reading EOI, so the encoder must too; these two streams decoded
+    // to null before the fix. Pin our decode AND ImageIO agreement.
+    for (id <- Seq(1144L, 4290L)) {
+      val gif = GifBytes.build(4, 4, id)
+      val d = GifDecode.decode(gif)
+      assert(d != null, s"id=$id must decode")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gif))
+      assert(img != null && img.getWidth == 4 && img.getHeight == 4,
+        s"ImageIO must accept the boundary stream for id=$id")
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val idx = GifBytes.pixelIndex(id, y * 4 + x)
+        val pal = GifBytes.palette(idx)
+        val want = 0xff000000 | (pal(0) << 16) | (pal(1) << 8) | pal(2)
+        assert(img.getRGB(x, y) == want,
+          s"id=$id pixel ($x,$y) disagrees with ImageIO after the fix")
+      }
+    }
+  }
+
   test("rejection: truncation, bad magic, missing trailer, junk") {
     val gif = GifBytes.build(9, 9, 1L)
     assert(GifDecode.decode(gif.take(gif.length - 1)) == null,
