@@ -270,6 +270,7 @@ object SparkEntry {
     "q237_chi2_independence" -> (P.chi2Independence _),
     "q238_clustering_coeff" -> (C.clusteringCoeff _),
     "q239_acf_daily" -> (C.acfDaily _),
+    "q240_range_sort_audit" -> (C.rangeSortAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3078,6 +3079,40 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // range-sort audit: same 5% md5 sample, 4-dp-pinned sample
+    // percentile boundaries, full-data range assignment
+    "q240_range_sort_audit" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+        | FROM lineitem),
+        |smp AS (
+        | SELECT v FROM li
+        | WHERE CAST(('0x' || substr(md5('rs:' || l_orderkey || ':' ||
+        |   l_linenumber), 1, 8)) AS BIGINT) % 100 < 5),
+        |b AS (
+        | SELECT round(quantile_cont(v, 1.0 / 8), 4) AS b1,
+        |  round(quantile_cont(v, 2.0 / 8), 4) AS b2,
+        |  round(quantile_cont(v, 3.0 / 8), 4) AS b3,
+        |  round(quantile_cont(v, 4.0 / 8), 4) AS b4,
+        |  round(quantile_cont(v, 5.0 / 8), 4) AS b5,
+        |  round(quantile_cont(v, 6.0 / 8), 4) AS b6,
+        |  round(quantile_cont(v, 7.0 / 8), 4) AS b7
+        | FROM smp),
+        |asn AS (
+        | SELECT CAST(CASE WHEN v > b.b1 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b2 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b3 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b4 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b5 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b6 THEN 1 ELSE 0 END
+        |  + CASE WHEN v > b.b7 THEN 1 ELSE 0 END AS INTEGER) AS range_id
+        | FROM li, b),
+        |g AS (SELECT range_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM asn GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM g)
+        |SELECT range_id, n,
+        | round(n * 1e6 / t.total, 1) AS share_ppm
+        |FROM g, t ORDER BY range_id""".stripMargin,
     // chi2: full R×C grid incl. zero-observed cells, marginal-derived
     // expectations
     "q237_chi2_independence" ->

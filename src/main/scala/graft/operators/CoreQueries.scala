@@ -1078,6 +1078,38 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q240: range-partitioner balance audit — the mechanism inside every
+  // global sort / sorted write: boundaries from a cheap deterministic
+  // SAMPLE (5% md5 residue — Spark's RangePartitioner samples the same
+  // way, just seeded), then the FULL data assigned and counted per
+  // range. The table shows what sampling error costs in partition
+  // balance (max_share_ppm vs the uniform 1e6/8) — the number that
+  // decides sample size for a 100 TB sorted write. Boundaries are
+  // 4-dp-pinned sample percentiles; assignment is a broadcast range
+  // lookup, map-only over the corpus.
+  def rangeSortAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber"), col("l_extendedprice").as("v"))
+    val sample = li.filter(pmod(T.md5Int(
+      concat(lit("rs:"), col("l_orderkey"), lit(":"), col("l_linenumber")),
+      8), lit(100)) < 5)
+    val bCols = (1 to 7).map(i =>
+      M.oracleRound(expr(s"percentile(v, ${i}D / 8)"), 4).as(s"b$i"))
+    val bounds = sample.agg(bCols.head, bCols.tail: _*)
+    val assigned = li.crossJoin(broadcast(bounds))
+      .withColumn("range_id",
+        (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+          acc + when(col("v") > col(s"b$i"), 1).otherwise(0)
+        })
+      .groupBy("range_id").agg(count(lit(1)).as("n"))
+    val tot = assigned.agg(sum(col("n")).as("total"))
+    assigned.crossJoin(broadcast(tot))
+      .select(col("range_id"), col("n"),
+        M.oracleRound(col("n").cast("double") * 1e6 /
+          col("total").cast("double"), 1).as("share_ppm"))
+      .orderBy("range_id")
+  }
+
   // q238: local clustering coefficient over the q92 co-purchase graph
   // — cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)), the community-vs-link-farm
   // signal next to the raw triangle counts: same degree-ordered wedge
