@@ -271,6 +271,9 @@ object SparkEntry {
     "q238_clustering_coeff" -> (C.clusteringCoeff _),
     "q239_acf_daily" -> (C.acfDaily _),
     "q240_range_sort_audit" -> (C.rangeSortAudit _),
+    "q241_seasonal_decompose" -> (C.seasonalDecompose _),
+    "q242_mean_impute" -> (C.meanImpute _),
+    "q243_gap_design" -> (C.gapDesign _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3079,6 +3082,73 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // seasonal decomposition: centered MA-7 trend (full windows only),
+    // arithmetic day-of-week, re-centered seasonal means
+    "q241_seasonal_decompose" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |t AS (
+        | SELECT day, x,
+        |  CASE WHEN count(*) OVER w = 7
+        |   THEN round(avg(x) OVER w, 4) END AS trend,
+        |  CAST((day - DATE '2024-01-01') % 7 AS INTEGER) AS dow
+        | FROM daily
+        | WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT day, x, trend, dow, x - trend AS det FROM t),
+        |sr AS (SELECT dow, avg(det) AS s_raw FROM d
+        |       WHERE det IS NOT NULL GROUP BY 1),
+        |sm AS (SELECT avg(s_raw) AS s_mean FROM sr),
+        |se AS (SELECT dow, round(s_raw - sm.s_mean, 4) AS seasonal
+        |       FROM sr, sm)
+        |SELECT d.day, d.x, d.trend, se.seasonal,
+        | round(d.x - d.trend - se.seasonal, 4) AS remainder
+        |FROM d LEFT JOIN se ON d.dow = se.dow
+        |ORDER BY d.day""".stripMargin,
+    // mean imputation: survivors' 4-dp-pinned mean fills the planted
+    // nulls
+    "q242_mean_impute" ->
+      """WITH p AS (
+        | SELECT event_type,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        | FROM events),
+        |m AS (SELECT event_type, round(avg(v), 4) AS fill
+        |      FROM p GROUP BY 1)
+        |SELECT p.event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null,
+        | max(m.fill) AS fill,
+        | round(sum(coalesce(v, m.fill)), 4) AS sum_imputed
+        |FROM p JOIN m USING (event_type)
+        |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin,
+    // gap design: one delta pass, four conditional break counts
+    "q243_gap_design" ->
+      """WITH d AS (
+        | SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS dt_us
+        | FROM events),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN dt_us > 300000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b300,
+        |  CAST(sum(CASE WHEN dt_us > 900000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b900,
+        |  CAST(sum(CASE WHEN dt_us > 1800000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b1800,
+        |  CAST(sum(CASE WHEN dt_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b3600
+        | FROM d),
+        |u(gap_s, n_breaks) AS (
+        | SELECT 300, b300 FROM a UNION ALL SELECT 900, b900 FROM a
+        | UNION ALL SELECT 1800, b1800 FROM a
+        | UNION ALL SELECT 3600, b3600 FROM a)
+        |SELECT u.gap_s, a.n_events,
+        | a.n_users + u.n_breaks AS n_sessions,
+        | round(a.n_events * 1.0 / (a.n_users + u.n_breaks), 4)
+        |   AS events_per_session
+        |FROM u, a ORDER BY u.gap_s""".stripMargin,
     // range-sort audit: same 5% md5 sample, 4-dp-pinned sample
     // percentile boundaries, full-data range assignment
     "q240_range_sort_audit" ->

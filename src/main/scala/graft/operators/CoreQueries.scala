@@ -1078,6 +1078,94 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  // q241: additive seasonal decomposition (STL-lite) of the daily
+  // count series: trend = centered 7-day moving average (full windows
+  // only — edge days carry null trend, the honest convention),
+  // seasonal = day-of-week means of the detrended series re-centered
+  // to sum to zero, remainder = the rest. Day-of-week comes from pure
+  // date arithmetic (days since a fixed Monday, mod 7) — no calendar
+  // function, so both engines agree by construction. The decomposition
+  // every "is this metric drifting or just weekly" triage starts from;
+  // q239's acf(7) says seasonality exists, this one shows it.
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily.coalesce(1)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("__n") === 7, M.oracleRound(avg(col("x")).over(w), 4)))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("2024-01-01")), lit(7)).cast("int"))
+      .withColumn("det", col("x") - col("trend"))
+    val sRaw = trended.filter(col("det").isNotNull)
+      .groupBy("dow").agg(avg(col("det")).as("s_raw"))
+    val sMean = sRaw.agg(avg(col("s_raw")).as("s_mean"))
+    val seasonal = sRaw.crossJoin(broadcast(sMean))
+      .select(col("dow"),
+        M.oracleRound(col("s_raw") - col("s_mean"), 4).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day"), col("x"), col("trend"), col("seasonal"),
+        M.oracleRound(col("x") - col("trend") - col("seasonal"), 4)
+          .as("remainder"))
+      .orderBy("day")
+  }
+
+  // q242: null imputation audit — the data-prep step before any
+  // numeric model: plant nulls (every 13th event_id), impute by the
+  // per-group mean of the SURVIVORS (4-dp-pinned so both engines fill
+  // identical constants), report null mass and post-impute sums. One
+  // grouped aggregate for the means + one broadcast-join scan; at
+  // 100 TB imputation is a free column on the pass that computes the
+  // means' partials anyway.
+  def meanImpute(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.events(s, dir)
+      .select(col("event_type"),
+        when(pmod(col("event_id"), lit(13)) === 0, lit(null))
+          .otherwise(col("value")).as("v"))
+    val means = planted.groupBy("event_type")
+      .agg(M.oracleRound(avg(col("v")), 4).as("fill"))
+    planted.join(broadcast(means), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        max(col("fill")).as("fill"),
+        M.oracleRound(sum(coalesce(col("v"), col("fill"))), 4)
+          .as("sum_imputed"))
+      .orderBy("event_type")
+  }
+
+  // q243: sessionization gap design table — what q54's 30-minute gap
+  // choice costs: ONE keyed window pass computes every user's
+  // inter-event deltas, then each candidate gap is a conditional sum
+  // over the same deltas (sessions = users + breaks). The
+  // sessions-vs-gap elbow IS how the gap parameter gets picked; four
+  // candidates cost one scan, not four.
+  def gapDesign(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val dt = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dt_us", col("us") - lag(col("us"), 1).over(w))
+    val agg = dt.agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(when(col("dt_us") > 300L * 1000000L, 1L).otherwise(0L)).as("b300"),
+      sum(when(col("dt_us") > 900L * 1000000L, 1L).otherwise(0L)).as("b900"),
+      sum(when(col("dt_us") > 1800L * 1000000L, 1L).otherwise(0L)).as("b1800"),
+      sum(when(col("dt_us") > 3600L * 1000000L, 1L).otherwise(0L)).as("b3600"))
+    agg.select(col("n_events"), col("n_users"),
+        expr("stack(4, 300, b300, 900, b900, 1800, b1800, 3600, b3600) " +
+          "as (gap_s, n_breaks)"))
+      .select(col("gap_s"), col("n_events"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        M.oracleRound(col("n_events").cast("double") /
+          (col("n_users") + col("n_breaks")).cast("double"), 4)
+          .as("events_per_session"))
+      .orderBy("gap_s")
+  }
+
   // q240: range-partitioner balance audit — the mechanism inside every
   // global sort / sorted write: boundaries from a cheap deterministic
   // SAMPLE (5% md5 residue — Spark's RangePartitioner samples the same
