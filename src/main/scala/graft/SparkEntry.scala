@@ -274,6 +274,8 @@ object SparkEntry {
     "q241_seasonal_decompose" -> (C.seasonalDecompose _),
     "q242_mean_impute" -> (C.meanImpute _),
     "q243_gap_design" -> (C.gapDesign _),
+    "q244_stl_anomaly" -> (C.stlAnomaly _),
+    "q245_fanout_audit" -> (C.fanoutAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3082,6 +3084,48 @@ object SparkEntry {
         | round(CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
         |   / (t.n_a * t.n_b), 4) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // STL anomaly: q241's remainder CTEs + the q219 robust rule
+    "q244_stl_anomaly" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |t AS (
+        | SELECT day, x,
+        |  CASE WHEN count(*) OVER w = 7
+        |   THEN round(avg(x) OVER w, 4) END AS trend,
+        |  CAST((day - DATE '2024-01-01') % 7 AS INTEGER) AS dow
+        | FROM daily
+        | WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT day, x, trend, dow, x - trend AS det FROM t),
+        |sr AS (SELECT dow, avg(det) AS s_raw FROM d
+        |       WHERE det IS NOT NULL GROUP BY 1),
+        |sm AS (SELECT avg(s_raw) AS s_mean FROM sr),
+        |se AS (SELECT dow, round(s_raw - sm.s_mean, 4) AS seasonal
+        |       FROM sr, sm),
+        |r AS (
+        | SELECT d.day, round(d.x - d.trend - se.seasonal, 4) AS remainder
+        | FROM d LEFT JOIN se ON d.dow = se.dow
+        | WHERE d.trend IS NOT NULL),
+        |med AS (SELECT round(quantile_cont(remainder, 0.5), 4) AS med FROM r),
+        |mad AS (
+        | SELECT round(quantile_cont(abs(remainder - med), 0.5), 4) AS mad
+        | FROM r, med)
+        |SELECT r.day, r.remainder,
+        | round(0.6745 * (r.remainder - med.med) / mad.mad, 4) AS robust_z,
+        | abs(0.6745 * (r.remainder - med.med) / mad.mad) > 3.5 AS is_anomaly
+        |FROM r, med, mad ORDER BY r.day""".stripMargin,
+    // fanout audit: per-key multiplicity histogram + exact join
+    // cardinality prediction
+    "q245_fanout_audit" ->
+      """WITH f AS (
+        | SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout
+        | FROM lineitem GROUP BY 1),
+        |h AS (SELECT fanout, CAST(count(*) AS BIGINT) AS n_keys
+        |      FROM f GROUP BY 1),
+        |t AS (SELECT CAST(max(fanout) AS BIGINT) AS max_fanout,
+        |      CAST(sum(fanout) AS BIGINT) AS join_output_rows FROM f)
+        |SELECT h.fanout, h.n_keys, t.max_fanout, t.join_output_rows
+        |FROM h, t ORDER BY h.fanout""".stripMargin,
     // seasonal decomposition: centered MA-7 trend (full windows only),
     // arithmetic day-of-week, re-centered seasonal means
     "q241_seasonal_decompose" ->

@@ -1166,6 +1166,51 @@ object CoreQueries {
       .orderBy("gap_s")
   }
 
+  // q244: decomposition-residual anomaly flags — the production
+  // anomaly detector for seasonal metrics: q241's remainder scored by
+  // q219's robust rule (|0.6745·(r − med)/MAD| > 3.5), so a weekly
+  // cycle can never read as an anomaly and one true spike cannot
+  // inflate its own threshold. Emits only the days with a defined
+  // remainder, flagged or not — the rows a monitor would page on are
+  // the `is_anomaly` ones. Stats are 4-dp-pinned before the compare.
+  def stlAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dec = seasonalDecompose(s, dir)
+      .filter(col("remainder").isNotNull)
+    val med = dec.agg(M.oracleRound(
+      expr("percentile(remainder, 0.5D)"), 4).as("med"))
+    val mad = dec.crossJoin(broadcast(med))
+      .agg(M.oracleRound(
+        expr("percentile(abs(remainder - med), 0.5D)"), 4).as("mad"))
+    dec.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("day"), col("remainder"),
+        M.oracleRound(lit(0.6745) * (col("remainder") - col("med")) /
+          col("mad"), 4).as("robust_z"),
+        (abs(lit(0.6745) * (col("remainder") - col("med")) / col("mad"))
+          > 3.5).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  // q245: join-fanout audit — the statistic a join planner needs
+  // BEFORE the join: the per-key multiplicity distribution of the fact
+  // side (orders→lineitem), its max (the row a skewed merge blows up
+  // on), and the exact join output cardinality it predicts
+  // (Σ fanout·matches — here the 1:N PK case, so Σ fanout). One keyed
+  // aggregate + a bounded histogram; the 100 TB lesson is that this
+  // pass costs one map-side-combined count and prevents the
+  // 10⁹-row-output surprise.
+  def fanoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val fan = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+    fan.groupBy("fanout")
+      .agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(fan.agg(
+        max(col("fanout")).as("max_fanout"),
+        sum(col("fanout")).as("join_output_rows"))))
+      .select(col("fanout"), col("n_keys"), col("max_fanout"),
+        col("join_output_rows"))
+      .orderBy("fanout")
+  }
+
   // q240: range-partitioner balance audit — the mechanism inside every
   // global sort / sorted write: boundaries from a cheap deterministic
   // SAMPLE (5% md5 residue — Spark's RangePartitioner samples the same
