@@ -276,6 +276,10 @@ object SparkEntry {
     "q243_gap_design" -> (C.gapDesign _),
     "q244_stl_anomaly" -> (C.stlAnomaly _),
     "q245_fanout_audit" -> (C.fanoutAudit _),
+    "q246_mutual_info" -> (C.mutualInfo _),
+    "q247_mean_shift" -> (C.meanShift _),
+    "q248_theil_sen" -> (C.theilSen _),
+    "q249_compress_ratio" -> (P.compressRatio _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3126,6 +3130,62 @@ object SparkEntry {
         |      CAST(sum(fanout) AS BIGINT) AS join_output_rows FROM f)
         |SELECT h.fanout, h.n_keys, t.max_fanout, t.join_output_rows
         |FROM h, t ORDER BY h.fanout""".stripMargin,
+    // mutual information: joint histogram once, marginals/total as
+    // window sums over the tiny cell frame; contribs 4-dp-pinned
+    // before the mi_total sum
+    "q246_mutual_info" ->
+      """WITH j AS (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        | FROM documents GROUP BY 1, 2),
+        |c AS (
+        | SELECT lang, source, n_xy,
+        |  sum(n_xy) OVER () AS n,
+        |  sum(n_xy) OVER (PARTITION BY lang) AS n_x,
+        |  sum(n_xy) OVER (PARTITION BY source) AS n_y
+        | FROM j),
+        |p AS (
+        | SELECT lang, source, n_xy,
+        |  round(ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y)), 4) AS pmi,
+        |  round((n_xy * 1.0 / n) *
+        |        ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y)), 4) AS contrib
+        | FROM c)
+        |SELECT lang, source, n_xy, pmi, contrib,
+        | round(sum(contrib) OVER (), 4) AS mi_total
+        |FROM p ORDER BY lang, source""".stripMargin,
+    // mean shift: symmetric ROWS frames over the daily count, edge
+    // days filtered after the window pass
+    "q247_mean_shift" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT day, x,
+        |  count(*) OVER wpre AS n_pre, count(*) OVER wpost AS n_post,
+        |  round(avg(x) OVER wpre, 4) AS pre,
+        |  round(avg(x) OVER wpost, 4) AS post
+        | FROM daily
+        | WINDOW
+        |  wpre AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |  wpost AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING))
+        |SELECT day, CAST(x AS BIGINT) AS n_events, pre, post,
+        | round(post - pre, 4) AS shift,
+        | abs(round(post - pre, 4)) > 0.25 * pre AS is_shift
+        |FROM w WHERE n_pre = 7 AND n_post = 7 ORDER BY day""".stripMargin,
+    // Theil-Sen: median pairwise slope over the daily frame, slope
+    // 4-dp-pinned before the intercept median
+    "q248_theil_sen" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |d AS (SELECT (day - DATE '2024-01-01') * 1.0 AS d, x FROM daily),
+        |p AS (SELECT (b.x - a.x) / (b.d - a.d) AS slope
+        |      FROM d a JOIN d b ON a.d < b.d),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(quantile_cont(slope, 0.5), 4) AS slope FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        | max(f.n_pairs) AS n_pairs, max(f.slope) AS slope,
+        | round(quantile_cont(d.x - f.slope * d.d, 0.5), 4) AS intercept
+        |FROM d, f""".stripMargin,
     // seasonal decomposition: centered MA-7 trend (full windows only),
     // arithmetic day-of-week, re-centered seasonal means
     "q241_seasonal_decompose" ->

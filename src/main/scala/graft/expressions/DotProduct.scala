@@ -97,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.isNfcDescriptor)
     ext.injectFunction(GraftExtensions.acCountsDescriptor)
     ext.injectFunction(GraftExtensions.pairCountsDescriptor)
+    ext.injectFunction(GraftExtensions.deflateLenDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
@@ -221,6 +223,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_pair_counts takes exactly 1 argument, got ${children.length}")
         PairCounts(children.head)
+      })
+
+  /** `graft_deflate_len(str)` — zlib-deflated byte length of the
+    * string's UTF-8 bytes (see [[DeflateLen]], the compression-ratio
+    * quality signal). */
+  val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_deflate_len takes exactly 1 argument, got ${children.length}")
+        DeflateLen(children.head)
+      })
+
+  /** `graft_jaro_winkler(str, str)` — byte-level Jaro–Winkler
+    * similarity (see [[JaroWinkler]], the blocked fuzzy-match scorer). */
+  val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_jaro_winkler takes exactly 2 arguments, got ${children.length}")
+        JaroWinkler(children(0), children(1))
       })
 
   /** `graft_bloom_contains(filter, hash)` — probe a serialized

@@ -1985,4 +1985,97 @@ object CoreQueries {
         (col("rn") - 1).cast("int").as("sort_weight"))
       .orderBy("sort_weight")
   }
+
+  // q246: histogram mutual information between two categorical columns
+  // (lang × source on documents) — the feature-association audit that
+  // tells a pipeline whether a stratification key actually carries
+  // signal. ONE full-data shuffle builds the joint histogram; the
+  // marginals, total and per-cell PMI contributions are all window
+  // sums over that tiny (|langs|·|sources|) cell frame, so the cost at
+  // 100 TB is exactly one keyed count. Contributions are 4-dp-pinned
+  // before the mi_total sum so both engines add identical constants.
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+      .coalesce(1) // cell frame: |langs|·|sources| rows
+    val wAll = Window.partitionBy()
+    val wX = Window.partitionBy("lang")
+    val wY = Window.partitionBy("source")
+    val cells = joint
+      .withColumn("n", sum(col("n_xy")).over(wAll))
+      .withColumn("n_x", sum(col("n_xy")).over(wX))
+      .withColumn("n_y", sum(col("n_xy")).over(wY))
+      .withColumn("pmi", M.oracleRound(
+        log(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y"))), 4))
+      .withColumn("contrib", M.oracleRound(
+        (col("n_xy").cast("double") / col("n")) *
+          log(col("n_xy").cast("double") * col("n") /
+            (col("n_x").cast("double") * col("n_y"))), 4))
+    cells
+      .withColumn("mi_total",
+        M.oracleRound(sum(col("contrib")).over(wAll), 4))
+      .select(col("lang"), col("source"), col("n_xy"), col("pmi"),
+        col("contrib"), col("mi_total"))
+      .orderBy("lang", "source")
+  }
+
+  // q247: two-window mean-shift change detection over the daily event
+  // count — the level-shift monitor CUSUM approximates, expressed with
+  // symmetric ROWS frames so the recursion-free form is shuffle-exact
+  // in any engine: for each day, mean of the 7 preceding days vs mean
+  // of the current+6 following, flag |post − pre| > 25% of pre. The
+  // daily frame is tiny at any corpus scale (it's one row per day), so
+  // the single-partition window is a documented constant, not a skew
+  // hazard; the only full-data work is the one keyed daily count.
+  def meanShift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val wPre = Window.orderBy("day").rowsBetween(-7, -1)
+    val wPost = Window.orderBy("day").rowsBetween(0, 6)
+    daily.coalesce(1)
+      .withColumn("n_pre", count(lit(1)).over(wPre))
+      .withColumn("n_post", count(lit(1)).over(wPost))
+      .withColumn("pre", M.oracleRound(avg(col("x")).over(wPre), 4))
+      .withColumn("post", M.oracleRound(avg(col("x")).over(wPost), 4))
+      // filter AFTER the windows: dropping edge days must not shift
+      // the frames the means are computed over
+      .filter(col("n_pre") === 7 && col("n_post") === 7)
+      .withColumn("shift", M.oracleRound(col("post") - col("pre"), 4))
+      .select(col("day"), col("x").cast("long").as("n_events"),
+        col("pre"), col("post"), col("shift"),
+        (abs(col("shift")) > lit(0.25) * col("pre")).as("is_shift"))
+      .orderBy("day")
+  }
+
+  // q248: Theil–Sen robust trend estimate over the daily event count —
+  // the median of all pairwise slopes, immune to the outlier days that
+  // wreck a least-squares fit. The O(days²) pair join runs on the
+  // ALREADY-AGGREGATED daily frame (one row per day — ~4k pairs per
+  // quarter-year regardless of corpus size), so the full-data cost is
+  // again just the daily count; slope is 4-dp-pinned before the
+  // intercept pass so both engines fit the same line.
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01"))
+        .cast("double"))
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"))
+    val slopes = a.join(broadcast(b), col("d1") < col("d2"))
+      .select(((col("x2") - col("x1")) / (col("d2") - col("d1")))
+        .as("slope"))
+    val fit = slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      M.oracleRound(expr("percentile(slope, 0.5D)"), 4).as("slope"))
+    daily.crossJoin(broadcast(fit))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(col("n_pairs")).as("n_pairs"),
+        max(col("slope")).as("slope"),
+        M.oracleRound(
+          expr("percentile(x - slope * d, 0.5D)"), 4).as("intercept"))
+  }
 }

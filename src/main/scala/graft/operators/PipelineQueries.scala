@@ -223,6 +223,28 @@ object PipelineQueries {
         sha2(col("text"), 256).as("sha"))
       .orderBy("doc_id")
 
+  // q249: compression-ratio quality signal — deflate(text)/bytes per
+  // document, bucketed into deciles. Template spam and boilerplate
+  // compress far below natural prose; mojibake/binary junk sits near
+  // 1.0 — a one-scan corpus-quality histogram used by published
+  // curation pipelines. The native graft_deflate_len expression
+  // streams zlib over the UTF8 bytes inside whole-stage codegen and
+  // returns only the LENGTH (no compressed buffer ever materializes),
+  // so at 100 TB this is a map-only pass + one tiny keyed aggregate.
+  def compressRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("raw_bytes"),
+        call_function("graft_deflate_len", col("text")).as("zl_bytes"))
+      .filter(col("raw_bytes") > 0)
+      .withColumn("ratio", col("zl_bytes").cast("double") / col("raw_bytes"))
+      .groupBy(least(floor(col("ratio") * 10).cast("int"), lit(9))
+        .as("ratio_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        M.oracleRound(avg(col("ratio")), 4).as("mean_ratio"),
+        M.oracleRound(avg(col("raw_bytes")), 2).as("mean_bytes"))
+      .orderBy("ratio_decile")
+
   // rolling-hash fingerprint (order-sensitive; rows-only check)
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
