@@ -280,6 +280,16 @@ object SparkEntry {
     "q247_mean_shift" -> (C.meanShift _),
     "q248_theil_sen" -> (C.theilSen _),
     "q249_compress_ratio" -> (P.compressRatio _),
+    "q250_record_linkage" -> (P.recordLinkage _),
+    "q251_spearman" -> (C.spearman _),
+    "q252_kendall_tau" -> (C.kendallTau _),
+    "q253_welch_ttest" -> (C.welchTtest _),
+    "q254_anova_f" -> (C.anovaF _),
+    "q255_ccf_daily" -> (C.ccfDaily _),
+    "q256_diversity" -> (C.diversity _),
+    "q257_jackknife_mean" -> (C.jackknifeMean _),
+    "q258_image_dhash" -> (P.imageDhash _),
+    "q259_image_neardup" -> (P.imageNeardup _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3186,6 +3196,294 @@ object SparkEntry {
         | max(f.n_pairs) AS n_pairs, max(f.slope) AS slope,
         | round(quantile_cont(d.x - f.slope * d.d, 0.5), 4) AS intercept
         |FROM d, f""".stripMargin,
+    // blocked JW linkage: distinct names per (brand,size) block,
+    // in-block pairs scored with the engine's own jaro_winkler
+    // (byte-level, boost 0.7 — semantics pinned in StatsWaveSpec),
+    // 4-dp pinned before threshold and rank
+    "q250_record_linkage" ->
+      """WITH n AS (
+        | SELECT DISTINCT p_brand, p_size, p_name AS name
+        | FROM part WHERE p_name IS NOT NULL),
+        |p AS (
+        | SELECT a.p_brand AS brand, a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+        | FROM n a JOIN n b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.name < b.name),
+        |r AS (
+        | SELECT brand, name_a, name_b, jw,
+        |  CAST(row_number() OVER (
+        |   PARTITION BY brand ORDER BY jw DESC, name_a, name_b)
+        |   AS BIGINT) AS rnk
+        | FROM p WHERE jw >= 0.8)
+        |SELECT brand, name_a, name_b, jw, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY brand, rnk""".stripMargin,
+    // Spearman: fractional (average) ranks via min-rank + (ties-1)/2,
+    // avg_value 6-dp-pinned before ranking so tie groups align
+    "q251_spearman" ->
+      """WITH u AS (
+        | SELECT user_id, CAST(count(*) AS DOUBLE) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        | FROM events GROUP BY 1),
+        |r AS (
+        | SELECT n_events, avg_value,
+        |  rank() OVER (ORDER BY n_events) +
+        |   (count(*) OVER (PARTITION BY n_events) - 1) / 2.0 AS rx,
+        |  rank() OVER (ORDER BY avg_value) +
+        |   (count(*) OVER (PARTITION BY avg_value) - 1) / 2.0 AS ry
+        | FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        | round(corr(rx, ry), 4) AS rho_spearman,
+        | round(corr(n_events, avg_value), 4) AS rho_pearson
+        |FROM r""".stripMargin,
+    // Kendall tau-b on the daily frame: sign counts over all day
+    // pairs; days are distinct so ties occur only in x
+    "q252_kendall_tau" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |d AS (SELECT (day - DATE '2024-01-01') * 1.0 AS d, x FROM daily),
+        |p AS (
+        | SELECT sign(b.x - a.x) AS sgn
+        | FROM d a JOIN d b ON a.d < b.d),
+        |c AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS discordant,
+        |  CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS ties_x
+        | FROM p)
+        |SELECT n_pairs, concordant, discordant, ties_x,
+        | round((concordant - discordant) * 1.0 /
+        |  sqrt((n_pairs - ties_x) * 1.0 * n_pairs), 4) AS tau_b
+        |FROM c""".stripMargin,
+    // Welch t per source vs rest, all moments from exact integer sums
+    "q253_welch_ttest" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS DOUBLE) AS n_g,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s_g,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars) AS ss_g
+        | FROM documents GROUP BY 1),
+        |t AS (
+        | SELECT source, n_g, s_g, ss_g,
+        |  sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+        |  sum(ss_g) OVER () AS ss
+        | FROM g),
+        |d AS (
+        | SELECT source, n_g,
+        |  s_g / n_g AS mean_g,
+        |  (ss_g - s_g * s_g / n_g) / (n_g - 1) AS var_g,
+        |  n - n_g AS n_c,
+        |  (s - s_g) / (n - n_g) AS mean_c,
+        |  (ss - ss_g - (s - s_g) * (s - s_g) / (n - n_g)) / (n - n_g - 1)
+        |   AS var_c
+        | FROM t),
+        |v AS (
+        | SELECT source, n_g, mean_g, mean_c,
+        |  var_g / n_g AS va, var_c / n_c AS vb, n_c
+        | FROM d)
+        |SELECT source, CAST(n_g AS BIGINT) AS n_docs,
+        | round(mean_g, 4) AS mean_src, round(mean_c, 4) AS mean_rest,
+        | round((mean_g - mean_c) / sqrt(va + vb), 4) AS t_stat,
+        | round(pow(va + vb, 2) /
+        |  (pow(va, 2) / (n_g - 1) + pow(vb, 2) / (n_c - 1)), 4)
+        |  AS df_welch
+        |FROM v ORDER BY source""".stripMargin,
+    // one-way ANOVA F from the same exact group sums
+    "q254_anova_f" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS DOUBLE) AS n_g,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s_g,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars) AS ss_g
+        | FROM documents GROUP BY 1),
+        |t AS (
+        | SELECT n_g, s_g, ss_g,
+        |  sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+        |  sum(ss_g) OVER () AS ss,
+        |  CAST(count(*) OVER () AS DOUBLE) AS k
+        | FROM g),
+        |c AS (
+        | SELECT n, k,
+        |  sum(n_g * pow(s_g / n_g - s / n, 2)) OVER () AS ssb,
+        |  sum(ss_g - s_g * s_g / n_g) OVER () AS ssw
+        | FROM t LIMIT 1)
+        |SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_docs,
+        | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        | round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+        | round(ssb / (ssb + ssw), 4) AS eta_sq
+        |FROM c""".stripMargin,
+    // CCF at lags -7..+7 between the click and purchase daily counts
+    "q255_ccf_daily" ->
+      """WITH x AS (
+        | SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS d,
+        |  CAST(count(*) AS DOUBLE) AS x
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |y AS (
+        | SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS d,
+        |  CAST(count(*) AS DOUBLE) AS y
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(range AS INT) AS lag FROM range(-7, 8))
+        |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+        | round(corr(x.x, y.y), 4) AS ccf
+        |FROM x CROSS JOIN l JOIN y ON y.d = x.d + l.lag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-source language diversity: Shannon, Simpson, exp(H)
+    "q256_diversity" ->
+      """WITH cells AS (
+        | SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+        | FROM documents GROUP BY 1, 2),
+        |p AS (
+        | SELECT source, c, sum(c) OVER (PARTITION BY source) AS tot
+        | FROM cells)
+        |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_langs,
+        | round(-sum(c / tot * ln(c / tot)), 4) AS shannon,
+        | round(sum((c / tot) * (c / tot)), 4) AS simpson,
+        | round(exp(-sum(c / tot * ln(c / tot))), 4) AS eff_langs
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // dHash closed form: the engine really decodes the PNG; the oracle
+    // recomputes the 9×8 NN grid straight from the generator's md5
+    // pixel formula — grid point (x,y) samples raster index
+    // (y·h/8)·w + (x·w/9) (integer floor), gray = r+g+b, bit k=y·8+x
+    // set iff gray(x,y) > gray(x+1,y), bands little-endian 16-bit
+    "q258_image_dhash" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 9 + 5 AS BIGINT) AS h
+        | FROM documents),
+        |gx AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, 8)) AS x
+        | FROM dims),
+        |grid AS (
+        | SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y
+        | FROM gx),
+        |pix AS (
+        | SELECT doc_id, x, y,
+        |  ((y * h) // 8) * w + ((x * w) // 9) AS p
+        | FROM grid),
+        |gray AS (
+        | SELECT doc_id, x, y,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p + 1)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p + 2)), 1, 8))
+        |    AS BIGINT) % 256 AS g
+        | FROM pix),
+        |bits AS (
+        | SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+        |  CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        | FROM gray a JOIN gray b
+        |  ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        | WHERE a.x < 8)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN k < 16 THEN bit * (1 << (k % 16)) ELSE 0 END)
+        |  AS INT) AS b0,
+        | CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN bit * (1 << (k % 16))
+        |  ELSE 0 END) AS INT) AS b1,
+        | CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN bit * (1 << (k % 16))
+        |  ELSE 0 END) AS INT) AS b2,
+        | CAST(sum(CASE WHEN k >= 48 THEN bit * (1 << (k % 16)) ELSE 0 END)
+        |  AS INT) AS b3
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // image near-dup: same closed form over original + clamped
+    // +8-brightness planted copies, banded candidates, Hamming <= 10
+    "q259_image_neardup" ->
+      """WITH imgs AS (
+        | SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
+        | UNION ALL
+        | SELECT doc_id * 2 + 1, doc_id, 8 FROM documents
+        | WHERE doc_id % 17 = 0),
+        |dims AS (
+        | SELECT img_id, doc_id, delta,
+        |  CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 9 + 5 AS BIGINT) AS h
+        | FROM imgs),
+        |gx AS (
+        | SELECT img_id, doc_id, delta, w, h,
+        |  unnest(generate_series(0, 8)) AS x
+        | FROM dims),
+        |grid AS (
+        | SELECT img_id, doc_id, delta, w, h, x,
+        |  unnest(generate_series(0, 7)) AS y
+        | FROM gx),
+        |pix AS (
+        | SELECT img_id, doc_id, delta, x, y,
+        |  ((y * h) // 8) * w + ((x * w) // 9) AS p
+        | FROM grid),
+        |gray AS (
+        | SELECT img_id, x, y,
+        |  least(255, CAST(('0x' || substr(md5('png:' || doc_id || ':' ||
+        |    (3*p)), 1, 8)) AS BIGINT) % 256 + delta) +
+        |  least(255, CAST(('0x' || substr(md5('png:' || doc_id || ':' ||
+        |    (3*p + 1)), 1, 8)) AS BIGINT) % 256 + delta) +
+        |  least(255, CAST(('0x' || substr(md5('png:' || doc_id || ':' ||
+        |    (3*p + 2)), 1, 8)) AS BIGINT) % 256 + delta) AS g
+        | FROM pix),
+        |bits AS (
+        | SELECT a.img_id, (a.y * 8 + a.x) AS k,
+        |  CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        | FROM gray a JOIN gray b
+        |  ON a.img_id = b.img_id AND b.y = a.y AND b.x = a.x + 1
+        | WHERE a.x < 8),
+        |bands AS (
+        | SELECT img_id,
+        |  CAST(sum(CASE WHEN k < 16 THEN bit * (1 << (k % 16)) ELSE 0 END)
+        |   AS INT) AS b0,
+        |  CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN bit * (1 << (k % 16))
+        |   ELSE 0 END) AS INT) AS b1,
+        |  CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN bit * (1 << (k % 16))
+        |   ELSE 0 END) AS INT) AS b2,
+        |  CAST(sum(CASE WHEN k >= 48 THEN bit * (1 << (k % 16)) ELSE 0 END)
+        |   AS INT) AS b3
+        | FROM bits GROUP BY img_id),
+        |ex AS (
+        | SELECT img_id, unnest([b0, b1, b2, b3]) AS v,
+        |  unnest([0, 1, 2, 3]) AS band
+        | FROM bands),
+        |cand AS (
+        | SELECT a.img_id AS id_a, b.img_id AS id_b,
+        |  CAST(count(*) AS INT) AS n_bands
+        | FROM ex a JOIN ex b ON a.band = b.band AND a.v = b.v
+        |  AND a.img_id < b.img_id
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ham AS (
+        | SELECT id_a, id_b, n_bands,
+        |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+        |   bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        |   AS INT) AS hamming
+        | FROM cand
+        | JOIN bands ha ON ha.img_id = cand.id_a
+        | JOIN bands hb ON hb.img_id = cand.id_b)
+        |SELECT id_a, id_b, n_bands, hamming FROM ham
+        |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin,
+    // delete-one-group jackknife of the corpus mean doc length
+    "q257_jackknife_mean" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS DOUBLE) AS n_g,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s_g
+        | FROM documents GROUP BY 1),
+        |t AS (
+        | SELECT source, n_g, s_g,
+        |  sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+        |  CAST(count(*) OVER () AS DOUBLE) AS gcnt
+        | FROM g),
+        |j AS (
+        | SELECT source, n_g, n, s, gcnt,
+        |  (s - s_g) / (n - n_g) AS loo_mean
+        | FROM t),
+        |k AS (
+        | SELECT source, n_g, n, s, loo_mean,
+        |  avg(loo_mean) OVER () AS loo_bar, gcnt
+        | FROM j)
+        |SELECT source, CAST(n_g AS BIGINT) AS n_docs,
+        | round(loo_mean, 4) AS loo_mean,
+        | round(s / n, 4) AS full_mean,
+        | round(sqrt((gcnt - 1) / gcnt *
+        |  sum(pow(loo_mean - loo_bar, 2)) OVER ()), 4) AS jk_se
+        |FROM k ORDER BY source""".stripMargin,
     // seasonal decomposition: centered MA-7 trend (full windows only),
     // arithmetic day-of-week, re-centered seasonal means
     "q241_seasonal_decompose" ->

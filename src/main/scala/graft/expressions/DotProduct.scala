@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowSelectDescriptor)
     ext.injectFunction(GraftExtensions.pngBytesDescriptor)
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
+    ext.injectFunction(GraftExtensions.pngDhashDescriptor)
     ext.injectFunction(GraftExtensions.gifBytesDescriptor)
     ext.injectFunction(GraftExtensions.gifDecodeDescriptor)
     ext.injectFunction(GraftExtensions.gifResizeDescriptor)
@@ -290,15 +291,31 @@ object GraftExtensions {
         WinnowSelect(children.head, intArg(1), intArg(2))
       })
 
-  /** `graft_png_bytes(width, height, docId)` — real 8-bit RGB PNG
-    * payload with md5-derived pixels (see [[PngBytes]]). */
+  /** `graft_png_bytes(width, height, docId[, brightness])` — real
+    * 8-bit RGB PNG payload with md5-derived pixels; the optional
+    * brightness delta (clamped per channel) plants photometric
+    * near-duplicates (see [[PngBytes]]). */
   val pngBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_png_bytes"),
       new ExpressionInfo(classOf[PngBytes].getName, "graft_png_bytes"),
       (children: Seq[Expression]) => {
-        require(children.length == 3,
-          s"graft_png_bytes takes exactly 3 arguments, got ${children.length}")
-        PngBytes(children(0), children(1), children(2))
+        require(children.length == 3 || children.length == 4,
+          s"graft_png_bytes takes 3 or 4 arguments, got ${children.length}")
+        val delta = if (children.length == 4) children(3)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0)
+        PngBytes(children(0), children(1), children(2), delta)
+      })
+
+  /** `graft_png_dhash(binary)` — perceptual difference-hash of a
+    * decoded PNG as four 16-bit bands (see [[PngDhash]]; the bands
+    * are the LSH buckets of the image near-dup join). */
+  val pngDhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_png_dhash"),
+      new ExpressionInfo(classOf[PngDhash].getName, "graft_png_dhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_png_dhash takes exactly 1 argument, got ${children.length}")
+        PngDhash(children.head)
       })
 
   /** `graft_png_decode(binary)` — full PNG decode (chunk walk + CRC +

@@ -5,7 +5,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -38,28 +38,31 @@ import org.apache.spark.sql.types._
   * bug all go red on the means against the generator's closed form.
   */
 case class PngBytes(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression {
+    third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(first, second).forall(_.dataType.isInstanceOf[IntegerType]) &&
+    if (Seq(first, second, fourth).forall(_.dataType.isInstanceOf[IntegerType]) &&
         third.dataType.isInstanceOf[LongType])
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_png_bytes requires (int width, int height, long docId), got " +
-        Seq(first, second, third).map(_.dataType).mkString(", "))
+      "graft_png_bytes requires (int width, int height, long docId, " +
+        "int brightness), got " +
+        Seq(first, second, third, fourth).map(_.dataType).mkString(", "))
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_png_bytes"
 
-  override def nullSafeEval(w: Any, h: Any, id: Any): Any =
+  override def nullSafeEval(w: Any, h: Any, id: Any, d: Any): Any =
     PngBytes.build(w.asInstanceOf[Int], h.asInstanceOf[Int],
-      id.asInstanceOf[Long])
+      id.asInstanceOf[Long], d.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (w, h, id) =>
-      s"${ev.value} = graft.expressions.PngBytes.build($w, $h, $id);")
+    nullSafeCodeGen(ctx, ev, (w, h, id, d) =>
+      s"${ev.value} = graft.expressions.PngBytes.build($w, $h, $id, $d);")
 
   override protected def withNewChildrenInternal(f: Expression,
-      s: Expression, t: Expression): PngBytes = copy(f, s, t)
+      s: Expression, t: Expression, q: Expression): PngBytes =
+    copy(f, s, t, q)
 }
 
 object PngBytes {
@@ -98,8 +101,12 @@ object PngBytes {
     out.write(be(crc.getValue), 0, 4)
   }
 
-  /** Public + static-shaped so generated code can call it. */
-  def build(w: Int, h: Int, id: Long): Array[Byte] = {
+  /** Public + static-shaped so generated code can call it. `delta` is
+    * a clamped brightness shift per channel byte — min(255, px+delta)
+    * (delta >= 0) / max(0, px+delta) (delta < 0) — the photometric
+    * perturbation used to PLANT near-duplicate images for the
+    * perceptual-hash queries: same md5 content, different bytes. */
+  def build(w: Int, h: Int, id: Long, delta: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
       s"png dims out of range: ${w}x$h")
     val bpp = 3
@@ -110,7 +117,8 @@ object PngBytes {
     while (r < h) {
       var x = 0
       while (x < stride) {
-        raw(r)(x) = pixelByte(id, r * stride + x).toByte
+        val v = pixelByte(id, r * stride + x) + delta
+        raw(r)(x) = math.max(0, math.min(255, v)).toByte
         x += 1
       }
       r += 1
@@ -219,9 +227,38 @@ object PngDecode {
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
+  /** Decoded image: dims, IDAT chunk count, and the un-filtered RGB
+    * scanlines (`rows(r)(x)`, stride = 3·w). The shared product of
+    * [[decodeRaw]], consumed by both the stats row ([[decode]]) and
+    * the perceptual hash ([[PngDhash]]). */
+  private[expressions] final case class PngRaw(
+      w: Int, h: Int, nIdat: Int, rows: Array[Array[Byte]])
+
   /** Full decode → stats row, or null for any non-conforming payload.
     * Public + static-shaped so generated code can call it. */
   def decode(png: Array[Byte]): InternalRow = {
+    val raw = decodeRaw(png)
+    if (raw == null) return null
+    val stride = raw.w * 3
+    val sums = new Array[Long](3)
+    var r = 0
+    while (r < raw.h) {
+      var x = 0
+      while (x < stride) {
+        sums(x % 3) += raw.rows(r)(x) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    val npx = raw.w.toLong * raw.h
+    new GenericInternalRow(Array[Any](raw.w, raw.h, 8, 2, raw.nIdat, npx,
+      round4(sums(0).toDouble / npx), round4(sums(1).toDouble / npx),
+      round4(sums(2).toDouble / npx)))
+  }
+
+  /** Chunk walk + CRC verify + inflate + un-filter → [[PngRaw]], or
+    * null for any non-conforming payload. */
+  private[expressions] def decodeRaw(png: Array[Byte]): PngRaw = {
     if (png == null || png.length < 8) return null
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
     var i = 0
@@ -310,19 +347,89 @@ object PngDecode {
       }
       r += 1
     }
-    val sums = new Array[Long](3)
-    r = 0
-    while (r < h) {
+    PngRaw(w, h, nIdat, raw)
+  }
+}
+
+/** `graft_png_dhash(png)` — perceptual difference-hash of a decoded
+  * PNG, the image-dedup primitive: exact byte hashing (sha/md5) breaks
+  * under ANY re-encode or photometric tweak, while dHash is stable
+  * under brightness shifts and mild noise, so near-duplicate images
+  * land within a small Hamming distance. Contract (pinned, so the
+  * md5 closed form of the generator gives an ANSI-SQL oracle):
+  *
+  *  - sample a 9×8 grid by nearest neighbor: source pixel for grid
+  *    (x, y) is (x·w/9, y·h/8), integer floor;
+  *  - gray = r+g+b of the sampled pixel (sum, no division — order is
+  *    all a comparison needs);
+  *  - bit k = y·8+x (x in 0..7) is set iff gray(x,y) > gray(x+1,y);
+  *  - the 64 bits are returned as four 16-bit bands b0..b3
+  *    (b_j = bits [16j, 16j+16), little-endian within the band) —
+  *    band-equality IS the LSH bucketing for the near-dup join, and
+  *    keeping bands separate avoids 64-bit sign pitfalls in SQL.
+  *
+  * Null for any non-conforming payload, like [[PngDecode]].
+  */
+case class PngDhash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_png_dhash requires a binary input, got $t")
+  }
+  override def dataType: DataType = PngDhash.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    PngDhash.dhash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.expressions.PngDhash.dhash($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PngDhash =
+    copy(child = newChild)
+}
+
+object PngDhash {
+  val schema: StructType = StructType(Seq(
+    StructField("b0", IntegerType, nullable = false),
+    StructField("b1", IntegerType, nullable = false),
+    StructField("b2", IntegerType, nullable = false),
+    StructField("b3", IntegerType, nullable = false)))
+
+  /** Public + static-shaped so generated code can call it. */
+  def dhash(png: Array[Byte]): InternalRow = {
+    val raw = PngDecode.decodeRaw(png)
+    if (raw == null) return null
+    // 9×8 nearest-neighbor grid of channel sums
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = y * raw.h / 8
+      val row = raw.rows(sy)
       var x = 0
-      while (x < stride) {
-        sums(x % 3) += raw(r)(x) & 0xff
+      while (x < 9) {
+        val sx = x * raw.w / 9
+        val o = sx * 3
+        gray(y)(x) = (row(o) & 0xff) + (row(o + 1) & 0xff) +
+          (row(o + 2) & 0xff)
         x += 1
       }
-      r += 1
+      y += 1
     }
-    val npx = w.toLong * h
-    new GenericInternalRow(Array[Any](w, h, bitDepth, colorType, nIdat, npx,
-      round4(sums(0).toDouble / npx), round4(sums(1).toDouble / npx),
-      round4(sums(2).toDouble / npx)))
+    val bands = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      val gy = k / 8
+      val gx = k % 8
+      if (gray(gy)(gx) > gray(gy)(gx + 1))
+        bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](bands(0), bands(1), bands(2), bands(3)))
   }
 }

@@ -2078,4 +2078,217 @@ object CoreQueries {
         M.oracleRound(
           expr("percentile(x - slope * d, 0.5D)"), 4).as("intercept"))
   }
+
+  // q251: Spearman rank correlation between per-user activity volume
+  // and mean event value — the monotone-association audit Pearson
+  // can't give (robust to the heavy-tailed n_events distribution).
+  // Full-data cost is ONE keyed aggregate; the rank windows run on the
+  // per-user frame, bounded by |users| — at a scale where that frame
+  // itself is huge, the two-level bucket-offset rank (q143's pattern)
+  // replaces the global window. avg_value is 6-dp-pinned BEFORE
+  // ranking so tie groups are well-defined identically in both
+  // engines; fractional (average) ranks make ties exact.
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("n_events"),
+        M.oracleRound(avg(col("value")), 6).as("avg_value"))
+      .coalesce(1) // per-user frame; see scaladoc for the big-frame form
+    def frank(c: String): Column =
+      rank().over(Window.orderBy(col(c))).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(col(c))).cast("double") -
+          1.0) / 2.0
+    perUser
+      .withColumn("rx", frank("n_events"))
+      .withColumn("ry", frank("avg_value"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        M.oracleRound(corr(col("rx"), col("ry")), 4).as("rho_spearman"),
+        M.oracleRound(corr(col("n_events"), col("avg_value")), 4)
+          .as("rho_pearson"))
+  }
+
+  // q252: Kendall tau-b over the daily event count — the
+  // concordance-based trend test that pairs with q248's Theil–Sen
+  // slope (same O(days²) pair join on the already-aggregated daily
+  // frame; corpus-size-independent). Days are distinct so ties exist
+  // only in x; tau-b's tie correction uses exactly those.
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01"))
+        .cast("double"))
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"))
+    val sgns = a.join(broadcast(b), col("d1") < col("d2"))
+      .select(signum(col("x2") - col("x1")).as("sgn"))
+    sgns
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("ties_x"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"),
+        M.oracleRound(
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+              col("n_pairs").cast("double")), 4).as("tau_b"))
+  }
+
+  // q253: Welch's unequal-variance t — each source's doc length vs
+  // the REST of the corpus, the per-slice distribution-drift alarm.
+  // Everything derives from per-group (n, Σx, Σx²): n_chars is
+  // integer-valued so the sums are EXACT in double (< 2^53), making
+  // mean/variance/t bit-identical across engines before the 4-dp pin;
+  // the complement's stats come from windowed grand totals over the
+  // |sources|-row frame — full-data cost is one keyed aggregate.
+  def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val g = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_g"),
+        sum(x).as("s_g"), sum(x * x).as("ss_g"))
+      .coalesce(1)
+    val w = Window.partitionBy()
+    g.withColumn("n", sum(col("n_g")).over(w))
+      .withColumn("s", sum(col("s_g")).over(w))
+      .withColumn("ss", sum(col("ss_g")).over(w))
+      .withColumn("mean_g", col("s_g") / col("n_g"))
+      .withColumn("var_g",
+        (col("ss_g") - col("s_g") * col("s_g") / col("n_g")) /
+          (col("n_g") - 1))
+      .withColumn("n_c", col("n") - col("n_g"))
+      .withColumn("mean_c", (col("s") - col("s_g")) / col("n_c"))
+      .withColumn("var_c",
+        (col("ss") - col("ss_g") -
+          (col("s") - col("s_g")) * (col("s") - col("s_g")) / col("n_c")) /
+          (col("n_c") - 1))
+      .withColumn("va", col("var_g") / col("n_g"))
+      .withColumn("vb", col("var_c") / col("n_c"))
+      .select(col("source"), col("n_g").cast("long").as("n_docs"),
+        M.oracleRound(col("mean_g"), 4).as("mean_src"),
+        M.oracleRound(col("mean_c"), 4).as("mean_rest"),
+        M.oracleRound((col("mean_g") - col("mean_c")) /
+          sqrt(col("va") + col("vb")), 4).as("t_stat"),
+        M.oracleRound(
+          pow(col("va") + col("vb"), 2) /
+            (pow(col("va"), 2) / (col("n_g") - 1) +
+              pow(col("vb"), 2) / (col("n_c") - 1)), 4).as("df_welch"))
+      .orderBy("source")
+  }
+
+  // q254: one-way ANOVA F of doc length across sources — the global
+  // "does source matter at all" gate in front of q253's per-source
+  // probes. Same exact-sums trick; SSB/SSW are window sums over the
+  // |sources|-row frame, so the full-data cost is one keyed aggregate.
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val g = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_g"),
+        sum(x).as("s_g"), sum(x * x).as("ss_g"))
+      .coalesce(1)
+    val w = Window.partitionBy()
+    g.withColumn("n", sum(col("n_g")).over(w))
+      .withColumn("s", sum(col("s_g")).over(w))
+      .withColumn("ss", sum(col("ss_g")).over(w))
+      .withColumn("k", count(lit(1)).over(w).cast("double"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("ssb_g",
+        col("n_g") * pow(col("s_g") / col("n_g") - col("mean"), 2))
+      .withColumn("ssw_g",
+        col("ss_g") - col("s_g") * col("s_g") / col("n_g"))
+      .withColumn("ssb", sum(col("ssb_g")).over(w))
+      .withColumn("ssw", sum(col("ssw_g")).over(w))
+      .limit(1)
+      .select(
+        col("k").cast("long").as("n_groups"),
+        col("n").cast("long").as("n_docs"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("n") - col("k")).cast("long").as("df2"),
+        M.oracleRound((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 4).as("f_stat"),
+        M.oracleRound(col("ssb") / (col("ssb") + col("ssw")), 4)
+          .as("eta_sq"))
+  }
+
+  // q255: cross-correlation function between the click and purchase
+  // daily counts at lags −7..+7 — the lead/lag discovery probe (does
+  // purchase volume follow click volume?). Two keyed daily counts,
+  // then a lag × day join on the TINY daily frames (the 15-row lag
+  // table and the ~90-row purchase frame both broadcast); corr per
+  // lag over integer-valued doubles.
+  def ccfDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def daily(t: String, cn: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as(cn))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01")))
+    val x = daily("click", "x").select(col("d"), col("x"))
+    val y = daily("purchase", "y").select(col("d").as("dy"), col("y"))
+    val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(broadcast(y), col("dy") === col("d") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        M.oracleRound(corr(col("x"), col("y")), 4).as("ccf"))
+      .orderBy("lag")
+  }
+
+  // q256: per-source language-diversity panel — Shannon entropy,
+  // Simpson concentration, and the effective language count
+  // (exp(H), "how many languages is this source REALLY"), the corpus
+  // mixture-health dashboard row. One keyed (source, lang) count;
+  // shares and entropies live on the |sources|·|langs| cell frame.
+  def diversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).cast("double").as("c"))
+      .coalesce(1)
+    val w = Window.partitionBy("source")
+    cells
+      .withColumn("tot", sum(col("c")).over(w))
+      .withColumn("p", col("c") / col("tot"))
+      .groupBy("source")
+      .agg(
+        max(col("tot")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        M.oracleRound(-sum(col("p") * log(col("p"))), 4).as("shannon"),
+        M.oracleRound(sum(col("p") * col("p")), 4).as("simpson"),
+        M.oracleRound(exp(-sum(col("p") * log(col("p")))), 4)
+          .as("eff_langs"))
+      .orderBy("source")
+  }
+
+  // q257: delete-one-group jackknife of the corpus mean doc length —
+  // per source, the leave-that-source-out mean, plus the jackknife
+  // standard error over the G leave-one-out estimates with the
+  // classic (G−1)/G factor (stated contract: the unweighted
+  // delete-one-GROUP jackknife — the influence audit "which source
+  // moves the corpus mean"). Exact integer sums again; both window
+  // passes run on the |sources|-row frame.
+  def jackknifeMean(s: SparkSession, dir: String): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val g = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_g"), sum(x).as("s_g"))
+      .coalesce(1)
+    val w = Window.partitionBy()
+    g.withColumn("n", sum(col("n_g")).over(w))
+      .withColumn("s", sum(col("s_g")).over(w))
+      .withColumn("gcnt", count(lit(1)).over(w).cast("double"))
+      .withColumn("loo_mean",
+        (col("s") - col("s_g")) / (col("n") - col("n_g")))
+      .withColumn("loo_bar", avg(col("loo_mean")).over(w))
+      .withColumn("jk_se",
+        sqrt((col("gcnt") - 1) / col("gcnt") *
+          sum(pow(col("loo_mean") - col("loo_bar"), 2)).over(w)))
+      .select(col("source"), col("n_g").cast("long").as("n_docs"),
+        M.oracleRound(col("loo_mean"), 4).as("loo_mean"),
+        M.oracleRound(col("s") / col("n"), 4).as("full_mean"),
+        M.oracleRound(col("jk_se"), 4).as("jk_se"))
+      .orderBy("source")
+  }
 }

@@ -306,6 +306,32 @@ object CorpusOps {
       .select("name_a", "name_b", "dist")
   }
 
+  /** Blocked Jaro–Winkler record linkage: distinct (block, name) rows,
+    * an equi-join on the blocking key(s), and the native
+    * `graft_jaro_winkler` scorer on each in-block pair (a < b), 4-dp
+    * pinned, thresholded at `minSim`. Same shape as [[fuzzyPairs]] but
+    * with the similarity scorer entity resolution actually ranks by —
+    * JW rewards shared prefixes, the name-key case, where edit
+    * distance treats all positions alike. The JW loop is O(la·lb) per
+    * pair, so the BLOCKING is the scale contract: the pair stage sees
+    * Σ_blocks |block|², never |corpus|² — a degenerate block is the
+    * skew alarm exactly as in [[fuzzyPairs]]. */
+  def linkagePairs(df: DataFrame, nameCol: String,
+      blockCols: Seq[String], minSim: Double): DataFrame = {
+    require(blockCols.nonEmpty, "linkage needs at least one blocking key")
+    val names = df
+      .select((blockCols.map(col) :+ col(nameCol).as("name")): _*)
+      .filter(col("name").isNotNull).distinct()
+    val a = names.toDF(blockCols :+ "name_a": _*)
+    val b = names.toDF(blockCols :+ "name_b": _*)
+    a.join(b, blockCols)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", MysqlFunctions.oracleRound(
+        call_function("graft_jaro_winkler", col("name_a"), col("name_b")),
+        4))
+      .filter(col("jw") >= minSim)
+  }
+
   /** [[decontaminate]] over pre-shingled `(id, __sh array<string>)`
     * rows — lets a pipeline reuse one materialized shingle stage across
     * dedup AND decontamination instead of re-tokenizing the corpus

@@ -245,6 +245,28 @@ object PipelineQueries {
         M.oracleRound(avg(col("raw_bytes")), 2).as("mean_bytes"))
       .orderBy("ratio_decile")
 
+  // q250: blocked Jaro–Winkler record linkage over part names —
+  // blocks on (p_brand, p_size) so the O(la·lb) scorer only ever runs
+  // inside a block, then ranks the surviving pairs within each brand
+  // (row_number over the small post-threshold pair frame) and keeps
+  // the top 5 — the dedupe-candidate shortlist an ER pipeline hands
+  // to review. Scorer is the native graft_jaro_winkler expression
+  // (codegen'd; semantics pinned to the oracle engine's function in
+  // StatsWaveSpec), 4-dp pinned BEFORE both the threshold and the
+  // rank so the two engines order identically.
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand")
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+    CorpusOps.linkagePairs(Tables.part(s, dir), "p_name",
+        Seq("p_brand", "p_size"), minSim = 0.8)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("p_brand").as("brand"), col("name_a"), col("name_b"),
+        col("jw"), col("rnk"))
+      .orderBy("brand", "rnk")
+  }
+
   // rolling-hash fingerprint (order-sensitive; rows-only check)
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -511,6 +533,84 @@ object PipelineQueries {
         col("__m.mean_g").as("mean_g"),
         col("__m.mean_b").as("mean_b"))
       .orderBy("doc_id")
+  }
+
+  // q258: perceptual difference-hash per image — the image-dedup
+  // primitive. Bytes are REAL PNGs (built per doc), and the hash runs
+  // a REAL decode (chunk walk + CRC + inflate + un-filter) before the
+  // 9×8 nearest-neighbor grid and the 64 gradient bits; the oracle
+  // restates the generator's md5 closed form, so a decode bug OR a
+  // grid/bit-order bug goes red. Map-only at any scale; the four
+  // 16-bit bands are the LSH buckets q259 joins on.
+  def imageDhash(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(12)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(9)) + 5).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_png_bytes", w, h, col("doc_id")).as("__png"))
+      .select(col("doc_id"),
+        call_function("graft_png_dhash", col("__png")).as("__d"))
+      .select(col("doc_id"), col("__d.b0").as("b0"), col("__d.b1").as("b1"),
+        col("__d.b2").as("b2"), col("__d.b3").as("b3"))
+      .orderBy("doc_id")
+  }
+
+  // q259: image near-dup detection over PLANTED photometric variants —
+  // every 17th doc gets a +8-brightness copy (clamped per channel:
+  // same content, different bytes, so sha-style exact dedup misses it
+  // entirely). Pipeline: dHash every image (map-only), explode the
+  // four 16-bit bands as LSH buckets, self-join on (band, value) —
+  // candidates only, NEVER all pairs — then exact Hamming ≤ 10 on the
+  // banded candidates. dHash's gradient bits survive the brightness
+  // shift except where clamping bends the gradient, so planted pairs
+  // land at small distances while unrelated images (random 64-bit
+  // hashes) stay ~32 apart. The hashed frame is localCheckpointed:
+  // 5 ints per image, reused by the explode and both hash-lookup
+  // joins without re-encoding any PNG.
+  def imageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val orig = docs.select((col("doc_id") * 2).as("img_id"),
+      col("doc_id"), lit(0).as("delta"))
+    val copies = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select((col("doc_id") * 2 + 1).as("img_id"),
+        col("doc_id"), lit(8).as("delta"))
+    val w = (pmod(col("doc_id"), lit(12)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(9)) + 5).cast("int")
+    val hashed = orig.unionByName(copies)
+      .select(col("img_id"),
+        call_function("graft_png_dhash",
+          call_function("graft_png_bytes", w, h, col("doc_id"),
+            col("delta"))).as("__d"))
+      .select(col("img_id"), col("__d.b0").as("b0"), col("__d.b1").as("b1"),
+        col("__d.b2").as("b2"), col("__d.b3").as("b3"))
+      .localCheckpoint()
+    val bands = hashed.select(col("img_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
+    // candidate rule: >= 2 of the 4 bands collide. Tiny upsampled
+    // images carry FORCED-ZERO gradient bits (NN grid repeats source
+    // columns), so single-band collisions between unrelated images
+    // are common; requiring a second independent band kills those
+    // (measured at sf0.01: 123 unrelated single-band candidates ->
+    // ~0, all 30 planted pairs keep >= 3 identical bands)
+    val cand = bands.toDF("id_a", "band", "v")
+      .join(bands.toDF("id_b", "band", "v"), Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+    val ha = hashed.toDF("id_a", "a0", "a1", "a2", "a3")
+    val hb = hashed.toDF("id_b", "c0", "c1", "c2", "c3")
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+      .filter(col("hamming") <= 10)
+      .select(col("id_a"), col("id_b"), col("n_bands").cast("int")
+        .as("n_bands"), col("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   // q182: real GIF87a round-trip — generator carries a from-scratch

@@ -14,7 +14,7 @@ class PngCodecSpec extends AnyFunSuite {
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
-  private val png = PngBytes.build(7, 11, 42L) // h=11 ⇒ filters 0..4 twice+
+  private val png = PngBytes.build(7, 11, 42L, 0) // h=11 ⇒ filters 0..4 twice+
 
   test("round-trip: decode recovers IHDR facts and exact pixel means") {
     val row = PngDecode.decode(png)
