@@ -290,6 +290,8 @@ object SparkEntry {
     "q257_jackknife_mean" -> (C.jackknifeMean _),
     "q258_image_dhash" -> (P.imageDhash _),
     "q259_image_neardup" -> (P.imageNeardup _),
+    "q260_hyperanf" -> (C.hyperAnf _),
+    "q261_wl_refinement" -> (C.wlRefinement _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3459,6 +3461,123 @@ object SparkEntry {
         | JOIN bands hb ON hb.img_id = cand.id_b)
         |SELECT id_a, id_b, n_bands, hamming FROM ham
         |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin,
+    // HyperANF: per-vertex HLL registers (q167 conventions: p=6,
+    // 15-hex md5 hash, rho = 55 - bitlen), three unrolled
+    // pointwise-max iterations, then the alpha*m^2/Z estimate per
+    // (radius, node) and the neighborhood-function rollup
+    "q260_hyperanf" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+        | FROM lineitem WHERE l_orderkey % 10 = 0),
+        |edges AS (
+        | SELECT p AS src, sp AS dst FROM pairs
+        | UNION ALL SELECT sp, p FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |h AS (
+        | SELECT node,
+        |  CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+        |   AS BIGINT) AS hv
+        | FROM nodes),
+        |r0 AS (
+        | SELECT node, hv % 64 AS bucket,
+        |  CAST(CASE WHEN hv >> 6 = 0 THEN 55
+        |   ELSE 55 - length(bin(hv >> 6)) END AS INT) AS rho
+        | FROM h),
+        |r1 AS (
+        | SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT * FROM r0
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN r0 r ON r.node = e.dst)
+        | GROUP BY 1, 2),
+        |r2 AS (
+        | SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT * FROM r1
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN r1 r ON r.node = e.dst)
+        | GROUP BY 1, 2),
+        |r3 AS (
+        | SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT * FROM r2
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN r2 r ON r.node = e.dst)
+        | GROUP BY 1, 2),
+        |allregs AS (
+        | SELECT 0 AS r, * FROM r0
+        | UNION ALL SELECT 1, * FROM r1
+        | UNION ALL SELECT 2, * FROM r2
+        | UNION ALL SELECT 3, * FROM r3),
+        |z AS (
+        | SELECT r, node, CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+        |   AS BIGINT) AS z_regs
+        | FROM allregs GROUP BY 1, 2),
+        |f AS (
+        | SELECT r, node, CAST(64 - nb AS BIGINT) AS v_zero,
+        |  z_regs + (64 - nb) * (CAST(1 AS BIGINT) << 55) AS z_scaled
+        | FROM z),
+        |e1 AS (
+        | SELECT r, node, v_zero,
+        |  CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+        |   * CAST(36028797018963968 AS DOUBLE)
+        |   / CAST(z_scaled AS DOUBLE) AS est_raw
+        | FROM f),
+        |e2 AS (
+        | SELECT r, node,
+        |  round(CASE WHEN est_raw <= 160.0 AND v_zero > 0
+        |   THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |   ELSE est_raw END, 4) AS est
+        | FROM e1),
+        |nf AS (
+        | SELECT r, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  round(sum(est), 4) AS nf_est, round(avg(est), 4) AS avg_ball
+        | FROM e2 GROUP BY 1)
+        |SELECT r, n_nodes, nf_est, avg_ball,
+        | nf_est >= 0.9 * max(nf_est) OVER () AS reached_90
+        |FROM nf ORDER BY r""".stripMargin,
+    // WL refinement: degree colors, two rounds of
+    // hash(self : sorted neighbor multiset), class-size histograms
+    "q261_wl_refinement" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+        | FROM lineitem WHERE l_orderkey % 10 = 0),
+        |edges AS (
+        | SELECT p AS src, sp AS dst FROM pairs
+        | UNION ALL SELECT sp, p FROM pairs),
+        |c0 AS (
+        | SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+        | FROM edges GROUP BY 1),
+        |s1 AS (
+        | SELECT e.src AS node,
+        |  string_agg(CAST(c.c AS VARCHAR), ',' ORDER BY c.c) AS sig
+        | FROM edges e JOIN c0 c ON c.node = e.dst GROUP BY 1),
+        |c1 AS (
+        | SELECT c0.node,
+        |  CAST(('0x' || substr(md5(CAST(c0.c AS VARCHAR) || ':' || s1.sig),
+        |   1, 15)) AS BIGINT) AS c
+        | FROM c0 JOIN s1 ON s1.node = c0.node),
+        |s2 AS (
+        | SELECT e.src AS node,
+        |  string_agg(CAST(c.c AS VARCHAR), ',' ORDER BY c.c) AS sig
+        | FROM edges e JOIN c1 c ON c.node = e.dst GROUP BY 1),
+        |c2 AS (
+        | SELECT c1.node,
+        |  CAST(('0x' || substr(md5(CAST(c1.c AS VARCHAR) || ':' || s2.sig),
+        |   1, 15)) AS BIGINT) AS c
+        | FROM c1 JOIN s2 ON s2.node = c1.node),
+        |hist AS (
+        | SELECT 0 AS iter, sz FROM (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c0 GROUP BY 1)
+        | UNION ALL
+        | SELECT 1, sz FROM (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c1 GROUP BY 1)
+        | UNION ALL
+        | SELECT 2, sz FROM (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c2 GROUP BY 1))
+        |SELECT iter, sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes
+        |FROM hist GROUP BY 1, 2 ORDER BY iter, class_size""".stripMargin,
     // delete-one-group jackknife of the corpus mean doc length
     "q257_jackknife_mean" ->
       """WITH g AS (

@@ -2079,6 +2079,102 @@ object CoreQueries {
           expr("percentile(x - slope * d, 0.5D)"), 4).as("intercept"))
   }
 
+  // q260: HyperANF — the neighborhood function N(r) = Σ_v |B(v,r)|
+  // estimated with per-vertex HLL sketches (Boldi–Vigna), over the
+  // q93 symmetrized part↔supplier graph. THE 100 TB graph-distance
+  // algorithm: exact frontier sets explode combinatorially, but a
+  // vertex's ball sketch is 64 registers and the iteration is just
+  // "pointwise-max my neighbors' sketches" — one join + one grouped
+  // max per radius, state linear in |V|, mergeable across shards.
+  // Reuses the q167 HLL machinery (md5-derived registers, p=6), so
+  // every register and the alpha·m²/Z estimate have the same ANSI-SQL
+  // closed form; each radius is localCheckpointed exactly like the
+  // other graph fixpoints. reached_90 marks the effective-diameter
+  // radius (first r with N(r) ≥ 90% of N(3)).
+  def hyperAnf(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+      .localCheckpoint() // probed once per radius
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var regs = TextCorpus.hllRegisters(
+      nodes.select(col("node"), col("node").cast("string").as("item")),
+      "node", "item", p = 6).localCheckpoint()
+    def nf(r: Int, rg: DataFrame): DataFrame =
+      TextCorpus.hllEstimate(rg, "node", p = 6)
+        .agg(count(lit(1)).as("n_nodes"),
+          M.oracleRound(sum(col("est")), 4).as("nf_est"),
+          M.oracleRound(avg(col("est")), 4).as("avg_ball"))
+        .select(lit(r).as("r"), col("n_nodes"), col("nf_est"),
+          col("avg_ball"))
+    var out = nf(0, regs)
+    var r = 1
+    while (r <= 3) {
+      val nbr = edges
+        .join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("rho"))
+      regs = regs.union(nbr)
+        .groupBy("node", "bucket").agg(max(col("rho")).as("rho"))
+        .localCheckpoint()
+      out = out.unionByName(nf(r, regs))
+      r += 1
+    }
+    out
+      .withColumn("reached_90", col("nf_est") >=
+        lit(0.9) * max(col("nf_est")).over(Window.partitionBy()))
+      .orderBy("r")
+  }
+
+  // q261: Weisfeiler–Leman color refinement (2 rounds) — the graph
+  // fingerprint behind isomorphism tests and GNN expressiveness
+  // audits: c₀ = degree, c_{k+1} = hash(c_k : sorted neighbor c_k
+  // multiset). Each round is one join + one grouped sorted-concat —
+  // the same shuffle shape as LPA — and the md5-derived color hash
+  // keeps every round ANSI-SQL-reproducible. Output: the color-class
+  // SIZE histogram per round (the refinement signature); classes can
+  // only split, so n_classes is non-decreasing (spec-pinned).
+  def wlRefinement(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+      .localCheckpoint()
+    var colors = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var hists = colors.groupBy("c").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(lit(0).as("iter"), col("class_size"), col("n_classes"))
+    var k = 1
+    while (k <= 2) {
+      val nbr = edges
+        .join(colors.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(concat_ws(",", sort_array(collect_list(col("c"))))
+          .as("sig"))
+      colors = colors.join(nbr, "node")
+        .select(col("node"),
+          T.md5Int(concat(col("c").cast("string"), lit(":"), col("sig")),
+            15).as("c"))
+        .localCheckpoint()
+      hists = hists.unionByName(
+        colors.groupBy("c").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("class_size"))
+          .agg(count(lit(1)).as("n_classes"))
+          .select(lit(k).as("iter"), col("class_size"), col("n_classes")))
+      k += 1
+    }
+    hists.orderBy("iter", "class_size")
+  }
+
   // q251: Spearman rank correlation between per-user activity volume
   // and mean event value — the monotone-association audit Pearson
   // can't give (robust to the heavy-tailed n_events distribution).
