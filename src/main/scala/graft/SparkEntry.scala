@@ -292,6 +292,8 @@ object SparkEntry {
     "q259_image_neardup" -> (P.imageNeardup _),
     "q260_hyperanf" -> (C.hyperAnf _),
     "q261_wl_refinement" -> (C.wlRefinement _),
+    "q262_audio_fingerprint" -> (P.audioFingerprint _),
+    "q263_embed_silhouette" -> (P.embeddingSilhouette _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3578,6 +3580,73 @@ object SparkEntry {
         |  SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c2 GROUP BY 1))
         |SELECT iter, sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes
         |FROM hist GROUP BY 1, 2 ORDER BY iter, class_size""".stripMargin,
+    // audio fingerprint: md5 PCM closed form, 16x32 frames, energy +
+    // zero-crossing gradient bits, equal-fp dup pairs (planted
+    // re-wrapped copies share identical PCM)
+    "q262_audio_fingerprint" ->
+      """WITH audios AS (
+        | SELECT doc_id * 2 AS audio_id, doc_id FROM documents
+        | UNION ALL
+        | SELECT doc_id * 2 + 1, doc_id FROM documents
+        | WHERE doc_id % 13 = 0),
+        |idx AS (
+        | SELECT audio_id, doc_id,
+        |  unnest(generate_series(0, 511)) AS j
+        | FROM audios),
+        |smp AS (
+        | SELECT audio_id, j,
+        |  CAST(('0x' || substr(md5('pcm:' || doc_id || ':' || j), 1, 8))
+        |   AS BIGINT) % 65536 AS raw
+        | FROM idx),
+        |sgn AS (
+        | SELECT audio_id, j,
+        |  raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM smp),
+        |lg AS (
+        | SELECT audio_id, j, s,
+        |  lag(s) OVER (PARTITION BY audio_id ORDER BY j) AS sprev
+        | FROM sgn),
+        |fr AS (
+        | SELECT audio_id, CAST(j // 32 AS INT) AS f,
+        |  sum(s * s) AS e,
+        |  sum(CASE WHEN j % 32 <> 0 AND ((s >= 0) <> (sprev >= 0))
+        |   THEN 1 ELSE 0 END) AS z
+        | FROM lg GROUP BY 1, 2),
+        |bt AS (
+        | SELECT audio_id, f, e, z,
+        |  lead(e) OVER (PARTITION BY audio_id ORDER BY f) AS en,
+        |  lead(z) OVER (PARTITION BY audio_id ORDER BY f) AS zn
+        | FROM fr),
+        |fp AS (
+        | SELECT audio_id,
+        |  CAST(sum(CASE WHEN en > e THEN 1 << f ELSE 0 END)
+        |   + sum(CASE WHEN zn > z THEN 1 << (f + 15) ELSE 0 END)
+        |   AS BIGINT) AS fp
+        | FROM bt WHERE f < 15 GROUP BY 1)
+        |SELECT a.audio_id AS id_a, b.audio_id AS id_b, a.fp
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.audio_id < b.audio_id
+        |ORDER BY 1, 2""".stripMargin,
+    // centroid-based silhouette: zipped unnest, per-(label,dim)
+    // centroids, point->centroid distance fan-out by |labels| only
+    "q263_embed_silhouette" ->
+      """WITH p AS (
+        | SELECT vec_id, label,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  unnest(range(len(embedding))) AS dim
+        | FROM embeddings),
+        |c AS (SELECT label AS lab, dim, avg(v) AS cv FROM p GROUP BY 1, 2),
+        |d AS (
+        | SELECT p.vec_id, p.label, c.lab, sum(pow(p.v - c.cv, 2)) AS sq
+        | FROM p JOIN c ON c.dim = p.dim GROUP BY 1, 2, 3),
+        |ab AS (
+        | SELECT vec_id, label,
+        |  sqrt(max(CASE WHEN lab = label THEN sq END)) AS a,
+        |  sqrt(min(CASE WHEN lab <> label THEN sq END)) AS b
+        | FROM d GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        | round(avg(a), 4) AS avg_a, round(avg(b), 4) AS avg_b,
+        | round(avg((b - a) / greatest(a, b)), 4) AS silhouette
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
     // delete-one-group jackknife of the corpus mean doc length
     "q257_jackknife_mean" ->
       """WITH g AS (

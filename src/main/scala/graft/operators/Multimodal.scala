@@ -312,6 +312,17 @@ object Multimodal {
           / nVals.cast("double")), 4).as("rms")))
   }
 
+  /** Signed 16-bit PCM sample at flat index `j` of a canonical WAV —
+    * the ROW-SHAPED decode: fingerprint pipelines explode sample
+    * indices to rows and read one sample per row, so framing/lag
+    * logic runs as ordinary windows over (audio, j) instead of giant
+    * in-plan HOF lambdas (the q140 lesson applied to audio), and the
+    * shape scales by partitioning on audio id. */
+  def pcmSampleAt(media: Column, j: Column): Column = {
+    val raw = leUIntAt(media, lit(45L) + j.cast("long") * 2, 2)
+    raw - when(raw >= 32768, lit(65536L)).otherwise(lit(0L))
+  }
+
   /** Strided decimation stats over a canonical 16-bit mono PCM WAV —
     * the audio twin of the q190 image resize: keep every `factor`-th
     * sample and re-featurize (n_out, peak, rms over the SURVIVING

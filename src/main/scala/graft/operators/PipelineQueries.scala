@@ -702,6 +702,90 @@ object PipelineQueries {
         col("__s.rms").as("rms"))
       .orderBy("doc_id")
 
+  // q262: audio envelope fingerprint + container-invariant dedup —
+  // every 13th doc gets a COPY re-wrapped at a different declared
+  // sample rate (identical PCM payload, different container bytes:
+  // the re-encoded-upload class exact byte hashing misses). Each clip
+  // is REALLY decoded sample-by-sample in ROW shape (explode indices,
+  // one little-endian two's-complement read per row — no giant HOF
+  // lambdas), framed 16×32, and fingerprinted with 15 energy-envelope
+  // gradient bits + 15 zero-crossing gradient bits (both exact
+  // integers, so the fingerprint is bit-deterministic and the md5
+  // closed form gives an exact oracle). Equal fingerprints join into
+  // dup pairs — at 100 TB: one map-decode pass, two windows
+  // partitioned by audio id, one equi-join on the 30-bit key.
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val orig = docs.select((col("doc_id") * 2).as("audio_id"),
+      col("doc_id"), lit(16000).as("rate"))
+    val copies = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select((col("doc_id") * 2 + 1).as("audio_id"),
+        col("doc_id"), lit(44100).as("rate"))
+    val samples = orig.unionByName(copies)
+      .select(col("audio_id"),
+        Multimodal.wavBytesPcm(col("rate"), lit(1), lit(512),
+          col("doc_id")).as("__wav"))
+      .select(col("audio_id"),
+        explode(sequence(lit(0), lit(511))).as("j"), col("__wav"))
+      .select(col("audio_id"), col("j"),
+        Multimodal.pcmSampleAt(col("__wav"), col("j")).as("s"))
+    val frames = samples
+      .withColumn("sprev",
+        lag(col("s"), 1).over(w.partitionBy("audio_id").orderBy("j")))
+      .groupBy(col("audio_id"), (col("j") / 32).cast("int").as("f"))
+      .agg(sum(col("s") * col("s")).as("e"),
+        sum(when(col("j") % 32 =!= 0 &&
+          ((col("s") >= 0) =!= (col("sprev") >= 0)), 1L)
+          .otherwise(0L)).as("z"))
+    val fp = frames
+      .withColumn("en",
+        lead(col("e"), 1).over(w.partitionBy("audio_id").orderBy("f")))
+      .withColumn("zn",
+        lead(col("z"), 1).over(w.partitionBy("audio_id").orderBy("f")))
+      .filter(col("f") < 15)
+      .groupBy("audio_id")
+      .agg((sum(when(col("en") > col("e"),
+          expr("shiftleft(1L, f)")).otherwise(0L)) +
+        sum(when(col("zn") > col("z"),
+          expr("shiftleft(1L, f + 15)")).otherwise(0L))).as("fp"))
+    fp.toDF("id_a", "fp")
+      .join(fp.toDF("id_b", "fp"), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp")
+      .orderBy("id_a", "id_b")
+  }
+
+  // q263: simplified (centroid-based) silhouette of the embedding
+  // space per label — the cluster-quality panel a curation pipeline
+  // reads before trusting labels for stratification: a = distance to
+  // own centroid, b = distance to the nearest OTHER centroid,
+  // silhouette = mean (b−a)/max(a,b). One posexplode pass; centroids
+  // are a (labels × dims) micro-frame; the distance join fans each
+  // point-dim row out by |labels| only — never point × point.
+  def embeddingSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .localCheckpoint() // reused by the centroid fit and the join
+    val c = p.groupBy(col("label").as("lab"), col("dim"))
+      .agg(avg(col("v")).as("cv"))
+    val d = p.join(c, "dim")
+      .groupBy(col("vec_id"), col("label"), col("lab"))
+      .agg(sum(pow(col("v") - col("cv"), 2)).as("sq"))
+    val ab = d.groupBy("vec_id", "label")
+      .agg(sqrt(max(when(col("lab") === col("label"), col("sq")))).as("a"),
+        sqrt(min(when(col("lab") =!= col("label"), col("sq")))).as("b"))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        M.oracleRound(avg(col("a")), 4).as("avg_a"),
+        M.oracleRound(avg(col("b")), 4).as("avg_b"),
+        M.oracleRound(avg((col("b") - col("a")) /
+          greatest(col("a"), col("b"))), 4).as("silhouette"))
+      .orderBy("label")
+  }
+
   // q200: Goertzel tone powers over the first 16 samples of the q134
   // clips (docs long enough only) — 4 fixed-point bins, coefficients
   // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audio envelope fingerprint (q262) and embedding silhouette (q263).
+  * Value truth is the DuckDB oracle; these pin the dedup semantics
+  * (re-wrapped copies collide, container bytes differ) and the
+  * silhouette bounds. */
+class AudioEmbedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q262: re-wrapped copies share the fingerprint while their bytes differ") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id").as[Long].collect()
+    val planted = docs.filter(_ % 13 == 0).map(d => (d * 2, d * 2 + 1)).toSet
+    val out = SparkEntry.queries("q262_audio_fingerprint")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == planted,
+      s"at this sf the dup pairs must be exactly the planted copies; " +
+        s"missing=${planted -- out} extra=${out -- planted}")
+    // the two containers really are different byte streams
+    val d0 = docs.filter(_ % 13 == 0).head
+    val digests = Seq((d0, 16000), (d0, 44100)).toDF("doc_id", "rate")
+      .select(md5(graft.operators.Multimodal.wavBytesPcm(col("rate"),
+        lit(1), lit(512), col("doc_id")))).as[String].collect()
+    assert(digests.distinct.length == 2,
+      "planted copy must differ in container bytes (or the dedup is trivial)")
+  }
+
+  test("q262: fingerprint is a 30-bit value derived from decoded PCM") {
+    val fps = SparkEntry.queries("q262_audio_fingerprint")(spark, dir)
+      .select("fp").as[Long].collect()
+    fps.foreach(f => assert(f >= 0 && f < (1L << 30)))
+  }
+
+  test("q263: silhouette bounded, labels covered, vectors conserved") {
+    val rows = SparkEntry.queries("q263_embed_silhouette")(spark, dir)
+      .select("label", "n_vecs", "avg_a", "avg_b", "silhouette")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (_, _, a, b, sil) =>
+      assert(a > 0 && b > 0)
+      assert(sil >= -1.0 - 1e-9 && sil <= 1.0 + 1e-9)
+    }
+  }
+}
