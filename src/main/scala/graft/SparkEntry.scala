@@ -294,6 +294,7 @@ object SparkEntry {
     "q261_wl_refinement" -> (C.wlRefinement _),
     "q262_audio_fingerprint" -> (P.audioFingerprint _),
     "q263_embed_silhouette" -> (P.embeddingSilhouette _),
+    "q264_image_scale_hash" -> (P.imageScaleInvariance _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3626,6 +3627,51 @@ object SparkEntry {
         |SELECT a.audio_id AS id_a, b.audio_id AS id_b, a.fp
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.audio_id < b.audio_id
         |ORDER BY 1, 2""".stripMargin,
+    // scale-robustness: the 2x-NN-resized image's dHash vs the
+    // original's — grid sampling composes floors
+    // (grid -> resized -> original), restated exactly
+    "q264_image_scale_hash" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 9 + 5 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 11 = 0),
+        |gx AS (
+        | SELECT doc_id, w, h, unnest(generate_series(0, 8)) AS x
+        | FROM dims),
+        |grid AS (
+        | SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y
+        | FROM gx),
+        |pix AS (
+        | SELECT doc_id, x, y,
+        |  ((y * h) // 8) * w + ((x * w) // 9) AS p1,
+        |  (((y * (2*h)) // 8) // 2) * w + (((x * (2*w)) // 9) // 2) AS p2
+        | FROM grid),
+        |gray AS (
+        | SELECT doc_id, x, y,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p1)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p1 + 1)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p1 + 2)), 1, 8))
+        |    AS BIGINT) % 256 AS g1,
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p2)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p2 + 1)), 1, 8))
+        |    AS BIGINT) % 256 +
+        |  CAST(('0x' || substr(md5('png:' || doc_id || ':' || (3*p2 + 2)), 1, 8))
+        |    AS BIGINT) % 256 AS g2
+        | FROM pix),
+        |bits AS (
+        | SELECT a.doc_id,
+        |  CASE WHEN a.g1 > b.g1 THEN 1 ELSE 0 END AS bit1,
+        |  CASE WHEN a.g2 > b.g2 THEN 1 ELSE 0 END AS bit2
+        | FROM gray a JOIN gray b
+        |  ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        | WHERE a.x < 8)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
+        |  AS hamming
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // centroid-based silhouette: zipped unnest, per-(label,dim)
     // centroids, point->centroid distance fan-out by |labels| only
     "q263_embed_silhouette" ->

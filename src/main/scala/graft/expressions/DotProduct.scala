@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngBytesDescriptor)
     ext.injectFunction(GraftExtensions.pngDecodeDescriptor)
     ext.injectFunction(GraftExtensions.pngDhashDescriptor)
+    ext.injectFunction(GraftExtensions.pngResizeDescriptor)
     ext.injectFunction(GraftExtensions.gifBytesDescriptor)
     ext.injectFunction(GraftExtensions.gifDecodeDescriptor)
     ext.injectFunction(GraftExtensions.gifResizeDescriptor)
@@ -327,6 +328,17 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_png_decode takes exactly 1 argument, got ${children.length}")
         PngDecode(children.head)
+      })
+
+  /** `graft_png_resize(binary, w2, h2)` — full decode, NN resample,
+    * re-encode (see [[PngResize]]). */
+  val pngResizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_png_resize"),
+      new ExpressionInfo(classOf[PngResize].getName, "graft_png_resize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_png_resize takes exactly 3 arguments, got ${children.length}")
+        PngResize(children(0), children(1), children(2))
       })
 
   /** `graft_gif_bytes(width, height, docId)` — real GIF87a with a

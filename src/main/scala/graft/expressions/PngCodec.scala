@@ -5,7 +5,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -123,9 +123,19 @@ object PngBytes {
       }
       r += 1
     }
+    encode(w, h, raw)
+  }
+
+  /** Filter + deflate + chunk-write RGB scanlines into a
+    * spec-complete PNG — the encode back-half shared by [[build]]
+    * (md5-generated pixels) and [[PngResize]] (resampled pixels). */
+  private[expressions] def encode(w: Int, h: Int,
+      raw: Array[Array[Byte]]): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
     // filter: scanline r uses type r % 5 — decode exercises them all
     val scan = new Array[Byte](h * (1 + stride))
-    r = 0
+    var r = 0
     while (r < h) {
       val ft = r % 5
       val base = r * (1 + stride)
@@ -392,6 +402,69 @@ case class PngDhash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PngDhash =
     copy(child = newChild)
+}
+
+/** `graft_png_resize(png, w2, h2)` — real image resize: full decode
+  * (chunk walk + CRC + inflate + un-filter), nearest-neighbor
+  * resample (source pixel for output (x, y) is (x·w/w2, y·h/h2),
+  * integer floor — the SAME floor convention as [[PngDhash]]'s grid),
+  * re-encode through the shared [[PngBytes.encode]] back-half
+  * (filter cycle + deflate + CRC chunks). The thumbnail/normalize
+  * stage of an image pipeline; pairs with [[PngDhash]] to
+  * demonstrate scale-robust near-dup detection. Null for any
+  * non-conforming payload or non-positive dims.
+  */
+case class PngResize(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: BinaryType, _: IntegerType, _: IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_png_resize requires (binary, int, int), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_resize"
+
+  override def nullSafeEval(png: Any, w2: Any, h2: Any): Any =
+    PngResize.resize(png.asInstanceOf[Array[Byte]],
+      w2.asInstanceOf[Int], h2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, h) => s"""
+       |${ev.value} = graft.expressions.PngResize.resize($p, $w, $h);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): PngResize = copy(f, s, t)
+}
+
+object PngResize {
+  /** Public + static-shaped so generated code can call it. */
+  def resize(png: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > (1 << 22)) return null
+    val raw = PngDecode.decodeRaw(png)
+    if (raw == null) return null
+    val out = Array.ofDim[Byte](h2, w2 * 3)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * raw.h / h2).toInt
+      val srcRow = raw.rows(sy)
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * raw.w / w2).toInt
+        out(y)(x * 3) = srcRow(sx * 3)
+        out(y)(x * 3 + 1) = srcRow(sx * 3 + 1)
+        out(y)(x * 3 + 2) = srcRow(sx * 3 + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PngBytes.encode(w2, h2, out)
+  }
 }
 
 object PngDhash {

@@ -2028,10 +2028,17 @@ object CoreQueries {
   // daily frame is tiny at any corpus scale (it's one row per day), so
   // the single-partition window is a documented constant, not a skew
   // hazard; the only full-data work is the one keyed daily count.
-  def meanShift(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def meanShift(s: SparkSession, dir: String): DataFrame =
+    meanShiftFromDaily(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).cast("double").as("x"))
+      .agg(count(lit(1)).cast("double").as("x")))
+
+  /** The q247 detector over an ALREADY-MAINTAINED `(day, x)` daily
+    * frame — split out so the streaming twin
+    * ([[graft.streaming.EventStreams.dailyCountStream]] maintains the
+    * frame under a watermark; lag/lead over event time is not
+    * streamable directly) and the batch gate share one detector. */
+  def meanShiftFromDaily(daily: DataFrame): DataFrame = {
     val wPre = Window.orderBy("day").rowsBetween(-7, -1)
     val wPost = Window.orderBy("day").rowsBetween(0, 6)
     daily.coalesce(1)

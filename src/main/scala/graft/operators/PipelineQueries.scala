@@ -786,6 +786,37 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // q264: scale-robustness audit of the perceptual hash — every 11th
+  // image is REALLY resized 2× (graft_png_resize: decode → NN
+  // resample → re-encode through the shared filter/deflate/CRC
+  // back-half) and re-hashed; the output is the per-image Hamming
+  // distance between the original's and the thumbnail's dHash. NN
+  // grid sampling composes floors (grid→resized→original), which the
+  // oracle restates exactly, so this also pins that the resize
+  // expression samples precisely the pixels it claims. At scale:
+  // map-only (decode+resize+hash per row, no joins at all).
+  def imageScaleInvariance(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(12)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(9)) + 5).cast("int")
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id"),
+        call_function("graft_png_bytes", w, h, col("doc_id")).as("__png"),
+        (w * 2).as("__w2"), (h * 2).as("__h2"))
+      .select(col("doc_id"),
+        call_function("graft_png_dhash", col("__png")).as("__d1"),
+        call_function("graft_png_dhash",
+          call_function("graft_png_resize", col("__png"),
+            col("__w2"), col("__h2"))).as("__d2"))
+      .select(col("doc_id"),
+        (bit_count(col("__d1.b0").bitwiseXOR(col("__d2.b0"))) +
+          bit_count(col("__d1.b1").bitwiseXOR(col("__d2.b1"))) +
+          bit_count(col("__d1.b2").bitwiseXOR(col("__d2.b2"))) +
+          bit_count(col("__d1.b3").bitwiseXOR(col("__d2.b3"))))
+          .cast("int").as("hamming"))
+      .orderBy("doc_id")
+  }
+
   // q200: Goertzel tone powers over the first 16 samples of the q134
   // clips (docs long enough only) — 4 fixed-point bins, coefficients
   // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same

@@ -77,6 +77,26 @@ object EventStreams {
         col("est_keys"), col("n_events"))
   }
 
+  /** Streaming daily-count maintenance — the stream half of the q247
+    * mean-shift monitor. The two-window detector needs lag/lead over
+    * the GLOBAL day axis, which streaming cannot express (a day's
+    * post-window closes six days later); the streamable contract is
+    * therefore "maintain the daily frame incrementally" (state: one
+    * count per open window, watermark-evicted), with the shared
+    * [[graft.operators.CoreQueries.meanShiftFromDaily]] detector
+    * reading the emitted table — exactly how production monitors
+    * split ingest from alerting. Within-watermark disorder commutes
+    * (counts are order-free); the parity spec pins stream==batch
+    * daily frames and identical detector output. */
+  def dailyCountStream(events: DataFrame,
+      watermark: String = "1 day",
+      windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .select(col("window.start").cast("date").as("day"), col("x"))
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon wins; later duplicates are dropped. The twin of
     * `Dedup.exact` for continuous ingestion — state is the key set

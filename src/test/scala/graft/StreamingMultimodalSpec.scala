@@ -42,6 +42,49 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily counts feed the shared mean-shift detector; planted shift flagged") {
+    implicit val sql = spark.sqlContext
+    // 30 days, ~flat then doubled at day 16 — the planted level shift;
+    // events arrive shuffled across batches (within-watermark disorder)
+    def ev(day: Int, i: Int) = KeyedEvent(i.toLong, i.toLong,
+      Timestamp.valueOf(f"2024-01-$day%02d 0${i % 9 + 1}:15:00"))
+    val events = (1 to 30).flatMap { d =>
+      val n = if (d >= 16) 40 else 20
+      (0 until n).map(i => ev(d, i))
+    }
+    val batchDaily = events.toDF()
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val input = MemoryStream[KeyedEvent]
+    val q = EventStreams.dailyCountStream(input.toDF(), watermark = "40 days")
+      .writeStream.format("memory").queryName("dailycnt")
+      .outputMode("complete").start()
+    try {
+      scala.util.Random.shuffle(events.toVector).grouped(97).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val streamDaily = spark.table("dailycnt")
+      val got = streamDaily.as[(java.sql.Date, Double)].collect().toSet
+      val expect = batchDaily.as[(java.sql.Date, Double)].collect().toSet
+      assert(got == expect, "stream-maintained daily frame must equal batch")
+      // the SHARED detector over the stream-maintained frame
+      val flags = graft.operators.CoreQueries
+        .meanShiftFromDaily(streamDaily)
+        .select("day", "is_shift").as[(java.sql.Date, Boolean)].collect()
+      // the 25% two-window rule fires for every day whose post-window
+      // straddles the jump enough — a band around day 16, nothing
+      // outside it
+      val flaggedDays = flags.filter(_._2).map(_._1.toLocalDate.getDayOfMonth)
+      assert(flaggedDays.contains(16), "the jump day itself must be flagged")
+      assert(flaggedDays.forall(d => d >= 9 && d <= 22),
+        s"no flags away from the planted boundary, got ${flaggedDays.toSeq}")
+      val detBatch = graft.operators.CoreQueries
+        .meanShiftFromDaily(batchDaily)
+        .select("day", "is_shift").as[(java.sql.Date, Boolean)].collect().toSet
+      assert(flags.toSet == detBatch, "detector parity stream vs batch frame")
+    } finally q.stop()
+  }
+
   test("streaming KMV windowed distinct matches the batch sketch under disorder, k-long state") {
     implicit val sql = spark.sqlContext
     import graft.functions.{TextFunctions => T}
