@@ -295,6 +295,8 @@ object SparkEntry {
     "q262_audio_fingerprint" -> (P.audioFingerprint _),
     "q263_embed_silhouette" -> (P.embeddingSilhouette _),
     "q264_image_scale_hash" -> (P.imageScaleInvariance _),
+    "q265_twonn_dim" -> (P.twoNnDimension _),
+    "q266_label_noise" -> (P.labelNoiseAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3672,6 +3674,54 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
         |  AS hamming
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // two-NN intrinsic dimension: sample x corpus squared distances
+    // via the same inner-product identity, MLE over ln(d2/d1)
+    "q265_twonn_dim" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 7 = 0),
+        |sq AS (
+        | SELECT q.qid, c.vec_id AS cid,
+        |  list_inner_product(q.qe, q.qe) + list_inner_product(c.e, c.e)
+        |   - 2 * list_inner_product(q.qe, c.e) AS sq
+        | FROM q JOIN e c ON c.vec_id <> q.qid),
+        |r AS (
+        | SELECT qid, cid, sq,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sq, cid) AS rn
+        | FROM sq),
+        |m AS (
+        | SELECT qid,
+        |  sqrt(max(CASE WHEN rn = 2 THEN sq END) /
+        |       max(CASE WHEN rn = 1 THEN sq END)) AS mu
+        | FROM r WHERE rn <= 2 GROUP BY qid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        | round(count(*) * 1.0 / sum(ln(mu)), 4) AS id_hat,
+        | round(quantile_cont(mu, 0.5), 4) AS mu_p50,
+        | round(quantile_cont(mu, 0.9), 4) AS mu_p90
+        |FROM m""".stripMargin,
+    // label-noise audit: nearest centroid vs own label per point
+    "q266_label_noise" ->
+      """WITH p AS (
+        | SELECT vec_id, label,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  unnest(range(len(embedding))) AS dim
+        | FROM embeddings),
+        |c AS (SELECT label AS lab, dim, avg(v) AS cv FROM p GROUP BY 1, 2),
+        |d AS (
+        | SELECT p.vec_id, p.label, c.lab, sum(pow(p.v - c.cv, 2)) AS sq
+        | FROM p JOIN c ON c.dim = p.dim GROUP BY 1, 2, 3),
+        |n AS (
+        | SELECT vec_id, label, lab,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sq, lab) AS rn
+        | FROM d),
+        |s AS (
+        | SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN lab <> label THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_suspect
+        | FROM n WHERE rn = 1 GROUP BY 1)
+        |SELECT label, n_vecs, n_suspect,
+        | round(n_suspect * 1.0 / n_vecs, 4) AS noise_rate
+        |FROM s ORDER BY label""".stripMargin,
     // centroid-based silhouette: zipped unnest, per-(label,dim)
     // centroids, point->centroid distance fan-out by |labels| only
     "q263_embed_silhouette" ->

@@ -817,6 +817,72 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q265: two-NN intrinsic-dimension estimate (Facco et al.) — the
+  // embedding-space health number curation reads before trusting
+  // nearest-neighbor structure: for each sampled point the ratio
+  // μ = d2/d1 of its two nearest Euclidean distances, and the MLE
+  // id ≈ n / Σ ln μ. Distances via the native graft_dot (squared
+  // form, no sqrt until the ratio); the pair stage is SAMPLE × corpus
+  // — |sample| bounded by the modulus, never corpus × corpus.
+  def twoNnDimension(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val sample = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .toDF("qid", "qe")
+    val sq = sample.crossJoin(emb.toDF("cid", "ce"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"),
+        col("cid"),
+        (call_function("graft_dot", col("qe"), col("qe"))
+          + call_function("graft_dot", col("ce"), col("ce"))
+          - lit(2.0) * call_function("graft_dot", col("qe"), col("ce")))
+          .as("sq"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("qid").orderBy(col("sq"), col("cid"))))
+      .filter(col("rn") <= 2)
+    val mu = sq.groupBy("qid")
+      .agg(max(when(col("rn") === 1, col("sq"))).as("sq1"),
+        max(when(col("rn") === 2, col("sq"))).as("sq2"))
+      .select(col("qid"), sqrt(col("sq2") / col("sq1")).as("mu"))
+    mu.agg(
+      count(lit(1)).as("n_sample"),
+      M.oracleRound(count(lit(1)).cast("double")
+        / sum(log(col("mu"))), 4).as("id_hat"),
+      M.oracleRound(expr("percentile(mu, 0.5D)"), 4).as("mu_p50"),
+      M.oracleRound(expr("percentile(mu, 0.9D)"), 4).as("mu_p90"))
+  }
+
+  // q266: centroid label-noise audit — confident-learning-lite over
+  // the q263 machinery: a point whose NEAREST label centroid is not
+  // its own label is a mislabel suspect; per label, the suspect count
+  // and rate. Same scale shape as q263 (fan-out by |labels| only).
+  def labelNoiseAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val p = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .localCheckpoint()
+    val c = p.groupBy(col("label").as("lab"), col("dim"))
+      .agg(avg(col("v")).as("cv"))
+    val d = p.join(c, "dim")
+      .groupBy(col("vec_id"), col("label"), col("lab"))
+      .agg(sum(pow(col("v") - col("cv"), 2)).as("sq"))
+    val nearest = d
+      .withColumn("rn", row_number().over(
+        w.partitionBy("vec_id").orderBy(col("sq"), col("lab"))))
+      .filter(col("rn") === 1)
+    nearest.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("lab") =!= col("label"), 1L).otherwise(0L))
+          .as("n_suspect"))
+      .withColumn("noise_rate", M.oracleRound(
+        col("n_suspect").cast("double") / col("n_vecs"), 4))
+      .orderBy("label")
+  }
+
   // q200: Goertzel tone powers over the first 16 samples of the q134
   // clips (docs long enough only) — 4 fixed-point bins, coefficients
   // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same

@@ -36,6 +36,49 @@ class AudioEmbedSpec extends AnyFunSuite {
     fps.foreach(f => assert(f >= 0 && f < (1L << 30)))
   }
 
+  test("q265: two-NN estimator recovers dimension 1 on a synthetic line (formula check)") {
+    // deterministic UNIFORM pseudo-random 1-D point set (a jittered
+    // grid is too regular — near-constant spacing inflates the
+    // estimate); the MLE n/sum(ln d2/d1) must land near 1
+    // (Facco et al.: ln mu ~ Exp(id) in expectation)
+    val pts = (0 until 300)
+      .map(i => ((i * 2654435761L) % 1000000L) / 1000.0)
+      .distinct.sorted
+    val mus = pts.indices.map { i =>
+      val ds = pts.indices.filter(_ != i)
+        .map(j => math.abs(pts(j) - pts(i))).sorted
+      ds(1) / ds(0)
+    }
+    val id = mus.length / mus.map(math.log).sum
+    assert(id > 0.5 && id < 2.0, s"1-D estimate off: $id")
+  }
+
+  test("q265: sample size, mu ordering, positive finite estimate") {
+    val (n, idHat, p50, p90) =
+      SparkEntry.queries("q265_twonn_dim")(spark, dir)
+        .as[(Long, Double, Double, Double)].collect().head
+    val expectN = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(n == expectN)
+    assert(p50 >= 1.0 && p90 >= p50, "d2/d1 ratios are >= 1 and ordered")
+    assert(idHat > 0 && !idHat.isInfinite)
+  }
+
+  test("q266: vectors conserved, rate consistent with counts") {
+    val rows = SparkEntry.queries("q266_label_noise")(spark, dir)
+      .select("n_vecs", "n_suspect", "noise_rate")
+      .as[(Long, Long, Double)].collect()
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._1).sum == total)
+    assert(rows.map(_._2).sum < total,
+      "some points must sit nearest their own centroid")
+    rows.foreach { case (n, k, r) =>
+      assert(k <= n)
+      assert(math.abs(r - BigDecimal(k.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("q263: silhouette bounded, labels covered, vectors conserved") {
     val rows = SparkEntry.queries("q263_embed_silhouette")(spark, dir)
       .select("label", "n_vecs", "avg_a", "avg_b", "silhouette")
