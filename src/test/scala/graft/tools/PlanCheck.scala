@@ -7,8 +7,10 @@ import graft.SparkEntry
   * filters, scan schema width, join strategies, codegen spans. */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // GraftSession.builder so the native-expression registry is
+    // present — without the extension every graft_* query errors at
+    // analysis instead of printing its plan
+    val spark = graft.GraftSession.builder("graft-plancheck", "local[4]", 4)
       // static plans: AQE wraps everything in AdaptiveSparkPlan and
       // withholds codegen ids until execution — for plan INSPECTION the
       // non-adaptive plan is the readable one (production sessions keep
