@@ -297,6 +297,8 @@ object SparkEntry {
     "q264_image_scale_hash" -> (P.imageScaleInvariance _),
     "q265_twonn_dim" -> (P.twoNnDimension _),
     "q266_label_noise" -> (P.labelNoiseAudit _),
+    "q267_ols_diagnostics" -> (C.olsDiagnostics _),
+    "q268_esd_outliers" -> (C.esdOutliers _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3674,6 +3676,98 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
         |  AS hamming
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // OLS + diagnostics: exact window sums, residual lag for DW
+    "q267_ols_diagnostics" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |dd AS (
+        | SELECT day, x, (day - DATE '2024-01-01') * 1.0 AS d FROM daily),
+        |t1 AS (
+        | SELECT day, x, d,
+        |  CAST(count(*) OVER () AS DOUBLE) AS n,
+        |  avg(d) OVER () AS dbar, avg(x) OVER () AS xbar
+        | FROM dd),
+        |t2 AS (
+        | SELECT day, x, d, n, dbar, xbar,
+        |  sum((d - dbar) * (d - dbar)) OVER () AS sdd,
+        |  sum((d - dbar) * (x - xbar)) OVER () AS sdx,
+        |  sum((x - xbar) * (x - xbar)) OVER () AS sxx
+        | FROM t1),
+        |f AS (
+        | SELECT day, x, d, n, sxx,
+        |  sdx / sdd AS b, xbar - sdx / sdd * dbar AS a
+        | FROM t2),
+        |e AS (
+        | SELECT day, n, sxx, round(b, 4) AS slope,
+        |  round(a, 4) AS intercept, x - a - b * d AS e
+        | FROM f),
+        |l AS (
+        | SELECT n, sxx, slope, intercept, e,
+        |  lag(e) OVER (ORDER BY day) AS eprev
+        | FROM e)
+        |SELECT CAST(max(n) AS BIGINT) AS n_days, max(slope) AS slope,
+        | max(intercept) AS intercept,
+        | round(1.0 - sum(e * e) / max(sxx), 4) AS r_sq,
+        | round(sum(pow(e - eprev, 2)) / sum(e * e), 4) AS durbin_watson
+        |FROM l""".stripMargin,
+    // generalized ESD, 3 unrolled rounds of z-score-and-remove
+    "q268_esd_outliers" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |s1 AS (
+        | SELECT day, x, avg(x) OVER () AS mu,
+        |  CAST(count(*) OVER () AS DOUBLE) AS n,
+        |  sum(x * x) OVER () AS sxx2
+        | FROM daily),
+        |r1 AS (
+        | SELECT day, x, mu,
+        |  abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) AS z,
+        |  row_number() OVER (ORDER BY
+        |   abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) DESC, day)
+        |   AS rn
+        | FROM s1),
+        |o1 AS (
+        | SELECT 1 AS round, day, CAST(x AS BIGINT) AS n_events,
+        |  round(z, 4) AS z, z > 3.0 AS is_outlier
+        | FROM r1 WHERE rn = 1),
+        |d2 AS (SELECT day, x FROM r1 WHERE rn <> 1),
+        |s2 AS (
+        | SELECT day, x, avg(x) OVER () AS mu,
+        |  CAST(count(*) OVER () AS DOUBLE) AS n,
+        |  sum(x * x) OVER () AS sxx2
+        | FROM d2),
+        |r2 AS (
+        | SELECT day, x, mu,
+        |  abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) AS z,
+        |  row_number() OVER (ORDER BY
+        |   abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) DESC, day)
+        |   AS rn
+        | FROM s2),
+        |o2 AS (
+        | SELECT 2 AS round, day, CAST(x AS BIGINT) AS n_events,
+        |  round(z, 4) AS z, z > 3.0 AS is_outlier
+        | FROM r2 WHERE rn = 1),
+        |d3 AS (SELECT day, x FROM r2 WHERE rn <> 1),
+        |s3 AS (
+        | SELECT day, x, avg(x) OVER () AS mu,
+        |  CAST(count(*) OVER () AS DOUBLE) AS n,
+        |  sum(x * x) OVER () AS sxx2
+        | FROM d3),
+        |r3 AS (
+        | SELECT day, x, mu,
+        |  abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) AS z,
+        |  row_number() OVER (ORDER BY
+        |   abs(x - mu) / sqrt((sxx2 - n * mu * mu) / (n - 1)) DESC, day)
+        |   AS rn
+        | FROM s3),
+        |o3 AS (
+        | SELECT 3 AS round, day, CAST(x AS BIGINT) AS n_events,
+        |  round(z, 4) AS z, z > 3.0 AS is_outlier
+        | FROM r3 WHERE rn = 1)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |UNION ALL SELECT * FROM o3 ORDER BY round""".stripMargin,
     // two-NN intrinsic dimension: sample x corpus squared distances
     // via the same inner-product identity, MLE over ln(d2/d1)
     "q265_twonn_dim" ->

@@ -2182,6 +2182,95 @@ object CoreQueries {
     hists.orderBy("iter", "class_size")
   }
 
+  // q267: OLS trend + regression diagnostics over the daily event
+  // count — the parametric twin of q248's Theil–Sen, completing the
+  // trend toolbox with what Theil–Sen can't give: R² (fit quality)
+  // and the Durbin–Watson statistic (residual autocorrelation — the
+  // "is a trend line even the right model" alarm; DW ≈ 2 means
+  // independent residuals). Everything from exact window sums over
+  // the tiny daily frame plus one lag pass on the residuals.
+  def olsDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01"))
+        .cast("double"))
+      .coalesce(1)
+    val w = Window.partitionBy()
+    val wOrd = Window.orderBy("day")
+    val fit = daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("dbar", avg(col("d")).over(w))
+      .withColumn("xbar", avg(col("x")).over(w))
+      .withColumn("sdd",
+        sum((col("d") - col("dbar")) * (col("d") - col("dbar"))).over(w))
+      .withColumn("sdx",
+        sum((col("d") - col("dbar")) * (col("x") - col("xbar"))).over(w))
+      .withColumn("sxx",
+        sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).over(w))
+      .withColumn("b", col("sdx") / col("sdd"))
+      .withColumn("a", col("xbar") - col("b") * col("dbar"))
+      .withColumn("e", col("x") - col("a") - col("b") * col("d"))
+    fit
+      .withColumn("eprev", lag(col("e"), 1).over(wOrd))
+      .select(
+        col("n").cast("long").as("n_days"),
+        M.oracleRound(col("b"), 4).as("slope"),
+        M.oracleRound(col("a"), 4).as("intercept"),
+        col("e"), col("eprev"), col("sxx"))
+      .groupBy("n_days", "slope", "intercept")
+      .agg(
+        M.oracleRound(lit(1.0) -
+          sum(col("e") * col("e")) / max(col("sxx")), 4).as("r_sq"),
+        M.oracleRound(
+          sum(pow(col("e") - col("eprev"), 2)) /
+            sum(col("e") * col("e")), 4).as("durbin_watson"))
+  }
+
+  // q268: generalized-ESD outlier scan (3 unrolled rounds) over the
+  // daily event count — the iterated Grubbs test MAD (q219) cannot
+  // replace when outliers mask each other: each round z-scores the
+  // REMAINING days, extracts the most extreme one, and recomputes.
+  // Rounds are unrolled exactly like the graph fixpoints; the flag
+  // uses the fixed |z| > 3 rule (stated contract — no t-table in
+  // ANSI SQL). The daily frame is one row per day at any corpus
+  // scale, so the only full-data work is the keyed count.
+  def esdOutliers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    def zTop(daily: DataFrame): (DataFrame, DataFrame) = {
+      val n = count(lit(1)).over(w).cast("double")
+      val scored = daily
+        .withColumn("mu", avg(col("x")).over(w))
+        .withColumn("sd", sqrt(
+          (sum(col("x") * col("x")).over(w) -
+            n * col("mu") * col("mu")) / (n - 1)))
+        .withColumn("z", abs(col("x") - col("mu")) / col("sd"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("z").desc, col("day"))))
+      (scored.filter(col("rn") === 1)
+        .select(col("day"), col("x").cast("long").as("n_events"),
+          M.oracleRound(col("z"), 4).as("z"),
+          (col("z") > 3.0).as("is_outlier")),
+        scored.filter(col("rn") =!= 1).select("day", "x"))
+    }
+    var daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .coalesce(1)
+      .localCheckpoint()
+    var out: DataFrame = null
+    var r = 1
+    while (r <= 3) {
+      val (top, rest) = zTop(daily)
+      val row = top.withColumn("round", lit(r))
+        .select("round", "day", "n_events", "z", "is_outlier")
+      out = if (out == null) row else out.unionByName(row)
+      daily = rest.localCheckpoint()
+      r += 1
+    }
+    out.orderBy("round")
+  }
+
   // q251: Spearman rank correlation between per-user activity volume
   // and mean event value — the monotone-association audit Pearson
   // can't give (robust to the heavy-tailed n_events distribution).
