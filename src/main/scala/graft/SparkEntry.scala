@@ -299,6 +299,7 @@ object SparkEntry {
     "q266_label_noise" -> (P.labelNoiseAudit _),
     "q267_ols_diagnostics" -> (C.olsDiagnostics _),
     "q268_esd_outliers" -> (C.esdOutliers _),
+    "q269_bpe_fertility" -> (P.bpeFertility _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3676,6 +3677,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
         |  AS hamming
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-lang fertility/compression over the same 6-round BPE CTEs
+    "q269_bpe_fertility" -> (bpeCtes(6) +
+      """,
+        |fert AS (
+        | SELECT a.doc_id,
+        |  CAST(length(b.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split_regex(trim(a.t), '\s+')) AS BIGINT)
+        |   AS n_words,
+        |  CAST(length(a.t) AS BIGINT) AS n_chars
+        | FROM t0 a JOIN t6 b USING (doc_id))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(sum(f.n_tokens) * 1.0 / sum(f.n_words), 4) AS fertility,
+        | round(sum(f.n_chars) * 1.0 / sum(f.n_tokens), 4) AS compression
+        |FROM fert f JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // OLS + diagnostics: exact window sums, residual lag for DW
     "q267_ols_diagnostics" ->
       """WITH daily AS (

@@ -1909,6 +1909,24 @@ object PipelineQueries {
         bpeFit6(s, dir))
       .orderBy("doc_id")
 
+  // q269: tokenizer fertility per language — the multilingual-equity
+  // audit (SentencePiece/XLM-R papers' headline metric): micro-average
+  // tokens-per-word and chars-per-token per lang, over the SHARED BPE
+  // fit (one vocabulary for all languages, which is exactly why
+  // fertility diverges by lang). Rides q164's encode stage; one extra
+  // broadcast join + keyed aggregate.
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bpeEncodeFromFit(Tables.documents(s, dir), "doc_id", "text",
+        bpeFit6(s, dir))
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        M.oracleRound(sum(col("n_tokens")).cast("double")
+          / sum(col("n_words")).cast("double"), 4).as("fertility"),
+        M.oracleRound(sum(col("n_chars")).cast("double")
+          / sum(col("n_tokens")).cast("double"), 4).as("compression"))
+      .orderBy("lang")
+
   // q179: banded-LSH collision S-curve vs theory on planted
   // variable-J pairs — the dedup-design audit (q51's design-regime
   // discipline applied to the MinHash family)

@@ -1177,4 +1177,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     val frac = movers.length.toDouble / a.length
     assert(frac > 0.08 && frac < 0.15, s"moved fraction $frac far from 1/9")
   }
+
+  test("q269: fertility rollup conserves docs; micro-averages bounded sanely") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q269_bpe_fertility")(spark, dir)
+      .select("n_docs", "fertility", "compression")
+      .as[(Long, Double, Double)].collect()
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.map(_._1).sum == total)
+    rows.foreach { case (_, fert, comp) =>
+      // char-level BPE with 6 merges: tokens >> words, chars >= tokens
+      assert(fert > 1.0, s"fertility must exceed 1 token/word: $fert")
+      assert(comp >= 1.0, s"compression must be >= 1 char/token: $comp")
+    }
+  }
 }
