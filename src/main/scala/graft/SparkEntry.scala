@@ -300,6 +300,8 @@ object SparkEntry {
     "q267_ols_diagnostics" -> (C.olsDiagnostics _),
     "q268_esd_outliers" -> (C.esdOutliers _),
     "q269_bpe_fertility" -> (P.bpeFertility _),
+    "q270_survival_hazard" -> (C.survivalHazard _),
+    "q271_retrieval_mrr" -> (P.retrievalMrr _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3677,6 +3679,73 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
         |  AS hamming
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // life table: per-user lifetime, right-censoring on the corpus
+    // max day, suffix-sum risk sets, survival via exp(sum(ln(1-h)))
+    "q270_survival_hazard" ->
+      """WITH u AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |  max(CAST(ts AS DATE)) AS dn
+        | FROM events GROUP BY 1),
+        |m AS (SELECT max(dn) AS m FROM u),
+        |lv AS (
+        | SELECT user_id, CAST(dn - d0 AS INT) AS life,
+        |  dn = (SELECT m FROM m) AS censored
+        | FROM u),
+        |hist AS (
+        | SELECT life, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_churn
+        | FROM lv GROUP BY 1),
+        |r AS (
+        | SELECT life, n, n_churn,
+        |  sum(n) OVER (ORDER BY life ROWS BETWEEN CURRENT ROW AND
+        |   UNBOUNDED FOLLOWING) AS n_risk
+        | FROM hist),
+        |h AS (
+        | SELECT life, n_risk, n_churn,
+        |  n_churn * 1.0 / n_risk AS hazard_raw
+        | FROM r),
+        |sv AS (
+        | SELECT life, n_risk, n_churn, hazard_raw,
+        |  exp(sum(ln(1.0 - hazard_raw)) OVER (ORDER BY life
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |   AS survival_raw
+        | FROM h)
+        |SELECT life AS age_days, CAST(n_risk AS BIGINT) AS n_risk,
+        | n_churn, round(hazard_raw, 4) AS hazard,
+        | round(survival_raw, 4) AS survival
+        |FROM sv ORDER BY age_days""".stripMargin,
+    // MRR/recall@5 with label relevance over exact cosine ranks
+    "q271_retrieval_mrr" ->
+      """WITH e AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings),
+        |q AS (
+        | SELECT vec_id AS qid, label AS qlabel, e AS qe
+        | FROM e WHERE vec_id % 9 = 0),
+        |sc AS (
+        | SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label AS clabel,
+        |  list_inner_product(q.qe, c.e) /
+        |   (sqrt(list_inner_product(q.qe, q.qe)) *
+        |    sqrt(list_inner_product(c.e, c.e))) AS cos
+        | FROM q JOIN e c ON c.vec_id <> q.qid),
+        |r AS (
+        | SELECT qid, qlabel, cid, clabel, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+        |   AS rnk
+        | FROM sc),
+        |pq AS (
+        | SELECT qid,
+        |  min(CASE WHEN clabel = qlabel THEN rnk END) AS first_hit,
+        |  sum(CASE WHEN clabel = qlabel AND rnk <= 5 THEN 1 ELSE 0 END)
+        |   AS hits_at_5
+        | FROM r GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | round(avg(CASE WHEN first_hit IS NOT NULL
+        |  THEN 1.0 / first_hit ELSE 0.0 END), 4) AS mrr,
+        | round(avg(CASE WHEN hits_at_5 > 0 THEN 1.0 ELSE 0.0 END), 4)
+        |  AS recall_at_5
+        |FROM pq""".stripMargin,
     // per-lang fertility/compression over the same 6-round BPE CTEs
     "q269_bpe_fertility" -> (bpeCtes(6) +
       """,

@@ -2271,6 +2271,46 @@ object CoreQueries {
     out.orderBy("round")
   }
 
+  // q270: discrete-time survival / hazard life table over user
+  // activity — the churn analysis next to q177's retention cohorts:
+  // a user's observed lifetime is last-minus-first active day; users
+  // still active on the corpus' final day are right-CENSORED (they
+  // contribute to risk sets but never to churn counts — the
+  // distinction naive retention tables get wrong). hazard(k) =
+  // churners at age k / users at risk at age k; S(k) = Π(1−h),
+  // computed as exp(Σ ln(1−h)) over the running window. Scale shape:
+  // ONE per-user aggregate (the only corpus-sized step), then a
+  // lifetime histogram whose row count is the age range — suffix
+  // sums and the survival product are windows on that tiny frame.
+  def survivalHazard(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val users = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dn"))
+    val withEnd = users
+      .withColumn("m", max(col("dn")).over(w))
+      .withColumn("life", datediff(col("dn"), col("d0")))
+      .withColumn("censored", col("dn") === col("m"))
+    val hist = withEnd.groupBy("life")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"))
+      .coalesce(1)
+    val wSuffix = Window.orderBy(col("life"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("life"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_risk", sum(col("n")).over(wSuffix))
+      .withColumn("hazard_raw",
+        col("n_churn").cast("double") / col("n_risk"))
+      .withColumn("survival_raw",
+        exp(sum(log(lit(1.0) - col("hazard_raw"))).over(wCum)))
+      .select(col("life").as("age_days"), col("n_risk"), col("n_churn"),
+        M.oracleRound(col("hazard_raw"), 4).as("hazard"),
+        M.oracleRound(col("survival_raw"), 4).as("survival"))
+      .orderBy("age_days")
+  }
+
   // q251: Spearman rank correlation between per-user activity volume
   // and mean event value — the monotone-association audit Pearson
   // can't give (robust to the heavy-tailed n_events distribution).

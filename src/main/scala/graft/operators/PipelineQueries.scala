@@ -1927,6 +1927,44 @@ object PipelineQueries {
           / sum(col("n_tokens")).cast("double"), 4).as("compression"))
       .orderBy("lang")
 
+  // q271: retrieval MRR + recall@5 with label relevance — the eval
+  // harness metric alongside q170's NDCG and q208's RBO: queries are
+  // a modulus sample, candidates ranked by exact cosine (the q28
+  // convention: descending similarity, vec_id tiebreak), a hit is a
+  // same-label neighbor; MRR averages 1/rank-of-first-hit (0 when no
+  // same-label doc exists among candidates — stated contract).
+  // Sample × corpus bounded, never corpus².
+  def retrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val q = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      .toDF("qid", "qlabel", "qe")
+    val scored = q.crossJoin(emb.toDF("cid", "clabel", "ce"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        (call_function("graft_dot", col("qe"), col("ce")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("ce"), col("ce")))))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+    val perQuery = scored
+      .groupBy("qid")
+      .agg(
+        min(when(col("clabel") === col("qlabel"), col("rnk")))
+          .as("first_hit"),
+        sum(when(col("clabel") === col("qlabel") && col("rnk") <= 5, 1L)
+          .otherwise(0L)).as("hits_at_5"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      M.oracleRound(avg(when(col("first_hit").isNotNull,
+        lit(1.0) / col("first_hit")).otherwise(lit(0.0))), 4).as("mrr"),
+      M.oracleRound(avg(when(col("hits_at_5") > 0, 1.0).otherwise(0.0)), 4)
+        .as("recall_at_5"))
+  }
+
   // q179: banded-LSH collision S-curve vs theory on planted
   // variable-J pairs — the dedup-design audit (q51's design-regime
   // discipline applied to the MinHash family)

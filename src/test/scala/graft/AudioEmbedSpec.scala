@@ -79,6 +79,19 @@ class AudioEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("q271: MRR/recall bounds and query-sample size") {
+    val (n, mrr, r5) = SparkEntry.queries("q271_retrieval_mrr")(spark, dir)
+      .as[(Long, Double, Double)].collect().head
+    val expectN = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 9 === 0).count()
+    assert(n == expectN)
+    assert(mrr >= 0 && mrr <= 1 && r5 >= 0 && r5 <= 1)
+    // with 10 labels a random ranker's MRR is well below a perfect 1;
+    // label signal or not, the metric must be strictly positive here
+    // (every query has same-label candidates in this corpus)
+    assert(mrr > 0)
+  }
+
   test("q263: silhouette bounded, labels covered, vectors conserved") {
     val rows = SparkEntry.queries("q263_embed_silhouette")(spark, dir)
       .select("label", "n_vecs", "avg_a", "avg_b", "silhouette")

@@ -51,6 +51,34 @@ class TrendDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q270: life table invariants — risk sets shrink, survival monotone, censoring honored") {
+    val rows = SparkEntry.queries("q270_survival_hazard")(spark, dir)
+      .select("age_days", "n_risk", "n_churn", "hazard", "survival")
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(0)._1 < w(1)._1)
+        assert(w(0)._2 > w(1)._2, "risk set strictly shrinks with age")
+        assert(w(0)._5 >= w(1)._5 - 1e-9, "survival is non-increasing")
+      }
+    }
+    rows.foreach { case (_, risk, churn, h, sv) =>
+      assert(churn <= risk && h >= 0 && h <= 1 && sv >= 0 && sv <= 1)
+    }
+    // censored users never churn: total churners < total users
+    val users = graft.sources.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum < users,
+      "at least the last-day-active users must be censored")
+    // S(k) really is the product of (1 - h) up to k (at 4dp pinning)
+    var prod = 1.0
+    rows.foreach { case (_, risk, churn, _, sv) =>
+      prod *= (1.0 - churn.toDouble / risk)
+      assert(math.abs(sv - prod) < 5e-4, s"survival drifted from product: $sv vs $prod")
+    }
+  }
+
   test("q268: a planted spike is the round-1 extraction (masking scenario)") {
     // direct check of the round logic on a hand frame with two spikes
     def top(xs: Seq[Double]): (Int, Double) = {
