@@ -302,6 +302,7 @@ object SparkEntry {
     "q269_bpe_fertility" -> (P.bpeFertility _),
     "q270_survival_hazard" -> (C.survivalHazard _),
     "q271_retrieval_mrr" -> (P.retrievalMrr _),
+    "q272_dataset_card" -> (P.datasetCard _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3679,6 +3680,35 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bit1 <> bit2 THEN 1 ELSE 0 END) AS INT)
         |  AS hamming
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dataset card: one multi-aggregate scan, long (metric, value)
+    "q272_dataset_card" ->
+      """WITH d AS (
+        | SELECT *, len(string_split_regex(trim(text), '\s+')) AS nw
+        | FROM documents),
+        |a AS (
+        | SELECT
+        |  CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |  round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+        |   AS exact_dup_rate,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars,
+        |  CAST(sum(nw) AS DOUBLE) AS tokens_total,
+        |  round(sum(nw) * 1.0 / count(*), 4) AS mean_tokens,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |   AS pct_en
+        | FROM d)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM a
+        |UNION ALL SELECT 'mean_chars', mean_chars FROM a
+        |UNION ALL SELECT 'p50_chars', p50_chars FROM a
+        |UNION ALL SELECT 'tokens_total', tokens_total FROM a
+        |UNION ALL SELECT 'mean_tokens', mean_tokens FROM a
+        |UNION ALL SELECT 'pct_en', pct_en FROM a
+        |ORDER BY metric""".stripMargin,
     // life table: per-user lifetime, right-censoring on the corpus
     // max day, suffix-sum risk sets, survival via exp(sum(ln(1-h)))
     "q270_survival_hazard" ->

@@ -1965,6 +1965,44 @@ object PipelineQueries {
         .as("recall_at_5"))
   }
 
+  // q272: the dataset card — the one-table corpus summary a release
+  // ships with (docs, languages, sources, exact-dup rate, length and
+  // token profile, language share), every metric from ONE scan of
+  // documents (a single multi-aggregate; the three count-distincts
+  // are the only expansion and each is a keyed dedup at scale).
+  // Long (metric, value) shape so downstream diffing of two cards is
+  // a join, not a schema migration.
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("nw", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val agg = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      M.oracleRound(lit(1.0) -
+        countDistinct(col("text")).cast("double") / count(lit(1)), 4)
+        .as("exact_dup_rate"),
+      M.oracleRound(avg(col("n_chars")), 4).as("mean_chars"),
+      expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+      sum(col("nw")).cast("double").as("tokens_total"),
+      M.oracleRound(sum(col("nw")).cast("double") / count(lit(1)), 4)
+        .as("mean_tokens"),
+      M.oracleRound(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 4)
+        .as("pct_en"))
+    agg.selectExpr(
+      """stack(9,
+        | 'n_docs', n_docs,
+        | 'n_langs', n_langs,
+        | 'n_sources', n_sources,
+        | 'exact_dup_rate', exact_dup_rate,
+        | 'mean_chars', mean_chars,
+        | 'p50_chars', p50_chars,
+        | 'tokens_total', tokens_total,
+        | 'mean_tokens', mean_tokens,
+        | 'pct_en', pct_en) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
   // q179: banded-LSH collision S-curve vs theory on planted
   // variable-J pairs — the dedup-design audit (q51's design-regime
   // discipline applied to the MinHash family)

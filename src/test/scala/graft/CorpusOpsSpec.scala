@@ -1178,6 +1178,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(frac > 0.08 && frac < 0.15, s"moved fraction $frac far from 1/9")
   }
 
+  test("q272: dataset card covers its nine metrics with consistent values") {
+    import spark.implicits._
+    val card = SparkEntry.queries("q272_dataset_card")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(card.keySet == Set("n_docs", "n_langs", "n_sources",
+      "exact_dup_rate", "mean_chars", "p50_chars", "tokens_total",
+      "mean_tokens", "pct_en"))
+    val n = graft.sources.Tables.documents(spark, dir).count().toDouble
+    assert(card("n_docs") == n)
+    assert(card("exact_dup_rate") >= 0 && card("exact_dup_rate") < 1)
+    assert(card("pct_en") > 0 && card("pct_en") < 1)
+    assert(math.abs(card("mean_tokens") - card("tokens_total") / n) < 1e-3)
+  }
+
   test("q269: fertility rollup conserves docs; micro-averages bounded sanely") {
     import spark.implicits._
     val rows = SparkEntry.queries("q269_bpe_fertility")(spark, dir)
