@@ -303,6 +303,15 @@ object SparkEntry {
     "q270_survival_hazard" -> (C.survivalHazard _),
     "q271_retrieval_mrr" -> (P.retrievalMrr _),
     "q272_dataset_card" -> (P.datasetCard _),
+    "q273_fdr_bh" -> (C.fdrBh(_, _)),
+    "q274_geo_near" -> (C.geoNearJoin _),
+    "q275_dsir_weights" -> (P.dsirWeights _),
+    "q276_kn_bigram" -> (P.knBigram _),
+    "q277_curriculum" -> (P.curriculumInterleave _),
+    "q278_l_diversity" -> (C.lDiversity _),
+    "q279_permutation_test" -> (C.permutationTest _),
+    "q280_group_sequential" -> (C.groupSequential _),
+    "q281_qte_deciles" -> (C.qteDeciles _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -5913,6 +5922,270 @@ object SparkEntry {
         |      ELSE 'head' END AS bucket
         |FROM documents d LEFT JOIN p USING (doc_id), b
         |ORDER BY d.doc_id""".stripMargin,
+    // Benjamini-Hochberg step-up over the q253 Welch t family; p-values
+    // are the Chernoff bound exp(-t^2/2), 6-dp-pinned BEFORE the
+    // step-up comparison (both engines compare identical rounded
+    // doubles, so a reject decision can never flip on a ulp)
+    "q273_fdr_bh" ->
+      """WITH g AS (
+        | SELECT source, CAST(count(*) AS DOUBLE) AS n_g,
+        |  sum(CAST(n_chars AS DOUBLE)) AS s_g,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars) AS ss_g
+        | FROM documents GROUP BY 1),
+        |t AS (
+        | SELECT source, n_g, s_g, ss_g,
+        |  sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+        |  sum(ss_g) OVER () AS ss,
+        |  CAST(count(*) OVER () AS DOUBLE) AS m
+        | FROM g),
+        |d AS (
+        | SELECT source, m,
+        |  (s_g / n_g - (s - s_g) / (n - n_g)) /
+        |   sqrt(((ss_g - s_g * s_g / n_g) / (n_g - 1)) / n_g +
+        |    ((ss - ss_g - (s - s_g) * (s - s_g) / (n - n_g)) / (n - n_g - 1))
+        |     / (n - n_g)) AS t_stat
+        | FROM t),
+        |r AS (
+        | SELECT source, m, t_stat,
+        |  round(exp(-t_stat * t_stat / 2), 6) AS p_bound
+        | FROM d),
+        |k AS (
+        | SELECT source, t_stat, p_bound, m,
+        |  CAST(row_number() OVER (ORDER BY p_bound, source) AS INTEGER)
+        |   AS rnk
+        | FROM r),
+        |b AS (
+        | SELECT source, t_stat, p_bound, rnk,
+        |  round(rnk * 0.05 / m, 6) AS bh_thresh
+        | FROM k),
+        |c AS (
+        | SELECT *, max(CASE WHEN p_bound <= bh_thresh THEN rnk END)
+        |  OVER () AS cutoff
+        | FROM b)
+        |SELECT source, round(t_stat, 4) AS t_stat, p_bound, rnk,
+        | bh_thresh, rnk <= coalesce(cutoff, 0) AS rejected
+        |FROM c ORDER BY rnk""".stripMargin,
+    // grid-join radius search restated as the brute-force cross join —
+    // the oracle states WHAT (every supplier within 500 km), the engine
+    // proves the 3x3-cell equi-join finds exactly that set; distances
+    // 3-dp-pinned before both the radius gate and the min
+    "q274_geo_near" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  (CAST(('0x' || substr(md5('geo:c:lat:' || c_custkey), 1, 8))
+        |    AS BIGINT) % 1200) / 10.0 - 60.0 AS clat,
+        |  (CAST(('0x' || substr(md5('geo:c:lon:' || c_custkey), 1, 8))
+        |    AS BIGINT) % 3600) / 10.0 - 180.0 AS clon
+        | FROM customer),
+        |s AS (
+        | SELECT s_suppkey,
+        |  (CAST(('0x' || substr(md5('geo:s:lat:' || s_suppkey), 1, 8))
+        |    AS BIGINT) % 1200) / 10.0 - 60.0 AS slat,
+        |  (CAST(('0x' || substr(md5('geo:s:lon:' || s_suppkey), 1, 8))
+        |    AS BIGINT) % 3600) / 10.0 - 180.0 AS slon
+        | FROM supplier),
+        |p AS (
+        | SELECT c_custkey,
+        |  round(2 * 6371.0088 * asin(sqrt(
+        |   pow(sin(radians(slat - clat) / 2), 2) +
+        |   cos(radians(clat)) * cos(radians(slat)) *
+        |    pow(sin(radians(slon - clon) / 2), 2))), 3) AS d
+        | FROM c, s),
+        |n AS (
+        | SELECT c_custkey, count(*) AS n_near, min(d) AS min_km
+        | FROM p WHERE d <= 500.0 GROUP BY 1)
+        |SELECT c.c_custkey, coalesce(n.n_near, 0) AS n_near, n.min_km
+        |FROM customer c LEFT JOIN n USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    // DSIR hashed-unigram importance weights: target = the 'en' slice,
+    // raw = the whole corpus, 128 md5 buckets, add-1 smoothing; ranked
+    // on the 4-dp-pinned per-token log-ratio
+    "q275_dsir_weights" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |tb AS (
+        | SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5('dsir:' || w), 1, 8)) AS BIGINT) % 128
+        |   AS b
+        | FROM (SELECT doc_id, lang, unnest(a) AS w FROM t) x),
+        |bk AS (
+        | SELECT b, CAST(count(*) AS DOUBLE) AS c_raw,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |   AS c_tgt
+        | FROM tb GROUP BY 1),
+        |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM bk),
+        |lr AS (
+        | SELECT b, ln((c_tgt + 1) / (n_tgt + 128)) -
+        |  ln((c_raw + 1) / (n_raw + 128)) AS lr
+        | FROM bk, tot),
+        |pd AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3),
+        |dw AS (
+        | SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_toks,
+        |  round(sum(c * lr.lr) / sum(c), 4) AS avg_lw
+        | FROM pd JOIN lr USING (b) GROUP BY 1, 2),
+        |r AS (
+        | SELECT doc_id, lang, n_toks, avg_lw,
+        |  CAST(row_number() OVER (ORDER BY avg_lw DESC, doc_id)
+        |   AS INTEGER) AS rnk
+        | FROM dw)
+        |SELECT doc_id, lang, n_toks, avg_lw, rnk FROM r
+        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    // interpolated Kneser-Ney bigram LM: discounted observed mass plus
+    // continuation-weighted backoff, all counts integer-exact, 4-dp pin
+    "q276_kn_bigram" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1,
+        |  a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |hd AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS cw1,
+        |        count(*) AS n1h FROM cab GROUP BY 1),
+        |ct AS (SELECT w2, count(*) AS n1c FROM cab GROUP BY 1),
+        |dt AS (SELECT CAST(count(*) AS DOUBLE) AS dtot FROM cab),
+        |p AS (
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((cab.c_ab - 0.75) / hd.cw1 +
+        |   0.75 * hd.n1h / hd.cw1 * (ct.n1c / dt.dtot))), 4) AS avg_logp
+        | FROM bg JOIN cab USING (w1, w2) JOIN hd USING (w1)
+        |  JOIN ct USING (w2), dt
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id, p.n_bigrams, p.avg_logp
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // round-robin curriculum: per-source easy-first rank, position by
+    // arithmetic (rank-1)*|sources| + src_idx — no global window
+    "q277_curriculum" ->
+      """WITH s AS (
+        | SELECT source,
+        |  CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |   AS src_idx,
+        |  CAST(count(*) OVER () AS BIGINT) AS n_src
+        | FROM (SELECT DISTINCT source FROM documents) x),
+        |r AS (
+        | SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INTEGER) AS src_rank
+        | FROM documents)
+        |SELECT r.doc_id, r.source, r.src_rank,
+        | (r.src_rank - 1) * s.n_src + s.src_idx AS pos
+        |FROM r JOIN s USING (source) ORDER BY pos""".stripMargin,
+    // l-diversity per (lang, 500-char band) QI cell, sensitive = source
+    "q278_l_diversity" ->
+      """WITH c AS (
+        | SELECT lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS len_band,
+        |  source, count(*) AS c
+        | FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, len_band, CAST(sum(c) AS BIGINT) AS n_docs,
+        | count(*) AS l_div,
+        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share,
+        | count(*) >= 2 AS diverse
+        |FROM c GROUP BY 1, 2 ORDER BY lang, len_band""".stripMargin,
+    // 64-seed hash-relabeling permutation null for the click-vs-
+    // purchase mean gap; both sides of the >= are 4-dp-pinned
+    "q279_permutation_test" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type, value FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |o AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS DOUBLE) AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS DOUBLE) AS n_b,
+        |  sum(CASE WHEN event_type = 'click' THEN value END) AS s_a,
+        |  sum(CASE WHEN event_type = 'purchase' THEN value END) AS s_b
+        | FROM ev),
+        |ob AS (SELECT n_a, n_b,
+        |  round(abs(s_a / n_a - s_b / n_b), 4) AS obs_diff FROM o),
+        |pm AS (
+        | SELECT seed,
+        |  round(abs(sum(CASE WHEN arm_a THEN value END) /
+        |    sum(CASE WHEN arm_a THEN 1.0 ELSE 0.0 END) -
+        |   sum(CASE WHEN NOT arm_a THEN value END) /
+        |    sum(CASE WHEN NOT arm_a THEN 1.0 ELSE 0.0 END)), 4) AS d
+        | FROM (
+        |  SELECT g.seed, ev.value,
+        |   CAST(('0x' || substr(md5('perm:' || g.seed || ':' || ev.event_id),
+        |     1, 8)) AS BIGINT) % (ob.n_a + ob.n_b) < ob.n_a AS arm_a
+        |  FROM ev, ob, (SELECT unnest(generate_series(0, 63)) AS seed) g) t
+        | GROUP BY seed)
+        |SELECT CAST(ob.n_a AS BIGINT) AS n_click,
+        | CAST(ob.n_b AS BIGINT) AS n_purchase, ob.obs_diff,
+        | count(*) AS n_perms,
+        | CAST(sum(CASE WHEN pm.d >= ob.obs_diff THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_ge,
+        | round((sum(CASE WHEN pm.d >= ob.obs_diff THEN 1 ELSE 0 END) + 1)
+        |  / CAST(count(*) + 1 AS DOUBLE), 4) AS p_value
+        |FROM pm, ob GROUP BY ob.n_a, ob.n_b, ob.obs_diff""".stripMargin,
+    // day-by-day cumulative z of the even/odd-user click-value gap vs
+    // the OBF-shaped boundary 1.96*sqrt(T/t); monitor starts once both
+    // arms hold >= 2 observations
+    "q280_group_sequential" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, user_id % 2 AS variant,
+        |  CAST(count(*) AS DOUBLE) AS n, sum(value) AS sv,
+        |  sum(value * value) AS ssv
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        | SELECT day,
+        |  sum(CASE WHEN variant = 1 THEN n END) AS nt_d,
+        |  sum(CASE WHEN variant = 1 THEN sv END) AS st_d,
+        |  sum(CASE WHEN variant = 1 THEN ssv END) AS sst_d,
+        |  sum(CASE WHEN variant = 0 THEN n END) AS nc_d,
+        |  sum(CASE WHEN variant = 0 THEN sv END) AS sc_d,
+        |  sum(CASE WHEN variant = 0 THEN ssv END) AS ssc_d
+        | FROM d GROUP BY 1),
+        |c AS (
+        | SELECT day,
+        |  sum(nt_d) OVER w AS nt, sum(st_d) OVER w AS st,
+        |  sum(sst_d) OVER w AS sst,
+        |  sum(nc_d) OVER w AS nc, sum(sc_d) OVER w AS sc,
+        |  sum(ssc_d) OVER w AS ssc
+        | FROM p WINDOW w AS (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT * FROM c WHERE nt >= 2 AND nc >= 2),
+        |g AS (
+        | SELECT day, nt, nc,
+        |  CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS t_idx,
+        |  CAST(count(*) OVER () AS DOUBLE) AS t_max,
+        |  (st / nt - sc / nc) /
+        |   sqrt((((sst - st * st / nt) + (ssc - sc * sc / nc)) /
+        |     (nt + nc - 2)) * (1.0 / nt + 1.0 / nc)) AS z
+        | FROM f)
+        |SELECT day, CAST(nt AS BIGINT) AS n_treat,
+        | CAST(nc AS BIGINT) AS n_ctrl, round(z, 4) AS z_stat,
+        | round(1.96 * sqrt(t_max / t_idx), 4) AS boundary,
+        | round(abs(z), 4) > round(1.96 * sqrt(t_max / t_idx), 4) AS crossed
+        |FROM g ORDER BY day""".stripMargin,
+    // per-decile quantile treatment effect on purchase value,
+    // even/odd-user arms; exact interpolated quantiles
+    "q281_qte_deciles" ->
+      """WITH e AS (
+        | SELECT user_id % 2 AS variant, value FROM events
+        | WHERE event_type = 'purchase'),
+        |q AS (
+        | SELECT variant,
+        |  quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |   0.6, 0.7, 0.8, 0.9]) AS qs
+        | FROM e GROUP BY 1),
+        |u AS (
+        | SELECT variant, i, qs[CAST(i AS INTEGER)] AS q
+        | FROM q, (SELECT unnest(generate_series(1, 9)) AS i) g)
+        |SELECT round(i / 10.0, 1) AS p,
+        | round(sum(CASE WHEN variant = 1 THEN q END), 4) AS q_treat,
+        | round(sum(CASE WHEN variant = 0 THEN q END), 4) AS q_ctrl,
+        | round(sum(CASE WHEN variant = 1 THEN q END) -
+        |  sum(CASE WHEN variant = 0 THEN q END), 4) AS qte
+        |FROM u GROUP BY i ORDER BY p""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -2523,4 +2523,283 @@ object CoreQueries {
         M.oracleRound(col("jk_se"), 4).as("jk_se"))
       .orderBy("source")
   }
+
+  // q273: Benjamini-Hochberg FDR control over the q253 per-source Welch
+  // tests — the multiple-comparisons layer a metrics dashboard needs
+  // once it runs one drift test PER slice (at 10k slices, α=0.05 alone
+  // false-alarms ~500 of them; BH caps the EXPECTED false-discovery
+  // fraction instead). p-values are the Chernoff tail bound
+  // exp(−t²/2) — a monotone transform of |t| that both engines compute
+  // from the same exact-sum t, 6-dp-pinned BEFORE the step-up
+  // comparison so an engine ulp can never flip a reject decision; the
+  // BH cutoff max{i : p(i) ≤ i/m·α} is a window max over the
+  // |sources|-row frame. Full-data cost: the q253 keyed aggregate.
+  def fdrBh(s: SparkSession, dir: String, alpha: Double = 0.05): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val g = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_g"),
+        sum(x).as("s_g"), sum(x * x).as("ss_g"))
+      .coalesce(1)
+    val w = Window.partitionBy()
+    val scored = g
+      .withColumn("n", sum(col("n_g")).over(w))
+      .withColumn("s", sum(col("s_g")).over(w))
+      .withColumn("ss", sum(col("ss_g")).over(w))
+      .withColumn("m", count(lit(1)).over(w).cast("double"))
+      .withColumn("mean_g", col("s_g") / col("n_g"))
+      .withColumn("var_g",
+        (col("ss_g") - col("s_g") * col("s_g") / col("n_g")) /
+          (col("n_g") - 1))
+      .withColumn("n_c", col("n") - col("n_g"))
+      .withColumn("mean_c", (col("s") - col("s_g")) / col("n_c"))
+      .withColumn("var_c",
+        (col("ss") - col("ss_g") -
+          (col("s") - col("s_g")) * (col("s") - col("s_g")) / col("n_c")) /
+          (col("n_c") - 1))
+      .withColumn("t_stat",
+        (col("mean_g") - col("mean_c")) /
+          sqrt(col("var_g") / col("n_g") + col("var_c") / col("n_c")))
+      .withColumn("p_bound",
+        M.oracleRound(exp(-col("t_stat") * col("t_stat") / 2), 6))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("p_bound"), col("source"))))
+      .withColumn("bh_thresh",
+        M.oracleRound(col("rnk") * lit(alpha) / col("m"), 6))
+      .withColumn("cutoff", max(when(col("p_bound") <= col("bh_thresh"),
+        col("rnk"))).over(w))
+    ranked.select(col("source"),
+        M.oracleRound(col("t_stat"), 4).as("t_stat"),
+        col("p_bound"), col("rnk"), col("bh_thresh"),
+        (col("rnk") <= coalesce(col("cutoff"), lit(0))).as("rejected"))
+      .orderBy("rnk")
+  }
+
+  // q278: l-diversity audit — the companion to q128's k-anonymity: a
+  // quasi-identifier group can be large (k-anonymous) yet still leak
+  // its sensitive attribute if every member SHARES it. Per QI cell
+  // (lang × 500-char length band) over the corpus: distinct-count of
+  // the sensitive column (source), the majority share (how recoverable
+  // the attribute is), and the l ≥ 2 gate. Two keyed aggregates —
+  // (cell, source) then cell — both map-side combined; nothing wider
+  // than the cell count at any scale.
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"),
+        floor(col("n_chars") / 500.0).cast("long").as("len_band"),
+        col("source"))
+      .groupBy("lang", "len_band", "source")
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("lang", "len_band")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("l_div"),
+        M.oracleRound(max(col("c")).cast("double") / sum(col("c")), 4)
+          .as("top_share"))
+      .withColumn("diverse", col("l_div") >= 2)
+      .orderBy("lang", "len_band")
+  }
+
+  // q279: hash-relabeling permutation test for the click-vs-purchase
+  // mean-value gap. The null is simulated with 64 DETERMINISTIC
+  // pseudo-permutations: under seed s, event e joins pseudo-arm A iff
+  // md5(s:e) mod n < n_a — a random relabeling preserving arm sizes in
+  // expectation (documented contract: the Monte-Carlo relabeling null,
+  // not the exact-permutation null; at 64 seeds the resolution floor
+  // is p = 1/65). p = (1 + #{s : |diff_s| ≥ |obs|}) / (1 + S) with
+  // both sides 4-dp-pinned before the ≥. Scale shape: the seed
+  // cross-join is a constant ×64 on the event stream feeding ONE
+  // map-side-combined aggregate keyed by (seed, pseudo-arm) — 128
+  // partial rows per partition, no shuffle wider than 128 rows.
+  def permutationTest(s: SparkSession, dir: String): DataFrame = {
+    val seeds = 64
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"), col("value"))
+    val obs = ev.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"), sum(col("value")).as("sv"))
+      .agg(
+        sum(when(col("event_type") === "click", col("n"))).as("n_a"),
+        sum(when(col("event_type") === "purchase", col("n"))).as("n_b"),
+        sum(when(col("event_type") === "click", col("sv"))).as("s_a"),
+        sum(when(col("event_type") === "purchase", col("sv"))).as("s_b"))
+      .withColumn("obs_diff",
+        M.oracleRound(abs(col("s_a") / col("n_a") - col("s_b") / col("n_b")), 4))
+    val seedDf = s.range(0, seeds).select(col("id").cast("int").as("seed"))
+    val perm = ev.crossJoin(broadcast(seedDf))
+      .crossJoin(broadcast(obs.select(col("n_a"), col("n_b"))))
+      .withColumn("arm_a",
+        T.md5Int(concat(lit("perm:"), col("seed"), lit(":"), col("event_id")), 8)
+          .cast("double") % (col("n_a") + col("n_b")) < col("n_a"))
+      .groupBy("seed")
+      .agg(
+        sum(when(col("arm_a"), col("value"))).as("sa"),
+        sum(when(col("arm_a"), 1.0).otherwise(0.0)).as("na"),
+        sum(when(!col("arm_a"), col("value"))).as("sb"),
+        sum(when(!col("arm_a"), 1.0).otherwise(0.0)).as("nb"))
+      .withColumn("d",
+        M.oracleRound(abs(col("sa") / col("na") - col("sb") / col("nb")), 4))
+    perm.crossJoin(broadcast(obs))
+      .agg(
+        first(col("n_a")).cast("long").as("n_click"),
+        first(col("n_b")).cast("long").as("n_purchase"),
+        first(col("obs_diff")).as("obs_diff"),
+        count(lit(1)).as("n_perms"),
+        sum(when(col("d") >= col("obs_diff"), 1L).otherwise(0L)).as("n_ge"))
+      .withColumn("p_value", M.oracleRound(
+        (col("n_ge") + 1).cast("double") / (col("n_perms") + 1), 4))
+  }
+
+  // q280: group-sequential A/B monitoring — the day-by-day cumulative
+  // z-path of the even-vs-odd-user click-value gap against an
+  // O'Brien-Fleming-SHAPED boundary z_α·sqrt(T/t) (spends almost no
+  // alpha early, relaxes to z_α at the horizon — the standard "peek
+  // daily without inflating false positives" discipline; the constant
+  // uses z_α = 1.96, documented as the OBF shape, not an exact
+  // alpha-spending solve). All cumulative stats are exact integer-
+  // weighted sums over the |days|-row frame; the full-data cost is one
+  // (day, variant) keyed aggregate.
+  def groupSequential(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"),
+        pmod(col("user_id"), lit(2)).cast("int").as("variant"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value")).as("sv"), sum(col("value") * col("value")).as("ssv"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("variant") === 1, col("n"))).as("nt_d"),
+        sum(when(col("variant") === 1, col("sv"))).as("st_d"),
+        sum(when(col("variant") === 1, col("ssv"))).as("sst_d"),
+        sum(when(col("variant") === 0, col("n"))).as("nc_d"),
+        sum(when(col("variant") === 0, col("sv"))).as("sc_d"),
+        sum(when(col("variant") === 0, col("ssv"))).as("ssc_d"))
+      .coalesce(1)
+    val wc = Window.partitionBy().orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    val cum = daily
+      .withColumn("nt", sum(col("nt_d")).over(wc))
+      .withColumn("st", sum(col("st_d")).over(wc))
+      .withColumn("sst", sum(col("sst_d")).over(wc))
+      .withColumn("nc", sum(col("nc_d")).over(wc))
+      .withColumn("sc", sum(col("sc_d")).over(wc))
+      .withColumn("ssc", sum(col("ssc_d")).over(wc))
+      // the monitor starts once BOTH arms hold >= 2 observations —
+      // keeps the pooled variance well-defined (no 0/0 whose IEEE
+      // handling the two engines need not share); t re-indexes over
+      // the monitored days
+      .filter(col("nt") >= 2 && col("nc") >= 2)
+      .withColumn("t_idx", row_number().over(Window.partitionBy().orderBy("day")))
+      .withColumn("t_max", count(lit(1)).over(wall).cast("double"))
+      // pooled two-sample variance from the cumulative sums
+      .withColumn("s2",
+        ((col("sst") - col("st") * col("st") / col("nt")) +
+          (col("ssc") - col("sc") * col("sc") / col("nc"))) /
+          (col("nt") + col("nc") - 2))
+      .withColumn("z",
+        (col("st") / col("nt") - col("sc") / col("nc")) /
+          sqrt(col("s2") * (lit(1.0) / col("nt") + lit(1.0) / col("nc"))))
+      .withColumn("bound", lit(1.96) * sqrt(col("t_max") / col("t_idx")))
+    cum.select(col("day"),
+        col("nt").cast("long").as("n_treat"),
+        col("nc").cast("long").as("n_ctrl"),
+        M.oracleRound(col("z"), 4).as("z_stat"),
+        M.oracleRound(col("bound"), 4).as("boundary"),
+        (M.oracleRound(abs(col("z")), 4) > M.oracleRound(col("bound"), 4))
+          .as("crossed"))
+      .orderBy("day")
+  }
+
+  // q281: quantile treatment effect — the distributional view the mean
+  // gap (q225/q280) cannot give: per decile p ∈ {0.1..0.9}, the
+  // treated-vs-control purchase-value quantile gap. Exact interpolated
+  // percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the gate
+  // q50 already pins); one aggregate per arm over the purchase slice,
+  // posexplode of the 9-element result — nothing beyond two 9-value
+  // rows after the aggregate.
+  def qteDeciles(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    val q = ev.groupBy("variant")
+      .agg(percentile(col("value"),
+        array(ps.map(lit): _*)).as("qs"))
+      .select(col("variant"), posexplode(col("qs")).as(Seq("i", "q")))
+    q.groupBy("i")
+      .agg(
+        M.oracleRound(sum(when(col("variant") === 1, col("q"))), 4)
+          .as("q_treat"),
+        M.oracleRound(sum(when(col("variant") === 0, col("q"))), 4)
+          .as("q_ctrl"),
+        M.oracleRound(sum(when(col("variant") === 1, col("q"))) -
+          sum(when(col("variant") === 0, col("q"))), 4).as("qte"))
+      .withColumn("p", M.oracleRound((col("i") + 1).cast("double") / 10, 1))
+      .select("p", "q_treat", "q_ctrl", "qte")
+      .orderBy("p")
+  }
+
+  // q274: geohash-grid radius join — customers to suppliers within
+  // 500 km, coordinates derived deterministically from the md5 key
+  // hash (lat ∈ [−60,60), lon ∈ [−180,180), 0.1° resolution) so the
+  // oracle reproduces them exactly. The grid is the scale story: each
+  // customer lands in ONE 5°×10° cell, each supplier is exploded to
+  // its 3×3 cell neighborhood (a constant ×9 on the SMALL side), and
+  // the join is a plain equi-join on the cell key — never the lat/lon
+  // cross product. Cell sizes dominate the 500 km radius everywhere on
+  // the band (5° lat ≈ 555 km; 10° lon ≥ 557 km at |lat| ≤ 60), so the
+  // neighborhood is provably complete; the exact haversine then
+  // filters candidates inside the join. A supplier copy matches a
+  // given customer cell at most once (nine distinct offsets), so the
+  // candidate stream is duplicate-free by construction. Output keeps
+  // ALL customers (left join) — the empty neighborhood is an answer,
+  // not an absent row. At 100 TB: equi-join shuffles on the cell key;
+  // the ×9 supplier explode broadcasts if small, else co-partitions.
+  def geoNearJoin(s: SparkSession, dir: String): DataFrame = {
+    val radiusKm = 500.0
+    val earthR = 6371.0088
+    def latOf(salt: String, k: Column): Column =
+      (T.md5Int(concat(lit(s"${salt}lat:"), k.cast("string")), 8) % 1200L)
+        .cast("double") / 10.0 - 60.0
+    def lonOf(salt: String, k: Column): Column =
+      (T.md5Int(concat(lit(s"${salt}lon:"), k.cast("string")), 8) % 3600L)
+        .cast("double") / 10.0 - 180.0
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), latOf("geo:c:", col("c_custkey")).as("clat"),
+        lonOf("geo:c:", col("c_custkey")).as("clon"))
+      .withColumn("gy", floor((col("clat") + 60.0) / 5.0))
+      .withColumn("gx", floor((col("clon") + 180.0) / 10.0))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), latOf("geo:s:", col("s_suppkey")).as("slat"),
+        lonOf("geo:s:", col("s_suppkey")).as("slon"))
+      .withColumn("sy", floor((col("slat") + 60.0) / 5.0))
+      .withColumn("sx", floor((col("slon") + 180.0) / 10.0))
+      .withColumn("off", explode(array(
+        (for (dy <- -1 to 1; dx <- -1 to 1)
+          yield struct(lit(dy).cast("long").as("dy"),
+            lit(dx).cast("long").as("dx"))): _*)))
+      .withColumn("gy", col("sy") + col("off.dy"))
+      // lon wraps at ±180: neighbor cells wrap modulo the 36-col grid
+      .withColumn("gx", pmod(col("sx") + col("off.dx"), lit(36L)))
+      .drop("off", "sy", "sx")
+    val rad = math.Pi / 180.0
+    val dist = lit(2.0 * earthR) * asin(sqrt(
+      pow(sin((col("slat") - col("clat")) * (rad / 2)), 2) +
+        cos(col("clat") * rad) * cos(col("slat") * rad) *
+          pow(sin((col("slon") - col("clon")) * (rad / 2)), 2)))
+    // round-before-compare: the radius gate and the min both see the
+    // 3-dp-pinned distance, so a last-ulp sin() difference between
+    // engines can never flip a membership decision
+    val near = cust.join(broadcast(supp), Seq("gy", "gx"))
+      .withColumn("d_km", M.oracleRound(dist, 3))
+      .filter(col("d_km") <= radiusKm)
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_near"), min(col("d_km")).as("min_km"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(near, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("min_km"))
+      .orderBy("c_custkey")
+  }
 }

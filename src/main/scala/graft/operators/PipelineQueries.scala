@@ -3433,4 +3433,84 @@ object PipelineQueries {
         sum(col("w_nano")).as("rbo_nanos"))
       .orderBy("query_id")
   }
+
+  // DSIR importance-resampling weights (Xie et al., NeurIPS'23 "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // every raw document by how target-like its HASHED unigram profile
+  // is — log p_target(features) − log p_raw(features) under two
+  // bag-of-buckets unigram models — then keep the top slice. Target =
+  // the English slice, raw = the whole corpus; 128 hash buckets with
+  // add-1 smoothing (the hashed-feature trick is what makes the method
+  // vocabulary-free at web scale). Rides the shared token-array stage;
+  // both bucket models come from ONE conditional aggregate over the
+  // hashed token stream (128 rows, broadcast back), the per-doc score
+  // is a keyed (doc,bucket) aggregate joined against it, and the
+  // top-50 is takeOrdered on the 4-dp-pinned per-token score — no
+  // global window, nothing vocabulary-sized on the driver.
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 128
+    val tok = tokenArrays(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("a")).as("term"))
+      .withColumn("b", pmod(
+        T.md5Int(concat(lit("dsir:"), col("term")), 8),
+        lit(buckets.toLong)).cast("int"))
+    val bk = tok.groupBy("b").agg(
+      count(lit(1)).cast("double").as("c_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L))
+        .cast("double").as("c_tgt"))
+    val tot = bk.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"))
+    val lr = bk.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("c_tgt") + 1) / (col("n_tgt") + buckets)) -
+          log((col("c_raw") + 1) / (col("n_raw") + buckets))).as("lr"))
+    val perDoc = tok.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * col("lr")).as("lw"))
+      .withColumn("avg_lw", M.oracleRound(col("lw") / col("n_toks"), 4))
+    val top = perDoc
+      .orderBy(col("avg_lw").desc, col("doc_id")).limit(50).coalesce(1)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("avg_lw").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("avg_lw"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  // interpolated Kneser-Ney bigram LM per-doc score — continuation-
+  // count smoothing, the q118 add-k model's production-grade upgrade;
+  // rides the shared token-array stage (one tokenize pass family-wide)
+  def knBigram(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.knBigramLogProb(Tables.documents(s, dir),
+        tokenArrays(s, dir), "doc_id", discount = 0.75)
+      .orderBy("doc_id")
+
+  // Curriculum interleave: emit the corpus easy-first (difficulty =
+  // n_chars, the cheap proxy) while round-robining across sources so
+  // no training window is single-source — the deterministic curriculum
+  // + mixing pass a dataloader wants ahead of q70's packing. The scale
+  // story is the POSITION FORMULA: rank within source is a per-source
+  // window (parallel across sources), the source index comes from a
+  // |sources|-row broadcast, and the global position is pure arithmetic
+  // pos = (rank−1)·|sources| + src_idx — a total order with NO global
+  // window, no global sort until the caller asks for one.
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val srcIdx = docs.select("source").distinct().coalesce(1)
+      .withColumn("src_idx",
+        (row_number().over(W.orderBy("source")) - 1).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(W.partitionBy()))
+    docs.join(broadcast(srcIdx), Seq("source"))
+      .withColumn("src_rank", row_number().over(
+        W.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1).cast("long") * col("n_src") + col("src_idx"))
+          .as("pos"))
+      .orderBy("pos")
+  }
 }

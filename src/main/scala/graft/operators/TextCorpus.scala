@@ -1013,6 +1013,55 @@ object TextCorpus {
     * in [3,10]; r3 contains a stopword; r4 top-term fraction ≤ 1/4;
     * r5 alphabetic-word fraction ≥ 4/5. keep = all five.
     */
+  /** Interpolated Kneser-Ney bigram language model (Kneser & Ney,
+    * ICASSP'95; the Chen & Goodman '98 interpolated form with a single
+    * fixed discount) scored over the fit corpus itself — the
+    * distributional upgrade of the add-k model ([[bigramLogProbFromArrs]],
+    * q118): probability mass freed by discounting observed bigram counts
+    * is redistributed by CONTINUATION counts (in how many distinct
+    * contexts does w2 appear), not raw frequency, which is what makes KN
+    * the standard n-gram smoother for perplexity filtering.
+    *
+    *   P(w2|w1) = max(c(w1,w2)−d, 0)/c(w1·)
+    *            + d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    *
+    * All counts are integers (exact in double), the discount is the
+    * classic 0.75 (exactly representable), and the per-doc average is
+    * 4-dp-pinned — so the SQL oracle restates the formula verbatim.
+    *
+    * Scale shape: ONE bigram explode of the token arrays → the count
+    * tables are all derived from the (w1,w2) aggregate (vocabulary²-
+    * bounded, in practice bigram-type-sized): head totals and head
+    * fan-out by grouping it on w1, continuation counts on w2, the type
+    * total as a broadcast 1-row aggregate. Scoring joins the per-doc
+    * bigram stream against those model tables on (w1,w2)/w1/w2 —
+    * shuffle-keyed joins, nothing corpus² and nothing collected. On the
+    * fit corpus every pair/head/tail is present, so inner joins are
+    * total (the oracle uses the same joins). */
+  def knBigramLogProb(df: DataFrame, arrs: DataFrame, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val bg = docBigrams(arrs, idCol)
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cab"))
+    val head = cab.groupBy("w1")
+      .agg(sum(col("__cab")).as("__cw1"),
+        count(lit(1)).as("__n1h"))
+    val cont = cab.groupBy("w2").agg(count(lit(1)).as("__n1c"))
+    val types = cab.agg(count(lit(1)).cast("double").as("__dtot"))
+    val perDoc = bg
+      .join(cab, Seq("w1", "w2"))
+      .join(head, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__l", log10(
+        (col("__cab") - lit(discount)) / col("__cw1") +
+          lit(discount) * col("__n1h") / col("__cw1") *
+            (col("__n1c") / col("__dtot"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        MysqlFunctions.oracleRound(avg(col("__l")), 4).as("avg_logp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int, maxWords: Int): DataFrame = {
     val a = TextFunctions.tokens(lower(col(textCol)))
