@@ -312,6 +312,12 @@ object SparkEntry {
     "q279_permutation_test" -> (C.permutationTest _),
     "q280_group_sequential" -> (C.groupSequential _),
     "q281_qte_deciles" -> (C.qteDeciles _),
+    "q282_class_weights" -> (P.classWeights _),
+    "q283_pad_waste" -> (P.padWaste _),
+    "q284_ctfidf_keywords" -> (P.ctfidfKeywords _),
+    "q285_term_burstiness" -> (P.termBurstiness _),
+    "q286_diag_frechet" -> (P.diagFrechet _),
+    "q287_simpson_audit" -> (C.simpsonAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6186,6 +6192,156 @@ object SparkEntry {
         | round(sum(CASE WHEN variant = 1 THEN q END) -
         |  sum(CASE WHEN variant = 0 THEN q END), 4) AS qte
         |FROM u GROUP BY i ORDER BY p""".stripMargin,
+    // inverse-frequency and effective-number-of-samples (beta=0.999)
+    // class weights per language, each normalized over the K classes
+    "q282_class_weights" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |t AS (
+        | SELECT lang, n_docs,
+        |  CAST(sum(n_docs) OVER () AS DOUBLE) AS n,
+        |  CAST(count(*) OVER () AS DOUBLE) AS k,
+        |  1.0 / ((1 - pow(0.999, n_docs)) / (1 - 0.999)) AS eff_raw
+        | FROM g)
+        |SELECT lang, n_docs,
+        | round(n / (k * n_docs), 6) AS w_invfreq,
+        | round(eff_raw * k / sum(eff_raw) OVER (), 6) AS w_effnum
+        |FROM t ORDER BY lang""".stripMargin,
+    // padding-waste design table: smallest power-of-two cap >= token
+    // count (CASE ladder, 16..4096), per-bucket real vs padded tokens
+    "q283_pad_waste" ->
+      """WITH t AS (
+        | SELECT CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tok
+        | FROM documents),
+        |b AS (
+        | SELECT n_tok,
+        |  CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+        |   WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |   WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+        |   WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+        |   ELSE 4096 END AS cap
+        | FROM t)
+        |SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        | CAST(cap * count(*) AS BIGINT) AS padded_tokens,
+        | round(1.0 - sum(n_tok) / CAST(cap * count(*) AS DOUBLE), 4)
+        |  AS waste
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
+    // c-TF-IDF: tf(t, source) * ln(1 + A/f(t)), A = mean class mass;
+    // per-source top-10 ranked on the 4-dp-rounded weight
+    "q284_ctfidf_keywords" ->
+      """WITH t AS (
+        | SELECT doc_id, source, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |toks AS (SELECT source, unnest(a) AS term FROM t),
+        |tfc AS (SELECT source, term, count(*) AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f_t FROM tfc
+        |  GROUP BY 1),
+        |am AS (SELECT avg(CAST(mass AS DOUBLE)) AS a_mean FROM
+        |  (SELECT source, sum(tf) AS mass FROM tfc GROUP BY 1) x),
+        |sc AS (
+        | SELECT source, term, tf,
+        |  round(tf * ln(1.0 + a_mean / f_t), 4) AS w
+        | FROM tfc JOIN ft USING (term), am),
+        |r AS (
+        | SELECT source, term, tf, w,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY w DESC, term) AS INTEGER) AS rnk
+        | FROM sc)
+        |SELECT source, rnk, term, tf, w FROM r
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+    // Church-Gale dispersion of the 30 highest-mass terms: variance/
+    // mean of per-doc counts with zero docs entering analytically
+    "q285_term_burstiness" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |pd AS (
+        | SELECT doc_id, term, count(*) AS c
+        | FROM (SELECT doc_id, unnest(a) AS term FROM t) x GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |tm AS (
+        | SELECT term, CAST(sum(c) AS BIGINT) AS total, count(*) AS df,
+        |  CAST(sum(c * c) AS DOUBLE) AS ss
+        | FROM pd GROUP BY 1),
+        |top AS (
+        | SELECT term, total, df, ss,
+        |  CAST(row_number() OVER (ORDER BY total DESC, term) AS INTEGER)
+        |   AS rnk
+        | FROM tm),
+        |s AS (
+        | SELECT rnk, term, total, df,
+        |  round(total / n_docs, 6) AS mean,
+        |  round(((ss - total * total / n_docs) / (n_docs - 1)) /
+        |   (total / n_docs), 4) AS dispersion
+        | FROM top, n WHERE rnk <= 30)
+        |SELECT rnk, term, total, df, mean, dispersion,
+        | dispersion > 1.5 AS bursty
+        |FROM s ORDER BY rnk""".stripMargin,
+    // diagonal Frechet distance between even/odd-label cohorts:
+    // per-dim population moments, mean and variance terms 6-dp-pinned
+    "q286_diag_frechet" ->
+      """WITH e AS (
+        | SELECT label % 2 AS g, i AS d,
+        |  CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        | FROM embeddings,
+        |  (SELECT unnest(generate_series(1, 64)) AS i) ix),
+        |m AS (
+        | SELECT g, d, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |  sum(x * x) AS sxx
+        | FROM e GROUP BY 1, 2),
+        |v AS (
+        | SELECT g, d, n, sx / n AS mu, sxx / n - (sx / n) * (sx / n) AS v
+        | FROM m),
+        |j AS (
+        | SELECT a.n AS n_a, b.n AS n_b, a.mu AS mu_a, b.mu AS mu_b,
+        |  a.v AS v_a, b.v AS v_b
+        | FROM v a JOIN v b ON a.d = b.d AND a.g = 0 AND b.g = 1)
+        |SELECT CAST(min(n_a) AS BIGINT) AS n_even,
+        | CAST(min(n_b) AS BIGINT) AS n_odd,
+        | count(*) AS dim,
+        | round(sum((mu_a - mu_b) * (mu_a - mu_b)), 6) AS mean_term,
+        | round(sum(v_a + v_b - 2 * sqrt(v_a) * sqrt(v_b)), 6) AS var_term,
+        | round(sum((mu_a - mu_b) * (mu_a - mu_b)) +
+        |  sum(v_a + v_b - 2 * sqrt(v_a) * sqrt(v_b)), 6) AS fid_diag
+        |FROM j""".stripMargin,
+    // per-slice vs pooled Pearson r of value on hour-of-day; slices
+    // whose 4-dp-pinned sign opposes the pooled sign are flagged
+    "q287_simpson_audit" ->
+      """WITH g AS (
+        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(CAST(extract(hour FROM ts) AS DOUBLE)) AS sx,
+        |  sum(value) AS sy,
+        |  sum(CAST(extract(hour FROM ts) AS DOUBLE) *
+        |      CAST(extract(hour FROM ts) AS DOUBLE)) AS sxx,
+        |  sum(value * value) AS syy,
+        |  sum(CAST(extract(hour FROM ts) AS DOUBLE) * value) AS sxy
+        | FROM events GROUP BY 1),
+        |t AS (
+        | SELECT event_type, n, sx, sy, sxx, syy, sxy,
+        |  sum(n) OVER () AS tn, sum(sx) OVER () AS tsx,
+        |  sum(sy) OVER () AS tsy, sum(sxx) OVER () AS tsxx,
+        |  sum(syy) OVER () AS tsyy, sum(sxy) OVER () AS tsxy
+        | FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        | round((n * sxy - sx * sy) /
+        |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r_slice,
+        | round((tn * tsxy - tsx * tsy) /
+        |  sqrt((tn * tsxx - tsx * tsx) * (tn * tsyy - tsy * tsy)), 4)
+        |  AS r_global,
+        | round((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) *
+        |  round((tn * tsxy - tsx * tsy) /
+        |   sqrt((tn * tsxx - tsx * tsx) * (tn * tsyy - tsy * tsy)), 4)
+        |  < 0 AS sign_flip
+        |FROM t ORDER BY event_type""".stripMargin,
   )
 
   private val q45OracleSql: String =

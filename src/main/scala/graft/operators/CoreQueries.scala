@@ -2740,6 +2740,42 @@ object CoreQueries {
       .orderBy("p")
   }
 
+  // q287: Simpson's-paradox audit — the correlation of event value vs
+  // hour-of-day, globally and per event-type slice, flagging slices
+  // whose (4-dp-pinned) correlation sign OPPOSES the global sign: the
+  // classic aggregation trap a metrics review must surface before
+  // anyone trusts the pooled trend. Pearson r from exact conditional
+  // sums — one keyed aggregate per slice plus window grand totals over
+  // the |slices|-row frame.
+  def simpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column =
+      (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .coalesce(1)
+    g.withColumn("r_slice", M.oracleRound(
+        corr(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("sxy")), 4))
+      .withColumn("r_global", M.oracleRound(
+        corr(sum(col("n")).over(w), sum(col("sx")).over(w),
+          sum(col("sy")).over(w), sum(col("sxx")).over(w),
+          sum(col("syy")).over(w), sum(col("sxy")).over(w)), 4))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        col("r_slice"), col("r_global"),
+        (col("r_slice") * col("r_global") < 0).as("sign_flip"))
+      .orderBy("event_type")
+  }
+
   // q274: geohash-grid radius join — customers to suppliers within
   // 500 km, coordinates derived deterministically from the md5 key
   // hash (lat ∈ [−60,60), lon ∈ [−180,180), 0.1° resolution) so the

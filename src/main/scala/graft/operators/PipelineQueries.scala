@@ -3489,6 +3489,156 @@ object PipelineQueries {
         tokenArrays(s, dir), "doc_id", discount = 0.75)
       .orderBy("doc_id")
 
+  // Class-balanced reweighting design table: per language class, the
+  // inverse-frequency weight N/(K·n_c) and the effective-number-of-
+  // samples weight (Cui et al., CVPR'19: E_n = (1−β^n)/(1−β), β=0.999;
+  // weights normalized to sum to K) — what a loss-reweighting or
+  // sampling stage consumes when the label distribution is skewed.
+  // One keyed aggregate; the normalizers are window sums over the
+  // K-row class frame.
+  def classWeights(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val beta = 0.999
+    val g = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .coalesce(1)
+    val w = W.partitionBy()
+    g.withColumn("n", sum(col("n_docs")).over(w).cast("double"))
+      .withColumn("k", count(lit(1)).over(w).cast("double"))
+      .withColumn("inv_raw", col("n") / (col("k") * col("n_docs")))
+      .withColumn("eff_n",
+        (lit(1.0) - pow(lit(beta), col("n_docs").cast("double"))) /
+          (1.0 - beta))
+      .withColumn("eff_raw", lit(1.0) / col("eff_n"))
+      .withColumn("eff_sum", sum(col("eff_raw")).over(w))
+      .select(col("lang"), col("n_docs"),
+        M.oracleRound(col("inv_raw"), 6).as("w_invfreq"),
+        M.oracleRound(col("eff_raw") * col("k") / col("eff_sum"), 6)
+          .as("w_effnum"))
+      .orderBy("lang")
+  }
+
+  // Length-bucketed batching design table: assign each doc's token
+  // count to the smallest power-of-two cap in {16..4096} and report
+  // per bucket how many padded tokens a fixed-length batcher would
+  // burn — the padding-waste audit that decides bucket boundaries for
+  // a packing-free dataloader. Bucket caps come from a CASE ladder
+  // (no float log2 — exact at the power-of-two boundaries by
+  // construction). One scan over the shared token arrays, one keyed
+  // aggregate.
+  def padWaste(s: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val n = size(col("a")).cast("long")
+    val cap = caps.reverse.tail.foldLeft(lit(caps.last)) { (acc, c) =>
+      when(n <= c, lit(c)).otherwise(acc)
+    }
+    tokenArrays(s, dir)
+      .select(n.as("n_tok"), cap.as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("real_tokens"),
+        (max(col("cap")) * count(lit(1))).as("padded_tokens"))
+      .withColumn("waste", M.oracleRound(
+        lit(1.0) - col("real_tokens").cast("double") / col("padded_tokens"), 4))
+      .select("cap", "n_docs", "real_tokens", "padded_tokens", "waste")
+      .orderBy("cap")
+  }
+
+  // c-TF-IDF distinctive keywords per source (Grootendorst'22, the
+  // BERTopic class-TF-IDF): treat each source as ONE class document,
+  // weight W(t,c) = tf(t,c) · ln(1 + A/f(t)) with A = average class
+  // token mass and f(t) = the term's corpus frequency — the "what
+  // makes this slice different" table a corpus card shows per source.
+  // Rides the shared exploded token stream; two keyed aggregates plus
+  // a per-class top-10 window on the (class, term) frame; ranking
+  // compares the 4-dp-ROUNDED weight so ln() ulps can't flip ranks.
+  def ctfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = lowerToks(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+    val tfc = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy("term").agg(sum(col("tf")).as("f_t"))
+    val classMass = tfc.groupBy("source").agg(sum(col("tf")).as("mass"))
+    val aMean = classMass.agg(avg(col("mass").cast("double")).as("a_mean"))
+    val scored = tfc.join(ft, Seq("term"))
+      .crossJoin(broadcast(aMean))
+      .withColumn("w", M.oracleRound(
+        col("tf") * log(lit(1.0) + col("a_mean") / col("f_t")), 4))
+    scored.withColumn("rnk", row_number().over(
+        W.partitionBy("source").orderBy(col("w").desc, col("term"))))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("w"))
+      .orderBy("source", "rnk")
+  }
+
+  // Term burstiness (Church & Gale'95 dispersion): for the 30 highest-
+  // mass terms, the variance-to-mean ratio of per-doc counts — a
+  // Poisson term has D ≈ 1, a topical/bursty term clumps (D ≫ 1);
+  // the signal a stopword-vs-content-word split or a quality filter
+  // reads. Zero-count docs enter the moments analytically (they add
+  // nothing to Σc or Σc², only to N), so the per-term cost is one
+  // (term) aggregate over the shared token stream, never a dense
+  // doc×term frame.
+  def termBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val nDocs = Tables.documents(s, dir).count().toDouble
+    val perDoc = lowerToks(s, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val terms = perDoc.groupBy("term")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).cast("double").as("ss"))
+      .orderBy(col("total").desc, col("term")).limit(30).coalesce(1)
+    terms
+      .withColumn("mean", col("total").cast("double") / nDocs)
+      .withColumn("dispersion", M.oracleRound(
+        ((col("ss") - col("total") * col("total") / nDocs) / (nDocs - 1)) /
+          (col("total") / nDocs), 4))
+      .withColumn("rnk", row_number().over(
+        W.orderBy(col("total").desc, col("term"))))
+      .select(col("rnk"), col("term"), col("total"), col("df"),
+        M.oracleRound(col("mean"), 6).as("mean"),
+        col("dispersion"),
+        (col("dispersion") > 1.5).as("bursty"))
+      .orderBy("rnk")
+  }
+
+  // Diagonal Fréchet distance between the even- and odd-label
+  // embedding cohorts — the FID construction (Heusel et al.'17)
+  // restricted to diagonal covariances, which keeps it exactly
+  // per-dimension decomposable: Σ_d (μa−μb)² + (σa²+σb²−2σaσb).
+  // The full-covariance matrix-sqrt needs a driver-side eigensolve;
+  // the diagonal form is ONE posexplode + one (cohort, dim) keyed
+  // aggregate at any scale, and is the standard cheap first read on
+  // "did this slice's embedding distribution move".
+  def diagFrechet(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(s, dir)
+      .select((col("label") % 2).cast("int").as("g"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("g"), col("d"), col("x").cast("double").as("x"))
+      .groupBy("g", "d")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mu", col("sx") / col("n"))
+      // population variance — the FID convention
+      .withColumn("v", col("sxx") / col("n") - col("mu") * col("mu"))
+    val ab = dims.filter(col("g") === 0)
+      .select(col("d"), col("n").as("n_a"), col("mu").as("mu_a"), col("v").as("v_a"))
+      .join(dims.filter(col("g") === 1)
+        .select(col("d"), col("n").as("n_b"), col("mu").as("mu_b"), col("v").as("v_b")),
+        Seq("d"))
+    ab.agg(
+        first(col("n_a")).cast("long").as("n_even"),
+        first(col("n_b")).cast("long").as("n_odd"),
+        count(lit(1)).as("dim"),
+        M.oracleRound(sum(pow(col("mu_a") - col("mu_b"), 2)), 6)
+          .as("mean_term"),
+        M.oracleRound(sum(col("v_a") + col("v_b") -
+          lit(2.0) * sqrt(col("v_a")) * sqrt(col("v_b"))), 6).as("var_term"),
+        M.oracleRound(sum(pow(col("mu_a") - col("mu_b"), 2)) +
+          sum(col("v_a") + col("v_b") -
+            lit(2.0) * sqrt(col("v_a")) * sqrt(col("v_b"))), 6).as("fid_diag"))
+  }
+
   // Curriculum interleave: emit the corpus easy-first (difficulty =
   // n_chars, the cheap proxy) while round-robining across sources so
   // no training window is single-source — the deterministic curriculum
