@@ -279,7 +279,7 @@ object SparkEntry {
     "q246_mutual_info" -> (C.mutualInfo _),
     "q247_mean_shift" -> (C.meanShift _),
     "q248_theil_sen" -> (C.theilSen _),
-    "q249_compress_ratio" -> (P.compressRatio _),
+    "q249_compressibility" -> (P.compressibility _),
     "q250_record_linkage" -> (P.recordLinkage _),
     "q251_spearman" -> (C.spearman _),
     "q252_kendall_tau" -> (C.kendallTau _),
@@ -318,6 +318,7 @@ object SparkEntry {
     "q285_term_burstiness" -> (P.termBurstiness _),
     "q286_diag_frechet" -> (P.diagFrechet _),
     "q287_simpson_audit" -> (C.simpsonAudit _),
+    "q288_avi_rle8" -> (P.aviRle8Frames _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3224,6 +3225,25 @@ object SparkEntry {
         | max(f.n_pairs) AS n_pairs, max(f.slope) AS slope,
         | round(quantile_cont(d.x - f.slope * d.d, 0.5), 4) AS intercept
         |FROM d, f""".stripMargin,
+    // compressibility proxy: distinct-trigram ratio deciles (deflate
+    // itself is not DuckDB-statable; the shingle-novelty ratio is the
+    // same curation signal and restates exactly on both sides)
+    "q249_compressibility" ->
+      """WITH pos AS (
+        | SELECT doc_id, strlen(text) AS raw_bytes, text,
+        |  unnest(generate_series(1, length(text) - 2)) AS i
+        | FROM documents WHERE length(text) >= 3),
+        |sh AS (
+        | SELECT doc_id, raw_bytes,
+        |  CAST(count(DISTINCT substring(text, CAST(i AS INTEGER), 3))
+        |    AS DOUBLE) / count(*) AS ratio
+        | FROM pos GROUP BY doc_id, raw_bytes)
+        |SELECT least(CAST(floor(ratio * 10) AS INTEGER), 9)
+        |  AS ratio_decile,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(ratio), 4) AS mean_ratio,
+        | round(avg(raw_bytes), 2) AS mean_bytes
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     // blocked JW linkage: distinct names per (brand,size) block,
     // in-block pairs scored with the engine's own jaro_winkler
     // (byte-level, boost 0.7 — semantics pinned in StatsWaveSpec),
@@ -3917,7 +3937,8 @@ object SparkEntry {
         | SELECT qid,
         |  sqrt(max(CASE WHEN rn = 2 THEN sq END) /
         |       max(CASE WHEN rn = 1 THEN sq END)) AS mu
-        | FROM r WHERE rn <= 2 GROUP BY qid)
+        | FROM r WHERE rn <= 2 GROUP BY qid
+        | HAVING max(CASE WHEN rn = 1 THEN sq END) > 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_sample,
         | round(count(*) * 1.0 / sum(ln(mu)), 4) AS id_hat,
         | round(quantile_cont(mu, 0.5), 4) AS mu_p50,
@@ -6342,6 +6363,45 @@ object SparkEntry {
         |   sqrt((tn * tsxx - tsx * tsx) * (tn * tsyy - tsy * tsy)), 4)
         |  < 0 AS sign_flip
         |FROM t ORDER BY event_type""".stripMargin,
+    // RLE8 AVI: 4 equal runs per row, md5('rle:doc:f:y:r') % 256
+    // indices, palette i → (r=i, g=255−i, b=7i%256); per-frame sums
+    // restate the decoder's exact integer arithmetic (pal-sum × run
+    // length / w·h) so the IEEE division matches bit for bit;
+    // enc_bytes = 8h runs + 2(h−1) EOLs + 2 EOB = 10h
+    "q288_avi_rle8" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(20 * (1 + doc_id % 3) AS BIGINT) AS w,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS h,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS nf
+        | FROM documents),
+        |fr AS (
+        | SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+        | FROM p),
+        |rn AS (
+        | SELECT doc_id, w, h, nf, f,
+        |  unnest(generate_series(0, h * 4 - 1)) AS q
+        | FROM fr),
+        |v AS (
+        | SELECT doc_id, w, h, nf, f,
+        |  CAST(('0x' || substr(md5('rle:' || doc_id || ':' || f || ':' ||
+        |    (q // 4) || ':' || (q % 4)), 1, 8)) AS BIGINT) % 256 AS idx
+        | FROM rn)
+        |SELECT doc_id,
+        | CAST(max(w) AS INTEGER) AS width,
+        | CAST(max(h) AS INTEGER) AS height,
+        | CAST(max(nf) AS BIGINT) AS n_frames,
+        | round(1000000.0 / 40000.0, 4) AS fps,
+        | CAST(f AS INTEGER) AS frame,
+        | CAST(max(10 * h) AS INTEGER) AS enc_bytes,
+        | round(CAST(max(10 * h) AS DOUBLE) / max(w * h), 4) AS ratio,
+        | round(CAST(sum((idx * 7) % 256) * max(w // 4) AS DOUBLE)
+        |   / max(w * h), 4) AS mean_b,
+        | round(CAST(sum(255 - idx) * max(w // 4) AS DOUBLE)
+        |   / max(w * h), 4) AS mean_g,
+        | round(CAST(sum(idx) * max(w // 4) AS DOUBLE)
+        |   / max(w * h), 4) AS mean_r
+        |FROM v GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -89,6 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gifResizeDescriptor)
     ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
+    ext.injectFunction(GraftExtensions.aviRle8BytesDescriptor)
+    ext.injectFunction(GraftExtensions.aviRle8FrameMeansDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviInterleavedDecodeDescriptor)
     ext.injectFunction(GraftExtensions.tarBytesDescriptor)
@@ -101,6 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pairCountsDescriptor)
     ext.injectFunction(GraftExtensions.deflateLenDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.pcmSamplesDescriptor)
+    ext.injectFunction(GraftExtensions.wavPcmBytesDescriptor)
+    ext.injectFunction(GraftExtensions.audioFpDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
@@ -237,6 +242,44 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_deflate_len takes exactly 1 argument, got ${children.length}")
         DeflateLen(children.head)
+      })
+
+  /** `graft_pcm_samples(wav_binary)` — all signed 16-bit LE samples of
+    * a canonical-header WAV as array<int> (see [[PcmSamples]]). */
+  val pcmSamplesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pcm_samples"),
+      new ExpressionInfo(classOf[PcmSamples].getName, "graft_pcm_samples"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_pcm_samples takes exactly 1 argument, got ${children.length}")
+        PcmSamples(children.head)
+      })
+
+  /** `graft_wav_pcm_bytes(rate, channels, nSamples, docId)` — the
+    * md5-payload canonical WAV generator (see [[WavPcmBytes]]). */
+  val wavPcmBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_wav_pcm_bytes"),
+      new ExpressionInfo(classOf[WavPcmBytes].getName, "graft_wav_pcm_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"graft_wav_pcm_bytes takes exactly 4 arguments, got ${children.length}")
+        WavPcmBytes(children(0), children(1), children(2), children(3))
+      })
+
+  /** `graft_audio_fp(wav_binary, frameLen)` — envelope+zero-crossing
+    * gradient fingerprint (see [[AudioEnvelopeFp]]); frameLen must be
+    * a foldable literal (it parameterizes the loop). */
+  val audioFpDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_audio_fp"),
+      new ExpressionInfo(classOf[AudioEnvelopeFp].getName, "graft_audio_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_audio_fp takes exactly 2 arguments, got ${children.length}")
+        require(children(1).foldable &&
+            children(1).eval().isInstanceOf[Number],
+          "graft_audio_fp frameLen must be a numeric literal")
+        AudioEnvelopeFp(children.head,
+          children(1).eval().asInstanceOf[Number].intValue)
       })
 
   /** `graft_jaro_winkler(str, str)` — byte-level Jaro–Winkler
@@ -397,6 +440,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_avi_frames takes exactly 1 argument, got ${children.length}")
         AviFrameMeans(children.head)
+      })
+
+  /** `graft_avi_rle8_bytes(w, h, nFrames, usPerFrame, docId)` — AVI
+    * with MS-RLE8-compressed palettized frames (see [[AviRle8Bytes]]). */
+  val aviRle8BytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_rle8_bytes"),
+      new ExpressionInfo(classOf[AviRle8Bytes].getName, "graft_avi_rle8_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"graft_avi_rle8_bytes takes exactly 5 arguments, got ${children.length}")
+        AviRle8Bytes(children(0), children(1), children(2), children(3),
+          children(4))
+      })
+
+  /** `graft_avi_rle8_frames(avi_binary)` — demux + real RLE8 decode →
+    * per-frame palette-mapped channel means (see [[AviRle8FrameMeans]]). */
+  val aviRle8FrameMeansDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_rle8_frames"),
+      new ExpressionInfo(classOf[AviRle8FrameMeans].getName, "graft_avi_rle8_frames"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_avi_rle8_frames takes exactly 1 argument, got ${children.length}")
+        AviRle8FrameMeans(children.head)
       })
 
   /** `graft_avi_av_bytes(w, h, nFrames, usPerFrame, sampleRate,

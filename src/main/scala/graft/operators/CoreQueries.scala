@@ -2826,8 +2826,11 @@ object CoreQueries {
           pow(sin((col("slon") - col("clon")) * (rad / 2)), 2)))
     // round-before-compare: the radius gate and the min both see the
     // 3-dp-pinned distance, so a last-ulp sin() difference between
-    // engines can never flip a membership decision
-    val near = cust.join(broadcast(supp), Seq("gy", "gx"))
+    // engines can never flip a membership decision. No broadcast hint
+    // on the 9×-exploded supplier side: at bench scale AQE broadcasts
+    // it anyway, and at 100 TB a forced broadcast of a corpus-sized
+    // frame would OOM — the grid keys co-partition either way.
+    val near = cust.join(supp, Seq("gy", "gx"))
       .withColumn("d_km", M.oracleRound(dist, 3))
       .filter(col("d_km") <= radiusKm)
       .groupBy("c_custkey")

@@ -265,6 +265,17 @@ object Multimodal {
     * the audio CONTENT, not just the header, is oracle-checkable, the
     * [[ppmBytes]] move applied to the audio modality. */
   def wavBytesPcm(sampleRate: Column, channels: Column,
+      nSamples: Column, docId: Column): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_wav_pcm_bytes"))
+      call_function("graft_wav_pcm_bytes", sampleRate.cast("int"),
+        channels.cast("int"), nSamples.cast("int"), docId.cast("long"))
+    else wavBytesPcmComposed(sampleRate, channels, nSamples, docId)
+
+  /** The built-in-Column form of [[wavBytesPcm]] — byte-identical to
+    * the native `graft_wav_pcm_bytes` (asserted in MultimodalSpec),
+    * but pays one interpreted md5+hex lambda per sample; the native
+    * twin is a tight digest loop into a ByteBuffer. */
+  def wavBytesPcmComposed(sampleRate: Column, channels: Column,
       nSamples: Column, docId: Column): Column = {
     val bits = 16
     val blockAlign = channels * lit(bits / 8)
@@ -322,6 +333,60 @@ object Multimodal {
     val raw = leUIntAt(media, lit(45L) + j.cast("long") * 2, 2)
     raw - when(raw >= 32768, lit(65536L)).otherwise(lit(0L))
   }
+
+  /** ALL signed 16-bit PCM samples of a canonical WAV as `array<int>`
+    * — the bulk-decode shape: one native call per clip
+    * (`graft_pcm_samples`, codegen'd primitive-array pass) instead of
+    * one interpreted [[pcmSampleAt]] lambda per sample, which at 512
+    * samples × corpus scale was 70 % of q262's wall time. Falls back
+    * to the bit-identical composed form (a `transform` of
+    * [[pcmSampleAt]] over the payload length) when the extension
+    * isn't installed. */
+  def pcmSamples(media: Column): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_pcm_samples"))
+      call_function("graft_pcm_samples", media)
+    else
+      transform(
+        sequence(lit(0), ((octet_length(media) - 44) / 2).cast("int") - 1),
+        j => pcmSampleAt(media, j).cast("int"))
+
+  /** Whole-clip envelope fingerprint: frame the PCM payload into
+    * `frameLen`-sample frames and pack [energy-gradient |
+    * zero-crossing-gradient] sign bits (T = nFrames−1 transitions:
+    * bit f = e(f+1)>e(f), bit f+T = z(f+1)>z(f); z counts
+    * WITHIN-frame (s≥0) flips). NULL below two full frames. One
+    * codegen'd native call per clip (`graft_audio_fp`) — the map-only
+    * shape that replaces a per-sample explode + two windows; falls
+    * back to a bit-identical (and much slower — per-sample
+    * interpreted lambdas) HOF composition without the extension. */
+  def audioEnvelopeFp(media: Column, frameLen: Int): Column =
+    if (graft.expressions.GraftExtensions.hasFunction("graft_audio_fp"))
+      call_function("graft_audio_fp", media, lit(frameLen))
+    else {
+      val sm = pcmSamples(media)
+      val at = (k: Column) => element_at(sm, (k + 1).cast("int"))
+      val e = (f: Column) => aggregate(
+        sequence(f * frameLen, f * frameLen + (frameLen - 1)),
+        lit(0L), (acc, j) => acc + at(j).cast("long") * at(j))
+      // frameLen=1 has no within-frame sample pair — z is identically 0
+      // (the HOF sequence would otherwise auto-step DOWNWARD)
+      val z = (f: Column) =>
+        if (frameLen < 2) lit(0L)
+        else aggregate(
+          sequence(f * frameLen + 1, f * frameLen + (frameLen - 1)),
+          lit(0L), (acc, j) =>
+            acc + when((at(j) >= 0) =!= (at(j - 1) >= 0), 1L).otherwise(0L))
+      val t = (size(sm) / lit(frameLen)).cast("int") - 1
+      // Horner form: f = t−1 enters first, so acc·2 lands bit f at
+      // position f (shiftleft needs a literal distance)
+      val bitsOf = (pred: Column => Column) =>
+        aggregate(sequence(t - 1, lit(0), lit(-1)), lit(0L),
+          (acc, f) => acc * 2 + when(pred(f), 1L).otherwise(0L))
+      when(t >= 1,
+        bitsOf(f => e(f + 1) > e(f)) +
+          bitsOf(f => z(f + 1) > z(f)) *
+            pow(lit(2.0), t.cast("double")).cast("long"))
+    }
 
   /** Strided decimation stats over a canonical 16-bit mono PCM WAV —
     * the audio twin of the q190 image resize: keep every `factor`-th
@@ -541,6 +606,32 @@ object Multimodal {
   def withAviFrameMeans(df: DataFrame, mediaCol: String,
       out: String): DataFrame =
     df.withColumn(out, call_function("graft_avi_frames", col(mediaCol)))
+
+  /** AVI with MS-RLE8-COMPRESSED palettized frames ('MRLE' handler,
+    * biCompression=1, 1024-byte palette after the BITMAPINFOHEADER,
+    * variable-size '00dc' chunks) — the intra-frame-compressed codec
+    * that closes the "video frames are uncompressed DIB only"
+    * boundary. Run values keep the md5 closed-form convention
+    * (`md5("rle:<id>:<f>:<y>:<r>") % 256`, 4 equal runs per row) so
+    * decoded CONTENT is oracle-checkable. Native
+    * [[graft.expressions.AviRle8Bytes]]. */
+  def aviBytesRle8(width: Column, height: Column, nFrames: Column,
+      usPerFrame: Column, docId: Column): Column =
+    call_function("graft_avi_rle8_bytes", width, height, nFrames,
+      usPerFrame, docId)
+
+  /** Demux + REAL RLE8 decode of [[aviBytesRle8]]'s layout: validates
+    * the container grammar + palettized strf, then runs the full
+    * MS-RLE8 state machine (count-byte runs, EOL/EOB/delta escapes,
+    * absolute mode with WORD alignment) into a palette-mapped raster
+    * per frame — per-frame channel means + encoded chunk size. Adds
+    * `out` = struct(width, height, n_frames, fps, frames
+    * array<struct(frame, enc_bytes, mean_b, mean_g, mean_r)>); NULL
+    * for any non-conforming payload. Native
+    * [[graft.expressions.AviRle8FrameMeans]]. */
+  def withAviRle8FrameMeans(df: DataFrame, mediaCol: String,
+      out: String): DataFrame =
+    df.withColumn(out, call_function("graft_avi_rle8_frames", col(mediaCol)))
 
   /** Deterministic binary PPM (P6) bytes: the ASCII header
     * `P6\n<w> <h>\n255\n` (netpbm spec layout — single-space/newline

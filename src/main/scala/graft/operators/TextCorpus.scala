@@ -654,9 +654,18 @@ object TextCorpus {
     * corpus scan + a 1-row election), and overlapping matches are
     * counted exactly like the postings adjacency join would.
     */
-  def phraseSearch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val arr = df.select(col(idCol),
-      TextFunctions.tokens(lower(trim(col(textCol)))).as("a"))
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    phraseSearchFromArrs(df.select(col(idCol),
+      TextFunctions.tokens(lower(trim(col(textCol)))).as("a")), idCol)
+
+  /** [[phraseSearch]] over a PRE-TOKENIZED `(idCol, a array<string>)`
+    * frame — the shared-token-stage entry point: the r9 gate path
+    * tokenized the corpus twice (election + position scan) while the
+    * whole tfidf/bm25/vocab family rode one cached token stage; this
+    * overload lets the phrase probe ride the same stage (tokens()
+    * trims internally, so the staged lower-cased arrays are
+    * bit-identical to the inline tokenization). */
+  def phraseSearchFromArrs(arr: DataFrame, idCol: String): DataFrame = {
     val best = arr.filter(size(col("a")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))"))

@@ -36,6 +36,77 @@ class AudioEmbedSpec extends AnyFunSuite {
     fps.foreach(f => assert(f >= 0 && f < (1L << 30)))
   }
 
+  test("native graft_wav_pcm_bytes is byte-identical to the composed generator") {
+    val M = graft.operators.Multimodal
+    val rows = Seq((7L, 16000, 512), (7L, 44100, 512), (0L, 8000, 33),
+        (12345L, 22050, 64)).toDF("doc_id", "rate", "n")
+      .select(
+        call_function("graft_wav_pcm_bytes", col("rate"), lit(1),
+          col("n"), col("doc_id")).as("nat"),
+        M.wavBytesPcmComposed(col("rate"), lit(1), col("n"),
+          col("doc_id")).as("comp"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    rows.foreach { case (nat, comp) =>
+      assert(java.util.Arrays.equals(nat, comp),
+        "native WAV generator must match the hex-assembled form byte for byte")
+    }
+  }
+
+  test("native graft_pcm_samples matches the per-sample composed reader") {
+    val M = graft.operators.Multimodal
+    val rows = Seq((3L, 48), (99L, 512)).toDF("doc_id", "n")
+      .select(M.wavBytesPcm(lit(16000), lit(1), col("n"),
+        col("doc_id")).as("w"), col("n"))
+      .select(
+        call_function("graft_pcm_samples", col("w")).as("nat"),
+        transform(sequence(lit(0), col("n") - 1),
+          j => M.pcmSampleAt(col("w"), j).cast("int")).as("comp"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (nat, comp) => assert(nat == comp) }
+  }
+
+  test("native graft_audio_fp matches the HOF fallback; NULL below two frames") {
+    val M = graft.operators.Multimodal
+    val wav = M.wavBytesPcm(lit(16000), lit(1), col("n"), col("doc_id"))
+    // fallback forced by composing on the session-registered native
+    // pcm reader but the pure-Column Horner fingerprint: re-derive it
+    // by calling audioEnvelopeFp's else-branch shape via a session
+    // WITHOUT the function is impractical here, so instead pin the
+    // native value against an independent in-JVM recompute
+    val rows = Seq((5L, 512), (17L, 512), (5L, 63), (5L, 33))
+      .toDF("doc_id", "n")
+      .select(col("doc_id"), col("n"), wav.as("w"))
+      .select(col("doc_id"), col("n"),
+        call_function("graft_audio_fp", col("w"), lit(32)).as("fp"),
+        col("w"))
+      .as[(Long, Int, Option[Long], Array[Byte])].collect()
+    rows.foreach { case (_, n, fp, bytes) =>
+      val nFrames = n / 32
+      if (nFrames < 2) assert(fp.isEmpty, s"n=$n must yield NULL fp")
+      else {
+        // independent recompute straight from the container bytes
+        val sm = (0 until n).map { i =>
+          val lo = bytes(44 + 2 * i) & 0xff
+          val hi = bytes(45 + 2 * i)
+          (hi << 8) | lo
+        }
+        val e = (0 until nFrames).map(f =>
+          (0 until 32).map(k => sm(f * 32 + k).toLong *
+            sm(f * 32 + k)).sum)
+        val z = (0 until nFrames).map(f =>
+          (1 until 32).count(k =>
+            (sm(f * 32 + k) >= 0) != (sm(f * 32 + k - 1) >= 0)).toLong)
+        val t = nFrames - 1
+        var acc = 0L
+        for (f <- 0 until t) {
+          if (e(f + 1) > e(f)) acc |= 1L << f
+          if (z(f + 1) > z(f)) acc |= 1L << (f + t)
+        }
+        assert(fp.contains(acc), s"fp mismatch for n=$n")
+      }
+    }
+  }
+
   test("q265: two-NN estimator recovers dimension 1 on a synthetic line (formula check)") {
     // deterministic UNIFORM pseudo-random 1-D point set (a jittered
     // grid is too regular — near-constant spacing inflates the
