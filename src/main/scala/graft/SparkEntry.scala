@@ -319,6 +319,14 @@ object SparkEntry {
     "q286_diag_frechet" -> (P.diagFrechet _),
     "q287_simpson_audit" -> (C.simpsonAudit _),
     "q288_avi_rle8" -> (P.aviRle8Frames _),
+    "q289_mann_whitney" -> (C.mannWhitney _),
+    "q290_ks_test" -> (C.ksTest _),
+    "q291_chi2_independence" -> (C.chiSquareIndependence _),
+    "q292_cusum_changepoint" -> (C.cusumChangepoint _),
+    "q293_vocab_coverage" -> (P.vocabCoverage _),
+    "q294_ngram_novelty" -> (P.ngramNovelty _),
+    "q295_template_spam" -> (P.templateSpam _),
+    "q296_label_drift" -> (P.labelCentroidDrift _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6402,6 +6410,193 @@ object SparkEntry {
         | round(CAST(sum(idx) * max(w // 4) AS DOUBLE)
         |   / max(w * h), 4) AS mean_r
         |FROM v GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
+    // Mann–Whitney U with midrank tie handling: 2·midrank = 2·cumBefore
+    // + cnt + 1 stays integer through the rank sum; z = normal approx
+    // with the Σ(t³−t) tie correction — identical integer inputs to
+    // the final double arithmetic on both engines
+    "q289_mann_whitney" ->
+      """WITH h AS (
+        | SELECT value AS v, count(*) AS cnt,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cnt_a
+        | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |c AS (
+        | SELECT cnt, cnt_a, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+        |t AS (
+        | SELECT sum(cnt_a) AS n1, sum(cnt - cnt_a) AS n2,
+        |  sum(cnt_a * (2 * (cum - cnt) + cnt + 1)) AS two_r1,
+        |  sum(cnt * cnt * cnt - cnt) AS ties
+        | FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        | round(CAST(two_r1 AS DOUBLE) / 2
+        |   - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 4) AS u1,
+        | round((CAST(two_r1 AS DOUBLE) / 2
+        |    - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+        |    - CAST(n1 AS DOUBLE) * n2 / 2)
+        |  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+        |     ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+        |       / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+        |FROM t""".stripMargin,
+    // Two-sample KS: the sup ECDF gap maximized in integers
+    // (|cumA·n2 − cumB·n1|), argmax value pinned to the minimum
+    "q290_ks_test" ->
+      """WITH h AS (
+        | SELECT value AS v,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |c AS (
+        | SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |  sum(cb) OVER (ORDER BY v) AS cum_b,
+        |  sum(ca) OVER () AS n1, sum(cb) OVER () AS n2
+        | FROM h),
+        |g AS (
+        | SELECT v, n1, n2, abs(cum_a * n2 - cum_b * n1) AS igap FROM c),
+        |b AS (SELECT max(igap) AS mg FROM g)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1,
+        | CAST(max(n2) AS BIGINT) AS n2,
+        | round(CAST(max(mg) AS DOUBLE)
+        |   / (CAST(max(n1) AS DOUBLE) * max(n2)), 4) AS d_stat,
+        | round(sqrt(CAST(max(n1) AS DOUBLE) * max(n2)
+        |     / (max(n1) + max(n2))) *
+        |   (CAST(max(mg) AS DOUBLE)
+        |     / (CAST(max(n1) AS DOUBLE) * max(n2))), 4) AS ks_scaled,
+        | round(min(CASE WHEN igap = mg THEN v END), 4) AS at_v
+        |FROM g, b""".stripMargin,
+    // chi-square independence on the (source, lang) contingency,
+    // zero cells included via the margin cross join; Cramér's V
+    "q291_chi2_independence" ->
+      """WITH obs AS (
+        | SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT source, sum(o) AS rs FROM obs GROUP BY 1),
+        |cm AS (SELECT lang, sum(o) AS cs FROM obs GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM obs),
+        |fl AS (
+        | SELECT rm.source, cm.lang, rm.rs, cm.cs, t.n,
+        |  coalesce(obs.o, 0) AS o
+        | FROM rm CROSS JOIN cm CROSS JOIN t
+        | LEFT JOIN obs ON obs.source = rm.source AND obs.lang = cm.lang),
+        |x AS (
+        | SELECT n, source, lang, o, CAST(rs AS DOUBLE) * cs / n AS e
+        | FROM fl)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+        | CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+        |   AS BIGINT) AS dof,
+        | round(sum((o - e) * (o - e) / e), 4) AS chi2,
+        | round(sqrt(sum((o - e) * (o - e) / e) / (max(n) *
+        |   least(count(DISTINCT source) - 1, count(DISTINCT lang) - 1))),
+        |   4) AS cramers_v
+        |FROM x""".stripMargin,
+    // CUSUM level-shift scan on daily counts, maximized in integers
+    // (|n·S_k − k·S_n|), change day pinned to the earliest argmax
+    "q292_cusum_changepoint" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT day, x, row_number() OVER (ORDER BY day) AS k,
+        |  sum(x) OVER (ORDER BY day) AS sk,
+        |  count(*) OVER () AS n, sum(x) OVER () AS sn
+        | FROM d),
+        |g AS (SELECT day, n, sn, abs(n * sk - k * sn) AS igap FROM s),
+        |b AS (SELECT max(igap) AS mg FROM g)
+        |SELECT CAST(max(n) AS BIGINT) AS n_days,
+        | CAST(max(sn) AS BIGINT) AS n_events,
+        | min(CASE WHEN igap = mg THEN day END) AS change_day,
+        | round(CAST(max(mg) AS DOUBLE) / max(n), 4) AS cusum_max
+        |FROM g, b""".stripMargin,
+    // vocabulary coverage curve at V ∈ {100,500,1000,2000}: terms
+    // ranked (count desc, term), coverage = covered/total occurrences
+    "q293_vocab_coverage" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+        |   AS term
+        | FROM documents),
+        |vc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |r AS (
+        | SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+        |  sum(cnt) OVER () AS total
+        | FROM vc),
+        |v AS (SELECT unnest([100, 500, 1000, 2000]) AS vocab_size)
+        |SELECT v.vocab_size,
+        | CAST(max(r.total) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN r.rnk <= v.vocab_size THEN r.cnt ELSE 0 END)
+        |   AS BIGINT) AS covered,
+        | round(CAST(sum(CASE WHEN r.rnk <= v.vocab_size THEN r.cnt
+        |     ELSE 0 END) AS DOUBLE) / max(r.total), 4) AS coverage
+        |FROM r, v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 4-gram novelty per ingestion batch (batch = doc_id % 5): the
+    // q149 shingle CTEs at n=4, first appearance = min batch
+    "q294_ngram_novelty" ->
+      """WITH toks AS (
+        | SELECT doc_id, doc_id % 5 AS batch,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, batch, CASE WHEN len(t) >= 4
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-3),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |             t[i+3]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ex AS (SELECT doc_id, batch, unnest(s) AS sh1 FROM sh),
+        |fb AS (SELECT sh1, min(batch) AS first_batch FROM ex GROUP BY 1)
+        |SELECT e.batch,
+        | CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(count(*) FILTER (WHERE f.first_batch = e.batch) AS BIGINT)
+        |   AS n_novel,
+        | round(CAST(count(*) FILTER (WHERE f.first_batch = e.batch)
+        |     AS DOUBLE) / count(*), 4) AS novelty
+        |FROM ex e JOIN fb f ON e.sh1 = f.sh1
+        |GROUP BY e.batch ORDER BY e.batch""".stripMargin,
+    // template-spam screen: per-doc max char-trigram multiplicity
+    // ratio, per-source spam rate at the 0.05 threshold
+    "q295_template_spam" ->
+      """WITH tri AS (
+        | SELECT doc_id, source,
+        |  substring(text, CAST(i AS INTEGER), 3) AS tri
+        | FROM (SELECT doc_id, source, text,
+        |        unnest(generate_series(1, length(text) - 2)) AS i
+        |       FROM documents WHERE length(text) >= 3)),
+        |pd AS (
+        | SELECT doc_id, source, max(c) AS max_mult, sum(c) AS n_tri
+        | FROM (SELECT doc_id, source, tri, count(*) AS c
+        |       FROM tri GROUP BY 1, 2, 3)
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT doc_id, source,
+        |  CAST(max_mult AS DOUBLE) / n_tri AS ratio
+        | FROM pd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(*) FILTER (WHERE ratio > 0.05) AS BIGINT) AS n_spam,
+        | round(CAST(count(*) FILTER (WHERE ratio > 0.05) AS DOUBLE)
+        |   / count(*), 4) AS spam_rate,
+        | round(avg(ratio), 4) AS mean_ratio
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // per-label centroid vs global centroid: cosine + L2 drift; the
+    // global centroid derives from the label centroids' weighted sums
+    "q296_label_drift" ->
+      """WITH p AS (
+        | SELECT vec_id, label, generate_subscripts(embedding, 1) - 1
+        |   AS dim, unnest(CAST(embedding AS DOUBLE[])) AS v
+        | FROM embeddings),
+        |lc AS (
+        | SELECT label, dim, sum(v) AS sv, count(*) AS nv,
+        |  sum(v) / count(*) AS c
+        | FROM p GROUP BY 1, 2),
+        |gc AS (
+        | SELECT dim, sum(sv) / sum(nv) AS gcv FROM lc GROUP BY 1)
+        |SELECT lc.label, CAST(max(lc.nv) AS BIGINT) AS n_vecs,
+        | round(sum(lc.c * gc.gcv) /
+        |   (sqrt(sum(lc.c * lc.c)) * sqrt(sum(gc.gcv * gc.gcv))), 4)
+        |   AS cos_global,
+        | round(sqrt(sum((lc.c - gc.gcv) * (lc.c - gc.gcv))), 4)
+        |   AS l2_drift
+        |FROM lc JOIN gc USING (dim)
+        |GROUP BY lc.label ORDER BY lc.label""".stripMargin,
   )
 
   private val q45OracleSql: String =

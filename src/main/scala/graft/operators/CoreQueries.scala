@@ -2841,4 +2841,154 @@ object CoreQueries {
         coalesce(col("n_near"), lit(0L)).as("n_near"), col("min_km"))
       .orderBy("c_custkey")
   }
+
+  // q289: Mann–Whitney U (rank-sum) test, click vs view values — the
+  // nonparametric AB-metric companion to the Welch panel (q253):
+  // robust to the heavy-tailed engagement metrics parametric tests
+  // misread. Midranks handle ties exactly: over the per-value count
+  // histogram, 2·midrank(v) = 2·cumBefore(v) + cnt(v) + 1 is an
+  // INTEGER, so the rank sum (Σ cnt_a·2·midrank, halved once at the
+  // end), the tie-correction Σ(t³−t), and U carry no float-fold
+  // order dependence — both engines divide identical integers. The
+  // cumulative count rides [[bucketedCumCounts]] (two-level prefix
+  // sum — no single-partition sort of the value histogram at 100 TB);
+  // z uses the normal approximation with tie correction.
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(lit(0).as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("cnt_a"))
+    val tot = bucketedCumCounts(hist, Seq("g"))
+      .withColumn("two_r",
+        col("cnt_a") * (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1))
+      .agg(sum(col("cnt_a")).as("n1"),
+        sum(col("cnt") - col("cnt_a")).as("n2"),
+        sum(col("two_r")).as("two_r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val u1 = col("two_r1").cast("double") / 2 -
+      col("n1").cast("double") * (col("n1") + 1) / 2
+    val mu = col("n1").cast("double") * col("n2") / 2
+    val vr = col("n1").cast("double") * col("n2") / 12 *
+      ((col("n1") + col("n2") + 1) -
+        col("ties").cast("double") /
+          ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1.0)))
+    tot.select(col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      M.oracleRound(u1, 4).as("u1"),
+      M.oracleRound((u1 - mu) / sqrt(vr), 4).as("z"))
+  }
+
+  // q290: two-sample Kolmogorov–Smirnov distance, click vs view — the
+  // distribution-shift gate next to q289's location test: D =
+  // sup|F̂₁−F̂₂| catches shape changes a rank test misses. The sup is
+  // maximized in INTEGERS (|cumA·n2 − cumB·n1|, the cross-multiplied
+  // ECDF gap) so argmax/tie decisions can never flip on float
+  // rounding; both sides' cumulatives ride [[bucketedCumCounts]] and
+  // align on the shared value histogram. Emits D, the scaled KS
+  // statistic √(n1n2/(n1+n2))·D, and the (min) value where the sup
+  // is attained.
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(lit(0).as("g"), col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("cb"))
+    val cumA = bucketedCumCounts(
+      hist.select(col("g"), col("v"), col("ca").as("cnt")), Seq("g"))
+      .select(col("v"), col("cum").as("cum_a"), col("n").as("n1"))
+    val cumB = bucketedCumCounts(
+      hist.select(col("g"), col("v"), col("cb").as("cnt")), Seq("g"))
+      .select(col("v"), col("cum").as("cum_b"), col("n").as("n2"))
+    val gap = cumA.join(cumB, "v")
+      .withColumn("igap",
+        abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
+    val best = gap
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("igap")).as("max_gap"))
+      .join(gap, Seq("n1", "n2"))
+      .filter(col("igap") === col("max_gap"))
+      .groupBy(col("n1"), col("n2"), col("max_gap"))
+      .agg(min(col("v")).as("at_v"))
+    val d = col("max_gap").cast("double") /
+      (col("n1").cast("double") * col("n2"))
+    best.select(col("n1"), col("n2"),
+      M.oracleRound(d, 4).as("d_stat"),
+      M.oracleRound(sqrt(col("n1").cast("double") * col("n2") /
+        (col("n1") + col("n2"))) * d, 4).as("ks_scaled"),
+      M.oracleRound(col("at_v"), 4).as("at_v"))
+  }
+
+  // q291: chi-square test of independence + Cramér's V on the
+  // (source, lang) contingency of the corpus — the mixture-audit
+  // question ("does language depend on source?") asked with effect
+  // size, not just significance. Expected counts come from the
+  // margins (rs·cs/n); every input to the χ² sum is a ratio of exact
+  // integer counts, so the double arithmetic is an identical IEEE
+  // sequence on both engines. One keyed aggregate + two tiny margin
+  // frames broadcast back — nothing contingency-sized shuffles twice.
+  def chiSquareIndependence(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy("source").agg(sum("o").as("rs"))
+    val colM = obs.groupBy("lang").agg(sum("o").as("cs"))
+    val n = obs.agg(sum("o").as("n"), count(lit(1)).as("cells"))
+    val full = rowM.crossJoin(colM)
+      .join(obs, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("rs"), col("cs"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rs").cast("double") * col("cs") / col("n"))
+      .withColumn("chi",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    full.groupBy()
+      .agg(max(col("n")).as("n_docs"),
+        count_distinct(col("source")).as("n_src"),
+        count_distinct(col("lang")).as("n_lang"),
+        sum(col("chi")).as("chi2_raw"))
+      .select(col("n_docs"), col("n_src"), col("n_lang"),
+        ((col("n_src") - 1) * (col("n_lang") - 1)).as("dof"),
+        M.oracleRound(col("chi2_raw"), 4).as("chi2"),
+        M.oracleRound(sqrt(col("chi2_raw") / (col("n_docs") *
+          least(col("n_src") - 1, col("n_lang") - 1))), 4)
+          .as("cramers_v"))
+  }
+
+  // q292: CUSUM changepoint scan over the daily event series — the
+  // level-shift detector the dataset-freshness monitors run: C_k =
+  // Σ_{i≤k}(x_i − x̄), argmax|C_k| locates the most likely change
+  // day. Maximized in INTEGERS (|n·S_k − k·S_n| — cross-multiplied
+  // so x̄ never appears as a float inside the argmax), ties pinned to
+  // the earliest day. The daily frame is ≤ a few thousand rows at any
+  // corpus scale (it is keyed by calendar day), so the one ordered
+  // window runs on a coalesced micro-frame — the corpus-sized work is
+  // the single map-side-combined daily count.
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+    val w = Window.partitionBy(lit(0)).orderBy("day")
+    val scan = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk", sum("x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .withColumn("sn", sum("x").over(Window.partitionBy(lit(0))))
+      .withColumn("igap", abs(col("n") * col("sk") - col("k") * col("sn")))
+    scan.groupBy(col("n"), col("sn"))
+      .agg(max(col("igap")).as("max_gap"))
+      .join(scan, Seq("n", "sn"))
+      .filter(col("igap") === col("max_gap"))
+      .groupBy(col("n"), col("sn"), col("max_gap"))
+      .agg(min(col("day")).as("change_day"))
+      .select(col("n").as("n_days"), col("sn").as("n_events"),
+        col("change_day"),
+        M.oracleRound(col("max_gap").cast("double") / col("n"), 4)
+          .as("cusum_max"))
+  }
 }

@@ -3729,4 +3729,124 @@ object PipelineQueries {
           .as("pos"))
       .orderBy("pos")
   }
+
+  // q293: vocabulary coverage curve — what fraction of TOKEN
+  // OCCURRENCES a top-V vocabulary covers, for the V sweep a
+  // tokenizer-budget decision reads (the Heaps-law companion: q166
+  // fits the type curve, this prices the token curve). Rides the
+  // shared token stage; terms are ranked by (count desc, term) —
+  // fully deterministic, no ntile — and the rank runs on the
+  // post-aggregation vocabulary frame (types, not tokens: ~√corpus by
+  // Heaps, a coalesced micro-frame at gate scale; at 100 TB the same
+  // rank rides the q180 two-level top-K since only ranks ≤ max(V)
+  // matter). Coverage ratios are exact-integer / exact-integer.
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val vocab = lowerToks(s, dir).groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .withColumn("rnk", row_number().over(
+        W.orderBy(col("cnt").desc, col("term"))))
+      .withColumn("total", sum("cnt").over(W.partitionBy()))
+    val sizes = Seq(100, 500, 1000, 2000)
+    vocab
+      .select(col("cnt"), col("rnk"), col("total"),
+        explode(array(sizes.map(lit): _*)).as("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("total")).as("n_tokens"),
+        sum(when(col("rnk") <= col("vocab_size"), col("cnt"))
+          .otherwise(0L)).as("covered"))
+      .select(col("vocab_size"), col("n_tokens"), col("covered"),
+        M.oracleRound(col("covered").cast("double") / col("n_tokens"), 4)
+          .as("coverage"))
+      .orderBy("vocab_size")
+  }
+
+  // q294: n-gram novelty decay across ingestion batches — the
+  // "is new data still new?" curve a continual-crawl pipeline
+  // monitors: batch b's novelty = the fraction of its (doc, 4-gram)
+  // shingle occurrences whose FIRST corpus appearance (min batch over
+  // all docs) is b itself. Mature crawls decay toward boilerplate;
+  // a novelty cliff flags a source change. One shingle-keyed
+  // aggregate (map-side combined min) + one shingle-keyed join back —
+  // nothing is ever collected, and the join key is the shingle hash,
+  // not the document.
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSets(Tables.documents(s, dir),
+        "doc_id", "text", 4)
+      .select(col("doc_id"), (col("doc_id") % 5).as("batch"),
+        explode(col("__sh")).as("sh"))
+    val first = sh.groupBy("sh").agg(min("batch").as("first_batch"))
+    sh.join(first, "sh")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("batch"), col("n_shingles"), col("n_novel"),
+        M.oracleRound(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+      .orderBy("batch")
+  }
+
+  // q295: template-spam screen — per-document MAX character-trigram
+  // multiplicity ratio (how much of the doc is one repeated shingle):
+  // the complement of q249's novelty ratio that catches the "one
+  // phrase pasted 50 times" page q249's distinct-ratio can miss when
+  // padding varies. Per-source spam rate + mean ratio — the
+  // source-scorecard shape. Shuffle is (doc, trigram)-keyed with
+  // map-side combine; nothing text-sized crosses the wire twice.
+  def templateSpam(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, length(text) - 2)," +
+          " i -> substring(text, i, 3))")).as("tri"))
+    val perDoc = tri.groupBy("doc_id", "source", "tri")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(max("c").as("max_mult"), sum("c").as("n_tri"))
+      .withColumn("ratio",
+        col("max_mult").cast("double") / col("n_tri"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ratio") > 0.05, 1L).otherwise(0L)).as("n_spam"),
+        M.oracleRound(avg(col("ratio")), 4).as("mean_ratio"))
+      .select(col("source"), col("n_docs"), col("n_spam"),
+        M.oracleRound(col("n_spam").cast("double") / col("n_docs"), 4)
+          .as("spam_rate"), col("mean_ratio"))
+      .orderBy("source")
+  }
+
+  // q296: per-label embedding centroid drift vs the global centroid —
+  // the class-imbalance/collapse audit next to q263's silhouette:
+  // cosine(centroid_l, centroid_global) near 1 for every label means
+  // the labels share one mode (embedding collapse); a lone low cosine
+  // flags a genuinely separated (or mislabeled) class. Centroid sums
+  // are per-(label, dim) keyed aggregates over one posexplode pass;
+  // the global centroid derives from the label centroids' weighted
+  // sums (no second corpus scan), and the cosine runs on the
+  // labels×dims micro-frame.
+  def labelCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val lc = p.groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("nv"))
+      .withColumn("c", col("sv") / col("nv"))
+    val gc = lc.groupBy("dim")
+      .agg((sum(col("sv")) / sum(col("nv"))).as("gcv"))
+    lc.join(gc, "dim")
+      .groupBy("label")
+      .agg(max(col("nv")).as("n_vecs"),
+        sum(col("c") * col("gcv")).as("dot"),
+        sum(col("c") * col("c")).as("ss_l"),
+        sum(col("gcv") * col("gcv")).as("ss_g"),
+        sum((col("c") - col("gcv")) * (col("c") - col("gcv"))).as("ss_d"))
+      .select(col("label"), col("n_vecs"),
+        M.oracleRound(col("dot") / (sqrt(col("ss_l")) * sqrt(col("ss_g"))),
+          4).as("cos_global"),
+        M.oracleRound(sqrt(col("ss_d")), 4).as("l2_drift"))
+      .orderBy("label")
+  }
 }
