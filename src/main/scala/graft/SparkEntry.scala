@@ -320,8 +320,8 @@ object SparkEntry {
     "q287_simpson_audit" -> (C.simpsonAudit _),
     "q288_avi_rle8" -> (P.aviRle8Frames _),
     "q289_mann_whitney" -> (C.mannWhitney _),
-    "q290_ks_test" -> (C.ksTest _),
-    "q291_chi2_independence" -> (C.chiSquareIndependence _),
+    "q290_cvm_test" -> (C.cvmTest _),
+    "q291_kruskal_wallis" -> (C.kruskalWallis _),
     "q292_cusum_changepoint" -> (C.cusumChangepoint _),
     "q293_vocab_coverage" -> (P.vocabCoverage _),
     "q294_ngram_novelty" -> (P.ngramNovelty _),
@@ -6436,58 +6436,62 @@ object SparkEntry {
         |     ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
         |       / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
         |FROM t""".stripMargin,
-    // Two-sample KS: the sup ECDF gap maximized in integers
-    // (|cumA·n2 − cumB·n1|), argmax value pinned to the minimum
-    "q290_ks_test" ->
+    // Two-sample Cramér–von Mises: S = Σ cnt·(cumA·n2−cumB·n1)²
+    // exact in HUGEINT, T single-value double arithmetic from it
+    "q290_cvm_test" ->
       """WITH h AS (
         | SELECT value AS v,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
         | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
         |c AS (
-        | SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        | SELECT v, ca + cb AS cnt,
+        |  sum(ca) OVER (ORDER BY v) AS cum_a,
         |  sum(cb) OVER (ORDER BY v) AS cum_b,
         |  sum(ca) OVER () AS n1, sum(cb) OVER () AS n2
         | FROM h),
+        |t AS (
+        | SELECT max(n1) AS n1, max(n2) AS n2,
+        |  sum(CAST(cum_a * n2 - cum_b * n1 AS HUGEINT)
+        |    * (cum_a * n2 - cum_b * n1) * cnt) AS s
+        | FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        | round(CAST(s AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+        |   / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)), 4) AS cvm_t,
+        | round((CAST(s AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+        |    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)))
+        |  / ((1.0 + 1.0 / (n1 + n2)) / 6.0), 4) AS t_ratio
+        |FROM t""".stripMargin,
+    // Kruskal–Wallis H over all five event types: integer midranks,
+    // Σ R²/n as exact integer div + bounded remainders, tie-corrected
+    "q291_kruskal_wallis" ->
+      """WITH tc AS (
+        | SELECT event_type AS et, value AS v, count(*) AS tcnt
+        | FROM events GROUP BY 1, 2),
+        |h AS (SELECT v, sum(tcnt) AS cnt FROM tc GROUP BY 1),
+        |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
         |g AS (
-        | SELECT v, n1, n2, abs(cum_a * n2 - cum_b * n1) AS igap FROM c),
-        |b AS (SELECT max(igap) AS mg FROM g)
-        |SELECT CAST(max(n1) AS BIGINT) AS n1,
-        | CAST(max(n2) AS BIGINT) AS n2,
-        | round(CAST(max(mg) AS DOUBLE)
-        |   / (CAST(max(n1) AS DOUBLE) * max(n2)), 4) AS d_stat,
-        | round(sqrt(CAST(max(n1) AS DOUBLE) * max(n2)
-        |     / (max(n1) + max(n2))) *
-        |   (CAST(max(mg) AS DOUBLE)
-        |     / (CAST(max(n1) AS DOUBLE) * max(n2))), 4) AS ks_scaled,
-        | round(min(CASE WHEN igap = mg THEN v END), 4) AS at_v
-        |FROM g, b""".stripMargin,
-    // chi-square independence on the (source, lang) contingency,
-    // zero cells included via the margin cross join; Cramér's V
-    "q291_chi2_independence" ->
-      """WITH obs AS (
-        | SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
-        |rm AS (SELECT source, sum(o) AS rs FROM obs GROUP BY 1),
-        |cm AS (SELECT lang, sum(o) AS cs FROM obs GROUP BY 1),
-        |t AS (SELECT sum(o) AS n FROM obs),
-        |fl AS (
-        | SELECT rm.source, cm.lang, rm.rs, cm.cs, t.n,
-        |  coalesce(obs.o, 0) AS o
-        | FROM rm CROSS JOIN cm CROSS JOIN t
-        | LEFT JOIN obs ON obs.source = rm.source AND obs.lang = cm.lang),
-        |x AS (
-        | SELECT n, source, lang, o, CAST(rs AS DOUBLE) * cs / n AS e
-        | FROM fl)
-        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
-        | CAST(count(DISTINCT source) AS BIGINT) AS n_src,
-        | CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
-        | CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
-        |   AS BIGINT) AS dof,
-        | round(sum((o - e) * (o - e) / e), 4) AS chi2,
-        | round(sqrt(sum((o - e) * (o - e) / e) / (max(n) *
-        |   least(count(DISTINCT source) - 1, count(DISTINCT lang) - 1))),
-        |   4) AS cramers_v
-        |FROM x""".stripMargin,
+        | SELECT et, sum(tcnt) AS ng,
+        |  sum(tcnt * (2 * (cum - cnt) + cnt + 1)) AS two_r
+        | FROM tc JOIN c USING (v) GROUP BY 1),
+        |p AS (
+        | SELECT sum(cnt) AS n, sum(cnt * cnt * cnt - cnt) AS ties FROM h),
+        |s AS (
+        | SELECT count(*) AS k,
+        |  sum((CAST(two_r AS HUGEINT) * two_r) // (4 * ng)) AS sum_q,
+        |  sum(CAST((CAST(two_r AS HUGEINT) * two_r) % (4 * ng) AS DOUBLE)
+        |    / (4 * CAST(ng AS DOUBLE))) AS sum_r
+        | FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        | round(12.0 / (CAST(n AS DOUBLE) * (n + 1))
+        |   * (CAST(sum_q AS DOUBLE) + sum_r)
+        |  - 3.0 * (CAST(n AS DOUBLE) + 1), 4) AS h,
+        | round((12.0 / (CAST(n AS DOUBLE) * (n + 1))
+        |    * (CAST(sum_q AS DOUBLE) + sum_r)
+        |   - 3.0 * (CAST(n AS DOUBLE) + 1))
+        |  / (1.0 - CAST(ties AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * n - n)), 4) AS h_adj
+        |FROM s, p""".stripMargin,
     // CUSUM level-shift scan on daily counts, maximized in integers
     // (|n·S_k − k·S_n|), change day pinned to the earliest argmax
     "q292_cusum_changepoint" ->

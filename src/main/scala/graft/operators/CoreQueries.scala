@@ -2880,16 +2880,19 @@ object CoreQueries {
       M.oracleRound((u1 - mu) / sqrt(vr), 4).as("z"))
   }
 
-  // q290: two-sample Kolmogorov–Smirnov distance, click vs view — the
-  // distribution-shift gate next to q289's location test: D =
-  // sup|F̂₁−F̂₂| catches shape changes a rank test misses. The sup is
-  // maximized in INTEGERS (|cumA·n2 − cumB·n1|, the cross-multiplied
-  // ECDF gap) so argmax/tie decisions can never flip on float
-  // rounding; both sides' cumulatives ride [[bucketedCumCounts]] and
-  // align on the shared value histogram. Emits D, the scaled KS
-  // statistic √(n1n2/(n1+n2))·D, and the (min) value where the sup
-  // is attained.
-  def ksTest(s: SparkSession, dir: String): DataFrame = {
+  // q290: two-sample Cramér–von Mises criterion, click vs view — the
+  // whole-distribution shift gate next to q289's location test and
+  // q222's sup-gap KS (on a different table): T integrates the SQUARED
+  // ECDF gap over every pooled observation, so it weights persistent
+  // moderate divergence that a single-sup statistic underreports. The
+  // accumulated sum is EXACT-INTEGER: S = Σ_v cnt_v·(cumA·n2−cumB·n1)²
+  // carried in decimal(38,0) (HUGEINT on the oracle side), so the one
+  // corpus-sized fold has no float-order dependence and the final
+  // T = S/(n1·n2)/(n1+n2)² is single-value double arithmetic from the
+  // same integers on both engines. Cumulatives ride
+  // [[bucketedCumCounts]] — no single-partition sort of the value
+  // histogram. t_ratio normalizes by E[T] under H0 = (1+1/N)/6.
+  def cvmTest(s: SparkSession, dir: String): DataFrame = {
     val hist = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "view"))
       .groupBy(lit(0).as("g"), col("value").as("v"))
@@ -2903,59 +2906,67 @@ object CoreQueries {
     val cumB = bucketedCumCounts(
       hist.select(col("g"), col("v"), col("cb").as("cnt")), Seq("g"))
       .select(col("v"), col("cum").as("cum_b"), col("n").as("n2"))
-    val gap = cumA.join(cumB, "v")
-      .withColumn("igap",
-        abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
-    val best = gap
+    val gapD = (col("cum_a") * col("n2") - col("cum_b") * col("n1"))
+      .cast("decimal(19,0)")
+    val tot = cumA.join(cumB, "v")
+      .join(hist.select(col("v"), (col("ca") + col("cb")).as("cnt")), "v")
+      .withColumn("term", gapD * gapD * col("cnt").cast("decimal(9,0)"))
       .groupBy(col("n1"), col("n2"))
-      .agg(max(col("igap")).as("max_gap"))
-      .join(gap, Seq("n1", "n2"))
-      .filter(col("igap") === col("max_gap"))
-      .groupBy(col("n1"), col("n2"), col("max_gap"))
-      .agg(min(col("v")).as("at_v"))
-    val d = col("max_gap").cast("double") /
-      (col("n1").cast("double") * col("n2"))
-    best.select(col("n1"), col("n2"),
-      M.oracleRound(d, 4).as("d_stat"),
-      M.oracleRound(sqrt(col("n1").cast("double") * col("n2") /
-        (col("n1") + col("n2"))) * d, 4).as("ks_scaled"),
-      M.oracleRound(col("at_v"), 4).as("at_v"))
+      .agg(sum(col("term")).as("s"))
+    val nn = (col("n1") + col("n2")).cast("double")
+    val t = col("s").cast("double") /
+      (col("n1").cast("double") * col("n2")) / (nn * nn)
+    tot.select(col("n1"), col("n2"),
+      M.oracleRound(t, 4).as("cvm_t"),
+      M.oracleRound(t / ((lit(1.0) + lit(1.0) / nn) / 6.0), 4)
+        .as("t_ratio"))
   }
 
-  // q291: chi-square test of independence + Cramér's V on the
-  // (source, lang) contingency of the corpus — the mixture-audit
-  // question ("does language depend on source?") asked with effect
-  // size, not just significance. Expected counts come from the
-  // margins (rs·cs/n); every input to the χ² sum is a ratio of exact
-  // integer counts, so the double arithmetic is an identical IEEE
-  // sequence on both engines. One keyed aggregate + two tiny margin
-  // frames broadcast back — nothing contingency-sized shuffles twice.
-  def chiSquareIndependence(s: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.documents(s, dir)
-      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
-    val rowM = obs.groupBy("source").agg(sum("o").as("rs"))
-    val colM = obs.groupBy("lang").agg(sum("o").as("cs"))
-    val n = obs.agg(sum("o").as("n"), count(lit(1)).as("cells"))
-    val full = rowM.crossJoin(colM)
-      .join(obs, Seq("source", "lang"), "left")
-      .select(col("source"), col("lang"), col("rs"), col("cs"),
-        coalesce(col("o"), lit(0L)).as("o"))
-      .crossJoin(broadcast(n))
-      .withColumn("e",
-        col("rs").cast("double") * col("cs") / col("n"))
-      .withColumn("chi",
-        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
-    full.groupBy()
-      .agg(max(col("n")).as("n_docs"),
-        count_distinct(col("source")).as("n_src"),
-        count_distinct(col("lang")).as("n_lang"),
-        sum(col("chi")).as("chi2_raw"))
-      .select(col("n_docs"), col("n_src"), col("n_lang"),
-        ((col("n_src") - 1) * (col("n_lang") - 1)).as("dof"),
-        M.oracleRound(col("chi2_raw"), 4).as("chi2"),
-        M.oracleRound(sqrt(col("chi2_raw") / (col("n_docs") *
-          least(col("n_src") - 1, col("n_lang") - 1))), 4)
-          .as("cramers_v"))
+  // q291: Kruskal–Wallis H across ALL five event types — the k-sample
+  // extension of q289's two-sample rank test (the "did ANY variant
+  // move the metric?" omnibus an A/B/n readout starts with). Midranks
+  // over the pooled per-value histogram keep every rank integer
+  // (2·midrank = 2·cumBefore + cnt + 1, cumulative via
+  // [[bucketedCumCounts]]); the per-group Σ R_g²/n_g — the one place a
+  // float fold across groups could diverge between engines — is
+  // decomposed as exact integer division + bounded remainders:
+  // (2R_g)² div 4n_g sums in integers, the k sub-1.0 remainder terms
+  // contribute < k to a ~1e13 sum, so H's 4-dp rounding can never
+  // flip on fold order. Tie correction divides by 1 − Σ(t³−t)/(N³−N).
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val tcnt = Tables.events(s, dir)
+      .groupBy(col("event_type").as("et"), col("value").as("v"))
+      .agg(count(lit(1)).as("tcnt"))
+    val pooled = tcnt.groupBy(lit(0).as("g"), col("v"))
+      .agg(sum(col("tcnt")).as("cnt"))
+    val cum = bucketedCumCounts(pooled, Seq("g"))
+      .select(col("v"), col("cnt"), col("cum"))
+    val grp = tcnt.join(cum, "v")
+      .withColumn("two_r_c", col("tcnt") *
+        (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1))
+      .groupBy("et")
+      .agg(sum(col("tcnt")).as("ng"), sum(col("two_r_c")).as("two_r"))
+    val sq = col("two_r").cast("decimal(19,0)") *
+      col("two_r").cast("decimal(19,0)")
+    val parts = grp
+      .withColumn("sq", sq)
+      .withColumn("bg", (col("ng") * 4).cast("decimal(19,0)"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("CAST(sq div bg AS BIGINT)")).as("sum_q"),
+        sum((col("sq") % col("bg")).cast("double") /
+          col("bg").cast("double")).as("sum_r"))
+    val ties = pooled.groupBy()
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) *
+      (col("sum_q").cast("double") + col("sum_r")) - lit(3.0) * (nD + 1)
+    parts.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        M.oracleRound(h, 4).as("h"),
+        M.oracleRound(h / (lit(1.0) -
+          col("ties").cast("double") / (nD * nD * nD - nD)), 4)
+          .as("h_adj"))
   }
 
   // q292: CUSUM changepoint scan over the daily event series — the

@@ -50,41 +50,53 @@ class InferenceWaveSpec extends AnyFunSuite {
     assert(math.abs(got._4 - (u1 - mu) / math.sqrt(vr)) < 1e-3)
   }
 
-  test("q290: D matches a direct two-sample ECDF sweep") {
+  test("q290: CvM T matches a direct pooled-ECDF recompute") {
     val (a, b) = clickView
-    val sa = a.sorted
-    val sb = b.sorted
-    val values = (sa ++ sb).distinct.sorted
-    def ecdfCount(s: Array[Double], v: Double): Long =
-      s.count(_ <= v).toLong
-    val d = values.map(v => math.abs(
-      ecdfCount(sa, v).toDouble / sa.length -
-        ecdfCount(sb, v).toDouble / sb.length)).max
-    val got = SparkEntry.queries("q290_ks_test")(spark, dir)
-      .select("d_stat").as[Double].collect().head
-    assert(math.abs(got - d) < 1e-3, s"D $got vs $d")
+    val pooled = a ++ b
+    val n1 = a.length.toLong
+    val n2 = b.length.toLong
+    var s = BigInt(0)
+    for (v <- pooled.distinct) {
+      val g = BigInt(a.count(_ <= v).toLong * n2 - b.count(_ <= v).toLong * n1)
+      s += g * g * pooled.count(_ == v)
+    }
+    val t = s.toDouble / (n1.toDouble * n2) /
+      ((n1 + n2).toDouble * (n1 + n2))
+    val got = SparkEntry.queries("q290_cvm_test")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == n1 && got._2 == n2)
+    assert(got._3 == round4(t), s"T ${got._3} vs $t")
+    assert(math.abs(got._4 - t / ((1.0 + 1.0 / (n1 + n2)) / 6.0)) < 1e-3)
   }
 
-  test("q291: chi2 matches a direct contingency recompute; V bounded") {
-    val docs = graft.sources.Tables.documents(spark, dir)
-      .select("source", "lang").as[(String, String)].collect()
-    val n = docs.length.toDouble
-    val bySrc = docs.groupBy(_._1).view.mapValues(_.length).toMap
-    val byLang = docs.groupBy(_._2).view.mapValues(_.length).toMap
-    val byCell = docs.groupBy(identity).view.mapValues(_.length).toMap
-    // keys.toSeq: a for-yield over Set keys would yield a SET of chi
-    // contributions and silently drop duplicates before the sum
-    val chi2 = (for (s <- bySrc.keys.toSeq; l <- byLang.keys.toSeq) yield {
-      val e = bySrc(s) * byLang(l) / n
-      val o = byCell.getOrElse((s, l), 0)
-      (o - e) * (o - e) / e
-    }).sum
-    val got = SparkEntry.queries("q291_chi2_independence")(spark, dir)
-      .as[(Long, Long, Long, Long, Double, Double)].collect().head
-    assert(got._1 == docs.length)
-    assert(got._4 == (bySrc.size - 1).toLong * (byLang.size - 1))
-    assert(math.abs(got._5 - chi2) < 1e-2, s"chi2 ${got._5} vs $chi2")
-    assert(got._6 >= 0 && got._6 <= 1)
+  test("q291: H matches a direct midrank recompute over all types") {
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val sorted = rows.map(_._2).sorted
+    val rankOf = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    var ties = 0.0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      val t = (j - i).toDouble
+      rankOf(sorted(i)) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      ties += t * t * t - t
+      i = j
+    }
+    val groups = rows.groupBy(_._1)
+    val nN = sorted.length.toDouble
+    val sumTerm = groups.values.map { g =>
+      val r = g.map(x => rankOf(x._2)).sum
+      r * r / g.length
+    }.sum
+    val hExp = 12.0 / (nN * (nN + 1)) * sumTerm - 3 * (nN + 1)
+    val hAdj = hExp / (1 - ties / (nN * nN * nN - nN))
+    val got = SparkEntry.queries("q291_kruskal_wallis")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == groups.size && got._2 == sorted.length)
+    assert(math.abs(got._3 - hExp) < 1e-3, s"H ${got._3} vs $hExp")
+    assert(math.abs(got._4 - hAdj) < 1e-3, s"H' ${got._4} vs $hAdj")
   }
 
   test("q292: CUSUM max and change day match a direct scan") {
