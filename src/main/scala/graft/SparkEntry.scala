@@ -327,6 +327,11 @@ object SparkEntry {
     "q294_ngram_novelty" -> (P.ngramNovelty _),
     "q295_template_spam" -> (P.templateSpam _),
     "q296_label_drift" -> (P.labelCentroidDrift _),
+    "q297_block_dedup" -> (P.blockDedup _),
+    "q298_t_closeness" -> (C.tCloseness _),
+    "q299_wilcoxon_signed" -> (C.wilcoxonSigned _),
+    "q300_levene_bf" -> (C.leveneBF _),
+    "q301_ewma_chart" -> (C.ewmaChart _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6601,6 +6606,147 @@ object SparkEntry {
         |   AS l2_drift
         |FROM lc JOIN gc USING (dim)
         |GROUP BY lc.label ORDER BY lc.label""".stripMargin,
+    // block-level dedup: first occurrence = lexicographic (doc,pos)
+    // min done in two steps (min doc, then min pos within that doc)
+    "q297_block_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, source,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |b AS (
+        | SELECT doc_id, source, i AS pos,
+        |  array_to_string(list_slice(a, i*10+1, i*10+10), ' ') AS blk,
+        |  least(10, len(a) - i*10) AS btoks
+        | FROM (SELECT doc_id, source, a, unnest(generate_series(0,
+        |        CAST(ceil(len(a)/10.0) AS INTEGER) - 1)) AS i
+        |       FROM toks) t),
+        |fd AS (SELECT blk, min(doc_id) AS f_doc FROM b GROUP BY 1),
+        |fp AS (
+        | SELECT b.blk, min(b.pos) AS f_pos
+        | FROM b JOIN fd ON b.blk = fd.blk AND b.doc_id = fd.f_doc
+        | GROUP BY 1),
+        |m AS (
+        | SELECT b.source, b.doc_id, b.btoks,
+        |  (b.doc_id <> fd.f_doc OR b.pos <> fp.f_pos) AS dup
+        | FROM b JOIN fd ON b.blk = fd.blk JOIN fp ON b.blk = fp.blk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup,
+        | round(CAST(count(*) FILTER (WHERE dup) AS DOUBLE) / count(*), 4)
+        |   AS dup_rate,
+        | CAST(sum(btoks) AS BIGINT) AS toks_total,
+        | CAST(coalesce(sum(btoks) FILTER (WHERE dup), 0) AS BIGINT)
+        |   AS toks_dropped,
+        | round(1.0 - CAST(coalesce(sum(btoks) FILTER (WHERE dup), 0)
+        |     AS DOUBLE) / sum(btoks), 4) AS keep_rate,
+        | CAST(count(DISTINCT CASE WHEN dup THEN doc_id END) AS BIGINT)
+        |   AS n_docs_hit
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t-closeness as total variation distance vs the global sensitive
+    // distribution, integer numerators, division-free policy gate
+    "q298_t_closeness" ->
+      """WITH cells AS (
+        | SELECT lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS len_band,
+        |  source, count(*) AS c
+        | FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, len_band, sum(c) AS ng FROM cells GROUP BY 1, 2),
+        |m AS (SELECT source, sum(c) AS cs FROM cells GROUP BY 1),
+        |t AS (SELECT sum(c) AS nn FROM cells),
+        |grid AS (
+        | SELECT g.lang, g.len_band, g.ng, m.source, m.cs, t.nn,
+        |  coalesce(cells.c, 0) AS c
+        | FROM g CROSS JOIN m CROSS JOIN t
+        | LEFT JOIN cells ON cells.lang = g.lang
+        |  AND cells.len_band = g.len_band AND cells.source = m.source)
+        |SELECT lang, len_band, CAST(max(ng) AS BIGINT) AS n_docs,
+        | round(CAST(sum(abs(c * nn - cs * ng)) AS DOUBLE)
+        |   / (2.0 * max(ng) * max(nn)), 4) AS t_dist,
+        | (sum(abs(c * nn - cs * ng)) * 10 <= max(ng) * max(nn) * 6)
+        |   AS meets_t
+        |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Wilcoxon signed-rank on paired daily click/view cents sums:
+    // integer diffs, midranks over the |d| histogram, tie-corrected z
+    "q299_wilcoxon_signed" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  sum(CASE WHEN event_type = 'click'
+        |       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'view'
+        |       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cb
+        | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |nz AS (SELECT ca - cb AS d FROM daily WHERE ca - cb <> 0),
+        |h AS (SELECT abs(d) AS v, count(*) AS cnt,
+        |       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
+        |      FROM nz GROUP BY 1),
+        |c AS (SELECT v, cnt, cpos, sum(cnt) OVER (ORDER BY v) AS cum
+        |      FROM h),
+        |t AS (SELECT sum(cnt) AS n,
+        |       sum(cpos * (2 * (cum - cnt) + cnt + 1)) AS two_wp,
+        |       sum(cnt * cnt * cnt - cnt) AS ties FROM c),
+        |nd AS (SELECT count(*) AS n_days FROM daily)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        | CAST(n AS BIGINT) AS n_nonzero,
+        | round(CAST(two_wp AS DOUBLE) / 2, 4) AS w_plus,
+        | round((CAST(two_wp AS DOUBLE) / 2
+        |    - CAST(n AS DOUBLE) * (n + 1) / 4)
+        |  / sqrt(CAST(n AS DOUBLE) * (n + 1) * (n * 2 + 1) / 24
+        |    - CAST(ties AS DOUBLE) / 48), 4) AS z
+        |FROM t, nd""".stripMargin,
+    // Brown-Forsythe: exact per-group doubled medians off the value
+    // histogram, integer centered scores, div+remainder SSB/SSW
+    "q300_levene_bf" ->
+      """WITH ev AS (
+        | SELECT event_type AS et,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |h AS (SELECT et, cents AS v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT et, v, cnt,
+        |       sum(cnt) OVER (PARTITION BY et ORDER BY v) AS cum,
+        |       sum(cnt) OVER (PARTITION BY et) AS n
+        |      FROM h),
+        |m AS (SELECT et, max(n) AS ng,
+        |       min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |        + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS med2
+        |      FROM c GROUP BY 1),
+        |z AS (SELECT ev.et, m.ng, abs(ev.cents * 2 - m.med2) AS z
+        |      FROM ev JOIN m ON ev.et = m.et),
+        |g AS (SELECT et, max(ng) AS ng, sum(z) AS sz, sum(z * z) AS szz
+        |      FROM z GROUP BY 1),
+        |s AS (SELECT count(*) AS k, sum(ng) AS n, sum(sz) AS t,
+        |       sum(szz) AS szz_all,
+        |       sum((CAST(sz AS HUGEINT) * sz) // ng) AS sum_q,
+        |       sum(CAST((CAST(sz AS HUGEINT) * sz) % ng AS DOUBLE)
+        |         / CAST(ng AS DOUBLE)) AS sum_r
+        |      FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        | round((((CAST(sum_q AS DOUBLE) + sum_r)
+        |     - (CAST((CAST(t AS HUGEINT) * t) // n AS DOUBLE)
+        |        + CAST((CAST(t AS HUGEINT) * t) % n AS DOUBLE)
+        |          / CAST(n AS DOUBLE)))
+        |    / CAST(k - 1 AS DOUBLE))
+        |  / ((CAST(szz_all AS DOUBLE)
+        |      - (CAST(sum_q AS DOUBLE) + sum_r))
+        |    / CAST(n - k AS DOUBLE)), 4) AS f_bf
+        |FROM s""".stripMargin,
+    // EWMA control chart: exact dyadic 40-lag integer smoothing,
+    // division-free 25%-deviation alert vs the previous observed day
+    "q301_ewma_chart" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        | FROM events GROUP BY 1),
+        |c AS (
+        | SELECT day + CAST(j AS INTEGER) AS day,
+        |  x * (CAST(1 AS BIGINT) << (39 - j)) AS w
+        | FROM daily, (SELECT unnest(generate_series(0, 39)) AS j) js),
+        |sc AS (SELECT day, sum(w) AS sc FROM c GROUP BY 1),
+        |j AS (SELECT d.day, d.x, s.sc,
+        |       lag(s.sc) OVER (ORDER BY d.day) AS s_prev
+        |      FROM daily d JOIN sc s ON d.day = s.day)
+        |SELECT day, CAST(x AS BIGINT) AS x,
+        | round(CAST(sc AS DOUBLE) / 1099511627776.0, 4) AS ewma,
+        | CASE WHEN s_prev IS NULL THEN false
+        |  ELSE abs(x * 1099511627776 - s_prev) * 4 > s_prev END AS alert
+        |FROM j ORDER BY day""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -3002,4 +3002,170 @@ object CoreQueries {
         M.oracleRound(col("max_gap").cast("double") / col("n"), 4)
           .as("cusum_max"))
   }
+  // q298: t-closeness audit over the q278 quasi-groups — the privacy
+  // ladder's next rung after k-anonymity (q128) and l-diversity
+  // (q278): a group can be diverse yet still leak if its sensitive
+  // distribution diverges from the global one. For the categorical
+  // sensitive attribute the EMD reduces to total variation distance,
+  // computed INTEGER-EXACT: t·(2·n_g·N) = Σ_s |c_gs·N − C_s·n_g|, so
+  // the fold is a sum of longs and the ≤0.3 policy gate is the
+  // division-free 10·Σ ≤ 6·n_g·N — no float can flip a verdict. One
+  // cell aggregate + two tiny broadcast margins, same shape as q291's
+  // contingency grid (zero cells included via the margin cross join).
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"),
+        floor(col("n_chars") / 500.0).cast("long").as("len_band"),
+        col("source"))
+      .groupBy("lang", "len_band", "source")
+      .agg(count(lit(1)).as("c"))
+    val glob = cells.groupBy("source").agg(sum("c").as("cs"))
+    val tot = cells.agg(sum("c").as("nn"))
+    val gcnt = cells.groupBy("lang", "len_band").agg(sum("c").as("ng"))
+    gcnt.crossJoin(broadcast(glob))
+      .join(cells, Seq("lang", "len_band", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("c") * col("nn") - col("cs") * col("ng")))
+      .groupBy("lang", "len_band")
+      .agg(max(col("ng")).as("n_docs"), sum(col("num")).as("sn"),
+        max(col("nn")).as("n_total"))
+      .select(col("lang"), col("len_band"), col("n_docs"),
+        M.oracleRound(col("sn").cast("double") /
+          (lit(2.0) * col("n_docs") * col("n_total")), 4).as("t_dist"),
+        (col("sn") * 10 <= col("n_docs") * col("n_total") * 6)
+          .as("meets_t"))
+      .orderBy("lang", "len_band")
+  }
+
+  // q299: Wilcoxon signed-rank test on PAIRED daily click-vs-view
+  // revenue — the matched-pairs member the panel lacked (q289 is the
+  // unpaired twin; pairing by day removes day-level seasonality the
+  // unpaired test dilutes). Daily sums are fixed-point cents (the
+  // 2-dp generator contract), so the paired differences are INTEGERS:
+  // zero diffs drop per the standard treatment, |d| midranks come from
+  // the same 2·midrank = 2·cumBefore + cnt + 1 integer identity via
+  // [[bucketedCumCounts]], and W⁺, the tie term Σ(t³−t), μ and σ² are
+  // all ratios of exact integers — no float-fold order dependence.
+  // The daily frame is calendar-bounded (≤ a few thousand rows at any
+  // corpus scale); the corpus-sized work is one map-side-combined
+  // daily aggregate.
+  def wilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("cb"))
+      .withColumn("d", col("ca") - col("cb"))
+    val nz = daily.filter(col("d") =!= 0)
+    val hist = nz.groupBy(lit(0).as("g"), abs(col("d")).as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"))
+    val agg = bucketedCumCounts(hist, Seq("g"))
+      .withColumn("two_w",
+        col("cpos") * (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1))
+      .agg(sum(col("cnt")).as("n"), sum(col("two_w")).as("two_wp"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+    val nD = col("n").cast("double")
+    val w = col("two_wp").cast("double") / 2
+    val mu = nD * (nD + 1) / 4
+    val vr = nD * (nD + 1) * (nD * 2 + 1) / 24 -
+      col("ties").cast("double") / 48
+    agg.select(col("n_days"), col("n").as("n_nonzero"),
+      M.oracleRound(w, 4).as("w_plus"),
+      M.oracleRound((w - mu) / sqrt(vr), 4).as("z"))
+  }
+
+  // q300: Brown–Forsythe (median-centered Levene) homogeneity-of-
+  // variance test across all five event types — the precondition
+  // check for q254's pooled-variance ANOVA: equal means say nothing
+  // when the spreads differ, and BF is the robust (median-anchored)
+  // form. Everything before the final F is INTEGER-EXACT: values are
+  // fixed-point cents, each group's doubled median x_(⌊(n+1)/2⌋) +
+  // x_(⌊n/2⌋+1) comes off the per-group cumulative histogram
+  // ([[bucketedCumCounts]] — no per-group sort), the centered scores
+  // z = |2x − med2| are integers, and the between/within sums of
+  // squares decompose as exact integer division + sub-1.0 remainders
+  // (the q291 trick), so F's 4-dp rounding cannot flip on fold order.
+  def leveneBF(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("et"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val hist = ev.groupBy(col("et"), col("cents").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = bucketedCumCounts(hist, Seq("et"))
+    val med2 = cum
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("n div 2 + 1"))
+      .groupBy("et")
+      .agg(max(col("n")).as("ng"),
+        (min(when(col("cum") >= col("r1"), col("v"))) +
+          min(when(col("cum") >= col("r2"), col("v")))).as("med2"))
+    val z = ev.join(med2, "et")
+      .select(col("et"), col("ng"),
+        abs(col("cents") * 2 - col("med2")).as("z"))
+    val grp = z.groupBy("et")
+      .agg(max(col("ng")).as("ng"), sum(col("z")).as("sz"),
+        sum(col("z") * col("z")).as("szz"))
+    val parts = grp
+      .withColumn("sq", col("sz").cast("decimal(19,0)") *
+        col("sz").cast("decimal(19,0)"))
+      .withColumn("bg", col("ng").cast("decimal(19,0)"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sz")).as("t"), sum(col("szz")).as("szz_all"),
+        sum(expr("CAST(sq div bg AS BIGINT)")).as("sum_q"),
+        sum((col("sq") % col("bg")).cast("double") /
+          col("bg").cast("double")).as("sum_r"))
+    val tD = col("t").cast("decimal(19,0)")
+    val withG = parts
+      .withColumn("t2", tD * tD)
+      .withColumn("nd", col("n").cast("decimal(19,0)"))
+      .withColumn("gq", expr("CAST(t2 div nd AS BIGINT)"))
+      .withColumn("gr", (col("t2") % col("nd")).cast("double") /
+        col("n").cast("double"))
+    val groupTerm = col("sum_q").cast("double") + col("sum_r")
+    val ssb = groupTerm - (col("gq").cast("double") + col("gr"))
+    val ssw = col("szz_all").cast("double") - groupTerm
+    withG.select(col("k"), col("n"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      M.oracleRound((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n") - col("k")).cast("double")), 4).as("f_bf"))
+  }
+
+  // q301: EWMA control chart over the daily event series — the
+  // monitoring companion to q292's retrospective CUSUM: a one-pass
+  // smoothed level with a per-day deviation alert, the dataset-
+  // freshness dashboard primitive. α = 1/2 makes every weight a power
+  // of two, so the 40-lag truncated EWMA is an EXACT INTEGER
+  // S_d = Σ_{j≤39} x_{d−j}·2^{39−j} (counts are integers), built by
+  // exploding each day's count onto its next 40 calendar days and
+  // re-aggregating — a constant 40× on a calendar-bounded micro-frame,
+  // no recursion, no window state. The alert gate is the
+  // division-free integer compare 4·|x·2⁴⁰ − S_prev| > S_prev
+  // (deviation > 25% of the previous observed day's level), so no
+  // float can flip a flag; ewma = S/2⁴⁰ is display-only.
+  def ewmaChart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val contrib = daily
+      .select(col("day"), col("x"), explode(sequence(lit(0), lit(39))).as("j"))
+      .select(expr("date_add(day, j)").as("day"),
+        (col("x") * expr("shiftleft(CAST(1 AS BIGINT), 39 - j)")).as("w"))
+      .groupBy("day").agg(sum(col("w")).as("sc"))
+    val w = Window.partitionBy(lit(0)).orderBy("day")
+    daily.join(contrib, "day")
+      .coalesce(1)
+      .withColumn("s_prev", lag(col("sc"), 1).over(w))
+      .select(col("day"), col("x"),
+        M.oracleRound(col("sc").cast("double") /
+          lit(1099511627776.0), 4).as("ewma"),
+        when(col("s_prev").isNull, lit(false))
+          .otherwise(abs(col("x") * lit(1099511627776L) - col("s_prev"))
+            * 4 > col("s_prev")).as("alert"))
+      .orderBy("day")
+  }
 }

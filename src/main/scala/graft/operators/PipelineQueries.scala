@@ -3849,4 +3849,49 @@ object PipelineQueries {
         M.oracleRound(sqrt(col("ss_d")), 4).as("l2_drift"))
       .orderBy("label")
   }
+  // q297: block-level exact dedup with document reassembly accounting —
+  // the CCNet/Dolma paragraph-dedup step expressed on this corpus's
+  // delimiter-free text as fixed 10-token blocks: a block occurrence
+  // survives iff it is the corpus-wide FIRST occurrence of that block
+  // (lexicographic (doc_id, pos) min), every later copy is dropped, and
+  // the per-source scorecard reports occurrence and TOKEN retention —
+  // the number a curation run actually budgets with. Scale shape: one
+  // block-hash-keyed aggregate for the first-occurrence table (the
+  // min(struct) combines map-side) + one block-keyed join back —
+  // the whole-doc q23 dedup never sees shared boilerplate inside
+  // otherwise-distinct documents; this does. Rides the shared
+  // [[tokenArrays]] stage; nothing is collected.
+  def blockDedup(s: SparkSession, dir: String): DataFrame = {
+    val blocks = tokenArrays(s, dir)
+      .filter(size(col("a")) > 0)
+      .select(col("doc_id"), col("source"), size(col("a")).as("nt"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(a)/10.0) as int) - 1)," +
+            " i -> array_join(slice(a, i*10+1, 10), ' '))"))
+          .as(Seq("pos", "blk")))
+      .withColumn("btoks", least(lit(10), col("nt") - col("pos") * 10))
+    val first = blocks.groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("blk"), col("f.doc_id").as("f_doc"),
+        col("f.pos").as("f_pos"))
+    blocks.join(first, "blk")
+      .withColumn("dup",
+        col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(col("btoks").cast("long")).as("toks_total"),
+        sum(when(col("dup"), col("btoks").cast("long")).otherwise(0L))
+          .as("toks_dropped"),
+        count_distinct(when(col("dup"), col("doc_id"))).as("n_docs_hit"))
+      .select(col("source"), col("n_blocks"), col("n_dup"),
+        M.oracleRound(col("n_dup").cast("double") / col("n_blocks"), 4)
+          .as("dup_rate"),
+        col("toks_total"), col("toks_dropped"),
+        M.oracleRound(lit(1.0) -
+          col("toks_dropped").cast("double") / col("toks_total"), 4)
+          .as("keep_rate"),
+        col("n_docs_hit"))
+      .orderBy("source")
+  }
 }
