@@ -332,6 +332,7 @@ object SparkEntry {
     "q299_wilcoxon_signed" -> (C.wilcoxonSigned _),
     "q300_levene_bf" -> (C.leveneBF _),
     "q301_ewma_chart" -> (C.ewmaChart _),
+    "q302_shot_boundary" -> (P.shotBoundary _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6747,6 +6748,65 @@ object SparkEntry {
         | CASE WHEN s_prev IS NULL THEN false
         |  ELSE abs(x * 1099511627776 - s_prev) * 4 > s_prev END AS alert
         |FROM j ORDER BY day""".stripMargin,
+    // Shot-boundary detection: the scene generator's md5 closed form
+    // re-derives pixels -> 4-dp frame means -> L1 distances -> the
+    // same threshold detections AND planted truth, entirely in SQL
+    "q302_shot_boundary" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |  CAST(4 + doc_id % 4 AS BIGINT) AS h,
+        |  CAST(12 + doc_id % 9 AS BIGINT) AS nf,
+        |  CAST(4 + doc_id % 3 AS BIGINT) AS sl
+        | FROM documents),
+        |g AS (SELECT doc_id, w, h, nf, sl,
+        |       w*3 + (4 - (w*3) % 4) % 4 AS stride FROM p),
+        |fr AS (SELECT doc_id, w, h, nf, sl, stride,
+        |        unnest(generate_series(0, nf - 1)) AS f FROM g),
+        |px0 AS (SELECT doc_id, w, h, nf, sl, stride, f,
+        |         unnest(generate_series(0, w*h - 1)) AS pix FROM fr),
+        |ch AS (SELECT doc_id, w, h, nf, sl, stride, f, pix,
+        |        unnest([0, 1, 2]) AS c FROM px0),
+        |px AS (
+        | SELECT doc_id, w, h, nf, sl, f, c,
+        |  CAST(('0x' || substr(md5('scene:' || doc_id || ':' ||
+        |    (f // sl) || ':' || c), 1, 8)) AS BIGINT) % 200
+        |  + CAST(('0x' || substr(md5('avin:' || doc_id || ':' || f || ':' ||
+        |      ((pix // w) * stride + (pix % w) * 3 + c)), 1, 8)) AS BIGINT)
+        |    % 24 AS v
+        | FROM ch),
+        |fm AS (
+        | SELECT doc_id, nf, sl, f,
+        |  round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+        |    / (max(w) * max(h)), 4) AS mb,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+        |    / (max(w) * max(h)), 4) AS mg,
+        |  round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+        |    / (max(w) * max(h)), 4) AS mr
+        | FROM px GROUP BY 1, 2, 3, 4),
+        |d AS (
+        | SELECT doc_id, nf, sl, f, mb, mg, mr,
+        |  lag(mb) OVER (PARTITION BY doc_id ORDER BY f) AS pb,
+        |  lag(mg) OVER (PARTITION BY doc_id ORDER BY f) AS pg,
+        |  lag(mr) OVER (PARTITION BY doc_id ORDER BY f) AS pr
+        | FROM fm),
+        |fl AS (
+        | SELECT doc_id, nf, sl, f,
+        |  (round(abs(mb - pb) + abs(mg - pg) + abs(mr - pr), 4) > 30.0)
+        |    AS det,
+        |  (f > 0 AND f % sl = 0) AS truth
+        | FROM d)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        | CAST(max(sl) AS BIGINT) AS shot_len,
+        | CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_true,
+        | CAST(count(*) FILTER (WHERE det) AS BIGINT) AS n_det,
+        | CAST(count(*) FILTER (WHERE det AND truth) AS BIGINT) AS n_hit,
+        | CASE WHEN count(*) FILTER (WHERE det) > 0 THEN
+        |  round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
+        |    / count(*) FILTER (WHERE det), 4) END AS prec,
+        | round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
+        |   / count(*) FILTER (WHERE truth), 4) AS recall
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private val q45OracleSql: String =

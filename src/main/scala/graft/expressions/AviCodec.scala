@@ -87,20 +87,50 @@ object AviDibBytes {
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  /** First 8 hex digits of md5(s) as an unsigned int, mod m — the
+    * `TextFunctions.md5Int(s, 8) % m` convention every pixel/sample
+    * closed form in this family uses. */
+  private[expressions] def md5Mod(s: String, m: Long): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % m
+  }
+
   /** md5-derived pixel byte — first 8 hex digits of
     * md5("avi:id:f:i") as an unsigned int, mod 256
     * (`TextFunctions.md5Int(s, 8) % 256`, the ppmBytes convention). */
-  private[expressions] def pixelByte(id: Long, f: Int, i: Int): Byte = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s"avi:$id:$f:$i".getBytes("UTF-8"))
-    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (v % 256L).toByte
+  private[expressions] def pixelByte(id: Long, f: Int, i: Int): Byte =
+    md5Mod(s"avi:$id:$f:$i", 256L).toByte
+
+  /** Scene-structured pixel byte for the shot-boundary gate
+    * ([[AviSceneBytes]]): frames partition into SHOTS of
+    * `shotLen = 4 + id % 3` frames; each (shot, channel) carries a
+    * stable md5 base in [0, 200) and every byte adds independent md5
+    * noise in [0, 24) — so within-shot frame means differ only by
+    * noise while cuts move the per-channel base. base + noise < 256,
+    * no wraparound, keeping the oracle closed form additive. */
+  private[expressions] def sceneByte(id: Long, f: Int, i: Int,
+      stride: Int): Byte = {
+    val shotLen = (4 + id % 3).toInt
+    val c = (i % stride) % 3
+    val base = md5Mod(s"scene:$id:${f / shotLen}:$c", 200L)
+    val noise = md5Mod(s"avin:$id:$f:$i", 24L)
+    (base + noise).toByte
   }
 
   /** Public + static-shaped so generated code can call it. */
-  def build(w: Int, h: Int, nf: Int, us: Int, id: Long): Array[Byte] = {
+  def build(w: Int, h: Int, nf: Int, us: Int, id: Long): Array[Byte] =
+    buildImpl(w, h, nf, us, id, scene = false)
+
+  /** [[AviSceneBytes]] variant: same container, [[sceneByte]] pixels. */
+  def buildScene(w: Int, h: Int, nf: Int, us: Int, id: Long): Array[Byte] =
+    buildImpl(w, h, nf, us, id, scene = true)
+
+  private def buildImpl(w: Int, h: Int, nf: Int, us: Int, id: Long,
+      scene: Boolean): Array[Byte] = {
     require(w > 0 && h > 0 && nf > 0 && us > 0,
       s"avi params out of range: ${w}x$h, $nf frames, $us us/frame")
     val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
@@ -138,20 +168,69 @@ object AviDibBytes {
     le(172, 40, 4); le(176, w, 4); le(180, h, 4)
     le(184, 1, 2); le(186, 24, 2); le(192, fs, 4) // biCompression 0 = BI_RGB
     ascii(212, "LIST"); le(216, moviSize, 4); ascii(220, "movi")
+    val shotLen = (4 + id % 3).toInt
     var f = 0
     while (f < nf) {
       val off = 224 + f * step
       ascii(off, "00db"); le(off + 4, fs, 4)
+      // scene path: the per-(shot, channel) base is constant across the
+      // frame — hoist its md5 out of the byte loop (bit-identical to
+      // calling sceneByte per byte, which the ShotBoundarySpec pins)
+      val bases = if (scene) Array.tabulate(3)(c =>
+        md5Mod(s"scene:$id:${f / shotLen}:$c", 200L)) else null
       var i = 0
       while (i < fs) {
         // DWORD row padding positions stay zero, as real writers emit
-        if (i % stride < w * 3) b(off + 8 + i) = pixelByte(id, f, i)
+        if (i % stride < w * 3) b(off + 8 + i) =
+          if (scene)
+            (bases((i % stride) % 3) + md5Mod(s"avin:$id:$f:$i", 24L)).toByte
+          else pixelByte(id, f, i)
         i += 1
       }
       f += 1
     }
     b
   }
+}
+
+/** [[AviDibBytes]] with SCENE-STRUCTURED pixel content — the planted
+  * ground truth for the shot-boundary gate (q302): identical canonical
+  * container and DIB raster contract, but pixels follow
+  * `AviDibBytes.sceneByte` (per-(shot, channel) md5 base in [0,200) +
+  * per-byte md5 noise in [0,24), shots of `4 + id % 3` frames), so
+  * frame-mean jumps mark the true cuts and both the bytes and the
+  * expected detection outcome have ANSI-SQL closed forms.
+  * [[AviFrameMeans]] decodes the output unchanged — the detector never
+  * sees the generator. */
+case class AviSceneBytes(w: Expression, h: Expression, nFrames: Expression,
+    usPerFrame: Expression, docId: Expression) extends QuinaryExpression {
+
+  override def children: Seq[Expression] =
+    Seq(w, h, nFrames, usPerFrame, docId)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(w, h, nFrames, usPerFrame).forall(_.dataType.isInstanceOf[IntegerType]) &&
+        docId.dataType.isInstanceOf[LongType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_avi_scene_bytes requires (int w, int h, int nFrames, " +
+        s"int usPerFrame, long docId), got ${children.map(_.dataType).mkString(", ")}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avi_scene_bytes"
+
+  override def nullSafeEval(wv: Any, hv: Any, nf: Any, us: Any,
+      id: Any): Any =
+    AviDibBytes.buildScene(wv.asInstanceOf[Int], hv.asInstanceOf[Int],
+      nf.asInstanceOf[Int], us.asInstanceOf[Int], id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (wv, hv, nf, us, id) =>
+      s"${ev.value} = graft.expressions.AviDibBytes.buildScene($wv, $hv, $nf, $us, $id);")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AviSceneBytes =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
+      newChildren(4))
 }
 
 case class AviFrameMeans(child: Expression) extends UnaryExpression {

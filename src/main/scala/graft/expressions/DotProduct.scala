@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gifDecodeDescriptor)
     ext.injectFunction(GraftExtensions.gifResizeDescriptor)
     ext.injectFunction(GraftExtensions.aviDibBytesDescriptor)
+    ext.injectFunction(GraftExtensions.aviSceneBytesDescriptor)
     ext.injectFunction(GraftExtensions.aviFrameMeansDescriptor)
     ext.injectFunction(GraftExtensions.aviRle8BytesDescriptor)
     ext.injectFunction(GraftExtensions.aviRle8FrameMeansDescriptor)
@@ -428,6 +429,19 @@ object GraftExtensions {
         require(children.length == 5,
           s"graft_avi_dib_bytes takes exactly 5 arguments, got ${children.length}")
         AviDibBytes(children(0), children(1), children(2), children(3),
+          children(4))
+      })
+
+  /** `graft_avi_scene_bytes(w, h, nFrames, usPerFrame, docId)` — the
+    * scene-structured AVI (shots of 4 + id % 3 frames, per-(shot,
+    * channel) md5 base + per-byte noise; see [[AviSceneBytes]]). */
+  val aviSceneBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_avi_scene_bytes"),
+      new ExpressionInfo(classOf[AviSceneBytes].getName, "graft_avi_scene_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"graft_avi_scene_bytes takes exactly 5 arguments, got ${children.length}")
+        AviSceneBytes(children(0), children(1), children(2), children(3),
           children(4))
       })
 

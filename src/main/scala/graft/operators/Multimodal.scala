@@ -539,6 +539,15 @@ object Multimodal {
     call_function("graft_avi_dib_bytes", width, height, nFrames,
       usPerFrame, docId)
 
+  /** [[aviBytesDib]] with scene-structured pixels (shots of
+    * `4 + docId % 3` frames) — the planted ground truth for the
+    * q302 shot-boundary detector. Native
+    * [[graft.expressions.AviSceneBytes]]. */
+  def aviBytesScene(width: Column, height: Column, nFrames: Column,
+      usPerFrame: Column, docId: Column): Column =
+    call_function("graft_avi_scene_bytes", width, height, nFrames,
+      usPerFrame, docId)
+
   /** Two-stream INTERLEAVED AVI: DIB video ('00db') alternating with
     * 16-bit mono PCM audio ('01wb') per frame interval — the capture-
     * file grammar with two `LIST strl` stream headers. Pixel bytes

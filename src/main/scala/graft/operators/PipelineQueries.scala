@@ -3894,4 +3894,69 @@ object PipelineQueries {
         col("n_docs_hit"))
       .orderBy("source")
   }
+  // q302: shot-boundary detection over scene-structured AVI video —
+  // the temporal-video-analysis member of the multimodal family
+  // (q140/q150/q288 verify frame CONTENT; this verifies a decision
+  // built ON the decoded frames): consecutive-frame L1 distance over
+  // the per-channel means, cut declared when the 4-dp-pinned distance
+  // exceeds 30.0, then per-doc precision/recall against the PLANTED
+  // cuts (shots of 4 + doc_id % 3 frames — the generator's closed
+  // form, so the oracle re-derives pixels, means, detections AND truth
+  // in ANSI SQL). The detector only sees [[Multimodal.aviBytesScene]]
+  // output through the real [[graft_avi_frames]] demux — generator and
+  // detector share no state. Scale shape: generate+decode is one
+  // codegen'd map pass; the exploded per-frame frame is
+  // localCheckpointed (the q140/q262 staging lesson — the window must
+  // never re-embed the generator), and the lag window partitions by
+  // doc_id, so no single-partition sort at any corpus size.
+  def shotBoundary(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = (pmod(col("doc_id"), lit(5)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(4)) + 4).cast("int")
+    val nf = (pmod(col("doc_id"), lit(9)) + 12).cast("int")
+    // documents.parquet is one split — without the round-robin spread
+    // the whole generate+decode md5 volume runs in ONE task (the q250
+    // block-join lesson); a 32-way shuffle of (doc_id) rows is free
+    val dec = Multimodal.withAviFrameMeans(
+        Tables.documents(s, dir).select(col("doc_id")).repartition(32)
+          .select(col("doc_id"),
+            Multimodal.aviBytesScene(w, h, nf, lit(33333).cast("int"),
+              col("doc_id")).as("__avi")),
+        "__avi", "__m")
+      // checkpoint BEFORE the explode: downstream reads __m.frames and
+      // __m.n_frames as separate expressions, and without the stage
+      // each re-embeds the full generate+decode per reference (the
+      // q262 hazard); the decoded struct is 4 doubles × ~16 frames
+      .select(col("doc_id"), col("__m")).localCheckpoint()
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(3)) + 4).cast("int").as("shot_len"),
+        col("__m.n_frames").as("n_frames"),
+        explode(col("__m.frames")).as("__f"))
+      .select(col("doc_id"), col("shot_len"), col("n_frames"),
+        col("__f.frame").as("frame"), col("__f.mean_b").as("mb"),
+        col("__f.mean_g").as("mg"), col("__f.mean_r").as("mr"))
+    val wnd = W.partitionBy(col("doc_id")).orderBy(col("frame"))
+    val scored = dec
+      .withColumn("dist", M.oracleRound(
+        abs(col("mb") - lag(col("mb"), 1).over(wnd)) +
+          abs(col("mg") - lag(col("mg"), 1).over(wnd)) +
+          abs(col("mr") - lag(col("mr"), 1).over(wnd)), 4))
+      .withColumn("det", col("dist") > 30.0)
+      .withColumn("truth",
+        col("frame") > 0 && pmod(col("frame"), col("shot_len")) === 0)
+    scored.groupBy("doc_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        max(col("shot_len")).as("shot_len"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("det"), 1L).otherwise(0L)).as("n_det"),
+        sum(when(col("det") && col("truth"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("doc_id"), col("n_frames"), col("shot_len"),
+        col("n_true"), col("n_det"), col("n_hit"),
+        when(col("n_det") > 0, M.oracleRound(
+          col("n_hit").cast("double") / col("n_det"), 4)).as("prec"),
+        M.oracleRound(col("n_hit").cast("double") / col("n_true"), 4)
+          .as("recall"))
+      .orderBy("doc_id")
+  }
 }
