@@ -333,6 +333,7 @@ object SparkEntry {
     "q300_levene_bf" -> (C.leveneBF _),
     "q301_ewma_chart" -> (C.ewmaChart _),
     "q302_shot_boundary" -> (P.shotBoundary _),
+    "q303_audio_onset" -> (P.audioOnset _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6806,6 +6807,48 @@ object SparkEntry {
         |    / count(*) FILTER (WHERE det), 4) END AS prec,
         | round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
         |   / count(*) FILTER (WHERE truth), 4) AS recall
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Audio onset: the loudness-segment generator's closed form
+    // (noise bits x md5 amp, floor-divided) -> integer frame loudness
+    // -> the same division-free jump detections AND planted truth
+    "q303_audio_onset" ->
+      """WITH p AS (
+        | SELECT doc_id, CAST((4 + doc_id % 5) * 1024 AS BIGINT) AS ns
+        | FROM documents),
+        |sj AS (
+        | SELECT doc_id, unnest(generate_series(0, ns - 1)) AS j FROM p),
+        |v AS (
+        | SELECT doc_id, j // 256 AS f,
+        |  abs((CAST(('0x' || substr(md5('pcm:' || doc_id || ':' || j),
+        |       1, 8)) AS BIGINT) % 65536)
+        |    * (8 + CAST(('0x' || substr(md5('amp:' || doc_id || ':' ||
+        |        (j // 1024)), 1, 8)) AS BIGINT) % 57) // 64
+        |   - 512 * (8 + CAST(('0x' || substr(md5('amp:' || doc_id || ':' ||
+        |        (j // 1024)), 1, 8)) AS BIGINT) % 57)) AS av
+        | FROM sj),
+        |e AS (SELECT doc_id, f, sum(av) AS e FROM v GROUP BY 1, 2),
+        |l AS (SELECT doc_id, f, e,
+        |       lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS ep
+        |      FROM e),
+        |fl AS (
+        | SELECT doc_id, f,
+        |  CASE WHEN ep IS NULL THEN false ELSE e * 2 > ep * 3 END AS det,
+        |  (f > 0 AND f % 4 = 0 AND
+        |   (8 + CAST(('0x' || substr(md5('amp:' || doc_id || ':' ||
+        |      (f // 4)), 1, 8)) AS BIGINT) % 57) * 2 >
+        |   (8 + CAST(('0x' || substr(md5('amp:' || doc_id || ':' ||
+        |      (f // 4 - 1)), 1, 8)) AS BIGINT) % 57) * 3) AS truth
+        | FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_true,
+        | CAST(count(*) FILTER (WHERE det) AS BIGINT) AS n_det,
+        | CAST(count(*) FILTER (WHERE det AND truth) AS BIGINT) AS n_hit,
+        | CASE WHEN count(*) FILTER (WHERE det) > 0 THEN
+        |  round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
+        |    / count(*) FILTER (WHERE det), 4) END AS prec,
+        | CASE WHEN count(*) FILTER (WHERE truth) > 0 THEN
+        |  round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
+        |    / count(*) FILTER (WHERE truth), 4) END AS recall
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 

@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.pcmSamplesDescriptor)
     ext.injectFunction(GraftExtensions.wavPcmBytesDescriptor)
+    ext.injectFunction(GraftExtensions.wavSegBytesDescriptor)
     ext.injectFunction(GraftExtensions.audioFpDescriptor)
     // §7.3(c): whole-operator strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -265,6 +266,18 @@ object GraftExtensions {
         require(children.length == 4,
           s"graft_wav_pcm_bytes takes exactly 4 arguments, got ${children.length}")
         WavPcmBytes(children(0), children(1), children(2), children(3))
+      })
+
+  /** `graft_wav_seg_bytes(rate, channels, nSamples, docId)` — the
+    * loudness-segment WAV (1024-sample segments, md5 amplitudes; see
+    * [[WavSegBytes]]). */
+  val wavSegBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_wav_seg_bytes"),
+      new ExpressionInfo(classOf[WavSegBytes].getName, "graft_wav_seg_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"graft_wav_seg_bytes takes exactly 4 arguments, got ${children.length}")
+        WavSegBytes(children(0), children(1), children(2), children(3))
       })
 
   /** `graft_audio_fp(wav_binary, frameLen)` — envelope+zero-crossing

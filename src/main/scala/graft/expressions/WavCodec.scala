@@ -94,6 +94,85 @@ object WavPcmBytes {
   }
 }
 
+/** [[WavPcmBytes]] with LOUDNESS-SEGMENT-structured samples — the
+  * planted ground truth for the audio onset gate (q303, the audio twin
+  * of q302's video scene generator): samples partition into segments
+  * of 1024 (4 analysis frames of 256); segment `g` carries a stable
+  * md5 amplitude `amp = 8 + md5("amp:<id>:<g>") % 57` and each sample
+  * scales the [[WavPcmBytes.sampleBits]] noise by it —
+  * `value = (bits·amp) div 64 − 512·amp` (floor division on
+  * NON-NEGATIVE integers, so the SQL `//` restatement is exact) — so
+  * frame-energy jumps mark the true onsets and both the bytes and the
+  * expected detection outcome have ANSI-SQL closed forms.
+  * [[PcmSamples]] decodes the output unchanged. */
+case class WavSegBytes(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType.isInstanceOf[IntegerType]) &&
+        fourth.dataType.isInstanceOf[LongType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_wav_seg_bytes requires (int rate, int channels, " +
+        "int nSamples, long docId), got " +
+        Seq(first, second, third, fourth).map(_.dataType).mkString(", "))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wav_seg_bytes"
+
+  override def nullSafeEval(r: Any, c: Any, n: Any, id: Any): Any =
+    WavSegBytes.build(r.asInstanceOf[Int], c.asInstanceOf[Int],
+      n.asInstanceOf[Int], id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c, n, id) =>
+      s"${ev.value} = graft.expressions.WavSegBytes.build($r, $c, $n, $id);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): WavSegBytes =
+    copy(f, s, t, q)
+}
+
+object WavSegBytes {
+  val SegSamples = 1024
+
+  /** md5-derived segment amplitude in [8, 64]. */
+  def ampFor(id: Long, seg: Int): Int =
+    (8 + AviDibBytes.md5Mod(s"amp:$id:$seg", 57L)).toInt
+
+  /** The signed sample value at flat index j — the closed form the
+    * oracle restates: floor-scaled non-negative bits, then centered. */
+  def sampleValue(id: Long, j: Int): Int = {
+    val amp = ampFor(id, j / SegSamples)
+    WavPcmBytes.sampleBits(id, j) * amp / 64 - 512 * amp
+  }
+
+  /** Canonical 16-bit PCM WAV with segment-scaled samples. Public +
+    * static-shaped for codegen. */
+  def build(rate: Int, channels: Int, nSamples: Int, id: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val nVals = nSamples * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + nVals * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(dataSize + 36)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    var amp = 0
+    while (j < nVals) {
+      if (j % SegSamples == 0) amp = ampFor(id, j / SegSamples)
+      buf.putShort((WavPcmBytes.sampleBits(id, j) * amp / 64 - 512 * amp).toShort)
+      j += 1
+    }
+    buf.array()
+  }
+}
+
 /** See [[WavPcmBytes]] scaladoc. `frameLen` must be a foldable literal
   * (it parameterizes the loop); NULL for inputs shorter than two full
   * frames (no transition exists — the composed form's empty-sum would

@@ -3959,4 +3959,59 @@ object PipelineQueries {
           .as("recall"))
       .orderBy("doc_id")
   }
+  // q303: audio onset detection over loudness-segment WAV — the AUDIO
+  // twin of q302's video shot-boundary gate (temporal analysis on a
+  // decoded signal, not just content verification): samples come from
+  // [[Multimodal]]'s new graft_wav_seg_bytes generator (1024-sample
+  // segments, md5 amplitudes in [8,64], noise × amp — every value an
+  // exact integer with an ANSI-SQL closed form), decode is the real
+  // graft_pcm_samples LE16 walk, frame loudness is the INTEGER
+  // Σ|sample| over 256-sample frames, and an onset fires on the
+  // division-free jump test 2·e_f > 3·e_prev (energy up ≥1.5×).
+  // Truth = the same test on the planted segment amplitudes at
+  // segment-start frames; per-doc precision/recall close the loop.
+  // Staging per the q302 lesson: repartition(32) spreads the one-split
+  // scan's md5 volume, and the per-frame energies localCheckpoint
+  // BEFORE the explode so no reference re-embeds generate+decode.
+  def audioOnset(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ns = ((pmod(col("doc_id"), lit(5)) + 4) * 1024).cast("int")
+    val frames = Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(32)
+      .select(col("doc_id"),
+        call_function("graft_pcm_samples",
+          call_function("graft_wav_seg_bytes", lit(8000), lit(1), ns,
+            col("doc_id"))).as("sm"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(sm) div 256 - 1)," +
+          " f -> aggregate(slice(sm, f*256+1, 256), 0L," +
+          " (a, x) -> a + abs(x)))").as("en"))
+      .localCheckpoint()
+    val wnd = W.partitionBy("doc_id").orderBy("frame")
+    def amp(seg: Column): Column =
+      pmod(T.md5Int(concat(lit("amp:"), col("doc_id").cast("string"),
+        lit(":"), seg.cast("string")), 8), lit(57)) + 8
+    val scored = frames
+      .select(col("doc_id"), posexplode(col("en")).as(Seq("frame", "e")))
+      .withColumn("e_prev", lag(col("e"), 1).over(wnd))
+      .withColumn("det",
+        when(col("e_prev").isNull, lit(false))
+          .otherwise(col("e") * 2 > col("e_prev") * 3))
+      .withColumn("truth",
+        col("frame") > 0 && pmod(col("frame"), lit(4)) === 0 &&
+          amp(expr("frame div 4")) * 2 > amp(expr("frame div 4 - 1")) * 3)
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("det"), 1L).otherwise(0L)).as("n_det"),
+        sum(when(col("det") && col("truth"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("doc_id"), col("n_frames"), col("n_true"),
+        col("n_det"), col("n_hit"),
+        when(col("n_det") > 0, M.oracleRound(
+          col("n_hit").cast("double") / col("n_det"), 4)).as("prec"),
+        when(col("n_true") > 0, M.oracleRound(
+          col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
+      .orderBy("doc_id")
+  }
 }
