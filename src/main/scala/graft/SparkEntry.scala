@@ -334,6 +334,7 @@ object SparkEntry {
     "q301_ewma_chart" -> (C.ewmaChart _),
     "q302_shot_boundary" -> (P.shotBoundary _),
     "q303_audio_onset" -> (P.audioOnset _),
+    "q304_mmr_select" -> (P.mmrSelect _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -6850,6 +6851,92 @@ object SparkEntry {
         |  round(CAST(count(*) FILTER (WHERE det AND truth) AS DOUBLE)
         |    / count(*) FILTER (WHERE truth), 4) END AS recall
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MMR diversified top-5: pinned-cosine candidates, four unrolled
+    // greedy rounds (argmax rel - maxsim, vec_id tiebreak)
+    "q304_mmr_select" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 9 = 0),
+        |sc AS (
+        | SELECT q.qid, c.vec_id AS cid, c.e AS ce,
+        |  round(list_inner_product(q.qe, c.e) /
+        |   (sqrt(list_inner_product(q.qe, q.qe)) *
+        |    sqrt(list_inner_product(c.e, c.e))), 4) AS rel
+        | FROM q JOIN e c ON c.vec_id <> q.qid),
+        |cand AS (
+        | SELECT * FROM (
+        |  SELECT qid, cid, ce, rel,
+        |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid)
+        |    AS rnk
+        |  FROM sc) t WHERE rnk <= 12),
+        |sims AS (
+        | SELECT a.qid, a.cid AS a, b.cid AS b,
+        |  round(list_inner_product(a.ce, b.ce) /
+        |   (sqrt(list_inner_product(a.ce, a.ce)) *
+        |    sqrt(list_inner_product(b.ce, b.ce))), 4) AS sim
+        | FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+        |s1 AS (SELECT qid, cid, 1 AS pick, rel AS gain FROM cand
+        |       WHERE rnk = 1),
+        |m2 AS (
+        | SELECT s.qid, s.a AS cid, max(s.sim) AS maxsim
+        | FROM sims s JOIN s1 p ON p.qid = s.qid AND p.cid = s.b
+        | GROUP BY 1, 2),
+        |p2 AS (
+        | SELECT qid, cid, 2 AS pick, gain FROM (
+        |  SELECT m.qid, m.cid, c.rel - m.maxsim AS gain,
+        |   row_number() OVER (PARTITION BY m.qid
+        |     ORDER BY c.rel - m.maxsim DESC, m.cid) AS rn
+        |  FROM m2 m
+        |  JOIN cand c ON c.qid = m.qid AND c.cid = m.cid
+        |  LEFT JOIN s1 x ON x.qid = m.qid AND x.cid = m.cid
+        |  WHERE x.cid IS NULL) t WHERE rn = 1),
+        |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+        |m3 AS (
+        | SELECT s.qid, s.a AS cid, max(s.sim) AS maxsim
+        | FROM sims s JOIN s2 p ON p.qid = s.qid AND p.cid = s.b
+        | GROUP BY 1, 2),
+        |p3 AS (
+        | SELECT qid, cid, 3 AS pick, gain FROM (
+        |  SELECT m.qid, m.cid, c.rel - m.maxsim AS gain,
+        |   row_number() OVER (PARTITION BY m.qid
+        |     ORDER BY c.rel - m.maxsim DESC, m.cid) AS rn
+        |  FROM m3 m
+        |  JOIN cand c ON c.qid = m.qid AND c.cid = m.cid
+        |  LEFT JOIN s2 x ON x.qid = m.qid AND x.cid = m.cid
+        |  WHERE x.cid IS NULL) t WHERE rn = 1),
+        |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+        |m4 AS (
+        | SELECT s.qid, s.a AS cid, max(s.sim) AS maxsim
+        | FROM sims s JOIN s3 p ON p.qid = s.qid AND p.cid = s.b
+        | GROUP BY 1, 2),
+        |p4 AS (
+        | SELECT qid, cid, 4 AS pick, gain FROM (
+        |  SELECT m.qid, m.cid, c.rel - m.maxsim AS gain,
+        |   row_number() OVER (PARTITION BY m.qid
+        |     ORDER BY c.rel - m.maxsim DESC, m.cid) AS rn
+        |  FROM m4 m
+        |  JOIN cand c ON c.qid = m.qid AND c.cid = m.cid
+        |  LEFT JOIN s3 x ON x.qid = m.qid AND x.cid = m.cid
+        |  WHERE x.cid IS NULL) t WHERE rn = 1),
+        |s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4),
+        |m5 AS (
+        | SELECT s.qid, s.a AS cid, max(s.sim) AS maxsim
+        | FROM sims s JOIN s4 p ON p.qid = s.qid AND p.cid = s.b
+        | GROUP BY 1, 2),
+        |p5 AS (
+        | SELECT qid, cid, 5 AS pick, gain FROM (
+        |  SELECT m.qid, m.cid, c.rel - m.maxsim AS gain,
+        |   row_number() OVER (PARTITION BY m.qid
+        |     ORDER BY c.rel - m.maxsim DESC, m.cid) AS rn
+        |  FROM m5 m
+        |  JOIN cand c ON c.qid = m.qid AND c.cid = m.cid
+        |  LEFT JOIN s4 x ON x.qid = m.qid AND x.cid = m.cid
+        |  WHERE x.cid IS NULL) t WHERE rn = 1),
+        |s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM p5),
+        |f AS (SELECT * FROM s5)
+        |SELECT f.qid, f.pick, f.cid, c.rel, round(f.gain, 4) AS gain
+        |FROM f JOIN cand c ON c.qid = f.qid AND c.cid = f.cid
+        |ORDER BY f.qid, f.pick""".stripMargin,
   )
 
   private val q45OracleSql: String =

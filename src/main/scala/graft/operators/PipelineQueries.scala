@@ -4014,4 +4014,73 @@ object PipelineQueries {
           col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
       .orderBy("doc_id")
   }
+  // q304: MMR (maximal-marginal-relevance) diversified top-5 retrieval
+  // — the result-diversification step a RAG serving stack runs between
+  // ANN and the prompt (Carbonell–Goldstein '98): greedily pick the
+  // candidate maximizing rel − max-sim-to-already-picked (λ = 0.5, for
+  // which the argmax is exactly argmax(rel − maxsim)). Determinism
+  // contract: rel and pairwise sims are 4-dp-pinned cosines, so every
+  // round's score is an exact multiple of 1e-4 and ties break on
+  // vec_id — no float fold can flip a pick on either engine. Scale
+  // shape: ONE sample × corpus scan builds the pinned top-12 candidate
+  // frame (q28's ranking convention), localCheckpointed so the four
+  // unrolled selection rounds and the pairwise-sim join replay a
+  // queries×12 micro-frame, never the corpus; pairwise sims are 12×11
+  // per query — bounded by the candidate cap, never corpus².
+  def mmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        _.cast("double")).as("e"))
+    def cosine(a: Column, b: Column): Column = M.oracleRound(
+      call_function("graft_dot", a, b) /
+        (sqrt(call_function("graft_dot", a, a)) *
+          sqrt(call_function("graft_dot", b, b))), 4)
+    val q = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      .toDF("qid", "qe")
+    val cand = q.crossJoin(emb.toDF("cid", "ce"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("ce"),
+        cosine(col("qe"), col("ce")).as("rel"))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("qid").orderBy(col("rel").desc, col("cid"))))
+      .filter(col("rnk") <= 12)
+      .localCheckpoint()
+    val sims = cand.select(col("qid"), col("cid").as("a"), col("ce").as("ea"))
+      .join(cand.select(col("qid"), col("cid").as("b"), col("ce").as("eb")),
+        "qid")
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      // one queries×12×11 micro-frame, read by all four rounds
+      .localCheckpoint()
+    val rel = cand.select(col("qid"), col("cid"), col("rel"))
+    var sel = cand.filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"), lit(1).as("pick"),
+        col("rel").as("gain"))
+    for (k <- 2 to 5) {
+      // each round references the running selection twice (max-sim
+      // probe + anti-join) and the next round references THIS round's
+      // output again — without the per-round stage the lineage replays
+      // exponentially (measured 3.7 s at sf0.01 for ~200 rows)
+      sel = sel.localCheckpoint()
+      val picked = sel.select(col("qid"), col("cid"))
+      val ms = sims
+        .join(picked.toDF("qid", "b"), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("cid"))
+        .agg(max(col("sim")).as("maxsim"))
+        .join(picked, Seq("qid", "cid"), "left_anti")
+        .join(rel, Seq("qid", "cid"))
+        .withColumn("rn", row_number().over(w.partitionBy("qid")
+          .orderBy((col("rel") - col("maxsim")).desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(k).as("pick"),
+          (col("rel") - col("maxsim")).as("gain"))
+      sel = sel.unionByName(ms)
+    }
+    sel.join(rel, Seq("qid", "cid"))
+      .select(col("qid"), col("pick"), col("cid"),
+        col("rel"), M.oracleRound(col("gain"), 4).as("gain"))
+      .orderBy("qid", "pick")
+  }
 }
