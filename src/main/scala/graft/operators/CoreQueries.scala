@@ -3147,10 +3147,19 @@ object CoreQueries {
   // division-free integer compare 4·|x·2⁴⁰ − S_prev| > S_prev
   // (deviation > 25% of the previous observed day's level), so no
   // float can flip a flag; ewma = S/2⁴⁰ is display-only.
-  def ewmaChart(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def ewmaChart(s: SparkSession, dir: String): DataFrame =
+    ewmaFromDaily(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The q301 detector over an ALREADY-MAINTAINED `(day, x)` daily
+    * frame — the shared batch/streaming split (the
+    * [[meanShiftFromDaily]] contract): batch q301 feeds it the one
+    * map-side-combined daily aggregate, the streaming twin feeds it
+    * [[graft.streaming.EventStreams.dailyCountStream]]'s watermark-
+    * maintained table, and the parity spec pins identical output. */
+  def ewmaFromDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn.select(col("day"), col("x").cast("long").as("x"))
     val contrib = daily
       .select(col("day"), col("x"), explode(sequence(lit(0), lit(39))).as("j"))
       .select(expr("date_add(day, j)").as("day"),

@@ -85,6 +85,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily counts feed the shared EWMA chart; planted jump alerts") {
+    implicit val sql = spark.sqlContext
+    // flat 20/day, then a 3x jump on day 21 — above the 25% EWMA
+    // deviation gate; disorder across batches as in the mean-shift test
+    def ev(day: Int, i: Int) = KeyedEvent(i.toLong, i.toLong,
+      Timestamp.valueOf(f"2024-01-$day%02d 0${i % 9 + 1}:15:00"))
+    val events = (1 to 28).flatMap { d =>
+      val n = if (d >= 21) 60 else 20
+      (0 until n).map(i => ev(d, i))
+    }
+    val input = MemoryStream[KeyedEvent]
+    val q = EventStreams.dailyCountStream(input.toDF(), watermark = "40 days")
+      .writeStream.format("memory").queryName("dailyewma")
+      .outputMode("complete").start()
+    try {
+      scala.util.Random.shuffle(events.toVector).grouped(89).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val streamDaily = spark.table("dailyewma")
+      val flags = graft.operators.CoreQueries.ewmaFromDaily(streamDaily)
+        .select("day", "alert").as[(java.sql.Date, Boolean)].collect()
+      val alerted = flags.filter(_._2).map(_._1.toLocalDate.getDayOfMonth)
+      // warm-up days alert while the truncated EWMA fills (documented
+      // contract) and the day after the jump may trail; the invariant
+      // is: the jump day fires, and the settled flat stretch never does
+      assert(alerted.contains(21), s"jump day must alert, got ${alerted.toSeq}")
+      assert(alerted.forall(d => d <= 4 || d >= 21),
+        s"no alerts in the settled flat stretch, got ${alerted.toSeq}")
+      // parity: the same detector over the batch daily frame
+      val batchDaily = events.toDF()
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val detBatch = graft.operators.CoreQueries.ewmaFromDaily(batchDaily)
+        .select("day", "alert").as[(java.sql.Date, Boolean)].collect().toSet
+      assert(flags.toSet == detBatch, "EWMA parity stream vs batch frame")
+    } finally q.stop()
+  }
+
   test("streaming KMV windowed distinct matches the batch sketch under disorder, k-long state") {
     implicit val sql = spark.sqlContext
     import graft.functions.{TextFunctions => T}
