@@ -335,6 +335,7 @@ object SparkEntry {
     "q302_shot_boundary" -> (P.shotBoundary _),
     "q303_audio_onset" -> (P.audioOnset _),
     "q304_mmr_select" -> (P.mmrSelect _),
+    "q305_modularity" -> (C.modularityQuery _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2618,6 +2619,31 @@ object SparkEntry {
     // fixpoint hash-for-hash.
     "q73_pagerank" -> pageRankOracle(iters = 3),
     "q93_label_prop" -> lpaOracle(iters = 2),
+    // Newman modularity over the same LPA fixpoint: integer
+    // Q*4m^2 = sum(2m*intra2 - dc^2) on the labeled directed edges
+    "q305_modularity" -> lpaOracleWithTail(2,
+      """,
+        |lab AS (SELECT node, label FROM l2),
+        |el AS (
+        | SELECT ls.label AS sl, ld.label AS dl
+        | FROM e JOIN lab ls ON ls.node = e.src
+        | JOIN lab ld ON ld.node = e.dst),
+        |m AS (SELECT count(*) // 2 AS m FROM el),
+        |g AS (
+        | SELECT sl AS label, count(*) AS dc,
+        |  sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS intra2
+        | FROM el GROUP BY 1),
+        |sz AS (SELECT label, count(*) AS nc FROM lab GROUP BY 1),
+        |tp AS (SELECT count(*) AS n_comm, sum(nc) AS n_nodes,
+        |        max(nc) AS top_nodes FROM sz),
+        |sq AS (SELECT sum(2 * m.m * intra2 - dc * dc) AS s,
+        |        max(m.m) AS m FROM g, m)
+        |SELECT CAST(n_comm AS BIGINT) AS n_comm,
+        | CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(m AS BIGINT) AS m_edges,
+        | round(CAST(s AS DOUBLE) / (4.0 * m * m), 4) AS modularity,
+        | round(CAST(top_nodes AS DOUBLE) / n_nodes, 4) AS top_share
+        |FROM sq, tp""".stripMargin),
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).
@@ -7106,7 +7132,12 @@ object SparkEntry {
     * count/top-1/relabel CTE triple per iteration over the q92-sampled
     * symmetrized part<->supplier graph. Pure integer labels: no
     * rounding pins anywhere (unlike q73's rank re-rounding). */
-  private def lpaOracle(iters: Int): String = {
+  private def lpaOracle(iters: Int): String =
+    lpaOracleWithTail(iters, s"SELECT node, label FROM l$iters ORDER BY node")
+
+  /** The q93 LPA CTE chain with a caller-supplied final clause — lets
+    * q305's modularity oracle reuse the exact label fixpoint. */
+  private def lpaOracleWithTail(iters: Int, tail: String): String = {
     val iterCtes = (1 to iters).map { k =>
       val j = k - 1
       s"""c$k AS (
@@ -7130,7 +7161,7 @@ object SparkEntry {
        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
        |l0 AS (SELECT node, node AS label FROM nodes),
        |$iterCtes
-       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+       |$tail""".stripMargin
   }
 
   /** q201's oracle: greedy k-center unrolled into chained CTEs — p_t

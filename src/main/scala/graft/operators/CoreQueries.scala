@@ -3177,4 +3177,46 @@ object CoreQueries {
             * 4 > col("s_prev")).as("alert"))
       .orderBy("day")
   }
+  // q305: Newman modularity of the q93 LPA communities — the
+  // community-quality readout the graph family lacked (q93 assigns
+  // labels, q238/q92 measure local structure; nothing said whether the
+  // partition is GOOD). Q = Σ_c [e_c/m − (d_c/2m)²] computed
+  // INTEGER-EXACT as Q·4m² = Σ_c (2m·intra2_c − d_c²) over the
+  // directed edge-label frame (intra2 = 2e_c, d_c = directed degree
+  // sum — one keyed aggregate on the labeled edges), so the one
+  // corpus-sized fold is a long sum and the final division is a single
+  // double op. Same fixed-iteration LPA stage as q93 (checkpointed
+  // rounds inside GraphOps); everything after it is label-keyed.
+  def modularityQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    val lab = GraphOps.labelPropagation(edges, iters = 2,
+      assumeDistinct = true)
+    val el = edges
+      .join(lab.toDF("src", "sl"), "src")
+      .join(lab.toDF("dst", "dl"), "dst")
+    val mrow = pairs.agg(count(lit(1)).as("m"))
+    val g = el.groupBy(col("sl").as("label"))
+      .agg(count(lit(1)).as("dc"),
+        sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("intra2"))
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("nc"))
+    val tops = sizes.agg(count(lit(1)).as("n_comm"),
+      sum(col("nc")).as("n_nodes"), max(col("nc")).as("top_nodes"))
+    g.crossJoin(broadcast(mrow))
+      .agg(sum(lit(2) * col("m") * col("intra2") -
+          col("dc") * col("dc")).as("s"),
+        max(col("m")).as("m"))
+      .crossJoin(broadcast(tops))
+      .select(col("n_comm"), col("n_nodes"), col("m").as("m_edges"),
+        M.oracleRound(col("s").cast("double") /
+          (lit(4.0) * col("m") * col("m")), 4).as("modularity"),
+        M.oracleRound(col("top_nodes").cast("double") / col("n_nodes"), 4)
+          .as("top_share"))
+  }
 }
