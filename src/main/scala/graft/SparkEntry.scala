@@ -336,6 +336,8 @@ object SparkEntry {
     "q303_audio_onset" -> (P.audioOnset _),
     "q304_mmr_select" -> (P.mmrSelect _),
     "q305_modularity" -> (C.modularityQuery _),
+    "q306_cochran_armitage" -> (C.cochranArmitage _),
+    "q307_hubness" -> (P.hubnessAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2644,6 +2646,71 @@ object SparkEntry {
         | round(CAST(s AS DOUBLE) / (4.0 * m * m), 4) AS modularity,
         | round(CAST(top_nodes AS DOUBLE) / n_nodes, 4) AS top_share
         |FROM sq, tp""".stripMargin),
+    // Cochran-Armitage: integer cross-product trend numerator,
+    // z from five integer sums, weekday weights (DuckDB dayofweek
+    // 0=Sunday..6 == Spark dayofweek-1)
+    "q306_cochran_armitage" ->
+      """WITH g AS (
+        | SELECT dayofweek(ts) AS w, count(*) AS n_i,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r_i
+        | FROM events WHERE event_type IN ('purchase', 'view')
+        | GROUP BY 1),
+        |t AS (SELECT count(*) AS k, sum(n_i) AS n, sum(r_i) AS r,
+        |       sum(w * r_i) AS swr, sum(w * n_i) AS swn,
+        |       sum(w * w * n_i) AS swwn FROM g),
+        |z0 AS (
+        | SELECT k, n, r,
+        |  CAST(n * swr - r * swn AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+        |   / sqrt(CAST(r AS DOUBLE) * (n - r)
+        |      * CAST(n * swwn - swn * swn AS DOUBLE)) AS z
+        | FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        | CAST(r AS BIGINT) AS r,
+        | round(z, 4) AS z, round(z * z, 4) AS chi2_trend
+        |FROM z0""".stripMargin,
+    // Hubness: in-degree of every corpus point over the sample's
+    // exact-cosine top-5 lists, zero-degree points included; moment
+    // skewness from exact integer power sums (m2*sqrt(m2), no pow)
+    "q307_hubness" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 3 = 0),
+        |sc AS (
+        | SELECT q.qid, c.vec_id AS cid,
+        |  list_inner_product(q.qe, c.e) /
+        |   (sqrt(list_inner_product(q.qe, q.qe)) *
+        |    sqrt(list_inner_product(c.e, c.e))) AS cos
+        | FROM q JOIN e c ON c.vec_id <> q.qid),
+        |t5 AS (SELECT qid, cid FROM (
+        |        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, cid) AS rnk FROM sc) x
+        |       WHERE rnk <= 5),
+        |ind AS (
+        | SELECT e.vec_id, coalesce(d.d, 0) AS d
+        | FROM e LEFT JOIN (SELECT cid AS vec_id, count(*) AS d
+        |                   FROM t5 GROUP BY 1) d USING (vec_id)),
+        |nq AS (SELECT count(*) AS n_queries FROM q),
+        |tp AS (SELECT sum(d) AS top10 FROM (
+        |        SELECT d FROM ind ORDER BY d DESC, vec_id LIMIT 10) y),
+        |m AS (SELECT count(*) AS n, sum(d) AS s1, sum(d * d) AS s2,
+        |       sum(d * d * d) AS s3, max(d) AS max_indeg,
+        |       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_reached
+        |      FROM ind)
+        |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+        | CAST(n AS BIGINT) AS n_points,
+        | CAST(n_reached AS BIGINT) AS n_reached,
+        | CAST(max_indeg AS BIGINT) AS max_indeg,
+        | round((CAST(s3 AS DOUBLE) / n
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
+        |    + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n))
+        |  / ((CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    * sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+        |  4) AS skew,
+        | round(CAST(top10 AS DOUBLE) / (n_queries * 5), 4) AS top10_share
+        |FROM m, nq, tp""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

@@ -3219,4 +3219,35 @@ object CoreQueries {
         M.oracleRound(col("top_nodes").cast("double") / col("n_nodes"), 4)
           .as("top_share"))
   }
+  // q306: Cochran–Armitage trend test — purchase share across the
+  // ORDERED day-of-week groups (the "is conversion drifting across
+  // the week?" dose-response question a χ² independence test wastes
+  // power on by ignoring the ordering). Scores w_i = weekday index;
+  // the trend numerator is the exact integer cross-product
+  // N·Σw·r − R·Σw·n, and z = NUM·√N / √(R·(N−R)·(N·Σnw² − (Σnw)²))
+  // is single-value double arithmetic from five integer sums — one
+  // map-side-combined aggregate over the event stream, a 7-row group
+  // frame, no windows.
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("r_i"))
+      .withColumn("w", (col("dow") - 1).cast("long"))
+    val t = g.agg(count(lit(1)).as("k"),
+      sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(col("w") * col("r_i")).as("swr"),
+      sum(col("w") * col("n_i")).as("swn"),
+      sum(col("w") * col("w") * col("n_i")).as("swwn"))
+    val num = (col("n") * col("swr") - col("r") * col("swn"))
+      .cast("double")
+    val den = sqrt(col("r").cast("double") * (col("n") - col("r")) *
+      (col("n") * col("swwn") - col("swn") * col("swn")).cast("double"))
+    val z = num * sqrt(col("n").cast("double")) / den
+    t.select(col("k"), col("n"), col("r"),
+      M.oracleRound(z, 4).as("z"),
+      M.oracleRound(z * z, 4).as("chi2_trend"))
+  }
 }

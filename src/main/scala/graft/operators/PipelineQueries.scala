@@ -4083,4 +4083,55 @@ object PipelineQueries {
         col("rel"), M.oracleRound(col("gain"), 4).as("gain"))
       .orderBy("qid", "pick")
   }
+  // q307: kNN hubness audit — the high-dimensional pathology check an
+  // ANN deployment runs before trusting recall numbers (Radovanović
+  // et al. JMLR'10): a few "hub" points appear in everyone's top-k and
+  // poison retrieval diversity. In-degree of each corpus point over
+  // the top-5 lists of a modulus query sample (q28's exact-cosine
+  // ranking convention, vec_id tiebreak), zero-in-degree points
+  // INCLUDED via the corpus left join (dropping them fakes the skew
+  // down); moment skewness from the three exact-integer power sums,
+  // top-10 hub mass over the exact k·|queries| total. Sample × corpus
+  // bounded; the top-10 is a global TakeOrdered, never a full sort.
+  def hubnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        _.cast("double")).as("e"))
+    val q = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .toDF("qid", "qe")
+    val top5 = q.crossJoin(emb.toDF("cid", "ce"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (call_function("graft_dot", col("qe"), col("ce")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("ce"), col("ce")))))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rnk") <= 5)
+    val indeg = emb.select(col("vec_id"))
+      .join(top5.groupBy(col("cid").as("vec_id"))
+        .agg(count(lit(1)).as("d")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("d"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    val top10 = indeg.orderBy(col("d").desc, col("vec_id")).limit(10)
+      .agg(sum(col("d")).as("top10"))
+    val mom = indeg.agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+      sum(col("d") * col("d")).as("s2"),
+      sum(col("d") * col("d") * col("d")).as("s3"),
+      max(col("d")).as("max_indeg"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * col("s2").cast("double") / nD + lit(2.0) * mu * mu * mu
+    mom.crossJoin(broadcast(nq)).crossJoin(broadcast(top10))
+      .select(col("n_queries"), col("n").as("n_points"),
+        col("n_reached"), col("max_indeg"),
+        M.oracleRound(m3 / (m2 * sqrt(m2)), 4).as("skew"),
+        M.oracleRound(col("top10").cast("double") /
+          (col("n_queries") * 5), 4).as("top10_share"))
+  }
 }
