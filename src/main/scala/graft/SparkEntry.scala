@@ -338,6 +338,8 @@ object SparkEntry {
     "q305_modularity" -> (C.modularityQuery _),
     "q306_cochran_armitage" -> (C.cochranArmitage _),
     "q307_hubness" -> (P.hubnessAudit _),
+    "q308_ivm_agg" -> (C.ivmAggOrders _),
+    "q309_compaction_plan" -> (C.compactionPlan _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2711,6 +2713,40 @@ object SparkEntry {
         |  4) AS skew,
         | round(CAST(top10 AS DOUBLE) / (n_queries * 5), 4) AS top10_share
         |FROM m, nq, tp""".stripMargin,
+    // IVM theorem as the gate: the oracle RE-AGGREGATES the merged
+    // snapshot from scratch; the engine only ever applies deltas
+    "q308_ivm_agg" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        | FROM orders),
+        |merged AS (
+        | SELECT k, CASE WHEN k % 37 = 0 THEN 'U' ELSE st END AS st,
+        |  CASE WHEN k % 37 = 0 THEN c + 1000 ELSE c END AS c
+        | FROM base WHERE k % 41 <> 0
+        | UNION ALL
+        | SELECT k + 10000000, st, c FROM base WHERE k % 43 = 0)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(c) AS BIGINT) AS total_cents,
+        | round(CAST(sum(c) AS DOUBLE) / 100, 2) AS total_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compaction plan: contiguous cumsum bucketing, out = cum_before
+    // div 20000 over the doc_id-ordered manifest
+    "q309_compaction_plan" ->
+      """WITH f AS (
+        | SELECT doc_id AS v, CAST(n_chars AS BIGINT) AS cnt
+        | FROM documents),
+        |c AS (
+        | SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM f),
+        |a AS (
+        | SELECT v, cnt, (cum - cnt) // 20000 AS out_file FROM c)
+        |SELECT CAST(out_file AS BIGINT) AS out_file,
+        | CAST(count(*) AS BIGINT) AS n_inputs,
+        | CAST(sum(cnt) AS BIGINT) AS bytes,
+        | CAST(min(v) AS BIGINT) AS first_doc,
+        | CAST(max(v) AS BIGINT) AS last_doc,
+        | round(CAST(sum(cnt) AS DOUBLE) / 20000, 4) AS fill_ratio
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

@@ -3250,4 +3250,79 @@ object CoreQueries {
       M.oracleRound(z, 4).as("z"),
       M.oracleRound(z * z, 4).as("chi2_trend"))
   }
+  // q308: incremental view maintenance of a per-status aggregate — the
+  // materialized-view delta-apply every warehouse refresh runs: the
+  // maintained aggregate NEVER re-aggregates the merged snapshot, it
+  // combines the base aggregate with per-status deltas derived from
+  // the change batch alone (q91's CDC classes: delete %41, update %37
+  // with status→'U' and +10.00, insert %43 shifted). The ORACLE
+  // recomputes the same aggregate from the merged snapshot from
+  // scratch — their hash equality IS the IVM correctness theorem.
+  // Prices ride fixed-point cents, so delta sums are exact longs and
+  // the combine is integer addition; statuses emptied by deletes drop
+  // (n = 0), statuses born in the delta ('U') appear via the full
+  // outer combine. One base scan + one changed-keys scan — at 100 TB
+  // the delta side is |changes|, not |base|.
+  def ivmAggOrders(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val base = Tables.orders(s, dir)
+      .select(k, col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val baseAgg = base.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("bn"), sum(col("c")).as("bc"))
+    val changed = base
+      .filter(k % 41 === 0 || k % 37 === 0 || k % 43 === 0)
+      .localCheckpoint()
+    def d(f: Column, st: Column, dn: Long, dc: Column) =
+      changed.filter(f).select(st.as("o_orderstatus"),
+        lit(dn).as("dn"), dc.as("dc"))
+    val deltas =
+      d(k % 41 === 0, col("o_orderstatus"), -1L, -col("c"))
+        .unionByName(d(k % 37 === 0 && k % 41 =!= 0,
+          col("o_orderstatus"), -1L, -col("c")))
+        .unionByName(d(k % 37 === 0 && k % 41 =!= 0,
+          lit("U"), 1L, col("c") + 1000L))
+        .unionByName(d(k % 43 === 0, col("o_orderstatus"), 1L, col("c")))
+    val deltaAgg = deltas.groupBy("o_orderstatus")
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    baseAgg.join(deltaAgg, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("total_cents"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_orderstatus"), col("n_orders"), col("total_cents"),
+        M.oracleRound(col("total_cents").cast("double") / 100, 2)
+          .as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // q309: small-file compaction planner — the lakehouse maintenance
+  // job that bins a manifest of input files into target-size outputs
+  // WITHOUT a greedy sequential scan: output file = cum_before div T
+  // (contiguous cumulative-sum bucketing — the parallelizable plan a
+  // distributed compactor actually executes; bins can overrun T by at
+  // most one input file, the stated contract). The manifest cumsum
+  // rides [[bucketedCumCounts]] (two-level prefix sum — a 100 TB
+  // table's manifest is millions of files, no single-partition sort),
+  // and the per-output rollup is one keyed aggregate. Emits per
+  // output file: inputs, bytes, 4-dp fill ratio vs T = 20000.
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 20000L
+    val files = Tables.documents(s, dir)
+      .select(lit(0).as("g"), col("doc_id").as("v"),
+        col("n_chars").cast("long").as("cnt"))
+    bucketedCumCounts(files, Seq("g"))
+      .select(col("v"), col("cnt"),
+        expr(s"(cum - cnt) div $target").as("out_file"))
+      .groupBy("out_file")
+      .agg(count(lit(1)).as("n_inputs"), sum(col("cnt")).as("bytes"),
+        min(col("v")).as("first_doc"), max(col("v")).as("last_doc"))
+      .select(col("out_file"), col("n_inputs"), col("bytes"),
+        col("first_doc"), col("last_doc"),
+        M.oracleRound(col("bytes").cast("double") / target, 4)
+          .as("fill_ratio"))
+      .orderBy("out_file")
+  }
 }

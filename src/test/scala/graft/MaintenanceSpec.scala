@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q308 IVM + q309 compaction plan: independent recomputes. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  test("q308: maintained aggregate equals a from-scratch merge recompute") {
+    val base = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    // from-scratch merge (the oracle semantics, re-derived here)
+    val merged = base.filter(_._1 % 41 != 0).map { case (k, st, c) =>
+      if (k % 37 == 0) (k, "U", c + 1000) else (k, st, c)
+    } ++ base.filter(_._1 % 43 == 0).map { case (k, st, c) =>
+      (k + 10000000L, st, c)
+    }
+    val expect = merged.groupBy(_._2).map { case (st, rs) =>
+      st -> ((rs.length.toLong, rs.map(_._3).sum))
+    }
+    val out = SparkEntry.queries("q308_ivm_agg")(spark, dir)
+      .select("o_orderstatus", "n_orders", "total_cents")
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (st, n, c) =>
+      assert((n, c) == expect(st), s"$st: ($n,$c) vs ${expect(st)}")
+    }
+    // the delta path must actually create the 'U' status
+    assert(out.exists(_._1 == "U"))
+  }
+
+  test("q309: bins are contiguous, sizes conserved, overflow bounded") {
+    val files = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val out = SparkEntry.queries("q309_compaction_plan")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == files.length, "every input assigned once")
+    assert(out.map(_._3).sum == files.map(_._2).sum, "bytes conserved")
+    // contiguity: each bin's doc range never overlaps the next bin's
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, s"bins ${a._1}/${b._1} overlap")
+    case _ => ()
+    }
+    // direct recompute of the assignment rule
+    var cum = 0L
+    val expect = files.map { case (id, n) =>
+      val o = cum / 20000; cum += n; (id, o)
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (o, n, _, _, _, fill) =>
+      assert(n == expect(o), s"bin $o: $n vs ${expect(o)}")
+      assert(fill > 0)
+    }
+    // fill bound: a bin ends past its boundary but starts wherever the
+    // previous bin's overflow left the cumsum, so every bin except the
+    // last holds more than T - max_file_size bytes (and at most
+    // T + max_file_size)
+    val maxFile = files.map(_._2).max
+    out.dropRight(1).foreach { case (o, _, bytes, _, _, _) =>
+      assert(bytes > 20000 - maxFile && bytes < 20000 + maxFile,
+        s"bin $o out of fill bound: $bytes")
+    }
+  }
+}
