@@ -340,6 +340,8 @@ object SparkEntry {
     "q307_hubness" -> (P.hubnessAudit _),
     "q308_ivm_agg" -> (C.ivmAggOrders _),
     "q309_compaction_plan" -> (C.compactionPlan _),
+    "q310_rfm_segments" -> (C.rfmSegments _),
+    "q311_assortativity" -> (C.assortativity _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2747,6 +2749,68 @@ object SparkEntry {
         | CAST(max(v) AS BIGINT) AS last_doc,
         | round(CAST(sum(cnt) AS DOUBLE) / 20000, 4) AS fill_ratio
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RFM: per-metric value-histogram quintiles, exact integer ceil,
+    // ties share a score, recency inverted
+    "q310_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+        |u AS (
+        | SELECT user_id,
+        |  date_diff('day', max(CAST(ts AS DATE)), (SELECT mx FROM mx))
+        |    AS r_days,
+        |  count(*) AS f_cnt,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |    AS m_cents
+        | FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM u),
+        |rs AS (
+        | SELECT r_days, 6 - (5 * cum + n.n - 1) // n.n AS r_score
+        | FROM (SELECT r_days, count(*) AS c,
+        |        sum(count(*)) OVER (ORDER BY r_days) AS cum
+        |       FROM u GROUP BY 1) h, n),
+        |fs AS (
+        | SELECT f_cnt, (5 * cum + n.n - 1) // n.n AS f_score
+        | FROM (SELECT f_cnt, count(*) AS c,
+        |        sum(count(*)) OVER (ORDER BY f_cnt) AS cum
+        |       FROM u GROUP BY 1) h, n),
+        |ms AS (
+        | SELECT m_cents, (5 * cum + n.n - 1) // n.n AS m_score
+        | FROM (SELECT m_cents, count(*) AS c,
+        |        sum(count(*)) OVER (ORDER BY m_cents) AS cum
+        |       FROM u GROUP BY 1) h, n)
+        |SELECT u.user_id, CAST(u.r_days AS BIGINT) AS r_days,
+        | CAST(u.f_cnt AS BIGINT) AS f_cnt,
+        | CAST(u.m_cents AS BIGINT) AS m_cents,
+        | CAST(rs.r_score AS BIGINT) AS r_score,
+        | CAST(fs.f_score AS BIGINT) AS f_score,
+        | CAST(ms.m_score AS BIGINT) AS m_score,
+        | CAST(rs.r_score AS VARCHAR) || CAST(fs.f_score AS VARCHAR)
+        |  || CAST(ms.m_score AS VARCHAR) AS rfm_cell
+        |FROM u JOIN rs USING (r_days) JOIN fs USING (f_cnt)
+        | JOIN ms USING (m_cents)
+        |ORDER BY u.user_id""".stripMargin,
+    // Degree assortativity: Pearson r from six integer edge sums
+    "q311_assortativity" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+        | FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT p AS src, sp AS dst FROM pairs
+        |      UNION ALL SELECT sp, p FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |ed AS (
+        | SELECT dx.d AS dx, dy.d AS dy
+        | FROM e JOIN deg dx ON dx.node = e.src
+        | JOIN deg dy ON dy.node = e.dst),
+        |t AS (SELECT count(*) AS m,
+        |       (SELECT count(*) FROM deg) AS n_nodes,
+        |       sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy,
+        |       sum(dx * dx) AS sxx, sum(dy * dy) AS syy FROM ed)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(m AS BIGINT) AS m_directed,
+        | round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |  / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+        |     * CAST(m * syy - sy * sy AS DOUBLE)), 4) AS assortativity
+        |FROM t""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

@@ -3325,4 +3325,86 @@ object CoreQueries {
           .as("fill_ratio"))
       .orderBy("out_file")
   }
+  // q310: RFM quintile segmentation — the customer-analytics scoring
+  // every retention team runs (recency / frequency / monetary, each
+  // scored 1–5 by exact quintile). Scores come from the per-METRIC
+  // value histogram: score(v) = ceil(5·cum(v)/n) with ties sharing a
+  // score (the deterministic tie-stable contract; no ntile, whose
+  // row-split of ties is engine-dependent), recency inverted so 5 =
+  // most recent. Each histogram cum rides [[bucketedCumCounts]] — at
+  // billions of users the quintile pass is a two-level prefix sum,
+  // never a global sorted window. Monetary is fixed-point cents.
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("mx"))
+    val users = ev
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f_cnt"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("m_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"), datediff(col("mx"), col("last_day"))
+          .cast("long").as("r_days"),
+        col("f_cnt"), col("m_cents"))
+      .localCheckpoint()
+    def quintile(metric: String, invert: Boolean): DataFrame = {
+      val hist = users.groupBy(lit(0).as("g"), col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      // ceil(5·cum/n) in EXACT integers: (5·cum + n − 1) div n — a
+      // float ceil could land on either side of an exact boundary
+      val sc = expr("(5 * cum + n - 1) div n")
+      bucketedCumCounts(hist, Seq("g"))
+        .select(col("v").as(metric),
+          (if (invert) lit(6L) - sc else sc).as(s"${metric}_score"))
+    }
+    users
+      .join(quintile("r_days", invert = true), "r_days")
+      .join(quintile("f_cnt", invert = false), "f_cnt")
+      .join(quintile("m_cents", invert = false), "m_cents")
+      .select(col("user_id"), col("r_days"), col("f_cnt"), col("m_cents"),
+        col("r_days_score").as("r_score"),
+        col("f_cnt_score").as("f_score"),
+        col("m_cents_score").as("m_score"),
+        concat(col("r_days_score"), col("f_cnt_score"),
+          col("m_cents_score")).as("rfm_cell"))
+      .orderBy("user_id")
+  }
+
+  // q311: degree assortativity of the q93 graph — "do hubs link to
+  // hubs?" (Newman 2002), the structural companion to q305's
+  // modularity: Pearson r between endpoint degrees over every directed
+  // edge, computed ENTIRELY from six exact integer sums (M, Σx, Σy,
+  // Σxy, Σx², Σy²) so the one edge-sized fold is a long sum and r is
+  // single-value double arithmetic. Degrees are one keyed aggregate;
+  // the edge-degree attach is two key joins on the shuffle the graph
+  // already has.
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val ed = edges
+      .join(deg.toDF("src", "dx"), "src")
+      .join(deg.toDF("dst", "dy"), "dst")
+    val t = ed.agg(count(lit(1)).as("m"),
+      countDistinct(col("src")).as("n_nodes"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+      .cast("double") *
+      (col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+    t.select(col("n_nodes"), col("m").as("m_directed"),
+      M.oracleRound(num / den, 4).as("assortativity"))
+  }
 }
