@@ -342,6 +342,7 @@ object SparkEntry {
     "q309_compaction_plan" -> (C.compactionPlan _),
     "q310_rfm_segments" -> (C.rfmSegments _),
     "q311_assortativity" -> (C.assortativity _),
+    "q312_table_digest" -> (C.tableDigest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2811,6 +2812,27 @@ object SparkEntry {
         |  / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
         |     * CAST(m * syy - sy * sy AS DOUBLE)), 4) AS assortativity
         |FROM t""".stripMargin,
+    // Order-free table digest: canonical integer-safe row strings,
+    // 40-bit md5 prefixes summed per bucket, root = sum of buckets
+    "q312_table_digest" ->
+      """WITH r AS (
+        | SELECT l_orderkey % 64 AS bucket,
+        |  CAST(('0x' || substr(md5(
+        |    'r:' || l_orderkey || ':' || l_linenumber || ':' ||
+        |    CAST(round(l_quantity) AS BIGINT) || ':' ||
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) || ':' ||
+        |    l_returnflag || ':' || l_linestatus), 1, 10)) AS BIGINT) AS h
+        | FROM lineitem),
+        |b AS (
+        | SELECT bucket, count(*) AS n_rows, sum(h) AS digest
+        | FROM r GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(digest AS BIGINT) AS digest FROM b
+        |UNION ALL
+        |SELECT -1, CAST(sum(n_rows) AS BIGINT),
+        | CAST(sum(digest) AS BIGINT) FROM b
+        |ORDER BY bucket""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

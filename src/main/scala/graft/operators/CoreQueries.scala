@@ -3407,4 +3407,29 @@ object CoreQueries {
     t.select(col("n_nodes"), col("m").as("m_directed"),
       M.oracleRound(num / den, 4).as("assortativity"))
   }
+  // q312: order-independent table digest — the content fingerprint a
+  // lakehouse computes per snapshot to detect divergence WITHOUT
+  // sorting anything: each row hashes canonically (integer-safe field
+  // renderings — no float formatting can differ between engines), the
+  // 40-bit row hashes SUM per key bucket (addition commutes, so the
+  // digest is partition- and order-free and two sites can compare
+  // bucket-by-bucket to localize a diff), and the root row sums the
+  // bucket digests. 64 buckets × bounded 40-bit hashes keep every sum
+  // far from long overflow at any row count a bucket realistically
+  // holds; one map-side-combined aggregate, no window, no sort.
+  def tableDigest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val rowStr = concat_ws(":", lit("r"), col("l_orderkey"),
+      col("l_linenumber"),
+      round(col("l_quantity")).cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"), col("l_linestatus"))
+    val rows = li.select(pmod(col("l_orderkey"), lit(64)).as("bucket"),
+      T.md5Int(rowStr, 10).as("h"))
+    val buckets = rows.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("digest"))
+    val root = buckets.agg(lit(-1L).as("bucket"),
+      sum(col("n_rows")).as("n_rows"), sum(col("digest")).as("digest"))
+    buckets.unionByName(root).orderBy("bucket")
+  }
 }
