@@ -343,6 +343,7 @@ object SparkEntry {
     "q310_rfm_segments" -> (C.rfmSegments _),
     "q311_assortativity" -> (C.assortativity _),
     "q312_table_digest" -> (C.tableDigest _),
+    "q313_card_diff" -> (P.cardDiff _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -374,6 +375,7 @@ object SparkEntry {
              | FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
              |   FROM t$r WHERE length(t) >= 2) x
              | GROUP BY pair)""".stripMargin,
+
           s"""b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
              | ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin,
           s"""t${r + 1} AS MATERIALIZED (SELECT doc_id,
@@ -2833,6 +2835,69 @@ object SparkEntry {
         |SELECT -1, CAST(sum(n_rows) AS BIGINT),
         | CAST(sum(digest) AS BIGINT) FROM b
         |ORDER BY bucket""".stripMargin,
+    // Card diff: the q272 card computed twice (full corpus vs the
+    // release candidate dropping src0 + short docs), joined on metric
+    "q313_card_diff" ->
+      """WITH da AS (
+        | SELECT *, len(string_split_regex(trim(text), '\s+')) AS nw
+        | FROM documents),
+        |aa AS (
+        | SELECT
+        |  CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |  round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+        |   AS exact_dup_rate,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars,
+        |  CAST(sum(nw) AS DOUBLE) AS tokens_total,
+        |  round(sum(nw) * 1.0 / count(*), 4) AS mean_tokens,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |   AS pct_en
+        | FROM da),
+        |ca AS (
+        | SELECT 'n_docs' AS metric, n_docs AS v FROM aa
+        | UNION ALL SELECT 'n_langs', n_langs FROM aa
+        | UNION ALL SELECT 'n_sources', n_sources FROM aa
+        | UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM aa
+        | UNION ALL SELECT 'mean_chars', mean_chars FROM aa
+        | UNION ALL SELECT 'p50_chars', p50_chars FROM aa
+        | UNION ALL SELECT 'tokens_total', tokens_total FROM aa
+        | UNION ALL SELECT 'mean_tokens', mean_tokens FROM aa
+        | UNION ALL SELECT 'pct_en', pct_en FROM aa),
+        |db AS (
+        | SELECT *, len(string_split_regex(trim(text), '\s+')) AS nw
+        | FROM documents WHERE source <> 'src0' AND n_chars >= 100),
+        |ab AS (
+        | SELECT
+        |  CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |  CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |  round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+        |   AS exact_dup_rate,
+        |  round(avg(n_chars), 4) AS mean_chars,
+        |  CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars,
+        |  CAST(sum(nw) AS DOUBLE) AS tokens_total,
+        |  round(sum(nw) * 1.0 / count(*), 4) AS mean_tokens,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |   AS pct_en
+        | FROM db),
+        |cb AS (
+        | SELECT 'n_docs' AS metric, n_docs AS v FROM ab
+        | UNION ALL SELECT 'n_langs', n_langs FROM ab
+        | UNION ALL SELECT 'n_sources', n_sources FROM ab
+        | UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM ab
+        | UNION ALL SELECT 'mean_chars', mean_chars FROM ab
+        | UNION ALL SELECT 'p50_chars', p50_chars FROM ab
+        | UNION ALL SELECT 'tokens_total', tokens_total FROM ab
+        | UNION ALL SELECT 'mean_tokens', mean_tokens FROM ab
+        | UNION ALL SELECT 'pct_en', pct_en FROM ab)
+        |SELECT ca.metric, ca.v AS value_a, cb.v AS value_b,
+        | round(cb.v - ca.v, 4) AS delta,
+        | CASE WHEN ca.v <> 0.0 THEN round((cb.v - ca.v) / ca.v, 4) END
+        |  AS pct_change
+        |FROM ca JOIN cb ON ca.metric = cb.metric
+        |ORDER BY ca.metric""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

@@ -2026,8 +2026,31 @@ object PipelineQueries {
   // are the only expansion and each is a keyed dedup at scale).
   // Long (metric, value) shape so downstream diffing of two cards is
   // a join, not a schema migration.
-  def datasetCard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    cardAgg(Tables.documents(s, dir))
+
+  // q313: dataset-card DIFF — the release-to-release comparison q272's
+  // long shape exists for ("diffing two cards is a join"): card A is
+  // the full corpus, card B the next release candidate (drops source
+  // src0 and sub-100-char docs — the curation action under review),
+  // joined on metric with absolute and relative deltas. Both cards are
+  // single multi-aggregate scans; the diff is a 9-row join.
+  def cardDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = cardAgg(docs).toDF("metric", "value_a")
+    val b = cardAgg(docs.filter(col("source") =!= "src0" &&
+      col("n_chars") >= 100)).toDF("metric", "value_b")
+    a.join(b, "metric")
+      .select(col("metric"), col("value_a"), col("value_b"),
+        M.oracleRound(col("value_b") - col("value_a"), 4).as("delta"),
+        when(col("value_a") =!= 0.0, M.oracleRound(
+          (col("value_b") - col("value_a")) / col("value_a"), 4))
+          .as("pct_change"))
+      .orderBy("metric")
+  }
+
+  private def cardAgg(d0: DataFrame): DataFrame = {
+    val d = d0
       .withColumn("nw", size(split(trim(col("text")), "\\s+")).cast("long"))
     val agg = d.agg(
       count(lit(1)).cast("double").as("n_docs"),

@@ -36,6 +36,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out.exists(_._1 == "U"))
   }
 
+  test("q313: card diff matches per-metric recomputes of both snapshots") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val snapB = docs.filter(d => d._4 != "src0" && d._5 >= 100)
+    val out = SparkEntry.queries("q313_card_diff")(spark, dir)
+      .select("metric", "value_a", "value_b", "delta")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 9)
+    assert(out("n_docs")._2 == docs.length.toDouble)
+    assert(out("n_docs")._3 == snapB.length.toDouble)
+    assert(out("n_sources")._3 == snapB.map(_._4).distinct.length.toDouble)
+    out.values.foreach { case (m, a, b, d) =>
+      assert(d == round4(b - a), s"$m delta")
+    }
+    // the filter must actually move the card
+    assert(out("n_docs")._4 < 0)
+  }
+
   test("q309: bins are contiguous, sizes conserved, overflow bounded") {
     val files = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long"))
