@@ -344,6 +344,8 @@ object SparkEntry {
     "q311_assortativity" -> (C.assortativity _),
     "q312_table_digest" -> (C.tableDigest _),
     "q313_card_diff" -> (P.cardDiff _),
+    "q314_join_estimate" -> (C.joinEstimate _),
+    "q315_disorder_profile" -> (C.disorderProfile _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2898,6 +2900,57 @@ object SparkEntry {
         |  AS pct_change
         |FROM ca JOIN cb ON ca.metric = cb.metric
         |ORDER BY ca.metric""".stripMargin,
+    // Capped-histogram join estimate vs exact self-join cardinality
+    "q314_join_estimate" ->
+      """WITH h AS (
+        | SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |hd AS (SELECT k, c FROM h ORDER BY c DESC, k LIMIT 100),
+        |ha AS (SELECT coalesce(sum(c * c), 0) AS est_head,
+        |        coalesce(sum(c), 0) AS head_rows,
+        |        count(*) AS head_ndv FROM hd),
+        |t AS (SELECT sum(c) AS rows_t, count(*) AS ndv,
+        |       sum(c * c) AS actual FROM h),
+        |e AS (SELECT rows_t, ndv, actual,
+        |  CAST(est_head AS DOUBLE)
+        |   + CAST(rows_t - head_rows AS DOUBLE)
+        |     * CAST(rows_t - head_rows AS DOUBLE)
+        |     / greatest(ndv - head_ndv, 1) AS est
+        | FROM ha, t)
+        |SELECT CAST(rows_t AS BIGINT) AS n_rows,
+        | CAST(ndv AS BIGINT) AS ndv, CAST(actual AS BIGINT) AS actual,
+        | round(est, 4) AS estimate,
+        | round(greatest(est / CAST(actual AS DOUBLE),
+        |   CAST(actual AS DOUBLE) / est), 4) AS q_error
+        |FROM e""".stripMargin,
+    // Disorder profile: running max over event_id order (two-level in
+    // the engine, plain window here), integer ms lags, exact
+    // cum-rank percentiles
+    "q315_disorder_profile" ->
+      """WITH ev AS (
+        | SELECT event_id, epoch_us(ts) AS us,
+        |  event_id + CAST(('0x' || substr(md5('arr:' || event_id), 1, 8))
+        |    AS BIGINT) % 200 AS arr
+        | FROM events),
+        |r AS (
+        | SELECT event_id, us,
+        |  max(us) OVER (ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_mx
+        | FROM ev),
+        |l AS (
+        | SELECT greatest(coalesce(run_mx, us) - us, 0) // 1000 AS v
+        | FROM r),
+        |h AS (SELECT v, count(*) AS cnt FROM l GROUP BY 1),
+        |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+        |       sum(cnt) OVER () AS n FROM h)
+        |SELECT CAST(max(n) AS BIGINT) AS n_events,
+        | CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT)
+        |  AS p50_ms,
+        | CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS BIGINT)
+        |  AS p95_ms,
+        | CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT)
+        |  AS p99_ms,
+        | CAST(max(v) AS BIGINT) AS max_ms
+        |FROM c""".stripMargin,
     // DuckDB has no width_bucket; the oracle spells out the same
     // arithmetic (bucket width (hi-lo)/n = 100, below-range -> 0,
     // at-or-above-range -> n+1).

@@ -3432,4 +3432,85 @@ object CoreQueries {
       sum(col("n_rows")).as("n_rows"), sum(col("digest")).as("digest"))
     buckets.unionByName(root).orderBy("bucket")
   }
+  // q314: join-cardinality estimation audit — the optimizer's
+  // histogram model checked against ground truth on the skew-sensitive
+  // case: the user_id self-join of the event stream (the q88
+  // salted-join input, where |A ⋈ B| = Σ c(u)² and a uniform model
+  // genuinely errs). Estimate from a CAPPED histogram — top-100 heavy
+  // keys exact, the tail under the uniform assumption
+  // est_tail = tail_rows² / tail_ndv (the textbook formula a
+  // cost-based planner evaluates) — vs the exact Σ c², emitting the
+  // q-error max(est/act, act/est) planners benchmark with. One keyed
+  // aggregate + a TakeOrdered head + scalar math; the integer sums
+  // are exact, the estimate is one double division.
+  def joinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val head = h.orderBy(col("c").desc, col("k")).limit(100)
+    val headAgg = head.agg(
+      coalesce(sum(col("c") * col("c")), lit(0L)).as("est_head"),
+      coalesce(sum(col("c")), lit(0L)).as("head_rows"),
+      count(lit(1)).as("head_ndv"))
+    val tot = h.agg(sum(col("c")).as("rows_t"), count(lit(1)).as("ndv"),
+      sum(col("c") * col("c")).as("actual"))
+    val tailRows = (col("rows_t") - col("head_rows")).cast("double")
+    val est = col("est_head").cast("double") +
+      tailRows * tailRows /
+        greatest(col("ndv") - col("head_ndv"), lit(1L))
+    headAgg.crossJoin(broadcast(tot))
+      .select(col("rows_t").as("n_rows"), col("ndv"), col("actual"),
+        M.oracleRound(est, 4).as("estimate"),
+        M.oracleRound(
+          greatest(est / col("actual").cast("double"),
+            col("actual").cast("double") / est), 4).as("q_error"))
+  }
+
+  // q315: event-time disorder profile — the EMPIRICAL input a
+  // watermark choice needs (q231 calculates designs; this measures
+  // the stream): per event, lag = running-max(ts) over the log's
+  // arrival order (event_id) minus own ts, then exact lag percentiles
+  // p50/p95/p99/max in milliseconds. The running max is the two-level
+  // scheme a global ordered window can't scale to: per-id-bucket max,
+  // prefix-max over the tiny bucket frame, then an arrival-ordered
+  // within-bucket window — identical to the naive global running max,
+  // bucket by bucket. Percentile ranks come off the integer lag
+  // histogram via [[bucketedCumCounts]].
+  def disorderProfile(s: SparkSession, dir: String): DataFrame = {
+    // the generator emits event_id in ts order (zero native disorder),
+    // so ARRIVAL order plants a deterministic md5 jitter of up to 200
+    // positions — the late-data profile the detector then measures
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arr", col("event_id") +
+        pmod(T.md5Int(concat(lit("arr:"), col("event_id").cast("string")),
+          8), lit(200)))
+      .withColumn("bkt", expr("arr div 1000"))
+    val bmax = ev.groupBy("bkt").agg(max(col("us")).as("bmx"))
+      .coalesce(1)
+      .withColumn("prev_mx", max(col("bmx")).over(
+        Window.partitionBy(lit(0)).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val w = Window.partitionBy("bkt").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lags = ev.join(broadcast(bmax), "bkt")
+      // greatest() skips nulls, so the first bucket (no prev_mx) and
+      // each bucket's first row (empty preceding frame) fall through
+      // to a null run_mx = "no earlier event" = lag 0 — no sentinel
+      // arithmetic that ANSI overflow checking would reject
+      .withColumn("run_mx",
+        greatest(max(col("us")).over(w), col("prev_mx")))
+      .withColumn("lag_us", when(col("run_mx").isNull, lit(0L))
+        .otherwise(greatest(col("run_mx") - col("us"), lit(0L))))
+      .withColumn("lag_ms", expr("lag_us div 1000"))
+    val hist = lags.groupBy(lit(0).as("g"), col("lag_ms").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = bucketedCumCounts(hist, Seq("g"))
+    def pct(p: Double, name: String) =
+      min(when(col("cum") * 100 >= col("n") * lit((p * 100).toLong),
+        col("v"))).as(name)
+    cum.agg(max(col("n")).as("n_events"),
+        pct(0.50, "p50_ms"), pct(0.95, "p95_ms"), pct(0.99, "p99_ms"),
+        max(col("v")).as("max_ms"))
+  }
 }

@@ -56,6 +56,57 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out("n_docs")._4 < 0)
   }
 
+  test("q314: estimate and q-error match a direct capped-histogram model") {
+    val counts = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect()
+    val actual = counts.map(c => c._2 * c._2).sum
+    val head = counts.sortBy(c => (-c._2, c._1)).take(100)
+    val estHead = head.map(c => c._2 * c._2).sum
+    val tailRows = (counts.map(_._2).sum - head.map(_._2).sum).toDouble
+    val est = estHead.toDouble +
+      tailRows * tailRows / math.max(counts.length - head.length, 1)
+    val got = SparkEntry.queries("q314_join_estimate")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got._1 == counts.map(_._2).sum && got._2 == counts.length)
+    assert(got._3 == actual)
+    assert(got._4 == round4(est), s"est ${got._4} vs $est")
+    assert(got._5 >= 1.0, "q-error is >= 1 by construction")
+  }
+
+  test("q315: percentiles match a direct jittered running-max recompute") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    def md5Int8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ordered = ev.map { case (id, us) =>
+      (id + md5Int8(s"arr:$id") % 200, id, us)
+    }.sortBy(e => (e._1, e._2))
+    var mx = Long.MinValue
+    val lags = ordered.map { case (_, _, us) =>
+      val l = if (mx == Long.MinValue) 0L else math.max(mx - us, 0L) / 1000
+      mx = math.max(mx, us); l
+    }.sorted
+    def pct(p: Double): Long = {
+      val n = lags.length
+      lags.zipWithIndex
+        .collectFirst { case (v, i) if (i + 1) * 100 >= n * (p * 100) => v }
+        .get
+    }
+    val got = SparkEntry.queries("q315_disorder_profile")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 == ev.length)
+    assert(got._2 == pct(0.50) && got._3 == pct(0.95) && got._4 == pct(0.99),
+      s"got $got expected (${pct(0.5)}, ${pct(0.95)}, ${pct(0.99)})")
+    assert(got._5 == lags.max)
+    assert(got._5 > 0, "the planted jitter must produce real disorder")
+  }
+
   test("q309: bins are contiguous, sizes conserved, overflow bounded") {
     val files = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long"))
