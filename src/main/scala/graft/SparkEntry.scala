@@ -346,6 +346,8 @@ object SparkEntry {
     "q313_card_diff" -> (P.cardDiff _),
     "q314_join_estimate" -> (C.joinEstimate _),
     "q315_disorder_profile" -> (C.disorderProfile _),
+    "q316_intradoc_dedup" -> (P.intradocDedup _),
+    "q317_langid_confusion" -> (P.langidConfusion _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3711,6 +3713,66 @@ object SparkEntry {
         | round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
         | round(ssb / (ssb + ssw), 4) AS eta_sq
         |FROM c""".stripMargin,
+    // Within-doc block dedup: q297's CTEs with per-(doc, block) firsts
+    "q316_intradoc_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, source,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        | FROM documents WHERE len(trim(lower(text))) > 0),
+        |b AS (
+        | SELECT doc_id, source, i AS pos,
+        |  array_to_string(list_slice(a, i*10+1, i*10+10), ' ') AS blk,
+        |  least(10, len(a) - i*10) AS btoks
+        | FROM (SELECT doc_id, source, a, unnest(generate_series(0,
+        |        CAST(ceil(len(a)/10.0) AS INTEGER) - 1)) AS i
+        |       FROM toks) t),
+        |f AS (SELECT doc_id, blk, min(pos) AS f_pos
+        |      FROM b GROUP BY 1, 2),
+        |m AS (
+        | SELECT b.source, b.doc_id, b.btoks, (b.pos <> f.f_pos) AS dup
+        | FROM b JOIN f ON f.doc_id = b.doc_id AND f.blk = b.blk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup,
+        | round(CAST(count(*) FILTER (WHERE dup) AS DOUBLE) / count(*), 4)
+        |   AS dup_rate,
+        | CAST(sum(btoks) AS BIGINT) AS toks_total,
+        | CAST(coalesce(sum(btoks) FILTER (WHERE dup), 0) AS BIGINT)
+        |   AS toks_dropped,
+        | round(1.0 - CAST(coalesce(sum(btoks) FILTER (WHERE dup), 0)
+        |     AS DOUBLE) / sum(btoks), 4) AS keep_rate,
+        | CAST(count(DISTINCT CASE WHEN dup THEN doc_id END) AS BIGINT)
+        |   AS n_docs_hit
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Confusion matrix over the q26 classifier CASE vs the label
+    "q317_langid_confusion" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        | FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t),
+        |p AS (
+        | SELECT lang, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        |  WHEN s_fr >= s_pt THEN 'fr'
+        |  ELSE 'pt' END AS lang_pred
+        | FROM s),
+        |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |lt AS (SELECT lang, sum(n) AS label_total FROM c GROUP BY 1)
+        |SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+        | CAST(lt.label_total AS BIGINT) AS label_total,
+        | round(CAST(c.n AS DOUBLE) / lt.label_total, 4) AS share,
+        | (c.lang = c.lang_pred) AS is_correct
+        |FROM c JOIN lt ON lt.lang = c.lang
+        |ORDER BY c.lang, c.lang_pred""".stripMargin,
     // CCF at lags -7..+7 between the click and purchase daily counts
     "q255_ccf_daily" ->
       """WITH x AS (

@@ -4157,4 +4157,71 @@ object PipelineQueries {
         M.oracleRound(col("top10").cast("double") /
           (col("n_queries") * 5), 4).as("top10_share"))
   }
+  // q316: WITHIN-document block dedup — the intra-doc half of the
+  // CCNet discipline q297 applies corpus-wide (Gopher's "remove
+  // duplicated passages inside the page"; a page that repeats its own
+  // boilerplate dedups here even when no other document shares it).
+  // Same 10-token blocks off the shared [[tokenArrays]] stage; first
+  // occurrence is per-(doc, block) — a doc-local keyed aggregate, so
+  // unlike q297 NOTHING joins across documents and the whole operator
+  // is map-side-combinable on the doc key. Per-source occurrence and
+  // token retention.
+  def intradocDedup(s: SparkSession, dir: String): DataFrame =
+    intradocDedupOf(tokenArrays(s, dir))
+
+  /** q316 core over any `(doc_id, source, a)` token-array frame — the
+    * gate rides the shared stage; the spec feeds planted repetition
+    * (the corpus's honest intra-doc dup rate is ~0, so the DETECTOR
+    * is proven on a constructed frame, the established planted-frame
+    * pattern). */
+  private[graft] def intradocDedupOf(arrs: DataFrame): DataFrame = {
+    val blocks = arrs
+      .filter(size(col("a")) > 0)
+      .select(col("doc_id"), col("source"), size(col("a")).as("nt"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(a)/10.0) as int) - 1)," +
+            " i -> array_join(slice(a, i*10+1, 10), ' '))"))
+          .as(Seq("pos", "blk")))
+      .withColumn("btoks", least(lit(10), col("nt") - col("pos") * 10))
+    val first = blocks.groupBy("doc_id", "blk")
+      .agg(min(col("pos")).as("f_pos"))
+    blocks.join(first, Seq("doc_id", "blk"))
+      .withColumn("dup", col("pos") =!= col("f_pos"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(col("btoks").cast("long")).as("toks_total"),
+        sum(when(col("dup"), col("btoks").cast("long")).otherwise(0L))
+          .as("toks_dropped"),
+        count_distinct(when(col("dup"), col("doc_id"))).as("n_docs_hit"))
+      .select(col("source"), col("n_blocks"), col("n_dup"),
+        M.oracleRound(col("n_dup").cast("double") / col("n_blocks"), 4)
+          .as("dup_rate"),
+        col("toks_total"), col("toks_dropped"),
+        M.oracleRound(lit(1.0) -
+          col("toks_dropped").cast("double") / col("toks_total"), 4)
+          .as("keep_rate"),
+        col("n_docs_hit"))
+      .orderBy("source")
+  }
+
+  // q317: language-ID confusion matrix — the classifier-eval harness
+  // for q26's n-gram heuristic against the labeled lang column (the
+  // audit a pipeline runs before TRUSTING a cheap classifier to route
+  // documents): per (label, prediction) cell counts with the label's
+  // total and share. One map-only classify pass + one keyed
+  // aggregate; the matrix is |langs|² rows.
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("lang_pred"))
+    val cells = pred.groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("label_total"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"), col("label_total"),
+        M.oracleRound(col("n").cast("double") / col("label_total"), 4)
+          .as("share"),
+        (col("lang") === col("lang_pred")).as("is_correct"))
+      .orderBy("lang", "lang_pred")
+  }
 }
