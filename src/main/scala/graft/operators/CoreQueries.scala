@@ -3493,7 +3493,10 @@ object CoreQueries {
           .rowsBetween(Window.unboundedPreceding, -1)))
     val w = Window.partitionBy("bkt").orderBy("arr", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val lags = ev.join(broadcast(bmax), "bkt")
+    // no broadcast hint: the bucket frame is events/1000 rows — tiny
+    // here, but at extreme event counts a forced broadcast would OOM
+    // (the geoNearJoin lesson); the join is bkt-keyed, AQE decides
+    val lags = ev.join(bmax, "bkt")
       // greatest() skips nulls, so the first bucket (no prev_mx) and
       // each bucket's first row (empty preceding frame) fall through
       // to a null run_mx = "no earlier event" = lag 0 — no sentinel
