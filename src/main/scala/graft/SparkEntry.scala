@@ -348,6 +348,7 @@ object SparkEntry {
     "q315_disorder_profile" -> (C.disorderProfile _),
     "q316_intradoc_dedup" -> (P.intradocDedup _),
     "q317_langid_confusion" -> (P.langidConfusion _),
+    "q318_srt_roundtrip" -> (P.srtRoundtrip _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3773,6 +3774,36 @@ object SparkEntry {
         | (c.lang = c.lang_pred) AS is_correct
         |FROM c JOIN lt ON lt.lang = c.lang
         |ORDER BY c.lang, c.lang_pred""".stripMargin,
+    // SRT timeline facts straight from the cue closed form; parse_ok
+    // asserts the engine's parser recovered every planted cue
+    "q318_srt_roundtrip" ->
+      """WITH p AS (
+        | SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS nc
+        | FROM documents),
+        |cue AS (
+        | SELECT doc_id, nc, unnest(generate_series(0, nc - 1)) AS i
+        | FROM p),
+        |v AS (
+        | SELECT doc_id, nc, i,
+        |  i * 4000 + CAST(('0x' || substr(md5('srt:' || doc_id || ':' ||
+        |    i), 1, 8)) AS BIGINT) % 1000 AS st,
+        |  i * 4000 + CAST(('0x' || substr(md5('srt:' || doc_id || ':' ||
+        |    i), 1, 8)) AS BIGINT) % 1000
+        |   + 1200 + CAST(('0x' || substr(md5('srtd:' || doc_id || ':' ||
+        |    i), 1, 8)) AS BIGINT) % 2500 AS en
+        | FROM cue),
+        |l AS (SELECT doc_id, nc, i, st, en,
+        |       lead(st) OVER (PARTITION BY doc_id ORDER BY i) AS ns,
+        |       lag(en) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+        |      FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cues,
+        | CAST(sum(en - st) AS BIGINT) AS caption_ms,
+        | CAST(count(*) FILTER (WHERE ns IS NOT NULL AND en > ns)
+        |   AS BIGINT) AS n_overlaps,
+        | CAST(count(*) FILTER (WHERE pe IS NOT NULL AND st - pe > 2000)
+        |   AS BIGINT) AS n_gaps_2s,
+        | true AS parse_ok
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // CCF at lags -7..+7 between the click and purchase daily counts
     "q255_ccf_daily" ->
       """WITH x AS (

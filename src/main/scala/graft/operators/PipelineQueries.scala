@@ -4224,4 +4224,116 @@ object PipelineQueries {
         (col("lang") === col("lang_pred")).as("is_correct"))
       .orderBy("lang", "lang_pred")
   }
+  // q318: SRT subtitle round trip + timeline audit — the TIMED-TEXT
+  // modality (video datasets ship captions as SRT): per doc a real
+  // SubRip payload is BUILT from an md5 closed form (3–7 cues, jittered
+  // starts, durations long enough to overlap the next cue sometimes),
+  // then PARSED BACK with generic block/regexp machinery that never
+  // sees the generator (cue index, HH:MM:SS,mmm --> range, text), and
+  // the timeline is audited: total caption time, overlapping-cue
+  // count, >2 s gap count, and a parse_ok flag (count + index
+  // monotonicity). The oracle restates the closed form directly — a
+  // build-side bug or a parse-side bug each break the gate. Map-only
+  // build+parse; the per-cue explode carries only the tiny cue frame.
+  def srtRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nCues = (pmod(col("doc_id"), lit(5)) + 3).cast("int")
+    // build: one concat over the cue sequence (the lambda computes
+    // start/end from the closed form and formats both timestamps)
+    val built = Tables.documents(s, dir).select(col("doc_id"), nCues.as("nc"))
+      .withColumn("srt", expr("""
+        array_join(transform(sequence(0, nc - 1), i ->
+          concat(
+            CAST(i + 1 AS STRING), '\n',
+            concat_ws(':',
+              lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000))
+                div 3600000 AS STRING), 2, '0'),
+              lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000))
+                div 60000 % 60 AS STRING), 2, '0'),
+              concat(lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000))
+                div 1000 % 60 AS STRING), 2, '0'), ',',
+                lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                  concat('srt:', doc_id, ':', i), 8), 1000))
+                  % 1000 AS STRING), 3, '0'))),
+            ' --> ',
+            concat_ws(':',
+              lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000)
+                + 1200 + pmod(graft_md5_long(
+                  concat('srtd:', doc_id, ':', i), 8), 2500))
+                div 3600000 AS STRING), 2, '0'),
+              lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000)
+                + 1200 + pmod(graft_md5_long(
+                  concat('srtd:', doc_id, ':', i), 8), 2500))
+                div 60000 % 60 AS STRING), 2, '0'),
+              concat(lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                concat('srt:', doc_id, ':', i), 8), 1000)
+                + 1200 + pmod(graft_md5_long(
+                  concat('srtd:', doc_id, ':', i), 8), 2500))
+                div 1000 % 60 AS STRING), 2, '0'), ',',
+                lpad(CAST((i * 4000 + pmod(graft_md5_long(
+                  concat('srt:', doc_id, ':', i), 8), 1000)
+                  + 1200 + pmod(graft_md5_long(
+                    concat('srtd:', doc_id, ':', i), 8), 2500))
+                  % 1000 AS STRING), 3, '0'))),
+            '\n', 'line ', CAST(pmod(graft_md5_long(
+              concat('srtt:', doc_id, ':', i), 8), 100) AS STRING))),
+          '\n\n')"""))
+      .localCheckpoint()
+    // parse: generic SRT block walk — index, range line, text
+    val cues = built
+      .select(col("doc_id"), col("nc"),
+        posexplode(split(col("srt"), "\n\n")).as(Seq("cpos", "blk")))
+      .select(col("doc_id"), col("nc"), col("cpos"),
+        regexp_extract(col("blk"), "^(\\d+)\\n", 1).cast("long").as("idx"),
+        regexp_extract(col("blk"),
+          "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> ", 0).as("st_raw"),
+        expr("""CAST(regexp_extract(blk,
+            '(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) -->', 1) AS BIGINT)
+            * 3600000
+          + CAST(regexp_extract(blk,
+            '(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) -->', 2) AS BIGINT)
+            * 60000
+          + CAST(regexp_extract(blk,
+            '(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) -->', 3) AS BIGINT)
+            * 1000
+          + CAST(regexp_extract(blk,
+            '(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) -->', 4) AS BIGINT)""")
+          .as("start_ms"),
+        expr("""CAST(regexp_extract(blk,
+            '--> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})', 1) AS BIGINT)
+            * 3600000
+          + CAST(regexp_extract(blk,
+            '--> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})', 2) AS BIGINT)
+            * 60000
+          + CAST(regexp_extract(blk,
+            '--> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})', 3) AS BIGINT)
+            * 1000
+          + CAST(regexp_extract(blk,
+            '--> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})', 4) AS BIGINT)""")
+          .as("end_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("cpos")
+    cues
+      .withColumn("next_start", lead(col("start_ms"), 1).over(w))
+      .withColumn("prev_end", lag(col("end_ms"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(max(col("nc")).as("nc"), count(lit(1)).as("n_cues"),
+        sum(col("end_ms") - col("start_ms")).as("caption_ms"),
+        sum(when(col("next_start").isNotNull &&
+          col("end_ms") > col("next_start"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("prev_end").isNotNull &&
+          col("start_ms") - col("prev_end") > 2000, 1L).otherwise(0L))
+          .as("n_gaps_2s"),
+        (max(col("idx") - col("cpos")) === 1 &&
+          min(col("idx") - col("cpos")) === 1).as("idx_monotone"))
+      .select(col("doc_id"), col("n_cues"), col("caption_ms"),
+        col("n_overlaps"), col("n_gaps_2s"),
+        (col("n_cues") === col("nc") && col("idx_monotone")).as("parse_ok"))
+      .orderBy("doc_id")
+  }
 }
