@@ -349,6 +349,8 @@ object SparkEntry {
     "q316_intradoc_dedup" -> (P.intradocDedup _),
     "q317_langid_confusion" -> (P.langidConfusion _),
     "q318_srt_roundtrip" -> (P.srtRoundtrip _),
+    "q319_license_propagation" -> (P.licensePropagation _),
+    "q320_temperature_mix" -> (P.temperatureMix _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3804,6 +3806,49 @@ object SparkEntry {
         |   AS BIGINT) AS n_gaps_2s,
         | true AS parse_ok
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // License taint through the q49 recursive-CTE components
+    "q319_license_propagation" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS comp
+        |         FROM reach GROUP BY src),
+        |d AS (
+        | SELECT dd.doc_id, dd.source,
+        |  CASE WHEN CAST(substring(dd.source, 4) AS INTEGER) % 5 = 0
+        |   THEN 1 ELSE 0 END AS direct,
+        |  coalesce(c.comp, dd.doc_id) AS comp
+        | FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
+        |t AS (SELECT comp, max(direct) AS tainted FROM d GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(d.direct) AS BIGINT) AS n_direct,
+        | CAST(sum(CASE WHEN d.direct = 0 AND t.tainted = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inherited,
+        | round(1.0 - CAST(sum(d.direct) + sum(CASE WHEN d.direct = 0
+        |      AND t.tainted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) AS clear_rate
+        |FROM d JOIN t ON t.comp = d.comp
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Temperature sampling weights: 6-dp-pinned shares before pow
+    "q320_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM c),
+        |p AS (SELECT lang, c, round(CAST(c AS DOUBLE) / n.n, 6) AS p
+        |      FROM c, n),
+        |a AS (SELECT unnest([0.2, 0.5, 1.0]) AS alpha),
+        |b AS (SELECT lang, c, p, alpha, pow(p, alpha) AS pa FROM p, a),
+        |z AS (SELECT alpha, sum(pa) AS z FROM b GROUP BY 1)
+        |SELECT b.lang, b.alpha, CAST(b.c AS BIGINT) AS n_docs, b.p,
+        | round(b.pa / z.z, 4) AS w,
+        | round(b.pa / z.z / b.p, 4) AS boost
+        |FROM b JOIN z ON b.alpha = z.alpha
+        |ORDER BY b.lang, b.alpha""".stripMargin,
     // CCF at lags -7..+7 between the click and purchase daily counts
     "q255_ccf_daily" ->
       """WITH x AS (

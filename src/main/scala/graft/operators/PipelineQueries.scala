@@ -4336,4 +4336,63 @@ object PipelineQueries {
         (col("n_cues") === col("nc") && col("idx_monotone")).as("parse_ok"))
       .orderBy("doc_id")
   }
+  // q319: license/provenance propagation through near-dup clusters —
+  // the compliance sweep a takedown or license change triggers: a doc
+  // from a restricted source taints EVERY member of its near-dup
+  // component (q49's MinHash-LSH connected components — if the text
+  // survives as someone else's copy, dropping only the source's rows
+  // removes nothing). Per-source scorecard: directly restricted,
+  // transitively inherited, and the clear rate after both. Rides the
+  // shared component stage; the taint flag is one component-keyed
+  // aggregate + one join back.
+  def licensePropagation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(expr("CAST(substring(source, 4) AS INT) % 5 = 0"), 1L)
+          .otherwise(0L).as("direct"))
+    val d2 = docs
+      .join(dupComponents(s, dir).toDF("doc_id", "comp"),
+        Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val taint = d2.groupBy("comp").agg(max(col("direct")).as("tainted"))
+    d2.join(taint, "comp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("direct")).as("n_direct"),
+        sum(when(col("direct") === 0 && col("tainted") === 1, 1L)
+          .otherwise(0L)).as("n_inherited"))
+      .select(col("source"), col("n_docs"), col("n_direct"),
+        col("n_inherited"),
+        M.oracleRound(lit(1.0) -
+          (col("n_direct") + col("n_inherited")).cast("double") /
+            col("n_docs"), 4).as("clear_rate"))
+      .orderBy("source")
+  }
+
+  // q320: temperature-scaled language sampling (the mT5/XLM-R α-mix):
+  // w_l ∝ p_l^α flattens the head and boosts tail languages; the
+  // emitted table is the sampler's weight sheet for α ∈
+  // {0.2, 0.5, 1.0} with the effective boost w/p. Shares are pinned
+  // at 6 dp BEFORE the pow so both engines exponentiate identical
+  // doubles; one lang-keyed aggregate, the rest is a |langs|×|α|
+  // micro-frame. Distinct from q83 (acceptance rates toward a stated
+  // target mix): this DERIVES the target from the α rule.
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val p = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("c"),
+        M.oracleRound(col("c").cast("double") / col("n"), 6).as("p"))
+    val byAlpha = p
+      .select(col("lang"), col("c"), col("p"),
+        explode(array(lit(0.2), lit(0.5), lit(1.0))).as("alpha"))
+      .withColumn("pa", pow(col("p"), col("alpha")))
+    val z = byAlpha.groupBy("alpha").agg(sum(col("pa")).as("z"))
+    byAlpha.join(z, "alpha")
+      .select(col("lang"), col("alpha"), col("c").as("n_docs"), col("p"),
+        M.oracleRound(col("pa") / col("z"), 4).as("w"),
+        M.oracleRound(col("pa") / col("z") / col("p"), 4).as("boost"))
+      .orderBy("lang", "alpha")
+  }
 }
