@@ -351,6 +351,7 @@ object SparkEntry {
     "q318_srt_roundtrip" -> (P.srtRoundtrip _),
     "q319_license_propagation" -> (P.licensePropagation _),
     "q320_temperature_mix" -> (P.temperatureMix _),
+    "q321_digest_diff" -> (C.digestDiff _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3849,6 +3850,36 @@ object SparkEntry {
         | round(b.pa / z.z / b.p, 4) AS boost
         |FROM b JOIN z ON b.alpha = z.alpha
         |ORDER BY b.lang, b.alpha""".stripMargin,
+    // Digest-localized snapshot diff: only buckets whose digest moved
+    "q321_digest_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        | FROM orders),
+        |merged AS (
+        | SELECT k, CASE WHEN k % 983 = 0 THEN 'U' ELSE st END AS st,
+        |  CASE WHEN k % 983 = 0 THEN c + 1000 ELSE c END AS c
+        | FROM base WHERE k % 977 <> 0
+        | UNION ALL
+        | SELECT k + 10000000, st, c FROM base WHERE k % 991 = 0),
+        |da AS (
+        | SELECT k % 64 AS bucket, count(*) AS rows_a,
+        |  sum(CAST(('0x' || substr(md5('o:' || k || ':' || st || ':' ||
+        |    c), 1, 10)) AS BIGINT)) AS dig_a
+        | FROM base GROUP BY 1),
+        |db AS (
+        | SELECT k % 64 AS bucket, count(*) AS rows_b,
+        |  sum(CAST(('0x' || substr(md5('o:' || k || ':' || st || ':' ||
+        |    c), 1, 10)) AS BIGINT)) AS dig_b
+        | FROM merged GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(coalesce(rows_a, 0) AS BIGINT) AS rows_a,
+        | CAST(coalesce(rows_b, 0) AS BIGINT) AS rows_b,
+        | CAST(coalesce(rows_b, 0) - coalesce(rows_a, 0) AS BIGINT)
+        |  AS row_delta
+        |FROM da FULL OUTER JOIN db USING (bucket)
+        |WHERE coalesce(dig_a, 0) <> coalesce(dig_b, 0)
+        |ORDER BY bucket""".stripMargin,
     // CCF at lags -7..+7 between the click and purchase daily counts
     "q255_ccf_daily" ->
       """WITH x AS (

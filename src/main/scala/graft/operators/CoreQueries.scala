@@ -3516,4 +3516,44 @@ object CoreQueries {
         pct(0.50, "p50_ms"), pct(0.95, "p95_ms"), pct(0.99, "p99_ms"),
         max(col("v")).as("max_ms"))
   }
+  // q321: snapshot diff BY DIGEST — q312's order-free bucket digests
+  // doing their actual job: digest the base orders snapshot and the
+  // q308-merged successor, join per bucket, and report ONLY the
+  // buckets whose digests moved (with row-count deltas). At 100 TB
+  // this is how two table versions compare without shipping either:
+  // 64 digest rows cross the wire, the changed-bucket list bounds the
+  // re-read. Every digest is an exact integer sum of 40-bit md5
+  // prefixes; the change classes here are deliberately SPARSE
+  // (%977 delete / %983 update / %991 insert — a realistic trickle,
+  // unlike q308's bulk merge) so the gate demonstrates the
+  // localization: most buckets' digests are untouched.
+  def digestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val merged = base.filter(col("k") % 977 =!= 0)
+      .select(col("k"),
+        when(col("k") % 983 === 0, lit("U")).otherwise(col("st")).as("st"),
+        when(col("k") % 983 === 0, col("c") + 1000).otherwise(col("c"))
+          .as("c"))
+      .unionByName(base.filter(col("k") % 991 === 0)
+        .select((col("k") + 10000000L).as("k"), col("st"), col("c")))
+    def digest(df: DataFrame, an: String, dn: String): DataFrame = df
+      .select(pmod(col("k"), lit(64)).as("bucket"),
+        T.md5Int(concat_ws(":", lit("o"), col("k"), col("st"), col("c")),
+          10).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(an), sum(col("h")).as(dn))
+    digest(base, "rows_a", "dig_a")
+      .join(digest(merged, "rows_b", "dig_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        coalesce(col("dig_a"), lit(0L)).as("dig_a"),
+        coalesce(col("dig_b"), lit(0L)).as("dig_b"))
+      .filter(col("dig_a") =!= col("dig_b"))
+      .select(col("bucket"), col("rows_a"), col("rows_b"),
+        (col("rows_b") - col("rows_a")).as("row_delta"))
+      .orderBy("bucket")
+  }
 }

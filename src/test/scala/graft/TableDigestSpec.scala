@@ -43,6 +43,25 @@ class TableDigestSpec extends AnyFunSuite {
     assert(root.head._3 == buckets.map(_._3).sum)
   }
 
+  test("q321: changed set is exactly the buckets the sparse trickle touches") {
+    val keys = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey").as[Long].collect()
+    val touched = keys.filter(k =>
+      k % 977 == 0 || k % 983 == 0 || k % 991 == 0)
+      .flatMap(k => Seq(k % 64) ++
+        (if (k % 991 == 0) Seq((k + 10000000L) % 64) else Nil)).toSet
+    val out = SparkEntry.queries("q321_digest_diff")(spark, dir)
+      .select("bucket", "row_delta").as[(Long, Long)].collect()
+    assert(out.map(_._1).toSet == touched,
+      s"changed buckets ${out.map(_._1).toSet} vs touched $touched")
+    assert(out.map(_._1).toSet.size < 64,
+      "the sparse trickle must leave most buckets untouched")
+    // net row delta across buckets = inserts - deletes
+    val inserts = keys.count(_ % 991 == 0)
+    val deletes = keys.count(_ % 977 == 0)
+    assert(out.map(_._2).sum == inserts - deletes)
+  }
+
   test("digest localizes a one-row change to exactly one bucket") {
     val rows = graft.sources.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
