@@ -3864,13 +3864,13 @@ object SparkEntry {
         | SELECT k + 10000000, st, c FROM base WHERE k % 991 = 0),
         |da AS (
         | SELECT k % 64 AS bucket, count(*) AS rows_a,
-        |  sum(CAST(('0x' || substr(md5('o:' || k || ':' || st || ':' ||
-        |    c), 1, 10)) AS BIGINT)) AS dig_a
+        |  CAST(sum(CAST(('0x' || substr(md5('o:' || k || ':' || st ||
+        |    ':' || c), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_a
         | FROM base GROUP BY 1),
         |db AS (
         | SELECT k % 64 AS bucket, count(*) AS rows_b,
-        |  sum(CAST(('0x' || substr(md5('o:' || k || ':' || st || ':' ||
-        |    c), 1, 10)) AS BIGINT)) AS dig_b
+        |  CAST(sum(CAST(('0x' || substr(md5('o:' || k || ':' || st ||
+        |    ':' || c), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_b
         | FROM merged GROUP BY 1)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         | CAST(coalesce(rows_a, 0) AS BIGINT) AS rows_a,
