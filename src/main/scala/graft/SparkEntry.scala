@@ -352,6 +352,7 @@ object SparkEntry {
     "q319_license_propagation" -> (P.licensePropagation _),
     "q320_temperature_mix" -> (P.temperatureMix _),
     "q321_digest_diff" -> (C.digestDiff _),
+    "q322_cohens_kappa" -> (P.cohensKappa _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3880,6 +3881,45 @@ object SparkEntry {
         |FROM da FULL OUTER JOIN db USING (bucket)
         |WHERE coalesce(dig_a, 0) <> coalesce(dig_b, 0)
         |ORDER BY bucket""".stripMargin,
+    // Cohen's kappa over the q26 classifier vs the label: one ratio
+    // of exact integer cross-products
+    "q322_cohens_kappa" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        | FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t),
+        |p AS (
+        | SELECT lang, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        |  WHEN s_fr >= s_pt THEN 'fr'
+        |  ELSE 'pt' END AS pred
+        | FROM s),
+        |c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT lang AS l, sum(n) AS rn FROM c GROUP BY 1),
+        |k AS (SELECT pred AS l, sum(n) AS cn FROM c GROUP BY 1),
+        |m AS (
+        | SELECT CAST(sum(coalesce(rn, 0) * coalesce(cn, 0)) AS BIGINT)
+        |   AS src
+        | FROM r FULL OUTER JOIN k USING (l)),
+        |d AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |       CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END)
+        |         AS BIGINT) AS sdiag FROM c)
+        |SELECT nn AS n_docs, sdiag AS n_agree,
+        | round(CAST(sdiag AS DOUBLE) / nn, 4) AS po,
+        | round(CAST(src AS DOUBLE) / (nn * nn), 4) AS pe,
+        | round(CAST(nn * sdiag - src AS DOUBLE)
+        |   / CAST(nn * nn - src AS DOUBLE), 4) AS kappa
+        |FROM d, m""".stripMargin,
     // CCF at lags -7..+7 between the click and purchase daily counts
     "q255_ccf_daily" ->
       """WITH x AS (

@@ -4395,4 +4395,39 @@ object PipelineQueries {
         M.oracleRound(col("pa") / col("z") / col("p"), 4).as("boost"))
       .orderBy("lang", "alpha")
   }
+  // q322: Cohen's kappa — the chance-corrected agreement statistic
+  // q317's confusion matrix feeds (annotation-quality 101: raw
+  // accuracy flatters any skewed label set; kappa subtracts the
+  // agreement two independent raters would reach by chance).
+  // "Rater A" is the lang label, "rater B" the q26 classifier.
+  // INTEGER-EXACT through the end: po·N = Σ diag, pe·N² = Σ row_l·col_l
+  // (exact long cross-products over the |langs|² cell frame), and
+  // κ = (po−pe)/(1−pe) restated as (N·Σdiag − Σrc)/(N² − Σrc) —
+  // one ratio of exact integers, no float fold anywhere. One classify
+  // pass + one keyed aggregate; everything after is micro-frame.
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rows = cells.groupBy(col("lang").as("l")).agg(sum("n").as("rn"))
+    val cols = cells.groupBy(col("pred").as("l")).agg(sum("n").as("cn"))
+    val margins = rows.join(cols, Seq("l"), "full_outer")
+      .select(coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      .agg(sum(col("rn") * col("cn")).as("src"))
+    val diag = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("lang") === col("pred"), col("n")).otherwise(0L))
+        .as("sdiag"))
+    diag.crossJoin(broadcast(margins))
+      .select(col("nn").as("n_docs"), col("sdiag").as("n_agree"),
+        M.oracleRound(col("sdiag").cast("double") / col("nn"), 4)
+          .as("po"),
+        M.oracleRound(col("src").cast("double") / (col("nn") * col("nn")),
+          4).as("pe"),
+        M.oracleRound(
+          (col("nn") * col("sdiag") - col("src")).cast("double") /
+            (col("nn") * col("nn") - col("src")).cast("double"), 4)
+          .as("kappa"))
+  }
 }

@@ -38,6 +38,35 @@ class IntradocLangidSpec extends AnyFunSuite {
     }
   }
 
+  test("q322: kappa matches a direct chance-corrected recompute") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "text").as[(String, String)].collect()
+    val profiles = graft.functions.TextFunctions.langProfiles
+    def pred(text: String): String = {
+      val toks = text.trim.toLowerCase match {
+        case "" => Array.empty[String]
+        case s => s.split("\\s+")
+      }
+      profiles.toSeq
+        .map { case (l, ws) => (-toks.count(ws.contains), l) }
+        .min._2
+    }
+    val pairs = docs.map(d => (d._1, pred(d._2)))
+    val n = pairs.length.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    val labels = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val src = labels.map { l =>
+      pairs.count(_._1 == l).toLong * pairs.count(_._2 == l)
+    }.sum
+    val kappa = (n * agree - src).toDouble / (n * n - src)
+    val round4 = (x: Double) => math.floor(x * 1e4 + 0.5) / 1e4
+    val got = SparkEntry.queries("q322_cohens_kappa")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == n && got._2 == agree)
+    assert(got._5 == round4(kappa), s"kappa ${got._5} vs $kappa")
+    assert(got._5 >= -1.0 && got._5 <= 1.0)
+  }
+
   test("q317: confusion matrix matches a direct recompute; rows partition labels") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("lang", "text").as[(String, String)].collect()
