@@ -353,6 +353,7 @@ object SparkEntry {
     "q320_temperature_mix" -> (P.temperatureMix _),
     "q321_digest_diff" -> (C.digestDiff _),
     "q322_cohens_kappa" -> (P.cohensKappa _),
+    "q323_range_native" -> (C.rangeClickViewNative _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2545,6 +2546,16 @@ object SparkEntry {
     // Range join: the oracle states the semantics directly as the
     // inequality join the banded plan is equivalent to.
     "q66_range_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        | c.us - v.us AS gap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
+    // the native band-join plan must produce exactly the q66 pairs
+    "q323_range_native" ->
       """WITH e AS (
         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
         |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,

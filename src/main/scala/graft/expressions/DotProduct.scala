@@ -108,8 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavPcmBytesDescriptor)
     ext.injectFunction(GraftExtensions.wavSegBytesDescriptor)
     ext.injectFunction(GraftExtensions.audioFpDescriptor)
-    // §7.3(c): whole-operator strategy for the native as-of join
+    // §7.3(c): whole-operator strategies for the native as-of join
+    // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BandStrategy)
   }
 }
 

@@ -3556,4 +3556,23 @@ object CoreQueries {
         (col("rows_b") - col("rows_a")).as("row_delta"))
       .orderBy("bucket")
   }
+  // q323: q66's click↔view band join through the NATIVE whole-operator
+  // plan ([[graft.plans.BandJoinNode]] — one hash shuffle + sort per
+  // side, then a single merge pass with a sliding band buffer; no
+  // 3×-explode row inflation, no post-filter). Same oracle as q66 —
+  // the two plans must produce identical pairs; the spec additionally
+  // pins row-identity against the composition on adversarial data.
+  def rangeClickViewNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("us").as("vus"))
+    graft.plans.RangeNative.bandJoin(clicks, views,
+        "user_id", "us", "vuser", "vus", gap = 1800000000L)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (col("us") - col("vus")).as("gap_us"))
+      .orderBy("click_id", "view_id")
+  }
 }

@@ -220,6 +220,64 @@ class AsofJoinSpec extends AnyFunSuite {
       s"expected exactly one shuffle per side:\n${plan.take(2000)}")
   }
 
+  test("native BandJoinExec is row-identical to the composition on adversarial data") {
+    // random band data plus deliberate edges: |dt| exactly == gap
+    // (inclusive), equal times, key gaps, one-side-only keys, and a
+    // dense same-time cluster (band buffer holds many rows)
+    val rng = new scala.util.Random(91)
+    val gap = 50L
+    val lefts = Seq.tabulate(250)(i =>
+      (i.toLong, 1L + rng.nextInt(5), rng.nextInt(400).toLong)) ++
+      Seq((800L, 7L, 100L), (801L, 7L, 150L),       // boundary: dt == gap
+        (810L, 8L, 5L)) ++                           // left-only key
+      Seq.tabulate(10)(i => (900L + i, 9L, 42L))     // same-time cluster
+    val rights = Seq.tabulate(250)(i =>
+      (1L + rng.nextInt(5), rng.nextInt(400).toLong, 5000L + i)) ++
+      Seq((7L, 50L, 9000L),                          // 100-50 == gap
+        (6L, 1L, 9100L)) ++                          // right-only key
+      Seq.tabulate(10)(i => (9L, 42L, 9200L + i))
+    val lDf = lefts.toDF("lid", "k", "t")
+    val rDf = rights.toDF("rk", "rt", "rv")
+    val native = graft.plans.RangeNative
+      .bandJoin(lDf, rDf, "k", "t", "rk", "rt", gap)
+      .select(col("lid"), col("rv"), col("rt"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val comp = graft.operators.RangeJoin.bandedRangeJoin(lDf,
+        rDf.withColumnRenamed("rk", "k").withColumnRenamed("rt", "rt2"),
+        Seq("k"), "t", "rt2", maxGap = gap)
+      .select(col("lid"), col("match.rv"), col("match.rt2"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native == comp,
+      s"native=${native.size} comp=${comp.size} " +
+        s"diff=${(native.toSet -- comp.toSet).take(5)} / " +
+        s"${(comp.toSet -- native.toSet).take(5)}")
+    assert(native.nonEmpty)
+    // boundary pair present (inclusive contract)
+    assert(native.contains((800L, 9000L, 50L)))
+    // physical shape: the custom exec with one shuffle per side
+    val plan = graft.plans.RangeNative
+      .bandJoin(lDf, rDf, "k", "t", "rk", "rt", gap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BandJoin"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly one shuffle per side:\n${plan.take(2000)}")
+  }
+
+  test("native band join: empty sides and null keys/times never match") {
+    val l = Seq((1L, Option(5L), Option(10L)), (2L, None, Option(10L)),
+      (3L, Option(5L), None)).toDF("lid", "k", "t")
+    val r = Seq((Option(5L), Option(8L), 42L), (None, Option(9L), 43L),
+      (Option(5L), None, 44L)).toDF("rk", "rt", "rv")
+    val out = graft.plans.RangeNative
+      .bandJoin(l, r, "k", "t", "rk", "rt", gap = 5L)
+      .select(col("lid"), col("rv")).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 42L)), s"got $out")
+    assert(graft.plans.RangeNative.bandJoin(l.where(lit(false)), r,
+      "k", "t", "rk", "rt", 5L).count() == 0L)
+    assert(graft.plans.RangeNative.bandJoin(l, r.where(lit(false)),
+      "k", "t", "rk", "rt", 5L).count() == 0L)
+  }
+
   test("native as-of: empty sides and null keys/times follow SQL semantics") {
     val l = Seq((1L, Option(5L), Option(10L)), (2L, None, Option(10L)),
       (3L, Option(5L), None)).toDF("lid", "k", "t")
