@@ -354,6 +354,9 @@ object SparkEntry {
     "q321_digest_diff" -> (C.digestDiff _),
     "q322_cohens_kappa" -> (P.cohensKappa _),
     "q323_range_native" -> (C.rangeClickViewNative _),
+    "q324_adamic_adar" -> (C.adamicAdar _),
+    "q325_scd2_build" -> (C.scd2Build _),
+    "q326_scd2_pit" -> (C.scd2PointInTime _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2564,6 +2567,102 @@ object SparkEntry {
         |JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+    // Adamic-Adar over the co-purchase graph: wedge enumeration with
+    // the same deg<=256 hub cap as the engine, existing edges anti-
+    // joined out, top-20 on the 4-dp-pinned score with (a,b) tiebreak
+    "q324_adamic_adar" ->
+      """WITH pp AS (
+        | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        | WHERE l_orderkey % 10 = 0),
+        |co AS (
+        | SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b
+        | FROM pp p1 JOIN pp p2 ON p1.l_orderkey = p2.l_orderkey
+        | WHERE p1.l_partkey < p2.l_partkey),
+        |adj AS (
+        | SELECT a AS z, b AS x FROM co
+        | UNION ALL SELECT b AS z, a AS x FROM co),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+        |mid AS (
+        | SELECT adj.z, adj.x, deg.deg FROM adj
+        | JOIN deg ON adj.z = deg.z WHERE deg.deg <= 256),
+        |wedges AS (
+        | SELECT m1.x AS a, m2.x AS b,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  sum(1.0 / ln(CAST(m1.deg AS DOUBLE))) AS aa_raw
+        | FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x
+        | GROUP BY 1, 2)
+        |SELECT w.a, w.b, w.n_common, round(w.aa_raw, 4) AS aa
+        |FROM wedges w
+        |LEFT JOIN co ON w.a = co.a AND w.b = co.b
+        |WHERE co.a IS NULL
+        |ORDER BY aa DESC, w.a, w.b LIMIT 20""".stripMargin,
+    // SCD2 build: per-user run collapse with (us, event_id) total
+    // order, then [valid_from, valid_to) versioning; NULL valid_to =
+    // current row
+    "q325_scd2_build" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  event_type AS state FROM events),
+        |b AS (
+        | SELECT user_id, event_id, us, state,
+        |  CASE WHEN lag(state) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) IS DISTINCT FROM state
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM e),
+        |r AS (
+        | SELECT user_id, us, state,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        | FROM b),
+        |v AS (
+        | SELECT user_id, version, min(state) AS state,
+        |  min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |  AS valid_to_us,
+        | n_events,
+        | CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    // PIT join: purchases look up the SCD2 state (non-purchase stream)
+    // effective at their timestamp; pre-first-state purchases → 'none';
+    // revenue cent-pinned per event then integer-summed
+    "q326_scd2_pit" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        | FROM events),
+        |b AS (
+        | SELECT user_id, event_id, us, event_type,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) IS DISTINCT FROM event_type
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM e WHERE event_type <> 'purchase'),
+        |r AS (
+        | SELECT user_id, us, event_type,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        | FROM b),
+        |dim AS (
+        | SELECT user_id, version, min(event_type) AS state,
+        |  min(us) AS from_us
+        | FROM r GROUP BY 1, 2),
+        |dim2 AS (
+        | SELECT user_id, version, state, from_us,
+        |  lead(from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |   AS to_us
+        | FROM dim),
+        |f AS (SELECT user_id, event_id, us, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT coalesce(d.state, 'none') AS state,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+        |  AS revenue_cents
+        |FROM f LEFT JOIN dim2 d
+        |  ON f.user_id = d.user_id AND d.from_us <= f.us
+        |  AND (d.to_us IS NULL OR f.us < d.to_us)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

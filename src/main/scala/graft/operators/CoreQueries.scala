@@ -3575,4 +3575,125 @@ object CoreQueries {
         (col("us") - col("vus")).as("gap_us"))
       .orderBy("click_id", "view_id")
   }
+
+  // q324: Adamic-Adar link prediction over the q92/q238 co-purchase
+  // graph — for each NON-adjacent pair sharing ≥1 neighbor,
+  // aa(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) (rare shared neighbors
+  // weigh more than hubs). Wedge enumeration joins the adjacency list
+  // with itself on the shared middle node z — cost Σ deg(z)², the
+  // same bound q238 accepts — with a deg(z) ≤ 256 hub cap (the q149
+  // df-cap discipline: a hub's 1/ln weight is noise, its quadratic
+  // fanout is the scale killer; the cap is load-bearing at 100 TB and
+  // mirrored verbatim in the oracle). Existing edges leave via one
+  // broadcast-able anti-join on the canonical (a<b) edge set; top-20
+  // by 4-dp-pinned score with (a,b) tiebreak so the LIMIT boundary is
+  // deterministic on both sides.
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint()
+    val adj = co.select(col("a").as("z"), col("b").as("x"))
+      .unionAll(co.select(col("b").as("z"), col("a").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val mid = adj.join(deg.filter(col("deg") <= 256), Seq("z"))
+    val wedges = mid
+      .join(mid.select(col("z"), col("x").as("y"), col("deg").as("d2")),
+        Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa_raw"))
+    wedges.join(co, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"),
+        M.oracleRound(col("aa_raw"), 4).as("aa"))
+      .orderBy(col("aa").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // q325: type-2 slowly-changing dimension build from the raw event
+  // change log — the warehouse-history primitive every star schema
+  // needs and none of the snapshot ops (q86 upsert, q91/q321 diffs,
+  // q205 CDC apply) covers: collapse each user's event-type stream
+  // into maximal runs, then version them with [valid_from, valid_to)
+  // effective ranges (valid_to NULL = current row). Two windows, BOTH
+  // partitioned by user_id (never global), with (us, event_id) as the
+  // total order so same-microsecond events collapse identically on
+  // both sides; everything after the run-collapse is one row per
+  // version. At 100 TB this is a single hash shuffle on user_id.
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("state"))
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          lag(col("state"), 1).over(w) =!= col("state"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val vw = Window.partitionBy("user_id").orderBy("version")
+    runs.groupBy(col("user_id"), col("version"))
+      .agg(first(col("state")).as("state"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(vw))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1).otherwise(0))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("state"), col("valid_from_us"), col("valid_to_us"),
+        col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  // q326: point-in-time (PIT) fact↔dimension join — each purchase
+  // event looks up the q325-style SCD2 state (built from the NON-
+  // purchase stream) effective at its timestamp: the training-data
+  // no-time-travel join (a feature row may only see dimension state
+  // that existed at label time — q220's split rule applied to joins).
+  // The interval probe is an equi-join on user_id plus the range
+  // predicate — keyed by user, never a band join — and purchases
+  // before the user's first state row surface as 'none' (left join),
+  // making the leakage-vs-coverage tradeoff visible. Revenue is
+  // cent-pinned per event THEN integer-summed, so the per-state sums
+  // are order-independent exact.
+  def scd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .localCheckpoint()
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val dim = e.filter(col("event_type") =!= "purchase")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("us")).as("from_us"))
+      .withColumn("to_us", lead(col("from_us"), 1)
+        .over(Window.partitionBy("user_id").orderBy("version")))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("f_user"), col("event_id"),
+        col("us").as("f_us"), col("value"))
+    facts.join(dim,
+        col("f_user") === dim("user_id") &&
+          col("from_us") <= col("f_us") &&
+          (col("to_us").isNull || col("f_us") < col("to_us")),
+        "left")
+      .select(col("f_user").as("user_id"),
+        coalesce(col("state"), lit("none")).as("state"),
+        col("value"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("state")
+  }
 }
