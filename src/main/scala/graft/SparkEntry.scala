@@ -357,6 +357,9 @@ object SparkEntry {
     "q324_adamic_adar" -> (C.adamicAdar _),
     "q325_scd2_build" -> (C.scd2Build _),
     "q326_scd2_pit" -> (C.scd2PointInTime _),
+    "q327_chao1_richness" -> (P.chao1Richness _),
+    "q328_skipgram_pmi" -> (P.skipgramPmi _),
+    "q329_stump_split" -> (P.stumpSplit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2663,6 +2666,97 @@ object SparkEntry {
         |  ON f.user_id = d.user_id AND d.from_us <= f.us
         |  AND (d.to_us IS NULL OR f.us < d.to_us)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Chao1 richness + Good-Turing coverage per language from the
+    // exact frequency-of-frequencies spectrum
+    "q327_chao1_richness" ->
+      """WITH t AS (
+        | SELECT lang, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |tc AS (
+        | SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT lang, unnest(a) AS term FROM t) GROUP BY 1, 2),
+        |sp AS (
+        | SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS v_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        | FROM tc GROUP BY 1)
+        |SELECT lang, n_tokens, v_types, f1, f2,
+        | round(v_types + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |   / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1,
+        | round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+        |  AS coverage
+        |FROM sp ORDER BY lang""".stripMargin,
+    // skip-gram (±3 window) PMI top-20, support >= 10; the oracle
+    // states the semantics as the naive positional self-join
+    "q328_skipgram_pmi" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |pos AS (
+        | SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS p
+        | FROM t),
+        |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT unnest(a) AS term FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uc),
+        |pc AS (
+        | SELECT CASE WHEN p1.w <= p2.w THEN p1.w ELSE p2.w END AS x,
+        |  CASE WHEN p1.w <= p2.w THEN p2.w ELSE p1.w END AS y,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+        |  AND p2.p > p1.p AND p2.p <= p1.p + 3
+        | GROUP BY 1, 2),
+        |pt AS (SELECT CAST(sum(c) AS BIGINT) AS pp FROM pc)
+        |SELECT pc.x, pc.y, pc.c AS n_pair,
+        | round(ln((CAST(pc.c AS DOUBLE) * nn * nn)
+        |   / (CAST(pp AS DOUBLE) * ux.n * uy.n)), 4) AS pmi
+        |FROM pc
+        |JOIN uc ux ON pc.x = ux.term
+        |JOIN uc uy ON pc.y = uy.term
+        |CROSS JOIN tot CROSS JOIN pt
+        |WHERE pc.c >= 10
+        |ORDER BY pmi DESC, pc.x, pc.y LIMIT 20""".stripMargin,
+    // decision stump over n_chars -> (lang = 'en'): 15 evenly spaced
+    // integer thresholds, weighted Gini with exact-integer numerators
+    "q329_stump_split" ->
+      """WITH d AS (
+        | SELECT n_chars,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM d),
+        |cands AS (
+        | SELECT CAST(range AS BIGINT) AS k,
+        |  CAST(mn + floor(CAST(range * (mx - mn) AS DOUBLE) / 16)
+        |    AS BIGINT) AS t
+        | FROM range(1, 16), mm),
+        |agg AS (
+        | SELECT k, t, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS pos,
+        |  CAST(sum(CASE WHEN n_chars <= t THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_l,
+        |  CAST(sum(CASE WHEN n_chars <= t THEN y ELSE 0 END) AS BIGINT)
+        |   AS pos_l
+        | FROM d CROSS JOIN cands GROUP BY 1, 2),
+        |g AS (
+        | SELECT k, t, n_l, pos_l, n - n_l AS n_r, pos - pos_l AS pos_r,
+        |  round(CAST(n_l * n_l - pos_l * pos_l
+        |     - (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+        |    / CAST(n * n_l AS DOUBLE)
+        |   + CAST((n - n_l) * (n - n_l)
+        |     - (pos - pos_l) * (pos - pos_l)
+        |     - ((n - n_l) - (pos - pos_l)) * ((n - n_l) - (pos - pos_l))
+        |      AS DOUBLE)
+        |    / CAST(n * (n - n_l) AS DOUBLE), 4) AS gini
+        | FROM agg WHERE n_l > 0 AND n - n_l > 0)
+        |SELECT k, t AS threshold, n_l AS n_left, pos_l AS pos_left,
+        | n_r AS n_right, pos_r AS pos_right, gini,
+        | CAST(CASE WHEN gini = (SELECT min(gini) FROM g)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_best
+        |FROM g ORDER BY k""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

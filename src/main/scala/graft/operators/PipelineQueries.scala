@@ -4430,4 +4430,125 @@ object PipelineQueries {
             (col("nn") * col("nn") - col("src")).cast("double"), 4)
           .as("kappa"))
   }
+
+  // q327: Chao1 species-richness + Good-Turing coverage per language —
+  // the "how much vocabulary have we NOT crawled yet" estimator that
+  // turns q152's empirical vocab-growth curve into a point estimate:
+  // chao1 = V + f1(f1−1)/(2(f2+1)) (bias-corrected form, defined even
+  // when no type occurs exactly twice) and coverage Ĉ = 1 − f1/N
+  // (Good-Turing: the probability mass of unseen types equals the
+  // singleton share). Rides the family-wide shared token stage; one
+  // (lang,term) aggregate then a languages-sized frame — the f1/f2
+  // spectrum needs exact counts (sketches can't see "exactly once"),
+  // which is why this is a second-moment aggregate, not an HLL probe.
+  def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    val tc = tokenArrays(s, dir)
+      .select(col("lang"), explode(col("a")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    tc.groupBy("lang").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("v_types"), col("f1"),
+        col("f2"),
+        M.oracleRound(col("v_types") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2) * (col("f2") + 1)).cast("double"), 4).as("chao1"),
+        M.oracleRound(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("coverage"))
+      .orderBy("lang")
+  }
+
+  // q328: skip-gram PMI — co-occurrence within a ±3-token window, the
+  // word2vec/GloVe counting stage that q98's adjacent-bigram PMI only
+  // skims. The pair stream is built INSIDE one array expression per
+  // document (nested transform over index sequences → ≤3N canonical
+  // (min,max) pairs), so there is no positional self-join and no
+  // per-position explode — one projection, one explode, one keyed
+  // aggregate; the oracle states the same semantics as the naive
+  // positional self-join. PMI = ln(c·N²/(P·n_x·n_y)) with the exact
+  // integer counts composed in one double expression written
+  // identically on both sides; support floor c ≥ 10 keeps the frame
+  // honest at any scale (rare-pair PMI is noise).
+  def skipgramPmi(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenArrays(s, dir)
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(a) - 1),
+          |  i -> transform(sequence(i + 1, least(i + 3, size(a))),
+          |    j -> named_struct(
+          |      'x', CASE WHEN element_at(a, i) <= element_at(a, j)
+          |           THEN element_at(a, i) ELSE element_at(a, j) END,
+          |      'y', CASE WHEN element_at(a, i) <= element_at(a, j)
+          |           THEN element_at(a, j) ELSE element_at(a, i) END))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = lowerToks(s, dir).groupBy("term")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.agg(sum("c").as("pp"))
+      .crossJoin(uni.agg(sum("n").as("nn")))
+    pairs.filter(col("c") >= 10)
+      .join(uni.select(col("term").as("x"), col("n").as("nx")), Seq("x"))
+      .join(uni.select(col("term").as("y"), col("n").as("ny")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("c").as("n_pair"),
+        M.oracleRound(log(
+          (col("c").cast("double") * col("nn") * col("nn")) /
+            (col("pp").cast("double") * col("nx") * col("ny"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
+  // q329: decision-stump split finder — the one-node CART that turns a
+  // numeric quality signal (n_chars) into a labeling rule for a class
+  // target (lang = 'en'): 15 evenly spaced integer thresholds between
+  // min and max, each scored by weighted Gini impurity. The candidate
+  // frame is 15 rows (broadcast); the corpus is read ONCE and every
+  // candidate's four counts come out of one map+keyed-aggregate pass
+  // (15 conditional sums per row — map-side combine makes this a
+  // constant-width partial aggregate at any scale, the histogram trick
+  // real tree learners use). Gini stays exact-integer in the
+  // numerators — num = n²−pos²−neg² per side — with one double
+  // division per side, written identically in the oracle.
+  def stumpSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val cands = d.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .select(explode(sequence(lit(1), lit(15))).as("k"),
+        col("mn"), col("mx"))
+      .select(col("k"),
+        (col("mn") + floor(
+          (col("k") * (col("mx") - col("mn"))).cast("double") / 16))
+          .cast("long").as("t"))
+    val agg = d.crossJoin(broadcast(cands))
+      .groupBy("k", "t")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        sum(when(col("n_chars") <= col("t"), 1L).otherwise(0L)).as("n_l"),
+        sum(when(col("n_chars") <= col("t"), col("y")).otherwise(0L))
+          .as("pos_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("pos_r", col("pos") - col("pos_l"))
+      .filter(col("n_l") > 0 && col("n_r") > 0)
+      .withColumn("gini", M.oracleRound(
+        (col("n_l") * col("n_l") - col("pos_l") * col("pos_l") -
+          (col("n_l") - col("pos_l")) * (col("n_l") - col("pos_l")))
+          .cast("double") / (col("n") * col("n_l")).cast("double") +
+        (col("n_r") * col("n_r") - col("pos_r") * col("pos_r") -
+          (col("n_r") - col("pos_r")) * (col("n_r") - col("pos_r")))
+          .cast("double") / (col("n") * col("n_r")).cast("double"), 4))
+      .localCheckpoint() // 15 rows; read twice below (min + flag)
+    agg.crossJoin(broadcast(agg.agg(min("gini").as("gmin"))))
+      .select(col("k"), col("t").as("threshold"),
+        col("n_l").as("n_left"), col("pos_l").as("pos_left"),
+        col("n_r").as("n_right"), col("pos_r").as("pos_right"),
+        col("gini"),
+        when(col("gini") === col("gmin"), 1).otherwise(0).as("is_best"))
+      .orderBy("k")
+  }
 }
