@@ -360,6 +360,9 @@ object SparkEntry {
     "q327_chao1_richness" -> (P.chao1Richness _),
     "q328_skipgram_pmi" -> (P.skipgramPmi _),
     "q329_stump_split" -> (P.stumpSplit _),
+    "q330_weighted_median" -> (C.weightedMedian _),
+    "q331_gumbel_maxima" -> (C.gumbelMaxima _),
+    "q332_jarque_bera" -> (C.jarqueBera _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2757,6 +2760,68 @@ object SparkEntry {
         | CAST(CASE WHEN gini = (SELECT min(gini) FROM g)
         |  THEN 1 ELSE 0 END AS INTEGER) AS is_best
         |FROM g ORDER BY k""".stripMargin,
+    // weighted median: smallest price whose running quantity-weight
+    // crosses half the group total (2*cum >= W, exact integers)
+    "q330_weighted_median" ->
+      """WITH b AS (
+        | SELECT l_returnflag, l_extendedprice AS v,
+        |  CAST(l_quantity AS BIGINT) AS w
+        | FROM lineitem),
+        |c AS (
+        | SELECT l_returnflag, v,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        | FROM b)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
+        | min(v) AS wmedian
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gumbel method-of-moments on the daily-max series + 30-day return
+    // level; mean/sd pinned to 6dp before the closed forms
+    "q331_gumbel_maxima" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, max(value) AS mx
+        | FROM events GROUP BY 1),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(mx), 6) AS mean_max,
+        |  round(stddev_samp(mx), 6) AS sd_max
+        | FROM daily)
+        |SELECT n_days, mean_max, sd_max,
+        | round(mean_max - 0.5772156649 * (sd_max * sqrt(6.0) / pi()), 4)
+        |  AS loc,
+        | round(sd_max * sqrt(6.0) / pi(), 4) AS scale,
+        | round((mean_max - 0.5772156649 * (sd_max * sqrt(6.0) / pi()))
+        |  - (sd_max * sqrt(6.0) / pi()) * ln(-ln(1.0 - 1.0 / 30)), 4)
+        |  AS rl30
+        |FROM m""".stripMargin,
+    // Jarque-Bera from raw central-moment sums around the 6dp-pinned
+    // mean; chi2(2) 5% critical value 5.991
+    "q332_jarque_bera" ->
+      """WITH mu AS (
+        | SELECT l_returnflag, round(avg(l_quantity), 6) AS mu
+        | FROM lineitem GROUP BY 1),
+        |s AS (
+        | SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum((l.l_quantity - mu.mu) * (l.l_quantity - mu.mu)) AS s2,
+        |  sum((l.l_quantity - mu.mu) * (l.l_quantity - mu.mu)
+        |    * (l.l_quantity - mu.mu)) AS s3,
+        |  sum((l.l_quantity - mu.mu) * (l.l_quantity - mu.mu)
+        |    * (l.l_quantity - mu.mu) * (l.l_quantity - mu.mu)) AS s4
+        | FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        | GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | round((s3 / n) / pow(s2 / n, 1.5), 4) AS skew,
+        | round((s4 / n) / pow(s2 / n, 2.0), 4) AS kurt,
+        | round(n / 6.0 * (pow((s3 / n) / pow(s2 / n, 1.5), 2.0)
+        |   + pow((s4 / n) / pow(s2 / n, 2.0) - 3.0, 2.0) / 4.0), 4)
+        |  AS jb,
+        | CAST(CASE WHEN round(n / 6.0 *
+        |    (pow((s3 / n) / pow(s2 / n, 1.5), 2.0)
+        |     + pow((s4 / n) / pow(s2 / n, 2.0) - 3.0, 2.0) / 4.0), 4)
+        |   > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS reject_normal
+        |FROM s ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -3696,4 +3696,95 @@ object CoreQueries {
         sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
       .orderBy("state")
   }
+
+  // q330: weighted median per group — the robust center the plain
+  // median (q50) cannot give when rows carry unequal mass (price
+  // weighted by shipped quantity here; at corpus scale: quality score
+  // weighted by token count). Selected value = the smallest price
+  // whose running weight crosses half the total (2·cum ≥ W, exact
+  // integers — no W/2 float). The pick is an EXISTING data value, so
+  // no rounding pin is needed, and it is tie-safe: equal prices give
+  // the same crossing value under any intra-tie cum order. One window
+  // per group key — partitioned by l_returnflag, never global.
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"))
+    val win = Window.partitionBy("l_returnflag")
+      .orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("w")).over(win))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("l_returnflag")))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("v")).as("wmedian"), max(col("tot")).as("total_w"))
+      .select(col("l_returnflag"), col("total_w"), col("wmedian"))
+      .orderBy("l_returnflag")
+  }
+
+  // q331: Gumbel fit on block maxima — extreme-value theory for the
+  // tail the moment panel (q67) and outlier scans (q219/q268) cannot
+  // extrapolate: the DAILY MAX event value per day is the block-maxima
+  // series; method-of-moments Gumbel params (scale = s·√6/π,
+  // loc = m − γ·scale, γ = Euler–Mascheroni) and the 30-day return
+  // level loc − scale·ln(−ln(1−1/30)) — "the value exceeded once a
+  // month". Daily max is exact (no float summation); mean/sd of the
+  // days-sized maxima frame are 6-dp-pinned BEFORE the closed forms so
+  // both sides derive params from identical doubles. Corpus-scale
+  // cost = one keyed max aggregate; everything after is days-sized.
+  def gumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("mx"))
+    daily.agg(count(lit(1)).as("n_days"),
+        M.oracleRound(avg(col("mx")), 6).as("mean_max"),
+        M.oracleRound(stddev_samp(col("mx")), 6).as("sd_max"))
+      .withColumn("scale",
+        M.oracleRound(col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi), 4))
+      .withColumn("loc",
+        M.oracleRound(col("mean_max") - lit(0.5772156649) *
+          (col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi)), 4))
+      .withColumn("rl30",
+        M.oracleRound(
+          (col("mean_max") - lit(0.5772156649) *
+            (col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi))) -
+          (col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi)) *
+            log(-log(lit(1.0) - lit(1.0) / 30)), 4))
+      .select("n_days", "mean_max", "sd_max", "loc", "scale", "rl30")
+  }
+
+  // q332: Jarque-Bera normality panel per group — the distribution-
+  // shape gate that says WHETHER the parametric tests upstream
+  // (q253 Welch, q254 ANOVA, q267 OLS t-stats) are even admissible:
+  // skewness and excess kurtosis from raw central-moment sums around
+  // the 6-dp-pinned mean (NOT the built-in skewness()/kurtosis() —
+  // their sample-adjustment conventions differ across engines), then
+  // JB = n/6·(S² + (K−3)²/4) with the χ²(2) 5% critical value 5.991
+  // as the reject line. One scan, one keyed aggregate of four sums.
+  def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(M.oracleRound(avg(col("l_quantity")), 6).as("mu"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(m), Seq("l_returnflag"))
+      .withColumn("d", col("l_quantity") - col("mu"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+      .withColumn("skew", M.oracleRound(
+        (col("s3") / col("n")) / pow(col("s2") / col("n"), 1.5), 4))
+      .withColumn("kurt", M.oracleRound(
+        (col("s4") / col("n")) / pow(col("s2") / col("n"), 2.0), 4))
+      .withColumn("jb", M.oracleRound(
+        col("n") / lit(6.0) *
+          (pow((col("s3") / col("n")) / pow(col("s2") / col("n"), 1.5), 2.0)
+            + pow((col("s4") / col("n")) / pow(col("s2") / col("n"), 2.0)
+                - 3.0, 2.0) / 4.0), 4))
+      .select(col("l_returnflag"), col("n"), col("skew"), col("kurt"),
+        col("jb"),
+        when(col("jb") > 5.991, 1).otherwise(0).as("reject_normal"))
+      .orderBy("l_returnflag")
+  }
 }
