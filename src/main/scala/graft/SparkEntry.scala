@@ -363,6 +363,9 @@ object SparkEntry {
     "q330_weighted_median" -> (C.weightedMedian _),
     "q331_gumbel_maxima" -> (C.gumbelMaxima _),
     "q332_jarque_bera" -> (C.jarqueBera _),
+    "q333_lang_overlap" -> (P.langVocabOverlap _),
+    "q334_wasserstein" -> (P.wassersteinLengths _),
+    "q335_markov_surprise" -> (C.markovSurprise _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2822,6 +2825,89 @@ object SparkEntry {
         |     + pow((s4 / n) / pow(s2 / n, 2.0) - 3.0, 2.0) / 4.0), 4)
         |   > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS reject_normal
         |FROM s ORDER BY 1""".stripMargin,
+    // pairwise per-language vocabulary Jaccard (distinct token sets,
+    // union by inclusion-exclusion)
+    "q333_lang_overlap" ->
+      """WITH t AS (
+        | SELECT lang, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |tc AS (SELECT DISTINCT lang, unnest(a) AS term FROM t),
+        |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz
+        |       FROM tc GROUP BY 1),
+        |inter AS (
+        | SELECT ta.lang AS la, tb.lang AS lb,
+        |  CAST(count(*) AS BIGINT) AS n_inter
+        | FROM tc ta JOIN tc tb
+        |  ON ta.term = tb.term AND ta.lang < tb.lang
+        | GROUP BY 1, 2)
+        |SELECT la, lb, sa.sz AS sa, sb.sz AS sb, n_inter,
+        | sa.sz + sb.sz - n_inter AS n_union,
+        | round(CAST(n_inter AS DOUBLE)
+        |   / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON inter.la = sa.lang
+        |JOIN sz sb ON inter.lb = sb.lang
+        |ORDER BY la, lb""".stripMargin,
+    // exact pairwise 1-D Wasserstein-1 between per-language n_chars
+    // distributions: integer numerator |cumA*nb - cumB*na|*gap, one
+    // double division at the end
+    "q334_wasserstein" ->
+      """WITH counts AS (
+        | SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY 1, 2),
+        |grid AS (
+        | SELECT l.lang, vv.v, coalesce(c.c, 0) AS c
+        | FROM (SELECT DISTINCT v FROM counts) vv
+        | CROSS JOIN (SELECT DISTINCT lang FROM counts) l
+        | LEFT JOIN counts c ON c.lang = l.lang AND c.v = vv.v),
+        |cum AS (
+        | SELECT lang, v,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(coalesce(lead(v) OVER (PARTITION BY lang ORDER BY v) - v,
+        |    0) AS BIGINT) AS gap
+        | FROM grid),
+        |tot AS (SELECT lang, CAST(max(cum) AS BIGINT) AS n
+        |        FROM cum GROUP BY 1)
+        |SELECT a.lang AS la, b.lang AS lb,
+        | CAST(max(ta.n) AS BIGINT) AS n_a, CAST(max(tb.n) AS BIGINT) AS n_b,
+        | round(CAST(sum(abs(a.cum * tb.n - b.cum * ta.n) * a.gap)
+        |    AS DOUBLE) / CAST(max(ta.n) * max(tb.n) AS DOUBLE), 4)
+        |  AS w1_chars
+        |FROM cum a
+        |JOIN cum b ON a.v = b.v AND a.lang < b.lang
+        |JOIN tot ta ON ta.lang = a.lang
+        |JOIN tot tb ON tb.lang = b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-user Markov surprise under the global Laplace-smoothed
+    // transition model; top-20 by pinned mean NLL, user_id tiebreak
+    "q335_markov_surprise" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS t
+        | FROM events),
+        |tr AS (
+        | SELECT user_id, lag(t) OVER (PARTITION BY user_id
+        |   ORDER BY us, event_id) AS prev, t
+        | FROM e QUALIFY prev IS NOT NULL),
+        |k AS (
+        | SELECT CAST(count(*) AS BIGINT) AS kk FROM (
+        |  SELECT t FROM tr UNION SELECT prev FROM tr)),
+        |m AS (
+        | SELECT prev, t, CAST(count(*) AS BIGINT) AS c_ij
+        | FROM tr GROUP BY 1, 2),
+        |ci AS (SELECT prev, CAST(count(*) AS BIGINT) AS c_i
+        |       FROM tr GROUP BY 1)
+        |SELECT tr.user_id, CAST(count(*) AS BIGINT) AS n_trans,
+        | round(sum(-ln(CAST(m.c_ij + 1 AS DOUBLE)
+        |   / CAST(ci.c_i + k.kk AS DOUBLE))) / count(*), 4) AS surprise
+        |FROM tr
+        |JOIN m ON tr.prev = m.prev AND tr.t = m.t
+        |JOIN ci ON tr.prev = ci.prev
+        |CROSS JOIN k
+        |GROUP BY 1
+        |ORDER BY surprise DESC, user_id LIMIT 20""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

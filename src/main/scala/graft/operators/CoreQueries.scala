@@ -3787,4 +3787,39 @@ object CoreQueries {
         when(col("jb") > 5.991, 1).otherwise(0).as("reject_normal"))
       .orderBy("l_returnflag")
   }
+
+  // q335: Markov surprise — per-user behavioral anomaly score from the
+  // event-type transition chain: fit the GLOBAL first-order transition
+  // model (Laplace-smoothed, p(j|i) = (c_ij+1)/(c_i+K) with K = the
+  // observed alphabet size), then score each user by the mean negative
+  // log-likelihood of their OWN transitions under it. q122 reports the
+  // chain; this turns it into the bot/fraud screen (a user whose
+  // transitions are globally rare floats to the top). Transition
+  // extraction is ONE user-partitioned lag window; the model is a
+  // K²-sized broadcast; scoring is map + user-keyed aggregate. Top-20
+  // by the 4-dp-pinned score with user_id tiebreak — a deterministic
+  // LIMIT boundary on both sides.
+  def markovSurprise(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("t"))
+      .localCheckpoint() // read 3x: model counts, row counts, scoring
+    val k = trans.select(col("t")).unionAll(trans.select(col("prev")))
+      .distinct().agg(count(lit(1)).as("kk"))
+    val model = trans.groupBy("prev", "t").agg(count(lit(1)).as("c_ij"))
+      .join(trans.groupBy("prev").agg(count(lit(1)).as("c_i")), Seq("prev"))
+      .crossJoin(broadcast(k))
+    trans.join(broadcast(model), Seq("prev", "t"))
+      .withColumn("nll", -log((col("c_ij") + 1).cast("double") /
+        (col("c_i") + col("kk")).cast("double")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"),
+        M.oracleRound(sum(col("nll")) / count(lit(1)), 4).as("surprise"))
+      .orderBy(col("surprise").desc, col("user_id"))
+      .limit(20)
+  }
 }

@@ -4551,4 +4551,80 @@ object PipelineQueries {
         when(col("gini") === col("gmin"), 1).otherwise(0).as("is_best"))
       .orderBy("k")
   }
+
+  // q333: pairwise language vocabulary overlap — the Jaccard of the
+  // per-language token SETS, the signal that explains q317's langid
+  // confusion matrix (languages misclassified into each other are
+  // exactly the ones sharing function words: es/pt both own 'de',
+  // 'que'...). One distinct (lang,term) aggregate off the shared
+  // token stage; the pair frame is |vocab| joined to itself on term
+  // with la < lb — keyed by term, candidates only, never lang×lang×
+  // vocab. Union size by inclusion-exclusion keeps it one pass.
+  def langVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tc = tokenArrays(s, dir)
+      .select(col("lang"), explode(col("a")).as("term"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = tc.groupBy("lang").agg(count(lit(1)).as("sz"))
+    val inter = tc.select(col("lang").as("la"), col("term"))
+      .join(tc.select(col("lang").as("lb"), col("term")), Seq("term"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("lang").as("la"), col("sz").as("sa")), Seq("la"))
+      .join(sizes.select(col("lang").as("lb"), col("sz").as("sb")), Seq("lb"))
+      .select(col("la"), col("lb"), col("sa"), col("sb"), col("n_inter"),
+        (col("sa") + col("sb") - col("n_inter")).as("n_union"),
+        M.oracleRound(col("n_inter").cast("double") /
+          (col("sa") + col("sb") - col("n_inter")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("la", "lb")
+  }
+
+  // q334: exact 1-D Wasserstein-1 (earth-mover) distance between the
+  // per-language document-length distributions — the transport-cost
+  // drift metric that sees HOW FAR mass moved where KS (q222) sees
+  // only the worst single gap and PSI (q233) only bin shares:
+  // W1 = Σ_v |F_a(v) − F_b(v)|·Δv over the merged support. Exact
+  // integers all the way: |cumA·n_b − cumB·n_a|·gap summed, ONE
+  // double division by n_a·n_b at the end. The support grid (distinct
+  // n_chars × 5 langs) is values-sized, so the per-lang cum windows
+  // run on a tiny frame by contract; the only corpus-sized step is
+  // the first (lang, n_chars) count.
+  def wassersteinLengths(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vals = counts.select("v").distinct()
+    val langs = counts.select("lang").distinct()
+    val grid = vals.crossJoin(langs)
+      .join(counts, Seq("lang", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("v")) - col("v"), lit(0L)))
+      .localCheckpoint() // support-grid-sized; read twice in the pair join
+    val totals = grid.groupBy("lang").agg(max("cum").as("n"))
+    val a = grid.join(totals, Seq("lang"))
+      .select(col("lang").as("la"), col("v"), col("cum").as("ca"),
+        col("n").as("na"), col("gap"))
+    val b = grid.join(totals, Seq("lang"))
+      .select(col("lang").as("lb"), col("v"), col("cum").as("cb"),
+        col("n").as("nb"))
+    a.join(b, Seq("v")).filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na")) * col("gap"))
+          .as("num"))
+      .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+        M.oracleRound(col("num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("w1_chars"))
+      .orderBy("la", "lb")
+  }
 }
