@@ -366,6 +366,9 @@ object SparkEntry {
     "q333_lang_overlap" -> (P.langVocabOverlap _),
     "q334_wasserstein" -> (P.wassersteinLengths _),
     "q335_markov_surprise" -> (C.markovSurprise _),
+    "q336_burrows_delta" -> (P.burrowsDelta _),
+    "q337_entropy_rate" -> (C.entropyRate _),
+    "q338_strat_ate" -> (C.stratifiedAte _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -2908,6 +2911,107 @@ object SparkEntry {
         |CROSS JOIN k
         |GROUP BY 1
         |ORDER BY surprise DESC, user_id LIMIT 20""".stripMargin,
+    // Burrows' Delta between sources over the top-30 corpus terms;
+    // relative frequencies 8-dp-pinned before the z-scores, zero-
+    // variance terms dropped, missing (term,source) cells = f 0
+    "q336_burrows_delta" ->
+      """WITH t AS (
+        | SELECT source, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |counts AS (
+        | SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT source, unnest(a) AS term FROM t) GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |           FROM counts GROUP BY 1),
+        |top AS (
+        | SELECT term FROM (
+        |  SELECT term, sum(c) AS ct FROM counts GROUP BY 1
+        |  ORDER BY ct DESC, term LIMIT 30)),
+        |grid AS (
+        | SELECT top.term, totals.source,
+        |  round(CAST(coalesce(c.c, 0) AS DOUBLE)
+        |    / CAST(totals.n_s AS DOUBLE), 8) AS f
+        | FROM top CROSS JOIN totals
+        | LEFT JOIN counts c
+        |  ON c.term = top.term AND c.source = totals.source),
+        |stats AS (
+        | SELECT term, round(avg(f), 8) AS mu,
+        |  round(stddev_samp(f), 8) AS sd
+        | FROM grid GROUP BY 1 HAVING round(stddev_samp(f), 8) > 0),
+        |z AS (
+        | SELECT g.term, g.source, (g.f - st.mu) / st.sd AS z
+        | FROM grid g JOIN stats st ON g.term = st.term)
+        |SELECT za.source AS sa, zb.source AS sb,
+        | CAST(count(*) AS BIGINT) AS n_terms,
+        | round(sum(abs(za.z - zb.z)) / count(*), 4) AS delta
+        |FROM z za JOIN z zb
+        | ON za.term = zb.term AND za.source < zb.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Markov-chain entropy rate: per-state conditional entropy rows
+    // (unsmoothed observed transitions) + a '__chain' total row
+    "q337_entropy_rate" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS t
+        | FROM events),
+        |tr AS (
+        | SELECT lag(t) OVER (PARTITION BY user_id
+        |   ORDER BY us, event_id) AS prev, t
+        | FROM e QUALIFY prev IS NOT NULL),
+        |c AS (SELECT prev, t, CAST(count(*) AS BIGINT) AS c_ij
+        |      FROM tr GROUP BY 1, 2),
+        |ci AS (SELECT prev, CAST(sum(c_ij) AS BIGINT) AS c_i
+        |       FROM c GROUP BY 1),
+        |h AS (
+        | SELECT c.prev AS state, ci.c_i,
+        |  sum(-(CAST(c.c_ij AS DOUBLE) / ci.c_i)
+        |    * ln(CAST(c.c_ij AS DOUBLE) / ci.c_i)) AS h_raw
+        | FROM c JOIN ci ON c.prev = ci.prev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c_i) AS BIGINT) AS nn FROM h)
+        |SELECT state, c_i AS n_from,
+        | round(CAST(c_i AS DOUBLE) / nn, 4) AS pi,
+        | round(h_raw, 4) AS h_nats
+        |FROM h CROSS JOIN tot
+        |UNION ALL
+        |SELECT '__chain', CAST(sum(c_i) AS BIGINT), 1.0,
+        | round(sum(CAST(c_i AS DOUBLE) / nn * h_raw), 4)
+        |FROM h CROSS JOIN tot
+        |ORDER BY state""".stripMargin,
+    // stratified ATE: per-nation arm contrasts weighted by stratum
+    // share; strata missing an arm drop; nation -1 = the overall row
+    "q338_strat_ate" ->
+      """WITH base AS (
+        | SELECT c.c_nationkey AS nation,
+        |  CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |   AS treat,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |s AS (
+        | SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(treat) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+        |   AS sy_t,
+        |  CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+        |   AS sy_c
+        | FROM base GROUP BY 1
+        | HAVING sum(treat) > 0 AND sum(treat) < count(*)),
+        |m AS (
+        | SELECT nation, n, n_t,
+        |  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100 AS mean_t,
+        |  CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE) / 100 AS mean_c
+        | FROM s),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM m)
+        |SELECT CAST(nation AS BIGINT) AS nation, n, n_t,
+        | round(mean_t, 4) AS mean_treat, round(mean_c, 4) AS mean_ctrl,
+        | round(mean_t - mean_c, 4) AS effect
+        |FROM m
+        |UNION ALL
+        |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_t) AS BIGINT),
+        | NULL, NULL,
+        | round(sum(CAST(n AS DOUBLE) / nn * (mean_t - mean_c)), 4)
+        |FROM m CROSS JOIN tot
+        |ORDER BY nation""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -3822,4 +3822,93 @@ object CoreQueries {
       .orderBy(col("surprise").desc, col("user_id"))
       .limit(20)
   }
+
+  // q337: entropy rate of the event-type Markov chain — ONE number
+  // for "how predictable is user behavior": H = Σ_i π_i·Σ_j −p_ij·ln
+  // p_ij with π the empirical source-state share and p the unsmoothed
+  // observed transition probabilities (only observed cells — p > 0 by
+  // construction, no smoothing needed since we never score unseen
+  // events here, unlike q335). Per-state conditional entropies ship
+  // as rows plus a '__chain' total row, so a drop in one state's
+  // entropy (a bot locking into view→view) is visible next to the
+  // global rate. Everything after the one lag-window transition
+  // extraction is K²-sized.
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "t").agg(count(lit(1)).as("c_ij"))
+      .localCheckpoint()
+    val perState = trans
+      .join(trans.groupBy("prev").agg(sum("c_ij").as("c_i")), Seq("prev"))
+      .groupBy(col("prev").as("state"), col("c_i"))
+      .agg(sum(-col("c_ij").cast("double") / col("c_i") *
+        log(col("c_ij").cast("double") / col("c_i"))).as("h_raw"))
+    val total = perState.agg(sum("c_i").as("nn"))
+    val rows = perState.crossJoin(broadcast(total))
+      .select(col("state"), col("c_i").as("n_from"),
+        M.oracleRound(col("c_i").cast("double") / col("nn"), 4).as("pi"),
+        M.oracleRound(col("h_raw"), 4).as("h_nats"),
+        (col("c_i").cast("double") / col("nn") * col("h_raw")).as("w"))
+    rows.select("state", "n_from", "pi", "h_nats")
+      .unionByName(rows.agg(sum("n_from").as("n_from"),
+          M.oracleRound(sum("w"), 4).as("h_nats"))
+        .select(lit("__chain").as("state"), col("n_from"),
+          lit(1.0).as("pi"), col("h_nats")))
+      .orderBy("state")
+  }
+
+  // q338: stratified ATE — the propensity-stratification estimator
+  // that closes the causal panel (q225 CUPED reduces variance, q229
+  // matches on covariates, q281 looks at quantiles; THIS one weights
+  // per-stratum arm contrasts by stratum share, the workhorse when
+  // treatment assignment is confounded by a discrete covariate).
+  // Treatment = BUILDING-segment customer, outcome = order total
+  // (cent-pinned exact), strata = nation. Per stratum: arm means from
+  // exact integer sums, contrast, weight n_s/N; strata missing an arm
+  // drop (no counterfactual) and the overall row reweights over the
+  // kept strata. One orders⋈customer broadcast join + one keyed
+  // aggregate; the stratum frame is 25 rows.
+  def stratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("treat"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), col("treat"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+    val strata = base.groupBy("nation")
+      .agg(count(lit(1)).as("n"),
+        sum("treat").as("n_t"),
+        sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(col("treat") === 0, col("y")).otherwise(0L)).as("sy_c"))
+      .filter(col("n_t") > 0 && col("n_t") < col("n"))
+      .withColumn("mean_t",
+        col("sy_t").cast("double") / col("n_t").cast("double") / 100)
+      .withColumn("mean_c", col("sy_c").cast("double") /
+        (col("n") - col("n_t")).cast("double") / 100)
+      .localCheckpoint() // 25 rows; reread for the overall reweight
+    val tot = strata.agg(sum("n").as("nn"))
+    val perStratum = strata.crossJoin(broadcast(tot))
+      .select(col("nation").cast("long").as("nation"), col("n"),
+        col("n_t"),
+        M.oracleRound(col("mean_t"), 4).as("mean_treat"),
+        M.oracleRound(col("mean_c"), 4).as("mean_ctrl"),
+        M.oracleRound(col("mean_t") - col("mean_c"), 4).as("effect"),
+        (col("n").cast("double") / col("nn") *
+          (col("mean_t") - col("mean_c"))).as("w"))
+    perStratum.select("nation", "n", "n_t", "mean_treat", "mean_ctrl",
+        "effect")
+      .unionByName(perStratum
+        .agg(sum("n").as("n"), sum("n_t").as("n_t"),
+          M.oracleRound(sum("w"), 4).as("effect"))
+        .select(lit(-1L).as("nation"), col("n"), col("n_t"),
+          lit(null).cast("double").as("mean_treat"),
+          lit(null).cast("double").as("mean_ctrl"), col("effect")))
+      .orderBy("nation")
+  }
 }

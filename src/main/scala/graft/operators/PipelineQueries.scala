@@ -4627,4 +4627,52 @@ object PipelineQueries {
           (col("n_a") * col("n_b")).cast("double"), 4).as("w1_chars"))
       .orderBy("la", "lb")
   }
+
+  // q336: Burrows' Delta — the stylometry distance used for authorship
+  // attribution and style-contamination forensics: take the top-30
+  // corpus terms (the function-word band), z-score each term's
+  // RELATIVE frequency across sources, and Delta(a,b) = mean |z_a −
+  // z_b| over the terms. A near-zero Delta between two "different"
+  // sources is the scraped-the-same-site tell that content dedup
+  // (q23/q30) misses when the texts differ but the style fingerprint
+  // doesn't. Per-term relative frequencies are 8-dp-pinned BEFORE the
+  // mean/std so both engines z-score identical doubles; terms with
+  // zero cross-source variance drop (z undefined). The frame after
+  // the one corpus-sized (source,term) count is top30 × sources.
+  def burrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenArrays(s, dir)
+      .select(col("source"), explode(col("a")).as("term"))
+    val counts = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
+    val top = counts.groupBy("term").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(30)
+      .select("term")
+    val freqs = counts.join(broadcast(top), Seq("term"))
+      .join(totals, Seq("source"))
+      .select(col("term"), col("source"),
+        M.oracleRound(col("c").cast("double") /
+          col("n_s").cast("double"), 8).as("f"))
+    // every (term, source) cell must exist: a source missing a top
+    // term is f = 0, not a missing row (else means/stds skew)
+    val grid = top.crossJoin(totals.select("source"))
+      .join(freqs, Seq("term", "source"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0.0)))
+    val stats = grid.groupBy("term")
+      .agg(M.oracleRound(avg("f"), 8).as("mu"),
+        M.oracleRound(stddev_samp(col("f")), 8).as("sd"))
+      .filter(col("sd") > 0)
+    val z = grid.join(broadcast(stats), Seq("term"))
+      .select(col("term"), col("source"),
+        ((col("f") - col("mu")) / col("sd")).as("z"))
+    z.select(col("term"), col("source").as("sa"), col("z").as("za"))
+      .join(z.select(col("term"), col("source").as("sb"),
+        col("z").as("zb")), Seq("term"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_terms"),
+        M.oracleRound(sum(abs(col("za") - col("zb"))) / count(lit(1)), 4)
+          .as("delta"))
+      .orderBy("sa", "sb")
+  }
 }
