@@ -662,6 +662,72 @@ object EventStreams {
         col("n_events"), col("decayed_sum"), col("freshness"))
   }
 
+  final case class Scd2Run(version: Long, typ: String, fromT: Long,
+      n: Long)
+  final case class Scd2State(pending: Seq[TransEvent], run: Option[Scd2Run])
+  final case class Scd2Version(user_id: Long, version: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming twin of the q325 SCD2 build: per user, collapse the
+    * event-type stream into maximal runs and emit a VERSION row the
+    * moment a run closes — i.e., when the first event of the NEXT run
+    * finalizes (watermark strictly past its time, the q89/transition
+    * finalization argument: no admissible late event can still land
+    * inside the closed run's interval or reorder its boundary). The
+    * still-open current run is deliberately NOT emitted — its
+    * valid_to is unknowable before end-of-stream — so the streaming
+    * surface is "all closed versions", the batch gate's is_current=0
+    * rows exactly (the funnel twin's documented boundary, applied to
+    * dimension history).
+    *
+    * State per user: the in-watermark pending buffer (replayed in
+    * (t, id) order, so disordered arrival within the delay is
+    * invisible and ties collapse identically to the batch total
+    * order) plus ONE open-run summary — O(users) once the watermark
+    * drains, never per-event. */
+  def scd2Stream(events: Dataset[TypedEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[Scd2State]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(Scd2State(Seq.empty, None))
+          val pending = st0.pending ++
+            it.map(e => TransEvent(e.ts.getTime, e.event_id, e.event_type))
+          val (ready, rest) = pending.partition(_.t < wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+          var run = st0.run
+          ready.sortBy(e => (e.t, e.id)).foreach { e =>
+            run = run match {
+              case Some(r) if r.typ == e.typ => Some(r.copy(n = r.n + 1))
+              case Some(r) =>
+                out += Scd2Version(uid, r.version, r.typ,
+                  new java.sql.Timestamp(r.fromT),
+                  new java.sql.Timestamp(e.t), r.n)
+                Some(Scd2Run(r.version + 1, e.typ, e.t, 1L))
+              case None => Some(Scd2Run(1L, e.typ, e.t, 1L))
+            }
+          }
+          val next = Scd2State(rest, run)
+          if (rest.isEmpty && run.isEmpty) state.remove()
+          else {
+            state.update(next)
+            // wake when the oldest pending event can finalize; a bare
+            // open run needs no timeout — it only closes when a
+            // different-type successor arrives
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(rest.map(_.t).min, wm) + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Per-user running totals via `mapGroupsWithState` — the custom-
     * state escape hatch for semantics windowed aggs can't express.
     * State is one `UserStat` per user, hash-partitioned by key. */
