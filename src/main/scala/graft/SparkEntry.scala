@@ -369,6 +369,9 @@ object SparkEntry {
     "q336_burrows_delta" -> (P.burrowsDelta _),
     "q337_entropy_rate" -> (C.entropyRate _),
     "q338_strat_ate" -> (C.stratifiedAte _),
+    "q339_hill_tail" -> (C.hillTail _),
+    "q340_rouge2_pairs" -> (P.rouge2Pairs _),
+    "q341_top_paths" -> (C.topPaths _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3012,6 +3015,85 @@ object SparkEntry {
         | round(sum(CAST(n AS DOUBLE) / nn * (mean_t - mean_c)), 4)
         |FROM m CROSS JOIN tot
         |ORDER BY nation""".stripMargin,
+    // Hill tail index on the top-100 order values vs the 101st
+    "q339_hill_tail" ->
+      """WITH r AS (
+        | SELECT o_totalprice,
+        |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |   AS rn
+        | FROM orders),
+        |xr AS (SELECT o_totalprice AS x_k1 FROM r WHERE rn = 101)
+        |SELECT CAST(count(*) AS BIGINT) AS k, max(x_k1) AS x_k1,
+        | round(sum(ln(o_totalprice / x_k1)), 4) AS sum_log,
+        | round(CAST(count(*) AS DOUBLE) / sum(ln(o_totalprice / x_k1)),
+        |  4) AS hill_alpha
+        |FROM r CROSS JOIN xr WHERE rn <= 100""".stripMargin,
+    // ROUGE-2 (distinct bigrams) per verified near-dup pair; same
+    // exact-Jaccard >= 0.7 pair semantics as q30, same trim/\s+
+    // tokenization, F = 2*I/(|a|+|b|)
+    "q340_rouge2_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+        | JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT ia AS id_a, ib AS id_b FROM (
+        |  SELECT ia, ib,
+        |   round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+        |       AS DOUBLE), 4) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = ia
+        |  JOIN sh y ON y.doc_id = ib) t
+        | WHERE jaccard >= 0.7),
+        |bi AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))
+        |  AS b
+        | FROM toks WHERE len(t) >= 2)
+        |SELECT id_a, id_b,
+        | CAST(len(x.b) AS BIGINT) AS n_bi_a,
+        | CAST(len(y.b) AS BIGINT) AS n_bi_b,
+        | CAST(len(list_intersect(x.b, y.b)) AS BIGINT) AS n_overlap,
+        | round(CAST(len(list_intersect(x.b, y.b)) AS DOUBLE)
+        |   / CAST(len(x.b) AS DOUBLE), 4) AS rouge2_p,
+        | round(CAST(len(list_intersect(x.b, y.b)) AS DOUBLE)
+        |   / CAST(len(y.b) AS DOUBLE), 4) AS rouge2_r,
+        | round(2.0 * CAST(len(list_intersect(x.b, y.b)) AS DOUBLE)
+        |   / CAST(len(x.b) + len(y.b) AS DOUBLE), 4) AS rouge2_f
+        |FROM pairs
+        |JOIN bi x ON x.doc_id = id_a
+        |JOIN bi y ON y.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    // top-15 first-four-event user paths, (n DESC, path) order
+    "q341_top_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS t
+        | FROM events),
+        |r AS (
+        | SELECT user_id, t,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS rn
+        | FROM e QUALIFY rn <= 4),
+        |p AS (
+        | SELECT user_id, concat_ws('>',
+        |  max(CASE WHEN rn = 1 THEN t END),
+        |  max(CASE WHEN rn = 2 THEN t END),
+        |  max(CASE WHEN rn = 3 THEN t END),
+        |  max(CASE WHEN rn = 4 THEN t END)) AS path
+        | FROM r GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

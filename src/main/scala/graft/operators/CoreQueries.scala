@@ -3911,4 +3911,66 @@ object CoreQueries {
           lit(null).cast("double").as("mean_ctrl"), col("effect")))
       .orderBy("nation")
   }
+
+  // q339: Hill tail-index estimator — the power-law exponent of the
+  // order-value upper tail from the top-k order statistics:
+  // α̂ = k / Σ_{i≤k} ln(x_i / x_(k+1)). q166 fits Zipf on token RANKS
+  // and q331 fits Gumbel on block maxima; Hill is the third tail
+  // tool — "how heavy is the spend distribution's tail" — and decides
+  // whether mean-based revenue projections are even finite-variance
+  // (α ≤ 2 ⇒ they are not). The top-(k+1) frame is selected by
+  // (value DESC, key) — a deterministic row set under ties on both
+  // sides — then everything is a 101-row micro-frame; at 100 TB the
+  // only corpus-sized step is the top-k selection, which Spark runs
+  // as per-partition partial top-k + a single merge, no global sort.
+  def hillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k + 1)
+      .localCheckpoint() // 101 rows; re-windowed below
+    val rn = top.coalesce(1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    val xref = rn.filter(col("rn") === k + 1)
+      .select(col("o_totalprice").as("x_k1"))
+    rn.filter(col("rn") <= k)
+      .crossJoin(broadcast(xref))
+      .agg(count(lit(1)).as("k"),
+        max(col("x_k1")).as("x_k1"),
+        sum(log(col("o_totalprice") / col("x_k1"))).as("slog"))
+      .select(col("k"), col("x_k1"),
+        M.oracleRound(col("slog"), 4).as("sum_log"),
+        M.oracleRound(col("k").cast("double") / col("slog"), 4)
+          .as("hill_alpha"))
+  }
+
+  // q341: top user paths — the first four event types per user in
+  // event-time order, concatenated into a path signature and ranked
+  // by user count: the product-analytics "how do sessions start"
+  // table (q96 proves ONE funnel; this DISCOVERS which funnels to
+  // prove). One user-partitioned window for the rank-≤4 prefix, one
+  // conditional-min pivot per step (no per-user sort-and-collect),
+  // one path-keyed count. Top-15 with (n DESC, path) — deterministic
+  // LIMIT boundary.
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1, col("t"))).as("s1"),
+        max(when(col("rn") === 2, col("t"))).as("s2"),
+        max(when(col("rn") === 3, col("t"))).as("s3"),
+        max(when(col("rn") === 4, col("t"))).as("s4"))
+    steps
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3"), col("s4"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(15)
+  }
 }

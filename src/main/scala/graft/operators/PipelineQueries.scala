@@ -4675,4 +4675,45 @@ object PipelineQueries {
           .as("delta"))
       .orderBy("sa", "sb")
   }
+
+  // q340: ROUGE-2 over the verified near-dup pairs — the summarization
+  // -eval overlap metric repurposed as a dedup POST-audit: the q30
+  // pair set says "Jaccard ≥ 0.7 on 3-shingles"; this reports what
+  // that means in bigram precision/recall/F per pair, the number a
+  // curation reviewer can read. Rides the shared LSH pair stage (the
+  // pair frame is near-dups-sized, tiny) and joins each side's
+  // distinct-bigram set built in one array expression — the only
+  // corpus-sized work is the bigram projection, keyed by the pair
+  // ids. Tokenization matches the shingle stage (trim, \s+, NO
+  // lowercase) so the metric audits exactly the pairs the dedup saw.
+  def rouge2Pairs(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))
+          |""".stripMargin).as("b"))
+    val pairs = nearDupPairs(s, dir).select("id_a", "id_b")
+    pairs
+      .join(bi.select(col("doc_id").as("id_a"), col("b").as("ba")),
+        Seq("id_a"))
+      .join(bi.select(col("doc_id").as("id_b"), col("b").as("bb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("ba")).cast("long").as("n_bi_a"),
+        size(col("bb")).cast("long").as("n_bi_b"),
+        size(array_intersect(col("ba"), col("bb"))).cast("long")
+          .as("n_overlap"))
+      .select(col("id_a"), col("id_b"), col("n_bi_a"), col("n_bi_b"),
+        col("n_overlap"),
+        M.oracleRound(col("n_overlap").cast("double") /
+          col("n_bi_a").cast("double"), 4).as("rouge2_p"),
+        M.oracleRound(col("n_overlap").cast("double") /
+          col("n_bi_b").cast("double"), 4).as("rouge2_r"),
+        M.oracleRound(lit(2.0) * col("n_overlap").cast("double") /
+          (col("n_bi_a") + col("n_bi_b")).cast("double"), 4)
+          .as("rouge2_f"))
+      .orderBy("id_a", "id_b")
+  }
 }
