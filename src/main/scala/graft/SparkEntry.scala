@@ -372,6 +372,9 @@ object SparkEntry {
     "q339_hill_tail" -> (C.hillTail _),
     "q340_rouge2_pairs" -> (P.rouge2Pairs _),
     "q341_top_paths" -> (C.topPaths _),
+    "q342_assoc_rules" -> (C.assocRules _),
+    "q343_rolling_slope" -> (C.rollingSlope _),
+    "q344_wilson_ci" -> (C.wilsonCi _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3094,6 +3097,100 @@ object SparkEntry {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY 1
         |ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
+    // association rules over the sampled baskets: support floor
+    // n_ab >= 2, top-20 by lift = n_ab*N/(n_a*n_b)
+    "q342_assoc_rules" ->
+      """WITH pp AS (
+        | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        | WHERE l_orderkey % 10 = 0),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nn
+        |       FROM pp),
+        |item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i
+        |         FROM pp GROUP BY 1),
+        |pairs AS (
+        | SELECT p1.l_partkey AS a, p2.l_partkey AS b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM pp p1 JOIN pp p2 ON p1.l_orderkey = p2.l_orderkey
+        | WHERE p1.l_partkey < p2.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        | round(CAST(n_ab AS DOUBLE) / nn, 4) AS support,
+        | round(CAST(n_ab AS DOUBLE) / ia.n_i, 4) AS conf_ab,
+        | round(CAST(n_ab AS DOUBLE) / ib.n_i, 4) AS conf_ba,
+        | round(CAST(n_ab * nn AS DOUBLE)
+        |   / CAST(ia.n_i * ib.n_i AS DOUBLE), 4) AS lift
+        |FROM pairs
+        |JOIN item ia ON pairs.a = ia.l_partkey
+        |JOIN item ib ON pairs.b = ib.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
+    // rolling 7-day OLS slope of the daily count: exact-integer
+    // numerator/denominator, one double division
+    "q343_rolling_slope" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |d AS (
+        | SELECT day, y,
+        |  CAST(day - DATE '2024-01-01' AS BIGINT) AS x
+        | FROM daily),
+        |w AS (
+        | SELECT day, y,
+        |  CAST(count(*) OVER win AS BIGINT) AS n,
+        |  CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |  CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |  CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) OVER win AS BIGINT) AS sxx
+        | FROM d
+        | WINDOW win AS (ORDER BY x ROWS BETWEEN 6 PRECEDING
+        |   AND CURRENT ROW))
+        |SELECT day, y AS n_events,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_7d
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
+    // Wilson 95% score interval per language for the q26 classifier
+    // accuracy; z = 1.96 written as the same literal product
+    "q344_wilson_ci" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        | FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t),
+        |p AS (
+        | SELECT lang, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        |  WHEN s_fr >= s_pt THEN 'fr'
+        |  ELSE 'pt' END AS pred
+        | FROM s),
+        |c AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS correct
+        | FROM p GROUP BY 1)
+        |SELECT lang, n, correct,
+        | round(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE), 4) AS acc,
+        | round((CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + 1.96 * 1.96 / (2.0 * n)
+        |    - 1.96 * sqrt(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)
+        |       * (1.0 - CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)))
+        |   / (1.0 + 1.96 * 1.96 / n), 4) AS wilson_lo,
+        | round((CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + 1.96 * 1.96 / (2.0 * n)
+        |    + 1.96 * sqrt(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)
+        |       * (1.0 - CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)))
+        |   / (1.0 + 1.96 * 1.96 / n), 4) AS wilson_hi
+        |FROM c ORDER BY lang""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -3526,7 +3623,7 @@ object SparkEntry {
         |       FROM t WHERE len(a) >= 2) x),
         |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM bg),
         |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
-        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
         |scored AS (
         | SELECT w1, w2, c_ab,
         |  round(ln((c_ab / m.m) / ((u1.c / n.n) * (u2.c / n.n))), 4) AS pmi

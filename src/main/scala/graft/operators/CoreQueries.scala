@@ -3973,4 +3973,106 @@ object CoreQueries {
       .orderBy(col("n_users").desc, col("path"))
       .limit(15)
   }
+
+  // q342: association rules over the sampled co-purchase baskets —
+  // q213 counts pairs, q92/q238 use them as graph edges; THIS emits
+  // the market-basket decision numbers: support, both directional
+  // confidences, and lift = n_ab·N/(n_a·n_b) (> 1 ⇔ positive
+  // association beyond popularity). Everything is exact integer
+  // counts composed in single-division double formulas; support
+  // floor n_ab ≥ 2 bounds the rule frame at any scale (rare-pair
+  // lift is noise — the q328 floor argument; 2 because the synthetic
+  // baskets top out at pair count 2 across ALL sf dirs); top-20 by
+  // pinned lift with (a,b) tiebreak.
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val nb = pp.select("l_orderkey").distinct().agg(count(lit(1)).as("nn"))
+    val item = pp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val pairs = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(item.select(col("l_partkey").as("a"), col("n_i").as("n_a")),
+        Seq("a"))
+      .join(item.select(col("l_partkey").as("b"), col("n_i").as("n_b")),
+        Seq("b"))
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        M.oracleRound(col("n_ab").cast("double") / col("nn"), 4)
+          .as("support"),
+        M.oracleRound(col("n_ab").cast("double") / col("n_a"), 4)
+          .as("conf_ab"),
+        M.oracleRound(col("n_ab").cast("double") / col("n_b"), 4)
+          .as("conf_ba"),
+        M.oracleRound((col("n_ab") * col("nn")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // q343: rolling 7-day OLS slope of the daily event count — q267
+  // fits ONE global trend; this emits the trend AS OF each day over
+  // its trailing week, the monitoring series a rollout dashboard
+  // plots. Exact integers end-to-end: x = day index, y = count, so
+  // slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is a ratio of exact longs, one
+  // double division, 4-dp pin. The daily frame is days-sized — the
+  // ordered window runs on a coalesce(1) micro-frame BY CONTRACT
+  // (q239's argument); the only corpus-sized step is the first keyed
+  // count.
+  def rollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .coalesce(1)
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.orderBy("x").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 7)
+      .select(col("day"), col("y").as("n_events"),
+        M.oracleRound(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4).as("slope_7d"))
+      .orderBy("day")
+  }
+
+  // q344: Wilson score intervals for the q26 langid accuracy per
+  // language — the eval-harness closer: q317 gives the confusion
+  // matrix, q322 the chance-corrected kappa; Wilson gives each
+  // per-class accuracy an HONEST small-n 95 % band (the normal
+  // approximation misbehaves exactly where eval slices get thin).
+  // z = 1.96 literal on both sides; all inputs exact integer counts,
+  // the closed form evaluated in one identical double expression.
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val z = 1.96
+    val agg = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("pred"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("correct"))
+    val p = col("correct").cast("double") / col("n").cast("double")
+    val denom = lit(1.0) + lit(z * z) / col("n")
+    val center = p + lit(z * z) / (lit(2.0) * col("n"))
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / col("n") +
+      lit(z * z) / (lit(4.0) * col("n") * col("n")))
+    agg.select(col("lang"), col("n"), col("correct"),
+        M.oracleRound(p, 4).as("acc"),
+        M.oracleRound((center - spread) / denom, 4).as("wilson_lo"),
+        M.oracleRound((center + spread) / denom, 4).as("wilson_hi"))
+      .orderBy("lang")
+  }
 }
