@@ -375,6 +375,9 @@ object SparkEntry {
     "q342_assoc_rules" -> (C.assocRules _),
     "q343_rolling_slope" -> (C.rollingSlope _),
     "q344_wilson_ci" -> (C.wilsonCi _),
+    "q345_gk_gamma" -> (C.gkGamma _),
+    "q346_fd_bins" -> (C.fdBins _),
+    "q347_subsample_probs" -> (P.subsampleProbs _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3191,6 +3194,70 @@ object SparkEntry {
         |      + 1.96 * 1.96 / (4.0 * n * n)))
         |   / (1.0 + 1.96 * 1.96 / n), 4) AS wilson_hi
         |FROM c ORDER BY lang""".stripMargin,
+    // Goodman-Kruskal gamma from the 10x10 equal-width contingency
+    // grid (cell cross-products, never the n^2 pair join)
+    "q345_gk_gamma" ->
+      """WITH base AS (
+        | SELECT o.o_totalprice AS x, c.c_acctbal AS y
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
+        |        min(y) AS ymn, max(y) AS ymx FROM base),
+        |cells AS (
+        | SELECT CAST(least(floor((x - xmn) * 10 / (xmx - xmn)), 9.0)
+        |    AS BIGINT) AS i,
+        |  CAST(least(floor((y - ymn) * 10 / (ymx - ymn)), 9.0)
+        |    AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM base CROSS JOIN mm GROUP BY 1, 2),
+        |cd AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN b.i > a.i AND b.j > a.j
+        |    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN b.i > a.i AND b.j < a.j
+        |    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+        | FROM cells a CROSS JOIN cells b)
+        |SELECT c AS concordant, d AS discordant,
+        | round(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 4)
+        |  AS gamma
+        |FROM cd""".stripMargin,
+    // Freedman-Diaconis bin design from exact interpolated quartiles;
+    // h and the ratio 6dp-pinned before the ceil
+    "q346_fd_bins" ->
+      """WITH a AS (
+        | SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+        |  min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        | FROM lineitem GROUP BY 1),
+        |h AS (
+        | SELECT *, round(2.0 * (q75 - q25) / pow(CAST(n AS DOUBLE),
+        |   1.0 / 3.0), 6) AS h
+        | FROM a)
+        |SELECT l_returnflag, n, q25, q75,
+        | round(q75 - q25, 4) AS iqr, h AS bin_width,
+        | CAST(ceil(round((mx - mn) / h, 6)) AS BIGINT) AS n_bins
+        |FROM h ORDER BY l_returnflag""".stripMargin,
+    // word2vec subsampling keep probabilities for the top-50 terms,
+    // t = 1e-3; frequencies pinned to 8dp before the closed form
+    "q347_subsample_probs" ->
+      """WITH toks AS (
+        | SELECT unnest(CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+        |  AS term
+        | FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |      FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c),
+        |top AS (
+        | SELECT term, c, round(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE),
+        |   8) AS f
+        | FROM c CROSS JOIN tot
+        | ORDER BY c DESC, term LIMIT 50)
+        |SELECT term, c AS n_term, f,
+        | round(least(1.0, (sqrt(f / 0.001) + 1.0) * (0.001 / f)), 4)
+        |  AS p_keep
+        |FROM top ORDER BY n_term DESC, term""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

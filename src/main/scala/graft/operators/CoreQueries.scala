@@ -4075,4 +4075,72 @@ object CoreQueries {
         M.oracleRound((center + spread) / denom, 4).as("wilson_hi"))
       .orderBy("lang")
   }
+
+  // q345: Goodman-Kruskal gamma between order value and the customer's
+  // account balance — ORDINAL association where Spearman/Kendall
+  // (q251/q252) work on raw ranks: gamma = (C−D)/(C+D) over
+  // concordant/discordant pairs, computed EXACTLY from the 10×10
+  // equal-width contingency grid (cell cross-products — never the n²
+  // pair join; the grid form is how gamma scales). Equal-width bins
+  // from exact min/max rather than ntile: ntile's tie placement is
+  // row-order-dependent and NOT reproducible across engines, the
+  // q310 lesson. Integer C and D, one double division.
+  def gkGamma(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice").as("x"), col("c_acctbal").as("y"))
+    val mm = base.agg(min("x").as("xmn"), max("x").as("xmx"),
+      min("y").as("ymn"), max("y").as("ymx"))
+    val cells = base.crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("x") - col("xmn")) * 10 /
+          (col("xmx") - col("xmn"))), lit(9.0)).cast("long").as("i"),
+        least(floor((col("y") - col("ymn")) * 10 /
+          (col("ymx") - col("ymn"))), lit(9.0)).cast("long").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤100 rows; self-joined below
+    val prods = cells.select(col("i").as("i1"), col("j").as("j1"),
+        col("n").as("n1"))
+      .crossJoin(cells.select(col("i").as("i2"), col("j").as("j2"),
+        col("n").as("n2")))
+    val cd = prods.agg(
+      sum(when(col("i2") > col("i1") && col("j2") > col("j1"),
+        col("n1") * col("n2")).otherwise(0L)).as("c"),
+      sum(when(col("i2") > col("i1") && col("j2") < col("j1"),
+        col("n1") * col("n2")).otherwise(0L)).as("d"))
+    cd.select(col("c").as("concordant"), col("d").as("discordant"),
+      M.oracleRound((col("c") - col("d")).cast("double") /
+        (col("c") + col("d")).cast("double"), 4).as("gamma"))
+  }
+
+  // q346: Freedman–Diaconis bin-width design — the histogram
+  // calculator that tells q72's fixed-width histogram what its width
+  // SHOULD be per group: h = 2·IQR/n^⅓ from the exact interpolated
+  // quartiles (Spark percentile() ≡ DuckDB quantile_cont, the q50
+  // equivalence), bin count = ceil(range/h) with BOTH h and the ratio
+  // 6-dp-pinned before the ceil so a last-ulp difference can never
+  // flip the integer. One group-keyed aggregate; design-table sized
+  // output.
+  def fdBins(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        M.oracleRound(expr("percentile(l_extendedprice, 0.25)"), 4)
+          .as("q25"),
+        M.oracleRound(expr("percentile(l_extendedprice, 0.75)"), 4)
+          .as("q75"),
+        min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+    agg
+      .withColumn("h", M.oracleRound(
+        lit(2.0) * (col("q75") - col("q25")) /
+          pow(col("n").cast("double"), 1.0 / 3.0), 6))
+      .select(col("l_returnflag"), col("n"), col("q25"), col("q75"),
+        M.oracleRound(col("q75") - col("q25"), 4).as("iqr"),
+        col("h").as("bin_width"),
+        ceil(M.oracleRound((col("mx") - col("mn")) / col("h"), 6))
+          .cast("long").as("n_bins"))
+      .orderBy("l_returnflag")
+  }
 }

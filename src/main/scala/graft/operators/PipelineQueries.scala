@@ -4716,4 +4716,29 @@ object PipelineQueries {
           .as("rouge2_f"))
       .orderBy("id_a", "id_b")
   }
+
+  // q347: word2vec subsampling table — Mikolov's keep probability
+  // p = min(1, (√(f/t)+1)·t/f) at t = 10⁻³ for the top-50 corpus
+  // terms: the discard schedule that downweights function words
+  // before embedding training, stated next to the frequencies it is
+  // computed from (q62 ranks the same head; this adds the training-
+  // time consequence). Rides the shared token stage; one keyed count
+  // + a 50-row head. Frequencies 8-dp-pinned before the closed form
+  // so both engines transform identical doubles.
+  def subsampleProbs(s: SparkSession, dir: String): DataFrame = {
+    val t = 1e-3
+    val counts = lowerToks(s, dir).groupBy("term")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = counts.agg(sum("c").as("nn"))
+    counts.crossJoin(broadcast(total))
+      .orderBy(col("c").desc, col("term")).limit(50)
+      .withColumn("f", M.oracleRound(
+        col("c").cast("double") / col("nn").cast("double"), 8))
+      .select(col("term"), col("c").as("n_term"), col("f"),
+        M.oracleRound(least(lit(1.0),
+          (sqrt(col("f") / t) + 1.0) * (lit(t) / col("f"))), 4)
+          .as("p_keep"))
+      .orderBy(col("n_term").desc, col("term"))
+  }
 }
