@@ -378,6 +378,9 @@ object SparkEntry {
     "q345_gk_gamma" -> (C.gkGamma _),
     "q346_fd_bins" -> (C.fdBins _),
     "q347_subsample_probs" -> (P.subsampleProbs _),
+    "q348_kripp_alpha" -> (P.krippAlpha _),
+    "q349_fightin_words" -> (P.fightinWords _),
+    "q350_mcnemar" -> (P.mcnemarTest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3258,6 +3261,82 @@ object SparkEntry {
         | round(least(1.0, (sqrt(f / 0.001) + 1.0) * (0.001 / f)), 4)
         |  AS p_keep
         |FROM top ORDER BY n_term DESC, term""".stripMargin,
+    // Krippendorff's nominal alpha for the lang label vs the q26
+    // classifier, coincidence-matrix form from the confusion cells
+    "q348_kripp_alpha" ->
+      (s"""WITH $langidPredCtes,
+        |cc AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+        |       FROM lp GROUP BY 1, 2),
+        |nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_units FROM cc),
+        |dis AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS disagree
+        |        FROM cc WHERE lang <> pred),
+        |marg AS (
+        | SELECT v, CAST(sum(n) AS BIGINT) AS n_v FROM (
+        |  SELECT lang AS v, n FROM cc
+        |  UNION ALL SELECT pred AS v, n FROM cc) GROUP BY 1),
+        |sq AS (SELECT CAST(sum(n_v * n_v) AS BIGINT) AS s2,
+        |        CAST(sum(n_v) AS BIGINT) AS s1 FROM marg)
+        |SELECT n_units, disagree AS n_disagree,
+        | round(CAST(disagree AS DOUBLE) / n_units, 4) AS d_obs,
+        | round(CAST(s1 * s1 - s2 AS DOUBLE)
+        |   / CAST(s1 * (s1 - 1) AS DOUBLE), 4) AS d_exp,
+        | round(1.0 - (CAST(disagree AS DOUBLE) / n_units)
+        |   / (CAST(s1 * s1 - s2 AS DOUBLE)
+        |      / CAST(s1 * (s1 - 1) AS DOUBLE)), 4) AS alpha
+        |FROM nu CROSS JOIN dis CROSS JOIN sq""".stripMargin),
+    // Monroe et al. log-odds with informative Dirichlet prior, es vs
+    // fr, alpha0 = 100, top-20 by |z|
+    "q349_fightin_words" ->
+      """WITH t AS (
+        | SELECT lang, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents WHERE lang IN ('es', 'fr')),
+        |c AS (
+        | SELECT term,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS y1,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS y2
+        | FROM (SELECT lang, unnest(a) AS term FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(y1) AS BIGINT) AS n1,
+        |         CAST(sum(y2) AS BIGINT) AS n2 FROM c),
+        |w AS (
+        | SELECT term, y1, y2, n1, n2,
+        |  round(100.0 * CAST(y1 + y2 AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE), 8) AS aw
+        | FROM c CROSS JOIN tot),
+        |z AS (
+        | SELECT term, y1, y2,
+        |  ln((y1 + aw) / (n1 + 100.0 - y1 - aw))
+        |   - ln((y2 + aw) / (n2 + 100.0 - y2 - aw)) AS d,
+        |  1.0 / (y1 + aw) + 1.0 / (y2 + aw) AS v
+        | FROM w)
+        |SELECT term, y1 AS n_es, y2 AS n_fr,
+        | round(d, 4) AS delta, round(d / sqrt(v), 4) AS zeta
+        |FROM z
+        |ORDER BY abs(round(d / sqrt(v), 4)) DESC, term LIMIT 20""".stripMargin,
+    // McNemar continuity-corrected chi-square: q26 classifier vs the
+    // majority-class baseline on the same documents
+    "q350_mcnemar" ->
+      (s"""WITH $langidPredCtes,
+        |mj AS (
+        | SELECT lang AS base_pred FROM lp
+        | GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1),
+        |bc AS (
+        | SELECT max(base_pred) AS baseline,
+        |  CAST(sum(CASE WHEN pred = lang AND base_pred <> lang
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN pred <> lang AND base_pred = lang
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c
+        | FROM lp CROSS JOIN mj)
+        |SELECT baseline, b, c,
+        | round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |   / CAST(b + c AS DOUBLE), 4) AS chi2,
+        | CAST(CASE WHEN CAST((abs(b - c) - 1) * (abs(b - c) - 1)
+        |     AS DOUBLE) / CAST(b + c AS DOUBLE) > 3.841
+        |  THEN 1 ELSE 0 END AS INTEGER) AS significant
+        |FROM bc""".stripMargin),
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -8330,6 +8409,31 @@ object SparkEntry {
   /** q54/q94 shared session CTEs: 30-min-gap sessionization down to
     * one `sess(user_id, session_id, n_events, session_value, start_us,
     * end_us)` row per session. */
+  /** The q26 langid classifier as doc-level (lang, pred) rows — the
+    * CTE block q322/q344 inline, shared by the q348/q350 eval oracles.
+    * Emitted WITHOUT the leading WITH. */
+  private val langidPredCtes: String =
+    """lt AS (
+      | SELECT doc_id, lang,
+      |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      | FROM documents),
+      |ls AS (SELECT doc_id, lang,
+      | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+      | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+      | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+      | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+      | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+      | FROM lt),
+      |lp AS (
+      | SELECT lang, CASE
+      |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+      |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+      |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+      |  WHEN s_fr >= s_pt THEN 'fr'
+      |  ELSE 'pt' END AS pred
+      | FROM ls)""".stripMargin
+
   private val sessionCtes: String =
     """e AS (
       | SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),

@@ -4741,4 +4741,114 @@ object PipelineQueries {
           .as("p_keep"))
       .orderBy(col("n_term").desc, col("term"))
   }
+
+  // q348: Krippendorff's alpha (nominal, two raters: the lang label vs
+  // the q26 classifier) — the reliability coefficient that remains
+  // comparable when q322's kappa does not (alpha generalizes across
+  // rater counts/metrics and corrects for small samples via the
+  // 2n(2n−1) pairing). Coincidence-matrix formulation computed
+  // entirely from the K² confusion cells: o_vw = c(v,w)+c(w,v),
+  // value marginals n_v, D_o = Σ_{v≠w} o_vw / 2n,
+  // D_e = Σ_{v≠w} n_v·n_w / (2n(2n−1)) — exact integer numerators,
+  // one division each, alpha = 1 − D_o/D_e. One classify pass + one
+  // keyed aggregate; all else is micro-frame.
+  def krippAlpha(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = cells.agg(sum("n").as("n_units"))
+    val offDiag = cells.filter(col("lang") =!= col("pred"))
+      .agg(coalesce(sum("n"), lit(0L)).as("disagree"))
+    val marg = cells.select(col("lang").as("v"), col("n"))
+      .unionAll(cells.select(col("pred").as("v"), col("n")))
+      .groupBy("v").agg(sum("n").as("n_v"))
+    val sq = marg.agg(sum(col("n_v") * col("n_v")).as("s2"),
+      sum(col("n_v")).as("s1"))
+    n.crossJoin(broadcast(offDiag)).crossJoin(broadcast(sq))
+      .select(col("n_units"),
+        col("disagree").as("n_disagree"),
+        // D_o = 2*disagree/(2n) = disagree/n (each disagreeing unit
+        // contributes o_vw + o_wv = 2 of the 2n pairable values)
+        M.oracleRound(col("disagree").cast("double") / col("n_units"), 4)
+          .as("d_obs"),
+        // Σ_{v≠w} n_v n_w = s1² − s2, over 2n(2n−1)
+        M.oracleRound((col("s1") * col("s1") - col("s2")).cast("double") /
+          (col("s1") * (col("s1") - 1)).cast("double"), 4).as("d_exp"),
+        M.oracleRound(lit(1.0) -
+          (col("disagree").cast("double") / col("n_units")) /
+            ((col("s1") * col("s1") - col("s2")).cast("double") /
+              (col("s1") * (col("s1") - 1)).cast("double")), 4)
+          .as("alpha"))
+  }
+
+  // q349: "fightin' words" — Monroe/Colaresi/Quinn log-odds with an
+  // informative Dirichlet prior between two confusable subcorpora
+  // (es vs fr, the Romance pair in this corpus's label set):
+  // per term, δ = ln-odds difference with prior α_w = α₀·p_w (α₀ =
+  // 100, p_w the corpus share), z = δ/√(1/(y₁+α) + 1/(y₂+α)). The
+  // principled replacement for raw TF-IDF contrast when one side is
+  // smaller — the prior shrinks rare-term z toward 0. Top-20 by
+  // pinned |z| with term tiebreak; everything from exact integer
+  // counts through one identically-written double expression.
+  def fightinWords(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenArrays(s, dir)
+      .filter(col("lang").isin("es", "fr"))
+      .select(col("lang"), explode(col("a")).as("term"))
+    val counts = toks.groupBy("term")
+      .agg(sum(when(col("lang") === "es", 1L).otherwise(0L)).as("y1"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("y2"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("y1").as("n1"), sum("y2").as("n2"))
+    val a0 = 100.0
+    val withTot = counts.crossJoin(broadcast(tot))
+      .withColumn("aw", M.oracleRound(
+        lit(a0) * (col("y1") + col("y2")).cast("double") /
+          (col("n1") + col("n2")).cast("double"), 8))
+    val d = (log((col("y1") + col("aw")) /
+        (col("n1") + lit(a0) - col("y1") - col("aw"))) -
+      log((col("y2") + col("aw")) /
+        (col("n2") + lit(a0) - col("y2") - col("aw"))))
+    val v = lit(1.0) / (col("y1") + col("aw")) +
+      lit(1.0) / (col("y2") + col("aw"))
+    withTot
+      .select(col("term"), col("y1").as("n_es"), col("y2").as("n_fr"),
+        M.oracleRound(d, 4).as("delta"),
+        M.oracleRound(d / sqrt(v), 4).as("zeta"))
+      .orderBy(abs(col("zeta")).desc, col("term"))
+      .limit(20)
+  }
+
+  // q350: McNemar's paired test — does the q26 classifier beat the
+  // majority-class baseline ON THE SAME documents? Unpaired accuracy
+  // comparison wastes the pairing; McNemar uses only the discordant
+  // counts b (model right, baseline wrong) and c (reverse):
+  // χ² = (|b−c|−1)²/(b+c), continuity-corrected, 1 df, reject at
+  // 3.841. The baseline (most frequent lang, ties alphabetical) is a
+  // 1-row broadcast; one classify pass, one aggregate of two
+  // conditional sums.
+  def mcnemarTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("pred"))
+      .localCheckpoint()
+    val majority = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang")).limit(1)
+      .select(col("lang").as("base_pred"))
+    val bc = docs.crossJoin(broadcast(majority))
+      .agg(
+        sum(when(col("pred") === col("lang") &&
+          col("base_pred") =!= col("lang"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("pred") =!= col("lang") &&
+          col("base_pred") === col("lang"), 1L).otherwise(0L)).as("c"),
+        first(col("base_pred")).as("baseline"))
+    bc.select(col("baseline"), col("b"), col("c"),
+        M.oracleRound(
+          ((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1))
+            .cast("double") / (col("b") + col("c")).cast("double"), 4)
+          .as("chi2"),
+        when(((abs(col("b") - col("c")) - 1) *
+          (abs(col("b") - col("c")) - 1)).cast("double") /
+          (col("b") + col("c")).cast("double") > 3.841, 1).otherwise(0)
+          .as("significant"))
+  }
 }
