@@ -381,6 +381,9 @@ object SparkEntry {
     "q348_kripp_alpha" -> (P.krippAlpha _),
     "q349_fightin_words" -> (P.fightinWords _),
     "q350_mcnemar" -> (P.mcnemarTest _),
+    "q351_perm_entropy" -> (C.permEntropy _),
+    "q352_ljung_box" -> (C.ljungBox _),
+    "q353_runs_test" -> (C.runsTest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3337,6 +3340,111 @@ object SparkEntry {
         |     AS DOUBLE) / CAST(b + c AS DOUBLE) > 3.841
         |  THEN 1 ELSE 0 END AS INTEGER) AS significant
         |FROM bc""".stripMargin),
+    // order-3 permutation entropy of the daily count series,
+    // <=-convention tie ranks, normalized by ln 6
+    "q351_perm_entropy" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |trip AS (
+        | SELECT x,
+        |  lead(x, 1) OVER (ORDER BY day) AS b,
+        |  lead(x, 2) OVER (ORDER BY day) AS c
+        | FROM daily QUALIFY c IS NOT NULL),
+        |pats AS (
+        | SELECT (CASE WHEN x <= b THEN 4 ELSE 0 END
+        |   + CASE WHEN b <= c THEN 2 ELSE 0 END
+        |   + CASE WHEN x <= c THEN 1 ELSE 0 END) AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM trip GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(count(*) AS BIGINT) AS n_patterns FROM pats)
+        |SELECT nn AS n_windows, n_patterns,
+        | round(sum(-(CAST(n AS DOUBLE) / nn)
+        |   * ln(CAST(n AS DOUBLE) / nn)), 4) AS h_nats,
+        | round(sum(-(CAST(n AS DOUBLE) / nn)
+        |   * ln(CAST(n AS DOUBLE) / nn)) / ln(6.0), 4) AS h_norm
+        |FROM pats CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+    // Ljung-Box Q at lags 1..7 over the daily counts; r_k pinned 6dp,
+    // chi2(7) 5% critical value 14.067
+    "q352_ljung_box" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |m AS (SELECT round(avg(x), 6) AS m FROM daily),
+        |dev AS (
+        | SELECT day, x - m.m AS d FROM daily CROSS JOIN m),
+        |lagged AS (
+        | SELECT d,
+        |  lag(d, 1) OVER (ORDER BY day) AS d1,
+        |  lag(d, 2) OVER (ORDER BY day) AS d2,
+        |  lag(d, 3) OVER (ORDER BY day) AS d3,
+        |  lag(d, 4) OVER (ORDER BY day) AS d4,
+        |  lag(d, 5) OVER (ORDER BY day) AS d5,
+        |  lag(d, 6) OVER (ORDER BY day) AS d6,
+        |  lag(d, 7) OVER (ORDER BY day) AS d7
+        | FROM dev),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n, sum(d * d) AS den,
+        |  sum(d * d1) AS num1, sum(d * d2) AS num2, sum(d * d3) AS num3,
+        |  sum(d * d4) AS num4, sum(d * d5) AS num5, sum(d * d6) AS num6,
+        |  sum(d * d7) AS num7
+        | FROM lagged),
+        |r AS (
+        | SELECT n,
+        |  round(num1 / den, 6) AS r1, round(num2 / den, 6) AS r2,
+        |  round(num3 / den, 6) AS r3, round(num4 / den, 6) AS r4,
+        |  round(num5 / den, 6) AS r5, round(num6 / den, 6) AS r6,
+        |  round(num7 / den, 6) AS r7
+        | FROM s),
+        |q AS (
+        | SELECT n,
+        |  (r1 * r1 / CAST(n - 1 AS DOUBLE)
+        |   + r2 * r2 / CAST(n - 2 AS DOUBLE)
+        |   + r3 * r3 / CAST(n - 3 AS DOUBLE)
+        |   + r4 * r4 / CAST(n - 4 AS DOUBLE)
+        |   + r5 * r5 / CAST(n - 5 AS DOUBLE)
+        |   + r6 * r6 / CAST(n - 6 AS DOUBLE)
+        |   + r7 * r7 / CAST(n - 7 AS DOUBLE))
+        |   * CAST(n AS DOUBLE) * (n + 2) AS qv
+        | FROM r)
+        |SELECT n AS n_days, round(qv, 4) AS q_stat,
+        | CAST(7 AS INTEGER) AS df,
+        | CAST(CASE WHEN qv > 14.067 THEN 1 ELSE 0 END AS INTEGER)
+        |  AS reject_white
+        |FROM q""".stripMargin,
+    // Wald-Wolfowitz runs test vs the 6dp-pinned median; equal days
+    // drop; z from the exact closed form
+    "q353_runs_test" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |med AS (SELECT round(quantile_cont(x, 0.5), 6) AS med
+        |        FROM daily),
+        |f AS (
+        | SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+        | FROM daily CROSS JOIN med WHERE x <> med),
+        |c AS (
+        | SELECT s, CASE WHEN lag(s) OVER (ORDER BY day)
+        |    IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+        | FROM f),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s) AS BIGINT) AS n1,
+        |  CAST(sum(chg) AS BIGINT) AS runs
+        | FROM c)
+        |SELECT n AS n_days, n1 AS n_above, n - n1 AS n_below, runs,
+        | round(2.0 * n1 * (n - n1) / CAST(n AS DOUBLE) + 1.0, 4)
+        |  AS expected_runs,
+        | round((CAST(runs AS DOUBLE)
+        |   - (2.0 * n1 * (n - n1) / CAST(n AS DOUBLE) + 1.0))
+        |  / sqrt(2.0 * n1 * (n - n1)
+        |    * (2.0 * n1 * (n - n1) - CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |       * (CAST(n AS DOUBLE) - 1.0))), 4) AS z
+        |FROM a""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -3769,7 +3877,7 @@ object SparkEntry {
         |       FROM t WHERE len(a) >= 2) x),
         |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM bg),
         |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
-        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
         |scored AS (
         | SELECT w1, w2, c_ab,
         |  round(ln((c_ab / m.m) / ((u1.c / n.n) * (u2.c / n.n))), 4) AS pmi

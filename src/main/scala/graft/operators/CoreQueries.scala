@@ -4143,4 +4143,110 @@ object CoreQueries {
           .cast("long").as("n_bins"))
       .orderBy("l_returnflag")
   }
+
+  /** Shared daily-count micro-frame for the time-series diagnostics
+    * family (q351–q353): one corpus-sized keyed count, then a
+    * coalesce(1) days-sized frame whose ordered windows are
+    * single-partition BY CONTRACT (the q239 argument). */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+
+  // q351: permutation entropy (order 3) of the daily count series —
+  // the NONLINEAR complexity screen the variance-based panel (ACF
+  // q239, STL q241, CUSUM q292) cannot see: how uniformly are the six
+  // ordinal patterns of (x_t, x_{t+1}, x_{t+2}) used? White noise →
+  // H/ln6 ≈ 1, a monotone or strictly periodic series → far below.
+  // Ties resolved by the ≤-convention (earlier position ranks first),
+  // stated identically in the oracle. Integer pattern counts, one
+  // ln-fold over a ≤6-row frame.
+  def permEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val pats = dailyCounts(s, dir)
+      .withColumn("b", lead(col("x"), 1).over(w))
+      .withColumn("c", lead(col("x"), 2).over(w))
+      .filter(col("c").isNotNull)
+      .select((when(col("x") <= col("b"), 4).otherwise(0) +
+        when(col("b") <= col("c"), 2).otherwise(0) +
+        when(col("x") <= col("c"), 1).otherwise(0)).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+    val tot = pats.agg(sum("n").as("nn"),
+      count(lit(1)).as("n_patterns"))
+    pats.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("n_windows"),
+        max(col("n_patterns")).as("n_patterns"),
+        sum(-(col("n").cast("double") / col("nn")) *
+          log(col("n").cast("double") / col("nn"))).as("h_raw"))
+      .select(col("n_windows"), col("n_patterns"),
+        M.oracleRound(col("h_raw"), 4).as("h_nats"),
+        M.oracleRound(col("h_raw") / log(lit(6.0)), 4).as("h_norm"))
+  }
+
+  // q352: Ljung–Box portmanteau whiteness test at lags 1..7 — turns
+  // q239's ACF VALUES into a DECISION: Q = n(n+2)·Σ r_k²/(n−k),
+  // χ²(7) 5 % critical value 14.067. If Q rejects, the i.i.d.
+  // assumptions behind q194's bootstrap and q343's per-window OLS
+  // need the autocorrelation taken seriously. Same pinned-mean,
+  // exact-deviation-sum ACF machinery as q239 (r_k pinned 6 dp
+  // before squaring); the series frame is days-sized.
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+      .select(col("day"), col("x").cast("double").as("x"))
+    val m = daily.agg(M.oracleRound(avg(col("x")), 6).as("m"))
+    val w = Window.orderBy("day")
+    var dev = daily.crossJoin(broadcast(m))
+      .withColumn("d", col("x") - col("m"))
+    for (k <- 1 to 7)
+      dev = dev.withColumn(s"d$k", lag(col("d"), k).over(w))
+    val aggCols = Seq(
+      sum(col("d") * col("d")).as("den")) ++
+      (1 to 7).map(k => sum(col("d") * col(s"d$k")).as(s"num$k"))
+    val agg = dev.agg(count(lit(1)).as("n"), aggCols: _*)
+    val rks = (1 to 7).map(k =>
+      M.oracleRound(col(s"num$k") / col("den"), 6).as(s"r$k"))
+    val q = (1 to 7).map(k =>
+        col(s"r$k") * col(s"r$k") / (col("n") - k).cast("double"))
+      .reduce(_ + _) * col("n").cast("double") * (col("n") + 2)
+    agg.select((col("n") +: rks): _*)
+      .select(col("n").as("n_days"),
+        M.oracleRound(q, 4).as("q_stat"),
+        lit(7).as("df"),
+        when(q > 14.067, 1).otherwise(0).as("reject_white"))
+  }
+
+  // q353: Wald–Wolfowitz runs test on the daily series vs its median
+  // — the distribution-free randomness check that catches level
+  // regimes (too FEW runs) and alternation (too MANY) which both
+  // leave the marginal distribution — and hence KS/PSI — untouched.
+  // Median-equal days drop (standard), runs counted by sign changes
+  // in one ordered pass, z from the exact integer run/arm counts in
+  // the closed form written identically on both sides.
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+      .select(col("day"), col("x").cast("double").as("x"))
+    val med = daily.agg(
+      M.oracleRound(expr("percentile(x, 0.5)"), 6).as("med"))
+    val w = Window.orderBy("day")
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .withColumn("s", when(col("x") > col("med"), 1).otherwise(0))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1).otherwise(0))
+    val agg = signs.agg(count(lit(1)).as("n"),
+      sum("s").as("n1"), sum(col("chg")).as("runs"))
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val nn = col("n").cast("double")
+    val e = lit(2.0) * n1 * n2 / nn + 1.0
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1.0))
+    agg.select(col("n").as("n_days"), col("n1").as("n_above"),
+      (col("n") - col("n1")).as("n_below"), col("runs"),
+      M.oracleRound(e, 4).as("expected_runs"),
+      M.oracleRound((col("runs").cast("double") - e) / sqrt(v), 4)
+        .as("z"))
+  }
 }
