@@ -384,6 +384,9 @@ object SparkEntry {
     "q351_perm_entropy" -> (C.permEntropy _),
     "q352_ljung_box" -> (C.ljungBox _),
     "q353_runs_test" -> (C.runsTest _),
+    "q354_hurst_rs" -> (C.hurstRs _),
+    "q355_periodogram" -> (C.periodogram _),
+    "q356_mann_kendall" -> (C.mannKendall _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3445,6 +3448,113 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |       * (CAST(n AS DOUBLE) - 1.0))), 4) AS z
         |FROM a""".stripMargin,
+    // Hurst R/S over the dense hourly series; power-of-two blocks keep
+    // R and S exact in binary, R/S pinned 6dp, 4-point log-log OLS
+    "q354_hurst_rs" ->
+      """WITH lohi AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |         AS hr FROM lohi),
+        |cnt AS (SELECT date_trunc('hour', ts) AS hr,
+        |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |hourly AS (SELECT g.hr, COALESCE(c.c, 0) AS x
+        |           FROM grid g LEFT JOIN cnt c USING (hr)),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY hr) - 1 AS t
+        |        FROM hourly),
+        |sized AS (SELECT n, t, x, t // n AS blk
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS n) s),
+        |fullb AS (SELECT n, blk, t, x,
+        |  count(*) OVER (PARTITION BY n, blk) AS bn,
+        |  sum(x) OVER (PARTITION BY n, blk) AS bs FROM sized),
+        |dev AS (SELECT n, blk, t,
+        |  CAST(x AS DOUBLE) - CAST(bs AS DOUBLE) / n AS d
+        | FROM fullb WHERE bn = n),
+        |cum AS (SELECT n, blk, d,
+        |  sum(d) OVER (PARTITION BY n, blk ORDER BY t) AS cd FROM dev),
+        |blkstat AS (SELECT n, blk, max(cd) - min(cd) AS r,
+        |  sqrt(sum(d * d) / n) AS sd FROM cum GROUP BY 1, 2),
+        |rs AS (SELECT n, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  round(avg(round(r / sd, 6)), 6) AS rs
+        | FROM blkstat WHERE sd > 0 GROUP BY 1),
+        |ols AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+        |  sum(ln(n)) AS sx, sum(ln(rs)) AS sy,
+        |  sum(ln(n) * ln(rs)) AS sxy, sum(ln(n) * ln(n)) AS sxx
+        | FROM rs)
+        |SELECT max(CASE WHEN n = 8 THEN rs END) AS rs_8,
+        | max(CASE WHEN n = 16 THEN rs END) AS rs_16,
+        | max(CASE WHEN n = 32 THEN rs END) AS rs_32,
+        | max(CASE WHEN n = 64 THEN rs END) AS rs_64,
+        | round(max((k * sxy - sx * sy) / (k * sxx - sx * sx)), 4)
+        |  AS hurst
+        |FROM rs CROSS JOIN ols""".stripMargin,
+    // hourly periodogram at periods 2..48h; fixed-point trig (1e-6
+    // integers) and integer-numerator centering make the spectral sums
+    // exact; power pinned 4dp, rank computed after rounding
+    "q355_periodogram" ->
+      """WITH lohi AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |         AS hr FROM lohi),
+        |cnt AS (SELECT date_trunc('hour', ts) AS hr,
+        |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |hourly AS (SELECT g.hr, COALESCE(c.c, 0) AS x
+        |           FROM grid g LEFT JOIN cnt c USING (hr)),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY hr) - 1 AS t
+        |        FROM hourly),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM idx),
+        |terms AS (
+        | SELECT p, x * nn - sx AS dn,
+        |  CAST(round(cos(2 * pi() * (t % p) / p) * 1000000.0) AS BIGINT)
+        |   AS cq,
+        |  CAST(round(sin(2 * pi() * (t % p) / p) * 1000000.0) AS BIGINT)
+        |   AS sq,
+        |  nn
+        | FROM idx CROSS JOIN tot
+        | CROSS JOIN (SELECT unnest(generate_series(2, 48)) AS p) ps),
+        |pw AS (
+        | SELECT p AS period,
+        |  round((CAST(sum(dn * cq) AS DOUBLE) * CAST(sum(dn * cq) AS DOUBLE)
+        |    + CAST(sum(dn * sq) AS DOUBLE) * CAST(sum(dn * sq) AS DOUBLE))
+        |   / (CAST(max(nn) AS DOUBLE) * CAST(max(nn) AS DOUBLE)) / 1e12,
+        |   4) AS power
+        | FROM terms GROUP BY 1)
+        |SELECT period, power,
+        | CAST(row_number() OVER (ORDER BY power DESC, period)
+        |  AS INTEGER) AS rnk
+        |FROM pw ORDER BY period""".stripMargin,
+    // Mann-Kendall S with exact tie correction over the daily counts;
+    // +-1 continuity correction, two-sided 5% decision on 4dp z
+    "q356_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |   WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (
+        | SELECT CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+        |   AS tie_term,
+        |  CAST(sum(tt) AS BIGINT) AS n
+        | FROM (SELECT count(*) AS tt FROM daily GROUP BY x) g),
+        |v AS (
+        | SELECT s_stat, n,
+        |  round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |   / 18.0, 4) AS var_s
+        | FROM s CROSS JOIN ties),
+        |z AS (
+        | SELECT n, s_stat, var_s,
+        |  round(CASE WHEN s_stat > 0
+        |    THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |   WHEN s_stat < 0
+        |    THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |   ELSE 0.0 END, 4) AS z
+        | FROM v)
+        |SELECT n AS n_days, s_stat, var_s, z,
+        | CAST(CASE WHEN z > 1.96 THEN 1 WHEN z < -1.96 THEN -1
+        |  ELSE 0 END AS INTEGER) AS trend
+        |FROM z""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

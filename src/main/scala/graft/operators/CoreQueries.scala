@@ -4216,6 +4216,146 @@ object CoreQueries {
         when(q > 14.067, 1).otherwise(0).as("reject_white"))
   }
 
+  /** Dense hourly-count series over the full event time range —
+    * missing hours are real zeros (R/S and spectral analysis are
+    * meaningless on a gappy axis). The grid is time-RANGE-sized
+    * (hours), not corpus-sized: the only corpus-sized work is the one
+    * groupBy(hour) count (map-side partial agg, shuffles on the hour
+    * key); the left join against the generated grid is a tiny
+    * broadcast, and the coalesce(1) ordered-window contract from
+    * [[dailyCounts]] applies unchanged to the hours-sized result. */
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cnt = ev.groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hr"))
+      .join(cnt, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("c"), lit(0L)).as("x"))
+      .coalesce(1)
+  }
+
+  // q354: Hurst exponent by rescaled-range analysis over the dense
+  // hourly series — the long-memory diagnostic the whiteness panel
+  // (q352) cannot give: H≈0.5 no memory, H→1 persistent load trends,
+  // H→0 mean reversion. Block sizes are POWERS OF TWO so every block
+  // mean, deviation, cumulative sum and sum of squares is exact in
+  // binary (integer counts over 2^k) — R and S are order-independent
+  // and engine-identical before any rounding. R/S pins 6 dp before
+  // the per-size mean; H is a closed-form 4-point OLS in log-log.
+  def hurstRs(s: SparkSession, dir: String): DataFrame = {
+    val idx = hourlyCounts(s, dir)
+      .withColumn("t",
+        row_number().over(Window.orderBy("hr")).cast("long") - 1)
+    val sized = idx
+      .withColumn("n", explode(array(Seq(8L, 16L, 32L, 64L).map(lit): _*)))
+      .withColumn("blk", floor(col("t") / col("n")).cast("long"))
+    val wBlk = Window.partitionBy("n", "blk")
+    val dev = sized
+      .withColumn("bn", count(lit(1)).over(wBlk))
+      .filter(col("bn") === col("n"))
+      .withColumn("d", col("x").cast("double") -
+        sum(col("x")).over(wBlk).cast("double") / col("n"))
+    val rs = dev
+      .withColumn("cd", sum(col("d")).over(
+        Window.partitionBy("n", "blk").orderBy("t")))
+      .groupBy("n", "blk")
+      .agg((max("cd") - min("cd")).as("r"),
+        sqrt(sum(col("d") * col("d")) / col("n")).as("sd"))
+      .filter(col("sd") > 0)
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_blocks"),
+        M.oracleRound(avg(M.oracleRound(col("r") / col("sd"), 6)), 6)
+          .as("rs"))
+    val lx = log(col("n").cast("double"))
+    val ly = log(col("rs"))
+    val ols = rs.agg(count(lit(1)).cast("double").as("k"),
+      sum(lx).as("sx"), sum(ly).as("sy"),
+      sum(lx * ly).as("sxy"), sum(lx * lx).as("sxx"))
+    rs.crossJoin(broadcast(ols))
+      .agg(
+        max(when(col("n") === 8, col("rs"))).as("rs_8"),
+        max(when(col("n") === 16, col("rs"))).as("rs_16"),
+        max(when(col("n") === 32, col("rs"))).as("rs_32"),
+        max(when(col("n") === 64, col("rs"))).as("rs_64"),
+        M.oracleRound(max(
+          (col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))), 4)
+          .as("hurst"))
+  }
+
+  // q355: DFT periodogram of the dense hourly series at integer
+  // periods 2..48 h — surfaces the dominant cycles (the 24 h diurnal
+  // line) that q239's few-lag ACF only hints at. Determinism by
+  // fixed-point quantization (the q200 Goertzel trick): trig factors
+  // round to 1e-6 integers and the series is centered with INTEGER
+  // numerators d·N = x·N − Σx, so both spectral sums are exact
+  // BIGINTs (≤ ~1e14 ≪ 2^53 — also exact as doubles); floating point
+  // appears only in the final square-and-scale, pinned 4 dp. Rank is
+  // computed AFTER rounding, tie-broken by period, so it is
+  // engine-stable by construction.
+  def periodogram(s: SparkSession, dir: String): DataFrame = {
+    val idx = hourlyCounts(s, dir)
+      .withColumn("t",
+        row_number().over(Window.orderBy("hr")).cast("long") - 1)
+    val tot = idx.agg(count(lit(1)).as("nn"), sum("x").as("sx"))
+    val terms = idx.crossJoin(broadcast(tot))
+      .withColumn("p", explode(sequence(lit(2L), lit(48L))))
+      .withColumn("dn", col("x") * col("nn") - col("sx"))
+      .withColumn("arg", lit(2.0 * math.Pi) *
+        (col("t") % col("p")).cast("double") / col("p").cast("double"))
+      .withColumn("cq", M.oracleRound(cos(col("arg")) * 1e6, 0).cast("long"))
+      .withColumn("sq", M.oracleRound(sin(col("arg")) * 1e6, 0).cast("long"))
+    val pw = terms.groupBy("p")
+      .agg(sum(col("dn") * col("cq")).as("cs"),
+        sum(col("dn") * col("sq")).as("ss"),
+        max(col("nn")).as("nn"))
+      .select(col("p").as("period"),
+        M.oracleRound(
+          (col("cs").cast("double") * col("cs").cast("double") +
+            col("ss").cast("double") * col("ss").cast("double")) /
+            (col("nn").cast("double") * col("nn").cast("double")) / 1e12,
+          4).as("power"))
+    pw.withColumn("rnk", row_number().over(
+        Window.orderBy(col("power").desc, col("period"))))
+      .orderBy("period")
+  }
+
+  // q356: Mann–Kendall trend test with the exact tie correction — the
+  // DECISION companion to Theil–Sen's q248 slope: S and VAR(S) are
+  // pure integer arithmetic (pairwise signs over a days-sized frame —
+  // the q248 n²-ON-DAYS argument: 30 days → 435 pairs regardless of
+  // corpus scale), z gets the ±1 continuity correction, two-sided 5 %
+  // decision at |z| > 1.96 taken on the 4-dp-pinned z.
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+    val a = daily.select(col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, col("da") < col("db"))
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("tt"))
+      .agg(sum(col("tt") * (col("tt") - 1) * (lit(2) * col("tt") + 5))
+          .as("tie_term"),
+        sum(col("tt")).as("n"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      col("tie_term")).cast("double") / 18.0
+    val zRaw = when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - 1.0) / sqrt(col("var_s")))
+      .when(col("s_stat") < 0,
+        (col("s_stat").cast("double") + 1.0) / sqrt(col("var_s")))
+      .otherwise(0.0)
+    sStat.crossJoin(ties)
+      .withColumn("var_s", M.oracleRound(varS, 4))
+      .withColumn("z", M.oracleRound(zRaw, 4))
+      .select(col("n").cast("long").as("n_days"), col("s_stat"),
+        col("var_s"), col("z"),
+        when(col("z") > 1.96, 1).when(col("z") < -1.96, -1)
+          .otherwise(0).as("trend"))
+  }
+
   // q353: Wald–Wolfowitz runs test on the daily series vs its median
   // — the distribution-free randomness check that catches level
   // regimes (too FEW runs) and alternation (too MANY) which both
