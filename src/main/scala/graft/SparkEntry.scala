@@ -387,6 +387,9 @@ object SparkEntry {
     "q354_hurst_rs" -> (C.hurstRs _),
     "q355_periodogram" -> (C.periodogram _),
     "q356_mann_kendall" -> (C.mannKendall _),
+    "q357_effect_sizes" -> (C.effectSizes _),
+    "q358_ams_f2" -> (C.amsF2 _),
+    "q359_centroid_eval" -> (P.centroidEval _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3555,6 +3558,124 @@ object SparkEntry {
         | CAST(CASE WHEN z > 1.96 THEN 1 WHEN z < -1.96 THEN -1
         |  ELSE 0 END AS INTEGER) AS trend
         |FROM z""".stripMargin,
+    // effect sizes click vs view: integer recode vi = round(100v)
+    // makes the moment sums exact; Cliff's delta from the midrank
+    // histogram (2R1 integer), d/g from exact sums
+    "q357_effect_sizes" ->
+      """WITH ev AS (
+        | SELECT event_type AS grp,
+        |  CAST(round(value * 100) AS BIGINT) AS vi
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |mom AS (
+        | SELECT
+        |  max(CASE WHEN grp = 'click' THEN n END) AS n1,
+        |  max(CASE WHEN grp = 'click' THEN sv END) AS s1,
+        |  max(CASE WHEN grp = 'click' THEN ssv END) AS ss1,
+        |  max(CASE WHEN grp = 'view' THEN n END) AS n2,
+        |  max(CASE WHEN grp = 'view' THEN sv END) AS s2,
+        |  max(CASE WHEN grp = 'view' THEN ssv END) AS ss2
+        | FROM (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(vi) AS BIGINT) AS sv,
+        |        CAST(sum(vi * vi) AS BIGINT) AS ssv
+        |       FROM ev GROUP BY 1) g),
+        |hist AS (
+        | SELECT vi AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS cnt_a
+        | FROM ev GROUP BY 1),
+        |cumh AS (
+        | SELECT cnt, cnt_a,
+        |  sum(cnt) OVER (ORDER BY v) AS cum
+        | FROM hist),
+        |rk AS (
+        | SELECT CAST(sum(cnt_a * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+        |  AS two_r1 FROM cumh),
+        |calc AS (
+        | SELECT n1, n2,
+        |  CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |  (CAST(ss1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1)
+        |    * (CAST(s1 AS DOUBLE) / n1) * n1) / (n1 - 1) AS var1,
+        |  (CAST(ss2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2)
+        |    * (CAST(s2 AS DOUBLE) / n2) * n2) / (n2 - 1) AS var2,
+        |  CAST(two_r1 AS DOUBLE) / 2
+        |   - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1
+        | FROM mom CROSS JOIN rk),
+        |eff AS (
+        | SELECT n1, n2, m1, m2, u1,
+        |  (m1 - m2) / sqrt(((n1 - 1) * var1 + (n2 - 1) * var2)
+        |    / (n1 + n2 - 2)) AS d
+        | FROM calc)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        | round(m1 / 100, 4) AS mean_click,
+        | round(m2 / 100, 4) AS mean_view,
+        | round(d, 4) AS cohen_d,
+        | round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 4) AS hedges_g,
+        | round(2.0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 4)
+        |  AS cliff_delta
+        |FROM eff""".stripMargin,
+    // AMS F2 sketch vs exact second moment: 64 signed counters,
+    // median of 4 means of 16 squared counters — integer arithmetic
+    // end to end (means /16 and the 2-point median are exact binary)
+    "q358_ams_f2" ->
+      """WITH users AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |exact AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+        | FROM users),
+        |lanes AS (
+        | SELECT u.cnt, j.j,
+        |  CASE WHEN CAST(('0x' || substr(md5('ams:' || j.j || ':'
+        |    || u.user_id), 1, 8)) AS BIGINT) % 2 = 0
+        |   THEN 1 ELSE -1 END AS sgn
+        | FROM users u
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |ctr AS (
+        | SELECT j, CAST(sum(cnt * sgn) AS BIGINT) AS c
+        | FROM lanes GROUP BY 1),
+        |means AS (
+        | SELECT j // 16 AS grp,
+        |  CAST(sum(c * c) AS DOUBLE) / 16 AS mean_est
+        | FROM ctr GROUP BY 1),
+        |med AS (SELECT quantile_cont(mean_est, 0.5) AS f2_est FROM means)
+        |SELECT n_users, f2_exact, f2_est,
+        | round((f2_est - CAST(f2_exact AS DOUBLE))
+        |   / CAST(f2_exact AS DOUBLE), 4) AS rel_err
+        |FROM exact CROSS JOIN med""".stripMargin,
+    // nearest-centroid eval: md5 %5 test fold, 6dp-pinned train
+    // centroids, 6dp cosine with (desc, label) tie-break
+    "q359_centroid_eval" ->
+      """WITH b AS (
+        | SELECT vec_id, label,
+        |  CAST(('0x' || substr(md5('ceval:' || vec_id), 1, 8)) AS BIGINT)
+        |   % 5 = 0 AS is_test
+        | FROM embeddings),
+        |p AS (
+        | SELECT e.vec_id, e.label, b.is_test,
+        |  generate_subscripts(e.embedding, 1) - 1 AS dim,
+        |  unnest(CAST(e.embedding AS DOUBLE[])) AS v
+        | FROM embeddings e JOIN b USING (vec_id)),
+        |c AS (
+        | SELECT label AS lab, dim, round(avg(v), 6) AS cv
+        | FROM p WHERE NOT is_test GROUP BY 1, 2),
+        |sc AS (
+        | SELECT p.vec_id, p.label, c.lab,
+        |  round(sum(p.v * c.cv)
+        |   / sqrt(sum(p.v * p.v) * sum(c.cv * c.cv)), 6) AS cos
+        | FROM p JOIN c USING (dim) WHERE p.is_test
+        | GROUP BY 1, 2, 3),
+        |best AS (
+        | SELECT vec_id, label, lab,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, lab) AS rn
+        | FROM sc)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN lab = label THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_correct,
+        | round(CAST(sum(CASE WHEN lab = label THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS acc
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -4389,4 +4389,86 @@ object CoreQueries {
       M.oracleRound((col("runs").cast("double") - e) / sqrt(v), 4)
         .as("z"))
   }
+
+  // q357: effect-size panel for click vs view values — the MAGNITUDE
+  // companion to the decision tests (q253 Welch, q289 Mann–Whitney):
+  // Cohen's d / Hedges' g (parametric) and Cliff's delta (ordinal,
+  // from the same midrank histogram as q289 — no pairwise pass).
+  // Determinism: values are 2-decimal by data contract, so the
+  // integer recode vi = round(100·v) makes every moment sum EXACT
+  // (Σvi, Σvi² are BIGINTs; at extreme corpus scale these would move
+  // to DECIMAL(38), same plan shape); effect sizes are scale-free so
+  // the ×100 cancels, means report /100. One corpus-sized groupBy
+  // for moments + the q289 two-level cum-count histogram for delta.
+  def effectSizes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("grp"),
+        M.oracleRound(col("value") * 100, 0).cast("long").as("vi"))
+    val mom = ev.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("vi").as("sv"),
+        sum(col("vi") * col("vi")).as("ssv"))
+      .agg(
+        max(when(col("grp") === "click", col("n"))).as("n1"),
+        max(when(col("grp") === "click", col("sv"))).as("s1"),
+        max(when(col("grp") === "click", col("ssv"))).as("ss1"),
+        max(when(col("grp") === "view", col("n"))).as("n2"),
+        max(when(col("grp") === "view", col("sv"))).as("s2"),
+        max(when(col("grp") === "view", col("ssv"))).as("ss2"))
+    val hist = ev.groupBy(lit(0).as("g"), col("vi").as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("cnt_a"))
+    val ranks = bucketedCumCounts(hist, Seq("g"))
+      .agg(sum(col("cnt_a") *
+        (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)).as("two_r1"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1d
+    val m2 = col("s2").cast("double") / n2d
+    val var1 = (col("ss1").cast("double") - m1 * m1 * n1d) / (n1d - 1)
+    val var2 = (col("ss2").cast("double") - m2 * m2 * n2d) / (n2d - 1)
+    val sp = sqrt(((n1d - 1) * var1 + (n2d - 1) * var2) / (n1d + n2d - 2))
+    val d = (m1 - m2) / sp
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1d + n2d) - 9.0))
+    // U1 = R1 − n1(n1+1)/2 with 2·R1 integer-exact from the histogram
+    val u1 = col("two_r1").cast("double") / 2 - n1d * (n1d + 1) / 2
+    mom.crossJoin(ranks)
+      .select(col("n1").as("n_click"), col("n2").as("n_view"),
+        M.oracleRound(m1 / 100, 4).as("mean_click"),
+        M.oracleRound(m2 / 100, 4).as("mean_view"),
+        M.oracleRound(d, 4).as("cohen_d"),
+        M.oracleRound(g, 4).as("hedges_g"),
+        M.oracleRound(lit(2.0) * u1 / (n1d * n2d) - 1.0, 4)
+          .as("cliff_delta"))
+  }
+
+  // q358: AMS second-moment sketch vs the exact F2 of the user
+  // activity distribution — the self-join-size/skew estimator that
+  // needs 64 counters instead of a users-sized state: counter_j =
+  // Σ_u cnt_u·sign(md5(u,j)), E[counter²] = F2. Median-of-4-means of
+  // 16 estimates. EVERYTHING is integer arithmetic (counters are
+  // BIGINTs; means divide by 16 = 2⁴ and the 4-point median averages
+  // two values — both exact in binary), so no rounding is needed
+  // before the final relative error. The sketch pass is one
+  // users-sized frame × 64 lanes → 64 groups (map-side combined).
+  def amsF2(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val exact = users.agg(count(lit(1)).as("n_users"),
+      sum(col("cnt") * col("cnt")).as("f2_exact"))
+    val counters = users
+      .withColumn("j", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("sgn", when(
+        T.md5Int(concat(lit("ams:"), col("j").cast("string"), lit(":"),
+          col("user_id").cast("string")), 8) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy("j").agg(sum(col("cnt") * col("sgn")).as("c"))
+    val est = counters
+      .groupBy((col("j") / 16).cast("long").as("grp"))
+      .agg((sum(col("c") * col("c")).cast("double") / 16).as("mean_est"))
+      .agg(expr("percentile(mean_est, 0.5D)").as("f2_est"))
+    exact.crossJoin(est)
+      .select(col("n_users"), col("f2_exact"),
+        col("f2_est"),
+        M.oracleRound((col("f2_est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"), 4).as("rel_err"))
+  }
 }

@@ -898,6 +898,46 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // q359: nearest-centroid classifier EVAL — the held-out accuracy
+  // loop q266's noise audit lacks: md5 hash split (bucket % 5 == 0 is
+  // the test fold), per-(label, dim) centroids fit on TRAIN only
+  // (pinned 6 dp — the engine/oracle contract point), cosine
+  // assignment with (score desc, label) tie-break, per-label accuracy.
+  // Same scale shape as q263/q266: the corpus-sized work is one
+  // posexplode + one (label, dim) aggregate; the scoring join fans
+  // out test × |labels| only.
+  def centroidEval(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val p = Tables.embeddings(s, dir)
+      .withColumn("is_test",
+        T.md5Int(concat(lit("ceval:"), col("vec_id").cast("string")), 8)
+          % 5 === 0)
+      .select(col("vec_id"), col("label"), col("is_test"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .localCheckpoint()
+    val c = p.filter(!col("is_test"))
+      .groupBy(col("label").as("lab"), col("dim"))
+      .agg(M.oracleRound(avg(col("v")), 6).as("cv"))
+    val best = p.filter(col("is_test")).join(c, "dim")
+      .groupBy(col("vec_id"), col("label"), col("lab"))
+      .agg(sum(col("v") * col("cv")).as("dot"),
+        sum(col("v") * col("v")).as("vv"),
+        sum(col("cv") * col("cv")).as("cc"))
+      .withColumn("cos", M.oracleRound(
+        col("dot") / sqrt(col("vv") * col("cc")), 6))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("vec_id").orderBy(col("cos").desc, col("lab"))))
+      .filter(col("rn") === 1)
+    best.groupBy("label")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lab") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc", M.oracleRound(
+        col("n_correct").cast("double") / col("n_test"), 4))
+      .orderBy("label")
+  }
+
   // q200: Goertzel tone powers over the first 16 samples of the q134
   // clips (docs long enough only) — 4 fixed-point bins, coefficients
   // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same
