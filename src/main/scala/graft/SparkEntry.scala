@@ -390,6 +390,9 @@ object SparkEntry {
     "q357_effect_sizes" -> (C.effectSizes _),
     "q358_ams_f2" -> (C.amsF2 _),
     "q359_centroid_eval" -> (P.centroidEval _),
+    "q360_flesch_panel" -> (P.fleschPanel _),
+    "q361_yule_k" -> (P.yuleK _),
+    "q362_nb_langid" -> (P.nbLangid _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3674,6 +3677,114 @@ object SparkEntry {
         | CAST(sum(CASE WHEN lab = label THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_correct,
         | round(CAST(sum(CASE WHEN lab = label THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS acc
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Flesch reading ease, en slice: [aeiouy]+ vowel-run syllables,
+    // [.!?]+ sentences floored at 1, per-doc score pinned 4dp
+    "q360_flesch_panel" ->
+      """WITH d AS (
+        | SELECT source,
+        |  greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |   AS words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sylls
+        | FROM documents WHERE lang = 'en'),
+        |f AS (
+        | SELECT source, words, sents, sylls,
+        |  round(206.835 - 1.015 * CAST(words AS DOUBLE) / sents
+        |   - 84.6 * CAST(sylls AS DOUBLE) / words, 4) AS flesch
+        | FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(flesch), 4) AS mean_flesch,
+        | round(avg(CAST(words AS DOUBLE) / sents), 4)
+        |  AS words_per_sentence,
+        | round(avg(CAST(sylls AS DOUBLE) / words), 4)
+        |  AS syllables_per_word,
+        | round(CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS hard_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Yule's K per language from the token frequency spectrum;
+    // integer arithmetic until the final 1e4 scaling
+    "q361_yule_k" ->
+      """WITH toks AS (
+        | SELECT lang, unnest(regexp_split_to_array(trim(lower(text)),
+        |   '\s+')) AS w
+        | FROM documents WHERE len(trim(text)) > 0),
+        |freq AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+        |         FROM toks GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(m) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS vocab,
+        | round(1e4 * CAST(sum(m * m) - sum(m) AS DOUBLE)
+        |   / (CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE)), 4)
+        |  AS yule_k
+        |FROM freq GROUP BY 1 ORDER BY 1""".stripMargin,
+    // naive-Bayes langid on char trigrams: md5 %5 test fold,
+    // Laplace-smoothed fixed-point (1e-6 BIGINT) log-probs, integer
+    // per-doc score sums, argmax tie-broken by language
+    "q362_nb_langid" ->
+      """WITH docs AS (
+        | SELECT doc_id, lang,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
+        |  CAST(('0x' || substr(md5('nb:' || doc_id), 1, 8)) AS BIGINT)
+        |   % 5 = 0 AS is_test
+        | FROM documents),
+        |base AS (SELECT * FROM docs WHERE len(norm) >= 3),
+        |tris AS (
+        | SELECT doc_id, lang, is_test, substr(norm, CAST(i AS INTEGER), 3)
+        |   AS tri
+        | FROM (SELECT doc_id, lang, is_test, norm,
+        |        unnest(generate_series(1, len(norm) - 2)) AS i
+        |       FROM base) x),
+        |counts AS (
+        | SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+        | FROM tris WHERE NOT is_test GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l
+        |       FROM counts GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v
+        |        FROM counts),
+        |model AS (
+        | SELECT counts.lang, tri,
+        |  CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_l + v)) * 1e6)
+        |   AS BIGINT) AS li
+        | FROM counts JOIN nl ON counts.lang = nl.lang CROSS JOIN voc),
+        |priors AS (
+        | SELECT t.lang,
+        |  CAST(round(ln(CAST(d_l AS DOUBLE) / d_tot) * 1e6) AS BIGINT)
+        |   AS prior,
+        |  CAST(round(ln(1.0 / (n_l + v)) * 1e6) AS BIGINT) AS li0
+        | FROM (SELECT lang, count(*) AS d_l,
+        |        sum(count(*)) OVER () AS d_tot
+        |       FROM base WHERE NOT is_test GROUP BY 1) t
+        | JOIN nl ON t.lang = nl.lang CROSS JOIN voc),
+        |dt AS (
+        | SELECT doc_id, lang AS actual, tri, CAST(count(*) AS BIGINT)
+        |   AS ct
+        | FROM tris WHERE is_test GROUP BY 1, 2, 3),
+        |perdoc AS (
+        | SELECT doc_id, actual, CAST(sum(ct) AS BIGINT) AS n_t
+        | FROM dt GROUP BY 1, 2),
+        |matched AS (
+        | SELECT dt.doc_id, model.lang,
+        |  CAST(sum(ct * li) AS BIGINT) AS mli,
+        |  CAST(sum(ct) AS BIGINT) AS mct
+        | FROM dt JOIN model ON dt.tri = model.tri GROUP BY 1, 2),
+        |scored AS (
+        | SELECT p.doc_id, p.actual, pr.lang,
+        |  COALESCE(m.mli, 0) + (p.n_t - COALESCE(m.mct, 0)) * pr.li0
+        |   + pr.prior AS score
+        | FROM perdoc p CROSS JOIN priors pr
+        | LEFT JOIN matched m
+        |  ON m.doc_id = p.doc_id AND m.lang = pr.lang),
+        |best AS (
+        | SELECT doc_id, actual, lang AS pred,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang) AS rn
+        | FROM scored)
+        |SELECT actual AS lang, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_correct,
+        | round(CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 4) AS acc
         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->

@@ -938,6 +938,134 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // q360: Flesch reading-ease panel over the English corpus slice —
+  // the classic readability quality screen. Syllables = [aeiouy]+
+  // vowel runs over the lowercased text (the standard regex
+  // heuristic, RE2-safe so the oracle states the same class),
+  // sentences = [.!?]+ runs floored at 1, words = whitespace tokens
+  // floored at 1. Per-doc score pinned 4 dp before the per-source
+  // aggregation; one corpus-sized projection, one tiny groupBy.
+  def fleschPanel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("lang") === "en")
+      .withColumn("words",
+        greatest(T.tokenCount(col("text")), lit(1)).cast("double"))
+      .withColumn("sents",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("double"))
+      .withColumn("sylls",
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("double"))
+      .withColumn("flesch", M.oracleRound(lit(206.835)
+        - lit(1.015) * col("words") / col("sents")
+        - lit(84.6) * col("sylls") / col("words"), 4))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        M.oracleRound(avg(col("flesch")), 4).as("mean_flesch"),
+        M.oracleRound(avg(col("words") / col("sents")), 4)
+          .as("words_per_sentence"),
+        M.oracleRound(avg(col("sylls") / col("words")), 4)
+          .as("syllables_per_word"),
+        M.oracleRound(sum(when(col("flesch") < 30, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("hard_rate"))
+      .orderBy("source")
+  }
+
+  // q361: Yule's K lexical-richness characteristic per language — the
+  // REPETITION-sensitive vocabulary statistic (Chao1/Good-Turing in
+  // q327 estimate unseen mass; K measures how concentrated the SEEN
+  // mass is): K = 10⁴·(Σ m²·V_m − N)/N², integer arithmetic until the
+  // final division. One corpus-sized token explode → (lang, word)
+  // counts (map-side combined), then a langs-sized fold.
+  def yuleK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(T.tokens(lower(col("text")))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("m"))
+      .groupBy("lang")
+      .agg(sum("m").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("m") * col("m")).as("sm2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        M.oracleRound(lit(1e4) *
+          (col("sm2") - col("n_tokens")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double"), 4)
+          .as("yule_k"))
+      .orderBy("lang")
+
+  // q362: multinomial naive-Bayes language classifier over char
+  // trigrams — the LEARNED companion to q26's stopword heuristic and
+  // q317's confusion audit: md5 %5 held-out fold, Laplace-smoothed
+  // per-(lang, trigram) log-likelihoods, per-doc argmax. Determinism
+  // by FIXED-POINT log-probs (the q355 trick): every log term is
+  // quantized to a 1e-6 BIGINT once per (lang, trigram) — per-doc
+  // scores are then exact integer sums, order-free, and the argmax
+  // tie-breaks by language. Scale shape: trigram explode is
+  // corpus-sized; model fit is one (lang, tri) groupBy; scoring joins
+  // the test trigram multiset against the model on the trigram key.
+  def nbLangid(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .filter(length(col("norm")) >= 3)
+      .withColumn("is_test",
+        T.md5Int(concat(lit("nb:"), col("doc_id").cast("string")), 8)
+          % 5 === 0)
+      .select("doc_id", "lang", "norm", "is_test")
+      .localCheckpoint()
+    val tris = docs
+      .select(col("doc_id"), col("lang"), col("is_test"),
+        explode(expr("sequence(1, length(norm) - 2)")).as("i"),
+        col("norm"))
+      .select(col("doc_id"), col("lang"), col("is_test"),
+        expr("substring(norm, i, 3)").as("tri"))
+    val counts = tris.filter(!col("is_test"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+    val nl = counts.groupBy("lang").agg(sum("c").as("n_l"))
+    val voc = counts.agg(countDistinct("tri").as("v"))
+    // fixed-point model: li = round(1e6·ln((c+1)/(n_l+V))), the
+    // unseen-trigram default li0 = round(1e6·ln(1/(n_l+V)))
+    val model = counts.join(nl, "lang").crossJoin(broadcast(voc))
+      .select(col("lang"), col("tri"),
+        M.oracleRound(log((col("c") + 1).cast("double") /
+          (col("n_l") + col("v")).cast("double")) * 1e6, 0)
+          .cast("long").as("li"))
+    val trainDocs = docs.filter(!col("is_test"))
+      .groupBy("lang").agg(count(lit(1)).as("d_l"))
+    val priors = trainDocs
+      .withColumn("d_tot", sum("d_l").over(w.partitionBy()))
+      .join(nl, "lang").crossJoin(broadcast(voc))
+      .select(col("lang"),
+        M.oracleRound(log(col("d_l").cast("double") /
+          col("d_tot").cast("double")) * 1e6, 0).cast("long")
+          .as("prior"),
+        M.oracleRound(log(lit(1.0) /
+          (col("n_l") + col("v")).cast("double")) * 1e6, 0).cast("long")
+          .as("li0"))
+    val dt = tris.filter(col("is_test"))
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("tri"))
+      .agg(count(lit(1)).as("ct"))
+    val perDoc = dt.groupBy("doc_id", "actual")
+      .agg(sum("ct").as("n_t"))
+    val matched = dt.join(model, "tri")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("ct") * col("li")).as("mli"),
+        sum(col("ct")).as("mct"))
+    val scored = perDoc.crossJoin(broadcast(priors))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .withColumn("score",
+        coalesce(col("mli"), lit(0L)) +
+          (col("n_t") - coalesce(col("mct"), lit(0L))) * col("li0") +
+          col("prior"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("actual"), col("lang").as("pred"))
+    scored.groupBy(col("actual").as("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc", M.oracleRound(
+        col("n_correct").cast("double") / col("n_test"), 4))
+      .orderBy("lang")
+  }
+
   // q200: Goertzel tone powers over the first 16 samples of the q134
   // clips (docs long enough only) — 4 fixed-point bins, coefficients
   // as literals (round(2cos(2πk/16)·2¹⁴)), dominant bin by the same
