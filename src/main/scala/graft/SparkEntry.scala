@@ -393,6 +393,9 @@ object SparkEntry {
     "q360_flesch_panel" -> (P.fleschPanel _),
     "q361_yule_k" -> (P.yuleK _),
     "q362_nb_langid" -> (P.nbLangid _),
+    "q363_haar_energy" -> (C.haarEnergy _),
+    "q364_harmonic2" -> (C.harmonic2 _),
+    "q365_anisotropy" -> (P.embedAnisotropy _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3787,6 +3790,96 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 4) AS acc
         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Haar detail energy by level over the first 512 hours: one
+    // prefix-sum pass, detail = (2*P1 - P0 - P2)/2^l — exact binary
+    "q363_haar_energy" ->
+      """WITH lohi AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |         AS hr FROM lohi),
+        |cnt AS (SELECT date_trunc('hour', ts) AS hr,
+        |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |hourly AS (SELECT g.hr, COALESCE(c.c, 0) AS x
+        |           FROM grid g LEFT JOIN cnt c USING (hr)),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY hr) - 1 AS t
+        |        FROM hourly QUALIFY t < 512),
+        |ps AS (SELECT t, sum(x) OVER (ORDER BY t) AS c FROM idx),
+        |lv AS (SELECT l, CAST(power(2, l - 1) AS BIGINT) AS h
+        |       FROM (SELECT unnest(generate_series(1, 9)) AS l) x),
+        |kg AS (SELECT l, h, unnest(generate_series(0, 512 // (2 * h) - 1))
+        |        AS k FROM lv),
+        |gr AS (SELECT l, h, k, k * 2 * h AS a FROM kg),
+        |dd AS (
+        | SELECT gr.l,
+        |  (2 * p1.c - COALESCE(p0.c, 0) - p2.c)
+        |   / power(2, gr.l) AS d
+        | FROM gr
+        | LEFT JOIN ps p0 ON p0.t = gr.a - 1
+        | JOIN ps p1 ON p1.t = gr.a + gr.h - 1
+        | JOIN ps p2 ON p2.t = gr.a + 2 * gr.h - 1),
+        |pl AS (SELECT l, CAST(count(*) AS BIGINT) AS n_coeffs,
+        |  sum(d * d) AS e FROM dd GROUP BY 1),
+        |tot AS (SELECT sum(e) AS etot FROM pl)
+        |SELECT l AS level, n_coeffs, round(e, 4) AS energy,
+        | round(e / etot, 4) AS energy_share
+        |FROM pl CROSS JOIN tot ORDER BY level""".stripMargin,
+    // exact 2-hop harmonic centrality on the q93 bipartite graph:
+    // h2 = |N1| + |N2|/2, N2 via edges join + distinct + anti-join
+    "q364_harmonic2" ->
+      """WITH pp AS (
+        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+        | FROM lineitem WHERE l_orderkey % 10 = 0),
+        |edges AS (
+        | SELECT p AS src, sp AS dst FROM pp
+        | UNION ALL SELECT sp, p FROM pp),
+        |n1 AS (SELECT src, CAST(count(*) AS BIGINT) AS d1
+        |       FROM edges GROUP BY 1),
+        |two AS (
+        | SELECT src, CAST(count(*) AS BIGINT) AS d2 FROM (
+        |  SELECT DISTINCT e1.src, e2.dst
+        |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        |  WHERE e2.dst <> e1.src) c
+        | WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |   WHERE e.src = c.src AND e.dst = c.dst)
+        | GROUP BY 1),
+        |h AS (
+        | SELECT n1.src AS node, n1.d1 AS n_1hop,
+        |  COALESCE(two.d2, 0) AS n_2hop,
+        |  CAST(n1.d1 AS DOUBLE) + CAST(COALESCE(two.d2, 0) AS DOUBLE) / 2
+        |   AS h2
+        | FROM n1 LEFT JOIN two ON n1.src = two.src),
+        |r AS (
+        | SELECT node, n_1hop, n_2hop, h2,
+        |  CAST(row_number() OVER (ORDER BY h2 DESC, node) AS INTEGER)
+        |   AS rnk
+        | FROM h)
+        |SELECT * FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // embedding anisotropy: |mu|^2 vs E|x|^2 from per-dim sums, means
+    // and per-dim variances pinned 6dp before squaring/sharing
+    "q365_anisotropy" ->
+      """WITH p AS (
+        | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS v
+        | FROM embeddings),
+        |dims AS (
+        | SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+        |  sum(v * v) AS ssv
+        | FROM p GROUP BY 1),
+        |pinned AS (
+        | SELECT n, ssv, round(sv / n, 6) AS mu,
+        |  round(ssv / n - round(sv / n, 6) * round(sv / n, 6), 6)
+        |   AS vard
+        | FROM dims),
+        |agg AS (
+        | SELECT max(n) AS n_vecs, CAST(count(*) AS BIGINT) AS n_dims,
+        |  sum(mu * mu) AS mu2, sum(ssv) / max(n) AS en2,
+        |  max(vard) AS vmax, sum(vard) AS vtot
+        | FROM pinned)
+        |SELECT n_vecs, n_dims, round(mu2, 4) AS mu_norm2,
+        | round(en2, 4) AS mean_norm2,
+        | round(mu2 / en2, 4) AS anisotropy,
+        | round(vmax / vtot, 4) AS top_var_share
+        |FROM agg""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -4441,6 +4441,86 @@ object CoreQueries {
           .as("cliff_delta"))
   }
 
+  // q363: Haar wavelet energy decomposition of the hourly series —
+  // the multi-RESOLUTION variance split (which timescale carries the
+  // volatility?) that complements the frequency view (q355): level l
+  // detail energy isolates fluctuations at the 2^l-hour scale. No
+  // recursion: detail_{l,k} = (2·P[a+h] − P[a] − P[a+2h])/2^l from
+  // ONE prefix-sum pass (h = 2^(l−1), a = k·2^l over the first 512
+  // hours), so every coefficient is integer-over-power-of-two — exact
+  // in binary on both engines; only the final energy/share round.
+  // The (l, k) grid is 511 rows; joins to the prefix frame broadcast.
+  def haarEnergy(s: SparkSession, dir: String): DataFrame = {
+    val cum = hourlyCounts(s, dir)
+      .withColumn("t",
+        row_number().over(Window.orderBy("hr")).cast("long") - 1)
+      .filter(col("t") < 512)
+      .withColumn("c", sum("x").over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("t", "c")
+    val grid = s.range(1, 10).toDF("l")
+      .withColumn("h", pow(lit(2.0), col("l") - 1).cast("long"))
+      .withColumn("k", explode(sequence(lit(0L),
+        (lit(256L) / col("h")).cast("long") - 1)))
+      .withColumn("a", col("k") * 2 * col("h"))
+    def pAt(alias: String) =
+      cum.select(col("t").as(s"__t$alias"), col("c").as(alias))
+    val d = grid
+      .join(pAt("c0"), col("a") - 1 === col("__tc0"), "left")
+      .join(pAt("c1"), col("a") + col("h") - 1 === col("__tc1"))
+      .join(pAt("c2"),
+        col("a") + lit(2L) * col("h") - 1 === col("__tc2"))
+      .withColumn("d",
+        (lit(2) * col("c1") - coalesce(col("c0"), lit(0L)) - col("c2"))
+          .cast("double") / pow(lit(2.0), col("l")))
+    val perLevel = d.groupBy("l")
+      .agg(count(lit(1)).as("n_coeffs"), sum(col("d") * col("d")).as("e"))
+    val tot = perLevel.agg(sum("e").as("etot"))
+    perLevel.crossJoin(broadcast(tot))
+      .select(col("l").as("level"), col("n_coeffs"),
+        M.oracleRound(col("e"), 4).as("energy"),
+        M.oracleRound(col("e") / col("etot"), 4).as("energy_share"))
+      .orderBy("level")
+  }
+
+  // q364: exact two-hop harmonic centrality over the q93 symmetrized
+  // part↔supplier graph — the EXACT small-radius companion to q260's
+  // HyperANF estimates: h2(v) = |N1(v)| + |N2(v)|/2, N2 = nodes at
+  // distance exactly 2 (one edges⋈edges join, DISTINCT per endpoint
+  // pair, anti-join removes distance-1 shortcuts). Top-20 by
+  // (h2 desc, node) AFTER the exact integer-and-half arithmetic —
+  // no rounding anywhere. Scale: the 2-hop join shuffles on the
+  // middle vertex; the sampled co-occurrence graph keeps wedge
+  // volume linear in orders (the q92 argument).
+  def harmonic2(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    val n1 = edges.groupBy("src").agg(count(lit(1)).as("d1"))
+    val two = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .filter(col("e2.dst") =!= col("e1.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .distinct()
+      .join(edges, Seq("src", "dst"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("d2"))
+    n1.join(two, Seq("src"), "left")
+      .withColumn("h2", col("d1").cast("double") +
+        coalesce(col("d2"), lit(0L)).cast("double") / 2)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("h2").desc, col("src"))))
+      .filter(col("rnk") <= 20)
+      .select(col("src").as("node"), col("d1").as("n_1hop"),
+        coalesce(col("d2"), lit(0L)).as("n_2hop"), col("h2"),
+        col("rnk"))
+      .orderBy("rnk")
+  }
+
   // q358: AMS second-moment sketch vs the exact F2 of the user
   // activity distribution — the self-join-size/skew estimator that
   // needs 64 counters instead of a users-sized state: counter_j =

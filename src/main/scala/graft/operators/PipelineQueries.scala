@@ -938,6 +938,38 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // q365: embedding-space anisotropy audit — the representation-
+  // health check behind "all my cosines are 0.9": mean-vector energy
+  // |μ|² vs mean squared norm E|x|² (their ratio ≈ the expected
+  // cosine between two RANDOM vectors — ~0 for an isotropic space),
+  // plus the top dimension's share of total variance (a few rogue
+  // dims carrying the space is the usual failure). One posexplode +
+  // one (dim) aggregate; everything from Σv/Σv² sums, means pinned
+  // 6 dp before squaring.
+  def embedAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val dims = p.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("ssv"))
+      .withColumn("mu", M.oracleRound(col("sv") / col("n"), 6))
+      .withColumn("vard", M.oracleRound(
+        col("ssv") / col("n") - col("mu") * col("mu"), 6))
+    dims.agg(
+        max(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        sum(col("mu") * col("mu")).as("mu2"),
+        (sum("ssv") / max(col("n"))).as("en2"),
+        max(col("vard")).as("vmax"),
+        sum(col("vard")).as("vtot"))
+      .select(col("n_vecs"), col("n_dims"),
+        M.oracleRound(col("mu2"), 4).as("mu_norm2"),
+        M.oracleRound(col("en2"), 4).as("mean_norm2"),
+        M.oracleRound(col("mu2") / col("en2"), 4).as("anisotropy"),
+        M.oracleRound(col("vmax") / col("vtot"), 4).as("top_var_share"))
+  }
+
   // q360: Flesch reading-ease panel over the English corpus slice —
   // the classic readability quality screen. Syllables = [aeiouy]+
   // vowel runs over the lowercased text (the standard regex
