@@ -396,6 +396,9 @@ object SparkEntry {
     "q363_haar_energy" -> (C.haarEnergy _),
     "q364_harmonic2" -> (C.harmonic2 _),
     "q365_anisotropy" -> (P.embedAnisotropy _),
+    "q366_interarrival" -> (C.interArrival _),
+    "q367_abc_classes" -> (C.abcClasses _),
+    "q368_sign_fidelity" -> (P.signEmbedFidelity _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3880,6 +3883,87 @@ object SparkEntry {
         | round(mu2 / en2, 4) AS anisotropy,
         | round(vmax / vtot, 4) AS top_var_share
         |FROM agg""".stripMargin,
+    // inter-arrival burstiness per type from per-(type,user) second
+    // gaps; CV from exact integer sums, B = (CV-1)/(CV+1)
+    "q366_interarrival" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY event_type, user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |   AS gap
+        | FROM events),
+        |s AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sg,
+        |  CAST(sum(gap * gap) AS BIGINT) AS ssg
+        | FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |c AS (
+        | SELECT event_type, n_gaps,
+        |  CAST(sg AS DOUBLE) / n_gaps AS mean_s,
+        |  sqrt(CAST(ssg AS DOUBLE) / n_gaps
+        |    - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+        |   / (CAST(sg AS DOUBLE) / n_gaps) AS cv_raw
+        | FROM s)
+        |SELECT event_type, n_gaps, round(mean_s, 4) AS mean_gap_s,
+        | round(cv_raw, 4) AS cv,
+        | round((cv_raw - 1) / (cv_raw + 1), 4) AS burstiness
+        |FROM c ORDER BY 1""".stripMargin,
+    // ABC revenue classes from integer-cent revenue and a cumulative
+    // share over the revenue-descending histogram; integer class gate
+    "q367_abc_classes" ->
+      """WITH rev AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(round(round(l_extendedprice * (1 - l_discount),
+        |    2) * 100) AS BIGINT)) AS BIGINT) AS r
+        | FROM lineitem GROUP BY 1),
+        |hist AS (
+        | SELECT -r AS v, CAST(count(*) AS BIGINT) AS np,
+        |  CAST(sum(r) AS BIGINT) AS cnt
+        | FROM rev GROUP BY 1),
+        |cum AS (
+        | SELECT np, cnt,
+        |  sum(cnt) OVER (ORDER BY v) AS cum,
+        |  sum(cnt) OVER () AS n
+        | FROM hist),
+        |cl AS (
+        | SELECT np, cnt, n,
+        |  CASE WHEN (cum - cnt) * 100 < n * 80 THEN 'A'
+        |   WHEN (cum - cnt) * 100 < n * 95 THEN 'B'
+        |   ELSE 'C' END AS cls
+        | FROM cum)
+        |SELECT cls, CAST(sum(np) AS BIGINT) AS n_parts,
+        | CAST(sum(cnt) AS BIGINT) AS revenue_cents,
+        | round(CAST(sum(cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE), 4)
+        |  AS revenue_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sign-binarization fidelity: md5 1/97 pair sample, 8-bit Hamming
+    // buckets, mean 6dp cosine per bucket
+    "q368_sign_fidelity" ->
+      """WITH pr AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  a.embedding AS va, b.embedding AS vb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE CAST(('0x' || substr(md5('sb:' || a.vec_id || ':'
+        |   || b.vec_id), 1, 8)) AS BIGINT) % 97 = 0),
+        |d AS (
+        | SELECT ia, ib,
+        |  generate_subscripts(va, 1) AS dim,
+        |  unnest(CAST(va AS DOUBLE[])) AS x,
+        |  unnest(CAST(vb AS DOUBLE[])) AS y
+        | FROM pr),
+        |pp AS (
+        | SELECT ia, ib,
+        |  round(sum(x * y) / sqrt(sum(x * x) * sum(y * y)), 6) AS cos,
+        |  CAST(sum(CASE WHEN (x >= 0) <> (y >= 0) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS ham
+        | FROM d GROUP BY 1, 2)
+        |SELECT ham // 8 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(avg(cos), 4) AS mean_cos,
+        | CAST(min(ham) AS BIGINT) AS min_hamming,
+        | CAST(max(ham) AS BIGINT) AS max_hamming
+        |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -4521,6 +4521,66 @@ object CoreQueries {
       .orderBy("rnk")
   }
 
+  // q366: inter-arrival burstiness per event type — the Poisson
+  // sanity check capacity models assume away: per (type, user) gap
+  // series (the scalable partition — per-type-only lag would put a
+  // fifth of the corpus in one window partition), CV of the gap
+  // distribution from exact integer second sums, Goh–Barabási
+  // burstiness B = (CV−1)/(CV+1): B≈0 memoryless, B→1 bursty,
+  // B→−1 pacemaker-regular.
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id").orderBy("sec", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_seconds(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sg"),
+        sum(col("gap") * col("gap")).as("ssg"))
+      .withColumn("mean_s", col("sg").cast("double") / col("n_gaps"))
+      .withColumn("cv_raw", sqrt(
+        col("ssg").cast("double") / col("n_gaps") -
+          col("mean_s") * col("mean_s")) / col("mean_s"))
+      .select(col("event_type"), col("n_gaps"),
+        M.oracleRound(col("mean_s"), 4).as("mean_gap_s"),
+        M.oracleRound(col("cv_raw"), 4).as("cv"),
+        M.oracleRound((col("cv_raw") - 1) / (col("cv_raw") + 1), 4)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  // q367: ABC/Pareto revenue classification of parts — the inventory
+  // 80/95 cut as a DISTRIBUTED cumulative-share problem: per-part
+  // revenue in exact integer cents, then the q58 two-level bucketed
+  // cumulative sum over the (revenue-descending) value histogram —
+  // no parts-sized single-partition window. Ties (equal-revenue
+  // parts) collapse into one histogram row and therefore share a
+  // class by construction; the class gate compares integer products
+  // (100·cum_exclusive vs threshold·total), no floating point.
+  def abcClasses(s: SparkSession, dir: String): DataFrame = {
+    val cents = (M.oracleRound(
+      col("l_extendedprice") * (lit(1) - col("l_discount")), 2) * 100)
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(M.oracleRound(cents, 0).cast("long")).as("r"))
+    val hist = rev.groupBy(lit(0).as("g"), (-col("r")).as("v"))
+      .agg(count(lit(1)).as("np"), sum("r").as("cnt"))
+    val cum = bucketedCumCounts(hist, Seq("g"))
+    val classed = cum.withColumn("excl", col("cum") - col("cnt"))
+      .withColumn("cls",
+        when(col("excl") * 100 < col("n") * 80, "A")
+          .when(col("excl") * 100 < col("n") * 95, "B")
+          .otherwise("C"))
+    classed.groupBy("cls")
+      .agg(sum("np").as("n_parts"), sum("cnt").as("revenue_cents"),
+        max("n").as("tot"))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        M.oracleRound(col("revenue_cents").cast("double") /
+          col("tot").cast("double"), 4).as("revenue_share"))
+      .orderBy("cls")
+  }
+
   // q358: AMS second-moment sketch vs the exact F2 of the user
   // activity distribution — the self-join-size/skew estimator that
   // needs 64 counters instead of a users-sized state: counter_j =

@@ -938,6 +938,49 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  // q368: sign-binarization fidelity — does the 64× cheaper 1-bit
+  // embedding (sign per dim, Hamming distance) preserve the cosine
+  // ordering? Over a deterministic md5 1/97 pair sample, bucket pairs
+  // by Hamming distance (8 buckets of 8 bits) and report the mean
+  // 6-dp-pinned cosine per bucket — a monotone-decreasing table means
+  // sign-LSH prefilters are safe, a flat one means they are not.
+  // Per-pair arithmetic stays in-row (zip_with/aggregate folds, no
+  // dim explode); the pair sample is hash-pruned BEFORE the vector
+  // arithmetic.
+  def signEmbedFidelity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+      .filter(col("ia") < col("ib"))
+      .filter(T.md5Int(concat(lit("sb:"), col("ia").cast("string"),
+        lit(":"), col("ib").cast("string")), 8) % 97 === 0)
+      .withColumn("da", transform(col("va"), x => x.cast("double")))
+      .withColumn("db", transform(col("vb"), x => x.cast("double")))
+    val dot = aggregate(zip_with(col("da"), col("db"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t)
+    val na = aggregate(transform(col("da"), x => x * x),
+      lit(0.0), (acc, t) => acc + t)
+    val nb = aggregate(transform(col("db"), x => x * x),
+      lit(0.0), (acc, t) => acc + t)
+    val ham = aggregate(zip_with(col("da"), col("db"),
+      (x, y) => when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+      lit(0L), (acc, t) => acc + t)
+    pairs
+      .withColumn("cos", M.oracleRound(dot / sqrt(na * nb), 6))
+      .withColumn("__ham", ham)
+      .withColumn("bucket", (col("__ham") / 8).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        M.oracleRound(avg("cos"), 4).as("mean_cos"),
+        min(col("__ham")).as("min_hamming"),
+        max(col("__ham")).as("max_hamming"))
+      .orderBy("bucket")
+  }
+
   // q365: embedding-space anisotropy audit — the representation-
   // health check behind "all my cosines are 0.9": mean-vector energy
   // |μ|² vs mean squared norm E|x|² (their ratio ≈ the expected
