@@ -399,6 +399,9 @@ object SparkEntry {
     "q366_interarrival" -> (C.interArrival _),
     "q367_abc_classes" -> (C.abcClasses _),
     "q368_sign_fidelity" -> (P.signEmbedFidelity _),
+    "q369_neardup_transitivity" -> (P.neardupTransitivity _),
+    "q370_brier_decomp" -> (P.brierDecomposition _),
+    "q371_capture_recapture" -> (C.captureRecapture _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3964,6 +3967,104 @@ object SparkEntry {
         | CAST(min(ham) AS BIGINT) AS min_hamming,
         | CAST(max(ham) AS BIGINT) AS max_hamming
         |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // global clustering coefficient of the exact J>=0.7 pair graph:
+    // 3*triangles/wedges, pair set restated by the q32 shingle CTEs
+    "q369_neardup_transitivity" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib FROM ex a
+        | JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (
+        | SELECT ia AS a, ib AS b FROM (
+        |  SELECT ia, ib,
+        |   round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+        |      AS DOUBLE), 4) AS j
+        |  FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib)
+        | WHERE j >= 0.7),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |deg AS (
+        | SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS v FROM p UNION ALL SELECT b FROM p) u GROUP BY 1),
+        |wg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM p e1 JOIN p e2 ON e1.b = e2.a
+        | JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
+        |SELECT n_pairs, n_nodes, n_wedges, n_triangles,
+        | CASE WHEN n_wedges = 0 THEN 0.0
+        |  ELSE round(3.0 * n_triangles / n_wedges, 4) END AS transitivity
+        |FROM np CROSS JOIN wg CROSS JOIN tri""".stripMargin,
+    // Murphy decomposition of the q221 Brier score on the identical
+    // score/label/bin convention, with the within-bin residual
+    "q370_brier_decomp" ->
+      """WITH scored AS (
+        | SELECT CAST(('0x' || substr(md5('cal:' || vec_id), 1, 4))
+        |   AS BIGINT) / 65536.0 AS score,
+        |  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS pos
+        | FROM embeddings),
+        |b AS (
+        | SELECT CAST(floor(score * 10) AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, sum(score) AS sf,
+        |  sum(pos) AS sp,
+        |  sum((score - pos) * (score - pos)) AS sqerr
+        | FROM scored GROUP BY 1),
+        |g AS (
+        | SELECT bin, n, sf, sp, sqerr,
+        |  sum(n) OVER () AS nn, sum(sp) OVER () AS pp
+        | FROM b),
+        |t AS (
+        | SELECT max(nn) AS n,
+        |  sum(sqerr) / max(nn) AS brier_raw,
+        |  sum(n * (sf / n - sp / n) * (sf / n - sp / n)) / max(nn)
+        |   AS rel_raw,
+        |  sum(n * (sp / n - pp / nn) * (sp / n - pp / nn)) / max(nn)
+        |   AS res_raw,
+        |  max((pp / nn) * (1.0 - pp / nn)) AS unc_raw
+        | FROM g)
+        |SELECT CAST(n AS BIGINT) AS n, round(brier_raw, 4) AS brier,
+        | round(rel_raw, 4) AS reliability,
+        | round(res_raw, 4) AS resolution,
+        | round(unc_raw, 4) AS uncertainty,
+        | round(brier_raw - (rel_raw - res_raw + unc_raw), 4) AS residual
+        |FROM t""".stripMargin,
+    // Lincoln-Petersen / Chapman capture-recapture from two md5 1/3
+    // marks of the distinct user space vs the exact count
+    "q371_capture_recapture" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (
+        | SELECT user_id,
+        |  CAST(('0x' || substr(md5('cr1:' || user_id), 1, 8)) AS BIGINT)
+        |   % 3 = 0 AS s1,
+        |  CAST(('0x' || substr(md5('cr2:' || user_id), 1, 8)) AS BIGINT)
+        |   % 3 = 0 AS s2
+        | FROM u),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS m
+        | FROM m)
+        |SELECT n_true, n1, n2, m,
+        | CASE WHEN m = 0 THEN NULL
+        |  ELSE round(CAST(n1 AS DOUBLE) * n2 / m, 4) END AS lp_est,
+        | round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 4)
+        |  AS chapman_est,
+        | round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0
+        |   - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 4)
+        |  AS chapman_rel_err
+        |FROM a""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

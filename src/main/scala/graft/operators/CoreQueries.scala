@@ -4581,6 +4581,40 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q371: capture–recapture population estimate — the two-sample
+  // ecology trick as a DISTINCT-COUNT cross-check for federated
+  // settings where only independent hash samples of the ID space are
+  // visible: two md5 marks (1/3 each), Lincoln–Petersen N̂ = n1·n2/m
+  // and the bias-corrected Chapman form, compared against the exact
+  // distinct count. One users-sized aggregate; everything integer
+  // until the final ratios.
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val marked = Tables.events(s, dir)
+      .select("user_id").distinct()
+      .withColumn("s1",
+        T.md5Int(concat(lit("cr1:"), col("user_id").cast("string")), 8)
+          % 3 === 0)
+      .withColumn("s2",
+        T.md5Int(concat(lit("cr2:"), col("user_id").cast("string")), 8)
+          % 3 === 0)
+    marked.agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        // the classical LP estimate is undefined on an empty
+        // recapture (m = 0) — emit NULL; Chapman stays defined
+        when(col("m") === 0, lit(null).cast("double")).otherwise(
+          M.oracleRound(col("n1").cast("double") * col("n2") / col("m"),
+            4)).as("lp_est"),
+        M.oracleRound((col("n1") + 1).cast("double") * (col("n2") + 1) /
+          (col("m") + 1) - 1.0, 4).as("chapman_est"),
+        M.oracleRound(((col("n1") + 1).cast("double") * (col("n2") + 1) /
+          (col("m") + 1) - 1.0 - col("n_true").cast("double")) /
+          col("n_true").cast("double"), 4).as("chapman_rel_err"))
+  }
+
   // q358: AMS second-moment sketch vs the exact F2 of the user
   // activity distribution — the self-join-size/skew estimator that
   // needs 64 counters instead of a users-sized state: counter_j =

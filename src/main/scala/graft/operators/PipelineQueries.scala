@@ -981,6 +981,37 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  // q369: near-dup TRANSITIVITY audit — the quality gate on treating
+  // near-dup clusters as connected components (q49/q97/q103 all do):
+  // if a~b and b~c rarely implies a~c, component-canonical keepers
+  // over-merge. Global clustering coefficient of the exact J ≥ 0.7
+  // pair graph: 3·triangles / wedges, all integer until the final
+  // ratio. The pair set reuses the q32 shingle machinery; the
+  // triangle pass is two narrow self-joins on the (small) pair set.
+  def neardupTransitivity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleSize = 3, threshold = 0.7, maxDf = 100)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint()
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val wedges = pairs.select(col("a").as("v"))
+      .unionAll(pairs.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((col("d") * (col("d") - 1) / 2).cast("long")).as("n_wedges"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+      .join(pairs.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nPairs.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_pairs"), col("n_nodes"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          M.oracleRound(lit(3.0) * col("n_triangles") / col("n_wedges"),
+            4)).as("transitivity"))
+  }
+
   // q365: embedding-space anisotropy audit — the representation-
   // health check behind "all my cosines are 0.9": mean-vector energy
   // |μ|² vs mean squared norm E|x|² (their ratio ≈ the expected
@@ -3428,6 +3459,50 @@ object PipelineQueries {
         M.oracleRound(col("acc_raw"), 4).as("frac_pos"),
         col("brier"), col("ece"))
       .orderBy("bin")
+  }
+
+  // q370: Murphy decomposition of the q221 Brier score — WHY is the
+  // score what it is: reliability (calibration gap, want 0),
+  // resolution (discrimination, want large), uncertainty (the
+  // no-skill floor ō(1−ō)), over the SAME md5 score / label<5 /
+  // 10-bin convention as q221, plus the within-bin-variance residual
+  // that closes brier = REL − RES + UNC + resid. Per-bin sums are
+  // exact rationals (md5 scores have denominator 2^16); one keyed
+  // aggregate, bins-sized tail.
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(
+      (T.md5Int(concat(lit("cal:"), col("vec_id")), 4).cast("double") /
+        lit(65536.0)).as("score"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("pos"))
+    val binned = scored
+      .groupBy(floor(col("score") * 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("score").as("sf"),
+        sum("pos").as("sp"),
+        sum((col("score") - col("pos")) * (col("score") - col("pos")))
+          .as("sqerr"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("nn", sum("n").over(w))
+      .withColumn("pp", sum("sp").over(w))
+      .withColumn("obar", col("pp") / col("nn"))
+      .withColumn("fk", col("sf") / col("n"))
+      .withColumn("ok", col("sp") / col("n"))
+      .agg(
+        max(col("nn")).as("n"),
+        (sum(col("sqerr")) / max(col("nn"))).as("brier_raw"),
+        (sum(col("n") * (col("fk") - col("ok")) * (col("fk") - col("ok")))
+          / max(col("nn"))).as("rel_raw"),
+        (sum(col("n") * (col("ok") - col("obar")) * (col("ok") - col("obar")))
+          / max(col("nn"))).as("res_raw"),
+        max(col("obar") * (lit(1.0) - col("obar"))).as("unc_raw"))
+      .select(col("n"),
+        M.oracleRound(col("brier_raw"), 4).as("brier"),
+        M.oracleRound(col("rel_raw"), 4).as("reliability"),
+        M.oracleRound(col("res_raw"), 4).as("resolution"),
+        M.oracleRound(col("unc_raw"), 4).as("uncertainty"),
+        M.oracleRound(col("brier_raw") -
+          (col("rel_raw") - col("res_raw") + col("unc_raw")), 4)
+          .as("residual"))
   }
 
   /** q228's persisted daily rollup, written once per (session, sf
