@@ -402,6 +402,9 @@ object SparkEntry {
     "q369_neardup_transitivity" -> (P.neardupTransitivity _),
     "q370_brier_decomp" -> (P.brierDecomposition _),
     "q371_capture_recapture" -> (C.captureRecapture _),
+    "q372_pacf" -> (C.pacfDaily _),
+    "q373_sample_size" -> (C.sampleSizeDesign _),
+    "q374_eb_stopping" -> (C.ebStopping _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4065,6 +4068,116 @@ object SparkEntry {
         |   - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 4)
         |  AS chapman_rel_err
         |FROM a""".stripMargin,
+    // PACF lags 1..5 by the unrolled Durbin-Levinson recursion over
+    // the q352-pinned ACF; identical operation order in every line
+    "q372_pacf" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        |m AS (SELECT round(avg(x), 6) AS m FROM daily),
+        |dev AS (
+        | SELECT day, x - m.m AS d FROM daily CROSS JOIN m),
+        |lagged AS (
+        | SELECT d,
+        |  lag(d, 1) OVER (ORDER BY day) AS d1,
+        |  lag(d, 2) OVER (ORDER BY day) AS d2,
+        |  lag(d, 3) OVER (ORDER BY day) AS d3,
+        |  lag(d, 4) OVER (ORDER BY day) AS d4,
+        |  lag(d, 5) OVER (ORDER BY day) AS d5
+        | FROM dev),
+        |acf AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(d * d1) / sum(d * d), 6) AS r1,
+        |  round(sum(d * d2) / sum(d * d), 6) AS r2,
+        |  round(sum(d * d3) / sum(d * d), 6) AS r3,
+        |  round(sum(d * d4) / sum(d * d), 6) AS r4,
+        |  round(sum(d * d5) / sum(d * d), 6) AS r5
+        | FROM lagged),
+        |l1 AS (SELECT *, r1 AS p1, 1.0 - r1 * r1 AS v1 FROM acf),
+        |l2 AS (SELECT *, (r2 - p1 * r1) / v1 AS p2 FROM l1),
+        |l2b AS (SELECT *, p1 - p2 * p1 AS a21,
+        |        v1 * (1.0 - p2 * p2) AS v2 FROM l2),
+        |l3 AS (SELECT *,
+        |  (r3 - (a21 * r2 + p2 * r1)) / v2 AS p3 FROM l2b),
+        |l3b AS (SELECT *, a21 - p3 * p2 AS a31, p2 - p3 * a21 AS a32,
+        |        v2 * (1.0 - p3 * p3) AS v3 FROM l3),
+        |l4 AS (SELECT *,
+        |  (r4 - (a31 * r3 + a32 * r2 + p3 * r1)) / v3 AS p4 FROM l3b),
+        |l4b AS (SELECT *, a31 - p4 * p3 AS a41, a32 - p4 * a32 AS a42,
+        |        p3 - p4 * a31 AS a43,
+        |        v3 * (1.0 - p4 * p4) AS v4 FROM l4),
+        |l5 AS (SELECT *,
+        |  (r5 - (a41 * r4 + a42 * r3 + a43 * r2 + p4 * r1)) / v4 AS p5
+        | FROM l4b)
+        |SELECT n AS n_days, r1, r2, r3, r4, r5,
+        | round(p1, 4) AS pacf1, round(p2, 4) AS pacf2,
+        | round(p3, 4) AS pacf3, round(p4, 4) AS pacf4,
+        | round(p5, 4) AS pacf5
+        |FROM l5""".stripMargin,
+    // sample-size design: n0 = (1.96 sd / (0.01 mean))^2 with finite-
+    // population correction, from the exact integer vi recode
+    "q373_sample_size" ->
+      """WITH ev AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vi
+        | FROM events),
+        |mom AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vi) AS BIGINT) AS sv,
+        |  CAST(sum(vi * vi) AS BIGINT) AS ssv
+        | FROM ev GROUP BY 1),
+        |c AS (
+        | SELECT event_type, n,
+        |  CAST(sv AS DOUBLE) / n AS mean_vi,
+        |  (CAST(ssv AS DOUBLE) - (CAST(sv AS DOUBLE) / n)
+        |    * (CAST(sv AS DOUBLE) / n) * n) / (n - 1.0) AS var_vi
+        | FROM mom),
+        |d AS (
+        | SELECT event_type, n, mean_vi, var_vi,
+        |  (1.96 * sqrt(var_vi) / (0.01 * mean_vi))
+        |   * (1.96 * sqrt(var_vi) / (0.01 * mean_vi)) AS n0
+        | FROM c)
+        |SELECT event_type, n AS n_pop,
+        | round(mean_vi / 100.0, 4) AS mean_value,
+        | round(sqrt(var_vi) / 100.0, 4) AS sd_value,
+        | round(n0, 4) AS n_infinite,
+        | CAST(ceil(n0 / (1.0 + n0 / n)) AS BIGINT) AS n_required,
+        | round(ceil(n0 / (1.0 + n0 / n)) / n, 4) AS sample_frac
+        |FROM d ORDER BY 1""".stripMargin,
+    // empirical-Bernstein anytime radius on the running purchase
+    // mean, daily grain; stop flag on the 4dp-pinned comparison
+    "q374_eb_stopping" ->
+      """WITH base AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS vi
+        | FROM events WHERE event_type = 'purchase'),
+        |rng AS (SELECT CAST(max(vi) - min(vi) AS DOUBLE) / 100.0 AS c
+        |        FROM base),
+        |daily AS (
+        | SELECT day, CAST(count(*) AS BIGINT) AS dn,
+        |  CAST(sum(vi) AS BIGINT) AS dsv,
+        |  CAST(sum(vi * vi) AS BIGINT) AS dssv
+        | FROM base GROUP BY 1),
+        |cum AS (
+        | SELECT day, c,
+        |  sum(dn) OVER (ORDER BY day) AS n,
+        |  sum(dsv) OVER (ORDER BY day) AS sv,
+        |  sum(dssv) OVER (ORDER BY day) AS ssv
+        | FROM daily CROSS JOIN rng),
+        |s AS (
+        | SELECT day, n,
+        |  CAST(sv AS DOUBLE) / n / 100.0 AS mean,
+        |  sqrt(2.0 * ((CAST(ssv AS DOUBLE)
+        |     - (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / n)
+        |    / n / 1e4) * ln(60.0) / n)
+        |   + 3.0 * c * ln(60.0) / n AS eb
+        | FROM cum)
+        |SELECT day, CAST(n AS BIGINT) AS n_cum,
+        | round(mean, 4) AS running_mean,
+        | round(eb, 4) AS eb_radius,
+        | CAST(CASE WHEN round(eb, 4) < round(mean, 4) * 0.05
+        |  THEN 1 ELSE 0 END AS INTEGER) AS can_stop
+        |FROM s ORDER BY day""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -4581,6 +4581,136 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q372: partial autocorrelation (PACF) at lags 1..5 by the
+  // Durbin–Levinson recursion, unrolled — the ARIMA order-selection
+  // companion to q239's ACF and q352's whiteness test: PACF cuts off
+  // at the true AR order where raw ACF only decays. Inputs are the
+  // SAME 6-dp-pinned autocorrelations as q352 (exact-deviation-sum
+  // machinery), and the recursion below is pure fixed-order double
+  // arithmetic written with IDENTICAL operation order in the oracle,
+  // so outputs match to the 4-dp pin without any further histogram
+  // work. Frames are days-sized throughout.
+  def pacfDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(s, dir)
+      .select(col("day"), col("x").cast("double").as("x"))
+    val m = daily.agg(M.oracleRound(avg(col("x")), 6).as("m"))
+    val w = Window.orderBy("day")
+    var dev = daily.crossJoin(broadcast(m))
+      .withColumn("d", col("x") - col("m"))
+    for (k <- 1 to 5)
+      dev = dev.withColumn(s"d$k", lag(col("d"), k).over(w))
+    val aggCols = Seq(sum(col("d") * col("d")).as("den")) ++
+      (1 to 5).map(k => sum(col("d") * col(s"d$k")).as(s"num$k"))
+    val acf = dev.agg(count(lit(1)).as("n"), aggCols: _*)
+      .select(col("n") +:
+        (1 to 5).map(k =>
+          M.oracleRound(col(s"num$k") / col("den"), 6).as(s"r$k")): _*)
+    // Durbin–Levinson, unrolled: p_k = phi_kk, a*_i the AR coeffs,
+    // v_k the prediction-variance remainder — every line below is
+    // restated verbatim in the oracle's chained CTEs
+    val l1 = acf
+      .withColumn("p1", col("r1"))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+    val l2 = l1
+      .withColumn("p2", (col("r2") - col("p1") * col("r1")) / col("v1"))
+      .withColumn("a21", col("p1") - col("p2") * col("p1"))
+      .withColumn("v2", col("v1") * (lit(1.0) - col("p2") * col("p2")))
+    val l3 = l2
+      .withColumn("p3", (col("r3") -
+        (col("a21") * col("r2") + col("p2") * col("r1"))) / col("v2"))
+      .withColumn("a31", col("a21") - col("p3") * col("p2"))
+      .withColumn("a32", col("p2") - col("p3") * col("a21"))
+      .withColumn("v3", col("v2") * (lit(1.0) - col("p3") * col("p3")))
+    val l4 = l3
+      .withColumn("p4", (col("r4") - (col("a31") * col("r3") +
+        col("a32") * col("r2") + col("p3") * col("r1"))) / col("v3"))
+      .withColumn("a41", col("a31") - col("p4") * col("p3"))
+      .withColumn("a42", col("a32") - col("p4") * col("a32"))
+      .withColumn("a43", col("p3") - col("p4") * col("a31"))
+      .withColumn("v4", col("v3") * (lit(1.0) - col("p4") * col("p4")))
+    val l5 = l4
+      .withColumn("p5", (col("r5") - (col("a41") * col("r4") +
+        col("a42") * col("r3") + col("a43") * col("r2") +
+        col("p4") * col("r1"))) / col("v4"))
+    val outCols = col("n").as("n_days") +:
+      ((1 to 5).map(k => col(s"r$k")) ++
+        (1 to 5).map(k => M.oracleRound(col(s"p$k"), 4).as(s"pacf$k")))
+    l5.select(outCols: _*)
+  }
+
+  // q373: sample-size design panel — the "how many rows do I need"
+  // table every telemetry budget review asks for: per event type,
+  // the n for a ±1 % relative-precision 95 % CI on the mean value
+  // (n0 = (1.96·sd / (0.01·mean))²) with the finite-population
+  // correction n0/(1 + n0/N). Moments from the q357 exact integer
+  // recode; one corpus-sized groupBy.
+  def sampleSizeDesign(s: SparkSession, dir: String): DataFrame = {
+    val mom = Tables.events(s, dir)
+      .select(col("event_type"),
+        M.oracleRound(col("value") * 100, 0).cast("long").as("vi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vi").as("sv"),
+        sum(col("vi") * col("vi")).as("ssv"))
+    // all in vi units (exact integer sums) — relative precision is
+    // scale-free, so the /100 recode cancels out of n0 entirely
+    val nd = col("n").cast("double")
+    val meanVi = col("sv").cast("double") / nd
+    val varVi = (col("ssv").cast("double") - meanVi * meanVi * nd) /
+      (nd - 1.0)
+    val n0 = (lit(1.96) * sqrt(varVi) / (lit(0.01) * meanVi)) *
+      (lit(1.96) * sqrt(varVi) / (lit(0.01) * meanVi))
+    val nReq = ceil(n0 / (lit(1.0) + n0 / nd))
+    mom.select(col("event_type"), col("n").as("n_pop"),
+        M.oracleRound(meanVi / 100.0, 4).as("mean_value"),
+        M.oracleRound(sqrt(varVi) / 100.0, 4).as("sd_value"),
+        M.oracleRound(n0, 4).as("n_infinite"),
+        nReq.cast("long").as("n_required"),
+        M.oracleRound(nReq / nd, 4).as("sample_frac"))
+      .orderBy("event_type")
+  }
+
+  // q374: empirical-Bernstein sequential stopping audit — "how soon
+  // could this experiment have stopped": after each day, the EB
+  // confidence radius sqrt(2·V·ln(3/δ)/n) + 3·c·ln(3/δ)/n on the
+  // running mean of purchase values (δ = 0.05, c = the a-priori value
+  // range), flagged when it drops under 5 % of the running mean. The
+  // anytime companion to q280's fixed-look group-sequential design.
+  // All running moments come from integer daily sums via one ordered
+  // days-sized window (the dailyCounts coalesce(1) contract); the
+  // corpus-sized work is one groupBy(day).
+  def ebStopping(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        M.oracleRound(col("value") * 100, 0).cast("long").as("vi"))
+    val daily = base.groupBy("day")
+      .agg(count(lit(1)).as("dn"), sum("vi").as("dsv"),
+        sum(col("vi") * col("vi")).as("dssv"))
+      .coalesce(1)
+    val rng = base.agg(((max("vi") - min("vi")).cast("double") / 100.0)
+      .as("c"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lnTerm = math.log(60.0) // ln(3/δ), δ = 0.05
+    val cum = daily.crossJoin(broadcast(rng))
+      .withColumn("n", sum("dn").over(w))
+      .withColumn("sv", sum("dsv").over(w))
+      .withColumn("ssv", sum("dssv").over(w))
+    val nd = col("n").cast("double")
+    val mean = col("sv").cast("double") / nd / 100.0
+    val varPop = (col("ssv").cast("double") -
+      (col("sv").cast("double") * col("sv").cast("double")) / nd) /
+      nd / 1e4
+    val eb = sqrt(lit(2.0) * varPop * lnTerm / nd) +
+      lit(3.0) * col("c") * lnTerm / nd
+    cum.select(col("day"), col("n").as("n_cum"),
+        M.oracleRound(mean, 4).as("running_mean"),
+        M.oracleRound(eb, 4).as("eb_radius"),
+        when(M.oracleRound(eb, 4) < M.oracleRound(mean, 4) * 0.05, 1)
+          .otherwise(0).as("can_stop"))
+      .orderBy("day")
+  }
+
   // q371: capture–recapture population estimate — the two-sample
   // ecology trick as a DISTINCT-COUNT cross-check for federated
   // settings where only independent hash samples of the ID space are
