@@ -405,6 +405,9 @@ object SparkEntry {
     "q372_pacf" -> (C.pacfDaily _),
     "q373_sample_size" -> (C.sampleSizeDesign _),
     "q374_eb_stopping" -> (C.ebStopping _),
+    "q375_fk_panel" -> (C.fkPanel _),
+    "q376_ivm_join" -> (C.ivmJoin _),
+    "q377_langid_stability" -> (P.langidStability _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4178,6 +4181,110 @@ object SparkEntry {
         | CAST(CASE WHEN round(eb, 4) < round(mean, 4) * 0.05
         |  THEN 1 ELSE 0 END AS INTEGER) AS can_stop
         |FROM s ORDER BY day""".stripMargin,
+    // whole-schema FK panel: one edge block per declared edge, child
+    // counts full-outer parent keys, orphan rate + parent coverage
+    "q375_fk_panel" -> {
+      val edges = Seq(
+        ("customer->nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region",
+          "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"))
+      val body = edges.map { case (n, c, ck, p, pk) =>
+        "(" + fkEdgeOracle(n, c, ck, p, pk) + ")"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH panel AS (
+         |$body
+         |)
+         |SELECT edge, n_child, n_orphan_rows, n_parents, n_unreferenced,
+         | round(CAST(n_orphan_rows AS DOUBLE) / n_child, 4)
+         |  AS orphan_rate,
+         | round(1.0 - CAST(n_unreferenced AS DOUBLE) / n_parents, 4)
+         |  AS coverage
+         |FROM panel ORDER BY edge""".stripMargin
+    },
+    // insert-only delta-join IVM identity per market segment
+    "q376_ivm_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |oo AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |od AS (SELECT * FROM o WHERE o_orderkey % 97 = 0),
+        |co AS (SELECT * FROM c WHERE c_custkey % 89 <> 0),
+        |cd AS (SELECT * FROM c WHERE c_custkey % 89 = 0),
+        |fullv AS (
+        | SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_full
+        | FROM o JOIN c ON o_custkey = c_custkey GROUP BY 1),
+        |ivm AS (
+        | SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n_ivm FROM (
+        |  SELECT c_mktsegment, count(*) AS n FROM oo
+        |   JOIN co ON o_custkey = c_custkey GROUP BY 1
+        |  UNION ALL SELECT c_mktsegment, count(*) FROM od
+        |   JOIN co ON o_custkey = c_custkey GROUP BY 1
+        |  UNION ALL SELECT c_mktsegment, count(*) FROM oo
+        |   JOIN cd ON o_custkey = c_custkey GROUP BY 1
+        |  UNION ALL SELECT c_mktsegment, count(*) FROM od
+        |   JOIN cd ON o_custkey = c_custkey GROUP BY 1) u
+        | GROUP BY 1)
+        |SELECT c_mktsegment,
+        | COALESCE(n_full, 0) AS n_full, COALESCE(n_ivm, 0) AS n_ivm,
+        | CAST(CASE WHEN COALESCE(n_full, 0) = COALESCE(n_ivm, 0)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS consistent
+        |FROM fullv FULL OUTER JOIN ivm USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+    // split-half langid stability: q26 profile argmax per half,
+    // disagreement rate per actual language
+    "q377_langid_stability" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+        |   AS toks
+        | FROM documents),
+        |b AS (
+        | SELECT lang, toks, len(toks) AS n, len(toks) // 2 AS h
+        | FROM t WHERE len(toks) >= 4),
+        |halves AS (
+        | SELECT lang, toks[1:h] AS t1, toks[h+1:n] AS t2 FROM b),
+        |s AS (
+        | SELECT lang,
+        |  len(list_filter(t1, x -> x IN ('der','die','und','das','ist'))) AS a_de,
+        |  len(list_filter(t1, x -> x IN ('the','and','of','to','is'))) AS a_en,
+        |  len(list_filter(t1, x -> x IN ('el','la','de','que','y'))) AS a_es,
+        |  len(list_filter(t1, x -> x IN ('le','la','de','et','les'))) AS a_fr,
+        |  len(list_filter(t1, x -> x IN ('o','a','de','que','e'))) AS a_pt,
+        |  len(list_filter(t2, x -> x IN ('der','die','und','das','ist'))) AS b_de,
+        |  len(list_filter(t2, x -> x IN ('the','and','of','to','is'))) AS b_en,
+        |  len(list_filter(t2, x -> x IN ('el','la','de','que','y'))) AS b_es,
+        |  len(list_filter(t2, x -> x IN ('le','la','de','et','les'))) AS b_fr,
+        |  len(list_filter(t2, x -> x IN ('o','a','de','que','e'))) AS b_pt
+        | FROM halves),
+        |p AS (
+        | SELECT lang,
+        |  CASE
+        |   WHEN a_de >= a_en AND a_de >= a_es AND a_de >= a_fr AND a_de >= a_pt THEN 'de'
+        |   WHEN a_en >= a_es AND a_en >= a_fr AND a_en >= a_pt THEN 'en'
+        |   WHEN a_es >= a_fr AND a_es >= a_pt THEN 'es'
+        |   WHEN a_fr >= a_pt THEN 'fr' ELSE 'pt' END AS p1,
+        |  CASE
+        |   WHEN b_de >= b_en AND b_de >= b_es AND b_de >= b_fr AND b_de >= b_pt THEN 'de'
+        |   WHEN b_en >= b_es AND b_en >= b_fr AND b_en >= b_pt THEN 'en'
+        |   WHEN b_es >= b_fr AND b_es >= b_pt THEN 'es'
+        |   WHEN b_fr >= b_pt THEN 'fr' ELSE 'pt' END AS p2
+        | FROM s)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_unstable,
+        | round(CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) AS unstable_rate
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -9126,6 +9233,23 @@ object SparkEntry {
 
   /** DuckDB brute-force n-gram-Jaccard pair oracle (3-token shingles,
     * candidates = pairs sharing any shingle — complete for J > 0). */
+  /** One q375 edge: distinct-key full outer between child counts and
+    * parent keys, aggregated to the panel row. */
+  private def fkEdgeOracle(name: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$name' AS edge,
+       | CAST(sum(COALESCE(nc, 0)) AS BIGINT) AS n_child,
+       | CAST(sum(CASE WHEN isp IS NULL THEN nc ELSE 0 END) AS BIGINT)
+       |  AS n_orphan_rows,
+       | CAST(sum(CASE WHEN isp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_parents,
+       | CAST(sum(CASE WHEN isp IS NOT NULL AND nc IS NULL
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced
+       |FROM (SELECT $ck AS k, CAST(count(*) AS BIGINT) AS nc
+       |      FROM $child GROUP BY 1) c
+       |FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS isp
+       |                 FROM $parent) p USING (k)""".stripMargin
+
   private def jaccardPairOracle(threshold: Double): String =
     s"""WITH toks AS (
        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

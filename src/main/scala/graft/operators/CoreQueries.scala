@@ -4581,6 +4581,90 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q375: whole-schema FK integrity panel — q95 checks ONE planted
+  // edge; this audits every declared edge of the star schema in one
+  // result: per edge, child rows, orphan child rows (no parent),
+  // parent keys, and unreferenced parents (no children — the coverage
+  // side a single-orphan check never shows). Each edge is one
+  // distinct-key full-outer join that shuffles on the key; the panel
+  // is a 7-row union of closed aggregates.
+  def fkPanel(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("nc"))
+      val p = parent.select(col(pk).as("k")).distinct()
+        .withColumn("isp", lit(1L))
+      c.join(p, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("nc"), lit(0L))).as("n_child"),
+          sum(when(col("isp").isNull, col("nc")).otherwise(0L))
+            .as("n_orphan_rows"),
+          sum(when(col("isp").isNotNull, 1L).otherwise(0L))
+            .as("n_parents"),
+          sum(when(col("isp").isNotNull && col("nc").isNull, 1L)
+            .otherwise(0L)).as("n_unreferenced"))
+        .select(lit(name).as("edge"), col("n_child"),
+          col("n_orphan_rows"), col("n_parents"), col("n_unreferenced"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val part = Tables.part(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    Seq(
+      edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+      edge("nation->region", nat, "n_regionkey", reg, "r_regionkey"),
+      edge("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("supplier->nation", supp, "s_nationkey", nat, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .select(col("edge"), col("n_child"), col("n_orphan_rows"),
+        col("n_parents"), col("n_unreferenced"),
+        M.oracleRound(col("n_orphan_rows").cast("double") /
+          col("n_child"), 4).as("orphan_rate"),
+        M.oracleRound(lit(1.0) - col("n_unreferenced").cast("double") /
+          col("n_parents"), 4).as("coverage"))
+      .orderBy("edge")
+  }
+
+  // q376: incremental view maintenance for a JOIN view — the delta
+  // companion to q308's aggregate IVM: with insert-only deltas ΔO
+  // (late orders, %97) and ΔC (new customers, %89), the maintained
+  // view is V_old ∪ ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC — four joins that
+  // each touch only one delta side (the plan a 100 TB refresh
+  // actually runs), re-aggregated and checked row-for-row against
+  // the full recompute per market segment.
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oOld = o.filter(col("o_orderkey") % 97 =!= 0)
+    val oDel = o.filter(col("o_orderkey") % 97 === 0)
+    val cOld = c.filter(col("c_custkey") % 89 =!= 0)
+    val cDel = c.filter(col("c_custkey") % 89 === 0)
+    def seg(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val full = seg(o, c)
+      .select(col("c_mktsegment"), col("n").as("n_full"))
+    val ivm = Seq(seg(oOld, cOld), seg(oDel, cOld), seg(oOld, cDel),
+        seg(oDel, cDel))
+      .reduce(_ unionAll _)
+      .groupBy("c_mktsegment").agg(sum("n").as("n_ivm"))
+    full.join(ivm, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"),
+        coalesce(col("n_ivm"), lit(0L)).as("n_ivm"),
+        when(coalesce(col("n_full"), lit(0L)) ===
+          coalesce(col("n_ivm"), lit(0L)), 1).otherwise(0)
+          .as("consistent"))
+      .orderBy("c_mktsegment")
+  }
+
   // q372: partial autocorrelation (PACF) at lags 1..5 by the
   // Durbin–Levinson recursion, unrolled — the ARIMA order-selection
   // companion to q239's ACF and q352's whiteness test: PACF cuts off

@@ -981,6 +981,39 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  // q377: split-half language-ID stability — the mixed-language /
+  // boilerplate detector the whole-doc classifier (q26) cannot be:
+  // run the SAME profile argmax on each half of the token stream and
+  // flag docs whose halves disagree. Per actual language: doc count,
+  // unstable count, rate. One corpus-sized projection (the scoring is
+  // a codegen'd expression, no shuffle until the tiny groupBy).
+  def langidStability(s: SparkSession, dir: String): DataFrame = {
+    def pick(ts: Column): Column = {
+      val scored = T.langProfiles.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          struct((-size(filter(ts, t => t.isin(words: _*))))
+            .as("negScore"), lit(lang).as("lang"))
+      }
+      sort_array(array(scored: _*)).getItem(0).getField("lang")
+    }
+    val base = Tables.documents(s, dir)
+      .withColumn("ts", T.tokens(lower(col("text"))))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= 4)
+      .withColumn("h", (col("n") / 2).cast("int"))
+    val preds = base
+      .withColumn("p1", pick(slice(col("ts"), lit(1), col("h"))))
+      .withColumn("p2", pick(slice(col("ts"), col("h") + 1,
+        col("n") - col("h"))))
+    preds.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L))
+          .as("n_unstable"))
+      .withColumn("unstable_rate", M.oracleRound(
+        col("n_unstable").cast("double") / col("n_docs"), 4))
+      .orderBy("lang")
+  }
+
   // q369: near-dup TRANSITIVITY audit — the quality gate on treating
   // near-dup clusters as connected components (q49/q97/q103 all do):
   // if a~b and b~c rarely implies a~c, component-canonical keepers
