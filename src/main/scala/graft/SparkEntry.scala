@@ -408,6 +408,9 @@ object SparkEntry {
     "q375_fk_panel" -> (C.fkPanel _),
     "q376_ivm_join" -> (C.ivmJoin _),
     "q377_langid_stability" -> (P.langidStability _),
+    "q378_skyline" -> (P.skylineDocs _),
+    "q379_selectivity" -> (C.selectivityAudit _),
+    "q380_zipf_loglog" -> (P.zipfVsLoglogistic _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4285,6 +4288,121 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 4) AS unstable_rate
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // skyline on (quality, n_chars): per-quality max length, exclusive
+    // running max over strictly-higher quality, dominance filter
+    "q378_skyline" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  round((CAST(len(list_distinct(CASE WHEN len(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END))
+        |     AS DOUBLE)
+        |    / CAST(greatest(len(CASE WHEN len(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END), 1)
+        |     AS DOUBLE)) * 0.7
+        |   + (CASE WHEN length(text) BETWEEN 20 AND 20000
+        |      THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+        |  n_chars
+        | FROM documents),
+        |pq AS (
+        | SELECT quality, max(n_chars) AS q_max FROM d GROUP BY 1),
+        |rm AS (
+        | SELECT quality, q_max,
+        |  max(q_max) OVER (ORDER BY quality DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi_max
+        | FROM pq)
+        |SELECT d.doc_id, d.quality, d.n_chars
+        |FROM d JOIN rm ON d.quality = rm.quality
+        |WHERE d.n_chars = rm.q_max
+        | AND (rm.hi_max IS NULL OR d.n_chars > rm.hi_max)
+        |ORDER BY d.quality DESC, d.doc_id""".stripMargin,
+    // equi-depth histogram selectivity vs exact count for the
+    // [10k, 30k) USD net-price predicate; uniform-within-bucket
+    "q379_selectivity" ->
+      """WITH base AS (
+        | SELECT CAST(round(round(l_extendedprice * (1 - l_discount), 2)
+        |   * 100) AS BIGINT) AS vi
+        | FROM lineitem),
+        |b AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(vi, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |   0.9]) AS qs,
+        |  CAST(min(vi) AS DOUBLE) AS vmin,
+        |  CAST(max(vi) AS DOUBLE) + 1.0 AS vmax1,
+        |  CAST(sum(CASE WHEN vi >= 1000000 AND vi < 3000000 THEN 1
+        |   ELSE 0 END) AS BIGINT) AS actual_rows
+        | FROM base),
+        |e AS (
+        | SELECT n, actual_rows,
+        |  (SELECT sum(CASE WHEN bhi > blo THEN
+        |      greatest(0.0, least(bhi, 3000000.0)
+        |       - greatest(blo, 1000000.0))
+        |       / (bhi - blo) ELSE 0.0 END)
+        |   FROM (SELECT
+        |     CASE WHEN k = 0 THEN vmin ELSE qs[k] END AS blo,
+        |     CASE WHEN k = 9 THEN vmax1 ELSE qs[k + 1] END AS bhi
+        |    FROM (SELECT unnest(generate_series(0, 9)) AS k) ks) bu)
+        |   * CAST(n AS DOUBLE) / 10.0 AS est
+        | FROM b)
+        |SELECT n AS n_rows,
+        | CAST(1000000 AS BIGINT) AS pred_lo_cents,
+        | CAST(3000000 AS BIGINT) AS pred_hi_cents,
+        | round(est, 4) AS est_rows, actual_rows,
+        | round((est - CAST(actual_rows AS DOUBLE))
+        |   / CAST(actual_rows AS DOUBLE), 4) AS rel_err
+        |FROM e""".stripMargin,
+    // Zipf vs log-logistic R^2 on the rank-frequency points, 1e-4
+    // fixed-point ln terms so the OLS sums are exact integers
+    "q380_zipf_loglog" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |   AS wd
+        | FROM documents WHERE len(trim(text)) > 0),
+        |freq AS (
+        | SELECT wd, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+        |rk AS (
+        | SELECT f, CAST(row_number() OVER (ORDER BY f DESC, wd)
+        |   AS BIGINT) AS r
+        | FROM freq),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM rk),
+        |t AS (
+        | SELECT
+        |  CAST(round(ln(CAST(f AS DOUBLE)) * 1e4) AS BIGINT) AS y,
+        |  CAST(round(ln(CAST(r AS DOUBLE)) * 1e4) AS BIGINT) AS x1,
+        |  CAST(round(ln(((CAST(r AS DOUBLE) - 0.5) / v)
+        |    / (1.0 - (CAST(r AS DOUBLE) - 0.5) / v)) * 1e4) AS BIGINT)
+        |   AS x2
+        | FROM rk CROSS JOIN v),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x1) AS BIGINT) AS sx1,
+        |  CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+        |  CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+        |  CAST(sum(x2) AS BIGINT) AS sx2,
+        |  CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+        |  CAST(sum(x2 * y) AS BIGINT) AS sx2y
+        | FROM t),
+        |r2 AS (
+        | SELECT k,
+        |  (CAST(k AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+        |   * (CAST(k AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy)
+        |   / ((CAST(k AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1)
+        |    * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |   AS z_r2,
+        |  (CAST(k AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+        |   * (CAST(k AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy)
+        |   / ((CAST(k AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2)
+        |    * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |   AS l_r2
+        | FROM s)
+        |SELECT k AS vocab, round(z_r2, 4) AS zipf_r2,
+        | round(l_r2, 4) AS loglogistic_r2,
+        | CASE WHEN round(z_r2, 4) >= round(l_r2, 4) THEN 'zipf'
+        |  ELSE 'loglogistic' END AS better_model
+        |FROM r2""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

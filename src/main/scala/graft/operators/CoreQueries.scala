@@ -4581,6 +4581,50 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q379: equi-depth histogram selectivity audit — the optimizer-
+  // statistics loop made first-class: build the 10-bucket equi-depth
+  // histogram of net price (integer cents, exact distributed
+  // percentile boundaries), estimate a range predicate's row count
+  // under the uniform-within-bucket assumption, and report it against
+  // the exact count. The histogram build is one percentile aggregate;
+  // the audit is closed-form arithmetic on 10 boundary values.
+  def selectivityAudit(s: SparkSession, dir: String): DataFrame = {
+    val cents = M.oracleRound(M.oracleRound(
+      col("l_extendedprice") * (lit(1) - col("l_discount")), 2) * 100, 0)
+      .cast("long")
+    val base = Tables.lineitem(s, dir).select(cents.as("vi"))
+    // predicate: net price in [10,000 USD, 30,000 USD)
+    val lo = 1000000L; val hi = 3000000L
+    val bounds = base.agg(
+      count(lit(1)).as("n"),
+      expr("percentile(vi, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D," +
+        "0.8D,0.9D))").as("qs"),
+      min("vi").as("vmin"), max("vi").as("vmax"),
+      sum(when(col("vi") >= lo && col("vi") < hi, 1L).otherwise(0L))
+        .as("actual_rows"))
+    // bucket k spans [b_k, b_{k+1}); overlap fraction of [lo, hi)
+    // under uniformity, each bucket holding n/10 rows
+    val est = (0 until 10).map { k =>
+      val bLo = if (k == 0) col("vmin").cast("double")
+        else element_at(col("qs"), k)
+      val bHi = if (k == 9) col("vmax").cast("double") + 1.0
+        else element_at(col("qs"), k + 1)
+      val ov = greatest(lit(0.0),
+        least(bHi, lit(hi.toDouble)) - greatest(bLo, lit(lo.toDouble)))
+      // epsilon-floored denominator instead of a CASE guard: ANSI mode
+      // + subexpression elimination can evaluate a guarded division
+      // eagerly; with width <= 0 the overlap is 0, so 0/eps = 0 keeps
+      // the CASE semantics the oracle states
+      ov / greatest(bHi - bLo, lit(1e-12))
+    }.reduce(_ + _) * col("n").cast("double") / 10.0
+    bounds.select(col("n").as("n_rows"),
+        lit(lo).as("pred_lo_cents"), lit(hi).as("pred_hi_cents"),
+        M.oracleRound(est, 4).as("est_rows"),
+        col("actual_rows"),
+        M.oracleRound((est - col("actual_rows").cast("double")) /
+          col("actual_rows").cast("double"), 4).as("rel_err"))
+  }
+
   // q375: whole-schema FK integrity panel — q95 checks ONE planted
   // edge; this audits every declared edge of the star schema in one
   // result: per edge, child rows, orphan child rows (no parent),

@@ -981,6 +981,82 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  // q380: Zipf vs log-logistic on the token frequency spectrum —
+  // which law actually fits decides sampling and vocab-truncation
+  // policy (q166 FITS Zipf; this asks whether it SHOULD). Both are
+  // OLS fits on the (rank, freq) points — Zipf in ln f ~ ln r,
+  // log-logistic via ln f ~ logit((r−½)/V), the SQL-statable quantile
+  // regressor — compared by R². Per-point ln terms quantize to 1e-4
+  // BIGINTs (the q355/q362 fixed-point trick): OLS sums are exact
+  // integer sums, order-free, within BIGINT up to ~10⁸ vocab (scale
+  // cancels out of R² entirely).
+  def zipfVsLoglogistic(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(explode(T.tokens(lower(col("text")))).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(
+        w.orderBy(col("f").desc, col("wd"))).cast("long"))
+    val n = freq.agg(count(lit(1)).as("v"))
+    // fixed-point regressors: y = ln f, x1 = ln r,
+    // x2 = logit((r-0.5)/V) — the log-logistic quantile position
+    val terms = freq.crossJoin(broadcast(n))
+      .withColumn("y", M.oracleRound(
+        log(col("f").cast("double")) * 1e4, 0).cast("long"))
+      .withColumn("x1", M.oracleRound(
+        log(col("r").cast("double")) * 1e4, 0).cast("long"))
+      .withColumn("p", (col("r").cast("double") - 0.5) /
+        col("v").cast("double"))
+      .withColumn("x2", M.oracleRound(
+        log(col("p") / (lit(1.0) - col("p"))) * 1e4, 0).cast("long"))
+    def r2Of(x: String): Column = {
+      val k = col("k").cast("double")
+      val sx = col(s"s$x").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col(s"s${x}y").cast("double")
+      val sxx = col(s"s$x$x").cast("double")
+      val syy = col("syy").cast("double")
+      val num = k * sxy - sx * sy
+      (num * num) / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    }
+    terms.agg(count(lit(1)).as("k"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum("x1").as("sx1"), sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum("x2").as("sx2"), sum(col("x2") * col("x2")).as("sx2x2"),
+        sum(col("x2") * col("y")).as("sx2y"))
+      .select(col("k").as("vocab"),
+        M.oracleRound(r2Of("x1"), 4).as("zipf_r2"),
+        M.oracleRound(r2Of("x2"), 4).as("loglogistic_r2"),
+        when(M.oracleRound(r2Of("x1"), 4) >=
+          M.oracleRound(r2Of("x2"), 4), "zipf").otherwise("loglogistic")
+          .as("better_model"))
+  }
+
+  // q378: skyline (Pareto frontier) of documents on (quality, length)
+  // — the multi-objective PREFERENCE operator the engine lacked: keep
+  // every doc no other doc dominates (≥ on both axes, > on one).
+  // Distributed shape: collapse to the per-quality max-length
+  // histogram (corpus-sized groupBy), run the exclusive running max
+  // over the DISTINCT-QUALITY frame (≤ 10⁴ rows by the 4-dp pin —
+  // a bounded window by construction), then one join back. A doc is
+  // on the frontier iff it carries its quality's max length AND beats
+  // every strictly-higher quality's max.
+  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), T.qualityScore(col("text")).as("quality"),
+        col("n_chars"))
+    val perQ = docs.groupBy("quality").agg(max("n_chars").as("q_max"))
+      .withColumn("hi_max", max(col("q_max")).over(
+        w.orderBy(col("quality").desc)
+          .rowsBetween(w.unboundedPreceding, -1)))
+    docs.join(perQ, Seq("quality"))
+      .filter(col("n_chars") === col("q_max") &&
+        (col("hi_max").isNull || col("n_chars") > col("hi_max")))
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
   // q377: split-half language-ID stability — the mixed-language /
   // boilerplate detector the whole-doc classifier (q26) cannot be:
   // run the SAME profile argmax on each half of the token stream and
