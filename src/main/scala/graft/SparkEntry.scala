@@ -411,6 +411,9 @@ object SparkEntry {
     "q378_skyline" -> (P.skylineDocs _),
     "q379_selectivity" -> (C.selectivityAudit _),
     "q380_zipf_loglog" -> (P.zipfVsLoglogistic _),
+    "q381_bitemporal" -> (C.bitemporalAsof _),
+    "q382_interval_union" -> (C.intervalUnion _),
+    "q383_contribution" -> (C.contributionShares _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4403,6 +4406,86 @@ object SparkEntry {
         | CASE WHEN round(z_r2, 4) >= round(l_r2, 4) THEN 'zipf'
         |  ELSE 'loglogistic' END AS better_model
         |FROM r2""".stripMargin,
+    // bitemporal as-of: corrections visible only once their tx date
+    // has passed; per-key latest belief at T, then the status rollup
+    "q381_bitemporal" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS od, o_totalprice
+        | FROM orders),
+        |t AS (SELECT min(od) + 60 AS t0 FROM o),
+        |vers AS (
+        | SELECT o_orderkey, o_orderstatus, od AS valid_from,
+        |  od AS tx_from, o_totalprice AS price
+        | FROM o
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, od, od + 10,
+        |  round(o_totalprice + 100.0, 2)
+        | FROM o WHERE o_orderkey % 37 = 0),
+        |vis AS (
+        | SELECT v.*, row_number() OVER (PARTITION BY o_orderkey
+        |   ORDER BY tx_from DESC) AS rn
+        | FROM vers v CROSS JOIN t
+        | WHERE tx_from <= t0 AND valid_from <= t0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN tx_from <> valid_from THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_corrected,
+        | round(sum(price), 2) AS believed_total
+        |FROM vis WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // overlapping-interval merge per user: running-max sweep groups,
+    // covered seconds + merged count, top 20
+    "q382_interval_union" ->
+      """WITH iv AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS a,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 900 AS b
+        | FROM events),
+        |g AS (
+        | SELECT user_id, a, b,
+        |  CASE WHEN max(b) OVER (PARTITION BY user_id ORDER BY a, b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |   OR a > max(b) OVER (PARTITION BY user_id ORDER BY a, b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM iv),
+        |gg AS (
+        | SELECT user_id, a, b,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY a, b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM g),
+        |m AS (
+        | SELECT user_id, grp, min(a) AS lo, max(b) AS hi
+        | FROM gg GROUP BY 1, 2),
+        |cov AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_merged,
+        |  CAST(sum(hi - lo) AS BIGINT) AS covered_s
+        | FROM m GROUP BY 1),
+        |r AS (
+        | SELECT user_id, n_merged, covered_s,
+        |  CAST(row_number() OVER (ORDER BY covered_s DESC, user_id)
+        |   AS INTEGER) AS rnk
+        | FROM cov)
+        |SELECT * FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // nation revenue with share-of-region and share-of-total in
+    // exact integer cents
+    "q383_contribution" ->
+      """WITH rev AS (
+        | SELECT r.r_name, n.n_name,
+        |  CAST(sum(CAST(round(round(o_totalprice, 2) * 100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, n_name, revenue_cents,
+        | round(CAST(revenue_cents AS DOUBLE)
+        |   / CAST(sum(revenue_cents) OVER (PARTITION BY r_name)
+        |     AS DOUBLE), 4) AS share_of_region,
+        | round(CAST(revenue_cents AS DOUBLE)
+        |   / CAST(sum(revenue_cents) OVER () AS DOUBLE), 4)
+        |  AS share_of_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -4581,6 +4581,108 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q381: bitemporal as-of query — BOTH time axes at once, which
+  // SCD2 (q325/q326, valid time only) cannot answer: "what did we
+  // BELIEVE at transaction time T about facts valid at T". Facts are
+  // order versions; corrections (every 37th key) are recorded 10 days
+  // after the order date with +100.00 on the price. The as-of pick is
+  // one per-key row_number over tx_from ≤ T — the same partitioned
+  // shape as SCD2 point-in-time, one extra predicate.
+  def bitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      to_date(col("o_orderdate")).as("valid_from"),
+      to_date(col("o_orderdate")).as("tx_from"),
+      col("o_totalprice").as("price"))
+    val corr = o.filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("valid_from"),
+        date_add(to_date(col("o_orderdate")), 10).as("tx_from"),
+        M.oracleRound(col("o_totalprice") + 100.0, 2).as("price"))
+    val t = o.agg(date_add(to_date(min(col("o_orderdate"))), 60).as("t0"))
+    val vers = base.unionByName(corr).crossJoin(broadcast(t))
+      .filter(col("tx_from") <= col("t0") &&
+        col("valid_from") <= col("t0"))
+    val believed = vers.withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderkey")
+          .orderBy(col("tx_from").desc)))
+      .filter(col("rn") === 1)
+    believed.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("tx_from") =!= col("valid_from"), 1L)
+          .otherwise(0L)).as("n_corrected"),
+        M.oracleRound(sum(col("price")), 2).as("believed_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  // q382: interval-union coverage — merge each user's overlapping
+  // [ts, ts+15 min) activity intervals and report total covered
+  // seconds + merged-interval count; top 20 by coverage. The classic
+  // overlapping-interval MERGE operator: one per-user ordered sweep
+  // (running max of previous ends marks group starts), all windows
+  // partitioned by user — no global sort, integer seconds throughout.
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val span = 15L * 60
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_seconds(col("ts")).as("a"))
+      .withColumn("b", col("a") + span)
+    val w = Window.partitionBy("user_id").orderBy("a", "b")
+    val grp = ev
+      .withColumn("prev_max_b", max(col("b")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_b").isNull || col("a") > col("prev_max_b"),
+          1L).otherwise(0L))
+      .withColumn("grp", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = grp.groupBy("user_id", "grp")
+      .agg(min("a").as("lo"), max("b").as("hi"))
+    merged.groupBy("user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("hi") - col("lo")).as("covered_s"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("covered_s").desc, col("user_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("user_id"), col("n_merged"), col("covered_s"),
+        col("rnk"))
+      .orderBy("rnk")
+  }
+
+  // q383: contribution analysis — nation revenue with its share of
+  // the region and of the whole, the drill-down BI staple, in exact
+  // integer cents: one join chain to the broadcast dims, one keyed
+  // aggregate, then two window shares over the 25-row nation frame.
+  def contributionShares(s: SparkSession, dir: String): DataFrame = {
+    val cents = M.oracleRound(M.oracleRound(col("o_totalprice"), 2) *
+      100, 0).cast("long")
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents.as("vc"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("vc")).as("revenue_cents"))
+    rev
+      .withColumn("region_total", sum("revenue_cents").over(
+        Window.partitionBy("r_name")))
+      .withColumn("grand_total", sum("revenue_cents").over(
+        Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("revenue_cents"),
+        M.oracleRound(col("revenue_cents").cast("double") /
+          col("region_total").cast("double"), 4).as("share_of_region"),
+        M.oracleRound(col("revenue_cents").cast("double") /
+          col("grand_total").cast("double"), 4).as("share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
   // q379: equi-depth histogram selectivity audit — the optimizer-
   // statistics loop made first-class: build the 10-bucket equi-depth
   // histogram of net price (integer cents, exact distributed
