@@ -414,6 +414,7 @@ object SparkEntry {
     "q381_bitemporal" -> (C.bitemporalAsof _),
     "q382_interval_union" -> (C.intervalUnion _),
     "q383_contribution" -> (C.contributionShares _),
+    "q384_dsv2_tar" -> (P.dsv2TarManifest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4486,6 +4487,19 @@ object SparkEntry {
         |   / CAST(sum(revenue_cents) OVER () AS DOUBLE), 4)
         |  AS share_of_total
         |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    // DSv2 tar manifest: q157's closed form off the documents table
+    // (shard = doc_id//50, members doc_id-ordered, md5(text) payload)
+    "q384_dsv2_tar" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  doc_id || '.txt' AS name,
+        |  CAST(strlen(text) AS BIGINT) AS size, md5(text) AS payload_md5
+        | FROM documents)
+        |SELECT shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |  AS INTEGER) AS idx,
+        | name, size, payload_md5
+        |FROM m ORDER BY shard, idx""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

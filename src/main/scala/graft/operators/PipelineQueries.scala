@@ -1497,6 +1497,51 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  /** q384's shard-file stage, written once per (session, sf dir):
+    * the q157 shard bytes land as REAL `.tar` files on disk (written
+    * from executors — the driver never holds a payload), so the
+    * DataSourceV2 reader exercises the actual file path. */
+  private val tarFileStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def tarShardDir(s: SparkSession, dir: String): String =
+    tarFileStage.getOrElseUpdate((s, dir), {
+      // capture a plain String — a java.nio Path is not serializable
+      val base = newStageDir("graft_tarv2_").toString
+      Tables.documents(s, dir)
+        .select((col("doc_id") / 50).cast("long").as("shard"),
+          struct(col("doc_id"), col("text")).as("m"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(col("m"))).as("members"))
+        .select(col("shard"), Multimodal.tarBytes(col("members")).as("t"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(base,
+                  f"shard-${r.getLong(0)}%05d.tar"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+      base
+    })
+
+  // q384: the q157 shard manifest read back THROUGH the DataSourceV2
+  // table ([[graft.sources.TarShardSource]]) — tar archives as a
+  // first-class scan with live column pruning and file/member filter
+  // pushdown, not a binary-column round trip. The gate projects the
+  // manifest columns (md5 computed in the reader), and the oracle is
+  // q157's closed form straight off the documents table — so a reader
+  // framing bug, a lost member, or a wrong payload digest all go red.
+  def dsv2TarManifest(s: SparkSession, dir: String): DataFrame = {
+    val stage = tarShardDir(s, dir)
+    s.read.format("graft-tar").load(stage)
+      .select(
+        regexp_extract(col("shard_file"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard"),
+        col("idx"), col("name"), col("size"), col("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // q157's compressed twin: GZIP members (the WebDataset `.gz`
   // convention). Compressed member bytes have NO SQL closed form
   // (deflate output is implementation-defined), so the gate emits only

@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for the engine's WebDataset-style USTAR shard
+  * directories (one `.tar` per shard, members written by
+  * [[graft.expressions.TarBytes]] — see `TarCodec.scala`): the
+  * training-data lake's container format surfaced as a TABLE, so shard
+  * archives join/filter/aggregate like any other source instead of
+  * round-tripping through a binary column.
+  *
+  * Spark-native scan contract, all three planning hooks live:
+  *   - one `InputPartition` per shard file — shard-parallel scans, no
+  *     driver-side payload movement;
+  *   - `SupportsPushDownRequiredColumns`: `payload_md5`/`text` are
+  *     computed ONLY when projected (an md5 or UTF-8 decode per member
+  *     is the dominant cost of a manifest scan — pruning makes
+  *     name/size listings touch headers only);
+  *   - `SupportsPushDownFilters`: `shard_file = 'x'` prunes FILES at
+  *     planning time (the partition-pruning analogue) and
+  *     `name LIKE 'p%'` (StringStartsWith) skips members inside the
+  *     reader; both are fully enforced, everything else is left to
+  *     Spark as a residual.
+  *
+  * Read path trusts the writer's framing (header checksum validation
+  * lives in the `graft_tar_entries` expression, q157's gate) but still
+  * hard-fails on structural corruption: truncated header, non-octal
+  * size, or a payload running past EOF.
+  */
+class TarShardSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tar"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarShardTable.schema
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new TarShardTable(properties.get("path"))
+}
+
+object TarShardTable {
+  val schema: StructType = StructType(Seq(
+    StructField("shard_file", StringType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload_md5", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+}
+
+class TarShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tar `$path`"
+  override def schema(): StructType = TarShardTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class TarScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = TarShardTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty projection (count(*)) still needs one field to frame rows
+    required = if (requiredSchema.isEmpty)
+      StructType(TarShardTable.schema.take(2)) else requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("shard_file", _: String) => true
+      case StringStartsWith("name", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TarScan(path, required, pushed)
+}
+
+class TarScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tar path=$path pruned=[${required.fieldNames.mkString(",")}]" +
+      s" pushed=[${filters.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fileEq = filters.collect {
+      case EqualTo("shard_file", v: String) => v
+    }.toSet
+    val files = Files.list(Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".tar")).toArray.sorted
+    val kept =
+      if (fileEq.isEmpty) files
+      else files.filter(f => fileEq.contains(Paths.get(f).getFileName.toString))
+    kept.map(f => TarInputPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory(required, filters)
+}
+
+case class TarInputPartition(file: String) extends InputPartition
+
+class TarReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TarPartitionReader(p.asInstanceOf[TarInputPartition].file,
+      required, filters)
+}
+
+class TarPartitionReader(file: String, required: StructType,
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val Block = 512
+  private val bytes = Files.readAllBytes(Paths.get(file))
+  private val fname = Paths.get(file).getFileName.toString
+  private val prefixes = filters.collect {
+    case StringStartsWith("name", p) => p
+  }
+  private val needMd5 = required.fieldNames.contains("payload_md5")
+  private var pos = 0
+  private var idx = -1
+  private var current: InternalRow = _
+
+  private def fail(msg: String): Nothing =
+    throw new java.io.IOException(s"graft-tar $fname: $msg at offset $pos")
+
+  override def next(): Boolean = {
+    while (true) {
+      if (pos + Block > bytes.length) fail("truncated header")
+      var allZero = true
+      var i = pos
+      while (allZero && i < pos + Block) {
+        if (bytes(i) != 0) allZero = false; i += 1
+      }
+      if (allZero) return false // terminator block pair
+      var nameEnd = pos
+      while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
+      val name = new String(bytes, pos, nameEnd - pos, "US-ASCII")
+      var size = 0L
+      var j = pos + 124
+      while (j < pos + 136 && bytes(j) >= '0' && bytes(j) <= '7') {
+        size = size * 8 + (bytes(j) - '0'); j += 1
+      }
+      if (j == pos + 124) fail("non-octal size field")
+      val payloadAt = pos + Block
+      val padded = ((size + Block - 1) / Block * Block).toInt
+      if (payloadAt + padded > bytes.length) fail("payload past EOF")
+      pos = payloadAt + padded
+      idx += 1
+      if (prefixes.forall(name.startsWith)) {
+        current = buildRow(name, size, payloadAt)
+        return true
+      }
+    }
+    false
+  }
+
+  private def buildRow(name: String, size: Long, at: Int): InternalRow = {
+    val vals: Array[Any] = required.fieldNames.map {
+      case "shard_file" => UTF8String.fromString(fname)
+      case "idx" => idx
+      case "name" => UTF8String.fromString(name)
+      case "size" => size
+      case "payload_md5" =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(bytes, at, size.toInt)
+        UTF8String.fromString(
+          md.digest().map(b => f"$b%02x").mkString)
+      case "text" =>
+        UTF8String.fromBytes(bytes.slice(at, at + size.toInt))
+      case other => fail(s"unknown column $other")
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+  // silence the unused warning — md5 need is decided per field above
+  locally { val _ = needMd5 }
+}
