@@ -415,6 +415,9 @@ object SparkEntry {
     "q382_interval_union" -> (C.intervalUnion _),
     "q383_contribution" -> (C.contributionShares _),
     "q384_dsv2_tar" -> (P.dsv2TarManifest _),
+    "q385_hash_ring" -> (C.consistentHashRing _),
+    "q386_deletion_cascade" -> (C.deletionCascade _),
+    "q387_bandit_replay" -> (C.banditReplay _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4500,6 +4503,129 @@ object SparkEntry {
         |  AS INTEGER) AS idx,
         | name, size, payload_md5
         |FROM m ORDER BY shard, idx""".stripMargin,
+    // consistent-hash ring: first point clockwise (wrap to global
+    // min), 8 nodes x {1,16,256} vnodes, load spread per panel
+    "q385_hash_ring" -> {
+      def panel(vn: Int): String =
+        s"""SELECT CAST($vn AS BIGINT) AS n_vnodes,
+           | CAST(sum(nk) AS BIGINT) AS n_keys,
+           | round(CAST(max(nk) AS DOUBLE) / sum(nk), 4) AS max_share,
+           | round(CAST(min(nk) AS DOUBLE) / sum(nk), 4) AS min_share,
+           | round(sqrt(avg(CAST(nk AS DOUBLE) * nk)
+           |   - avg(CAST(nk AS DOUBLE)) * avg(CAST(nk AS DOUBLE)))
+           |  / avg(CAST(nk AS DOUBLE)), 4) AS cv_load
+           |FROM (
+           | SELECT node, CAST(count(*) AS BIGINT) AS nk FROM (
+           |  SELECT k.user_id,
+           |   COALESCE(
+           |    (SELECT min_by(r.node, r.pt) FROM ring$vn r
+           |     WHERE r.pt >= k.pos),
+           |    (SELECT min_by(r.node, r.pt) FROM ring$vn r)) AS node
+           |  FROM keys k) a
+           | GROUP BY 1) l""".stripMargin
+      s"""WITH keys AS (
+         | SELECT user_id,
+         |  CAST(('0x' || substr(md5('key:' || user_id), 1, 8)) AS BIGINT)
+         |   AS pos
+         | FROM (SELECT DISTINCT user_id FROM events) u),
+         |ring1 AS (
+         | SELECT i % 8 AS node,
+         |  CAST(('0x' || substr(md5('ring1:' || (i % 8) || ':'
+         |    || (i // 8)), 1, 8)) AS BIGINT) AS pt
+         | FROM (SELECT unnest(generate_series(0, 7)) AS i) g),
+         |ring16 AS (
+         | SELECT i % 8 AS node,
+         |  CAST(('0x' || substr(md5('ring16:' || (i % 8) || ':'
+         |    || (i // 8)), 1, 8)) AS BIGINT) AS pt
+         | FROM (SELECT unnest(generate_series(0, 127)) AS i) g),
+         |ring256 AS (
+         | SELECT i % 8 AS node,
+         |  CAST(('0x' || substr(md5('ring256:' || (i % 8) || ':'
+         |    || (i // 8)), 1, 8)) AS BIGINT) AS pt
+         | FROM (SELECT unnest(generate_series(0, 2047)) AS i) g)
+         |${panel(1)}
+         |UNION ALL
+         |${panel(16)}
+         |UNION ALL
+         |${panel(256)}
+         |ORDER BY n_vnodes""".stripMargin
+    },
+    // FK-chain deletion dry run for the md5 1% of customers
+    "q386_deletion_cascade" ->
+      """WITH dc AS (
+        | SELECT c_custkey FROM customer
+        | WHERE CAST(('0x' || substr(md5('del:' || c_custkey), 1, 8))
+        |   AS BIGINT) % 100 = 0),
+        |dor AS (
+        | SELECT o_orderkey FROM orders
+        | JOIN dc ON o_custkey = c_custkey),
+        |p AS (
+        | SELECT 'customer' AS "table",
+        |  (SELECT count(*) FROM dc) AS n_deleted,
+        |  (SELECT count(*) FROM customer) AS n_total
+        | UNION ALL SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem l JOIN dor
+        |    ON l.l_orderkey = dor.o_orderkey),
+        |  (SELECT count(*) FROM lineitem)
+        | UNION ALL SELECT 'orders',
+        |  (SELECT count(*) FROM dor),
+        |  (SELECT count(*) FROM orders))
+        |SELECT "table", CAST(n_deleted AS BIGINT) AS n_deleted,
+        | CAST(n_total AS BIGINT) AS n_total,
+        | round(CAST(n_deleted AS DOUBLE) / n_total, 4) AS share
+        |FROM p ORDER BY "table"""".stripMargin,
+    // epsilon-greedy replay: exclusive cumulative means pick the
+    // greedy arm, md5 forces exploration days, regret vs the global
+    // best-in-hindsight arm's realized day reward
+    "q387_bandit_replay" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        | FROM events GROUP BY 1, 2),
+        |scored AS (
+        | SELECT day, event_type, n, sv,
+        |  round(CAST(sum(sv) OVER w AS DOUBLE)
+        |    / sum(n) OVER w / 100.0, 6) AS past_mean,
+        |  round(CAST(sv AS DOUBLE) / n / 100.0, 6) AS day_mean
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |arms AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY day
+        |    ORDER BY past_mean DESC NULLS LAST, event_type) AS greedy_rn,
+        |  dense_rank() OVER (PARTITION BY day ORDER BY event_type) - 1
+        |   AS arm_idx
+        | FROM scored),
+        |pick AS (
+        | SELECT day, event_type AS chosen,
+        |  CAST(CASE WHEN CAST(('0x' || substr(md5('eps:' || day), 1, 8))
+        |    AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END AS INTEGER) AS forced,
+        |  day_mean AS reward
+        | FROM arms
+        | WHERE (CAST(('0x' || substr(md5('eps:' || day), 1, 8))
+        |    AS BIGINT) % 10 = 0
+        |   AND arm_idx = CAST(('0x' || substr(md5('arm:' || day), 1, 8))
+        |    AS BIGINT) % 5)
+        |  OR (CAST(('0x' || substr(md5('eps:' || day), 1, 8))
+        |    AS BIGINT) % 10 <> 0 AND greedy_rn = 1)),
+        |best AS (
+        | SELECT event_type AS best_arm FROM daily
+        | GROUP BY 1
+        | ORDER BY round(CAST(sum(sv) AS DOUBLE) / sum(n) / 100.0, 6)
+        |   DESC, event_type DESC LIMIT 1),
+        |bd AS (
+        | SELECT day, round(CAST(sv AS DOUBLE) / n / 100.0, 6)
+        |   AS best_reward
+        | FROM daily JOIN best ON event_type = best_arm)
+        |SELECT p.day, p.chosen, p.forced,
+        | round(p.reward, 4) AS reward,
+        | round(bd.best_reward, 4) AS best_reward,
+        | round(sum(bd.best_reward - p.reward) OVER (ORDER BY p.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |  AS cum_regret
+        |FROM pick p JOIN bd USING (day) ORDER BY p.day""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

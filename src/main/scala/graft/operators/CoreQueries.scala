@@ -4581,6 +4581,139 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q385: consistent-hash ring balance audit — the OTHER placement
+  // scheme beside rendezvous (q210), with the vnode knob that makes
+  // or breaks it: assign every user key to the first ring point
+  // clockwise of its hash for 8 nodes at 1 / 16 / 256 vnodes and
+  // report the load spread (max/min share, CV). One keys×ring theta
+  // join per panel at gate scale; the 100 TB path is a sort-merge
+  // as-of lookup against the (tiny, broadcast) sorted ring.
+  def consistentHashRing(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(s, dir).select("user_id").distinct()
+      .withColumn("pos",
+        T.md5Int(concat(lit("key:"), col("user_id").cast("string")), 8))
+    val panels = Seq(1, 16, 256).map { vn =>
+      val ring = s.range(0, 8L * vn).toDF("i")
+        .select((col("i") % 8).as("node"),
+          T.md5Int(concat(lit(s"ring$vn:"),
+            (col("i") % 8).cast("string"), lit(":"),
+            (col("i") / 8).cast("long").cast("string")), 8).as("pt"))
+      val fwd = keys.join(broadcast(ring), col("pt") >= col("pos"))
+        .groupBy("user_id").agg(min_by(col("node"), col("pt")).as("n1"))
+      val wrap = ring.agg(min_by(col("node"), col("pt")).as("n0"))
+      val load = keys.join(fwd, Seq("user_id"), "left")
+        .crossJoin(broadcast(wrap))
+        .select(coalesce(col("n1"), col("n0")).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("nk"))
+      val nd = col("nk").cast("double")
+      load.agg(
+          sum("nk").as("n_keys"),
+          max("nk").as("kmax"), min("nk").as("kmin"),
+          avg(nd).as("mean"),
+          sqrt(avg(nd * nd) - avg(nd) * avg(nd)).as("sd"))
+        .select(lit(vn).cast("long").as("n_vnodes"), col("n_keys"),
+          M.oracleRound(col("kmax").cast("double") / col("n_keys"), 4)
+            .as("max_share"),
+          M.oracleRound(col("kmin").cast("double") / col("n_keys"), 4)
+            .as("min_share"),
+          M.oracleRound(col("sd") / col("mean"), 4).as("cv_load"))
+    }
+    panels.reduce(_ unionAll _).orderBy("n_vnodes")
+  }
+
+  // q386: deletion-cascade impact panel — the right-to-be-forgotten
+  // dry run: for the md5 1 % of customers, how many rows each table
+  // in the FK chain must drop (customer → orders → lineitem), each
+  // share, and a zero-orphan proof that the cascade is complete
+  // (lineitems of deleted orders are exactly the deleted lineitems).
+  // Three keyed joins that shuffle on their FK — the actual delete's
+  // plan shape, run as an audit.
+  def deletionCascade(s: SparkSession, dir: String): DataFrame = {
+    val delCust = Tables.customer(s, dir).select("c_custkey")
+      .filter(T.md5Int(concat(lit("del:"),
+        col("c_custkey").cast("string")), 8) % 100 === 0)
+    val delOrders = Tables.orders(s, dir)
+      .join(delCust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey")
+    val delLine = Tables.lineitem(s, dir)
+      .join(delOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    def row(name: String, deleted: DataFrame, total: DataFrame) = {
+      val d = deleted.agg(count(lit(1)).as("n_deleted"))
+      val t = total.agg(count(lit(1)).as("n_total"))
+      d.crossJoin(t).select(lit(name).as("table"), col("n_deleted"),
+        col("n_total"),
+        M.oracleRound(col("n_deleted").cast("double") / col("n_total"),
+          4).as("share"))
+    }
+    Seq(
+      row("customer", delCust, Tables.customer(s, dir)),
+      row("lineitem", delLine, Tables.lineitem(s, dir)),
+      row("orders", delOrders, Tables.orders(s, dir)))
+      .reduce(_ unionAll _).orderBy("table")
+  }
+
+  // q387: epsilon-greedy bandit REPLAY over the five event types —
+  // sequential decisions expressed as pure window algebra, no
+  // iteration: the greedy pick at day d reads only the cumulative
+  // (sum, count) BEFORE d (an exclusive window per type), forced
+  // exploration days and their arm come from md5, and the regret
+  // compares the realized day reward of the chosen arm against the
+  // global best-in-hindsight arm. Day means pinned 6 dp before the
+  // argmax so the pick itself is engine-stable.
+  def banditReplay(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        M.oracleRound(col("value") * 100, 0).cast("long").as("vi"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum("vi").as("sv"))
+      .coalesce(1)
+    val wPast = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .withColumn("past_n", sum("n").over(wPast))
+      .withColumn("past_sv", sum("sv").over(wPast))
+      .withColumn("past_mean", M.oracleRound(
+        col("past_sv").cast("double") / col("past_n") / 100.0, 6))
+      .withColumn("day_mean", M.oracleRound(
+        col("sv").cast("double") / col("n") / 100.0, 6))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("past_mean").desc_nulls_last, col("event_type"))
+    val arms = scored
+      .withColumn("greedy_rn", row_number().over(wDay))
+      .withColumn("arm_idx", dense_rank().over(
+        Window.partitionBy("day").orderBy("event_type")) - 1)
+    val forcedArm = T.md5Int(concat(lit("arm:"),
+      col("day").cast("string")), 8) % 5
+    val isForced = T.md5Int(concat(lit("eps:"),
+      col("day").cast("string")), 8) % 10 === 0
+    val chosen = arms.filter(
+        (isForced && col("arm_idx") === forcedArm) ||
+          (!isForced && col("greedy_rn") === 1))
+      .select(col("day"), col("event_type").as("chosen"),
+        when(isForced, 1).otherwise(0).as("forced"),
+        col("day_mean").as("reward"))
+    val best = daily.groupBy("event_type")
+      .agg(M.oracleRound(
+        sum("sv").cast("double") / sum("n") / 100.0, 6).as("gm"))
+      .agg(max_by(col("event_type"), struct(col("gm"),
+        col("event_type"))).as("best_arm"))
+    val bestDay = daily.join(best,
+        col("event_type") === col("best_arm"))
+      .select(col("day"), M.oracleRound(
+        col("sv").cast("double") / col("n") / 100.0, 6).as("best_reward"))
+    chosen.join(bestDay, Seq("day"))
+      .withColumn("regret", M.oracleRound(
+        sum(col("best_reward") - col("reward")).over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .select(col("day"), col("chosen"), col("forced"),
+        M.oracleRound(col("reward"), 4).as("reward"),
+        M.oracleRound(col("best_reward"), 4).as("best_reward"),
+        col("regret").as("cum_regret"))
+      .orderBy("day")
+  }
+
   // q381: bitemporal as-of query — BOTH time axes at once, which
   // SCD2 (q325/q326, valid time only) cannot answer: "what did we
   // BELIEVE at transaction time T about facts valid at T". Facts are
