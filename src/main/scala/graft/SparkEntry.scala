@@ -418,6 +418,9 @@ object SparkEntry {
     "q385_hash_ring" -> (C.consistentHashRing _),
     "q386_deletion_cascade" -> (C.deletionCascade _),
     "q387_bandit_replay" -> (C.banditReplay _),
+    "q388_adjusted_rand" -> (P.adjustedRand _),
+    "q389_temp_scaling" -> (P.temperatureScaling _),
+    "q390_theil" -> (C.theilDecomposition _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4626,6 +4629,135 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
         |  AS cum_regret
         |FROM pick p JOIN bd USING (day) ORDER BY p.day""".stripMargin,
+    // ARI between the q26 predicted partition and the lang labels:
+    // exact pair-counting terms off one contingency aggregate
+    "q388_adjusted_rand" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+        |   AS toks
+        | FROM documents),
+        |s AS (SELECT lang,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t),
+        |p AS (
+        | SELECT lang, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        |  WHEN s_fr >= s_pt THEN 'fr' ELSE 'pt' END AS pred
+        | FROM s),
+        |cells AS (
+        | SELECT lang, pred, CAST(count(*) AS BIGINT) AS nij
+        | FROM p GROUP BY 1, 2),
+        |a AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_a2
+        |      FROM (SELECT sum(nij) AS ai FROM cells GROUP BY lang) x),
+        |b AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_b2
+        |      FROM (SELECT sum(nij) AS bj FROM cells GROUP BY pred) x),
+        |c AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT)
+        |        AS sum_cells2,
+        |       CAST(sum(nij) AS BIGINT) AS n FROM cells),
+        |f AS (
+        | SELECT n, sum_cells2, sum_a2, sum_b2,
+        |  CAST(sum_a2 AS DOUBLE) * sum_b2 / (n * (n - 1) // 2)
+        |   AS expected,
+        |  CAST(sum_a2 + sum_b2 AS DOUBLE) / 2 AS max_index
+        | FROM c CROSS JOIN a CROSS JOIN b)
+        |SELECT n AS n_docs, sum_cells2, sum_a2, sum_b2,
+        | round(expected, 4) AS expected_index,
+        | round((CAST(sum_cells2 AS DOUBLE) - expected)
+        |   / (max_index - expected), 4) AS ari
+        |FROM f""".stripMargin,
+    // temperature grid on the q221 score: fixed-point NLL sums,
+    // argmin on the exact integer totals
+    "q389_temp_scaling" -> {
+      def leg(t: Double): String = {
+        val inv = 1.0 / t
+        s"""SELECT CAST($t AS DOUBLE) AS temperature,
+           | CAST(count(*) AS BIGINT) AS n,
+           | round(CAST(sum(ti) AS DOUBLE) / 1e6 / count(*), 4)
+           |  AS mean_nll,
+           | CAST(sum(ti) AS BIGINT) AS nll_fp
+           |FROM (
+           | SELECT CAST(round(-(y * ln(pow(p, $inv)
+           |    / (pow(p, $inv) + pow(1.0 - p, $inv)))
+           |   + (1.0 - y) * ln(1.0 - pow(p, $inv)
+           |    / (pow(p, $inv) + pow(1.0 - p, $inv)))) * 1e6) AS BIGINT)
+           |  AS ti
+           | FROM scored) x"""
+      }
+      s"""WITH scored AS (
+         | SELECT greatest(1e-6, least(1.0 - 1e-6,
+         |   CAST(('0x' || substr(md5('cal:' || vec_id), 1, 4)) AS BIGINT)
+         |    / 65536.0)) AS p,
+         |  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+         | FROM embeddings),
+         |grid AS (
+         |${leg(0.5).replace("\n", "\n")}
+         |UNION ALL
+         |${leg(1.0)}
+         |UNION ALL
+         |${leg(2.0)}
+         |),
+         |best AS (SELECT min(nll_fp) AS best_fp FROM grid)
+         |SELECT temperature, n, mean_nll,
+         | CAST(CASE WHEN nll_fp = best_fp THEN 1 ELSE 0 END AS INTEGER)
+         |  AS is_best
+         |FROM grid CROSS JOIN best ORDER BY temperature""".stripMargin
+    },
+    // Theil-T with within/between decomposition; 1e-6 fixed-point
+    // entropy terms, '__all' row carries the global T
+    "q390_theil" ->
+      """WITH cust AS (
+        | SELECT n.n_name,
+        |  CAST(sum(CAST(round(round(o_totalprice, 2) * 100) AS BIGINT))
+        |   AS BIGINT) AS x
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY o.o_custkey, n.n_name),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM cust),
+        |wtot AS (
+        | SELECT sum(ti) / 1e6 AS tsum FROM (
+        |  SELECT CAST(round((CAST(x AS DOUBLE)
+        |     / (CAST(sx AS DOUBLE) / n))
+        |    * ln(CAST(x AS DOUBLE) / (CAST(sx AS DOUBLE) / n)) * 1e6)
+        |   AS BIGINT) AS ti
+        |  FROM cust CROSS JOIN tot) z),
+        |grp AS (
+        | SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(x) AS BIGINT) AS sxg
+        | FROM cust GROUP BY 1),
+        |wgrp AS (
+        | SELECT n_name, sum(ti) / 1e6 AS tg FROM (
+        |  SELECT cust.n_name,
+        |   CAST(round((CAST(x AS DOUBLE)
+        |      / (CAST(sxg AS DOUBLE) / ng))
+        |     * ln(CAST(x AS DOUBLE) / (CAST(sxg AS DOUBLE) / ng)) * 1e6)
+        |    AS BIGINT) AS ti
+        |  FROM cust JOIN grp ON cust.n_name = grp.n_name) z
+        | GROUP BY 1),
+        |nations AS (
+        | SELECT grp.n_name AS "group", ng AS n_members,
+        |  round(CAST(sxg AS DOUBLE) / sx, 6) AS rev_share,
+        |  round(tg / ng, 4) AS theil_within,
+        |  round((CAST(sxg AS DOUBLE) / sx)
+        |    * ln((CAST(sxg AS DOUBLE) / ng)
+        |      / (CAST(sx AS DOUBLE) / n)), 4) AS between_contrib
+        | FROM grp JOIN wgrp ON grp.n_name = wgrp.n_name CROSS JOIN tot),
+        |total AS (
+        | SELECT '__all' AS "group", n AS n_members, 1.0 AS rev_share,
+        |  round(tsum / n, 4) AS theil_within,
+        |  CAST(NULL AS DOUBLE) AS between_contrib
+        | FROM tot CROSS JOIN wtot)
+        |SELECT * FROM nations UNION ALL SELECT * FROM total
+        |ORDER BY "group"""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

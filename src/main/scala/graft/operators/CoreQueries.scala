@@ -4581,6 +4581,58 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q390: Theil-T inequality with the within/between decomposition —
+  // what Gini (q178) cannot do: split customer-revenue inequality
+  // into within-nation and between-nation parts exactly
+  // (T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)). Per-customer entropy terms
+  // quantize to 1e-6 BIGINTs before summing (order-free at any
+  // customer count); nation rows carry their within-T and revenue
+  // share, the '__all' row carries the total and the between term.
+  def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val cents = M.oracleRound(M.oracleRound(col("o_totalprice"), 2) *
+      100, 0).cast("long")
+    val cust = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents.as("vc"))
+      .groupBy("o_custkey").agg(sum("vc").as("x"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val mu = col("sx").cast("double") / col("n")
+    val wTot = cust.crossJoin(broadcast(tot))
+      .select(M.oracleRound((col("x").cast("double") / mu) *
+        log(col("x").cast("double") / mu) * 1e6, 0).cast("long").as("ti"))
+      .agg((sum("ti").cast("double") / 1e6).as("tsum"))
+    val grp = cust.groupBy("n_name")
+      .agg(count(lit(1)).as("ng"), sum("x").as("sxg"))
+    val mug = col("sxg").cast("double") / col("ng")
+    val wGrp = cust.join(grp, Seq("n_name"))
+      .select(col("n_name"),
+        M.oracleRound((col("x").cast("double") / mug) *
+          log(col("x").cast("double") / mug) * 1e6, 0).cast("long")
+          .as("ti"))
+      .groupBy("n_name").agg((sum("ti").cast("double") / 1e6).as("tg"))
+    val nations = grp.join(wGrp, Seq("n_name"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_name").as("group"), col("ng").as("n_members"),
+        M.oracleRound(col("sxg").cast("double") / col("sx"), 6)
+          .as("rev_share"),
+        M.oracleRound(col("tg") / col("ng"), 4).as("theil_within"),
+        M.oracleRound((col("sxg").cast("double") / col("sx")) *
+          log((col("sxg").cast("double") / col("ng")) / mu), 4)
+          .as("between_contrib"))
+    val totalRow = tot.crossJoin(wTot)
+      .select(lit("__all").as("group"), col("n").as("n_members"),
+        lit(1.0).as("rev_share"),
+        M.oracleRound(col("tsum") / col("n"), 4).as("theil_within"),
+        lit(null).cast("double").as("between_contrib"))
+    nations.unionByName(totalRow).orderBy("group")
+  }
+
   // q385: consistent-hash ring balance audit — the OTHER placement
   // scheme beside rendezvous (q210), with the vnode knob that makes
   // or breaks it: assign every user key to the first ring point

@@ -1032,6 +1032,69 @@ object PipelineQueries {
           .as("better_model"))
   }
 
+  // q388: Adjusted Rand Index between the q26 predicted-language
+  // partition and the true lang labels — the CLUSTERING-level
+  // agreement score (q322's kappa grades rows; ARI grades the
+  // partition structure, chance-corrected): all pair-counting terms
+  // C(n,2) are exact integers off one 5×5-ish contingency aggregate,
+  // the index itself one closed-form double.
+  def adjustedRand(s: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(s, dir)
+      .select(col("lang"), T.langId(col("text")).as("pred"))
+    val cells = pred.groupBy("lang", "pred").agg(count(lit(1)).as("nij"))
+    def c2(x: Column): Column = (x * (x - 1) / 2).cast("long")
+    val byA = cells.groupBy("lang").agg(sum("nij").as("ai"))
+      .agg(sum(c2(col("ai"))).as("sum_a2"))
+    val byB = cells.groupBy("pred").agg(sum("nij").as("bj"))
+      .agg(sum(c2(col("bj"))).as("sum_b2"))
+    val tot = cells.agg(sum(c2(col("nij"))).as("sum_cells2"),
+      sum("nij").as("n"))
+    tot.crossJoin(byA).crossJoin(byB)
+      .withColumn("cn2", c2(col("n")))
+      .withColumn("expected",
+        col("sum_a2").cast("double") * col("sum_b2") / col("cn2"))
+      .withColumn("max_index",
+        (col("sum_a2") + col("sum_b2")).cast("double") / 2)
+      .select(col("n").as("n_docs"), col("sum_cells2"),
+        col("sum_a2"), col("sum_b2"),
+        M.oracleRound(col("expected"), 4).as("expected_index"),
+        M.oracleRound((col("sum_cells2").cast("double") - col("expected"))
+          / (col("max_index") - col("expected")), 4).as("ari"))
+  }
+
+  // q389: temperature-scaling grid for the q221 score — the standard
+  // post-hoc calibration knob evaluated by held-nothing NLL over
+  // T ∈ {0.5, 1, 2}: p_T = p^(1/T) / (p^(1/T) + (1−p)^(1/T)). Each
+  // row's NLL term quantizes to a 1e-6 BIGINT (the fixed-point sum
+  // discipline), so the per-T totals are exact integer sums and the
+  // argmin is stable; scores clamp to [1e-6, 1−1e-6] before the log.
+  def temperatureScaling(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(
+      greatest(lit(1e-6), least(lit(1.0 - 1e-6),
+        T.md5Int(concat(lit("cal:"), col("vec_id")), 4).cast("double") /
+          lit(65536.0))).as("p"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("y"))
+    val grid = Seq(0.5, 1.0, 2.0).map { t =>
+      val a = pow(col("p"), lit(1.0 / t))
+      val b = pow(lit(1.0) - col("p"), lit(1.0 / t))
+      val pt = a / (a + b)
+      val term = -(col("y") * log(pt) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - pt))
+      scored.select(M.oracleRound(term * 1e6, 0).cast("long").as("ti"))
+        .agg(count(lit(1)).as("n"), sum("ti").as("s"))
+        .select(lit(t).as("temperature"), col("n"),
+          M.oracleRound(col("s").cast("double") / 1e6 / col("n"), 4)
+            .as("mean_nll"), col("s").as("nll_fp"))
+    }
+    val all = grid.reduce(_ unionAll _)
+    val best = all.agg(min("nll_fp").as("best_fp"))
+    all.crossJoin(broadcast(best))
+      .select(col("temperature"), col("n"), col("mean_nll"),
+        when(col("nll_fp") === col("best_fp"), 1).otherwise(0)
+          .as("is_best"))
+      .orderBy("temperature")
+  }
+
   // q378: skyline (Pareto frontier) of documents on (quality, length)
   // — the multi-objective PREFERENCE operator the engine lacked: keep
   // every doc no other doc dominates (≥ on both axes, > on one).
