@@ -421,6 +421,9 @@ object SparkEntry {
     "q388_adjusted_rand" -> (P.adjustedRand _),
     "q389_temp_scaling" -> (P.temperatureScaling _),
     "q390_theil" -> (C.theilDecomposition _),
+    "q391_conformal" -> (C.conformalAudit _),
+    "q392_fairness" -> (C.fairnessAudit _),
+    "q393_shapley" -> (C.shapleyChannels _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4758,6 +4761,136 @@ object SparkEntry {
         | FROM tot CROSS JOIN wtot)
         |SELECT * FROM nations UNION ALL SELECT * FROM total
         |ORDER BY "group"""".stripMargin,
+    // split-conformal: md5 thirds, per-type integer-mean predictor,
+    // exact k-th smallest calibration residual, test coverage
+    "q391_conformal" ->
+      """WITH ev AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vi,
+        |  CAST(('0x' || substr(md5('cf:' || event_id), 1, 8)) AS BIGINT)
+        |   % 3 AS fold
+        | FROM events),
+        |pred AS (
+        | SELECT event_type,
+        |  CAST(round(CAST(sum(vi) AS DOUBLE) / count(*)) AS BIGINT)
+        |   AS pv
+        | FROM ev WHERE fold = 0 GROUP BY 1),
+        |cal AS (
+        | SELECT abs(vi - pv) AS r FROM ev JOIN pred USING (event_type)
+        | WHERE fold = 1),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |hist AS (SELECT r, count(*) AS cnt FROM cal GROUP BY 1),
+        |qh AS (
+        | SELECT min(r) AS qh, max(n_cal) AS n_cal FROM (
+        |  SELECT r, n_cal,
+        |   sum(cnt) OVER (ORDER BY r) AS cum,
+        |   CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k
+        |  FROM hist CROSS JOIN nc) x
+        | WHERE cum >= k),
+        |tst AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN abs(vi - pv) <= qh THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_covered,
+        |  max(qh) AS qh, max(n_cal) AS n_cal
+        | FROM ev JOIN pred USING (event_type) CROSS JOIN qh
+        | WHERE fold = 2),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM ev
+        |       WHERE fold = 0)
+        |SELECT n_train, n_cal, n_test,
+        | round(CAST(qh AS DOUBLE) / 100.0, 4) AS qhat_value,
+        | round(CAST(n_covered AS DOUBLE) / n_test, 4) AS coverage,
+        | CAST(0.9 AS DOUBLE) AS target
+        |FROM tst CROSS JOIN tr""".stripMargin,
+    // fairness audit of the q26 classifier across sources: selection
+    // rate, TPR, FPR per group, '__overall' parity ratio row
+    "q392_fairness" ->
+      """WITH t AS (
+        | SELECT source, lang = 'en' AS act_pos,
+        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+        |   AS toks
+        | FROM documents),
+        |s AS (SELECT source, act_pos,
+        | len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        | len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        | len(list_filter(toks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+        | len(list_filter(toks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+        | FROM t),
+        |p AS (
+        | SELECT source, act_pos,
+        |  (CASE
+        |   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+        |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+        |   WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+        |   WHEN s_fr >= s_pt THEN 'fr' ELSE 'pt' END) = 'en' AS pred_pos
+        | FROM s),
+        |g AS (
+        | SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pred_pos THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS np,
+        |  CAST(sum(CASE WHEN act_pos THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS na,
+        |  CAST(sum(CASE WHEN pred_pos AND act_pos THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN pred_pos AND NOT act_pos THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS fp
+        | FROM p GROUP BY 1),
+        |rows_ AS (
+        | SELECT "group", n_docs,
+        |  round(CAST(np AS DOUBLE) / n_docs, 4) AS sel_rate,
+        |  CASE WHEN na > 0
+        |   THEN round(CAST(tp AS DOUBLE) / na, 4) END AS tpr,
+        |  CASE WHEN n_docs - na > 0
+        |   THEN round(CAST(fp AS DOUBLE) / (n_docs - na), 4) END AS fpr
+        | FROM g),
+        |ov AS (
+        | SELECT '__overall' AS "group",
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  round(min(sel_rate) / greatest(max(sel_rate), 1e-12), 4)
+        |   AS sel_rate,
+        |  CAST(NULL AS DOUBLE) AS tpr, CAST(NULL AS DOUBLE) AS fpr
+        | FROM rows_)
+        |SELECT * FROM rows_ UNION ALL SELECT * FROM ov
+        |ORDER BY "group"""".stripMargin,
+    // Shapley channel attribution: exact-coalition conversion rates,
+    // literal 16-subset frame, phi per channel
+    "q393_shapley" ->
+      """WITH um AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |   AS m,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS conv
+        | FROM events GROUP BY 1),
+        |rates AS (
+        | SELECT m, round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS v
+        | FROM um GROUP BY 1),
+        |sub AS (
+        | SELECT s0, i, s0 + CAST(pow(2, i) AS BIGINT) AS s1,
+        |  (s0 % 2) + (s0 // 2) % 2 + (s0 // 4) % 2 + (s0 // 8) % 2
+        |   AS sz
+        | FROM (SELECT unnest(generate_series(0, 15)) AS s0) a
+        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+        | WHERE (s0 // CAST(pow(2, i) AS BIGINT)) % 2 = 0),
+        |w AS (
+        | SELECT s0, i, s1,
+        |  CASE WHEN sz = 0 THEN 6.0 / 24 WHEN sz = 1 THEN 2.0 / 24
+        |   WHEN sz = 2 THEN 2.0 / 24 ELSE 6.0 / 24 END AS w
+        | FROM sub),
+        |phi AS (
+        | SELECT i,
+        |  round(sum(w * (COALESCE(r1.v, 0.0) - COALESCE(r0.v, 0.0))), 4)
+        |   AS phi
+        | FROM w
+        | LEFT JOIN rates r0 ON w.s0 = r0.m
+        | LEFT JOIN rates r1 ON w.s1 = r1.m
+        | GROUP BY 1)
+        |SELECT CASE i WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |  WHEN 2 THEN 'signup' ELSE 'view' END AS channel, phi
+        |FROM phi ORDER BY channel""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

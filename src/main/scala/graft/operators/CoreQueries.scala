@@ -4581,6 +4581,148 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q391: split-conformal prediction audit — distribution-free
+  // uncertainty for the per-type value predictor: md5 thirds give
+  // train/calibration/test folds, the predictor is the train-fold
+  // integer mean per type, q̂ is the k = ⌈(n_cal+1)·0.9⌉-th smallest
+  // calibration |residual| (EXACT order statistic off an integer
+  // residual histogram — the q58 cum-count shape, no sort), and the
+  // test row reports empirical coverage of pred ± q̂ against the 90 %
+  // target. Residuals stay integers end to end.
+  def conformalAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        M.oracleRound(col("value") * 100, 0).cast("long").as("vi"),
+        (T.md5Int(concat(lit("cf:"), col("event_id").cast("string")), 8)
+          % 3).as("fold"))
+    val pred = ev.filter(col("fold") === 0)
+      .groupBy("event_type")
+      .agg(M.oracleRound(sum("vi").cast("double") / count(lit(1)), 0)
+        .cast("long").as("pv"))
+    val cal = ev.filter(col("fold") === 1)
+      .join(broadcast(pred), Seq("event_type"))
+      .select(abs(col("vi") - col("pv")).as("r"))
+    val hist = cal.groupBy("r").agg(count(lit(1)).as("cnt"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // exact k-th smallest via cumulative counts over the residual
+    // histogram (global window over DISTINCT residuals — bounded by
+    // the value domain, not the corpus)
+    val qhat = hist.crossJoin(broadcast(nCal))
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", ceil((col("n_cal") + 1) * 0.9).cast("long"))
+      .filter(col("cum") >= col("k"))
+      .agg(min("r").as("qh"), max(col("n_cal")).as("n_cal"))
+    val test = ev.filter(col("fold") === 2)
+      .join(broadcast(pred), Seq("event_type"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("vi") - col("pv")) <= col("qh"), 1L)
+          .otherwise(0L)).as("n_covered"),
+        max(col("qh")).as("qh"), max(col("n_cal")).as("n_cal"))
+    val nTrain = ev.filter(col("fold") === 0)
+      .agg(count(lit(1)).as("n_train"))
+    test.crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        M.oracleRound(col("qh").cast("double") / 100.0, 4)
+          .as("qhat_value"),
+        M.oracleRound(col("n_covered").cast("double") / col("n_test"),
+          4).as("coverage"),
+        lit(0.9).as("target"))
+  }
+
+  // q392: group-fairness audit of the q26 language classifier across
+  // sources — selection rate (demographic parity), TPR and FPR per
+  // group for the pred-is-English decision, plus an '__overall' row
+  // carrying the min/max parity ratio. The responsible-AI table every
+  // scored filter owes its consumers; one corpus-sized projection,
+  // groups-sized tail.
+  def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("source"),
+        (T.langId(col("text")) === "en").as("pred_pos"),
+        (col("lang") === "en").as("act_pos"))
+    val g = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("act_pos"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("pred_pos") && col("act_pos"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred_pos") && !col("act_pos"), 1L).otherwise(0L))
+          .as("fp"))
+    val rows = g.select(col("source").as("group"), col("n_docs"),
+      M.oracleRound(col("np").cast("double") / col("n_docs"), 4)
+        .as("sel_rate"),
+      when(col("na") > 0, M.oracleRound(
+        col("tp").cast("double") / col("na"), 4)).as("tpr"),
+      when(col("n_docs") - col("na") > 0, M.oracleRound(
+        col("fp").cast("double") / (col("n_docs") - col("na")), 4))
+        .as("fpr"))
+    val par = rows.agg(
+      sum(col("n_docs")).as("n_docs"),
+      M.oracleRound(min("sel_rate") /
+        greatest(max("sel_rate"), lit(1e-12)), 4).as("parity"))
+    val overall = par.select(lit("__overall").as("group"),
+      col("n_docs"), col("parity").as("sel_rate"),
+      lit(null).cast("double").as("tpr"),
+      lit(null).cast("double").as("fpr"))
+    rows.unionByName(overall).orderBy("group")
+  }
+
+  // q393: Shapley-value channel attribution — the game-theoretic
+  // upgrade of rule-based credit (q235): users carry a 4-bit touched-
+  // channel mask (click/error/signup/view; purchase = conversion),
+  // v(S) is the conversion rate of users with EXACTLY that coalition,
+  // and each channel's phi sums w(|S|)·(v(S∪i)−v(S)) over the 8
+  // subsets not containing it, w = |S|!·(4−|S|−1)!/4!. The coalition
+  // table is 16 rows — the whole Shapley computation is a literal
+  // subset frame joined twice against the mask rates; only the mask
+  // aggregation is corpus-sized.
+  def shapleyChannels(s: SparkSession, dir: String): DataFrame = {
+    val chans = Seq("click", "error", "signup", "view")
+    val mask = chans.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+    }.reduce(_ + _)
+    val users = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(mask.as("m"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val rates = users.groupBy("m")
+      .agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+      .select(col("m"),
+        M.oracleRound(col("nc").cast("double") / col("nu"), 6).as("v"))
+    def pop(c: Column): Column =
+      (c % 2) + floor(c / 2) % 2 + floor(c / 4) % 2 + floor(c / 8) % 2
+    val subsets = s.range(0, 16).toDF("s0")
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .filter((floor(col("s0") / pow(lit(2.0), col("i"))).cast("long")
+        % 2) === 0)
+      .withColumn("s1", col("s0") +
+        pow(lit(2.0), col("i")).cast("long"))
+      .withColumn("sz", pop(col("s0")).cast("int"))
+      .withColumn("w",
+        when(col("sz") === 0, 6.0 / 24).when(col("sz") === 1, 2.0 / 24)
+          .when(col("sz") === 2, 2.0 / 24).otherwise(6.0 / 24))
+    val phi = subsets
+      .join(rates.select(col("m").as("s0"), col("v").as("v0")),
+        Seq("s0"), "left")
+      .join(rates.select(col("m").as("s1"), col("v").as("v1")),
+        Seq("s1"), "left")
+      .groupBy("i")
+      .agg(M.oracleRound(sum(col("w") *
+        (coalesce(col("v1"), lit(0.0)) - coalesce(col("v0"), lit(0.0)))),
+        4).as("phi"))
+    val names = {
+      import s.implicits._
+      chans.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("i", "channel")
+    }
+    phi.join(broadcast(names), Seq("i"))
+      .select(col("channel"), col("phi"))
+      .orderBy("channel")
+  }
+
   // q390: Theil-T inequality with the within/between decomposition —
   // what Gini (q178) cannot do: split customer-revenue inequality
   // into within-nation and between-nation parts exactly
