@@ -424,6 +424,9 @@ object SparkEntry {
     "q391_conformal" -> (C.conformalAudit _),
     "q392_fairness" -> (C.fairnessAudit _),
     "q393_shapley" -> (C.shapleyChannels _),
+    "q394_gains_table" -> (C.gainsTable _),
+    "q395_pattern_match" -> (C.sessionPatternMatch _),
+    "q396_energy_dist" -> (C.energyDistance _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4891,6 +4894,97 @@ object SparkEntry {
         |SELECT CASE i WHEN 0 THEN 'click' WHEN 1 THEN 'error'
         |  WHEN 2 THEN 'signup' ELSE 'view' END AS channel, phi
         |FROM phi ORDER BY channel""".stripMargin,
+    // gains/lift deciles of the q221 score: ntile over (score desc,
+    // id), cumulative capture vs the random baseline
+    "q394_gains_table" ->
+      """WITH scored AS (
+        | SELECT vec_id,
+        |  CAST(('0x' || substr(md5('cal:' || vec_id), 1, 4)) AS BIGINT)
+        |   AS sc,
+        |  CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        | FROM embeddings),
+        |r AS (
+        | SELECT pos,
+        |  CAST(ntile(10) OVER (ORDER BY sc DESC, vec_id) - 1 AS BIGINT)
+        |   AS decile
+        | FROM scored),
+        |d AS (
+        | SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS np
+        | FROM r GROUP BY 1),
+        |c AS (
+        | SELECT decile, n, np,
+        |  sum(n) OVER (ORDER BY decile) AS cum_n,
+        |  sum(np) OVER (ORDER BY decile) AS cum_np,
+        |  sum(n) OVER () AS tot_n, sum(np) OVER () AS tot_np
+        | FROM d)
+        |SELECT decile, n, np,
+        | round(CAST(cum_np AS DOUBLE) / tot_np, 4) AS cum_capture,
+        | round((CAST(cum_np AS DOUBLE) / cum_n)
+        |   / (CAST(tot_np AS DOUBLE) / tot_n), 4) AS lift
+        |FROM c ORDER BY decile""".stripMargin,
+    // MATCH_RECOGNIZE-style pattern: sessions (q54 convention) to
+    // initials strings, regex 'cv*p' per session
+    "q395_pattern_match" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS us
+        | FROM events),
+        |flag AS (
+        | SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |   WHEN us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1
+        |   ELSE 0 END AS new_s
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        | SELECT user_id, event_type, us, event_id,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flag),
+        |seqs AS (
+        | SELECT user_id, sid,
+        |  string_agg(substr(event_type, 1, 1), '' ORDER BY us, event_id)
+        |   AS seq,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM sess GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN regexp_matches(seq, 'cv*p') THEN 1 ELSE 0
+        |  END) AS BIGINT) AS n_matched,
+        | round(avg(CAST(n_events AS DOUBLE)), 4) AS mean_events,
+        | round(CAST(sum(CASE WHEN regexp_matches(seq, 'cv*p')
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS match_rate
+        |FROM seqs""".stripMargin,
+    // energy distance between click/view daily distributions: exact
+    // integer pairwise |diffs| on days-sized frames
+    "q396_energy_dist" ->
+      """WITH a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS xa
+        | FROM events WHERE event_type = 'click'
+        | GROUP BY CAST(ts AS DATE)),
+        |b AS (
+        | SELECT CAST(count(*) AS BIGINT) AS xb
+        | FROM events WHERE event_type = 'view'
+        | GROUP BY CAST(ts AS DATE)),
+        |xy AS (SELECT CAST(sum(abs(xa - xb)) AS BIGINT) AS sxy,
+        |  CAST(count(*) AS BIGINT) AS nm FROM a CROSS JOIN b),
+        |xx AS (SELECT CAST(sum(abs(a1.xa - a2.xa)) AS BIGINT) AS sxx,
+        |  CAST(count(*) AS BIGINT) AS nn
+        | FROM a a1 CROSS JOIN a a2),
+        |yy AS (SELECT CAST(sum(abs(b1.xb - b2.xb)) AS BIGINT) AS syy,
+        |  CAST(count(*) AS BIGINT) AS mm
+        | FROM b b1 CROSS JOIN b b2),
+        |e AS (
+        | SELECT sqrt(CAST(nn AS DOUBLE)) AS n,
+        |  sqrt(CAST(mm AS DOUBLE)) AS m,
+        |  2.0 * sxy / nm - CAST(sxx AS DOUBLE) / nn
+        |   - CAST(syy AS DOUBLE) / mm AS ed
+        | FROM xy CROSS JOIN xx CROSS JOIN yy)
+        |SELECT CAST(n AS BIGINT) AS n_days_a, CAST(m AS BIGINT)
+        |  AS n_days_b,
+        | round(ed, 4) AS energy_dist,
+        | round(ed * (n * m / (n + m)), 4) AS e_statistic
+        |FROM e""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

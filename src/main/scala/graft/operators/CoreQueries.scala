@@ -4581,6 +4581,114 @@ object CoreQueries {
       .orderBy("cls")
   }
 
+  // q394: cumulative gains / lift table for the q221 score — the
+  // model-eval staple AUROC (q236) summarizes away: decile users by
+  // score (exact integer md5 scores, row_number tie-broken by id),
+  // report per-decile and cumulative positive capture vs the random
+  // baseline. One corpus-sized window partitioned by nothing BUT over
+  // integer ranks — restated as the two-level histogram at scale
+  // (documented; decile boundaries are score-value cuts).
+  def gainsTable(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      T.md5Int(concat(lit("cal:"), col("vec_id")), 4).as("sc"),
+      when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+    val ranked = scored.withColumn("decile",
+      (ntile(10).over(Window.orderBy(col("sc").desc, col("vec_id")))
+        - 1).cast("long"))
+    val dec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy()
+    dec
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_np", sum("np").over(w))
+      .withColumn("tot_n", sum("n").over(tot))
+      .withColumn("tot_np", sum("np").over(tot))
+      .select(col("decile"), col("n"), col("np"),
+        M.oracleRound(col("cum_np").cast("double") / col("tot_np"), 4)
+          .as("cum_capture"),
+        M.oracleRound((col("cum_np").cast("double") / col("cum_n")) /
+          (col("tot_np").cast("double") / col("tot_n")), 4).as("lift"))
+      .orderBy("decile")
+  }
+
+  // q395: MATCH_RECOGNIZE-style sequence pattern over sessions — the
+  // SQL-2016 row-pattern class, Spark-first: each session's ordered
+  // event types collapse to an initials string inside ONE
+  // aggregation, and the pattern CLICK (VIEW)* PURCHASE (anchored as
+  // a contiguous run) is a regex on that string — codegen'd
+  // regexp_count per session, no per-row state machine. Sessions are
+  // the q54 convention (30-min gaps, (ts, event_id) order).
+  def sessionPatternMatch(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(wUser) >
+          lit(30L * 60 * 1000000), 1L)
+          .when(lag(col("us"), 1).over(wUser).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_s").over(
+        wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ini", substring(col("event_type"), 1, 1))
+    val sessions = ev
+      .withColumn("seq", concat_ws("",
+        collect_list(col("ini")).over(
+          Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))))
+      .groupBy("user_id", "sess")
+      .agg(first("seq").as("seq"), count(lit(1)).as("n_events"))
+    sessions
+      .withColumn("matched",
+        when(regexp_count(col("seq"), lit("cv*p")) > 0, 1L)
+          .otherwise(0L))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("matched").as("n_matched"),
+        M.oracleRound(avg(col("n_events")), 4).as("mean_events"),
+        M.oracleRound(sum("matched").cast("double") / count(lit(1)), 4)
+          .as("match_rate"))
+  }
+
+  // q396: two-sample energy distance between the click and view DAILY
+  // count distributions — the two-sample test that generalizes to
+  // any metric space where KS/CvM cannot: 2·E|X−Y| − E|X−X'| −
+  // E|Y−Y'| over the days-sized frames (30×30 pairwise |diffs| of
+  // INTEGERS — the q248 n²-ON-DAYS argument), with the classical
+  // E-statistic scaling n·m/(n+m).
+  def energyDistance(s: SparkSession, dir: String): DataFrame = {
+    def daySeries(t: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("x"))
+    val a = daySeries("click").select(col("x").as("xa"))
+    val b = daySeries("view").select(col("x").as("xb"))
+    val exy = a.crossJoin(b)
+      .agg(sum(abs(col("xa") - col("xb"))).as("sxy"),
+        count(lit(1)).as("nm"))
+    val exx = a.crossJoin(a.select(col("xa").as("xa2")))
+      .agg(sum(abs(col("xa") - col("xa2"))).as("sxx"),
+        count(lit(1)).as("nn"))
+    val eyy = b.crossJoin(b.select(col("xb").as("xb2")))
+      .agg(sum(abs(col("xb") - col("xb2"))).as("syy"),
+        count(lit(1)).as("mm"))
+    exy.crossJoin(exx).crossJoin(eyy)
+      .withColumn("n", sqrt(col("nn").cast("double")))
+      .withColumn("m", sqrt(col("mm").cast("double")))
+      .withColumn("e",
+        lit(2.0) * col("sxy") / col("nm") -
+          col("sxx").cast("double") / col("nn") -
+          col("syy").cast("double") / col("mm"))
+      .select(col("n").cast("long").as("n_days_a"),
+        col("m").cast("long").as("n_days_b"),
+        M.oracleRound(col("e"), 4).as("energy_dist"),
+        M.oracleRound(col("e") * (col("n") * col("m") /
+          (col("n") + col("m"))), 4).as("e_statistic"))
+  }
+
   // q391: split-conformal prediction audit — distribution-free
   // uncertainty for the per-type value predictor: md5 thirds give
   // train/calibration/test folds, the predictor is the train-fold
