@@ -21,6 +21,21 @@ object GraphOps {
   private def checkpointed(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
 
+  /** Deterministically release a SUPERSEDED fixpoint iteration's
+    * checkpoint blocks (via [[org.apache.spark.sql.GraftPlanBridge
+    * .freeLocalCheckpoint]]). Without this, dead iterations pin
+    * BlockManager storage until a full GC fires the ContextCleaner's
+    * weak references — measured round 10: one 4 s pagerank left
+    * enough pinned debt to tax the next five bench queries 2–8 s
+    * each until the next scheduled `System.gc()`. Only ever called on
+    * frames that are provably dead: the successor was EAGERLY
+    * checkpointed (lineage cut, blocks materialized) before the free,
+    * so nothing can recompute through the freed frame. At cluster
+    * scale this is the difference between a k-iteration fixpoint
+    * holding 1 frame of executor storage and holding k. */
+  private def free(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(df)
+
   /** Longest-path depth layering ("topological rank").
     *
     * Given edges `(src, dst)` meaning "src references dst" (dst must
@@ -54,6 +69,7 @@ object GraphOps {
             greatest(col("depth"), coalesce(col("cand"), lit(0))).as("depth"),
             (coalesce(col("cand"), lit(0)) > col("depth")).as("__chg")))
       changed = next.filter(col("__chg")).count()
+      free(depth)
       depth = next.drop("__chg")
       iter += 1
     }
@@ -77,11 +93,18 @@ object GraphOps {
     while (frontierCount > 0) {
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
+      val prevFrontier = frontier
       frontier = checkpointed(next.join(visited, Seq("node"), "left_anti"))
+      // initial state aliases frontier = visited; never free the alias
+      if (prevFrontier ne visited) free(prevFrontier)
       frontierCount = frontier.count()
-      if (frontierCount > 0)
+      if (frontierCount > 0) {
+        val prevVisited = visited
         visited = checkpointed(visited.union(frontier).distinct())
+        free(prevVisited)
+      }
     }
+    if (frontier ne visited) free(frontier)
     e.unpersist()
     visited
   }
@@ -108,6 +131,7 @@ object GraphOps {
       val nextCount = next.count()
       removed = remainingCount - nextCount
       remainingCount = nextCount
+      free(remaining)
       remaining = next
     }
     e.unpersist()
@@ -181,6 +205,7 @@ object GraphOps {
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
             (coalesce(col("nmin"), col("comp")) < col("comp")).as("__chg")))
       changed = next.filter(col("__chg")).count()
+      free(labels)
       labels = next.drop("__chg")
       iter += 1
     }
@@ -268,8 +293,16 @@ object GraphOps {
           joined.select(col("node"),
             round6(lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("__m"), lit(0.0))).as("pr"))
+      val prev = pr
       pr = checkpointed(next)
+      free(prev)
     }
+    // pr's lineage is cut by its own checkpoint, so the edge-sized
+    // degree frame (the big block set of this whole query) and the
+    // node frames are dead the moment the loop exits — release them
+    // here instead of pinning edge-scale storage until the next GC
+    free(nodes); free(ew)
+    if (srcNodes != null) free(srcNodes)
     pr
   }
 
@@ -307,12 +340,15 @@ object GraphOps {
             .orderBy(col("c").desc, col("label"))))
         .filter(col("__rn") === 1)
         .select(col("n"), col("label").as("__new"))
+      val prev = labels
       labels = checkpointed(
         labels.join(top, labels("node") === col("n"), "left")
           .select(col("node"),
             coalesce(col("__new"), col("label")).as("label")))
+      free(prev)
     }
     e.unpersist()
+    free(nodes)
     labels
   }
 
@@ -389,10 +425,12 @@ object GraphOps {
       val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("__n"))
+      val prev = e
       e = checkpointed(
         e.join(alive.withColumnRenamed("__n", "src"), Seq("src"), "left_semi")
           .join(alive.withColumnRenamed("__n", "dst"), Seq("dst"), "left_semi")
           .select("src", "dst"))
+      free(prev)
     }
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

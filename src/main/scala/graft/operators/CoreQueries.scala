@@ -2118,18 +2118,28 @@ object CoreQueries {
           M.oracleRound(avg(col("est")), 4).as("avg_ball"))
         .select(lit(r).as("r"), col("n_nodes"), col("nf_est"),
           col("avg_ball"))
-    var out = nf(0, regs)
+    // out is checkpointed per radius (≤ 4 rows) so superseded register
+    // frames are provably dead and can be freed — otherwise the final
+    // lazy plan references every radius's node-sized checkpoint and
+    // they all stay pinned until GC (the q73 round-10 lesson)
+    var out = nf(0, regs).localCheckpoint()
     var r = 1
     while (r <= 3) {
       val nbr = edges
         .join(regs.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("bucket"), col("rho"))
+      val prevRegs = regs
       regs = regs.union(nbr)
         .groupBy("node", "bucket").agg(max(col("rho")).as("rho"))
         .localCheckpoint()
-      out = out.unionByName(nf(r, regs))
+      out = out.unionByName(nf(r, regs)).localCheckpoint()
+      org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(prevRegs)
       r += 1
     }
+    // out's lineage is cut, so the graph-sized stages are dead here
+    org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(regs)
+    org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(edges)
+    org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(pairs)
     out
       .withColumn("reached_90", col("nf_est") >=
         lit(0.9) * max(col("nf_est")).over(Window.partitionBy()))
