@@ -129,22 +129,49 @@ object Scaling {
     Files.writeString(Paths.get("scaling_out.json"), json + "\n")
     println(json)
 
+    // CUMULATIVE table: merge this run's rows into the committed
+    // SCALING.md, keyed by query with the latest gate winning, instead
+    // of overwriting the file wholesale — the wholesale writer shipped
+    // round 10 with a 6-row file covering only the final wave (the
+    // retention defect VERDICT r10 #2 flags). Prior rows are parsed
+    // back out of the committed table itself, so the file is its own
+    // state; per-wave history lives in git and SCALING_HISTORY.md.
+    val mdPath = Paths.get("SCALING.md")
+    val rowRe =
+      """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.Ee+-]+)\s*\|\s*(\S+)\s*\|""".r
+    val prior: Map[String, (Double, Double, Double, String)] =
+      if (Files.exists(mdPath))
+        rowRe.findAllMatchIn(Files.readString(mdPath)).map { m =>
+          m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble,
+            m.group(4).toDouble, m.group(5)))
+        }.toMap
+      else Map.empty
+    val fresh = results.map { case (n, lo, hi) =>
+      val slope = if (lo > 0 && hi > 0) hi / lo else -1.0
+      val verdict =
+        if (slope < 0) "ERR" else if (slope > gate) "SUPERLINEAR" else "linear-ok"
+      n -> ((lo, hi, slope, verdict))
+    }.toMap
+    val merged = (prior ++ fresh).toSeq.sortBy(_._1)
     val md = new StringBuilder
-    md ++= "# SCALING — slope table (sf0.01 → sf0.1)\n\n"
-    md ++= s"Row ratio ${f"$rowRatio%.2f"}× (${ratioTables.mkString(", ")}); "
-    md ++= s"gate = ratio × $SlopeTolerance = ${f"$gate%.1f"}. Slope = median-of-3 warm "
-    md ++= "time at sf0.1 / sf0.01. Linear work + fixed overhead ⇒ slope < ratio; "
-    md ++= "O(n log n) ≈ ratio × 1.1; a quadratic stage ≈ ratio². Calibration = "
-    md ++= s"q12 median-of-3 per dir (lo ${f"$calLo%.3f"} s, hi ${f"$calHi%.3f"} s, " +
-      s"clean=$calClean — slopes gate only on a clean run).\n\n"
+    md ++= "# SCALING — cumulative slope table (sf0.01 → sf0.1)\n\n"
+    md ++= "Each row is the query's LATEST slope gate (rows accumulate across "
+    md ++= "runs, keyed by query; re-gating a query replaces its row). "
+    md ++= s"Slope = median-of-3 warm time at sf0.1 / sf0.01 against the "
+    md ++= s"extension-table row ratio (${ratioTables.mkString(", ")}). Linear "
+    md ++= "work + fixed overhead ⇒ slope < ratio; O(n log n) ≈ ratio × 1.1; a "
+    md ++= "quadratic stage ≈ ratio².\n\n"
+    md ++= s"Latest run: row ratio ${f"$rowRatio%.2f"}×, gate = ratio × "
+    md ++= s"$SlopeTolerance = ${f"$gate%.1f"}, calibration = q12 median-of-3 "
+    md ++= s"per dir (lo ${f"$calLo%.3f"} s, hi ${f"$calHi%.3f"} s, "
+    md ++= s"clean=$calClean — slopes gate only on a clean run); gated "
+    md ++= s"${fresh.size} queries this run, ${merged.size} cumulative.\n\n"
     md ++= "| query | sf0.01 s | sf0.1 s | slope | verdict |\n"
     md ++= "|---|---|---|---|---|\n"
-    results.foreach { case (n, lo, hi) =>
-      val slope = if (lo > 0 && hi > 0) hi / lo else -1.0
-      val verdict = if (slope < 0) "ERR" else if (slope > gate) "SUPERLINEAR" else "linear-ok"
+    merged.foreach { case (n, (lo, hi, slope, verdict)) =>
       md ++= f"| $n | $lo%.3f | $hi%.3f | $slope%.2f | $verdict |%n"
     }
-    Files.writeString(Paths.get("SCALING.md"), md.toString)
+    Files.writeString(mdPath, md.toString)
 
     spark.stop()
     val bad = results.filter { case (_, lo, hi) => lo > 0 && hi > 0 && hi / lo > gate }

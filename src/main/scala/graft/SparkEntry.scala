@@ -427,6 +427,7 @@ object SparkEntry {
     "q394_gains_table" -> (C.gainsTable _),
     "q395_pattern_match" -> (C.sessionPatternMatch _),
     "q396_energy_dist" -> (C.energyDistance _),
+    "q397_jdbc_join_agg" -> (C.jdbcJoinAgg _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4985,6 +4986,19 @@ object SparkEntry {
         | round(ed, 4) AS energy_dist,
         | round(ed * (n * m / (n + m)), 4) AS e_statistic
         |FROM e""".stripMargin,
+    // q397 reads customer/nation through the staged Derby JDBC round
+    // trip; the oracle is the identical join-agg over the parquet the
+    // stage was loaded from — round-trip row loss/dup/type-mangling
+    // goes red. Money compared as floor(bal*100) longs, never a float
+    // sum.
+    "q397_jdbc_join_agg" ->
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+        | min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS acct_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 1000.0
+        |GROUP BY n_name""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -694,6 +694,66 @@ object CoreQueries {
       (lt, ot)
     })
 
+  /** q397's JDBC stage per (session, sf dir): customer + nation loaded
+    * ONCE into an embedded in-memory Derby database through the
+    * production [[graft.sink.JdbcSink]] (batched writes, capped
+    * connections), so the gate's read path exercises
+    * [[graft.sources.JdbcSource]] against a real JDBC engine at gate
+    * scale — every other gate scans parquet, which left S1's
+    * production path validated only by unit-scale round-trip tests
+    * (VERDICT r10's one soft gap). The memo holds the JDBC config
+    * only; the database lives for the JVM (in-memory Derby). */
+  private val derbyStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.sources.JdbcConfig]
+  private def derbyTables(s: SparkSession, dir: String): graft.sources.JdbcConfig =
+    derbyStage.getOrElseUpdate((s, dir), {
+      val db = "graftgate" + java.lang.Integer.toHexString(dir.hashCode)
+      val url = s"jdbc:derby:memory:$db"
+      val conn = java.sql.DriverManager.getConnection(url + ";create=true")
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE customer (c_custkey BIGINT, " +
+          "c_nationkey INT, c_acctbal DOUBLE)")
+        st.execute("CREATE TABLE nation (n_nationkey INT, n_name VARCHAR(32))")
+        st.close()
+      } finally conn.close()
+      val cfg = graft.sources.JdbcConfig(url, user = "", password = "")
+      graft.sink.JdbcSink.write(Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal"), cfg, "customer")
+      graft.sink.JdbcSink.write(Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name"), cfg, "nation")
+      cfg
+    })
+
+  // q397: the S1 PRODUCTION ingress at gate scale — q03's join-agg
+  // shape where both inputs arrive through JdbcSource against the
+  // staged Derby database: customer via the auto-probed partitioned
+  // range scan (the parallel-ingest path a 1000-executor cluster uses
+  // against a primary key), nation via the single-connection dimension
+  // read. The acctbal predicate is PUSHED into the JDBC scan
+  // (PlanSpec-pinned — the database filters, Spark never sees the
+  // non-qualifying rows), and the oracle is the identical join over
+  // the parquet the stage was loaded from, so a row lost, duplicated,
+  // or type-mangled anywhere in the sink→Derby→source round trip goes
+  // red. Money survives exactly: floor(bal·100) longs, never a float
+  // sum.
+  def jdbcJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cfg = derbyTables(s, dir)
+    val cust = graft.sources.JdbcSource
+      .tableAutoPartitioned(s, cfg, "customer", "c_custkey")
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .filter(col("c_acctbal") > 1000.0)
+    val nat = graft.sources.JdbcSource.table(s, cfg, "nation")
+      .toDF("n_nationkey", "n_name")
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        sum(floor(col("c_acctbal") * 100).cast("long")).as("acct_cents"))
+      .orderBy("nation")
+  }
+
   // q193: the co-located join the bucketed layout buys — both sides
   // read bucket-aligned files and the sort-merge join plans with NO
   // join-side exchange (PlanSpec pins zero Exchange hashpartitioning).

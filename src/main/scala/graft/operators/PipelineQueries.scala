@@ -148,7 +148,7 @@ object PipelineQueries {
     winStage.clear(); refStage.clear(); tokArrStage.clear()
     hllRegStage.clear()
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
-    persistedFitStage.clear()
+    persistedFitStage.clear(); legStage.clear(); jacPairStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -324,14 +324,34 @@ object PipelineQueries {
     Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Shared VERIFIED Jaccard pair stage: the exact rounded-J ≥ 0.3
+    * scored pair set over the shared shingle stage (maxDf 50),
+    * localCheckpointed once per (session, dir). The candidate
+    * generation in [[Dedup.ngramJaccardPairsFromSets]] is
+    * threshold-INDEPENDENT (every pair sharing a sub-maxDf shingle is
+    * scored exactly; the threshold only filters the verified scores),
+    * so any τ ≥ 0.3 consumer — q32's τ=0.5 pair set, q127's leakage
+    * audit, q296's attrition grid — is a FILTER over this one frame,
+    * bit-identical to recomputing at its own τ. The frame is near-dup
+    * pairs only (KBs); without it each consumer re-runs the candidate
+    * join (VERDICT r10: q127 at 19.8 s rebuilding what q32 computes). */
+  private val jacPairStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def jaccardPairs03(s: SparkSession, dir: String): DataFrame =
+    jacPairStage.getOrElseUpdate((s, dir),
+      Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1, "doc_id",
+          threshold = 0.3, maxDf = 50)
+        .localCheckpoint())
+
   // n-gram Jaccard pairs via prefix-filtered inverted index, threshold
   // 0.5. Near-dup pairs share many doc-specific (df=2) shingles, so the
   // stop-shingle cap cannot drop a qualifying pair's only candidate
   // shingle, and the prefix bound admits every rounded-J >= 0.5 pair —
   // the output equals the exact J >= 0.5 pair set (DuckDB-oracled).
+  // Rides [[jaccardPairs03]]: same verified scores, filtered at τ.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1, "doc_id",
-        threshold = 0.5, maxDf = 50)
+    jaccardPairs03(s, dir).filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
   // Sorted-neighborhood near-dup pairs over the normalized-prefix key
@@ -1563,7 +1583,17 @@ object PipelineQueries {
   /** q384's shard-file stage, written once per (session, sf dir):
     * the q157 shard bytes land as REAL `.tar` files on disk (written
     * from executors — the driver never holds a payload), so the
-    * DataSourceV2 reader exercises the actual file path. */
+    * DataSourceV2 reader exercises the actual file path.
+    *
+    * SHARED-FILESYSTEM CONTRACT: the stage dir is a driver-local temp
+    * path, and the `foreachPartition` writers run on executors — the
+    * two only see the same directory when executors share the
+    * driver's filesystem (local mode, where this gate runs, or a
+    * cluster with the stage dir on a shared mount). A real
+    * object-store deployment would write the shards through the
+    * Hadoop FileSystem API to a `hdfs://`/`s3a://` base instead;
+    * the reader side ([[graft.sources.TarShardSource]]) is the
+    * component under test here, not the stage writer. */
   private val tarFileStage =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def tarShardDir(s: SparkSession, dir: String): String =
@@ -1664,21 +1694,42 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
-  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = normEmb(s, dir)
-    Similarity.cosineTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
-      .orderBy("query_id", "rnk")
-  }
+  /** Shared retrieval-LEG memo: each standard top-5 leg (exact /
+    * sign-LSH / IVF over the vec_id<8 queries, plus their
+    * planted-corpus twins) is a k·|queries| frame — 40 or 200 rows —
+    * localCheckpointed once per (session, dir, leg). The retrieval-
+    * eval gates (q106 recall, q110 planted recall, q125 RRF fusion,
+    * q154 matryoshka, q170 NDCG, q208 RBO) all RECOMPOSE these same
+    * legs; without the memo each gate re-runs up to three full corpus
+    * scans that q28/q33/q53 already gate individually (VERDICT r10:
+    * ~20 s of self-imposed pipeline-recomposition cost across
+    * q106/q110/q125). Results are identical to inline recomputation
+    * (deterministic pipelines); same immutable-dir contract as
+    * [[stages]]. */
+  private val legStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def legMemo(s: SparkSession, dir: String, leg: String)
+      (build: => DataFrame): DataFrame =
+    legStage.getOrElseUpdate((s, dir, leg), build.localCheckpoint())
 
-  // LSH-bucketed ANN (scale path; rows-only)
-  def annTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = normEmb(s, dir)
-    Similarity.annTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
-      .orderBy("query_id", "rnk")
-  }
+  // brute-force cosine top-k (exact baseline; DuckDB-oracled on rank)
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    legMemo(s, dir, "exact") {
+      val emb = normEmb(s, dir)
+      Similarity.cosineTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+        .orderBy("query_id", "rnk")
+    }
+
+  // LSH-bucketed ANN (scale path; rows-only) — shared-leg memo, see
+  // [[legMemo]]
+  def annTopK(s: SparkSession, dir: String): DataFrame =
+    legMemo(s, dir, "ann") {
+      val emb = normEmb(s, dir)
+      Similarity.annTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), k = 5, preNormalized = true)
+        .orderBy("query_id", "rnk")
+    }
 
   // ANN retrieval-QUALITY gate: recall@5 of the sign-LSH (q33) and IVF
   // (q53) paths against the exact q28 top-5 on the same corpus and
@@ -1784,15 +1835,18 @@ object PipelineQueries {
   // recomposes the planted corpus + all three pipelines (the q51/q53
   // CTE machinery) — no pinned literals.
   def annRecallPlanted(s: SparkSession, dir: String): DataFrame = {
-    val emb = plantedNormEmb(s, dir)
-    val queries = emb.filter(col("vec_id") < 40)
+    def emb = plantedNormEmb(s, dir)
+    def queries = emb.filter(col("vec_id") < 40)
     recallRow(
-      Similarity.cosineTopK(emb, "vec_id", "embedding", queries, k = 5,
-        preNormalized = true),
-      Similarity.annTopK(emb, "vec_id", "embedding", queries, k = 5,
-        preNormalized = true),
-      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 5,
-        preNormalized = true),
+      legMemo(s, dir, "exact_planted")(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", queries, k = 5,
+          preNormalized = true)),
+      legMemo(s, dir, "ann_planted")(
+        Similarity.annTopK(emb, "vec_id", "embedding", queries, k = 5,
+          preNormalized = true)),
+      legMemo(s, dir, "ivf_planted")(
+        Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 5,
+          preNormalized = true)),
       k = 5, withTop1 = true)
   }
 
@@ -1943,8 +1997,10 @@ object PipelineQueries {
   // trains. Rides the shared shingle stage; the pair set is the
   // audit's cost, the classification is a tiny join.
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1, "doc_id",
-        threshold = 0.5, maxDf = 50)
+    // rides the shared verified-pair stage (q32's exact scores,
+    // filtered at this audit's τ) instead of rebuilding the candidate
+    // join — the r10 punch-list fix for the 19.8 s bench row
+    val pairs = jaccardPairs03(s, dir).filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b")
     val split = CorpusOps.hashSplit(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), col("split"))
@@ -2055,13 +2111,14 @@ object PipelineQueries {
   // Similarity.roundCoord6 — so the one unordered float reduction, the
   // per-cell mean, cannot drift the engines apart). DedupSimilaritySpec
   // additionally pins recall on planted clusters.
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = normEmb(s, dir)
-    Similarity.ivfTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
-        fittedCenters = Some(coarseCenters(s, dir)))
-      .orderBy("query_id", "rnk")
-  }
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    legMemo(s, dir, "ivf") {
+      val emb = normEmb(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), k = 5, preNormalized = true,
+          fittedCenters = Some(coarseCenters(s, dir)))
+        .orderBy("query_id", "rnk")
+    }
 
   // the 100 TB cosine near-dup plan, oracle-gated IN ITS DESIGN REGIME:
   // banded sign-LSH candidates (16 bands × 8 md5-derived hyperplanes —
@@ -2938,8 +2995,7 @@ object PipelineQueries {
     * until 0.90 — the bimodality (planted dups ≥ 0.9, background
     * < 0.3) read directly off the table. */
   def dedupAttrition(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairsFromSets(stages(s, dir)._1,
-        "doc_id", threshold = 0.3, maxDf = 50)
+    val pairs = jaccardPairs03(s, dir)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long").as("jq"))
     val grid = s.range(10, 20).select((col("id") * 5).cast("int").as("tau_pct"))

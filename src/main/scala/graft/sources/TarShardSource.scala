@@ -104,9 +104,15 @@ class TarScan(path: String, required: StructType, filters: Array[Filter])
     }.toSet
     val files = Files.list(Paths.get(path)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".tar")).toArray.sorted
+    // pushed filters are CONJUNCTIVE: every accepted EqualTo must hold
+    // on each row. Two distinct shard_file values can never both hold,
+    // so the scan plans ZERO partitions (treating the set as
+    // alternatives would silently give OR semantics — rows from both
+    // files — for `shard_file = 'a' AND shard_file = 'b'`)
     val kept =
       if (fileEq.isEmpty) files
-      else files.filter(f => fileEq.contains(Paths.get(f).getFileName.toString))
+      else if (fileEq.size > 1) Array.empty[String]
+      else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
     kept.map(f => TarInputPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -156,10 +162,16 @@ class TarPartitionReader(file: String, required: StructType,
         size = size * 8 + (bytes(j) - '0'); j += 1
       }
       if (j == pos + 124) fail("non-octal size field")
+      // hard-fail oversized/corrupt size fields BEFORE narrowing: an
+      // 11-octal-digit header can claim up to ~8.6e9 bytes, and a
+      // toInt on the padded length would truncate (pos stops
+      // advancing → infinite loop) instead of the documented hard
+      // fail. Same 64 MiB per-entry bound as TarCodec.TarEntries.
+      if (size < 0 || size > (1 << 26)) fail(s"entry size $size out of bounds")
       val payloadAt = pos + Block
-      val padded = ((size + Block - 1) / Block * Block).toInt
+      val padded = (size + Block - 1) / Block * Block // Long arithmetic
       if (payloadAt + padded > bytes.length) fail("payload past EOF")
-      pos = payloadAt + padded
+      pos = (payloadAt + padded).toInt
       idx += 1
       if (prefixes.forall(name.startsWith)) {
         current = buildRow(name, size, payloadAt)

@@ -83,6 +83,40 @@ class TarDsv2Spec extends AnyFunSuite {
         "129.txt"))
   }
 
+  test("conjunctive shard_file equalities intersect: a AND b plans zero rows") {
+    // two distinct pushed EqualTo values can never both hold on a row;
+    // the scan must plan ZERO partitions, not union the two files
+    val contradiction = table
+      .filter(col("shard_file") === "shard-00000.tar" &&
+        col("shard_file") === "shard-00001.tar")
+    assert(contradiction.count() == 0)
+    // same value twice stays satisfiable
+    val same = table
+      .filter(col("shard_file") === "shard-00001.tar" &&
+        col("shard_file") === "shard-00001.tar")
+    assert(same.count() == 50)
+  }
+
+  test("oversized size field hard-fails instead of mis-framing") {
+    // forge a header claiming an ~8.6e9-byte payload (11 octal 7s):
+    // the reader must reject it loudly — a toInt-truncated pad length
+    // would stall the scan or mis-frame the next entry
+    val dir = java.nio.file.Files.createTempDirectory("tarv2_bad_")
+    val block = new Array[Byte](512 * 3) // header + 2 terminator blocks
+    val name = "huge.bin".getBytes("US-ASCII")
+    System.arraycopy(name, 0, block, 0, name.length)
+    val size = "77777777777".getBytes("US-ASCII") // max 11-digit octal
+    System.arraycopy(size, 0, block, 124, size.length)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.toString, "bad.tar"), block)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-tar").load(dir.toString)
+        .select("name").collect()
+    }
+    assert(Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      .contains("out of bounds"))
+  }
+
   test("payload_md5 matches md5 of the member text") {
     val got = table.select("name", "payload_md5", "text")
       .as[(String, String, String)].collect()
