@@ -428,6 +428,12 @@ object SparkEntry {
     "q395_pattern_match" -> (C.sessionPatternMatch _),
     "q396_energy_dist" -> (C.energyDistance _),
     "q397_jdbc_join_agg" -> (C.jdbcJoinAgg _),
+    "q398_isotonic_calibration" -> (C.isotonicCalibration _),
+    "q399_cusum_changepoint" -> (C.cusumExact _),
+    "q400_avg_precision" -> (P.avgPrecision _),
+    "q401_bootstrap_ci" -> (C.bootstrapCi _),
+    "q402_quota_apportion" -> (C.quotaApportion _),
+    "q403_minhash_est_audit" -> (P.minhashEstimatorAudit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -4999,6 +5005,174 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 1000.0
         |GROUP BY n_name""".stripMargin,
+    // q398: PAV isotonic fit via the minimax closed form — segment
+    // averages are exact-integer ratios, min/max over identical doubles
+    "q398_isotonic_calibration" ->
+      """WITH b AS (
+        | SELECT CAST(user_id % 16 AS INTEGER) AS b,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k
+        | FROM events GROUP BY 1),
+        |c AS (SELECT b, n, k,
+        |  CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+        |  CAST(sum(k) OVER (ORDER BY b) AS BIGINT) AS ck FROM b),
+        |seg AS (
+        | SELECT lo.b AS i, hi.b AS j,
+        |  CAST(hi.ck - (lo.ck - lo.k) AS DOUBLE)
+        |    / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avgij
+        | FROM c lo JOIN c hi ON lo.b <= hi.b),
+        |mi AS (
+        | SELECT kb.b AS kb, seg.i AS i, min(avgij) AS mi
+        | FROM c kb JOIN seg ON seg.i <= kb.b AND kb.b <= seg.j
+        | GROUP BY 1, 2),
+        |iso AS (SELECT kb, max(mi) AS iso FROM mi GROUP BY kb)
+        |SELECT c.b, c.n, c.k,
+        | round(CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE), 4) AS raw_rate,
+        | round(iso.iso, 4) AS iso_rate
+        |FROM c JOIN iso ON iso.kb = c.b ORDER BY c.b""".stripMargin,
+    // q399: the CUSUM recursion via its prefix-min identity; all sums
+    // stay BIGINT under the x56 scaling
+    "q399_cusum_changepoint" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |a AS (SELECT CAST(sum(x) AS BIGINT) AS burn FROM r WHERE rn <= 14),
+        |p AS (
+        | SELECT day, x, burn,
+        |  CAST(sum(x*56 - burn*5) OVER (ORDER BY day) AS BIGINT) AS p56
+        | FROM r CROSS JOIN a WHERE rn > 14),
+        |sc AS (SELECT day, x, burn,
+        |  p56 - least(CAST(0 AS BIGINT), min(p56) OVER (ORDER BY day)) AS s56
+        | FROM p)
+        |SELECT day, x, CAST(s56 AS BIGINT) AS s56,
+        | round(CAST(s56 AS DOUBLE) / 56.0, 4) AS cusum,
+        | s56 > burn * 20 AS alarm
+        |FROM sc ORDER BY day""".stripMargin,
+    // q400: AP/R-precision of the IVF leg vs the exact top-5 — the
+    // q106 leg CTEs recomposed; precision@r 1e-6-pinned before the sum
+    "q400_avg_precision" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), j AS (
+         | SELECT i.query_id, i.neighbor_id, i.rnk,
+         |  CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END AS rel
+         | FROM ivf i LEFT JOIN exact e USING (query_id, neighbor_id)),
+         |sc AS (
+         | SELECT query_id, rnk, rel,
+         |  CAST(sum(coalesce(rel, 0)) OVER (PARTITION BY query_id
+         |    ORDER BY rnk) AS BIGINT) AS cumhits
+         | FROM j),
+         |pq AS (
+         | SELECT query_id, rnk, rel, cumhits,
+         |  CAST(floor(cumhits * 1000000.0 / rnk + 0.5) AS BIGINT) AS pq
+         | FROM sc)
+         |SELECT query_id, CAST(count(rel) AS INTEGER) AS n_hits,
+         | round(CAST(coalesce(sum(CASE WHEN rel IS NOT NULL THEN pq END), 0)
+         |   AS DOUBLE) / 5000000.0, 4) AS avg_precision,
+         | round(CAST(max(CASE WHEN rnk = 5 THEN cumhits END) AS DOUBLE)
+         |   / 5.0, 4) AS r_precision
+         |FROM pq GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // q401: md5-indexed bootstrap — every resample reproduced
+    // bit-for-bit (the q279 determinism contract); CI = order stats
+    // 5/195 of 200 resample means
+    "q401_bootstrap_ci" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY day) - 1 AS idx FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM r),
+        |g AS (
+        | SELECT b.b AS bb, i.i AS i, nd, sx,
+        |  CAST(('0x' || substr(md5('boot:' || b.b || ':' || i.i), 1, 8))
+        |    AS BIGINT) % nd AS pick
+        | FROM n, generate_series(0, 199) AS b(b),
+        |   generate_series(0, 499) AS i(i)
+        | WHERE i.i < nd),
+        |m AS (
+        | SELECT bb, CAST(sum(x) AS DOUBLE) / CAST(max(nd) AS DOUBLE) AS m,
+        |  max(nd) AS nd, max(sx) AS sx
+        | FROM g JOIN r ON r.idx = g.pick GROUP BY bb),
+        |o AS (SELECT m.*, row_number() OVER (ORDER BY m, bb) AS rk FROM m)
+        |SELECT max(nd) AS n_days,
+        | round(CAST(max(sx) AS DOUBLE) / CAST(max(nd) AS DOUBLE), 4)
+        |   AS observed_mean,
+        | CAST(count(*) AS INTEGER) AS n_resamples,
+        | round(max(CASE WHEN rk = 5 THEN m END), 4) AS ci_lo,
+        | round(max(CASE WHEN rk = 195 THEN m END), 4) AS ci_hi
+        |FROM o""".stripMargin,
+    // q402: Hamilton floor+remainder in exact integers; d'Hondt via
+    // the ranked divisor table on identical doubles
+    "q402_quota_apportion" ->
+      """WITH src AS (
+        | SELECT source,
+        |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |    AS BIGINT) AS toks
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM src),
+        |b AS (SELECT source, toks, (toks * 20) // tt AS floor_seats,
+        |  (toks * 20) % tt AS rem, tt FROM src CROSS JOIN t),
+        |h AS (SELECT source, toks, floor_seats, rem, tt,
+        |  20 - CAST(sum(floor_seats) OVER () AS BIGINT) AS leftover,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rrank FROM b),
+        |dh AS (
+        | SELECT source, CAST(count(*) AS INTEGER) AS dhondt FROM (
+        |  SELECT src.source, k.k,
+        |   row_number() OVER (ORDER BY CAST(toks AS DOUBLE) / k.k DESC,
+        |     source, k.k) AS cr
+        |  FROM src, generate_series(1, 20) AS k(k)) x
+        | WHERE cr <= 20 GROUP BY source)
+        |SELECT h.source, h.toks,
+        | round(CAST(h.toks AS DOUBLE) * 20 / CAST(h.tt AS DOUBLE), 4)
+        |   AS exact_quota,
+        | CAST(h.floor_seats AS INTEGER) AS floor_seats,
+        | CAST(h.floor_seats + CASE WHEN h.rrank <= h.leftover
+        |   THEN 1 ELSE 0 END AS INTEGER) AS hamilton,
+        | CAST(coalesce(dh.dhondt, 0) AS INTEGER) AS dhondt
+        |FROM h LEFT JOIN dh ON dh.source = h.source
+        |ORDER BY h.source""".stripMargin,
+    // q403: the q29 signature formula + the q32 verified pair set
+    // recomposed — estimator error audited bit-for-bit
+    "q403_minhash_est_audit" ->
+      s"""WITH jp AS (
+         |${jaccardPairOracle(0.3)}
+         |), toks2 AS (
+         | SELECT doc_id, CASE WHEN len(trim(text)) = 0
+         |   THEN CAST([] AS VARCHAR[])
+         |   ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         | FROM documents),
+         |sh2 AS (
+         | SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [array_to_string(t, ' ')] END AS s
+         | FROM toks2),
+         |ids AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT id_a AS doc_id FROM jp UNION ALL
+         |   SELECT id_b AS doc_id FROM jp) u),
+         |sig AS (
+         | SELECT sh2.doc_id, CAST(g.i AS INTEGER) AS i,
+         |  list_min(list_transform(s, x ->
+         |    (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) * (2*g.i + 1)
+         |     + g.i * 40503) % 2147483647)) AS mh
+         | FROM sh2 JOIN ids USING (doc_id), generate_series(0, 63) AS g(i)),
+         |m AS (
+         | SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS matches
+         | FROM jp JOIN sig a ON a.doc_id = jp.id_a
+         |  JOIN sig b ON b.doc_id = jp.id_b AND b.i = a.i
+         | GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b, jaccard AS j_exact, matches,
+         | round(CAST(matches AS DOUBLE) / 64.0, 4) AS j_est,
+         | round(abs(CAST(matches AS DOUBLE) / 64.0 - jaccard), 4) AS abs_err
+         |FROM m ORDER BY id_a, id_b""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -5510,4 +5510,177 @@ object CoreQueries {
         M.oracleRound((col("f2_est") - col("f2_exact").cast("double")) /
           col("f2_exact").cast("double"), 4).as("rel_err"))
   }
+
+  // q398: isotonic (monotone) calibration via PAV's MINIMAX closed
+  // form — the score-calibration step between a ranking model and a
+  // probability consumer (Zadrozny & Elkan KDD'02; Robertson et al.
+  // 1988 give iso_k = max_{i<=k} min_{j>=k} avg(y over bins i..j),
+  // which equals weighted pool-adjacent-violators without the
+  // sequential pooling loop — the recursion-to-closed-form rewrite
+  // that makes the fit SQL-expressible). 16 score bins (user_id mod
+  // 16), y = is-purchase; ONE keyed aggregate touches the events
+  // table, then all minimax algebra runs on the 16-row bin frame
+  // (16³ = 4096 combinations — corpus-size-independent). Segment
+  // averages are exact-integer ratios divided once, so both engines
+  // compare identical doubles; 4-dp pin on output only.
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("b") // 16-row frame: single-partition OK
+    val bins = Tables.events(s, dir)
+      .groupBy(pmod(col("user_id"), lit(16)).cast("int").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+    val c = bins
+      .withColumn("cn", sum(col("n")).over(W))
+      .withColumn("ck", sum(col("k")).over(W))
+      .coalesce(1).localCheckpoint() // 16 rows; read three times below
+    val lo = c.select(col("b").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("ck") - col("k")).as("ck0"))
+    val hi = c.select(col("b").as("j"),
+      col("cn").as("cnj"), col("ck").as("ckj"))
+    val seg = lo.join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("ckj") - col("ck0")).cast("double") /
+          (col("cnj") - col("cn0")).cast("double")).as("avgij"))
+    val iso = c.select(col("b").as("kb"))
+      .join(seg, col("i") <= col("kb") && col("kb") <= col("j"))
+      .groupBy("kb", "i").agg(min(col("avgij")).as("mi"))
+      .groupBy("kb").agg(max(col("mi")).as("iso"))
+    c.join(iso, col("b") === col("kb"))
+      .select(col("b"), col("n"), col("k"),
+        M.oracleRound(col("k").cast("double") / col("n").cast("double"), 4)
+          .as("raw_rate"),
+        M.oracleRound(col("iso"), 4).as("iso_rate"))
+      .orderBy("b")
+  }
+
+  // q399: EXACT one-sided CUSUM drift detection on daily click counts
+  // — the sequential recursion S_k = max(0, S_{k-1} + z_k) rewritten
+  // through its prefix-min identity S_k = P_k − min(0, min_{i<=k} P_i)
+  // (Page 1954; P = prefix sums of z), so the classic change detector
+  // runs as two windows over the days-sized frame with NO recursion —
+  // the closed-form complement to q247's two-window mean-shift
+  // stand-in. Reference μ₀ = mean of the first 14 days (burn-in),
+  // slack κ = μ₀/4, alarm at h = 5·μ₀; everything is scaled by 56
+  // (= lcm of the 14- and 4-denominators) so z, P, and S stay exact
+  // BIGINTs: z·56 = 56·x − 5·A where A = Σ burn-in counts.
+  def cusumExact(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+      .withColumn("rn", row_number().over(W))
+      .localCheckpoint() // days-sized; read twice (burn-in agg + post)
+    val aRow = daily.filter(col("rn") <= 14).agg(sum(col("x")).as("A"))
+    val post = daily.filter(col("rn") > 14)
+      .crossJoin(broadcast(aRow))
+      .withColumn("z56", col("x") * 56 - col("A") * 5)
+    post
+      .withColumn("p56", sum(col("z56")).over(W))
+      .withColumn("s56", col("p56") -
+        least(lit(0L), min(col("p56")).over(W)))
+      .select(col("day"), col("x"), col("s56"),
+        M.oracleRound(col("s56").cast("double") / 56.0, 4).as("cusum"),
+        (col("s56") > col("A") * 20).as("alarm")) // 5·μ₀ = 20A/56
+      .orderBy("day")
+  }
+
+  // q401: deterministic BOOTSTRAP confidence interval for the daily
+  // purchase mean — the resampling-based uncertainty tool beside the
+  // closed-form tests (q253 Welch, q279 permutation, q391 conformal):
+  // B = 200 resamples whose indices are md5-derived (pick_i =
+  // md5('boot:'||b||':'||i) mod n), so the DuckDB oracle reproduces
+  // every resample bit-for-bit — the same determinism contract as the
+  // q279 permutation test. Resample means are exact integer sums
+  // divided once; the percentile CI picks order statistics 5 and 195
+  // (nearest-rank 2.5 % / 97.5 % of 200). Scale shape: the corpus pass
+  // is ONE keyed daily aggregate; the B×days resample grid never
+  // touches the events table.
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+      .withColumn("idx", row_number().over(W) - 1)
+      .localCheckpoint() // days-sized
+    val nRow = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+    val grid = s.range(200).select(col("id").cast("int").as("bb"))
+      .crossJoin(broadcast(nRow))
+      .select(col("bb"), col("nd"), col("sx"),
+        explode(expr("sequence(0, cast(nd as int) - 1)")).as("i"))
+      .withColumn("pick", pmod(graft.functions.TextFunctions.md5Int(
+        concat(lit("boot:"), col("bb").cast("string"), lit(":"),
+          col("i").cast("string")), 8), col("nd")))
+    val means = grid
+      .join(daily.select(col("idx").as("pick"), col("x")), Seq("pick"))
+      .groupBy("bb").agg(
+        (sum(col("x")).cast("double") / max(col("nd")).cast("double"))
+          .as("m"),
+        max(col("nd")).as("nd"), max(col("sx")).as("sx"))
+    val Wm = Window.orderBy(col("m"), col("bb"))
+    means.withColumn("r", row_number().over(Wm))
+      .agg(
+        max(col("nd")).as("n_days"),
+        M.oracleRound(max(col("sx")).cast("double") /
+          max(col("nd")).cast("double"), 4).as("observed_mean"),
+        count(lit(1)).cast("int").as("n_resamples"),
+        M.oracleRound(max(when(col("r") === 5, col("m"))), 4).as("ci_lo"),
+        M.oracleRound(max(when(col("r") === 195, col("m"))), 4).as("ci_hi"))
+  }
+
+  // q402: sampling-quota APPORTIONMENT across sources — when a corpus
+  // budget (here 20 sampling "seats") must be split proportionally to
+  // per-source token mass, the fractional shares have to become
+  // integers, and the two classic electoral methods disagree in
+  // instructive ways: Hamilton/largest-remainder (floor the quota,
+  // give leftovers to the largest remainders) vs d'Hondt/Jefferson
+  // (award seats greedily by the highest T/k divisor table, which
+  // favors large sources). Both are exact-integer procedures — floor
+  // quotas via integer div/mod, the divisor table ranked on identical
+  // doubles with (source, k) tie-breaks — so the whole allocation is
+  // hash-oracled. One corpus pass (token count per source); the
+  // apportionment runs on the sources-sized frame.
+  def quotaApportion(s: SparkSession, dir: String): DataFrame = {
+    val seats = 20
+    val src = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("toks"))
+      .coalesce(1).localCheckpoint() // sources-sized; read 3 times
+    val tot = src.agg(sum(col("toks")).as("T"))
+    val base = src.crossJoin(broadcast(tot))
+      .withColumn("floor_seats", expr(s"(toks * $seats) div T"))
+      .withColumn("rem", (col("toks") * seats) % col("T"))
+    val Wr = Window.orderBy(col("rem").desc, col("source"))
+    val Wl = Window.partitionBy()
+    val hamilton = base
+      .withColumn("leftover", lit(seats) - sum(col("floor_seats")).over(Wl))
+      .withColumn("rrank", row_number().over(Wr))
+      .withColumn("hamilton",
+        (col("floor_seats") +
+          when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .cast("int"))
+    val Wd = Window.orderBy(
+      (col("toks").cast("double") / col("k").cast("double")).desc,
+      col("src2"), col("k"))
+    val dhondt = src
+      .select(col("source").as("src2"), col("toks").as("t2"),
+        explode(expr(s"sequence(1, $seats)")).as("k"))
+      .withColumn("toks", col("t2"))
+      .withColumn("cellrank", row_number().over(Wd))
+      .filter(col("cellrank") <= seats)
+      .groupBy(col("src2")).agg(count(lit(1)).cast("int").as("dhondt"))
+    hamilton
+      .join(dhondt, col("source") === col("src2"), "left")
+      .na.fill(0, Seq("dhondt"))
+      .select(col("source"), col("toks"),
+        M.oracleRound(col("toks").cast("double") * seats /
+          col("T").cast("double"), 4).as("exact_quota"),
+        col("floor_seats").cast("int").as("floor_seats"),
+        col("hamilton"), col("dhondt"))
+      .orderBy("source")
+  }
 }

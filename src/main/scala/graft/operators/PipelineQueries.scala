@@ -5442,4 +5442,66 @@ object PipelineQueries {
           (col("b") + col("c")).cast("double") > 3.841, 1).otherwise(0)
           .as("significant"))
   }
+
+  // q400: AVERAGE PRECISION of the IVF leg against the exact top-5 —
+  // the rank-position-weighted retrieval metric beside recall (q106),
+  // NDCG (q170), RBO (q208) and MRR (q271): AP charges the index for
+  // finding the right neighbors LATE (precision@r summed at each hit
+  // rank, divided by |relevant| = 5), and R-precision is precision at
+  // the relevance cutoff. Each precision@r is an exact rational
+  // pinned to 1e-6 fixed point BEFORE the per-query sum (the q170
+  // convention — a 5-term double sum's fold order can differ between
+  // engines; integer sums cannot). Rides the shared leg memos: zero
+  // corpus scans beyond what q28/q53 already built.
+  def avgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rnk")
+    val rel = cosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__rel"))
+    val scored = ivfTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("cumhits",
+        sum(coalesce(col("__rel"), lit(0))).over(W).cast("long"))
+      .withColumn("pq", floor(col("cumhits") * lit(1000000L) /
+        col("rnk") + lit(0.5)).cast("long"))
+    scored.groupBy("query_id").agg(
+        count(col("__rel")).cast("int").as("n_hits"),
+        M.oracleRound(coalesce(
+          sum(when(col("__rel").isNotNull, col("pq"))), lit(0L))
+          .cast("double") / 5e6, 4).as("avg_precision"),
+        M.oracleRound(max(when(col("rnk") === 5, col("cumhits")))
+          .cast("double") / 5.0, 4).as("r_precision"))
+      .orderBy("query_id")
+  }
+
+  // q403: MinHash ESTIMATOR-ERROR audit — the quality loop on the q29
+  // signatures the LSH family trusts: for every verified J >= 0.3 pair
+  // (the shared q32/q127 stage), compare the 64-hash estimate
+  // Ĵ = |{i : mh_a[i] = mh_b[i]}| / 64 against the exact Jaccard. The
+  // audit table IS the published estimator guarantee made visible:
+  // E[Ĵ] = J with σ = √(J(1−J)/64) ≈ 0.06 at J = 0.5 — a drifting
+  // hash family or a banding bug shows up as bias here before it
+  // costs recall downstream. Rides the shared signature + verified-
+  // pair stages: the query itself joins two KB-sized frames and
+  // touches no corpus text.
+  def minhashEstimatorAudit(s: SparkSession, dir: String): DataFrame = {
+    val sigs = stages(s, dir)._2
+    val pairs = jaccardPairs03(s, dir)
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(__sa, __sb, (x, y) -> " +
+          "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"))
+      .select(col("id_a"), col("id_b"),
+        col("jaccard").as("j_exact"),
+        col("matches"),
+        M.oracleRound(col("matches").cast("double") / 64.0, 4).as("j_est"),
+        M.oracleRound(abs(col("matches").cast("double") / 64.0 -
+          col("jaccard")), 4).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
 }

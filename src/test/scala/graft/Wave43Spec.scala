@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CoreQueries => C, PipelineQueries => P}
+
+/** Wave 43 (q398–q403): isotonic calibration, exact CUSUM, average
+  * precision, bootstrap CI, quota apportionment, MinHash estimator
+  * audit — each checked against an independent driver-side
+  * re-implementation (sequential PAV, the direct CUSUM recursion, a
+  * hand AP fold) rather than just shape. */
+class Wave43Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q398: iso_rate is monotone and equals sequential weighted PAV") {
+    val rows = C.isotonicCalibration(spark, dir)
+      .select("b", "n", "k", "iso_rate").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // monotone non-decreasing (the isotonic constraint itself)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-9, s"iso not monotone at ${b._1}")
+    }
+    // sequential pool-adjacent-violators on the same bins
+    case class Block(var w: Long, var s: Long)
+    val st = scala.collection.mutable.Stack[Block]()
+    rows.foreach { case (_, n, k, _) =>
+      var blk = Block(n, k)
+      while (st.nonEmpty &&
+          st.top.s.toDouble / st.top.w >= blk.s.toDouble / blk.w) {
+        val t = st.pop(); blk = Block(t.w + blk.w, t.s + blk.s)
+      }
+      st.push(blk)
+    }
+    val pav = st.toSeq.reverse.flatMap(b =>
+      Seq.fill(b.w.toInt)(b.s.toDouble / b.w)) // per-event fit value
+    // expand query result the same way and compare per-event at 4dp
+    val got = rows.flatMap { case (_, n, _, iso) => Seq.fill(n.toInt)(iso) }
+    assert(got.length == pav.length)
+    got.zip(pav).foreach { case (g, p) =>
+      assert(math.abs(g - p) < 5e-4, s"PAV mismatch: $g vs $p")
+    }
+  }
+
+  test("q399: prefix-min closed form equals the direct CUSUM recursion") {
+    val rows = C.cusumExact(spark, dir)
+      .select("x", "s56", "alarm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // reconstruct A from the identity z56 = 56x - 5A on the first row:
+    // s1 = max(0, z1) — recover A instead from the daily frame directly
+    val daily = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val a = daily.take(14).sum
+    var s = 0L
+    rows.zip(daily.drop(14)).foreach { case ((x, s56, alarm), xd) =>
+      assert(x == xd)
+      s = math.max(0L, s + 56 * x - 5 * a)
+      assert(s56 == s, s"CUSUM recursion mismatch: $s56 vs $s")
+      assert(alarm == (s > a * 20))
+    }
+    assert(rows.length == daily.length - 14)
+  }
+
+  test("q400: AP recomputed from the two legs; bounds hold") {
+    val exact = P.cosineTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = P.ivfTopK(spark, dir)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    val got = P.avgPrecision(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == 8)
+    ivf.foreach { case (q, rows) =>
+      var hits = 0L
+      var apNum = 0L // 1e-6-pinned precision@r sum, the query's contract
+      rows.sortBy(_._3).foreach { case (_, n, r) =>
+        val rel = exact.contains((q, n))
+        if (rel) hits += 1
+        val pq = math.floor(hits * 1000000.0 / r + 0.5).toLong
+        if (rel) apNum += pq
+      }
+      val (nh, ap, rp) = got(q)
+      assert(nh == hits.toInt)
+      assert(math.abs(ap - apNum / 5e6) < 5e-4)
+      assert(rp >= 0.0 && rp <= 1.0 && ap >= 0.0 && ap <= 1.0)
+      assert(math.abs(rp - hits / 5.0) < 5e-4) // R-prec = prec@5 here
+    }
+  }
+
+  test("q401: bootstrap CI brackets are ordered and data-bounded") {
+    val r = C.bootstrapCi(spark, dir).collect().head
+    val (nDays, obs, b, lo, hi) = (r.getLong(0), r.getDouble(1),
+      r.getInt(2), r.getDouble(3), r.getDouble(4))
+    assert(nDays == 30 && b == 200)
+    assert(lo <= hi)
+    // resample means live inside the daily min/max envelope
+    val daily = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts"))).agg(count(lit(1)).as("x"))
+      .select("x").collect().map(_.getLong(0))
+    assert(lo >= daily.min.toDouble && hi <= daily.max.toDouble)
+    assert(math.abs(obs - daily.sum.toDouble / daily.length) < 5e-4)
+  }
+
+  test("q402: both methods allocate exactly 20 seats; Hamilton stays within floor..floor+1") {
+    val rows = C.quotaApportion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3), r.getInt(4),
+        r.getInt(5)))
+    assert(rows.map(_._4).sum == 20, "Hamilton seats must sum to budget")
+    assert(rows.map(_._5).sum == 20, "d'Hondt seats must sum to budget")
+    rows.foreach { case (src, _, fl, ham, _) =>
+      assert(ham == fl || ham == fl + 1, s"$src Hamilton outside quota rule")
+    }
+  }
+
+  test("q403: estimator error bounded; estimates are exact match-count ratios") {
+    val rows = P.minhashEstimatorAudit(spark, dir).collect()
+      .map(r => (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (jx, m, je, err) =>
+      assert(jx >= 0.3 && m >= 0 && m <= 64)
+      assert(math.abs(je - m / 64.0) < 5e-4)
+      // 64 hashes: σ <= 0.0625; 0.35 is > 5σ — a failure means the
+      // hash family or banding broke, not noise
+      assert(err <= 0.35, s"estimator error $err implausible for J=$jx")
+    }
+  }
+}
