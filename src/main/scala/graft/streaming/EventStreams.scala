@@ -728,6 +728,79 @@ object EventStreams {
       }
   }
 
+  final case class CusumState(pending: Map[Long, Long], rn: Long,
+      burn: Long, s: Long)
+  final case class CusumPoint(day: java.sql.Date, x: Long, s_scaled: Long,
+      cusum: Double, alarm: Boolean)
+
+  /** Streaming twin of the q399 exact CUSUM: the one-sided drift
+    * detector S_k = max(0, S_{k-1} + z_k) maintained ONLINE over
+    * finalized daily counts. Unlike the commutative twins (counts,
+    * sketches), CUSUM is ORDER-SENSITIVE — a day may only enter the
+    * recursion once its count can no longer change — so the state
+    * machine buffers per-day counts and replays a day into the
+    * recursion exactly when the watermark passes its END (the q89
+    * finalization argument: no admissible late event can still land
+    * in it), in day order. Within-watermark disorder is therefore
+    * invisible: stream output equals the batch recursion on the final
+    * daily frame (parity-pinned in CusumStreamSpec, in-order AND
+    * shuffled).
+    *
+    * Same arithmetic contract as the batch gate: reference μ₀ = mean
+    * of the first `burnDays` days, slack μ₀/4, alarm at 5·μ₀,
+    * everything scaled by 4·burnDays so the state stays exact longs
+    * (z·scale = scale·x − 5·A). State: one open-day count per day
+    * inside the watermark horizon plus three longs — O(horizon), not
+    * O(stream). The detector is a GLOBAL monitor (one logical series),
+    * so the group key is constant: one task carries three longs and a
+    * days-sized map, the upstream count aggregation is where the
+    * parallelism lives. */
+  def cusumStream(events: Dataset[TypedEvent], burnDays: Int = 14,
+      watermarkDelay: String = "0 seconds"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(burnDays > 0, "burnDays must be positive")
+    val dayMs = 86400000L
+    val scale = 4L * burnDays
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, it: Iterator[TypedEvent], state: GroupState[CusumState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption
+            .getOrElse(CusumState(Map.empty, 0L, 0L, 0L))
+          var pending = st0.pending
+          it.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+          }
+          val (ready, rest) =
+            pending.partition { case (d, _) => d + dayMs <= wm }
+          var rn = st0.rn; var burn = st0.burn; var s = st0.s
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          ready.toSeq.sortBy(_._1).foreach { case (d, x) =>
+            rn += 1
+            if (rn <= burnDays) burn += x
+            else {
+              s = math.max(0L, s + scale * x - 5L * burn)
+              out += CusumPoint(new java.sql.Date(d), x, s,
+                math.floor(s.toDouble / scale * 1e4 + 0.5) / 1e4,
+                s > burn * 20L)
+            }
+          }
+          if (rest.isEmpty && rn == 0L) state.remove()
+          else {
+            state.update(CusumState(rest, rn, burn, s))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.keys.min + dayMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-user running totals via `mapGroupsWithState` — the custom-
     * state escape hatch for semantics windowed aggs can't express.
     * State is one `UserStat` per user, hash-partitioned by key. */
