@@ -434,6 +434,7 @@ object SparkEntry {
     "q401_bootstrap_ci" -> (C.bootstrapCi _),
     "q402_quota_apportion" -> (C.quotaApportion _),
     "q403_minhash_est_audit" -> (P.minhashEstimatorAudit _),
+    "q404_textrank_keywords" -> (P.textrankKeywords _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -5173,6 +5174,40 @@ object SparkEntry {
          | round(CAST(matches AS DOUBLE) / 64.0, 4) AS j_est,
          | round(abs(CAST(matches AS DOUBLE) / 64.0 - jaccard), 4) AS abs_err
          |FROM m ORDER BY id_a, id_b""".stripMargin,
+    // q404: TextRank = the q73 pagerank CTE chain over the word
+    // co-occurrence graph — vocab cut, bigram edges, symmetrize,
+    // 5 pinned rounds, top-20
+    "q404_textrank_keywords" ->
+      s"""WITH tk AS (
+         | SELECT CASE WHEN len(trim(lower(text))) = 0
+         |   THEN CAST([] AS VARCHAR[])
+         |   ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+         | FROM documents),
+         |vocab AS (
+         | SELECT term FROM (SELECT unnest(a) AS term FROM tk) v
+         | GROUP BY term HAVING count(*) >= 5),
+         |bp AS (
+         | SELECT pr2[1] AS w1, pr2[2] AS w2 FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(a)-1),
+         |    i -> [a[i], a[i+1]])) AS pr2
+         |  FROM tk WHERE len(a) >= 2) t
+         | WHERE pr2[1] <> pr2[2]),
+         |ev AS (
+         | SELECT w1, w2 FROM bp
+         | JOIN vocab v1 ON v1.term = bp.w1
+         | JOIN vocab v2 ON v2.term = bp.w2),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         | SELECT w1 AS src, w2 AS dst FROM ev
+         | UNION ALL SELECT w2, w1 FROM ev) u),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
+         |${prIterCtes(5)}
+         |SELECT node AS term, pr, CAST(rnk AS INTEGER) AS rnk FROM (
+         | SELECT node, pr,
+         |  row_number() OVER (ORDER BY pr DESC, node) AS rnk
+         | FROM p5) t WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -10183,11 +10218,16 @@ object SparkEntry {
       | SELECT DISTINCT w.doc_id, w.win
       | FROM selpos s JOIN w ON w.doc_id = s.doc_id AND w.enc = s.sel)""".stripMargin
 
-  private def pageRankOracle(iters: Int): String = {
-    // NB: comma BETWEEN blocks, never trailing — the final SELECT
-    // follows the last block directly (r4's q73 bug: a trailing comma
-    // here is a DuckDB parse error).
-    val iterCtes = (1 to iters).map { k =>
+  /** The unrolled PageRank iteration CTE chain over caller-provided
+    * `e(src, dst)` / `nodes(node)` / `n(n)` / `od(src, od)` /
+    * `p0(node, pr)` blocks — one contribution/update pair per round,
+    * 6-dp re-pinned (GraphOps.pageRank's exact arithmetic). Shared by
+    * the q73 part–supplier graph and the q404 TextRank word graph.
+    * NB: comma BETWEEN blocks, never trailing — the final SELECT
+    * follows the last block directly (r4's q73 bug: a trailing comma
+    * here is a DuckDB parse error). */
+  private def prIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
       val j = k - 1
       s"""c$k AS (
          | SELECT e.dst AS node, sum(p.pr / o.od) AS m
@@ -10198,6 +10238,9 @@ object SparkEntry {
          |  round((1.0 - 0.85) / n.n + 0.85 * coalesce(c.m, 0.0), 6) AS pr
          | FROM nodes LEFT JOIN c$k c USING (node), n)""".stripMargin
     }.mkString(",\n")
+
+  private def pageRankOracle(iters: Int): String = {
+    val iterCtes = prIterCtes(iters)
     s"""WITH pairs AS (
        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
        | FROM lineitem),

@@ -5475,6 +5475,50 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  // q404: TextRank keyword extraction (Mihalcea & Tarau EMNLP'04) —
+  // corpus-level keywords as PageRank over the word co-occurrence
+  // graph: nodes are vocabulary terms with count >= 5, edges are
+  // ADJACENT token pairs (window 1, both endpoints in vocab, self
+  // loops dropped), symmetrized and deduplicated; 5 damped (0.85)
+  // rounds of the SAME 6-dp-pinned pagerank the q73 gate runs, so the
+  // whole extraction — tokenize, vocab cut, bigram edges, fixpoint,
+  // top-20 — unrolls into the oracle's chained CTEs. A composition
+  // showcase: the tokenize stage is shared ([[tokenArrays]]), the
+  // fixpoint is [[graft.graph.GraphOps.pageRank]] verbatim (including
+  // its superseded-checkpoint freeing), only the edge construction is
+  // new. Scale shape: bigram extraction is map-only off the token
+  // arrays; the distinct-edge shuffle is the term-pair vocabulary,
+  // not the corpus.
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val vocab = lowerToks(s, dir).groupBy("term")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 5)
+      .select(col("term"))
+    val bigrams = tokenArrays(s, dir)
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> " +
+          "struct(a[i] AS w1, a[i+1] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= col("w2"))
+      .join(vocab.withColumnRenamed("term", "w1"), Seq("w1"), "left_semi")
+      .join(vocab.withColumnRenamed("term", "w2"), Seq("w2"), "left_semi")
+      .select(col("w1"), col("w2"))
+    val und = bigrams
+      .union(bigrams.select(col("w2"), col("w1")))
+      .distinct()
+    val pr = graft.graph.GraphOps.pageRank(und, iters = 5,
+      assumeDistinct = true)
+    // top-20 via orderBy+limit (TakeOrderedAndProject — no
+    // vocab-sized single-partition window); rank only the 20-row head
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr").desc, col("node"))
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("rnk", row_number().over(W))
+      .select(col("node").as("term"), col("pr"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("rnk")
+  }
+
   // q403: MinHash ESTIMATOR-ERROR audit — the quality loop on the q29
   // signatures the LSH family trusts: for every verified J >= 0.3 pair
   // (the shared q32/q127 stage), compare the 64-hash estimate

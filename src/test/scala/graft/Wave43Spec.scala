@@ -119,6 +119,24 @@ class Wave43Spec extends AnyFunSuite {
     }
   }
 
+  test("q404: TextRank emits a ranked 20-term head with descending scores") {
+    val rows = P.textrankKeywords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._3).toSeq == (1 to 20))
+    assert(rows.map(_._1).distinct.length == 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1),
+        "scores must be non-increasing with term tie-break")
+    }
+    // keywords must actually be vocabulary terms (count >= 5)
+    val vocab = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count().filter(col("count") >= 5)
+      .select("t").collect().map(_.getString(0)).toSet
+    rows.foreach { case (t, _, _) => assert(vocab.contains(t)) }
+  }
+
   test("q403: estimator error bounded; estimates are exact match-count ratios") {
     val rows = P.minhashEstimatorAudit(spark, dir).collect()
       .map(r => (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
