@@ -435,6 +435,8 @@ object SparkEntry {
     "q402_quota_apportion" -> (C.quotaApportion _),
     "q403_minhash_est_audit" -> (P.minhashEstimatorAudit _),
     "q404_textrank_keywords" -> (P.textrankKeywords _),
+    "q405_viterbi_decode" -> (C.viterbiDecode _),
+    "q406_dbscan_daily" -> (C.dbscanDaily _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -5208,6 +5210,41 @@ object SparkEntry {
          | SELECT node, pr,
          |  row_number() OVER (ORDER BY pr DESC, node) AS rnk
          | FROM p5) t WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // q405: the DP unrolled — one min-CTE per decoded day
+    "q405_viterbi_decode" -> viterbiOracle(16),
+    // q406: 1-D DBSCAN's closed form — neighbor counts on the count
+    // axis, core runs split at gap > eps, borders to the nearest core
+    "q406_dbscan_daily" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |ep AS (SELECT (max(x) - min(x)) // 10 + 1 AS eps FROM d),
+        |cnt AS (
+        | SELECT p.day, p.x, ep.eps, CAST(count(*) AS BIGINT) AS nbrs,
+        |  count(*) >= 3 AS is_core
+        | FROM d p CROSS JOIN ep JOIN d q ON abs(p.x - q.x) <= ep.eps
+        | GROUP BY p.day, p.x, ep.eps),
+        |cores AS (
+        | SELECT day AS cday, x AS cx, eps,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > eps THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY x, day) AS INTEGER) AS cluster_id
+        | FROM (SELECT day, x, eps,
+        |   x - lag(x) OVER (ORDER BY x, day) AS gap
+        |  FROM cnt WHERE is_core) t),
+        |border AS (
+        | SELECT day, cluster_id FROM (
+        |  SELECT c.day, k.cluster_id,
+        |   row_number() OVER (PARTITION BY c.day
+        |     ORDER BY abs(c.x - k.cx), k.cx, k.cday) AS rn
+        |  FROM cnt c JOIN cores k ON abs(c.x - k.cx) <= c.eps
+        |  WHERE NOT c.is_core) t WHERE rn = 1)
+        |SELECT c.day, c.x, c.nbrs, c.is_core,
+        | coalesce(k.cluster_id, b.cluster_id) AS cluster_id,
+        | k.cluster_id IS NULL AND b.cluster_id IS NULL AS is_noise
+        |FROM cnt c
+        | LEFT JOIN cores k ON k.cday = c.day
+        | LEFT JOIN border b ON b.day = c.day
+        |ORDER BY c.day""".stripMargin,
     "q67_stats_moments" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -10238,6 +10275,39 @@ object SparkEntry {
          |  round((1.0 - 0.85) / n.n + 0.85 * coalesce(c.m, 0.0), 6) AS pr
          | FROM nodes LEFT JOIN c$k c USING (node), n)""".stripMargin
     }.mkString(",\n")
+
+  /** q405's oracle: the 2-state min-sum Viterbi forward recursion
+    * unrolled to `steps` CTE blocks over the rn-indexed daily frame —
+    * the prIterCtes convention applied to a DP (one block per decoded
+    * day, costs ×14-scaled BIGINTs). */
+  private def viterbiOracle(steps: Int): String = {
+    val blocks = (2 to steps).map { t =>
+      val p = t - 1
+      s"""v$t AS (
+         | SELECT r.day, r.x,
+         |  abs(14*r.x - a.burn) + least(p.vb, p.ve + a.burn) AS vb,
+         |  abs(14*r.x - 2*a.burn) + least(p.ve, p.vb + a.burn) AS ve
+         | FROM r, a, v$p p WHERE r.rn = ${14 + t})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps)
+      .map(t => s"SELECT day, x, vb, ve FROM v$t")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+       | FROM events WHERE event_type = 'click' GROUP BY 1),
+       |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+       |a AS (SELECT CAST(sum(x) AS BIGINT) AS burn FROM r WHERE rn <= 14),
+       |v1 AS (
+       | SELECT r.day, r.x, abs(14*r.x - a.burn) AS vb,
+       |  abs(14*r.x - 2*a.burn) AS ve
+       | FROM r, a WHERE r.rn = 15),
+       |$blocks,
+       |u AS ($union)
+       |SELECT day, x, CAST(vb AS BIGINT) AS v_base,
+       | CAST(ve AS BIGINT) AS v_elev,
+       | CASE WHEN vb <= ve THEN 'base' ELSE 'elevated' END AS state
+       |FROM u ORDER BY day""".stripMargin
+  }
 
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = prIterCtes(iters)

@@ -5631,6 +5631,105 @@ object CoreQueries {
         M.oracleRound(max(when(col("r") === 195, col("m"))), 4).as("ci_hi"))
   }
 
+  // q405: 2-state VITERBI forward decode (min-sum) over daily click
+  // counts — latent-state sequence decoding beside the threshold
+  // detectors (q399 CUSUM, q247 mean-shift): state 'base' expects the
+  // burn-in mean μ₀, state 'elevated' expects 2·μ₀, emission cost
+  // |x − μ_s|, switch penalty μ₀. All costs are ×14-scaled exact
+  // BIGINTs (e_base = |14x − A|, e_elev = |14x − 2A|, penalty A where
+  // A = Σ burn-in counts), so the DP and the oracle's 16 unrolled
+  // min-CTEs agree bit-for-bit. The decode window is the FIRST 16
+  // post-burn-in days (a fixed contract — an unrolled oracle needs a
+  // static step count; testdata spans 30 days). Scale shape: the
+  // corpus pass is ONE keyed daily aggregate; the DP itself is
+  // O(states²·16) on the collected days-sized frame — the same
+  // bounded-driver-head convention as every Lloyd/sketch fit.
+  def viterbiDecode(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+      .withColumn("rn", row_number().over(W))
+    val rows = daily.filter(col("rn") <= 30)
+      .orderBy("rn")
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getInt(2)))
+    val a = rows.filter(_._3 <= 14).map(_._2).sum
+    val post = rows.filter(r => r._3 > 14 && r._3 <= 30)
+    var vb = 0L; var ve = 0L
+    val out = post.zipWithIndex.map { case ((day, x, _), t) =>
+      val eb = math.abs(14 * x - a)
+      val ee = math.abs(14 * x - 2 * a)
+      if (t == 0) { vb = eb; ve = ee }
+      else {
+        val nb = eb + math.min(vb, ve + a)
+        val ne = ee + math.min(ve, vb + a)
+        vb = nb; ve = ne
+      }
+      (day, x, vb, ve, if (vb <= ve) "base" else "elevated")
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "x", "v_base", "v_elev", "state")
+      .orderBy("day")
+  }
+
+  // q406: 1-D DBSCAN over the daily click-count distribution — density
+  // clustering beside the partition methods (q53 Lloyd cells, q201
+  // k-center): eps = (max−min) div 10 + 1 (data-scaled integer),
+  // minPts = 3, neighborhoods on the count axis. In 1-D the
+  // density-connect fixpoint COLLAPSES to a closed form — core points
+  // sorted by value form a new cluster exactly where the gap to the
+  // previous core exceeds eps — so the whole clustering (usually an
+  // iterative region-grow) is two windows and a join over the
+  // days-sized frame, exactly oracle-able. Border points attach to
+  // the nearest core (tie → lower core value); everything else is
+  // noise. All distances are integer; no rounding anywhere.
+  def dbscanDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1).localCheckpoint() // days-sized; read 4 times below
+    val eps = daily.agg(
+      ((max(col("x")) - min(col("x"))) / lit(10)).cast("long").as("e"))
+      .select((col("e") + 1L).as("eps"))
+    val withEps = daily.crossJoin(broadcast(eps))
+    val cnt = withEps.alias("p")
+      .join(daily.alias("q"),
+        abs(col("p.x") - col("q.x")) <= col("p.eps"))
+      .groupBy(col("p.day").as("day"), col("p.x").as("x"),
+        col("p.eps").as("eps"))
+      .agg(count(lit(1)).as("nbrs"))
+      .withColumn("is_core", col("nbrs") >= 3)
+    val Wx = Window.orderBy(col("x"), col("day"))
+    val cores = cnt.filter(col("is_core"))
+      .withColumn("gap", col("x") - lag(col("x"), 1).over(Wx))
+      .withColumn("cluster_id", sum(
+        when(col("gap").isNull || col("gap") > col("eps"), 1)
+          .otherwise(0)).over(Wx).cast("int"))
+      .select(col("day").as("cday"), col("x").as("cx"),
+        col("cluster_id"))
+      .localCheckpoint() // cores-sized
+    val Wb = Window.partitionBy("day")
+      .orderBy(abs(col("x") - col("cx")), col("cx"), col("cday"))
+    val border = cnt.filter(!col("is_core"))
+      .join(cores, abs(col("x") - col("cx")) <= col("eps"))
+      .withColumn("rn", row_number().over(Wb))
+      .filter(col("rn") === 1)
+      .select(col("day"), col("cluster_id"))
+    cnt.select(col("day"), col("x"), col("nbrs"), col("is_core"))
+      .join(cores.select(col("cday").as("day"),
+        col("cluster_id").as("__cc")), Seq("day"), "left")
+      .join(border.select(col("day"), col("cluster_id").as("__cb")),
+        Seq("day"), "left")
+      .select(col("day"), col("x"), col("nbrs"), col("is_core"),
+        coalesce(col("__cc"), col("__cb")).as("cluster_id"),
+        (col("__cc").isNull && col("__cb").isNull).as("is_noise"))
+      .orderBy("day")
+  }
+
   // q402: sampling-quota APPORTIONMENT across sources — when a corpus
   // budget (here 20 sampling "seats") must be split proportionally to
   // per-source token mass, the fractional shares have to become

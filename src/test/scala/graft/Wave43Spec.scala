@@ -137,6 +137,48 @@ class Wave43Spec extends AnyFunSuite {
     rows.foreach { case (t, _, _) => assert(vocab.contains(t)) }
   }
 
+  test("q405: forward scores equal the direct min-sum recursion; decode is argmin") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val a = daily.take(14).sum
+    var vb = 0L; var ve = 0L
+    val want = daily.slice(14, 30).zipWithIndex.map { case (x, t) =>
+      val (eb, ee) = (math.abs(14 * x - a), math.abs(14 * x - 2 * a))
+      if (t == 0) { vb = eb; ve = ee }
+      else { val nb = eb + math.min(vb, ve + a)
+        val ne = ee + math.min(ve, vb + a); vb = nb; ve = ne }
+      (x, vb, ve, if (vb <= ve) "base" else "elevated")
+    }.toSeq
+    val got = C.viterbiDecode(spark, dir)
+      .select("x", "v_base", "v_elev", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == want)
+  }
+
+  test("q406: DBSCAN invariants — core density, gap separation, border reach, noise isolation") {
+    val rows = C.dbscanDaily(spark, dir).collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getBoolean(5)))
+    val xs = rows.map(_._1)
+    val eps = (xs.max - xs.min) / 10 + 1
+    rows.foreach { case (x, nbrs, isCore, cid, isNoise) =>
+      assert(nbrs == xs.count(y => math.abs(x - y) <= eps))
+      assert(isCore == (nbrs >= 3))
+      if (isCore) assert(cid.isDefined && !isNoise)
+      if (isNoise) assert(cid.isEmpty &&
+        !rows.exists(c => c._3 && math.abs(c._1 - x) <= eps))
+    }
+    // same-cluster cores are gap-chained; different clusters separated
+    val cores = rows.filter(_._3).sortBy(_._1)
+    cores.sliding(2).foreach { case Array(p, q) =>
+      if (p._4 == q._4) assert(q._1 - p._1 <= eps)
+      else assert(q._1 - p._1 > eps)
+    }
+  }
+
   test("q403: estimator error bounded; estimates are exact match-count ratios") {
     val rows = P.minhashEstimatorAudit(spark, dir).collect()
       .map(r => (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
