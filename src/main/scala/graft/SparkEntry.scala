@@ -437,6 +437,9 @@ object SparkEntry {
     "q404_textrank_keywords" -> (P.textrankKeywords _),
     "q405_viterbi_decode" -> (C.viterbiDecode _),
     "q406_dbscan_daily" -> (C.dbscanDaily _),
+    "q407_skyline" -> (C.skylineCustomers _),
+    "q408_holt_linear" -> (C.holtLinear _),
+    "q409_optimal_segments" -> (C.optimalSegments _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -5212,6 +5215,75 @@ object SparkEntry {
          | FROM p5) t WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // q405: the DP unrolled — one min-CTE per decoded day
     "q405_viterbi_decode" -> viterbiOracle(16),
+    // q407: 2-D skyline via the strict-prefix range frame + the
+    // equal-key partition max
+    "q407_skyline" ->
+      """WITH per AS (
+        | SELECT o_custkey AS c_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS spend_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders GROUP BY 1),
+        |w AS (
+        | SELECT c_custkey, spend_cents, n_orders,
+        |  max(n_orders) OVER (ORDER BY -spend_cents
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS dom_strict,
+        |  max(n_orders) OVER (PARTITION BY spend_cents) AS dom_eq
+        | FROM per)
+        |SELECT c_custkey, spend_cents, n_orders FROM w
+        |WHERE (dom_strict IS NULL OR dom_strict < n_orders)
+        | AND dom_eq = n_orders
+        |ORDER BY c_custkey""".stripMargin,
+    // q408: the coupled level/trend recursion unrolled, numerators
+    // exact over 4^t
+    "q408_holt_linear" -> holtOracle(16),
+    // q409: exact minimal-SSE 4-segmentation — prefix-sum SSE closed
+    // form over the enumerated split triples, (i,j,k) tie-break
+    "q409_optimal_segments" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn,
+        |  CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS cs,
+        |  CAST(sum(x*x) OVER (ORDER BY day) AS BIGINT) AS cs2 FROM d),
+        |nn AS (SELECT CAST(count(*) AS INTEGER) AS n FROM r),
+        |p AS (SELECT 0 AS rn, CAST(0 AS BIGINT) AS cs,
+        |   CAST(0 AS BIGINT) AS cs2
+        | UNION ALL SELECT CAST(rn AS INTEGER), cs, cs2 FROM r),
+        |e AS (SELECT p.cs AS ecs, p.cs2 AS ecs2, nn.n
+        |      FROM p, nn WHERE p.rn = nn.n),
+        |c AS (
+        | SELECT i.rn AS i, j.rn AS j, k.rn AS k,
+        |  (CAST(i.cs2 AS DOUBLE)
+        |    - CAST(i.cs*i.cs AS DOUBLE)/CAST(i.rn AS DOUBLE))
+        |  + (CAST(j.cs2 - i.cs2 AS DOUBLE)
+        |    - CAST((j.cs-i.cs)*(j.cs-i.cs) AS DOUBLE)
+        |      /CAST(j.rn-i.rn AS DOUBLE))
+        |  + (CAST(k.cs2 - j.cs2 AS DOUBLE)
+        |    - CAST((k.cs-j.cs)*(k.cs-j.cs) AS DOUBLE)
+        |      /CAST(k.rn-j.rn AS DOUBLE))
+        |  + (CAST(e.ecs2 - k.cs2 AS DOUBLE)
+        |    - CAST((e.ecs-k.cs)*(e.ecs-k.cs) AS DOUBLE)
+        |      /CAST(e.n-k.rn AS DOUBLE)) AS total
+        | FROM p i JOIN p j ON i.rn < j.rn JOIN p k ON j.rn < k.rn
+        | CROSS JOIN e
+        | WHERE i.rn > 0 AND k.rn < e.n),
+        |best AS (
+        | SELECT i, j, k, round(total, 4) AS total_sse FROM (
+        |  SELECT i, j, k, total,
+        |   row_number() OVER (ORDER BY total, i, j, k) AS rnk FROM c) t
+        | WHERE rnk = 1),
+        |segs AS (
+        | SELECT 1 AS seg_id, 1 AS lo, i AS hi, total_sse FROM best
+        | UNION ALL SELECT 2, i+1, j, total_sse FROM best
+        | UNION ALL SELECT 3, j+1, k, total_sse FROM best
+        | UNION ALL SELECT 4, k+1, (SELECT n FROM nn), total_sse FROM best)
+        |SELECT seg_id, min(day) AS start_day, max(day) AS end_day,
+        | CAST(count(*) AS BIGINT) AS n_days,
+        | round(CAST(sum(x) AS DOUBLE)/count(*), 4) AS seg_mean, total_sse
+        |FROM segs JOIN r ON r.rn BETWEEN lo AND hi
+        |GROUP BY seg_id, total_sse ORDER BY seg_id""".stripMargin,
     // q406: 1-D DBSCAN's closed form — neighbor counts on the count
     // axis, core runs split at gap > eps, borders to the nearest core
     "q406_dbscan_daily" ->
@@ -10307,6 +10379,41 @@ object SparkEntry {
        | CAST(ve AS BIGINT) AS v_elev,
        | CASE WHEN vb <= ve THEN 'base' ELSE 'elevated' END AS state
        |FROM u ORDER BY day""".stripMargin
+  }
+
+  /** q408's oracle: Holt linear smoothing (α = β = ½) unrolled to
+    * `steps` CTE blocks carrying exact integer numerators over 4^t
+    * (the q405 unrolled-DP convention; `//` keeps the exactly-even
+    * halving integer). */
+  private def holtOracle(steps: Int): String = {
+    val blocks = (1 to steps).map { t =>
+      val p = t - 1
+      val c = 2L * (1L << (2 * (t - 1))) // 2·4^(t−1)
+      val pow = math.pow(4.0, t)
+      s"""h$t AS (
+         | SELECT r.day, r.x,
+         |  CAST($c AS BIGINT)*r.x + 2*p.l + 2*p.b AS l,
+         |  (CAST($c AS BIGINT)*r.x + 2*p.l + 2*p.b - 4*p.l) // 2
+         |    + 2*p.b AS b
+         | FROM r, h$p p WHERE r.rn = ${t + 2})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps).map { t =>
+      val pow = math.pow(4.0, t)
+      s"""SELECT day, x, round(CAST(l AS DOUBLE)/$pow, 4) AS level,
+         | round(CAST(b AS DOUBLE)/$pow, 4) AS trend,
+         | round(CAST(l + b AS DOUBLE)/$pow, 4) AS forecast_next
+         |FROM h$t""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (
+       | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+       | FROM events WHERE event_type = 'click' GROUP BY 1),
+       |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+       |h0 AS (
+       | SELECT a.x AS l, b.x - a.x AS b
+       | FROM (SELECT x FROM r WHERE rn = 1) a,
+       |      (SELECT x FROM r WHERE rn = 2) b),
+       |$blocks
+       |$union ORDER BY day""".stripMargin
   }
 
   private def pageRankOracle(iters: Int): String = {

@@ -5730,6 +5730,163 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  // q407: SKYLINE (Pareto-front) operator over per-customer (spend,
+  // order count) — the classic multi-criteria DB operator (Börzsönyi
+  // et al. ICDE'01) the engine was missing: a customer is on the
+  // skyline iff no other weakly dominates on both axes and strictly
+  // on one. The O(n²) dominance test collapses to two windows: a
+  // STRICT-prefix range frame on spend (max count among strictly
+  // higher spenders) and an equal-spend partition max — dominance in
+  // 2-D is exactly "a strictly-better-on-axis-1 point with ≥ axis-2,
+  // or an equal-axis-1 point with > axis-2". Money in floor-cents
+  // longs; no rounding anywhere, every comparison integer.
+  def skylineCustomers(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+        .as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    val We = Window.partitionBy("spend_cents")
+    per
+      .withColumn("__domStrict", max(col("n_orders")).over(
+        Window.orderBy(-col("spend_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__domEq", max(col("n_orders")).over(We))
+      .filter((col("__domStrict").isNull ||
+        col("__domStrict") < col("n_orders")) &&
+        col("__domEq") === col("n_orders"))
+      .select(col("c_custkey"), col("spend_cents"), col("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  // q408: Holt LINEAR (double) exponential smoothing, α = β = 1/2 —
+  // the trend-aware forecaster beside the EWMA chart (q301): the
+  // coupled recursions l_t = (x_t + l' + b')/2, b_t = (l_t − l')/2 +
+  // b'/2 carried as EXACT integer numerators over 4^t
+  // (L_t = 2·4^(t−1)·x_t + 2L' + 2B', B_t = (L_t − 4L')/2 + 2B' —
+  // L_t is even by construction, so every step stays a BIGINT; 16
+  // steps × daily counts ≈ 1.3e12, far under 2^63). Init: level =
+  // day 1, trend = day 2 − day 1; decodes the next 16 days. The
+  // corpus pass is one keyed daily aggregate; the recursion is
+  // bounded driver work (the q405 convention), and the oracle unrolls
+  // the same 16 steps as CTEs.
+  def holtLinear(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+      .withColumn("rn", row_number().over(W))
+    val rows = daily.filter(col("rn") <= 18).orderBy("rn").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getInt(2)))
+    require(rows.length >= 3, "holtLinear needs at least 3 days")
+    var lNum = rows(0)._2 // L_0 over 4^0
+    var bNum = rows(1)._2 - rows(0)._2
+    var pow = 1L // 4^t
+    val out = rows.drop(2).take(16).map { case (day, x, _) =>
+      val lPrev = lNum
+      pow *= 4
+      lNum = 2 * (pow / 4) * x + 2 * lPrev + 2 * bNum
+      bNum = (lNum - 4 * lPrev) / 2 + 2 * bNum
+      // driver twin of MysqlFunctions.oracleRound: half AWAY FROM
+      // ZERO — trend goes negative, and floor(x+0.5) disagrees with
+      // DuckDB round() exactly on negative half-way points
+      def r4(num: Long) = {
+        val v = num.toDouble / pow
+        if (v < 0) -math.floor(-v * 1e4 + 0.5) / 1e4
+        else math.floor(v * 1e4 + 0.5) / 1e4
+      }
+      (day, x, r4(lNum), r4(bNum), r4(lNum + bNum))
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "x", "level", "trend", "forecast_next")
+      .orderBy("day")
+  }
+
+  // q409: OPTIMAL 4-segment changepoint segmentation of the daily
+  // click series — the exact counterpart of the heuristic detectors
+  // (q247 mean-shift, q399 CUSUM, q405 Viterbi): minimize total
+  // within-segment SSE over ALL split triples 0 < i < j < k < n.
+  // Needs no DP recursion at this size: segment SSE has the prefix-sum
+  // closed form Σx² − (Σx)²/len, so the search is a pure 3-way join
+  // over split positions (≈ 30³/6 ≈ 4 000 combos on a days frame —
+  // corpus-size-independent) with an exact-integer numerator compare:
+  // total SSE · (common denominator) stays rational with denominator
+  // len₁·len₂·len₃·len₄, and the double division of exact integers
+  // is identical on both engines; ties break on the (i, j, k) tuple.
+  // Emits one row per chosen segment with its mean.
+  def optimalSegments(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1)
+      .withColumn("rn", row_number().over(W))
+      .withColumn("cs", sum(col("x")).over(W))
+      .withColumn("cs2", sum(col("x") * col("x")).over(W))
+      .localCheckpoint() // days-sized; read many times below
+    val n = daily.count().toInt
+    val pref = daily.select(col("rn"), col("cs"), col("cs2"))
+    // virtual row 0 with cs=cs2=0 unioned in so every segment is (a, b]
+    val zero = s.range(1).select(lit(0).cast("int").as("rn"),
+      lit(0L).as("cs"), lit(0L).as("cs2"))
+    val p = zero.unionByName(pref).localCheckpoint()
+    val i = p.select(col("rn").as("i"), col("cs").as("ics"),
+      col("cs2").as("ics2")).filter(col("i") > 0 && col("i") < n)
+    val j = p.select(col("rn").as("j"), col("cs").as("jcs"),
+      col("cs2").as("jcs2")).filter(col("j") > 0 && col("j") < n)
+    val k = p.select(col("rn").as("k"), col("cs").as("kcs"),
+      col("cs2").as("kcs2")).filter(col("k") > 0 && col("k") < n)
+    val z = p.filter(col("rn") === 0)
+      .select(col("cs").as("zcs"), col("cs2").as("zcs2"))
+    val e = p.filter(col("rn") === n)
+      .select(col("cs").as("ecs"), col("cs2").as("ecs2"))
+    def sse(csA: Column, cs2A: Column, csB: Column, cs2B: Column,
+        lenc: Column): Column =
+      (cs2B - cs2A).cast("double") -
+        ((csB - csA) * (csB - csA)).cast("double") / lenc.cast("double")
+    val combos = i.join(j, col("i") < col("j"))
+      .join(k, col("j") < col("k"))
+      .crossJoin(broadcast(z)).crossJoin(broadcast(e))
+      .withColumn("total",
+        sse(col("zcs"), col("zcs2"), col("ics"), col("ics2"), col("i")) +
+        sse(col("ics"), col("ics2"), col("jcs"), col("jcs2"),
+          col("j") - col("i")) +
+        sse(col("jcs"), col("jcs2"), col("kcs"), col("kcs2"),
+          col("k") - col("j")) +
+        sse(col("kcs"), col("kcs2"), col("ecs"), col("ecs2"),
+          lit(n) - col("k")))
+    val Wb = Window.orderBy(col("total"), col("i"), col("j"), col("k"))
+    val best = combos.withColumn("rnk", row_number().over(Wb))
+      .filter(col("rnk") === 1)
+      .select(col("i"), col("j"), col("k"),
+        M.oracleRound(col("total"), 4).as("total_sse"))
+      .localCheckpoint() // 1 row
+    val bounds = best.select(
+      explode(array(
+        struct(lit(1).as("seg_id"), lit(1).as("lo"), col("i").as("hi")),
+        struct(lit(2).as("seg_id"), (col("i") + 1).as("lo"),
+          col("j").as("hi")),
+        struct(lit(3).as("seg_id"), (col("j") + 1).as("lo"),
+          col("k").as("hi")),
+        struct(lit(4).as("seg_id"), (col("k") + 1).as("lo"),
+          lit(n).as("hi")))).as("b"),
+      col("total_sse"))
+      .select(col("b.seg_id").as("seg_id"), col("b.lo").as("lo"),
+        col("b.hi").as("hi"), col("total_sse"))
+    bounds.join(daily, col("rn") >= col("lo") && col("rn") <= col("hi"))
+      .groupBy("seg_id", "total_sse")
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"),
+        M.oracleRound(sum(col("x")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("seg_mean"))
+      .select(col("seg_id"), col("start_day"), col("end_day"),
+        col("n_days"), col("seg_mean"), col("total_sse"))
+      .orderBy("seg_id")
+  }
+
   // q402: sampling-quota APPORTIONMENT across sources — when a corpus
   // budget (here 20 sampling "seats") must be split proportionally to
   // per-source token mass, the fractional shares have to become

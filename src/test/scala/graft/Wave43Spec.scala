@@ -179,6 +179,69 @@ class Wave43Spec extends AnyFunSuite {
     }
   }
 
+  test("q407: skyline contains exactly the non-dominated customers") {
+    val per = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = per.exists(q =>
+      q._1 != p._1 && q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    val want = per.filterNot(dominated).map(_._1).toSet
+    val got = C.skylineCustomers(spark, dir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q408: smoothed path equals the direct Holt recursion at 4dp") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    var l = daily(0).toDouble
+    var b = (daily(1) - daily(0)).toDouble
+    val want = daily.slice(2, 18).map { x =>
+      val lp = l
+      l = (x + l + b) / 2.0
+      b = (l - lp) / 2.0 + b / 2.0
+      (x, l, b, l + b)
+    }
+    val got = C.holtLinear(spark, dir)
+      .select("x", "level", "trend", "forecast_next").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gx, gl, gt, gf), (wx, wl, wt, wf)) =>
+      assert(gx == wx)
+      assert(math.abs(gl - wl) < 5e-4 && math.abs(gt - wt) < 5e-4 &&
+        math.abs(gf - wf) < 1e-3)
+    }
+  }
+
+  test("q409: chosen segmentation achieves the brute-force minimal SSE") {
+    val xs = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    def sse(a: Int, b: Int) = { // [a, b) 0-based
+      val seg = xs.slice(a, b)
+      val m = seg.sum / seg.length
+      seg.map(v => (v - m) * (v - m)).sum
+    }
+    val n = xs.length
+    val best = (for {
+      i <- 1 until n; j <- i + 1 until n; k <- j + 1 until n
+    } yield sse(0, i) + sse(i, j) + sse(j, k) + sse(k, n)).min
+    val rows = C.optimalSegments(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(3)).sum == n) // segments partition days
+    val gotSse = rows.head.getDouble(5)
+    assert(math.abs(gotSse - best) < 1e-2,
+      s"segmentation SSE $gotSse vs brute-force $best")
+  }
+
   test("q403: estimator error bounded; estimates are exact match-count ratios") {
     val rows = P.minhashEstimatorAudit(spark, dir).collect()
       .map(r => (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
