@@ -440,6 +440,10 @@ object SparkEntry {
     "q407_skyline" -> (C.skylineCustomers _),
     "q408_holt_linear" -> (C.holtLinear _),
     "q409_optimal_segments" -> (C.optimalSegments _),
+    "q410_hits" -> (C.hitsPartsSuppliers _),
+    "q411_borda_fusion" -> (P.bordaFusion _),
+    "q412_sprt_audit" -> (C.sprtAudit _),
+    "q413_huffman_lengths" -> (P.huffmanLengths _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10243,6 +10247,62 @@ object SparkEntry {
         |SELECT f.qid, f.pick, f.cid, c.rel, round(f.gain, 4) AS gain
         |FROM f JOIN cand c ON c.qid = f.qid AND c.cid = f.cid
         |ORDER BY f.qid, f.pick""".stripMargin,
+    // q410: the four max-normalized HITS rounds unrolled (the
+    // prIterCtes convention; max normalizers are order-free)
+    "q410_hits" -> hitsOracle(iters = 4),
+    // q411: q125's leg recomposition with the integer Borda schedule
+    // (6 − rnk points per leg, absent 0) — the fused score is exact
+    "q411_borda_fusion" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ann AS (
+         |$signLshTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), u AS (
+         | SELECT query_id, neighbor_id FROM exact
+         | UNION SELECT query_id, neighbor_id FROM ann
+         | UNION SELECT query_id, neighbor_id FROM ivf),
+         |sc AS (
+         | SELECT u.query_id, u.neighbor_id,
+         |  CAST(coalesce(6 - e.rnk, 0) + coalesce(6 - a.rnk, 0)
+         |      + coalesce(6 - i.rnk, 0) AS BIGINT) AS score
+         | FROM u LEFT JOIN exact e USING (query_id, neighbor_id)
+         |  LEFT JOIN ann a USING (query_id, neighbor_id)
+         |  LEFT JOIN ivf i USING (query_id, neighbor_id))
+         |SELECT query_id, neighbor_id, score, CAST(rnk AS INTEGER) AS rnk FROM (
+         | SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rnk
+         | FROM sc) t WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // q412: SPRT walk in exact micro units — the LLR literals are
+    // Scala-computed once and interpolated verbatim, so neither
+    // engine evaluates a log at query time
+    "q412_sprt_audit" ->
+      s"""WITH d AS (
+         | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS k
+         | FROM events GROUP BY 1),
+         |w AS (
+         | SELECT day, n, k,
+         |  CAST(sum(k * ${operators.CoreQueries.SprtLaMicro}
+         |    + (n - k) * (${operators.CoreQueries.SprtLbMicro}))
+         |   OVER (ORDER BY day) AS BIGINT) AS llr_micro
+         | FROM d)
+         |SELECT day, n, k, llr_micro,
+         | CASE WHEN llr_micro >= ${operators.CoreQueries.SprtAMicro}
+         |   THEN 'accept_h1'
+         |  WHEN llr_micro <= -${operators.CoreQueries.SprtAMicro}
+         |   THEN 'accept_h0'
+         |  ELSE 'continue' END AS verdict,
+         | max(CASE WHEN abs(llr_micro) >= ${operators.CoreQueries.SprtAMicro}
+         |   THEN 1 ELSE 0 END) OVER (ORDER BY day) = 1 AS stopped
+         |FROM w ORDER BY day""".stripMargin,
+    // q413: the 25 deterministic Huffman merges as chained CTEs over
+    // the exact letter-frequency frame (generator below)
+    "q413_huffman_lengths" -> huffmanOracle(26),
   )
 
   private val q45OracleSql: String =
@@ -10430,6 +10490,80 @@ object SparkEntry {
        |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
        |$iterCtes
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
+
+  /** q413's oracle: the 25 deterministic Huffman merges unrolled — a
+    * (pick, nodes, membership) CTE triple per merge over the exact
+    * per-letter frequency frame. pick ranks live nodes by (freq, id);
+    * the two smallest fuse into node id 25+k; membership tracks each
+    * leaf's current cluster and increments its depth when its cluster
+    * fuses — after the last merge, depth IS the Huffman code length.
+    * Exactly the engine's tie-break (PipelineQueries.huffmanLengths),
+    * so lengths match per symbol, not just as a multiset. */
+  private def huffmanOracle(nSyms: Int): String = {
+    val blocks = (1 to nSyms - 1).map { k =>
+      val j = k - 1
+      val newId = nSyms - 1 + k
+      s"""p$k AS MATERIALIZED (
+         | SELECT id, freq, row_number() OVER (ORDER BY freq, id) AS r
+         | FROM n$j),
+         |n$k AS MATERIALIZED (
+         | SELECT id, freq FROM p$k WHERE r > 2
+         | UNION ALL
+         | SELECT CAST($newId AS BIGINT) AS id,
+         |  (SELECT sum(freq) FROM p$k WHERE r <= 2) AS freq),
+         |m$k AS MATERIALIZED (
+         | SELECT sym_id,
+         |  CASE WHEN cluster IN (SELECT id FROM p$k WHERE r <= 2)
+         |   THEN CAST($newId AS BIGINT) ELSE cluster END AS cluster,
+         |  depth + CASE WHEN cluster IN (SELECT id FROM p$k WHERE r <= 2)
+         |   THEN 1 ELSE 0 END AS depth
+         | FROM m$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS MATERIALIZED (
+       | SELECT s.i AS id, chr(97 + CAST(s.i AS INTEGER)) AS sym,
+       |  CAST(coalesce(sum(len(text) -
+       |    len(replace(text, chr(97 + CAST(s.i AS INTEGER)), ''))), 0)
+       |   AS BIGINT) AS freq
+       | FROM documents, generate_series(0, ${nSyms - 1}) AS s(i)
+       | GROUP BY s.i),
+       |n0 AS (SELECT id, freq FROM f),
+       |m0 AS (SELECT id AS sym_id, id AS cluster, 0 AS depth FROM f),
+       |$blocks
+       |SELECT f.sym AS symbol, f.freq,
+       | CAST(m.depth AS INTEGER) AS code_len
+       |FROM f JOIN m${nSyms - 1} m ON m.sym_id = f.id
+       |ORDER BY symbol""".stripMargin
+  }
+
+  /** q410's oracle: the max-normalized HITS rounds unrolled — one
+    * (auth-sum, auth-norm, hub-sum, hub-norm) CTE quadruple per round
+    * over the directed part→supplier pairs, 6-dp-pinned after each max
+    * normalization exactly like GraphOps.hits. */
+  private def hitsOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val j = k - 1
+      s"""ar$k AS (
+         | SELECT e.dst AS node, sum(h.h) AS m
+         | FROM pairs e JOIN h$j h ON h.node = e.src GROUP BY e.dst),
+         |an$k AS (
+         | SELECT node, round(m / (SELECT max(m) FROM ar$k), 6) AS a
+         | FROM ar$k),
+         |hr$k AS (
+         | SELECT e.src AS node, sum(a.a) AS m
+         | FROM pairs e JOIN an$k a ON a.node = e.dst GROUP BY e.src),
+         |h$k AS (
+         | SELECT node, round(m / (SELECT max(m) FROM hr$k), 6) AS h
+         | FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       | SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       | FROM lineitem),
+       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM pairs),
+       |$iterCtes
+       |SELECT node, 'hub' AS kind, h AS score FROM h$iters
+       |UNION ALL SELECT node, 'auth' AS kind, a AS score FROM an$iters
+       |ORDER BY kind, node""".stripMargin
   }
 
   /** Squared L2 distance between a vector expression and a centroid

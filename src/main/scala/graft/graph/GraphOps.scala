@@ -435,6 +435,57 @@ object GraphOps {
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge set, MAX-normalized: per round
+    *   auth(j) = Σ_{i→j} hub(i);  auth ← round6(auth / max_j auth)
+    *   hub(i)  = Σ_{i→j} auth(j); hub  ← round6(hub / max_i hub)
+    * Max normalization (not the textbook L2) keeps the normalizer
+    * reduction-ORDER-FREE — a float sum over all nodes would depend on
+    * partition order, while the max of per-node sums is invariant up
+    * to the per-node ulps the 6-dp re-pin absorbs (the q73 pagerank
+    * rounding convention, so the whole fixpoint unrolls into the SQL
+    * oracle's chained CTEs). Returns `(node, kind, score)` with kind ∈
+    * {hub, auth}: hubs are the nodes with out-edges, authorities the
+    * nodes with in-edges (every such node gets a score — sums over a
+    * total bipartite-style edge frame produce no nulls).
+    *
+    * Scale shape: the edge set is checkpointed hash-partitioned once;
+    * each round shuffles only the node-sized score frame to meet it
+    * (max is a 1-row broadcast), and superseded rounds free their
+    * checkpoint blocks ([[free]]) like every fixpoint here. */
+  def hits(edges: DataFrame, iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val round6 = (c: Column) =>
+      graft.functions.MysqlFunctions.oracleRound(c, 6)
+    val e0 = edges.toDF("src", "dst")
+    val e = checkpointed(
+      (if (assumeDistinct) e0 else e0.distinct()).repartition(col("src")))
+    var hub = checkpointed(
+      e.select(col("src").as("node")).distinct().withColumn("h", lit(1.0)))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val araw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("m"))
+      val amax = araw.agg(max(col("m")).as("mx"))
+      val nextAuth = checkpointed(araw.crossJoin(broadcast(amax))
+        .select(col("anode").as("node"),
+          round6(col("m") / col("mx")).as("a")))
+      if (auth != null) free(auth)
+      auth = nextAuth
+      val hraw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("hnode")).agg(sum(col("a")).as("m"))
+      val hmax = hraw.agg(max(col("m")).as("mx"))
+      val nextHub = checkpointed(hraw.crossJoin(broadcast(hmax))
+        .select(col("hnode").as("node"),
+          round6(col("m") / col("mx")).as("h")))
+      free(hub)
+      hub = nextHub
+    }
+    hub.select(col("node"), lit("hub").as("kind"), col("h").as("score"))
+      .unionAll(auth.select(col("node"), lit("auth").as("kind"),
+        col("a").as("score")))
+  }
 }
 
 class CycleException(msg: String) extends RuntimeException(msg)

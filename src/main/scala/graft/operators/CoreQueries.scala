@@ -5939,4 +5939,63 @@ object CoreQueries {
         col("hamilton"), col("dhondt"))
       .orderBy("source")
   }
+
+  // q410: HITS hubs/authorities over the DIRECTED part→supplier graph
+  // (distinct lineitem pairs, the q73 node encoding: part = 2k,
+  // supplier = 2k+1) — the other classic link-analysis fixpoint beside
+  // PageRank: a part is a good hub when it is supplied by good
+  // authorities, a supplier a good authority when good hub parts use
+  // it. Four max-normalized 6-dp-pinned rounds (GraphOps.hits carries
+  // the rounding + scale contract); the oracle unrolls them as chained
+  // CTEs exactly like the pagerank iteration chain.
+  def hitsPartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    GraphOps.hits(pairs, iters = 4, assumeDistinct = true)
+      .orderBy("kind", "node")
+  }
+
+  // q412: Wald's SPRT on the daily purchase rate — the SEQUENTIAL
+  // hypothesis test beside the fixed-horizon panel (q251–q257) and the
+  // anytime empirical-Bernstein stopping audit (q374): H0 p = 0.18 vs
+  // H1 p = 0.22, α = β = 0.05. The log-likelihood-ratio increments are
+  // ×1e6 INTEGER literals computed ONCE here and interpolated into the
+  // oracle SQL verbatim (so no engine evaluates a log at query time —
+  // stronger than the q362 fixed-point-log convention, which still
+  // raced two ln implementations to the same 6 dp). Per day the exact
+  // (k, n) counts scale the two literals; the cumulative LLR is an
+  // exact BIGINT window sum; the verdict compares against
+  // ln((1−β)/α) = ln 19 in the same micro units, and `stopped` marks
+  // whether any prefix day already crossed (window max). One corpus
+  // pass (the keyed daily aggregate); the walk is a days-sized window.
+  def sprtAudit(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+      .coalesce(1) // days-sized frame; single-partition walk window
+      .withColumn("llr_micro",
+        sum(col("k") * SprtLaMicro + (col("n") - col("k")) * SprtLbMicro)
+          .over(W))
+      .withColumn("verdict",
+        when(col("llr_micro") >= SprtAMicro, "accept_h1")
+          .when(col("llr_micro") <= -SprtAMicro, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("stopped",
+        max(when(col("verdict") =!= "continue", 1).otherwise(0)).over(W)
+          === 1)
+      .select(col("day"), col("n"), col("k"), col("llr_micro"),
+        col("verdict"), col("stopped"))
+      .orderBy("day")
+  }
+  // SPRT literals, shared with the oracle string: per-success term
+  // ln(p1/p0), per-failure term ln((1−p1)/(1−p0)), decision bound
+  // ln((1−β)/α), each rounded to 1e-6 micro units.
+  val SprtLaMicro: Long = math.round(math.log(0.22 / 0.18) * 1e6)
+  val SprtLbMicro: Long = math.round(math.log(0.78 / 0.82) * 1e6)
+  val SprtAMicro: Long = math.round(math.log(0.95 / 0.05) * 1e6)
 }

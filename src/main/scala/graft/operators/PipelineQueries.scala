@@ -2076,6 +2076,17 @@ object PipelineQueries {
         Seq(cosineTopK(s, dir), annTopK(s, dir), ivfTopK(s, dir)), k = 5)
       .orderBy("query_id", "rnk")
 
+  // q411: Borda-count fusion of the SAME three legs as q125 — the
+  // integer-point rank merge (k − rnk + 1 points per leg, absent = 0):
+  // zero float arithmetic in the fusion, so the fused score is an
+  // exact BIGINT. Rides the same per-(session, dir) leg memos; the
+  // fusion itself joins three 40-row broadcast frames.
+  def bordaFusion(s: SparkSession, dir: String): DataFrame =
+    Similarity.bordaFuse(
+        Seq(cosineTopK(s, dir), annTopK(s, dir), ivfTopK(s, dir)),
+        k = 5, take = 3)
+      .orderBy("query_id", "rnk")
+
   // diversity-capped sampling: at most 20 vectors per coarse cell by
   // md5 rank — cluster-balanced subsampling over the shared coarse fit
   def clusterCap(s: SparkSession, dir: String): DataFrame = {
@@ -5547,5 +5558,53 @@ object PipelineQueries {
         M.oracleRound(abs(col("matches").cast("double") / 64.0 -
           col("jaccard")), 4).as("abs_err"))
       .orderBy("id_a", "id_b")
+  }
+
+  // q413: Huffman CODE DESIGN over the corpus letter distribution —
+  // the entropy-coding counterpart of the compressibility family
+  // (q249 trigram ratio, q230 Bloom design, q346 bin design): exact
+  // per-letter frequencies in ONE map-only corpus pass (26
+  // `length − length(replace(...))` aggregates — no explode, no
+  // shuffle beyond the single partial-agg), then the 25 Huffman
+  // merges run on the collected 26-row frame (the q405/q408
+  // bounded-driver-work convention). Merge tie-break is (freq, id)
+  // with node ids 0–25 = letters, 26.. = merge order, so the tree is
+  // fully deterministic and the oracle unrolls the same 25 merges as
+  // chained CTEs (a pick/nodes/membership triple per merge — depth of
+  // a leaf = how many times its cluster was merged = its code
+  // length). Kraft-exactness and optimality vs an independent
+  // priority-queue build are spec-pinned (Wave45Spec).
+  def huffmanLengths(s: SparkSession, dir: String): DataFrame = {
+    val letters = ('a' to 'z').toVector
+    val aggs = letters.map(ch =>
+      sum(length(col("text")) -
+        length(expr(s"replace(text, '$ch', '')"))).cast("long")
+        .as(ch.toString))
+    val row = Tables.documents(s, dir).agg(aggs.head, aggs.tail: _*)
+      .collect()(0)
+    val freqs = letters.indices
+      .map(i => (i.toLong, letters(i).toString, row.getLong(i)))
+    // 25 deterministic merges over (freq, id)-ordered live nodes
+    var nodes = freqs.map { case (id, _, f) => (id, f) }.toVector
+    val cluster = scala.collection.mutable.Map(
+      freqs.map { case (id, _, _) => id -> id }: _*)
+    val depth = scala.collection.mutable.Map(
+      freqs.map { case (id, _, _) => id -> 0 }: _*)
+    var nextId = letters.length.toLong
+    while (nodes.length > 1) {
+      val sorted = nodes.sortBy { case (id, f) => (f, id) }
+      val Vector((x, fx), (y, fy)) = sorted.take(2)
+      for (sym <- depth.keys)
+        if (cluster(sym) == x || cluster(sym) == y) {
+          depth(sym) += 1; cluster(sym) = nextId
+        }
+      nodes = sorted.drop(2) :+ ((nextId, fx + fy))
+      nextId += 1
+    }
+    val out = freqs.map { case (id, sym, f) => (sym, f, depth(id)) }
+    import s.implicits._
+    out.toDF("symbol", "freq", "code_len")
+      .select(col("symbol"), col("freq"), col("code_len").cast("int"))
+      .orderBy("symbol")
   }
 }

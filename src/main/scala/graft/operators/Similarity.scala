@@ -1047,6 +1047,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rnk")
   }
 
+  /** Borda-count fusion of top-k rankings: each leg awards a candidate
+    * `k − rank + 1` points (top hit k, last kept 1, absent 0) and the
+    * fused score is the point SUM — rank-only like [[rrfFuse]] but with
+    * a linear integer schedule, so the fusion is an exact BIGINT with
+    * no float rounding anywhere. Same `(query_id, neighbor_id, rnk)`
+    * leg shape and broadcast contract as rrfFuse (legs are k·|queries|
+    * frames, so the whole left-join chain is broadcast hash joins).
+    * Returns the top `take` per query by (score desc, neighbor_id). */
+  def bordaFuse(legs: Seq[DataFrame], k: Int, take: Int): DataFrame = {
+    require(legs.nonEmpty, "need at least one ranking")
+    val keyed = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("neighbor_id"), col("rnk").as(s"__r$i"))
+    }
+    val u = keyed.map(_.select("query_id", "neighbor_id"))
+      .reduce(_ unionAll _).distinct()
+    val joined = keyed.foldLeft(u)((acc, l) =>
+      acc.join(broadcast(l), Seq("query_id", "neighbor_id"), "left"))
+    val score = keyed.indices.map(i =>
+      coalesce(lit(k + 1) - col(s"__r$i"), lit(0)).cast("long"))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    joined.withColumn("score", score)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= take)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
     val v = col(vecCol)
