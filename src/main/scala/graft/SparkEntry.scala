@@ -444,6 +444,7 @@ object SparkEntry {
     "q411_borda_fusion" -> (P.bordaFusion _),
     "q412_sprt_audit" -> (C.sprtAudit _),
     "q413_huffman_lengths" -> (P.huffmanLengths _),
+    "q414_zip_shards" -> (P.zipShards _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10303,6 +10304,28 @@ object SparkEntry {
     // q413: the 25 deterministic Huffman merges as chained CTEs over
     // the exact letter-frequency frame (generator below)
     "q413_huffman_lengths" -> huffmanOracle(26),
+    // q414: the q157 closed forms through the PKZIP container —
+    // zip_len = Σ(30+|name|+size) + Σ(46+|name|) + 22; crc_ok is the
+    // walker's recomputed-CRC fact, pinned true (the q52 convention)
+    "q414_zip_shards" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  doc_id || '.txt' AS name,
+        |  CAST(strlen(text) AS BIGINT) AS sz, md5(text) AS payload_md5,
+        |  CAST(strlen(doc_id || '.txt') AS BIGINT) AS nl
+        | FROM documents),
+        |o AS (
+        | SELECT shard, doc_id, name, sz, nl, payload_md5,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |   AS INTEGER) AS idx
+        | FROM m),
+        |s AS (
+        | SELECT shard, CAST(count(*) AS INTEGER) AS n_entries,
+        |  CAST(sum(30 + nl + sz) + sum(46 + nl) + 22 AS BIGINT) AS zip_len
+        | FROM o GROUP BY shard)
+        |SELECT o.shard, s.n_entries, s.zip_len, o.idx, o.name,
+        | o.sz AS size, true AS crc_ok, o.payload_md5
+        |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
   )
 
   private val q45OracleSql: String =

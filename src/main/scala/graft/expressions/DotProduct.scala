@@ -97,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tarBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarGzBytesDescriptor)
     ext.injectFunction(GraftExtensions.tarEntriesDescriptor)
+    ext.injectFunction(GraftExtensions.zipBytesDescriptor)
+    ext.injectFunction(GraftExtensions.zipEntriesDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.isNfcDescriptor)
@@ -550,6 +552,29 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_tar_entries takes exactly 1 argument, got ${children.length}")
         TarEntries(children.head)
+      })
+
+  /** `graft_zip_bytes(array<struct<doc_id, text>>)` — STORED-method
+    * PKZIP archive with a central directory (see [[ZipBytes]]). */
+  val zipBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_zip_bytes"),
+      new ExpressionInfo(classOf[ZipBytes].getName, "graft_zip_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_zip_bytes takes exactly 1 argument, got ${children.length}")
+        ZipBytes(children.head)
+      })
+
+  /** `graft_zip_entries(binary)` — central-directory walk with local-
+    * header cross-validation and per-member CRC-32 verification (see
+    * [[ZipEntries]]). */
+  val zipEntriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_zip_entries"),
+      new ExpressionInfo(classOf[ZipEntries].getName, "graft_zip_entries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_zip_entries takes exactly 1 argument, got ${children.length}")
+        ZipEntries(children.head)
       })
 
   /** `graft_cdc_chunks(text, window, mask)` — content-defined chunk

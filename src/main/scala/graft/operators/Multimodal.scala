@@ -581,6 +581,23 @@ object Multimodal {
   def tarEntries(tar: Column): Column =
     call_function("graft_tar_entries", tar)
 
+  /** STORED-method PKZIP archive of one member per doc — the
+    * random-access container beside the sequential tar shards (central
+    * directory at the tail → two ranged reads fetch one member).
+    * `members` is the shard's ordered `array<struct<doc_id, text>>`.
+    * Native [[graft.expressions.ZipBytes]]; `java.util.zip` reads the
+    * output (spec-driven). */
+  def zipBytes(members: Column): Column =
+    call_function("graft_zip_bytes", members)
+
+  /** PKZIP central-directory walk: `struct(n_entries, zip_len, entries
+    * array<struct<idx, name, size, crc_ok, payload_md5>>)` — local
+    * headers cross-validated against the CD, payload CRC-32 recomputed
+    * (`crc_ok`), NULL for structural non-conformance. Native
+    * [[graft.expressions.ZipEntries]]. */
+  def zipEntries(zip: Column): Column =
+    call_function("graft_zip_entries", zip)
+
   /** Demux+decode of the two-stream interleaved AVI: adds `out` =
     * struct(width, height, n_frames, fps, sample_rate, frames
     * array<struct(frame, mean_b, mean_g, mean_r, n_samples, rms,

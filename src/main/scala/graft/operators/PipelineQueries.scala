@@ -1580,6 +1580,34 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  // q414: the q157 shard round trip through the RANDOM-ACCESS
+  // container — STORED-method PKZIP with a central directory (two
+  // ranged reads fetch one member from an object store, vs the tar's
+  // sequential walk). Same 50-doc sharding; the walker cross-validates
+  // every local header against the CD copy and recomputes member
+  // CRC-32s, so crc_ok is an engine-verified fact the oracle pins
+  // true, and zip_len has the closed form
+  // Σ(30 + |name| + size) + Σ(46 + |name|) + 22.
+  def zipShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(s, dir)
+      .select((col("doc_id") / 50).cast("long").as("shard"),
+        struct(col("doc_id"), col("text")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .select(col("shard"), Multimodal.zipBytes(col("members")).as("__zip"))
+    shards
+      .select(col("shard"), Multimodal.zipEntries(col("__zip")).as("__z"))
+      .select(col("shard"),
+        col("__z.n_entries").as("n_entries"),
+        col("__z.zip_len").as("zip_len"),
+        explode(col("__z.entries")).as("__e"))
+      .select(col("shard"), col("n_entries"), col("zip_len"),
+        col("__e.idx").as("idx"), col("__e.name").as("name"),
+        col("__e.size").as("size"), col("__e.crc_ok").as("crc_ok"),
+        col("__e.payload_md5").as("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   /** q384's shard-file stage, written once per (session, sf dir):
     * the q157 shard bytes land as REAL `.tar` files on disk (written
     * from executors — the driver never holds a payload), so the
