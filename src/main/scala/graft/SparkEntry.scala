@@ -445,6 +445,8 @@ object SparkEntry {
     "q412_sprt_audit" -> (C.sprtAudit _),
     "q413_huffman_lengths" -> (P.huffmanLengths _),
     "q414_zip_shards" -> (P.zipShards _),
+    "q415_markov_eval" -> (C.markovEval _),
+    "q416_simpsons_flip" -> (C.simpsonsFlip _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10326,6 +10328,70 @@ object SparkEntry {
         |SELECT o.shard, s.n_entries, s.zip_len, o.idx, o.name,
         | o.sz AS size, true AS crc_ok, o.payload_md5
         |FROM o JOIN s USING (shard) ORDER BY shard, idx""".stripMargin,
+    // q415: argmax-transition model fit on the pre-Jan-21 prefix
+    // (tie-break alphabetical), top-1 accuracy on the held-out tail
+    "q415_markov_eval" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev,
+        |  CAST(ts AS DATE) AS day
+        | FROM events),
+        |tr AS (
+        | SELECT prev, event_type AS next, count(*) AS n
+        | FROM t WHERE prev IS NOT NULL AND day < DATE '2024-01-21'
+        | GROUP BY 1, 2),
+        |pred AS (
+        | SELECT prev, next AS predicted_next FROM (
+        |  SELECT prev, next,
+        |   row_number() OVER (PARTITION BY prev ORDER BY n DESC, next)
+        |    AS r
+        |  FROM tr) x WHERE r = 1),
+        |te AS (
+        | SELECT prev, event_type FROM t
+        | WHERE prev IS NOT NULL AND day >= DATE '2024-01-21')
+        |SELECT te.prev AS prev_type, max(p.predicted_next) AS predicted_next,
+        | CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN te.event_type = p.predicted_next
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | round(sum(CASE WHEN te.event_type = p.predicted_next
+        |   THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS acc
+        |FROM te LEFT JOIN pred p ON p.prev = te.prev
+        |GROUP BY te.prev ORDER BY prev_type""".stripMargin,
+    // q416: covariance-numerator signs at dollar grain, per nation vs
+    // pooled — all BIGINT-exact, so the flip flags are hash-exact
+    "q416_simpsons_flip" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |b AS (
+        | SELECT n.n_name, CAST(floor(c.c_acctbal) AS BIGINT) AS x,
+        |  coalesce(s.y, 0) AS y
+        | FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        | LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+        |pn AS (
+        | SELECT 'nation:' || n_name AS scope,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CASE WHEN count(*) * sum(x*y) - sum(x) * sum(y) > 0 THEN 1
+        |   WHEN count(*) * sum(x*y) - sum(x) * sum(y) < 0 THEN -1
+        |   ELSE 0 END AS cov_sign
+        | FROM b GROUP BY n_name),
+        |pl AS (
+        | SELECT 'pooled' AS scope, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CASE WHEN count(*) * sum(x*y) - sum(x) * sum(y) > 0 THEN 1
+        |   WHEN count(*) * sum(x*y) - sum(x) * sum(y) < 0 THEN -1
+        |   ELSE 0 END AS cov_sign
+        | FROM b)
+        |SELECT pn.scope, pn.n_customers, CAST(pn.cov_sign AS INTEGER)
+        |  AS cov_sign,
+        | pn.cov_sign <> 0 AND pl.cov_sign <> 0
+        |  AND pn.cov_sign <> pl.cov_sign AS flipped
+        |FROM pn, pl
+        |UNION ALL
+        |SELECT scope, n_customers, CAST(cov_sign AS INTEGER), false
+        |FROM pl
+        |ORDER BY scope""".stripMargin,
   )
 
   private val q45OracleSql: String =

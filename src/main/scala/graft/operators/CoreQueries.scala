@@ -5998,4 +5998,89 @@ object CoreQueries {
   val SprtLaMicro: Long = math.round(math.log(0.22 / 0.18) * 1e6)
   val SprtLbMicro: Long = math.round(math.log(0.78 / 0.82) * 1e6)
   val SprtAMicro: Long = math.round(math.log(0.95 / 0.05) * 1e6)
+
+  // q415: NEXT-EVENT MODEL EVAL under a temporal split — the q122
+  // transition matrix promoted to a trained/evaluated sequence model:
+  // fit argmax P(next | prev) on transitions landing before Jan 21
+  // (tie-break alphabetical on next), predict the held-out tail, score
+  // top-1 accuracy per source state. A transition belongs to the split
+  // of its LATER event's day, so train never sees a test target. One
+  // lag window over (user, ts, event_id) — the q122 shape — then two
+  // keyed aggregates; the model itself is a states-sized frame.
+  def markovEval(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(W))
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("prev").isNotNull)
+    val train = ev.filter(col("day") < lit("2024-01-21").cast("date"))
+    val test = ev.filter(col("day") >= lit("2024-01-21").cast("date"))
+    val Wp = Window.partitionBy("prev")
+      .orderBy(col("n").desc, col("next"))
+    val pred = train.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(Wp))
+      .filter(col("r") === 1)
+      .select(col("prev"), col("next").as("predicted_next"))
+    test.join(broadcast(pred), Seq("prev"), "left")
+      .groupBy(col("prev").as("prev_type"))
+      .agg(max(col("predicted_next")).as("predicted_next"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("event_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc", M.oracleRound(
+        col("n_correct").cast("double") / col("n_test").cast("double"), 4))
+      .orderBy("prev_type")
+  }
+
+  // q416: SIMPSON'S-PARADOX audit — does the sign of the
+  // acctbal↔spend association reverse between the pooled population
+  // and the per-nation strata? The association metric is the
+  // covariance NUMERATOR n·Σxy − Σx·Σy at dollar grain (x =
+  // floor(acctbal), y = Σ floor(o_totalprice) per customer) — all
+  // BIGINT-exact (bounds at sf0.1: Σxy ≈ 9e12 per nation, n·Σxy ≈
+  // 1.4e17 pooled, under 2^63), so the sign is hash-exact with no
+  // float anywhere. One broadcast join + two keyed aggregates; output
+  // is nations + 1 rows. flipped marks strata whose nonzero sign
+  // opposes a nonzero pooled sign — the aggregation-bias alarm a
+  // mixture-weighted corpus metric needs before trusting pooled
+  // trends.
+  def simpsonsFlip(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+    val base = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("n_name"),
+        floor(col("c_acctbal")).cast("long").as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    def covSign(grouped: DataFrame): DataFrame = grouped
+      .withColumn("cov_num",
+        col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("cov_sign",
+        when(col("cov_num") > 0, 1).when(col("cov_num") < 0, -1)
+          .otherwise(0).cast("int"))
+    val perNation = covSign(base.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy")))
+      .select(concat(lit("nation:"), col("n_name")).as("scope"),
+        col("n").as("n_customers"), col("cov_sign"))
+    val pooled = covSign(base
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy")))
+      .select(lit("pooled").as("scope"), col("n").as("n_customers"),
+        col("cov_sign"))
+    val pooledSign = pooled.select(col("cov_sign").as("__ps"))
+    perNation.crossJoin(broadcast(pooledSign))
+      .withColumn("flipped",
+        col("cov_sign") =!= 0 && col("__ps") =!= 0 &&
+          col("cov_sign") =!= col("__ps"))
+      .select(col("scope"), col("n_customers"), col("cov_sign"),
+        col("flipped"))
+      .unionAll(pooled.withColumn("flipped", lit(false)))
+      .orderBy("scope")
+  }
 }
