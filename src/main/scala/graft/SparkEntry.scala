@@ -447,6 +447,7 @@ object SparkEntry {
     "q414_zip_shards" -> (P.zipShards _),
     "q415_markov_eval" -> (C.markovEval _),
     "q416_simpsons_flip" -> (C.simpsonsFlip _),
+    "q417_ktruss" -> (C.ktrussQuery _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10392,6 +10393,8 @@ object SparkEntry {
         |SELECT scope, n_customers, CAST(cov_sign AS INTEGER), false
         |FROM pl
         |ORDER BY scope""".stripMargin,
+    // q417: the three 4-truss peels unrolled (generator below)
+    "q417_ktruss" -> ktrussOracle(k = 4, iters = 3),
   )
 
   private val q45OracleSql: String =
@@ -10579,6 +10582,52 @@ object SparkEntry {
        |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
        |$iterCtes
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
+
+  /** q417's oracle: the k-truss peels unrolled — a (triangles,
+    * support, surviving-edges) CTE triple per round over the canonical
+    * q92 co-occurrence edges, plus a final support pass LEFT-joined so
+    * zero-support survivors report 0 (the engine's coalesce). All
+    * CTEs MATERIALIZED: each round references its predecessor several
+    * times and DuckDB would otherwise inline the chain exponentially
+    * (the q413 lesson). */
+  private def ktrussOracle(k: Int, iters: Int): String = {
+    def round(r: Int, src: String): String =
+      s"""tri$r AS MATERIALIZED (
+         | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         | FROM $src e1 JOIN $src e2 ON e2.a = e1.b
+         | JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (
+         | SELECT a, b, count(*) AS sup FROM (
+         |  SELECT x AS a, y AS b FROM tri$r
+         |  UNION ALL SELECT x, z FROM tri$r
+         |  UNION ALL SELECT y, z FROM tri$r) t GROUP BY a, b),
+         |e$r AS MATERIALIZED (
+         | SELECT e.a, e.b FROM $src e JOIN sup$r s
+         |  ON s.a = e.a AND s.b = e.b
+         | WHERE s.sup >= ${k - 2})""".stripMargin
+    val blocks = (1 to iters)
+      .map(r => round(r, if (r == 1) "e0" else s"e${r - 1}"))
+      .mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |      WHERE l_orderkey % 10 = 0),
+       |e0 AS MATERIALIZED (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM pp x JOIN pp y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$blocks,
+       |trif AS MATERIALIZED (
+       | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       | FROM e$iters e1 JOIN e$iters e2 ON e2.a = e1.b
+       | JOIN e$iters e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |supf AS MATERIALIZED (
+       | SELECT a, b, count(*) AS sup FROM (
+       |  SELECT x AS a, y AS b FROM trif
+       |  UNION ALL SELECT x, z FROM trif
+       |  UNION ALL SELECT y, z FROM trif) t GROUP BY a, b)
+       |SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+       |FROM e$iters e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b
+       |ORDER BY e.a, e.b""".stripMargin
   }
 
   /** q413's oracle: the 25 deterministic Huffman merges unrolled — a

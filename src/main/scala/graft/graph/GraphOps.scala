@@ -370,6 +370,16 @@ object GraphOps {
     val canon = checkpointed(
       e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct())
+    triangleTriples(canon)
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** All triangles of a CANONICAL (a < b, distinct) undirected edge
+    * set, each exactly once, as `(u, v1, v2)` triples — the
+    * degree-ordered wedge enumeration [[triangleCounts]] documents
+    * (u is the triangle's lowest-(deg, id) corner; v1 < v2). */
+  private def triangleTriples(canon: DataFrame): DataFrame = {
     val und = canon.union(canon.select(col("b"), col("a")))
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
@@ -384,10 +394,50 @@ object GraphOps {
       .filter(col("v1") < col("v2"))
     // v1 < v2 already, so (v1, v2) IS the canonical form — plain
     // equi-join keys, no least/greatest re-derivation
-    val tris = wedges.join(canon,
+    wedges.join(canon,
       col("v1") === col("a") && col("v2") === col("b"), "left_semi")
-    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-TRUSS peel (Cohen 2008): repeatedly drop edges supported by
+    * fewer than k−2 triangles — the EDGE-grain densification beside
+    * the node-grain [[kCorePeel]] (every k-truss edge is in a
+    * (k−1)-core, but not vice versa; trusses isolate the
+    * triangle-reinforced community scaffold web-graph curation keeps).
+    * A fixed `iters` is the engine's fixpoint convention (q73/q93):
+    * the result is "the graph after N peels" — deterministic and
+    * all-integer, so the peel unrolls into chained oracle CTEs;
+    * convergence is spec-checked. Returns the surviving canonical
+    * edges with their POST-peel support (coalesced 0 — a reported
+    * support below k−2 means exactly "one more peel would drop it").
+    *
+    * Scale shape per round: one degree-ordered triangle enumeration
+    * (out-wedge fanout bounded by O(√|E|)) + an explode-to-3 edge
+    * credit + one keyed count — all hash-partitioned on the edge key;
+    * rounds are checkpointed and superseded frames freed. */
+  def kTrussPeel(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e0 = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    var canon = checkpointed(
+      e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    def support(c: DataFrame): DataFrame =
+      triangleTriples(c)
+        .select(explode(array(
+          struct(col("u").as("x"), col("v1").as("y")),
+          struct(col("u").as("x"), col("v2").as("y")),
+          struct(col("v1").as("x"), col("v2").as("y")))).as("e"))
+        .select(least(col("e.x"), col("e.y")).as("a"),
+          greatest(col("e.x"), col("e.y")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    for (_ <- 0 until iters) {
+      val prev = canon
+      canon = checkpointed(
+        canon.join(support(canon).filter(col("sup") >= k - 2),
+          Seq("a", "b"), "left_semi"))
+      free(prev)
+    }
+    canon.join(support(canon), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
   }
 
   /** Topological reorder (O4, `concept_csv_export.py:499-530`): order

@@ -6034,6 +6034,26 @@ object CoreQueries {
       .orderBy("prev_type")
   }
 
+  // q417: 4-truss peel over the q92 co-occurrence graph — the
+  // edge-grain community scaffold beside q124's node-grain k-core:
+  // three fixed peels dropping edges with fewer than 2 supporting
+  // triangles (GraphOps.kTrussPeel carries the fixpoint + scale
+  // contract), surviving edges reported with their post-peel support.
+  // All-integer, so the oracle unrolls the peels as chained CTEs with
+  // the common-neighbor support formulation (equal by definition to
+  // the engine's per-triangle edge credit).
+  def ktrussQuery(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    GraphOps.kTrussPeel(co, k = 4, iters = 3).orderBy("a", "b")
+  }
+
   // q416: SIMPSON'S-PARADOX audit — does the sign of the
   // acctbal↔spend association reverse between the pooled population
   // and the per-nation strata? The association metric is the

@@ -42,6 +42,38 @@ class Wave46Spec extends AnyFunSuite {
     }
   }
 
+  test("q417: k-truss equals a driver-side peel and has converged") {
+    val pp = graft.sources.Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = pp.groupBy(_._1).values.flatMap { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = (es.toSeq ++ es.toSeq.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      es.toSeq.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size
+      }.toMap
+    }
+    for (_ <- 0 until 3)
+      edges = support(edges).filter(_._2 >= 2).keySet
+    // fixed-iteration convention: verify the peel actually CONVERGED
+    // at this scale, so "after 3 peels" is the true 4-truss
+    assert(support(edges).filter(_._2 >= 2).keySet == edges)
+    val expSup = support(edges)
+    val got = graft.operators.CoreQueries.ktrussQuery(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.map(_._1).toSet == edges)
+    got.foreach { case (e, sup) =>
+      assert(sup == expSup(e), s"support of $e")
+      assert(sup >= 2)
+    }
+  }
+
   test("q416: covariance signs equal an exact BigInt replication") {
     val spend = graft.sources.Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
