@@ -733,6 +733,77 @@ object EventStreams {
   final case class CusumPoint(day: java.sql.Date, x: Long, s_scaled: Long,
       cusum: Double, alarm: Boolean)
 
+  final case class HoltState(pending: Map[Long, Long], rn: Long,
+      x1: Long, l: Long, b: Long, pow: Long)
+  final case class HoltPoint(day: java.sql.Date, x: Long, level: Double,
+      trend: Double, forecast_next: Double)
+
+  /** Streaming twin of the q408 Holt linear smoother: the coupled
+    * level/trend recursion maintained ONLINE over finalized daily
+    * counts, exactly the batch arithmetic — integer numerators over
+    * 4^t (L_t = 2·4^(t−1)·x + 2L' + 2B', B_t = (L_t − 4L')/2 + 2B'),
+    * init level = day 1, trend = day 2 − day 1, emitting the next
+    * `steps` days with 4-dp half-away-from-zero rounding. Like
+    * [[cusumStream]] the recursion is ORDER-SENSITIVE, so the same
+    * day-finalization state machine applies: buffer per-day counts,
+    * replay a day only when the watermark passes its end, in day
+    * order; within-watermark disorder is invisible and the stream
+    * output equals the batch rows (HoltStreamSpec, in-order AND
+    * shuffled). State: the pending map plus four longs; the global
+    * single-key contract and its scale note are [[cusumStream]]'s. */
+  def holtStream(events: Dataset[TypedEvent], steps: Int = 16,
+      watermarkDelay: String = "0 seconds"): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, it: Iterator[TypedEvent], state: GroupState[HoltState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption
+            .getOrElse(HoltState(Map.empty, 0L, 0L, 0L, 0L, 1L))
+          var pending = st0.pending
+          it.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+          }
+          val (ready, rest) =
+            pending.partition { case (d, _) => d + dayMs <= wm }
+          var rn = st0.rn; var x1 = st0.x1
+          var l = st0.l; var b = st0.b; var pow = st0.pow
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+          ready.toSeq.sortBy(_._1).foreach { case (d, x) =>
+            rn += 1
+            if (rn == 1) x1 = x
+            else if (rn == 2) { l = x1; b = x - x1 }
+            else if (rn <= 2L + steps) {
+              val lPrev = l
+              pow *= 4
+              l = 2 * (pow / 4) * x + 2 * lPrev + 2 * b
+              b = (l - 4 * lPrev) / 2 + 2 * b
+              def r4(num: Long): Double = {
+                val v = num.toDouble / pow
+                if (v < 0) -math.floor(-v * 1e4 + 0.5) / 1e4
+                else math.floor(v * 1e4 + 0.5) / 1e4
+              }
+              out += HoltPoint(new java.sql.Date(d), x, r4(l), r4(b),
+                r4(l + b))
+            }
+          }
+          if (rest.isEmpty && rn == 0L) state.remove()
+          else {
+            state.update(HoltState(rest, rn, x1, l, b, pow))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.keys.min + dayMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the q399 exact CUSUM: the one-sided drift
     * detector S_k = max(0, S_{k-1} + z_k) maintained ONLINE over
     * finalized daily counts. Unlike the commutative twins (counts,
