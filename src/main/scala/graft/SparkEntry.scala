@@ -448,6 +448,9 @@ object SparkEntry {
     "q415_markov_eval" -> (C.markovEval _),
     "q416_simpsons_flip" -> (C.simpsonsFlip _),
     "q417_ktruss" -> (C.ktrussQuery _),
+    "q418_ppr" -> (C.pprQuery _),
+    "q419_chow_break" -> (C.chowBreak _),
+    "q420_g2_collocations" -> (P.bigramG2Top _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10395,6 +10398,100 @@ object SparkEntry {
         |ORDER BY scope""".stripMargin,
     // q417: the three 4-truss peels unrolled (generator below)
     "q417_ktruss" -> ktrussOracle(k = 4, iters = 3),
+    // q418: the personalized-PageRank rounds unrolled (generator below)
+    "q418_ppr" -> pprOracle(iters = 3),
+    // q419: Chow break — conditional exact sums, closed-form SSEs,
+    // F in doubles of exact integers, 4-dp pins; flag vs literal 5.0
+    "q419_chow_break" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (
+        | SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, y,
+        |  CAST(count(*) OVER () AS BIGINT) AS ntot
+        | FROM d),
+        |a AS (
+        | SELECT
+        |  CAST(count(*) AS BIGINT) AS np,
+        |  CAST(sum(rn) AS BIGINT) AS sxp, CAST(sum(y) AS BIGINT) AS syp,
+        |  CAST(sum(rn*y) AS BIGINT) AS sxyp,
+        |  CAST(sum(rn*rn) AS BIGINT) AS sxxp,
+        |  CAST(sum(y*y) AS BIGINT) AS syyp,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN rn ELSE 0 END) AS BIGINT) AS sx1,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN rn*y ELSE 0 END) AS BIGINT) AS sxy1,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN rn*rn ELSE 0 END) AS BIGINT) AS sxx1,
+        |  CAST(sum(CASE WHEN rn <= ntot // 2 THEN y*y ELSE 0 END) AS BIGINT) AS syy1,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN rn ELSE 0 END) AS BIGINT) AS sx2,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN y ELSE 0 END) AS BIGINT) AS sy2,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN rn*y ELSE 0 END) AS BIGINT) AS sxy2,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN rn*rn ELSE 0 END) AS BIGINT) AS sxx2,
+        |  CAST(sum(CASE WHEN rn > ntot // 2 THEN y*y ELSE 0 END) AS BIGINT) AS syy2
+        | FROM r),
+        |f AS (
+        | SELECT np,
+        |  (CAST(np*sxxp - sxp*sxp AS DOUBLE) * CAST(np*syyp - syp*syp AS DOUBLE)
+        |    - CAST(np*sxyp - sxp*syp AS DOUBLE) * CAST(np*sxyp - sxp*syp AS DOUBLE))
+        |   / (CAST(np AS DOUBLE) * CAST(np*sxxp - sxp*sxp AS DOUBLE)) AS ssep,
+        |  (CAST(n1*sxx1 - sx1*sx1 AS DOUBLE) * CAST(n1*syy1 - sy1*sy1 AS DOUBLE)
+        |    - CAST(n1*sxy1 - sx1*sy1 AS DOUBLE) * CAST(n1*sxy1 - sx1*sy1 AS DOUBLE))
+        |   / (CAST(n1 AS DOUBLE) * CAST(n1*sxx1 - sx1*sx1 AS DOUBLE)) AS sse1,
+        |  (CAST(n2*sxx2 - sx2*sx2 AS DOUBLE) * CAST(n2*syy2 - sy2*sy2 AS DOUBLE)
+        |    - CAST(n2*sxy2 - sx2*sy2 AS DOUBLE) * CAST(n2*sxy2 - sx2*sy2 AS DOUBLE))
+        |   / (CAST(n2 AS DOUBLE) * CAST(n2*sxx2 - sx2*sx2 AS DOUBLE)) AS sse2
+        | FROM a)
+        |SELECT np AS n_days, np // 2 AS break_rn,
+        | round(ssep, 4) AS sse_pooled, round(sse1, 4) AS sse_left,
+        | round(sse2, 4) AS sse_right,
+        | round(((ssep - sse1 - sse2) / 2.0)
+        |   / ((sse1 + sse2) / CAST(np - 4 AS DOUBLE)), 4) AS f_stat,
+        | ((ssep - sse1 - sse2) / 2.0)
+        |   / ((sse1 + sse2) / CAST(np - 4 AS DOUBLE)) > 5.0 AS break_flag
+        |FROM f""".stripMargin,
+    // q420: Dunning G² over the exact bigram contingency counts —
+    // empty cells contribute 0, 4-dp pin, top-20 by (g2, w1, w2)
+    "q420_g2_collocations" ->
+      """WITH toks AS (
+        | SELECT CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |bg AS (
+        | SELECT a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM toks WHERE len(a) >= 2) x),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+        |fa AS (SELECT w1, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY 1),
+        |sb AS (SELECT w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+        |c AS (
+        | SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        | FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (
+        | SELECT c.w1, c.w2, c.c_ab,
+        |  round(2.0 * (
+        |   (CASE WHEN c.c_ab > 0 THEN CAST(c.c_ab AS DOUBLE)
+        |     * ln(CAST(c.c_ab AS DOUBLE)
+        |        / (CAST(fa.ca AS DOUBLE) * sb.cb / CAST(n.n AS DOUBLE)))
+        |    ELSE 0.0 END)
+        |   + (CASE WHEN fa.ca - c.c_ab > 0 THEN CAST(fa.ca - c.c_ab AS DOUBLE)
+        |     * ln(CAST(fa.ca - c.c_ab AS DOUBLE)
+        |        / (CAST(fa.ca AS DOUBLE) * (n.n - sb.cb) / CAST(n.n AS DOUBLE)))
+        |    ELSE 0.0 END)
+        |   + (CASE WHEN sb.cb - c.c_ab > 0 THEN CAST(sb.cb - c.c_ab AS DOUBLE)
+        |     * ln(CAST(sb.cb - c.c_ab AS DOUBLE)
+        |        / (CAST(n.n - fa.ca AS DOUBLE) * sb.cb / CAST(n.n AS DOUBLE)))
+        |    ELSE 0.0 END)
+        |   + (CASE WHEN n.n - fa.ca - sb.cb + c.c_ab > 0
+        |     THEN CAST(n.n - fa.ca - sb.cb + c.c_ab AS DOUBLE)
+        |     * ln(CAST(n.n - fa.ca - sb.cb + c.c_ab AS DOUBLE)
+        |        / (CAST(n.n - fa.ca AS DOUBLE) * (n.n - sb.cb) / CAST(n.n AS DOUBLE)))
+        |    ELSE 0.0 END)), 4) AS g2
+        | FROM c JOIN fa USING (w1) JOIN sb USING (w2), n)
+        |SELECT w1, w2, c_ab, g2,
+        | CAST(row_number() OVER (ORDER BY g2 DESC, w1, w2) AS INTEGER) AS rnk
+        |FROM sc ORDER BY g2 DESC, w1, w2 LIMIT 20""".stripMargin,
   )
 
   private val q45OracleSql: String =
@@ -10580,6 +10677,44 @@ object SparkEntry {
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
        |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
+       |$iterCtes
+       |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
+
+  /** q418's oracle: the personalized-PageRank rounds unrolled — the
+    * prIterCtes shape with the uniform teleport replaced by the
+    * seed-restart distribution (0.15/|seeds| on seeds, 0 elsewhere;
+    * the SAME decimal literal the engine uses — see
+    * GraphOps.personalizedPageRank's restart note). */
+  private def pprOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val j = k - 1
+      s"""c$k AS (
+         | SELECT e.dst AS node, sum(p.pr / o.od) AS m
+         | FROM e JOIN p$j p ON p.node = e.src JOIN od o ON o.src = e.src
+         | GROUP BY e.dst),
+         |p$k AS (
+         | SELECT nodes.node,
+         |  round(CASE WHEN sd.node IS NOT NULL THEN 0.15 / s.ns
+         |    ELSE 0.0 END + 0.85 * coalesce(c.m, 0.0), 6) AS pr
+         | FROM nodes LEFT JOIN c$k c USING (node)
+         |  LEFT JOIN seeds sd USING (node), s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       | FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |      UNION SELECT sp, p FROM pairs),
+       |nodes AS (SELECT DISTINCT node FROM
+       | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+       |seeds AS (SELECT DISTINCT p AS node FROM pairs WHERE p % 100 = 0),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS (
+       | SELECT nodes.node,
+       |  round(CASE WHEN sd.node IS NOT NULL THEN 1.0 / s.ns
+       |    ELSE 0.0 END, 6) AS pr
+       | FROM nodes LEFT JOIN seeds sd USING (node), s),
        |$iterCtes
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }

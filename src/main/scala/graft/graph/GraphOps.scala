@@ -306,6 +306,61 @@ object GraphOps {
     pr
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): like
+    * [[pageRank]] but all restart mass returns to a SEED set — the
+    * relevance-to-these-nodes ranking of seed-expansion curation
+    * (grow a trusted-domain set, find documents "near" a labeled
+    * cluster). Per round: pr(v) ← round6(teleport(v) + d·Σ incoming),
+    * with teleport(v) = `restart`/|seeds| on seeds and 0 elsewhere;
+    * init = the teleport distribution itself (pr₀ = 1/|seeds| on
+    * seeds). `restart` is taken as an explicit literal — NOT derived
+    * as 1−damping — so the oracle can use the same decimal literal
+    * (1−0.85 in binary doubles is not the double 0.15; the 6-dp
+    * re-pin would usually absorb that, but not at a rounding
+    * boundary). Same shuffle shape, checkpoint discipline, and
+    * rounding contract as [[pageRank]]; unlike it, mass NOT reachable
+    * from the seeds stays exactly 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85, restart: Double = 0.15,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val round6 = (c: Column) =>
+      graft.functions.MysqlFunctions.oracleRound(c, 6)
+    val e0 = edges.toDF("src", "dst")
+    val e = (if (assumeDistinct) e0 else e0.distinct()).cache()
+    val nodes = checkpointed(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val ew = checkpointed(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__od")), "src")
+        .repartition(col("src")))
+    e.unpersist()
+    val sd = seeds.toDF("node").distinct()
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val seeded = checkpointed(
+      nodes.join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed")))
+    var pr = checkpointed(seeded
+      .select(col("node"),
+        round6(when(col("__seed"), lit(1.0) / nS).otherwise(lit(0.0)))
+          .as("pr")))
+    for (_ <- 0 until iters) {
+      val contrib = ew.join(pr, ew("src") === pr("node"))
+        .groupBy(col("dst").as("__node"))
+        .agg(sum(col("pr") / col("__od")).as("__m"))
+      val prev = pr
+      pr = checkpointed(
+        seeded.join(contrib, seeded("node") === col("__node"), "left")
+          .select(seeded("node"),
+            round6(when(col("__seed"), lit(restart) / nS)
+              .otherwise(lit(0.0)) +
+              lit(damping) * coalesce(col("__m"), lit(0.0))).as("pr")))
+      free(prev)
+    }
+    free(nodes); free(ew); free(seeded)
+    pr
+  }
+
   /** Synchronous label propagation (fixed iterations) — the cheap
     * community-detection signal of graph-based corpus curation
     * (mirror/spam clusters, host communities; Raghavan et al. 2007,

@@ -6034,6 +6034,81 @@ object CoreQueries {
       .orderBy("prev_type")
   }
 
+  // q418: personalized PageRank over the q73 symmetrized
+  // part↔supplier graph, seeds = part nodes divisible by 100 (=
+  // partkey % 50 == 0 under the 2k encoding) — random walk with
+  // restart, the seed-expansion relevance ranking
+  // (GraphOps.personalizedPageRank carries the literal-restart
+  // rounding contract). 3 rounds, oracle-unrolled like q73.
+  def pprQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("p").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("p").as("dst")))
+    val seeds = pairs.select(col("p").as("node")).distinct()
+      .filter(col("node") % 100 === 0)
+    GraphOps.personalizedPageRank(edges, seeds, iters = 3,
+        assumeDistinct = true)
+      .orderBy("node")
+  }
+
+  // q419: CHOW structural-break test on the daily click series — did
+  // the regression line change at the midpoint? OLS SSEs in closed
+  // form from conditional EXACT sums (one pass over the days frame:
+  // pooled / left-of-break / right-of-break Σx, Σy, Σxy, Σx², Σy²,
+  // all BIGINT), then F = ((SSE_p − SSE_1 − SSE_2)/2) /
+  // ((SSE_1 + SSE_2)/(n − 4)) in doubles of exact integers, 4-dp
+  // pinned. The significance flag uses the documented rule-of-thumb
+  // literal F > 5.0 (an exact F quantile needs the incomplete beta —
+  // out of SQL's closed-form reach, same boundary as the q251 note).
+  def chowBreak(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val d = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .coalesce(1)
+      .withColumn("rn", row_number().over(W).cast("long"))
+      .withColumn("ntot", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("seg",
+        when(expr("rn <= ntot div 2"), 1).otherwise(2))
+    def sums(pred: Column, tag: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(pred, col("rn")).otherwise(0L)).as(s"sx$tag"),
+      sum(when(pred, col("y")).otherwise(0L)).as(s"sy$tag"),
+      sum(when(pred, col("rn") * col("y")).otherwise(0L)).as(s"sxy$tag"),
+      sum(when(pred, col("rn") * col("rn")).otherwise(0L)).as(s"sxx$tag"),
+      sum(when(pred, col("y") * col("y")).otherwise(0L)).as(s"syy$tag"))
+    val aggs = sums(lit(true), "p") ++ sums(col("seg") === 1, "1") ++
+      sums(col("seg") === 2, "2")
+    val row = d.agg(aggs.head, aggs.tail: _*)
+    def sse(t: String): Column = {
+      val sxx = col(s"n$t") * col(s"sxx$t") - col(s"sx$t") * col(s"sx$t")
+      val sxy = col(s"n$t") * col(s"sxy$t") - col(s"sx$t") * col(s"sy$t")
+      val syy = col(s"n$t") * col(s"syy$t") - col(s"sy$t") * col(s"sy$t")
+      (sxx.cast("double") * syy.cast("double") -
+        sxy.cast("double") * sxy.cast("double")) /
+        (col(s"n$t").cast("double") * sxx.cast("double"))
+    }
+    row
+      .withColumn("ssep", sse("p"))
+      .withColumn("sse1", sse("1"))
+      .withColumn("sse2", sse("2"))
+      .withColumn("f_raw",
+        ((col("ssep") - col("sse1") - col("sse2")) / 2.0) /
+          ((col("sse1") + col("sse2")) / (col("np") - 4).cast("double")))
+      .select(col("np").as("n_days"),
+        expr("np div 2").as("break_rn"),
+        M.oracleRound(col("ssep"), 4).as("sse_pooled"),
+        M.oracleRound(col("sse1"), 4).as("sse_left"),
+        M.oracleRound(col("sse2"), 4).as("sse_right"),
+        M.oracleRound(col("f_raw"), 4).as("f_stat"),
+        (col("f_raw") > 5.0).as("break_flag"))
+  }
+
   // q417: 4-truss peel over the q92 co-occurrence graph — the
   // edge-grain community scaffold beside q124's node-grain k-core:
   // three fixed peels dropping edges with fewer than 2 supporting

@@ -2412,6 +2412,14 @@ object PipelineQueries {
         minCount = 5L, k = 30)
       .orderBy("rnk")
 
+  // q420: Dunning G² collocations beside the q98 PMI leg — the
+  // significance-corrected ranking (PMI over-rewards rare pairs; G²
+  // demands evidence). Rides the same shared token-array stage.
+  def bigramG2Top(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bigramG2FromArrs(tokenArrays(s, dir),
+        minCount = 5L, k = 20)
+      .orderBy("rnk")
+
   // add-0.5-smoothed bigram LM per-doc score — the conditional-
   // probability upgrade of q77's unigram fluency (word order now
   // matters); rides the shared token-array stage

@@ -317,6 +317,52 @@ object TextCorpus {
       .select("w1", "w2", "c_ab", "pmi", "rnk")
   }
 
+  /** Dunning log-likelihood-ratio (G²) collocation scores (Dunning,
+    * CL 1993) — the significance-corrected cousin of [[
+    * bigramPmiFromArrs]]: PMI over-rewards rare pairs; G² scores the
+    * 2×2 contingency of (first word = w1) × (second word = w2) over
+    * ALL bigram slots, so a high score needs evidence, not just a
+    * tiny denominator. Margins are bigram-POSITION counts (c(w1·),
+    * c(·w2)), observed/expected cells from the exact integer counts,
+    * G² = 2·Σ O·ln(O/E) with empty cells contributing 0, 4-dp pinned.
+    * Same shape as the PMI leg: one HOF bigram explode over the shared
+    * token-array stage, three keyed counts, min-count cut, top-k via
+    * orderBy+limit. */
+  def bigramG2FromArrs(arrs: DataFrame, minCount: Long,
+      k: Int): DataFrame = {
+    val bg = arrs.filter(size(col("a")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+        i => struct(element_at(col("a"), i).as("w1"),
+          element_at(col("a"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val n = bg.agg(count(lit(1)).as("__n"))
+    val first = bg.groupBy("w1").agg(count(lit(1)).as("__ca"))
+    val second = bg.groupBy("w2").agg(count(lit(1)).as("__cb"))
+    def ll(o: Column, e: Column): Column =
+      when(o > 0, o.cast("double") * log(o.cast("double") / e))
+        .otherwise(lit(0.0))
+    val scored = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(first, Seq("w1")).join(second, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("__o11", col("c_ab"))
+      .withColumn("__o12", col("__ca") - col("c_ab"))
+      .withColumn("__o21", col("__cb") - col("c_ab"))
+      .withColumn("__o22",
+        col("__n") - col("__ca") - col("__cb") + col("c_ab"))
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("g2", MysqlFunctions.oracleRound(lit(2.0) * (
+        ll(col("__o11"), col("__ca").cast("double") * col("__cb") / col("__nd")) +
+        ll(col("__o12"), col("__ca").cast("double") * (col("__n") - col("__cb")) / col("__nd")) +
+        ll(col("__o21"), (col("__n") - col("__ca")).cast("double") * col("__cb") / col("__nd")) +
+        ll(col("__o22"), (col("__n") - col("__ca")).cast("double") * (col("__n") - col("__cb")) / col("__nd"))), 4))
+    scored.orderBy(col("g2").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(lit(0))
+          .orderBy(col("g2").desc, col("w1"), col("w2"))).cast("int"))
+      .select("w1", "w2", "c_ab", "g2", "rnk")
+  }
+
   /** Add-k-smoothed bigram language-model score per document — the
     * real conditional-probability form of the LM-perplexity quality
     * signal ([[fluencyScore]] is the order-blind unigram stand-in):
