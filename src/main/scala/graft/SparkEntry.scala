@@ -451,6 +451,8 @@ object SparkEntry {
     "q418_ppr" -> (C.pprQuery _),
     "q419_chow_break" -> (C.chowBreak _),
     "q420_g2_collocations" -> (P.bigramG2Top _),
+    "q421_f1_sweep" -> (P.f1Sweep _),
+    "q422_sliding_p95" -> (C.slidingP95 _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10492,6 +10494,53 @@ object SparkEntry {
         |SELECT w1, w2, c_ab, g2,
         | CAST(row_number() OVER (ORDER BY g2 DESC, w1, w2) AS INTEGER) AS rnk
         |FROM sc ORDER BY g2 DESC, w1, w2 LIMIT 20""".stripMargin,
+    // q421: descending cumulative TP/N over the distinct-score grid;
+    // precision/recall/F1 are divisions of exact integers, best row
+    // by unrounded F1 with ties to the lower threshold
+    "q421_f1_sweep" ->
+      """WITH s AS (
+        | SELECT CAST(('0x' || substr(md5('cal:' || vec_id), 1, 4))
+        |   AS BIGINT) / 65536.0 AS score,
+        |  CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        | FROM embeddings),
+        |g AS (
+        | SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS npos
+        | FROM s GROUP BY score),
+        |c AS (
+        | SELECT score,
+        |  CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS n_pred_pos,
+        |  CAST(sum(npos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |  CAST(sum(npos) OVER () AS BIGINT) AS p_all
+        | FROM g),
+        |f AS (
+        | SELECT score, n_pred_pos, tp, p_all,
+        |  2.0 * tp / (n_pred_pos + p_all) AS f1raw
+        | FROM c),
+        |b AS (
+        | SELECT score, row_number() OVER (ORDER BY f1raw DESC, score)
+        |   AS brnk
+        | FROM f)
+        |SELECT f.score AS threshold, f.n_pred_pos, f.tp,
+        | round(CAST(f.tp AS DOUBLE) / f.n_pred_pos, 4) AS precision,
+        | round(CAST(f.tp AS DOUBLE) / f.p_all, 4) AS recall,
+        | round(f.f1raw, 4) AS f1,
+        | b.brnk = 1 AS is_best
+        |FROM f JOIN b ON b.score = f.score
+        |ORDER BY threshold""".stripMargin,
+    // q422: exact order statistic from the sorted 7-day window array
+    "q422_sliding_p95" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |w AS (
+        | SELECT day, x,
+        |  list_sort(array_agg(x) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        | FROM d)
+        |SELECT day, x, CAST(len(arr) AS INTEGER) AS n_window,
+        | arr[CAST(ceil(len(arr) * 0.95) AS INTEGER)] AS p95
+        |FROM w ORDER BY day""".stripMargin,
   )
 
   private val q45OracleSql: String =

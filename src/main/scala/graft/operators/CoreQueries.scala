@@ -6034,6 +6034,29 @@ object CoreQueries {
       .orderBy("prev_type")
   }
 
+  // q422: exact SLIDING-WINDOW P95 of the daily click count — the
+  // order-statistic window beside q71's moving averages (the "rolling
+  // P95 latency" shape every SLO dashboard needs): over each 7-day
+  // trailing window, p95 = the ceil(0.95·n)-th smallest value — an
+  // EXACT order statistic from a sorted window array (the window is
+  // ≤ 7 elements by construction, so collect-in-window is bounded
+  // state, not a corpus-sized array). All-integer, hash-exact.
+  def slidingP95(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.orderBy("day")
+    val Ww = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .coalesce(1) // days-sized frame; single-partition walk window
+      .withColumn("__w", sort_array(collect_list(col("x")).over(Ww)))
+      .select(col("day"), col("x"),
+        size(col("__w")).cast("int").as("n_window"),
+        element_at(col("__w"),
+          ceil(size(col("__w")) * lit(0.95)).cast("int")).as("p95"))
+      .orderBy("day")
+  }
+
   // q418: personalized PageRank over the q73 symmetrized
   // part↔supplier graph, seeds = part nodes divisible by 100 (=
   // partkey % 50 == 0 under the 2k encoding) — random walk with

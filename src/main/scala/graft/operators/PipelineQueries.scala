@@ -3781,6 +3781,47 @@ object PipelineQueries {
       .orderBy("bin")
   }
 
+  // q421: exact PRECISION/RECALL/F1 threshold sweep over the q221
+  // score/label frame — the threshold-PICKING operator beside the
+  // threshold-free AP (q400) and the fixed-bin calibration view
+  // (q221): at every distinct score t, predict positive iff
+  // score ≥ t; TP and prediction counts come from one descending
+  // cumulative window over the score-grouped frame, so precision =
+  // TP/N_pred, recall = TP/P, F1 = 2·TP/(N_pred + P) are divisions of
+  // exact integers (identical doubles on both engines — the ranking
+  // compares them unrounded, ties to the lower threshold). The sweep
+  // frame is score-cardinality-sized (≤ |embeddings| rows), so the
+  // single-partition window is a tiny-frame window by construction.
+  def f1Sweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(
+      (T.md5Int(concat(lit("cal:"), col("vec_id")), 4).cast("double") /
+        lit(65536.0)).as("score"),
+      when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+    val grouped = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      .coalesce(1)
+    val Window = org.apache.spark.sql.expressions.Window
+    val Wd = Window.orderBy(col("score").desc)
+    val Wall = Window.partitionBy()
+    val swept = grouped
+      .withColumn("n_pred_pos", sum(col("n")).over(Wd))
+      .withColumn("tp", sum(col("npos")).over(Wd))
+      .withColumn("p_all", sum(col("npos")).over(Wall))
+      .withColumn("__f1raw",
+        lit(2.0) * col("tp") / (col("n_pred_pos") + col("p_all")))
+    val Wbest = Window.orderBy(col("__f1raw").desc, col("score"))
+    swept
+      .withColumn("is_best", row_number().over(Wbest) === 1)
+      .select(col("score").as("threshold"), col("n_pred_pos"), col("tp"),
+        M.oracleRound(col("tp").cast("double") / col("n_pred_pos"), 4)
+          .as("precision"),
+        M.oracleRound(col("tp").cast("double") / col("p_all"), 4)
+          .as("recall"),
+        M.oracleRound(col("__f1raw"), 4).as("f1"),
+        col("is_best"))
+      .orderBy("threshold")
+  }
+
   // q370: Murphy decomposition of the q221 Brier score — WHY is the
   // score what it is: reliability (calibration gap, want 0),
   // resolution (discrimination, want large), uncertainty (the

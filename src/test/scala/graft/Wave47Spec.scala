@@ -79,6 +79,51 @@ class Wave47Spec extends AnyFunSuite {
     assert(row.getBoolean(6) == (f > 5.0))
   }
 
+  test("q421: sweep counts equal a sorted fold; best row maximizes F1") {
+    val scored = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cal:${r.getLong(0)}".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(4)
+        (java.lang.Long.parseLong(hex, 16) / 65536.0,
+          if (r.getInt(1) < 5) 1L else 0L)
+      }
+    val pAll = scored.map(_._2).sum
+    val grid = scored.groupBy(_._1).toSeq.sortBy(-_._1)
+    var (cn, cp) = (0L, 0L)
+    val exp = grid.map { case (t, rows) =>
+      cn += rows.length; cp += rows.map(_._2).sum
+      (t, cn, cp, 2.0 * cp / (cn + pAll))
+    }
+    val got = P.f1Sweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getBoolean(6)))
+    assert(got.length == exp.length)
+    got.sortBy(-_._1).zip(exp).foreach { case ((t, n, tp, _, _), (te, ne, tpe, _)) =>
+      assert(t == te && n == ne && tp == tpe)
+    }
+    val bestF1 = exp.map(_._4).max
+    val bests = got.filter(_._5)
+    assert(bests.length == 1)
+    assert(math.abs(2.0 * bests(0)._3 / (bests(0)._2 + pAll) - bestF1) < 1e-12)
+  }
+
+  test("q422: sliding P95 is the exact windowed order statistic") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val got = graft.operators.CoreQueries.slidingP95(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == daily.length)
+    got.zipWithIndex.foreach { case ((x, nw, p95), i) =>
+      val win = daily.slice(math.max(0, i - 6), i + 1).sorted
+      assert(x == daily(i) && nw == win.length)
+      assert(p95 == win(math.ceil(win.length * 0.95).toInt - 1))
+    }
+  }
+
   test("q420: G² equals a driver-side contingency computation and is non-negative") {
     val arrs = graft.sources.Tables.documents(spark, dir)
       .select(graft.functions.TextFunctions.tokens(lower(col("text"))).as("a"))
