@@ -453,6 +453,9 @@ object SparkEntry {
     "q420_g2_collocations" -> (P.bigramG2Top _),
     "q421_f1_sweep" -> (P.f1Sweep _),
     "q422_sliding_p95" -> (C.slidingP95 _),
+    "q423_did" -> (C.didEstimate _),
+    "q424_rbp" -> (P.rbpIvf _),
+    "q425_qini" -> (C.qiniCurve _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10541,6 +10544,102 @@ object SparkEntry {
         |SELECT day, x, CAST(len(arr) AS INTEGER) AS n_window,
         | arr[CAST(ceil(len(arr) * 0.95) AS INTEGER)] AS p95
         |FROM w ORDER BY day""".stripMargin,
+    // q423: four group means of exact BIGINT sums, the DiD contrast
+    // 4-dp pinned at the end; users with no purchases count 0
+    "q423_did" ->
+      """WITH u AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(('0x' || substr(md5('did:' || user_id), 1, 8)) AS BIGINT)
+        |   % 2 = 0 AS treat
+        | FROM events),
+        |p AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS y_pre,
+        |  CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS y_post
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (
+        | SELECT u.treat, coalesce(p.y_pre, 0) AS y_pre,
+        |  coalesce(p.y_post, 0) AS y_post
+        | FROM u LEFT JOIN p USING (user_id)),
+        |a AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |  CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(CASE WHEN treat THEN y_pre ELSE 0 END) AS BIGINT) AS st_pre,
+        |  CAST(sum(CASE WHEN treat THEN y_post ELSE 0 END) AS BIGINT) AS st_post,
+        |  CAST(sum(CASE WHEN NOT treat THEN y_pre ELSE 0 END) AS BIGINT) AS sc_pre,
+        |  CAST(sum(CASE WHEN NOT treat THEN y_post ELSE 0 END) AS BIGINT) AS sc_post
+        | FROM j)
+        |SELECT n_treat, n_ctrl,
+        | round(CAST(st_pre AS DOUBLE) / n_treat, 4) AS y_treat_pre,
+        | round(CAST(st_post AS DOUBLE) / n_treat, 4) AS y_treat_post,
+        | round(CAST(sc_pre AS DOUBLE) / n_ctrl, 4) AS y_ctrl_pre,
+        | round(CAST(sc_post AS DOUBLE) / n_ctrl, 4) AS y_ctrl_post,
+        | round((CAST(st_post AS DOUBLE) / n_treat
+        |      - CAST(st_pre AS DOUBLE) / n_treat)
+        |   - (CAST(sc_post AS DOUBLE) / n_ctrl
+        |      - CAST(sc_pre AS DOUBLE) / n_ctrl), 4) AS did
+        |FROM a""".stripMargin,
+    // q424: the Scala-computed x1e8 rank weights interpolated; the
+    // per-query score is an order-free BIGINT sum (generator-free —
+    // the leg CTEs are the q411 recomposition)
+    "q424_rbp" ->
+      s"""WITH exact AS (
+         |$exactTopKOracle
+         |), ivf AS (
+         |${ivfOracle(nlist = 16, nprobe = 4, iters = 3, dim = 64, k = 5,
+               seed = 42, queryMax = 8)}
+         |), j AS (
+         | SELECT i.query_id,
+         |  CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |  CASE WHEN e.neighbor_id IS NOT NULL THEN
+         |   CASE i.rnk WHEN 1 THEN ${operators.PipelineQueries.RbpWeightsMicro(0)}
+         |    WHEN 2 THEN ${operators.PipelineQueries.RbpWeightsMicro(1)}
+         |    WHEN 3 THEN ${operators.PipelineQueries.RbpWeightsMicro(2)}
+         |    WHEN 4 THEN ${operators.PipelineQueries.RbpWeightsMicro(3)}
+         |    WHEN 5 THEN ${operators.PipelineQueries.RbpWeightsMicro(4)}
+         |    ELSE 0 END
+         |   ELSE 0 END AS wm
+         | FROM ivf i LEFT JOIN exact e USING (query_id, neighbor_id))
+         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+         | round(CAST(sum(wm) AS DOUBLE) / 1e8, 4) AS rbp
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // q425: cumulative Qini per decile — exact integers until the
+    // final control-baseline scaling
+    "q425_qini" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS y,
+        |  CAST(('0x' || substr(md5('did:' || user_id), 1, 8)) AS BIGINT)
+        |   % 2 = 0 AS treat,
+        |  CAST(('0x' || substr(md5('qini:' || user_id), 1, 4)) AS BIGINT)
+        |   / 65536.0 AS score
+        | FROM events GROUP BY user_id),
+        |r AS (
+        | SELECT y, treat,
+        |  ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        | FROM u),
+        |d AS (
+        | SELECT decile,
+        |  CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS dn_t,
+        |  CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS dn_c,
+        |  CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS dy_t,
+        |  CAST(sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS BIGINT) AS dy_c
+        | FROM r GROUP BY decile),
+        |c AS (
+        | SELECT decile,
+        |  CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+        |  CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+        |  CAST(sum(dy_t) OVER w AS BIGINT) AS y_t,
+        |  CAST(sum(dy_c) OVER w AS BIGINT) AS y_c
+        | FROM d WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(decile AS INTEGER) AS decile, n_t, n_c, y_t, y_c,
+        | round(CAST(y_t AS DOUBLE) - CAST(y_c AS DOUBLE)
+        |   * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE), 4) AS qini
+        |FROM c ORDER BY decile""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -6034,6 +6034,92 @@ object CoreQueries {
       .orderBy("prev_type")
   }
 
+  // q423: DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator
+  // beside the cross-sectional family (q338 stratified ATE, q306
+  // CUPED, q370-class eval): md5-assigned treatment per user, pre =
+  // days 1–15 / post = days 16–30, outcome = purchases per user per
+  // period (users with none count 0 — the users frame is the
+  // denominator, not the purchase stream). DiD = (ȳ_t,post − ȳ_t,pre)
+  // − (ȳ_c,post − ȳ_c,pre): four means of exact BIGINT sums, 4-dp
+  // pinned only at the end. One keyed aggregate over events + one
+  // users-frame conditional aggregate.
+  def didEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val ev = Tables.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("treat",
+        T.md5Int(concat(lit("did:"), col("user_id")), 8) % 2 === 0)
+    val per = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < cut, 1L).otherwise(0L))
+          .as("y_pre"),
+        sum(when(to_date(col("ts")) >= cut, 1L).otherwise(0L))
+          .as("y_post"))
+    val j = users.join(per, Seq("user_id"), "left")
+      .select(col("treat"),
+        coalesce(col("y_pre"), lit(0L)).as("y_pre"),
+        coalesce(col("y_post"), lit(0L)).as("y_post"))
+    val a = j.agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(col("treat"), col("y_pre")).otherwise(0L)).as("st_pre"),
+      sum(when(col("treat"), col("y_post")).otherwise(0L)).as("st_post"),
+      sum(when(!col("treat"), col("y_pre")).otherwise(0L)).as("sc_pre"),
+      sum(when(!col("treat"), col("y_post")).otherwise(0L)).as("sc_post"))
+    def m(sc: Column, n: Column): Column = sc.cast("double") / n.cast("double")
+    a.select(col("n_treat"), col("n_ctrl"),
+      M.oracleRound(m(col("st_pre"), col("n_treat")), 4).as("y_treat_pre"),
+      M.oracleRound(m(col("st_post"), col("n_treat")), 4).as("y_treat_post"),
+      M.oracleRound(m(col("sc_pre"), col("n_ctrl")), 4).as("y_ctrl_pre"),
+      M.oracleRound(m(col("sc_post"), col("n_ctrl")), 4).as("y_ctrl_post"),
+      M.oracleRound(
+        (m(col("st_post"), col("n_treat")) - m(col("st_pre"), col("n_treat"))) -
+        (m(col("sc_post"), col("n_ctrl")) - m(col("sc_pre"), col("n_ctrl"))),
+        4).as("did"))
+  }
+
+  // q425: QINI curve — the treatment-aware upgrade of q394's
+  // gains/lift deciles (uplift-model evaluation): rank users by an
+  // md5 score, cut into deciles (deterministic (score, user) order),
+  // and per cumulative decile report the Qini value
+  // qini = Y_t − Y_c·(N_t/N_c) — incremental conversions vs the
+  // control baseline scaled to the treated volume. Treatment/outcome
+  // per user from one events pass; everything exact integers until
+  // the final scaled subtraction, 4-dp pinned.
+  def qiniCurve(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("y"))
+      .withColumn("treat",
+        T.md5Int(concat(lit("did:"), col("user_id")), 8) % 2 === 0)
+      .withColumn("score",
+        T.md5Int(concat(lit("qini:"), col("user_id")), 4)
+          .cast("double") / 65536.0)
+      .coalesce(1) // users-frame ranking window (bounded by |users|)
+    val Wd = Window.orderBy(col("score").desc, col("user_id"))
+    val ranked = users
+      .withColumn("decile", ntile(10).over(Wd))
+    val per = ranked.groupBy(col("decile"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("dn_t"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("dn_c"),
+        sum(when(col("treat"), col("y")).otherwise(0L)).as("dy_t"),
+        sum(when(!col("treat"), col("y")).otherwise(0L)).as("dy_c"))
+      .coalesce(1)
+    val Wc = Window.orderBy("decile")
+    per
+      .withColumn("n_t", sum(col("dn_t")).over(Wc))
+      .withColumn("n_c", sum(col("dn_c")).over(Wc))
+      .withColumn("y_t", sum(col("dy_t")).over(Wc))
+      .withColumn("y_c", sum(col("dy_c")).over(Wc))
+      .select(col("decile").cast("int").as("decile"),
+        col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        M.oracleRound(col("y_t").cast("double") -
+          col("y_c").cast("double") * col("n_t").cast("double") /
+            col("n_c").cast("double"), 4).as("qini"))
+      .orderBy("decile")
+  }
+
   // q422: exact SLIDING-WINDOW P95 of the daily click count — the
   // order-statistic window beside q71's moving averages (the "rolling
   // P95 latency" shape every SLO dashboard needs): over each 7-day

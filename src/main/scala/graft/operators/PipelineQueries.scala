@@ -3822,6 +3822,33 @@ object PipelineQueries {
       .orderBy("threshold")
   }
 
+  // q424: RANK-BIASED PRECISION (Moffat & Zobel, TOIS 2008) of the
+  // IVF leg against the exact-cosine truth — the impatient-user
+  // retrieval metric beside recall (q106), AP (q400), NDCG (q170) and
+  // RBO (q208): RBP = (1−p)·Σ_k p^(k−1)·rel(k), p = 0.8. The five
+  // rank weights are Scala-computed ×1e8 INTEGER literals shared with
+  // the oracle (the q412 no-cross-engine-math convention), so the
+  // per-query score is an order-free BIGINT sum divided once at the
+  // end. Rides the shared leg memos; joins two 40-row frames.
+  val RbpWeightsMicro: Seq[Long] =
+    (1 to 5).map(k => math.round((1 - 0.8) * math.pow(0.8, k - 1) * 1e8))
+  def rbpIvf(s: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__rel"))
+    val wCase = (1 to 5).foldRight(lit(0L): Column)((k, acc) =>
+      when(col("rnk") === k, lit(RbpWeightsMicro(k - 1))).otherwise(acc))
+    ivfTopK(s, dir)
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__wm",
+        when(col("__rel").isNotNull, wCase).otherwise(lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(count(when(col("__rel").isNotNull, 1)).cast("long").as("n_hits"),
+        sum(col("__wm")).as("__s"))
+      .select(col("query_id"), col("n_hits"),
+        M.oracleRound(col("__s").cast("double") / 1e8, 4).as("rbp"))
+      .orderBy("query_id")
+  }
+
   // q370: Murphy decomposition of the q221 Brier score — WHY is the
   // score what it is: reliability (calibration gap, want 0),
   // resolution (discrimination, want large), uncertainty (the
