@@ -456,6 +456,7 @@ object SparkEntry {
     "q423_did" -> (C.didEstimate _),
     "q424_rbp" -> (P.rbpIvf _),
     "q425_qini" -> (C.qiniCurve _),
+    "q427_dispersion" -> (C.dispersionIndex _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10640,6 +10641,24 @@ object SparkEntry {
         | round(CAST(y_t AS DOUBLE) - CAST(y_c AS DOUBLE)
         |   * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE), 4) AS qini
         |FROM c ORDER BY decile""".stripMargin,
+    // q427: variance/mean from exact moments; the flag by exact
+    // integer cross-multiplication (never a float boundary)
+    "q427_dispersion" ->
+      """WITH d AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |a AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2
+        | FROM d GROUP BY 1)
+        |SELECT event_type, n_days, s1 AS total,
+        | round(CAST(s1 AS DOUBLE) / n_days, 4) AS mean_daily,
+        | round(CAST(n_days*s2 - s1*s1 AS DOUBLE)
+        |   / (CAST(n_days - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 4)
+        |  AS dispersion,
+        | (n_days*s2 - s1*s1) * 2 > (n_days - 1) * s1 * 3 AS overdispersed
+        |FROM a ORDER BY event_type""".stripMargin,
   )
 
   private val q45OracleSql: String =

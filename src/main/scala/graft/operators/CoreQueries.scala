@@ -6034,6 +6034,36 @@ object CoreQueries {
       .orderBy("prev_type")
   }
 
+  // q427: DISPERSION INDEX (variance-to-mean) of the DAILY counts per
+  // event type — the Poisson overdispersion check run before trusting
+  // any count model (a Poisson process has D = 1; real traffic is
+  // burstier). q285 applies the same Church–Gale ratio to term counts
+  // across documents; this leg gates the count-MODEL assumption on
+  // the time axis and adds the exact flag: sample variance over mean
+  // from exact BIGINT moment sums, with overdispersion decided by
+  // integer cross-multiplication (2·(nΣx² − (Σx)²) > 3·(n−1)·Σx ⟺
+  // D > 1.5), so the boolean never rides a float boundary. One keyed
+  // daily aggregate + one types-sized pass.
+  def dispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("__num", col("n_days") * col("s2") - col("s1") * col("s1"))
+      .select(col("event_type"), col("n_days"), col("s1").as("total"),
+        M.oracleRound(col("s1").cast("double") / col("n_days"), 4)
+          .as("mean_daily"),
+        M.oracleRound(col("__num").cast("double") /
+          ((col("n_days") - 1).cast("double") * col("s1").cast("double")), 4)
+          .as("dispersion"),
+        (col("__num") * 2 > (col("n_days") - 1) * col("s1") * 3)
+          .as("overdispersed"))
+      .orderBy("event_type")
+  }
+
   // q423: DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator
   // beside the cross-sectional family (q338 stratified ATE, q306
   // CUPED, q370-class eval): md5-assigned treatment per user, pre =
