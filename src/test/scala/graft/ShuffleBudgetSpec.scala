@@ -38,7 +38,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q84_percentile_trim" -> 8.0, // measured 1.93 MB
     "q147_containment_pairs" -> 3.0, // measured 0.59 MB
     "q129_quantile_norm" -> 4.0, // measured 0.91 MB
-    "q369_neardup_transitivity" -> 3.0) // measured 0.55 MB
+    "q369_neardup_transitivity" -> 3.0, // measured 0.55 MB
+    // round-11 heavy additions (same ~3-4x-measured ceiling rule)
+    "q410_hits" -> 4.0, // measured 1.06 MB
+    "q417_ktruss" -> 10.0, // measured 2.65 MB
+    "q418_ppr" -> 3.0) // measured 0.57 MB
 
   test("the shuffle-heaviest queries stay under their pinned shuffle-read ceilings") {
     val read = new java.util.concurrent.atomic.AtomicLong(0L)
