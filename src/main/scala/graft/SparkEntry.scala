@@ -457,6 +457,7 @@ object SparkEntry {
     "q424_rbp" -> (P.rbpIvf _),
     "q425_qini" -> (C.qiniCurve _),
     "q427_dispersion" -> (C.dispersionIndex _),
+    "q428_dsv2_zip" -> (P.dsv2ZipManifest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10659,6 +10660,18 @@ object SparkEntry {
         |  AS dispersion,
         | (n_days*s2 - s1*s1) * 2 > (n_days - 1) * s1 * 3 AS overdispersed
         |FROM a ORDER BY event_type""".stripMargin,
+    // q428: q384's closed-form manifest, through the zip reader
+    "q428_dsv2_zip" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  doc_id || '.txt' AS name,
+        |  CAST(strlen(text) AS BIGINT) AS size, md5(text) AS payload_md5
+        | FROM documents)
+        |SELECT shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |  AS INTEGER) AS idx,
+        | name, size, payload_md5
+        |FROM m ORDER BY shard, idx""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -1663,6 +1663,51 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  /** q428's shard-file stage — the [[tarShardDir]] contract (written
+    * once per (session, sf dir), executor-side writers, SAME
+    * shared-filesystem caveat) for `.zip` shards. */
+  private val zipFileStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def zipShardDir(s: SparkSession, dir: String): String =
+    zipFileStage.getOrElseUpdate((s, dir), {
+      val base = newStageDir("graft_zipv2_").toString
+      Tables.documents(s, dir)
+        .select((col("doc_id") / 50).cast("long").as("shard"),
+          struct(col("doc_id"), col("text")).as("m"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(col("m"))).as("members"))
+        .select(col("shard"), Multimodal.zipBytes(col("members")).as("z"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(base,
+                  f"shard-${r.getLong(0)}%05d.zip"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+      base
+    })
+
+  // q428: the q414 shard manifest read back THROUGH the RANDOM-ACCESS
+  // DataSourceV2 table ([[graft.sources.ZipShardSource]]) — the
+  // central-directory scan path: this projection includes payload_md5,
+  // so the reader seeks each member's local range, but the catalog
+  // itself comes from two ranged reads per shard (EOCD + CD), never a
+  // full-archive walk; ZipDsv2Spec asserts the manifest-only scan
+  // reads catalog-sized byte volume. Oracle = q157's closed form off
+  // the documents table (names/sizes/md5s), plus the CD-carried CRC
+  // surfaced as a column the engine verified at build time (q414).
+  def dsv2ZipManifest(s: SparkSession, dir: String): DataFrame = {
+    val stage = zipShardDir(s, dir)
+    s.read.format("graft-zip").load(stage)
+      .select(
+        regexp_extract(col("shard_file"), "shard-(\\d+)\\.zip", 1)
+          .cast("long").as("shard"),
+        col("idx"), col("name"), col("size"), col("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // q157's compressed twin: GZIP members (the WebDataset `.gz`
   // convention). Compressed member bytes have NO SQL closed form
   // (deflate output is implementation-defined), so the gate emits only

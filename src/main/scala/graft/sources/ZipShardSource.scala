@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for PKZIP stored-method shard directories (one
+  * `.zip` per shard, written by [[graft.expressions.ZipBytes]] — see
+  * `ZipCodec.scala`): the RANDOM-ACCESS counterpart of
+  * [[TarShardSource]]. A tar scan must walk the whole archive even for
+  * a name listing; a zip carries its catalog in the central directory
+  * at the TAIL, so this reader does what an object-store range reader
+  * would:
+  *
+  *   - a MANIFEST scan (no `text`/`payload_md5` projected) reads ONLY
+  *     the 22-byte EOCD plus the central directory — two ranged reads
+  *     per shard, independent of payload volume;
+  *   - a payload projection seeks exactly the selected members' local
+  *     ranges (CD-filtered by the pushed `name` prefix BEFORE any
+  *     payload byte moves);
+  *   - `shard_file = 'x'` prunes FILES at planning time (conjunctive:
+  *     two distinct values plan zero partitions — the TarShardSource
+  *     contract).
+  *
+  * The ranged-read discipline is not just narrated — every byte the
+  * reader pulls is counted ([[ZipShardSource.bytesRead]], test-only
+  * telemetry reset per scan by ZipDsv2Spec), and the spec asserts a
+  * manifest scan reads catalog-sized, not archive-sized, volume.
+  * Structural corruption (bad EOCD/CD/local signatures, sizes past
+  * bounds) hard-fails like every reader in this engine. */
+class ZipShardSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-zip"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipShardTable.schema
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ZipShardTable(properties.get("path"))
+}
+
+object ZipShardSource {
+  /** Total bytes pulled through ranged reads, across all readers in
+    * this JVM — test-only telemetry for the spec's "manifest scans are
+    * catalog-sized" assertion. Not part of the scan contract. */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+object ZipShardTable {
+  val schema: StructType = StructType(Seq(
+    StructField("shard_file", StringType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("crc32", LongType, nullable = false),
+    StructField("payload_md5", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+}
+
+class ZipShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-zip `$path`"
+  override def schema(): StructType = ZipShardTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZipScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class ZipScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = ZipShardTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = if (requiredSchema.isEmpty)
+      StructType(ZipShardTable.schema.take(2)) else requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("shard_file", _: String) => true
+      case StringStartsWith("name", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ZipScan(path, required, pushed)
+}
+
+class ZipScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-zip path=$path pruned=[${required.fieldNames.mkString(",")}]" +
+      s" pushed=[${filters.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fileEq = filters.collect {
+      case EqualTo("shard_file", v: String) => v
+    }.toSet
+    val files = Files.list(Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".zip")).toArray.sorted
+    // conjunctive EqualTo semantics — the TarShardSource contract
+    val kept =
+      if (fileEq.isEmpty) files
+      else if (fileEq.size > 1) Array.empty[String]
+      else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
+    kept.map(f => ZipInputPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipReaderFactory(required, filters)
+}
+
+case class ZipInputPartition(file: String) extends InputPartition
+
+class ZipReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ZipPartitionReader(p.asInstanceOf[ZipInputPartition].file,
+      required, filters)
+}
+
+class ZipPartitionReader(file: String, required: StructType,
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val fname = Paths.get(file).getFileName.toString
+  private val prefixes = filters.collect {
+    case StringStartsWith("name", p) => p
+  }
+  private val needPayload =
+    required.fieldNames.contains("payload_md5") ||
+      required.fieldNames.contains("text")
+
+  private def fail(msg: String): Nothing =
+    throw new java.io.IOException(s"graft-zip $fname: $msg")
+
+  private val ch =
+    FileChannel.open(Paths.get(file), StandardOpenOption.READ)
+
+  /** One accounted ranged read. */
+  private def rangeRead(at: Long, len: Int): Array[Byte] = {
+    if (at < 0 || at + len > ch.size()) fail(s"range [$at, +$len) past EOF")
+    val buf = ByteBuffer.allocate(len)
+    var off = at
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, off)
+      if (n < 0) fail("unexpected EOF")
+      off += n
+    }
+    ZipShardSource.bytesRead.addAndGet(len.toLong)
+    buf.array()
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  // ranged read #1: the EOCD (builder writes no comment); #2: the CD
+  private val (entries, cdOffForBound) = {
+    val flen = ch.size()
+    if (flen < 22) fail("shorter than an EOCD")
+    val eocd = rangeRead(flen - 22, 22)
+    if (le32(eocd, 0) != 0x06054b50L) fail("bad EOCD signature")
+    if (le16(eocd, 20) != 0) fail("unexpected archive comment")
+    val n = le16(eocd, 10)
+    val cdSize = le32(eocd, 12)
+    val cdOff = le32(eocd, 16)
+    if (cdOff + cdSize + 22 != flen) fail("CD does not tile the archive")
+    val cd = rangeRead(cdOff, cdSize.toInt)
+    val out = new Array[(String, Long, Long, Long, Int)](n) // name, size, crc, localOff, nameLen
+    var p = 0
+    var i = 0
+    while (i < n) {
+      if (p + 46 > cd.length) fail("truncated central directory")
+      if (le32(cd, p) != 0x02014b50L) fail("bad CD entry signature")
+      if (le16(cd, p + 10) != 0) fail("non-stored method")
+      val crc = le32(cd, p + 16)
+      val csize = le32(cd, p + 20)
+      val usize = le32(cd, p + 24)
+      if (csize != usize) fail("stored sizes disagree")
+      if (usize > (1L << 26)) fail(s"entry size $usize out of bounds")
+      val nameLen = le16(cd, p + 28)
+      if (le16(cd, p + 30) != 0 || le16(cd, p + 32) != 0)
+        fail("unexpected extra/comment field")
+      val localOff = le32(cd, p + 42)
+      val name = new String(cd, p + 46, nameLen, "US-ASCII")
+      out(i) = (name, usize, crc, localOff, nameLen)
+      p += 46 + nameLen
+      i += 1
+    }
+    if (p != cd.length) fail("central directory does not tile")
+    (out, cdOff)
+  }
+
+  private var cursor = -1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (cursor + 1 < entries.length) {
+      cursor += 1
+      val (name, size, crc, localOff, nameLen) = entries(cursor)
+      if (prefixes.forall(name.startsWith)) {
+        current = buildRow(name, size, crc, localOff, nameLen)
+        return true
+      }
+    }
+    false
+  }
+
+  private def buildRow(name: String, size: Long, crc: Long,
+      localOff: Long, nameLen: Int): InternalRow = {
+    // payload columns: one ranged read of the local header (verify the
+    // CD's framing — extra-field length is the local header's to
+    // declare) + one of the member bytes; manifest columns touch none
+    lazy val payload: Array[Byte] = {
+      val lh = rangeRead(localOff, 30)
+      if (le32(lh, 0) != 0x04034b50L) fail("bad local header signature")
+      if (le16(lh, 26) != nameLen) fail("local/CD name length mismatch")
+      val extraLen = le16(lh, 28)
+      if (localOff + 30 + nameLen + extraLen + size > cdOffForBound)
+        fail("payload past the central directory")
+      rangeRead(localOff + 30 + nameLen + extraLen, size.toInt)
+    }
+    val vals: Array[Any] = required.fieldNames.map {
+      case "shard_file" => UTF8String.fromString(fname)
+      case "idx" => cursor
+      case "name" => UTF8String.fromString(name)
+      case "size" => size
+      case "crc32" => crc
+      case "payload_md5" =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        UTF8String.fromString(
+          md.digest(payload).map(b => f"$b%02x").mkString)
+      case "text" => UTF8String.fromBytes(payload)
+      case other => fail(s"unknown column $other")
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ch.close()
+  locally { val _ = needPayload }
+}
