@@ -71,15 +71,28 @@ object ZipBytes {
     val n = members.numElements()
     val names = new Array[Array[Byte]](n)
     val payloads = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      names(i) = (row.getLong(0).toString + ".txt").getBytes("US-ASCII")
+      payloads(i) = row.getUTF8String(1).toString.getBytes("UTF-8")
+      i += 1
+    }
+    assemble(names, payloads)
+  }
+
+  /** The spec-conforming archive assembly over raw member arrays —
+    * shared by the expression above and the DataSourceV2 writer
+    * ([[graft.sources.ZipShardSource]]'s write path). */
+  def assemble(names: Array[Array[Byte]],
+      payloads: Array[Array[Byte]]): Array[Byte] = {
+    val n = names.length
     val crcs = new Array[Long](n)
     var localTotal = 0L
     var cdTotal = 0L
     val crc = new java.util.zip.CRC32
     var i = 0
     while (i < n) {
-      val row = members.getStruct(i, 2)
-      names(i) = (row.getLong(0).toString + ".txt").getBytes("US-ASCII")
-      payloads(i) = row.getUTF8String(1).toString.getBytes("UTF-8")
       crc.reset(); crc.update(payloads(i))
       crcs(i) = crc.getValue
       localTotal += 30L + names(i).length + payloads(i).length

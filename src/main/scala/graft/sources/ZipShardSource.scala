@@ -43,6 +43,9 @@ class ZipShardSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-zip"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZipShardTable.schema
+  // writes carry their own (doc_id, text) schema — validated by the
+  // WriteBuilder, not by equality with the read schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -67,13 +70,118 @@ object ZipShardTable {
     StructField("text", StringType, nullable = false)))
 }
 
-class ZipShardTable(path: String) extends Table with SupportsRead {
+class ZipShardTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-zip `$path`"
   override def schema(): StructType = ZipShardTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      // the write schema is (doc_id, text), not the read schema —
+      // the WriteBuilder enforces it
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScanBuilder(Option(options.get("path")).getOrElse(path))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZipWriteBuilder(
+      Option(info.options.get("path")).getOrElse(path), info.schema())
+}
+
+/** WRITE path: `df.select(doc_id, text).write.format("graft-zip")`
+  * emits one spec-conforming `.zip` shard PER PARTITION (members
+  * sorted by doc_id — the q157/q414 deterministic-order convention),
+  * through a real two-phase commit: each task writes
+  * `_tmp-part-NNNNN-<taskId>.zip` and only the driver-side job commit
+  * renames the temps into place (`part-NNNNN.zip`); an aborted task
+  * deletes its temp, an aborted job sweeps all temps — so readers
+  * never observe a torn shard. Shard contract: one task's members
+  * must fit a shard (the collect_list analogue — partition BEFORE
+  * writing, e.g. `repartitionByRange($"doc_id")`). Append mode only
+  * adds new part files; SaveMode.Overwrite maps to TRUNCATE, which
+  * clears prior `part-*.zip`. */
+class ZipWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.toSeq == Seq("doc_id", "text") &&
+    schema.fields(0).dataType == LongType &&
+    schema.fields(1).dataType == StringType,
+    s"graft-zip writes struct<doc_id: bigint, text: string>, got $schema")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new ZipBatchWrite(path, doTruncate)
+    }
+}
+
+class ZipBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new ZipWriterFactory(path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate)
+      Files.list(Paths.get(path)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".zip"))
+        .foreach(Files.delete)
+    messages.collect { case ZipCommitMessage(tmp, fin) =>
+      Files.move(Paths.get(tmp), Paths.get(fin),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Files.list(Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_tmp-"))
+      .foreach(p => try Files.delete(p) catch { case _: Exception => () })
+}
+
+case class ZipCommitMessage(tmp: String, fin: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class ZipWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ZipDataWriter(path, partitionId, taskId)
+}
+
+class ZipDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val rows =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+  private val tmp =
+    Paths.get(path, f"_tmp-part-$partitionId%05d-$taskId.zip").toString
+  private val fin = Paths.get(path, f"part-$partitionId%05d.zip").toString
+
+  override def write(record: InternalRow): Unit =
+    rows += ((record.getLong(0),
+      record.getUTF8String(1).toString.getBytes("UTF-8")))
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val sorted = rows.sortBy(_._1).toArray
+    val bytes = graft.expressions.ZipBytes.assemble(
+      sorted.map(r => (r._1.toString + ".txt").getBytes("US-ASCII")),
+      sorted.map(_._2))
+    Files.write(Paths.get(tmp), bytes)
+    ZipCommitMessage(tmp, fin)
+  }
+
+  override def abort(): Unit =
+    try Files.deleteIfExists(Paths.get(tmp)) catch { case _: Exception => () }
+  override def close(): Unit = ()
 }
 
 class ZipScanBuilder(path: String) extends ScanBuilder
