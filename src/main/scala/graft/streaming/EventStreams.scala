@@ -733,6 +733,75 @@ object EventStreams {
   final case class CusumPoint(day: java.sql.Date, x: Long, s_scaled: Long,
       cusum: Double, alarm: Boolean)
 
+  final case class SprtState(pendN: Map[Long, Long], pendK: Map[Long, Long],
+      llr: Long, stopped: Boolean)
+  final case class SprtPoint(day: java.sql.Date, n: Long, k: Long,
+      llr_micro: Long, verdict: String, stopped: Boolean)
+
+  /** Streaming twin of the q412 Wald SPRT: the sequential test's LLR
+    * walk maintained ONLINE over finalized daily (trials, successes)
+    * counts — exactly the batch micro-unit arithmetic (the engine's
+    * Scala-computed integer literals, [[graft.operators.CoreQueries
+    * .SprtLaMicro]] family), so state is three exact longs plus the
+    * day buffers. Same day-finalization machine as [[cusumStream]]/
+    * [[holtStream]]: a day enters the walk only when the watermark
+    * passes its end, in day order; within-watermark disorder is
+    * invisible and stream output equals the batch window closed form
+    * (SprtStreamSpec, in-order AND shuffled). `stopped` latches — the
+    * sequential test's "decision already reached on a prefix day". */
+  def sprtStream(events: Dataset[TypedEvent],
+      successType: String = "purchase",
+      watermarkDelay: String = "0 seconds"): Dataset[SprtPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.{CoreQueries => C}
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[SprtState, SprtPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, it: Iterator[TypedEvent], state: GroupState[SprtState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption
+            .getOrElse(SprtState(Map.empty, Map.empty, 0L, stopped = false))
+          var pendN = st0.pendN
+          var pendK = st0.pendK
+          it.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+            pendN = pendN.updated(d, pendN.getOrElse(d, 0L) + 1L)
+            if (e.event_type == successType)
+              pendK = pendK.updated(d, pendK.getOrElse(d, 0L) + 1L)
+          }
+          val (ready, rest) =
+            pendN.partition { case (d, _) => d + dayMs <= wm }
+          var llr = st0.llr
+          var stopped = st0.stopped
+          val out = scala.collection.mutable.ArrayBuffer.empty[SprtPoint]
+          ready.toSeq.sortBy(_._1).foreach { case (d, n) =>
+            val k = pendK.getOrElse(d, 0L)
+            llr += k * C.SprtLaMicro + (n - k) * C.SprtLbMicro
+            val verdict =
+              if (llr >= C.SprtAMicro) "accept_h1"
+              else if (llr <= -C.SprtAMicro) "accept_h0"
+              else "continue"
+            stopped ||= verdict != "continue"
+            out += SprtPoint(new java.sql.Date(d), n, k, llr, verdict, stopped)
+          }
+          pendK = pendK.filter { case (d, _) => rest.contains(d) }
+          // (llr = 0, not stopped) IS the initial state — removing it
+          // then is semantically a no-op, and anything else must persist
+          if (rest.isEmpty && llr == 0L && !stopped) state.remove()
+          else {
+            state.update(SprtState(rest, pendK, llr, stopped))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.keys.min + dayMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   final case class HoltState(pending: Map[Long, Long], rn: Long,
       x1: Long, l: Long, b: Long, pow: Long)
   final case class HoltPoint(day: java.sql.Date, x: Long, level: Double,
