@@ -458,6 +458,7 @@ object SparkEntry {
     "q425_qini" -> (C.qiniCurve _),
     "q427_dispersion" -> (C.dispersionIndex _),
     "q428_dsv2_zip" -> (P.dsv2ZipManifest _),
+    "q429_mixture_hhi" -> (P.mixtureHhi _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10672,6 +10673,24 @@ object SparkEntry {
         |  AS INTEGER) AS idx,
         | name, size, payload_md5
         |FROM m ORDER BY shard, idx""".stripMargin,
+    // q429: HHI from exact integer moments, one division at the end
+    "q429_mixture_hhi" ->
+      """WITH s AS (
+        | SELECT source,
+        |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |   AS BIGINT) AS toks
+        | FROM documents GROUP BY source),
+        |g AS (
+        | SELECT CAST(sum(toks) AS BIGINT) AS T,
+        |  round(CAST(sum(toks*toks) AS DOUBLE)
+        |    / (CAST(sum(toks) AS DOUBLE) * CAST(sum(toks) AS DOUBLE)), 6)
+        |   AS hhi
+        | FROM s)
+        |SELECT s.source, s.toks,
+        | round(CAST(s.toks AS DOUBLE) / g.T, 6) AS share,
+        | g.hhi, round(1.0 / g.hhi, 4) AS n_effective
+        |FROM s, g ORDER BY source""".stripMargin,
   )
 
   private val q45OracleSql: String =

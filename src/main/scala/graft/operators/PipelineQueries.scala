@@ -5709,6 +5709,34 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // q429: HERFINDAHL–HIRSCHMAN concentration of the corpus TOKEN
+  // MIXTURE — the one-number "is one source dominating the training
+  // mix?" audit beside the q402 apportionment and the mixture
+  // planners: HHI = Σ share², share = source tokens / total. Computed
+  // as the exact-integer ratio Σ toks² / T² (one double division at
+  // the end, 6-dp pinned); n_effective = 1/HHI (the equivalent count
+  // of equal-weight sources, 4-dp) rides as a constant column the q221
+  // brier/ece way. One map-only token-count pass (the q402 aggregate),
+  // then a sources-sized frame.
+  def mixtureHhi(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("toks"))
+    val g = src.agg(sum(col("toks")).as("T"),
+      sum(col("toks") * col("toks")).as("S2"))
+      .select(col("T"),
+        M.oracleRound(col("S2").cast("double") /
+          (col("T").cast("double") * col("T").cast("double")), 6).as("hhi"))
+      .withColumn("n_effective", M.oracleRound(lit(1.0) / col("hhi"), 4))
+    src.crossJoin(broadcast(g))
+      .select(col("source"), col("toks"),
+        M.oracleRound(col("toks").cast("double") / col("T").cast("double"),
+          6).as("share"),
+        col("hhi"), col("n_effective"))
+      .orderBy("source")
+  }
+
   // q413: Huffman CODE DESIGN over the corpus letter distribution —
   // the entropy-coding counterpart of the compressibility family
   // (q249 trigram ratio, q230 Bloom design, q346 bin design): exact

@@ -14,6 +14,35 @@ class Wave49Spec extends AnyFunSuite {
     if (x < 0) -math.floor(-x * 1e4 + 0.5) / 1e4
     else math.floor(x * 1e4 + 0.5) / 1e4
 
+  test("q429: HHI equals the exact share fold; invariants hold") {
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val per = toks.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).sum }
+    val t = per.values.sum
+    val hhi = per.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble /
+      (t.toDouble * t.toDouble)
+    val got = graft.operators.PipelineQueries.mixtureHhi(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == per.size)
+    got.foreach { case (s, n, share, h, neff) =>
+      assert(n == per(s))
+      assert(share == r4x(per(s).toDouble / t, 6))
+      assert(h == r4x(hhi, 6))
+      assert(neff == r4x(1.0 / r4x(hhi, 6), 4))
+    }
+    // HHI ∈ [1/k, 1] and shares sum to ~1
+    assert(got.head._4 >= 1.0 / per.size - 1e-9 && got.head._4 <= 1.0)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+  }
+  private def r4x(x: Double, s: Int): Double = {
+    val p = math.pow(10, s)
+    if (x < 0) -math.floor(-x * p + 0.5) / p else math.floor(x * p + 0.5) / p
+  }
+
   test("q427: dispersion equals exact moment sums; flag matches cross-multiplication") {
     val daily = graft.sources.Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")))
