@@ -561,6 +561,10 @@ object GraphOps {
     * checkpoint blocks ([[free]]) like every fixpoint here. */
   def hits(edges: DataFrame, iters: Int,
       assumeDistinct: Boolean = false): DataFrame = {
+    // authorities only exist after a first hub→auth pass; iters == 0
+    // would leave `auth` null and NPE in the final union, unlike the
+    // other fixpoints here which degrade to their init frame
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val round6 = (c: Column) =>
       graft.functions.MysqlFunctions.oracleRound(c, 6)
     val e0 = edges.toDF("src", "dst")

@@ -86,7 +86,8 @@ class ZipShardTable(path: String) extends Table
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZipWriteBuilder(
-      Option(info.options.get("path")).getOrElse(path), info.schema())
+      Option(info.options.get("path")).getOrElse(path), info.schema(),
+      info.queryId())
 }
 
 /** WRITE path: `df.select(doc_id, text).write.format("graft-zip")`
@@ -94,14 +95,17 @@ class ZipShardTable(path: String) extends Table
   * sorted by doc_id — the q157/q414 deterministic-order convention),
   * through a real two-phase commit: each task writes
   * `_tmp-part-NNNNN-<taskId>.zip` and only the driver-side job commit
-  * renames the temps into place (`part-NNNNN.zip`); an aborted task
-  * deletes its temp, an aborted job sweeps all temps — so readers
-  * never observe a torn shard. Shard contract: one task's members
-  * must fit a shard (the collect_list analogue — partition BEFORE
-  * writing, e.g. `repartitionByRange($"doc_id")`). Append mode only
-  * adds new part files; SaveMode.Overwrite maps to TRUNCATE, which
-  * clears prior `part-*.zip`. */
-class ZipWriteBuilder(path: String, schema: StructType)
+  * renames the temps into place (`part-NNNNN-<queryId>.zip` — the
+  * query id makes part names job-unique, so a second append can never
+  * overwrite an earlier job's shards on a colliding partition id); an
+  * aborted task deletes its temp, an aborted job sweeps its OWN temps
+  * (scoped by query id — a concurrent job's in-flight temps are not
+  * touched) — so readers never observe a torn shard. Shard contract:
+  * one task's members must fit a shard (the collect_list analogue —
+  * partition BEFORE writing, e.g. `repartitionByRange($"doc_id")`).
+  * Append mode only adds new part files; SaveMode.Overwrite maps to
+  * TRUNCATE, which clears prior `part-*.zip`. */
+class ZipWriteBuilder(path: String, schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   require(schema.fieldNames.toSeq == Seq("doc_id", "text") &&
@@ -115,18 +119,18 @@ class ZipWriteBuilder(path: String, schema: StructType)
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new ZipBatchWrite(path, doTruncate)
+        new ZipBatchWrite(path, doTruncate, queryId)
     }
 }
 
-class ZipBatchWrite(path: String, truncate: Boolean)
+class ZipBatchWrite(path: String, truncate: Boolean, queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    new ZipWriterFactory(path)
+    new ZipWriterFactory(path, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -142,28 +146,37 @@ class ZipBatchWrite(path: String, truncate: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // sweep only THIS job's temps (suffixed with our queryId) — a
+    // concurrent job's in-flight temps must survive our abort
     Files.list(Paths.get(path)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("_tmp-"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_tmp-") && n.endsWith(s"-$queryId.zip")
+      }
       .foreach(p => try Files.delete(p) catch { case _: Exception => () })
 }
 
 case class ZipCommitMessage(tmp: String, fin: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class ZipWriterFactory(path: String)
+class ZipWriterFactory(path: String, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ZipDataWriter(path, partitionId, taskId)
+    new ZipDataWriter(path, partitionId, taskId, queryId)
 }
 
-class ZipDataWriter(path: String, partitionId: Int, taskId: Long)
-    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+class ZipDataWriter(path: String, partitionId: Int, taskId: Long,
+    queryId: String) extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val rows =
     scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   private val tmp =
-    Paths.get(path, f"_tmp-part-$partitionId%05d-$taskId.zip").toString
-  private val fin = Paths.get(path, f"part-$partitionId%05d.zip").toString
+    Paths.get(path, f"_tmp-part-$partitionId%05d-$taskId-$queryId.zip").toString
+  // job-unique final name: two appends to one directory must never
+  // collide on partition id (the old part-NNNNN.zip scheme silently
+  // overwrote the first job's shards via REPLACE_EXISTING)
+  private val fin =
+    Paths.get(path, f"part-$partitionId%05d-$queryId.zip").toString
 
   override def write(record: InternalRow): Unit =
     rows += ((record.getLong(0),
@@ -218,8 +231,16 @@ class ZipScan(path: String, required: StructType, filters: Array[Filter])
     val fileEq = filters.collect {
       case EqualTo("shard_file", v: String) => v
     }.toSet
+    // hidden-file convention: names starting with '_' or '.' are never
+    // data — a crashed job (driver death skips BatchWrite.abort) can
+    // leave `_tmp-part-*` temps behind, and a scan that picked them up
+    // would double-count rows or hard-fail on a torn shard
     val files = Files.list(Paths.get(path)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".zip")).toArray.sorted
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".zip") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString).toArray.sorted
     // conjunctive EqualTo semantics — the TarShardSource contract
     val kept =
       if (fileEq.isEmpty) files
@@ -304,6 +325,7 @@ class ZipPartitionReader(file: String, required: StructType,
       if (le16(cd, p + 30) != 0 || le16(cd, p + 32) != 0)
         fail("unexpected extra/comment field")
       val localOff = le32(cd, p + 42)
+      if (p + 46 + nameLen > cd.length) fail("truncated central directory")
       val name = new String(cd, p + 46, nameLen, "US-ASCII")
       out(i) = (name, usize, crc, localOff, nameLen)
       p += 46 + nameLen

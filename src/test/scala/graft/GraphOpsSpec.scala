@@ -109,4 +109,12 @@ class GraphOpsSpec extends AnyFunSuite {
     // k above the clique degree empties the graph
     assert(GraphOps.kCorePeel(edges, k = 6, iters = 3).count() == 0L)
   }
+
+  test("hits: iters = 0 is rejected up front, not an NPE at union time") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, iters = 0)
+    }
+    assert(e.getMessage.contains("iters >= 1"))
+  }
 }

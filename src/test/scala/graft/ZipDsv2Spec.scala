@@ -166,6 +166,63 @@ class ZipDsv2Spec extends AnyFunSuite {
     assert(after.length == 10 && after.forall(_.startsWith("100")))
   }
 
+  test("a leftover _tmp file from a crashed job is invisible to reads") {
+    val out = java.nio.file.Files.createTempDirectory("zipv2_tmp_").toString
+    (0L until 10L).map(i => (i, s"survivor $i")).toDF("doc_id", "text")
+      .coalesce(1).write.format("graft-zip").mode("append").save(out)
+    // simulate a crashed job: a torn temp (truncated shard) AND a
+    // well-formed temp (duplicate rows) both left behind
+    val committed = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .next()
+    val bytes = java.nio.file.Files.readAllBytes(committed)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_tmp-part-00007-99-deadbeef.zip"),
+      bytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_tmp-part-00008-99-deadbeef.zip"),
+      bytes.take(bytes.length / 2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, ".hidden.zip"), bytes)
+    val back = spark.read.format("graft-zip").load(out)
+      .select("name").as[String].collect()
+    assert(back.length == 10, s"temps leaked into the scan: ${back.length}")
+  }
+
+  test("two appends accrete: job-unique part names never collide") {
+    val out = java.nio.file.Files.createTempDirectory("zipv2_app2_").toString
+    (0L until 20L).map(i => (i, s"gen1 $i")).toDF("doc_id", "text")
+      .coalesce(1).write.format("graft-zip").mode("append").save(out)
+    (100L until 120L).map(i => (i, s"gen2 $i")).toDF("doc_id", "text")
+      .coalesce(1).write.format("graft-zip").mode("append").save(out)
+    val back = spark.read.format("graft-zip").load(out)
+      .select("name", "text").as[(String, String)].collect().toMap
+    assert(back.size == 40, s"second append overwrote the first: ${back.size}")
+    assert(back("7.txt") == "gen1 7" && back("107.txt") == "gen2 107")
+  }
+
+  test("corrupt CD nameLen fails structured, not StringIndexOutOfBounds") {
+    val dir = java.nio.file.Files.createTempDirectory("zipv2_namelen_")
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stage, "shard-00000.zip"))
+    // EOCD is the last 22 bytes; CD offset at EOCD+16 (LE32). Patch the
+    // FIRST CD entry's nameLen (entry offset + 28, LE16) to 0xFFFF.
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val cdOff = le32(good, good.length - 22 + 16)
+    val bad = good.clone()
+    bad(cdOff + 28) = 0xff.toByte; bad(cdOff + 29) = 0xff.toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.toString, "bad.zip"), bad)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-zip").load(dir.toString)
+        .select("name").collect()
+    }
+    assert(Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      .contains("truncated central directory"))
+  }
+
   test("payload_md5 matches md5 of the member text") {
     val got = table.select("name", "payload_md5", "text")
       .as[(String, String, String)].collect()
