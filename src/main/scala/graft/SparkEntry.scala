@@ -459,6 +459,14 @@ object SparkEntry {
     "q427_dispersion" -> (C.dispersionIndex _),
     "q428_dsv2_zip" -> (P.dsv2ZipManifest _),
     "q429_mixture_hhi" -> (P.mixtureHhi _),
+    "q430_wds_pairs" -> (P.wdsPairs _),
+    "q431_bradley_terry" -> (C.bradleyTerry _),
+    "q432_cc_star" -> (P.ccStarChains _),
+    "q433_dpo_pairs" -> (P.dpoPairs _),
+    "q434_span_corruption" -> (P.spanCorruption _),
+    "q435_batch_leakage" -> (P.batchLeakage _),
+    "q436_cc_incremental" -> (P.ccIncremental _),
+    "q437_heaps_fit" -> (P.heapsFit _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -3027,15 +3035,25 @@ object SparkEntry {
         | LEFT JOIN counts c
         |  ON c.term = top.term AND c.source = totals.source),
         |stats AS (
-        | SELECT term, round(avg(f), 8) AS mu,
-        |  round(stddev_samp(f), 8) AS sd
-        | FROM grid GROUP BY 1 HAVING round(stddev_samp(f), 8) > 0),
+        | SELECT term, mu, sd FROM (
+        |  SELECT term,
+        |   round(s1 / n, 8) AS mu,
+        |   round(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)), 8)
+        |    AS sd
+        |  FROM (
+        |   SELECT term, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(f AS DECIMAL(20,8))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(f * f, 14) AS DECIMAL(30,14)))
+        |      AS DOUBLE) AS s2
+        |   FROM grid GROUP BY 1))
+        | WHERE sd > 0),
         |z AS (
         | SELECT g.term, g.source, (g.f - st.mu) / st.sd AS z
         | FROM grid g JOIN stats st ON g.term = st.term)
         |SELECT za.source AS sa, zb.source AS sb,
         | CAST(count(*) AS BIGINT) AS n_terms,
-        | round(sum(abs(za.z - zb.z)) / count(*), 4) AS delta
+        | round(CAST(sum(CAST(round(abs(za.z - zb.z), 8)
+        |    AS DECIMAL(20,8))) AS DOUBLE) / count(*), 4) AS delta
         |FROM z za JOIN z zb
         | ON za.term = zb.term AND za.source < zb.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -10691,6 +10709,180 @@ object SparkEntry {
         | round(CAST(s.toks AS DOUBLE) / g.T, 6) AS share,
         | g.hhi, round(1.0 / g.hhi, 4) AS n_effective
         |FROM s, g ORDER BY source""".stripMargin,
+    // q430: the WebDataset pairing audit is a pure function of the
+    // documents table — every doc has a .txt member, docs with
+    // doc_id % 7 != 0 also have a .cls member carrying lang
+    "q430_wds_pairs" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 7 <> 0 THEN 2 ELSE 1 END AS BIGINT)
+        |  AS n_members,
+        | true AS has_txt,
+        | doc_id % 7 <> 0 AS has_cls,
+        | CAST(strlen(text) AS BIGINT) AS txt_size,
+        | CASE WHEN doc_id % 7 <> 0 THEN lang ELSE NULL END AS cls_label,
+        | doc_id % 7 <> 0 AS complete
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q431: the 3-round MM fit unrolls into chained CTEs — per-round
+    // strengths re-rounded to 6 dp, per-opponent terms rounded then
+    // summed as DECIMAL so the reduction is exact and order-free
+    "q431_bradley_terry" -> {
+      def mmRound(prev: String, out: String): String =
+        s"""$out AS (
+           | SELECT s.i, round(CAST(w.wi AS DOUBLE) /
+           |   CAST(sum(CAST(round(s.n / greatest(pa.p + pb.p,
+           |     0.000000001), 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS p
+           | FROM sym s
+           | JOIN $prev pa ON pa.i = s.i
+           | JOIN $prev pb ON pb.i = s.j
+           | JOIN wins w ON w.i = s.i
+           | GROUP BY s.i, w.wi)""".stripMargin
+      s"""WITH c AS (
+        | SELECT user_id, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |duels AS (
+        | SELECT a.event_type AS i, b.event_type AS j,
+        |  CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END AS wi
+        | FROM c a JOIN c b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | WHERE a.cnt <> b.cnt),
+        |pm AS (
+        | SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(wi) AS BIGINT) AS w
+        | FROM duels GROUP BY i, j),
+        |sym AS (
+        | SELECT i, j, n, w FROM pm
+        | UNION ALL
+        | SELECT j AS i, i AS j, n, n - w AS w FROM pm),
+        |wins AS (
+        | SELECT i, CAST(sum(w) AS BIGINT) AS wi,
+        |  CAST(sum(n) AS BIGINT) AS gi
+        | FROM sym GROUP BY i),
+        |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins),
+        |${mmRound("p0", "p1")},
+        |${mmRound("p1", "p2")},
+        |${mmRound("p2", "p3")},
+        |tot AS (
+        | SELECT CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS t
+        | FROM p3)
+        |SELECT w.i AS event_type, w.gi AS games, w.wi AS wins,
+        | p3.p AS strength, round(p3.p / tot.t, 6) AS share
+        |FROM wins w JOIN p3 ON p3.i = w.i CROSS JOIN tot
+        |ORDER BY share DESC, event_type""".stripMargin
+    },
+    // q432: component = min reachable id over the md5-gated chain
+    // edges, the q49 recursive-CTE convention; isolated docs are
+    // their own component
+    "q432_cc_star" -> ccStarOracle,
+    // q436: the incremental merge must equal the full recompute —
+    // q432's oracle VERBATIM is the contract
+    "q436_cc_incremental" -> ccStarOracle,
+    // q433: the q60 quality formula, two mirrored rank windows, and
+    // the margin gate restated verbatim
+    "q433_dpo_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, source, text,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id, source,
+        | round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+        |  + (CASE WHEN length(text) BETWEEN 20 AND 20000
+        |     THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS q
+        | FROM t),
+        |hi AS (SELECT source, doc_id AS chosen_id, q AS chosen_q,
+        | row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+        |  AS k FROM q),
+        |lo AS (SELECT source, doc_id AS rejected_id, q AS rejected_q,
+        | row_number() OVER (PARTITION BY source
+        |   ORDER BY q ASC, doc_id DESC) AS k FROM q),
+        |n AS (SELECT source, count(*) AS n_docs FROM q GROUP BY source)
+        |SELECT hi.source, CAST(hi.k AS INTEGER) AS pair_rank,
+        | chosen_id, rejected_id, chosen_q, rejected_q,
+        | round(chosen_q - rejected_q, 4) AS margin
+        |FROM hi JOIN lo ON hi.source = lo.source AND hi.k = lo.k
+        |JOIN n ON n.source = hi.source
+        |WHERE hi.k <= 3 AND hi.k * 2 <= n.n_docs
+        | AND round(chosen_q - rejected_q, 4) >= 0.05
+        |ORDER BY hi.source, pair_rank""".stripMargin,
+    // q434: pure integer arithmetic — ⌊x/y + 0.5⌋ as (2x+y)//(2y)
+    "q434_span_corruption" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        | (n_tokens * 3 + 10) // 20 AS n_noise FROM t),
+        |sp AS (SELECT doc_id, n_tokens, n_noise,
+        | CASE WHEN n_noise = 0 THEN 0
+        |  ELSE greatest((n_noise * 2 + 3) // 6, 1) END AS n_spans
+        | FROM b)
+        |SELECT doc_id, n_tokens, n_noise, n_spans,
+        | n_tokens - n_noise + n_spans AS inputs_len,
+        | CASE WHEN n_noise = 0 THEN 0
+        |  ELSE n_noise + n_spans + 1 END AS targets_len,
+        | CASE WHEN n_tokens = 0 THEN NULL
+        |  ELSE round(CAST(n_tokens - n_noise + n_spans AS DOUBLE)
+        |    / n_tokens, 4) END AS keep_ratio
+        |FROM sp ORDER BY doc_id""".stripMargin,
+    // q435: the exact J >= 0.7 pair set against hash-assigned batches
+    // of three target sizes; leak counts are integer sums
+    "q435_batch_leakage" ->
+      (s"""WITH pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sizes(bsz) AS (VALUES (16), (64), (256)),
+        |cfg AS (SELECT bsz, (n + bsz - 1) // bsz AS nb FROM sizes, nd),
+        |lk AS (
+        | SELECT c.bsz, c.nb,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN
+        |    CAST(('0x' || substr(md5('batch' || c.bsz || ':' || p.id_a),
+        |      1, 8)) AS BIGINT) % c.nb
+        |    = CAST(('0x' || substr(md5('batch' || c.bsz || ':' || p.id_b),
+        |      1, 8)) AS BIGINT) % c.nb
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        | FROM cfg c CROSS JOIN pairs p GROUP BY c.bsz, c.nb)
+        |SELECT CAST(bsz AS INTEGER) AS batch_size,
+        | CAST(nb AS BIGINT) AS n_batches, n_pairs, n_leaked,
+        | CASE WHEN n_pairs = 0 THEN NULL
+        |  ELSE round(CAST(n_leaked AS DOUBLE) / n_pairs, 6) END AS leak_rate,
+        | round(1.0 / nb, 6) AS expected_rate
+        |FROM lk ORDER BY batch_size""".stripMargin),
+    // q437: ln points rounded to 6 dp, every OLS moment a DECIMAL
+    // term-sum, residuals from the ROUNDED published fit
+    "q437_heaps_fit" ->
+      """WITH toks AS (
+        | SELECT source,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents WHERE len(trim(text)) > 0),
+        |pt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |pts AS (
+        | SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(ln(CAST(sum(cnt) AS DOUBLE)), 6) AS x,
+        |  round(ln(CAST(count(*) AS DOUBLE)), 6) AS y
+        | FROM pt GROUP BY source),
+        |mom AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(round(x*x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(round(x*y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(round(y*y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        | FROM pts),
+        |fit0 AS (SELECT n, sx, sy, sxx, sxy, syy,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta FROM mom),
+        |fit AS (SELECT beta,
+        |  round((sy - beta*sx) / n, 6) AS ln_k,
+        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        | FROM fit0)
+        |SELECT p.source, p.n_tokens, p.vocab, f.beta, f.ln_k, f.r2,
+        | round(p.y - f.ln_k - f.beta * p.x, 4) AS ln_resid
+        |FROM pts p CROSS JOIN fit f ORDER BY p.source""".stripMargin,
   )
 
   private val q45OracleSql: String =
@@ -10729,6 +10921,27 @@ object SparkEntry {
        |      FROM $child GROUP BY 1) c
        |FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS isp
        |                 FROM $parent) p USING (k)""".stripMargin
+
+  /** q432/q436's shared oracle: component = min reachable id over the
+    * md5-gated chain edges (the q49 recursive-CTE convention);
+    * isolated docs are their own component. */
+  private val ccStarOracle: String =
+    """WITH RECURSIVE e0 AS (
+      | SELECT d.doc_id AS a, d.doc_id + 1 AS b
+      | FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      | WHERE CAST(('0x' || substr(md5('ccstar:' || d.doc_id), 1, 8))
+      |   AS BIGINT) % 4 <> 0),
+      |edges AS (
+      | SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |reach(src, dst) AS (
+      | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      | UNION
+      | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |lab AS (SELECT src AS doc_id, min(dst) AS comp
+      | FROM reach GROUP BY src)
+      |SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp_id
+      |FROM documents d LEFT JOIN lab l USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   private def jaccardPairOracle(threshold: Double): String =
     s"""WITH toks AS (

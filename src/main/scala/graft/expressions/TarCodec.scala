@@ -45,19 +45,30 @@ case class TarBytes(child: Expression, gzipMembers: Boolean)
     case ArrayType(StructType(Array(
         StructField(_, LongType, _, _), StructField(_, StringType, _, _))), _) =>
       TypeCheckResult.TypeCheckSuccess
+    // named-member form: struct<name: string, text: string> — the
+    // WebDataset paired-sample convention (`<key>.txt` + `<key>.cls`
+    // members adjacent in one shard); names are used verbatim
+    case ArrayType(StructType(Array(
+        StructField(_, StringType, _, _), StructField(_, StringType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_tar_bytes requires array<struct<long, string>>, got $t")
+      s"graft_tar_bytes requires array<struct<long, string>> or array<struct<string, string>>, got $t")
   }
   override def dataType: DataType = BinaryType
   override def prettyName: String =
     if (gzipMembers) "graft_targz_bytes" else "graft_tar_bytes"
 
+  private lazy val namedMembers: Boolean = child.dataType match {
+    case ArrayType(StructType(Array(StructField(_, StringType, _, _), _)), _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any =
-    TarBytes.build(input.asInstanceOf[ArrayData], gzipMembers)
+    TarBytes.build(input.asInstanceOf[ArrayData], gzipMembers, namedMembers)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.TarBytes.build($c, $gzipMembers);")
+      s"${ev.value} = graft.expressions.TarBytes.build($c, $gzipMembers, $namedMembers);")
 
   override protected def withNewChildInternal(newChild: Expression): TarBytes =
     copy(child = newChild)
@@ -74,7 +85,8 @@ object TarBytes {
   }
 
   /** Public + static-shaped so generated code can call it. */
-  def build(members: ArrayData, gzipMembers: Boolean): Array[Byte] = {
+  def build(members: ArrayData, gzipMembers: Boolean,
+      namedMembers: Boolean = false): Array[Byte] = {
     val n = members.numElements()
     var total = 2 * Block
     val payloads = new Array[Array[Byte]](n)
@@ -83,8 +95,15 @@ object TarBytes {
     while (i < n) {
       val row = members.getStruct(i, 2)
       val raw = row.getUTF8String(1).toString.getBytes("UTF-8")
-      names(i) = row.getLong(0).toString +
-        (if (gzipMembers) ".txt.gz" else ".txt")
+      names(i) =
+        if (namedMembers) {
+          val nm = row.getUTF8String(0).toString
+          require(nm.nonEmpty && nm.length <= 100 &&
+            nm.forall(c => c > 0 && c < 128),
+            s"tar member name must be 1-100 ASCII chars, got '$nm'")
+          nm
+        } else row.getLong(0).toString +
+          (if (gzipMembers) ".txt.gz" else ".txt")
       payloads(i) = if (gzipMembers) gzip(raw) else raw
       total += Block + ((payloads(i).length + Block - 1) / Block) * Block
       i += 1

@@ -216,6 +216,88 @@ object GraphOps {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the 100 TB-scale alternative to
+    * [[connectedComponents]]'s min-label propagation. Min-propagation
+    * needs O(diameter) rounds, which on path-shaped similarity chains
+    * (dedup graphs routinely contain them) means thousands of shuffles;
+    * star contraction converges in O(log² n) rounds REGARDLESS of
+    * diameter, each round two groupBy-shuffles on node id:
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ u) — long tails fold onto their local minimum;
+    *   - small-star(u): edges oriented child>parent, every parent
+    *     (plus u) re-attaches to the minimum parent — stars flatten.
+    *
+    * Fixpoint when the edge set stops changing (signature = count +
+    * order-free checksum of canonical edges, one tiny agg per round —
+    * the in-flight-convergence-flag discipline of the other fixpoints
+    * here). Returns `(node, comp)` with comp = the component's minimum
+    * node id, same contract as [[connectedComponents]] — nodes that
+    * appear in `edges` only; callers union isolated nodes themselves.
+    * Self-loops are dropped; the input need not be symmetrized. */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    // canonical undirected form (min, max): one row per edge
+    var e = checkpointed(
+      e0.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct())
+    def signature(df: DataFrame): (Long, Long) = {
+      // order-free, overflow-free checksum: XOR of per-edge hashes
+      // (edges are distinct, so no cancellation pairs exist)
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      // large-star: group the SYMMETRIZED adjacency by u; neighbors
+      // larger than u re-attach to min(N(u) ∪ u)
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val large = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"),
+          collect_list(when(col("v") > col("u"), col("v"))).as("bigs"))
+        .select(explode(col("bigs")).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+      val afterLarge = checkpointed(large)
+      free(e)
+      // small-star: orient child = max endpoint; child and all its
+      // parents re-attach to the minimum parent
+      val small = afterLarge
+        .select(col("v").as("child"), col("u").as("parent"))
+        .groupBy("child")
+        .agg(min(col("parent")).as("m"),
+          collect_list(col("parent")).as("parents"))
+        .select(col("m"),
+          explode(array_union(col("parents"), array(col("child")))).as("n"))
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .distinct()
+      val next = checkpointed(small)
+      free(afterLarge)
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      e = next
+      round += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // at the fixpoint the edge set is a star forest: (root, child)
+    e.select(col("v").as("node"), col("u").as("comp"))
+      .union(e.select(col("u").as("node"), col("u").as("comp")))
+      .distinct()
+  }
+
   /** Fixed-iteration PageRank over a DIRECTED edge set — the classic
     * link-quality signal of web-corpus curation (host/URL ranking as a
     * keep/drop feature). `pr' = (1-d)/N + d·Σ_in pr/outdeg`, iterated a

@@ -567,6 +567,14 @@ object Multimodal {
   def tarBytes(members: Column): Column =
     call_function("graft_tar_bytes", members)
 
+  /** [[tarBytes]] with caller-controlled member names — `members` is
+    * the shard's ordered `array<struct<name: string, text: string>>`
+    * (names verbatim, 1-100 ASCII chars). The WebDataset paired-sample
+    * convention: a training sample is ALL members sharing a key stem
+    * (`<key>.txt` + `<key>.cls` + …), adjacent in one shard. */
+  def tarBytesNamed(members: Column): Column =
+    call_function("graft_tar_bytes", members)
+
   /** [[tarBytes]] with per-member GZIP payloads (`<doc_id>.txt.gz`) —
     * the WebDataset `.gz` member convention. Compressed bytes have no
     * SQL closed form; the walker's `content_*` fields (inflated,

@@ -5409,9 +5409,22 @@ object PipelineQueries {
     val grid = top.crossJoin(totals.select("source"))
       .join(freqs, Seq("term", "source"), "left")
       .withColumn("f", coalesce(col("f"), lit(0.0)))
+    // mean/std from exact fixed-point moments (the q431 convention):
+    // the 8-dp-pinned f values sum as DECIMAL, f² terms are re-pinned
+    // to 14 dp first — round 12 caught this query flipping a delta's
+    // 4th decimal run-to-run because avg/stddev_samp/sum are unordered
+    // float reductions whose partial-aggregation order is
+    // nondeterministic; every reduction below is now order-free
     val stats = grid.groupBy("term")
-      .agg(M.oracleRound(avg("f"), 8).as("mu"),
-        M.oracleRound(stddev_samp(col("f")), 8).as("sd"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("f").cast("decimal(20,8)")).cast("double").as("s1"),
+        sum(M.oracleRound(col("f") * col("f"), 14).cast("decimal(30,14)"))
+          .cast("double").as("s2"))
+      .select(col("term"),
+        M.oracleRound(col("s1") / col("n"), 8).as("mu"),
+        M.oracleRound(sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1), lit(0.0))), 8).as("sd"))
       .filter(col("sd") > 0)
     val z = grid.join(broadcast(stats), Seq("term"))
       .select(col("term"), col("source"),
@@ -5422,7 +5435,9 @@ object PipelineQueries {
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("n_terms"),
-        M.oracleRound(sum(abs(col("za") - col("zb"))) / count(lit(1)), 4)
+        M.oracleRound(
+          sum(M.oracleRound(abs(col("za") - col("zb")), 8)
+            .cast("decimal(20,8)")).cast("double") / count(lit(1)), 4)
           .as("delta"))
       .orderBy("sa", "sb")
   }
@@ -5783,5 +5798,301 @@ object PipelineQueries {
     out.toDF("symbol", "freq", "code_len")
       .select(col("symbol"), col("freq"), col("code_len").cast("int"))
       .orderBy("symbol")
+  }
+
+  /** q430's shard-file stage — WebDataset PAIRED-member tar shards:
+    * every doc contributes `<doc_id>.txt` (the text payload) and,
+    * when `doc_id % 7 != 0`, a `<doc_id>.cls` class-label member (the
+    * lang column) — one in seven samples is deliberately incomplete,
+    * the real-world condition a pairing stage must surface. Members
+    * are name-sorted, so a sample's members are ADJACENT in the shard
+    * (the WebDataset sequential-read contract). Same executor-side
+    * writer + shared-filesystem caveat as [[tarShardDir]]. */
+  private val wdsFileStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def wdsShardDir(s: SparkSession, dir: String): String =
+    wdsFileStage.getOrElseUpdate((s, dir), {
+      val base = newStageDir("graft_wds_").toString
+      val docs = Tables.documents(s, dir)
+      val txt = docs.select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        col("text").as("payload"))
+      val cls = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".cls")).as("name"),
+          col("lang").as("payload"))
+      txt.union(cls)
+        .select((col("doc_id") / 50).cast("long").as("shard"),
+          struct(col("name"), col("payload")).as("m"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(col("m"))).as("members"))
+        .select(col("shard"), Multimodal.tarBytesNamed(col("members")).as("t"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(base,
+                  f"shard-${r.getLong(0)}%05d.tar"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+      base
+    })
+
+  // q430: WebDataset paired-sample assembly — the training-loader's
+  // first move over a multimodal lake: read tar shards through the
+  // DataSourceV2 scan, group members by key stem, and emit one row
+  // per SAMPLE with completeness flags (has_txt/has_cls/complete),
+  // the text member's byte size, and the class payload. One in seven
+  // samples ships without its .cls member (the stage plants them),
+  // so the completeness audit has real negatives. Scale shape: the
+  // pairing is a groupBy on the key stem — at 100 TB that shuffle
+  // disappears when the loader relies on the shard-internal
+  // name-adjacency this stage writes (members of a sample are
+  // adjacent, so a per-shard mapPartitions pairs without shuffle);
+  // the groupBy form here is the general case that also repairs
+  // shards where adjacency is NOT guaranteed. Oracle: names, sizes,
+  // and labels are pure functions of the documents table.
+  def wdsPairs(s: SparkSession, dir: String): DataFrame = {
+    val stage = wdsShardDir(s, dir)
+    val members = s.read.format("graft-tar").load(stage)
+      .select(col("name"), col("size"), col("text"))
+      .withColumn("key",
+        split(col("name"), "\\.").getItem(0).cast("long"))
+      .withColumn("ext", split(col("name"), "\\.").getItem(1))
+    members.groupBy(col("key").as("doc_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("ext") === "txt", 1L)).isNotNull.as("has_txt"),
+        max(when(col("ext") === "cls", 1L)).isNotNull.as("has_cls"),
+        max(when(col("ext") === "txt", col("size"))).as("txt_size"),
+        max(when(col("ext") === "cls", col("text"))).as("cls_label"))
+      .withColumn("complete", col("has_txt") && col("has_cls"))
+      .orderBy("doc_id")
+  }
+
+  // q432: near-dup-graph canonicalization by large-star/small-star
+  // contraction ([[graft.graph.GraphOps.connectedComponentsStar]]) —
+  // the O(log² n)-round connected components that makes million-member
+  // dup chains tractable at 100 TB (min-propagation pays one shuffle
+  // round PER HOP of component diameter; star contraction collapses a
+  // path in logarithmic rounds). The gate graph is deliberately
+  // path-shaped: chain edges (i, i+1) gated by an md5 bucket, giving
+  // hundreds of variable-length chains — the exact topology
+  // min-propagation handles worst. Isolated docs stay their own
+  // component. Oracle: recursive-CTE reachability (component = min
+  // reachable id), the q49 convention.
+  def ccStarChains(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val gated = ids
+      .filter(CorpusOps.hashBucket(col("doc_id"), "ccstar", 4) =!= 0)
+      .select(col("doc_id").as("src"))
+    val edges = gated.join(ids.select(col("doc_id").as("dst")),
+        col("dst") === col("src") + 1)
+      .select(col("src"), col("dst"))
+    val labels = graft.graph.GraphOps.connectedComponentsStar(edges)
+    ids.join(labels, ids("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp_id"))
+      .orderBy("doc_id")
+  }
+
+  // q433: DPO/RLHF preference-pair construction — per source domain,
+  // pair the k-th best document with the k-th worst by the q25/q60
+  // rounded quality score (k ≤ 3 and k ≤ ⌊n/2⌋, so chosen ≠ rejected
+  // by construction), keep pairs whose quality margin clears 0.05.
+  // Deterministic tie-breaks: best ranks (quality desc, doc_id asc),
+  // worst ranks (quality asc, doc_id desc) — mirrored, so a fully
+  // tied group pairs its extremes, not one doc with itself. Scale
+  // shape: two rank windows over the same domain-keyed shuffle, then
+  // a tiny equi-join on (source, rank) — the 100 TB cost is one
+  // shuffle of the scored corpus, and the scores ride the scan.
+  def dpoPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        T.qualityScore(col("text")).as("q"))
+    val hi = scored.withColumn("k", row_number().over(
+        Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))))
+      .select(col("source"), col("k"), col("doc_id").as("chosen_id"),
+        col("q").as("chosen_q"))
+    val lo = scored.withColumn("k", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("q").asc, col("doc_id").desc)))
+      .select(col("source").as("__src2"), col("k").as("__k2"),
+        col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+    val n = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    hi.join(lo, col("source") === col("__src2") && col("k") === col("__k2"))
+      .join(n, "source")
+      .filter(col("k") <= 3 && col("k") * 2 <= col("n_docs"))
+      .withColumn("margin",
+        M.oracleRound(col("chosen_q") - col("rejected_q"), 4))
+      .filter(col("margin") >= 0.05)
+      .select(col("source"), col("k").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_q"), col("rejected_q"), col("margin"))
+      .orderBy("source", "pair_rank")
+  }
+
+  // q435: training-batch leakage audit — contrastive/in-batch-negative
+  // training silently degrades when near-duplicate documents land in
+  // the SAME batch (the "false negative" pair). Batches are
+  // hash-assigned (expected size B — the only assignment that stays
+  // map-only at 100 TB; exact-size batching needs a corpus-wide order,
+  // the anti-pattern this engine avoids), and the audit counts
+  // verified near-dup pairs (the shared q49 J ≥ 0.7 pair stage) that
+  // collide in one batch, against the 1/n_batches collision rate an
+  // independent assignment would give. Three target sizes in one pass.
+  def batchLeakage(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir).count()
+    val pairs = nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+    val perSize = Seq(16, 64, 256).map { bsz =>
+      val nb = ((nDocs + bsz - 1) / bsz).toInt
+      val salt = s"batch$bsz"
+      pairs
+        .withColumn("leaked",
+          (CorpusOps.hashBucket(col("id_a"), salt, nb) ===
+            CorpusOps.hashBucket(col("id_b"), salt, nb)).cast("long"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("leaked")).as("n_leaked"))
+        .select(lit(bsz).as("batch_size"), lit(nb.toLong).as("n_batches"),
+          col("n_pairs"), col("n_leaked"))
+    }
+    perSize.reduce(_.unionAll(_))
+      .withColumn("leak_rate",
+        when(col("n_pairs") === 0, lit(null).cast("double"))
+          .otherwise(M.oracleRound(
+            col("n_leaked").cast("double") / col("n_pairs"), 6)))
+      .withColumn("expected_rate",
+        M.oracleRound(lit(1.0) / col("n_batches"), 6))
+      .orderBy("batch_size")
+  }
+
+  // q436: INCREMENTAL connected components — the production shape of
+  // q432: yesterday's labels are already materialized, today only new
+  // edges arrive. Old components contract to supernodes (each new
+  // edge's endpoints map through the old labels), star contraction
+  // runs on that contracted graph only — work scales with the NEW
+  // edge volume plus touched components, never the full history —
+  // and the final label composes node → old root → merged root.
+  // Composition is exact because labels are component MINIMA: the
+  // merged root is the min over supernode ids, which is the min over
+  // all member ids. Gate: the incremental result must equal the full
+  // recompute — the oracle is q432's recursive CTE verbatim.
+  def ccIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val gated = ids
+      .filter(CorpusOps.hashBucket(col("doc_id"), "ccstar", 4) =!= 0)
+      .select(col("doc_id").as("src"))
+    val edges = gated.join(ids.select(col("doc_id").as("dst")),
+        col("dst") === col("src") + 1)
+      .select(col("src"), col("dst"))
+    val isOld = CorpusOps.hashBucket(col("src"), "ccinc", 2) === 0
+    val l1 = graft.graph.GraphOps
+      .connectedComponentsStar(edges.filter(isOld))
+      .localCheckpoint()
+    val mapped = edges.filter(!isOld)
+      .join(l1.select(col("node").as("src"), col("comp").as("__ca")),
+        Seq("src"), "left")
+      .join(l1.select(col("node").as("dst"), col("comp").as("__cb")),
+        Seq("dst"), "left")
+      .select(coalesce(col("__ca"), col("src")).as("a"),
+        coalesce(col("__cb"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val l2 = graft.graph.GraphOps.connectedComponentsStar(mapped)
+    ids
+      .join(l1.select(col("node").as("doc_id"), col("comp").as("__c1")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c1"), col("doc_id")).as("mid"))
+      .join(l2.select(col("node").as("mid"), col("comp").as("__c2")),
+        Seq("mid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c2"), col("mid")).as("comp_id"))
+      .orderBy("doc_id")
+  }
+
+  // q437: Heaps'-law fit — vocabulary growth V ≈ k·N^β across the
+  // corpus's source domains, the classic sublinear law (β ≈ 0.4-0.6
+  // for natural text) that sizes tokenizer vocabularies and predicts
+  // distinct-token volume at 100 TB from small-corpus points. Per
+  // source: N = token occurrences, V = distinct tokens (two-stage
+  // distinct — groupBy(source, token) then count — never a
+  // corpus-wide countDistinct state). OLS on (ln N, ln V): the ln
+  // terms are rounded to 6 dp and every moment is a DECIMAL term-sum
+  // (the q431 convention), so the one unordered reduction is exact;
+  // slope/intercept/r² come off those exact moments. Per-source
+  // residuals use the ROUNDED published fit, so they are reproducible
+  // from the table alone.
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val perTok = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val pts = perTok.groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"))
+      .withColumn("x", M.oracleRound(log(col("n_tokens")), 6))
+      .withColumn("y", M.oracleRound(log(col("vocab")), 6))
+      .localCheckpoint()
+    val mom = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+      sum(M.oracleRound(col("x") * col("x"), 6).cast("decimal(28,6)"))
+        .cast("double").as("sxx"),
+      sum(M.oracleRound(col("x") * col("y"), 6).cast("decimal(28,6)"))
+        .cast("double").as("sxy"),
+      sum(M.oracleRound(col("y") * col("y"), 6).cast("decimal(28,6)"))
+        .cast("double").as("syy"))
+    val fit = mom.select(
+      M.oracleRound((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+      col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+      .select(col("beta"),
+        M.oracleRound((col("sy") - col("beta") * col("sx")) / col("n"), 6)
+          .as("ln_k"),
+        M.oracleRound(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("beta"), col("ln_k"), col("r2"),
+        M.oracleRound(col("y") - col("ln_k") - col("beta") * col("x"), 4)
+          .as("ln_resid"))
+      .orderBy("source")
+  }
+
+  // q434: T5/UL2 span-corruption budget plan — the objective-
+  // construction arithmetic a denoising-pretraining pipeline runs per
+  // document BEFORE tokenizing in anger: noise budget
+  // ⌊0.15·n + 0.5⌋, span count ⌊noise/3 + 0.5⌋ (mean span 3, ≥1 when
+  // any noise), encoder length n − noise + spans (one sentinel per
+  // span), decoder length noise + spans + 1 (sentinels + EOS). All
+  // integer arithmetic — `⌊x/y + 0.5⌋` computed as (2x+y)/(2y) in
+  // integers, so the oracle is exact, no float thresholds. Map-only:
+  // at 100 TB this is a free column on the scan feeding the packing
+  // planner (q70/q99).
+  def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val n = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_noise", expr("(n_tokens * 3 + 10) div 20"))
+      .withColumn("n_spans",
+        when(col("n_noise") === 0, lit(0L))
+          .otherwise(greatest(expr("(n_noise * 2 + 3) div 6"), lit(1L))))
+      .withColumn("inputs_len",
+        col("n_tokens") - col("n_noise") + col("n_spans"))
+      .withColumn("targets_len",
+        when(col("n_noise") === 0, lit(0L))
+          .otherwise(col("n_noise") + col("n_spans") + 1))
+      .withColumn("keep_ratio",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(M.oracleRound(
+            col("inputs_len").cast("double") / col("n_tokens"), 4)))
+      .orderBy("doc_id")
   }
 }

@@ -110,6 +110,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCorePeel(edges, k = 6, iters = 3).count() == 0L)
   }
 
+  test("connectedComponentsStar: path graph, stars, and parity with min-propagation") {
+    // a 12-node path: diameter 11, the case min-propagation pays 11
+    // rounds for and star contraction collapses in O(log)
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponentsStar(path)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 11L).map(_ -> 0L).toMap, s"one path component, got $got")
+    // multiple components + reversed/duplicated/self-loop edges
+    val messy = Seq((5L, 3L), (3L, 5L), (3L, 4L), (9L, 9L),
+      (20L, 21L), (22L, 21L), (40L, 41L)).toDF("src", "dst")
+    val gotMessy = GraphOps.connectedComponentsStar(messy)
+      .as[(Long, Long)].collect().toMap
+    assert(gotMessy == Map(3L -> 3L, 4L -> 3L, 5L -> 3L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 40L -> 40L, 41L -> 40L))
+    // parity with the min-propagation implementation on a mixed graph
+    val mixed = ((0L until 30L).map(i => (i, i + 1)) ++
+      Seq((50L, 60L), (60L, 70L), (80L, 81L))).toDF("src", "dst")
+    val star = GraphOps.connectedComponentsStar(mixed)
+      .as[(Long, Long)].collect().toMap
+    val prop = GraphOps.connectedComponents(mixed.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop, "star contraction must agree with min-propagation")
+  }
+
   test("hits: iters = 0 is rejected up front, not an NPE at union time") {
     val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {

@@ -1426,6 +1426,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(walkOf(badGz), "GZIP CRC violation must reject")
   }
 
+  test("multimodal: NAMED-member tar (WebDataset pairing) — real tar, adjacency, validation") {
+    import java.nio.file.Files
+    import sys.process._
+    // paired sample members: <key>.txt + <key>.cls, name-sorted so a
+    // sample's members are ADJACENT (the WebDataset sequential-read
+    // contract q430 stages)
+    val members = Seq(("10.cls", "en"), ("10.txt", "hello"),
+      ("11.txt", "orphan"), ("12.cls", "fr"), ("12.txt", "monde"))
+    val bytes = members.toDF("name", "payload")
+      .agg(sort_array(collect_list(struct(col("name"), col("payload"))))
+        .as("members"))
+      .select(Multimodal.tarBytesNamed(col("members")).as("t"))
+      .as[Array[Byte]].head()
+    val f = Files.createTempFile("graft_named", ".tar")
+    Files.write(f, bytes)
+    val listed = Seq("tar", "-tf", f.toString).!!.trim.split("\n").toSeq
+    assert(listed == members.map(_._1),
+      s"GNU tar must list verbatim names in member order: $listed")
+    assert(Seq("tar", "-xOf", f.toString, "12.txt").!!.stripLineEnd == "monde")
+    // the walker sees the same names; same-key members are adjacent
+    val walked = Seq(("s", bytes)).toDF("k", "t")
+      .select(Multimodal.tarEntries(col("t")).as("w"))
+      .select(col("w.entries"))
+      .as[Seq[(Int, String, Long, String, Long, String)]].head()
+    assert(walked.map(_._2) == members.map(_._1))
+    val keys = walked.map(_._2.split("\\.")(0))
+    assert(keys.distinct.flatMap(k => keys.filter(_ == k)) == keys,
+      "same-key members must be adjacent")
+    // name validation: over-long and non-ASCII names are rejected
+    def buildOf(nm: String): Unit =
+      Seq((nm, "x")).toDF("name", "payload")
+        .agg(collect_list(struct(col("name"), col("payload"))).as("m"))
+        .select(Multimodal.tarBytesNamed(col("m")))
+        .collect()
+    intercept[Exception](buildOf("a" * 101))
+    intercept[Exception](buildOf("naïve.txt"))
+  }
+
   test("multimodal: PPM parse on hand-built bytes, multi-digit dims, rejects") {
     // hand-built 2x1 P6: pixels (0,128,255) and (1,2,3) — means known
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
