@@ -42,7 +42,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // round-11 heavy additions (same ~3-4x-measured ceiling rule)
     "q410_hits" -> 4.0, // measured 1.06 MB
     "q417_ktruss" -> 10.0, // measured 2.65 MB
-    "q418_ppr" -> 3.0) // measured 0.57 MB
+    "q418_ppr" -> 3.0, // measured 0.57 MB
+    // round-12 star-contraction CC pair (iterative — a regression that
+    // stops converging shows up as extra rounds of shuffle bytes here)
+    "q432_cc_star" -> 1.5, // measured 0.13 MB
+    "q436_cc_incremental" -> 1.5) // measured 0.12 MB
 
   test("the shuffle-heaviest queries stay under their pinned shuffle-read ceilings") {
     val read = new java.util.concurrent.atomic.AtomicLong(0L)
