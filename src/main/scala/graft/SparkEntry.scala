@@ -467,6 +467,9 @@ object SparkEntry {
     "q435_batch_leakage" -> (P.batchLeakage _),
     "q436_cc_incremental" -> (P.ccIncremental _),
     "q437_heaps_fit" -> (P.heapsFit _),
+    "q438_seasonal_decomp" -> (C.seasonalDecomp _),
+    "q439_join_synopsis" -> (C.joinSizeSynopsis _),
+    "q440_band_rewrite" -> (C.rangeClickViewRewrite _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10883,6 +10886,84 @@ object SparkEntry {
         |SELECT p.source, p.n_tokens, p.vocab, f.beta, f.ln_k, f.r2,
         | round(p.y - f.ln_k - f.beta * p.x, 4) AS ln_resid
         |FROM pts p CROSS JOIN fit f ORDER BY p.source""".stripMargin,
+    // q438: centered-MA trend is an exact windowed integer sum / 7;
+    // the seasonal means are rounded-term DECIMAL sums; dow from
+    // epoch-day mod 7
+    "q438_seasonal_decomp" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |t AS (
+        | SELECT day, y,
+        |  CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+        |  row_number() OVER (ORDER BY day) AS rn,
+        |  count(*) OVER () AS n,
+        |  sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING) AS s7
+        | FROM d),
+        |tr AS (
+        | SELECT day, dow, y,
+        |  CASE WHEN rn >= 4 AND rn <= n - 3
+        |   THEN round(CAST(s7 AS DOUBLE) / 7, 6) END AS trend
+        | FROM t),
+        |det AS (
+        | SELECT day, dow, y, trend,
+        |  CASE WHEN trend IS NOT NULL THEN round(y - trend, 6) END AS det
+        | FROM tr),
+        |sd AS (
+        | SELECT dow,
+        |  round(CAST(sum(CAST(det AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(*), 6) AS s_raw
+        | FROM det WHERE det IS NOT NULL GROUP BY 1),
+        |sm AS (
+        | SELECT round(CAST(sum(CAST(s_raw AS DECIMAL(20,6))) AS DOUBLE)
+        |   / 7, 6) AS sbar FROM sd),
+        |se AS (SELECT dow, round(s_raw - sm.sbar, 6) AS seasonal
+        |       FROM sd CROSS JOIN sm)
+        |SELECT det.day, det.dow, det.y, det.trend, se.seasonal,
+        | CASE WHEN det.trend IS NOT NULL
+        |  THEN round(det.y - det.trend - se.seasonal, 4) END AS remainder
+        |FROM det JOIN se ON det.dow = se.dow
+        |ORDER BY det.day""".stripMargin,
+    // q439: both numbers from per-side aggregates — the exact size via
+    // a degree-histogram join, never the wide join itself
+    "q439_join_synopsis" -> {
+      def leg(name: String, ta: String, ka: String, kb: String): String =
+        s"""SELECT '$name' AS join_key,
+           | sa.rows_a, sb.rows_b, sa.ndv_a, sb.ndv_b,
+           | round(CAST(sa.rows_a AS DOUBLE) * sb.rows_b
+           |   / greatest(sa.ndv_a, sb.ndv_b), 4) AS est_sysr,
+           | ac.actual,
+           | round(round(CAST(sa.rows_a AS DOUBLE) * sb.rows_b
+           |   / greatest(sa.ndv_a, sb.ndv_b), 4)
+           |   / ac.actual, 4) AS err_ratio
+           |FROM
+           | (SELECT CAST(count(*) AS BIGINT) AS rows_a,
+           |   CAST(count(DISTINCT $ka) AS BIGINT) AS ndv_a FROM $ta) sa,
+           | (SELECT CAST(count(*) AS BIGINT) AS rows_b,
+           |   CAST(count(DISTINCT $kb) AS BIGINT) AS ndv_b FROM lineitem) sb,
+           | (SELECT CAST(sum(d * d2) AS BIGINT) AS actual FROM
+           |   (SELECT $ka AS k, count(*) AS d FROM $ta GROUP BY 1) da
+           |   JOIN (SELECT $kb AS k, CAST(count(*) AS BIGINT) AS d2
+           |         FROM lineitem GROUP BY 1) db USING (k)) ac""".stripMargin
+      s"""${leg("orderkey", "orders", "o_orderkey", "l_orderkey")}
+         |UNION ALL
+         |${leg("partkey", "part", "p_partkey", "l_partkey")}
+         |UNION ALL
+         |${leg("suppkey", "supplier", "s_suppkey", "l_suppkey")}
+         |ORDER BY join_key""".stripMargin
+    },
+    // q440: plain-syntax band join through the optimizer rewrite —
+    // q323's oracle verbatim (the two plans must be row-identical)
+    "q440_band_rewrite" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        | c.us - v.us AS gap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandStrategy)
+    // …and the optimizer rule that reroutes PLAIN-syntax band joins
+    // (lk === rk && abs(lt − rt) <= lit(gap)) to the native operator,
+    // so users get the merge-pass plan without knowing the API exists
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 

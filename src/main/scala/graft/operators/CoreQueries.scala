@@ -3646,6 +3646,30 @@ object CoreQueries {
       .orderBy("click_id", "view_id")
   }
 
+  // q440: q323's banded range join written in PLAIN join syntax —
+  // `clicks.join(views, user === vuser && abs(us − vus) <= gap)` —
+  // with NO explicit native API call: the [[graft.plans
+  // .BandJoinRewrite]] optimizer rule must recognize the shape and
+  // reroute it to BandJoinExec (BandRewriteSpec pins the plan; this
+  // gate pins the rows against the same oracle as q66/q323). This is
+  // the contract that matters at 100 TB: users write the obvious
+  // join, the engine supplies the merge-pass plan — not the hash
+  // join whose per-hot-key cross product lands in one task.
+  def rangeClickViewRewrite(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("us").as("vus"))
+    clicks.join(views,
+        col("user_id") === col("vuser") &&
+          abs(col("us") - col("vus")) <= lit(1800000000L))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (col("us") - col("vus")).as("gap_us"))
+      .orderBy("click_id", "view_id")
+  }
+
   // q324: Adamic-Adar link prediction over the q92/q238 co-purchase
   // graph — for each NON-adjacent pair sharing ≥1 neighbor,
   // aa(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) (rare shared neighbors
@@ -6316,6 +6340,99 @@ object CoreQueries {
         col("flipped"))
       .unionAll(pooled.withColumn("flipped", lit(false)))
       .orderBy("scope")
+  }
+
+  // q438: classical additive seasonal decomposition (STL-lite) of the
+  // daily event series — trend = CENTERED 7-day moving average (exact:
+  // a windowed integer sum over 7 days divided once), seasonal =
+  // per-day-of-week mean of the detrended series re-centered to sum
+  // zero, remainder = y − trend − seasonal. The capacity-planning
+  // decomposition next to the q408 Holt recursion and q355
+  // periodogram: weekly shape isolated from level drift. Every float
+  // reduction is a rounded-term DECIMAL sum (the q336 lesson);
+  // day-of-week comes from epoch-day mod 7 so both engines share one
+  // integer convention. Days-sized frame after one keyed count —
+  // the single-partition windows run on ~90 rows by construction.
+  def seasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("int"))
+      .coalesce(1)
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val wn = Window.orderBy("day")
+    val trended = daily
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("trend",
+        when(col("rn") >= 4 && col("rn") <= col("n") - 3,
+          M.oracleRound(sum(col("y")).over(w7).cast("double") / 7, 6)))
+      .withColumn("det",
+        when(col("trend").isNotNull,
+          M.oracleRound(col("y") - col("trend"), 6)))
+      .localCheckpoint()
+    val sdow = trended.filter(col("det").isNotNull)
+      .groupBy("dow")
+      .agg(M.oracleRound(
+        sum(col("det").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("s_raw"))
+    val smean = sdow.agg(M.oracleRound(
+      sum(col("s_raw").cast("decimal(20,6)")).cast("double") / 7, 6)
+      .as("sbar"))
+    val seasonal = sdow.crossJoin(broadcast(smean))
+      .select(col("dow"),
+        M.oracleRound(col("s_raw") - col("sbar"), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("dow"), col("y"), col("trend"),
+        col("seasonal"),
+        when(col("trend").isNotNull, M.oracleRound(
+          col("y") - col("trend") - col("seasonal"), 4)).as("remainder"))
+      .orderBy("day")
+  }
+
+  // q439: join-cardinality synopsis audit — the System-R/CBO estimate
+  // |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) scored against the EXACT join
+  // size Σ_k d_A(k)·d_B(k), for the three fact-dimension keys. Both
+  // numbers come from per-side aggregates only — the exact size via a
+  // degree-histogram join (never executing the wide join to measure
+  // it), which is precisely how a 100 TB planner should size a join
+  // from synopses. err_ratio = estimate/actual exposes where the
+  // uniformity assumption breaks (skewed degree distributions).
+  def joinSizeSynopsis(s: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, key: String): (DataFrame, DataFrame) = {
+      val deg = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("d"))
+      val stats = deg.agg(sum(col("d")).as("rows"),
+        count(lit(1)).as("ndv"))
+      (deg, stats)
+    }
+    def audit(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val (da, sa) = side(a, ka)
+      val (db, sb) = side(b, kb)
+      val actual = da.join(db.select(col("k"), col("d").as("d2")), "k")
+        .agg(sum(col("d") * col("d2")).as("actual"))
+      sa.select(col("rows").as("rows_a"), col("ndv").as("ndv_a"))
+        .crossJoin(sb.select(col("rows").as("rows_b"), col("ndv").as("ndv_b")))
+        .crossJoin(actual)
+        .select(lit(name).as("join_key"),
+          col("rows_a"), col("rows_b"), col("ndv_a"), col("ndv_b"),
+          M.oracleRound(col("rows_a").cast("double") * col("rows_b") /
+            greatest(col("ndv_a"), col("ndv_b")), 4).as("est_sysr"),
+          col("actual"))
+        .withColumn("err_ratio", M.oracleRound(
+          col("est_sysr").cast("double") / col("actual"), 4))
+    }
+    val li = Tables.lineitem(s, dir)
+    audit("orderkey", Tables.orders(s, dir), "o_orderkey", li, "l_orderkey")
+      .unionAll(audit("partkey", Tables.part(s, dir), "p_partkey",
+        li, "l_partkey"))
+      .unionAll(audit("suppkey", Tables.supplier(s, dir), "s_suppkey",
+        li, "l_suppkey"))
+      .orderBy("join_key")
   }
 
   // q431: Bradley–Terry preference strengths by minorization-
