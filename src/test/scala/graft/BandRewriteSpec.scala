@@ -90,6 +90,35 @@ class BandRewriteSpec extends AnyFunSuite {
         abs(col("t") - col("t2")) <= lit(3L))))
   }
 
+  test("seeded randomized parity: rewritten plan equals brute-force cross+filter") {
+    // deterministic md5-derived data: dense key collisions (keys 0-4),
+    // clustered times (0-49), gaps that land exactly on |Δt| == gap
+    val rnd = new scala.util.Random(4212L)
+    val l2 = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r2 = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k2", "t2", "rid")
+    for (gap <- Seq(1L, 4L, 13L)) {
+      val naive = l2.join(r2,
+        col("k") === col("k2") && abs(col("t") - col("t2")) <= lit(gap))
+      assert(hasBandExec(naive), s"gap=$gap must rewrite")
+      val got = naive.select("lid", "rid").as[(Long, Long)].collect().toSet
+      // ground truth computed OUTSIDE Spark entirely (a filter-based
+      // reference plan would itself be rewritten after pushdown)
+      val lrows = l2.as[(Long, Long, Long)].collect()
+      val rrows = r2.as[(Long, Long, Long)].collect()
+      val truth = (for {
+        (lk, lt, lid) <- lrows
+        (rk, rt, rid) <- rrows
+        if lk == rk && math.abs(lt - rt) <= gap
+      } yield (lid, rid)).toSet
+      assert(got == truth,
+        s"gap=$gap: ${got.size} vs ${truth.size} pairs")
+    }
+  }
+
   test("the q440 gate query itself plans through BandJoinExec") {
     val df = SparkEntry.queries("q440_band_rewrite")(
       spark, "/root/testdata/sf0.001")
