@@ -470,6 +470,8 @@ object SparkEntry {
     "q438_seasonal_decomp" -> (C.seasonalDecomp _),
     "q439_join_synopsis" -> (C.joinSizeSynopsis _),
     "q440_band_rewrite" -> (C.rangeClickViewRewrite _),
+    "q441_dedup_survivorship" -> (P.dedupSurvivorship _),
+    "q442_dup_quality_bias" -> (P.dupQualityBias _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -10964,6 +10966,83 @@ object SparkEntry {
         |JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+    // q441: the q49 components, one join to byte lengths, canonical =
+    // component min (the q55 keep rule)
+    "q441_dedup_survivorship" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS comp
+        | FROM reach GROUP BY src),
+        |m AS (
+        | SELECT l.comp, l.doc_id, CAST(strlen(d.text) AS BIGINT) AS b
+        | FROM lab l JOIN documents d USING (doc_id)),
+        |g AS (
+        | SELECT comp AS group_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS bytes_total,
+        |  CAST(sum(CASE WHEN doc_id = comp THEN b ELSE 0 END) AS BIGINT)
+        |   AS bytes_kept
+        | FROM m GROUP BY comp HAVING count(*) >= 2)
+        |SELECT group_id, n_docs, bytes_total, bytes_kept,
+        | bytes_total - bytes_kept AS bytes_saved
+        |FROM g ORDER BY n_docs DESC, group_id""".stripMargin),
+    // q442: loser flag from the q49 components, q25 quality, exact
+    // DECIMAL moment sums, population sd (the point-biserial form)
+    "q442_dup_quality_bias" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS comp
+        | FROM reach GROUP BY src),
+        |losers AS (SELECT doc_id FROM lab WHERE comp <> doc_id),
+        |t AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        | round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+        |  + (CASE WHEN length(text) BETWEEN 20 AND 20000
+        |     THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS q
+        | FROM t),
+        |s AS (
+        | SELECT q.doc_id, q.q, (l.doc_id IS NOT NULL) AS is_loser
+        | FROM q LEFT JOIN losers l USING (doc_id)),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN is_loser THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_losers,
+        |  CAST(sum(CAST(q AS DECIMAL(20,4))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(round(q*q, 8) AS DECIMAL(24,8))) AS DOUBLE) AS s2,
+        |  CAST(sum(CASE WHEN is_loser THEN CAST(q AS DECIMAL(20,4))
+        |    ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS sl
+        | FROM s),
+        |f AS (
+        | SELECT n_docs, n_losers,
+        |  CAST(n_losers AS DOUBLE) / n_docs AS p,
+        |  sl / n_losers AS mu_l,
+        |  (s1 - sl) / (n_docs - n_losers) AS mu_k,
+        |  sqrt(greatest(s2 / n_docs - (s1 / n_docs) * (s1 / n_docs), 0.0))
+        |   AS sd
+        | FROM m)
+        |SELECT n_docs, n_losers,
+        | round(mu_l, 4) AS mean_q_loser,
+        | round(mu_k, 4) AS mean_q_keeper,
+        | round((mu_l - mu_k) / sd * sqrt(p * (1 - p)), 4) AS r_pb
+        |FROM f""".stripMargin),
   )
 
   private val q45OracleSql: String =

@@ -5933,6 +5933,69 @@ object PipelineQueries {
       .orderBy("source", "pair_rank")
   }
 
+  // q441: dedup survivorship report card — the per-cluster accounting
+  // a curation run publishes: for every near-dup component of size ≥ 2
+  // (the shared q49 components over J ≥ 0.7 pairs), the canonical
+  // survivor (= component min, the q55 keep rule), member count, total
+  // text bytes, bytes kept, and bytes the dedup saves. Rides the shared
+  // pair + component stages; the only new work is one join to the
+  // documents byte lengths and a component-keyed aggregate.
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("b"))
+    dupComponents(s, dir)
+      .select(col("node").as("doc_id"), col("comp"))
+      .join(sizes, "doc_id")
+      .groupBy(col("comp").as("group_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("b")).as("bytes_total"),
+        sum(when(col("doc_id") === col("comp"), col("b"))
+          .otherwise(0L)).as("bytes_kept"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("bytes_saved", col("bytes_total") - col("bytes_kept"))
+      .orderBy(col("n_docs").desc, col("group_id"))
+  }
+
+  // q442: does near-dup LOSS correlate with quality? The point-biserial
+  // correlation between the q55 loser flag (non-canonical member of a
+  // near-dup component) and the q25 rounded quality score:
+  // r_pb = (μ_loser − μ_keeper)/σ · √(p(1−p)). If duplicates were
+  // quality-neutral r ≈ 0; a strongly negative r says dedup is also
+  // silently dropping the better copies — the curation-bias audit a
+  // keep-the-min-id rule owes its users. All moments are exact
+  // rounded-term DECIMAL sums over the corpus (the q336 discipline);
+  // σ uses the population form (the point-biserial convention).
+  def dupQualityBias(s: SparkSession, dir: String): DataFrame = {
+    val losers = dupComponents(s, dir)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), T.qualityScore(col("text")).as("q"))
+      .join(losers.withColumn("__l", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("is_loser", col("__l").isNotNull)
+    val m = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_loser"), 1L).otherwise(0L)).as("n_losers"),
+      sum(col("q").cast("decimal(20,4)")).cast("double").as("s1"),
+      sum(M.oracleRound(col("q") * col("q"), 8).cast("decimal(24,8)"))
+        .cast("double").as("s2"),
+      sum(when(col("is_loser"), col("q").cast("decimal(20,4)"))
+        .otherwise(lit(0).cast("decimal(20,4)"))).cast("double").as("sl"))
+    m.select(col("n_docs"), col("n_losers"),
+        (col("n_losers").cast("double") / col("n_docs")).as("p"),
+        (col("sl") / col("n_losers")).as("mu_l"),
+        ((col("s1") - col("sl")) /
+          (col("n_docs") - col("n_losers"))).as("mu_k"),
+        sqrt(greatest(col("s2") / col("n_docs") -
+          (col("s1") / col("n_docs")) * (col("s1") / col("n_docs")),
+          lit(0.0))).as("sd"))
+      .select(col("n_docs"), col("n_losers"),
+        M.oracleRound(col("mu_l"), 4).as("mean_q_loser"),
+        M.oracleRound(col("mu_k"), 4).as("mean_q_keeper"),
+        M.oracleRound((col("mu_l") - col("mu_k")) / col("sd") *
+          sqrt(col("p") * (lit(1.0) - col("p"))), 4).as("r_pb"))
+  }
+
   // q435: training-batch leakage audit — contrastive/in-batch-negative
   // training silently degrades when near-duplicate documents land in
   // the SAME batch (the "false negative" pair). Batches are
