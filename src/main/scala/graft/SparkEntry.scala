@@ -472,6 +472,8 @@ object SparkEntry {
     "q440_band_rewrite" -> (C.rangeClickViewRewrite _),
     "q441_dedup_survivorship" -> (P.dedupSurvivorship _),
     "q442_dup_quality_bias" -> (P.dupQualityBias _),
+    "q443_shipped_mixture" -> (P.shippedMixture _),
+    "q444_band_left_outer" -> (C.rangeClickViewLeftOuter _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -9187,78 +9189,7 @@ object SparkEntry {
     // quality, q59's bucket) — no pinned literals, so a drift in ANY
     // constituent shows up here too.
     "q115_curation_funnel" ->
-      (s"""WITH RECURSIVE pairs AS (
-        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
-        |edges AS (
-        | SELECT id_a AS a, id_b AS b FROM pairs
-        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
-        |reach(src, dst) AS (
-        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-        | UNION
-        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |losers AS (
-        | SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
-        |keepers AS (
-        | SELECT min(doc_id) AS doc_id FROM documents
-        | GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-        |toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-        | FROM documents),
-        |sh AS (
-        | SELECT doc_id, CASE WHEN len(t) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |  ELSE [array_to_string(t, ' ')] END AS s
-        | FROM toks),
-        |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
-        |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20),
-        |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (sh1)),
-        |lt AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
-        | FROM documents),
-        |ls AS (SELECT doc_id,
-        | len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-        | len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        | len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
-        | len(list_filter(ltoks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
-        | len(list_filter(ltoks, x -> x IN ('o','a','de','que','e'))) AS s_pt
-        | FROM lt),
-        |langp AS (SELECT doc_id, CASE
-        | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
-        | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
-        | WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
-        | WHEN s_fr >= s_pt THEN 'fr'
-        | ELSE 'pt' END AS lang_pred FROM ls),
-        |scored AS (
-        | SELECT doc_id,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
-        |   AS n_tokens,
-        |  round((CAST(len(list_distinct(CASE WHEN len(trim(text)) = 0
-        |      THEN CAST([] AS VARCHAR[])
-        |      ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS DOUBLE)
-        |    / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1) AS DOUBLE)) * 0.7
-        |   + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
-        |   4) AS quality
-        | FROM documents),
-        |flags AS (
-        | SELECT d.doc_id, s2.n_tokens,
-        |  (l.lang_pred = 'en') AS p1,
-        |  (s2.quality >= 0.5) AS p2,
-        |  (k.doc_id IS NOT NULL) AS p3,
-        |  (lo.doc_id IS NULL) AS p4,
-        |  (ct.doc_id IS NULL) AS p5,
-        |  CAST(('0x' || substr(md5('split:' || d.doc_id), 1, 8)) AS BIGINT) % 100 AS b
-        | FROM documents d
-        | JOIN scored s2 USING (doc_id)
-        | JOIN langp l USING (doc_id)
-        | LEFT JOIN keepers k ON k.doc_id = d.doc_id
-        | LEFT JOIN losers lo ON lo.doc_id = d.doc_id
-        | LEFT JOIN contam ct ON ct.doc_id = d.doc_id
-        | WHERE d.doc_id >= 20),
+      (s"""$funnelFlagCtes,
         |agg AS (SELECT
         |  count(*) AS d0,
         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,
@@ -10716,16 +10647,18 @@ object SparkEntry {
         |FROM s, g ORDER BY source""".stripMargin,
     // q430: the WebDataset pairing audit is a pure function of the
     // documents table — every doc has a .txt member, docs with
-    // doc_id % 7 != 0 also have a .cls member carrying lang
+    // doc_id % 7 != 0 AND a non-NULL lang also have a .cls member
+    // (the writer skips NULL payloads, so those samples are incomplete)
     "q430_wds_pairs" ->
       """SELECT doc_id,
-        | CAST(CASE WHEN doc_id % 7 <> 0 THEN 2 ELSE 1 END AS BIGINT)
-        |  AS n_members,
+        | CAST(CASE WHEN doc_id % 7 <> 0 AND lang IS NOT NULL
+        |   THEN 2 ELSE 1 END AS BIGINT) AS n_members,
         | true AS has_txt,
-        | doc_id % 7 <> 0 AS has_cls,
+        | doc_id % 7 <> 0 AND lang IS NOT NULL AS has_cls,
         | CAST(strlen(text) AS BIGINT) AS txt_size,
-        | CASE WHEN doc_id % 7 <> 0 THEN lang ELSE NULL END AS cls_label,
-        | doc_id % 7 <> 0 AS complete
+        | CASE WHEN doc_id % 7 <> 0 AND lang IS NOT NULL
+        |   THEN lang ELSE NULL END AS cls_label,
+        | doc_id % 7 <> 0 AND lang IS NOT NULL AS complete
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q431: the 3-round MM fit unrolls into chained CTEs — per-round
     // strengths re-rounded to 6 dp, per-opponent terms rounded then
@@ -10966,6 +10899,17 @@ object SparkEntry {
         |JOIN (SELECT * FROM e WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+    // q444: q440's LEFT OUTER twin — the rewrite must decline (inner
+    // only), unmatched clicks keep NULL view columns
+    "q444_band_left_outer" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        | c.us - v.us AS gap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND abs(c.us - v.us) <= 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
     // q441: the q49 components, one join to byte lengths, canonical =
     // component min (the q55 keep rule)
     "q441_dedup_survivorship" ->
@@ -11043,6 +10987,37 @@ object SparkEntry {
         | round(mu_k, 4) AS mean_q_keeper,
         | round((mu_l - mu_k) / sd * sqrt(p * (1 - p)), 4) AS r_pb
         |FROM f""".stripMargin),
+    // q443: the funnel's flag frame (the q115 chain verbatim) grouped
+    // per domain, joined with the q83 md5-derived target plan —
+    // shipped = every funnel predicate AND the train bucket
+    "q443_shipped_mixture" ->
+      (s"""$funnelFlagCtes,
+        |pd AS (
+        | SELECT domain,
+        |  CAST(count(*) AS BIGINT) AS corpus_docs,
+        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS corpus_tokens,
+        |  CAST(count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4 AND p5
+        |    AND b < 80) AS BIGINT) AS shipped_docs,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE p1 AND p2 AND p3
+        |    AND p4 AND p5 AND b < 80), 0) AS BIGINT) AS shipped_tokens
+        | FROM flags GROUP BY domain),
+        |tt AS (
+        | SELECT domain,
+        |  CAST(CAST(('0x' || substr(md5('mix:' || domain), 1, 8)) AS BIGINT) % 9 + 1
+        |   AS INTEGER) AS target_pct
+        | FROM (SELECT DISTINCT source AS domain FROM documents)),
+        |tot AS (SELECT CAST(sum(shipped_tokens) AS DOUBLE) AS tot FROM pd),
+        |r AS (
+        | SELECT pd.domain, corpus_docs, corpus_tokens, shipped_docs,
+        |  shipped_tokens,
+        |  round(100.0 * CAST(shipped_tokens AS DOUBLE) / tot.tot, 4)
+        |   AS shipped_pct,
+        |  target_pct
+        | FROM pd JOIN tt USING (domain), tot)
+        |SELECT domain, corpus_docs, corpus_tokens, shipped_docs,
+        | shipped_tokens, shipped_pct, target_pct,
+        | round(shipped_pct - CAST(target_pct AS DOUBLE), 4) AS delta_pct
+        |FROM r ORDER BY domain""".stripMargin),
   )
 
   private val q45OracleSql: String =
@@ -11156,14 +11131,101 @@ object SparkEntry {
     * NB: comma BETWEEN blocks, never trailing — the final SELECT
     * follows the last block directly (r4's q73 bug: a trailing comma
     * here is a DuckDB parse error). */
+  /** The q115 funnel's flag frame as a CTE chain (leads with WITH
+    * RECURSIVE, ends at `flags(doc_id, domain, n_tokens, p1..p5, b)`) —
+    * shared by q115 (stage totals) and q443 (per-domain shipped
+    * mixture) exactly like the engine's shared funnelFlags helper, so
+    * the two oracles can never drift. Callers append their own CTEs
+    * after a comma. */
+  private def funnelFlagCtes: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+       |edges AS (
+       | SELECT id_a AS a, id_b AS b FROM pairs
+       | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(src, dst) AS (
+       | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       | UNION
+       | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |losers AS (
+       | SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+       |keepers AS (
+       | SELECT min(doc_id) AS doc_id FROM documents
+       | GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |toks AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END AS s
+       | FROM toks),
+       |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
+       |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20),
+       |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (sh1)),
+       |lt AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+       | FROM documents),
+       |ls AS (SELECT doc_id,
+       | len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+       | len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+       | len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+       | len(list_filter(ltoks, x -> x IN ('le','la','de','et','les'))) AS s_fr,
+       | len(list_filter(ltoks, x -> x IN ('o','a','de','que','e'))) AS s_pt
+       | FROM lt),
+       |langp AS (SELECT doc_id, CASE
+       | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+       | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+       | WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+       | WHEN s_fr >= s_pt THEN 'fr'
+       | ELSE 'pt' END AS lang_pred FROM ls),
+       |scored AS (
+       | SELECT doc_id,
+       |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+       |   AS n_tokens,
+       |  round((CAST(len(list_distinct(CASE WHEN len(trim(text)) = 0
+       |      THEN CAST([] AS VARCHAR[])
+       |      ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS DOUBLE)
+       |    / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1) AS DOUBLE)) * 0.7
+       |   + (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3,
+       |   4) AS quality
+       | FROM documents),
+       |flags AS (
+       | SELECT d.doc_id, d.source AS domain, s2.n_tokens,
+       |  (l.lang_pred = 'en') AS p1,
+       |  (s2.quality >= 0.5) AS p2,
+       |  (k.doc_id IS NOT NULL) AS p3,
+       |  (lo.doc_id IS NULL) AS p4,
+       |  (ct.doc_id IS NULL) AS p5,
+       |  CAST(('0x' || substr(md5('split:' || d.doc_id), 1, 8)) AS BIGINT) % 100 AS b
+       | FROM documents d
+       | JOIN scored s2 USING (doc_id)
+       | JOIN langp l USING (doc_id)
+       | LEFT JOIN keepers k ON k.doc_id = d.doc_id
+       | LEFT JOIN losers lo ON lo.doc_id = d.doc_id
+       | LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+       | WHERE d.doc_id >= 20)""".stripMargin
+
+  // Every unrolled-fixpoint CTE below is MATERIALIZED: each round's CTE is
+  // referenced by the next round (often more than once), and DuckDB's
+  // default inlining re-expands the whole chain per reference —
+  // exponential planning/execution cost (q201 measured 178 s plain vs
+  // 0.5 s materialized at sf0.01). The hint is semantically neutral; it
+  // only pins the obvious evaluate-once plan. This is the q413 lesson
+  // applied to the whole tail (the r12 verdict's top ask).
   private def prIterCtes(iters: Int): String =
     (1 to iters).map { k =>
       val j = k - 1
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          | SELECT e.dst AS node, sum(p.pr / o.od) AS m
          | FROM e JOIN p$j p ON p.node = e.src JOIN od o ON o.src = e.src
          | GROUP BY e.dst),
-         |p$k AS (
+         |p$k AS MATERIALIZED (
          | SELECT nodes.node,
          |  round((1.0 - 0.85) / n.n + 0.85 * coalesce(c.m, 0.0), 6) AS pr
          | FROM nodes LEFT JOIN c$k c USING (node), n)""".stripMargin
@@ -11239,16 +11301,16 @@ object SparkEntry {
 
   private def pageRankOracle(iters: Int): String = {
     val iterCtes = prIterCtes(iters)
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
        | FROM lineitem),
-       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT p AS src, sp AS dst FROM pairs
        |      UNION SELECT sp, p FROM pairs),
-       |nodes AS (SELECT DISTINCT node FROM
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-       |p0 AS (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
+       |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS MATERIALIZED (SELECT node, round(1.0 / n.n, 6) AS pr FROM nodes, n),
        |$iterCtes
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }
@@ -11261,28 +11323,28 @@ object SparkEntry {
   private def pprOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       val j = k - 1
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          | SELECT e.dst AS node, sum(p.pr / o.od) AS m
          | FROM e JOIN p$j p ON p.node = e.src JOIN od o ON o.src = e.src
          | GROUP BY e.dst),
-         |p$k AS (
+         |p$k AS MATERIALIZED (
          | SELECT nodes.node,
          |  round(CASE WHEN sd.node IS NOT NULL THEN 0.15 / s.ns
          |    ELSE 0.0 END + 0.85 * coalesce(c.m, 0.0), 6) AS pr
          | FROM nodes LEFT JOIN c$k c USING (node)
          |  LEFT JOIN seeds sd USING (node), s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
        | FROM lineitem),
-       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT p AS src, sp AS dst FROM pairs
        |      UNION SELECT sp, p FROM pairs),
-       |nodes AS (SELECT DISTINCT node FROM
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
-       |seeds AS (SELECT DISTINCT p AS node FROM pairs WHERE p % 100 = 0),
-       |s AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
-       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-       |p0 AS (
+       |seeds AS MATERIALIZED (SELECT DISTINCT p AS node FROM pairs WHERE p % 100 = 0),
+       |s AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+       |od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS MATERIALIZED (
        | SELECT nodes.node,
        |  round(CASE WHEN sd.node IS NOT NULL THEN 1.0 / s.ns
        |    ELSE 0.0 END, 6) AS pr
@@ -11388,23 +11450,23 @@ object SparkEntry {
   private def hitsOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       val j = k - 1
-      s"""ar$k AS (
+      s"""ar$k AS MATERIALIZED (
          | SELECT e.dst AS node, sum(h.h) AS m
          | FROM pairs e JOIN h$j h ON h.node = e.src GROUP BY e.dst),
-         |an$k AS (
+         |an$k AS MATERIALIZED (
          | SELECT node, round(m / (SELECT max(m) FROM ar$k), 6) AS a
          | FROM ar$k),
-         |hr$k AS (
+         |hr$k AS MATERIALIZED (
          | SELECT e.src AS node, sum(a.a) AS m
          | FROM pairs e JOIN an$k a ON a.node = e.dst GROUP BY e.src),
-         |h$k AS (
+         |h$k AS MATERIALIZED (
          | SELECT node, round(m / (SELECT max(m) FROM hr$k), 6) AS h
          | FROM hr$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        | SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        | FROM lineitem),
-       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM pairs),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM pairs),
        |$iterCtes
        |SELECT node, 'hub' AS kind, h AS score FROM h$iters
        |UNION ALL SELECT node, 'auth' AS kind, a AS score FROM an$iters
@@ -11427,30 +11489,30 @@ object SparkEntry {
   private def ivfBuildCtes(nlist: Int, iters: Int, dim: Int, seed: Int): String = {
     val iterCtes = (1 to iters).map { kk =>
       val j = kk - 1
-      s"""d$kk AS (
+      s"""d$kk AS MATERIALIZED (
          | SELECT e.vec_id, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |   ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
          | FROM e, c$j c),
-         |a$kk AS (SELECT vec_id, cell FROM d$kk WHERE r = 1),
-         |m$kk AS (
+         |a$kk AS MATERIALIZED (SELECT vec_id, cell FROM d$kk WHERE r = 1),
+         |m$kk AS MATERIALIZED (
          | SELECT a.cell, d.i AS di, round(avg(e.v[d.i]), 6) AS w
          | FROM a$kk a JOIN e USING (vec_id), generate_series(1, $dim) AS d(i)
          | GROUP BY a.cell, d.i),
-         |c$kk AS (
+         |c$kk AS MATERIALIZED (
          | SELECT c$j.cell, coalesce(m.ctr, c$j.ctr) AS ctr
          | FROM c$j LEFT JOIN (SELECT cell, list(w ORDER BY di) AS ctr
          |   FROM m$kk GROUP BY cell) m USING (cell)),""".stripMargin
     }.mkString("\n")
-    s"""init AS (
+    s"""init AS MATERIALIZED (
        | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
        | FROM (SELECT vec_id, v,
        |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
        |       FROM e)
        | ORDER BY h, vec_id LIMIT $nlist),
-       |c0 AS (SELECT cell, v AS ctr FROM init),
+       |c0 AS MATERIALIZED (SELECT cell, v AS ctr FROM init),
        |$iterCtes
-       |af AS (
+       |af AS MATERIALIZED (
        | SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -11517,26 +11579,26 @@ object SparkEntry {
   private def lpaOracleWithTail(iters: Int, tail: String): String = {
     val iterCtes = (1 to iters).map { k =>
       val j = k - 1
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          | SELECT e.src AS n, l.label, count(*) AS c
          | FROM e JOIN l$j l ON l.node = e.dst GROUP BY 1, 2),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          | SELECT n, label, row_number() OVER (PARTITION BY n
          |   ORDER BY c DESC, label) AS rn
          | FROM c$k),
-         |l$k AS (
+         |l$k AS MATERIALIZED (
          | SELECT l$j.node, coalesce(s.label, l$j.label) AS label
          | FROM l$j LEFT JOIN (SELECT n, label FROM s$k WHERE rn = 1) s
          |  ON s.n = l$j.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        | SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
        | FROM lineitem WHERE l_orderkey % 10 = 0),
-       |e AS (SELECT p AS src, sp AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT p AS src, sp AS dst FROM pairs
        |      UNION SELECT sp, p FROM pairs),
-       |nodes AS (SELECT DISTINCT node FROM
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
-       |l0 AS (SELECT node, node AS label FROM nodes),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$iterCtes
        |$tail""".stripMargin
   }
@@ -11548,20 +11610,20 @@ object SparkEntry {
   private def kcenterOracle(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p1 AS (SELECT vec_id AS id, v FROM e ORDER BY vec_id LIMIT 1),
-        |d1 AS (
+        |p1 AS MATERIALIZED (SELECT vec_id AS id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS MATERIALIZED (
         | SELECT e.vec_id, e.v,
         |  list_cosine_similarity(e.v, (SELECT v FROM p1)) AS ms
         | FROM e WHERE e.vec_id <> (SELECT id FROM p1)),
         |""".stripMargin)
     for (t <- 2 to k) {
-      sb.append(s"p$t AS (SELECT vec_id AS id, v FROM d${t - 1}" +
+      sb.append(s"p$t AS MATERIALIZED (SELECT vec_id AS id, v FROM d${t - 1}" +
         " ORDER BY ms ASC, vec_id LIMIT 1)")
       if (t < k)
         sb.append(",\n" +
-          s"""d$t AS (
+          s"""d$t AS MATERIALIZED (
              | SELECT c.vec_id, c.v,
              |  greatest(c.ms,
              |   list_cosine_similarity(c.v, (SELECT v FROM p$t))) AS ms

@@ -52,6 +52,21 @@ object Verify {
     // and each query writes its own output dir. Submission is in
     // sorted name order, so the reference-surface gates (q01…) land
     // first if the run is ever cut short.
+    // Per-query progress record, appended AS EACH QUERY LANDS (flushed per
+    // line): a driver run killed at minute N leaves N honest rows here —
+    // the r11/r12 gates both recorded {} because nothing durable existed
+    // until the whole pass finished. One jsonl row per query:
+    // {"name":..,"ok":..,"rows":..,"sec":..}. Row count comes from a
+    // re-read of the just-written single-file parquet (footer-cheap at
+    // verify scale) so the record is evidence of what's ON DISK, not of
+    // what the plan promised.
+    val results = new java.io.PrintWriter(
+      new java.io.FileWriter(s"$outDir/results.jsonl", /*append=*/ false), /*autoFlush=*/ true)
+    def record(name: String, ok: Boolean, rows: Long, sec: Double): Unit =
+      results.synchronized {
+        results.println(
+          s"""{"name":${q(name)},"ok":$ok,"rows":$rows,"sec":${f"$sec%.2f"}}""")
+      }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -63,8 +78,11 @@ object Verify {
             try {
               fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                 .parquet(s"$outDir/$name")
+              val rows = spark.read.parquet(s"$outDir/$name").count()
+              record(name, ok = true, rows, (System.nanoTime() - tq) / 1e9)
               System.err.println(f"[verify] $name ok ${(System.nanoTime() - tq) / 1e9}%.1fs (${done.incrementAndGet()} done, total ${(System.nanoTime() - t0) / 1e9}%.0fs)")
             } catch { case e: Throwable =>
+              record(name, ok = false, -1, (System.nanoTime() - tq) / 1e9)
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
           }
@@ -72,6 +90,7 @@ object Verify {
       }
     tasks.foreach(_.get())
     pool.shutdown()
+    results.close()
     spark.stop()
   }
 }

@@ -101,6 +101,13 @@ object TarBytes {
           require(nm.nonEmpty && nm.length <= 100 &&
             nm.forall(c => c > 0 && c < 128),
             s"tar member name must be 1-100 ASCII chars, got '$nm'")
+          // Names are written verbatim into tar headers; a '/'-bearing or
+          // dot-segment name would become a path-traversal member when the
+          // shard is extracted by a standard tar tool. WebDataset keys are
+          // flat ("<key>.<ext>") and never need separators, so reject
+          // rather than sanitize.
+          require(!nm.contains('/') && nm != "." && nm != "..",
+            s"tar member name must be a flat filename (no '/' or dot segments), got '$nm'")
           nm
         } else row.getLong(0).toString +
           (if (gzipMembers) ".txt.gz" else ".txt")

@@ -3670,6 +3670,29 @@ object CoreQueries {
       .orderBy("click_id", "view_id")
   }
 
+  // q444: q440's negative twin — the SAME band predicate but as a LEFT
+  // OUTER join, which BandJoinRewrite's contract excludes (the native
+  // exec is inner-only). The gate asserts the composed plan still
+  // answers correctly when the rule declines, and BandRewriteSpec pins
+  // that no BandJoinNode appears in this plan — the regression guard
+  // against the rule over-matching as it evolves. Unmatched clicks
+  // survive with NULL view columns (the outer-join semantics the
+  // rewrite must never silently change).
+  def rangeClickViewLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("us").as("vus"))
+    clicks.join(views,
+        col("user_id") === col("vuser") &&
+          abs(col("us") - col("vus")) <= lit(1800000000L), "left_outer")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (col("us") - col("vus")).as("gap_us"))
+      .orderBy("click_id", "view_id")
+  }
+
   // q324: Adamic-Adar link prediction over the q92/q238 co-purchase
   // graph — for each NON-adjacent pair sharing ≥1 neighbor,
   // aa(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) (rare shared neighbors

@@ -449,7 +449,12 @@ object PipelineQueries {
   // conditional aggregation over the corpus (map-side combined to a
   // single row) unpivoted to 9 rows — at 100 TB this adds one scan
   // over what the constituent stages already pay.
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The funnel's per-doc flag frame (id, domain, tokens, predicate
+    * inputs, split bucket) — shared by q115 (stage totals) and q443
+    * (per-domain shipped-vs-target mixture), so the two reports are
+    * definitionally over the SAME funnel and ride the same
+    * exact-dedup / near-dup / decontamination stages. */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sets = stages(s, dir)._1
     val exactKeep = exactKeepers(s, dir).withColumn("__keep", lit(1))
@@ -458,8 +463,8 @@ object PipelineQueries {
         sets.filter(col("doc_id") >= 20), sets.filter(col("doc_id") < 20),
         "doc_id")
       .select(col("doc_id"), lit(1).as("__contam"))
-    val flags = docs.filter(col("doc_id") >= 20)
-      .select(col("doc_id"),
+    docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("source").as("domain"),
         T.tokenCount(col("text")).cast("long").as("n_tokens"),
         T.langId(col("text")).as("__lang"),
         T.qualityScore(col("text")).as("__q"))
@@ -467,6 +472,10 @@ object PipelineQueries {
       .join(losers, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("__b", CorpusOps.hashBucket(col("doc_id"), "split", 100))
+  }
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flags = funnelFlags(s, dir)
     val c1 = col("__lang") === "en"
     val c2 = c1 && col("__q") >= 0.5
     val c3 = c2 && col("__keep").isNotNull
@@ -492,6 +501,50 @@ object PipelineQueries {
       .select(explode(array(rows: _*)).as("r"))
       .select("r.stage_id", "r.stage", "r.n_docs", "r.n_tokens")
       .orderBy("stage_id")
+  }
+
+  // The curation run's closing report: per-domain, what mixture did
+  // the funnel ACTUALLY ship to training vs the q83 target plan —
+  // corpus tokens in, train-split tokens out, shipped share of the
+  // train corpus, the md5-derived target share, and the signed gap.
+  // This is the one table a training run reads first: a domain whose
+  // delta_pct is large lost disproportionate mass to dedup/quality/
+  // decon and the mixture weights need rebalancing before sampling.
+  // Rides funnelFlags (one conditional aggregation per domain over
+  // the shared q115 flag frame) — at 100 TB this is a map-side
+  // combined groupBy on a low-cardinality key plus two broadcast
+  // 1-row/dim joins; no new heavy stage.
+  def shippedMixture(s: SparkSession, dir: String): DataFrame = {
+    val flags = funnelFlags(s, dir)
+    val ship = col("__lang") === "en" && col("__q") >= 0.5 &&
+      col("__keep").isNotNull && col("__loser").isNull &&
+      col("__contam").isNull && col("__b") < 80
+    val perDomain = flags.groupBy("domain").agg(
+      count(lit(1)).as("corpus_docs"),
+      sum("n_tokens").as("corpus_tokens"),
+      sum(when(ship, 1L).otherwise(0L)).as("shipped_docs"),
+      sum(when(ship, col("n_tokens")).otherwise(0L)).as("shipped_tokens"))
+    // q83's target derivation verbatim (md5-derived % in [1, 9]) so the
+    // two reports can never disagree about the plan
+    val target = Tables.documents(s, dir)
+      .select(col("source").as("domain")).distinct()
+      .withColumn("target_pct",
+        (pmod(T.md5Int(concat(lit("mix:"), col("domain")), 8), lit(9L)) + 1)
+          .cast("int"))
+    val tot = perDomain.agg(
+      sum("shipped_tokens").cast("double").as("__tot"))
+    perDomain.join(target, Seq("domain"))
+      .crossJoin(broadcast(tot))
+      .withColumn("shipped_pct",
+        M.oracleRound(
+          lit(100.0) * col("shipped_tokens").cast("double") / col("__tot"), 4))
+      .select(col("domain"), col("corpus_docs"), col("corpus_tokens"),
+        col("shipped_docs"), col("shipped_tokens"), col("shipped_pct"),
+        col("target_pct"),
+        M.oracleRound(
+          col("shipped_pct") - col("target_pct").cast("double"), 4)
+          .as("delta_pct"))
+      .orderBy("domain")
   }
 
   // corpus-level TF-IDF: top-5 terms per document (smoothed idf,
@@ -5817,7 +5870,12 @@ object PipelineQueries {
       val txt = docs.select(col("doc_id"),
         concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
         col("text").as("payload"))
-      val cls = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      // lang.isNotNull: a NULL payload would NPE inside TarBytes.build's
+      // generated code and fail the whole stage — a NULL-lang doc simply
+      // ships without its .cls member (the completeness audit then counts
+      // it as an honest incomplete sample)
+      val cls = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0 &&
+          col("lang").isNotNull)
         .select(col("doc_id"),
           concat(col("doc_id").cast("string"), lit(".cls")).as("name"),
           col("lang").as("payload"))

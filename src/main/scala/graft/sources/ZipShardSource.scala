@@ -104,7 +104,14 @@ class ZipShardTable(path: String) extends Table
   * one task's members must fit a shard (the collect_list analogue —
   * partition BEFORE writing, e.g. `repartitionByRange($"doc_id")`).
   * Append mode only adds new part files; SaveMode.Overwrite maps to
-  * TRUNCATE, which clears prior `part-*.zip`. */
+  * TRUNCATE, which clears prior `part-*.zip`.
+  *
+  * Concurrency contract: the queryId scoping above makes APPEND safe
+  * under concurrent writers (distinct part names, aborts sweep only
+  * their own temps). OVERWRITE is exclusive — its TRUNCATE clears every
+  * committed `part-*.zip` in the directory, including shards a
+  * concurrent append just landed. Run Overwrite only with no other
+  * writer on the same path. */
 class ZipWriteBuilder(path: String, schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {

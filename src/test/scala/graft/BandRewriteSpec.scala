@@ -126,6 +126,15 @@ class BandRewriteSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("the q444 left-outer gate twin does NOT plan through BandJoinExec") {
+    val df = SparkEntry.queries("q444_band_left_outer")(
+      spark, "/root/testdata/sf0.001")
+    assert(!hasBandExec(df), df.queryExecution.executedPlan.toString)
+    // outer semantics intact: at least one unmatched click with NULL view
+    assert(df.count() >= SparkEntry.queries("q440_band_rewrite")(
+      spark, "/root/testdata/sf0.001").count())
+  }
+
   test("NULL keys and times never match (the exec contract)") {
     val df = left.join(right,
       col("k") === col("k2") && abs(col("t") - col("t2")) <= lit(100L))
