@@ -474,6 +474,7 @@ object SparkEntry {
     "q442_dup_quality_bias" -> (P.dupQualityBias _),
     "q443_shipped_mixture" -> (P.shippedMixture _),
     "q444_band_left_outer" -> (C.rangeClickViewLeftOuter _),
+    "q445_kneser_ney_lm" -> (P.knLm _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11018,6 +11019,41 @@ object SparkEntry {
         | shipped_tokens, shipped_pct, target_pct,
         | round(shipped_pct - CAST(target_pct AS DOUBLE), 4) AS delta_pct
         |FROM r ORDER BY domain""".stripMargin),
+    // q445: interpolated Kneser-Ney bigram LM beside q118's add-k —
+    // all model quantities integer counts; P_KN's double expression
+    // mirrors the engine's shape op-for-op; per-bigram log10 pinned to
+    // 6dp and summed as DECIMAL(28,6) (q336-class rule) before the
+    // final 4-dp round. cab/bg/t are multiply-referenced →
+    // MATERIALIZED (the r13 oracle-cost lesson).
+    "q445_kneser_ney_lm" ->
+      """WITH t AS MATERIALIZED (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |bg AS MATERIALIZED (
+        | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS MATERIALIZED (
+        | SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |hist AS MATERIALIZED (
+        | SELECT w1, sum(c_ab) AS c1, count(*) AS nf FROM cab GROUP BY 1),
+        |cont AS MATERIALIZED (
+        | SELECT w2, count(*) AS nb FROM cab GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM cab),
+        |p AS (
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(log10(
+        |    greatest(CAST(cab.c_ab AS DOUBLE) - 0.75, 0.0) / CAST(h.c1 AS DOUBLE)
+        |    + (0.75 * CAST(h.nf AS DOUBLE) / CAST(h.c1 AS DOUBLE))
+        |      * (CAST(ct.nb AS DOUBLE) / nt.nt)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(*), 4) AS avg_logp
+        | FROM bg JOIN cab USING (w1, w2) JOIN hist h ON h.w1 = bg.w1
+        |  JOIN cont ct ON ct.w2 = bg.w2, nt
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id, p.n_bigrams, p.avg_logp
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

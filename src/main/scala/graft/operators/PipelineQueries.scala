@@ -2556,6 +2556,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q445: interpolated Kneser-Ney bigram LM per-doc score — the
+  // smoothing the production perplexity filters actually run
+  // (KenLM/CCNet) beside q118's add-k: discounted bigram mass backs
+  // off to CONTINUATION counts, so frequent-but-context-bound words
+  // stop inflating word-salad scores. Rides the shared token-array
+  // stage; every model quantity is an integer count.
+  def knLm(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.knLogProbFromArrs(Tables.documents(s, dir),
+        tokenArrays(s, dir), "doc_id", discount = 0.75)
+      .orderBy("doc_id")
+
   // KMV sketch split-overlap: the two md5-split halves of the corpus
   // (bucket < 50 vs >= 50 of the q59 convention) compared on distinct
   // word TRIGRAMS — per-side estimates, union, Jaccard and

@@ -469,6 +469,61 @@ object TextCorpus {
       spark.read.parquet(s"$base/lm_bigram"),
       spark.read.parquet(s"$base/lm_meta").head().getDouble(0))
 
+  /** Interpolated Kneser-Ney bigram LM score per document — the
+    * smoothing the production perplexity filters actually use (KenLM;
+    * CCNet's reference LM — Kneser & Ney, ICASSP'95; Chen & Goodman,
+    * Harvard TR-10-98), upgrading [[bigramLogProbFromArrs]]'s add-k:
+    * `P_KN(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *              + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))`
+    * with absolute discount `D` (default 0.75) — the backoff weight is
+    * the probability mass the discount freed, and the lower-order
+    * distribution is the CONTINUATION count (in how many distinct
+    * contexts does w2 appear), not the raw unigram frequency, so
+    * "francisco" (frequent but only after "san") no longer inflates
+    * word-salad scores the way add-k lets it.
+    *
+    * Determinism contract: every model quantity is an integer count;
+    * `P_KN` is a fixed-shape double expression over those integers
+    * (bit-identical across engines), each per-bigram `log10 P` is
+    * 6-dp-pinned, and the per-doc mean sums those pins as
+    * `DECIMAL(28,6)` (exact, order-independent) before the final 4-dp
+    * round — the q336-class float-reduction rule applied up front.
+    *
+    * Scale shape: identical to [[bigramLogProbFromArrs]] — the pair
+    * stream and the three count tables are map-side-combined keyed
+    * aggregates over the shared token-ARRAY stage; N1+(··) is a
+    * broadcast 1-row aggregate; scoring joins key on (w1,w2), w1, w2
+    * (stop-pair skew → AQE); the per-doc mean is one doc-keyed
+    * aggregate. Nothing is collected; counts stay DataFrames. */
+  def knLogProbFromArrs(df: DataFrame, arrs: DataFrame, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val bg = docBigrams(arrs, idCol)
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__cab"))
+    val hist = cab.groupBy("w1")
+      .agg(sum(col("__cab")).as("__c1"), count(lit(1)).as("__nf"))
+    val cont = cab.groupBy("w2").agg(count(lit(1)).as("__nb"))
+    val ntypes = cab.agg(count(lit(1)).cast("double").as("__nt"))
+    val d = lit(discount)
+    // expression order mirrors the oracle text exactly — double ops
+    // are IEEE-exact per op, so same shape ⇒ same bits pre-pin
+    val p = greatest(col("__cab").cast("double") - d, lit(0.0)) /
+        col("__c1").cast("double") +
+      (d * col("__nf").cast("double") / col("__c1").cast("double")) *
+        (col("__nb").cast("double") / col("__nt"))
+    val perDoc = bg
+      .join(cab, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(ntypes))
+      .withColumn("__l",
+        MysqlFunctions.oracleRound(log10(p), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        MysqlFunctions.oracleRound(
+          sum(col("__l")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** KMV (k-minimum-values) distinct sketch with set operations
     * (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07 — the
     * unbiased (k−1)/x_k estimator; the theta-sketch family's

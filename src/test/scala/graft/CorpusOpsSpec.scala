@@ -404,6 +404,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0L)._2.get >= got(10L)._2.get)
   }
 
+  test("knLogProb: hand-computed interpolated Kneser-Ney, history mass sums to 1") {
+    import graft.operators.TextCorpus
+    // counts: (a,b)=2 (c,b)=1 (a,d)=1; ntypes=3; hist a:(c1=3,nf=2)
+    // c:(c1=1,nf=1); cont b=2 d=1; D=0.75 ⇒
+    //   P(b|a) = 1.25/3 + (0.75·2/3)(2/3) = 0.75
+    //   P(b|c) = 0.25   + 0.75·(2/3)     = 0.75
+    //   P(d|a) = 0.25/3 + (0.75·2/3)(1/3) = 0.25   (so Σ_w P(w|a) = 1)
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "c b"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val arrs = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(lower(col("text"))).as("a"))
+    val got = TextCorpus.knLogProbFromArrs(docs, arrs, "doc_id")
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((Some(1L), Some(-0.1249))), s"log10(0.75): ${got(0L)}")
+    assert(got(2L) == ((Some(1L), Some(-0.1249))), s"log10(0.75): ${got(2L)}")
+    assert(got(3L) == ((Some(1L), Some(-0.6021))), s"log10(0.25): ${got(3L)}")
+  }
+
   test("cdcChunks: contiguous cover, short-text edges, digests survive a prepended preamble") {
     def chunksOf(texts: Seq[(Long, String)]) = texts.toDF("doc_id", "text")
       .select(col("doc_id"),
