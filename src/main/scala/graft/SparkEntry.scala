@@ -475,6 +475,8 @@ object SparkEntry {
     "q443_shipped_mixture" -> (P.shippedMixture _),
     "q444_band_left_outer" -> (C.rangeClickViewLeftOuter _),
     "q445_kneser_ney_lm" -> (P.knLm _),
+    "q446_lr_filter_scores" -> (P.lrFilterScores _),
+    "q447_lr_filter_weights" -> (P.lrFilterWeights _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11054,6 +11056,27 @@ object SparkEntry {
         | GROUP BY bg.doc_id)
         |SELECT d.doc_id, p.n_bigrams, p.avg_logp
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q446/q447: the in-engine trained logistic filter — 3 unrolled GD
+    // rounds with micro-unit (exact long) weights; every float op is a
+    // fixed-shape scalar chain mirrored op-for-op from TrainedFilter
+    "q446_lr_filter_scores" ->
+      (s"""WITH ${lrTrainCtes(32, 3)},
+         |sc AS (
+         | SELECT lab.doc_id, lab.y,
+         |  1.0 / (1.0 + exp(-(CAST(b.bu + coalesce(s.su, 0) AS DOUBLE)
+         |    / 1000000.0))) AS p
+         | FROM lab
+         | LEFT JOIN (SELECT f.doc_id, sum(w.wu) AS su
+         |            FROM feats f JOIN w3 w USING (j) GROUP BY 1) s
+         |  USING (doc_id), b3 b)
+         |SELECT doc_id, y AS label, round(p, 4) AS score,
+         | CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin),
+    "q447_lr_filter_weights" ->
+      (s"""WITH ${lrTrainCtes(32, 3)}
+         |SELECT j, CAST(wu AS DOUBLE) / 1000000.0 AS w FROM (
+         | SELECT CAST(-1 AS INTEGER) AS j, bu AS wu FROM b3
+         | UNION ALL SELECT j, wu FROM w3) t ORDER BY j""".stripMargin),
   )
 
   private val q45OracleSql: String =
@@ -11254,6 +11277,60 @@ object SparkEntry {
   // 0.5 s materialized at sf0.01). The hint is semantically neutral; it
   // only pins the obvious evaluate-once plan. This is the q413 lesson
   // applied to the whole tail (the r12 verdict's top ask).
+  /** q446/q447's trained logistic filter: `iters` unrolled full-batch
+    * GD rounds over `buckets` hashed presence features, weights in
+    * integer micro-units so every reduction is exact long arithmetic;
+    * the sigmoid/update float chains mirror
+    * `TrainedFilter.trainLogistic` op-for-op. Yields CTEs `feats`,
+    * `lab`, `n`, and `w{iters}`/`b{iters}` as the final model. */
+  private def lrTrainCtes(buckets: Int, iters: Int): String = {
+    val base =
+      s"""t AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+         |   THEN CAST([] AS VARCHAR[])
+         |   ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+         | FROM documents),
+         |feats AS MATERIALIZED (
+         | SELECT DISTINCT doc_id,
+         |  CAST(CAST(('0x' || substr(md5('lrf:' || w), 1, 8)) AS BIGINT)
+         |    % $buckets AS INTEGER) AS j
+         | FROM (SELECT doc_id, unnest(a) AS w FROM t) x),
+         |lab AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |   ELSE CAST(0 AS BIGINT) END AS y
+         | FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w0 AS (SELECT CAST(j AS INTEGER) AS j, CAST(0 AS BIGINT) AS wu
+         |       FROM range($buckets) r(j)),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS bu)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""e$k AS MATERIALIZED (
+         | SELECT lab.doc_id,
+         |  CAST(floor(1.0 / (1.0 + exp(-(CAST(b.bu + coalesce(s.su, 0)
+         |      AS DOUBLE) / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT)
+         |   - lab.y * 1000000 AS e
+         | FROM lab
+         | LEFT JOIN (SELECT f.doc_id, sum(w.wu) AS su
+         |            FROM feats f JOIN w$p w USING (j) GROUP BY 1) s
+         |  USING (doc_id), b$p b),
+         |w$k AS MATERIALIZED (
+         | SELECT j, wu - CASE WHEN d < 0 THEN -CAST(floor(-d + 0.5) AS BIGINT)
+         |                     ELSE CAST(floor(d + 0.5) AS BIGINT) END AS wu
+         | FROM (SELECT w.j, w.wu,
+         |        0.5 * CAST(coalesce(g.gu, 0) AS DOUBLE) / n.n AS d
+         |       FROM w$p w LEFT JOIN (SELECT f.j, sum(e.e) AS gu
+         |                             FROM feats f JOIN e$k e USING (doc_id)
+         |                             GROUP BY 1) g USING (j), n) x),
+         |b$k AS MATERIALIZED (
+         | SELECT bu - CASE WHEN d < 0 THEN -CAST(floor(-d + 0.5) AS BIGINT)
+         |                  ELSE CAST(floor(d + 0.5) AS BIGINT) END AS bu
+         | FROM (SELECT b.bu, 0.5 * CAST(g.gu AS DOUBLE) / n.n AS d
+         |       FROM b$p b, (SELECT sum(e) AS gu FROM e$k) g, n) x)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   private def prIterCtes(iters: Int): String =
     (1 to iters).map { k =>
       val j = k - 1

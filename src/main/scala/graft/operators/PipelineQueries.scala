@@ -149,6 +149,7 @@ object PipelineQueries {
     hllRegStage.clear()
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
     persistedFitStage.clear(); legStage.clear(); jacPairStage.clear()
+    lrModelStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -2566,6 +2567,41 @@ object PipelineQueries {
     TextCorpus.knLogProbFromArrs(Tables.documents(s, dir),
         tokenArrays(s, dir), "doc_id", discount = 0.75)
       .orderBy("doc_id")
+
+  /** Trained logistic quality filter, memoized per (session, dir):
+    * 3 full-batch GD rounds over 32 hashed-bucket presence features,
+    * label = (lang = 'en') — the fastText-style router trained
+    * IN-ENGINE (q53's Lloyd collect-and-rebroadcast pattern: the
+    * B+1-weight model is driver-sized; the corpus only feeds keyed
+    * aggregates). q446 scores ride the same trained weights as the
+    * q447 weights table — one training pass for both gates. */
+  private val lrModelStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Array[Long], Long)]
+  private def lrModel(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, Array[Long], Long) =
+    lrModelStage.getOrElseUpdate((s, dir), {
+      val labels = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val feats = TrainedFilter.hashedFeatures(tokenArrays(s, dir), 32)
+        .localCheckpoint()
+      val (wu, bu) = TrainedFilter.trainLogistic(labels, feats,
+        buckets = 32, iters = 3, lr = 0.5, nDocs = labels.count())
+      (labels, feats, wu, bu)
+    })
+
+  // q446: per-doc scores under the in-engine trained logistic filter
+  def lrFilterScores(s: SparkSession, dir: String): DataFrame = {
+    val (labels, feats, wu, bu) = lrModel(s, dir)
+    TrainedFilter.scoreLogistic(labels, feats, wu, bu).orderBy("doc_id")
+  }
+
+  // q447: the trained model itself — 32 bucket weights + bias (j=-1)
+  def lrFilterWeights(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, wu, bu) = lrModel(s, dir)
+    TrainedFilter.weightsTable(s, wu, bu).orderBy("j")
+  }
 
   // KMV sketch split-overlap: the two md5-split halves of the corpus
   // (bucket < 50 vs >= 50 of the q59 convention) compared on distinct
