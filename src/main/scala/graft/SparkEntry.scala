@@ -477,6 +477,10 @@ object SparkEntry {
     "q445_kneser_ney_lm" -> (P.knLm _),
     "q446_lr_filter_scores" -> (P.lrFilterScores _),
     "q447_lr_filter_weights" -> (P.lrFilterWeights _),
+    "q448_perplexity_filter" -> (P.perplexityFilter _),
+    "q449_soft_dedup" -> (P.softDedup _),
+    "q450_good_turing" -> (P.goodTuring _),
+    "q451_lz_complexity" -> (P.lzComplexity _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11077,6 +11081,178 @@ object SparkEntry {
          |SELECT j, CAST(wu AS DOUBLE) / 1000000.0 AS w FROM (
          | SELECT CAST(-1 AS INTEGER) AS j, bu AS wu FROM b3
          | UNION ALL SELECT j, wu FROM w3) t ORDER BY j""".stripMargin),
+    // q448: the q445 KN-LM CTE chain extended by per-LANG 4-dp quartile
+    // cut points (quantile_cont ≡ percentile, the q50-proven pair) and
+    // the per-(lang, bucket) doc/token report. MATERIALIZED: the LM
+    // chain is the q445 fixpoint-free shape but `p` is referenced by
+    // both scored and (via scored) the bounds + bucket legs.
+    "q448_perplexity_filter" ->
+      """WITH t AS MATERIALIZED (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |bg AS MATERIALIZED (
+        | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS MATERIALIZED (
+        | SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |hist AS MATERIALIZED (
+        | SELECT w1, sum(c_ab) AS c1, count(*) AS nf FROM cab GROUP BY 1),
+        |cont AS MATERIALIZED (
+        | SELECT w2, count(*) AS nb FROM cab GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM cab),
+        |p AS MATERIALIZED (
+        | SELECT bg.doc_id,
+        |  round(CAST(sum(CAST(round(log10(
+        |    greatest(CAST(cab.c_ab AS DOUBLE) - 0.75, 0.0) / CAST(h.c1 AS DOUBLE)
+        |    + (0.75 * CAST(h.nf AS DOUBLE) / CAST(h.c1 AS DOUBLE))
+        |      * (CAST(ct.nb AS DOUBLE) / nt.nt)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(*), 4) AS avg_logp
+        | FROM bg JOIN cab USING (w1, w2) JOIN hist h ON h.w1 = bg.w1
+        |  JOIN cont ct ON ct.w2 = bg.w2, nt
+        | GROUP BY bg.doc_id),
+        |scored AS MATERIALIZED (
+        | SELECT d.doc_id, d.lang,
+        |  CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS BIGINT)
+        |   AS toks,
+        |  p.avg_logp
+        | FROM documents d LEFT JOIN p USING (doc_id)),
+        |b AS (
+        | SELECT lang, round(quantile_cont(avg_logp, 0.25), 4) AS b1,
+        |        round(quantile_cont(avg_logp, 0.75), 4) AS b2
+        | FROM scored WHERE avg_logp IS NOT NULL GROUP BY lang),
+        |bk AS (
+        | SELECT s.lang,
+        |  CASE WHEN s.avg_logp IS NULL THEN 'unscored'
+        |       WHEN s.avg_logp <= b.b1 THEN 'tail'
+        |       WHEN s.avg_logp <= b.b2 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  s.toks, s.avg_logp
+        | FROM scored s LEFT JOIN b USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(CAST(avg_logp AS DECIMAL(20,4))) AS DOUBLE)
+        |   / count(avg_logp), 4) AS mean_logp,
+        | bucket IN ('head', 'middle') AS kept
+        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    // q449: the q49 recursive-CTE components extended by component
+    // sizes and the per-source effective-token report (toks · 1/|comp|
+    // terms 6-dp-pinned and DECIMAL-summed, one rounded cast at the end).
+    "q449_soft_dedup" ->
+      (s"""WITH RECURSIVE pairs AS (
+        |${jaccardPairOracle(0.7).replace("ORDER BY id_a, id_b", "")}),
+        |edges AS (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+        |csz AS (SELECT comp, count(*) AS csz FROM comp GROUP BY comp),
+        |m AS (
+        | SELECT d.doc_id, d.source,
+        |  CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT)
+        |   AS toks,
+        |  cz.csz
+        | FROM documents d
+        | LEFT JOIN comp c USING (doc_id) LEFT JOIN csz cz ON cz.comp = c.comp)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN csz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_docs,
+        | CAST(sum(toks) AS BIGINT) AS raw_tokens,
+        | round(CAST(sum(CAST(round(CAST(toks AS DOUBLE) *
+        |   (CASE WHEN csz IS NULL THEN 1.0 ELSE 1.0 / CAST(csz AS DOUBLE) END),
+        |   6) AS DECIMAL(24,6))) AS DOUBLE), 4) AS effective_tokens
+        |FROM m GROUP BY source ORDER BY source""".stripMargin),
+    // q450: Simple Good-Turing over word-trigram counts — Z_r neighbor
+    // smoothing, the raw Turing r*, and the log-log-fit r*_LGT; the
+    // regression is 6/8-dp-pinned DECIMAL-summed (order-free), so both
+    // engines fit the identical rounded points.
+    "q450_good_turing" ->
+      """WITH t AS MATERIALIZED (
+        | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |tri AS MATERIALIZED (
+        | SELECT a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] ||
+        |  ' ' || a[CAST(i AS INTEGER) + 2] AS w
+        | FROM (SELECT a, unnest(generate_series(1, len(a) - 2)) AS i
+        |       FROM t WHERE len(a) >= 3) x),
+        |c AS MATERIALIZED (SELECT w, count(*) AS r FROM tri GROUP BY w),
+        |nr AS MATERIALIZED (SELECT r, count(*) AS n_r FROM c GROUP BY r),
+        |zr AS MATERIALIZED (
+        | SELECT r, n_r,
+        |  lag(r, 1, CAST(0 AS BIGINT)) OVER (ORDER BY r) AS q,
+        |  coalesce(lead(r) OVER (ORDER BY r),
+        |    2 * r - lag(r, 1, CAST(0 AS BIGINT)) OVER (ORDER BY r)) AS tt
+        | FROM nr),
+        |xy AS MATERIALIZED (
+        | SELECT r, n_r,
+        |  round(2.0 * CAST(n_r AS DOUBLE) / CAST(tt - q AS DOUBLE), 6) AS z_r,
+        |  round(log10(CAST(r AS DOUBLE)), 6) AS x,
+        |  round(log10(round(2.0 * CAST(n_r AS DOUBLE)
+        |    / CAST(tt - q AS DOUBLE), 6)), 6) AS y
+        | FROM zr),
+        |fit AS (
+        | SELECT round((CAST(count(*) AS DOUBLE) *
+        |    CAST(sum(CAST(round(x * y, 8) AS DECIMAL(24,8))) AS DOUBLE) -
+        |    CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) *
+        |    CAST(sum(CAST(y AS DECIMAL(20,6))) AS DOUBLE)) /
+        |   (CAST(count(*) AS DOUBLE) *
+        |    CAST(sum(CAST(round(x * x, 8) AS DECIMAL(24,8))) AS DOUBLE) -
+        |    CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) *
+        |    CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE)), 6) AS b
+        | FROM xy),
+        |tot AS (
+        | SELECT round(CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS DOUBLE) /
+        |   CAST(sum(r * n_r) AS DOUBLE), 6) AS p0
+        | FROM nr)
+        |SELECT x.r, x.n_r, x.z_r,
+        | round(CAST(x.r + 1 AS DOUBLE) * CAST(n2.n_r AS DOUBLE)
+        |   / CAST(x.n_r AS DOUBLE), 4) AS r_turing,
+        | round(CAST(x.r AS DOUBLE) *
+        |   pow(CAST(x.r + 1 AS DOUBLE) / CAST(x.r AS DOUBLE), f.b + 1.0), 4)
+        |  AS r_lgt,
+        | f.b, t2.p0
+        |FROM xy x LEFT JOIN nr n2 ON n2.r = x.r + 1, fit f, tot t2
+        |WHERE x.r <= 10 ORDER BY x.r""".stripMargin,
+    // q451: LZ76 via the f-walk decomposition — f(pos) = the shortest
+    // phrase length starting at pos (computable position-parallel from
+    // strpos over the prefix), then the sequential parse is a
+    // functional-graph walk pos → pos + f(pos) as a recursive CTE
+    // (depth = phrase count). f is MATERIALIZED: the recursion
+    // references it once per iteration.
+    "q451_lz_complexity" ->
+      """WITH RECURSIVE s AS MATERIALIZED (
+        | SELECT doc_id, substr(text, 1, 120) AS s,
+        |  len(substr(text, 1, 120)) AS n
+        | FROM documents),
+        |f AS MATERIALIZED (
+        | SELECT doc_id, pos,
+        |  coalesce(min(CASE WHEN strpos(substr(s, 1, pos + l - 2),
+        |    substr(s, pos, l)) = 0 THEN l END), n - pos + 1) AS flen
+        | FROM (SELECT doc_id, s, n, pos,
+        |        unnest(generate_series(1, n - pos + 1)) AS l
+        |       FROM (SELECT doc_id, s, n, unnest(generate_series(1, n)) AS pos
+        |             FROM s WHERE n >= 1) p) x
+        | GROUP BY doc_id, pos, n),
+        |walk(doc_id, pos, c) AS (
+        | SELECT doc_id, CAST(1 AS BIGINT), 0 FROM s WHERE n >= 1
+        | UNION ALL
+        | SELECT w.doc_id, w.pos + f.flen, w.c + 1
+        | FROM walk w JOIN f ON f.doc_id = w.doc_id AND f.pos = w.pos),
+        |cx AS (SELECT doc_id, max(c) AS lz_c FROM walk GROUP BY doc_id)
+        |SELECT s.doc_id, s.n AS n_used,
+        | CASE WHEN s.s IS NULL THEN NULL ELSE coalesce(cx.lz_c, 0) END AS lz_c,
+        | CASE WHEN s.n > 0 THEN round(CAST(coalesce(cx.lz_c, 0) AS DOUBLE) *
+        |   log2(CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE), 4) END AS c_norm
+        |FROM s LEFT JOIN cx USING (doc_id) ORDER BY s.doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -110,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavPcmBytesDescriptor)
     ext.injectFunction(GraftExtensions.wavSegBytesDescriptor)
     ext.injectFunction(GraftExtensions.audioFpDescriptor)
+    ext.injectFunction(GraftExtensions.lzComplexityDescriptor)
     // §7.3(c): whole-operator strategies for the native as-of join
     // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -336,6 +337,21 @@ object GraftExtensions {
           s"graft_bloom_contains takes exactly 2 arguments, got ${children.length}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      })
+
+  /** `graft_lz76(text, maxChars)` — LZ76 phrase complexity of the
+    * first maxChars characters (see [[LzComplexity]]); maxChars must
+    * be a foldable numeric literal (it bounds the per-row work). */
+  val lzComplexityDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lz76"),
+      new ExpressionInfo(classOf[LzComplexity].getName, "graft_lz76"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_lz76 takes exactly 2 arguments, got ${children.length}")
+        require(children(1).foldable && children(1).eval().isInstanceOf[Number],
+          "graft_lz76 maxChars must be a numeric literal")
+        LzComplexity(children.head,
+          children(1).eval().asInstanceOf[Number].intValue)
       })
 
   /** `graft_winnow(text, gram, window)` — gram and window must be

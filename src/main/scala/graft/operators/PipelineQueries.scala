@@ -2603,6 +2603,153 @@ object PipelineQueries {
     TrainedFilter.weightsTable(s, wu, bu).orderBy("j")
   }
 
+  // q448: the CCNet head/middle/tail FILTER DECISION table — the step
+  // the q445 KN-LM score exists for: per LANGUAGE, docs are bucketed by
+  // 4-dp-pinned exact avg-logp quartiles (head = most fluent quartile,
+  // tail = least; per-language because perplexity scales are not
+  // comparable across languages — the CCNet design point), and the
+  // report is the per-(lang, bucket) doc/token mass a curation run
+  // keeps (head+middle) or drops (tail). Docs the LM cannot score
+  // (< 2 tokens) land in an explicit 'unscored' bucket. Scale shape:
+  // bucketing is a broadcast of per-lang cut points + a map-only
+  // comparison — NO per-lang global sort/ntile; the only shuffles are
+  // the q445 count tables and two small keyed aggregates.
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = knLm(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).cast("long").as("__toks")), Seq("doc_id"))
+    val bounds = scored.filter(col("avg_logp").isNotNull)
+      .groupBy("lang")
+      .agg(M.oracleRound(expr("percentile(avg_logp, 0.25)"), 4).as("__b1"),
+        M.oracleRound(expr("percentile(avg_logp, 0.75)"), 4).as("__b2"))
+    scored.join(broadcast(bounds), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("avg_logp").isNull, lit("unscored"))
+          .when(col("avg_logp") <= col("__b1"), lit("tail"))
+          .when(col("avg_logp") <= col("__b2"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        M.oracleRound(
+          sum(col("avg_logp").cast("decimal(20,4)")).cast("double") /
+            count(col("avg_logp")), 4).as("mean_logp"))
+      .withColumn("kept", col("bucket").isin("head", "middle"))
+      .orderBy("lang", "bucket")
+  }
+
+  // q449: SoftDeDup-style down-WEIGHTING instead of dropping — every
+  // member of a near-dup component (the shared q49 components over
+  // J >= 0.7 pairs) gets sampling weight 1/|component| so the
+  // component contributes ONE document's worth of expected tokens to
+  // an epoch; unduplicated docs keep weight 1. The report is the
+  // per-source raw vs EFFECTIVE token mass — what the mixture planner
+  // should budget with when dedup is soft (repeated text down-sampled,
+  // not discarded). Per-doc token·weight terms are 6-dp-pinned and
+  // DECIMAL-summed (order-free), one rounded division at the end.
+  def softDedup(s: SparkSession, dir: String): DataFrame = {
+    val comps = dupComponents(s, dir)
+    val csz = comps.groupBy("comp").agg(count(lit(1)).as("__csz"))
+    val member = comps.select(col("node").as("doc_id"), col("comp"))
+      .join(csz, Seq("comp"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        T.tokenCount(col("text")).cast("long").as("__toks"))
+      .join(member, Seq("doc_id"), "left")
+      .withColumn("__w", when(col("__csz").isNull, lit(1.0))
+        .otherwise(lit(1.0) / col("__csz").cast("double")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__csz").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("__toks")).as("raw_tokens"),
+        M.oracleRound(
+          sum(M.oracleRound(col("__toks").cast("double") * col("__w"), 6)
+            .cast("decimal(24,6)")).cast("double"), 4).as("effective_tokens"))
+      .orderBy("source")
+  }
+
+  // q450: Simple Good-Turing smoothing design table (Gale & Sampson
+  // '95) over word-TRIGRAM counts (trigrams, not unigrams — the q153
+  // rationale: the gate corpus' ~31-term unigram vocabulary has no
+  // count-1 tail, while the ~30k-trigram universe has the full N_1-
+  // heavy frequency-of-frequencies an LM smoother actually faces).
+  // Emits, for r <= 10: N_r, the Church-Gale neighbor-smoothed Z_r,
+  // the raw Turing estimate r* = (r+1)N_{r+1}/N_r (NULL where the
+  // next count class is empty — the gap SGT exists to fix), and the
+  // log-log-fit estimate r*_LGT = r(1+1/r)^{b+1}; the fitted slope b
+  // and the unseen mass p0 = N_1/N ride as constant columns (the q221
+  // convention). Scale shape: counts and N_r are two keyed aggregates
+  // over the shared token-array stage; the window runs on the N_r
+  // table, whose row count is bounded by the number of DISTINCT
+  // frequencies <= sqrt(2N) — driver-tiny at any corpus size. The fit
+  // is 6/8-dp-pinned DECIMAL-summed regression (order-free).
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tri = tokenArrays(s, dir)
+      .filter(size(col("a")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("a")) - 2), i =>
+        concat_ws(" ", element_at(col("a"), i),
+          element_at(col("a"), i + 1), element_at(col("a"), i + 2))))
+        .as("w"))
+    val nr = tri.groupBy("w").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("r")
+    val zr = nr
+      .withColumn("__q", lag(col("r"), 1, 0).over(w))
+      .withColumn("__t", coalesce(lead(col("r"), 1).over(w),
+        lit(2) * col("r") - col("__q")))
+      .withColumn("z_r", M.oracleRound(
+        lit(2.0) * col("n_r").cast("double") /
+          (col("__t") - col("__q")).cast("double"), 6))
+      .withColumn("__x", M.oracleRound(log10(col("r").cast("double")), 6))
+      .withColumn("__y", M.oracleRound(log10(col("z_r")), 6))
+    val fit = zr.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__x").cast("decimal(20,6)")).cast("double").as("__sx"),
+      sum(col("__y").cast("decimal(20,6)")).cast("double").as("__sy"),
+      sum(M.oracleRound(col("__x") * col("__x"), 8).cast("decimal(24,8)"))
+        .cast("double").as("__sxx"),
+      sum(M.oracleRound(col("__x") * col("__y"), 8).cast("decimal(24,8)"))
+        .cast("double").as("__sxy"),
+      sum(col("r") * col("n_r")).cast("double").as("__nn"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L))
+        .cast("double").as("__n1"))
+      .select(
+        M.oracleRound((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6).as("b"),
+        M.oracleRound(col("__n1") / col("__nn"), 6).as("p0"))
+    val nextNr = nr.select((col("r") - 1).as("r"), col("n_r").as("__n_next"))
+    zr.join(nextNr, Seq("r"), "left")
+      .crossJoin(broadcast(fit))
+      .filter(col("r") <= 10)
+      .select(col("r"), col("n_r"), col("z_r"),
+        M.oracleRound((col("r") + 1).cast("double") *
+          col("__n_next").cast("double") / col("n_r").cast("double"), 4)
+          .as("r_turing"),
+        M.oracleRound(col("r").cast("double") *
+          pow((col("r") + 1).cast("double") / col("r").cast("double"),
+            col("b") + lit(1.0)), 4).as("r_lgt"),
+        col("b"), col("p0"))
+      .orderBy("r")
+  }
+
+  // q451: LZ76 phrase complexity of each doc's first 120 chars — the
+  // classic parametric-free "structured text vs word salad vs noise"
+  // quality signal (Lempel & Ziv '76) beside q249's trigram
+  // compressibility and q337's entropy rate. The parse is inherently
+  // sequential per doc, so it runs as ONE native codegen'd expression
+  // on the scan ([[graft.expressions.LzComplexity]]) — map-only at any
+  // corpus size; the normalization C·log2(n)/n (≈1 for random text,
+  // →0 for repetitive) makes scores comparable across lengths.
+  def lzComplexity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(substring(col("text"), 1, 120)).as("n_used"),
+        call_function("graft_lz76", col("text"), lit(120)).as("lz_c"))
+      .withColumn("c_norm", when(col("n_used") > 0, M.oracleRound(
+        col("lz_c").cast("double") * log2(col("n_used").cast("double")) /
+          col("n_used").cast("double"), 4)))
+      .orderBy("doc_id")
+
   // KMV sketch split-overlap: the two md5-split halves of the corpus
   // (bucket < 50 vs >= 50 of the q59 convention) compared on distinct
   // word TRIGRAMS — per-side estimates, union, Jaccard and
