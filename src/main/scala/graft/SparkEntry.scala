@@ -481,6 +481,9 @@ object SparkEntry {
     "q449_soft_dedup" -> (P.softDedup _),
     "q450_good_turing" -> (P.goodTuring _),
     "q451_lz_complexity" -> (P.lzComplexity _),
+    "q452_adaboost_stumps" -> (P.adaStumps _),
+    "q453_adaboost_scores" -> (P.adaScores _),
+    "q454_ipw_ate" -> (C.ipwAte _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11253,6 +11256,76 @@ object SparkEntry {
         | CASE WHEN s.n > 0 THEN round(CAST(coalesce(cx.lz_c, 0) AS DOUBLE) *
         |   log2(CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE), 4) END AS c_norm
         |FROM s LEFT JOIN cx USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // q452/q453: the unrolled in-engine AdaBoost (see adaTrainCtes)
+    "q452_adaboost_stumps" ->
+      (s"""WITH ${adaTrainCtes(3)}
+         |SELECT 1 AS t, feat, thr, pol, err, a AS alpha FROM a1
+         |UNION ALL SELECT 2, feat, thr, pol, err, a FROM a2
+         |UNION ALL SELECT 3, feat, thr, pol, err, a FROM a3
+         |ORDER BY t""".stripMargin),
+    "q453_adaboost_scores" ->
+      (s"""WITH ${adaTrainCtes(3)}
+         |SELECT f.doc_id, f.y AS label,
+         | round(a1.a * (CASE WHEN (CASE a1.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a1.thr THEN a1.pol ELSE -a1.pol END)
+         |  + a2.a * (CASE WHEN (CASE a2.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a2.thr THEN a2.pol ELSE -a2.pol END)
+         |  + a3.a * (CASE WHEN (CASE a3.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a3.thr THEN a3.pol ELSE -a3.pol END),
+         |  4) AS score,
+         | CASE WHEN a1.a * (CASE WHEN (CASE a1.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a1.thr THEN a1.pol ELSE -a1.pol END)
+         |  + a2.a * (CASE WHEN (CASE a2.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a2.thr THEN a2.pol ELSE -a2.pol END)
+         |  + a3.a * (CASE WHEN (CASE a3.feat WHEN 1 THEN f.f1 WHEN 2
+         |     THEN f.f2 ELSE f.f3 END) <= a3.thr THEN a3.pol ELSE -a3.pol END)
+         |  >= 0 THEN 1 ELSE -1 END AS pred
+         |FROM fw f, a1, a2, a3 ORDER BY f.doc_id""".stripMargin),
+    // q454: Hájek IPW with the trained-propensity chain (see
+    // ipwTrainCtes); weight terms 6-dp-pinned and DECIMAL-summed
+    "q454_ipw_ate" ->
+      (s"""WITH ${ipwTrainCtes(3)},
+         |sc AS MATERIALIZED (
+         | SELECT lab.doc_id,
+         |  CAST(floor(1.0 / (1.0 + exp(-(CAST(b.bu + coalesce(s.su, 0)
+         |      AS DOUBLE) / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS pu
+         | FROM lab
+         | LEFT JOIN (SELECT f.doc_id, sum(w.wu) AS su
+         |            FROM feats f JOIN w3 w USING (j) GROUP BY 1) s
+         |  USING (doc_id), b3 b),
+         |m AS MATERIALIZED (
+         | SELECT ob.doc_id, ob.y, ob.yc,
+         |  least(greatest(sc.pu, 1), 999999) AS eu
+         | FROM ob JOIN sc USING (doc_id)),
+         |g AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_t,
+         |  sum(CASE WHEN y = 1 THEN CAST(round((CAST(yc AS DOUBLE) / 100)
+         |    / (CAST(eu AS DOUBLE) / 1000000.0), 6) AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS syt,
+         |  sum(CASE WHEN y = 1 THEN CAST(round(1.0
+         |    / (CAST(eu AS DOUBLE) / 1000000.0), 6) AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS swt,
+         |  sum(CASE WHEN y = 0 THEN CAST(round((CAST(yc AS DOUBLE) / 100)
+         |    / (CAST(1000000 - eu AS DOUBLE) / 1000000.0), 6) AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS syc,
+         |  sum(CASE WHEN y = 0 THEN CAST(round(1.0
+         |    / (CAST(1000000 - eu AS DOUBLE) / 1000000.0), 6) AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS swc,
+         |  CAST(sum(CASE WHEN y = 1 THEN yc ELSE 0 END) AS BIGINT) AS syn,
+         |  CAST(sum(CASE WHEN y = 0 THEN yc ELSE 0 END) AS BIGINT) AS scn,
+         |  round(min(CAST(eu AS DOUBLE) / 1000000.0), 6) AS e_min,
+         |  round(max(CAST(eu AS DOUBLE) / 1000000.0), 6) AS e_max
+         | FROM m)
+         |SELECT n, n_t,
+         | round(CAST(syt AS DOUBLE) / CAST(swt AS DOUBLE), 4) AS mu_ipw_treat,
+         | round(CAST(syc AS DOUBLE) / CAST(swc AS DOUBLE), 4) AS mu_ipw_ctrl,
+         | round(CAST(syt AS DOUBLE) / CAST(swt AS DOUBLE)
+         |   - CAST(syc AS DOUBLE) / CAST(swc AS DOUBLE), 4) AS ate_ipw,
+         | round(CAST(syn AS DOUBLE) / CAST(n_t AS DOUBLE) / 100
+         |   - CAST(scn AS DOUBLE) / CAST(n - n_t AS DOUBLE) / 100, 4)
+         |  AS ate_naive,
+         | e_min, e_max
+         |FROM g""".stripMargin),
   )
 
   private val q45OracleSql: String =
@@ -11479,6 +11552,14 @@ object SparkEntry {
          |w0 AS (SELECT CAST(j AS INTEGER) AS j, CAST(0 AS BIGINT) AS wu
          |       FROM range($buckets) r(j)),
          |b0 AS (SELECT CAST(0 AS BIGINT) AS bu)""".stripMargin
+    (base +: Seq(lrRoundCtes(iters))).mkString(",\n")
+  }
+
+  /** The unrolled micro-unit GD rounds shared by every in-engine
+    * logistic fit (q446/q447 over documents, q454's propensity over
+    * orders): references only the generic `feats`/`lab`/`n`/`w$p`/
+    * `b$p` CTE names the caller's base block defines. lr = 0.5. */
+  private def lrRoundCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val p = k - 1
       s"""e$k AS MATERIALIZED (
@@ -11503,6 +11584,90 @@ object SparkEntry {
          |                  ELSE CAST(floor(d + 0.5) AS BIGINT) END AS bu
          | FROM (SELECT b.bu, 0.5 * CAST(g.gu AS DOUBLE) / n.n AS d
          |       FROM b$p b, (SELECT sum(e) AS gu FROM e$k) g, n) x)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
+  /** q454's base + trained-propensity blocks: orders⋈customer units,
+    * 8 account-balance-bin presence features, then the SAME unrolled
+    * GD rounds as q446 ([[lrRoundCtes]]). */
+  private def ipwTrainCtes(iters: Int): String = {
+    val base =
+      s"""ob AS MATERIALIZED (
+         | SELECT o.o_orderkey AS doc_id,
+         |  CASE WHEN c.c_mktsegment = 'BUILDING' THEN CAST(1 AS BIGINT)
+         |   ELSE CAST(0 AS BIGINT) END AS y,
+         |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS yc,
+         |  least(7, greatest(0, CAST(floor(
+         |    CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000 AS DOUBLE)
+         |    / 137500.0) AS INTEGER))) AS j
+         | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |feats AS MATERIALIZED (SELECT DISTINCT doc_id, j FROM ob),
+         |lab AS MATERIALIZED (SELECT doc_id, y FROM ob),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ob),
+         |w0 AS (SELECT CAST(j AS INTEGER) AS j, CAST(0 AS BIGINT) AS wu
+         |       FROM range(8) r(j)),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS bu)""".stripMargin
+    base + ",\n" + lrRoundCtes(iters)
+  }
+
+  /** q452/q453's unrolled AdaBoost: k/16 4-dp-pinned quantile
+    * thresholds × both polarities, then per round the 6-dp weighted
+    * error per hypothesis (DECIMAL sums of 6-dp weights), the
+    * (err, feat, thr, pol)-argmin stump, 6-dp α, and the 6-dp
+    * multiplicative weight update — op-for-op the [[graft.operators
+    * .Boosting]] chain. */
+  private def adaTrainCtes(iters: Int): String = {
+    val ps = (1 to 15).map(k => (k / 16.0).toString).mkString(", ")
+    val base =
+      s"""fw AS MATERIALIZED (
+         | SELECT doc_id,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
+         |   AS f1,
+         |  CAST(n_chars AS DOUBLE) AS f2,
+         |  CAST(len(list_distinct(CASE WHEN len(trim(lower(text))) = 0
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END))
+         |   AS DOUBLE) AS f3
+         | FROM documents),
+         |fv AS MATERIALIZED (
+         | SELECT doc_id, y, 1 AS feat, f1 AS fv FROM fw
+         | UNION ALL SELECT doc_id, y, 2, f2 FROM fw
+         | UNION ALL SELECT doc_id, y, 3, f3 FROM fw),
+         |thr AS MATERIALIZED (
+         | SELECT DISTINCT feat, round(q, 4) AS thr
+         | FROM (SELECT feat, unnest(qs) AS q
+         |       FROM (SELECT feat, quantile_cont(fv, [$ps]) AS qs
+         |             FROM fv GROUP BY feat) a) b),
+         |hyp AS MATERIALIZED (
+         | SELECT feat, thr, pol
+         | FROM thr, (SELECT 1 AS pol UNION ALL SELECT -1) p),
+         |w0 AS (SELECT doc_id, 1.0 AS w FROM fw)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""err$k AS MATERIALIZED (
+         | SELECT h.feat, h.thr, h.pol,
+         |  round(CAST(sum(CASE WHEN (CASE WHEN f.fv <= h.thr THEN h.pol
+         |      ELSE -h.pol END) <> f.y THEN CAST(w.w AS DECIMAL(24,6))
+         |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+         |   / CAST(sum(CAST(w.w AS DECIMAL(24,6))) AS DOUBLE), 6) AS err
+         | FROM fv f JOIN w$p w USING (doc_id) JOIN hyp h USING (feat)
+         | GROUP BY 1, 2, 3),
+         |a$k AS MATERIALIZED (
+         | SELECT feat, thr, pol, err,
+         |  round(0.5 * ln((1.0 - greatest(least(err, 0.999999), 0.000001)) /
+         |    greatest(least(err, 0.999999), 0.000001)), 6) AS a
+         | FROM (SELECT feat, thr, pol, err,
+         |        row_number() OVER (ORDER BY err, feat, thr, pol) AS rn
+         |       FROM err$k) r WHERE rn = 1),
+         |w$k AS MATERIALIZED (
+         | SELECT w.doc_id,
+         |  round(w.w * exp(CASE WHEN (CASE WHEN f.fv <= a.thr THEN a.pol
+         |    ELSE -a.pol END) <> f.y THEN a.a ELSE -a.a END), 6) AS w
+         | FROM a$k a, w$p w, fv f
+         | WHERE f.doc_id = w.doc_id AND f.feat = a.feat)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
   }

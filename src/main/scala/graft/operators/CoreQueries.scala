@@ -4029,6 +4029,74 @@ object CoreQueries {
       .orderBy("nation")
   }
 
+  // q454: Hájek-stabilized IPW ATE with a TRAINED propensity model —
+  // the inverse-propensity-weighting estimator beside q338's exact
+  // stratification: e(x) comes from the q446-family in-engine logistic
+  // (micro-unit GD, 3 rounds, lr 0.5) over 8 account-balance bins, so
+  // the whole causal chain — model fit, clamped propensities, weighted
+  // arm means — is one engine artifact. Same treatment/outcome as q338
+  // (BUILDING segment → order total) so the two estimators are
+  // directly comparable; e is clamped to [1e-6, 1−1e-6] in micro-units
+  // (the standard positivity trim). Per-order weight terms are
+  // 6-dp-pinned and DECIMAL-summed (order-free); e_min/e_max ride as
+  // positivity diagnostics. Scale shape: the propensity model is
+  // driver-sized (9 weights); training and scoring are keyed
+  // aggregates + a broadcast join — the corpus never moves.
+  def ipwAte(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("y"),
+          round(col("c_acctbal") * 100).cast("long").as("__bal"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("doc_id"), col("y"),
+        round(col("o_totalprice") * 100).cast("long").as("__yc"),
+        least(lit(7), greatest(lit(0),
+          floor((col("__bal") + lit(100000L)).cast("double") / lit(137500.0))
+            .cast("int"))).as("j"))
+      .localCheckpoint()
+    val labels = base.select("doc_id", "y")
+    val feats = base.select("doc_id", "j").distinct().localCheckpoint()
+    val (wu, bu) = TrainedFilter.trainLogistic(labels, feats,
+      buckets = 8, iters = 3, lr = 0.5, nDocs = base.count())
+    val e = TrainedFilter.microScores(labels, feats, wu, bu)
+      .select(col("doc_id"),
+        least(greatest(col("pu"), lit(1L)), lit(999999L)).as("__eu"))
+    val ed = col("__eu").cast("double") / lit(1000000.0)
+    val ced = (lit(1000000L) - col("__eu")).cast("double") / lit(1000000.0)
+    val yd = col("__yc").cast("double") / lit(100)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+    val z = lit(0).cast("decimal(28,6)")
+    val g = base.join(e, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_t"),
+        sum(when(col("y") === 1L, dec(M.oracleRound(yd / ed, 6)))
+          .otherwise(z)).as("syt"),
+        sum(when(col("y") === 1L, dec(M.oracleRound(lit(1.0) / ed, 6)))
+          .otherwise(z)).as("swt"),
+        sum(when(col("y") === 0L, dec(M.oracleRound(yd / ced, 6)))
+          .otherwise(z)).as("syc"),
+        sum(when(col("y") === 0L, dec(M.oracleRound(lit(1.0) / ced, 6)))
+          .otherwise(z)).as("swc"),
+        sum(when(col("y") === 1L, col("__yc")).otherwise(0L)).as("syn"),
+        sum(when(col("y") === 0L, col("__yc")).otherwise(0L)).as("scn"),
+        M.oracleRound(min(ed), 6).as("e_min"),
+        M.oracleRound(max(ed), 6).as("e_max"))
+    g.select(col("n"), col("n_t"),
+      M.oracleRound(col("syt").cast("double") / col("swt").cast("double"),
+        4).as("mu_ipw_treat"),
+      M.oracleRound(col("syc").cast("double") / col("swc").cast("double"),
+        4).as("mu_ipw_ctrl"),
+      M.oracleRound(col("syt").cast("double") / col("swt").cast("double") -
+        col("syc").cast("double") / col("swc").cast("double"), 4)
+        .as("ate_ipw"),
+      M.oracleRound(col("syn").cast("double") / col("n_t").cast("double") /
+        lit(100) - col("scn").cast("double") /
+        (col("n") - col("n_t")).cast("double") / lit(100), 4)
+        .as("ate_naive"),
+      col("e_min"), col("e_max"))
+  }
+
   // q339: Hill tail-index estimator — the power-law exponent of the
   // order-value upper tail from the top-k order statistics:
   // α̂ = k / Σ_{i≤k} ln(x_i / x_(k+1)). q166 fits Zipf on token RANKS

@@ -2732,6 +2732,43 @@ object PipelineQueries {
       .orderBy("r")
   }
 
+  /** Trained AdaBoost stump ensemble, memoized per (session, dir):
+    * 3 boosting rounds over three cheap numeric signals (token count,
+    * char count, distinct-token count), label = (lang = 'en') as
+    * ±1 — the q446 logistic filter's label learned by a different
+    * model family (additive stumps vs linear-in-buckets), the
+    * "do two learners agree?" audit pair. See [[Boosting]] for the
+    * determinism contract. q452 gates the model, q453 the scores —
+    * one training pass for both. */
+  private val adaStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[Boosting.Stump])]
+  private def adaModel(s: SparkSession, dir: String):
+      (DataFrame, Seq[Boosting.Stump]) =
+    adaStage.getOrElseUpdate((s, dir), {
+      val wide = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("lang") === "en", 1).otherwise(-1).as("y"),
+          T.tokenCount(col("text")).cast("double").as("f1"),
+          col("n_chars").cast("double").as("f2"),
+          size(array_distinct(T.tokens(lower(col("text")))))
+            .cast("double").as("f3"))
+        .localCheckpoint()
+      val fv = wide.selectExpr("doc_id", "y",
+        "stack(3, 1, f1, 2, f2, 3, f3) as (feat, fv)").localCheckpoint()
+      (wide, Boosting.train(s, fv, iters = 3))
+    })
+
+  // q452: the boosted-stump model table — per round the chosen stump
+  // (feat, thr, pol), its weighted error, and α
+  def adaStumps(s: SparkSession, dir: String): DataFrame =
+    Boosting.modelTable(s, adaModel(s, dir)._2).orderBy("t")
+
+  // q453: per-doc additive scores + sign predictions under the trained
+  // ensemble (map-only: the stumps are literals)
+  def adaScores(s: SparkSession, dir: String): DataFrame = {
+    val (wide, stumps) = adaModel(s, dir)
+    Boosting.scores(wide, stumps).orderBy("doc_id")
+  }
+
   // q451: LZ76 phrase complexity of each doc's first 120 chars — the
   // classic parametric-free "structured text vs word salad vs noise"
   // quality signal (Lempel & Ziv '76) beside q249's trigram

@@ -94,6 +94,14 @@ object TrainedFilter {
         col("pu"), col("e"))
   }
 
+  /** [[residuals]] exposed at micro resolution — `(doc_id, y, p, pu,
+    * e)` — for consumers that need the exact integer-micro probability
+    * (the q454 IPW propensity: `pu/1e6` is an exact rational, so the
+    * inverse-weight chain stays oracle-mirrorable). */
+  def microScores(labels: DataFrame, feats: DataFrame,
+      wu: Array[Long], bu: Long): DataFrame =
+    residuals(labels, feats, wu, bu)
+
   /** Per-doc scores under trained weights: `(doc_id, label, score
     * 4-dp, pred)` — `pred = 1 ⇔ p ≥ 0.5` (exactly 0.5 only when the
     * integer logit is exactly 0, identical on both engines). */
