@@ -484,6 +484,8 @@ object SparkEntry {
     "q452_adaboost_stumps" -> (P.adaStumps _),
     "q453_adaboost_scores" -> (P.adaScores _),
     "q454_ipw_ate" -> (C.ipwAte _),
+    "q455_rq_distortion" -> (P.rqDistortion _),
+    "q456_signal_agreement" -> (P.signalAgreement _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11326,6 +11328,123 @@ object SparkEntry {
          |  AS ate_naive,
          | e_min, e_max
          |FROM g""".stripMargin),
+    // q455: BOTH Lloyd builds in one WITH — the shared q53 coarse
+    // build (ivfBuildCtes defaults) plus a second, r-prefixed build
+    // over the residual frame (the src/prefix parameterization);
+    // distortions 8-dp-pinned and DECIMAL-summed per coarse cell.
+    "q455_rq_distortion" ->
+      (s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                         y -> y*y)))) AS v
+         | FROM embeddings),
+         |${ivfBuildCtes(16, 3, 64, 42)},
+         |res AS MATERIALIZED (
+         | SELECT e.vec_id, a.cell AS cell1,
+         |  list_transform(range(1, 65), i -> e.v[i] - c.ctr[i]) AS v
+         | FROM e JOIN af a USING (vec_id) JOIN c3 c ON c.cell = a.cell),
+         |${ivfBuildCtes(16, 3, 64, 777, src = "res", p = "r")}
+         |SELECT r.cell1 AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         | round(CAST(sum(CAST(round(list_sum(list_transform(r.v,
+         |     x -> x * x)), 8) AS DECIMAL(28,8))) AS DOUBLE)
+         |   / count(*), 6) AS mse_c1,
+         | round(CAST(sum(CAST(round(list_sum(list_transform(range(1, 65),
+         |     i -> (r.v[i] - c.ctr[i]) * (r.v[i] - c.ctr[i]))), 8)
+         |     AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS mse_rq
+         |FROM res r JOIN raf a USING (vec_id) JOIN rc3 c ON c.cell = a.cell
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q456: the three quality signals recomputed in one WITH (q445 LM
+    // chain + q25 composite + q451 LZ walk), then pairwise Pearson
+    // over rows where both signals exist — moments DECIMAL-pinned.
+    "q456_signal_agreement" -> {
+      def corrSel(name: String, xc: String, yc: String): String =
+        s"""SELECT '$name' AS pair, CAST(count(*) AS BIGINT) AS n,
+           | round((count(*) * CAST(sum(CAST(round($xc * $yc, 8)
+           |     AS DECIMAL(24,8))) AS DOUBLE)
+           |   - CAST(sum(CAST($xc AS DECIMAL(20,4))) AS DOUBLE)
+           |     * CAST(sum(CAST($yc AS DECIMAL(20,4))) AS DOUBLE))
+           |  / (sqrt(count(*) * CAST(sum(CAST(round($xc * $xc, 8)
+           |       AS DECIMAL(24,8))) AS DOUBLE)
+           |     - CAST(sum(CAST($xc AS DECIMAL(20,4))) AS DOUBLE)
+           |       * CAST(sum(CAST($xc AS DECIMAL(20,4))) AS DOUBLE))
+           |   * sqrt(count(*) * CAST(sum(CAST(round($yc * $yc, 8)
+           |       AS DECIMAL(24,8))) AS DOUBLE)
+           |     - CAST(sum(CAST($yc AS DECIMAL(20,4))) AS DOUBLE)
+           |       * CAST(sum(CAST($yc AS DECIMAL(20,4))) AS DOUBLE))), 4)
+           |  AS r
+           |FROM m WHERE $xc IS NOT NULL AND $yc IS NOT NULL""".stripMargin
+      s"""WITH RECURSIVE t AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+         |   THEN CAST([] AS VARCHAR[])
+         |   ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+         | FROM documents),
+         |bg AS MATERIALIZED (
+         | SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+         | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+         |       FROM t WHERE len(a) >= 2) x),
+         |cab AS MATERIALIZED (
+         | SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         |hist AS MATERIALIZED (
+         | SELECT w1, sum(c_ab) AS c1, count(*) AS nf FROM cab GROUP BY 1),
+         |cont AS MATERIALIZED (
+         | SELECT w2, count(*) AS nb FROM cab GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM cab),
+         |p AS MATERIALIZED (
+         | SELECT bg.doc_id,
+         |  round(CAST(sum(CAST(round(log10(
+         |    greatest(CAST(cab.c_ab AS DOUBLE) - 0.75, 0.0) / CAST(h.c1 AS DOUBLE)
+         |    + (0.75 * CAST(h.nf AS DOUBLE) / CAST(h.c1 AS DOUBLE))
+         |      * (CAST(ct.nb AS DOUBLE) / nt.nt)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |   / count(*), 4) AS avg_logp
+         | FROM bg JOIN cab USING (w1, w2) JOIN hist h ON h.w1 = bg.w1
+         |  JOIN cont ct ON ct.w2 = bg.w2, nt
+         | GROUP BY bg.doc_id),
+         |qual AS MATERIALIZED (
+         | SELECT doc_id,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.7
+         |   + (CASE WHEN length(text) BETWEEN 20 AND 20000
+         |      THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS q
+         | FROM (SELECT doc_id, text,
+         |        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         |       FROM documents) x),
+         |s AS MATERIALIZED (
+         | SELECT doc_id, substr(text, 1, 120) AS s,
+         |  len(substr(text, 1, 120)) AS n
+         | FROM documents),
+         |f AS MATERIALIZED (
+         | SELECT doc_id, pos,
+         |  coalesce(min(CASE WHEN strpos(substr(s, 1, pos + l - 2),
+         |    substr(s, pos, l)) = 0 THEN l END), n - pos + 1) AS flen
+         | FROM (SELECT doc_id, s, n, pos,
+         |        unnest(generate_series(1, n - pos + 1)) AS l
+         |       FROM (SELECT doc_id, s, n, unnest(generate_series(1, n)) AS pos
+         |             FROM s WHERE n >= 1) pp) x
+         | GROUP BY doc_id, pos, n),
+         |walk(doc_id, pos, c) AS (
+         | SELECT doc_id, CAST(1 AS BIGINT), 0 FROM s WHERE n >= 1
+         | UNION ALL
+         | SELECT w.doc_id, w.pos + f.flen, w.c + 1
+         | FROM walk w JOIN f ON f.doc_id = w.doc_id AND f.pos = w.pos),
+         |cx AS (SELECT doc_id, max(c) AS lz_c FROM walk GROUP BY doc_id),
+         |lzt AS (
+         | SELECT s.doc_id,
+         |  CASE WHEN s.n > 0 THEN round(CAST(coalesce(cx.lz_c, 0) AS DOUBLE) *
+         |    log2(CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE), 4) END AS lz
+         | FROM s LEFT JOIN cx USING (doc_id)),
+         |m AS MATERIALIZED (
+         | SELECT d.doc_id, qual.q, p.avg_logp AS lm, lzt.lz
+         | FROM documents d JOIN qual USING (doc_id)
+         | LEFT JOIN p USING (doc_id) LEFT JOIN lzt USING (doc_id))
+         |${corrSel("lm_vs_lz", "lm", "lz")}
+         |UNION ALL
+         |${corrSel("lm_vs_quality", "lm", "q")}
+         |UNION ALL
+         |${corrSel("quality_vs_lz", "q", "lz")}
+         |ORDER BY pair""".stripMargin
+    },
   )
 
   private val q45OracleSql: String =
@@ -11940,38 +12059,39 @@ object SparkEntry {
     * every member (Spark keeps them too). Used by q53 (ivfOracle) and
     * q75 (semantic dedup). Callers append their own CTEs/tail after a
     * comma. */
-  private def ivfBuildCtes(nlist: Int, iters: Int, dim: Int, seed: Int): String = {
+  private def ivfBuildCtes(nlist: Int, iters: Int, dim: Int, seed: Int,
+      src: String = "e", p: String = ""): String = {
     val iterCtes = (1 to iters).map { kk =>
       val j = kk - 1
-      s"""d$kk AS MATERIALIZED (
+      s"""${p}d$kk AS MATERIALIZED (
          | SELECT e.vec_id, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |   ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
-         | FROM e, c$j c),
-         |a$kk AS MATERIALIZED (SELECT vec_id, cell FROM d$kk WHERE r = 1),
-         |m$kk AS MATERIALIZED (
+         | FROM $src e, ${p}c$j c),
+         |${p}a$kk AS MATERIALIZED (SELECT vec_id, cell FROM ${p}d$kk WHERE r = 1),
+         |${p}m$kk AS MATERIALIZED (
          | SELECT a.cell, d.i AS di, round(avg(e.v[d.i]), 6) AS w
-         | FROM a$kk a JOIN e USING (vec_id), generate_series(1, $dim) AS d(i)
+         | FROM ${p}a$kk a JOIN $src e USING (vec_id), generate_series(1, $dim) AS d(i)
          | GROUP BY a.cell, d.i),
-         |c$kk AS MATERIALIZED (
-         | SELECT c$j.cell, coalesce(m.ctr, c$j.ctr) AS ctr
-         | FROM c$j LEFT JOIN (SELECT cell, list(w ORDER BY di) AS ctr
-         |   FROM m$kk GROUP BY cell) m USING (cell)),""".stripMargin
+         |${p}c$kk AS MATERIALIZED (
+         | SELECT ${p}c$j.cell, coalesce(m.ctr, ${p}c$j.ctr) AS ctr
+         | FROM ${p}c$j LEFT JOIN (SELECT cell, list(w ORDER BY di) AS ctr
+         |   FROM ${p}m$kk GROUP BY cell) m USING (cell)),""".stripMargin
     }.mkString("\n")
-    s"""init AS MATERIALIZED (
+    s"""${p}init AS MATERIALIZED (
        | SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
        | FROM (SELECT vec_id, v,
        |        CAST(('0x' || substr(md5('$seed:' || vec_id), 1, 8)) AS BIGINT) AS h
-       |       FROM e)
+       |       FROM $src)
        | ORDER BY h, vec_id LIMIT $nlist),
-       |c0 AS MATERIALIZED (SELECT cell, v AS ctr FROM init),
+       |${p}c0 AS MATERIALIZED (SELECT cell, v AS ctr FROM ${p}init),
        |$iterCtes
-       |af AS MATERIALIZED (
+       |${p}af AS MATERIALIZED (
        | SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
-       |  FROM e, c$iters c) t WHERE r = 1)""".stripMargin
+       |  FROM $src e, ${p}c$iters c) t WHERE r = 1)""".stripMargin
   }
 
   /** q54/q94 shared session CTEs: 30-min-gap sessionization down to

@@ -2769,6 +2769,57 @@ object PipelineQueries {
     Boosting.scores(wide, stumps).orderBy("doc_id")
   }
 
+  // q455: residual-quantization distortion design table — level-1 =
+  // the SHARED q53 coarse fit (fit once, reuse), level-2 = a Lloyd fit
+  // on the residuals (seed 777); per coarse cell the MSE with and
+  // without the residual stage. See Similarity.residualQuantDistortion.
+  def rqDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.residualQuantDistortion(normEmb(s, dir), "vec_id",
+      "embedding", coarseCenters(s, dir), nlist2 = 16, dim = 64,
+      seed2 = 777L, iters = 3)
+
+  // q456: quality-SIGNAL AGREEMENT audit — pairwise Pearson between
+  // the three independent doc-level quality signals (q445 KN-LM logp,
+  // q25 composite quality, q451 normalized LZ76): the "which filters
+  // agree, which measure something different" table a curation stack
+  // reads before stacking filters (high |r| ⇒ redundant gate, r ≈ 0 ⇒
+  // complementary). Each pair correlates over the docs where BOTH
+  // signals exist; moments are 4/8-dp-pinned DECIMAL sums (order-free)
+  // with one fixed-shape double chain at the end — the q442 discipline.
+  def signalAgreement(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), T.qualityScore(col("text")).as("q"))
+      .join(knLm(s, dir).select(col("doc_id"), col("avg_logp").as("lm")),
+        Seq("doc_id"), "left")
+      .join(lzComplexity(s, dir).select(col("doc_id"), col("c_norm")
+        .as("lz")), Seq("doc_id"), "left")
+      .localCheckpoint() // three aggregates read it
+    def corrRow(name: String, xc: String, yc: String): DataFrame = {
+      val x = col(xc)
+      val y = col(yc)
+      base.filter(x.isNotNull && y.isNotNull)
+        .agg(count(lit(1)).as("__n"),
+          sum(x.cast("decimal(20,4)")).cast("double").as("__sx"),
+          sum(y.cast("decimal(20,4)")).cast("double").as("__sy"),
+          sum(M.oracleRound(x * x, 8).cast("decimal(24,8)")).cast("double")
+            .as("__sxx"),
+          sum(M.oracleRound(y * y, 8).cast("decimal(24,8)")).cast("double")
+            .as("__syy"),
+          sum(M.oracleRound(x * y, 8).cast("decimal(24,8)")).cast("double")
+            .as("__sxy"))
+        .select(lit(name).as("pair"), col("__n").as("n"),
+          M.oracleRound(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+                sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))),
+            4).as("r"))
+    }
+    corrRow("lm_vs_lz", "lm", "lz")
+      .unionByName(corrRow("lm_vs_quality", "lm", "q"))
+      .unionByName(corrRow("quality_vs_lz", "q", "lz"))
+      .orderBy("pair")
+  }
+
   // q451: LZ76 phrase complexity of each doc's first 120 chars — the
   // classic parametric-free "structured text vs word salad vs noise"
   // quality signal (Lempel & Ziv '76) beside q249's trigram

@@ -280,6 +280,46 @@ object Similarity {
     centers
   }
 
+  /** Residual (two-level) vector quantization distortion audit — the
+    * RQ construction modern ANN engines layer under IVF (Chen et al.
+    * '10 "optimized residual VQ"; Lucene/ScaNN's VQ-then-residual
+    * stage): after the coarse level-1 quantizer assigns each vector a
+    * cell, a SECOND Lloyd quantizer is fit on the RESIDUALS
+    * `r = v − c1[cell]`, and reconstruction error drops from
+    * ‖v − c1‖² to ‖v − c1 − c2‖² at the cost of one more small code.
+    * This operator reports, per level-1 cell, the mean squared
+    * reconstruction error with and without the residual stage — the
+    * "is a second level worth 4 more bits?" design table.
+    *
+    * Level-1 centers arrive pre-fit (the shared q53 coarse fit —
+    * fit once, reuse); the level-2 fit is [[fitQuantizer]] on the
+    * residual frame. Scale shape identical to IVF: assignment is
+    * map-only against centroid literals, the fit collects only
+    * nlist2×dim means per round, distortions are 8-dp-pinned
+    * DECIMAL-summed per cell. */
+  def residualQuantDistortion(corpus: DataFrame, idCol: String,
+      vecCol: String, c1: Array[Array[Double]], nlist2: Int, dim: Int,
+      seed2: Long, iters: Int): DataFrame = {
+    val resid = assignCells(corpus, vecCol, c1)
+      .withColumnRenamed("cell", "cell1")
+      .withColumn("r", zip_with(col(vecCol),
+        element_at(centersLit(c1), col("cell1") + 1), (x, y) => x - y))
+      .select(col(idCol), col("cell1"), col("r"))
+      .localCheckpoint() // read by the fit rounds, assign and report
+    val c2 = fitQuantizer(resid, idCol, "r", nlist2, dim, seed2, iters)
+    val d1 = aggregate(transform(col("r"), x => x * x),
+      lit(0.0), (acc, x) => acc + x)
+    val d2 = sqDist(col("r"), element_at(centersLit(c2), col("cell") + 1))
+    def mse(d: Column) = MysqlFunctions.oracleRound(
+      sum(MysqlFunctions.oracleRound(d, 8).cast("decimal(28,8)"))
+        .cast("double") / count(lit(1)), 6)
+    assignCells(resid, "r", c2)
+      .groupBy(col("cell1").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), mse(d1).as("mse_c1"),
+        mse(d2).as("mse_rq"))
+      .orderBy("cell")
+  }
+
   /** DuckDB-parity rounding of a driver-side centroid coordinate —
     * the same double-arithmetic half-away-from-zero formula as
     * [[MysqlFunctions.oracleRound]], applied at scale 6. Centroids are
