@@ -486,6 +486,7 @@ object SparkEntry {
     "q454_ipw_ate" -> (C.ipwAte _),
     "q455_rq_distortion" -> (P.rqDistortion _),
     "q456_signal_agreement" -> (P.signalAgreement _),
+    "q457_jaccard_sweep" -> (P.jaccardSweep _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11445,6 +11446,27 @@ object SparkEntry {
          |${corrSel("quality_vs_lz", "q", "lz")}
          |ORDER BY pair""".stripMargin
     },
+    // q457: the q32 exact-pair oracle bucketed by a CASE ladder on the
+    // 4-dp score; cumulative over the 5-row bin frame.
+    "q457_jaccard_sweep" ->
+      (s"""WITH pr AS MATERIALIZED (
+         |${jaccardPairOracle(0.5).replace("ORDER BY id_a, id_b", "")}),
+         |b AS (
+         | SELECT CASE WHEN jaccard < 0.6 THEN 0.5
+         |   WHEN jaccard < 0.7 THEN 0.6
+         |   WHEN jaccard < 0.8 THEN 0.7
+         |   WHEN jaccard < 0.9 THEN 0.8
+         |   ELSE 0.9 END AS bin_lo, id_a, id_b
+         | FROM pr),
+         |g AS (SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM b GROUP BY 1),
+         |d AS (SELECT bin_lo, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs
+         |      FROM (SELECT bin_lo, unnest([id_a, id_b]) AS dd FROM b) x
+         |      GROUP BY 1)
+         |SELECT g.bin_lo, g.n_pairs, d.n_docs,
+         | CAST(sum(g.n_pairs) OVER (ORDER BY g.bin_lo DESC
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+         |FROM g JOIN d USING (bin_lo) ORDER BY bin_lo""".stripMargin),
   )
 
   private val q45OracleSql: String =

@@ -2769,6 +2769,33 @@ object PipelineQueries {
     Boosting.scores(wide, stumps).orderBy("doc_id")
   }
 
+  // q457: near-dup THRESHOLD SWEEP — the "pick your dedup τ" design
+  // table: the exact-Jaccard pair set at J ≥ 0.5 (the q32-proven
+  // complete frame, riding the shared verified-pair stage) bucketed
+  // into 0.1-wide bins, with per-bin pair/doc counts and the
+  // cumulative pairs a dedup run at each τ would act on. Binning is a
+  // CASE ladder on the 4-dp score (no float×10 arithmetic — bin edges
+  // compare, never multiply). The windows run on the 5-row bin frame.
+  def jaccardSweep(s: SparkSession, dir: String): DataFrame = {
+    val pr = jaccardPairs03(s, dir).filter(col("jaccard") >= 0.5)
+      .withColumn("bin_lo",
+        when(col("jaccard") < 0.6, lit(0.5))
+          .when(col("jaccard") < 0.7, lit(0.6))
+          .when(col("jaccard") < 0.8, lit(0.7))
+          .when(col("jaccard") < 0.9, lit(0.8))
+          .otherwise(lit(0.9)))
+    val g = pr.groupBy("bin_lo").agg(count(lit(1)).as("n_pairs"))
+    val d = pr.select(col("bin_lo"),
+        explode(array(col("id_a"), col("id_b"))).as("dd"))
+      .groupBy("bin_lo").agg(count_distinct(col("dd")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin_lo").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.join(d, Seq("bin_lo"))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .orderBy("bin_lo")
+  }
+
   // q455: residual-quantization distortion design table — level-1 =
   // the SHARED q53 coarse fit (fit once, reuse), level-2 = a Lloyd fit
   // on the residuals (seed 777); per coarse cell the MSE with and

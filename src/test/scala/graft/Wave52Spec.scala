@@ -124,4 +124,24 @@ class Wave52Spec extends AnyFunSuite {
       assert(math.abs(r) <= 1.0 && n > 100)
     }
   }
+
+  test("q457: threshold sweep matches a replay from the gated q32 pairs") {
+    val pairs = SparkEntry.queries("q32_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def bin(j: Double): Double =
+      if (j < 0.6) 0.5 else if (j < 0.7) 0.6 else if (j < 0.8) 0.7
+      else if (j < 0.9) 0.8 else 0.9
+    val byBin = pairs.groupBy(p => bin(p._3))
+    val got = P.jaccardSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == byBin.keySet)
+    byBin.foreach { case (b, ps) =>
+      val docs = ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      val cum = pairs.count(p => bin(p._3) >= b).toLong
+      assert(got(b) == ((ps.length.toLong, docs, cum)), s"at bin $b")
+    }
+    // the sweep covers the full gated pair set exactly once
+    assert(got.values.map(_._1).sum == pairs.length)
+  }
 }
