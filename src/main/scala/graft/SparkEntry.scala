@@ -487,6 +487,7 @@ object SparkEntry {
     "q455_rq_distortion" -> (P.rqDistortion _),
     "q456_signal_agreement" -> (P.signalAgreement _),
     "q457_jaccard_sweep" -> (P.jaccardSweep _),
+    "q458_warc_shards" -> (P.warcShards _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11467,6 +11468,46 @@ object SparkEntry {
          | CAST(sum(g.n_pairs) OVER (ORDER BY g.bin_lo DESC
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
          |FROM g JOIN d USING (bin_lo) ORDER BY bin_lo""".stripMargin),
+    // q458: WARC record lengths restated arithmetically — response
+    // header constants total 183 chars + the doc-id rendered twice
+    // (record id + target URI) + the Content-Length digits; record =
+    // header + payload octets + the 4-byte record terminator; the
+    // fixed warcinfo record is 183 bytes (163-char header + 16-byte
+    // payload + terminator). Offsets are the per-shard exclusive
+    // prefix sum — the engine's MEASURED offsets must land on them.
+    "q458_warc_shards" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n, md5(text) AS pm,
+        |  'https://example.org/doc/' || doc_id AS uri
+        | FROM documents),
+        |r AS (
+        | SELECT shard, doc_id, uri, n, pm,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |   AS INTEGER) AS idx,
+        |  183 + 2 * strlen(CAST(doc_id AS VARCHAR))
+        |   + strlen(CAST(n AS VARCHAR)) + n + 4 AS rlen
+        | FROM m),
+        |o AS (
+        | SELECT shard, uri, n, pm, idx, rlen,
+        |  183 + CAST(coalesce(sum(rlen) OVER (PARTITION BY shard
+        |    ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS off
+        | FROM r),
+        |s AS (
+        | SELECT shard, CAST(count(*) + 1 AS INTEGER) AS n_records,
+        |  CAST(183 + sum(rlen) AS BIGINT) AS warc_len
+        | FROM r GROUP BY shard)
+        |SELECT o.shard, s.n_records, s.warc_len, o.idx,
+        | 'response' AS rec_type, o.uri, o.off,
+        | o.n AS content_length, o.pm AS payload_md5
+        |FROM o JOIN s USING (shard)
+        |UNION ALL
+        |SELECT s.shard, s.n_records, s.warc_len, 0, 'warcinfo', NULL,
+        | CAST(0 AS BIGINT), CAST(16 AS BIGINT),
+        | md5('software: graft' || chr(10))
+        |FROM s
+        |ORDER BY shard, idx""".stripMargin,
   )
 
   private val q45OracleSql: String =

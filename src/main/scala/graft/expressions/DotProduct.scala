@@ -111,6 +111,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavSegBytesDescriptor)
     ext.injectFunction(GraftExtensions.audioFpDescriptor)
     ext.injectFunction(GraftExtensions.lzComplexityDescriptor)
+    ext.injectFunction(GraftExtensions.warcBytesDescriptor)
+    ext.injectFunction(GraftExtensions.warcEntriesDescriptor)
     // §7.3(c): whole-operator strategies for the native as-of join
     // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -337,6 +339,29 @@ object GraftExtensions {
           s"graft_bloom_contains takes exactly 2 arguments, got ${children.length}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      })
+
+  /** `graft_warc_bytes(members)` — WARC/1.0 shard file from ordered
+    * `array<struct<doc_id, text>>` members (see [[WarcBytes]]). */
+  val warcBytesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_warc_bytes"),
+      new ExpressionInfo(classOf[WarcBytes].getName, "graft_warc_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_warc_bytes takes exactly 1 argument, got ${children.length}")
+        WarcBytes(children.head)
+      })
+
+  /** `graft_warc_entries(binary)` — strict WARC walk → record metadata
+    * + payload digests, NULL on any non-conforming byte (see
+    * [[WarcEntries]]). */
+  val warcEntriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_warc_entries"),
+      new ExpressionInfo(classOf[WarcEntries].getName, "graft_warc_entries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_warc_entries takes exactly 1 argument, got ${children.length}")
+        WarcEntries(children.head)
       })
 
   /** `graft_lz76(text, maxChars)` — LZ76 phrase complexity of the

@@ -567,6 +567,19 @@ object Multimodal {
   def tarBytes(members: Column): Column =
     call_function("graft_tar_bytes", members)
 
+  /** WARC/1.0 shard file from the shard's ordered
+    * `array<struct<doc_id, text>>` members — one warcinfo record +
+    * one response record per doc (see
+    * [[graft.expressions.WarcBytes]]). */
+  def warcBytes(members: Column): Column =
+    call_function("graft_warc_bytes", members)
+
+  /** Strict WARC walk → `(n_records, warc_len, records(...))`, NULL
+    * on any non-conforming byte (see
+    * [[graft.expressions.WarcEntries]]). */
+  def warcEntries(warc: Column): Column =
+    call_function("graft_warc_entries", warc)
+
   /** [[tarBytes]] with caller-controlled member names — `members` is
     * the shard's ordered `array<struct<name: string, text: string>>`
     * (names verbatim, 1-100 ASCII chars). The WebDataset paired-sample

@@ -2769,6 +2769,36 @@ object PipelineQueries {
     Boosting.scores(wide, stumps).orderBy("doc_id")
   }
 
+  // q458: WARC shard round trip — the q157 tar discipline applied to
+  // the crawl-native container (Common Crawl's WARC is the upstream of
+  // most pretraining text): 50-doc shards built as conforming WARC/1.0
+  // files (warcinfo + one response record per doc) by the native
+  // encoder, then walked back by the STRICT native parser; the oracle
+  // restates record offsets/lengths arithmetically off the documents
+  // table, so the measured parse proves the byte layout. Shard state =
+  // collect_list of its ≤50 members (bounded by shard size); shards
+  // scale out, members don't.
+  def warcShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(s, dir)
+      .select((col("doc_id") / 50).cast("long").as("shard"),
+        struct(col("doc_id"), col("text")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .select(col("shard"), Multimodal.warcBytes(col("members")).as("__w"))
+    shards
+      .select(col("shard"), Multimodal.warcEntries(col("__w")).as("__r"))
+      .select(col("shard"),
+        col("__r.n_records").as("n_records"),
+        col("__r.warc_len").as("warc_len"),
+        explode(col("__r.records")).as("__e"))
+      .select(col("shard"), col("n_records"), col("warc_len"),
+        col("__e.idx").as("idx"), col("__e.rec_type").as("rec_type"),
+        col("__e.uri").as("uri"), col("__e.off").as("off"),
+        col("__e.content_length").as("content_length"),
+        col("__e.payload_md5").as("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // q457: near-dup THRESHOLD SWEEP — the "pick your dedup τ" design
   // table: the exact-Jaccard pair set at J ≥ 0.5 (the q32-proven
   // complete frame, riding the shared verified-pair stage) bucketed
