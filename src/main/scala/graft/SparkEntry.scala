@@ -488,6 +488,7 @@ object SparkEntry {
     "q456_signal_agreement" -> (P.signalAgreement _),
     "q457_jaccard_sweep" -> (P.jaccardSweep _),
     "q458_warc_shards" -> (P.warcShards _),
+    "q459_dsv2_warc" -> (P.dsv2WarcManifest _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11508,6 +11509,27 @@ object SparkEntry {
         | md5('software: graft' || chr(10))
         |FROM s
         |ORDER BY shard, idx""".stripMargin,
+    // q459: q458's closed-form response branch — what the DSv2 reader
+    // must measure after skipping the warcinfo framing record.
+    "q459_dsv2_warc" ->
+      """WITH m AS (
+        | SELECT doc_id // 50 AS shard, doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n, md5(text) AS pm,
+        |  'https://example.org/doc/' || doc_id AS uri
+        | FROM documents),
+        |r AS (
+        | SELECT shard, doc_id, uri, n, pm,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |   AS INTEGER) AS idx,
+        |  183 + 2 * strlen(CAST(doc_id AS VARCHAR))
+        |   + strlen(CAST(n AS VARCHAR)) + n + 4 AS rlen
+        | FROM m)
+        |SELECT shard, idx, 'response' AS rec_type, uri,
+        | 183 + CAST(coalesce(sum(rlen) OVER (PARTITION BY shard
+        |   ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) AS BIGINT) AS off,
+        | n AS content_length, pm AS payload_md5
+        |FROM r ORDER BY shard, idx""".stripMargin,
   )
 
   private val q45OracleSql: String =

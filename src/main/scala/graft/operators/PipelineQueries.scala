@@ -2799,6 +2799,52 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  /** q459's shard-file stage — the [[tarShardDir]] contract for
+    * `.warc` shards (written once per (session, sf dir), executor-side
+    * writers, same shared-filesystem caveat). */
+  private val warcFileStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def warcShardDir(s: SparkSession, dir: String): String =
+    warcFileStage.getOrElseUpdate((s, dir), {
+      val base = newStageDir("graft_warcv2_").toString
+      Tables.documents(s, dir)
+        .select((col("doc_id") / 50).cast("long").as("shard"),
+          struct(col("doc_id"), col("text")).as("m"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(col("m"))).as("members"))
+        .select(col("shard"), Multimodal.warcBytes(col("members")).as("w"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(base,
+                  f"shard-${r.getLong(0)}%05d.warc"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+      base
+    })
+
+  // q459: the q458 record manifest read back THROUGH the DataSourceV2
+  // table ([[graft.sources.WarcShardSource]]) with the WARC idiom's
+  // filter pushed down — `rec_type = 'response'` skips framing records
+  // inside the reader, and this projection computes md5 in the reader
+  // only because payload_md5 is selected. The oracle is q458's
+  // closed-form response branch off the documents table, so a reader
+  // framing bug, a lost record, a wrong measured offset, or a wrong
+  // digest all go red.
+  def dsv2WarcManifest(s: SparkSession, dir: String): DataFrame = {
+    val stage = warcShardDir(s, dir)
+    s.read.format("graft-warc").load(stage)
+      .filter(col("rec_type") === "response")
+      .select(
+        regexp_extract(col("shard_file"), "shard-(\\d+)\\.warc", 1)
+          .cast("long").as("shard"),
+        col("idx"), col("rec_type"), col("uri"), col("off"),
+        col("content_length"), col("payload_md5"))
+      .orderBy("shard", "idx")
+  }
+
   // q457: near-dup THRESHOLD SWEEP — the "pick your dedup τ" design
   // table: the exact-Jaccard pair set at J ≥ 0.5 (the q32-proven
   // complete frame, riding the shared verified-pair stage) bucketed
