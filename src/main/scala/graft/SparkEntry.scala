@@ -489,6 +489,7 @@ object SparkEntry {
     "q457_jaccard_sweep" -> (P.jaccardSweep _),
     "q458_warc_shards" -> (P.warcShards _),
     "q459_dsv2_warc" -> (P.dsv2WarcManifest _),
+    "q460_gmm_em" -> (C.gmmEm _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11530,6 +11531,17 @@ object SparkEntry {
         |   0) AS BIGINT) AS off,
         | n AS content_length, pm AS payload_md5
         |FROM r ORDER BY shard, idx""".stripMargin,
+    // q460: the unrolled 3-round EM (see gmmCtes)
+    "q460_gmm_em" ->
+      (s"""WITH ${gmmCtes(3)}
+         |SELECT 1 AS k, p.pi1 AS pi, p.mu1 AS mu, p.sg1 AS sigma,
+         | round(CAST(g.n1 AS DOUBLE), 2) AS n_eff
+         |FROM pars3 p, g3 g
+         |UNION ALL
+         |SELECT 2, round(1.0 - p.pi1, 6), p.mu2, p.sg2,
+         | round(n - CAST(g.n1 AS DOUBLE), 2)
+         |FROM pars3 p, g3 g, mom
+         |ORDER BY k""".stripMargin),
   )
 
   private val q45OracleSql: String =
@@ -11790,6 +11802,64 @@ object SparkEntry {
          |       FROM b$p b, (SELECT sum(e) AS gu FROM e$k) g, n) x)""".stripMargin
     }
     rounds.mkString(",\n")
+  }
+
+  /** q460's unrolled EM: init = pinned quartiles + exact-integer-
+    * moment std, then per round the 6-dp E-step responsibilities
+    * (MATERIALIZED — read by five DECIMAL moment sums) and the 6-dp
+    * parameter update with the 1e-4 variance floor — op-for-op the
+    * CoreQueries.gmmEm driver chain. */
+  private def gmmCtes(iters: Int): String = {
+    val sgInit =
+      """round(sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+        |    * (CAST(s1 AS DOUBLE) / n)) / 100, 4)""".stripMargin
+    val base =
+      s"""ev AS MATERIALIZED (
+         | SELECT CAST(round(value * 100) AS BIGINT) AS c
+         | FROM events WHERE value IS NOT NULL),
+         |xs AS MATERIALIZED (SELECT CAST(c AS DOUBLE) / 100 AS x FROM ev),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(c) AS BIGINT) AS s1,
+         |        CAST(sum(c * c) AS BIGINT) AS s2 FROM ev),
+         |qs AS (SELECT round(quantile_cont(x, 0.25), 4) AS mu1,
+         |       round(quantile_cont(x, 0.75), 4) AS mu2 FROM xs),
+         |pars0 AS (
+         | SELECT qs.mu1 AS mu1, $sgInit AS sg1, 0.5 AS pi1,
+         |  qs.mu2 AS mu2, $sgInit AS sg2
+         | FROM qs, mom)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""r$k AS MATERIALIZED (
+         | SELECT x, CASE WHEN w1 + w2 > 0
+         |   THEN round(w1 / (w1 + w2), 6) ELSE 0.5 END AS r1
+         | FROM (SELECT x,
+         |   p.pi1 * exp(-0.5 * ((x - p.mu1) / p.sg1)
+         |     * ((x - p.mu1) / p.sg1)) / p.sg1 AS w1,
+         |   (1.0 - p.pi1) * exp(-0.5 * ((x - p.mu2) / p.sg2)
+         |     * ((x - p.mu2) / p.sg2)) / p.sg2 AS w2
+         |  FROM xs, pars$p p) t),
+         |g$k AS (SELECT
+         |  sum(CAST(r1 AS DECIMAL(24,6))) AS n1,
+         |  sum(CAST(round(r1 * x, 6) AS DECIMAL(28,6))) AS sx1,
+         |  sum(CAST(round(r1 * x * x, 4) AS DECIMAL(28,4))) AS sxx1,
+         |  sum(CAST(round((1.0 - r1) * x, 6) AS DECIMAL(28,6))) AS sx2,
+         |  sum(CAST(round((1.0 - r1) * x * x, 4) AS DECIMAL(28,4))) AS sxx2
+         | FROM r$k),
+         |pars$k AS (SELECT
+         |  round(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mu1,
+         |  round(sqrt(greatest(CAST(sxx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |    - round(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+         |      * round(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6),
+         |    0.0001)), 6) AS sg1,
+         |  round(CAST(n1 AS DOUBLE) / n, 6) AS pi1,
+         |  round(CAST(sx2 AS DOUBLE) / (n - CAST(n1 AS DOUBLE)), 6) AS mu2,
+         |  round(sqrt(greatest(CAST(sxx2 AS DOUBLE) / (n - CAST(n1 AS DOUBLE))
+         |    - round(CAST(sx2 AS DOUBLE) / (n - CAST(n1 AS DOUBLE)), 6)
+         |      * round(CAST(sx2 AS DOUBLE) / (n - CAST(n1 AS DOUBLE)), 6),
+         |    0.0001)), 6) AS sg2
+         | FROM g$k, mom)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
   }
 
   /** q454's base + trained-propensity blocks: orders⋈customer units,

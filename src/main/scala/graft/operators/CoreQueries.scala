@@ -4097,6 +4097,76 @@ object CoreQueries {
       col("e_min"), col("e_max"))
   }
 
+  // q460: two-component 1-D GAUSSIAN MIXTURE fit by EM — the soft
+  // counterpart of the engine's hard-assignment Lloyd fits (q53) and
+  // the fourth in-engine trained model (logistic q446, AdaBoost q452,
+  // IPW propensity q454): 3 EM rounds over the events value stream,
+  // init = the 4-dp-pinned exact quartiles + the exact-integer-moment
+  // std, responsibilities 6-dp-pinned per row, every M-step moment a
+  // DECIMAL sum (order-free), every parameter 6-dp-pinned before the
+  // next E-step — the Lloyd collect-and-rebroadcast shape, so the
+  // whole fit unrolls into oracle SQL. Variance is floored at 1e-4
+  // (the standard EM degeneracy guard). Scale shape: per round ONE
+  // map-only E-step projection + one 6-column aggregate; the model is
+  // 6 driver doubles; the stream never shuffles.
+  def gmmEm(s: SparkSession, dir: String): DataFrame = {
+    def rnd(x: Double, sc: Int): Double = {
+      val p = math.pow(10, sc)
+      if (x < 0) -math.floor(-x * p + 0.5) / p else math.floor(x * p + 0.5) / p
+    }
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("c"))
+    val xdf = ev.select((col("c").cast("double") / 100).as("x"))
+      .localCheckpoint() // read once per EM round
+    val init = xdf.agg(
+      M.oracleRound(expr("percentile(x, 0.25D)"), 4).as("mu1"),
+      M.oracleRound(expr("percentile(x, 0.75D)"), 4).as("mu2")).head()
+    val mom = ev.agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+      sum(col("c") * col("c")).as("s2")).head()
+    val n = mom.getLong(0)
+    val (s1, s2) = (mom.getLong(1), mom.getLong(2))
+    val sg0 = rnd(math.sqrt(s2.toDouble / n -
+      (s1.toDouble / n) * (s1.toDouble / n)) / 100, 4)
+    var (mu1, sg1, pi1, mu2, sg2) =
+      (init.getDouble(0), sg0, 0.5, init.getDouble(1), sg0)
+    var lastN1 = 0.0
+    for (_ <- 1 to 3) {
+      val d1 = (col("x") - lit(mu1)) / lit(sg1)
+      val d2 = (col("x") - lit(mu2)) / lit(sg2)
+      val w1 = lit(pi1) * exp(lit(-0.5) * d1 * d1) / lit(sg1)
+      val w2 = (lit(1.0) - lit(pi1)) * exp(lit(-0.5) * d2 * d2) / lit(sg2)
+      val r1 = when(w1 + w2 > 0, M.oracleRound(w1 / (w1 + w2), 6))
+        .otherwise(lit(0.5))
+      val g = xdf.select(col("x"), r1.as("r1")).agg(
+        sum(col("r1").cast("decimal(24,6)")).as("n1"),
+        sum(M.oracleRound(col("r1") * col("x"), 6)
+          .cast("decimal(28,6)")).as("sx1"),
+        sum(M.oracleRound(col("r1") * col("x") * col("x"), 4)
+          .cast("decimal(28,4)")).as("sxx1"),
+        sum(M.oracleRound((lit(1.0) - col("r1")) * col("x"), 6)
+          .cast("decimal(28,6)")).as("sx2"),
+        sum(M.oracleRound((lit(1.0) - col("r1")) * col("x") * col("x"), 4)
+          .cast("decimal(28,4)")).as("sxx2")).head()
+      val n1 = g.getDecimal(0).doubleValue
+      val (sx1, sxx1) = (g.getDecimal(1).doubleValue, g.getDecimal(2).doubleValue)
+      val (sx2, sxx2) = (g.getDecimal(3).doubleValue, g.getDecimal(4).doubleValue)
+      val n2 = n - n1
+      mu1 = rnd(sx1 / n1, 6)
+      sg1 = rnd(math.sqrt(math.max(sxx1 / n1 - mu1 * mu1, 0.0001)), 6)
+      mu2 = rnd(sx2 / n2, 6)
+      sg2 = rnd(math.sqrt(math.max(sxx2 / n2 - mu2 * mu2, 0.0001)), 6)
+      pi1 = rnd(n1 / n, 6)
+      lastN1 = n1
+    }
+    import s.implicits._
+    Seq(
+      (1, pi1, mu1, sg1, rnd(lastN1, 2)),
+      (2, rnd(1.0 - pi1, 6), mu2, sg2, rnd(n - lastN1, 2)))
+      .toDF("k", "pi", "mu", "sigma", "n_eff")
+      .orderBy("k")
+  }
+
   // q339: Hill tail-index estimator — the power-law exponent of the
   // order-value upper tail from the top-k order statistics:
   // α̂ = k / Σ_{i≤k} ln(x_i / x_(k+1)). q166 fits Zipf on token RANKS

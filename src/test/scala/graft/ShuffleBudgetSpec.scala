@@ -46,7 +46,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // round-12 star-contraction CC pair (iterative — a regression that
     // stops converging shows up as extra rounds of shuffle bytes here)
     "q432_cc_star" -> 1.5, // measured 0.13 MB
-    "q436_cc_incremental" -> 1.5) // measured 0.12 MB
+    "q436_cc_incremental" -> 1.5, // measured 0.12 MB
+    // round-13 heavy additions; ceilings allow for a COLD session
+    // (shared LM/fit stages un-warmed) on top of the measured
+    // warm-session bytes
+    "q445_kneser_ney_lm" -> 6.0, // measured 0.00 MB (stages warm)
+    "q448_perplexity_filter" -> 8.0, // measured 0.09 MB (stages warm)
+    "q454_ipw_ate" -> 6.0, // measured 1.50 MB
+    "q455_rq_distortion" -> 3.0, // measured 0.49 MB
+    "q456_signal_agreement" -> 6.0) // measured 0.07 MB (stages warm)
 
   test("the shuffle-heaviest queries stay under their pinned shuffle-read ceilings") {
     val read = new java.util.concurrent.atomic.AtomicLong(0L)
