@@ -490,6 +490,7 @@ object SparkEntry {
     "q458_warc_shards" -> (P.warcShards _),
     "q459_dsv2_warc" -> (P.dsv2WarcManifest _),
     "q460_gmm_em" -> (C.gmmEm _),
+    "q461_knn_eval" -> (P.knnEval _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11542,6 +11543,38 @@ object SparkEntry {
          | round(n - CAST(g.n1 AS DOUBLE), 2)
          |FROM pars3 p, g3 g, mom
          |ORDER BY k""".stripMargin),
+    // q461: the q28 exact-rank construction over ALL queries, then a
+    // (count DESC, label ASC) majority vote and the per-class report.
+    "q461_knn_eval" ->
+      """WITH tk AS MATERIALIZED (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id) AS rnk
+        |  FROM embeddings q, embeddings c
+        |  WHERE c.vec_id <> q.vec_id) t
+        | WHERE rnk <= 5),
+        |v AS (
+        | SELECT query_id, nl AS pred FROM (
+        |  SELECT tk.query_id, e.label AS nl, count(*) AS c,
+        |   row_number() OVER (PARTITION BY tk.query_id
+        |     ORDER BY count(*) DESC, e.label) AS rn
+        |  FROM tk JOIN embeddings e ON e.vec_id = tk.neighbor_id
+        |  GROUP BY tk.query_id, e.label) x
+        | WHERE rn = 1),
+        |ev AS (
+        | SELECT e.label, CASE WHEN v.pred = e.label THEN 1 ELSE 0 END AS ok
+        | FROM v JOIN embeddings e ON e.vec_id = v.query_id)
+        |SELECT CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(ok) AS BIGINT) AS n_correct,
+        | round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS acc
+        |FROM ev GROUP BY label
+        |UNION ALL
+        |SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(ok) AS BIGINT),
+        | round(CAST(sum(ok) AS DOUBLE) / count(*), 4)
+        |FROM ev
+        |ORDER BY label""".stripMargin,
   )
 
   private val q45OracleSql: String =

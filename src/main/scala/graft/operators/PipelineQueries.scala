@@ -2799,6 +2799,48 @@ object PipelineQueries {
       .orderBy("shard", "idx")
   }
 
+  // q461: leave-one-out k-NN CLASSIFIER eval over the labeled
+  // embedding corpus — the zero-training "are these embeddings even
+  // separable?" probe an embedding pipeline runs before paying for a
+  // classifier (and the direct quality read on the embedding space the
+  // silhouette q263 measures geometrically). Every vector is
+  // classified by the majority label of its exact top-5 cosine
+  // neighbors (ties → count DESC, label ASC), scored against its own
+  // label, reported per class + overall (-1). Brute-force exact by
+  // CONTRACT (the cosineSimJoin verification rule): this is the eval
+  // operator; at 100 TB the top-k leg swaps for the IVF/LSH index legs
+  // (q53/q33) and the vote/report shape is unchanged.
+  def knnEval(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val emb = normEmb(s, dir)
+    val topk = Similarity.cosineTopK(emb, "vec_id", "embedding", emb,
+      k = 5, preNormalized = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__c").desc, col("__nl"))
+    val pred = topk
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("__pred"))
+    val ev = pred
+      .join(labels.select(col("vec_id").as("query_id"), col("label")),
+        Seq("query_id"))
+      .withColumn("__ok", when(col("__pred") === col("label"), 1L)
+        .otherwise(0L))
+      .localCheckpoint() // per-class and overall rows both read it
+    val acc = M.oracleRound(
+      col("n_correct").cast("double") / col("n"), 4).as("acc")
+    ev.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"), acc)
+      .unionByName(ev
+        .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"))
+        .select(lit(-1).as("label"), col("n"), col("n_correct"), acc))
+      .orderBy("label")
+  }
+
   /** q459's shard-file stage — the [[tarShardDir]] contract for
     * `.warc` shards (written once per (session, sf dir), executor-side
     * writers, same shared-filesystem caveat). */
