@@ -91,14 +91,14 @@ class TarScanBuilder(path: String) extends ScanBuilder
 }
 
 class TarScan(path: String, required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tar path=$path pruned=[${required.fieldNames.mkString(",")}]" +
       s" pushed=[${filters.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def keptFiles(): Array[String] = {
     val fileEq = filters.collect {
       case EqualTo("shard_file", v: String) => v
     }.toSet
@@ -109,12 +109,26 @@ class TarScan(path: String, required: StructType, filters: Array[Filter])
     // so the scan plans ZERO partitions (treating the set as
     // alternatives would silently give OR semantics — rows from both
     // files — for `shard_file = 'a' AND shard_file = 'b'`)
-    val kept =
-      if (fileEq.isEmpty) files
-      else if (fileEq.size > 1) Array.empty[String]
-      else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
-    kept.map(f => TarInputPartition(f): InputPartition)
+    if (fileEq.isEmpty) files
+    else if (fileEq.size > 1) Array.empty[String]
+    else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles().map(f => TarInputPartition(f): InputPartition)
+
+  /** Post-pruning archive bytes so the optimizer sees a REAL size for
+    * this scan — a one-shard manifest joins broadcast instead of the
+    * conservative-default sort-merge. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = keptFiles()
+      .map(f => Files.size(Paths.get(f))).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required, filters)
 }

@@ -93,14 +93,14 @@ class WarcScanBuilder(path: String) extends ScanBuilder
 }
 
 class WarcScan(path: String, required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-warc path=$path pruned=[${required.fieldNames.mkString(",")}]" +
       s" pushed=[${filters.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def keptFiles(): Array[String] = {
     val fileEq = filters.collect {
       case EqualTo("shard_file", v: String) => v
     }.toSet
@@ -108,12 +108,31 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter])
       .map(_.toString).filter(_.endsWith(".warc")).toArray.sorted
     // conjunctive pushed filters: two distinct shard_file equalities
     // can never both hold → zero partitions (the TarShardSource rule)
-    val kept =
-      if (fileEq.isEmpty) files
-      else if (fileEq.size > 1) Array.empty[String]
-      else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
-    kept.map(f => WarcInputPartition(f): InputPartition)
+    if (fileEq.isEmpty) files
+    else if (fileEq.size > 1) Array.empty[String]
+    else files.filter(f => Paths.get(f).getFileName.toString == fileEq.head)
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles().map(f => WarcInputPartition(f): InputPartition)
+
+  /** Post-pruning archive bytes (and a floor row estimate) so the
+    * optimizer sees a REAL size for this scan — a one-shard manifest
+    * joins broadcast instead of falling back to the
+    * conservative-default sort-merge (the 100 TB join-side decision
+    * this source exists to inform). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = keptFiles()
+      .map(f => Files.size(Paths.get(f))).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      // ≥ one warcinfo + one response per shard; a real record count
+      // would need a file walk at planning time — size is the signal
+      // the join planner uses
+      java.util.OptionalLong.empty()
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, filters)
 }

@@ -88,6 +88,29 @@ class WarcDsv2Spec extends AnyFunSuite {
     assert(scans.head.toSet == Set("rec_type", "content_length"))
   }
 
+  test("reported statistics drive the broadcast decision") {
+    // the scan reports post-pruning archive bytes (SupportsReport-
+    // Statistics), so a small shard table lands under the broadcast
+    // threshold and joins as the build side instead of sort-merge
+    val big = spark.range(100000).selectExpr("id % 130 as doc_id")
+    val manifest = table.filter(col("rec_type") === "response")
+      .select(regexp_extract(col("uri"), "doc/(\\d+)", 1).cast("long")
+        .as("doc_id"), col("content_length"))
+    val joined = big.join(manifest, "doc_id")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, joined.queryExecution.executedPlan.toString)
+    assert(joined.count() > 0)
+    // and the reported size is the real archive volume
+    val stats = joined.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+    import scala.jdk.CollectionConverters._
+    val archiveBytes = java.nio.file.Files.list(
+        java.nio.file.Paths.get(stage)).iterator()
+      .asScala.map(p => java.nio.file.Files.size(p)).sum
+    assert(stats.exists(_ == BigInt(archiveBytes)))
+  }
+
   test("structural corruption hard-fails the scan") {
     val dir = java.nio.file.Files.createTempDirectory("warcv2_bad_")
     val good = java.nio.file.Files.readAllBytes(
