@@ -491,6 +491,7 @@ object SparkEntry {
     "q459_dsv2_warc" -> (P.dsv2WarcManifest _),
     "q460_gmm_em" -> (C.gmmEm _),
     "q461_knn_eval" -> (P.knnEval _),
+    "q462_lr_cv" -> (P.lrCrossVal _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11575,6 +11576,33 @@ object SparkEntry {
         | round(CAST(sum(ok) AS DOUBLE) / count(*), 4)
         |FROM ev
         |ORDER BY label""".stripMargin,
+    // q462: both folds' unrolled GD + full-corpus scoring (lrCvCtes),
+    // then the per-fold train/held-out accuracy report
+    "q462_lr_cv" -> {
+      def row(p: String, trainCond: String): String =
+        s"""SELECT '$p' AS fold, n_train, n_test, acc_train, acc_test,
+           | round(acc_train - acc_test, 4) AS gap
+           |FROM (
+           | SELECT
+           |  CAST(sum(CASE WHEN $trainCond THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_train,
+           |  CAST(sum(CASE WHEN NOT ($trainCond) THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_test,
+           |  round(CAST(sum(CASE WHEN ($trainCond) AND pred = y
+           |      THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / sum(CASE WHEN $trainCond THEN 1 ELSE 0 END), 4)
+           |   AS acc_train,
+           |  round(CAST(sum(CASE WHEN NOT ($trainCond) AND pred = y
+           |      THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / sum(CASE WHEN NOT ($trainCond) THEN 1 ELSE 0 END), 4)
+           |   AS acc_test
+           | FROM ${p}scr) x""".stripMargin
+      s"""WITH $lrCvCtes
+         |${row("a", "ina")}
+         |UNION ALL
+         |${row("b", "NOT ina")}
+         |ORDER BY fold""".stripMargin
+    },
   )
 
   private val q45OracleSql: String =
@@ -11808,31 +11836,31 @@ object SparkEntry {
     * logistic fit (q446/q447 over documents, q454's propensity over
     * orders): references only the generic `feats`/`lab`/`n`/`w$p`/
     * `b$p` CTE names the caller's base block defines. lr = 0.5. */
-  private def lrRoundCtes(iters: Int): String = {
+  private def lrRoundCtes(iters: Int, p: String = ""): String = {
     val rounds = (1 to iters).map { k =>
-      val p = k - 1
-      s"""e$k AS MATERIALIZED (
-         | SELECT lab.doc_id,
+      val pv = k - 1
+      s"""${p}e$k AS MATERIALIZED (
+         | SELECT ${p}lab.doc_id,
          |  CAST(floor(1.0 / (1.0 + exp(-(CAST(b.bu + coalesce(s.su, 0)
          |      AS DOUBLE) / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT)
-         |   - lab.y * 1000000 AS e
-         | FROM lab
+         |   - ${p}lab.y * 1000000 AS e
+         | FROM ${p}lab
          | LEFT JOIN (SELECT f.doc_id, sum(w.wu) AS su
-         |            FROM feats f JOIN w$p w USING (j) GROUP BY 1) s
-         |  USING (doc_id), b$p b),
-         |w$k AS MATERIALIZED (
+         |            FROM ${p}feats f JOIN ${p}w$pv w USING (j) GROUP BY 1) s
+         |  USING (doc_id), ${p}b$pv b),
+         |${p}w$k AS MATERIALIZED (
          | SELECT j, wu - CASE WHEN d < 0 THEN -CAST(floor(-d + 0.5) AS BIGINT)
          |                     ELSE CAST(floor(d + 0.5) AS BIGINT) END AS wu
          | FROM (SELECT w.j, w.wu,
-         |        0.5 * CAST(coalesce(g.gu, 0) AS DOUBLE) / n.n AS d
-         |       FROM w$p w LEFT JOIN (SELECT f.j, sum(e.e) AS gu
-         |                             FROM feats f JOIN e$k e USING (doc_id)
-         |                             GROUP BY 1) g USING (j), n) x),
-         |b$k AS MATERIALIZED (
+         |        0.5 * CAST(coalesce(g.gu, 0) AS DOUBLE) / n_.n AS d
+         |       FROM ${p}w$pv w LEFT JOIN (SELECT f.j, sum(e.e) AS gu
+         |                             FROM ${p}feats f JOIN ${p}e$k e USING (doc_id)
+         |                             GROUP BY 1) g USING (j), ${p}n n_) x),
+         |${p}b$k AS MATERIALIZED (
          | SELECT bu - CASE WHEN d < 0 THEN -CAST(floor(-d + 0.5) AS BIGINT)
          |                  ELSE CAST(floor(d + 0.5) AS BIGINT) END AS bu
-         | FROM (SELECT b.bu, 0.5 * CAST(g.gu AS DOUBLE) / n.n AS d
-         |       FROM b$p b, (SELECT sum(e) AS gu FROM e$k) g, n) x)""".stripMargin
+         | FROM (SELECT b.bu, 0.5 * CAST(g.gu AS DOUBLE) / n_.n AS d
+         |       FROM ${p}b$pv b, (SELECT sum(e) AS gu FROM ${p}e$k) g, ${p}n n_) x)""".stripMargin
     }
     rounds.mkString(",\n")
   }
@@ -11893,6 +11921,49 @@ object SparkEntry {
          | FROM g$k, mom)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
+  }
+
+  /** q462's 2-fold CV: one shared feature/label base with the q59
+    * md5-split flag, then the prefix-parameterized GD rounds
+    * ([[lrRoundCtes]] "a"/"b") per fold and a fold-a/fold-b scoring +
+    * report tail. */
+  private def lrCvCtes: String = {
+    val base =
+      s"""t AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN len(trim(lower(text))) = 0
+         |   THEN CAST([] AS VARCHAR[])
+         |   ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+         | FROM documents),
+         |feats AS MATERIALIZED (
+         | SELECT DISTINCT doc_id,
+         |  CAST(CAST(('0x' || substr(md5('lrf:' || w), 1, 8)) AS BIGINT)
+         |    % 32 AS INTEGER) AS j
+         | FROM (SELECT doc_id, unnest(a) AS w FROM t) x),
+         |lab AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |   ELSE CAST(0 AS BIGINT) END AS y,
+         |  CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+         |    % 100 < 50 AS ina
+         | FROM documents)""".stripMargin
+    def fold(p: String, cond: String): String =
+      s"""${p}lab AS MATERIALIZED (
+         | SELECT doc_id, y FROM lab WHERE $cond),
+         |${p}feats AS MATERIALIZED (
+         | SELECT f.doc_id, f.j FROM feats f JOIN ${p}lab USING (doc_id)),
+         |${p}n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${p}lab),
+         |${p}w0 AS (SELECT CAST(j AS INTEGER) AS j, CAST(0 AS BIGINT) AS wu
+         |       FROM range(32) r(j)),
+         |${p}b0 AS (SELECT CAST(0 AS BIGINT) AS bu),
+         |${lrRoundCtes(3, p)},
+         |${p}scr AS MATERIALIZED (
+         | SELECT lab.doc_id, lab.y, lab.ina,
+         |  CASE WHEN 1.0 / (1.0 + exp(-(CAST(b.bu + coalesce(s.su, 0)
+         |    AS DOUBLE) / 1000000.0))) >= 0.5 THEN 1 ELSE 0 END AS pred
+         | FROM lab
+         | LEFT JOIN (SELECT f.doc_id, sum(w.wu) AS su
+         |            FROM feats f JOIN ${p}w3 w USING (j) GROUP BY 1) s
+         |  USING (doc_id), ${p}b3 b)""".stripMargin
+    Seq(base, fold("a", "ina"), fold("b", "NOT ina")).mkString(",\n")
   }
 
   /** q454's base + trained-propensity blocks: orders⋈customer units,

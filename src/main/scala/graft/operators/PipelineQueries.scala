@@ -2603,6 +2603,56 @@ object PipelineQueries {
     TrainedFilter.weightsTable(s, wu, bu).orderBy("j")
   }
 
+  // q462: 2-fold CROSS-VALIDATION of the q446 trained logistic filter
+  // — the overfitting audit every in-engine trained model owes its
+  // users: train on each md5-split half (the q59 deterministic split
+  // convention), score EVERYTHING, and report train vs held-out
+  // accuracy per fold with the generalization gap. Rides the shared
+  // token-array + hashed-feature stages; each fold is one
+  // TrainedFilter GD run (3 rounds) over its half, so the whole audit
+  // unrolls into oracle SQL via the prefix-parameterized round CTEs.
+  def lrCrossVal(s: SparkSession, dir: String): DataFrame = {
+    def rnd4(x: Double): Double =
+      if (x < 0) -math.floor(-x * 1e4 + 0.5) / 1e4
+      else math.floor(x * 1e4 + 0.5) / 1e4
+    val labels = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        (CorpusOps.hashBucket(col("doc_id"), "split", 100) < 50).as("ina"))
+      .localCheckpoint()
+    val feats = TrainedFilter.hashedFeatures(tokenArrays(s, dir), 32)
+      .localCheckpoint()
+    val rows = Seq(("a", true), ("b", false)).map { case (fold, flagA) =>
+      val trainLab = labels.filter(col("ina") === flagA).select("doc_id", "y")
+      val trainFeats = feats
+        .join(trainLab.select("doc_id"), Seq("doc_id"), "leftsemi")
+      val nTrain = trainLab.count()
+      val (wu, bu) = TrainedFilter.trainLogistic(trainLab, trainFeats,
+        buckets = 32, iters = 3, lr = 0.5, nDocs = nTrain)
+      val m = TrainedFilter
+        .scoreLogistic(labels.select("doc_id", "y"), feats, wu, bu)
+        .join(labels.select("doc_id", "ina"), Seq("doc_id"))
+        .agg(
+          sum(when(col("ina") === flagA, 1L).otherwise(0L)).as("ntr"),
+          sum(when(col("ina") === flagA &&
+            col("pred").cast("long") === col("label"), 1L).otherwise(0L))
+            .as("ctr"),
+          sum(when(col("ina") =!= flagA, 1L).otherwise(0L)).as("nte"),
+          sum(when(col("ina") =!= flagA &&
+            col("pred").cast("long") === col("label"), 1L).otherwise(0L))
+            .as("cte"))
+        .head()
+      val (ntr, ctr, nte, cte) =
+        (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+      val accTr = rnd4(ctr.toDouble / ntr)
+      val accTe = rnd4(cte.toDouble / nte)
+      (fold, ntr, nte, accTr, accTe, rnd4(accTr - accTe))
+    }
+    import s.implicits._
+    rows.toDF("fold", "n_train", "n_test", "acc_train", "acc_test", "gap")
+      .orderBy("fold")
+  }
+
   // q448: the CCNet head/middle/tail FILTER DECISION table — the step
   // the q445 KN-LM score exists for: per LANGUAGE, docs are bucketed by
   // 4-dp-pinned exact avg-logp quartiles (head = most fluent quartile,

@@ -55,4 +55,69 @@ class Wave54Spec extends AnyFunSuite {
       assert(ok <= n && acc >= 0.0 && acc <= 1.0)
     }
   }
+
+  private def md5Long(s: String, hexDigits: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(hexDigits / 2).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+  }
+  private def roundL(x: Double): Long =
+    if (x < 0) -math.floor(-x + 0.5).toLong else math.floor(x + 0.5).toLong
+
+  test("q462: fold accuracies match a full driver replay of both GD runs") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val toks = {
+          val t = r.getString(2).trim.toLowerCase
+          if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        }
+        val js = toks.map(w => (md5Long(s"lrf:$w", 8) % 32).toInt).distinct
+        (r.getLong(0), if (r.getString(1) == "en") 1L else 0L,
+          md5Long(s"split:${r.getLong(0)}", 8) % 100 < 50, js)
+      }
+    def train(fold: Array[(Long, Long, Boolean, Array[Int])])
+        : (Array[Long], Long) = {
+      var wu = Array.fill(32)(0L); var bu = 0L
+      val n = fold.length
+      for (_ <- 1 to 3) {
+        val es = fold.map { case (_, y, _, js) =>
+          val z = (bu + js.map(wu(_)).sum).toDouble / 1e6
+          val p = 1.0 / (1.0 + math.exp(-z))
+          (math.floor(p * 1e6 + 0.5).toLong - y * 1000000L, js)
+        }
+        val gj = Array.fill(32)(0L)
+        es.foreach { case (e, js) => js.foreach(j => gj(j) += e) }
+        val gb = es.map(_._1).sum
+        wu = wu.zipWithIndex.map { case (w, j) =>
+          w - roundL(0.5 * gj(j).toDouble / n) }
+        bu -= roundL(0.5 * gb.toDouble / n)
+      }
+      (wu, bu)
+    }
+    def rnd4(x: Double): Double =
+      if (x < 0) -math.floor(-x * 1e4 + 0.5) / 1e4
+      else math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = Seq(("a", true), ("b", false)).map { case (f, flagA) =>
+      val (wu, bu) = train(docs.filter(_._3 == flagA))
+      val scored = docs.map { case (_, y, ina, js) =>
+        val z = (bu + js.map(wu(_)).sum).toDouble / 1e6
+        val pred = if (1.0 / (1.0 + math.exp(-z)) >= 0.5) 1L else 0L
+        (ina, pred == y)
+      }
+      val (tr, te) = scored.partition(_._1 == flagA)
+      val accTr = rnd4(tr.count(_._2).toDouble / tr.length)
+      val accTe = rnd4(te.count(_._2).toDouble / te.length)
+      f -> (tr.length.toLong, te.length.toLong, accTr, accTe,
+        rnd4(accTr - accTe))
+    }.toMap
+    val got = graft.operators.PipelineQueries.lrCrossVal(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expected)
+    // the folds partition the corpus
+    assert(got("a")._1 + got("b")._1 == docs.length)
+    assert(got("a")._1 == got("b")._2)
+  }
 }
