@@ -471,4 +471,49 @@ class PlanSpec extends AnyFunSuite {
     // here just prove rows flow
     assert(df.count() > 0)
   }
+
+  test("q451: LZ76 complexity is map-only — the native expression rides the scan") {
+    val plan = P.lzComplexity(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("hashpartitioning"),
+      s"LZ76 must be a per-row projection:\n$plan")
+    assert(plan.contains("graft_lz76"),
+      s"expected the native expression on the scan:\n$plan")
+  }
+
+  test("q448: per-lang bucketing broadcasts the cut points — no per-lang sort/ntile") {
+    val plan = P.perplexityFilter(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut points must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"bucketing must compare against broadcast bounds, not rank:\n$plan")
+  }
+
+  test("q453: AdaBoost scoring is map-only — stumps are literals on the scan") {
+    val (wide, stumps) = {
+      // score path only (training is a separate driver loop)
+      val w = graft.sources.Tables.documents(spark, dir)
+        .selectExpr("doc_id", "1 as y", "cast(n_chars as double) as f1",
+          "cast(n_chars as double) as f2", "cast(n_chars as double) as f3")
+      (w, Seq(graft.operators.Boosting.Stump(1, 1, 10.0, 1, 0.4, 0.2)))
+    }
+    val plan = graft.operators.Boosting.scores(wide, stumps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("hashpartitioning"),
+      s"scoring must be a per-row projection:\n$plan")
+  }
+
+  test("q459: rec_type and shard_file pushdown reach the WARC scan description") {
+    // the AQE-wrapped executed plan hides BatchScanExec from collect();
+    // the string form descends it
+    val plan = P.dsv2WarcManifest(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-warc"), s"no warc scan in plan:\n$plan")
+    assert(plan.contains("rec_type") && plan.contains("response"),
+      s"rec_type filter not pushed:\n$plan")
+    // manifest projection must NOT read text (md5 is projected)
+    assert(plan.contains("payload_md5"), s"projection lost md5:\n$plan")
+    assert(!plan.contains("pruned=[shard_file,idx,rec_type,uri,off,content_length,payload_md5,text]"),
+      s"projection not pruned (full schema read):\n$plan")
+  }
 }
