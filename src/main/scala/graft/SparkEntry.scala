@@ -492,6 +492,7 @@ object SparkEntry {
     "q460_gmm_em" -> (C.gmmEm _),
     "q461_knn_eval" -> (P.knnEval _),
     "q462_lr_cv" -> (P.lrCrossVal _),
+    "q463_gmm_anomaly" -> (C.gmmAnomaly _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11603,6 +11604,23 @@ object SparkEntry {
          |${row("b", "NOT ina")}
          |ORDER BY fold""".stripMargin
     },
+    // q463: the q460 chain + a density-scored tail (the E-step kernel
+    // with the ROUND-3 parameters, 6-dp-pinned, ties by event_id)
+    "q463_gmm_anomaly" ->
+      (s"""WITH ${gmmCtes(3)},
+         |ev2 AS (
+         | SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+         | FROM events WHERE value IS NOT NULL),
+         |scd AS (
+         | SELECT event_id, CAST(c AS DOUBLE) / 100 AS x,
+         |  round(p.pi1 * exp(-0.5 * ((CAST(c AS DOUBLE) / 100 - p.mu1) / p.sg1)
+         |     * ((CAST(c AS DOUBLE) / 100 - p.mu1) / p.sg1)) / p.sg1
+         |   + (1.0 - p.pi1) * exp(-0.5 * ((CAST(c AS DOUBLE) / 100 - p.mu2)
+         |      / p.sg2) * ((CAST(c AS DOUBLE) / 100 - p.mu2) / p.sg2)) / p.sg2,
+         |   6) AS density
+         | FROM ev2, pars3 p)
+         |SELECT event_id, x, density FROM scd
+         |ORDER BY density, event_id LIMIT 20""".stripMargin),
   )
 
   private val q45OracleSql: String =

@@ -4109,7 +4109,32 @@ object CoreQueries {
   // (the standard EM degeneracy guard). Scale shape: per round ONE
   // map-only E-step projection + one 6-column aggregate; the model is
   // 6 driver doubles; the stream never shuffles.
+  /** The fitted q460 model, memoized per (session, sf dir) — the
+    * fit-once/score-many contract (q137-q139, q446): q460 publishes
+    * the parameters, q463 scores the stream against them without
+    * refitting. Returns (mu1, sg1, pi1, mu2, sg2, lastN1, n). */
+  private val gmmStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Double, Double, Double, Double, Double, Double, Long)]
+  private def gmmFit(s: SparkSession, dir: String):
+      (Double, Double, Double, Double, Double, Double, Long) =
+    gmmStage.getOrElseUpdate((s, dir), gmmFitImpl(s, dir))
+
   def gmmEm(s: SparkSession, dir: String): DataFrame = {
+    val (mu1, sg1, pi1, mu2, sg2, lastN1, n) = gmmFit(s, dir)
+    def rnd(x: Double, sc: Int): Double = {
+      val p = math.pow(10, sc)
+      if (x < 0) -math.floor(-x * p + 0.5) / p else math.floor(x * p + 0.5) / p
+    }
+    import s.implicits._
+    Seq(
+      (1, pi1, mu1, sg1, rnd(lastN1, 2)),
+      (2, rnd(1.0 - pi1, 6), mu2, sg2, rnd(n - lastN1, 2)))
+      .toDF("k", "pi", "mu", "sigma", "n_eff")
+      .orderBy("k")
+  }
+
+  private def gmmFitImpl(s: SparkSession, dir: String):
+      (Double, Double, Double, Double, Double, Double, Long) = {
     def rnd(x: Double, sc: Int): Double = {
       val p = math.pow(10, sc)
       if (x < 0) -math.floor(-x * p + 0.5) / p else math.floor(x * p + 0.5) / p
@@ -4159,12 +4184,30 @@ object CoreQueries {
       pi1 = rnd(n1 / n, 6)
       lastN1 = n1
     }
-    import s.implicits._
-    Seq(
-      (1, pi1, mu1, sg1, rnd(lastN1, 2)),
-      (2, rnd(1.0 - pi1, 6), mu2, sg2, rnd(n - lastN1, 2)))
-      .toDF("k", "pi", "mu", "sigma", "n_eff")
-      .orderBy("k")
+    (mu1, sg1, pi1, mu2, sg2, lastN1, n)
+  }
+
+  // q463: mixture-density ANOMALY tail — the q460 fit REUSED (fit
+  // once, score many: the model is six memoized driver doubles) to
+  // score every event's unnormalized mixture density with the exact
+  // E-step kernel shape, surfacing the 20 least-likely values. The
+  // density is 6-dp-pinned before ranking (ties by event_id), so the
+  // tail is deterministic cross-engine; the scan is map-only and the
+  // top-k is a TakeOrdered, never a global sort.
+  def gmmAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val (mu1, sg1, pi1, mu2, sg2, _, _) = gmmFit(s, dir)
+    val x = col("c").cast("double") / 100
+    val d1 = (x - lit(mu1)) / lit(sg1)
+    val d2 = (x - lit(mu2)) / lit(sg2)
+    val w1 = lit(pi1) * exp(lit(-0.5) * d1 * d1) / lit(sg1)
+    val w2 = (lit(1.0) - lit(pi1)) * exp(lit(-0.5) * d2 * d2) / lit(sg2)
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .select(col("event_id"), x.as("x"),
+        M.oracleRound(w1 + w2, 6).as("density"))
+      .orderBy(col("density"), col("event_id"))
+      .limit(20)
   }
 
   // q339: Hill tail-index estimator — the power-law exponent of the

@@ -71,5 +71,26 @@ class Wave53Spec extends AnyFunSuite {
     assert(mu1 <= mu2)
     assert(sg1 > 0 && sg2 > 0)
     assert(math.abs(got(1)._4 + got(2)._4 - n) < 0.01)
+
+    // q463: the anomaly tail scores with the SAME fitted params
+    def rnd6(x: Double) = rnd(x, 6)
+    val evs = graft.sources.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val scored = evs.map { case (id, c) =>
+      val x = c.toDouble / 100
+      val d1 = (x - mu1) / sg1
+      val d2 = (x - mu2) / sg2
+      (id, x, rnd6(pi1 * math.exp(-0.5 * d1 * d1) / sg1 +
+        (1.0 - pi1) * math.exp(-0.5 * d2 * d2) / sg2))
+    }
+    val expTail = scored.sortBy(t => (t._3, t._1)).take(20).toSeq
+    val gotTail = C.gmmAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(gotTail == expTail)
+    // the tail really is the least-likely slice
+    val maxTail = gotTail.map(_._3).max
+    assert(scored.count(_._3 < maxTail) <= 20)
   }
 }
