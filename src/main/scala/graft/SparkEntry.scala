@@ -493,6 +493,7 @@ object SparkEntry {
     "q461_knn_eval" -> (P.knnEval _),
     "q462_lr_cv" -> (P.lrCrossVal _),
     "q463_gmm_anomaly" -> (C.gmmAnomaly _),
+    "q464_domain_lm_fit" -> (P.domainLmDelta _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11621,6 +11622,51 @@ object SparkEntry {
          | FROM ev2, pars3 p)
          |SELECT event_id, x, density FROM scd
          |ORDER BY density, event_id LIMIT 20""".stripMargin),
+    // q464: the q118 global chain + the same chain with `source` added
+    // to every model key, then the per-doc own-vs-global delta
+    "q464_domain_lm_fit" ->
+      """WITH t AS MATERIALIZED (
+        | SELECT doc_id, source, CASE WHEN len(trim(lower(text))) = 0
+        |   THEN CAST([] AS VARCHAR[])
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS a
+        | FROM documents),
+        |toks AS (SELECT unnest(a) AS w FROM t),
+        |uni AS MATERIALIZED (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        |bg AS MATERIALIZED (
+        | SELECT doc_id, source, a[CAST(i AS INTEGER)] AS w1,
+        |  a[CAST(i AS INTEGER) + 1] AS w2
+        | FROM (SELECT doc_id, source, a,
+        |        unnest(generate_series(1, len(a) - 1)) AS i
+        |       FROM t WHERE len(a) >= 2) x),
+        |cab AS MATERIALIZED (
+        | SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |g AS MATERIALIZED (
+        | SELECT bg.doc_id,
+        |  round(avg(log10((cab.c_ab + 0.5) / (u.c + 0.5 * v.v))), 4)
+        |   AS lp_global
+        | FROM bg JOIN cab USING (w1, w2) JOIN uni u ON u.w = bg.w1, v
+        | GROUP BY bg.doc_id),
+        |tokss AS (SELECT source, unnest(a) AS w FROM t),
+        |unis AS MATERIALIZED (
+        | SELECT source, w, count(*) AS c FROM tokss GROUP BY 1, 2),
+        |vs AS MATERIALIZED (
+        | SELECT source, CAST(count(DISTINCT w) AS DOUBLE) AS v
+        | FROM tokss GROUP BY 1),
+        |cabs AS MATERIALIZED (
+        | SELECT source, w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2, 3),
+        |o AS MATERIALIZED (
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((cs.c_ab + 0.5) / (us.c + 0.5 * vs.v))), 4)
+        |   AS lp_own
+        | FROM bg JOIN cabs cs USING (source, w1, w2)
+        |  JOIN unis us ON us.source = bg.source AND us.w = bg.w1
+        |  JOIN vs ON vs.source = bg.source
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id, d.source, o.n_bigrams, o.lp_own, g.lp_global,
+        | round(o.lp_own - g.lp_global, 4) AS delta
+        |FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

@@ -3015,6 +3015,54 @@ object PipelineQueries {
       .orderBy("pair")
   }
 
+  // q464: DOMAIN-FIT audit — every doc scored under its OWN source's
+  // add-k bigram LM vs the global q118 LM, with the delta: a positive
+  // delta says the doc is better explained by its own domain (in-
+  // domain text), delta ≈ 0 says the source label adds nothing, and a
+  // strongly negative delta flags docs that fit the corpus better
+  // than their own source — the mislabeled-source / incoherent-domain
+  // detector a mixture planner runs before trusting source tags.
+  // Scale shape: both models are map-side-combined keyed aggregates
+  // over the shared token-array stage (the per-source tables just add
+  // `source` to the keys); scoring joins on (source, w1, w2) then
+  // (source, w1); the per-source |V| frame broadcasts.
+  def domainLmDelta(s: SparkSession, dir: String): DataFrame = {
+    val arrs = tokenArrays(s, dir)
+    val docs = Tables.documents(s, dir)
+    val global = TextCorpus.bigramLogProbFromArrs(
+        docs.select("doc_id"), arrs, "doc_id", addK = 0.5)
+      .select(col("doc_id"), col("avg_logp").as("lp_global"))
+    val bg = arrs.filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("a")) - 1), i =>
+          struct(element_at(col("a"), i).as("w1"),
+            element_at(col("a"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toksS = arrs.select(col("source"), explode(col("a")).as("w"))
+    val uniS = toksS.groupBy("source", "w").agg(count(lit(1)).as("__c1"))
+    val vS = toksS.groupBy("source")
+      .agg(count_distinct(col("w")).cast("double").as("__vs"))
+    val cabS = bg.groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("__cab"))
+    val own = bg
+      .join(cabS, Seq("source", "w1", "w2"))
+      .join(uniS.select(col("source"), col("w").as("w1"), col("__c1")),
+        Seq("source", "w1"))
+      .join(broadcast(vS), Seq("source"))
+      .withColumn("__l", log10((col("__cab") + lit(0.5)) /
+        (col("__c1") + lit(0.5) * col("__vs"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        M.oracleRound(avg(col("__l")), 4).as("lp_own"))
+    docs.select(col("doc_id"), col("source"))
+      .join(own, Seq("doc_id"), "left")
+      .join(global, Seq("doc_id"), "left")
+      .withColumn("delta",
+        M.oracleRound(col("lp_own") - col("lp_global"), 4))
+      .orderBy("doc_id")
+  }
+
   // q451: LZ76 phrase complexity of each doc's first 120 chars — the
   // classic parametric-free "structured text vs word salad vs noise"
   // quality signal (Lempel & Ziv '76) beside q249's trigram
