@@ -807,6 +807,66 @@ object EventStreams {
   final case class HoltPoint(day: java.sql.Date, x: Long, level: Double,
       trend: Double, forecast_next: Double)
 
+  final case class P95State(pending: Map[Long, Long],
+      window: Seq[(Long, Long)])
+  final case class P95Point(day: java.sql.Date, x: Long, n_window: Int,
+      p95: Long)
+
+  /** Streaming twin of the q422 exact sliding-window P95: over each
+    * trailing window of the last `windowDays` FINALIZED daily counts,
+    * p95 = the ceil(0.95·n)-th smallest value — the exact order
+    * statistic, not a sketch (the window is ≤ `windowDays` values by
+    * construction, so the state is bounded regardless of stream
+    * length). The rolling window is ORDER-SENSITIVE (each emitted row
+    * depends on which days precede it), so the [[cusumStream]]
+    * day-finalization machine applies verbatim: per-day counts buffer
+    * until the watermark passes the day's end, then replay in day
+    * order — append to the trailing window, emit the order statistic.
+    * Within-watermark disorder is invisible; stream output equals the
+    * batch window rows (P95StreamSpec, in-order AND shuffled). State:
+    * the pending map plus ≤ `windowDays` (day, count) pairs; the
+    * global single-key contract and its scale note are
+    * [[cusumStream]]'s. */
+  def slidingP95Stream(events: Dataset[TypedEvent], windowDays: Int = 7,
+      watermarkDelay: String = "0 seconds"): Dataset[P95Point] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[P95State, P95Point](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, it: Iterator[TypedEvent], state: GroupState[P95State]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(P95State(Map.empty, Seq.empty))
+          var pending = st0.pending
+          it.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+          }
+          val (ready, rest) =
+            pending.partition { case (d, _) => d + dayMs <= wm }
+          var window = st0.window
+          val out = scala.collection.mutable.ArrayBuffer.empty[P95Point]
+          ready.toSeq.sortBy(_._1).foreach { case (d, x) =>
+            window = (window :+ (d, x)).takeRight(windowDays)
+            val sorted = window.map(_._2).sorted
+            val n = sorted.length
+            val p95 = sorted(math.ceil(n * 0.95).toInt - 1)
+            out += P95Point(new java.sql.Date(d), x, n, p95)
+          }
+          if (rest.isEmpty && window.isEmpty) state.remove()
+          else {
+            state.update(P95State(rest, window))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.keys.min + dayMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the q408 Holt linear smoother: the coupled
     * level/trend recursion maintained ONLINE over finalized daily
     * counts, exactly the batch arithmetic — integer numerators over
