@@ -11569,15 +11569,17 @@ object SparkEntry {
         |ev AS (
         | SELECT e.label, CASE WHEN v.pred = e.label THEN 1 ELSE 0 END AS ok
         | FROM v JOIN embeddings e ON e.vec_id = v.query_id)
-        |SELECT CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n,
+        |SELECT CAST(label AS INTEGER) AS label, FALSE AS is_overall,
+        | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(ok) AS BIGINT) AS n_correct,
         | round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS acc
         |FROM ev GROUP BY label
         |UNION ALL
-        |SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(ok) AS BIGINT),
+        |SELECT CAST(NULL AS INTEGER), TRUE, CAST(count(*) AS BIGINT),
+        | CAST(sum(ok) AS BIGINT),
         | round(CAST(sum(ok) AS DOUBLE) / count(*), 4)
         |FROM ev
-        |ORDER BY label""".stripMargin,
+        |ORDER BY is_overall, label""".stripMargin,
     // q462: both folds' unrolled GD + full-corpus scoring (lrCvCtes),
     // then the per-fold train/held-out accuracy report
     "q462_lr_cv" -> {

@@ -66,8 +66,18 @@ object WarcBytes {
   private[expressions] val Date = "2024-01-01T00:00:00Z"
   private[expressions] val InfoPayload = "software: graft\n"
 
+  /** Hard payload cap shared with the strict walker: the walker
+    * rejects Content-Length values above 2^26 (and >8 digits), so the
+    * encoder must refuse to EMIT such a record — otherwise build→walk
+    * is not total on the encoder's own output domain (a shard the
+    * engine built would round-trip to NULL for very large documents).
+    * 2^26 = 67,108,864 has 8 digits, so this single bound implies the
+    * walker's digit bound too. */
+  val MaxPayloadBytes: Int = 1 << 26
+
   /** Build the shard's WARC bytes. Public + static-shaped so generated
-    * code can call it. */
+    * code can call it. Throws on a payload above [[MaxPayloadBytes]]
+    * rather than emitting a record its own walker would reject. */
   def build(members: ArrayData): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(4096)
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
@@ -86,6 +96,11 @@ object WarcBytes {
       val row = members.getStruct(i, 2)
       val id = row.getLong(0)
       val payload = row.getUTF8String(1).toString.getBytes("UTF-8")
+      if (payload.length > MaxPayloadBytes)
+        throw new IllegalArgumentException(
+          s"graft_warc_bytes: doc $id payload is ${payload.length} bytes, " +
+            s"above the $MaxPayloadBytes-byte WARC record cap the strict " +
+            "walker enforces; shard oversized documents upstream")
       ascii("WARC/1.0\r\n")
       ascii("WARC-Type: response\r\n")
       ascii(s"WARC-Record-ID: <urn:graft:$id>\r\n")
@@ -176,7 +191,12 @@ object WarcEntries {
         else {
           val c = l.indexOf(": ")
           if (c <= 0) return null
-          headers(l.substring(0, c)) = l.substring(c + 2)
+          val k = l.substring(0, c)
+          // a repeated named field (e.g. two conflicting
+          // Content-Length lines) is non-conforming — reject rather
+          // than silently keeping the later value
+          if (headers.contains(k)) return null
+          headers(k) = l.substring(c + 2)
         }
         p = np
       }

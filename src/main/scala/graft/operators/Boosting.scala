@@ -97,6 +97,10 @@ object Boosting {
       // (the q75-q79 lesson; at corpus scale each pin is corpus-sized)
       org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(prev)
     }
+    // the FINAL round's weights are dead too once the stumps are
+    // collected — nothing returned references wDf, so don't leave one
+    // corpus-sized (doc_id, w) frame pinned for the session
+    org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(wDf)
     out.toSeq
   }
 

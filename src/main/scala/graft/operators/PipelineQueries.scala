@@ -2882,13 +2882,18 @@ object PipelineQueries {
       .localCheckpoint() // per-class and overall rows both read it
     val acc = M.oracleRound(
       col("n_correct").cast("double") / col("n"), 4).as("acc")
+    // the overall row carries is_overall=true + NULL label rather than
+    // a -1 label sentinel: a corpus with a legitimate -1 class (the ±1
+    // convention the AdaBoost queries use) must stay distinguishable
     ev.groupBy("label")
       .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"))
-      .select(col("label"), col("n"), col("n_correct"), acc)
+      .select(col("label"), lit(false).as("is_overall"),
+        col("n"), col("n_correct"), acc)
       .unionByName(ev
         .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"))
-        .select(lit(-1).as("label"), col("n"), col("n_correct"), acc))
-      .orderBy("label")
+        .select(lit(null).cast("int").as("label"),
+          lit(true).as("is_overall"), col("n"), col("n_correct"), acc))
+      .orderBy("is_overall", "label")
   }
 
   /** q459's shard-file stage — the [[tarShardDir]] contract for

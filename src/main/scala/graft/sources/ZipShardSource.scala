@@ -257,12 +257,21 @@ class ZipScan(path: String, required: StructType, filters: Array[Filter])
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles().map(f => ZipInputPartition(f): InputPartition)
 
-  /** Post-pruning archive bytes so the optimizer sees a REAL size for
+  /** Post-pruning DATA bytes so the optimizer sees a REAL size for
     * this scan — a one-shard manifest joins broadcast instead of the
-    * conservative-default sort-merge. */
+    * conservative-default sort-merge. Raw archive size under-reports
+    * what the scan EMITS (decoded text rows are bigger than their
+    * on-disk bytes, and upstream FileScan applies a compression factor
+    * for exactly this reason), so the estimate sums the UNCOMPRESSED
+    * entry sizes the central directory already stores (one EOCD+CD
+    * ranged read per shard at planning time — the same two reads the
+    * partition reader pays anyway) plus a per-row name/struct
+    * overhead, never below the raw archive size. A structurally
+    * surprising shard falls back to its raw size; the reader is the
+    * strict validator, statistics must not hard-fail planning. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = keptFiles()
-      .map(f => Files.size(Paths.get(f))).sum
+      .map(f => ZipScan.estimatedDataBytes(f)).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -271,6 +280,59 @@ class ZipScan(path: String, required: StructType, filters: Array[Filter])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZipReaderFactory(required, filters)
+}
+
+object ZipScan {
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Planning-time size of the ROW DATA a shard will emit: Σ
+    * (uncompressed entry size + name + fixed per-row struct overhead)
+    * from the central directory, floored at the raw archive size.
+    * Tolerant by design (falls back to raw size on any structural
+    * surprise) — strict validation is the reader's job. */
+  def estimatedDataBytes(f: String): Long = {
+    val raw = Files.size(Paths.get(f))
+    try {
+      val ch = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+      try {
+        val flen = ch.size()
+        if (flen < 22) return raw
+        def read(at: Long, len: Int): Array[Byte] = {
+          val buf = ByteBuffer.allocate(len)
+          var off = at
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, off)
+            if (n < 0) throw new java.io.EOFException()
+            off += n
+          }
+          buf.array()
+        }
+        val eocd = read(flen - 22, 22)
+        if (le32(eocd, 0) != 0x06054b50L) return raw
+        val n = le16(eocd, 10)
+        val cdSize = le32(eocd, 12)
+        val cdOff = le32(eocd, 16)
+        if (cdOff + cdSize + 22 != flen) return raw
+        val cd = read(cdOff, cdSize.toInt)
+        var p = 0
+        var i = 0
+        var sum = 0L
+        while (i < n) {
+          if (p + 46 > cd.length || le32(cd, p) != 0x02014b50L) return raw
+          val usize = le32(cd, p + 24)
+          val nameLen = le16(cd, p + 28)
+          sum += usize + nameLen + 64L // 64 ≈ md5 hex + longs + row header
+          p += 46 + nameLen
+          i += 1
+        }
+        math.max(sum, raw)
+      } finally ch.close()
+    } catch { case _: Throwable => raw }
+  }
 }
 
 case class ZipInputPartition(file: String) extends InputPartition

@@ -115,4 +115,29 @@ class WarcCodecSpec extends AnyFunSuite {
       .getBytes("ISO-8859-1")
     assert(WarcEntries.walk(patched) == null)
   }
+
+  test("duplicate named field (two Content-Lengths) is rejected, not last-wins") {
+    val warc = build(Seq(3L -> "abc"))
+    val s = new String(warc, "ISO-8859-1")
+    // inject a SECOND, conflicting Content-Length line into the
+    // response header block; last-wins parsing would use 3 and still
+    // frame correctly — the strict contract is NULL
+    val respAt = s.indexOf("WARC-Type: response")
+    val insertAt = s.indexOf("Content-Length: 3\r\n", respAt)
+    val patched = (s.substring(0, insertAt) + "Content-Length: 0\r\n" +
+      s.substring(insertAt)).getBytes("ISO-8859-1")
+    assert(WarcEntries.walk(patched) == null)
+  }
+
+  test("encoder refuses a payload the strict walker would reject") {
+    val big = new String(Array.fill(WarcBytes.MaxPayloadBytes + 1)('a'))
+    val e = intercept[IllegalArgumentException] {
+      build(Seq(5L -> big))
+    }
+    assert(e.getMessage.contains("cap"))
+    // at the cap itself build→walk still round-trips (total on the
+    // encoder's output domain)
+    val atCap = build(Seq(5L -> "x"))
+    assert(WarcEntries.walk(atCap) != null)
+  }
 }

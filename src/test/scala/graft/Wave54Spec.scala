@@ -39,18 +39,24 @@ class Wave54Spec extends AnyFunSuite {
         rnd(correct.toDouble / g.length, 4))
     }
     val nOk = rows.count(r => pred(r._1) == truth(r._1))
-    val got = P.knnEval(spark, dir).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val res = P.knnEval(spark, dir).collect()
+    val (ovRows, clsRows) = res.partition(_.getBoolean(1))
+    val got = clsRows
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toMap
     perClass.foreach { case (l, v) => assert(got(l) == v, s"at class $l") }
-    assert(got(-1) ==
+    // the overall row is marked is_overall=true with a NULL label (no
+    // -1 sentinel — a legitimate -1 class must stay distinguishable)
+    assert(ovRows.length == 1 && ovRows.head.isNullAt(0))
+    assert((ovRows.head.getLong(2), ovRows.head.getLong(3),
+      ovRows.head.getDouble(4)) ==
       ((rows.length.toLong, nOk.toLong, rnd(nOk.toDouble / rows.length, 4))))
     // the per-class rows partition the corpus and accuracies are
     // proper fractions. (On THIS synthetic corpus the labels are
     // independent of the vectors, so LOO accuracy sits at the ~1/10
     // chance level — the eval's honest reading; the operator's job is
     // to report that number, and the replay above proves it exact.)
-    assert(got.filterKeys(_ >= 0).values.map(_._1).sum == rows.length)
+    assert(got.values.map(_._1).sum == rows.length)
     got.values.foreach { case (n, ok, acc) =>
       assert(ok <= n && acc >= 0.0 && acc <= 1.0)
     }

@@ -38,6 +38,26 @@ class ZipDsv2Spec extends AnyFunSuite {
 
   private def table = spark.read.format("graft-zip").load(stage)
 
+  test("planning statistics report data bytes ≥ raw archive bytes (CD-summed)") {
+    import java.nio.file.{Files, Paths}
+    val shard = Paths.get(stage, "shard-00000.zip")
+    val raw = Files.size(shard)
+    val est = graft.sources.ZipScan.estimatedDataBytes(shard.toString)
+    // the estimate counts uncompressed entry payloads + per-row
+    // overhead, so it must dominate the raw archive size (a scan
+    // emitting MORE data than the optimizer thinks risks a broadcast
+    // of a non-broadcastable side)
+    assert(est >= raw)
+    // and it is finite/sane: bounded by raw + 200B/member overhead
+    val members = table.filter(col("shard_file") === "shard-00000.zip").count()
+    assert(est <= raw + members * 200)
+    // a structurally bogus file falls back to its raw size
+    val bogus = Files.createTempFile("graft_zipstats_", ".zip")
+    Files.write(bogus, Array.fill[Byte](64)(7))
+    assert(graft.sources.ZipScan.estimatedDataBytes(bogus.toString) == 64L)
+    Files.delete(bogus)
+  }
+
   test("manifest framing: every member, CD-ordinal idx, right sizes") {
     val rows = table.select("shard_file", "idx", "name", "size")
       .as[(String, Int, String, Long)].collect()
