@@ -1313,11 +1313,7 @@ object CoreQueries {
     val pp = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    val co = GraphOps.basketPairs(pp, "l_orderkey", "l_partkey")
     val canon = co.distinct()
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
@@ -1793,11 +1789,7 @@ object CoreQueries {
     // no .distinct() here: triangleCounts canonicalizes and dedups the
     // edge set itself — a pre-dedup would shuffle the densest
     // intermediate twice
-    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    val co = GraphOps.basketPairs(pp, "l_orderkey", "l_partkey")
     GraphOps.triangleCounts(co).orderBy("node")
   }
 
@@ -3709,11 +3701,8 @@ object CoreQueries {
     val pp = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val co = GraphOps.basketPairs(pp, "l_orderkey", "l_partkey")
+      .distinct()
       .localCheckpoint()
     val adj = co.select(col("a").as("z"), col("b").as("x"))
       .unionAll(co.select(col("b").as("z"), col("a").as("x")))
@@ -4289,10 +4278,7 @@ object CoreQueries {
       .localCheckpoint()
     val nb = pp.select("l_orderkey").distinct().agg(count(lit(1)).as("nn"))
     val item = pp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
-    val pairs = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
+    val pairs = GraphOps.basketPairs(pp, "l_orderkey", "l_partkey")
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     pairs
@@ -6488,11 +6474,7 @@ object CoreQueries {
     val pp = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val co = pp.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(pp.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    val co = GraphOps.basketPairs(pp, "l_orderkey", "l_partkey")
     GraphOps.kTrussPeel(co, k = 4, iters = 3).orderBy("a", "b")
   }
 

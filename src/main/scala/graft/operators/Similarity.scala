@@ -208,11 +208,26 @@ object Similarity {
     * inherently quadratic: use it for bounded corpora / verification;
     * at corpus scale route near-dup detection (cos ≥ ~0.9) through
     * [[cosineNearDupLsh]] and top-k search through [[annTopK]], which
-    * trade exactness for bucket-join pruning. */
+    * trade exactness for bucket-join pruning.
+    *
+    * The bounded-corpus contract is ENFORCED, not advisory (the
+    * `lshCandidatePairs` `maxBucket` discipline): the input is counted
+    * and the call fails fast above `maxRows` instead of launching an
+    * N² stage that would run for days at corpus scale. The count rides
+    * a localCheckpoint of the normalized frame, so the normalize pass
+    * is also no longer recomputed for each cross-join side. */
   def cosineSimJoin(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64,
-      preNormalized: Boolean = false): DataFrame = {
+      preNormalized: Boolean = false, maxRows: Long = 200000L): DataFrame = {
     val n = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
+      .localCheckpoint()
+    val cnt = n.count()
+    require(cnt <= maxRows,
+      s"cosineSimJoin: input has $cnt rows — above the $maxRows-row " +
+        "cap for the exact quadratic pair stage (~" + (cnt * cnt / 2) +
+        " pairs). This operator is for bounded/verification corpora; " +
+        "route near-dup through cosineNearDupLsh and top-k through " +
+        "annTopK/ivfTopK, or raise maxRows deliberately.")
     val a = n.select(col("__id").as("id_a"), col("nvec").as("va"))
     val b = n.select(col("__id").as("id_b"), col("nvec").as("vb"))
     a.crossJoin(b)

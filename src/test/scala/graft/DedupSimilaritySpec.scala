@@ -200,6 +200,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("cosineSimJoin fails fast above the quadratic-stage row cap") {
+    // the bounded-corpus contract is enforced BEFORE any N² stage
+    // launches: the call itself throws, there is no job to cancel
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.8, dim = 4,
+        maxRows = 3)
+    }
+    assert(e.getMessage.contains("cap"))
+    // at the cap exactly, the operator still runs (emb has 5 rows)
+    val ok = Similarity.cosineSimJoin(emb, "vec_id", "embedding", 0.8,
+      dim = 4, maxRows = 5)
+    assert(ok.count() == 2)
+  }
+
   test("native graft_dot expression: registered, correct, bit-identical to built-ins") {
     assert(spark.catalog.functionExists("graft_dot"),
       "GraftExtensions not installed in the test session")

@@ -141,4 +141,34 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("iters >= 1"))
   }
+
+  test("basketPairs: pair multiset equals the self-join formulation") {
+    val items = Seq((10L, 3L), (10L, 1L), (10L, 2L), (20L, 5L), (20L, 4L),
+      (30L, 7L)).toDF("basket", "item")
+    val got = GraphOps.basketPairs(items, "basket", "item")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // independent replay: join-based a<b pairs per basket
+    val l = items.select(col("basket"), col("item").as("a"))
+    val r = items.select(col("basket"), col("item").as("b"))
+    val want = l.join(r, Seq("basket")).filter(col("a") < col("b"))
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got == Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // duplicate baskets with a repeated pair keep MULTISET semantics
+    val dup = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
+      .toDF("basket", "item")
+    assert(GraphOps.basketPairs(dup, "basket", "item")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L), (1L, 2L)))
+  }
+
+  test("basketPairs: a hot basket fails fast at the cap, not as a straggler") {
+    val hot = (1L to 50L).map(i => (99L, i)).toDF("basket", "item")
+    val e = intercept[Exception] {
+      GraphOps.basketPairs(hot, "basket", "item", maxBasket = 10).count()
+    }
+    assert(e.getMessage.contains("hot") || e.getMessage.contains("cap"),
+      s"unexpected message: ${e.getMessage}")
+    // at the cap the basket still pairs: 50 items => C(50,2) pairs
+    assert(GraphOps.basketPairs(hot, "basket", "item", maxBasket = 50)
+      .count() == 50L * 49 / 2)
+  }
 }
