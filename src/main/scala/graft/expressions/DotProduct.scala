@@ -113,6 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.lzComplexityDescriptor)
     ext.injectFunction(GraftExtensions.warcBytesDescriptor)
     ext.injectFunction(GraftExtensions.warcEntriesDescriptor)
+    ext.injectFunction(GraftExtensions.vecSumDescriptor)
+    ext.injectFunction(GraftExtensions.vecOuterSumDescriptor)
     // §7.3(c): whole-operator strategies for the native as-of join
     // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -142,6 +144,26 @@ object GraftExtensions {
       .exists(s =>
         try s.catalog.functionExists(name)
         catch { case _: Throwable => false })
+
+  /** `graft_vec_sum(arr)` — native elementwise array-sum aggregate. */
+  val vecSumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_vec_sum takes exactly 1 argument, got ${children.length}")
+        VecSumAgg(children.head)
+      })
+
+  /** `graft_vec_outer_sum(arr)` — native outer-product-sum aggregate. */
+  val vecOuterSumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_vec_outer_sum"),
+      new ExpressionInfo(classOf[VecOuterSumAgg].getName, "graft_vec_outer_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_vec_outer_sum takes exactly 1 argument, got ${children.length}")
+        VecOuterSumAgg(children.head)
+      })
 
   val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),

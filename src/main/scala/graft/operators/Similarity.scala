@@ -283,13 +283,24 @@ object Similarity {
       .select(vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
+      // per-cell mean via ONE native elementwise-sum buffer per cell
+      // (graft_vec_sum) instead of dim separate avg() columns: same
+      // sum/count arithmetic (identical up to the partition-order
+      // nondeterminism both forms already have, absorbed by
+      // roundCoord6), but the per-row work is one tight loop instead
+      // of dim getItem projections
       val means = assignCells(c, vecCol, centers)
         .groupBy("cell")
-        .agg(avg(col(vecCol).getItem(0)).as("d0"),
-          (1 until dim).map(j => avg(col(vecCol).getItem(j)).as(s"d$j")): _*)
+        .agg(call_function("graft_vec_sum",
+          col(vecCol).cast("array<double>")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getAs[Int]("cell") ->
-          Array.tabulate(dim)(j => roundCoord6(r.getDouble(j + 1)))).toMap
+        .map { r =>
+          val s = r.getSeq[Double](1)
+          val cn = r.getLong(2).toDouble
+          r.getAs[Int]("cell") ->
+            Array.tabulate(dim)(j => roundCoord6(s(j) / cn))
+        }.toMap
       centers = centers.indices.map(i => means.getOrElse(i, centers(i))).toArray
     }
     centers

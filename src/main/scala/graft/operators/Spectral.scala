@@ -24,13 +24,34 @@ import org.apache.spark.sql.functions._
   * could disagree with a SQL double-division restatement near exact
   * multiples; the double path cannot).
   *
-  * Scale shape: ONE corpus pass builds the dim² product sums via a
-  * per-row generated pair array (map-side combine collapses to 4096
-  * keys per partition — no join, no corpus-sized shuffle); the
+  * Scale shape: ONE corpus pass builds the dim² product sums, the
+  * per-dimension sums AND the row count in a single aggregate over
+  * the native `graft_vec_outer_sum`/`graft_vec_sum` kernels
+  * ([[graft.expressions.VecOuterSumAgg]]) — each row's outer product
+  * multiplies straight into one dim²-long buffer, no per-row d²
+  * struct materialization, no d²-fold explode, no d²-key hash
+  * aggregate (the r13-verdict covariance constant). One buffer per
+  * partition shuffles; dim²+dim longs reach the driver. The
   * iteration cost is O(iters·dim²) on the driver, independent of
   * corpus size. At 100 TB nothing changes but the scan.
   */
 object Spectral {
+
+  /** The one-pass covariance-input aggregate: a SINGLE-ROW frame
+    * `(sp: array<bigint> of dim², si: array<bigint> of dim, n)` over
+    * the kq-quantized coordinates. Exposed (package-private) so
+    * PlanSpec can pin the plan shape: one ObjectHashAggregate, no
+    * Generate/Expand anywhere. */
+  private[graft] def covarianceAgg(emb: DataFrame, vecCol: String,
+      kq: Long): DataFrame = {
+    val qarr = emb.select(expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $kq + 0.5D) AS BIGINT))")
+      .as("qa"))
+    qarr.agg(
+      call_function("graft_vec_outer_sum", col("qa")).as("sp"),
+      call_function("graft_vec_sum", col("qa")).as("si"),
+      count(lit(1)).as("n"))
+  }
 
   /** Top principal component of `vecCol` (population covariance) by
     * `iters` rounds of integer power iteration from the all-ones
@@ -43,24 +64,16 @@ object Spectral {
       iters: Int = 8, kq: Long = 10000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qarr = emb.select(expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $kq + 0.5D) AS BIGINT))")
-      .as("qa"))
-    val sij = qarr.select(explode(expr(
-        "flatten(transform(qa, (x, i) -> transform(qa, (y, j) -> " +
-          "struct(i AS i, j AS j, x * y AS p))))")).as("s"))
-      .select(col("s.i"), col("s.j"), col("s.p"))
-      .groupBy("i", "j").agg(sum("p").as("sp"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-    val siRows = qarr.select(posexplode(col("qa")).as(Seq("i", "q")))
-      .groupBy("i").agg(sum("q").as("s"), count(lit(1)).as("n"))
-      .collect()
-    val si = siRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = siRows.head.getLong(2)
+    val aggRow = covarianceAgg(emb, vecCol, kq).head()
+    val sp = aggRow.getSeq[Long](0)
+    val si = aggRow.getSeq[Long](1)
+    val n = aggRow.getLong(2)
 
-    // exact covariance numerator and its /n integer reduction
+    // exact covariance numerator and its /n integer reduction (the
+    // outer/elementwise sums are BIGINT-exact, so this is the same
+    // integer tensor the explode+groupBy formulation produced)
     val c = Array.tabulate(dims, dims) { (i, j) =>
-      val m = n * sij((i, j)) - si(i) * si(j)
+      val m = n * sp(i * dims + j) - si(i) * si(j)
       math.floor(m.toDouble / n).toLong
     }
 

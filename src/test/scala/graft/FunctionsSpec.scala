@@ -368,6 +368,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("graft_vec_sum: equals posexplode+groupBy on longs and doubles; nulls and empty input") {
+    import spark.implicits._
+    val dfL = Seq(Seq(1L, 2L, 3L), Seq(10L, 20L, 30L), Seq(-1L, 0L, 7L))
+      .toDF("a")
+    val gotL = dfL.repartition(3)
+      .agg(call_function("graft_vec_sum", col("a"))).as[Seq[Long]].head()
+    assert(gotL == Seq(10L, 22L, 40L))
+    // replay via the explode formulation this aggregate replaces
+    val replay = dfL.select(posexplode(col("a")).as(Seq("i", "v")))
+      .groupBy("i").agg(sum("v")).orderBy("i").as[(Int, Long)]
+      .collect().map(_._2).toSeq
+    assert(gotL == replay)
+    val dfD = Seq(Some(Seq(0.5, 1.5)), None, Some(Seq(2.0, -0.5)))
+      .toDF("a")
+    assert(dfD.agg(call_function("graft_vec_sum", col("a")))
+      .as[Seq[Double]].head() == Seq(2.5, 1.0)) // null row skipped
+    // zero rows => NULL, like built-in sum
+    assert(dfL.filter(lit(false))
+      .agg(call_function("graft_vec_sum", col("a")))
+      .as[Option[Seq[Long]]].head().isEmpty)
+    // ragged input is an error, not a silent truncation
+    val e = intercept[Exception] {
+      Seq(Seq(1L, 2L), Seq(1L)).toDF("a")
+        .coalesce(1).agg(call_function("graft_vec_sum", col("a"))).head()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
+  test("graft_vec_outer_sum: equals the nested-transform outer-product replay") {
+    import spark.implicits._
+    val dfL = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(-2L, 0L, 1L))
+      .toDF("a")
+    val got = dfL.repartition(2)
+      .agg(call_function("graft_vec_outer_sum", col("a")))
+      .as[Seq[Long]].head()
+    // replay via the d² explode formulation this kernel replaces
+    val replay = dfL.select(explode(expr(
+        "flatten(transform(a, (x, i) -> transform(a, (y, j) -> " +
+          "struct(i AS i, j AS j, x * y AS p))))")).as("s"))
+      .groupBy("s.i", "s.j").agg(sum("s.p").as("sp"))
+      .orderBy("i", "j").as[(Int, Int, Long)].collect().map(_._3).toSeq
+    assert(got == replay && got.length == 9)
+    // symmetry: out[i*d+j] == out[j*d+i]
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(got(i * 3 + j) == got(j * 3 + i))
+    // doubles too
+    val gotD = Seq(Seq(0.5, 2.0)).toDF("a")
+      .agg(call_function("graft_vec_outer_sum", col("a")))
+      .as[Seq[Double]].head()
+    assert(gotD == Seq(0.25, 1.0, 1.0, 4.0))
+  }
+
   test("RBO nano-weight table: positive, decreasing, and sums to (1 - p^k) for identical lists") {
     val w = graft.operators.PipelineQueries.rboNanoWeights
     assert(w.size == graft.operators.PipelineQueries.rboK)

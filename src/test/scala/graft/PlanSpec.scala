@@ -516,4 +516,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("pruned=[shard_file,idx,rec_type,uri,off,content_length,payload_md5,text]"),
       s"projection not pruned (full schema read):\n$plan")
   }
+
+  test("q162: covariance stage is one object aggregate — no Generate, no d² explode") {
+    // the r13-verdict covariance constant: the dim² product sums must
+    // come from the native outer-product buffer, not a per-row d²
+    // struct flatten exploded into d² rows + a d²-key hash aggregate
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val plan = graft.operators.Spectral.covarianceAgg(emb, "embedding", 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"covariance stage must not explode:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"expected the typed-imperative aggregate path:\n$plan")
+    assert(plan.contains("graft_vec_outer_sum") &&
+      plan.contains("graft_vec_sum"),
+      s"native vector kernels missing from the plan:\n$plan")
+  }
 }
