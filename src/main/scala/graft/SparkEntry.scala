@@ -494,6 +494,7 @@ object SparkEntry {
     "q462_lr_cv" -> (P.lrCrossVal _),
     "q463_gmm_anomaly" -> (C.gmmAnomaly _),
     "q464_domain_lm_fit" -> (P.domainLmDelta _),
+    "q465_decon_verdict" -> (P.deconVerdict _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11669,6 +11670,49 @@ object SparkEntry {
         | round(o.lp_own - g.lp_global, 4) AS delta
         |FROM documents d LEFT JOIN o USING (doc_id) LEFT JOIN g USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q465: the q61 n-gram leg and the q82 semantic leg (their CTEs
+    // verbatim) full-outer-joined into the per-document verdict with
+    // method attribution; only contaminated docs appear
+    "q465_decon_verdict" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         | FROM documents),
+         |sh AS (
+         | SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  ELSE [array_to_string(t, ' ')] END AS s
+         | FROM toks),
+         |bench AS (SELECT DISTINCT unnest(s) AS sh1 FROM sh WHERE doc_id < 20),
+         |corp AS (SELECT doc_id, unnest(s) AS sh1 FROM sh WHERE doc_id >= 20),
+         |ng AS (
+         | SELECT c.doc_id, count(*) AS n_overlap
+         | FROM corp c JOIN bench b USING (sh1) GROUP BY c.doc_id),
+         |${plantedCorpusCtes(64)},
+         |c AS (SELECT * FROM e WHERE vec_id >= 20),
+         |b AS (SELECT * FROM e WHERE vec_id < 20),
+         |s AS (
+         | SELECT c.vec_id, b.vec_id AS bench_id,
+         |  list_sum(list_transform(range(1, 65), i -> c.v[i] * b.v[i])) AS sim
+         | FROM c, b),
+         |r AS (
+         | SELECT vec_id, bench_id, sim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+         | FROM s),
+         |sem AS (
+         | SELECT vec_id AS doc_id, bench_id, round(sim, 4) AS best_cos
+         | FROM r WHERE rn = 1 AND round(sim, 4) >= 0.8)
+         |SELECT coalesce(ng.doc_id, sem.doc_id) AS doc_id,
+         | coalesce(ng.n_overlap, 0) AS n_overlap,
+         | sem.bench_id, sem.best_cos,
+         | ng.doc_id IS NOT NULL AS ngram_hit,
+         | sem.doc_id IS NOT NULL AS semantic_hit,
+         | CASE WHEN ng.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL
+         |   THEN 'ngram+semantic'
+         |  WHEN ng.doc_id IS NOT NULL THEN 'ngram'
+         |  ELSE 'semantic' END AS method
+         |FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 
   private val q45OracleSql: String =

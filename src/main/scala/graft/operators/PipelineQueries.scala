@@ -2300,6 +2300,35 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  // q465: UNIFIED decontamination verdict — the single table a
+  // training run reads before shipping a corpus, joining the n-gram
+  // leg (q61; row-identical to the q114 Bloom-prefiltered scan by the
+  // no-false-negatives argument, so the Bloom path needs no separate
+  // column) with the semantic leg (q82, embedding ids aligned to doc
+  // ids — the synthetic corpus convention) into one flagged-docs frame
+  // with method attribution. Only CONTAMINATED docs appear (absence =
+  // clean): the output stays bench-overlap-sized at any corpus scale,
+  // and the corpus-sized work all lives in the two legs' existing
+  // shared/checkpointed stages — this join is flagged × flagged on
+  // doc_id. Attribution: 'ngram', 'semantic', or 'ngram+semantic';
+  // semantic-only rows carry n_overlap = 0, ngram-only rows carry
+  // NULL bench_id/best_cos.
+  def deconVerdict(s: SparkSession, dir: String): DataFrame = {
+    val ng = decontaminate(s, dir)
+    val sem = semanticDecon(s, dir).withColumnRenamed("vec_id", "doc_id")
+    ng.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("bench_id"), col("best_cos"),
+        col("n_overlap").isNotNull.as("ngram_hit"),
+        col("best_cos").isNotNull.as("semantic_hit"),
+        when(col("n_overlap").isNotNull && col("best_cos").isNotNull,
+          "ngram+semantic")
+          .when(col("n_overlap").isNotNull, "ngram")
+          .otherwise("semantic").as("method"))
+      .orderBy("doc_id")
+  }
+
   // deterministic train/val/test split (80/10/10) by md5 hash bucket —
   // split membership is a pure function of doc_id (stable across runs,
   // partitionings, and engines; exactly oracled)
