@@ -378,6 +378,62 @@ class ExportsSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("concepts export end-to-end through JDBC: Catalyst pushes the filters the reference hand-wrote into its SQL; audit columns never leave the database (S1)") {
+    import graft.sources.{JdbcConfig, JdbcSource}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val url = "jdbc:derby:memory:graftconcepts;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val cfgJ = JdbcConfig("jdbc:derby:memory:graftconcepts",
+        user = "", password = "")
+      conceptTables.foreach { case (name, df) =>
+        val cols = df.schema.fields.map { f =>
+          val t = f.dataType match {
+            case LongType => "BIGINT"
+            case IntegerType => "INTEGER"
+            case DoubleType => "DOUBLE"
+            case _ => "VARCHAR(256)"
+          }
+          s"${f.name} $t"
+        }
+        // real OpenMRS tables carry audit columns the export never
+        // reads — include them so column pruning is OBSERVABLE: a scan
+        // that reads the whole row would surface them in the plan
+        val audit = Seq("creator BIGINT", "date_created VARCHAR(32)",
+          "changed_by BIGINT")
+        st.execute(s"CREATE TABLE $name (${(cols ++ audit).mkString(", ")})")
+        graft.sink.JdbcSink.write(df, cfgJ, name)
+      }
+      st.close()
+      val resolver = JdbcSource.resolver(spark, cfgJ)
+      // plan gate: the reference hand-pushed retired/voided into its
+      // mega-query SQL (concept_csv_export.py:533-558); Catalyst must
+      // push OUR declarative filters into the JDBC scans unaided
+      val plan = ConceptsExport.wide(resolver, cfg)
+        .queryExecution.executedPlan.toString
+      val lc = plan.toLowerCase
+      assert(lc.contains("pushedfilters"),
+        s"no pushed filters in any JDBC scan:\n${plan.take(2000)}")
+      assert(lc.contains("equalto(retired,0)"),
+        s"concept retired filter not pushed:\n${plan.take(2000)}")
+      assert(lc.contains("equalto(voided,0)"),
+        s"name voided filter not pushed:\n${plan.take(2000)}")
+      assert(!lc.contains("date_created") && !lc.contains("changed_by"),
+        "audit columns leaked into a JDBC scan — column pruning lost")
+      // end-to-end: the JDBC-ingress CSV is byte-identical to the
+      // fixture-ingress CSV (same rows, same ordering, same pruning)
+      val tmp = Files.createTempDirectory("graft-test")
+      val outJ = tmp.resolve("concepts_jdbc.csv").toString
+      val outF = tmp.resolve("concepts_fix.csv").toString
+      ConceptsExport.export(resolver, cfg, outJ)
+      ConceptsExport.export(conceptResolver, cfg, outF)
+      val gotJ = Files.readAllLines(Paths.get(outJ)).asScala.toSeq
+      assert(gotJ == Files.readAllLines(Paths.get(outF)).asScala.toSeq)
+      assert(gotJ.length > 1, "export produced no data rows through JDBC")
+    } finally conn.close()
+  }
+
   test("concepts: key-remap guard materializes the wide plan once (checkpoint-backed)") {
     val noComplex: String => org.apache.spark.sql.DataFrame = {
       case "concept" => concept.filter(col("concept_id") =!= 7)
