@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-decade test-data generator: replicates a source scale-factor
+  * directory `copies`× with key shifting, producing a corpus one
+  * decade larger for slope-gating (default: sf0.1 → a synthetic sf1
+  * under /tmp/sf1). The one-decade gate (sf0.01→sf0.1) cannot separate
+  * O(n) from O(n log n) or see a constant that becomes a cliff; this
+  * gives the slope table its second decade without touching the
+  * read-only driver-generated testdata.
+  *
+  * Construction (documented in SCALING.md):
+  *  - fact tables replicate with per-copy key strides (multiples of 10
+  *    so `% 10`-sampled subsets keep their fraction); FOREIGN keys
+  *    shift by the SAME stride as their parent, so join fan-outs,
+  *    selectivities and basket sizes are copy-invariant — the corpus
+  *    is 10 disjoint sf0.1-shaped islands, which is exactly what a
+  *    10× corpus of independent data looks like.
+  *  - region/nation stay fixed (TPC-H dimension semantics).
+  *  - documents text is token-suffixed per copy (`w` → `w_k`), making
+  *    copies' shingle sets disjoint: without this every doc would have
+  *    9 exact/near duplicates and dedup pair volume would grow
+  *    quadratically in copies — a fake superlinearity the gate would
+  *    misread. Vocabulary grows copies×, the within-copy token
+  *    structure is untouched. n_chars is recomputed.
+  *  - embeddings rotate by k positions per copy: norms and within-copy
+  *    pairwise similarities are EXACTLY preserved (rotation is
+  *    orthogonal), cross-copy similarities decorrelate, so planted
+  *    near-dup structure stays per-copy-constant instead of
+  *    copies²-exploding in LSH buckets / Lloyd cells.
+  *  - events shift ids but keep timestamps: 10× users over the same
+  *    time span (denser traffic, same horizon) — windows/sessions per
+  *    user stay the same shape.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = GraftSession.local("graft-genscale")
+    import graft.sources.Tables
+
+    def write(name: String, df: DataFrame, parts: Int): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[genscale] $name done")
+    }
+
+    def shifted(df: DataFrame, k: Int, strides: (String, Long)*): DataFrame =
+      strides.foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + lit(s * k)) }
+
+    def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => per(df, k)).reduce(_ unionByName _)
+
+    // strides: clean multiples of 10 above each key's sf0.1 ceiling
+    val ORD = 10000000L; val CUST = 1000000L; val PART = 1000000L
+    val SUPP = 100000L; val EVT = 10000000L; val USR = 1000000L
+    val DOC = 1000000L; val VEC = 1000000L
+
+    // dimensions: fixed, copied once
+    write("region", Tables.region(spark, src), 1)
+    write("nation", Tables.nation(spark, src), 1)
+
+    write("customer", replicate(Tables.customer(spark, src),
+      (d, k) => shifted(d, k, "c_custkey" -> CUST)), 4)
+    write("supplier", replicate(Tables.supplier(spark, src),
+      (d, k) => shifted(d, k, "s_suppkey" -> SUPP)), 2)
+    write("part", replicate(Tables.part(spark, src),
+      (d, k) => shifted(d, k, "p_partkey" -> PART)), 4)
+    write("orders", replicate(Tables.orders(spark, src),
+      (d, k) => shifted(d, k, "o_orderkey" -> ORD, "o_custkey" -> CUST)), 8)
+    write("lineitem", replicate(Tables.lineitem(spark, src),
+      (d, k) => shifted(d, k, "l_orderkey" -> ORD, "l_partkey" -> PART,
+        "l_suppkey" -> SUPP)), 16)
+    write("events", replicate(Tables.events(spark, src),
+      (d, k) => shifted(d, k, "event_id" -> EVT, "user_id" -> USR)), 8)
+
+    write("documents", replicate(Tables.documents(spark, src), (d, k) => {
+      val s = shifted(d, k, "doc_id" -> DOC)
+      val t =
+        if (k == 0) s
+        else s.withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+          " "))
+      t.withColumn("n_chars", length(col("text")).cast("long"))
+    }), 8)
+
+    write("embeddings", replicate(Tables.embeddings(spark, src), (d, k) => {
+      val s = shifted(d, k, "vec_id" -> VEC)
+      if (k == 0) s
+      else s.withColumn("embedding", concat(
+        slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+        slice(col("embedding"), lit(1), lit(k))))
+    }), 2)
+
+    // loud self-check: every table must land at copies× (dims at 1×)
+    val facts = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    facts.foreach { t =>
+      val lo = Tables.load(spark, src, t).count()
+      val hi = Tables.load(spark, out, t).count()
+      require(hi == lo * copies, s"$t: expected ${lo * copies}, got $hi")
+    }
+    println(s"""{"src":"$src","out":"$out","copies":$copies,"ok":true}""")
+    spark.stop()
+  }
+}

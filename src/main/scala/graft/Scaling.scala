@@ -137,39 +137,50 @@ object Scaling {
     // back out of the committed table itself, so the file is its own
     // state; per-wave history lives in git and SCALING_HISTORY.md.
     val mdPath = Paths.get("SCALING.md")
+    // DECADE-KEYED cumulative table: a row is the query's latest gate
+    // for ONE decade (sf0.01→sf0.1 or sf0.1→sf1); both decades live in
+    // the same table, keyed (query, decade), so second-decade evidence
+    // accretes without clobbering the first
+    def base(p: String) = Paths.get(p).getFileName.toString
+    val decade = s"${base(loDir)}→${base(hiDir)}"
     val rowRe =
-      """\|\s*(q\S+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.Ee+-]+)\s*\|\s*(\S+)\s*\|""".r
-    val prior: Map[String, (Double, Double, Double, String)] =
+      """\|\s*(q\S+)\s*\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.Ee+-]+)\s*\|\s*(\S+)\s*\|""".r
+    val prior: Map[(String, String), (Double, Double, Double, String)] =
       if (Files.exists(mdPath))
         rowRe.findAllMatchIn(Files.readString(mdPath)).map { m =>
-          m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble,
-            m.group(4).toDouble, m.group(5)))
+          (m.group(1), m.group(2)) -> ((m.group(3).toDouble,
+            m.group(4).toDouble, m.group(5).toDouble, m.group(6)))
         }.toMap
       else Map.empty
     val fresh = results.map { case (n, lo, hi) =>
       val slope = if (lo > 0 && hi > 0) hi / lo else -1.0
       val verdict =
         if (slope < 0) "ERR" else if (slope > gate) "SUPERLINEAR" else "linear-ok"
-      n -> ((lo, hi, slope, verdict))
+      (n, decade) -> ((lo, hi, slope, verdict))
     }.toMap
-    val merged = (prior ++ fresh).toSeq.sortBy(_._1)
+    val merged = (prior ++ fresh).toSeq.sortBy { case ((n, d), _) => (d, n) }
     val md = new StringBuilder
-    md ++= "# SCALING — cumulative slope table (sf0.01 → sf0.1)\n\n"
-    md ++= "Each row is the query's LATEST slope gate (rows accumulate across "
-    md ++= "runs, keyed by query; re-gating a query replaces its row). "
-    md ++= s"Slope = median-of-3 warm time at sf0.1 / sf0.01 against the "
-    md ++= s"extension-table row ratio (${ratioTables.mkString(", ")}). Linear "
-    md ++= "work + fixed overhead ⇒ slope < ratio; O(n log n) ≈ ratio × 1.1; a "
-    md ++= "quadratic stage ≈ ratio².\n\n"
-    md ++= s"Latest run: row ratio ${f"$rowRatio%.2f"}×, gate = ratio × "
-    md ++= s"$SlopeTolerance = ${f"$gate%.1f"}, calibration = q12 median-of-3 "
-    md ++= s"per dir (lo ${f"$calLo%.3f"} s, hi ${f"$calHi%.3f"} s, "
-    md ++= s"clean=$calClean — slopes gate only on a clean run); gated "
-    md ++= s"${fresh.size} queries this run, ${merged.size} cumulative.\n\n"
-    md ++= "| query | sf0.01 s | sf0.1 s | slope | verdict |\n"
-    md ++= "|---|---|---|---|---|\n"
-    merged.foreach { case (n, (lo, hi, slope, verdict)) =>
-      md ++= f"| $n | $lo%.3f | $hi%.3f | $slope%.2f | $verdict |%n"
+    md ++= "# SCALING — cumulative slope table (decade-keyed)\n\n"
+    md ++= "Each row is the query's LATEST slope gate for one decade (rows "
+    md ++= "accumulate across runs, keyed by (query, decade); re-gating "
+    md ++= "replaces the row). Slope = median-of-3 warm time at the high dir "
+    md ++= "/ the low dir against the extension-table row ratio "
+    md ++= s"(${ratioTables.mkString(", ")}). Linear work + fixed overhead ⇒ "
+    md ++= "slope < ratio; O(n log n) ≈ ratio × 1.1; a quadratic stage ≈ "
+    md ++= "ratio². The sf0.1→sf1 decade runs against GenScale-replicated "
+    md ++= "data (10 key-shifted sf0.1 islands; documents token-suffixed and "
+    md ++= "embeddings rotated per copy so dedup/ANN pair volume scales like "
+    md ++= "real independent data — see GenScale.scala).\n\n"
+    md ++= s"Latest run: decade $decade, row ratio ${f"$rowRatio%.2f"}×, "
+    md ++= s"gate = ratio × $SlopeTolerance = ${f"$gate%.1f"}, calibration = "
+    md ++= s"q12 median-of-3 per dir (lo ${f"$calLo%.3f"} s, hi "
+    md ++= s"${f"$calHi%.3f"} s, clean=$calClean — slopes gate only on a "
+    md ++= s"clean run); gated ${fresh.size} queries this run, "
+    md ++= s"${merged.size} cumulative rows.\n\n"
+    md ++= "| query | decade | lo s | hi s | slope | verdict |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    merged.foreach { case ((n, d), (lo, hi, slope, verdict)) =>
+      md ++= f"| $n | $d | $lo%.3f | $hi%.3f | $slope%.2f | $verdict |%n"
     }
     Files.writeString(mdPath, md.toString)
 

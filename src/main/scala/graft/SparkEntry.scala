@@ -495,6 +495,7 @@ object SparkEntry {
     "q463_gmm_anomaly" -> (C.gmmAnomaly _),
     "q464_domain_lm_fit" -> (P.domainLmDelta _),
     "q465_decon_verdict" -> (P.deconVerdict _),
+    "q466_label_centroids" -> (P.labelCentroids _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -5519,7 +5520,10 @@ object SparkEntry {
     "q307_hubness" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 3 = 0),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM (
+        |  SELECT vec_id, e,
+        |   CAST(('0x' || substr(md5('hubq:' || vec_id), 1, 8)) AS BIGINT) AS h
+        |  FROM e) ORDER BY h, vec_id LIMIT 64),
         |sc AS (
         | SELECT q.qid, c.vec_id AS cid,
         |  list_inner_product(q.qe, c.e) /
@@ -7173,8 +7177,10 @@ object SparkEntry {
         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         | FROM embeddings),
         |q AS (
-        | SELECT vec_id AS qid, label AS qlabel, e AS qe
-        | FROM e WHERE vec_id % 9 = 0),
+        | SELECT vec_id AS qid, label AS qlabel, e AS qe FROM (
+        |  SELECT vec_id, label, e,
+        |   CAST(('0x' || substr(md5('mrrq:' || vec_id), 1, 8)) AS BIGINT) AS h
+        |  FROM e) ORDER BY h, vec_id LIMIT 24),
         |sc AS (
         | SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label AS clabel,
         |  list_inner_product(q.qe, c.e) /
@@ -7310,7 +7316,10 @@ object SparkEntry {
     "q265_twonn_dim" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 7 = 0),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM (
+        |  SELECT vec_id, e,
+        |   CAST(('0x' || substr(md5('idq:' || vec_id), 1, 8)) AS BIGINT) AS h
+        |  FROM e) ORDER BY h, vec_id LIMIT 32),
         |sq AS (
         | SELECT q.qid, c.vec_id AS cid,
         |  list_inner_product(q.qe, q.qe) + list_inner_product(c.e, c.e)
@@ -10156,7 +10165,10 @@ object SparkEntry {
     "q304_mmr_select" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 9 = 0),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM (
+        |  SELECT vec_id, e,
+        |   CAST(('0x' || substr(md5('mmrq:' || vec_id), 1, 8)) AS BIGINT) AS h
+        |  FROM e) ORDER BY h, vec_id LIMIT 24),
         |sc AS (
         | SELECT q.qid, c.vec_id AS cid, c.e AS ce,
         |  round(list_inner_product(q.qe, c.e) /
@@ -11713,6 +11725,25 @@ object SparkEntry {
          |  ELSE 'semantic' END AS method
          |FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // q466: the same 1e4 quantization + per-(label, dim) exact integer
+    // sums, restated via positional unnest; mean is the identical
+    // two-division double formula
+    "q466_label_centroids" ->
+      """WITH q AS (
+        | SELECT label, list_transform(embedding, x ->
+        |   CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qa
+        | FROM embeddings),
+        |u AS (
+        | SELECT label, CAST(i AS INTEGER) - 1 AS dim,
+        |  qa[CAST(i AS INTEGER)] AS qv
+        | FROM (SELECT label, qa, unnest(generate_series(1, len(qa))) AS i
+        |       FROM q) x)
+        |SELECT CAST(label AS INTEGER) AS label, dim,
+        | CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(qv) AS BIGINT) AS qsum,
+        | round(CAST(sum(qv) AS DOUBLE) / count(*) / 10000.0, 6) AS mean
+        |FROM u GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   private val q45OracleSql: String =

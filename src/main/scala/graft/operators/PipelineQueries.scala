@@ -908,13 +908,21 @@ object PipelineQueries {
   // μ = d2/d1 of its two nearest Euclidean distances, and the MLE
   // id ≈ n / Σ ln μ. Distances via the native graft_dot (squared
   // form, no sqrt until the ratio); the pair stage is SAMPLE × corpus
-  // — |sample| bounded by the modulus, never corpus × corpus.
+  // with a FIXED-SIZE md5 sample (the r14 second-decade lesson: a
+  // modulus sample grows with the corpus and turns sample × corpus
+  // quadratic — q304 read slope 213× at sf0.1→sf1 with exactly this
+  // shape; 32 hash-ranked probes estimate id just as well and keep
+  // the stage linear in corpus rows).
   def twoNnDimension(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
-    val sample = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val sample = emb
+      .withColumn("__h", T.md5Int(
+        concat(lit("idq:"), col("vec_id").cast("string")), 8))
+      .orderBy(col("__h"), col("vec_id")).limit(32)
+      .select(col("vec_id"), col("e"))
       .toDF("qid", "qe")
     val sq = sample.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -2329,6 +2337,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // q466: per-label centroid table over the embedding corpus via the
+  // native elementwise vector-sum aggregate — the class-prototype
+  // frame a curation pipeline ships to its nearest-centroid stages
+  // (q359 eval, q266 noise audit) as ONE artifact. The corpus pass is
+  // a single groupBy(label) with a graft_vec_sum buffer per label (no
+  // posexplode row expansion — the r13-verdict covariance-constant
+  // fix, applied as a first-class operator); the per-dim unpack
+  // explodes only the |labels|-row AGGREGATED frame. Coordinates
+  // quantize to 1e4 longs first, so the sums are BIGINT-exact and the
+  // mean is a ratio of exact integers — hash-deterministic on both
+  // engines with no float-order pin needed anywhere.
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).select(col("label"), expr(
+      "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5D) AS BIGINT))").as("qa"))
+    q.groupBy("label")
+      .agg(call_function("graft_vec_sum", col("qa")).as("s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("s")).as(Seq("dim", "qsum")))
+      .select(col("label"), col("dim"), col("n_vecs"), col("qsum"),
+        M.oracleRound(col("qsum").cast("double") / col("n_vecs") / 10000.0,
+          6).as("mean"))
+      .orderBy("label", "dim")
+  }
+
   // deterministic train/val/test split (80/10/10) by md5 hash bucket —
   // split membership is a pure function of doc_id (stable across runs,
   // partitionings, and engines; exactly oracled)
@@ -3235,17 +3269,22 @@ object PipelineQueries {
 
   // q271: retrieval MRR + recall@5 with label relevance — the eval
   // harness metric alongside q170's NDCG and q208's RBO: queries are
-  // a modulus sample, candidates ranked by exact cosine (the q28
+  // a FIXED-SIZE md5 sample (24 probes — a modulus sample grows with
+  // the corpus and makes sample × corpus quadratic, the r14
+  // second-decade lesson), candidates ranked by exact cosine (the q28
   // convention: descending similarity, vec_id tiebreak), a hit is a
   // same-label neighbor; MRR averages 1/rank-of-first-hit (0 when no
   // same-label doc exists among candidates — stated contract).
-  // Sample × corpus bounded, never corpus².
   def retrievalMrr(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
-    val q = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+    val q = emb
+      .withColumn("__h", T.md5Int(
+        concat(lit("mrrq:"), col("vec_id").cast("string")), 8))
+      .orderBy(col("__h"), col("vec_id")).limit(24)
+      .select(col("vec_id"), col("label"), col("e"))
       .toDF("qid", "qlabel", "qe")
     val scored = q.crossJoin(emb.toDF("cid", "clabel", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -5412,7 +5451,12 @@ object PipelineQueries {
   // frame (q28's ranking convention), localCheckpointed so the four
   // unrolled selection rounds and the pairwise-sim join replay a
   // queries×12 micro-frame, never the corpus; pairwise sims are 12×11
-  // per query — bounded by the candidate cap, never corpus².
+  // per query — bounded by the candidate cap. The query set is a
+  // FIXED-SIZE md5 sample (24 — serving-batch semantics): the r14
+  // sf0.1→sf1 slope gate measured 213× on the previous modulus
+  // sample, whose size grew WITH the corpus and made the candidate
+  // scan quadratic; with a constant query count the scan is linear in
+  // corpus rows.
   def mmrSelect(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
@@ -5422,7 +5466,11 @@ object PipelineQueries {
       call_function("graft_dot", a, b) /
         (sqrt(call_function("graft_dot", a, a)) *
           sqrt(call_function("graft_dot", b, b))), 4)
-    val q = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+    val q = emb
+      .withColumn("__h", T.md5Int(
+        concat(lit("mmrq:"), col("vec_id").cast("string")), 8))
+      .orderBy(col("__h"), col("vec_id")).limit(24)
+      .select(col("vec_id"), col("e"))
       .toDF("qid", "qe")
     val cand = q.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -5478,13 +5526,20 @@ object PipelineQueries {
   // INCLUDED via the corpus left join (dropping them fakes the skew
   // down); moment skewness from the three exact-integer power sums,
   // top-10 hub mass over the exact k·|queries| total. Sample × corpus
-  // bounded; the top-10 is a global TakeOrdered, never a full sort.
+  // with a FIXED-SIZE md5 sample (64 probes — the r14 second-decade
+  // lesson: a modulus sample grows with the corpus and turns this
+  // stage quadratic); the top-10 is a global TakeOrdered, never a
+  // full sort.
   def hubnessAudit(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"),
         _.cast("double")).as("e"))
-    val q = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val q = emb
+      .withColumn("__h", T.md5Int(
+        concat(lit("hubq:"), col("vec_id").cast("string")), 8))
+      .orderBy(col("__h"), col("vec_id")).limit(64)
+      .select(col("vec_id"), col("e"))
       .toDF("qid", "qe")
     val top5 = q.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))

@@ -128,9 +128,9 @@ class AudioEmbedSpec extends AnyFunSuite {
     val (n, idHat, p50, p90) =
       SparkEntry.queries("q265_twonn_dim")(spark, dir)
         .as[(Long, Double, Double, Double)].collect().head
-    val expectN = graft.sources.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 7 === 0).count()
-    assert(n == expectN)
+    // fixed-size md5 query sample (corpus-size-independent — the r14
+    // second-decade contract)
+    assert(n == 32)
     assert(p50 >= 1.0 && p90 >= p50, "d2/d1 ratios are >= 1 and ordered")
     assert(idHat > 0 && !idHat.isInfinite)
   }
@@ -153,9 +153,9 @@ class AudioEmbedSpec extends AnyFunSuite {
   test("q271: MRR/recall bounds and query-sample size") {
     val (n, mrr, r5) = SparkEntry.queries("q271_retrieval_mrr")(spark, dir)
       .as[(Long, Double, Double)].collect().head
-    val expectN = graft.sources.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 9 === 0).count()
-    assert(n == expectN)
+    // fixed-size md5 query sample (corpus-size-independent — the r14
+    // second-decade contract)
+    assert(n == 24)
     assert(mrr >= 0 && mrr <= 1 && r5 >= 0 && r5 <= 1)
     // with 10 labels a random ranker's MRR is well below a perfect 1;
     // label signal or not, the metric must be strictly positive here

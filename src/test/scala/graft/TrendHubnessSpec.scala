@@ -40,7 +40,15 @@ class TrendHubnessSpec extends AnyFunSuite {
     def cos(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum /
         (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    val queries = vecs.filter(_._1 % 3 == 0)
+    // fixed-size md5 query sample: the 64 smallest (md5("hubq:"+id),
+    // id) — the corpus-size-independent sample the engine uses (a
+    // modulus sample grows with the corpus; r14 second-decade lesson)
+    def md5Long(s: String): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    val queries = vecs
+      .sortBy { case (id, _) => (md5Long(s"hubq:$id"), id) }.take(64)
     val indeg = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
     queries.foreach { case (qid, qe) =>

@@ -51,4 +51,30 @@ class Wave56Spec extends AnyFunSuite {
     // vacuous otherwise
     assert(ng.nonEmpty && sem.nonEmpty)
   }
+
+  private def rnd6(x: Double): Double =
+    if (x < 0) -math.floor(-x * 1e6 + 0.5) / 1e6
+    else math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("q466: per-label quantized centroid sums match a driver replay") {
+    val rows = graft.sources.Tables.embeddings(spark, dir)
+      .selectExpr("label", "cast(embedding as array<double>)")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val want = rows.groupBy(_._1).flatMap { case (lab, g) =>
+      val dims = g.head._2.length
+      (0 until dims).map { d =>
+        val qsum = g.map(v =>
+          math.floor(v._2(d) * 10000 + 0.5).toLong).sum
+        (lab, d) -> ((g.length.toLong, qsum,
+          rnd6(qsum.toDouble / g.length / 10000.0)))
+      }
+    }
+    val got = P.labelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // every (label, dim) cell present exactly once
+    assert(got.size == rows.map(_._1).distinct.length * rows.head._2.length)
+  }
 }
