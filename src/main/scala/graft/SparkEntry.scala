@@ -4048,10 +4048,15 @@ object SparkEntry {
     // sign-binarization fidelity: md5 1/97 pair sample, 8-bit Hamming
     // buckets, mean 6dp cosine per bucket
     "q368_sign_fidelity" ->
-      """WITH pr AS (
+      """WITH sm AS (
+        | SELECT vec_id, embedding FROM (
+        |  SELECT vec_id, embedding,
+        |   CAST(('0x' || substr(md5('sbq:' || vec_id), 1, 8)) AS BIGINT) AS h
+        |  FROM embeddings) ORDER BY h, vec_id LIMIT 512),
+        |pr AS (
         | SELECT a.vec_id AS ia, b.vec_id AS ib,
         |  a.embedding AS va, b.embedding AS vb
-        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | FROM sm a JOIN sm b ON a.vec_id < b.vec_id
         | WHERE CAST(('0x' || substr(md5('sb:' || a.vec_id || ':'
         |   || b.vec_id), 1, 8)) AS BIGINT) % 97 = 0),
         |d AS (

@@ -1022,15 +1022,23 @@ object PipelineQueries {
 
   // q368: sign-binarization fidelity — does the 64× cheaper 1-bit
   // embedding (sign per dim, Hamming distance) preserve the cosine
-  // ordering? Over a deterministic md5 1/97 pair sample, bucket pairs
-  // by Hamming distance (8 buckets of 8 bits) and report the mean
-  // 6-dp-pinned cosine per bucket — a monotone-decreasing table means
-  // sign-LSH prefilters are safe, a flat one means they are not.
+  // ordering? Over all 1/97 md5-sampled pairs of a FIXED-SIZE
+  // 512-vector md5-ranked sample, bucket pairs by Hamming distance
+  // (8 buckets of 8 bits) and report the mean 6-dp-pinned cosine per
+  // bucket — a monotone-decreasing table means sign-LSH prefilters
+  // are safe, a flat one means they are not. The fixed vector sample
+  // is the r14 second-decade fix: the previous design hash-pruned
+  // pairs AFTER a corpus × corpus cross join, so pair GENERATION was
+  // still quadratic (measured slope 39.8× at sf0.1→sf1); fidelity is
+  // a statistical property, and a constant 512-vector panel answers
+  // it at any corpus size with a constant-cost pair stage.
   // Per-pair arithmetic stays in-row (zip_with/aggregate folds, no
-  // dim explode); the pair sample is hash-pruned BEFORE the vector
-  // arithmetic.
+  // dim explode).
   def signEmbedFidelity(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .withColumn("__h", T.md5Int(
+        concat(lit("sbq:"), col("vec_id").cast("string")), 8))
+      .orderBy(col("__h"), col("vec_id")).limit(512)
       .select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("ia"),
       col("embedding").as("va"))
