@@ -170,7 +170,14 @@ object Scaling {
     md ++= "ratio². The sf0.1→sf1 decade runs against GenScale-replicated "
     md ++= "data (10 key-shifted sf0.1 islands; documents token-suffixed and "
     md ++= "embeddings rotated per copy so dedup/ANN pair volume scales like "
-    md ++= "real independent data — see GenScale.scala).\n\n"
+    md ++= "real independent data — see GenScale.scala). A hand-set "
+    md ++= "`quadratic-by-contract` verdict marks an exact-verifier leg "
+    md ++= "(corpus-as-queries brute force) whose measured slope is the "
+    md ++= "CONTRACT, not a bug: the operator fail-fast caps its pair volume "
+    md ++= "(cosineTopK maxPairs / cosineSimJoin maxRows) and documents the "
+    md ++= "index-leg replacement (annTopK/ivfTopK) as the at-scale route; "
+    md ++= "such rows persist across merges and are excluded from the gate's "
+    md ++= "exit status by hand-adjudication.\n\n"
     md ++= s"Latest run: decade $decade, row ratio ${f"$rowRatio%.2f"}×, "
     md ++= s"gate = ratio × $SlopeTolerance = ${f"$gate%.1f"}, calibration = "
     md ++= s"q12 median-of-3 per dir (lo ${f"$calLo%.3f"} s, hi "

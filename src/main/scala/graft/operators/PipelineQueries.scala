@@ -59,6 +59,23 @@ object PipelineQueries {
           nearDupPairs(s, dir).select("id_a", "id_b"))
         .localCheckpoint())
 
+  /** Fixed-size md5-ranked sample: the `n` rows with the smallest
+    * (md5(salt:id), id), keeping `keep` columns — the ONE place the
+    * corpus-size-independent query-panel idiom lives (the r14
+    * second-decade contract: a modulus sample grows with the corpus
+    * and turns every sample × corpus stage quadratic — q304 measured
+    * slope 213× that way). Any eval operator pairing a sample against
+    * the corpus draws its panel here; the DuckDB twin is
+    * `CAST(('0x' || substr(md5('salt:' || id), 1, 8)) AS BIGINT)`
+    * ordered with the id tiebreak and the same LIMIT. Cost: one
+    * TakeOrdered over the scan — no shuffle, no window. */
+  private def md5Panel(df: DataFrame, idCol: String, salt: String,
+      n: Int, keep: Seq[String]): DataFrame =
+    df.withColumn("__h", T.md5Int(
+        concat(lit(s"$salt:"), col(idCol).cast("string")), 8))
+      .orderBy(col("__h"), col(idCol)).limit(n)
+      .select(keep.map(col): _*)
+
   /** Shared L2-normalized embedding corpus per (session, sf dir) —
     * the similarity family's analogue of [[stages]]: q28/q33/q34/q51/
     * q53 consume one materialized normalization (bit-identical to the
@@ -918,11 +935,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
-    val sample = emb
-      .withColumn("__h", T.md5Int(
-        concat(lit("idq:"), col("vec_id").cast("string")), 8))
-      .orderBy(col("__h"), col("vec_id")).limit(32)
-      .select(col("vec_id"), col("e"))
+    val sample = md5Panel(emb, "vec_id", "idq", 32, Seq("vec_id", "e"))
       .toDF("qid", "qe")
     val sq = sample.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -1035,11 +1048,8 @@ object PipelineQueries {
   // Per-pair arithmetic stays in-row (zip_with/aggregate folds, no
   // dim explode).
   def signEmbedFidelity(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .withColumn("__h", T.md5Int(
-        concat(lit("sbq:"), col("vec_id").cast("string")), 8))
-      .orderBy(col("__h"), col("vec_id")).limit(512)
-      .select(col("vec_id"), col("embedding"))
+    val e = md5Panel(Tables.embeddings(s, dir), "vec_id", "sbq", 512,
+      Seq("vec_id", "embedding"))
     val a = e.select(col("vec_id").as("ia"),
       col("embedding").as("va"))
     val b = e.select(col("vec_id").as("ib"),
@@ -3288,11 +3298,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
-    val q = emb
-      .withColumn("__h", T.md5Int(
-        concat(lit("mrrq:"), col("vec_id").cast("string")), 8))
-      .orderBy(col("__h"), col("vec_id")).limit(24)
-      .select(col("vec_id"), col("label"), col("e"))
+    val q = md5Panel(emb, "vec_id", "mrrq", 24, Seq("vec_id", "label", "e"))
       .toDF("qid", "qlabel", "qe")
     val scored = q.crossJoin(emb.toDF("cid", "clabel", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -5474,11 +5480,7 @@ object PipelineQueries {
       call_function("graft_dot", a, b) /
         (sqrt(call_function("graft_dot", a, a)) *
           sqrt(call_function("graft_dot", b, b))), 4)
-    val q = emb
-      .withColumn("__h", T.md5Int(
-        concat(lit("mmrq:"), col("vec_id").cast("string")), 8))
-      .orderBy(col("__h"), col("vec_id")).limit(24)
-      .select(col("vec_id"), col("e"))
+    val q = md5Panel(emb, "vec_id", "mmrq", 24, Seq("vec_id", "e"))
       .toDF("qid", "qe")
     val cand = q.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))
@@ -5543,11 +5545,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"),
         _.cast("double")).as("e"))
-    val q = emb
-      .withColumn("__h", T.md5Int(
-        concat(lit("hubq:"), col("vec_id").cast("string")), 8))
-      .orderBy(col("__h"), col("vec_id")).limit(64)
-      .select(col("vec_id"), col("e"))
+    val q = md5Panel(emb, "vec_id", "hubq", 64, Seq("vec_id", "e"))
       .toDF("qid", "qe")
     val top5 = q.crossJoin(emb.toDF("cid", "ce"))
       .filter(col("cid") =!= col("qid"))

@@ -86,12 +86,27 @@ object Similarity {
     * scanned once, then a per-query top-k window runs on the
     * |corpus|×|queries| score rows. Ranks are deterministic (ties broken
     * by neighbor id).
-    */
+    *
+    * The score-pair volume is |corpus|·|queries| — exact-verifier
+    * economics, ENFORCED like [[cosineSimJoin]]'s row cap: the call
+    * counts both sides and fails fast above `maxPairs` instead of
+    * launching a stage that would run for days at corpus scale. The
+    * corpus-as-queries callers (q206 mutual-kNN, q461 LOO eval) are
+    * quadratic BY CONTRACT under this cap; their at-scale route swaps
+    * this leg for [[annTopK]]/[[ivfTopK]] candidates feeding the same
+    * downstream joins. */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, dim: Int = 64,
-      preNormalized: Boolean = false): DataFrame = {
+      preNormalized: Boolean = false, maxPairs: Long = 2000000000L): DataFrame = {
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
     val q = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
+    val pairCount = c.count() * q.count()
+    require(pairCount <= maxPairs,
+      s"cosineTopK: |corpus|×|queries| = $pairCount score pairs — above " +
+        s"the $maxPairs cap for the exact brute-force leg. Route " +
+        "candidates through annTopK/ivfTopK at this scale (the mutual/" +
+        "eval joins downstream are leg-agnostic), or raise maxPairs " +
+        "deliberately.")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
@@ -213,14 +228,17 @@ object Similarity {
     * The bounded-corpus contract is ENFORCED, not advisory (the
     * `lshCandidatePairs` `maxBucket` discipline): the input is counted
     * and the call fails fast above `maxRows` instead of launching an
-    * N² stage that would run for days at corpus scale. The count rides
-    * a localCheckpoint of the normalized frame, so the normalize pass
-    * is also no longer recomputed for each cross-join side. */
+    * N² stage that would run for days at corpus scale. The count is a
+    * deliberate extra pass over the UN-checkpointed frame — a
+    * localCheckpoint here would pin maxRows×dim doubles of block
+    * storage for the session with no free point (the returned frame
+    * references it forever; the Boosting final-round lesson), and at
+    * the bounded scales this operator is legal for, one more
+    * normalize pass is noise. */
   def cosineSimJoin(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64,
       preNormalized: Boolean = false, maxRows: Long = 200000L): DataFrame = {
     val n = prep(corpus, idCol, vecCol, "__id", "nvec", preNormalized)
-      .localCheckpoint()
     val cnt = n.count()
     require(cnt <= maxRows,
       s"cosineSimJoin: input has $cnt rows — above the $maxRows-row " +

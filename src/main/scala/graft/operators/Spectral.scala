@@ -43,9 +43,15 @@ object Spectral {
     * PlanSpec can pin the plan shape: one ObjectHashAggregate, no
     * Generate/Expand anywhere. */
   private[graft] def covarianceAgg(emb: DataFrame, vecCol: String,
-      kq: Long): DataFrame = {
+      kq: Long, dims: Int): DataFrame = {
+    // slice to the requested dimension count FIRST: the flat outer
+    // buffer is indexed with stride `dims` downstream, so aggregating
+    // the full vector when dims < length would misalign every row
+    // past the first (the map-keyed formulation silently read the
+    // correct submatrix; the flat one must make the stride explicit)
     val qarr = emb.select(expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $kq + 0.5D) AS BIGINT))")
+      s"transform(slice($vecCol, 1, $dims), " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * $kq + 0.5D) AS BIGINT))")
       .as("qa"))
     qarr.agg(
       call_function("graft_vec_outer_sum", col("qa")).as("sp"),
@@ -64,10 +70,13 @@ object Spectral {
       iters: Int = 8, kq: Long = 10000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val aggRow = covarianceAgg(emb, vecCol, kq).head()
+    val aggRow = covarianceAgg(emb, vecCol, kq, dims).head()
     val sp = aggRow.getSeq[Long](0)
     val si = aggRow.getSeq[Long](1)
     val n = aggRow.getLong(2)
+    require(sp.length == dims * dims && si.length == dims,
+      s"covariance buffer is ${sp.length}/${si.length} for dims=$dims — " +
+        "input vectors are shorter than the requested dimension count")
 
     // exact covariance numerator and its /n integer reduction (the
     // outer/elementwise sums are BIGINT-exact, so this is the same

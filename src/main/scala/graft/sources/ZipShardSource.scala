@@ -289,11 +289,26 @@ object ZipScan {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  /** Per-entry overhead of the EMITTED manifest row beyond the text
+    * payload: the 32-char payload_md5 hex string (not stored in the
+    * archive at all), five fixed-width columns (idx, size, crc, off ≈
+    * 40 bytes), and the row header (~16) — the name string is added
+    * per entry. Chosen from the row schema, not tuned: the point is
+    * that the estimate tracks what the scan PRODUCES, while the raw
+    * archive adds ~76 + 2·nameLen of LOC/CD framing per entry that
+    * never reaches a row. For stored-method archives the two are
+    * close by construction; they diverge exactly when framing
+    * overhead and row overhead differ, which is what the optimizer
+    * should see. */
+  private val RowOverheadBytes = 88L
+
   /** Planning-time size of the ROW DATA a shard will emit: Σ
-    * (uncompressed entry size + name + fixed per-row struct overhead)
-    * from the central directory, floored at the raw archive size.
-    * Tolerant by design (falls back to raw size on any structural
-    * surprise) — strict validation is the reader's job. */
+    * (uncompressed entry size + name + [[RowOverheadBytes]]) from the
+    * central directory — NOT the raw archive size, which counts
+    * LOC/CD/EOCD framing the scan never emits and misses the
+    * md5-hex/struct bytes it does. Tolerant by design (falls back to
+    * raw size on any structural surprise) — strict validation is the
+    * reader's job. */
   def estimatedDataBytes(f: String): Long = {
     val raw = Files.size(Paths.get(f))
     try {
@@ -325,11 +340,11 @@ object ZipScan {
           if (p + 46 > cd.length || le32(cd, p) != 0x02014b50L) return raw
           val usize = le32(cd, p + 24)
           val nameLen = le16(cd, p + 28)
-          sum += usize + nameLen + 64L // 64 ≈ md5 hex + longs + row header
+          sum += usize + nameLen + RowOverheadBytes
           p += 46 + nameLen
           i += 1
         }
-        math.max(sum, raw)
+        sum
       } finally ch.close()
     } catch { case _: Throwable => raw }
   }

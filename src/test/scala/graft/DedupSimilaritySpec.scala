@@ -200,6 +200,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("cosineTopK fails fast above the score-pair cap") {
+    // |corpus|×|queries| = 25 pairs here; a cap of 10 must trip
+    // BEFORE any stage launches, and the message must route the
+    // caller to the index legs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(emb, "vec_id", "embedding", emb, k = 1,
+        dim = 4, maxPairs = 10)
+    }
+    assert(e.getMessage.contains("annTopK"))
+    // at the cap exactly it still runs
+    assert(Similarity.cosineTopK(emb, "vec_id", "embedding", emb, k = 1,
+      dim = 4, maxPairs = 25).count() == 5)
+  }
+
   test("cosineSimJoin fails fast above the quadratic-stage row cap") {
     // the bounded-corpus contract is enforced BEFORE any N² stage
     // launches: the call itself throws, there is no job to cancel

@@ -158,6 +158,17 @@ class GraphOpsSpec extends AnyFunSuite {
       .toDF("basket", "item")
     assert(GraphOps.basketPairs(dup, "basket", "item")
       .as[(Long, Long)].collect().toSeq == Seq((1L, 2L), (1L, 2L)))
+    // duplicate items WITHIN a basket never make a self-pair — parity
+    // with the a<b join formulation this helper replaced: [1,1,2]
+    // yields (1,2) twice (each dup 1 crosses the 2) and NO (1,1)
+    val dupIn = Seq((30L, 1L), (30L, 1L), (30L, 2L)).toDF("basket", "item")
+    val gotDup = GraphOps.basketPairs(dupIn, "basket", "item")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val li = dupIn.select(col("basket"), col("item").as("a"))
+    val ri = dupIn.select(col("basket"), col("item").as("b"))
+    val wantDup = li.join(ri, Seq("basket")).filter(col("a") < col("b"))
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    assert(gotDup == wantDup && gotDup == Seq((1L, 2L), (1L, 2L)))
   }
 
   test("basketPairs: a hot basket fails fast at the cap, not as a straggler") {

@@ -522,7 +522,7 @@ class PlanSpec extends AnyFunSuite {
     // come from the native outer-product buffer, not a per-row d²
     // struct flatten exploded into d² rows + a d²-key hash aggregate
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val plan = graft.operators.Spectral.covarianceAgg(emb, "embedding", 10000L)
+    val plan = graft.operators.Spectral.covarianceAgg(emb, "embedding", 10000L, 64)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"),
       s"covariance stage must not explode:\n$plan")

@@ -55,4 +55,20 @@ class SpectralSpec extends AnyFunSuite {
     // dims (plus small noise) — the eigenvalue must sit near it
     assert(eig > 0.2 && eig < 0.45, s"eig=$eig")
   }
+
+  test("dims < vector length reads the leading submatrix, not a misaligned buffer") {
+    // the flat outer-product buffer is stride-sensitive: asking for a
+    // 4-dim component of 16-dim vectors must equal running on vectors
+    // pre-truncated to 4 dims (the map-keyed formulation's behavior)
+    val df = planted(120, 16).toDF("vec_id", "embedding")
+    val sub = Spectral.pcaTopComponent(df, "embedding", dims = 4, iters = 6)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val truncated = df.selectExpr("vec_id",
+      "slice(embedding, 1, 4) AS embedding")
+    val want = Spectral.pcaTopComponent(truncated, "embedding", dims = 4,
+      iters = 6).collect().map(r => (r.getInt(0), r.getDouble(1),
+        r.getDouble(2)))
+    assert(sub.toSeq == want.toSeq)
+    assert(sub.length == 4)
+  }
 }

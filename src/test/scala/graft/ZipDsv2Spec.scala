@@ -38,19 +38,27 @@ class ZipDsv2Spec extends AnyFunSuite {
 
   private def table = spark.read.format("graft-zip").load(stage)
 
-  test("planning statistics report data bytes ≥ raw archive bytes (CD-summed)") {
+  test("planning statistics are CD-summed emitted-row bytes, not raw archive bytes") {
     import java.nio.file.{Files, Paths}
     val shard = Paths.get(stage, "shard-00000.zip")
     val raw = Files.size(shard)
     val est = graft.sources.ZipScan.estimatedDataBytes(shard.toString)
-    // the estimate counts uncompressed entry payloads + per-row
-    // overhead, so it must dominate the raw archive size (a scan
-    // emitting MORE data than the optimizer thinks risks a broadcast
-    // of a non-broadcastable side)
-    assert(est >= raw)
-    // and it is finite/sane: bounded by raw + 200B/member overhead
-    val members = table.filter(col("shard_file") === "shard-00000.zip").count()
-    assert(est <= raw + members * 200)
+    // exact contract: Σ (payload + name + 88B row overhead) over the
+    // shard's members, computed independently from the manifest —
+    // NOT a floor over raw size (an earlier formulation used
+    // max(sum, raw), which for stored-only archives ALWAYS returned
+    // raw and made the statistic a silent no-op)
+    val want = table.filter(col("shard_file") === "shard-00000.zip")
+      .select("size", "name").as[(Long, String)].collect()
+      .map { case (sz, nm) => sz + nm.length + 88L }.sum
+    assert(est == want, s"est=$est want=$want raw=$raw")
+    // with short member names, emitted-row overhead exceeds the
+    // archive's LOC/CD framing — the estimate must be allowed ABOVE
+    // raw (a scan emitting more data than the optimizer thinks risks
+    // broadcasting a non-broadcastable side)...
+    assert(est > raw)
+    // ...and within sane bounds of it for a stored-method archive
+    assert(est < raw * 2)
     // a structurally bogus file falls back to its raw size
     val bogus = Files.createTempFile("graft_zipstats_", ".zip")
     Files.write(bogus, Array.fill[Byte](64)(7))
