@@ -185,16 +185,19 @@ object Bench {
         .orElse {
           val re = "BENCH_r(\\d+)(_local)?\\.json".r
           import scala.jdk.CollectionConverters._
-          val cands = Files.list(Paths.get("."))
-            .iterator().asScala
-            .flatMap { p =>
-              p.getFileName.toString match {
-                case re(n, local) =>
-                  // prefer the _local (clean-run) artifact at equal round
-                  Some((n.toInt, if (local == null) 0 else 1, p))
-                case _ => None
-              }
-            }.toSeq.sortBy(t => (t._1, t._2))
+          // Files.list holds an open directory handle — close it
+          // (leaked once per bench invocation otherwise)
+          val cands = scala.util.Using.resource(Files.list(Paths.get("."))) {
+            _.iterator().asScala
+              .flatMap { p =>
+                p.getFileName.toString match {
+                  case re(n, local) =>
+                    // prefer the _local (clean-run) artifact at equal round
+                    Some((n.toInt, if (local == null) 0 else 1, p))
+                  case _ => None
+                }
+              }.toSeq.sortBy(t => (t._1, t._2))
+          }
           cands.lastOption.flatMap(t => parse(t._3))
         }
     }

@@ -496,6 +496,8 @@ object SparkEntry {
     "q464_domain_lm_fit" -> (P.domainLmDelta _),
     "q465_decon_verdict" -> (P.deconVerdict _),
     "q466_label_centroids" -> (P.labelCentroids _),
+    "q467_mutual_knn_ivf" -> (P.mutualKnnIvf _),
+    "q468_knn_eval_ivf" -> (P.knnEvalIvf _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11749,6 +11751,67 @@ object SparkEntry {
         | round(CAST(sum(qv) AS DOUBLE) / count(*) / 10000.0, 6) AS mean
         |FROM u GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q467: the q206 mutual join verbatim, but over the INDEX-BACKED
+    // self-IVF candidate leg (ivfSelfCtes — q53's Lloyd build with
+    // corpus-as-queries probes). Gate-scale parameters (nlist=16,
+    // full-corpus fit) are what Similarity.nlistForCount/fitSampleMax
+    // resolve to for any corpus up to 2000 vectors, so the pinned
+    // literals stay valid under testdata regeneration up to that size.
+    "q467_mutual_knn_ivf" ->
+      s"""WITH ${ivfSelfCtes(nlist = 16, nprobe = 4, iters = 3, dim = 64,
+             k = 5, seed = 42)}
+         |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+         | f.rnk AS rnk_ab, b.rnk AS rnk_ba
+         |FROM ivt f JOIN ivt b
+         |  ON f.query_id = b.neighbor_id AND f.neighbor_id = b.query_id
+         |WHERE f.query_id < f.neighbor_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q468: the q461 vote/report verbatim over the same self-IVF leg,
+    // plus recall@5 vs the exact top-5 on the fixed 64-query md5 panel
+    // (overall row only — the per-class rows carry NULL)
+    "q468_knn_eval_ivf" ->
+      s"""WITH ${ivfSelfCtes(nlist = 16, nprobe = 4, iters = 3, dim = 64,
+             k = 5, seed = 42)},
+         |v AS (
+         | SELECT query_id, nl AS pred FROM (
+         |  SELECT tk.query_id, emb.label AS nl, count(*) AS c,
+         |   row_number() OVER (PARTITION BY tk.query_id
+         |     ORDER BY count(*) DESC, emb.label) AS rn
+         |  FROM ivt tk JOIN embeddings emb ON emb.vec_id = tk.neighbor_id
+         |  GROUP BY tk.query_id, emb.label) x
+         | WHERE rn = 1),
+         |ev AS (
+         | SELECT emb.label, CASE WHEN v.pred = emb.label THEN 1 ELSE 0 END AS ok
+         | FROM v JOIN embeddings emb ON emb.vec_id = v.query_id),
+         |panel AS (
+         | SELECT vec_id FROM e
+         | ORDER BY CAST(('0x' || substr(md5('panel461:' || vec_id), 1, 8))
+         |   AS BIGINT), vec_id LIMIT 64),
+         |px AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) DESC,
+         |    c.vec_id) AS rnk
+         |  FROM e q JOIN panel USING (vec_id), e c
+         |  WHERE c.vec_id <> q.vec_id) t WHERE rnk <= 5),
+         |rec AS (
+         | SELECT round(
+         |  CAST((SELECT count(*) FROM px JOIN ivt USING (query_id, neighbor_id))
+         |    AS DOUBLE) / (SELECT count(*) FROM px), 4) AS r)
+         |SELECT CAST(label AS INTEGER) AS label, FALSE AS is_overall,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(ok) AS BIGINT) AS n_correct,
+         | round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS acc,
+         | CAST(NULL AS DOUBLE) AS ivf_recall_at5
+         |FROM ev GROUP BY label
+         |UNION ALL
+         |SELECT CAST(NULL AS INTEGER), TRUE, CAST(count(*) AS BIGINT),
+         | CAST(sum(ok) AS BIGINT),
+         | round(CAST(sum(ok) AS DOUBLE) / count(*), 4),
+         | (SELECT r FROM rec)
+         |FROM ev
+         |ORDER BY is_overall, label""".stripMargin,
   )
 
   private val q45OracleSql: String =
@@ -12621,6 +12684,40 @@ object SparkEntry {
     * [[ivfBuildCtes]]). `e.v` is the L2-normalized corpus (index-order
     * fold, bit-identical to Spark's zip_with/aggregate
     * normalization). */
+  /** q467/q468's shared legs: the q53 Lloyd build with CORPUS-AS-
+    * QUERIES probes — Similarity.ivfSelfTopK unrolled. Emits (without
+    * the leading WITH) the chain `e` (normalized corpus) → ivfBuildCtes
+    * → `iprobes` (nprobe nearest cells for EVERY vector; no queryMax
+    * filter — that is the whole point of the self variant) → `iscored`
+    * → `ivt` (the per-query top-k). Callers append their own tail
+    * (q467: the mutual join; q468: the vote + recall panel). */
+  private def ivfSelfCtes(nlist: Int, nprobe: Int, iters: Int, dim: Int,
+      k: Int, seed: Int): String =
+    s"""e AS (
+       | SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                         y -> y*y)))) AS v
+       | FROM embeddings),
+       |${ivfBuildCtes(nlist, iters, dim, seed)},
+       |iprobes AS MATERIALIZED (
+       | SELECT query_id, qv, cell FROM (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${sqdExpr("e.v", "c", dim)}, c.cell) AS r
+       |  FROM e, c$iters c) t WHERE r <= $nprobe),
+       |iscored AS MATERIALIZED (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> p.qv[i] * ce.v[i])) AS sim
+       | FROM iprobes p JOIN af a USING (cell) JOIN e ce ON ce.vec_id = a.vec_id
+       | WHERE a.vec_id <> p.query_id),
+       |ivt AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM iscored) t WHERE rnk <= $k)""".stripMargin
+
   private def ivfOracle(nlist: Int, nprobe: Int, iters: Int, dim: Int,
       k: Int, seed: Int, queryMax: Int): String = {
     s"""WITH e AS (

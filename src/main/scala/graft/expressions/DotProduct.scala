@@ -115,6 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.warcEntriesDescriptor)
     ext.injectFunction(GraftExtensions.vecSumDescriptor)
     ext.injectFunction(GraftExtensions.vecOuterSumDescriptor)
+    ext.injectFunction(GraftExtensions.probeCellsDescriptor)
     // §7.3(c): whole-operator strategies for the native as-of join
     // and the native banded range join
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
@@ -163,6 +164,43 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_vec_outer_sum takes exactly 1 argument, got ${children.length}")
         VecOuterSumAgg(children.head)
+      })
+
+  /** `graft_probe_cells(vec, centers, nprobe)` — nprobe nearest
+    * coarse-quantizer cells by (sqdist, cell); `centers` must be a
+    * foldable `array<array<double>>` literal (the fit-derived centroid
+    * matrix, baked into the generated code) and `nprobe` a foldable
+    * numeric literal. */
+  val probeCellsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_probe_cells"),
+      new ExpressionInfo(classOf[ProbeCells].getName, "graft_probe_cells"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_probe_cells takes exactly 3 arguments, got ${children.length}")
+        require(children(1).foldable,
+          "graft_probe_cells centers must be a literal array<array<double>>")
+        require(children(2).foldable &&
+            children(2).eval().isInstanceOf[Number],
+          "graft_probe_cells nprobe must be a numeric literal")
+        val rows = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val nlist = rows.numElements()
+        require(nlist > 0, "graft_probe_cells centers must be non-empty")
+        val first = rows.getArray(0)
+        val dim = first.numElements()
+        val flat = new Array[Double](nlist * dim)
+        var i = 0
+        while (i < nlist) {
+          val r = rows.getArray(i)
+          require(r.numElements() == dim,
+            s"graft_probe_cells centers must be rectangular: row $i has " +
+              s"${r.numElements()} values, row 0 has $dim")
+          var j = 0
+          while (j < dim) { flat(i * dim + j) = r.getDouble(j); j += 1 }
+          i += 1
+        }
+        ProbeCells(children.head, flat, nlist, dim,
+          children(2).eval().asInstanceOf[Number].intValue)
       })
 
   val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -251,7 +289,7 @@ object GraftExtensions {
           "graft_ac_counts patterns must be a literal array")
         val arr = children(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val pats = (0 until arr.numElements).map(i =>
+        val pats = (0 until arr.numElements()).map(i =>
           arr.getUTF8String(i).toString)
         MultiPatternCounts(children.head, pats)
       })

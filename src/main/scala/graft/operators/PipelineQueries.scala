@@ -105,6 +105,27 @@ object PipelineQueries {
       Similarity.fitCodebooks(normEmb(s, dir), "vec_id", "embedding",
         m = 8, ksub = 16, dsub = 8, seed = 4242L, iters = 3))
 
+  /** Shared IVF self-kNN top-5 frame per (session, sf dir) — the
+    * index-backed candidate leg q467 (mutual-kNN twin) and q468
+    * (kNN-eval twin) both consume: [[Similarity.ivfSelfTopK]] over
+    * [[normEmb]], k=5, default (nprobe=4, seed=42, iters=3). At gate
+    * scale (n ≤ 2000 ⇒ nlistForCount = 16 and the fit sample is the
+    * whole corpus) the Lloyd fit is PARAMETER-IDENTICAL to
+    * [[coarseCenters]], so the q53 fit memo is reused outright; above
+    * that the operator runs its own corpus-scaled fit (nlist ∝ n,
+    * fixed md5-ranked sample) — the linear-slope configuration the
+    * sf0.1→sf1 gate measures. */
+  private val selfKnnStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ivfSelfTop5(s: SparkSession, dir: String): DataFrame =
+    selfKnnStage.getOrElseUpdate((s, dir), {
+      val emb = normEmb(s, dir)
+      val fitted =
+        if (emb.count() <= 2000) Some(coarseCenters(s, dir)) else None
+      Similarity.ivfSelfTopK(emb, "vec_id", "embedding", k = 5,
+        preNormalized = true, fittedCenters = fitted).localCheckpoint()
+    })
+
   /** PERSISTED fit stages per (session, sf dir): the q53 coarse
     * centers and q116 codebooks written to parquet once via
     * [[Similarity.writeFitStages]] and read back via
@@ -166,7 +187,7 @@ object PipelineQueries {
     hllRegStage.clear()
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
     persistedFitStage.clear(); legStage.clear(); jacPairStage.clear()
-    lrModelStage.clear()
+    lrModelStage.clear(); selfKnnStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
@@ -2939,13 +2960,25 @@ object PipelineQueries {
   // neighbors (ties → count DESC, label ASC), scored against its own
   // label, reported per class + overall (-1). Brute-force exact by
   // CONTRACT (the cosineSimJoin verification rule): this is the eval
-  // operator; at 100 TB the top-k leg swaps for the IVF/LSH index legs
-  // (q53/q33) and the vote/report shape is unchanged.
+  // operator; at 100 TB the top-k leg swaps for the index leg and the
+  // vote/report shape is unchanged — gated as q468 ([[knnEvalIvf]],
+  // the identical [[knnVoteReport]] tail over Similarity.ivfSelfTopK).
   def knnEval(s: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
     val emb = normEmb(s, dir)
     val topk = Similarity.cosineTopK(emb, "vec_id", "embedding", emb,
       k = 5, preNormalized = true)
+    knnVoteReport(labels, topk)
+  }
+
+  /** The kNN-eval vote/report tail, leg-agnostic by design (the q206/
+    * q461 contract: "the downstream joins are unchanged when the
+    * brute-force leg swaps for an index leg"): majority label of the
+    * top-k neighbors (ties → count DESC, label ASC) scored against the
+    * query's own label, reported per class + overall. q461 feeds it the
+    * exact leg; q468 feeds it [[ivfSelfTop5]] — gating that this tail
+    * genuinely is leg-agnostic rather than asserting it in a comment. */
+  private def knnVoteReport(labels: DataFrame, topk: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__c").desc, col("__nl"))
     val pred = topk
@@ -4164,14 +4197,53 @@ object PipelineQueries {
   // reciprocal-rank filter ([[Similarity.mutualTopK]]) on a full
   // self-kNN frame (k=5). Corpus-as-queries is the honest regime for
   // the filter (every id has its own top-k list to vote with); the
-  // brute-force leg is the sf-scale stand-in for the IVF/LSH candidate
-  // legs, which feed the identical join at 100 TB.
+  // brute-force leg is the EXACT-verifier form, quadratic by contract
+  // (capped). The at-scale composition — the same mutual join over
+  // [[Similarity.ivfSelfTopK]] candidates — is gated as q467.
   def mutualKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = normEmb(s, dir)
     Similarity.mutualTopK(
         Similarity.cosineTopK(emb, "vec_id", "embedding", emb,
           k = 5, preNormalized = true))
       .orderBy("id_a", "id_b")
+  }
+
+  // q467: q206's mutual-kNN filter over the INDEX-BACKED candidate leg
+  // ([[Similarity.ivfSelfTopK]]) instead of the brute-force one — the
+  // at-scale composition q206 documents, gated in its own right. The
+  // reciprocal join is byte-identical to q206's; only the k-NN frame
+  // feeding it changes. Pair volume is bounded by construction
+  // (nlist ∝ n keeps candidates/query constant), so this composition
+  // runs where q206's cap refuses — the 100 TB route, proven.
+  def mutualKnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopK(ivfSelfTop5(s, dir)).orderBy("id_a", "id_b")
+
+  // q468: q461's leave-one-out kNN-classifier eval over the same
+  // index-backed leg, plus the honesty column the swap demands:
+  // recall@5 of the IVF leg against the EXACT top-5 on a fixed
+  // 64-query md5 panel (the md5Panel contract — a corpus-fraction
+  // panel would turn the exact leg quadratic), attached to the
+  // overall row only. Accuracy says "the index leg classifies as
+  // well"; recall says "because it finds the same neighbors".
+  def knnEvalIvf(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val emb = normEmb(s, dir)
+    val ivf = ivfSelfTop5(s, dir)
+    val panel = md5Panel(emb, "vec_id", "panel461", 64,
+      Seq("vec_id", "embedding"))
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", panel,
+      k = 5, preNormalized = true)
+    val recall = exact.agg(count(lit(1)).as("__ne"))
+      .crossJoin(exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("__nh")))
+      .select(M.oracleRound(
+        col("__nh").cast("double") / col("__ne"), 4).as("__rec"))
+    knnVoteReport(labels, ivf)
+      .crossJoin(recall) // 1-row scalar attach
+      .withColumn("ivf_recall_at5",
+        when(col("is_overall"), col("__rec")))
+      .drop("__rec")
+      .orderBy("is_overall", "label")
   }
 
   /** q208's rank-weight table: RBO@k (Webber et al. TOIS'10) in exact

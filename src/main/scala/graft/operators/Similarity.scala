@@ -93,16 +93,21 @@ object Similarity {
     * launching a stage that would run for days at corpus scale. The
     * corpus-as-queries callers (q206 mutual-kNN, q461 LOO eval) are
     * quadratic BY CONTRACT under this cap; their at-scale route swaps
-    * this leg for [[annTopK]]/[[ivfTopK]] candidates feeding the same
-    * downstream joins. */
+    * this leg for [[ivfSelfTopK]] candidates feeding the same
+    * downstream joins — a composition gated in its own right
+    * (q467/q468), not just asserted here. */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, dim: Int = 64,
       preNormalized: Boolean = false, maxPairs: Long = 2000000000L): DataFrame = {
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
     val q = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
-    val pairCount = c.count() * q.count()
-    require(pairCount <= maxPairs,
-      s"cosineTopK: |corpus|×|queries| = $pairCount score pairs — above " +
+    val (cc, qc) = (c.count(), q.count())
+    // overflow-safe cap check: the raw product cc*qc wraps Long in
+    // exactly the regime the cap exists to block (~2e11 corpus-as-
+    // queries → product ~4e22), silently passing the require — divide
+    // instead of multiplying
+    require(qc == 0 || cc <= maxPairs / qc,
+      s"cosineTopK: |corpus|×|queries| = $cc×$qc score pairs — above " +
         s"the $maxPairs cap for the exact brute-force leg. Route " +
         "candidates through annTopK/ivfTopK at this scale (the mutual/" +
         "eval joins downstream are leg-agnostic), or raise maxPairs " +
@@ -433,6 +438,102 @@ object Similarity {
       .withColumn("__probe", explode(slice(array_sort(probeStructs), 1, nprobe)))
       .select(col("query_id"), col("qvec"), col("__probe.cell").as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Corpus-size-scaled cell count for the self-kNN IVF pass:
+    * nlist = max(16, ⌈n/125⌉) keeps the expected posting-list size —
+    * and therefore the candidates scored per query — constant (~125 ×
+    * nprobe) as the corpus grows, which is what makes the END-TO-END
+    * pass linear in n (the per-row probe scan is n×nlist — native via
+    * [[graft.expressions.ProbeCells]] — whose absolute cost stays far
+    * below the candidate scoring it bounds). The 16 floor means any
+    * corpus up to 2000 vectors fits exactly the q53 gate parameters
+    * (nlist=16), so the sf-scale oracle pins nlist=16 and stays valid
+    * under testdata regeneration up to that size. */
+  def nlistForCount(n: Long): Int =
+    math.max(16L, (n + 124L) / 125L).toInt
+
+  /** Per-row probe list: the `nprobe` nearest cells of the fitted
+    * coarse quantizer, ordered by (squared distance, cell) — element 0
+    * is the row's own assignment cell. Native codegen'd
+    * [[graft.expressions.ProbeCells]] when GraftExtensions is
+    * installed, else the bit-identical built-in composition
+    * ([[ivfTopK]]'s struct-sort probe pattern). */
+  private def probeCellsCol(df: DataFrame, vec: Column,
+      centers: Array[Array[Double]], nprobe: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_probe_cells"))
+      call_function("graft_probe_cells", vec, centersLit(centers), lit(nprobe))
+    else
+      transform(
+        slice(array_sort(transform(centersLit(centers),
+          (ctr, i) => struct(sqDist(vec, ctr).as("d"),
+            i.cast("int").as("cell")))),
+          1, nprobe),
+        p => p.getField("cell"))
+
+  /** IVF self-kNN: exact-within-probed-cells top-k cosine neighbors
+    * for EVERY corpus vector — the index-backed leg that replaces
+    * [[cosineTopK]]'s corpus-as-queries brute force at scale, feeding
+    * the identical downstream joins ([[mutualTopK]], the kNN-eval
+    * vote). This is the composition q206/q461 document as their
+    * 100 TB route, gated in its own right (q467/q468).
+    *
+    * Scale shape — every stage linear in n by construction:
+    *   - nlist scales with the corpus ([[nlistForCount]]), so
+    *     candidates per query stay ~125×nprobe regardless of n;
+    *   - the Lloyd fit runs on a FIXED-SIZE md5-ranked sample
+    *     (`fitSampleMax`, the md5Panel idiom) — per-round cost is
+    *     sample×nlist, linear in n via nlist;
+    *   - probe selection is one map-only pass (n×nlist native tight
+    *     loop, no shuffle, no struct sort);
+    *   - candidate generation is a CELL-KEYED SHUFFLE JOIN of the
+    *     posting side (n rows) against the exploded probe side
+    *     (n×nprobe rows) — NOT [[ivfTopK]]'s broadcast-queries join,
+    *     which assumes a small query set; here both sides are the
+    *     corpus and neither is collected or broadcast anywhere.
+    *
+    * Unlike the brute-force leg there is no pair cap to hit: pair
+    * volume is bounded by construction, not by contract. */
+  def ivfSelfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, dim: Int = 64, seed: Long = 42L,
+      iters: Int = 3, preNormalized: Boolean = false,
+      fitSampleMax: Int = 2048,
+      fittedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
+    val c0 = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
+    // read by count + fit + probe passes; a pre-normalized corpus is
+    // already materialized (normalizeCorpus checkpoints)
+    val c = if (preNormalized) c0 else c0.localCheckpoint()
+    val centers = fittedCenters.getOrElse {
+      val n = c.count()
+      val nlist = nlistForCount(n)
+      // fixed-size md5-ranked fit sample (the md5Panel contract): a
+      // corpus-fraction sample would grow the per-round fit cost
+      // superlinearly once nlist scales too
+      val fit =
+        if (n <= fitSampleMax) c
+        else {
+          import graft.functions.TextFunctions
+          c.withColumn("__h", TextFunctions.md5Int(
+              concat(lit(s"fit$seed:"), col("neighbor_id").cast("string")), 8))
+            .orderBy(col("__h"), col("neighbor_id")).limit(fitSampleMax)
+            .select("neighbor_id", "cvec")
+        }
+      fitQuantizer(fit, "neighbor_id", "cvec", nlist, dim, seed, iters)
+    }
+    val probed = c.withColumn("__probes",
+      probeCellsCol(c, col("cvec"), centers, nprobe))
+    val posting = probed.select(col("neighbor_id"), col("cvec"),
+      element_at(col("__probes"), 1).as("cell"))
+    val queries = probed.select(col("neighbor_id").as("query_id"),
+      col("cvec").as("qvec"), explode(col("__probes")).as("cell"))
+    val scored = posting.join(queries, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pairDot(corpus, col("qvec"), col("cvec"), dim))
     val w = Window.partitionBy("query_id")

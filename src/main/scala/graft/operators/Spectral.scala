@@ -71,6 +71,12 @@ object Spectral {
     val spark = emb.sparkSession
     import spark.implicits._
     val aggRow = covarianceAgg(emb, vecCol, kq, dims).head()
+    // empty input: graft_vec_sum/graft_vec_outer_sum evaluate to NULL
+    // (no rows to size the buffer from) — fail with the real reason
+    // before getSeq dereferences a null into a bare NPE
+    require(aggRow.getLong(2) > 0 && !aggRow.isNullAt(0) && !aggRow.isNullAt(1),
+      "pcaTopComponent: empty input frame — no vectors to fit a " +
+        "covariance over")
     val sp = aggRow.getSeq[Long](0)
     val si = aggRow.getSeq[Long](1)
     val n = aggRow.getLong(2)

@@ -266,9 +266,9 @@ class ZipScan(path: String, required: StructType, filters: Array[Filter])
     * entry sizes the central directory already stores (one EOCD+CD
     * ranged read per shard at planning time — the same two reads the
     * partition reader pays anyway) plus a per-row name/struct
-    * overhead, never below the raw archive size. A structurally
-    * surprising shard falls back to its raw size; the reader is the
-    * strict validator, statistics must not hard-fail planning. */
+    * overhead. A structurally surprising shard falls back to its raw
+    * size; the reader is the strict validator, statistics must not
+    * hard-fail planning. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = keptFiles()
       .map(f => ZipScan.estimatedDataBytes(f)).sum
@@ -299,7 +299,9 @@ object ZipScan {
     * never reaches a row. For stored-method archives the two are
     * close by construction; they diverge exactly when framing
     * overhead and row overhead differ, which is what the optimizer
-    * should see. */
+    * should see (the estimate may legitimately land BELOW the raw
+    * archive size — the raw size is only the structural-surprise
+    * fallback). */
   private val RowOverheadBytes = 88L
 
   /** Planning-time size of the ROW DATA a shard will emit: Σ
@@ -340,8 +342,15 @@ object ZipScan {
           if (p + 46 > cd.length || le32(cd, p) != 0x02014b50L) return raw
           val usize = le32(cd, p + 24)
           val nameLen = le16(cd, p + 28)
+          // extra-field + file-comment lengths participate in the CD
+          // record size even though the engine's own writer emits
+          // neither — external tools (zip64, UT timestamps) routinely
+          // do, and skipping only 46+nameLen would break the next
+          // signature check and silently fall back to the raw size
+          val extraLen = le16(cd, p + 30)
+          val commentLen = le16(cd, p + 32)
           sum += usize + nameLen + RowOverheadBytes
-          p += 46 + nameLen
+          p += 46 + nameLen + extraLen + commentLen
           i += 1
         }
         sum
