@@ -50,6 +50,9 @@ object Scaling {
         require(Files.exists(metricsPath),
           "bench_metrics.json not found and SPARK_GRAFT_SLOPE_QUERIES unset")
         val txt = Files.readString(metricsPath)
+        // `stage:` pseudo-entries (bench stage attribution) are not
+        // queries — the q-prefix match already excludes them, both
+        // from the staleness count and from the heaviest-N sample
         val entry = """"(q[^"]+)":\{"sec":([0-9.Ee+-]+)""".r
         val metrics = entry.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq

@@ -961,6 +961,11 @@ object CoreQueries {
     * [[graft.operators.PipelineQueries.clearSharedStages]]). */
   def clearSharedStages(): Unit = sessionStage.clear()
 
+  /** Named stage builder for the bench's stage-attribution rows (see
+    * [[graft.operators.PipelineQueries.sharedStageBuilders]]). */
+  def sharedStageBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "stage:sessions" -> ((s, d) => { sessionsShared(s, d).count(); () }))
+
   // Concurrency timeline over the q54 sessions: +1/-1 boundary sweep,
   // global running count via the two-level prefix sum (no
   // single-partition window) — peak-load analytics composed from the

@@ -105,26 +105,25 @@ object PipelineQueries {
       Similarity.fitCodebooks(normEmb(s, dir), "vec_id", "embedding",
         m = 8, ksub = 16, dsub = 8, seed = 4242L, iters = 3))
 
-  /** Shared IVF self-kNN top-5 frame per (session, sf dir) — the
-    * index-backed candidate leg q467 (mutual-kNN twin) and q468
-    * (kNN-eval twin) both consume: [[Similarity.ivfSelfTopK]] over
-    * [[normEmb]], k=5, default (nprobe=4, seed=42, iters=3). At gate
-    * scale (n ≤ 2000 ⇒ nlistForCount = 16 and the fit sample is the
-    * whole corpus) the Lloyd fit is PARAMETER-IDENTICAL to
-    * [[coarseCenters]], so the q53 fit memo is reused outright; above
-    * that the operator runs its own corpus-scaled fit (nlist ∝ n,
-    * fixed md5-ranked sample) — the linear-slope configuration the
-    * sf0.1→sf1 gate measures. */
-  private val selfKnnStage =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** IVF self-kNN top-5 frame — the index-backed candidate leg q467
+    * (mutual-kNN twin) and q468 (kNN-eval twin) both consume:
+    * [[Similarity.ivfSelfTopK]] over [[normEmb]], k=5, default
+    * (nprobe=4, seed=42, iters=3). DELIBERATELY NOT memoized (unlike
+    * [[normEmb]]): these two queries exist to PROVE the leg's
+    * end-to-end linearity, so the slope gate's timed runs must pay the
+    * whole build — fit, probe pass, cell join — every time; a
+    * checkpoint memo here would make the sf0.1→sf1 row measure a
+    * cache read plus the downstream join (the r15 first attempt
+    * measured slope 2.28 exactly that way). The fit is likewise run
+    * inside (no [[coarseCenters]] pass-through) so both decades time
+    * the same work: at gate scale (n ≤ 2000 ⇒ nlist = 16, fit sample
+    * = whole corpus) it is parameter-identical to coarseCenters and
+    * the oracle holds verbatim; above, nlist ∝ n over the fixed
+    * md5-ranked sample. Suite cost: the leg builds twice (q467, q468)
+    * — the price of honest attribution. */
   private def ivfSelfTop5(s: SparkSession, dir: String): DataFrame =
-    selfKnnStage.getOrElseUpdate((s, dir), {
-      val emb = normEmb(s, dir)
-      val fitted =
-        if (emb.count() <= 2000) Some(coarseCenters(s, dir)) else None
-      Similarity.ivfSelfTopK(emb, "vec_id", "embedding", k = 5,
-        preNormalized = true, fittedCenters = fitted).localCheckpoint()
-    })
+    Similarity.ivfSelfTopK(normEmb(s, dir), "vec_id", "embedding", k = 5,
+      preNormalized = true)
 
   /** PERSISTED fit stages per (session, sf dir): the q53 coarse
     * centers and q116 codebooks written to parquet once via
@@ -175,6 +174,47 @@ object PipelineQueries {
         .select(col("doc_id"), explode(col("a")).as("term"))
         .localCheckpoint())
 
+  /** Named shared-stage builders — the bench's STAGE-ATTRIBUTION
+    * contract (r14 verdict #2: two same-HEAD bench runs flagged
+    * disjoint query sets at median ratio 1.02 because each memoized
+    * stage bills its build to whichever consumer touches it first,
+    * and sub-second scheduling jitter decides who that is). Bench
+    * forces these BEFORE the timed per-query loop and emits each as a
+    * `stage:` pseudo-entry, so per-query rows measure steady-state
+    * work only and stage cost is a named, comparable row of its own.
+    * Order matters: later stages consume earlier ones (e.g. the
+    * near-dup pairs ride the MinHash signatures), so each row bills
+    * only its own increment. Cheap driver-side memos (bpeFit, models)
+    * are included for completeness — a near-zero row is evidence too. */
+  def sharedStageBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "stage:norm_emb" -> ((s, d) => { normEmb(s, d).count(); () }),
+    "stage:coarse_fit" -> ((s, d) => { coarseCenters(s, d); () }),
+    "stage:pq_fit" -> ((s, d) => { pqBooks(s, d); () }),
+    "stage:persisted_fits" -> ((s, d) => { persistedFits(s, d); () }),
+    "stage:planted_emb" -> ((s, d) => { plantedNormEmb(s, d).count(); () }),
+    "stage:dedup_sigs" -> ((s, d) => { stages(s, d)._2.count(); () }),
+    "stage:neardup_pairs" -> ((s, d) => { nearDupPairs(s, d).count(); () }),
+    "stage:dup_components" -> ((s, d) => { dupComponents(s, d).count(); () }),
+    "stage:jaccard_pairs" -> ((s, d) => { jaccardPairs03(s, d).count(); () }),
+    "stage:token_arrays" -> ((s, d) => { tokenArrays(s, d).count(); () }),
+    "stage:lower_toks" -> ((s, d) => { lowerToks(s, d).count(); () }),
+    "stage:window_pairs" -> ((s, d) => { winPairs(s, d).count(); () }),
+    "stage:ref_corpus" -> ((s, d) => { persistedRefStages(s, d)._2.count(); () }),
+    "stage:ref_fps" -> ((s, d) => { persistedRefFps(s, d).count(); () }),
+    "stage:hll_regs" -> ((s, d) => { persistedHllRegs(s, d).count(); () }),
+    "stage:persisted_lm" -> ((s, d) => { persistedLm(s, d)._1.count(); () }),
+    "stage:lr_model" -> ((s, d) => { lrModel(s, d); () }),
+    "stage:ada_model" -> ((s, d) => { adaModel(s, d); () }),
+    "stage:bpe_fit" -> ((s, d) => { bpeFit6(s, d); () }),
+    "stage:tar_shards" -> ((s, d) => { tarShardDir(s, d); () }),
+    "stage:zip_shards" -> ((s, d) => { zipShardDir(s, d); () }),
+    "stage:warc_shards" -> ((s, d) => { warcShardDir(s, d); () }),
+    "stage:jsonl_dir" -> ((s, d) => { persistedJsonl(s, d); () }),
+    "stage:orc_dir" -> ((s, d) => { persistedOrc(s, d); () }),
+    "stage:xml_dir" -> ((s, d) => { persistedXml(s, d); () }),
+    "stage:part_dir" -> ((s, d) => { persistedPartitioned(s, d); () }),
+  )
+
   /** Drop every shared-stage memo entry. Bench hygiene: the warm-up
     * pass at the small sf dir leaves its localCheckpoint blocks pinned
     * through the whole timed pass otherwise; clearing the references
@@ -187,7 +227,7 @@ object PipelineQueries {
     hllRegStage.clear()
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
     persistedFitStage.clear(); legStage.clear(); jacPairStage.clear()
-    lrModelStage.clear(); selfKnnStage.clear()
+    lrModelStage.clear()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw

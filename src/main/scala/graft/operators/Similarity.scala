@@ -276,16 +276,26 @@ object Similarity {
     aggregate(zip_with(vec, ctr, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Nearest cell per corpus row: per-row distance array against the
-    * centroid literal, argmin = first position of the min — ties pinned
-    * by cell index (array_position returns the FIRST match, equal to
-    * min-by-(distance², cell)). Adds `cell` as a projected column. */
+  /** Nearest cell per corpus row: argmin over the centroid matrix,
+    * ties pinned by cell index. Native [[graft.expressions.ProbeCells]]
+    * with nprobe=1 when registered (one tight loop instead of an
+    * nlist-element HOF distance array per row — the assignment pass is
+    * n×nlist, the biggest per-row cost of every Lloyd round), else the
+    * built-in distance-array argmin (array_position returns the FIRST
+    * match, equal to min-by-(distance², cell)) — bit-identical
+    * semantics (same left-to-right Σ(x−c)², same strict-less
+    * first-lowest-cell tie rule). Adds `cell` as a projected column. */
   private def assignCells(c: DataFrame, vecCol: String,
-      centers: Array[Array[Double]]): DataFrame = {
-    val dists = transform(centersLit(centers), ctr => sqDist(col(vecCol), ctr))
-    c.withColumn("cell",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
-  }
+      centers: Array[Array[Double]]): DataFrame =
+    if (c.sparkSession.catalog.functionExists("graft_probe_cells"))
+      c.withColumn("cell", element_at(
+        call_function("graft_probe_cells", col(vecCol),
+          centersLit(centers), lit(1)), 1))
+    else {
+      val dists = transform(centersLit(centers), ctr => sqDist(col(vecCol), ctr))
+      c.withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
 
   /** Fixed-iteration Lloyd coarse quantizer fit, shared by [[ivfTopK]]
     * and [[semanticNearDupPairs]]: init = the `nlist` vectors with the
