@@ -498,6 +498,7 @@ object SparkEntry {
     "q466_label_centroids" -> (P.labelCentroids _),
     "q467_mutual_knn_ivf" -> (P.mutualKnnIvf _),
     "q468_knn_eval_ivf" -> (P.knnEvalIvf _),
+    "q469_semantic_dedup_scaled" -> (P.semanticDedupScaled _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg
@@ -11812,6 +11813,14 @@ object SparkEntry {
          | (SELECT r FROM rec)
          |FROM ev
          |ORDER BY is_overall, label""".stripMargin,
+    // q469: at sf scale the corpus-keyed variant resolves to exactly
+    // q75's parameters (nlist floor = 16, fit = full planted corpus —
+    // valid for any regenerated planted corpus up to 2000/2048
+    // vectors per Similarity.nlistForCount/fitSampleMax), so the
+    // oracle IS q75's construction; the scaled behavior is gated by
+    // the sf0.1→sf1 slope row, where the oracle cannot follow.
+    "q469_semantic_dedup_scaled" -> semDedupOracle(nlist = 16, iters = 3,
+      dim = 64, seed = 42, threshold = 0.8),
   )
 
   private val q45OracleSql: String =

@@ -2374,6 +2374,18 @@ object PipelineQueries {
         preNormalized = true)
       .orderBy("id_a", "id_b")
 
+  // q469: the AT-SCALE SemDeDup configuration — corpus-keyed nlist +
+  // fixed md5-ranked fit sample ([[Similarity.semanticNearDupPairsScaled]])
+  // over the same planted corpus. At gate scale it resolves to exactly
+  // q75's parameters (nlist floor 16, full-corpus fit), so q75's oracle
+  // construction gates THIS code path too; at sf1 it is the variant
+  // whose slope row gates linear-ok where fixed-nlist q75 is excluded
+  // as asymptotically quadratic.
+  def semanticDedupScaled(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairsScaled(plantedNormEmb(s, dir), "vec_id",
+        "embedding", threshold = 0.8, iters = 3, preNormalized = true)
+      .orderBy("id_a", "id_b")
+
   // Embedding-space decontamination: max cosine from each corpus
   // vector (incl. planted copies) to the bench set (originals < 20) —
   // the paraphrase-catching analogue of q61's n-gram overlap scan.

@@ -648,14 +648,56 @@ object Similarity {
   def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, dim: Int = 64, seed: Long = 42L,
       iters: Int = 3, preNormalized: Boolean = false): DataFrame = {
-    val c =
-      if (preNormalized)
-        corpus.select(col(idCol).as("__id"), col(vecCol).as("nvec"))
-      else
-        barrier(corpus.select(col(idCol).as("__id"),
-          normalized(col(vecCol).cast("array<double>")).as("nvec")))
-          .localCheckpoint()
+    val c = semPrep(corpus, idCol, vecCol, preNormalized)
     val centers = fitQuantizer(c, "__id", "nvec", nlist, dim, seed, iters)
+    inCellVerifiedPairs(corpus, c, centers, threshold, dim)
+  }
+
+  /** [[semanticNearDupPairs]] with the CORPUS-KEYED cell count — the
+    * at-scale SemDeDup configuration. A fixed nlist makes expected
+    * in-cell pair volume Σ N_c²/2 ≈ n²/(2·nlist) — asymptotically
+    * quadratic, which is exactly why the fixed-nlist gate (q75) is
+    * excluded from sf1 slope gating. Here nlist = [[nlistForCount]](n)
+    * (∝ n above the 2000-vector floor) keeps expected in-cell
+    * candidates per vector constant, and the Lloyd fit runs on a
+    * FIXED-SIZE md5-ranked sample, so fit cost is sample×nlist ∝ n —
+    * the whole pass is linear in the corpus (gated by q469's sf0.1→sf1
+    * slope row). At the floor the fit is parameter-identical to the
+    * fixed-nlist form, so q75's oracle construction gates this exact
+    * code path at sf scale. */
+  def semanticNearDupPairsScaled(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int = 64, seed: Long = 42L,
+      iters: Int = 3, preNormalized: Boolean = false,
+      fitSampleMax: Int = 2048): DataFrame = {
+    val c = semPrep(corpus, idCol, vecCol, preNormalized)
+    val n = c.count()
+    val nlist = nlistForCount(n)
+    val fit =
+      if (n <= fitSampleMax) c
+      else {
+        import graft.functions.TextFunctions
+        c.withColumn("__h", TextFunctions.md5Int(
+            concat(lit(s"fit$seed:"), col("__id").cast("string")), 8))
+          .orderBy(col("__h"), col("__id")).limit(fitSampleMax)
+          .select("__id", "nvec")
+      }
+    val centers = fitQuantizer(fit, "__id", "nvec", nlist, dim, seed, iters)
+    inCellVerifiedPairs(corpus, c, centers, threshold, dim)
+  }
+
+  private def semPrep(corpus: DataFrame, idCol: String, vecCol: String,
+      preNormalized: Boolean): DataFrame =
+    if (preNormalized)
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("nvec"))
+    else
+      barrier(corpus.select(col(idCol).as("__id"),
+        normalized(col(vecCol).cast("array<double>")).as("nvec")))
+        .localCheckpoint()
+
+  /** The shared SemDeDup tail: assign cells, self-join within cell,
+    * verify exact cosine ≥ threshold (4-dp-pinned). */
+  private def inCellVerifiedPairs(corpus: DataFrame, c: DataFrame,
+      centers: Array[Array[Double]], threshold: Double, dim: Int): DataFrame = {
     val assigned = assignCells(c, "nvec", centers)
     assigned.select(col("cell"), col("__id").as("id_a"), col("nvec").as("va"))
       .join(assigned.select(col("cell"), col("__id").as("id_b"),

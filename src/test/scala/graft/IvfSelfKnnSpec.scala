@@ -107,6 +107,32 @@ class IvfSelfKnnSpec extends AnyFunSuite {
     assert(Similarity.nlistForCount(20000) == 160)
   }
 
+  test("semanticNearDupPairsScaled at the nlist floor equals the fixed form") {
+    // 40 vectors → nlistForCount = 16 (floor) and the fit sample is the
+    // whole corpus: the scaled variant must be row-identical to the
+    // fixed-nlist operator — the property q469's oracle (= q75's
+    // construction) relies on at gate scale
+    val fixed = Similarity.semanticNearDupPairs(norm, "vec_id", "embedding",
+        threshold = 0.8, nlist = 16, dim = dim, iters = 2, preNormalized = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val scaled = Similarity.semanticNearDupPairsScaled(norm, "vec_id",
+        "embedding", threshold = 0.8, dim = dim, iters = 2,
+        preNormalized = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(scaled == fixed)
+    assert(fixed.nonEmpty, "clustered corpus must produce in-cell pairs")
+  }
+
+  test("semanticNearDupPairsScaled sampled-fit path yields verified pairs") {
+    val pairs = Similarity.semanticNearDupPairsScaled(norm, "vec_id",
+        "embedding", threshold = 0.8, dim = dim, iters = 2,
+        preNormalized = true, fitSampleMax = 10)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= 0.8 && c <= 1.0)
+    }
+  }
+
   test("corpus-scaled fit path (n > fitSampleMax) still yields valid top-k") {
     // force the sampled-fit branch with a tiny fitSampleMax: results
     // must still be well-formed per-query top-k over real neighbors
