@@ -499,6 +499,10 @@ object SparkEntry {
     "q467_mutual_knn_ivf" -> (P.mutualKnnIvf _),
     "q468_knn_eval_ivf" -> (P.knnEvalIvf _),
     "q469_semantic_dedup_scaled" -> (P.semanticDedupScaled _),
+    // rows-only by design: DuckDB cannot read Derby; the byte-identity
+    // and pushdown asserts run INSIDE the query (see ScaledOmrs.gate),
+    // and the export's row semantics are oracled piecewise by q01-q44
+    "q470_concepts_export_jdbc" -> (graft.exports.ScaledOmrs.gate _),
   )
 
   /** q28's exact brute-force cosine top-5 — also the ground-truth leg

@@ -213,6 +213,7 @@ object PipelineQueries {
     "stage:orc_dir" -> ((s, d) => { persistedOrc(s, d); () }),
     "stage:xml_dir" -> ((s, d) => { persistedXml(s, d); () }),
     "stage:part_dir" -> ((s, d) => { persistedPartitioned(s, d); () }),
+    "stage:omrs_jdbc" -> ((s, d) => graft.exports.ScaledOmrs.buildDbStage(s, d)),
   )
 
   /** Drop every shared-stage memo entry. Bench hygiene: the warm-up
@@ -228,6 +229,7 @@ object PipelineQueries {
     refFpStage.clear(); coarseFitStage.clear(); pqFitStage.clear()
     persistedFitStage.clear(); legStage.clear(); jacPairStage.clear()
     lrModelStage.clear()
+    graft.exports.ScaledOmrs.clearSharedStages()
   }
 
   /** Planted near-dup corpus for the sign-LSH gate (q51): the raw
