@@ -444,15 +444,20 @@ class PlanSpec extends AnyFunSuite {
     // same base for both variants so reads/listing cost is identical
     val base = graft.sources.Tables.events(spark, dir).cache()
     base.count()
-    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val j0 = jobs
+    // highest job id, not the retained-list LENGTH: the UI store evicts
+    // old jobs past spark.ui.retainedJobs, so a length-based counter
+    // can DECREASE over a long suite (r15: 998 → 902 mid-test) — the
+    // max id is monotonic regardless of eviction
+    def lastJob = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val j0 = lastJob
     base.groupBy("user_id").pivot("event_type", C.eventTypes).count()
       .queryExecution.executedPlan
-    val j1 = jobs
+    val j1 = lastJob
     assert(j1 == j0, "explicit-values pivot launched a job during planning")
     base.groupBy("user_id").pivot("event_type").count()
       .queryExecution.executedPlan
-    val j2 = jobs
+    val j2 = lastJob
     assert(j2 > j1, "discovery pivot should have run a distinct job " +
       "(sanity check that the counter measures what we think)")
     base.unpersist()
