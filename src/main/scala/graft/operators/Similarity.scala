@@ -99,9 +99,15 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, dim: Int = 64,
       preNormalized: Boolean = false, maxPairs: Long = 2000000000L): DataFrame = {
+    // cap counts run on the RAW inputs, before the normalize/barrier
+    // prep: prep doesn't change row counts, and a bare count over a
+    // parquet-backed frame collapses to the metadata fast path, where
+    // counting the prepped side would materialize the normalization
+    // just to guard it (measured ~0.2 s per call × three calls in
+    // q154 — the r15 bench-flag adjudication)
+    val (cc, qc) = (corpus.count(), queries.count())
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cvec", preNormalized)
     val q = prep(queries, idCol, vecCol, "query_id", "qvec", preNormalized)
-    val (cc, qc) = (c.count(), q.count())
     // overflow-safe cap check: the raw product cc*qc wraps Long in
     // exactly the regime the cap exists to block (~2e11 corpus-as-
     // queries → product ~4e22), silently passing the require — divide
