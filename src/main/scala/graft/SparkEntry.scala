@@ -11817,12 +11817,20 @@ object SparkEntry {
          | (SELECT r FROM rec)
          |FROM ev
          |ORDER BY is_overall, label""".stripMargin,
-    // q469: at sf scale the corpus-keyed variant resolves to exactly
-    // q75's parameters (nlist floor = 16, fit = full planted corpus —
-    // valid for any regenerated planted corpus up to 2000/2048
-    // vectors per Similarity.nlistForCount/fitSampleMax), so the
-    // oracle IS q75's construction; the scaled behavior is gated by
-    // the sf0.1→sf1 slope row, where the oracle cannot follow.
+    // q469: at ORACLE-COMPARE scale (sf0.01, 540 planted vectors) the
+    // corpus-keyed variant resolves to exactly q75's parameters
+    // (nlist floor = 16, fit = full planted corpus), so the oracle IS
+    // q75's construction. Validity bound — stated by the BASE corpus,
+    // not the planted total (r15 advisor): the planted corpus is base
+    // embeddings + ~2% copies, so the pinned nlist=16 holds for any
+    // regenerated BASE corpus ≤ 1960 embeddings (≤ 2000 planted;
+    // fitSampleMax similarly ≥ planted count). At sf0.1 the planted
+    // corpus is 2040 and Similarity.nlistForCount returns 17 — the
+    // INTENDED scaled behavior, gated by the sf0.1→sf1 slope row;
+    // this oracle must not be compared there (the driver's value gate
+    // runs at sf0.01). An in-query assert can't distinguish an
+    // oracle-compare run from a bench run at sf0.1, so the bound
+    // lives here, on the oracle itself.
     "q469_semantic_dedup_scaled" -> semDedupOracle(nlist = 16, iters = 3,
       dim = 64, seed = 42, threshold = 0.8),
   )

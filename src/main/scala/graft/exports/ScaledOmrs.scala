@@ -178,8 +178,11 @@ object ScaledOmrs {
   private val dbStage = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), JdbcConfig]
   private def derbyDb(s: SparkSession, dir: String, n: Long): JdbcConfig =
-    dbStage.getOrElseUpdate((s, dir), {
-      val dbName = "omrs" + math.abs(dir.hashCode).toString
+    dbStage.getOrElseUpdate((s, dir), timed(s"derby ingest n=$n") {
+      // full-string md5, not abs(hashCode): hashCode collides across
+      // dirs (and abs(Int.MinValue) is negative) — r15 advisor
+      val dbName = "omrs" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       val url = s"jdbc:derby:memory:$dbName"
       val conn = java.sql.DriverManager.getConnection(url + ";create=true")
       try {
@@ -206,6 +209,15 @@ object ScaledOmrs {
       } finally conn.close()
     })
 
+  /** stderr stage-split instrumentation (attribution inside the
+    * stage:omrs_jdbc / q470 rows — ingest vs export legs). */
+  private def timed[A](what: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[omrs] $what%s took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   /** Direct-frame-ingress export memo: the comparison baseline CSV,
     * written once per (session, dir) — the gate's timed body then pays
     * the JDBC-ingress export (the path under test) plus the byte
@@ -214,15 +226,28 @@ object ScaledOmrs {
     .empty[(SparkSession, String), String]
   private def directCsv(s: SparkSession, dir: String, n: Long,
       cfg: ConceptsConfig): String =
-    directCsvStage.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_omrs_scale_")
-      val out = tmp.resolve("concepts_direct.csv").toString
+    directCsvStage.getOrElseUpdate((s, dir), timed(s"direct export n=$n") {
+      val out = tmpDir(s, dir).resolve("concepts_direct.csv").toString
       val direct = tables(s, n)
       ConceptsExport.export(direct(_), cfg, out)
       out
     })
 
-  /** Bench stage hook (see PipelineQueries.sharedStageBuilders). */
+  /** ONE temp dir per (session, dir), deleted on JVM exit — repeated
+    * bench/verify passes previously leaked a fresh full-dictionary CSV
+    * directory per gate invocation (r15 advisor). */
+  private val tmpStage = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), java.nio.file.Path]
+  private def tmpDir(s: SparkSession, dir: String): java.nio.file.Path =
+    tmpStage.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_omrs_scale_")
+      p.toFile.deleteOnExit()
+      p
+    })
+
+  /** Bench stage hook (see PipelineQueries.sharedStageBuilders); the
+    * [[timed]] stderr lines inside the memos attribute the stage row's
+    * cost between the Derby ingest and the direct-export baseline. */
   def buildDbStage(s: SparkSession, dir: String): Unit = {
     val n = scaleFor(s, dir)
     derbyDb(s, dir, n)
@@ -232,7 +257,17 @@ object ScaledOmrs {
 
   private val gateCfg = ConceptsConfig(locales = Seq("en", "es"))
 
-  def clearSharedStages(): Unit = { dbStage.clear(); directCsvStage.clear() }
+  def clearSharedStages(): Unit = {
+    // DROP the in-memory Derby databases, not just the memo: Derby
+    // memory DBs outlive the connection, so a cleared memo re-running
+    // CREATE TABLE against the still-alive database would hard-fail
+    // (r15 advisor). ';drop=true' "succeeds" via SQLException 08006.
+    dbStage.values.foreach { cfg =>
+      try java.sql.DriverManager.getConnection(cfg.url + ";drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+    dbStage.clear(); directCsvStage.clear()
+  }
 
   /** One concept per document row of the sf dir. */
   private def scaleFor(s: SparkSession, dir: String): Long =
@@ -258,11 +293,10 @@ object ScaledOmrs {
     require(!lc.contains("date_created") && !lc.contains("changed_by"),
       "audit columns leaked into a JDBC scan — column pruning lost")
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_omrs_scale_")
-    val outJ = tmp.resolve("concepts_jdbc.csv").toString
+    val outJ = tmpDir(s, dir).resolve("concepts_jdbc.csv").toString
     val outD = directCsv(s, dir, n, cfg)
     val t0 = System.nanoTime()
-    ConceptsExport.export(jdbcResolver, cfg, outJ)
+    timed(s"jdbc export n=$n") { ConceptsExport.export(jdbcResolver, cfg, outJ) }
     val jdbcSec = (System.nanoTime() - t0) / 1e9
     val bj = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outJ))
     val bd = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outD))

@@ -83,7 +83,22 @@ object ProbeCells {
   /** Top-`k` nearest cells by (squared distance, cell): one pass over
     * the cells in index order with insertion into a k-slot buffer —
     * strict-less comparison keeps the earliest (lowest-index) cell on
-    * distance ties. Shared by interpreted eval and generated code. */
+    * distance ties. Shared by interpreted eval and generated code.
+    *
+    * NaN handling (r15 advisor; r16): a NaN distance never inserts
+    * (`NaN < x` is false), so rows with NaN distances (e.g. a zero
+    * vector normalized to NaN) can leave trailing slots at the
+    * Int.MaxValue sentinel. A COLD epilogue then fills those slots
+    * with the lowest-indexed cells not already selected — exactly the
+    * fallback's `array_sort` order (NaN sorts last, ties by cell asc).
+    * The hot path is byte-identical to the r15 loop: an earlier fix
+    * that threaded NaN ordering through the insertion comparisons
+    * (`java.lang.Double.compare` + a fill counter) measured 1.3–3.7×
+    * slower on every probe-cell consumer (q106/q116/q467/q468/q469,
+    * isolated A/B) — the pathological case must not tax the hot loop.
+    * Caveat unchanged from r15: a genuinely +Infinite distance (an
+    * infinite coordinate) is ordered by the epilogue like NaN rather
+    * than before it; unreachable for real embeddings. */
   def select(v: ArrayData, flat: Array[Double], nlist: Int, dim: Int,
       k: Int): Array[Int] = {
     val lim = math.min(dim, v.numElements())
@@ -110,6 +125,25 @@ object ProbeCells {
       }
       c += 1
     }
+    if (k <= nlist && bestC(k - 1) == Int.MaxValue) fillUnreached(bestC, nlist, k)
     bestC
+  }
+
+  /** Cold path: fill sentinel slots (never inserted — NaN/+Inf
+    * distances) with the lowest-indexed cells not already selected.
+    * Filled slots form a prefix (the insertion keeps the buffer
+    * sorted with sentinels at the tail). O(k·nlist), taken only on
+    * degenerate rows. */
+  private def fillUnreached(bestC: Array[Int], nlist: Int, k: Int): Unit = {
+    var j = 0
+    while (j < k && bestC(j) != Int.MaxValue) j += 1
+    var c = 0
+    while (j < k && c < nlist) {
+      var used = false
+      var i = 0
+      while (i < j && !used) { if (bestC(i) == c) used = true; i += 1 }
+      if (!used) { bestC(j) = c; j += 1 }
+      c += 1
+    }
   }
 }

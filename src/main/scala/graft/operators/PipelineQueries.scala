@@ -1450,14 +1450,24 @@ object PipelineQueries {
           % 5 === 0)
       .select("doc_id", "lang", "norm", "is_test")
       .localCheckpoint()
-    val tris = docs
+    // ONE explode+substring pass: the train branch (model counts) and
+    // the test branch (per-doc counts) previously each re-executed the
+    // full position-explode off the docs checkpoint — the single most
+    // expensive stage of this query, paid twice. Aggregating to per-doc
+    // trigram counts first (a pure refactor: count over instances =
+    // sum of per-doc counts) and checkpointing THAT (≪ the instance
+    // frame — distinct trigrams per doc) halves the explode work.
+    val triCounts = docs
       .select(col("doc_id"), col("lang"), col("is_test"),
         explode(expr("sequence(1, length(norm) - 2)")).as("i"),
         col("norm"))
       .select(col("doc_id"), col("lang"), col("is_test"),
         expr("substring(norm, i, 3)").as("tri"))
-    val counts = tris.filter(!col("is_test"))
-      .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang", "is_test", "tri")
+      .agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val counts = triCounts.filter(!col("is_test"))
+      .groupBy("lang", "tri").agg(sum(col("ct")).as("c"))
     val nl = counts.groupBy("lang").agg(sum("c").as("n_l"))
     val voc = counts.agg(countDistinct("tri").as("v"))
     // fixed-point model: li = round(1e6·ln((c+1)/(n_l+V))), the
@@ -1479,9 +1489,9 @@ object PipelineQueries {
         M.oracleRound(log(lit(1.0) /
           (col("n_l") + col("v")).cast("double")) * 1e6, 0).cast("long")
           .as("li0"))
-    val dt = tris.filter(col("is_test"))
-      .groupBy(col("doc_id"), col("lang").as("actual"), col("tri"))
-      .agg(count(lit(1)).as("ct"))
+    val dt = triCounts.filter(col("is_test"))
+      .select(col("doc_id"), col("lang").as("actual"), col("tri"),
+        col("ct"))
     val perDoc = dt.groupBy("doc_id", "actual")
       .agg(sum("ct").as("n_t"))
     val matched = dt.join(model, "tri")
@@ -4033,13 +4043,19 @@ object PipelineQueries {
     refStage.getOrElseUpdate((s, dir), {
       val ref = Tables.documents(s, dir).filter(!incMask)
       val sets = Dedup.shingleSets(ref, "doc_id", "text", 3)
-      val sigs = Dedup.minHashSigsFromSets(sets, "doc_id", 64)
       val base = newStageDir("graft_refstage_")
       val setsP = base.resolve("sets").toString
       val sigsP = base.resolve("sigs").toString
       sets.write.mode("overwrite").parquet(setsP)
-      sigs.write.mode("overwrite").parquet(sigsP)
-      (s.read.parquet(setsP), s.read.parquet(sigsP))
+      // derive sigs from the READ-BACK sets parquet, not the live
+      // shingle plan — the sigs write otherwise re-tokenizes and
+      // re-shingles the whole reference corpus a second time (r16:
+      // the two writes each executed the full shingle pass; same
+      // rows, the signature hash is a pure function of the set)
+      val setsR = s.read.parquet(setsP)
+      Dedup.minHashSigsFromSets(setsR, "doc_id", 64)
+        .write.mode("overwrite").parquet(sigsP)
+      (setsR, s.read.parquet(sigsP))
     })
 
   /** Persisted reference FINGERPRINT table (the exact-dedup leg's

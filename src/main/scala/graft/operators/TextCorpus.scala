@@ -456,7 +456,13 @@ object TextCorpus {
     docBigrams(arrs, idCol).groupBy("w1", "w2")
       .agg(count(lit(1)).as("__cab"))
       .write.mode("overwrite").parquet(s"$base/lm_bigram")
-    toks.agg(countDistinct(col("w")).cast("double").as("v"))
+    // vocab size ≡ the unigram table's non-null row count (it is
+    // grouped by w, and countDistinct ignores nulls), so derive it
+    // from the just-written parquet instead of a third explode+
+    // distinct pass over the token arrays (r16; same value by
+    // construction)
+    spark.read.parquet(s"$base/lm_uni")
+      .agg(count(col("w")).cast("double").as("v"))
       .write.mode("overwrite").parquet(s"$base/lm_meta")
   }
 

@@ -11,15 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale note: parquet scans parallelize per row-group; filters and
   * column pruning push into the scan (verify via `.explain` →
-  * `PushedFilters`/`ReadSchema`). No caching here — callers decide.
+  * `PushedFilters`/`ReadSchema`). No DATA caching here — callers
+  * decide; but the resolved RELATION (file listing + footer schema
+  * inference) is memoized per (session, dir, table), exactly what a
+  * catalog table gives you for free. `spark.read.parquet` re-lists the
+  * directory and re-reads footers on every call (~0.03–0.1 s locally,
+  * a driver-side metadata job at scale — guide §6 "file listing");
+  * the bench's ~500 queries issue ~1000 loads, so the per-load
+  * constant is a suite-wide multiplier. Every action on the memoized
+  * frame still scans parquet — this caches METADATA, never results.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val relCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.parquet has shipped `ts` in three different parquet encodings
     * across testdata regenerations; normalize all of them here so every
