@@ -106,6 +106,30 @@ object Bench {
         } catch { case _: Throwable => None }
       }
 
+    // MEMO-INDEPENDENT calibration probe (r16 verdict #2): q12 loads
+    // via Tables, so the r16 relation memo made the q12 probe itself
+    // faster round-over-round (0.091 vs steady ~0.3 segments) — the
+    // calibration unit was no longer round-stable. This probe is a
+    // FIXED in-memory compute + one small shuffle (range → xxhash64 →
+    // 1024-key groupBy → count): no file listing, no parquet, no memo
+    // anywhere in its path, so its seconds measure machine load and
+    // nothing else, every round, forever. Runs ALONGSIDE the q12 probe
+    // (q12 keeps the r01–r16 artifacts comparable; vsPrev normalization
+    // stays in q12 units against old-format priors).
+    def fixedProbe(): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0L, 16L * 1000 * 1000)
+          .selectExpr("pmod(xxhash64(id), 1024) AS k")
+          .groupBy("k").count().count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    val fixedStart: Option[(Double, Seq[Double])] = {
+      val runs = (1 to 3).flatMap(_ => fixedProbe())
+      if (runs.size == 3) Some((runs.sorted.apply(1), runs)) else None
+    }
+    val segFixed = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
 
@@ -184,10 +208,12 @@ object Bench {
         // it also stabilizes.
         System.gc()
         calProbe().foreach(s => segCal += ((i + 1, s)))
+        fixedProbe().foreach(s => segFixed += ((i + 1, s)))
       }
       name -> sec
     }
     calProbe().foreach(s => segCal += ((queries.size, s)))
+    fixedProbe().foreach(s => segFixed += ((queries.size, s)))
 
     // SELF-ATTRIBUTING cross-round comparison (r13 verdict: a judge
     // could not tell drift from regression without re-measuring by
@@ -199,8 +225,8 @@ object Bench {
     // real regression candidate, not contention. Prior artifact:
     // $SPARK_GRAFT_PREV_BENCH, else the highest-numbered
     // BENCH_r{N}[_local].json in the working directory.
-    val prevBench: Option[(String, Double, Map[String, Double])] = {
-      def parse(path: java.nio.file.Path): Option[(String, Double, Map[String, Double])] =
+    val prevBench: Option[(String, Double, Seq[(Int, Double)], Map[String, Double])] = {
+      def parse(path: java.nio.file.Path): Option[(String, Double, Seq[(Int, Double)], Map[String, Double])] =
         try {
           val txt = Files.readString(path)
           val qStart = txt.indexOf("\"queries\":{")
@@ -212,7 +238,15 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val cal = "\"medianSec\":([-+0-9.Ee]+)".r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
-          cal.filter(_ > 0).map(c => (path.getFileName.toString, c, qs))
+          // prior round's mid-suite q12 probes — the r16 verdict's
+          // normalization-asymmetry fix: this round's times divide by
+          // this round's covering segment probe, so the prior round's
+          // must too (r16 divided prev by its START median while its
+          // segments ran ~2× that, flattening every ratio)
+          val segs = """\{"afterQuery":(\d+),"sec":([-+0-9.Ee]+)\}""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1).toInt -> m.group(2).toDouble).toSeq
+          cal.filter(_ > 0).map(c => (path.getFileName.toString, c, segs, qs))
         } catch { case _: Throwable => None }
       sys.env.get("SPARK_GRAFT_PREV_BENCH")
         .map(Paths.get(_)).filter(Files.isRegularFile(_))
@@ -238,19 +272,26 @@ object Bench {
     }
     val vsPrev: Option[(String, Seq[(String, Double)], Seq[String])] =
       for {
-        (pname, pcal, pq) <- prevBench
+        (pname, pcal, psegs, pq) <- prevBench
         (startMed, _) <- calibration
       } yield {
         // segment probe covering query index i: first probe at or
         // after position i+1 (probes run after every calEvery-th
-        // query and once at the end)
+        // query and once at the end). SYMMETRIC for both rounds (r16
+        // verdict #2): the prior round's seconds divide by ITS covering
+        // segment probe too (query order is sorted-by-name in every
+        // round and entries are only ever added, so the same index
+        // addresses the same suite region; priors without segments
+        // fall back to their start median as before).
         val probes = segCal.toSeq
         def calAt(i: Int): Double =
           probes.find(_._1 >= i + 1).map(_._2).getOrElse(startMed)
+        def calAtPrev(i: Int): Double =
+          psegs.find(_._1 >= i + 1).map(_._2).getOrElse(pcal)
         val ratios = times.zipWithIndex.flatMap { case ((name, sec), i) =>
           pq.get(name).filter(_ > 0.05).map { psec =>
             val r = (sec / math.max(calAt(i), 1e-3)) /
-              (psec / math.max(pcal, 1e-3))
+              (psec / math.max(calAtPrev(i), 1e-3))
             name -> math.rint(r * 1000) / 1000
           }
         }
@@ -281,6 +322,12 @@ object Bench {
       s""""calibration":{"query":"q12_distinct","medianSec":$med,""" +
       s""""runs":[${runs.mkString(",")}],"segments":$segs},"""
     }.getOrElse("")
+    val calFixedJson = fixedStart.map { case (med, runs) =>
+      val segs = segFixed.map { case (n, s) => s"""{"afterQuery":$n,"sec":$s}""" }
+        .mkString("[", ",", "]")
+      s""""calibrationFixed":{"probe":"range16M_xxhash_groupBy1024",""" +
+      s""""medianSec":$med,"runs":[${runs.mkString(",")}],"segments":$segs},"""
+    }.getOrElse("")
     val vsPrevJson = vsPrev.map { case (pname, ratios, flagged) =>
       val rj = ratios.map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString("{", ",", "}")
@@ -290,10 +337,35 @@ object Bench {
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s"""$calJson$vsPrevJson"errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size},""" +
+      s"""$calJson$calFixedJson$vsPrevJson"errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size},""" +
       s""""sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // COMPACT final summary line (r16 verdict #1): the full line above
+    // is ~28 KB (one entry per query) and the driver's artifact retains
+    // only a 2,000-char stdout tail, which truncates the line's head —
+    // BENCH_r01..r16.json all ended up `parsed: null` and every PERF
+    // comparison came back empty. This ≤1 KB line is printed LAST so it
+    // always survives any tail window whole: totals, error count, the
+    // memo-independent calibration (start + segment median), and the
+    // flagged-regression list (capped at 20 names; flagged_n is the
+    // true count). The full line is unchanged and still written to
+    // bench_out.json — this is additive, not a methodology change.
+    def med(xs: Seq[Double]): Option[Double] =
+      if (xs.isEmpty) None else Some(xs.sorted.apply(xs.size / 2))
+    val jnum = (o: Option[Double]) => o.map(_.toString).getOrElse("null")
+    val flaggedAll = vsPrev.map(_._3).getOrElse(Seq.empty)
+    val summaryLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},""" +
+      s""""n_err":${errors.size},""" +
+      s""""cal_start":${jnum(fixedStart.map(_._1))},""" +
+      s""""cal_segment_median":${jnum(med(segFixed.map(_._2).toSeq))},""" +
+      s""""cal_q12_start":${jnum(calibration.map(_._1))},""" +
+      s""""cal_q12_segment_median":${jnum(med(segCal.map(_._2).toSeq))},""" +
+      s""""flagged":${flaggedAll.take(20).map(jstr).mkString("[", ",", "]")},""" +
+      s""""flagged_n":${flaggedAll.size},"sf":${jstr(sfDir)}}"""
+    println(summaryLine)
+    Files.writeString(Paths.get("bench_summary.json"), summaryLine + "\n")
     // plan-quality side channel: per-query shuffle read/write + spill
     // (MB, approximate attribution — see listener note above)
     val mb = (b: Long) => b / 1048576.0

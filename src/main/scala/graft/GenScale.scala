@@ -39,6 +39,21 @@ object GenScale {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/sf1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // THIRD-decade support (r17): replicating an already-replicated dir
+    // (sf1 → sf10) needs (a) strides 10× wider so copy key ranges clear
+    // the source's full (already-shifted) range — SPARK_GRAFT_SCALE_
+    // STRIDE_MULT, default 1 keeps sf0.1→sf1 byte-identical to r16 —
+    // and (b) a different embedding decorrelation: rotation composes
+    // (rot_i∘rot_k = rot_{i+k}), so re-rotating sf1's islands would
+    // make island/copy pairs with equal total rotation IDENTICAL
+    // vector sets under different ids — a planted near-dup explosion
+    // that fakes quadratic ANN/dedup volume. EMB_MODE=signflip instead
+    // multiplies each component by an md5-derived ±1 per (copy, dim) —
+    // also orthogonal (a diagonal ±1 matrix), so norms and within-copy
+    // similarities are EXACTLY preserved while cross-copy similarities
+    // decorrelate, and flip patterns never collide across copies.
+    val strideMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_STRIDE_MULT", "1").toLong
+    val embMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_EMB_MODE", "rotate")
     val spark = GraftSession.local("graft-genscale")
     import graft.sources.Tables
 
@@ -56,9 +71,12 @@ object GenScale {
       (0 until copies).map(k => per(df, k)).reduce(_ unionByName _)
 
     // strides: clean multiples of 10 above each key's sf0.1 ceiling
-    val ORD = 10000000L; val CUST = 1000000L; val PART = 1000000L
-    val SUPP = 100000L; val EVT = 10000000L; val USR = 1000000L
-    val DOC = 1000000L; val VEC = 1000000L
+    // (× strideMult when replicating an already-replicated source)
+    val ORD = 10000000L * strideMult; val CUST = 1000000L * strideMult
+    val PART = 1000000L * strideMult
+    val SUPP = 100000L * strideMult; val EVT = 10000000L * strideMult
+    val USR = 1000000L * strideMult
+    val DOC = 1000000L * strideMult; val VEC = 1000000L * strideMult
 
     // dimensions: fixed, copied once
     write("region", Tables.region(spark, src), 1)
@@ -91,6 +109,14 @@ object GenScale {
     write("embeddings", replicate(Tables.embeddings(spark, src), (d, k) => {
       val s = shifted(d, k, "vec_id" -> VEC)
       if (k == 0) s
+      else if (embMode == "signflip")
+        // ±1 per (copy, position): sign = +1 iff the low hex digit of
+        // md5("flip:k:i") is even — deterministic, reproducible
+        s.withColumn("embedding", zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(
+            conv(substring(md5(concat(lit(s"flip:$k:"), i.cast("string"))),
+              32, 1), 16, 10).cast("int") % 2 === 0, x).otherwise(-x)))
       else s.withColumn("embedding", concat(
         slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
         slice(col("embedding"), lit(1), lit(k))))

@@ -210,13 +210,18 @@ object ScaledOmrs {
     })
 
   /** stderr stage-split instrumentation (attribution inside the
-    * stage:omrs_jdbc / q470 rows — ingest vs export legs). */
-  private def timed[A](what: String)(body: => A): A = {
-    val t0 = System.nanoTime()
-    val r = body
-    System.err.println(f"[omrs] $what%s took ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
-  }
+    * stage:omrs_jdbc / q470 rows — ingest vs export legs). Gated on
+    * GRAFT_EXPORT_TIMING like ConceptsExport.timed (r16 advisor: the
+    * unconditional print was instrumentation noise in every
+    * bench/verify log and inconsistent between the two twins). */
+  private def timed[A](what: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_EXPORT_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[omrs] $what%s took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   /** Direct-frame-ingress export memo: the comparison baseline CSV,
     * written once per (session, dir) — the gate's timed body then pays
@@ -233,16 +238,31 @@ object ScaledOmrs {
       out
     })
 
-  /** ONE temp dir per (session, dir), deleted on JVM exit — repeated
-    * bench/verify passes previously leaked a fresh full-dictionary CSV
-    * directory per gate invocation (r15 advisor). */
+  /** ONE temp dir per (session, dir), recursively deleted by a JVM
+    * shutdown hook — repeated bench/verify passes previously leaked a
+    * fresh full-dictionary CSV directory per gate invocation (r15
+    * advisor), and `File.deleteOnExit` alone only removes EMPTY
+    * directories, so the CSVs written into the dir survived JVM exit
+    * (r16 advisor). The hook walks each memoized dir depth-first. */
   private val tmpStage = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), java.nio.file.Path]
+  private lazy val tmpCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpStage.values.foreach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+            _.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: java.io.IOException => () })
+          }
+        } catch { case _: Throwable => () }
+      }))
   private def tmpDir(s: SparkSession, dir: String): java.nio.file.Path =
     tmpStage.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft_omrs_scale_")
-      p.toFile.deleteOnExit()
-      p
+      tmpCleanup
+      java.nio.file.Files.createTempDirectory("graft_omrs_scale_")
     })
 
   /** Bench stage hook (see PipelineQueries.sharedStageBuilders); the

@@ -101,6 +101,14 @@ object ProbeCells {
     * than before it; unreachable for real embeddings. */
   def select(v: ArrayData, flat: Array[Double], nlist: Int, dim: Int,
       k: Int): Array[Int] = {
+    // explicit invariant (r16 advisor): the expression always passes
+    // k = min(nprobe, nlist); a direct caller with k > nlist would get
+    // Int.MaxValue sentinel "cell ids" in trailing slots (the fill
+    // epilogue can only name real cells). One predictable int compare —
+    // no measurable cost against the N×nlist×dim distance loop below.
+    require(k <= nlist,
+      s"ProbeCells.select: k=$k exceeds nlist=$nlist — only nlist real " +
+        "cells exist; pass k = min(nprobe, nlist) like the expression does")
     val lim = math.min(dim, v.numElements())
     val bestD = new Array[Double](k)
     val bestC = new Array[Int](k)
@@ -125,7 +133,7 @@ object ProbeCells {
       }
       c += 1
     }
-    if (k <= nlist && bestC(k - 1) == Int.MaxValue) fillUnreached(bestC, nlist, k)
+    if (bestC(k - 1) == Int.MaxValue) fillUnreached(bestC, nlist, k)
     bestC
   }
 

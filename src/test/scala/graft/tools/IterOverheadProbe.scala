@@ -48,6 +48,16 @@ object IterOverheadProbe {
       nx.filter(col("depth") >= 0).count()
       org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(nx)
     }
+    // r17: the same eager-checkpoint iteration with AQE off — how much
+    // of the per-iteration constant is AQE's sequential shuffle-stage
+    // job submission vs work?
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    t("iter: EAGER checkpoint + count, AQE OFF", 10) {
+      val nx = iterBody(edges, depth0).localCheckpoint(eager = true)
+      nx.filter(col("depth") >= 0).count()
+      org.apache.spark.sql.GraftPlanBridge.freeLocalCheckpoint(nx)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     t("iter: LAZY checkpoint + count", 10) {
       val nx = iterBody(edges, depth0).localCheckpoint(eager = false)
       nx.filter(col("depth") >= 0).count()
