@@ -242,9 +242,16 @@ object Bench {
           // normalization-asymmetry fix: this round's times divide by
           // this round's covering segment probe, so the prior round's
           // must too (r16 divided prev by its START median while its
-          // segments ran ~2× that, flattening every ratio)
+          // segments ran ~2× that, flattening every ratio). Parse only
+          // the q12 `calibration` block's segments — the
+          // `calibrationFixed` block (r17+) has same-shaped entries in
+          // a different unit.
+          val calEnd = txt.indexOf("\"calibrationFixed\"") match {
+            case -1 => txt.length
+            case i => i
+          }
           val segs = """\{"afterQuery":(\d+),"sec":([-+0-9.Ee]+)\}""".r
-            .findAllMatchIn(txt)
+            .findAllMatchIn(txt.substring(0, calEnd))
             .map(m => m.group(1).toInt -> m.group(2).toDouble).toSeq
           cal.filter(_ > 0).map(c => (path.getFileName.toString, c, segs, qs))
         } catch { case _: Throwable => None }

@@ -54,6 +54,28 @@ object GenScale {
     // decorrelate, and flip patterns never collide across copies.
     val strideMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_STRIDE_MULT", "1").toLong
     val embMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_EMB_MODE", "rotate")
+    // Token-suffix tag for re-replication: sf1 islands carry `w_j`
+    // suffixes, so sf10's copy-k suffix must NOT be the bare `_k` —
+    // copy k of the unsuffixed base island would otherwise reproduce
+    // island k's text verbatim under new doc_ids (planted EXACT
+    // duplicates — a fake quadratic dedup load). Set e.g. TOKEN_TAG=x
+    // so copy suffixes are `_xk`, disjoint from every `_j`.
+    val tokenTag = sys.env.getOrElse("SPARK_GRAFT_SCALE_TOKEN_TAG", "")
+    // Customer-NAME decorrelation (r17): replication copies c_name
+    // verbatim, so every base customer exactly matches its copies-1
+    // replicas under any entity-resolution rule (lev=0, Δbal=0, same
+    // nation/segment) — measured: 0 matched identity pairs at sf0.1,
+    // 675k at sf1, 74.25M at sf10, i.e. a ×(copies²) matched-pair
+    // relation that is a CONSTRUCTION artifact violating the disjoint-
+    // islands design (the same fake-quadratic class the token suffix
+    // and embedding rotation exist to prevent), not operator behavior.
+    // When NAME_TAG is set, copy k > 0 suffixes c_name with
+    // `_<tag><k><tag><k>`: two different copies (or two different
+    // replication stages with different tags) differ in ≥ 2 positions,
+    // so lev > 1 and cross-copy rows can never match; suffixed vs
+    // unsuffixed differ in length by ≥ 4. Default "" keeps the legacy
+    // (r16) construction byte-identical.
+    val nameTag = sys.env.getOrElse("SPARK_GRAFT_SCALE_NAME_TAG", "")
     val spark = GraftSession.local("graft-genscale")
     import graft.sources.Tables
 
@@ -82,8 +104,12 @@ object GenScale {
     write("region", Tables.region(spark, src), 1)
     write("nation", Tables.nation(spark, src), 1)
 
-    write("customer", replicate(Tables.customer(spark, src),
-      (d, k) => shifted(d, k, "c_custkey" -> CUST)), 4)
+    write("customer", replicate(Tables.customer(spark, src), (d, k) => {
+      val s = shifted(d, k, "c_custkey" -> CUST)
+      if (k == 0 || nameTag.isEmpty) s
+      else s.withColumn("c_name",
+        concat(col("c_name"), lit(s"_$nameTag$k$nameTag$k")))
+    }), 4)
     write("supplier", replicate(Tables.supplier(spark, src),
       (d, k) => shifted(d, k, "s_suppkey" -> SUPP)), 2)
     write("part", replicate(Tables.part(spark, src),
@@ -101,7 +127,7 @@ object GenScale {
       val t =
         if (k == 0) s
         else s.withColumn("text", array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$tokenTag$k"))),
           " "))
       t.withColumn("n_chars", length(col("text")).cast("long"))
     }), 8)

@@ -1507,7 +1507,17 @@ object CoreQueries {
   def goldenRecordCustomers(s: SparkSession, dir: String): DataFrame = {
     val recs = goldenRecordBase(s, dir)
     val pairs = goldenRecordPairs(recs)
-    val comp = GraphOps.connectedComponents(pairs)
+    // star contraction, not min-label propagation (r17): the match
+    // graph contains PATH-SHAPED chains of incidental lev-1 matches
+    // (near-consecutive names within a balance band), whose diameter
+    // grows with the corpus — the sf10 probe measured min-label CC
+    // failing to converge in 50 rounds (≥ 50-hop chains), while star
+    // contraction converges in O(log² n) rounds regardless of
+    // diameter. Same contract (comp = component's min node id over
+    // the same edge set), so golden records are IDENTICAL —
+    // oracle-checked at sf0.001 + sf0.01 (the oracle re-derives
+    // components independently via recursive CTE).
+    val comp = GraphOps.connectedComponentsStar(pairs)
       .select(col("node"), col("comp"))
     val labeled = recs
       .join(comp, recs("c_custkey") === comp("node"), "left")

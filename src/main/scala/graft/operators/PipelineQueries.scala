@@ -12,12 +12,19 @@ import graft.functions.{MysqlFunctions => M}
   */
 object PipelineQueries {
 
-  /** Shared MinHash-family stages per (session, sf dir): the shingle
-    * sets and 64-hash signature matrix are each localCheckpointed once
-    * and reused by q29/q30/q32/q49/q55 — the gate queries measure
-    * pipeline cost, not five re-shinglings of the same corpus. Results
-    * are identical to per-query recomputation (the stages are
-    * deterministic); the cache only pins the two small checkpoints.
+  /** Shared MinHash-family stages per (session, sf dir): ONE plan for
+    * the shingle sets and 64-hash signature matrix, reused by
+    * q29/q30/q32/q49/q55 and the estimator audits. DELIBERATELY LIVE
+    * (not checkpointed): shingle sets are corpus-scale, and pinning
+    * them in executor storage is the wrong at-scale trade — the
+    * persisted-parquet twins (q104/q111 family) are the steady-state
+    * index shape. Measured r17 (isolated A/B at sf0.1, the r16 verdict
+    * #8 ask): localCheckpointing both frames here made the stage rows
+    * SLOWER (stage:dedup_sigs 1.61 → 1.87 s, stage:jaccard_pairs
+    * 2.48 → 2.93 s — the materialization cost) while every consumer
+    * stayed flat (q29 0.11 → 0.20, q30 0.14 → 0.11, q103 2.52 → 2.43):
+    * post-warm re-derivation of the live plan is already cheap, so
+    * there is no double-compute worth buying with corpus-scale storage.
     * CONTRACT: a memo, not a cache with invalidation — it assumes the
     * driver contract's immutable sf dirs. A session that rewrites a
     * dir's parquet in place must not expect these queries to observe
